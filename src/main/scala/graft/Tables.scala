@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders for the driver-generated parquet corpus
+  * (see /root/repo/FIXTURES.md; 10 tables per scale-factor dir).
+  *
+  * All loads are plain `spark.read.parquet` so Catalyst gets a clean
+  * FileSourceScan it can push filters/projections into. The one special
+  * case is `events`: its `ts` column is parquet TIMESTAMP(NANOS), which
+  * Spark 4.x refuses to read unless `spark.sql.legacy.parquet.nanosAsLong`
+  * is set (runtime-settable). We read it as nanos-long and convert to a
+  * proper microsecond timestamp with integer division (never `/1000.0`,
+  * which would round instead of truncate and diverge from DuckDB's
+  * `CAST(ts AS TIMESTAMP)` truncation).
+  */
+object Tables {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** events with `ts` converted nanos-long -> TimestampType (microseconds,
+    * truncated — matches DuckDB `CAST(ts AS TIMESTAMP)`). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.4 aggregations: hash aggregate (partial+final), distinct
+  * aggs, ROLLUP/CUBE/GROUPING SETS, statistical aggs, exact percentile,
+  * HLL approx-distinct (NO-ORACLE — property-tested vs exact instead).
+  *
+  * Float discipline: sums of large double columns are reported in
+  * millions (x/1e6 before round) so Spark-vs-DuckDB accumulation-order
+  * noise (~1e-4 abs on 1e9-scale sums) can't flip a 2dp boundary;
+  * var_samp is reported in thousands for the same reason. Averages of
+  * integer-valued columns are exact in both engines (integer sums below
+  * 2^53 are exact in doubles) so plain round(avg,2) is safe there.
+  */
+object AggQueries extends QueryGroup {
+
+  val queries: Map[String, QFn] = Map(
+    // TPC-H Q1 shape — partial+final HashAggregateExec, all in one pass.
+    "q_agg_pricing" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")) / 1000000.0, 2).as("sum_base_m"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 1000000.0, 2).as("sum_disc_m"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))) / 1000000.0, 2).as("sum_charge_m"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          round(avg(col("l_discount")), 2).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_agg_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+
+    "q_agg_multi_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderdate")).as("n_dates"))
+        .orderBy("o_orderstatus")),
+
+    "q_rollup" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"),
+          grouping(col("r_name")).cast("int").as("g_r"),
+          grouping(col("n_name")).cast("int").as("g_n"))
+        .orderBy(col("g_r"), col("g_n"),
+          coalesce(col("r_name"), lit("~")), coalesce(col("n_name"), lit("~")))),
+
+    "q_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("int").as("g_s"),
+          grouping(col("o_orderpriority")).cast("int").as("g_p"))
+        .orderBy(col("g_s"), col("g_p"),
+          coalesce(col("o_orderstatus"), lit("~")), coalesce(col("o_orderpriority"), lit("~")))),
+
+    // GROUPING SETS is SQL-only in Spark's DSL — goes through spark.sql.
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+      s.sql("""
+        SELECT lang, source, count(1) AS n_docs, sum(n_chars) AS sum_chars,
+               cast(grouping(lang) AS int) AS g_lang, cast(grouping(source) AS int) AS g_src
+        FROM graft_documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        ORDER BY g_lang, g_src, coalesce(lang, '~'), coalesce(source, '~')
+      """)
+    }),
+
+    "q_agg_stats" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          round(stddev_samp(col("c_acctbal")), 2).as("stddev_bal"),
+          round(var_samp(col("c_acctbal")) / 1000.0, 2).as("var_bal_k"),
+          round(corr(col("c_acctbal"), col("o_totalprice")), 3).as("corr_bal_price"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")),
+
+    // exact interpolating percentile (SortAggregate) <-> DuckDB quantile_cont
+    "q_agg_percentile" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+        .orderBy("o_orderstatus")),
+
+    // NO-ORACLE: HLL++ is approximate — property-tested within 5% of exact.
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice) / 1000000.0, 2) AS sum_base_m, " +
+        "round(sum(l_extendedprice * (1.0 - l_discount)) / 1000000.0, 2) AS sum_disc_m, " +
+        "round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) / 1000000.0, 2) AS sum_charge_m, " +
+        "round(avg(l_quantity), 2) AS avg_qty, round(avg(l_extendedprice), 2) AS avg_price, " +
+        "round(avg(l_discount), 2) AS avg_disc, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q_agg_distinct" ->
+      "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q_agg_multi_distinct" ->
+      "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(DISTINCT o_orderdate) AS n_dates FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q_rollup" ->
+      ("SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal, " +
+        "CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP(r_name, n_name) " +
+        "ORDER BY g_r, g_n, coalesce(r_name, '~'), coalesce(n_name, '~')"),
+    "q_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "CAST(GROUPING(o_orderstatus) AS INT) AS g_s, CAST(GROUPING(o_orderpriority) AS INT) AS g_p " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY g_s, g_p, coalesce(o_orderstatus, '~'), coalesce(o_orderpriority, '~')"),
+    "q_grouping_sets" ->
+      ("SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(GROUPING(lang) AS INT) AS g_lang, CAST(GROUPING(source) AS INT) AS g_src " +
+        "FROM documents GROUP BY GROUPING SETS ((lang), (source), ()) " +
+        "ORDER BY g_lang, g_src, coalesce(lang, '~'), coalesce(source, '~')"),
+    "q_agg_stats" ->
+      ("SELECT c_mktsegment, round(stddev_samp(c_acctbal), 2) AS stddev_bal, " +
+        "round(var_samp(c_acctbal) / 1000.0, 2) AS var_bal_k, " +
+        "round(corr(c_acctbal, o_totalprice), 3) AS corr_bal_price, count(*) AS n " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q_agg_percentile" ->
+      "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS p50, round(quantile_cont(o_totalprice, 0.9), 2) AS p90 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+  )
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.10 event-time queries (batch-checkable forms) + the as-of
+  * join (§2.3) + JSON extraction (§2.8) — everything over the `events`
+  * table (nanos timestamp handled in Tables.events).
+  *
+  * As-of join: Spark has no builtin, so it's the window-trick
+  * composition — union-tag click/purchase streams, order (ts, tag,
+  * event_id) with purchases before clicks at equal ts so "strictly
+  * earlier" holds, then last(click_ts) over rows [-inf, -1). Mirrors
+  * DuckDB's native ASOF JOIN with a strict `>` condition.
+  *
+  * Sliding windows: Spark's window(ts, '1 hour', '15 minutes') assigns
+  * each event to 4 epoch-aligned windows; the DuckDB oracle reproduces
+  * that mechanically (bucket15(ts) - k*15min for k in 0..3).
+  */
+object EventQueries extends QueryGroup {
+
+  val queries: Map[String, QFn] = Map(
+    "q_json_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(round(avg(col("k")), 2).as("avg_k"), max(col("k")).as("max_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    "q_join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          when(col("event_type") === "click", col("ts")).as("click_ts"),
+          when(col("event_type") === "purchase", 0).otherwise(1).as("tag"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("prev_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("prev_click_ts").isNotNull)
+        .select(pmod(col("user_id"), lit(10)).cast("long").as("bucket"),
+          (unix_micros(col("ts")) - unix_micros(col("prev_click_ts"))).as("gap_us"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_matched"),
+          round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000.0, 2).as("avg_gap_sec"))
+        .orderBy("bucket")
+    }),
+
+    "q_tumbling_1h" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+        .select(fmtTs(col("w.start")).as("window_start"), col("event_type"), col("n"), col("sum_val"))
+        .orderBy("window_start", "event_type")),
+
+    "q_sliding_1h_15m" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+        .select(fmtTs(col("w.start")).as("window_start"), col("n"), col("sum_val"))
+        .orderBy("window_start")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_json_funcs" ->
+      ("SELECT event_type, round(avg(k), 2) AS avg_k, max(k) AS max_k, count(*) AS n " +
+        "FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t " +
+        "GROUP BY event_type ORDER BY event_type"),
+    "q_join_asof" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events " +
+        "WHERE event_type IN ('click', 'purchase')), " +
+        "p AS (SELECT * FROM e WHERE event_type = 'purchase'), " +
+        "c AS (SELECT * FROM e WHERE event_type = 'click'), " +
+        "m AS (SELECT p.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us " +
+        "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts > c.ts) " +
+        "SELECT CAST(user_id % 10 AS BIGINT) AS bucket, count(*) AS n_matched, " +
+        "round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 2) AS avg_gap_sec " +
+        "FROM m GROUP BY bucket ORDER BY bucket"),
+    "q_tumbling_1h" ->
+      ("SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start, " +
+        "event_type, count(*) AS n, round(sum(value), 2) AS sum_val " +
+        "FROM events GROUP BY 1, event_type ORDER BY window_start, event_type"),
+    "q_sliding_1h_15m" ->
+      ("WITH e AS (SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS b15, value FROM events), " +
+        "x AS (SELECT b15 - (INTERVAL '15 minutes' * k) AS ws, value FROM e, (SELECT unnest([0, 1, 2, 3]) AS k) ks) " +
+        "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n, round(sum(value), 2) AS sum_val " +
+        "FROM x GROUP BY ws ORDER BY window_start"),
+  )
+}

@@ -1,0 +1,31 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One group of declared queries (SURVEY.md §2). Each concrete object
+  * contributes entries to SparkEntry.queries / SparkEntry.oracleSql.
+  *
+  * Output discipline shared by every query (SURVEY §7.3 — the Spark
+  * result is hash-compared against DuckDB running `oracleSql` on the
+  * same parquet inputs, so both sides must agree bit-for-bit):
+  *   - explicit projection with stable aliases, identical dtypes
+  *     (computed integers cast to BIGINT on both sides);
+  *   - every float output rounded (2dp; similarity scores 3dp); sums of
+  *     large double columns are scaled down (e.g. /1e6) before rounding
+  *     so accumulation-order noise can't flip a cent-level boundary;
+  *   - timestamps/dates formatted to strings (sidesteps parquet
+  *     isAdjustedToUTC vs DuckDB TIMESTAMP representation drift);
+  *   - total ORDER BY over a unique key, identical in both engines;
+  *   - no dropDuplicates/first() row-picks.
+  */
+trait QueryGroup {
+  type QFn = (SparkSession, String) => DataFrame
+  def queries: Map[String, QFn]
+  def oracleSql: Map[String, String]
+
+  /** date-valued timestamp -> 'yyyy-MM-dd' (DuckDB: strftime(x,'%Y-%m-%d')) */
+  def fmtDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
+  /** timestamp -> 'yyyy-MM-dd HH:mm:ss' (DuckDB: strftime(x,'%Y-%m-%d %H:%M:%S')) */
+  def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.1 scans, §2.2 projection/filter, §2.3 joins (as-of lives in
+  * EventQueries), §2.6 sorts/top-k, §2.7 set ops.
+  *
+  * All plain DataFrame ops: Catalyst handles parquet predicate pushdown /
+  * column pruning (q_scan_*), join-strategy selection (broadcast vs SMJ),
+  * and the INTERSECT/EXCEPT -> semi/anti-join rewrites. Reference
+  * behavior being re-expressed: /root/reference is an empty snapshot
+  * (README.md:1 only); semantics follow SURVEY.md §2's declared contract.
+  */
+object RelationalQueries extends QueryGroup {
+
+  val queries: Map[String, QFn] = Map(
+    // ---- §2.1 scans ------------------------------------------------------
+    "q_scan_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_scan_pushdown" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- §2.2 filter / predicates ---------------------------------------
+    "q_filter_between" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
+
+    "q_case_classify" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          when(col("o_totalprice") < 100000.0, "small")
+            .when(col("o_totalprice") < 200000.0, "medium")
+            .when(col("o_totalprice") < 300000.0, "large")
+            .otherwise("huge").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // ---- §2.3 joins ------------------------------------------------------
+    "q_join_inner" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")) / 1000000.0, 2).as("sum_price_m"))
+        .orderBy("c_mktsegment")),
+
+    "q_join_broadcast" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"), "inner")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("p_brand")),
+
+    "q_join_3way_topk" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      c.join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .select(col("o_orderkey"), fmtDate(col("o_orderdate")).as("o_orderdate"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q_join_left" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+        .limit(100)),
+
+    "q_join_full" -> ((s, d) =>
+      Tables.nation(s, d)
+        .join(Tables.supplier(s, d), col("n_nationkey") === col("s_nationkey"), "full_outer")
+        .groupBy("n_nationkey", "n_name")
+        .agg(count(col("s_suppkey")).as("n_suppliers"))
+        .orderBy("n_nationkey")),
+
+    "q_join_semi" -> ((s, d) => {
+      val o95 = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1995)
+      Tables.customer(s, d)
+        .join(o95, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "q_join_theta" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")) / 1000000.0, 2).as("sum_price_m"))
+        .orderBy("l_returnflag")),
+
+    "q_join_cross" -> ((s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_regionkey"), col("n_nationkey"),
+          concat(col("r_name"), lit("-"), col("n_name")).as("pair_name"))
+        .orderBy("r_regionkey", "n_nationkey")),
+
+    // ---- §2.6 sorts / top-k ---------------------------------------------
+    "q_topk_global" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    "q_sort_nulls" -> ((s, d) =>
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"),
+          when(col("s_acctbal") < 0, lit(null)).otherwise(col("s_acctbal")).as("bal"))
+        .orderBy(col("bal").asc_nulls_first, col("s_suppkey"))),
+
+    // ---- §2.7 set operations --------------------------------------------
+    "q_union_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val b = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      a.unionAll(b).groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    }),
+
+    "q_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val b = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      a.intersect(b).orderBy("o_custkey")
+    }),
+
+    "q_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val b = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      a.except(b).orderBy("o_custkey")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_scan_pushdown" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0 ORDER BY o_orderkey",
+    "q_filter_between" ->
+      "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+    "q_case_classify" ->
+      "SELECT CASE WHEN o_totalprice < 100000.0 THEN 'small' WHEN o_totalprice < 200000.0 THEN 'medium' WHEN o_totalprice < 300000.0 THEN 'large' ELSE 'huge' END AS bucket, count(*) AS n FROM orders GROUP BY 1 ORDER BY bucket",
+    "q_join_inner" ->
+      "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice) / 1000000.0, 2) AS sum_price_m FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "q_join_broadcast" ->
+      "SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand",
+    "q_join_3way_topk" ->
+      "SELECT o_orderkey, strftime(od, '%Y-%m-%d') AS o_orderdate, revenue FROM (SELECT o_orderkey, o_orderdate AS od, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey, o_orderdate) t ORDER BY revenue DESC, o_orderkey LIMIT 10",
+    "q_join_left" ->
+      "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey LIMIT 100",
+    "q_join_full" ->
+      "SELECT n_nationkey, n_name, count(s_suppkey) AS n_suppliers FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey GROUP BY n_nationkey, n_name ORDER BY n_nationkey",
+    "q_join_semi" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995) ORDER BY c_custkey",
+    "q_join_anti" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "q_join_theta" ->
+      "SELECT l_returnflag, count(*) AS n_items, round(sum(l_extendedprice) / 1000000.0, 2) AS sum_price_m FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate + INTERVAL 90 DAY GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q_join_cross" ->
+      "SELECT r_regionkey, n_nationkey, r_name || '-' || n_name AS pair_name FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey",
+    "q_topk_global" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_sort_nulls" ->
+      "SELECT s_suppkey, s_name, CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END AS bal FROM supplier ORDER BY bal ASC NULLS FIRST, s_suppkey",
+    "q_union_all" ->
+      "SELECT o_custkey, count(*) AS n FROM (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 UNION ALL SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) t GROUP BY o_custkey ORDER BY o_custkey",
+    "q_intersect" ->
+      "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 INTERSECT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 ORDER BY o_custkey",
+    "q_except" ->
+      "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 ORDER BY o_custkey",
+  )
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.8 scalar function packs: string / date / math / array /
+  * generator / json / map+struct. All codegen'd builtin expressions —
+  * no UDFs in this group (UDF surface is UdxQueries).
+  *
+  * Cross-engine dtype discipline: every computed integer (year, length,
+  * datediff, ceil, ...) is cast to BIGINT on both sides; regexes stick to
+  * the Java-regex/RE2 common subset ([0-9], \s); array elements are
+  * FLOAT on disk and widened to DOUBLE before arithmetic in both engines.
+  */
+object ScalarFuncQueries extends QueryGroup {
+
+  val queries: Map[String, QFn] = Map(
+    "q_string_funcs" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_type").like("STA%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          substring(col("p_name"), 1, 5).as("name_pfx"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "a", "_").as("name_repl"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("long").as("brand_num"))
+        .orderBy("p_partkey")),
+
+    "q_date_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          fmtDate(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("ship_days"),
+          fmtDate(last_day(col("o_orderdate"))).as("month_end"),
+          fmtDate(add_months(col("o_orderdate"), 3)).as("plus3m"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_math_funcs" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          round(sqrt(col("p_retailprice")), 2).as("sqrt_price"),
+          round(log(col("p_retailprice")), 2).as("ln_price"),
+          round(log10(col("p_retailprice")), 2).as("log10_price"),
+          round(abs(col("p_retailprice") - 950.0), 2).as("abs_diff"),
+          ceil(col("p_retailprice")).cast("long").as("ceil_price"),
+          floor(col("p_retailprice")).cast("long").as("floor_price"),
+          pow(col("p_size").cast("double"), 2.0).cast("long").as("size_sq"),
+          pmod(col("p_partkey"), lit(7)).cast("long").as("key_mod7"))
+        .orderBy("p_partkey")),
+
+    "q_array_funcs" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("s5", slice(col("v"), 1, 5))
+      e.select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("s5"), 1), 3).as("el1"),
+        round(element_at(col("s5"), 2), 3).as("el2"),
+        round(element_at(col("s5"), 3), 3).as("el3"),
+        round(element_at(col("s5"), 4), 3).as("el4"),
+        round(element_at(col("s5"), 5), 3).as("el5"),
+        round(array_max(col("v")), 3).as("vmax"),
+        round(array_min(col("v")), 3).as("vmin"))
+        .orderBy("vec_id")
+    }),
+
+    // posexplode generator: per-position stats over the first 8 dims.
+    "q_explode_pos" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(slice(transform(col("embedding"), x => x.cast("double")), 1, 8))
+            .as(Seq("pos", "val")))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"), round(avg(col("val")), 3).as("avg_val"))
+        .select(col("pos").cast("long").as("pos"), col("n"), col("avg_val"))
+        .orderBy("pos")),
+
+    "q_map_struct" -> ((s, d) => {
+      // build a map + struct from scalar columns, then extract back out —
+      // outputs are flattened scalars (nested types never hash-compared).
+      val m = Tables.documents(s, d)
+        .withColumn("meta", map(lit("lang"), col("lang"), lit("src"), col("source")))
+        .withColumn("st", struct(col("doc_id").as("id"), col("n_chars").as("chars")))
+      m.select(
+        col("meta").getItem("lang").as("lang_x"),
+        col("st").getField("chars").as("chars_x"))
+        .groupBy("lang_x")
+        .agg(count(lit(1)).as("n_docs"), sum(col("chars_x")).as("sum_chars"))
+        .orderBy("lang_x")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_string_funcs" ->
+      ("SELECT p_partkey, upper(p_name) AS name_upper, substr(p_name, 1, 5) AS name_pfx, " +
+        "CAST(length(p_name) AS BIGINT) AS name_len, p_brand || ':' || p_type AS brand_type, " +
+        "regexp_replace(p_name, 'a', '_', 'g') AS name_repl, " +
+        "CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num " +
+        "FROM part WHERE p_type LIKE 'STA%' ORDER BY p_partkey"),
+    "q_date_funcs" ->
+      ("SELECT l_orderkey, l_linenumber, CAST(year(o_orderdate) AS BIGINT) AS yr, " +
+        "CAST(month(o_orderdate) AS BIGINT) AS mo, CAST(quarter(o_orderdate) AS BIGINT) AS qtr, " +
+        "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start, " +
+        "CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS ship_days, " +
+        "strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end, " +
+        "strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey ORDER BY l_orderkey, l_linenumber"),
+    "q_math_funcs" ->
+      ("SELECT p_partkey, round(sqrt(p_retailprice), 2) AS sqrt_price, " +
+        "round(ln(p_retailprice), 2) AS ln_price, round(log10(p_retailprice), 2) AS log10_price, " +
+        "round(abs(p_retailprice - 950.0), 2) AS abs_diff, " +
+        "CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price, CAST(floor(p_retailprice) AS BIGINT) AS floor_price, " +
+        "CAST(power(CAST(p_size AS DOUBLE), 2.0) AS BIGINT) AS size_sq, " +
+        "CAST(p_partkey % 7 AS BIGINT) AS key_mod7 " +
+        "FROM part ORDER BY p_partkey"),
+    "q_array_funcs" ->
+      ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
+        "round(CAST(embedding[1] AS DOUBLE), 3) AS el1, round(CAST(embedding[2] AS DOUBLE), 3) AS el2, " +
+        "round(CAST(embedding[3] AS DOUBLE), 3) AS el3, round(CAST(embedding[4] AS DOUBLE), 3) AS el4, " +
+        "round(CAST(embedding[5] AS DOUBLE), 3) AS el5, " +
+        "round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 3) AS vmax, " +
+        "round(list_aggregate(CAST(embedding AS DOUBLE[]), 'min'), 3) AS vmin " +
+        "FROM embeddings ORDER BY vec_id"),
+    "q_explode_pos" ->
+      ("SELECT CAST(i - 1 AS BIGINT) AS pos, count(*) AS n, " +
+        "round(avg(CAST(embedding[i] AS DOUBLE)), 3) AS avg_val " +
+        "FROM embeddings, (SELECT unnest(generate_series(1, 8)) AS i) idx " +
+        "GROUP BY i ORDER BY pos"),
+    "q_map_struct" ->
+      ("SELECT lang AS lang_x, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY lang ORDER BY lang_x"),
+  )
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.5 window functions + §2.6-adjacent analytics.
+  *
+  * Determinism notes:
+  *  - every window ORDER BY ends in a unique key (o_orderkey / event_id)
+  *    so ranking ties can't reorder between engines;
+  *  - rangeBetween is long-typed in Spark's DSL, so the 30-day range
+  *    frame orders by an epoch-day number, mirrored exactly in DuckDB;
+  *  - time gaps are computed on exact integer microseconds (both engines
+  *    truncate the nanos source identically), divided to seconds only at
+  *    output — double division of exact ints is bit-identical.
+  */
+object WindowQueries extends QueryGroup {
+
+  val queries: Map[String, QFn] = Map(
+    "q_win_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("rk", rank().over(w).cast("long"))
+        .withColumn("drk", dense_rank().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rk", "drk")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q_win_running" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("run_sum", round(sum(col("value")).over(w), 2))
+        .select("event_id", "user_id", "run_sum")
+        .orderBy("event_id")
+    }),
+
+    "q_win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("next_us", unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          round(col("prev_us").cast("double") / 1000000.0, 2).as("prev_gap_sec"),
+          round(col("next_us").cast("double") / 1000000.0, 2).as("next_gap_sec"))
+        .orderBy("event_id")
+    }),
+
+    "q_win_frame_rows" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-6, 0)
+      Tables.orders(s, d)
+        .withColumn("mavg", round(avg(col("o_totalprice")).over(w), 2))
+        .select("o_custkey", "o_orderkey", "mavg")
+        .orderBy("o_orderkey")
+    }),
+
+    "q_win_frame_range" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("daynum"))
+        .rangeBetween(-30, 0)
+      Tables.orders(s, d)
+        .withColumn("daynum", unix_date(to_date(col("o_orderdate"))).cast("long"))
+        .withColumn("sum30", round(sum(col("o_totalprice")).over(w), 2))
+        .select("o_orderkey", "o_custkey", "daynum", "sum30")
+        .orderBy("o_orderkey")
+    }),
+
+    "q_win_ntile_pct" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .select("o_orderkey", "quartile", "pct_rank", "cume")
+        .orderBy("o_orderkey")
+    }),
+
+    "q_win_first_last" -> ((s, d) => {
+      val wOrd = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .withColumn("first_price", first(col("o_totalprice")).over(wFull))
+        .withColumn("last_price", last(col("o_totalprice")).over(wFull))
+        .withColumn("rn", row_number().over(wOrd))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "first_price", "last_price")
+        .orderBy("o_custkey")
+    }),
+
+    // §2.10 sessionization — gaps-and-islands (deterministic batch form).
+    // Session-start flag via lag > 30min, running sum -> session id, then
+    // two-level aggregate: per (user, session) -> per user.
+    "q_session_30m" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val flagged = Tables.events(s, d)
+        .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("new_s",
+          when(col("prev_us").isNull
+            || (unix_micros(col("ts")) - col("prev_us")) > 30L * 60L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perSession = flagged.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span_us"))
+      perSession.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          round(sum(col("n_events")).cast("double") / count(lit(1)) , 2).as("events_per_session"),
+          round((sum(col("span_us")).cast("double") / count(lit(1))) / 1000000.0, 2).as("avg_span_sec"))
+        .orderBy("user_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_win_rank" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)) t " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q_win_running" ->
+      ("SELECT event_id, user_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum " +
+        "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events) e " +
+        "ORDER BY event_id"),
+    "q_win_lag_lead" ->
+      ("SELECT event_id, user_id, " +
+        "round(CAST(epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS DOUBLE) / 1000000.0, 2) AS prev_gap_sec, " +
+        "round(CAST(epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS DOUBLE) / 1000000.0, 2) AS next_gap_sec " +
+        "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id"),
+    "q_win_frame_rows" ->
+      ("SELECT o_custkey, o_orderkey, round(avg(o_totalprice) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS mavg " +
+        "FROM orders ORDER BY o_orderkey"),
+    "q_win_frame_range" ->
+      ("SELECT o_orderkey, o_custkey, daynum, round(sum(o_totalprice) OVER (PARTITION BY o_custkey " +
+        "ORDER BY daynum RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS sum30 " +
+        "FROM (SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS daynum FROM orders) t " +
+        "ORDER BY o_orderkey"),
+    "q_win_ntile_pct" ->
+      ("SELECT o_orderkey, CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
+        "round(percent_rank() OVER w, 6) AS pct_rank, round(cume_dist() OVER w, 6) AS cume " +
+        "FROM orders WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey) ORDER BY o_orderkey"),
+    "q_win_first_last" ->
+      ("SELECT o_custkey, first_price, last_price FROM (" +
+        "SELECT o_custkey, first_value(o_totalprice) OVER wf AS first_price, " +
+        "last_value(o_totalprice) OVER wf AS last_price, row_number() OVER wo AS rn FROM orders " +
+        "WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
+        "wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t " +
+        "WHERE rn = 1 ORDER BY o_custkey"),
+    "q_session_30m" ->
+      ("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "flagged AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts, 1) OVER w IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flagged), " +
+        "per_session AS (SELECT user_id, session_id, count(*) AS n_events, " +
+        "max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us FROM sess GROUP BY user_id, session_id) " +
+        "SELECT user_id, count(*) AS n_sessions, " +
+        "round(CAST(sum(n_events) AS DOUBLE) / count(*), 2) AS events_per_session, " +
+        "round((CAST(sum(span_us) AS DOUBLE) / count(*)) / 1000000.0, 2) AS avg_span_sec " +
+        "FROM per_session GROUP BY user_id ORDER BY user_id"),
+  )
+}
