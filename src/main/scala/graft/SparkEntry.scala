@@ -18,6 +18,10 @@ object SparkEntry {
     TextQueries,
     EventQueries,
     UdxQueries,
+    DedupQueries,
+    TextAnalysisQueries,
+    AnnQueries,
+    MultimodalQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -46,17 +46,24 @@ object AggQueries extends QueryGroup {
           countDistinct(col("o_orderdate")).as("n_dates"))
         .orderBy("o_orderstatus")),
 
-    "q_rollup" -> ((s, d) =>
-      Tables.customer(s, d)
-        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
-        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
-        .rollup("r_name", "n_name")
-        .agg(count(lit(1)).as("n_cust"),
-          round(sum(col("c_acctbal")), 2).as("sum_bal"),
-          grouping(col("r_name")).cast("int").as("g_r"),
-          grouping(col("n_name")).cast("int").as("g_n"))
-        .orderBy(col("g_r"), col("g_n"),
-          coalesce(col("r_name"), lit("~")), coalesce(col("n_name"), lit("~")))),
+    // NOTE: expressed via spark.sql — the DSL form (rollup().agg() with
+    // grouping() over a 3-way join, then orderBy on grouping flags) trips
+    // Spark's ambiguous-self-join detection (failed in round 1's Verify);
+    // SQL-path resolution handles GROUPING attribute scoping correctly.
+    "q_rollup" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+      Tables.nation(s, d).createOrReplaceTempView("graft_nation")
+      Tables.region(s, d).createOrReplaceTempView("graft_region")
+      s.sql("""
+        SELECT r_name, n_name, count(1) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal,
+               cast(grouping(r_name) AS int) AS g_r, cast(grouping(n_name) AS int) AS g_n
+        FROM graft_customer
+        JOIN graft_nation ON c_nationkey = n_nationkey
+        JOIN graft_region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY g_r, g_n, coalesce(r_name, '~'), coalesce(n_name, '~')
+      """)
+    }),
 
     "q_cube" -> ((s, d) =>
       Tables.orders(s, d)
@@ -123,7 +130,7 @@ object AggQueries extends QueryGroup {
     "q_agg_multi_distinct" ->
       "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(DISTINCT o_orderdate) AS n_dates FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "q_rollup" ->
-      ("SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal, " +
+      ("SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal, " +
         "CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY ROLLUP(r_name, n_name) " +

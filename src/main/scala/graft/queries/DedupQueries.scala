@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.9 / §2.12 — near-duplicate detection, the four standard
+  * flavors a training-data pipeline needs (reference tree is empty —
+  * /root/reference/README.md:1; semantics follow the SURVEY contract and
+  * standard MinHash/SimHash literature):
+  *
+  *   - q_dedup_ngram   exact 3-gram Jaccard over an inverted shingle
+  *                     index (ORACLE — all-integer arithmetic).
+  *   - q_dedup_near    MinHash signatures + LSH banding, candidate pairs
+  *                     scored by signature agreement (NO-ORACLE — hash
+  *                     mixing is not expressible in portable SQL;
+  *                     property-tested against q_dedup_ngram's exact
+  *                     Jaccard in DedupSpec).
+  *   - q_dedup_simhash 64-bit SimHash, banded lookup, Hamming filter
+  *                     (NO-ORACLE, property-tested).
+  *   - q_dedup_embed   embedding-cosine near-dup pairs (ORACLE).
+  *
+  * Scale design (100 TB): everything is one explode + one shuffle on a
+  * short key (shingle / band-key) followed by per-bucket pair expansion.
+  * Signatures are computed row-local with HOFs (no shuffle, no UDF — all
+  * codegen'd Catalyst expressions). Degenerate buckets (boilerplate text
+  * at web scale) are capped at MAX_BUCKET docs — standard LSH practice —
+  * so pair expansion stays O(bucket²) bounded instead of O(corpus²).
+  */
+object DedupQueries extends QueryGroup {
+
+  /** MinHash parameters: K hashes = B bands × R rows. With R=4, B=16 the
+    * LSH s-curve crosses ~50% collision probability at jaccard ≈ 0.5 —
+    * matched to the ≥0.5 near-dup threshold used throughout. */
+  private val K = 64
+  private val B = 16
+  private val R = 4
+  private val MAX_BUCKET = 64
+
+  /** Universal-hash family h_j(x) = (A_j·x32 + B_j) mod P over the
+    * Mersenne prime P = 2^31−1. The base hash is masked to 32 bits first
+    * so A·x stays under 2^63 (no Long overflow under Spark 4's default
+    * ANSI mode), and the mod breaks monotonicity — without it every
+    * slot's argmin is the same shingle and the signature degenerates. */
+  private val P = 2147483647L
+  private val mulA: Array[Long] = Array.tabulate(K)(j => (0x9E3779B9L * (2 * j + 1)) & 0x7FFFFFFFL | 1L)
+  private val addB: Array[Long] = Array.tabulate(K)(j => (0xBF58476DL * (j + 1)) & 0x7FFFFFFFL)
+
+  /** tokens of lower(text), empty strings dropped */
+  private def toks(c: Column): Column =
+    filter(split(lower(c), wsRegex), t => t =!= "")
+
+  /** distinct 3-gram shingles of a token array */
+  private def shingles(t: Column): Column =
+    array_distinct(
+      when(size(t) >= 3,
+        transform(sequence(lit(0), size(t) - 3),
+          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+        .otherwise(array(concat_ws(" ", t))))
+
+  /** docs with (doc_id, sh: array<string> distinct shingles) */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+
+  val queries: Map[String, QFn] = Map(
+    // ---- exact n-gram Jaccard via inverted shingle index (ORACLE) -------
+    // Pairs sharing >= 1 shingle get exact jaccard = |A∩B| / (|A|+|B|-|A∩B|)
+    // — all BIGINT until one final division, so Spark and DuckDB agree
+    // bit-for-bit. Near-dup pairs = rounded jaccard >= 0.5.
+    "q_dedup_ngram" -> ((s, d) => {
+      val ds = docShingles(s, d).withColumn("nsh", size(col("sh")).cast("long"))
+      val inv = ds.select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
+      val a = inv.select(col("doc_id").as("d1"), col("nsh").as("n1"), col("s"))
+      val b = inv.select(col("doc_id").as("d2"), col("nsh").as("n2"), col("s"))
+      a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).as("shared"), first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+        .withColumn("jac", col("shared").cast("double") / (col("n1") + col("n2") - col("shared")).cast("double"))
+        .filter(col("jac") >= 0.5)
+        .select(col("d1"), col("d2"), r3(col("jac")).as("jac"))
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- MinHash + LSH banding (NO-ORACLE) ------------------------------
+    "q_dedup_near" -> ((s, d) => {
+      val withSig = docShingles(s, d)
+        .withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
+        .withColumn("sig", array((0 until K).map(j =>
+          array_min(transform(col("hs"),
+            x => pmod(x.bitwiseAND(lit(0xFFFFFFFFL)) * lit(mulA(j)) + lit(addB(j)), lit(P))))): _*))
+      // band keys: hash R consecutive signature slots per band
+      val banded = withSig.select(
+        col("doc_id"), col("sig"),
+        posexplode(array((0 until B).map(t =>
+          xxhash64((Seq(lit(t)) ++ (0 until R).map(r => element_at(col("sig"), t * R + r + 1))): _*)): _*))
+          .as(Seq("band", "bkey")))
+      // bucket pairs (bucket size capped — degenerate-text guard at scale)
+      val buckets = banded.groupBy("band", "bkey")
+        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("docs"))
+        .filter(size(col("docs")).between(2, MAX_BUCKET))
+      val pairs = buckets
+        .select(explode(expr(
+          """filter(
+               flatten(transform(docs, a -> transform(docs, b -> named_struct('d1', a.doc_id, 'd2', b.doc_id, 's1', a.sig, 's2', b.sig)))),
+               p -> p.d1 < p.d2)""")).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .groupBy("d1", "d2").agg(first("s1").as("s1"), first("s2").as("s2"))
+      // estimated jaccard = fraction of agreeing signature positions
+      pairs
+        .withColumn("agree", expr(
+          s"aggregate(zip_with(s1, s2, (x, y) -> if(x = y, 1, 0)), 0L, (acc, v) -> acc + v)"))
+        .withColumn("est_jac", col("agree").cast("double") / lit(K.toDouble))
+        .filter(col("est_jac") >= 0.5)
+        .select(col("d1"), col("d2"), r3(col("est_jac")).as("est_jac"))
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- 64-bit SimHash + banded Hamming search (NO-ORACLE) -------------
+    // SimHash is computed over 3-gram shingles, not unigrams: with a small
+    // shared vocabulary, unigram frequency profiles are too similar across
+    // unrelated docs (hamming collapses); shingles keep the fingerprint
+    // discriminative.
+    "q_dedup_simhash" -> ((s, d) => {
+      // bit i of simhash = sign of sum over shingles of ±1 per hash bit i.
+      // Shape: explode shingles -> ONE codegen'd hash aggregate computing
+      // all 64 per-bit sums, then assemble the fingerprint with
+      // shiftleft/OR (bitwise ops never overflow-check under ANSI mode).
+      // A nested aggregate-in-aggregate HOF form fell out of whole-stage
+      // codegen and ran 60+s at sf0.01; this shape is sub-second.
+      val hs = docShingles(s, d)
+        .select(col("doc_id"), explode(col("sh")).as("s1"))
+        .withColumn("h", xxhash64(col("s1")))
+      val bitSums = hs.groupBy("doc_id").agg(
+        sum(when(shiftrightunsigned(col("h"), 63).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("b0"),
+        (1 until 64).map(i =>
+          sum(when(shiftrightunsigned(col("h"), 63 - i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+            .as(s"b$i")): _*)
+      val sim = bitSums.withColumn("simhash",
+        (0 until 64).map(i =>
+          when(col(s"b$i") >= 0L, shiftleft(lit(1L), 63 - i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)))
+        .select("doc_id", "simhash")
+      // 4 bands of 16 bits: near-dups (hamming <= 12) almost surely agree
+      // on at least one full 16-bit band
+      val banded = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(bnd =>
+          concat(lit(bnd.toString), lit(":"),
+            shiftrightunsigned(col("simhash"), bnd * 16).bitwiseAND(lit(0xFFFFL)).cast("string"))): _*))
+          .as(Seq("band", "bkey")))
+      val buckets = banded.groupBy("bkey")
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("docs"))
+        .filter(size(col("docs")).between(2, MAX_BUCKET))
+      buckets
+        .select(explode(expr(
+          """filter(
+               flatten(transform(docs, a -> transform(docs, b -> named_struct('d1', a.doc_id, 'd2', b.doc_id, 'h1', a.simhash, 'h2', b.simhash)))),
+               p -> p.d1 < p.d2)""")).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+          expr("cast(bit_count(p.h1 ^ p.h2) as bigint)").as("hamming"))
+        .groupBy("d1", "d2").agg(min("hamming").as("hamming"))
+        .filter(col("hamming") <= 12)
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- embedding-cosine near-dup pairs (ORACLE) -----------------------
+    // Same discipline as q_sim_knn: widen float->double, threshold on the
+    // ROUNDED cosine so a 1-ulp cross-engine difference can't flip
+    // membership except exactly at a 3dp boundary.
+    "q_dedup_embed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+      val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+      a.join(b, col("id1") < col("id2"))
+        .withColumn("dot",
+          aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+        .withColumn("cosr", r3(col("dot") / (col("n1") * col("n2"))))
+        .filter(col("cosr") >= 0.4)
+        .select(col("id1"), col("id2"), col("cosr").as("cos_sim"))
+        .orderBy("id1", "id2")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_ngram" ->
+      ("WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END) AS sh " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
+        "e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS nsh, unnest(sh) AS s FROM d), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared, " +
+        "any_value(a.nsh) AS n1, any_value(b.nsh) AS n2 " +
+        "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+        "j AS (SELECT d1, d2, CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) AS jac FROM p) " +
+        "SELECT d1, d2, floor(jac * 1000.0 + 0.5) / 1000.0 AS jac FROM j WHERE jac >= 0.5 ORDER BY d1, d2"),
+    "q_dedup_embed" ->
+      ("WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, " +
+        "floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000.0 + 0.5) / 1000.0 AS cosr " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
+        "SELECT id1, id2, cosr AS cos_sim FROM p WHERE cosr >= 0.4 ORDER BY id1, id2"),
+  )
+}

@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.12 — multimodal-column plumbing: media as opaque BINARY
+  * columns plus typed metadata, the storage pattern a 100 TB multimodal
+  * training pipeline uses (media bytes inline or as object-store keys;
+  * Spark only moves/filters/fingerprints them, decode happens in a
+  * vectorized batch stage — see graft.multimodal.MediaPipeline for the
+  * decode plumbing with a stubbed codec).
+  *
+  * The testdata ships no real media, so the BINARY column is derived
+  * (utf-8 bytes of `text`) — the *operators* are the real thing: byte
+  * length, content hash, magic-byte sniffing, per-group dedup stats.
+  *
+  * ORACLE: DuckDB's md5(VARCHAR) hashes the same UTF-8 bytes Spark's
+  * md5(binary) sees; octet_length(encode(text)) matches length(binary).
+  */
+object MultimodalQueries extends QueryGroup {
+
+  val queries: Map[String, QFn] = Map(
+    "q_multimodal_bin" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("media", encode(col("text"), "UTF-8"))
+        .withColumn("media_meta", struct(
+          col("doc_id").as("id"),
+          length(col("media")).cast("long").as("n_bytes"),
+          md5(col("media")).as("content_md5"),
+          // magic-byte sniff (real pipelines: 0x89PNG, 0xFFD8 JPEG, ...)
+          substring(base64(substring(col("media"), 1, 3)), 1, 4).as("magic_b64")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("media_meta.n_bytes")).as("total_bytes"),
+          countDistinct(col("media_meta.content_md5")).as("n_distinct"),
+          min(col("media_meta.magic_b64")).as("min_magic"))
+        .orderBy("source")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_multimodal_bin" ->
+      ("WITH m AS (SELECT source, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5, " +
+        "substr(to_base64(encode(substr(text, 1, 3))), 1, 4) AS magic_b64 FROM documents) " +
+        "SELECT source, count(*) AS n_media, CAST(sum(n_bytes) AS BIGINT) AS total_bytes, " +
+        "count(DISTINCT content_md5) AS n_distinct, min(magic_b64) AS min_magic " +
+        "FROM m GROUP BY source ORDER BY source"),
+  )
+}

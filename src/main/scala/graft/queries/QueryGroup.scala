@@ -24,6 +24,21 @@ trait QueryGroup {
   def queries: Map[String, QFn]
   def oracleSql: Map[String, String]
 
+  /** Engine-independent 3dp rounding: floor(x*1000 + 0.5)/1000. Each step
+    * is a single IEEE-754 op, so identical input bits give identical output
+    * bits in any engine — unlike round(x,3), whose half-way semantics
+    * differ between Spark (decimal-string HALF_UP) and DuckDB versions.
+    * Only valid when both engines hold the SAME double (e.g. values read
+    * straight from parquet, or single-op derivations) — aggregated sums may
+    * differ in the last ulp and need exact integer arithmetic instead.
+    * DuckDB mirror: floor(x*1000.0 + 0.5)/1000.0  */
+  def r3(c: Column): Column = floor(c * lit(1000.0) + lit(0.5)) / lit(1000.0)
+
+  /** Whitespace class identical in Java regex and RE2 (DuckDB). Java's \s
+    * includes U+000B vertical tab, RE2's does not — this explicit class
+    * sidesteps the dialect gap. */
+  val wsRegex = "[ \\t\\n\\r\\f]+"
+
   /** date-valued timestamp -> 'yyyy-MM-dd' (DuckDB: strftime(x,'%Y-%m-%d')) */
   def fmtDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
   /** timestamp -> 'yyyy-MM-dd HH:mm:ss' (DuckDB: strftime(x,'%Y-%m-%d %H:%M:%S')) */

@@ -34,7 +34,7 @@ object RelationalQueries extends QueryGroup {
           && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
           && col("l_discount").between(0.05, 0.07)
           && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")) / 1000000.0, 2).as("revenue_m"))),
 
     "q_case_classify" -> ((s, d) =>
       Tables.orders(s, d)
@@ -161,7 +161,7 @@ object RelationalQueries extends QueryGroup {
     "q_scan_pushdown" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0 ORDER BY o_orderkey",
     "q_filter_between" ->
-      "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+      "SELECT round(sum(l_extendedprice * l_discount) / 1000000.0, 2) AS revenue_m FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
     "q_case_classify" ->
       "SELECT CASE WHEN o_totalprice < 100000.0 THEN 'small' WHEN o_totalprice < 200000.0 THEN 'medium' WHEN o_totalprice < 300000.0 THEN 'large' ELSE 'huge' END AS bucket, count(*) AS n FROM orders GROUP BY 1 ORDER BY bucket",
     "q_join_inner" ->

@@ -63,13 +63,13 @@ object ScalarFuncQueries extends QueryGroup {
       e.select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
-        round(element_at(col("s5"), 1), 3).as("el1"),
-        round(element_at(col("s5"), 2), 3).as("el2"),
-        round(element_at(col("s5"), 3), 3).as("el3"),
-        round(element_at(col("s5"), 4), 3).as("el4"),
-        round(element_at(col("s5"), 5), 3).as("el5"),
-        round(array_max(col("v")), 3).as("vmax"),
-        round(array_min(col("v")), 3).as("vmin"))
+        r3(element_at(col("s5"), 1)).as("el1"),
+        r3(element_at(col("s5"), 2)).as("el2"),
+        r3(element_at(col("s5"), 3)).as("el3"),
+        r3(element_at(col("s5"), 4)).as("el4"),
+        r3(element_at(col("s5"), 5)).as("el5"),
+        r3(array_max(col("v"))).as("vmax"),
+        r3(array_min(col("v"))).as("vmin"))
         .orderBy("vec_id")
     }),
 
@@ -124,11 +124,13 @@ object ScalarFuncQueries extends QueryGroup {
         "FROM part ORDER BY p_partkey"),
     "q_array_funcs" ->
       ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
-        "round(CAST(embedding[1] AS DOUBLE), 3) AS el1, round(CAST(embedding[2] AS DOUBLE), 3) AS el2, " +
-        "round(CAST(embedding[3] AS DOUBLE), 3) AS el3, round(CAST(embedding[4] AS DOUBLE), 3) AS el4, " +
-        "round(CAST(embedding[5] AS DOUBLE), 3) AS el5, " +
-        "round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 3) AS vmax, " +
-        "round(list_aggregate(CAST(embedding AS DOUBLE[]), 'min'), 3) AS vmin " +
+        "floor(CAST(embedding[1] AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS el1, " +
+        "floor(CAST(embedding[2] AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS el2, " +
+        "floor(CAST(embedding[3] AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS el3, " +
+        "floor(CAST(embedding[4] AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS el4, " +
+        "floor(CAST(embedding[5] AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS el5, " +
+        "floor(list_aggregate(CAST(embedding AS DOUBLE[]), 'max') * 1000.0 + 0.5) / 1000.0 AS vmax, " +
+        "floor(list_aggregate(CAST(embedding AS DOUBLE[]), 'min') * 1000.0 + 0.5) / 1000.0 AS vmin " +
         "FROM embeddings ORDER BY vec_id"),
     "q_explode_pos" ->
       ("SELECT CAST(i - 1 AS BIGINT) AS pos, count(*) AS n, " +

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.12 — text-analysis operators for a training-data pipeline:
+  * language ID (stopword/n-gram heuristic), quality scoring, token
+  * counting (whitespace + BPE-ish regex), and document fingerprinting.
+  *
+  * All four are ORACLE queries: every score is built from exact integer
+  * counts with at most one final division (single IEEE op — bit-identical
+  * across engines), fingerprints are md5 hex strings (identical byte
+  * semantics in Spark and DuckDB for UTF-8 text), and every regex sticks
+  * to the Java/RE2 common subset.
+  *
+  * Scale notes (100 TB): each query is scan -> row-local projection ->
+  * one hash aggregation; no joins except a broadcast of per-corpus
+  * constants. Language ID and quality scoring are pure map-side work.
+  */
+object TextAnalysisQueries extends QueryGroup {
+
+  // tiny per-language stopword lists (classifier weights). The corpus is
+  // synthetic — the point is the *operator*: deterministic argmax scoring.
+  private val enStops = Seq("the", "a", "of", "and", "is")
+  private val frStops = Seq("le", "la", "et", "des", "une")
+  private val deStops = Seq("der", "die", "und", "ein", "nicht")
+
+  private def toks(c: Column): Column =
+    filter(split(lower(c), wsRegex), t => t =!= "")
+
+  private def hits(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => x.isin(words.map(lit): _*))).cast("long")
+
+  val queries: Map[String, QFn] = Map(
+    // ---- language ID: stopword-hit argmax with deterministic tiebreak ---
+    "q_lang_id" -> ((s, d) => {
+      val t = Tables.documents(s, d).withColumn("t", toks(col("text")))
+        .withColumn("s_en", hits(col("t"), enStops))
+        .withColumn("s_fr", hits(col("t"), frStops))
+        .withColumn("s_de", hits(col("t"), deStops))
+      t.withColumn("pred",
+        when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_fr") >= col("s_de"), "fr")
+          .otherwise("de"))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    }),
+
+    // ---- quality scoring: exact ratios, bucketed into deciles ----------
+    // signals: stopword ratio, lexical diversity (distinct/total tokens),
+    // mean token length. Each ratio is one BIGINT/BIGINT division; the
+    // decile is floor(ratio*10) -> integer histogram (order-free agg).
+    "q_quality_score" -> ((s, d) => {
+      val t = Tables.documents(s, d).withColumn("t", toks(col("text")))
+        .withColumn("n_tok", size(col("t")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("n_stop", hits(col("t"), enStops))
+        .withColumn("n_uniq", size(array_distinct(col("t"))).cast("long"))
+      t.select(
+        floor(col("n_stop") * lit(10) / col("n_tok")).cast("long").as("stop_decile"),
+        floor(col("n_uniq") * lit(10) / col("n_tok")).cast("long").as("diversity_decile"))
+        .groupBy("stop_decile", "diversity_decile")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("stop_decile", "diversity_decile")
+    }),
+
+    // ---- token counting: whitespace tokens + BPE-ish subword pieces ----
+    // BPE-ish = maximal runs of letters / digits / single other symbol —
+    // the usual pre-tokenizer shape, as a Java/RE2-common regex.
+    "q_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ws_tokens", size(toks(col("text"))).cast("long"))
+        .withColumn("bpeish", size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]', 0)")).cast("long"))
+        .groupBy("lang")
+        .agg(sum(col("ws_tokens")).as("sum_ws_tokens"),
+          sum(col("bpeish")).as("sum_bpeish"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+
+    // ---- document fingerprinting: content + bag-of-words md5 -----------
+    // content_fp collapses whitespace-normalized text; bag_fp is invariant
+    // to token order (sorted distinct tokens) — catches shuffled dups.
+    "q_fingerprint" -> ((s, d) => {
+      val t = Tables.documents(s, d).withColumn("t", toks(col("text")))
+        .withColumn("content_fp", md5(concat_ws(" ", col("t"))))
+        .withColumn("bag_fp", md5(concat_ws(" ", array_sort(array_distinct(col("t"))))))
+      t.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("content_fp")).as("n_content_fp"),
+          countDistinct(col("bag_fp")).as("n_bag_fp"))
+        .orderBy("lang")
+    }),
+  )
+
+  private val oracleToks =
+    "list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '')"
+  private def oracleHits(words: Seq[String]): String =
+    "CAST(len(list_filter(t, x -> x IN (" + words.map("'" + _ + "'").mkString(", ") + "))) AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_lang_id" ->
+      ("WITH t AS (SELECT lang, " + oracleToks + " AS t FROM documents), " +
+        "sc AS (SELECT lang, " + oracleHits(enStops) + " AS s_en, " + oracleHits(frStops) + " AS s_fr, " +
+        oracleHits(deStops) + " AS s_de FROM t), " +
+        "p AS (SELECT lang, CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en' " +
+        "WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred FROM sc) " +
+        "SELECT lang, pred, count(*) AS n FROM p GROUP BY lang, pred ORDER BY lang, pred"),
+    "q_quality_score" ->
+      ("WITH t AS (SELECT " + oracleToks + " AS t FROM documents), " +
+        "m AS (SELECT CAST(len(t) AS BIGINT) AS n_tok, " + oracleHits(enStops) + " AS n_stop, " +
+        "CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq FROM t WHERE len(t) > 0) " +
+        "SELECT CAST(floor(n_stop * 10 / n_tok) AS BIGINT) AS stop_decile, " +
+        "CAST(floor(n_uniq * 10 / n_tok) AS BIGINT) AS diversity_decile, count(*) AS n_docs " +
+        "FROM m GROUP BY 1, 2 ORDER BY stop_decile, diversity_decile"),
+    "q_token_count" ->
+      ("SELECT lang, CAST(sum(len(" + oracleToks + ")) AS BIGINT) AS sum_ws_tokens, " +
+        "CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]'))) AS BIGINT) AS sum_bpeish, " +
+        "count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"),
+    "q_fingerprint" ->
+      ("WITH t AS (SELECT lang, " + oracleToks + " AS t FROM documents), " +
+        "f AS (SELECT lang, md5(array_to_string(t, ' ')) AS content_fp, " +
+        "md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bag_fp FROM t) " +
+        "SELECT lang, count(*) AS n_docs, count(DISTINCT content_fp) AS n_content_fp, " +
+        "count(DISTINCT bag_fp) AS n_bag_fp FROM f GROUP BY lang ORDER BY lang"),
+  )
+}

@@ -35,7 +35,7 @@ object TextQueries extends QueryGroup {
 
     "q_tokenize_top20" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+        .select(explode(split(lower(col("text")), wsRegex)).as("word"))
         .filter(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
@@ -53,7 +53,7 @@ object TextQueries extends QueryGroup {
     // tf-idf: score(term) = totalTf(term) * ln(N / df(term)); top 15.
     "q_tfidf_top" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), wsRegex)).as("term"))
         .filter(col("term") =!= "")
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val byTerm = tf.groupBy("term").agg(sum("tf").as("ttf"), count(lit(1)).as("df"))
@@ -75,11 +75,14 @@ object TextQueries extends QueryGroup {
       val pairs = a.join(b, col("id1") < col("id2"))
         .withColumn("dot",
           aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
-        .withColumn("cos", col("dot") / (col("n1") * col("n2")))
-      val w = Window.partitionBy("id1").orderBy(col("cos").desc, col("id2"))
+        .withColumn("cosr", r3(col("dot") / (col("n1") * col("n2"))))
+      // rank on the ROUNDED cosine (3dp) with id2 tiebreak: a 1-ulp
+      // Spark-vs-DuckDB dot-product difference can reorder near-tied
+      // unrounded neighbors but almost never flips the rounded value.
+      val w = Window.partitionBy("id1").orderBy(col("cosr").desc, col("id2"))
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
-        .select(col("id1").as("vec_id"), col("id2").as("v2"), round(col("cos"), 3).as("cos_sim"))
+        .select(col("id1").as("vec_id"), col("id2").as("v2"), col("cosr").as("cos_sim"))
         .orderBy("vec_id", "v2")
     }),
 
@@ -99,14 +102,14 @@ object TextQueries extends QueryGroup {
         "SELECT d.lang, count(*) AS n_survivors FROM rep JOIN documents d USING (doc_id) " +
         "GROUP BY d.lang ORDER BY lang"),
     "q_tokenize_top20" ->
-      ("SELECT word, count(*) AS n FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word " +
+      ("SELECT word, count(*) AS n FROM (SELECT unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+')) AS word " +
         "FROM documents) t WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20"),
     "q_text_stats" ->
       ("SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars, " +
         "min(n_chars) AS min_chars, max(n_chars) AS max_chars " +
         "FROM documents GROUP BY lang, source ORDER BY lang, source"),
     "q_tfidf_top" ->
-      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents), " +
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+')) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term), " +
         "byterm AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ttf, count(*) AS df FROM tf GROUP BY term), " +
         "n AS (SELECT count(*) AS n_total FROM documents) " +
@@ -114,10 +117,10 @@ object TextQueries extends QueryGroup {
         "ORDER BY score DESC, term LIMIT 15"),
     "q_sim_knn" ->
       ("WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, " +
-        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos " +
+        "floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000.0 + 0.5) / 1000.0 AS cosr " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), " +
-        "r AS (SELECT id1, id2, cos, row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rn FROM p) " +
-        "SELECT id1 AS vec_id, id2 AS v2, round(cos, 3) AS cos_sim FROM r WHERE rn <= 5 ORDER BY vec_id, v2"),
+        "r AS (SELECT id1, id2, cosr, row_number() OVER (PARTITION BY id1 ORDER BY cosr DESC, id2) AS rn FROM p) " +
+        "SELECT id1 AS vec_id, id2 AS v2, cosr AS cos_sim FROM r WHERE rn <= 5 ORDER BY vec_id, v2"),
     "q_multimodal_join" ->
       ("SELECT lang, label, count(*) AS n, round(avg(n_chars), 2) AS avg_chars " +
         "FROM documents JOIN embeddings ON doc_id = vec_id GROUP BY lang, label ORDER BY lang, label"),

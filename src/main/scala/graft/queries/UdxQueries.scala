@@ -56,7 +56,7 @@ object UdxQueries extends QueryGroup {
       Tables.documents(s, d)
         .select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
         .flatMap { case (_, t) =>
-          t.split("\\s+").filter(_.nonEmpty).sliding(2).collect {
+          t.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty).sliding(2).collect {
             case Array(a, b) => a + " " + b
           }
         }
@@ -76,7 +76,7 @@ object UdxQueries extends QueryGroup {
       ("SELECT p_brand, round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wavg_price " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand"),
     "q_udtf_bigrams" ->
-      ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks " +
+      ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks " +
         "FROM documents), " +
         "idx AS (SELECT unnest(generate_series(1, (SELECT max(len(toks)) FROM d))) AS i), " +
         "b AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram FROM d, idx WHERE i <= len(toks) - 1) " +

@@ -49,12 +49,20 @@ object WindowQueries extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // 7-row moving average, reported as exact fixed-point (1/10000 currency
+    // units, truncated). o_totalprice is cents-exact (verified), so the
+    // whole computation is integer arithmetic — immune to the Spark-vs-
+    // DuckDB sliding-frame accumulation-order divergence that flipped
+    // round(avg,2) at 2dp boundaries in round 1.
     "q_win_frame_rows" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(-6, 0)
       Tables.orders(s, d)
-        .withColumn("mavg", round(avg(col("o_totalprice")).over(w), 2))
-        .select("o_custkey", "o_orderkey", "mavg")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("sum_c", sum(col("cents")).over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("(sum_c * 100) div cnt").as("mavg_c"))
         .orderBy("o_orderkey")
     }),
 
@@ -133,9 +141,11 @@ object WindowQueries extends QueryGroup {
         "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id"),
     "q_win_frame_rows" ->
-      ("SELECT o_custkey, o_orderkey, round(avg(o_totalprice) OVER (PARTITION BY o_custkey " +
-        "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS mavg " +
-        "FROM orders ORDER BY o_orderkey"),
+      ("SELECT o_custkey, o_orderkey, CAST((sum_c * 100) // cnt AS BIGINT) AS mavg_c FROM (" +
+        "SELECT o_custkey, o_orderkey, sum(cents) OVER w AS sum_c, count(*) OVER w AS cnt " +
+        "FROM (SELECT o_custkey, o_orderkey, o_orderdate, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) t " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) x " +
+        "ORDER BY o_orderkey"),
     "q_win_frame_range" ->
       ("SELECT o_orderkey, o_custkey, daynum, round(sum(o_totalprice) OVER (PARTITION BY o_custkey " +
         "ORDER BY daynum RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS sum30 " +
