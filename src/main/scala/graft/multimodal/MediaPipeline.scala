@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import java.security.MessageDigest
+
+/** SURVEY §2.12 — multimodal-column decode plumbing: media travel as
+  * opaque BINARY columns + typed metadata; decode/feature-extract runs as
+  * a partition-local batch stage (`mapPartitions` over a typed Dataset —
+  * the JVM analog of arrow-batched Python UDFs).
+  *
+  * The decode step itself is a clearly-marked deterministic STUB (this
+  * environment ships no image/audio codecs); everything around it — the
+  * schema contract, the batch iteration shape, per-partition codec
+  * initialization, and the output feature columns — is the real,
+  * tested plumbing a production codec drops into.
+  *
+  * Scale notes (100 TB of media): decode is the expensive stage, so the
+  * input is repartitioned by byte-size budget (not row count) before
+  * mapPartitions, keeping executor decode time balanced; the codec
+  * handle is initialized once per partition, not per row.
+  */
+object MediaPipeline {
+
+  case class MediaRow(id: Long, kind: String, bytes: Array[Byte])
+  case class DecodedMedia(id: Long, kind: String, n_bytes: Long, content_md5: String,
+                          width: Int, height: Int, n_frames: Int, feature: Array[Float])
+
+  /** STUB CODEC — stands in for an image/audio/video decoder. Produces
+    * deterministic pseudo-features from the content hash so tests can
+    * assert exact values. A real implementation replaces ONLY this
+    * function (same signature: one media blob in, decoded struct out). */
+  def decodeStub(id: Long, kind: String, bytes: Array[Byte], md: MessageDigest): DecodedMedia = {
+    md.reset()
+    val digest = md.digest(bytes)
+    val hex = digest.map("%02x".format(_)).mkString
+    // fake dimensions/frame-count derived from stable content bytes
+    val w = 16 + (digest(0) & 0x7F)
+    val h = 16 + (digest(1) & 0x7F)
+    val f = if (kind == "video") 1 + (digest(2) & 0x3F) else 1
+    val feat = Array.tabulate(8)(i => ((digest(i) & 0xFF) / 255.0f))
+    DecodedMedia(id, kind, bytes.length.toLong, hex, w, h, f, feat)
+  }
+
+  /** The real plumbing: balanced repartition -> per-partition codec init
+    * -> batch decode. `targetPartitions` would be sized from total bytes
+    * at scale (e.g. 256 MB of media per task). */
+  def decode(media: Dataset[MediaRow], targetPartitions: Int = 0): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    val repartitioned =
+      if (targetPartitions > 0) media.repartition(targetPartitions, col("id")) else media
+    repartitioned.mapPartitions { it =>
+      // per-partition (NOT per-row) codec initialization
+      val md = MessageDigest.getInstance("MD5")
+      it.map(m => decodeStub(m.id, m.kind, m.bytes, md))
+    }
+  }
+
+  /** End-to-end demo over the documents table: text bytes stand in for
+    * media blobs; output is the decoded-feature DataFrame a training
+    * pipeline would join back to its metadata. */
+  def pipeline(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val media = documents
+      .select(col("doc_id").as("id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"))
+      .as[MediaRow]
+    decode(media).toDF()
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** SURVEY §2.10 — the true Structured Streaming surface (the batch-
+  * checkable window/session queries live in EventQueries; these are the
+  * stream-native transforms, exercised by StreamingSpec with
+  * MemoryStream since the driver's Verify harness is batch-only).
+  *
+  * All transforms take an already-streaming DataFrame with the `events`
+  * schema (event_id long, user_id long, event_type string, ts timestamp,
+  * value double) so tests can feed MemoryStream and production can feed
+  * spark.readStream — the logic is source-agnostic.
+  *
+  * Scale notes (100 TB/day streams): every aggregation keys its state by
+  * (window, event_type) or user_id, so state shards across executors;
+  * watermarks bound state size (late data dropped, session state
+  * timed out); no global state anywhere.
+  */
+object EventStreams {
+
+  /** 1-hour tumbling counts per event type; 10-minute watermark drops
+    * late rows and lets Spark evict window state. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_val"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_val"))
+
+  /** 1-hour windows sliding every 15 minutes (each event lands in 4). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+
+  /** Exactly-once-per-id stream dedup, state bounded by the watermark. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Built-in session windows: 30-minute gap, per user. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_val"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_val"))
+
+  // --- custom stateful sessionization (flatMapGroupsWithState) -----------
+
+  case class Ev(event_id: Long, user_id: Long, event_type: String, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                        n_events: Long, sum_val: Double)
+
+  private val GapMs = 30L * 60L * 1000L
+
+  /** Custom sessionizer demonstrating arbitrary stateful processing:
+    * emits a session when a 30-minute gap elapses (event-time timeout).
+    * State is one small record per active user — shards by user_id. */
+  def customSessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+          } else {
+            // fold this micro-batch's rows (in event-time order) into the
+            // session state, emitting closed sessions on 30-min gaps
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= GapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + GapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.queries.DedupQueries
+import org.apache.spark.sql.Row
+
+/** Property tests for the NO-ORACLE dedup operators, anchored to the
+  * ORACLE-verified exact n-gram Jaccard (q_dedup_ngram) as ground truth.
+  * This is the net that catches silent estimator degeneration — e.g. a
+  * monotone hash family making every MinHash slot pick the same shingle
+  * (caught exactly this way during development). */
+class DedupSpec extends SparkSpec {
+
+  private def pairs(name: String, sfDir: String): Map[(Long, Long), Double] =
+    DedupQueries.queries(name)(spark, sfDir).collect().map {
+      case Row(a: Long, b: Long, x: Double) => (a, b) -> x
+      case Row(a: Long, b: Long, x: Long) => (a, b) -> x.toDouble
+    }.toMap
+
+  lazy val exact: Map[(Long, Long), Double] = pairs("q_dedup_ngram", sf001)
+  lazy val minhash: Map[(Long, Long), Double] = pairs("q_dedup_near", sf001)
+  lazy val simhash: Map[(Long, Long), Double] = pairs("q_dedup_simhash", sf001)
+
+  test("corpus has planted near-duplicates (test has signal)") {
+    assert(exact.nonEmpty, "no exact-jaccard >= 0.5 pairs at sf0.01 — tests below would be vacuous")
+  }
+
+  test("minhash recall >= 0.8 of exact jaccard>=0.5 pairs") {
+    val recalled = exact.keySet.intersect(minhash.keySet)
+    assert(recalled.size.toDouble >= 0.8 * exact.size,
+      s"recall ${recalled.size}/${exact.size}")
+  }
+
+  test("minhash precision: no candidate pair with negligible true overlap") {
+    // every minhash-reported pair must share >= 1 shingle with real overlap:
+    // est >= 0.5 on a background pair (true jaccard ~0.02) means the hash
+    // family degenerated
+    val falsePos = minhash.keySet -- exact.keySet
+    assert(falsePos.size <= 0.2 * (minhash.size + 1), s"${falsePos.size} false positives of ${minhash.size}")
+  }
+
+  test("minhash estimate within 0.25 of exact jaccard on recalled pairs") {
+    exact.keySet.intersect(minhash.keySet).foreach { k =>
+      assert(math.abs(exact(k) - minhash(k)) <= 0.25,
+        s"pair $k: exact ${exact(k)} vs est ${minhash(k)}")
+    }
+  }
+
+  test("simhash finds most strong near-dups with no background pairs") {
+    val strong = exact.filter(_._2 >= 0.7).keySet
+    val recalled = strong.intersect(simhash.keySet)
+    assert(recalled.size.toDouble >= 0.8 * strong.size, s"recall ${recalled.size}/${strong.size}")
+    val falsePos = simhash.keySet -- exact.keySet
+    assert(falsePos.isEmpty, s"simhash background pairs: ${falsePos.take(5)}")
+  }
+
+  test("dedup determinism/idempotence: identical output across runs") {
+    assert(pairs("q_dedup_near", sf001) == minhash)
+    assert(pairs("q_dedup_ngram", sf001) == exact)
+  }
+
+  test("exact dedup survivors: representative is min doc_id per hash group") {
+    val survivors = graft.queries.TextQueries.queries("q_dedup_exact")(spark, sf0001)
+      .collect().map(r => r.getLong(1)).sum
+    val total = Tables.documents(spark, sf0001).count()
+    assert(survivors <= total)
+    assert(survivors > 0)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Cross-query invariants from SURVEY §5.3: window-vs-group totals, HLL
+  * accuracy, as-of join semantics at ties, sessionization conservation. */
+class InvariantSpec extends SparkSpec {
+
+  test("running window sum at partition end equals group-by sum") {
+    val last = graft.queries.WindowQueries.queries("q_win_running")(spark, sf0001)
+    val events = Tables.events(spark, sf0001)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tail = events
+      .withColumn("rn_desc", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn_desc") === 1).select("event_id")
+    val lastRun = last.join(tail, Seq("event_id")).select(col("user_id"), col("run_sum"))
+    val grp = events.groupBy("user_id").agg(round(sum("value"), 2).as("grp_sum"))
+    val diff = lastRun.join(grp, "user_id")
+      .filter(abs(col("run_sum") - col("grp_sum")) > 0.011).count()
+    assert(diff == 0, s"$diff users where final running sum != group sum")
+  }
+
+  test("HLL approx_count_distinct within 5% of exact") {
+    graft.queries.AggQueries.queries("q_approx_distinct")(spark, sf001).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"flag ${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("as-of join: every matched purchase pairs with a strictly earlier click") {
+    // reference implementation computed driver-side on the small sf0.001
+    import scala.collection.mutable
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_id", "user_id", "event_type", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3).getTime))
+    val byUser = ev.groupBy(_._2)
+    val expected = mutable.Map[Long, (Long, Double)]().withDefaultValue((0L, 0.0))
+    byUser.foreach { case (user, rows) =>
+      val clicks = rows.filter(_._3 == "click").map(_._4).sorted
+      rows.filter(_._3 == "purchase").foreach { case (_, _, _, pts) =>
+        val earlier = clicks.filter(_ < pts) // strictly earlier
+        if (earlier.nonEmpty) {
+          val gap = (pts - earlier.max) / 1000.0 // ms -> sec (micros truncated to ms grid)
+          val b = user % 10
+          val (n, s) = expected(b); expected(b) = (n + 1, s + gap)
+        }
+      }
+    }
+    val got = graft.queries.EventQueries.queries("q_join_asof")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet.filter(expected(_)._1 > 0))
+    got.foreach { case (bucket, (n, avgGap)) =>
+      val (en, es) = expected(bucket)
+      assert(n == en, s"bucket $bucket: matched $n vs expected $en")
+      assert(math.abs(avgGap - (es / en)) < 0.011, s"bucket $bucket: avg gap $avgGap vs ${es / en}")
+    }
+  }
+
+  test("sessionization conserves events") {
+    val sess = graft.queries.WindowQueries.queries("q_session_30m")(spark, sf0001).collect()
+    val totalEvents = Tables.events(spark, sf0001).count()
+    val reconstructed = sess.map(r => r.getLong(1) * r.getDouble(2)).sum
+    assert(math.abs(reconstructed - totalEvents) < 0.01 * totalEvents + 1,
+      s"events $totalEvents vs sessions*events_per_session $reconstructed")
+  }
+
+  test("exact percentile matches a driver-side reference") {
+    val got = graft.queries.AggQueries.queries("q_agg_percentile")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val vals = Tables.orders(spark, sf0001).select("o_orderstatus", "o_totalprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    vals.groupBy(_._1).foreach { case (st, rows) =>
+      val sorted = rows.map(_._2).sorted
+      def pct(p: Double): Double = {
+        val idx = p * (sorted.length - 1)
+        val lo = math.floor(idx).toInt; val hi = math.ceil(idx).toInt
+        val v = sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
+        math.round(v * 100.0) / 100.0
+      }
+      assert(math.abs(got(st)._1 - pct(0.5)) < 0.011, s"$st p50")
+      assert(math.abs(got(st)._2 - pct(0.9)) < 0.011, s"$st p90")
+    }
+  }
+}

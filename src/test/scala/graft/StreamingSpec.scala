@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** SURVEY §2.10/§5.4 — true Structured Streaming semantics with
+  * MemoryStream: watermark late-drop, window finalization, stream dedup,
+  * and custom stateful sessionization across micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  // offset from epoch 0: the initial watermark is 0 and the stateful-op
+  // late filter is strict, so an event at exactly t=0 would be dropped
+  private val Base = 1200L * 60000L // 20:00 — hour-aligned so window starts land on Base
+  private def ts(minute: Int): Timestamp = new Timestamp(Base + minute * 60000L)
+
+  private def runBatches[T](stream: MemoryStream[Ev], out: org.apache.spark.sql.DataFrame,
+                            mode: OutputMode, batches: Seq[Seq[Ev]], name: String): Seq[org.apache.spark.sql.Row] = {
+    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  test("tumbling window finalizes after watermark passes; late rows dropped") {
+    import spark.implicits._
+    val st = MemoryStream[Ev](spark)
+    val rows = runBatches(st, EventStreams.tumblingCounts(st.toDF()), OutputMode.Append, Seq(
+      Seq(Ev(1, 1, "click", ts(5), 1.0), Ev(2, 1, "click", ts(20), 1.0)),
+      // advance event time far past hour 0 + 10min watermark -> finalize window 0
+      Seq(Ev(3, 1, "click", ts(95), 1.0)),
+      // LATE arrival for window 0 (watermark already at 85min) -> dropped
+      Seq(Ev(4, 1, "click", ts(10), 99.0), Ev(5, 1, "click", ts(130), 1.0)),
+      Seq(Ev(6, 1, "click", ts(200), 1.0)),
+    ), "t_tumbling")
+    val w0 = rows.find(_.getTimestamp(0).getTime == Base)
+    assert(w0.isDefined, s"window 0 not finalized: $rows")
+    assert(w0.get.getLong(2) == 2, s"late row was not dropped: ${w0.get}")
+  }
+
+  test("dropDuplicatesWithinWatermark removes duplicate event ids") {
+    import spark.implicits._
+    val st = MemoryStream[Ev](spark)
+    val rows = runBatches(st, EventStreams.dedupEvents(st.toDF()), OutputMode.Append, Seq(
+      Seq(Ev(1, 1, "click", ts(1), 1.0), Ev(1, 1, "click", ts(1), 1.0), Ev(2, 1, "click", ts(2), 1.0)),
+      Seq(Ev(2, 1, "click", ts(3), 1.0), Ev(3, 1, "click", ts(4), 1.0)),
+    ), "t_dedup")
+    assert(rows.map(_.getLong(0)).sorted == Seq(1L, 2L, 3L), s"got $rows")
+  }
+
+  test("custom sessionizer closes sessions on 30-minute gaps across batches") {
+    import spark.implicits._
+    val st = MemoryStream[Ev](spark)
+    val rows = runBatches(st, EventStreams.customSessionize(st.toDS()).toDF(), OutputMode.Append, Seq(
+      // session A: user 7, minutes 0-10 (3 events)
+      Seq(Ev(1, 7, "click", ts(0), 1.0), Ev(2, 7, "click", ts(5), 2.0)),
+      Seq(Ev(3, 7, "click", ts(10), 3.0)),
+      // 40-min gap -> closes session A, opens session B
+      Seq(Ev(4, 7, "click", ts(50), 4.0)),
+      // push watermark far ahead so timeouts fire
+      Seq(Ev(5, 8, "click", ts(200), 1.0)),
+      Seq(Ev(6, 8, "click", ts(400), 1.0)),
+    ), "t_sessions")
+    val u7 = rows.filter(_.getLong(0) == 7L)
+    assert(u7.exists(r => r.getLong(3) == 3 && math.abs(r.getDouble(4) - 6.0) < 1e-9),
+      s"session A (3 events, sum 6.0) missing: $rows")
+  }
+
+  test("built-in session_window aggregates per user") {
+    import spark.implicits._
+    val st = MemoryStream[Ev](spark)
+    val rows = runBatches(st, EventStreams.sessionWindows(st.toDF()), OutputMode.Append, Seq(
+      Seq(Ev(1, 9, "click", ts(0), 1.0), Ev(2, 9, "click", ts(10), 1.0)),
+      Seq(Ev(3, 9, "click", ts(120), 1.0)),
+      Seq(Ev(4, 9, "click", ts(300), 1.0)),
+    ), "t_swin")
+    assert(rows.exists(r => r.getLong(0) == 9L && r.getLong(3) == 2L),
+      s"first session (2 events) not emitted: $rows")
+  }
+}
