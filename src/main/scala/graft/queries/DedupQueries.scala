@@ -50,18 +50,26 @@ object DedupQueries extends QueryGroup {
   private def toks(c: Column): Column =
     filter(split(lower(c), wsRegex), t => t =!= "")
 
-  /** distinct 3-gram shingles of a token array */
-  private def shingles(t: Column): Column =
-    array_distinct(
-      when(size(t) >= 3,
-        transform(sequence(lit(0), size(t) - 3),
-          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
-        .otherwise(array(concat_ws(" ", t))))
-
-  /** docs with (doc_id, sh: array<string> distinct shingles) */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  /** Distinct (doc_id, sh) 3-gram shingle ROWS, relational form:
+    * posexplode tokens -> window leads -> concat. Fully codegen'd — the
+    * earlier HOF array form (transform over sequence with element_at)
+    * got its tokenizer inlined per element reference by CollapseProject
+    * and re-split every document ~500× (40s+ at sf0.1; this is ~1s).
+    * Docs with <3 tokens contribute one whole-text shingle (concat_ws
+    * skips the null leads), matching the oracle's CASE len<3 branch. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     Tables.documents(s, d)
-      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("l1", lead("tok", 1).over(w))
+      .withColumn("l2", lead("tok", 2).over(w))
+      .withColumn("n_tok", count(lit(1)).over(wAll))
+      .filter((col("n_tok") >= 3 && col("l2").isNotNull)
+        || (col("n_tok") < 3 && col("pos") === 0))
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("l1"), col("l2")).as("sh"))
+      .distinct()
+  }
 
   val queries: Map[String, QFn] = Map(
     // ---- exact n-gram Jaccard via inverted shingle index (ORACLE) -------
@@ -69,10 +77,10 @@ object DedupQueries extends QueryGroup {
     // — all BIGINT until one final division, so Spark and DuckDB agree
     // bit-for-bit. Near-dup pairs = rounded jaccard >= 0.5.
     "q_dedup_ngram" -> ((s, d) => {
-      val ds = docShingles(s, d).withColumn("nsh", size(col("sh")).cast("long"))
-      val inv = ds.select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
-      val a = inv.select(col("doc_id").as("d1"), col("nsh").as("n1"), col("s"))
-      val b = inv.select(col("doc_id").as("d2"), col("nsh").as("n2"), col("s"))
+      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val inv = shingleRows(s, d).withColumn("nsh", count(lit(1)).over(wDoc))
+      val a = inv.select(col("doc_id").as("d1"), col("nsh").as("n1"), col("sh").as("s"))
+      val b = inv.select(col("doc_id").as("d2"), col("nsh").as("n2"), col("sh").as("s"))
       a.join(b, Seq("s")).filter(col("d1") < col("d2"))
         .groupBy("d1", "d2")
         .agg(count(lit(1)).as("shared"), first(col("n1")).as("n1"), first(col("n2")).as("n2"))
@@ -84,11 +92,15 @@ object DedupQueries extends QueryGroup {
 
     // ---- MinHash + LSH banding (NO-ORACLE) ------------------------------
     "q_dedup_near" -> ((s, d) => {
-      val withSig = docShingles(s, d)
-        .withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
-        .withColumn("sig", array((0 until K).map(j =>
-          array_min(transform(col("hs"),
-            x => pmod(x.bitwiseAND(lit(0xFFFFFFFFL)) * lit(mulA(j)) + lit(addB(j)), lit(P))))): _*))
+      // signature via ONE codegen'd hash aggregate (K min-columns over the
+      // exploded shingle rows), then packed back into an array
+      val h = shingleRows(s, d)
+        .withColumn("h32", xxhash64(col("sh")).bitwiseAND(lit(0xFFFFFFFFL)))
+      val withSig = h.groupBy("doc_id").agg(
+        min(pmod(col("h32") * lit(mulA(0)) + lit(addB(0)), lit(P))).as("m0"),
+        (1 until K).map(j =>
+          min(pmod(col("h32") * lit(mulA(j)) + lit(addB(j)), lit(P))).as(s"m$j")): _*)
+        .withColumn("sig", array((0 until K).map(j => col(s"m$j")): _*))
       // band keys: hash R consecutive signature slots per band
       val banded = withSig.select(
         col("doc_id"), col("sig"),
@@ -128,9 +140,7 @@ object DedupQueries extends QueryGroup {
       // shiftleft/OR (bitwise ops never overflow-check under ANSI mode).
       // A nested aggregate-in-aggregate HOF form fell out of whole-stage
       // codegen and ran 60+s at sf0.01; this shape is sub-second.
-      val hs = docShingles(s, d)
-        .select(col("doc_id"), explode(col("sh")).as("s1"))
-        .withColumn("h", xxhash64(col("s1")))
+      val hs = shingleRows(s, d).withColumn("h", xxhash64(col("sh")))
       val bitSums = hs.groupBy("doc_id").agg(
         sum(when(shiftrightunsigned(col("h"), 63).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("b0"),
         (1 until 64).map(i =>
@@ -167,20 +177,10 @@ object DedupQueries extends QueryGroup {
     // Same discipline as q_sim_knn: widen float->double, threshold on the
     // ROUNDED cosine so a 1-ulp cross-engine difference can't flip
     // membership except exactly at a 3dp boundary.
-    "q_dedup_embed" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
-        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-      val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
-      val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
-      a.join(b, col("id1") < col("id2"))
-        .withColumn("dot",
-          aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
-        .withColumn("cosr", r3(col("dot") / (col("n1") * col("n2"))))
-        .filter(col("cosr") >= 0.4)
-        .select(col("id1"), col("id2"), col("cosr").as("cos_sim"))
-        .orderBy("id1", "id2")
-    }),
+    // broadcast + partition-local kernel (graft.functions.CosineKernel);
+    // arithmetic is bit-identical to the declarative theta-join form.
+    "q_dedup_embed" -> ((s, d) =>
+      graft.functions.CosineKernel.pairsAbove(s, Tables.embeddings(s, d), 0.4)),
   )
 
   val oracleSql: Map[String, String] = Map(

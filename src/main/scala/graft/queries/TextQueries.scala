@@ -65,26 +65,15 @@ object TextQueries extends QueryGroup {
         .limit(15)
     }),
 
-    // brute-force cosine top-5 per vector over pairs vec_id < v2.
-    "q_sim_knn" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
-        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-      val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
-      val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
-      val pairs = a.join(b, col("id1") < col("id2"))
-        .withColumn("dot",
-          aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
-        .withColumn("cosr", r3(col("dot") / (col("n1") * col("n2"))))
-      // rank on the ROUNDED cosine (3dp) with id2 tiebreak: a 1-ulp
-      // Spark-vs-DuckDB dot-product difference can reorder near-tied
-      // unrounded neighbors but almost never flips the rounded value.
-      val w = Window.partitionBy("id1").orderBy(col("cosr").desc, col("id2"))
-      pairs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("id1").as("vec_id"), col("id2").as("v2"), col("cosr").as("cos_sim"))
-        .orderBy("vec_id", "v2")
-    }),
+    // brute-force cosine top-5 per vector over pairs vec_id < v2, ranked
+    // on the ROUNDED cosine (3dp) with id2 tiebreak: a 1-ulp Spark-vs-
+    // DuckDB dot-product difference can reorder near-tied unrounded
+    // neighbors but almost never flips the rounded value. Executed by the
+    // broadcast + partition-local kernel (graft.functions.CosineKernel) —
+    // bit-identical arithmetic to the declarative theta-join form, zero
+    // shuffle instead of an O(n²) pair join.
+    "q_sim_knn" -> ((s, d) =>
+      graft.functions.CosineKernel.topK(s, Tables.embeddings(s, d), 5)),
 
     // "multimodal" star join: text metadata x vector label.
     "q_multimodal_join" -> ((s, d) =>
