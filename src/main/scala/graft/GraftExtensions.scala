@@ -1,0 +1,19 @@
+package graft
+
+import graft.functions.ArrayCosineSimilarity
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point — the production path for wiring
+  * this engine's native expressions into any session:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (Queries also self-register at runtime via
+  * ArrayCosineSimilarity.register since the driver harness builds its
+  * session without configs.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(ArrayCosineSimilarity.descriptor)
+  }
+}

@@ -49,6 +49,19 @@ object UdxQueries extends QueryGroup {
         .orderBy("p_brand")
     }),
 
+    // native codegen'd Catalyst expression (graft.functions
+    // .ArrayCosineSimilarity) — the top rung of the extension ladder:
+    // no boxing/serialization, fused into whole-stage codegen. Computes
+    // cosine(embedding, reverse(embedding)) per vector.
+    "q_native_cosine" -> ((s, d) => {
+      graft.functions.ArrayCosineSimilarity.register(s)
+      Tables.embeddings(s, d)
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .select(col("vec_id"),
+          r3(expr("graft_cosine(v, reverse(v))")).as("cos_rev"))
+        .orderBy("vec_id")
+    }),
+
     // generator: doc -> word bigrams (flatMap = UDTF surface; composes
     // with the relational layer exactly like posexplode).
     "q_udtf_bigrams" -> ((s, d) => {
@@ -75,6 +88,10 @@ object UdxQueries extends QueryGroup {
     "q_udaf_weighted" ->
       ("SELECT p_brand, round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wavg_price " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand"),
+    "q_native_cosine" ->
+      ("SELECT vec_id, floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+        "list_reverse(CAST(embedding AS DOUBLE[]))) * 1000.0 + 0.5) / 1000.0 AS cos_rev " +
+        "FROM embeddings ORDER BY vec_id"),
     "q_udtf_bigrams" ->
       ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks " +
         "FROM documents), " +
