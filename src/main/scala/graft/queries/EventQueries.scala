@@ -47,6 +47,27 @@ object EventQueries extends QueryGroup {
         .orderBy("bucket")
     }),
 
+    // same semantics as q_join_asof, but through the custom whole-operator
+    // path: AsOfJoin LogicalPlan -> AsOfJoinStrategy -> AsOfJoinExec
+    // (co-partitioned streaming merge; see graft.plans.AsOfJoin). Verified
+    // against the same DuckDB native ASOF JOIN oracle.
+    "q_asof_custom" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      org.apache.spark.sql.GraftPlanBridge.asofJoin(purchases, clicks, "user_id", "ts")
+        .filter(col("asof_ts").isNotNull)
+        .select(pmod(col("user_id"), lit(10)).cast("long").as("bucket"),
+          (unix_micros(col("ts")) - col("asof_ts")).as("gap_us"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_matched"),
+          round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000.0, 2).as("avg_gap_sec"))
+        .orderBy("bucket")
+    }),
+
     "q_tumbling_1h" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -68,6 +89,16 @@ object EventQueries extends QueryGroup {
         "FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t " +
         "GROUP BY event_type ORDER BY event_type"),
     "q_join_asof" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events " +
+        "WHERE event_type IN ('click', 'purchase')), " +
+        "p AS (SELECT * FROM e WHERE event_type = 'purchase'), " +
+        "c AS (SELECT * FROM e WHERE event_type = 'click'), " +
+        "m AS (SELECT p.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us " +
+        "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts > c.ts) " +
+        "SELECT CAST(user_id % 10 AS BIGINT) AS bucket, count(*) AS n_matched, " +
+        "round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 2) AS avg_gap_sec " +
+        "FROM m GROUP BY bucket ORDER BY bucket"),
+    "q_asof_custom" ->
       ("WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events " +
         "WHERE event_type IN ('click', 'purchase')), " +
         "p AS (SELECT * FROM e WHERE event_type = 'purchase'), " +
