@@ -1,0 +1,48 @@
+package graft
+
+/** Plan-shape audits: the queries must not just return correct rows, they
+  * must run on the physical plan a 100 TB deployment needs — broadcasts
+  * where a side is small, top-k without a global sort, pruned scans,
+  * partial aggregation. (`.explain`-driven; SURVEY §4.) */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q_join_broadcast uses a broadcast hash join") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_topk_global uses TakeOrderedAndProject (no global sort of the table)") {
+    assert(plan("q_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_scan_project prunes the scan to exactly the projected columns") {
+    val p = plan("q_scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"))
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"),
+      s"scan reads more than the projection needs: $read")
+  }
+
+  test("q_scan_pushdown pushes the price predicate into the parquet scan") {
+    assert(plan("q_scan_pushdown").contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"))
+  }
+
+  test("q_agg_pricing aggregates in two phases (map-side partial + final)") {
+    val p = plan("q_agg_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+  }
+
+  test("q_join_semi/anti plan as semi/anti joins, not materialized subqueries") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("q_sim_knn has no shuffle exchange (broadcast kernel path)") {
+    val p = plan("q_sim_knn")
+    // the only acceptable exchange is the final tiny ordering of results
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"kNN fell back to a pair join:\n$p")
+  }
+}
