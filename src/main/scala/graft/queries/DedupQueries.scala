@@ -181,6 +181,51 @@ object DedupQueries extends QueryGroup {
     // arithmetic is bit-identical to the declarative theta-join form.
     "q_dedup_embed" -> ((s, d) =>
       graft.functions.CosineKernel.pairsAbove(s, Tables.embeddings(s, d), 0.4)),
+
+    // ---- near-dup clustering: connected components (ORACLE) -------------
+    // Pairs (exact 3-gram jaccard >= 0.5) -> components via iterative
+    // min-label propagation: each node repeatedly takes the minimum label
+    // among itself and its neighbors until fixpoint. Iteration count is
+    // bounded by component diameter (near-dup clusters are tiny); each
+    // round is one join + one aggregation, all shuffle-partitioned by
+    // node — the standard large-graph CC shape. Oracle: recursive CTE
+    // computing min reachable doc_id. Output: one row per cluster
+    // (root, size), so the survivor set = roots.
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = queries("q_dedup_ngram")(s, d).select("d1", "d2")
+      // undirected edge list + self-loops keep isolated propagation stable
+      val edges = pairs
+        .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .cache()
+      var labels = edges.select(col("d1").as("node")).distinct()
+        .withColumn("label", col("node"))
+      val cached = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("node", "d2"), "d2")
+          .groupBy(col("d1").as("node")).agg(min("label").as("nbr_label"))
+        val next = labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .cache()
+        converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).isEmpty
+        cached += next
+        labels = next
+        rounds += 1
+      }
+      // materialize the final labels, then release every intermediate
+      // cache — leaked cached blocks pressure the block manager for the
+      // rest of a multi-query session
+      val result = labels.groupBy(col("label").as("cluster_root"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .orderBy("cluster_root")
+        .localCheckpoint(eager = true)
+      cached.foreach(_.unpersist(blocking = false))
+      result
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -195,6 +240,24 @@ object DedupQueries extends QueryGroup {
         "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
         "j AS (SELECT d1, d2, CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) AS jac FROM p) " +
         "SELECT d1, d2, floor(jac * 1000.0 + 0.5) / 1000.0 AS jac FROM j WHERE jac >= 0.5 ORDER BY d1, d2"),
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS s, " +
+        "CAST(len(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS BIGINT) AS nsh " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh " +
+        "HAVING CAST(count(*) AS DOUBLE) / CAST(a.nsh + b.nsh - count(*) AS DOUBLE) >= 0.5), " +
+        "edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p), " +
+        "nodes AS (SELECT DISTINCT a AS node FROM edges), " +
+        "reach AS (SELECT node AS src, node AS dst FROM nodes " +
+        "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) " +
+        "SELECT cluster_root, count(*) AS cluster_size FROM " +
+        "(SELECT src, min(dst) AS cluster_root FROM reach GROUP BY src) x " +
+        "GROUP BY cluster_root ORDER BY cluster_root"),
     "q_dedup_embed" ->
       ("WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, " +
         "floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000.0 + 0.5) / 1000.0 AS cosr " +

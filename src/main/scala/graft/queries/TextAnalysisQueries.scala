@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.12 — text-analysis operators for a training-data pipeline:
@@ -29,17 +29,23 @@ object TextAnalysisQueries extends QueryGroup {
   private def toks(c: Column): Column =
     filter(split(lower(c), wsRegex), t => t =!= "")
 
-  private def hits(t: Column, words: Seq[String]): Column =
-    size(filter(t, x => x.isin(words.map(lit): _*))).cast("long")
+  /** (doc_id, lang, tok) exploded token rows — one tokenizer pass; the
+    * array-column + multiple-filter form got the tokenizer re-inlined per
+    * consumer expression by CollapseProject (SURVEY §7.3.11). */
+  private def tokenRows(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+
+  private def hitSum(words: Seq[String]): Column =
+    sum(when(col("tok").isin(words.map(lit): _*), 1L).otherwise(0L))
 
   val queries: Map[String, QFn] = Map(
     // ---- language ID: stopword-hit argmax with deterministic tiebreak ---
     "q_lang_id" -> ((s, d) => {
-      val t = Tables.documents(s, d).withColumn("t", toks(col("text")))
-        .withColumn("s_en", hits(col("t"), enStops))
-        .withColumn("s_fr", hits(col("t"), frStops))
-        .withColumn("s_de", hits(col("t"), deStops))
-      t.withColumn("pred",
+      val scored = tokenRows(s, d)
+        .groupBy("doc_id", "lang")
+        .agg(hitSum(enStops).as("s_en"), hitSum(frStops).as("s_fr"), hitSum(deStops).as("s_de"))
+      scored.withColumn("pred",
         when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
           .when(col("s_fr") >= col("s_de"), "fr")
           .otherwise("de"))
@@ -49,16 +55,17 @@ object TextAnalysisQueries extends QueryGroup {
     }),
 
     // ---- quality scoring: exact ratios, bucketed into deciles ----------
-    // signals: stopword ratio, lexical diversity (distinct/total tokens),
-    // mean token length. Each ratio is one BIGINT/BIGINT division; the
-    // decile is floor(ratio*10) -> integer histogram (order-free agg).
+    // signals: stopword ratio and lexical diversity (distinct/total
+    // tokens). Each ratio is one BIGINT/BIGINT division; the decile is
+    // floor(ratio*10) -> integer histogram (order-free agg). Docs with
+    // zero tokens produce no exploded rows = excluded, matching the
+    // oracle's len(t) > 0 filter.
     "q_quality_score" -> ((s, d) => {
-      val t = Tables.documents(s, d).withColumn("t", toks(col("text")))
-        .withColumn("n_tok", size(col("t")).cast("long"))
-        .filter(col("n_tok") > 0)
-        .withColumn("n_stop", hits(col("t"), enStops))
-        .withColumn("n_uniq", size(array_distinct(col("t"))).cast("long"))
-      t.select(
+      val m = tokenRows(s, d)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), hitSum(enStops).as("n_stop"),
+          countDistinct(col("tok")).as("n_uniq"))
+      m.select(
         floor(col("n_stop") * lit(10) / col("n_tok")).cast("long").as("stop_decile"),
         floor(col("n_uniq") * lit(10) / col("n_tok")).cast("long").as("diversity_decile"))
         .groupBy("stop_decile", "diversity_decile")
