@@ -105,6 +105,31 @@ object AggQueries extends QueryGroup {
           round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
         .orderBy("o_orderstatus")),
 
+    // pivot: orderstatus columns per priority. The oracle uses portable
+    // conditional aggregation (FILTER) — identical semantics to pivot.
+    "q_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")),
+
+    // unpivot (melt): wide per-priority counts back to long form.
+    "q_unpivot" -> ((s, d) => {
+      val wide = Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"))
+      wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("n_f"), col("n_o"), col("n_p")), "status_col", "n")
+        .orderBy("o_orderpriority", "status_col")
+    }),
+
     // NO-ORACLE: HLL++ is approximate — property-tested within 5% of exact.
     "q_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -153,5 +178,19 @@ object AggQueries extends QueryGroup {
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "q_agg_percentile" ->
       "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS p50, round(quantile_cont(o_totalprice, 0.9), 2) AS p90 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q_pivot" ->
+      ("SELECT o_orderpriority, count(*) FILTER (o_orderstatus = 'F') AS n_f, " +
+        "count(*) FILTER (o_orderstatus = 'O') AS n_o, count(*) FILTER (o_orderstatus = 'P') AS n_p " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_unpivot" ->
+      ("WITH wide AS (SELECT o_orderpriority, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p FROM orders GROUP BY o_orderpriority) " +
+        "SELECT o_orderpriority, status_col, n FROM (" +
+        "SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n FROM wide " +
+        "UNION ALL SELECT o_orderpriority, 'n_o', n_o FROM wide " +
+        "UNION ALL SELECT o_orderpriority, 'n_p', n_p FROM wide) u " +
+        "ORDER BY o_orderpriority, status_col"),
   )
 }

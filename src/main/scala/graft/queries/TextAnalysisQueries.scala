@@ -86,6 +86,32 @@ object TextAnalysisQueries extends QueryGroup {
           count(lit(1)).as("n_docs"))
         .orderBy("lang")),
 
+    // ---- deterministic sampling: content-hash threshold -----------------
+    // Reproducible ~5% sample: keep docs whose md5 hex < '0d' (13/256 of
+    // the space). Pure string comparison on identical md5 hex — portable,
+    // seedless, and stable across engines/runs — unlike rand()-based
+    // TABLESAMPLE, which can never hash-match an oracle.
+    "q_sample_det" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(md5(col("text")) < "0d")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")),
+
+    // ---- train/val/test split by hash ranges ----------------------------
+    // 80/10/10 assignment from the first two md5 hex chars (0..255):
+    // < 204 train, < 230 val, else test. Deterministic per content, so
+    // re-runs and engines agree — the reproducible-holdout pattern.
+    "q_split_hash" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("text")), 1, 2), 16, 10).cast("long")
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split")
+    }),
+
     // ---- document fingerprinting: content + bag-of-words md5 -----------
     // content_fp collapses whitespace-normalized text; bag_fp is invariant
     // to token order (sorted distinct tokens) — catches shuffled dups.
@@ -125,6 +151,14 @@ object TextAnalysisQueries extends QueryGroup {
       ("SELECT lang, CAST(sum(len(" + oracleToks + ")) AS BIGINT) AS sum_ws_tokens, " +
         "CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]'))) AS BIGINT) AS sum_bpeish, " +
         "count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"),
+    "q_sample_det" ->
+      ("SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents WHERE md5(text) < '0d' GROUP BY lang ORDER BY lang"),
+    "q_split_hash" ->
+      ("WITH b AS (SELECT n_chars, CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) AS bucket FROM documents) " +
+        "SELECT CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split, " +
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM b GROUP BY 1 ORDER BY split"),
     "q_fingerprint" ->
       ("WITH t AS (SELECT lang, " + oracleToks + " AS t FROM documents), " +
         "f AS (SELECT lang, md5(array_to_string(t, ' ')) AS content_fp, " +
