@@ -118,6 +118,34 @@ object RelationalQueries extends QueryGroup {
           concat(col("r_name"), lit("-"), col("n_name")).as("pair_name"))
         .orderBy("r_regionkey", "n_nationkey")),
 
+    // ---- subqueries (Catalyst rewrites: scalar broadcast + decorrelation)
+    // Both predicates add +0.005 to the avg: prices sit on the 2dp cents
+    // grid, and an order-of-accumulation ulp difference between engines
+    // could flip `price > avg` exactly when avg lands on the grid — the
+    // half-cent offset moves the boundary where no price can sit.
+    "q_subquery_scalar" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_sq")
+      s.sql("""
+        SELECT o_orderpriority, count(1) AS n_above
+        FROM graft_orders_sq
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM graft_orders_sq) + 0.005
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """)
+    }),
+
+    // correlated subquery — Catalyst decorrelates to an aggregate + join
+    // (RewriteCorrelatedScalarSubquery); DuckDB runs the same SQL.
+    "q_subquery_corr" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_sq2")
+      s.sql("""
+        SELECT o_custkey, count(1) AS n_above_own_avg
+        FROM graft_orders_sq2 o
+        WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM graft_orders_sq2 i
+                              WHERE i.o_custkey = o.o_custkey) + 0.005
+        GROUP BY o_custkey ORDER BY o_custkey
+      """)
+    }),
+
     // ---- §2.6 sorts / top-k ---------------------------------------------
     "q_topk_global" -> ((s, d) =>
       Tables.orders(s, d)
@@ -182,6 +210,14 @@ object RelationalQueries extends QueryGroup {
       "SELECT l_returnflag, count(*) AS n_items, round(sum(l_extendedprice) / 1000000.0, 2) AS sum_price_m FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate + INTERVAL 90 DAY GROUP BY l_returnflag ORDER BY l_returnflag",
     "q_join_cross" ->
       "SELECT r_regionkey, n_nationkey, r_name || '-' || n_name AS pair_name FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey",
+    "q_subquery_scalar" ->
+      ("SELECT o_orderpriority, count(*) AS n_above FROM orders " +
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) + 0.005 " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_subquery_corr" ->
+      ("SELECT o_custkey, count(*) AS n_above_own_avg FROM orders o " +
+        "WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey) + 0.005 " +
+        "GROUP BY o_custkey ORDER BY o_custkey"),
     "q_topk_global" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "q_sort_nulls" ->

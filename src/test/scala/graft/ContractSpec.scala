@@ -15,9 +15,9 @@ class ContractSpec extends AnyFunSuite {
     "q_ann_ivf",         // argmax assignment not portable
   )
 
-  test("all 72 declared queries are present") {
-    assert(SparkEntry.queries.size == 72,
-      s"expected 72 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
+  test("all 74 declared queries are present") {
+    assert(SparkEntry.queries.size == 74,
+      s"expected 74 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
   }
 
   test("oracle coverage is exactly queries minus the declared NO-ORACLE set") {
