@@ -192,7 +192,12 @@ object DedupQueries extends QueryGroup {
     // computing min reachable doc_id. Output: one row per cluster
     // (root, size), so the survivor set = roots.
     "q_dedup_clusters" -> ((s, d) => {
+      // materialize the (small) thresholded pair set once; the iteration
+      // then runs on a handful of partitions — the near-dup graph after
+      // jaccard >= 0.5 thresholding is orders of magnitude smaller than
+      // the corpus (at true web scale, keep it key-partitioned instead)
       val pairs = queries("q_dedup_ngram")(s, d).select("d1", "d2")
+        .coalesce(4).localCheckpoint(eager = true)
       // undirected edge list + self-loops keep isolated propagation stable
       val edges = pairs
         .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))

@@ -19,10 +19,11 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      if (doExplain) df.explain("formatted")
+      if (doExplain) SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      // time fn() + count together — some queries (iterative ones) do
+      // eager work inside fn, exactly as Bench measures them
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"[profile] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
       // second run (warm)
       val t1 = System.nanoTime()
