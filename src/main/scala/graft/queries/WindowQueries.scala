@@ -66,13 +66,19 @@ object WindowQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // 30-day range frame summed in exact integer cents: a RANGE sliding
+    // frame is segment-tree-accumulated in DuckDB but in-order in Spark,
+    // so a double sum can differ in the last ulp and flip round(x,2) at a
+    // cent boundary (the exact failure mode q_win_frame_rows had in
+    // round 1). o_totalprice is cents-exact, so the sum is order-free.
     "q_win_frame_range" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("daynum"))
         .rangeBetween(-30, 0)
       Tables.orders(s, d)
         .withColumn("daynum", unix_date(to_date(col("o_orderdate"))).cast("long"))
-        .withColumn("sum30", round(sum(col("o_totalprice")).over(w), 2))
-        .select("o_orderkey", "o_custkey", "daynum", "sum30")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("sum30_c", sum(col("cents")).over(w))
+        .select("o_orderkey", "o_custkey", "daynum", "sum30_c")
         .orderBy("o_orderkey")
     }),
 
@@ -147,9 +153,9 @@ object WindowQueries extends QueryGroup {
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) x " +
         "ORDER BY o_orderkey"),
     "q_win_frame_range" ->
-      ("SELECT o_orderkey, o_custkey, daynum, round(sum(o_totalprice) OVER (PARTITION BY o_custkey " +
-        "ORDER BY daynum RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS sum30 " +
-        "FROM (SELECT o_orderkey, o_custkey, o_totalprice, " +
+      ("SELECT o_orderkey, o_custkey, daynum, CAST(sum(cents) OVER (PARTITION BY o_custkey " +
+        "ORDER BY daynum RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum30_c " +
+        "FROM (SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents, " +
         "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS daynum FROM orders) t " +
         "ORDER BY o_orderkey"),
     "q_win_ntile_pct" ->
