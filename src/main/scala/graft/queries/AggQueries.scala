@@ -130,6 +130,16 @@ object AggQueries extends QueryGroup {
         .orderBy("o_orderpriority", "status_col")
     }),
 
+    // NO-ORACLE: t-digest-style sketch — deterministic for fixed input +
+    // accuracy but not SQL-portable; property-tested against the exact
+    // percentile (InvariantSpec) and pinned by golden output.
+    "q_approx_percentile" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("ap50"),
+          round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 2).as("ap90"))
+        .orderBy("o_orderstatus")),
+
     // NO-ORACLE: HLL++ is approximate — property-tested within 5% of exact.
     "q_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)

@@ -146,6 +146,22 @@ object RelationalQueries extends QueryGroup {
       """)
     }),
 
+    // LATERAL correlated subquery with per-row LIMIT — top-2 orders per
+    // customer through the lateral-join path (Catalyst plans it as a
+    // DomainJoin/decorrelated limit), not a window function.
+    "q_join_lateral" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_lat")
+      Tables.orders(s, d).createOrReplaceTempView("graft_ord_lat")
+      s.sql("""
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM graft_cust_lat,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM graft_ord_lat
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey
+      """)
+    }),
+
     // ---- §2.6 sorts / top-k ---------------------------------------------
     "q_topk_global" -> ((s, d) =>
       Tables.orders(s, d)
@@ -210,6 +226,11 @@ object RelationalQueries extends QueryGroup {
       "SELECT l_returnflag, count(*) AS n_items, round(sum(l_extendedprice) / 1000000.0, 2) AS sum_price_m FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate + INTERVAL 90 DAY GROUP BY l_returnflag ORDER BY l_returnflag",
     "q_join_cross" ->
       "SELECT r_regionkey, n_nationkey, r_name || '-' || n_name AS pair_name FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey",
+    "q_join_lateral" ->
+      ("SELECT c_custkey, t.o_orderkey, t.o_totalprice FROM customer, " +
+        "LATERAL (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t " +
+        "ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey"),
     "q_subquery_scalar" ->
       ("SELECT o_orderpriority, count(*) AS n_above FROM orders " +
         "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) + 0.005 " +

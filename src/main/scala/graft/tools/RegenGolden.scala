@@ -12,8 +12,8 @@ import java.nio.file.{Files, Paths}
   *   sbt "runMain graft.tools.RegenGolden"
   */
 object RegenGolden {
-  val NoOracle = Seq("q_approx_distinct", "q_dedup_near", "q_dedup_simhash",
-    "q_ann_lsh", "q_ann_ivf")
+  val NoOracle = Seq("q_approx_distinct", "q_approx_percentile", "q_dedup_near",
+    "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf")
   val SfDir = "/root/testdata/sf0.001"
   val GoldenDir = "src/test/resources/golden"
 

@@ -9,15 +9,16 @@ class ContractSpec extends AnyFunSuite {
 
   private val noOracle = Set(
     "q_approx_distinct", // HLL is approximate — property-tested in HllSpec
+    "q_approx_percentile", // sketch-based — property-tested vs exact percentile
     "q_dedup_near",      // MinHash mixing not portably SQL-expressible
     "q_dedup_simhash",   // same
     "q_ann_lsh",         // sign bits of float dots not portable
     "q_ann_ivf",         // argmax assignment not portable
   )
 
-  test("all 74 declared queries are present") {
-    assert(SparkEntry.queries.size == 74,
-      s"expected 74 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
+  test("all 76 declared queries are present") {
+    assert(SparkEntry.queries.size == 76,
+      s"expected 76 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
   }
 
   test("oracle coverage is exactly queries minus the declared NO-ORACLE set") {

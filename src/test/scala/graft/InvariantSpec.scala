@@ -22,6 +22,16 @@ class InvariantSpec extends SparkSpec {
     assert(diff == 0, s"$diff users where final running sum != group sum")
   }
 
+  test("approx_percentile within 5% of the exact percentile") {
+    val exact = graft.queries.AggQueries.queries("q_agg_percentile")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    graft.queries.AggQueries.queries("q_approx_percentile")(spark, sf001).collect().foreach { r =>
+      val (p50, p90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - p50) / p50 <= 0.05, s"${r.getString(0)} p50")
+      assert(math.abs(r.getDouble(2) - p90) / p90 <= 0.05, s"${r.getString(0)} p90")
+    }
+  }
+
   test("HLL approx_count_distinct within 5% of exact") {
     graft.queries.AggQueries.queries("q_approx_distinct")(spark, sf001).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
