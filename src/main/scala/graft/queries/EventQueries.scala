@@ -25,7 +25,7 @@ object EventQueries extends QueryGroup {
       Tables.events(s, d)
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type")
-        .agg(round(avg(col("k")), 2).as("avg_k"), max(col("k")).as("max_k"), count(lit(1)).as("n"))
+        .agg(r2(avg(col("k"))).as("avg_k"), max(col("k")).as("max_k"), count(lit(1)).as("n"))
         .orderBy("event_type")),
 
     "q_join_asof" -> ((s, d) => {
@@ -43,7 +43,7 @@ object EventQueries extends QueryGroup {
           (unix_micros(col("ts")) - unix_micros(col("prev_click_ts"))).as("gap_us"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_matched"),
-          round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000.0, 2).as("avg_gap_sec"))
+          r2(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000.0).as("avg_gap_sec"))
         .orderBy("bucket")
     }),
 
@@ -64,7 +64,7 @@ object EventQueries extends QueryGroup {
           (unix_micros(col("ts")) - col("asof_ts")).as("gap_us"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_matched"),
-          round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000.0, 2).as("avg_gap_sec"))
+          r2(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000.0).as("avg_gap_sec"))
         .orderBy("bucket")
     }),
 
@@ -85,7 +85,7 @@ object EventQueries extends QueryGroup {
 
   val oracleSql: Map[String, String] = Map(
     "q_json_funcs" ->
-      ("SELECT event_type, round(avg(k), 2) AS avg_k, max(k) AS max_k, count(*) AS n " +
+      ("SELECT event_type, floor(avg(k) * 100.0 + 0.5) / 100.0 AS avg_k, max(k) AS max_k, count(*) AS n " +
         "FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t " +
         "GROUP BY event_type ORDER BY event_type"),
     "q_join_asof" ->
@@ -96,7 +96,7 @@ object EventQueries extends QueryGroup {
         "m AS (SELECT p.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us " +
         "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts > c.ts) " +
         "SELECT CAST(user_id % 10 AS BIGINT) AS bucket, count(*) AS n_matched, " +
-        "round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 2) AS avg_gap_sec " +
+        "floor(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0 * 100.0 + 0.5) / 100.0 AS avg_gap_sec " +
         "FROM m GROUP BY bucket ORDER BY bucket"),
     "q_asof_custom" ->
       ("WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events " +
@@ -106,7 +106,7 @@ object EventQueries extends QueryGroup {
         "m AS (SELECT p.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us " +
         "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts > c.ts) " +
         "SELECT CAST(user_id % 10 AS BIGINT) AS bucket, count(*) AS n_matched, " +
-        "round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 2) AS avg_gap_sec " +
+        "floor(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0 * 100.0 + 0.5) / 100.0 AS avg_gap_sec " +
         "FROM m GROUP BY bucket ORDER BY bucket"),
     "q_tumbling_1h" ->
       ("SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start, " +

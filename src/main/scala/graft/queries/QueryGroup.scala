@@ -34,6 +34,15 @@ trait QueryGroup {
     * DuckDB mirror: floor(x*1000.0 + 0.5)/1000.0  */
   def r3(c: Column): Column = floor(c * lit(1000.0) + lit(0.5)) / lit(1000.0)
 
+  /** 2dp variant of the same engine-independent rounding. REQUIRED for
+    * any rounded ratio of exact integers (avg of counts, µs/1e6, …):
+    * such ratios land exactly on the x.xx5 half-grid often (41/40 =
+    * 1.025), where Spark's round() (shortest-decimal-string HALF_UP,
+    * 1.025 -> 1.03) and DuckDB's (binary x*100 rounding, 1.0249999… ->
+    * 1.02) disagree — caught live by q_session_30m at sf0.1.
+    * DuckDB mirror: floor(x*100.0 + 0.5)/100.0 */
+  def r2(c: Column): Column = floor(c * lit(100.0) + lit(0.5)) / lit(100.0)
+
   /** Whitespace class identical in Java regex and RE2 (DuckDB). Java's \s
     * includes U+000B vertical tab, RE2's does not — this explicit class
     * sidesteps the dialect gap. */

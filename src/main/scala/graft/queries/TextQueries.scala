@@ -45,7 +45,7 @@ object TextQueries extends QueryGroup {
       Tables.documents(s, d)
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("n_chars")), 2).as("avg_chars"),
+          r2(avg(col("n_chars"))).as("avg_chars"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy("lang", "source")),
@@ -80,7 +80,7 @@ object TextQueries extends QueryGroup {
       Tables.documents(s, d)
         .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
         .groupBy("lang", "label")
-        .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 2).as("avg_chars"))
+        .agg(count(lit(1)).as("n"), r2(avg(col("n_chars"))).as("avg_chars"))
         .orderBy("lang", "label")),
   )
 
@@ -94,7 +94,7 @@ object TextQueries extends QueryGroup {
       ("SELECT word, count(*) AS n FROM (SELECT unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+')) AS word " +
         "FROM documents) t WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20"),
     "q_text_stats" ->
-      ("SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars, " +
+      ("SELECT lang, source, count(*) AS n_docs, floor(avg(n_chars) * 100.0 + 0.5) / 100.0 AS avg_chars, " +
         "min(n_chars) AS min_chars, max(n_chars) AS max_chars " +
         "FROM documents GROUP BY lang, source ORDER BY lang, source"),
     "q_tfidf_top" ->
@@ -111,7 +111,7 @@ object TextQueries extends QueryGroup {
         "r AS (SELECT id1, id2, cosr, row_number() OVER (PARTITION BY id1 ORDER BY cosr DESC, id2) AS rn FROM p) " +
         "SELECT id1 AS vec_id, id2 AS v2, cosr AS cos_sim FROM r WHERE rn <= 5 ORDER BY vec_id, v2"),
     "q_multimodal_join" ->
-      ("SELECT lang, label, count(*) AS n, round(avg(n_chars), 2) AS avg_chars " +
+      ("SELECT lang, label, count(*) AS n, floor(avg(n_chars) * 100.0 + 0.5) / 100.0 AS avg_chars " +
         "FROM documents JOIN embeddings ON doc_id = vec_id GROUP BY lang, label ORDER BY lang, label"),
   )
 }

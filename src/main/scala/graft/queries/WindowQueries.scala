@@ -44,8 +44,8 @@ object WindowQueries extends QueryGroup {
         .withColumn("prev_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
         .withColumn("next_us", unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
         .select(col("event_id"), col("user_id"),
-          round(col("prev_us").cast("double") / 1000000.0, 2).as("prev_gap_sec"),
-          round(col("next_us").cast("double") / 1000000.0, 2).as("next_gap_sec"))
+          r2(col("prev_us").cast("double") / 1000000.0).as("prev_gap_sec"),
+          r2(col("next_us").cast("double") / 1000000.0).as("next_gap_sec"))
         .orderBy("event_id")
     }),
 
@@ -122,8 +122,8 @@ object WindowQueries extends QueryGroup {
           (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span_us"))
       perSession.groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"),
-          round(sum(col("n_events")).cast("double") / count(lit(1)) , 2).as("events_per_session"),
-          round((sum(col("span_us")).cast("double") / count(lit(1))) / 1000000.0, 2).as("avg_span_sec"))
+          r2(sum(col("n_events")).cast("double") / count(lit(1))).as("events_per_session"),
+          r2((sum(col("span_us")).cast("double") / count(lit(1))) / 1000000.0).as("avg_span_sec"))
         .orderBy("user_id")
     }),
   )
@@ -142,8 +142,8 @@ object WindowQueries extends QueryGroup {
         "ORDER BY event_id"),
     "q_win_lag_lead" ->
       ("SELECT event_id, user_id, " +
-        "round(CAST(epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS DOUBLE) / 1000000.0, 2) AS prev_gap_sec, " +
-        "round(CAST(epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS DOUBLE) / 1000000.0, 2) AS next_gap_sec " +
+        "floor(CAST(epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0 AS prev_gap_sec, " +
+        "floor(CAST(epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0 AS next_gap_sec " +
         "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id"),
     "q_win_frame_rows" ->
@@ -181,8 +181,8 @@ object WindowQueries extends QueryGroup {
         "per_session AS (SELECT user_id, session_id, count(*) AS n_events, " +
         "max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us FROM sess GROUP BY user_id, session_id) " +
         "SELECT user_id, count(*) AS n_sessions, " +
-        "round(CAST(sum(n_events) AS DOUBLE) / count(*), 2) AS events_per_session, " +
-        "round((CAST(sum(span_us) AS DOUBLE) / count(*)) / 1000000.0, 2) AS avg_span_sec " +
+        "floor(CAST(sum(n_events) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS events_per_session, " +
+        "floor((CAST(sum(span_us) AS DOUBLE) / count(*)) / 1000000.0 * 100.0 + 0.5) / 100.0 AS avg_span_sec " +
         "FROM per_session GROUP BY user_id ORDER BY user_id"),
   )
 }

@@ -54,6 +54,19 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_val"))
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (broadcast by the planner — no stream-side shuffle, the
+    * standard shape for joining a 100 TB/day stream to reference data). */
+  def enrich(events: DataFrame, dims: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dims), Seq(key), "left")
+
+  /** foreachBatch sink: micro-batches handed to arbitrary batch logic
+    * (upserts, multi-sink fanout). The handler receives (batchDf, epoch);
+    * exactly-once comes from idempotent writes keyed by epoch. */
+  def toForeachBatch(events: DataFrame, handler: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch(handler)
+
   // --- custom stateful sessionization (flatMapGroupsWithState) -----------
 
   case class Ev(event_id: Long, user_id: Long, event_type: String, ts: Timestamp, value: Double)

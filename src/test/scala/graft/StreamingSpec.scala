@@ -69,6 +69,39 @@ class StreamingSpec extends SparkSpec {
       s"session A (3 events, sum 6.0) missing: $rows")
   }
 
+  test("stream-static enrichment broadcasts the dimension") {
+    import spark.implicits._
+    val st = MemoryStream[Ev](spark)
+    val dims = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val out = EventStreams.enrich(st.toDF(), dims, "user_id")
+    val q = out.writeStream.format("memory").queryName("t_enrich").outputMode(OutputMode.Append).start()
+    try {
+      st.addData(Seq(Ev(1, 1, "click", ts(1), 1.0), Ev(2, 3, "click", ts(2), 1.0)))
+      q.processAllAvailable()
+      // after a USING join the key column leads: (user_id, ..., tier)
+      val rows = spark.table("t_enrich").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(5)).orNull).toMap
+      assert(rows(1L) == "gold", "known user enriched")
+      assert(rows(3L) == null, "unknown user survives left join")
+    } finally q.stop()
+  }
+
+  test("foreachBatch hands batches to arbitrary sink logic with epochs") {
+    import spark.implicits._
+    val st = MemoryStream[Ev](spark)
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (epoch, rows)
+    val q = EventStreams.toForeachBatch(st.toDF(),
+      (df, epoch) => seen.synchronized { seen += ((epoch, df.count())) }).start()
+    try {
+      st.addData(Seq(Ev(1, 1, "click", ts(1), 1.0), Ev(2, 1, "click", ts(2), 1.0)))
+      q.processAllAvailable()
+      st.addData(Seq(Ev(3, 1, "click", ts(3), 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.map(_._2).sum == 3, s"rows across batches: $seen")
+    assert(seen.map(_._1).distinct.size == seen.size, "epochs are distinct")
+  }
+
   test("built-in session_window aggregates per user") {
     import spark.implicits._
     val st = MemoryStream[Ev](spark)
