@@ -18,18 +18,26 @@ object AggQueries extends QueryGroup {
 
   val queries: Map[String, QFn] = Map(
     // TPC-H Q1 shape — partial+final HashAggregateExec, all in one pass.
+    // Averages are exact-cents-integer ratios through r2: all three
+    // source columns are 2dp-exact, and a rounded avg of grid values
+    // lands on the x.xx5 half-grid often enough to flip round() across
+    // engines (§7.3.13). The /1e6-scaled sums keep plain round — their
+    // half-grid is 10 decimals deep, unreachable by accumulation noise.
     "q_agg_pricing" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .withColumn("qty_c", round(col("l_quantity") * 100).cast("long"))
+        .withColumn("price_c", round(col("l_extendedprice") * 100).cast("long"))
+        .withColumn("disc_c", round(col("l_discount") * 100).cast("long"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")) / 1000000.0, 2).as("sum_base_m"),
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 1000000.0, 2).as("sum_disc_m"),
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))) / 1000000.0, 2).as("sum_charge_m"),
-          round(avg(col("l_quantity")), 2).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 2).as("avg_price"),
-          round(avg(col("l_discount")), 2).as("avg_disc"),
+          r2(sum(col("qty_c")).cast("double") / 100.0 / count(lit(1))).as("avg_qty"),
+          r2(sum(col("price_c")).cast("double") / 100.0 / count(lit(1))).as("avg_price"),
+          r2(sum(col("disc_c")).cast("double") / 100.0 / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -155,8 +163,9 @@ object AggQueries extends QueryGroup {
         "round(sum(l_extendedprice) / 1000000.0, 2) AS sum_base_m, " +
         "round(sum(l_extendedprice * (1.0 - l_discount)) / 1000000.0, 2) AS sum_disc_m, " +
         "round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) / 1000000.0, 2) AS sum_charge_m, " +
-        "round(avg(l_quantity), 2) AS avg_qty, round(avg(l_extendedprice), 2) AS avg_price, " +
-        "round(avg(l_discount), 2) AS avg_disc, " +
+        "floor(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) * 100.0 + 0.5) / 100.0 AS avg_qty, " +
+        "floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) * 100.0 + 0.5) / 100.0 AS avg_price, " +
+        "floor(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) * 100.0 + 0.5) / 100.0 AS avg_disc, " +
         "count(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),

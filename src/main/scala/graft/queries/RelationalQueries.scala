@@ -62,12 +62,20 @@ object RelationalQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy("p_brand")),
 
+    // revenue computed in exact integer units (price-cents × discount
+    // percentage-points = 1e-4 dollars): the true per-group revenue is a
+    // 4dp decimal that ends in .xx50 for ~1% of groups, exactly where a
+    // double sum's accumulation noise makes round(x,2) engine-dependent
+    // (§7.3.13). Integer sums are order-free; ranking on the rounded
+    // value with the orderkey tiebreak keeps the top-10 cut stable.
     "q_join_3way_topk" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       c.join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .withColumn("rev_u", round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long")))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .agg(r2(sum(col("rev_u")).cast("double") / 10000.0).as("revenue"))
         .select(col("o_orderkey"), fmtDate(col("o_orderdate")).as("o_orderdate"), col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
@@ -213,7 +221,7 @@ object RelationalQueries extends QueryGroup {
     "q_join_broadcast" ->
       "SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand",
     "q_join_3way_topk" ->
-      "SELECT o_orderkey, strftime(od, '%Y-%m-%d') AS o_orderdate, revenue FROM (SELECT o_orderkey, o_orderdate AS od, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey, o_orderdate) t ORDER BY revenue DESC, o_orderkey LIMIT 10",
+      "SELECT o_orderkey, strftime(od, '%Y-%m-%d') AS o_orderdate, revenue FROM (SELECT o_orderkey, o_orderdate AS od, floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey, o_orderdate) t ORDER BY revenue DESC, o_orderkey LIMIT 10",
     "q_join_left" ->
       "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey LIMIT 100",
     "q_join_full" ->

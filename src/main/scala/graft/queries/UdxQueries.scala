@@ -28,24 +28,53 @@ object UdxQueries extends QueryGroup {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Exact-integer variant for the oracle-gated query: inputs are cents
+    * (price_c, qty_c), the buffer holds exact Long sums (order-free, so
+    * partial aggregation can't perturb the result), and finish divides
+    * once — the only float op, identical bits in both engines even when
+    * the numerator exceeds 2^53 (the same integer rounds to the same
+    * double everywhere). Result unit: price cents. */
+  object WeightedAvgExact extends Aggregator[(Long, Long), (Long, Long), Double] {
+    def zero: (Long, Long) = (0L, 0L)
+    def reduce(b: (Long, Long), in: (Long, Long)): (Long, Long) =
+      (b._1 + in._1 * in._2, b._2 + in._2)
+    def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(b: (Long, Long)): Double = if (b._2 == 0L) 0.0 else b._1.toDouble / b._2.toDouble
+    def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   val queries: Map[String, QFn] = Map(
+    // scalar UDF over exact integer micro-units (price-cents × discount
+    // points × tax points = 1e-6 dollars): the score's true value is a
+    // 6dp decimal, so double averaging could land on the half-grid where
+    // round() is engine-dependent (§7.3.13); Long arithmetic is exact and
+    // the single final division is bit-identical across engines.
     "q_udf_scalar" -> ((s, d) => {
-      s.udf.register("price_score",
-        (price: Double, disc: Double, tax: Double) => price * (1.0 - disc) * (1.0 + tax))
+      s.udf.register("price_score_u",
+        (priceC: Long, discP: Long, taxP: Long) => priceC * (100L - discP) * (100L + taxP))
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
-        .withColumn("score", expr("price_score(l_extendedprice, l_discount, l_tax)"))
+        .withColumn("price_c", round(col("l_extendedprice") * 100).cast("long"))
+        .withColumn("disc_p", round(col("l_discount") * 100).cast("long"))
+        .withColumn("tax_p", round(col("l_tax") * 100).cast("long"))
+        .withColumn("score_u", expr("price_score_u(price_c, disc_p, tax_p)"))
         .groupBy("p_brand")
-        .agg(round(avg(col("score")), 2).as("avg_score"), count(lit(1)).as("n"))
+        .agg(r2(sum(col("score_u")).cast("double") / count(lit(1)) / 1000000.0).as("avg_score"),
+          count(lit(1)).as("n"))
         .orderBy("p_brand")
     }),
 
     "q_udaf_weighted" -> ((s, d) => {
-      val wavg = udaf(WeightedAvg)
+      import s.implicits._
+      val wavg = udaf(WeightedAvgExact)
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .withColumn("price_c", round(col("l_extendedprice") * 100).cast("long"))
+        .withColumn("qty_c", round(col("l_quantity") * 100).cast("long"))
         .groupBy("p_brand")
-        .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 2).as("wavg_price"))
+        .agg(r2(wavg(col("price_c"), col("qty_c")) / 100.0).as("wavg_price"))
         .orderBy("p_brand")
     }),
 
@@ -82,11 +111,14 @@ object UdxQueries extends QueryGroup {
 
   val oracleSql: Map[String, String] = Map(
     "q_udf_scalar" ->
-      ("SELECT p_brand, round(avg(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS avg_score, " +
+      ("SELECT p_brand, floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) " +
+        "* (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) " +
+        "/ count(*) / 1000000.0 * 100.0 + 0.5) / 100.0 AS avg_score, " +
         "count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY p_brand ORDER BY p_brand"),
     "q_udaf_weighted" ->
-      ("SELECT p_brand, round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wavg_price " +
+      ("SELECT p_brand, floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) " +
+        "/ CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS wavg_price " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand"),
     "q_native_cosine" ->
       ("SELECT vec_id, floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
