@@ -50,25 +50,23 @@ object DedupQueries extends QueryGroup {
   private def toks(c: Column): Column =
     filter(split(lower(c), wsRegex), t => t =!= "")
 
-  /** Distinct (doc_id, sh) 3-gram shingle ROWS, relational form:
-    * posexplode tokens -> window leads -> concat. Fully codegen'd — the
-    * earlier HOF array form (transform over sequence with element_at)
-    * got its tokenizer inlined per element reference by CollapseProject
-    * and re-split every document ~500× (40s+ at sf0.1; this is ~1s).
-    * Docs with <3 tokens contribute one whole-text shingle (concat_ws
-    * skips the null leads), matching the oracle's CASE len<3 branch. */
+  /** Distinct (doc_id, sh) 3-gram shingle ROWS, shuffle-free form:
+    * zip three shifted slices of the token array and concat — pure
+    * map-side projection + explode (an earlier window-lead form paid a
+    * 900k-row shuffle+sort per consumer; the original element_at HOF
+    * form re-ran the tokenizer ~500× per doc via CollapseProject
+    * inlining, §7.3.11 — nested zip_with references the token array only
+    * ~7×, which is cheap). Docs with <3 tokens contribute one whole-text
+    * shingle, matching the oracle's CASE len<3 branch. */
   private def shingleRows(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val t = toks(col("text"))
+    val n2 = size(t) - 2
+    val grams = zip_with(
+      zip_with(slice(t, lit(1), n2), slice(t, lit(2), n2), (x, y) => concat(x, lit(" "), y)),
+      slice(t, lit(3), n2), (x, y) => concat(x, lit(" "), y))
+    val sh = when(size(t) >= 3, grams).otherwise(array(concat_ws(" ", t)))
     Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("l1", lead("tok", 1).over(w))
-      .withColumn("l2", lead("tok", 2).over(w))
-      .withColumn("n_tok", count(lit(1)).over(wAll))
-      .filter((col("n_tok") >= 3 && col("l2").isNotNull)
-        || (col("n_tok") < 3 && col("pos") === 0))
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("l1"), col("l2")).as("sh"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(sh)).as("sh"))
   }
 
   val queries: Map[String, QFn] = Map(
