@@ -69,14 +69,27 @@ object DedupQueries extends QueryGroup {
       .select(col("doc_id"), explode(array_distinct(sh)).as("sh"))
   }
 
+  /** same rows plus the per-doc distinct-shingle count, still map-side
+    * (no window/groupBy shuffle — the count rides along from the array) */
+  private def shingleRowsWithCount(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val n2 = size(t) - 2
+    val grams = zip_with(
+      zip_with(slice(t, lit(1), n2), slice(t, lit(2), n2), (x, y) => concat(x, lit(" "), y)),
+      slice(t, lit(3), n2), (x, y) => concat(x, lit(" "), y))
+    val sh = array_distinct(when(size(t) >= 3, grams).otherwise(array(concat_ws(" ", t))))
+    Tables.documents(s, d)
+      .select(col("doc_id"), sh.as("sha"))
+      .select(col("doc_id"), size(col("sha")).cast("long").as("nsh"), explode(col("sha")).as("sh"))
+  }
+
   val queries: Map[String, QFn] = Map(
     // ---- exact n-gram Jaccard via inverted shingle index (ORACLE) -------
     // Pairs sharing >= 1 shingle get exact jaccard = |A∩B| / (|A|+|B|-|A∩B|)
     // — all BIGINT until one final division, so Spark and DuckDB agree
     // bit-for-bit. Near-dup pairs = rounded jaccard >= 0.5.
     "q_dedup_ngram" -> ((s, d) => {
-      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      val inv = shingleRows(s, d).withColumn("nsh", count(lit(1)).over(wDoc))
+      val inv = shingleRowsWithCount(s, d)
       val a = inv.select(col("doc_id").as("d1"), col("nsh").as("n1"), col("sh").as("s"))
       val b = inv.select(col("doc_id").as("d2"), col("nsh").as("n2"), col("sh").as("s"))
       a.join(b, Seq("s")).filter(col("d1") < col("d2"))
