@@ -60,6 +60,46 @@ object AnnQueries extends QueryGroup {
         .orderBy("bucket_size")
     }),
 
+    // ---- LSH-bucketed kNN search: the actual scale path -----------------
+    // 4 independent 8-bit sign-LSH tables; candidates = vectors sharing a
+    // bucket in ANY table; exact rounded cosine scored on candidates only;
+    // top-3 per vector by (cosr desc, id2). On 100 TB this replaces the
+    // O(n²) pair join with O(n · bucket) — candidate generation is one
+    // explode + one short-key shuffle. (This corpus is isotropic random —
+    // no true near neighbors — so recall@exact is inherently low here;
+    // AnnSpec verifies candidate scoring correctness, locality, and
+    // determinism instead, and the output is golden-pinned.)
+    "q_ann_knn" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).withColumn("v", vecD(col("embedding")))
+        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      val nTables = 4
+      val bitsPerTable = 8
+      def bkey(tbl: Int): Column =
+        (0 until bitsPerTable)
+          .map(b => when(dot(col("v"), hp(tbl * bitsPerTable + b)) >= 0.0, 1L << b).otherwise(0L))
+          .reduce(_ + _) + lit(tbl.toLong * 65536L)
+      val banded = e.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until nTables).map(bkey): _*)).as("bkey"))
+      val buckets = banded.groupBy("bkey")
+        .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("docs"))
+        .filter(size(col("docs")).between(2, 256))
+      val cand = buckets
+        .select(explode(expr(
+          """filter(
+               flatten(transform(docs, a -> transform(docs, b ->
+                 named_struct('id1', a.vec_id, 'id2', b.vec_id,
+                              'cos', aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x) / (a.nrm * b.nrm))))),
+               p -> p.id1 != p.id2)""")).as("p"))
+        .select(col("p.id1").as("vec_id"), col("p.id2").as("v2"), r3(col("p.cos")).as("cos_sim"))
+        .groupBy("vec_id", "v2").agg(first("cos_sim").as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cos_sim").desc, col("v2"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("vec_id", "v2", "cos_sim")
+        .orderBy("vec_id", "v2")
+    }),
+
     // ---- IVF coarse quantization ---------------------------------------
     "q_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d).withColumn("v", vecD(col("embedding")))

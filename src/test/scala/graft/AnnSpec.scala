@@ -51,6 +51,28 @@ class AnnSpec extends SparkSpec {
       s"no locality: same-bucket avg cos ${stats(true)._1} <= cross-bucket ${stats(false)._1}")
   }
 
+  test("LSH-bucketed kNN: scores agree with the exact kernel, no self-pairs") {
+    val ann = AnnQueries.queries("q_ann_knn")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ann.nonEmpty)
+    assert(ann.keys.forall { case (a, b) => a != b }, "self-pair leaked")
+    // exact rounded cosine for the same pairs, from the oracle-verified
+    // brute-force kernel (covers both orientations)
+    val exact = graft.functions.CosineKernel
+      .pairsAbove(spark, Tables.embeddings(spark, sf0001), -1.0)
+      .collect().flatMap(r => Seq(
+        (r.getLong(0), r.getLong(1)) -> r.getDouble(2),
+        (r.getLong(1), r.getLong(0)) -> r.getDouble(2))).toMap
+    ann.foreach { case (pair, c) =>
+      assert(exact(pair) == c, s"pair $pair: ann $c vs exact ${exact(pair)}")
+    }
+  }
+
+  test("LSH-bucketed kNN is deterministic across runs") {
+    def run() = AnnQueries.queries("q_ann_knn")(spark, sf0001).collect().toSeq
+    assert(run() == run())
+  }
+
   test("brute-force kNN invariants: 5 neighbors per non-terminal vector, no self-pairs") {
     val knn = graft.queries.TextQueries.queries("q_sim_knn")(spark, sf0001).collect()
     assert(knn.forall(r => r.getLong(0) < r.getLong(1)), "pair ordering violated")

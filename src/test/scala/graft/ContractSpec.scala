@@ -13,12 +13,13 @@ class ContractSpec extends AnyFunSuite {
     "q_dedup_near",      // MinHash mixing not portably SQL-expressible
     "q_dedup_simhash",   // same
     "q_ann_lsh",         // sign bits of float dots not portable
+    "q_ann_knn",         // LSH-bucketed search — same reason
     "q_ann_ivf",         // argmax assignment not portable
   )
 
-  test("all 76 declared queries are present") {
-    assert(SparkEntry.queries.size == 76,
-      s"expected 76 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
+  test("all 77 declared queries are present") {
+    assert(SparkEntry.queries.size == 77,
+      s"expected 77 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
   }
 
   test("oracle coverage is exactly queries minus the declared NO-ORACLE set") {
