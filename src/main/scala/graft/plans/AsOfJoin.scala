@@ -46,7 +46,31 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
   override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(
       (left.output ++ right.output).filter(a => a.name == keyCol || a.name == timeCol))
-  override lazy val resolved: Boolean = childrenResolved
+  // The physical merge reads key/time via getLong — require both columns
+  // to exist and resolve to a type whose InternalRow storage IS a long
+  // (LongType, or TimestampType's micros) on BOTH sides, failing analysis
+  // otherwise (a silent getLong on e.g. a string column reads garbage).
+  // Nullability can't be required statically (parquet attrs are nullable
+  // by default); AsOfJoinExec instead throws on an actual null at runtime.
+  override lazy val resolved: Boolean = childrenResolved && {
+    def ok(side: LogicalPlan, name: String): Boolean =
+      side.output.find(_.name == name).exists(a =>
+        a.dataType == LongType ||
+          a.dataType == org.apache.spark.sql.types.TimestampType ||
+          a.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    val typesOk = ok(left, keyCol) && ok(right, keyCol) &&
+      ok(left, timeCol) && ok(right, timeCol)
+    if (!typesOk)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          (s"AsOfJoin requires LongType/TimestampType columns '$keyCol' and '$timeCol' on both sides; got " +
+            (left.output ++ right.output)
+              .filter(a => a.name == keyCol || a.name == timeCol)
+              .map(a => s"${a.name}:${a.dataType.simpleString}")
+              .mkString(", "))))
+    typesOk
+  }
   override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
 }
@@ -87,6 +111,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var lastMatch = 0L
       var haveMatch = false
       li.map { lrow =>
+        if (lrow.isNullAt(lKeyIdx) || lrow.isNullAt(lTimeIdx))
+          throw new IllegalStateException(
+            s"AsOfJoin: null $keyCol/$timeCol on the left side — filter nulls before joining")
         val k = lrow.getLong(lKeyIdx)
         val t = lrow.getLong(lTimeIdx)
         if (!haveKey || k != curKey) { curKey = k; haveKey = true; haveMatch = false }
@@ -94,6 +121,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         // rows of earlier keys are drained, monotone in (key, time)
         var advancing = true
         while (advancing && r.hasNext) {
+          if (r.head.isNullAt(rKeyIdx) || r.head.isNullAt(rTimeIdx))
+            throw new IllegalStateException(
+              s"AsOfJoin: null $keyCol/$timeCol on the right side — filter nulls before joining")
           val rk = r.head.getLong(rKeyIdx)
           val rt = r.head.getLong(rTimeIdx)
           if (rk < k || (rk == k && rt < t)) {

@@ -195,13 +195,16 @@ object DedupQueries extends QueryGroup {
 
     // ---- near-dup clustering: connected components (ORACLE) -------------
     // Pairs (exact 3-gram jaccard >= 0.5) -> components via iterative
-    // min-label propagation: each node repeatedly takes the minimum label
-    // among itself and its neighbors until fixpoint. Iteration count is
-    // bounded by component diameter (near-dup clusters are tiny); each
-    // round is one join + one aggregation, all shuffle-partitioned by
-    // node — the standard large-graph CC shape. Oracle: recursive CTE
-    // computing min reachable doc_id. Output: one row per cluster
-    // (root, size), so the survivor set = roots.
+    // min-label propagation accelerated with pointer doubling: each round
+    // a node takes the min label among itself and its neighbors, then
+    // chases one hop through the label table (label of my label), so
+    // convergence is O(log diameter) rounds instead of O(diameter); each
+    // round is two joins + one aggregation, all shuffle-partitioned by
+    // node — the standard large-graph CC shape. Runs to FIXPOINT (throws
+    // if the safety bound is hit — a silent early exit would diverge from
+    // the oracle on long chains). Oracle: recursive CTE computing min
+    // reachable doc_id. Output: one row per cluster (root, size), so the
+    // survivor set = roots.
     "q_dedup_clusters" -> ((s, d) => {
       // materialize the (small) thresholded pair set once; the iteration
       // then runs on a handful of partitions — the near-dup graph after
@@ -218,20 +221,29 @@ object DedupQueries extends QueryGroup {
       val cached = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 20) {
+      val maxRounds = 64 // 2^64 exceeds any component diameter under doubling
+      while (!converged && rounds < maxRounds) {
         val neighborMin = edges
-          .join(labels.withColumnRenamed("node", "d2"), "d2")
-          .groupBy(col("d1").as("node")).agg(min("label").as("nbr_label"))
-        val next = labels.join(neighborMin, Seq("node"), "left")
-          .select(col("node"),
+          .join(labels.select(col("node").as("d2"), col("label").as("nlabel")), "d2")
+          .groupBy(col("d1").as("node")).agg(min("nlabel").as("nbr_label"))
+        val stepped = labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"), col("label").as("old"),
             least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        // pointer doubling: replace my label with its own (smaller) label
+        val next = stepped.as("a")
+          .join(stepped.select(col("node").as("ln"), col("label").as("llabel")),
+            col("a.label") === col("ln"), "left")
+          .select(col("a.node").as("node"), col("a.old").as("old"),
+            least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
           .cache()
-        converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-          .filter(col("label") =!= col("old")).isEmpty
+        converged = next.filter(col("label") =!= col("old")).isEmpty
         cached += next
-        labels = next
+        labels = next.select("node", "label")
         rounds += 1
       }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected-components failed to converge in $maxRounds doubling rounds")
       // materialize the final labels, then release every intermediate
       // cache — leaked cached blocks pressure the block manager for the
       // rest of a multi-query session

@@ -27,8 +27,12 @@ object MultimodalQueries extends QueryGroup {
           col("doc_id").as("id"),
           length(col("media")).cast("long").as("n_bytes"),
           md5(col("media")).as("content_md5"),
-          // magic-byte sniff (real pipelines: 0x89PNG, 0xFFD8 JPEG, ...)
-          substring(base64(substring(col("media"), 1, 3)), 1, 4).as("magic_b64")))
+          // magic-byte sniff (real pipelines: 0x89PNG, 0xFFD8 JPEG, ...).
+          // The blob here derives from text, and DuckDB cannot slice a
+          // BLOB — so both engines slice the first 3 CHARACTERS and
+          // encode, which is byte-identical for any UTF-8 corpus (a raw
+          // byte slice would diverge from the oracle on non-ASCII text).
+          substring(base64(encode(substring(col("text"), 1, 3), "UTF-8")), 1, 4).as("magic_b64")))
         .groupBy("source")
         .agg(count(lit(1)).as("n_media"),
           sum(col("media_meta.n_bytes")).as("total_bytes"),

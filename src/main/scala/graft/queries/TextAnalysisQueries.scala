@@ -136,7 +136,7 @@ object TextAnalysisQueries extends QueryGroup {
     "q_lang_id" ->
       ("WITH t AS (SELECT lang, " + oracleToks + " AS t FROM documents), " +
         "sc AS (SELECT lang, " + oracleHits(enStops) + " AS s_en, " + oracleHits(frStops) + " AS s_fr, " +
-        oracleHits(deStops) + " AS s_de FROM t), " +
+        oracleHits(deStops) + " AS s_de FROM t WHERE len(t) > 0), " +
         "p AS (SELECT lang, CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en' " +
         "WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred FROM sc) " +
         "SELECT lang, pred, count(*) AS n FROM p GROUP BY lang, pred ORDER BY lang, pred"),
