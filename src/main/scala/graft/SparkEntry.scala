@@ -22,6 +22,7 @@ object SparkEntry {
     TextAnalysisQueries,
     AnnQueries,
     MultimodalQueries,
+    VectorQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

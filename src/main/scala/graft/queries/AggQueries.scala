@@ -105,6 +105,19 @@ object AggQueries extends QueryGroup {
           count(lit(1)).as("n"))
         .orderBy("c_mktsegment")),
 
+    // fixed-width histogram: bucket = min(floor(price/50k), 10) — exact
+    // integer bucketing of identical-bit doubles, so both engines bin
+    // identically; min/max per bucket are order-free exact selections.
+    "q_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(least(floor(col("o_totalprice") / lit(50000.0)), lit(10L)).cast("long").as("bucket"),
+          col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          r2(min(col("o_totalprice"))).as("min_price"),
+          r2(max(col("o_totalprice"))).as("max_price"))
+        .orderBy("bucket")),
+
     // exact interpolating percentile (SortAggregate) <-> DuckDB quantile_cont
     "q_agg_percentile" -> ((s, d) =>
       Tables.orders(s, d)
@@ -195,6 +208,11 @@ object AggQueries extends QueryGroup {
         "round(corr(c_acctbal, o_totalprice), 3) AS corr_bal_price, count(*) AS n " +
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q_histogram" ->
+      ("SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 10) AS bucket, count(*) AS n_orders, " +
+        "floor(min(o_totalprice) * 100.0 + 0.5) / 100.0 AS min_price, " +
+        "floor(max(o_totalprice) * 100.0 + 0.5) / 100.0 AS max_price " +
+        "FROM orders GROUP BY 1 ORDER BY bucket"),
     "q_agg_percentile" ->
       "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS p50, round(quantile_cont(o_totalprice, 0.9), 2) AS p90 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "q_pivot" ->

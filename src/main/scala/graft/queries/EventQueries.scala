@@ -81,6 +81,29 @@ object EventQueries extends QueryGroup {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
         .select(fmtTs(col("w.start")).as("window_start"), col("n"), col("sum_val"))
         .orderBy("window_start")),
+
+    // ordered event funnel: users who viewed, then clicked strictly after
+    // their first view, then purchased strictly after that first
+    // qualifying click. Each stage is one aggregation + one join, all
+    // hash-partitioned on user_id — Spark reuses the partitioning across
+    // stages (no extra shuffle), the standard distributed funnel shape.
+    // Pure integer counts on truncated-µs timestamps -> exact oracle.
+    "q_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("mv"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("mv"))
+        .groupBy("user_id").agg(min("ts").as("mc"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("mc"))
+        .groupBy("user_id").agg(min("ts").as("mp"))
+      v.select(lit("1_view").as("stage"), col("user_id"))
+        .unionAll(c.select(lit("2_click").as("stage"), col("user_id")))
+        .unionAll(p.select(lit("3_purchase").as("stage"), col("user_id")))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -117,5 +140,16 @@ object EventQueries extends QueryGroup {
         "x AS (SELECT b15 - (INTERVAL '15 minutes' * k) AS ws, value FROM e, (SELECT unnest([0, 1, 2, 3]) AS k) ks) " +
         "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n, round(sum(value), 2) AS sum_val " +
         "FROM x GROUP BY ws ORDER BY window_start"),
+    "q_funnel" ->
+      ("WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "v AS (SELECT user_id, min(ts) AS mv FROM ev WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, min(e.ts) AS mc FROM ev e JOIN v ON e.user_id = v.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts > v.mv GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS mp FROM ev e JOIN c ON e.user_id = c.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > c.mc GROUP BY e.user_id), " +
+        "u AS (SELECT '1_view' AS stage, user_id FROM v " +
+        "UNION ALL SELECT '2_click', user_id FROM c " +
+        "UNION ALL SELECT '3_purchase', user_id FROM p) " +
+        "SELECT stage, count(*) AS n_users FROM u GROUP BY stage ORDER BY stage"),
   )
 }

@@ -110,6 +110,30 @@ object RelationalQueries extends QueryGroup {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    // range join against an interval dimension. The predicate
+    // o_orderdate ∈ [m_start, m_start + 1 month) is interval-ALIGNED, so
+    // the scale path rewrites it to a broadcast EQUI-join on the derived
+    // month key — Catalyst plans BroadcastHashJoin instead of the
+    // O(rows × intervals) BroadcastNestedLoopJoin a raw BETWEEN predicate
+    // would get. (Non-aligned intervals generalize the same way: bucket
+    // both sides to a coarse grid, equi-join on the bucket, re-check the
+    // residual range predicate.) Oracle states the BETWEEN form directly,
+    // proving the rewrite exact.
+    "q_join_range" -> ((s, d) => {
+      val dim = s.range(1).select(explode(expr(
+        "sequence(timestamp'1995-01-01 00:00:00', timestamp'2001-08-01 00:00:00', interval 1 month)"))
+        .as("m_start"))
+      Tables.orders(s, d)
+        .join(broadcast(dim), date_trunc("MONTH", col("o_orderdate")) === col("m_start"))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy("m_start")
+        .agg(count(lit(1)).as("n_orders"),
+          r2(sum(col("cents")).cast("double") / 100000000.0).as("sum_price_m"))
+        .select(date_format(col("m_start"), "yyyy-MM").as("month"),
+          col("n_orders"), col("sum_price_m"))
+        .orderBy("month")
+    }),
+
     "q_join_theta" -> ((s, d) =>
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d),
@@ -230,6 +254,12 @@ object RelationalQueries extends QueryGroup {
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995) ORDER BY c_custkey",
     "q_join_anti" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "q_join_range" ->
+      ("WITH dim AS (SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01', INTERVAL 1 MONTH)) AS m_start) " +
+        "SELECT strftime(m_start, '%Y-%m') AS month, count(*) AS n_orders, " +
+        "floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100000000.0 * 100.0 + 0.5) / 100.0 AS sum_price_m " +
+        "FROM orders JOIN dim ON o_orderdate >= m_start AND o_orderdate < m_start + INTERVAL 1 MONTH " +
+        "GROUP BY m_start ORDER BY month"),
     "q_join_theta" ->
       "SELECT l_returnflag, count(*) AS n_items, round(sum(l_extendedprice) / 1000000.0, 2) AS sum_price_m FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate + INTERVAL 90 DAY GROUP BY l_returnflag ORDER BY l_returnflag",
     "q_join_cross" ->

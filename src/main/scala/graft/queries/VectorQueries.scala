@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.13 (round-3) — vector/embedding operators beyond search:
+  * the compression + partitioning primitives a 100 TB embedding store
+  * needs (reference tree is empty — /root/reference/README.md:1;
+  * semantics follow standard vector-quantization practice).
+  *
+  *   - q_vec_quantize   int8 symmetric scalar quantization (scale =
+  *                      max|x|/127 per vector) with exact reconstruction-
+  *                      error accounting (ORACLE).
+  *   - q_kmeans_assign  one assignment step of k-means in cosine space:
+  *                      8 deterministic data-derived centroids (lowest
+  *                      vec_ids) broadcast to every vector, argmax by
+  *                      (rounded cosine desc, centroid id) (ORACLE —
+  *                      unlike q_ann_ivf's argmax-of-raw-floats, ranking
+  *                      on the ROUNDED cosine with an integer tiebreak is
+  *                      portably SQL-expressible).
+  *
+  * Float discipline (§7.3.13): per-vector errors/cosines are reduced to
+  * exact integers (floor(x·grid + 0.5) on identical-bit doubles) BEFORE
+  * the cross-engine-sensitive aggregation; averages are then a single
+  * division of identical BIGINTs, so the final r3 sees identical bits.
+  *
+  * Scale design (100 TB): quantization is pure map-side work (one pass,
+  * no shuffle — the shape that matters when the embedding table is the
+  * 100 TB table). Assignment is a broadcast of k·dim doubles + one
+  * codegen'd cosine (graft_cosine) per (vector, centroid), then a
+  * per-vector top-1 — the exact pattern of a distributed k-means step;
+  * the only shuffle is the final k-row aggregation.
+  */
+object VectorQueries extends QueryGroup {
+
+  private val K = 8 // centroids for the assignment step
+
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  val queries: Map[String, QFn] = Map(
+    // ---- int8 symmetric scalar quantization + reconstruction error ------
+    "q_vec_quantize" -> ((s, d) => {
+      val v = vecD(col("embedding"))
+      val amax = array_max(transform(v, x => abs(x)))
+      val scale = amax / lit(127.0)
+      // q_i = floor(x/scale + 0.5); err = x - q_i*scale; both folds are
+      // left-to-right double accumulation (Spark aggregate == DuckDB
+      // list_reduce element order)
+      val sse = aggregate(v, lit(0.0), (acc, x) => {
+        val q = floor(x / scale + lit(0.5))
+        val e = x - q * scale
+        acc + e * e
+      })
+      val nrm2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+      val rel = when(amax === 0.0, lit(0.0)).otherwise(sqrt(sse) / sqrt(nrm2))
+      Tables.embeddings(s, d)
+        .select(col("label"), floor(rel * lit(100000.0) + lit(0.5)).cast("long").as("err_5dp"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("err_5dp")).as("sum_err_5dp"))
+        .withColumn("avg_rel_err",
+          r3(col("sum_err_5dp").cast("double") / (col("n_vecs") * lit(100000.0)).cast("double")))
+        .select(col("label").cast("int").as("label"), col("n_vecs"), col("sum_err_5dp"), col("avg_rel_err"))
+        .orderBy("label")
+    }),
+
+    // ---- k-means assignment step over broadcast centroids ---------------
+    "q_kmeans_assign" -> ((s, d) => {
+      graft.functions.ArrayCosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
+      val cent = Tables.embeddings(s, d).filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), vecD(col("embedding")).as("cv"))
+      val scored = e.join(broadcast(cent))
+        .select(col("vec_id"), col("cid"), r3(expr("graft_cosine(v, cv)")).as("cosr"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cosr").desc, col("cid"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        // exact integers before the order-sensitive aggregation (§7.3.13)
+        .select(col("cid"), floor(col("cosr") * lit(1000.0) + lit(0.5)).cast("long").as("cos_3dp"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_assigned"), sum(col("cos_3dp")).as("sum_cos_3dp"))
+        .withColumn("avg_cos",
+          r3(col("sum_cos_3dp").cast("double") / (col("n_assigned") * lit(1000.0)).cast("double")))
+        .select(col("cid"), col("n_assigned"), col("sum_cos_3dp"), col("avg_cos"))
+        .orderBy("cid")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_vec_quantize" ->
+      ("WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "sc AS (SELECT label, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, " +
+        "list_max(list_transform(v, x -> abs(x))) AS amax FROM v), " +
+        "e AS (SELECT label, CASE WHEN amax = 0 THEN 0.0 ELSE " +
+        "sqrt(list_reduce(list_transform(v, x -> (x - floor(x / scale + 0.5) * scale) * (x - floor(x / scale + 0.5) * scale)), (acc, x) -> acc + x)) / " +
+        "sqrt(list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x)) END AS rel FROM sc), " +
+        "m AS (SELECT label, CAST(floor(rel * 100000.0 + 0.5) AS BIGINT) AS err FROM e) " +
+        "SELECT CAST(label AS INT) AS label, count(*) AS n_vecs, CAST(sum(err) AS BIGINT) AS sum_err_5dp, " +
+        "floor(CAST(sum(err) AS DOUBLE) / (count(*) * 100000.0) * 1000.0 + 0.5) / 1000.0 AS avg_rel_err " +
+        "FROM m GROUP BY label ORDER BY label"),
+    "q_kmeans_assign" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < $K), " +
+        "s AS (SELECT vec_id, cid, floor(list_cosine_similarity(v, cv) * 1000.0 + 0.5) / 1000.0 AS cosr FROM v CROSS JOIN c), " +
+        "a AS (SELECT vec_id, cid, cosr, row_number() OVER (PARTITION BY vec_id ORDER BY cosr DESC, cid) AS rn FROM s), " +
+        "m AS (SELECT cid, CAST(floor(cosr * 1000.0 + 0.5) AS BIGINT) AS c3 FROM a WHERE rn = 1) " +
+        "SELECT cid, count(*) AS n_assigned, CAST(sum(c3) AS BIGINT) AS sum_cos_3dp, " +
+        "floor(CAST(sum(c3) AS DOUBLE) / (count(*) * 1000.0) * 1000.0 + 0.5) / 1000.0 AS avg_cos " +
+        "FROM m GROUP BY cid ORDER BY cid"),
+  )
+}

@@ -45,4 +45,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"kNN fell back to a pair join:\n$p")
   }
+
+  test("q_join_range plans the aligned range join as a broadcast EQUI-join") {
+    val p = plan("q_join_range")
+    assert(p.contains("BroadcastHashJoin"),
+      s"range join did not rewrite to an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a nested-loop compare:\n$p")
+  }
+
+  test("q_vec_quantize is map-side work: exactly one shuffle (final k-row agg)") {
+    val p = plan("q_vec_quantize")
+    assert("Exchange".r.findAllIn(p).size <= 2, // partial->final agg + tiny sort
+      s"quantization shuffles more than the final aggregation:\n$p")
+    assert(!p.contains("Join"), s"quantization should not join:\n$p")
+  }
 }
