@@ -50,28 +50,20 @@ object DedupQueries extends QueryGroup {
   private def toks(c: Column): Column =
     filter(split(lower(c), wsRegex), t => t =!= "")
 
-  /** Distinct (doc_id, sh) 3-gram shingle ROWS, shuffle-free form:
-    * zip three shifted slices of the token array and concat — pure
-    * map-side projection + explode (an earlier window-lead form paid a
-    * 900k-row shuffle+sort per consumer; the original element_at HOF
-    * form re-ran the tokenizer ~500× per doc via CollapseProject
-    * inlining, §7.3.11 — nested zip_with references the token array only
-    * ~7×, which is cheap). Docs with <3 tokens contribute one whole-text
-    * shingle, matching the oracle's CASE len<3 branch. */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
-    val t = toks(col("text"))
-    val n2 = size(t) - 2
-    val grams = zip_with(
-      zip_with(slice(t, lit(1), n2), slice(t, lit(2), n2), (x, y) => concat(x, lit(" "), y)),
-      slice(t, lit(3), n2), (x, y) => concat(x, lit(" "), y))
-    val sh = when(size(t) >= 3, grams).otherwise(array(concat_ws(" ", t)))
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(sh)).as("sh"))
-  }
-
-  /** same rows plus the per-doc distinct-shingle count, still map-side
-    * (no window/groupBy shuffle — the count rides along from the array) */
-  private def shingleRowsWithCount(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, sha = distinct 3-gram shingle array), MATERIALIZED once via
+    * eager localCheckpoint. The shingle expression is a shuffle-free
+    * zip of three shifted token-array slices (an earlier window-lead form
+    * paid a 900k-row shuffle+sort per consumer; the element_at HOF form
+    * re-ran the tokenizer ~500× per doc via CollapseProject inlining,
+    * §7.3.11). The checkpoint is the critical piece: without it,
+    * InferFiltersFromGenerate + CollapseProject inline the FULL
+    * tokenize+shingle expression ~21× per row into the Generate's
+    * inferred filter — and TWICE over for a self-join's two branches
+    * (measured 5.2s at sf0.1; materialized: sub-second). At 100 TB this
+    * materialization IS the inverted index build — the artifact a real
+    * dedup pipeline persists anyway. Docs with <3 tokens contribute one
+    * whole-text shingle, matching the oracle's CASE len<3 branch. */
+  private def shingleArrays(s: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
     val n2 = size(t) - 2
     val grams = zip_with(
@@ -80,8 +72,19 @@ object DedupQueries extends QueryGroup {
     val sh = array_distinct(when(size(t) >= 3, grams).otherwise(array(concat_ws(" ", t))))
     Tables.documents(s, d)
       .select(col("doc_id"), sh.as("sha"))
-      .select(col("doc_id"), size(col("sha")).cast("long").as("nsh"), explode(col("sha")).as("sh"))
+      .localCheckpoint(true)
   }
+
+  /** Distinct (doc_id, sh) shingle rows — explode over the materialized
+    * array column (cheap attribute reference, no expression inlining). */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    shingleArrays(s, d).select(col("doc_id"), explode(col("sha")).as("sh"))
+
+  /** same rows plus the per-doc distinct-shingle count, which rides along
+    * from the materialized array — no window/groupBy shuffle */
+  private def shingleRowsWithCount(s: SparkSession, d: String): DataFrame =
+    shingleArrays(s, d)
+      .select(col("doc_id"), size(col("sha")).cast("long").as("nsh"), explode(col("sha")).as("sh"))
 
   val queries: Map[String, QFn] = Map(
     // ---- exact n-gram Jaccard via inverted shingle index (ORACLE) -------
@@ -194,67 +197,102 @@ object DedupQueries extends QueryGroup {
       graft.functions.CosineKernel.pairsAbove(s, Tables.embeddings(s, d), 0.4)),
 
     // ---- near-dup clustering: connected components (ORACLE) -------------
-    // Pairs (exact 3-gram jaccard >= 0.5) -> components via iterative
-    // min-label propagation accelerated with pointer doubling: each round
-    // a node takes the min label among itself and its neighbors, then
-    // chases one hop through the label table (label of my label), so
-    // convergence is O(log diameter) rounds instead of O(diameter); each
-    // round is two joins + one aggregation, all shuffle-partitioned by
-    // node — the standard large-graph CC shape. Runs to FIXPOINT (throws
-    // if the safety bound is hit — a silent early exit would diverge from
-    // the oracle on long chains). Oracle: recursive CTE computing min
-    // reachable doc_id. Output: one row per cluster (root, size), so the
-    // survivor set = roots.
+    // Pairs (exact 3-gram jaccard >= 0.5) -> components, TIERED by edge
+    // count — the two-phase shape every production dedup pipeline uses:
+    // candidate generation is the genuinely huge distributed stage, but
+    // the thresholded edge graph it emits is orders of magnitude smaller
+    // than the corpus.
+    //   - small graph (≲10M edges, the overwhelmingly common case): one
+    //     executor task runs union-find with path compression over the
+    //     edge list (mapPartitions after coalesce(1) — executor-side, NOT
+    //     a driver collect); min-root unions make each component's root
+    //     its minimum doc_id.
+    //   - large graph: distributed min-label propagation with pointer
+    //     doubling (label-of-my-label chase), O(log diameter) rounds of
+    //     node-partitioned joins, run to FIXPOINT (throws at the safety
+    //     bound — a silent early exit would diverge from the oracle on
+    //     long chains).
+    // Both paths produce identical output: one row per cluster
+    // (root = min reachable doc_id, size). Oracle: recursive CTE.
     "q_dedup_clusters" -> ((s, d) => {
-      // materialize the (small) thresholded pair set once; the iteration
-      // then runs on a handful of partitions — the near-dup graph after
-      // jaccard >= 0.5 thresholding is orders of magnitude smaller than
-      // the corpus (at true web scale, keep it key-partitioned instead)
       val pairs = queries("q_dedup_ngram")(s, d).select("d1", "d2")
         .coalesce(4).localCheckpoint(eager = true)
-      // undirected edge list + self-loops keep isolated propagation stable
-      val edges = pairs
-        .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-        .cache()
-      var labels = edges.select(col("d1").as("node")).distinct()
-        .withColumn("label", col("node"))
-      val cached = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
-      var converged = false
-      var rounds = 0
-      val maxRounds = 64 // 2^64 exceeds any component diameter under doubling
-      while (!converged && rounds < maxRounds) {
-        val neighborMin = edges
-          .join(labels.select(col("node").as("d2"), col("label").as("nlabel")), "d2")
-          .groupBy(col("d1").as("node")).agg(min("nlabel").as("nbr_label"))
-        val stepped = labels.join(neighborMin, Seq("node"), "left")
-          .select(col("node"), col("label").as("old"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        // pointer doubling: replace my label with its own (smaller) label
-        val next = stepped.as("a")
-          .join(stepped.select(col("node").as("ln"), col("label").as("llabel")),
-            col("a.label") === col("ln"), "left")
-          .select(col("a.node").as("node"), col("a.old").as("old"),
-            least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
-          .cache()
-        converged = next.filter(col("label") =!= col("old")).isEmpty
-        cached += next
-        labels = next.select("node", "label")
-        rounds += 1
-      }
-      if (!converged)
-        throw new IllegalStateException(
-          s"connected-components failed to converge in $maxRounds doubling rounds")
-      // materialize the final labels, then release every intermediate
-      // cache — leaked cached blocks pressure the block manager for the
-      // rest of a multi-query session
-      val result = labels.groupBy(col("label").as("cluster_root"))
+      val labels =
+        if (pairs.count() <= 10000000L) unionFindLabels(s, pairs)
+        else doublingLabels(s, pairs)
+      labels.groupBy(col("label").as("cluster_root"))
         .agg(count(lit(1)).as("cluster_size"))
         .orderBy("cluster_root")
-        .localCheckpoint(eager = true)
-      cached.foreach(_.unpersist(blocking = false))
-      result
     }),
   )
+
+  /** Partition-local union-find over a small edge list: (node, label =
+    * min doc_id of its component). Runs inside ONE executor task. */
+  private[graft] def unionFindLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    pairs.coalesce(1).as[(Long, Long)].mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // min-root union: the smaller root stays a root, so by induction
+        // every component's final root is its minimum member
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keysIterator.map(n => (n, find(n)))
+    }.toDF("node", "label")
+  }
+
+  /** Distributed CC for edge sets too large for one task: min-label
+    * propagation + pointer doubling, O(log diameter) rounds. */
+  private[graft] def doublingLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+    // undirected edge list + self-loops keep isolated propagation stable
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .cache()
+    var labels = edges.select(col("d1").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
+    var converged = false
+    var rounds = 0
+    val maxRounds = 64 // 2^64 exceeds any component diameter under doubling
+    while (!converged && rounds < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("d2"), col("label").as("nlabel")), "d2")
+        .groupBy(col("d1").as("node")).agg(min("nlabel").as("nbr_label"))
+      val stepped = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer doubling: replace my label with its own (smaller) label
+      val next = stepped.as("a")
+        .join(stepped.select(col("node").as("ln"), col("label").as("llabel")),
+          col("a.label") === col("ln"), "left")
+        .select(col("a.node").as("node"), col("a.old").as("old"),
+          least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
+        .cache()
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      cached += next
+      labels = next.select("node", "label")
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected-components failed to converge in $maxRounds doubling rounds")
+    // materialize the final labels, then release every intermediate
+    // cache — leaked cached blocks pressure the block manager for the
+    // rest of a multi-query session
+    val result = labels.localCheckpoint(eager = true)
+    cached.foreach(_.unpersist(blocking = false))
+    result
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_ngram" ->

@@ -65,4 +65,15 @@ class DedupSpec extends SparkSpec {
     assert(survivors <= total)
     assert(survivors > 0)
   }
+
+  test("CC tiers agree: union-find (small path) == doubling loop (scale path)") {
+    val p = graft.queries.DedupQueries.queries("q_dedup_ngram")(spark, sf001)
+      .select("d1", "d2").localCheckpoint(true)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val uf = norm(graft.queries.DedupQueries.unionFindLabels(spark, p))
+    val dl = norm(graft.queries.DedupQueries.doublingLabels(spark, p))
+    assert(uf.nonEmpty)
+    assert(uf == dl, s"tier divergence: uf=${uf.take(5)} dl=${dl.take(5)}")
+  }
 }
