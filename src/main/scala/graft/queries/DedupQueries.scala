@@ -224,6 +224,33 @@ object DedupQueries extends QueryGroup {
         .agg(count(lit(1)).as("cluster_size"))
         .orderBy("cluster_root")
     }),
+
+    // ---- bloom-filter incremental dedup (ORACLE) ------------------------
+    // The incremental-batch shape: an existing corpus (even doc_ids) vs a
+    // new batch (odd doc_ids). A Bloom filter over the corpus' prefix
+    // fingerprints is built distributed (per-partition sketches merged —
+    // df.stat.bloomFilter is Spark's treeAggregate under the hood) and
+    // broadcast to prune the batch BEFORE the shuffle: only might-contain
+    // rows reach the exact confirm join. At 100 TB the corpus-side join
+    // input is the dominant cost and the bloom cuts the batch side to
+    // ~(dup_rate + fpp) of its size — the same pattern as Spark's own
+    // runtime-filter pushdown, made explicit. False positives are then
+    // eliminated by an exact LEFT SEMI join, so the result is exact and
+    // oracle-checkable: per-source count of batch docs whose fingerprint
+    // already exists in the corpus.
+    "q_dedup_bloom" -> ((s, d) => {
+      val fp = concat_ws(" ", slice(toks(col("text")), 1, 5))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), fp.as("fp"))
+      val corpus = docs.filter(col("doc_id") % 2 === 0).select("fp")
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val bloom = corpus.stat.bloomFilter("fp", math.max(corpus.count(), 1L), 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((x: String) => x != null && bc.value.mightContain(x))
+      batch.filter(mightContain(col("fp")))
+        .join(corpus, Seq("fp"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("n_dup"))
+        .orderBy("source")
+    }),
   )
 
   /** Partition-local union-find over a small edge list: (node, label =
@@ -329,5 +356,14 @@ object DedupQueries extends QueryGroup {
         "floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000.0 + 0.5) / 1000.0 AS cosr " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
         "SELECT id1, id2, cosr AS cos_sim FROM p WHERE cosr >= 0.4 ORDER BY id1, id2"),
+    "q_dedup_bloom" ->
+      ("WITH f AS (SELECT doc_id, source, array_to_string(list_slice(" +
+        "list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> ''), 1, 5), ' ') AS fp " +
+        "FROM documents), " +
+        "c AS (SELECT fp FROM f WHERE doc_id % 2 = 0), " +
+        "b AS (SELECT * FROM f WHERE doc_id % 2 = 1) " +
+        "SELECT source, count(*) AS n_dup FROM b " +
+        "WHERE EXISTS (SELECT 1 FROM c WHERE c.fp = b.fp) " +
+        "GROUP BY source ORDER BY source"),
   )
 }

@@ -104,6 +104,28 @@ object EventQueries extends QueryGroup {
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
     }),
+
+    // schema-enforced JSON parse: serialize a nested record per event
+    // (to_json), parse it back through an EXPLICIT DDL schema (from_json
+    // with nested STRUCT — the production shape for semi-structured
+    // ingestion, where a declared schema turns JSON into columnar data
+    // Catalyst can prune/push down, vs. get_json_object's per-path
+    // string probing). Jackson's double serialization round-trips
+    // bit-exactly, so aggregates over parsed fields must equal aggregates
+    // over the source columns — which is exactly what the oracle checks.
+    // Aggregates chosen order-free (count / integer sum / max) so
+    // accumulation order can't shift a rounding boundary.
+    "q_json_schema" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(to_json(struct(
+          struct(col("event_type").as("t"), col("value").as("v")).as("m"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))).as("j"))
+        .select(from_json(col("j"), "m STRUCT<t: STRING, v: DOUBLE>, k BIGINT",
+          Map.empty[String, String]).as("p"))
+        .groupBy(col("p.m.t").as("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("p.k")).as("sum_k"),
+          r2(max(col("p.m.v"))).as("max_v"))
+        .orderBy("event_type")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -151,5 +173,10 @@ object EventQueries extends QueryGroup {
         "UNION ALL SELECT '2_click', user_id FROM c " +
         "UNION ALL SELECT '3_purchase', user_id FROM p) " +
         "SELECT stage, count(*) AS n_users FROM u GROUP BY stage ORDER BY stage"),
+    "q_json_schema" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "floor(max(value) * 100.0 + 0.5) / 100.0 AS max_v " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
   )
 }

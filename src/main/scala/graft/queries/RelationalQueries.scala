@@ -229,6 +229,28 @@ object RelationalQueries extends QueryGroup {
       val b = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
       a.except(b).orderBy("o_custkey")
     }),
+
+    // ---- §2.1 partitioned sink round-trip --------------------------------
+    // Hive-style partitioned parquet write (the layout a 100 TB pipeline
+    // ships downstream: one directory per partition value, so consumers
+    // prune at the directory level), then a read-back that PROVES the
+    // pruning: the filter on the partition column becomes PartitionFilters
+    // in the scan — zero non-'O' files are opened. The aggregate is exact
+    // integer cents. Oracle reads the original table: a lossless
+    // round-trip must give identical results.
+    "q_sink_partitioned" -> ((s, d) => {
+      val out = s"/tmp/graft_sink_${Integer.toHexString(d.hashCode)}/orders_by_status"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_orderstatus") === "O")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -287,5 +309,9 @@ object RelationalQueries extends QueryGroup {
       "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 INTERSECT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 ORDER BY o_custkey",
     "q_except" ->
       "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 ORDER BY o_custkey",
+    "q_sink_partitioned" ->
+      ("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority ORDER BY o_orderpriority"),
   )
 }

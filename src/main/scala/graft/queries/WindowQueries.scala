@@ -126,6 +126,27 @@ object WindowQueries extends QueryGroup {
           r2((sum(col("span_us")).cast("double") / count(lit(1))) / 1000000.0).as("avg_span_sec"))
         .orderBy("user_id")
     }),
+
+    // Pareto / concentration curve: within each order status, the running
+    // revenue share of the top-N orders (running sum over one window ÷
+    // partition total over a second frame of the SAME window partition —
+    // one shuffle, two frames). All arithmetic is exact integer cents
+    // until the single final division of identical bigints, so the
+    // engine-independent floor-rounding (r3) is bit-safe.
+    "q_win_cumshare" -> ((s, d) => {
+      val ord = Window.partitionBy("o_orderstatus").orderBy(col("cents").desc, col("o_orderkey"))
+      val wRun = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("run_c", sum(col("cents")).over(wRun))
+        .withColumn("tot_c", sum(col("cents")).over(wAll))
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .filter(col("rn") <= 100)
+        .select(col("o_orderstatus"), col("rn"), col("o_orderkey"),
+          r3(col("run_c").cast("double") / col("tot_c").cast("double")).as("cum_share"))
+        .orderBy("o_orderstatus", "rn")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -184,5 +205,15 @@ object WindowQueries extends QueryGroup {
         "floor(CAST(sum(n_events) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS events_per_session, " +
         "floor((CAST(sum(span_us) AS DOUBLE) / count(*)) / 1000000.0 * 100.0 + 0.5) / 100.0 AS avg_span_sec " +
         "FROM per_session GROUP BY user_id ORDER BY user_id"),
+    "q_win_cumshare" ->
+      ("SELECT o_orderstatus, rn, o_orderkey, " +
+        "floor(CAST(run_c AS DOUBLE) / CAST(tot_c AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS cum_share FROM (" +
+        "SELECT o_orderstatus, o_orderkey, " +
+        "CAST(row_number() OVER w AS BIGINT) AS rn, " +
+        "sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_c, " +
+        "sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tot_c " +
+        "FROM (SELECT o_orderstatus, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) t " +
+        "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY cents DESC, o_orderkey)) x " +
+        "WHERE rn <= 100 ORDER BY o_orderstatus, rn"),
   )
 }

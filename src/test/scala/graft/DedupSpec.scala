@@ -76,4 +76,23 @@ class DedupSpec extends SparkSpec {
     assert(uf.nonEmpty)
     assert(uf == dl, s"tier divergence: uf=${uf.take(5)} dl=${dl.take(5)}")
   }
+
+  test("bloom dedup: pruned+confirmed result equals exact no-bloom semi-join") {
+    import org.apache.spark.sql.functions._
+    // the query itself (bloom prune -> exact confirm)
+    val withBloom = graft.queries.DedupQueries.queries("q_dedup_bloom")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    // the same semantics with NO bloom: a bloom may only add false
+    // positives (removed by the confirm join), never drop a true dup
+    val fp = concat_ws(" ", slice(
+      filter(split(lower(col("text")), "[ \\t\\n\\r\\f]+"), t => t =!= ""), 1, 5))
+    val docs = Tables.documents(spark, sf001).select(col("doc_id"), col("source"), fp.as("fp"))
+    val exactDups = docs.filter(col("doc_id") % 2 === 1)
+      .join(docs.filter(col("doc_id") % 2 === 0).select("fp"), Seq("fp"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(withBloom == exactDups,
+      s"bloom path diverged from exact: bloom=$withBloom exact=$exactDups")
+    assert(withBloom.nonEmpty, "corpus has no planted cross-batch dups — test has no signal")
+  }
 }

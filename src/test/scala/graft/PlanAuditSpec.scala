@@ -60,4 +60,20 @@ class PlanAuditSpec extends SparkSpec {
       s"quantization shuffles more than the final aggregation:\n$p")
     assert(!p.contains("Join"), s"quantization should not join:\n$p")
   }
+
+  test("q_sink_partitioned read-back scan prunes partitions on o_orderstatus") {
+    val p = plan("q_sink_partitioned") // runs the write, plan is the read-back
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("o_orderstatus"),
+      s"read-back filter did not become a partition filter:\n$p")
+  }
+
+  test("q_win_cumshare computes both frames off one window shuffle") {
+    val p = plan("q_win_cumshare")
+    // hash exchange for the window partition + range exchange for the
+    // final orderBy — a second hash exchange would mean the two frames
+    // didn't share the partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"running and total frames shuffled separately:\n$p")
+  }
 }
