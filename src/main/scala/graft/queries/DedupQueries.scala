@@ -251,6 +251,31 @@ object DedupQueries extends QueryGroup {
         .groupBy("source").agg(count(lit(1)).as("n_dup"))
         .orderBy("source")
     }),
+
+    // ---- survivor selection: the dedup pipeline's actual OUTPUT ---------
+    // Clustering tells you what's duplicated; this picks which copy to
+    // KEEP: per near-dup cluster, the highest-quality member (longest
+    // n_chars, ties to min doc_id). One join of the (tiny) label table
+    // against the corpus + a per-cluster row_number top-1 — at 100 TB
+    // the label side is the thresholded dup set, orders of magnitude
+    // smaller than the corpus, so the join broadcasts.
+    "q_dedup_survivor" -> ((s, d) => {
+      val pairs = queries("q_dedup_ngram")(s, d).select("d1", "d2")
+        .coalesce(4).localCheckpoint(eager = true)
+      val labels =
+        if (pairs.count() <= 10000000L) unionFindLabels(s, pairs)
+        else doublingLabels(s, pairs)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label").orderBy(col("n_chars").desc, col("doc_id"))
+      labels.join(docs, col("node") === col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("label").as("cluster_root"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("doc_id"))).as("survivor_doc_id"),
+          max(when(col("rn") === 1, col("n_chars"))).as("survivor_chars"))
+        .orderBy("cluster_root")
+    }),
   )
 
   /** Partition-local union-find over a small edge list: (node, label =
@@ -356,6 +381,29 @@ object DedupQueries extends QueryGroup {
         "floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000.0 + 0.5) / 1000.0 AS cosr " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
         "SELECT id1, id2, cosr AS cos_sim FROM p WHERE cosr >= 0.4 ORDER BY id1, id2"),
+    "q_dedup_survivor" ->
+      ("WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS s, " +
+        "CAST(len(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS BIGINT) AS nsh " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh " +
+        "HAVING CAST(count(*) AS DOUBLE) / CAST(a.nsh + b.nsh - count(*) AS DOUBLE) >= 0.5), " +
+        "edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p), " +
+        "nodes AS (SELECT DISTINCT a AS node FROM edges), " +
+        "reach AS (SELECT node AS src, node AS dst FROM nodes " +
+        "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), " +
+        "x AS (SELECT src, min(dst) AS cluster_root FROM reach GROUP BY src), " +
+        "m AS (SELECT x.cluster_root, x.src AS doc_id, d.n_chars FROM x JOIN documents d ON d.doc_id = x.src), " +
+        "r AS (SELECT cluster_root, doc_id, n_chars, " +
+        "row_number() OVER (PARTITION BY cluster_root ORDER BY n_chars DESC, doc_id) AS rn FROM m) " +
+        "SELECT cluster_root, count(*) AS n_members, " +
+        "max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_doc_id, " +
+        "max(CASE WHEN rn = 1 THEN n_chars END) AS survivor_chars " +
+        "FROM r GROUP BY cluster_root ORDER BY cluster_root"),
     "q_dedup_bloom" ->
       ("WITH f AS (SELECT doc_id, source, array_to_string(list_slice(" +
         "list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> ''), 1, 5), ' ') AS fp " +

@@ -126,6 +126,21 @@ object EventQueries extends QueryGroup {
         .agg(count(lit(1)).as("n"), sum(col("p.k")).as("sum_k"),
           r2(max(col("p.m.v"))).as("max_v"))
         .orderBy("event_type")),
+
+    // CDC compaction / upsert resolution: latest record per key by
+    // (ts, event_id) — the merge step every incremental table maintenance
+    // job runs. One hash shuffle on the key, row_number top-1 per group
+    // (no global sort); at 100 TB this is the exact shape of a
+    // partition-parallel MERGE INTO materialization.
+    "q_scd_latest" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), fmtTs(col("ts")).as("ts_str"),
+          r2(col("value")).as("value_r"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -178,5 +193,11 @@ object EventQueries extends QueryGroup {
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
         "floor(max(value) * 100.0 + 0.5) / 100.0 AS max_v " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_scd_latest" ->
+      ("SELECT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, " +
+        "floor(value * 100.0 + 0.5) / 100.0 AS value_r FROM (" +
+        "SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) t WHERE rn = 1 ORDER BY user_id"),
   )
 }

@@ -251,6 +251,44 @@ object RelationalQueries extends QueryGroup {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
         .orderBy("o_orderpriority")
     }),
+
+    // ---- §2.1 CSV source round-trip --------------------------------------
+    // Header CSV write + schema-enforced read-back (inferSchema is a
+    // second full scan at 100 TB — a production read ALWAYS declares the
+    // schema). Monetary values travel as integer cents: CSV is a decimal-
+    // string format, so shipping doubles through it invites parse drift;
+    // integers round-trip exactly. Oracle reads the original table —
+    // equality proves the round-trip lossless.
+    "q_source_csv" -> ((s, d) => {
+      val out = s"/tmp/graft_src_${Integer.toHexString(d.hashCode)}/orders_csv"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema("o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT")
+        .option("header", "true").csv(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- §2.1 JSON-lines source round-trip -------------------------------
+    // The interchange format training-data corpora actually arrive in.
+    // Schema-enforced read (no sampling pass); doubles round-trip
+    // bit-exactly through Jackson's shortest-representation encoding, and
+    // the aggregates are order-free (count/min/max) so the oracle over
+    // the ORIGINAL table must match exactly.
+    "q_source_jsonl" -> ((s, d) => {
+      val out = s"/tmp/graft_src_${Integer.toHexString(d.hashCode)}/events_jsonl"
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(out)
+      s.read.schema("event_id BIGINT, event_type STRING, value DOUBLE").json(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), r2(min(col("value"))).as("min_v"),
+          r2(max(col("value"))).as("max_v"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -313,5 +351,14 @@ object RelationalQueries extends QueryGroup {
       ("SELECT o_orderpriority, count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
         "FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_source_csv" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_source_jsonl" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "floor(min(value) * 100.0 + 0.5) / 100.0 AS min_v, " +
+        "floor(max(value) * 100.0 + 0.5) / 100.0 AS max_v " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
   )
 }

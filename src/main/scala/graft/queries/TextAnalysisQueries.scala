@@ -125,6 +125,29 @@ object TextAnalysisQueries extends QueryGroup {
           countDistinct(col("bag_fp")).as("n_bag_fp"))
         .orderBy("lang")
     }),
+
+    // ---- sliding-token chunking: training-sample preparation ------------
+    // Each doc becomes overlapping chunks of 64 tokens with stride 48
+    // (16-token overlap) — the standard context-window prep step. The
+    // chunk count floor((n-1)/48)+1 and every chunk length are exact
+    // integers; the only division is the final avg (ratio of identical
+    // bigints, r2 floor). Shape at 100 TB: pure map-side transform+explode
+    // (zero shuffle before the k-group aggregate) — chunking never needs
+    // to see two documents together.
+    "q_chunk_docs" -> ((s, d) => {
+      val t = toks(col("text"))
+      val chunkLens = when(size(t) > 0,
+        transform(sequence(lit(0), floor((size(t) - 1) / 48).cast("int")),
+          i => size(slice(t, i * 48 + 1, lit(64))).cast("long")))
+        .otherwise(array().cast("array<long>"))
+      Tables.documents(s, d)
+        .select(col("lang"), explode(chunkLens).as("chunk_toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_toks")).as("sum_chunk_toks"),
+          r2(sum(col("chunk_toks")).cast("double") / count(lit(1))).as("avg_chunk_toks"))
+        .orderBy("lang")
+    }),
   )
 
   private val oracleToks =
@@ -165,5 +188,13 @@ object TextAnalysisQueries extends QueryGroup {
         "md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bag_fp FROM t) " +
         "SELECT lang, count(*) AS n_docs, count(DISTINCT content_fp) AS n_content_fp, " +
         "count(DISTINCT bag_fp) AS n_bag_fp FROM f GROUP BY lang ORDER BY lang"),
+    "q_chunk_docs" ->
+      ("WITH t AS (SELECT lang, " + oracleToks + " AS t FROM documents), " +
+        "c AS (SELECT lang, unnest(list_transform(generate_series(0, CAST((len(t) - 1) // 48 AS INT)), " +
+        "i -> CAST(len(list_slice(t, i * 48 + 1, i * 48 + 64)) AS BIGINT))) AS chunk_toks " +
+        "FROM t WHERE len(t) > 0) " +
+        "SELECT lang, count(*) AS n_chunks, CAST(sum(chunk_toks) AS BIGINT) AS sum_chunk_toks, " +
+        "floor(CAST(sum(chunk_toks) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS avg_chunk_toks " +
+        "FROM c GROUP BY lang ORDER BY lang"),
   )
 }

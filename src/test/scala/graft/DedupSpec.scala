@@ -95,4 +95,18 @@ class DedupSpec extends SparkSpec {
       s"bloom path diverged from exact: bloom=$withBloom exact=$exactDups")
     assert(withBloom.nonEmpty, "corpus has no planted cross-batch dups — test has no signal")
   }
+
+  test("survivor selection is consistent with clustering") {
+    val clusters = graft.queries.DedupQueries.queries("q_dedup_clusters")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val survivors = graft.queries.DedupQueries.queries("q_dedup_survivor")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(survivors.map(_._1).toSet == clusters.keySet, "cluster roots differ")
+    survivors.foreach { case (root, nMembers, survivorId, survivorChars) =>
+      assert(nMembers == clusters(root), s"cluster $root size mismatch")
+      assert(nMembers >= 2, s"cluster $root has no duplicates")
+      assert(survivorId >= root, s"survivor $survivorId precedes root $root")
+      assert(survivorChars > 0)
+    }
+  }
 }
