@@ -135,10 +135,14 @@ object TextAnalysisQueries extends QueryGroup {
     // (zero shuffle before the k-group aggregate) — chunking never needs
     // to see two documents together.
     "q_chunk_docs" -> ((s, d) => {
-      val t = toks(col("text"))
-      val chunkLens = when(size(t) > 0,
-        transform(sequence(lit(0), floor((size(t) - 1) / 48).cast("int")),
-          i => size(slice(t, i * 48 + 1, lit(64))).cast("long")))
+      // chunk i covers tokens [i*48+1, i*48+64] ∩ [1, n], so its length
+      // is min(64, n − i·48) — closed form from the ONE scalar n, instead
+      // of slicing the token array per chunk (which CollapseProject would
+      // inline as a full re-tokenize per chunk, §7.3.11)
+      val n = size(toks(col("text")))
+      val chunkLens = when(n > 0,
+        transform(sequence(lit(0), floor((n - 1) / 48).cast("int")),
+          i => least(lit(64), n - i * 48).cast("long")))
         .otherwise(array().cast("array<long>"))
       Tables.documents(s, d)
         .select(col("lang"), explode(chunkLens).as("chunk_toks"))
