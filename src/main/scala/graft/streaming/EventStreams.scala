@@ -60,6 +60,28 @@ object EventStreams {
   def enrich(events: DataFrame, dims: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dims), Seq(key), "left")
 
+  /** Stream-stream interval join — click attribution: each purchase
+    * joins clicks by the same user within the preceding 30 minutes.
+    * Both sides carry watermarks and the join condition bounds event
+    * time on BOTH ends, so Spark can size the state store exactly:
+    * click state is evicted once the purchase-side watermark passes
+    * click_ts + 30min — the canonical bounded-state stream join. State
+    * shards by user_id (the equi-key), no global coordination. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c, expr(
+      """p_user = c_user AND
+         click_ts <= purchase_ts AND
+         click_ts >= purchase_ts - INTERVAL 30 MINUTES"""))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** foreachBatch sink: micro-batches handed to arbitrary batch logic
     * (upserts, multi-sink fanout). The handler receives (batchDf, epoch);
     * exactly-once comes from idempotent writes keyed by epoch. */

@@ -113,4 +113,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(0) == 9L && r.getLong(3) == 2L),
       s"first session (2 events) not emitted: $rows")
   }
+
+  test("stream-stream interval join attributes purchases to prior clicks") {
+    import spark.implicits._
+    val clicks = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val out = EventStreams.clickAttribution(clicks.toDF(), purchases.toDF())
+    val q = out.writeStream.format("memory").queryName("t_attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: click @5, purchase @20 (within 30m) -> attributed
+      // user 2: click @0, purchase @45 (gap 45m)     -> NOT attributed
+      clicks.addData(Seq(Ev(11, 1, "click", ts(5), 0.0), Ev(12, 2, "click", ts(0), 0.0)))
+      purchases.addData(Seq(Ev(21, 1, "purchase", ts(20), 9.99), Ev(22, 2, "purchase", ts(45), 5.0)))
+      q.processAllAvailable()
+      // advance both watermarks so pending state resolves
+      clicks.addData(Seq(Ev(13, 3, "click", ts(300), 0.0)))
+      purchases.addData(Seq(Ev(23, 3, "purchase", ts(301), 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("t_attr").collect()
+      val attributed = rows.map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(attributed.contains((21L, 11L)), s"in-window purchase not attributed: ${rows.toSeq}")
+      assert(!attributed.exists(_._1 == 22L), s"out-of-window purchase attributed: ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
