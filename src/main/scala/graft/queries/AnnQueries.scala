@@ -70,27 +70,34 @@ object AnnQueries extends QueryGroup {
     // AnnSpec verifies candidate scoring correctness, locality, and
     // determinism instead, and the output is golden-pinned.)
     "q_ann_knn" -> ((s, d) => {
+      graft.functions.ArrayCosineSimilarity.register(s)
       val e = Tables.embeddings(s, d).withColumn("v", vecD(col("embedding")))
-        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
       val nTables = 4
       val bitsPerTable = 8
       def bkey(tbl: Int): Column =
         (0 until bitsPerTable)
           .map(b => when(dot(col("v"), hp(tbl * bitsPerTable + b)) >= 0.0, 1L << b).otherwise(0L))
           .reduce(_ + _) + lit(tbl.toLong * 65536L)
-      val banded = e.select(col("vec_id"), col("v"), col("nrm"),
+      val banded = e.select(col("vec_id"), col("v"),
         explode(array((0 until nTables).map(bkey): _*)).as("bkey"))
-      val buckets = banded.groupBy("bkey")
-        .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("docs"))
-        .filter(size(col("docs")).between(2, 256))
-      val cand = buckets
-        .select(explode(expr(
-          """filter(
-               flatten(transform(docs, a -> transform(docs, b ->
-                 named_struct('id1', a.vec_id, 'id2', b.vec_id,
-                              'cos', aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x) / (a.nrm * b.nrm))))),
-               p -> p.id1 != p.id2)""")).as("p"))
-        .select(col("p.id1").as("vec_id"), col("p.id2").as("v2"), r3(col("p.cos")).as("cos_sim"))
+      // bucket-size cap via a count + semi-join (no collect_list state),
+      // then a bucket-keyed self-join scored by the CODEGEN'd cosine —
+      // the whole candidate pipeline stays in whole-stage codegen, vs the
+      // earlier nested-transform pair expansion whose per-pair HOF dot
+      // product ran interpreted. graft_cosine accumulates dot/na/nb
+      // left-to-right exactly like CosineKernel, so scores stay
+      // bit-identical to the exact path (AnnSpec pins this).
+      val okBuckets = banded.groupBy("bkey")
+        .agg(count(lit(1)).as("n")).filter(col("n").between(2, 256))
+        .select("bkey")
+      val m1 = banded.join(okBuckets, "bkey")
+        .select(col("bkey"), col("vec_id").as("id1"), col("v").as("v1"))
+      val m2 = banded.join(okBuckets, "bkey")
+        .select(col("bkey"), col("vec_id").as("id2"), col("v").as("v2"))
+      val cand = m1.join(m2, Seq("bkey"))
+        .filter(col("id1") =!= col("id2"))
+        .select(col("id1").as("vec_id"), col("id2").as("v2"),
+          r3(expr("graft_cosine(v1, v2)")).as("cos_sim"))
         .groupBy("vec_id", "v2").agg(first("cos_sim").as("cos_sim"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("cos_sim").desc, col("v2"))
