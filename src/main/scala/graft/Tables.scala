@@ -35,4 +35,16 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
+
+  /** Register every corpus table as a temp view (plus the native
+    * functions), so the entire surface is drivable from `spark.sql(...)`
+    * — the ad-hoc/BI entry path next to the DataFrame API. Views are
+    * lazy: no data is read until a query runs. */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    events(s, d).createOrReplaceTempView("events")
+    graft.functions.ArrayCosineSimilarity.register(s)
+  }
 }

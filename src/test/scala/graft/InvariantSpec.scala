@@ -97,4 +97,33 @@ class InvariantSpec extends SparkSpec {
       assert(math.abs(got(st)._2 - pct(0.9)) < 0.011, s"$st p90")
     }
   }
+
+  test("chunking matches a driver-side reference computation") {
+    import org.apache.spark.sql.functions._
+    // reference: per-doc token count -> chunk count/lengths in plain Scala
+    val counts = Tables.documents(spark, sf0001)
+      .select(col("lang"),
+        size(filter(split(lower(col("text")), "[ \\t\\n\\r\\f]+"), t => t =!= "")).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val expected = counts.filter(_._2 > 0).flatMap { case (lang, n) =>
+      (0 to (n - 1) / 48).map(i => (lang, math.min(64, n - i * 48).toLong))
+    }.groupBy(_._1).map { case (lang, cs) =>
+      (lang, (cs.length.toLong, cs.map(_._2).sum))
+    }
+    val got = graft.queries.TextAnalysisQueries.queries("q_chunk_docs")(spark, sf0001)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
+  test("cumulative share is monotone within each status and caps at 1.0") {
+    val rows = graft.queries.WindowQueries.queries("q_win_cumshare")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (st, rs) =>
+      val shares = rs.sortBy(_._2).map(_._3)
+      assert(shares.head > 0.0, s"$st first share")
+      assert(shares.zip(shares.tail).forall { case (a, b) => a <= b },
+        s"$st shares not monotone: ${shares.take(10).toSeq}")
+      assert(shares.last <= 1.0 + 1e-9, s"$st last share ${shares.last}")
+    }
+  }
 }
