@@ -5,8 +5,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  And, Attribute, BindReferences, Expression, GreaterThanOrEqual, JoinedRow,
-  LessThanOrEqual, Literal, Predicate, PredicateHelper, UnsafeProjection}
+  Add, And, Attribute, BindReferences, Divide, Expression, Floor,
+  GreaterThanOrEqual, JoinedRow, LessThanOrEqual, Literal, Multiply,
+  Predicate, PredicateHelper, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
@@ -48,23 +49,48 @@ import org.apache.spark.sql.types.DoubleType
   */
 object CosineJoinStrategy extends SparkStrategy with PredicateHelper {
 
-  /** (cosExprOnLeft, cosExprOnRight, threshold, residual conjuncts) */
+  /** `floor(cos * 1000.0 + 0.5) / 1000.0` — QueryGroup.r3's engine-
+    * independent rounding, as the optimizer sees it. Thresholding on the
+    * ROUNDED cosine is the oracle-checkable dedup form (q_dedup_embed),
+    * so the strategy recognizes both the plain and the rounded shape. */
+  private object R3Cosine {
+    // FLOOR(double) returns LongType, so the DSL form inserts a cast back
+    // to double before the division — accept it either way
+    private object MaybeCastToDouble {
+      def unapply(e: Expression): Option[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.Cast(child, DoubleType, _, _) => Some(child)
+        case other => Some(other)
+      }
+    }
+    def unapply(e: Expression): Option[ArrayCosineSimilarity] = e match {
+      case Divide(MaybeCastToDouble(Floor(Add(Multiply(c: ArrayCosineSimilarity,
+            Literal(1000.0, DoubleType), _), Literal(0.5, DoubleType), _))),
+          Literal(1000.0, DoubleType), _) => Some(c)
+      case _ => None
+    }
+  }
+
+  /** (cosExprOnLeft, cosExprOnRight, threshold, rounded?, residual) */
   private def extract(cond: Expression, l: LogicalPlan, r: LogicalPlan)
-  : Option[(Expression, Expression, Double, Seq[Expression])] = {
+  : Option[(Expression, Expression, Double, Boolean, Seq[Expression])] = {
     val conjuncts = splitConjunctivePredicates(cond)
     conjuncts.iterator.map {
       case ge @ GreaterThanOrEqual(ArrayCosineSimilarity(a, b), Literal(t: Double, DoubleType)) =>
-        Some((a, b, t, ge))
+        Some((a, b, t, false, ge))
       case le @ LessThanOrEqual(Literal(t: Double, DoubleType), ArrayCosineSimilarity(a, b)) =>
-        Some((a, b, t, le))
+        Some((a, b, t, false, le))
+      case ge @ GreaterThanOrEqual(R3Cosine(c), Literal(t: Double, DoubleType)) =>
+        Some((c.left, c.right, t, true, ge))
+      case le @ LessThanOrEqual(Literal(t: Double, DoubleType), R3Cosine(c)) =>
+        Some((c.left, c.right, t, true, le))
       case _ => None
-    }.collectFirst { case Some((a, b, t, conjunct)) =>
+    }.collectFirst { case Some((a, b, t, rounded, conjunct)) =>
       val rest = conjuncts.filterNot(_ eq conjunct)
       // each cosine argument must be computable from exactly one side
       if (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet))
-        Some((a, b, t, rest))
+        Some((a, b, t, rounded, rest))
       else if (b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet))
-        Some((b, a, t, rest))
+        Some((b, a, t, rounded, rest))
       else None
     }.flatten
   }
@@ -72,8 +98,8 @@ object CosineJoinStrategy extends SparkStrategy with PredicateHelper {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case Join(l, r, Inner | Cross, Some(cond), _) =>
       extract(cond, l, r) match {
-        case Some((lv, rv, thr, rest)) =>
-          CosineJoinExec(planLater(l), planLater(r), lv, rv, thr, rest) :: Nil
+        case Some((lv, rv, thr, rounded, rest)) =>
+          CosineJoinExec(planLater(l), planLater(r), lv, rv, thr, rounded, rest) :: Nil
         case None => Nil
       }
     case _ => Nil
@@ -90,7 +116,8 @@ object CosineJoinStrategy extends SparkStrategy with PredicateHelper {
 
 case class CosineJoinExec(left: SparkPlan, right: SparkPlan,
                           leftVec: Expression, rightVec: Expression,
-                          threshold: Double, residual: Seq[Expression])
+                          threshold: Double, rounded: Boolean,
+                          residual: Seq[Expression])
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -109,6 +136,7 @@ case class CosineJoinExec(left: SparkPlan, right: SparkPlan,
     val boundLeft = BindReferences.bindReference(leftVec, left.output)
     val residualCond = residual.reduceOption(And)
     val thr = threshold
+    val doRound = rounded
     val outAttrs = output
 
     left.execute().mapPartitions { li =>
@@ -144,7 +172,8 @@ case class CosineJoinExec(left: SparkPlan, right: SparkPlan,
             var dot = 0.0; var i2 = 0
             val n = math.min(v1.length, v2.length)
             while (i2 < n) { dot += v1(i2) * v2(i2); i2 += 1 }
-            val cos = dot / (n1 * n2)
+            val cosRaw = dot / (n1 * n2)
+            val cos = if (doRound) math.floor(cosRaw * 1000.0 + 0.5) / 1000.0 else cosRaw
             if (cos >= thr) {
               joined(lcopy, brow)
               if (pred == null || pred.eval(joined)) Iterator.single(proj(joined).copy())

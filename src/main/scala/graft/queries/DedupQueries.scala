@@ -218,10 +218,24 @@ object DedupQueries extends QueryGroup {
     // Same discipline as q_sim_knn: widen float->double, threshold on the
     // ROUNDED cosine so a 1-ulp cross-engine difference can't flip
     // membership except exactly at a 3dp boundary.
-    // broadcast + partition-local kernel (graft.functions.CosineKernel);
-    // arithmetic is bit-identical to the declarative theta-join form.
-    "q_dedup_embed" -> ((s, d) =>
-      graft.functions.CosineKernel.pairsAbove(s, Tables.embeddings(s, d), 0.4)),
+    // Written DECLARATIVELY (cross-join + rounded-cosine filter);
+    // CosineJoinStrategy recognizes the shape and plans the broadcast
+    // kernel — the full loop "declarative query → custom physical
+    // operator → DuckDB hash-match" in one graded query (plan shape
+    // pinned by PlanAuditSpec; bit parity proven in CosineJoinSpec).
+    "q_dedup_embed" -> ((s, d) => {
+      graft.functions.ArrayCosineSimilarity.register(s)
+      graft.plans.CosineJoinStrategy.enable(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val a = e.select(col("vec_id").as("id1"), col("v").as("v1"))
+      val b = e.select(col("vec_id").as("id2"), col("v").as("v2"))
+      a.crossJoin(b)
+        .filter(r3(expr("graft_cosine(v1, v2)")) >= lit(0.4)
+          && col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), r3(expr("graft_cosine(v1, v2)")).as("cos_sim"))
+        .orderBy("id1", "id2")
+    }),
 
     // ---- near-dup clustering: connected components (ORACLE) -------------
     // Pairs (exact 3-gram jaccard >= 0.5) -> components, TIERED by edge

@@ -68,6 +68,13 @@ class PlanAuditSpec extends SparkSpec {
       s"read-back filter did not become a partition filter:\n$p")
   }
 
+  test("q_dedup_embed's declarative theta-join plans as the cosine kernel") {
+    val p = plan("q_dedup_embed")
+    assert(p.contains("CosineJoin"), s"strategy did not fire:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fell back to pair expansion:\n$p")
+  }
+
   test("q_win_cumshare computes both frames off one window shuffle") {
     val p = plan("q_win_cumshare")
     // hash exchange for the window partition + range exchange for the
