@@ -128,6 +128,23 @@ object AggQueries extends QueryGroup {
 
     // pivot: orderstatus columns per priority. The oracle uses portable
     // conditional aggregation (FILTER) — identical semantics to pivot.
+    // skew-resistant aggregation: l_returnflag has 3 values over 600k+
+    // rows — the textbook hot-key GROUP BY that funnels one reducer per
+    // key at scale. SkewUtils.saltedSumCount splits each key into 16
+    // deterministic sub-keys (salt from l_orderkey content, NOT rand() —
+    // task retries and oracle runs must agree) for the wide partial
+    // phase, then re-combines in a tiny second phase. Integer-cents
+    // quantities make the re-association exact, so the oracle is the
+    // plain one-phase GROUP BY.
+    "q_agg_skew" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("qty_c", round(col("l_quantity") * 100).cast("long"))
+      graft.functions.SkewUtils
+        .saltedSumCount(li, "l_returnflag", col("l_orderkey"), 16, "qty_c")
+        .select(col("l_returnflag"), col("n"), col("sum_val").as("sum_qty_c"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_pivot" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderpriority")
@@ -215,6 +232,10 @@ object AggQueries extends QueryGroup {
         "FROM orders GROUP BY 1 ORDER BY bucket"),
     "q_agg_percentile" ->
       "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS p50, round(quantile_cont(o_totalprice, 0.9), 2) AS p90 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q_agg_skew" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_pivot" ->
       ("SELECT o_orderpriority, count(*) FILTER (o_orderstatus = 'F') AS n_f, " +
         "count(*) FILTER (o_orderstatus = 'O') AS n_o, count(*) FILTER (o_orderstatus = 'P') AS n_p " +
