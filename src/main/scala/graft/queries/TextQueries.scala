@@ -65,6 +65,52 @@ object TextQueries extends QueryGroup {
         .limit(15)
     }),
 
+    // BM25 document ranking for a fixed 3-term query — the standard
+    // retrieval scorer a corpus-curation pipeline runs for query-based
+    // filtering. score(d) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+    // idf = ln(1 + (N−df+0.5)/(df+0.5)) (Lucene form), k1=1.2 b=0.75.
+    // Cross-engine discipline: every ln/division input is derived from
+    // exact integers (so identical bits — ln agreement proven by
+    // q_tfidf_top across 3 SFs); the per-term contributions are summed in
+    // a FIXED order (c1+c2+c3 after pivoting to columns), never by a
+    // groupBy sum whose accumulation order is engine-dependent.
+    // Scale: two hash aggregations + one broadcast of 3 term stats.
+    "q_bm25_top" -> ((s, d) => {
+      val qTerms = Seq("spark", "window", "stream")
+      val k1 = 1.2; val b = 0.75
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), wsRegex)).as("term"))
+        .filter(col("term") =!= "")
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val tf = toks.filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_total"),
+        lit(1).as("one")) // join key for the single global row
+      val totDl = dl.agg(sum(col("dl")).as("sum_dl"), lit(1).as("one"))
+      val global = broadcast(n.join(totDl, "one")
+        .select(col("n_total"), (col("sum_dl").cast("double") / col("n_total")).as("avgdl")))
+      val contrib = tf.join(dl, "doc_id").crossJoin(global)
+        .join(broadcast(df), "term")
+        // Lucene's +1 inside the log keeps idf positive even for terms in
+        // more than half the corpus (true here — small shared vocabulary)
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_total") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("c", col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      // fixed-order sum: pivot the (at most 3) per-term contributions
+      val perDoc = contrib.groupBy("doc_id").agg(
+        max(when(col("term") === qTerms(0), col("c"))).as("c0"),
+        max(when(col("term") === qTerms(1), col("c"))).as("c1"),
+        max(when(col("term") === qTerms(2), col("c"))).as("c2"))
+      perDoc.select(col("doc_id"),
+        r3(coalesce(col("c0"), lit(0.0)) + coalesce(col("c1"), lit(0.0))
+          + coalesce(col("c2"), lit(0.0))).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // brute-force cosine top-5 per vector over pairs vec_id < v2, ranked
     // on the ROUNDED cosine (3dp) with id2 tiebreak: a 1-ulp Spark-vs-
     // DuckDB dot-product difference can reorder near-tied unrounded
@@ -97,6 +143,23 @@ object TextQueries extends QueryGroup {
       ("SELECT lang, source, count(*) AS n_docs, floor(avg(n_chars) * 100.0 + 0.5) / 100.0 AS avg_chars, " +
         "min(n_chars) AS min_chars, max(n_chars) AS max_chars " +
         "FROM documents GROUP BY lang, source ORDER BY lang, source"),
+    "q_bm25_top" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+')) AS term FROM documents), " +
+        "tk AS (SELECT doc_id, term FROM toks WHERE term <> ''), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tk WHERE term IN ('spark', 'window', 'stream') GROUP BY doc_id, term), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "g AS (SELECT (SELECT count(*) FROM documents) AS n_total, " +
+        "(SELECT CAST(sum(dl) AS DOUBLE) FROM dl) / (SELECT count(*) FROM documents) AS avgdl), " +
+        "c AS (SELECT tf.doc_id, tf.term, " +
+        "ln(1.0 + (g.n_total - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * (1.2 + 1.0)) / " +
+        "(tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / g.avgdl)) AS c " +
+        "FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g), " +
+        "p AS (SELECT doc_id, max(CASE WHEN term = 'spark' THEN c END) AS c0, " +
+        "max(CASE WHEN term = 'window' THEN c END) AS c1, " +
+        "max(CASE WHEN term = 'stream' THEN c END) AS c2 FROM c GROUP BY doc_id) " +
+        "SELECT doc_id, floor((coalesce(c0, 0.0) + coalesce(c1, 0.0) + coalesce(c2, 0.0)) * 1000.0 + 0.5) / 1000.0 AS bm25 " +
+        "FROM p ORDER BY bm25 DESC, doc_id LIMIT 10"),
     "q_tfidf_top" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+')) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term), " +
