@@ -89,6 +89,28 @@ object EventStreams {
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch(handler)
 
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Running per-user totals via mapGroupsWithState (Update mode): one
+    * emitted row per user per micro-batch, state = one small record —
+    * the continuously-maintained aggregate shape (dashboard counters,
+    * rate limits). Complements the Append-mode flatMapGroupsWithState
+    * sessionizer below; processing-time state, no timeout (bound state
+    * in production with a TTL timeout or key expiry). */
+  def runningTotals(events: Dataset[Ev]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), UserTotal](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { e => n += 1; v += e.value }
+          state.update((n, v))
+          UserTotal(user, n, v)
+      }
+  }
+
   // --- custom stateful sessionization (flatMapGroupsWithState) -----------
 
   case class Ev(event_id: Long, user_id: Long, event_type: String, ts: Timestamp, value: Double)

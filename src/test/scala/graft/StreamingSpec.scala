@@ -114,6 +114,26 @@ class StreamingSpec extends SparkSpec {
       s"first session (2 events) not emitted: $rows")
   }
 
+  test("mapGroupsWithState maintains running per-user totals across batches") {
+    import spark.implicits._
+    val st = MemoryStream[Ev](spark)
+    val out = EventStreams.runningTotals(st.toDS()).toDF()
+    val q = out.writeStream.format("memory").queryName("t_totals")
+      .outputMode(OutputMode.Update).start()
+    try {
+      st.addData(Seq(Ev(1, 5, "click", ts(1), 2.0), Ev(2, 5, "click", ts(2), 3.0)))
+      q.processAllAvailable()
+      st.addData(Seq(Ev(3, 5, "click", ts(3), 5.0)))
+      q.processAllAvailable()
+      // Update mode: memory sink keeps each emitted update; the LAST row
+      // for user 5 must carry the cumulative state (3 events, 10.0)
+      val rows = spark.table("t_totals").collect()
+        .filter(_.getLong(0) == 5L).map(r => (r.getLong(1), r.getDouble(2)))
+      assert(rows.contains((3L, 10.0)), s"running total missing: ${rows.toSeq}")
+      assert(rows.contains((2L, 5.0)), s"first-batch emission missing: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     import spark.implicits._
     val clicks = MemoryStream[Ev](spark)
