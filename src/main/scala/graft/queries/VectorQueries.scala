@@ -85,6 +85,36 @@ object VectorQueries extends QueryGroup {
         .select(col("cid"), col("n_assigned"), col("sum_cos_3dp"), col("avg_cos"))
         .orderBy("cid")
     }),
+
+    // ---- k-means update step: recompute centroids from assignments ------
+    // Completes the k-means iteration next to q_kmeans_assign: each
+    // centroid component becomes the mean of its members' components.
+    // Components are snapped to a 3dp integer grid BEFORE the sum
+    // (identical-bit doubles → identical grid values), so the mean is a
+    // single division of identical BIGINTs — the §7.3.13 discipline that
+    // makes a float centroid oracle-checkable. Shape at 100 TB: the
+    // assignment broadcast + one shuffle keyed (cid, dim) with map-side
+    // partial sums — the exact distributed k-means update.
+    "q_kmeans_update" -> ((s, d) => {
+      graft.functions.ArrayCosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
+      val cent = Tables.embeddings(s, d).filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), vecD(col("embedding")).as("cv"))
+      val scored = e.join(broadcast(cent))
+        .select(col("vec_id"), col("cid"), r3(expr("graft_cosine(v, cv)")).as("cosr"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cosr").desc, col("cid"))
+      val assign = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+      e.join(assign, "vec_id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim0", "x")))
+        .select(col("cid"), col("dim0").cast("long").as("dim"),
+          floor(col("x") * lit(1000.0) + lit(0.5)).cast("long").as("x3"))
+        .groupBy("cid", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("x3")).as("sum_x3"))
+        .select(col("cid"), col("dim"),
+          r3(col("sum_x3").cast("double") / (col("n") * lit(1000.0)).cast("double")).as("centroid_c"))
+        .orderBy("cid", "dim")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -108,5 +138,16 @@ object VectorQueries extends QueryGroup {
         "SELECT cid, count(*) AS n_assigned, CAST(sum(c3) AS BIGINT) AS sum_cos_3dp, " +
         "floor(CAST(sum(c3) AS DOUBLE) / (count(*) * 1000.0) * 1000.0 + 0.5) / 1000.0 AS avg_cos " +
         "FROM m GROUP BY cid ORDER BY cid"),
+    "q_kmeans_update" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < $K), " +
+        "s AS (SELECT vec_id, cid, floor(list_cosine_similarity(v, cv) * 1000.0 + 0.5) / 1000.0 AS cosr FROM v CROSS JOIN c), " +
+        "a AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cosr DESC, cid) AS rn FROM s), " +
+        "j AS (SELECT a.cid, v.v FROM a JOIN v USING (vec_id) WHERE rn = 1), " +
+        "x AS (SELECT cid, CAST(i - 1 AS BIGINT) AS dim, CAST(floor(v[i] * 1000.0 + 0.5) AS BIGINT) AS x3 " +
+        "FROM j, (SELECT unnest(generate_series(1, 64)) AS i) ii) " +
+        "SELECT cid, dim, " +
+        "floor(CAST(sum(x3) AS DOUBLE) / (count(*) * 1000.0) * 1000.0 + 0.5) / 1000.0 AS centroid_c " +
+        "FROM x GROUP BY cid, dim ORDER BY cid, dim"),
   )
 }
