@@ -230,6 +230,35 @@ object RelationalQueries extends QueryGroup {
       a.except(b).orderBy("o_custkey")
     }),
 
+    // bag-semantics set difference: a customer ordering 3× in 1995 and 1×
+    // in 1996 keeps 2 copies (EXCEPT ALL), vs q_except's set semantics
+    // where they'd vanish. Catalyst rewrites exceptAll to a count-window
+    // + generate — no distinct shuffle beyond the join keys.
+    "q_except_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val b = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      a.exceptAll(b).groupBy("o_custkey").agg(count(lit(1)).as("n_excess"))
+        .orderBy("o_custkey")
+    }),
+
+    // null-safe equality join (<=>): NULL keys match each other — the
+    // semantics MERGE/dedup pipelines need when the join key is optional.
+    // Keys are synthesized (corpus has no nulls): nation keys 20+ -> NULL
+    // on both sides; <=> pairs those rows instead of dropping them.
+    "q_join_nullsafe" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+        .select(when(col("n_nationkey") < 20, col("n_nationkey")).as("k"),
+          col("n_name"))
+      val s2 = Tables.supplier(s, d)
+        .select(when(col("s_nationkey") < 20, col("s_nationkey")).as("k"),
+          col("s_suppkey"))
+      n.join(s2, n("k") <=> s2("k"))
+        .groupBy(n("k").as("k"))
+        .agg(count(lit(1)).as("n_pairs"), countDistinct(col("s_suppkey")).as("n_suppliers"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
     // ---- §2.1 partitioned sink round-trip --------------------------------
     // Hive-style partitioned parquet write (the layout a 100 TB pipeline
     // ships downstream: one directory per partition value, so consumers
@@ -347,6 +376,17 @@ object RelationalQueries extends QueryGroup {
       "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 INTERSECT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 ORDER BY o_custkey",
     "q_except" ->
       "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 ORDER BY o_custkey",
+    "q_except_all" ->
+      ("SELECT o_custkey, count(*) AS n_excess FROM (" +
+        "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 " +
+        "EXCEPT ALL SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) t " +
+        "GROUP BY o_custkey ORDER BY o_custkey"),
+    "q_join_nullsafe" ->
+      ("WITH n AS (SELECT CASE WHEN n_nationkey < 20 THEN n_nationkey END AS k, n_name FROM nation), " +
+        "s AS (SELECT CASE WHEN s_nationkey < 20 THEN s_nationkey END AS k, s_suppkey FROM supplier) " +
+        "SELECT CAST(n.k AS INT) AS k, count(*) AS n_pairs, count(DISTINCT s_suppkey) AS n_suppliers " +
+        "FROM n JOIN s ON n.k IS NOT DISTINCT FROM s.k " +
+        "GROUP BY n.k ORDER BY k ASC NULLS FIRST"),
     "q_sink_partitioned" ->
       ("SELECT o_orderpriority, count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
