@@ -259,6 +259,46 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("k").asc_nulls_first)
     }),
 
+    // data-quality expectations: a fixed rule set evaluated corpus-wide,
+    // one row per rule with its violation count — the
+    // constraint-validation report every ingestion pipeline gates on.
+    // Referential integrity is an ANTI join (scales as a normal shuffle
+    // join); the scalar rules are map-side filters; all counts exact.
+    "q_data_checks" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      def rule(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("rule"), col("n_violations"))
+      rule("1_orphan_lineitem",
+        li.join(o.select("o_orderkey"), li("l_orderkey") === col("o_orderkey"), "left_anti"))
+        .unionAll(rule("2_nonpositive_price", li.filter(col("l_extendedprice") <= 0)))
+        .unionAll(rule("3_discount_range", li.filter(col("l_discount") < 0 || col("l_discount") > 0.1)))
+        .unionAll(rule("4_ship_before_order",
+          li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .filter(col("l_shipdate") < col("o_orderdate"))))
+        .orderBy("rule")
+    }),
+
+    // incremental-view maintenance: yesterday's snapshot + today's delta
+    // as PARTIAL aggregates (count, sum) merged by a second aggregation —
+    // the algebraic re-aggregation shape every incremental pipeline
+    // relies on. Exact integer cents make the merge provably equal to
+    // the direct one-pass aggregate, which is exactly what the oracle
+    // computes.
+    "q_partial_merge" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_custkey").agg(count(lit(1)).as("pn"), sum(col("cents")).as("ps"))
+      val snapshot = partial(o.filter(year(col("o_orderdate")) <= 1997))
+      val delta = partial(o.filter(year(col("o_orderdate")) >= 1998))
+      snapshot.unionAll(delta)
+        .groupBy("o_custkey")
+        .agg(sum(col("pn")).as("n_orders"), sum(col("ps")).as("total_cents"))
+        .orderBy("o_custkey")
+    }),
+
     // ---- §2.1 partitioned sink round-trip --------------------------------
     // Hive-style partitioned parquet write (the layout a 100 TB pipeline
     // ships downstream: one directory per partition value, so consumers
@@ -387,6 +427,17 @@ object RelationalQueries extends QueryGroup {
         "SELECT CAST(n.k AS INT) AS k, count(*) AS n_pairs, count(DISTINCT s_suppkey) AS n_suppliers " +
         "FROM n JOIN s ON n.k IS NOT DISTINCT FROM s.k " +
         "GROUP BY n.k ORDER BY k ASC NULLS FIRST"),
+    "q_data_checks" ->
+      ("SELECT '1_orphan_lineitem' AS rule, count(*) AS n_violations FROM lineitem " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey) " +
+        "UNION ALL SELECT '2_nonpositive_price', count(*) FROM lineitem WHERE l_extendedprice <= 0 " +
+        "UNION ALL SELECT '3_discount_range', count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1 " +
+        "UNION ALL SELECT '4_ship_before_order', count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate < o_orderdate ORDER BY rule"),
+    "q_partial_merge" ->
+      ("SELECT o_custkey, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
     "q_sink_partitioned" ->
       ("SELECT o_orderpriority, count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
