@@ -262,21 +262,25 @@ object RelationalQueries extends QueryGroup {
     // data-quality expectations: a fixed rule set evaluated corpus-wide,
     // one row per rule with its violation count — the
     // constraint-validation report every ingestion pipeline gates on.
-    // Referential integrity is an ANTI join (scales as a normal shuffle
-    // join); the scalar rules are map-side filters; all counts exact.
+    // ALL rules ride ONE pass: a single left join (null right side =
+    // referential-integrity violation; non-null enables the cross-table
+    // date rule) and one conditional aggregate — at 100 TB a per-rule
+    // scan would read the fact table four times, this reads it once.
+    // The one-row aggregate then unpivots to the per-rule report.
     "q_data_checks" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      val o = Tables.orders(s, d)
-      def rule(name: String, df: org.apache.spark.sql.DataFrame) =
-        df.agg(count(lit(1)).as("n_violations"))
-          .select(lit(name).as("rule"), col("n_violations"))
-      rule("1_orphan_lineitem",
-        li.join(o.select("o_orderkey"), li("l_orderkey") === col("o_orderkey"), "left_anti"))
-        .unionAll(rule("2_nonpositive_price", li.filter(col("l_extendedprice") <= 0)))
-        .unionAll(rule("3_discount_range", li.filter(col("l_discount") < 0 || col("l_discount") > 0.1)))
-        .unionAll(rule("4_ship_before_order",
-          li.join(o, li("l_orderkey") === o("o_orderkey"))
-            .filter(col("l_shipdate") < col("o_orderdate"))))
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("ok"), col("o_orderdate"))
+      val m = li.join(o, li("l_orderkey") === col("ok"), "left").agg(
+        sum(when(col("ok").isNull, 1L).otherwise(0L)).as("orphan"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("nonpos"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("disc"),
+        sum(when(col("ok").isNotNull && col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)).as("shipb"))
+      m.select(explode(array(
+        struct(lit("1_orphan_lineitem").as("rule"), col("orphan").as("n_violations")),
+        struct(lit("2_nonpositive_price").as("rule"), col("nonpos").as("n_violations")),
+        struct(lit("3_discount_range").as("rule"), col("disc").as("n_violations")),
+        struct(lit("4_ship_before_order").as("rule"), col("shipb").as("n_violations")))).as("r"))
+        .select(col("r.rule").as("rule"), col("r.n_violations").as("n_violations"))
         .orderBy("rule")
     }),
 
