@@ -75,6 +75,14 @@ class PlanAuditSpec extends SparkSpec {
       s"fell back to pair expansion:\n$p")
   }
 
+  test("q_data_checks evaluates every rule in one fact-table pass") {
+    val p = plan("q_data_checks")
+    assert("Join".r.findAllIn(p).size <= 2, // one logical join (AQE may print it twice)
+      s"per-rule joins remain:\n$p")
+    assert("FileScan".r.findAllIn(p).size <= 2,
+      s"more than one scan per table:\n$p")
+  }
+
   test("q_win_cumshare computes both frames off one window shuffle") {
     val p = plan("q_win_cumshare")
     // hash exchange for the window partition + range exchange for the
