@@ -127,6 +127,33 @@ object EventQueries extends QueryGroup {
           r2(max(col("p.m.v"))).as("max_v"))
         .orderBy("event_type")),
 
+    // time-series resample + gap-fill: per-user daily closing value with
+    // missing days filled by last-observation-carried-forward — the
+    // densify/interpolate step time-series ETL runs before modeling.
+    // Calendar = explode(sequence(min_day, max_day)) per user (no
+    // cross-join against a global calendar — each key generates only its
+    // own span); LOCF = last(ignoreNulls) over an unbounded-preceding
+    // window; the carried value is a raw parquet double (identical bits
+    // both engines, r2 floor safe). First day always has a value by
+    // construction, so no leading-null edge.
+    "q_resample_locf" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "day").orderBy(col("ts").desc, col("event_id").desc)
+      val daily = Tables.events(s, d).filter(col("user_id") < 20)
+        .withColumn("day", unix_date(to_date(col("ts"))).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("value").as("close"))
+      val cal = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("close_locf",
+          last(col("close"), ignoreNulls = true).over(Window.partitionBy("user_id")
+            .orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("day"), r2(col("close_locf")).as("close"))
+        .orderBy("user_id", "day")
+    }),
+
     // CDC compaction / upsert resolution: latest record per key by
     // (ts, event_id) — the merge step every incremental table maintenance
     // job runs. One hash shuffle on the key, row_number top-1 per group
@@ -193,6 +220,19 @@ object EventQueries extends QueryGroup {
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
         "floor(max(value) * 100.0 + 0.5) / 100.0 AS max_v " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_resample_locf" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value, " +
+        "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events WHERE user_id < 20), " +
+        "daily AS (SELECT user_id, day, value AS close FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn FROM e) t " +
+        "WHERE rn = 1), " +
+        "cal AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM " +
+        "(SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id) sp), " +
+        "f AS (SELECT c.user_id, c.day, d.close FROM cal c LEFT JOIN daily d USING (user_id, day)) " +
+        "SELECT user_id, CAST(day AS BIGINT) AS day, " +
+        "floor(last_value(close IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0 AS close " +
+        "FROM f ORDER BY user_id, day"),
     "q_scd_latest" ->
       ("SELECT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, " +
         "floor(value * 100.0 + 0.5) / 100.0 AS value_r FROM (" +
