@@ -259,6 +259,29 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("k").asc_nulls_first)
     }),
 
+    // BED-style interval-overlap self-join — the genomics region-overlap
+    // shape from SURVEY §1.1's reference mapping: each order spans
+    // [orderdate, orderdate+7d]; count per-customer pairs of overlapping
+    // spans. Equi-join on the partition key (custkey) + theta residual
+    // (s1 <= e2 AND s2 <= e1) — the standard distributed interval join:
+    // the equi key bounds the pair expansion to per-customer order
+    // counts, never a global interval cross. All-integer day arithmetic.
+    "q_interval_overlap" -> ((s, d) => {
+      val iv = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("s"))
+        .withColumn("e", col("s") + 7L)
+      val a = iv.select(col("o_custkey"), col("o_orderkey").as("k1"),
+        col("s").as("s1"), col("e").as("e1"))
+      val b = iv.select(col("o_custkey"), col("o_orderkey").as("k2"),
+        col("s").as("s2"), col("e").as("e2"))
+      a.join(b, Seq("o_custkey"))
+        .filter(col("k1") < col("k2") && col("s1") <= col("e2") && col("s2") <= col("e1"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("o_custkey")
+    }),
+
     // data-quality expectations: a fixed rule set evaluated corpus-wide,
     // one row per rule with its violation count — the
     // constraint-validation report every ingestion pipeline gates on.
@@ -431,6 +454,14 @@ object RelationalQueries extends QueryGroup {
         "SELECT CAST(n.k AS INT) AS k, count(*) AS n_pairs, count(DISTINCT s_suppkey) AS n_suppliers " +
         "FROM n JOIN s ON n.k IS NOT DISTINCT FROM s.k " +
         "GROUP BY n.k ORDER BY k ASC NULLS FIRST"),
+    "q_interval_overlap" ->
+      ("WITH iv AS (SELECT o_custkey, o_orderkey, " +
+        "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s, " +
+        "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 7 AS e FROM orders) " +
+        "SELECT a.o_custkey, count(*) AS n_overlaps " +
+        "FROM iv a JOIN iv b ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey " +
+        "AND a.s <= b.e AND b.s <= a.e " +
+        "GROUP BY a.o_custkey ORDER BY a.o_custkey"),
     "q_data_checks" ->
       ("SELECT '1_orphan_lineitem' AS rule, count(*) AS n_violations FROM lineitem " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey) " +
