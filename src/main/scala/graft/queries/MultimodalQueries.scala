@@ -39,6 +39,25 @@ object MultimodalQueries extends QueryGroup {
           countDistinct(col("media_meta.content_md5")).as("n_distinct"),
           min(col("media_meta.magic_b64")).as("min_magic"))
         .orderBy("source")),
+
+    // runs the ACTUAL MediaPipeline decode path (typed mapPartitions,
+    // per-partition codec init, stub codec deriving deterministic
+    // dimensions/frame counts from the content digest) in a graded
+    // query, then the frame-sampling step a video training pipeline
+    // takes: every 8th frame. The oracle reproduces the stub's
+    // digest-derived frame count from md5 hex — so the whole decode
+    // plumbing, not just the stub, is hash-verified against DuckDB.
+    "q_frame_sample" -> ((s, d) => {
+      val decoded = graft.multimodal.MediaPipeline.pipeline(Tables.documents(s, d))
+      decoded
+        .select(col("kind"), col("n_frames"),
+          (floor((col("n_frames") - 1) / 8) + 1).cast("long").as("n_sampled"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("n_frames")).cast("long").as("total_frames"),
+          sum(col("n_sampled")).as("total_sampled"))
+        .orderBy("kind")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -48,5 +67,13 @@ object MultimodalQueries extends QueryGroup {
         "SELECT source, count(*) AS n_media, CAST(sum(n_bytes) AS BIGINT) AS total_bytes, " +
         "count(DISTINCT content_md5) AS n_distinct, min(magic_b64) AS min_magic " +
         "FROM m GROUP BY source ORDER BY source"),
+    "q_frame_sample" ->
+      ("WITH m AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, md5(text) AS hex FROM documents), " +
+        "f AS (SELECT kind, CASE WHEN kind = 'video' " +
+        "THEN 1 + (CAST(('0x' || substr(hex, 5, 2)) AS INT) & 63) ELSE 1 END AS n_frames FROM m) " +
+        "SELECT kind, count(*) AS n_media, CAST(sum(n_frames) AS BIGINT) AS total_frames, " +
+        "CAST(sum(CAST(floor((n_frames - 1) / 8) AS BIGINT) + 1) AS BIGINT) AS total_sampled " +
+        "FROM f GROUP BY kind ORDER BY kind"),
   )
 }
