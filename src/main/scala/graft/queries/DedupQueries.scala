@@ -292,6 +292,25 @@ object DedupQueries extends QueryGroup {
         .orderBy("source")
     }),
 
+    // ---- edit-distance dedup (ORACLE) -----------------------------------
+    // The fifth dedup flavor: exact Levenshtein over prefix-bucketed
+    // candidates. The 5-token-prefix bucket bounds the O(len²) distance
+    // computation to same-bucket pairs (at web scale: the candidates any
+    // blocking key yields), and Levenshtein is an exact integer both
+    // engines implement identically — unlike similarity floats, no
+    // rounding discipline needed at all.
+    "q_dedup_edit" -> ((s, d) => {
+      val fp = concat_ws(" ", slice(toks(col("text")), 1, 5))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), fp.as("fp"))
+      val a = docs.select(col("fp"), col("doc_id").as("d1"), col("text").as("t1"))
+      val b = docs.select(col("fp"), col("doc_id").as("d2"), col("text").as("t2"))
+      a.join(b, Seq("fp")).filter(col("d1") < col("d2"))
+        .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
+        .filter(col("dist") <= 40)
+        .select("d1", "d2", "dist")
+        .orderBy("d1", "d2")
+    }),
+
     // ---- survivor selection: the dedup pipeline's actual OUTPUT ---------
     // Clustering tells you what's duplicated; this picks which copy to
     // KEEP: per near-dup cluster, the highest-quality member (longest
@@ -443,6 +462,13 @@ object DedupQueries extends QueryGroup {
         "max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_doc_id, " +
         "max(CASE WHEN rn = 1 THEN n_chars END) AS survivor_chars " +
         "FROM r GROUP BY cluster_root ORDER BY cluster_root"),
+    "q_dedup_edit" ->
+      ("WITH f AS (SELECT doc_id, text, array_to_string(list_slice(" +
+        "list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> ''), 1, 5), ' ') AS fp " +
+        "FROM documents) " +
+        "SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist " +
+        "FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "WHERE levenshtein(a.text, b.text) <= 40 ORDER BY d1, d2"),
     "q_dedup_bloom" ->
       ("WITH f AS (SELECT doc_id, source, array_to_string(list_slice(" +
         "list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> ''), 1, 5), ' ') AS fp " +

@@ -17,9 +17,9 @@ class ContractSpec extends AnyFunSuite {
     "q_ann_ivf",         // argmax assignment not portable
   )
 
-  test("all 101 declared queries are present") {
-    assert(SparkEntry.queries.size == 101,
-      s"expected 101 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
+  test("all 102 declared queries are present") {
+    assert(SparkEntry.queries.size == 102,
+      s"expected 102 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
   }
 
   test("oracle coverage is exactly queries minus the declared NO-ORACLE set") {
