@@ -298,17 +298,13 @@ object DedupQueries extends QueryGroup {
     // computation to same-bucket pairs (at web scale: the candidates any
     // blocking key yields), and Levenshtein is an exact integer both
     // engines implement identically — unlike similarity floats, no
-    // rounding discipline needed at all.
+    // rounding discipline needed at all. Blocking buckets are capped at
+    // MAX_BUCKET like the LSH paths (count + semi-join, mirrored in the
+    // oracle's HAVING): a boilerplate prefix shared by 1% of a web corpus
+    // would otherwise make its bucket O(b²) Levenshtein calls.
     "q_dedup_edit" -> ((s, d) => {
       val fp = concat_ws(" ", slice(toks(col("text")), 1, 5))
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), fp.as("fp"))
-      val a = docs.select(col("fp"), col("doc_id").as("d1"), col("text").as("t1"))
-      val b = docs.select(col("fp"), col("doc_id").as("d2"), col("text").as("t2"))
-      a.join(b, Seq("fp")).filter(col("d1") < col("d2"))
-        .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
-        .filter(col("dist") <= 40)
-        .select("d1", "d2", "dist")
-        .orderBy("d1", "d2")
+      editDupPairs(Tables.documents(s, d).select(col("doc_id"), col("text"), fp.as("fp")))
     }),
 
     // ---- survivor selection: the dedup pipeline's actual OUTPUT ---------
@@ -335,6 +331,23 @@ object DedupQueries extends QueryGroup {
         .orderBy("cluster_root")
     }),
   )
+
+  /** Edit-distance dedup over (doc_id, text, fp) rows: same-bucket pairs
+    * with Levenshtein <= 40, buckets capped at [2, MAX_BUCKET] — size-1
+    * buckets yield no pairs anyway, oversized (degenerate-prefix) buckets
+    * are dropped rather than exploded, standard blocking practice. */
+  private[graft] def editDupPairs(docs: DataFrame): DataFrame = {
+    val okFp = docs.groupBy("fp").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, MAX_BUCKET)).select("fp")
+    val blocked = docs.join(okFp, Seq("fp"), "left_semi")
+    val a = blocked.select(col("fp"), col("doc_id").as("d1"), col("text").as("t1"))
+    val b = blocked.select(col("fp"), col("doc_id").as("d2"), col("text").as("t2"))
+    a.join(b, Seq("fp")).filter(col("d1") < col("d2"))
+      .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
+      .filter(col("dist") <= 40)
+      .select("d1", "d2", "dist")
+      .orderBy("d1", "d2")
+  }
 
   /** Partition-local union-find over a small edge list: (node, label =
     * min doc_id of its component). Runs inside ONE executor task. */
@@ -465,10 +478,11 @@ object DedupQueries extends QueryGroup {
     "q_dedup_edit" ->
       ("WITH f AS (SELECT doc_id, text, array_to_string(list_slice(" +
         "list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> ''), 1, 5), ' ') AS fp " +
-        "FROM documents) " +
+        "FROM documents), " +
+        "ok AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 64) " +
         "SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist " +
         "FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
-        "WHERE levenshtein(a.text, b.text) <= 40 ORDER BY d1, d2"),
+        "WHERE a.fp IN (SELECT fp FROM ok) AND levenshtein(a.text, b.text) <= 40 ORDER BY d1, d2"),
     "q_dedup_bloom" ->
       ("WITH f AS (SELECT doc_id, source, array_to_string(list_slice(" +
         "list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> ''), 1, 5), ' ') AS fp " +

@@ -114,12 +114,31 @@ object TextQueries extends QueryGroup {
     // brute-force cosine top-5 per vector over pairs vec_id < v2, ranked
     // on the ROUNDED cosine (3dp) with id2 tiebreak: a 1-ulp Spark-vs-
     // DuckDB dot-product difference can reorder near-tied unrounded
-    // neighbors but almost never flips the rounded value. Executed by the
-    // broadcast + partition-local kernel (graft.functions.CosineKernel) —
-    // bit-identical arithmetic to the declarative theta-join form, zero
-    // shuffle instead of an O(n²) pair join.
-    "q_sim_knn" -> ((s, d) =>
-      graft.functions.CosineKernel.topK(s, Tables.embeddings(s, d), 5)),
+    // neighbors but almost never flips the rounded value. Written
+    // DECLARATIVELY (cross-join + rounded-cosine >= -1, i.e. every pair,
+    // + top-k window); CosineJoinStrategy plans the broadcast kernel
+    // (executeBroadcast — no driver-side collect), emits the score as a
+    // kernel output column, and prunes the pair rows to (id, id, score)
+    // before the window's small shuffle. Plan shape pinned in
+    // PlanAuditSpec; bit parity with the oracle proven by the hash-match.
+    "q_sim_knn" -> ((s, d) => {
+      graft.functions.ArrayCosineSimilarity.register(s)
+      graft.plans.CosineJoinStrategy.enable(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val a = e.select(col("vec_id").as("id1"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id2"), col("v").as("vb"))
+      val pairs = a.crossJoin(b)
+        .filter(r3(expr("graft_cosine(va, vb)")) >= lit(-1.0) && col("id1") < col("id2"))
+        .select(col("id1").as("vec_id"), col("id2").as("v2"),
+          r3(expr("graft_cosine(va, vb)")).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cos_sim").desc, col("v2"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("vec_id", "v2", "cos_sim")
+        .orderBy("vec_id", "v2")
+    }),
 
     // "multimodal" star join: text metadata x vector label.
     "q_multimodal_join" -> ((s, d) =>

@@ -43,6 +43,61 @@ class CosineJoinSpec extends SparkSpec {
     } finally graft.plans.CosineJoinStrategy.enable(spark)
   }
 
+  test("equi-join conjunct makes the strategy decline — hash join wins") {
+    graft.plans.CosineJoinStrategy.enable(spark)
+    val a = vecs.select(col("vec_id").as("id1"), col("v").as("v1"))
+    val b = vecs.select(col("vec_id").as("id2"), col("v").as("v2"))
+    val q = a.crossJoin(b).filter(expr("graft_cosine(v1, v2) >= 0.4 AND id1 = id2"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CosineJoin"),
+      s"strategy demoted an equi-join to the O(n·m) kernel:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"expected a hash join on the equi key:\n$p")
+  }
+
+  test("build side over the broadcast cap is not claimed by the strategy") {
+    graft.plans.CosineJoinStrategy.enable(spark)
+    spark.conf.set(graft.plans.CosineJoinStrategy.MAX_BROADCAST_KEY, "1")
+    try {
+      val p = declarative.queryExecution.executedPlan.toString
+      assert(!p.contains("CosineJoin"), s"strategy ignored the size cap:\n$p")
+    } finally spark.conf.unset(graft.plans.CosineJoinStrategy.MAX_BROADCAST_KEY)
+  }
+
+  test("unequal-length vectors: kernel matches the expression form bit for bit") {
+    graft.plans.CosineJoinStrategy.enable(spark)
+    graft.functions.ArrayCosineSimilarity.register(spark)
+    import spark.implicits._
+    val va = Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(0.5, -1.0)),
+      (3L, Seq(2.0, 2.0, 2.0, 2.0))).toDF("id1", "v1")
+    val vb = Seq((10L, Seq(1.0, 1.0)), (11L, Seq(3.0, -2.0, 1.0)),
+      (12L, Seq(0.25, 0.5, 0.75, 1.0, 1.25))).toDF("id2", "v2")
+    def q = va.crossJoin(vb)
+      .filter(expr("graft_cosine(v1, v2) >= -1.0"))
+      .select(col("id1"), col("id2"), expr("graft_cosine(v1, v2)").as("cos"))
+    assert(q.queryExecution.executedPlan.toString.contains("CosineJoin"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2)).toSeq
+    val kernel = rows(q)
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies.filterNot(_ == graft.plans.CosineJoinStrategy)
+    try {
+      val naive = rows(q)
+      assert(kernel == naive, s"kernel=$kernel\nnaive=$naive")
+      assert(kernel.size == 9, "every pair should clear the -1 threshold")
+    } finally graft.plans.CosineJoinStrategy.enable(spark)
+  }
+
+  test("q_sim_knn through the kernel equals the driver-side reference topK") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaPlan = rows(graft.queries.TextQueries.queries("q_sim_knn")(spark, sf0001))
+    val reference = rows(graft.functions.CosineKernel.topK(
+      spark, Tables.embeddings(spark, sf0001), 5))
+    assert(viaPlan == reference)
+    assert(viaPlan.nonEmpty)
+  }
+
   test("residual conjuncts are applied (id1 < id2 halves the pair set)") {
     graft.plans.CosineJoinStrategy.enable(spark)
     val a = vecs.select(col("vec_id").as("id1"), col("v").as("v1"))

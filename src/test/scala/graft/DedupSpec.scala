@@ -53,6 +53,22 @@ class DedupSpec extends SparkSpec {
     assert(falsePos.isEmpty, s"simhash background pairs: ${falsePos.take(5)}")
   }
 
+  test("edit-distance blocking cap drops a degenerate identical-prefix block") {
+    import spark.implicits._
+    // 1000 docs sharing one blocking prefix (a boilerplate header at web
+    // scale) + a 10-doc bucket of genuine candidates. Uncapped, the big
+    // block alone is ~500k Levenshtein pairs; the [2, MAX_BUCKET] cap
+    // must drop it entirely and keep the small bucket's pairs.
+    val big = (0 until 1000).map(i => (i.toLong, s"boiler plate header text here variant$i", "boiler plate header text here"))
+    val small = (2000 until 2010).map(i => (i.toLong, s"unique little prefix block $i", "unique little prefix block"))
+    val docs = (big ++ small).toDF("doc_id", "text", "fp")
+    val out = DedupQueries.editDupPairs(docs).collect()
+    assert(out.nonEmpty, "small-bucket pairs should survive")
+    assert(out.forall(r => r.getLong(0) >= 2000L),
+      s"degenerate block leaked pairs: ${out.take(3).mkString(",")}")
+    assert(out.length == 10 * 9 / 2, s"expected full small-bucket pair set, got ${out.length}")
+  }
+
   test("dedup determinism/idempotence: identical output across runs") {
     assert(pairs("q_dedup_near", sf001) == minhash)
     assert(pairs("q_dedup_ngram", sf001) == exact)

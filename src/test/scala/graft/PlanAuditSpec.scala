@@ -39,11 +39,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
 
-  test("q_sim_knn has no shuffle exchange (broadcast kernel path)") {
+  test("q_sim_knn plans the declarative form as the broadcast cosine kernel") {
     val p = plan("q_sim_knn")
-    // the only acceptable exchange is the final tiny ordering of results
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+    assert(p.contains("CosineJoin"), s"strategy did not fire:\n$p")
+    // no driver-side collect/parallelize round-trip and no pair join
+    assert(!p.contains("ExistingRDD") && !p.contains("Scan[obj"),
+      s"kNN still routes through a driver-materialized RDD:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
       s"kNN fell back to a pair join:\n$p")
+  }
+
+  test("q_sim_knn kernel emits the score and prunes vectors from its output") {
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[graft.plans.CosineJoinExec] =
+      p.collectFirst { case c: graft.plans.CosineJoinExec => c }.orElse(
+        p.collectFirst {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+        }.flatMap(a => find(a.executedPlan)))
+    val exec = find(SparkEntry.queries("q_sim_knn")(spark, sf0001)
+      .queryExecution.executedPlan).getOrElse(fail("no CosineJoinExec in plan"))
+    assert(exec.scoreAttr.isDefined, "kernel does not emit the cosine score")
+    assert(!exec.output.exists(_.dataType.typeName.startsWith("array")),
+      s"kernel output still carries the vectors: ${exec.output}")
   }
 
   test("q_join_range plans the aligned range join as a broadcast EQUI-join") {

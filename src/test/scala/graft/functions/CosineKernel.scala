@@ -4,12 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.mutable.ArrayBuffer
 
-/** Brute-force all-pairs cosine, restructured for Spark's execution model:
-  * broadcast the (small) vector table once, then each task scans its slice
-  * of vectors against the broadcast — O(n²/P) work per task, ZERO shuffle
-  * (vs. the naive theta-join, whose per-pair zip_with/aggregate HOFs
-  * allocate a 64-element array per candidate pair — 19s at sf0.1; this
-  * kernel is ~1s).
+/** TEST-ONLY exact reference implementation of brute-force all-pairs
+  * cosine (AnnSpec scores the ANN paths against it). The production path
+  * is the declarative cross-join + graft_cosine form planned by
+  * CosineJoinStrategy (q_sim_knn / q_dedup_embed) — that kernel gets its
+  * build side via executeBroadcast with no driver hop; this one collects
+  * to the driver, which is fine for a test oracle and nothing else.
   *
   * Bit-parity contract (the DuckDB oracle hash-compares results): the
   * arithmetic reproduces the declarative form EXACTLY —
