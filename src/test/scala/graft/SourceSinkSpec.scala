@@ -29,6 +29,29 @@ class SourceSinkSpec extends SparkSpec {
     assert(back.collect().toSeq == src.collect().toSeq)
   }
 
+  test("shingle index round-trips through parquet and feeds the dedup queries") {
+    val dir = tmp("shidx")
+    val direct = graft.queries.DedupQueries.queries("q_dedup_ngram")(spark, sf0001)
+      .collect().toSeq
+    graft.queries.DedupQueries.saveShingleIndex(spark, sf0001, dir)
+    graft.queries.DedupQueries.evict(spark)
+    graft.queries.DedupQueries.loadShingleIndex(spark, sf0001, dir)
+    val viaLoaded = graft.queries.DedupQueries.queries("q_dedup_ngram")(spark, sf0001)
+      .collect().toSeq
+    assert(viaLoaded == direct, "dedup over the persisted index diverged from the built index")
+    graft.queries.DedupQueries.evict(spark) // leave no test-local artifact behind
+  }
+
+  test("evict releases a session's memoized dedup artifacts") {
+    graft.queries.DedupQueries.queries("q_dedup_clusters")(spark, sf0001).collect()
+    assert(graft.queries.DedupQueries.cachedEntries(spark) >= 2,
+      "expected shingle index + pair set to be memoized")
+    graft.queries.DedupQueries.evict(spark)
+    assert(graft.queries.DedupQueries.cachedEntries(spark) == 0)
+    // queries still work after eviction (artifacts rebuild on demand)
+    assert(graft.queries.DedupQueries.queries("q_dedup_ngram")(spark, sf0001).count() > 0)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = tmp("part")
     Tables.orders(spark, sf0001)
