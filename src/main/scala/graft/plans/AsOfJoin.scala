@@ -48,28 +48,39 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
       (left.output ++ right.output).filter(a => a.name == keyCol || a.name == timeCol))
   // The physical merge reads key/time via getLong — require both columns
   // to exist and resolve to a type whose InternalRow storage IS a long
-  // (LongType, or TimestampType's micros) on BOTH sides, failing analysis
-  // otherwise (a silent getLong on e.g. a string column reads garbage).
+  // (LongType, or TimestampType's micros) on BOTH sides (a silent getLong
+  // on e.g. a string column reads garbage). `resolved` must only REPORT
+  // resolution state, never throw: analyzer rules probe it speculatively,
+  // and an exception aborts rules that merely check. An unmet requirement
+  // leaves the node unresolved; CheckAnalysis then reports the unresolved
+  // operator, and simpleString carries the per-column diagnosis —
+  // distinguishing a missing column from a wrongly-typed one.
   // Nullability can't be required statically (parquet attrs are nullable
   // by default); AsOfJoinExec instead throws on an actual null at runtime.
-  override lazy val resolved: Boolean = childrenResolved && {
-    def ok(side: LogicalPlan, name: String): Boolean =
-      side.output.find(_.name == name).exists(a =>
-        a.dataType == LongType ||
-          a.dataType == org.apache.spark.sql.types.TimestampType ||
-          a.dataType == org.apache.spark.sql.types.TimestampNTZType)
-    val typesOk = ok(left, keyCol) && ok(right, keyCol) &&
-      ok(left, timeCol) && ok(right, timeCol)
-    if (!typesOk)
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "INTERNAL_ERROR",
-        messageParameters = Map("message" ->
-          (s"AsOfJoin requires LongType/TimestampType columns '$keyCol' and '$timeCol' on both sides; got " +
-            (left.output ++ right.output)
-              .filter(a => a.name == keyCol || a.name == timeCol)
-              .map(a => s"${a.name}:${a.dataType.simpleString}")
-              .mkString(", "))))
-    typesOk
+  private def longBacked(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == LongType ||
+      dt == org.apache.spark.sql.types.TimestampType ||
+      dt == org.apache.spark.sql.types.TimestampNTZType
+
+  private def diagnose: Seq[String] =
+    for {
+      (side, label) <- Seq((left, "left"), (right, "right"))
+      name <- Seq(keyCol, timeCol)
+      msg <- side.output.find(_.name == name) match {
+        case None => Some(s"$label side has no column '$name'")
+        case Some(a) if !longBacked(a.dataType) =>
+          Some(s"$label.$name is ${a.dataType.simpleString}, needs bigint/timestamp")
+        case _ => None
+      }
+    } yield msg
+
+  override lazy val resolved: Boolean = childrenResolved && diagnose.isEmpty
+
+  override def simpleString(maxFields: Int): String = {
+    val base = s"AsOfJoin [key=$keyCol, time=$timeCol]"
+    if (childrenResolved && diagnose.nonEmpty)
+      s"$base UNRESOLVABLE: ${diagnose.mkString("; ")}"
+    else base
   }
   override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)

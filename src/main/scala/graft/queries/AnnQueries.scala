@@ -67,44 +67,12 @@ object AnnQueries extends QueryGroup {
     // O(n²) pair join with O(n · bucket) — candidate generation is one
     // explode + one short-key shuffle. (This corpus is isotropic random —
     // no true near neighbors — so recall@exact is inherently low here;
-    // AnnSpec verifies candidate scoring correctness, locality, and
-    // determinism instead, and the output is golden-pinned.)
+    // AnnSpec verifies candidate scoring correctness, locality,
+    // determinism, AND recall >= 0.8 on a planted-near-neighbor fixture,
+    // and the output is golden-pinned.)
     "q_ann_knn" -> ((s, d) => {
-      graft.functions.ArrayCosineSimilarity.register(s)
       val e = Tables.embeddings(s, d).withColumn("v", vecD(col("embedding")))
-      val nTables = 4
-      val bitsPerTable = 8
-      def bkey(tbl: Int): Column =
-        (0 until bitsPerTable)
-          .map(b => when(dot(col("v"), hp(tbl * bitsPerTable + b)) >= 0.0, 1L << b).otherwise(0L))
-          .reduce(_ + _) + lit(tbl.toLong * 65536L)
-      val banded = e.select(col("vec_id"), col("v"),
-        explode(array((0 until nTables).map(bkey): _*)).as("bkey"))
-      // bucket-size cap via a count + semi-join (no collect_list state),
-      // then a bucket-keyed self-join scored by the CODEGEN'd cosine —
-      // the whole candidate pipeline stays in whole-stage codegen, vs the
-      // earlier nested-transform pair expansion whose per-pair HOF dot
-      // product ran interpreted. graft_cosine accumulates dot/na/nb
-      // left-to-right exactly like CosineKernel, so scores stay
-      // bit-identical to the exact path (AnnSpec pins this).
-      val okBuckets = banded.groupBy("bkey")
-        .agg(count(lit(1)).as("n")).filter(col("n").between(2, 256))
-        .select("bkey")
-      val m1 = banded.join(okBuckets, "bkey")
-        .select(col("bkey"), col("vec_id").as("id1"), col("v").as("v1"))
-      val m2 = banded.join(okBuckets, "bkey")
-        .select(col("bkey"), col("vec_id").as("id2"), col("v").as("v2"))
-      val cand = m1.join(m2, Seq("bkey"))
-        .filter(col("id1") =!= col("id2"))
-        .select(col("id1").as("vec_id"), col("id2").as("v2"),
-          r3(expr("graft_cosine(v1, v2)")).as("cos_sim"))
-        .groupBy("vec_id", "v2").agg(first("cos_sim").as("cos_sim"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("cos_sim").desc, col("v2"))
-      cand.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select("vec_id", "v2", "cos_sim")
-        .orderBy("vec_id", "v2")
+      lshKnn(e.select(col("vec_id"), col("v")), 3)
     }),
 
     // ---- IVF coarse quantization ---------------------------------------
@@ -127,6 +95,65 @@ object AnnQueries extends QueryGroup {
         .orderBy("cid")
     }),
   )
+
+  /** 4×8-bit sign-LSH candidate generation over (vec_id, v) rows:
+    * vectors sharing a bucket in ANY table are candidates, bucket size
+    * capped to [2, 256] via a count + semi-join (no collect_list state —
+    * the whole pipeline stays in whole-stage codegen). Emits
+    * (bkey, id1, v1, id2, v2) rows with id1 != id2; a pair that shares
+    * several buckets appears once per shared bucket (consumers dedup). */
+  private def lshCandidates(e: DataFrame): DataFrame = {
+    val nTables = 4
+    val bitsPerTable = 8
+    def bkey(tbl: Int): Column =
+      (0 until bitsPerTable)
+        .map(b => when(dot(col("v"), hp(tbl * bitsPerTable + b)) >= 0.0, 1L << b).otherwise(0L))
+        .reduce(_ + _) + lit(tbl.toLong * 65536L)
+    val banded = e.select(col("vec_id"), col("v"),
+      explode(array((0 until nTables).map(bkey): _*)).as("bkey"))
+    val okBuckets = banded.groupBy("bkey")
+      .agg(count(lit(1)).as("n")).filter(col("n").between(2, 256))
+      .select("bkey")
+    val m1 = banded.join(okBuckets, "bkey")
+      .select(col("bkey"), col("vec_id").as("id1"), col("v").as("v1"))
+    val m2 = banded.join(okBuckets, "bkey")
+      .select(col("bkey"), col("vec_id").as("id2"), col("v").as("v2"))
+    m1.join(m2, Seq("bkey")).filter(col("id1") =!= col("id2"))
+  }
+
+  /** LSH-bucketed top-k neighbors per vector: candidates scored by the
+    * CODEGEN'd graft_cosine (dot/na/nb left-to-right, bit-identical to
+    * the exact kernel — AnnSpec pins this), rounded to 3dp, top-k by
+    * (cosr desc, id2). */
+  private[graft] def lshKnn(e: DataFrame, k: Int): DataFrame = {
+    graft.functions.ArrayCosineSimilarity.register(e.sparkSession)
+    val cand = lshCandidates(e)
+      .select(col("id1").as("vec_id"), col("id2").as("v2"),
+        r3(expr("graft_cosine(v1, v2)")).as("cos_sim"))
+      .groupBy("vec_id", "v2").agg(first("cos_sim").as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos_sim").desc, col("v2"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("vec_id", "v2", "cos_sim")
+      .orderBy("vec_id", "v2")
+  }
+
+  /** Embedding-cosine near-dup pairs THROUGH the LSH candidate path —
+    * the 100 TB shape of q_dedup_embed: O(n·bucket) candidates instead
+    * of an O(n²) broadcast loop, then the EXACT rounded-cosine confirm
+    * at the caller's threshold. Every emitted pair is therefore a true
+    * q_dedup_embed pair with an identical score (precision 1.0 by
+    * construction — DedupSpec pins it); recall is the LSH collision
+    * probability, property-tested on planted near-duplicates. */
+  private[graft] def cosineLshPairs(e: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.ArrayCosineSimilarity.register(e.sparkSession)
+    lshCandidates(e).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), r3(expr("graft_cosine(v1, v2)")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy("id1", "id2").agg(first("cos_sim").as("cos_sim"))
+      .orderBy("id1", "id2")
+  }
 
   val oracleSql: Map[String, String] = Map.empty
 }

@@ -299,6 +299,23 @@ object DedupQueries extends QueryGroup {
         .orderBy("id1", "id2")
     }),
 
+    // ---- embedding-cosine near-dup through LSH (NO-ORACLE) --------------
+    // The 100 TB form of q_dedup_embed: instead of broadcasting the whole
+    // corpus as the kernel's build side (valid only while one side is
+    // small), candidates come from banded sign-LSH buckets — O(n·bucket)
+    // — and the exact rounded cosine confirms each candidate at the SAME
+    // 0.4 threshold. Output contract matches q_dedup_embed exactly;
+    // precision is 1.0 by construction (DedupSpec pins subset + score
+    // equality against the oracle-verified q_dedup_embed), recall is the
+    // LSH collision probability (property-tested on planted
+    // near-duplicates, where it must exceed 0.8). Sign-bit hashing isn't
+    // portably SQL-expressible, hence NO-ORACLE + golden pin.
+    "q_dedup_embed_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      AnnQueries.cosineLshPairs(e, 0.4)
+    }),
+
     // ---- near-dup clustering: connected components (ORACLE) -------------
     // Pairs (exact 3-gram jaccard >= 0.5) -> components, TIERED by edge
     // count — the two-phase shape every production dedup pipeline uses:

@@ -144,8 +144,12 @@ object VectorQueries extends QueryGroup {
         "s AS (SELECT vec_id, cid, floor(list_cosine_similarity(v, cv) * 1000.0 + 0.5) / 1000.0 AS cosr FROM v CROSS JOIN c), " +
         "a AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cosr DESC, cid) AS rn FROM s), " +
         "j AS (SELECT a.cid, v.v FROM a JOIN v USING (vec_id) WHERE rn = 1), " +
+        // index range derived from len(v) (not a hardcoded 64) so the
+        // oracle tracks the data's true dimensionality: an out-of-range
+        // v[i] would yield NULLs that sum() skips but count(*) counts,
+        // silently corrupting centroid means
         "x AS (SELECT cid, CAST(i - 1 AS BIGINT) AS dim, CAST(floor(v[i] * 1000.0 + 0.5) AS BIGINT) AS x3 " +
-        "FROM j, (SELECT unnest(generate_series(1, 64)) AS i) ii) " +
+        "FROM j, LATERAL (SELECT unnest(generate_series(1, len(j.v))) AS i) ii) " +
         "SELECT cid, dim, " +
         "floor(CAST(sum(x3) AS DOUBLE) / (count(*) * 1000.0) * 1000.0 + 0.5) / 1000.0 AS centroid_c " +
         "FROM x GROUP BY cid, dim ORDER BY cid, dim"),

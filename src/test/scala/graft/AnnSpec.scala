@@ -68,6 +68,24 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("LSH kNN: planted near neighbor recalled in top-3 for >= 80% of probes") {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sf0001).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val planted = base.map { case (id, v) =>
+      (id + 1000000L,
+        v.zipWithIndex.map { case (x, i) => x * (1.0 + 0.05 * math.sin(id * 31.0 + i)) })
+    }
+    val all = (base ++ planted).map { case (id, v) => (id, v.toSeq) }
+      .toSeq.toDF("vec_id", "v")
+    val knn = graft.queries.AnnQueries.lshKnn(all, 3).collect()
+    val byProbe = knn.filter(_.getLong(0) >= 1000000L)
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val hits = base.count { case (id, _) =>
+      byProbe.getOrElse(id + 1000000L, Set.empty[Long]).contains(id) }
+    assert(hits.toDouble >= 0.8 * base.length, s"recall $hits/${base.length}")
+  }
+
   test("LSH-bucketed kNN is deterministic across runs") {
     def run() = AnnQueries.queries("q_ann_knn")(spark, sf0001).collect().toSeq
     assert(run() == run())

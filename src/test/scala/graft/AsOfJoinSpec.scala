@@ -36,6 +36,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(3L).isEmpty, "tie at t=5 must NOT match")
   }
 
+  test("unmet column requirements fail analysis with a per-column diagnosis") {
+    import spark.implicits._
+    val left = Seq((1L, "oops")).toDF("user_id", "ts") // ts is a string
+    val right = Seq((1L, 5L)).toDF("user_id", "ts")
+    // CheckAnalysis reports the unresolved operator (the exact exception
+    // class differs by Spark version); what matters is that resolution
+    // FAILS without aborting analyzer probes, and the node's string form
+    // carries the per-column diagnosis
+    val wrongType = intercept[Exception] {
+      GraftPlanBridge.asofJoin(left, right, "user_id", "ts").collect()
+    }
+    assert(wrongType.getMessage.contains("left.ts is string"),
+      s"diagnosis missing from: ${wrongType.getMessage}")
+
+    val absent = intercept[Exception] {
+      GraftPlanBridge.asofJoin(right.select("user_id"), right, "user_id", "ts").collect()
+    }
+    assert(absent.getMessage.contains("left side has no column 'ts'"),
+      s"missing-column diagnosis absent from: ${absent.getMessage}")
+  }
+
   test("custom operator agrees with the window-trick q_join_asof end-to-end") {
     val viaWindow = graft.queries.EventQueries.queries("q_join_asof")(spark, sf0001).collect().toSeq
     val viaCustom = graft.queries.EventQueries.queries("q_asof_custom")(spark, sf0001).collect().toSeq

@@ -15,11 +15,12 @@ class ContractSpec extends AnyFunSuite {
     "q_ann_lsh",         // sign bits of float dots not portable
     "q_ann_knn",         // LSH-bucketed search — same reason
     "q_ann_ivf",         // argmax assignment not portable
+    "q_dedup_embed_lsh", // LSH candidates — same; confirm-subset pinned vs q_dedup_embed
   )
 
-  test("all 102 declared queries are present") {
-    assert(SparkEntry.queries.size == 102,
-      s"expected 102 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
+  test("all 103 declared queries are present") {
+    assert(SparkEntry.queries.size == 103,
+      s"expected 103 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
   }
 
   test("oracle coverage is exactly queries minus the declared NO-ORACLE set") {

@@ -53,6 +53,36 @@ class DedupSpec extends SparkSpec {
     assert(falsePos.isEmpty, s"simhash background pairs: ${falsePos.take(5)}")
   }
 
+  test("q_dedup_embed_lsh: exact subset of q_dedup_embed with identical scores") {
+    val embed = pairs("q_dedup_embed", sf001)
+    val lsh = pairs("q_dedup_embed_lsh", sf001)
+    assert(lsh.nonEmpty, "LSH path found no pairs — no signal")
+    lsh.foreach { case (k, c) =>
+      assert(embed.contains(k), s"false positive pair $k (confirm step broken)")
+      assert(embed(k) == c, s"pair $k score drift: lsh $c vs exact ${embed(k)}")
+    }
+  }
+
+  test("cosine LSH dedup: recall >= 0.8 on planted near-duplicates") {
+    import spark.implicits._
+    // the corpus is isotropic random (no true near neighbors), so recall
+    // needs a planted fixture: each base vector gets a mildly perturbed
+    // copy (cos ~ 0.999); the LSH path must recover >= 80% of the
+    // (base, copy) pairs at the 0.9 confirm threshold
+    val base = Tables.embeddings(spark, sf001).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val planted = base.map { case (id, v) =>
+      (id + 1000000L,
+        v.zipWithIndex.map { case (x, i) => x * (1.0 + 0.05 * math.sin(id * 31.0 + i)) })
+    }
+    val all = (base ++ planted).map { case (id, v) => (id, v.toSeq) }
+      .toSeq.toDF("vec_id", "v")
+    val found = graft.queries.AnnQueries.cosineLshPairs(all, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = base.count { case (id, _) => found.contains((id, id + 1000000L)) }
+    assert(recalled.toDouble >= 0.8 * base.length, s"recall $recalled/${base.length}")
+  }
+
   test("edit-distance blocking cap drops a degenerate identical-prefix block") {
     import spark.implicits._
     // 1000 docs sharing one blocking prefix (a boilerplate header at web
