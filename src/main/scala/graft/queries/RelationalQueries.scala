@@ -368,6 +368,54 @@ object RelationalQueries extends QueryGroup {
         .orderBy("o_orderstatus")
     }),
 
+    // ---- §2.1 ORC source round-trip --------------------------------------
+    // The other columnar format large warehouses actually hold. The
+    // read-back filter must push into the ORC scan (ORC keeps min/max
+    // stride statistics like parquet row groups — PlanAuditSpec pins the
+    // pushdown); monetary values travel as integer cents. Oracle reads
+    // the original table: a lossless round-trip must agree exactly.
+    "q_source_orc" -> ((s, d) => {
+      val out = s"/tmp/graft_src_${Integer.toHexString(d.hashCode)}/lineitem_orc"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("price_c") > 5000000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- §2.3 salted skew join -------------------------------------------
+    // The hot-key mitigation for a shuffle join at 100 TB: orders join a
+    // 5-row priority dim on o_orderpriority — a key with 5 values over
+    // the whole fact table, i.e. every row of a partition lands on one
+    // of 5 reducers in a plain shuffle join. Salting replicates the dim
+    // SALT times and gives each fact row a deterministic content salt
+    // (xxhash64 of the row key, NOT rand() — task retries and the oracle
+    // must agree), so the join key becomes (key, salt) and each hot key
+    // spreads over SALT reducers. shuffle_hash hint keeps the exec a
+    // shuffle join (broadcast would make salting moot here — the point
+    // is the technique for dims past the broadcast threshold). Oracle is
+    // the plain unsalted join.
+    "q_join_salted" -> ((s, d) => {
+      import s.implicits._
+      val SALT = 16
+      val dim = Seq(("1-URGENT", 10L), ("2-HIGH", 8L), ("3-MEDIUM", 5L),
+        ("4-NOT SPECIFIED", 2L), ("5-LOW", 1L)).toDF("prio", "weight")
+      val dimSalted = dim.withColumn("salt",
+        explode(sequence(lit(0L), lit(SALT - 1L))))
+      val facts = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(SALT.toLong)))
+      facts.join(dimSalted.hint("shuffle_hash"),
+          facts("o_orderpriority") === dimSalted("prio") && facts("salt") === dimSalted("salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("cents") * col("weight")).as("weighted_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- §2.1 JSON-lines source round-trip -------------------------------
     // The interchange format training-data corpora actually arrive in.
     // Schema-enforced read (no sampling pass); doubles round-trip
@@ -477,6 +525,18 @@ object RelationalQueries extends QueryGroup {
       ("SELECT o_orderpriority, count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
         "FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_source_orc" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM " +
+        "(SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem) t " +
+        "WHERE price_c > 5000000 GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_join_salted" ->
+      ("WITH dim(prio, weight) AS (VALUES ('1-URGENT', 10), ('2-HIGH', 8), ('3-MEDIUM', 5), " +
+        "('4-NOT SPECIFIED', 2), ('5-LOW', 1)) " +
+        "SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) * weight) AS BIGINT) AS weighted_cents " +
+        "FROM orders JOIN dim ON o_orderpriority = prio " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_source_csv" ->
       ("SELECT o_orderstatus, count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +

@@ -41,6 +41,31 @@ object TextQueries extends QueryGroup {
         .orderBy(col("n").desc, col("word"))
         .limit(20)),
 
+    // ---- count-min-sketch heavy hitters with exact confirm ---------------
+    // The sketch sibling of q_dedup_bloom: find every token whose
+    // frequency exceeds 0.2% of the corpus. A CMS (built distributed —
+    // df.stat.countMinSketch is treeAggregate under the hood) is
+    // broadcast and prunes the token stream BEFORE the shuffle: CMS never
+    // underestimates, so every true heavy hitter survives the prune, and
+    // only plausible candidates enter the groupBy. The exact count then
+    // removes the sketch's false positives, so the result is exact and
+    // oracle-checkable. At 100 TB the groupBy over ALL distinct tokens is
+    // the dominant shuffle; the prune cuts it to the candidate set.
+    "q_cms_heavy" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), wsRegex)).as("tok"))
+        .filter(col("tok") =!= "")
+      val thresh = toks.count() / 500L + 1L // frequency > 0.2%
+      val cms = toks.stat.countMinSketch("tok", 0.0001, 0.99, 42)
+      val bc = s.sparkContext.broadcast(cms)
+      val t = thresh
+      val mightBeHeavy = udf((x: String) => x != null && bc.value.estimateCount(x) >= t)
+      toks.filter(mightBeHeavy(col("tok")))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= thresh)
+        .orderBy("tok")
+    }),
+
     "q_text_stats" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("lang", "source")
@@ -150,6 +175,11 @@ object TextQueries extends QueryGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_cms_heavy" ->
+      ("WITH e AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '')) AS tok FROM documents), " +
+        "t AS (SELECT count(*) // 500 + 1 AS thr FROM e) " +
+        "SELECT tok, count(*) AS n FROM e GROUP BY tok " +
+        "HAVING count(*) >= (SELECT thr FROM t) ORDER BY tok"),
     "q_dedup_exact" ->
       ("WITH rep AS (SELECT min(doc_id) AS doc_id FROM " +
         "(SELECT sha256(lower(trim(text))) AS h, doc_id FROM documents) t GROUP BY h) " +

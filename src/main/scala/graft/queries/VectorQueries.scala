@@ -86,6 +86,36 @@ object VectorQueries extends QueryGroup {
         .orderBy("cid")
     }),
 
+    // ---- product-quantization assignment: IVF-PQ's second stage ---------
+    // M=8 subspaces x 8 dims, 16 codes per subspace (codebook = the
+    // first 16 vectors' subvectors — deterministic data-derived seeds,
+    // like the IVF/k-means centroids). Each subvector gets its
+    // argmax-rounded-cosine code — the same portably-SQL-expressible
+    // ranking as q_kmeans_assign, applied per subspace. Output: the
+    // per-(subspace, code) inventory a PQ index maintains. Scale shape
+    // (100 TB): codebooks are a broadcast of M*16*8 doubles; subvector
+    // split + scoring is row-local (posexplode + codegen'd cosine); the
+    // only shuffle is the final 128-row aggregate.
+    "q_ann_pq" -> ((s, d) => {
+      graft.functions.ArrayCosineSimilarity.register(s)
+      val M = 8; val DSUB = 8; val CODES = 16
+      val e = Tables.embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
+      val sub = e.select(col("vec_id"),
+        posexplode(array((0 until M).map(m => slice(col("v"), m * DSUB + 1, DSUB)): _*))
+          .as(Seq("sub", "sv")))
+      val cb = sub.filter(col("vec_id") < CODES)
+        .select(col("sub"), col("vec_id").as("code"), col("sv").as("cv"))
+      val scored = sub.join(broadcast(cb), "sub")
+        .select(col("vec_id"), col("sub"), col("code"),
+          r3(expr("graft_cosine(sv, cv)")).as("cosr"))
+      val w = Window.partitionBy("vec_id", "sub").orderBy(col("cosr").desc, col("code"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("sub").cast("long").as("sub"), col("code"))
+        .agg(count(lit(1)).as("n_assigned"))
+        .orderBy("sub", "code")
+    }),
+
     // ---- k-means update step: recompute centroids from assignments ------
     // Completes the k-means iteration next to q_kmeans_assign: each
     // centroid component becomes the mean of its members' components.
@@ -138,6 +168,17 @@ object VectorQueries extends QueryGroup {
         "SELECT cid, count(*) AS n_assigned, CAST(sum(c3) AS BIGINT) AS sum_cos_3dp, " +
         "floor(CAST(sum(c3) AS DOUBLE) / (count(*) * 1000.0) * 1000.0 + 0.5) / 1000.0 AS avg_cos " +
         "FROM m GROUP BY cid ORDER BY cid"),
+    "q_ann_pq" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "sub AS (SELECT vec_id, mm.m AS sub, list_slice(v, mm.m*8 + 1, mm.m*8 + 8) AS sv " +
+        "FROM v, LATERAL (SELECT unnest(generate_series(0, 7)) AS m) mm), " +
+        "cb AS (SELECT sub, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16), " +
+        "s AS (SELECT a.vec_id, a.sub, cb.code, " +
+        "floor(list_cosine_similarity(a.sv, cb.cv) * 1000.0 + 0.5) / 1000.0 AS cosr " +
+        "FROM sub a JOIN cb ON a.sub = cb.sub), " +
+        "r AS (SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY cosr DESC, code) AS rn FROM s) " +
+        "SELECT sub, code, count(*) AS n_assigned FROM r WHERE rn = 1 " +
+        "GROUP BY sub, code ORDER BY sub, code"),
     "q_kmeans_update" ->
       ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         s"c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < $K), " +

@@ -18,9 +18,9 @@ class ContractSpec extends AnyFunSuite {
     "q_dedup_embed_lsh", // LSH candidates — same; confirm-subset pinned vs q_dedup_embed
   )
 
-  test("all 103 declared queries are present") {
-    assert(SparkEntry.queries.size == 103,
-      s"expected 103 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
+  test("all 107 declared queries are present") {
+    assert(SparkEntry.queries.size == 107,
+      s"expected 107 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
   }
 
   test("oracle coverage is exactly queries minus the declared NO-ORACLE set") {

@@ -85,6 +85,21 @@ class PlanAuditSpec extends SparkSpec {
       s"read-back filter did not become a partition filter:\n$p")
   }
 
+  test("q_source_orc pushes the cents predicate into the ORC scan") {
+    val p = plan("q_source_orc")
+    assert(p.contains("PushedFilters: [IsNotNull(price_c), GreaterThan(price_c"),
+      s"ORC read-back does not push the filter:\n$p")
+  }
+
+  test("q_join_salted runs a shuffle join keyed on (priority, salt), not broadcast") {
+    val p = plan("q_join_salted")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"salted join was planned as a broadcast (salting would be moot):\n$p")
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin")).getOrElse("")
+    assert(joinLine.contains("salt"), s"join keys do not include the salt: $joinLine")
+  }
+
   test("q_dedup_embed's declarative theta-join plans as the cosine kernel") {
     val p = plan("q_dedup_embed")
     assert(p.contains("CosineJoin"), s"strategy did not fire:\n$p")
