@@ -98,6 +98,29 @@ object TextAnalysisQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")),
 
+    // ---- stratified deterministic sampling ------------------------------
+    // Exactly ceil(10%) of EACH stratum: rank docs within each lang by
+    // (md5(text), doc_id) and keep the first ceil(n_lang/10) — the
+    // balanced-subset pattern curation uses when strata are skewed, where
+    // the fixed-rate hash filter (q_sample_det) would under-sample small
+    // strata. The quota test is pure integers (10·rn <= n+9 ⟺ rn <=
+    // ceil(n/10)); the md5 order is content-deterministic, so engines and
+    // re-runs agree. One window shuffle (both window functions share the
+    // lang partitioning).
+    "q_sample_strat" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+      val n = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("hk"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_lang", count(lit(1)).over(n))
+        .filter(col("rn") * lit(10L) <= col("n_lang") + lit(9L))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_sampled_ids"))
+        .orderBy("lang")
+    }),
+
     // ---- train/val/test split by hash ranges ----------------------------
     // 80/10/10 assignment from the first two md5 hex chars (0..255):
     // < 204 train, < 230 val, else test. Deterministic per content, so
@@ -181,6 +204,12 @@ object TextAnalysisQueries extends QueryGroup {
     "q_sample_det" ->
       ("SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM documents WHERE md5(text) < '0d' GROUP BY lang ORDER BY lang"),
+    "q_sample_strat" ->
+      ("WITH r AS (SELECT doc_id, lang, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS n_lang FROM documents) " +
+        "SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS sum_sampled_ids " +
+        "FROM r WHERE rn * 10 <= n_lang + 9 GROUP BY lang ORDER BY lang"),
     "q_split_hash" ->
       ("WITH b AS (SELECT n_chars, CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) AS bucket FROM documents) " +
         "SELECT CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split, " +

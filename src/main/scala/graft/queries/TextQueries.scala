@@ -55,8 +55,9 @@ object TextQueries extends QueryGroup {
       val toks = Tables.documents(s, d)
         .select(explode(split(lower(col("text")), wsRegex)).as("tok"))
         .filter(col("tok") =!= "")
-      val thresh = toks.count() / 500L + 1L // frequency > 0.2%
       val cms = toks.stat.countMinSketch("tok", 0.0001, 0.99, 42)
+      // total token count rides along in the sketch — no separate count job
+      val thresh = cms.totalCount() / 500L + 1L // frequency > 0.2%
       val bc = s.sparkContext.broadcast(cms)
       val t = thresh
       val mightBeHeavy = udf((x: String) => x != null && bc.value.estimateCount(x) >= t)

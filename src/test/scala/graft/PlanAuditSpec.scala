@@ -100,6 +100,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinLine.contains("salt"), s"join keys do not include the salt: $joinLine")
   }
 
+  test("q_sample_strat computes rank and stratum size off one window shuffle") {
+    val p = plan("q_sample_strat")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"rank and stratum-count windows shuffled separately:\n$p")
+  }
+
   test("q_dedup_embed's declarative theta-join plans as the cosine kernel") {
     val p = plan("q_dedup_embed")
     assert(p.contains("CosineJoin"), s"strategy did not fire:\n$p")
