@@ -98,6 +98,32 @@ object TextAnalysisQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")),
 
+    // ---- benchmark-contamination detection ------------------------------
+    // The decontamination step every training corpus runs before a model
+    // sees it: flag training docs sharing any 8-token n-gram with the
+    // benchmark/eval set (here: doc_id % 50 == 0 stands in for the
+    // benchmark). 8-gram membership is the standard contamination
+    // criterion (long enough to not fire on common phrases). Shape at
+    // 100 TB: tokens materialized ONCE (localCheckpoint — without it
+    // CollapseProject re-inlines the tokenizer per shingle, §7.3.11),
+    // shingles exploded row-locally, then ONE broadcast semi-join against
+    // the (small) benchmark shingle set — the training side never
+    // shuffles on the corpus.
+    "q_contamination" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+        .localCheckpoint(true)
+      val grams = expr(
+        "transform(sequence(1, greatest(size(t) - 7, 1)), i -> concat_ws(' ', slice(t, i, 8)))")
+      val sh = tok.select(col("doc_id"), col("lang"), explode(grams).as("sh"))
+      val bench = sh.filter(col("doc_id") % 50 === 0).select("sh")
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), Seq("sh"), "left_semi")
+        .select("doc_id", "lang").distinct()
+        .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
+        .orderBy("lang")
+    }),
+
     // ---- stratified deterministic sampling ------------------------------
     // Exactly ceil(10%) of EACH stratum: rank docs within each lang by
     // (md5(text), doc_id) and keep the first ceil(n_lang/10) — the
@@ -204,6 +230,14 @@ object TextAnalysisQueries extends QueryGroup {
     "q_sample_det" ->
       ("SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM documents WHERE md5(text) < '0d' GROUP BY lang ORDER BY lang"),
+    "q_contamination" ->
+      ("WITH tk AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, lang, unnest(CASE WHEN len(t) >= 8 " +
+        "THEN list_transform(generate_series(1, len(t)-7), i -> array_to_string(list_slice(t, i, i+7), ' ')) " +
+        "ELSE [array_to_string(t, ' ')] END) AS s FROM tk), " +
+        "bench AS (SELECT s FROM sh WHERE doc_id % 50 = 0), " +
+        "cont AS (SELECT DISTINCT doc_id, lang FROM sh WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM bench)) " +
+        "SELECT lang, count(*) AS n_contaminated FROM cont GROUP BY lang ORDER BY lang"),
     "q_sample_strat" ->
       ("WITH r AS (SELECT doc_id, lang, " +
         "row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn, " +

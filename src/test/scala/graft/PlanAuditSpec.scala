@@ -100,6 +100,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinLine.contains("salt"), s"join keys do not include the salt: $joinLine")
   }
 
+  test("q_contamination semi-joins the corpus against a BROADCAST benchmark set") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark shingles not broadcast — the corpus side would shuffle:\n$p")
+  }
+
   test("q_sample_strat computes rank and stratum size off one window shuffle") {
     val p = plan("q_sample_strat")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
