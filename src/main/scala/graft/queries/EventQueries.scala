@@ -154,6 +154,29 @@ object EventQueries extends QueryGroup {
         .orderBy("user_id", "day")
     }),
 
+    // SCD2 history build: each change event becomes a version row valid
+    // [ts, next_ts) per key, the last version per key staying open — the
+    // other half of CDC next to q_scd_latest's compaction. One window
+    // shuffle on the key (the standard history-table build at 100 TB);
+    // version durations are exact integer micros summed BEFORE one
+    // guarded division, so the float column is portable (§7.3.13).
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val closed = col("n_versions") - col("n_open")
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("next_us").isNull, 1L).otherwise(0L)).as("n_open"),
+          sum(col("next_us") - col("us")).as("sum_dur_us"))
+        .withColumn("avg_closed_sec",
+          when(closed > 0L,
+            floor(col("sum_dur_us").cast("double") / closed.cast("double")
+              / lit(1000000.0) * lit(100.0) + lit(0.5)) / lit(100.0)))
+        .orderBy("event_type")
+    }),
+
     // CDC compaction / upsert resolution: latest record per key by
     // (ts, event_id) — the merge step every incremental table maintenance
     // job runs. One hash shuffle on the key, row_number top-1 per group
@@ -233,6 +256,16 @@ object EventQueries extends QueryGroup {
         "floor(last_value(close IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0 AS close " +
         "FROM f ORDER BY user_id, day"),
+    "q_scd2" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+        "v AS (SELECT event_type, us, lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us FROM e), " +
+        "g AS (SELECT event_type, count(*) AS n_versions, " +
+        "CAST(sum(CASE WHEN next_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open, " +
+        "CAST(sum(next_us - us) AS BIGINT) AS sum_dur_us FROM v GROUP BY event_type) " +
+        "SELECT event_type, n_versions, n_open, sum_dur_us, " +
+        "CASE WHEN n_versions - n_open > 0 THEN " +
+        "floor(CAST(sum_dur_us AS DOUBLE) / CAST(n_versions - n_open AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0 " +
+        "ELSE NULL END AS avg_closed_sec FROM g ORDER BY event_type"),
     "q_scd_latest" ->
       ("SELECT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, " +
         "floor(value * 100.0 + 0.5) / 100.0 AS value_r FROM (" +
