@@ -177,6 +177,53 @@ object EventQueries extends QueryGroup {
         .orderBy("event_type")
     }),
 
+    // First-order Markov transitions over each user's event sequence:
+    // lag(event_type) over (ts, event_id) order gives the (prev -> curr)
+    // bigram, counted into the 5×5 transition matrix with per-prev row
+    // probabilities — the session-model / anomaly-baseline shape. ONE
+    // shuffle on user_id (the lag window); the 25-cell aggregate and its
+    // row-total window are size-independent of the corpus. The
+    // probability is a single r3-grid division of exact counts (§7.3.13).
+    "q_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", r3(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("prev_type")).cast("double")))
+        .orderBy("prev_type", "event_type")
+    }),
+
+    // Cohort retention over a sparse deterministic sample: users cohorted
+    // by the week of their first sampled event (md5 hex < '1' keeps ~1/16
+    // of events — content-derived, never rand(), so engines and re-runs
+    // agree and the cohorts spread past week 0), then distinct users per
+    // (cohort_week, week_offset) with retention as a share of the
+    // cohort's week-0 size. The min-window, distinct, and count all ride
+    // the user_id/cohort hash shuffles a real retention job needs; counts
+    // stay exact integers to one r2 division (§7.3.13).
+    "q_cohort_retention" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id")
+      val wc = Window.partitionBy("cohort_week")
+      Tables.events(s, d)
+        .filter(md5(col("event_id").cast("string")) < "1")
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7).cast("long").as("week"))
+        .withColumn("cohort_week", min(col("week")).over(wu))
+        .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("active_users"))
+        .withColumn("cohort_size",
+          max(when(col("week_offset") === 0, col("active_users"))).over(wc))
+        .withColumn("retention_pct",
+          r2(col("active_users").cast("double") * 100.0 / col("cohort_size").cast("double")))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // CDC compaction / upsert resolution: latest record per key by
     // (ts, event_id) — the merge step every incremental table maintenance
     // job runs. One hash shuffle on the key, row_number top-1 per group
@@ -256,6 +303,23 @@ object EventQueries extends QueryGroup {
         "floor(last_value(close IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0 AS close " +
         "FROM f ORDER BY user_id, day"),
+    "q_event_transitions" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+        "b AS (SELECT event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type FROM e), " +
+        "g AS (SELECT prev_type, event_type, count(*) AS n FROM b WHERE prev_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev_type, event_type, n, " +
+        "floor(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS p " +
+        "FROM g ORDER BY prev_type, event_type"),
+    "q_cohort_retention" ->
+      ("WITH sm AS (SELECT user_id, CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week " +
+        "FROM events WHERE md5(CAST(event_id AS VARCHAR)) < '1'), " +
+        "c AS (SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS cohort_week FROM sm), " +
+        "dd AS (SELECT DISTINCT cohort_week, week - cohort_week AS week_offset, user_id FROM c), " +
+        "g AS (SELECT cohort_week, week_offset, count(*) AS active_users FROM dd GROUP BY 1, 2), " +
+        "z AS (SELECT *, max(CASE WHEN week_offset = 0 THEN active_users END) OVER (PARTITION BY cohort_week) AS cohort_size FROM g) " +
+        "SELECT cohort_week, week_offset, active_users, cohort_size, " +
+        "floor(CAST(active_users AS DOUBLE) * 100.0 / CAST(cohort_size AS DOUBLE) * 100.0 + 0.5) / 100.0 AS retention_pct " +
+        "FROM z ORDER BY cohort_week, week_offset"),
     "q_scd2" ->
       ("WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
         "v AS (SELECT event_type, us, lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us FROM e), " +

@@ -416,6 +416,71 @@ object RelationalQueries extends QueryGroup {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- §2.3 bucketed co-located join -----------------------------------
+    // The shuffle-amortization posture for tables joined REPEATEDLY at
+    // 100 TB: both sides written bucketBy(8, join-key) (+ sortBy, so the
+    // layout also pre-sorts within buckets), then merge-joined with ZERO
+    // exchange — the bucket layout IS the shuffle, paid once at write
+    // time instead of per query. Matching bucket counts let Spark treat
+    // each scan as already hash-distributed on the key
+    // (spark.sql.sources.bucketing.enabled); PlanAuditSpec pins that the
+    // only remaining Exchange is the final 5-row aggregate. The merge
+    // hint keeps the exec a sort-merge join — broadcast would hide
+    // whether bucketing removed the shuffle. Oracle joins the ORIGINAL
+    // tables: a lossless bucketed round-trip must agree exactly.
+    "q_join_bucketed" -> ((s, d) => {
+      val tag = Integer.toHexString(d.hashCode)
+      val base = s"/tmp/graft_sink_$tag"
+      val ot = s"graft_orders_b_$tag"; val ct = s"graft_customer_b_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $ot"); s.sql(s"DROP TABLE IF EXISTS $ct")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/orders_bucketed").saveAsTable(ot)
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/customer_bucketed").saveAsTable(ct)
+      s.table(ot).hint("merge")
+        .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- §2.3 dynamic partition pruning ----------------------------------
+    // The star-schema scan-killer at 100 TB: the fact table is stored
+    // partitioned on the join key; the dim-side predicate (tier =
+    // 'critical') is only known at RUN time, so static pruning can't
+    // help — Catalyst instead injects a DynamicPruningExpression into the
+    // fact scan's PartitionFilters (reusing the dim's broadcast as the
+    // filter source), and only the matching partition directories are
+    // read. PlanAuditSpec pins the dynamicpruningexpression in the scan.
+    // The dim must be a FILE relation: an inline LocalRelation gets its
+    // filter constant-folded away at plan time, and with no surviving
+    // selective Filter node the PartitionPruning rule never fires.
+    // Oracle applies the dim filter to the ORIGINAL orders table.
+    "q_dpp" -> ((s, d) => {
+      import s.implicits._
+      val base = s"/tmp/graft_sink_${Integer.toHexString(d.hashCode)}"
+      val out = s"$base/orders_by_prio"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+      Seq(("1-URGENT", "critical"), ("2-HIGH", "critical"), ("3-MEDIUM", "normal"),
+        ("4-NOT SPECIFIED", "normal"), ("5-LOW", "normal")).toDF("prio", "tier")
+        .write.mode("overwrite").parquet(s"$base/prio_dim")
+      val dim = s.read.parquet(s"$base/prio_dim")
+      s.read.parquet(out)
+        .join(dim.filter(col("tier") === "critical"), col("o_orderpriority") === col("prio"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- §2.1 JSON-lines source round-trip -------------------------------
     // The interchange format training-data corpora actually arrive in.
     // Schema-enforced read (no sampling pass); doubles round-trip
@@ -536,6 +601,18 @@ object RelationalQueries extends QueryGroup {
         "SELECT o_orderpriority, count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) * weight) AS BIGINT) AS weighted_cents " +
         "FROM orders JOIN dim ON o_orderpriority = prio " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_join_bucketed" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q_dpp" ->
+      ("WITH dim(prio, tier) AS (VALUES ('1-URGENT', 'critical'), ('2-HIGH', 'critical'), " +
+        "('3-MEDIUM', 'normal'), ('4-NOT SPECIFIED', 'normal'), ('5-LOW', 'normal')) " +
+        "SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM orders JOIN dim ON o_orderpriority = prio WHERE tier = 'critical' " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_source_csv" ->
       ("SELECT o_orderstatus, count(*) AS n, " +

@@ -18,9 +18,9 @@ class ContractSpec extends AnyFunSuite {
     "q_dedup_embed_lsh", // LSH candidates — same; confirm-subset pinned vs q_dedup_embed
   )
 
-  test("all 110 declared queries are present") {
-    assert(SparkEntry.queries.size == 110,
-      s"expected 110 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
+  test("all 114 declared queries are present") {
+    assert(SparkEntry.queries.size == 114,
+      s"expected 114 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
   }
 
   test("oracle coverage is exactly queries minus the declared NO-ORACLE set") {

@@ -100,6 +100,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinLine.contains("salt"), s"join keys do not include the salt: $joinLine")
   }
 
+  test("q_join_bucketed merge-joins off the bucket layout with no join-side shuffle") {
+    val p = plan("q_join_bucketed")
+    assert(p.contains("SortMergeJoin"), s"bucketed join not planned as SMJ:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"join inputs shuffled — bucket layout not used as the distribution:\n$p")
+  }
+
+  test("q_dpp injects a dynamic partition pruning filter into the fact scan") {
+    val p = plan("q_dpp")
+    assert(p.toLowerCase.contains("dynamicpruningexpression"),
+      s"fact scan has no runtime partition filter:\n$p")
+  }
+
   test("q_contamination semi-joins the corpus against a BROADCAST benchmark set") {
     val p = plan("q_contamination")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
