@@ -82,6 +82,29 @@ object EventStreams {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** Checkpointed exactly-once file pipeline: JSON-lines in, parquet out,
+    * duplicate event_ids dropped with the dedup state held in the
+    * checkpoint. Trigger.AvailableNow drains whatever input exists and
+    * stops; a later restart with the SAME checkpoint resumes from the
+    * recorded source offsets and dedup state — already-seen files are
+    * never reprocessed and already-emitted ids never re-emitted (the
+    * parquet sink's _spark_metadata log keeps readers off partial
+    * output). This is the batch-cadence deployment shape for continuous
+    * ingest at 100 TB: each invocation is an incremental idempotent
+    * drain, schedulable like a batch job. */
+  def exactlyOnceDrain(spark: SparkSession, inDir: String, outDir: String,
+                       ckptDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .json(inDir)
+      .dropDuplicates("event_id")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** foreachBatch sink: micro-batches handed to arbitrary batch logic
     * (upserts, multi-sink fanout). The handler receives (batchDf, epoch);
     * exactly-once comes from idempotent writes keyed by epoch. */
