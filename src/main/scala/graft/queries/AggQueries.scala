@@ -185,6 +185,26 @@ object AggQueries extends QueryGroup {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")),
+
+    // NO-ORACLE: the MERGEABLE-sketch pattern, which approx_count_distinct
+    // (estimate-only output) can't demonstrate — per-day HLL sketches
+    // built independently (the partial artifact a 100 TB pipeline
+    // persists per ingest partition), then hll_union_agg combines them
+    // into per-type distinct-user estimates WITHOUT revisiting the raw
+    // rows. The union max-merges registers, so re-aggregation is
+    // lossless: InvariantSpec pins union-estimate == direct-sketch
+    // estimate and both within 5% of exact. DataSketches HLL updates are
+    // order-independent and deterministic for fixed input, so the golden
+    // pin holds across runs and partitionings.
+    "q_hll_merge" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_partials"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(

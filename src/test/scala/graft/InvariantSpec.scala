@@ -32,6 +32,23 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch union of daily partials is lossless and tracks exact distinct") {
+    val ev = Tables.events(spark, sf001)
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_est"),
+        countDistinct(col("user_id")).as("exact"))
+    graft.queries.AggQueries.queries("q_hll_merge")(spark, sf001)
+      .join(direct, "event_type").collect().foreach { r =>
+        val est = r.getAs[Long]("est_users")
+        val dir = r.getAs[Long]("direct_est")
+        val exact = r.getAs[Long]("exact").toDouble
+        assert(est == dir,
+          s"${r.getString(0)}: union of partials ($est) != direct sketch ($dir) — merge is not lossless")
+        assert(math.abs(est - exact) / exact <= 0.05,
+          s"${r.getString(0)}: estimate $est vs exact $exact")
+      }
+  }
+
   test("HLL approx_count_distinct within 5% of exact") {
     graft.queries.AggQueries.queries("q_approx_distinct")(spark, sf001).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
