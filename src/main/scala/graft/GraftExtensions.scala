@@ -17,5 +17,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ArrayCosineSimilarity.descriptor)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.CosineJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

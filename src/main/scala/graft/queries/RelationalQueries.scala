@@ -134,6 +134,34 @@ object RelationalQueries extends QueryGroup {
         .orderBy("month")
     }),
 
+    // The same range join in its NATURAL form — the query states the raw
+    // BETWEEN predicates and nothing else; the RangeJoinRewrite optimizer
+    // rule (graft.plans, the Rule[LogicalPlan] extension rung) detects
+    // f >= s AND f < e, buckets both sides on a 32-day grid, explodes
+    // each interval to the buckets it touches, and re-plans the join as
+    // a bucket EQUI-join with the ranges as residuals — exactly the
+    // rewrite q_join_range performs BY HAND, now done by the planner for
+    // any user query. PlanAuditSpec pins that no BroadcastNestedLoopJoin
+    // survives; the oracle states the BETWEEN form, proving the rewrite
+    // exact.
+    "q_join_range_auto" -> ((s, d) => {
+      graft.plans.RangeJoinRewrite.install(s)
+      val dim = s.range(1).select(explode(expr(
+        "sequence(timestamp'1995-01-01 00:00:00', timestamp'2001-08-01 00:00:00', interval 1 month)"))
+        .as("m_start"))
+      Tables.orders(s, d)
+        .join(broadcast(dim),
+          col("o_orderdate") >= col("m_start")
+            && col("o_orderdate") < col("m_start") + expr("INTERVAL 1 MONTH"))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy("m_start")
+        .agg(count(lit(1)).as("n_orders"),
+          r2(sum(col("cents")).cast("double") / 100000000.0).as("sum_price_m"))
+        .select(date_format(col("m_start"), "yyyy-MM").as("month"),
+          col("n_orders"), col("sum_price_m"))
+        .orderBy("month")
+    }),
+
     "q_join_theta" -> ((s, d) =>
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d),
@@ -524,6 +552,12 @@ object RelationalQueries extends QueryGroup {
     "q_join_anti" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
     "q_join_range" ->
+      ("WITH dim AS (SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01', INTERVAL 1 MONTH)) AS m_start) " +
+        "SELECT strftime(m_start, '%Y-%m') AS month, count(*) AS n_orders, " +
+        "floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100000000.0 * 100.0 + 0.5) / 100.0 AS sum_price_m " +
+        "FROM orders JOIN dim ON o_orderdate >= m_start AND o_orderdate < m_start + INTERVAL 1 MONTH " +
+        "GROUP BY m_start ORDER BY month"),
+    "q_join_range_auto" ->
       ("WITH dim AS (SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01', INTERVAL 1 MONTH)) AS m_start) " +
         "SELECT strftime(m_start, '%Y-%m') AS month, count(*) AS n_orders, " +
         "floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100000000.0 * 100.0 + 0.5) / 100.0 AS sum_price_m " +

@@ -100,6 +100,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinLine.contains("salt"), s"join keys do not include the salt: $joinLine")
   }
 
+  test("q_join_range_auto: the optimizer rule turns the raw BETWEEN into an equi-join") {
+    val p = plan("q_join_range_auto")
+    assert(p.contains("graft_bucket"), s"RangeJoinRewrite did not fire:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join planned:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join still a nested-loop compare:\n$p")
+  }
+
   test("q_join_bucketed merge-joins off the bucket layout with no join-side shuffle") {
     val p = plan("q_join_bucketed")
     assert(p.contains("SortMergeJoin"), s"bucketed join not planned as SMJ:\n$p")
