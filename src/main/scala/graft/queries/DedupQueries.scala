@@ -344,6 +344,40 @@ object DedupQueries extends QueryGroup {
         .orderBy("cluster_root")
     }),
 
+    // ---- PageRank centrality over the near-dup graph (ORACLE) -----------
+    // The second iterative graph algorithm next to connected components:
+    // 5 damped PageRank rounds over the (undirected) near-dup pair graph
+    // rank the most-connected documents — the template/boilerplate signal
+    // a curation pipeline uses to pick what to inspect first. Shape at
+    // 100 TB: each round is ONE hash-shuffle join on the src key + one
+    // aggregate on dst (edges and degrees checkpointed once, each round's
+    // ranks localCheckpoint'ed so lineage stays flat); the graph is the
+    // thresholded pair set — orders smaller than the corpus. ALL
+    // arithmetic is integer (ranks in 1e6 micro-units, damping as
+    // 150000 + 85·S div 100), so sums are order-free and the 5-round
+    // fixpoint is bit-exact in both engines — a float PageRank could
+    // never hash-match an oracle.
+    "q_doc_centrality" -> ((s, d) => {
+      val p = nearDupPairs(s, d)
+      val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionAll(p.select(col("d2").as("src"), col("d1").as("dst")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+      var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 5) {
+        val contrib = ranks.join(deg, ranks("node") === deg("src"))
+          .select(col("node"), expr("rank div deg").as("contrib"))
+        ranks = edges.join(contrib, edges("src") === contrib("node"))
+          .groupBy(col("dst"))
+          .agg(expr("150000 + (85 * sum(contrib)) div 100").as("rank"))
+          .select(col("dst").as("node"), col("rank"))
+          .localCheckpoint(true)
+      }
+      ranks.select(col("node").as("doc_id"), col("rank").as("pr"))
+        .orderBy(col("pr").desc, col("doc_id")).limit(20)
+    }),
+
     // ---- bloom-filter incremental dedup (ORACLE) ------------------------
     // The incremental-batch shape: an existing corpus (even doc_ids) vs a
     // new batch (odd doc_ids). A Bloom filter over the corpus' prefix
@@ -526,6 +560,31 @@ object DedupQueries extends QueryGroup {
         "SELECT cluster_root, count(*) AS cluster_size FROM " +
         "(SELECT src, min(dst) AS cluster_root FROM reach GROUP BY src) x " +
         "GROUP BY cluster_root ORDER BY cluster_root"),
+    "q_doc_centrality" ->
+      ("WITH sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS s, " +
+        "CAST(len(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS BIGINT) AS nsh " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh " +
+        "HAVING CAST(count(*) AS DOUBLE) / CAST(a.nsh + b.nsh - count(*) AS DOUBLE) >= 0.5), " +
+        "edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p), " +
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src), " +
+        "r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg), " +
+        "i1 AS (SELECT e.dst AS node, CAST(150000 + (85 * CAST(sum(r.pr // g.deg) AS BIGINT)) // 100 AS BIGINT) AS pr " +
+        "FROM edges e JOIN r0 r ON e.src = r.node JOIN deg g ON e.src = g.src GROUP BY e.dst), " +
+        "i2 AS (SELECT e.dst AS node, CAST(150000 + (85 * CAST(sum(r.pr // g.deg) AS BIGINT)) // 100 AS BIGINT) AS pr " +
+        "FROM edges e JOIN i1 r ON e.src = r.node JOIN deg g ON e.src = g.src GROUP BY e.dst), " +
+        "i3 AS (SELECT e.dst AS node, CAST(150000 + (85 * CAST(sum(r.pr // g.deg) AS BIGINT)) // 100 AS BIGINT) AS pr " +
+        "FROM edges e JOIN i2 r ON e.src = r.node JOIN deg g ON e.src = g.src GROUP BY e.dst), " +
+        "i4 AS (SELECT e.dst AS node, CAST(150000 + (85 * CAST(sum(r.pr // g.deg) AS BIGINT)) // 100 AS BIGINT) AS pr " +
+        "FROM edges e JOIN i3 r ON e.src = r.node JOIN deg g ON e.src = g.src GROUP BY e.dst), " +
+        "i5 AS (SELECT e.dst AS node, CAST(150000 + (85 * CAST(sum(r.pr // g.deg) AS BIGINT)) // 100 AS BIGINT) AS pr " +
+        "FROM edges e JOIN i4 r ON e.src = r.node JOIN deg g ON e.src = g.src GROUP BY e.dst) " +
+        "SELECT node AS doc_id, pr FROM i5 ORDER BY pr DESC, doc_id LIMIT 20"),
     "q_dedup_embed" ->
       ("WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, " +
         "floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000.0 + 0.5) / 1000.0 AS cosr " +

@@ -147,6 +147,28 @@ object TextAnalysisQueries extends QueryGroup {
         .orderBy("lang")
     }),
 
+    // ---- weighted deterministic sampling (Efraimidis–Spirakis) ----------
+    // Weight-proportional sampling without replacement: top-10 per lang
+    // by the exponential-clock key -ln(u)/w (A-ES; w = n_chars, so
+    // longer docs are proportionally likelier — the importance-sampling
+    // pattern curation uses for quality- or length-weighted subsets).
+    // u is a content-derived uniform ((48-bit md5 prefix + 1) / 2^48,
+    // never 0) — seedless and engine-portable, unlike rand(); ln-bit
+    // agreement between JVM and DuckDB libm is already load-bearing for
+    // q_tfidf_top/q_bm25_top. One window shuffle on lang.
+    "q_sample_weighted" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("key"), col("doc_id"))
+      val u = (conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long") + lit(1L))
+        .cast("double") / lit(281474976710656.0) // 2^48
+      Tables.documents(s, d)
+        .withColumn("key", -log(u) / col("n_chars").cast("double"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    }),
+
     // ---- train/val/test split by hash ranges ----------------------------
     // 80/10/10 assignment from the first two md5 hex chars (0..255):
     // < 204 train, < 230 val, else test. Deterministic per content, so
@@ -244,6 +266,12 @@ object TextAnalysisQueries extends QueryGroup {
         "count(*) OVER (PARTITION BY lang) AS n_lang FROM documents) " +
         "SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS sum_sampled_ids " +
         "FROM r WHERE rn * 10 <= n_lang + 9 GROUP BY lang ORDER BY lang"),
+    "q_sample_weighted" ->
+      ("WITH k AS (SELECT lang, doc_id, n_chars, " +
+        "-ln((CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) + 1) / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS key " +
+        "FROM documents), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn FROM k) " +
+        "SELECT lang, doc_id, n_chars FROM r WHERE rn <= 10 ORDER BY lang, doc_id"),
     "q_split_hash" ->
       ("WITH b AS (SELECT n_chars, CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) AS bucket FROM documents) " +
         "SELECT CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split, " +
