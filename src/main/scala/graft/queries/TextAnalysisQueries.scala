@@ -147,6 +147,32 @@ object TextAnalysisQueries extends QueryGroup {
         .orderBy("lang")
     }),
 
+    // ---- n-gram repetition signal (Gopher-style quality rule) -----------
+    // Fraction of duplicated 3-grams per doc — the repetition filter
+    // production curation stacks (Gopher, Dolma) apply to catch
+    // template/boilerplate text that per-token stats miss. Everything is
+    // row-local (tokenize → 3-grams → two sizes) until one k-group
+    // aggregate; the bucket is pure integer arithmetic
+    // ((dups·10) div n_grams ∈ 0..9), so the histogram is exact in both
+    // engines. Docs under 3 tokens count as one whole-text gram.
+    "q_repetition" -> ((s, d) => {
+      val t = toks(col("text"))
+      val n2 = size(t) - 2
+      val grams = zip_with(
+        zip_with(slice(t, lit(1), n2), slice(t, lit(2), n2), (x, y) => concat(x, lit(" "), y)),
+        slice(t, lit(3), n2), (x, y) => concat(x, lit(" "), y))
+      Tables.documents(s, d)
+        .select(col("lang"),
+          when(size(t) >= 3, grams).otherwise(array(concat_ws(" ", t))).as("g"))
+        .select(col("lang"), size(col("g")).cast("long").as("n_grams"),
+          size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+        .withColumn("rep_bucket", expr("((n_grams - n_distinct) * 10) div n_grams"))
+        .groupBy("lang", "rep_bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("sum_grams"),
+          sum(col("n_distinct")).as("sum_distinct"))
+        .orderBy("lang", "rep_bucket")
+    }),
+
     // ---- weighted deterministic sampling (Efraimidis–Spirakis) ----------
     // Weight-proportional sampling without replacement: top-10 per lang
     // by the exponential-clock key -ln(u)/w (A-ES; w = n_chars, so
@@ -266,6 +292,15 @@ object TextAnalysisQueries extends QueryGroup {
         "count(*) OVER (PARTITION BY lang) AS n_lang FROM documents) " +
         "SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS sum_sampled_ids " +
         "FROM r WHERE rn * 10 <= n_lang + 9 GROUP BY lang ORDER BY lang"),
+    "q_repetition" ->
+      ("WITH t AS (SELECT lang, " + oracleToks + " AS t FROM documents), " +
+        "g AS (SELECT lang, CASE WHEN len(t) >= 3 " +
+        "THEN list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) " +
+        "ELSE [array_to_string(t, ' ')] END AS g FROM t), " +
+        "m AS (SELECT lang, CAST(len(g) AS BIGINT) AS n_grams, CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct FROM g), " +
+        "b AS (SELECT lang, ((n_grams - n_distinct) * 10) // n_grams AS rep_bucket, n_grams, n_distinct FROM m) " +
+        "SELECT lang, rep_bucket, count(*) AS n_docs, CAST(sum(n_grams) AS BIGINT) AS sum_grams, " +
+        "CAST(sum(n_distinct) AS BIGINT) AS sum_distinct FROM b GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_sample_weighted" ->
       ("WITH k AS (SELECT lang, doc_id, n_chars, " +
         "-ln((CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) + 1) / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS key " +
