@@ -30,7 +30,11 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *
   * Cost model: the interval side grows by ceil(span/W)+1 rows per
   * interval (span ≈ W → ~2×); W is `spark.graft.rangeJoin.bucketMicros`
-  * (default 32 days), sized to the expected interval width.
+  * (default 32 days), sized to the expected interval width. Degenerate
+  * open-ended intervals (a 9999-12-31 sentinel endpoint) inflate their
+  * row's expansion to span/W rows — still correct, but raise W (or
+  * close the sentinel) for interval sets orders wider than W; the
+  * expansion is linear per interval, never O(n·m).
   *
   * The rule declines (plan unchanged) when:
   *   - the join already has a cross-side equi conjunct — Spark's hash

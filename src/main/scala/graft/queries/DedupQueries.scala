@@ -193,6 +193,33 @@ object DedupQueries extends QueryGroup {
         .orderBy("d1", "d2")
     }),
 
+    // ---- asymmetric shingle containment (ORACLE) ------------------------
+    // The dedup flavor symmetric Jaccard structurally under-scores: a
+    // short doc quoted or concatenated inside a long one has
+    // |A∩B| ≈ |A| but a small union ratio. Containment
+    // |A∩B| / min(|A|,|B|) >= 0.8 scores the subset-style dup at ~1.0 —
+    // the standard complement to q_dedup_ngram in curation stacks (this
+    // corpus's near-dups are whole-doc perturbations, so the pair SET
+    // coincides with Jaccard's here; DedupSpec plants a doc-inside-doc
+    // corpus and proves containment fires where Jaccard misses). Same
+    // inverted-index self-join over the SAME memoized shingle artifact —
+    // the index is built once for all six dedup flavors. Both scores are
+    // emitted (cont >= jac always); integers to two final divisions —
+    // exact in both engines.
+    "q_dedup_contain" -> ((s, d) => {
+      val inv = shingleRowsWithCount(s, d)
+      val a = inv.select(col("doc_id").as("d1"), col("nsh").as("n1"), col("sh").as("s"))
+      val b = inv.select(col("doc_id").as("d2"), col("nsh").as("n2"), col("sh").as("s"))
+      a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).as("shared"), first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+        .withColumn("cont", col("shared").cast("double") / least(col("n1"), col("n2")).cast("double"))
+        .withColumn("jac", col("shared").cast("double") / (col("n1") + col("n2") - col("shared")).cast("double"))
+        .filter(col("cont") >= 0.8)
+        .select(col("d1"), col("d2"), r3(col("cont")).as("cont"), r3(col("jac")).as("jac"))
+        .orderBy("d1", "d2")
+    }),
+
     // ---- MinHash + LSH banding (NO-ORACLE) ------------------------------
     "q_dedup_near" -> ((s, d) => {
       // signature via ONE codegen'd hash aggregate (K min-columns over the
@@ -542,6 +569,20 @@ object DedupQueries extends QueryGroup {
         "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
         "j AS (SELECT d1, d2, CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) AS jac FROM p) " +
         "SELECT d1, d2, floor(jac * 1000.0 + 0.5) / 1000.0 AS jac FROM j WHERE jac >= 0.5 ORDER BY d1, d2"),
+    "q_dedup_contain" ->
+      ("WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END) AS sh " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
+        "e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS nsh, unnest(sh) AS s FROM d), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared, " +
+        "any_value(a.nsh) AS n1, any_value(b.nsh) AS n2 " +
+        "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+        "j AS (SELECT d1, d2, CAST(shared AS DOUBLE) / CAST(least(n1, n2) AS DOUBLE) AS cont, " +
+        "CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) AS jac FROM p) " +
+        "SELECT d1, d2, floor(cont * 1000.0 + 0.5) / 1000.0 AS cont, " +
+        "floor(jac * 1000.0 + 0.5) / 1000.0 AS jac FROM j " +
+        "WHERE cont >= 0.8 ORDER BY d1, d2"),
     "q_dedup_clusters" ->
       ("WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
         "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +

@@ -19,9 +19,9 @@ class ContractSpec extends AnyFunSuite {
     "q_hll_merge",       // DataSketches HLL estimate — not reproducible in DuckDB; union==direct pinned
   )
 
-  test("all 119 declared queries are present") {
-    assert(SparkEntry.queries.size == 119,
-      s"expected 119 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
+  test("all 120 declared queries are present") {
+    assert(SparkEntry.queries.size == 120,
+      s"expected 120 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
   }
 
   test("oracle coverage is exactly queries minus the declared NO-ORACLE set") {

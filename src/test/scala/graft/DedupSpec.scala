@@ -142,6 +142,31 @@ class DedupSpec extends SparkSpec {
     assert(withBloom.nonEmpty, "corpus has no planted cross-batch dups — test has no signal")
   }
 
+  test("containment catches a doc-inside-doc pair that Jaccard misses") {
+    import spark.implicits._
+    // planted corpus: doc 1 is a contiguous prefix of doc 2 (the
+    // quoted/concatenated shape), doc 3 unrelated
+    val base = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    val words = (1 to 120).map(i => s"w$i")
+    val sub = words.take(40).mkString(" ")
+    val sup = words.mkString(" ")
+    val other = (200 to 320).map(i => s"x$i").mkString(" ")
+    Seq((1L, sub, "en", "t", sub.length.toLong),
+        (2L, sup, "en", "t", sup.length.toLong),
+        (3L, other, "en", "t", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val cont = graft.queries.DedupQueries.queries("q_dedup_contain")(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(cont.contains((1L, 2L)), s"subset pair not caught: $cont")
+    val (c, j) = cont((1L, 2L))
+    assert(c == 1.0, s"containment of a contiguous subset must be 1.0, got $c")
+    assert(j < 0.5, s"planted pair should be below the Jaccard threshold, got $j")
+    val jacPairs = graft.queries.DedupQueries.queries("q_dedup_ngram")(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jacPairs.contains((1L, 2L)), "Jaccard unexpectedly caught the subset pair — plant is invalid")
+  }
+
   test("survivor selection is consistent with clustering") {
     val clusters = graft.queries.DedupQueries.queries("q_dedup_clusters")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

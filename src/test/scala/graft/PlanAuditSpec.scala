@@ -100,6 +100,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinLine.contains("salt"), s"join keys do not include the salt: $joinLine")
   }
 
+  test("q_sample_weighted pushes the per-lang top-k below the shuffle (WindowGroupLimit)") {
+    val p = plan("q_sample_weighted")
+    // partial (map-side) + final: only ~k rows per map partition per lang
+    // reach the window shuffle — the rank filter can't become a
+    // one-reducer-per-group sort at scale
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"rank<=k not pushed map-side — each lang would sort on one reducer:\n$p")
+  }
+
   test("q_join_range_auto: the optimizer rule turns the raw BETWEEN into an equi-join") {
     val p = plan("q_join_range_auto")
     assert(p.contains("graft_bucket"), s"RangeJoinRewrite did not fire:\n$p")
