@@ -158,6 +158,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful aggregation runs on the RocksDB state store (off-heap state posture)") {
+    // At 100 TB/day the streaming state outgrows executor heaps; RocksDB
+    // keeps it on local disk with incremental checkpointing. Same
+    // transform, same results — only the state backend changes, which is
+    // exactly the property worth pinning.
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val st = MemoryStream[Ev](spark)
+      val rows = runBatches(st, EventStreams.tumblingCounts(st.toDF()), OutputMode.Append, Seq(
+        Seq(Ev(1, 1, "click", ts(5), 1.0), Ev(2, 1, "click", ts(20), 2.0)),
+        Seq(Ev(3, 1, "click", ts(95), 1.0)),
+        Seq(Ev(4, 1, "click", ts(200), 1.0)),
+      ), "t_rocksdb")
+      val w0 = rows.find(_.getTimestamp(0).getTime == Base)
+      assert(w0.isDefined, s"window 0 not finalized under RocksDB: $rows")
+      assert(w0.get.getLong(2) == 2 && w0.get.getDouble(3) == 3.0,
+        s"RocksDB-backed aggregate differs: ${w0.get}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("Trigger.AvailableNow drains incrementally with exactly-once across restarts") {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_stream_eo").toString
