@@ -116,22 +116,26 @@ object CosineJoinStrategy extends SparkStrategy with PredicateHelper {
 
   /** An equi-conjunct (l-col = r-col) means Spark's own hash joins beat
     * the O(n·m) kernel — the cosine becomes a cheap post-join residual. */
-  private def hasEquiKeys(rest: Seq[Expression], l: LogicalPlan, r: LogicalPlan): Boolean = {
-    def splitsAcross(a: Expression, b: Expression): Boolean =
-      (a.references.nonEmpty && b.references.nonEmpty) &&
-        ((a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
-          (b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet)))
-    rest.exists {
-      case EqualTo(a, b) => splitsAcross(a, b)
-      case EqualNullSafe(a, b) => splitsAcross(a, b)
-      case _ => false
-    }
-  }
+  private def hasEquiKeys(rest: Seq[Expression], l: LogicalPlan, r: LogicalPlan): Boolean =
+    JoinPatterns.hasCrossSideEquiConjunct(rest, l, r)
 
   private def fitsBroadcast(r: LogicalPlan): Boolean = {
     val cap = SQLConf.get
       .getConfString(MAX_BROADCAST_KEY, MAX_BROADCAST_DEFAULT.toString).toLong
-    r.stats.sizeInBytes <= BigInt(cap)
+    val fits = r.stats.sizeInBytes <= BigInt(cap)
+    if (!fits) {
+      // stats-unknown inputs (LogicalRDD/checkpoints default to
+      // spark.sql.defaultSizeInBytes = Long.MaxValue) land here too —
+      // the pattern matched but the size guard declined, and the query
+      // falls back to the O(n·m) nested-loop plan. Say so: a silent 19s
+      // cliff is far harder to diagnose than this one line.
+      logWarning(s"graft_cosine join pattern matched but build side " +
+        s"(stats ${r.stats.sizeInBytes} B, cap $cap B — Long.MaxValue means " +
+        s"stats unknown, e.g. a checkpointed/RDD input) declined the broadcast " +
+        s"kernel; falling back to Spark's nested-loop plan. Raise $MAX_BROADCAST_KEY " +
+        s"or materialize the build side as a sized relation to re-enable the kernel.")
+    }
+    fits
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {

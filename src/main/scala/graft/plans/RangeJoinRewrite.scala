@@ -91,18 +91,6 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       ((f.references.subsetOf(l.outputSet) && bound.references.subsetOf(r.outputSet)) ||
         (f.references.subsetOf(r.outputSet) && bound.references.subsetOf(l.outputSet)))
 
-  private def hasEquiKeys(conjuncts: Seq[Expression], l: LogicalPlan, r: LogicalPlan): Boolean = {
-    def splitsAcross(a: Expression, b: Expression): Boolean =
-      (a.references.nonEmpty && b.references.nonEmpty) &&
-        ((a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
-          (b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet)))
-    conjuncts.exists {
-      case EqualTo(a, b) => splitsAcross(a, b)
-      case EqualNullSafe(a, b) => splitsAcross(a, b)
-      case _ => false
-    }
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(l, r, Inner | Cross, Some(cond), hint) =>
       rewrite(j, l, r, cond, hint).getOrElse(j)
@@ -111,7 +99,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
                       cond: Expression, hint: JoinHint): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
-    if (hasEquiKeys(conjuncts, l, r)) return None
+    if (JoinPatterns.hasCrossSideEquiConjunct(conjuncts, l, r)) return None
     // find a lower and an upper bound on the SAME fact-side expression,
     // with both interval endpoints on the other side
     val lowers = conjuncts.collect { case Lower(f, s) if sidesSplit(f, s, l, r) => (f, s) }
@@ -134,9 +122,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val dimBucket = AttributeReference("graft_bucket_d", LongType)()
         // timeZoneId must be supplied here: the analyzer's ResolveTimeZone
         // has already run, and a TimeZoneAwareExpression without it makes
-        // the whole plan unresolved (PLAN_VALIDATION_FAILED_RULE_IN_BATCH)
+        // the whole plan unresolved (PLAN_VALIDATION_FAILED_RULE_IN_BATCH).
+        // Reversed/empty intervals (s > e) must stay a zero-match row, not
+        // a Sequence boundary crash — Explode of an empty array drops the
+        // row, matching what the nested-loop join would have emitted.
         val seq = Sequence(sb, eb, Some(Literal(1L)), Some(SQLConf.get.sessionLocalTimeZone))
-        val gen = Generate(Explode(seq),
+        val safeSeq = If(LessThanOrEqual(sb, eb), seq,
+          Literal.create(Array.empty[Long], seq.dataType))
+        val gen = Generate(Explode(safeSeq),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
           generatorOutput = Seq(dimBucket), child = dim)
         val newCond = (EqualTo(factBucket.toAttribute, dimBucket) +: conjuncts)

@@ -181,14 +181,20 @@ object TextAnalysisQueries extends QueryGroup {
     // u is a content-derived uniform ((48-bit md5 prefix + 1) / 2^48,
     // never 0) — seedless and engine-portable, unlike rand(); ln-bit
     // agreement between JVM and DuckDB libm is already load-bearing for
-    // q_tfidf_top/q_bm25_top. One window shuffle on lang.
+    // q_tfidf_top/q_bm25_top. Because the key decides SET MEMBERSHIP (not
+    // just a displayed value), ranking floors it onto a 1e-9 grid first:
+    // a last-ulp libm divergence can then flip the selection only if the
+    // key sits within an ulp of a grid boundary, instead of whenever two
+    // keys straddle rank 10 — the §7.3 discipline applied to ordering.
+    // One window shuffle on lang.
     "q_sample_weighted" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("key"), col("doc_id"))
       val u = (conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long") + lit(1L))
         .cast("double") / lit(281474976710656.0) // 2^48
       Tables.documents(s, d)
-        .withColumn("key", -log(u) / col("n_chars").cast("double"))
+        .withColumn("key",
+          floor(-log(u) / col("n_chars").cast("double") * lit(1000000000.0)).cast("long"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select("lang", "doc_id", "n_chars")
@@ -303,7 +309,7 @@ object TextAnalysisQueries extends QueryGroup {
         "CAST(sum(n_distinct) AS BIGINT) AS sum_distinct FROM b GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_sample_weighted" ->
       ("WITH k AS (SELECT lang, doc_id, n_chars, " +
-        "-ln((CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) + 1) / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS key " +
+        "CAST(floor(-ln((CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) + 1) / 281474976710656.0) / CAST(n_chars AS DOUBLE) * 1000000000.0) AS BIGINT) AS key " +
         "FROM documents), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn FROM k) " +
         "SELECT lang, doc_id, n_chars FROM r WHERE rn <= 10 ORDER BY lang, doc_id"),

@@ -53,6 +53,21 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(actual == expected)
   }
 
+  test("reversed intervals contribute zero matches instead of crashing the sequence") {
+    RangeJoinRewrite.install(spark)
+    import spark.implicits._
+    // hi < lo by more than one bucket width: the naive BNLJ emits no rows
+    // for such dirty intervals; the rewritten plan must do the same, not
+    // throw 'Illegal sequence boundaries'
+    val dirty = Seq((0L, 5000000000000L, 0L), (1L, 10L, 20L)).toDF("iv_id", "lo", "hi")
+    val joined = points.join(dirty, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("p", "iv_id")
+    assert(joined.queryExecution.executedPlan.toString.contains("graft_bucket"))
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val expected = (10L until 20L).map(p => (p, 1L)).sorted
+    assert(got == expected, s"got $got")
+  }
+
   test("declines when the join already has an equi key (hash join untouched)") {
     RangeJoinRewrite.install(spark)
     val joined = points.join(intervals,
