@@ -4,21 +4,30 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** SURVEY §2.9 / §2.12 — near-duplicate detection, the four standard
-  * flavors a training-data pipeline needs (reference tree is empty —
+/** SURVEY §2.9 / §2.12 — near-duplicate detection, every flavor a
+  * training-data pipeline needs (reference tree is empty —
   * /root/reference/README.md:1; semantics follow the SURVEY contract and
   * standard MinHash/SimHash literature):
   *
-  *   - q_dedup_ngram   exact 3-gram Jaccard over an inverted shingle
-  *                     index (ORACLE — all-integer arithmetic).
-  *   - q_dedup_near    MinHash signatures + LSH banding, candidate pairs
-  *                     scored by signature agreement (NO-ORACLE — hash
-  *                     mixing is not expressible in portable SQL;
-  *                     property-tested against q_dedup_ngram's exact
-  *                     Jaccard in DedupSpec).
-  *   - q_dedup_simhash 64-bit SimHash, banded lookup, Hamming filter
-  *                     (NO-ORACLE, property-tested).
-  *   - q_dedup_embed   embedding-cosine near-dup pairs (ORACLE).
+  *   - q_dedup_ngram    exact 3-gram Jaccard over an inverted shingle
+  *                      index (ORACLE — all-integer arithmetic).
+  *   - q_dedup_contain  asymmetric shingle containment — subset-style
+  *                      dups Jaccard under-scores (ORACLE).
+  *   - q_dedup_near     MinHash signatures + LSH banding, candidate pairs
+  *                      scored by signature agreement (NO-ORACLE — hash
+  *                      mixing is not expressible in portable SQL;
+  *                      property-tested against q_dedup_ngram's exact
+  *                      Jaccard in DedupSpec).
+  *   - q_dedup_simhash  64-bit SimHash, banded lookup, Hamming filter
+  *                      (NO-ORACLE, property-tested).
+  *   - q_dedup_embed    embedding-cosine near-dup pairs (ORACLE);
+  *     q_dedup_embed_lsh the LSH-candidate scale path (NO-ORACLE).
+  *   - q_dedup_edit     Levenshtein over capped prefix-blocking buckets
+  *                      (ORACLE).
+  *   - q_dedup_bloom    Bloom-pruned incremental batch dedup (ORACLE).
+  *   - q_dedup_clusters / q_dedup_survivor / q_doc_centrality — the
+  *     graph consumers: connected components, survivor selection, and
+  *     PageRank centrality over the shared pair set (all ORACLE).
   *
   * Scale design (100 TB): everything is one explode + one shuffle on a
   * short key (shingle / band-key) followed by per-bucket pair expansion.

@@ -67,7 +67,13 @@ object EventStreams {
     * click state is evicted once the purchase-side watermark passes
     * click_ts + 30min — the canonical bounded-state stream join. State
     * shards by user_id (the equi-key), no global coordination. */
-  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  /** joinType "inner" = attributed purchases only; "leftOuter" = every
+    * purchase, unattributed ones emitted with null click columns once the
+    * click-side watermark proves no match can still arrive — the shape
+    * for "conversion + organic" reporting where losing unmatched
+    * purchases is wrong. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", "10 minutes")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -77,7 +83,7 @@ object EventStreams {
     p.join(c, expr(
       """p_user = c_user AND
          click_ts <= purchase_ts AND
-         click_ts >= purchase_ts - INTERVAL 30 MINUTES"""))
+         click_ts >= purchase_ts - INTERVAL 30 MINUTES"""), joinType)
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
         col("purchase_ts"), col("click_ts"), col("value"))
   }

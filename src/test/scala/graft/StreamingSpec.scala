@@ -158,6 +158,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched purchases with nulls after the watermark") {
+    import spark.implicits._
+    val clicks = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val out = EventStreams.clickAttribution(clicks.toDF(), purchases.toDF(), "leftOuter")
+    val q = out.writeStream.format("memory").queryName("t_attr_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: click @5, purchase @20  -> attributed immediately
+      // user 2: purchase @45, no click  -> must still appear, nulls, but
+      //         only once the click watermark passes 45 (no match can
+      //         still arrive)
+      clicks.addData(Seq(Ev(11, 1, "click", ts(5), 0.0)))
+      purchases.addData(Seq(Ev(21, 1, "purchase", ts(20), 9.99), Ev(22, 2, "purchase", ts(45), 5.0)))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past 45 + 10min delay
+      clicks.addData(Seq(Ev(13, 3, "click", ts(300), 0.0)))
+      purchases.addData(Seq(Ev(23, 3, "purchase", ts(301), 1.0)))
+      q.processAllAvailable()
+      clicks.addData(Seq(Ev(14, 4, "click", ts(600), 0.0)))
+      purchases.addData(Seq(Ev(24, 4, "purchase", ts(601), 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("t_attr_outer").collect()
+      val byPurchase = rows.map(r => r.getLong(1) -> r).toMap
+      assert(byPurchase.contains(21L) && byPurchase(21L).getLong(2) == 11L,
+        s"matched purchase lost or unattributed: ${rows.toSeq}")
+      assert(byPurchase.contains(22L), s"unmatched purchase dropped by outer join: ${rows.toSeq}")
+      assert(byPurchase(22L).isNullAt(2),
+        s"unmatched purchase should carry null click_id: ${byPurchase(22L)}")
+    } finally q.stop()
+  }
+
   test("stateful aggregation runs on the RocksDB state store (off-heap state posture)") {
     // At 100 TB/day the streaming state outgrows executor heaps; RocksDB
     // keeps it on local disk with incremental checkpointing. Same
