@@ -205,6 +205,36 @@ object AggQueries extends QueryGroup {
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
         .orderBy("event_type")
     }),
+
+    // NO-ORACLE: Theta-sketch audience overlap — the set-INTERSECTION
+    // estimate HLL cannot provide (q_hll_merge unions only). Per
+    // (event_type, month-half) sketches of distinct users are built by
+    // the custom graft.functions.ThetaSketchAgg (a native
+    // TypedImperativeAggregate — heap object buffer, serialized only at
+    // shuffle boundaries, the same mechanism Spark's own sketches use),
+    // materialized once (the persisted-artifact shape), then h1×h2
+    // intersection/union estimates answer "users active in BOTH halves"
+    // from two ~4 KB sketches instead of an exact distinct-join — at
+    // 100 TB that's two full shuffles saved. Theta retains the k min
+    // hashes, so update order and partitioning never change the result;
+    // InvariantSpec pins the estimates against exact overlap counts.
+    "q_sketch_overlap" -> ((s, d) => {
+      import graft.functions.ThetaSketchAgg._
+      val sk = Tables.events(s, d)
+        .withColumn("half", when(dayofmonth(col("ts")) <= 15, "h1").otherwise("h2"))
+        .groupBy("event_type", "half")
+        .agg(thetaSketch(col("user_id")).as("sk"))
+        .localCheckpoint(true)
+      val h1 = sk.filter(col("half") === "h1").select(col("event_type"), col("sk").as("sk1"))
+      val h2 = sk.filter(col("half") === "h2").select(col("event_type"), col("sk").as("sk2"))
+      h1.join(h2, "event_type")
+        .select(col("event_type"),
+          thetaEstimate(col("sk1")).as("est_h1"),
+          thetaEstimate(col("sk2")).as("est_h2"),
+          thetaIntersect(col("sk1"), col("sk2")).as("est_both"),
+          thetaUnion(col("sk1"), col("sk2")).as("est_any"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(

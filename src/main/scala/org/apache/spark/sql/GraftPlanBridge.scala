@@ -25,4 +25,11 @@ object GraftPlanBridge {
     classic.Dataset.ofRows(spark,
       AsOfJoin(cl.queryExecution.analyzed, cr.queryExecution.analyzed, keyCol, timeCol))
   }
+
+  /** Column ↔ catalyst Expression crossings for custom aggregates
+    * (TypedImperativeAggregate has no public Column constructor). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

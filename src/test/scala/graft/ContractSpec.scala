@@ -17,11 +17,12 @@ class ContractSpec extends AnyFunSuite {
     "q_ann_ivf",         // argmax assignment not portable
     "q_dedup_embed_lsh", // LSH candidates — same; confirm-subset pinned vs q_dedup_embed
     "q_hll_merge",       // DataSketches HLL estimate — not reproducible in DuckDB; union==direct pinned
+    "q_sketch_overlap",  // Theta intersection estimate — custom aggregate, pinned vs exact overlap
   )
 
-  test("all 120 declared queries are present") {
-    assert(SparkEntry.queries.size == 120,
-      s"expected 120 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
+  test("all 121 declared queries are present") {
+    assert(SparkEntry.queries.size == 121,
+      s"expected 121 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
   }
 
   test("oracle coverage is exactly queries minus the declared NO-ORACLE set") {

@@ -49,6 +49,29 @@ class InvariantSpec extends SparkSpec {
       }
   }
 
+  test("theta-sketch overlap estimates match exact intersection/union counts") {
+    val ev = Tables.events(spark, sf001)
+      .withColumn("half", when(dayofmonth(col("ts")) <= 15, "h1").otherwise("h2"))
+      .select("event_type", "half", "user_id").distinct()
+    val h1 = ev.filter(col("half") === "h1").select(col("event_type"), col("user_id"))
+    val h2 = ev.filter(col("half") === "h2").select(col("event_type"), col("user_id"))
+    val exactBoth = h1.join(h2, Seq("event_type", "user_id"), "left_semi")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAny = ev.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.queries.AggQueries.queries("q_sketch_overlap")(spark, sf001).collect().foreach { r =>
+      val t = r.getString(0)
+      // cardinalities sit far below the sketch's k=4096 entries, so the
+      // sketches are in exact mode — estimates must EQUAL the true counts
+      assert(r.getLong(3) == exactBoth.getOrElse(t, 0L),
+        s"$t: intersection estimate ${r.getLong(3)} != exact ${exactBoth.get(t)}")
+      assert(r.getLong(4) == exactAny(t),
+        s"$t: union estimate ${r.getLong(4)} != exact ${exactAny(t)}")
+    }
+  }
+
   test("HLL approx_count_distinct within 5% of exact") {
     graft.queries.AggQueries.queries("q_approx_distinct")(spark, sf001).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
