@@ -100,6 +100,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinLine.contains("salt"), s"join keys do not include the salt: $joinLine")
   }
 
+  test("theta sketch aggregate plans as ObjectHashAggregate, two-phase") {
+    // q_sketch_overlap's plan starts at the checkpointed sketch table, so
+    // audit the aggregation stage itself: TypedImperativeAggregate must
+    // ride the hash-based object-agg path (a SortAggregate fallback would
+    // sort the raw events per partition before any sketch update), with a
+    // map-side partial so only sketches cross the shuffle.
+    val p = graft.Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(graft.functions.ThetaSketchAgg.thetaSketch(
+        org.apache.spark.sql.functions.col("user_id")).as("sk"))
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"theta sketch not two-phase object-hash aggregated:\n$p")
+    assert(!p.contains("SortAggregate"), s"sort-agg fallback present:\n$p")
+  }
+
   test("q_sample_weighted pushes the per-lang top-k below the shuffle (WindowGroupLimit)") {
     val p = plan("q_sample_weighted")
     // partial (map-side) + final: only ~k rows per map partition per lang
