@@ -1,13 +1,14 @@
 package graft.functions
 
 import org.apache.datasketches.memory.Memory
-import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Union, UpdateSketch}
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Union}
 import org.apache.spark.sql.{Column, GraftPlanBridge}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.functions.udf
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** Theta-sketch distinct aggregation — the "novel sketch" rung of the
   * extension ladder, as a native `TypedImperativeAggregate` (object
@@ -33,6 +34,13 @@ case class ThetaSketchAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_theta_sketch"
+
+  // fail at ANALYSIS, not as a mid-job ClassCastException in update():
+  // the unchecked asInstanceOf[Long] below is only safe because of this
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT input, got ${child.dataType.catalogString}")
 
   override def createAggregationBuffer(): Union =
     SetOperation.builder().buildUnion()
@@ -74,8 +82,12 @@ object ThetaSketchAgg {
     GraftPlanBridge.column(
       ThetaSketchAgg(GraftPlanBridge.expression(c)).toAggregateExpression())
 
+  /** null-safe: a missing sketch (e.g. the empty side of an outer join
+    * between sketch tables) reads as the empty set, so the estimate
+    * helpers compose with outer joins instead of NPE-ing in Memory.wrap */
   private def wrap(b: Array[Byte]): CompactSketch =
-    Sketches.wrapCompactSketch(Memory.wrap(b))
+    if (b == null) SetOperation.builder().buildUnion().getResult
+    else Sketches.wrapCompactSketch(Memory.wrap(b))
 
   /** Estimate of a serialized sketch, rounded to a long. */
   val thetaEstimate = udf((b: Array[Byte]) =>

@@ -227,7 +227,10 @@ object AggQueries extends QueryGroup {
         .localCheckpoint(true)
       val h1 = sk.filter(col("half") === "h1").select(col("event_type"), col("sk").as("sk1"))
       val h2 = sk.filter(col("half") === "h2").select(col("event_type"), col("sk").as("sk2"))
-      h1.join(h2, "event_type")
+      // full outer + null-safe sketch helpers: a type active in only one
+      // half reports a 0 estimate for the other, instead of vanishing
+      // from the overlap report (an inner join would silently drop it)
+      h1.join(h2, Seq("event_type"), "full_outer")
         .select(col("event_type"),
           thetaEstimate(col("sk1")).as("est_h1"),
           thetaEstimate(col("sk2")).as("est_h2"),

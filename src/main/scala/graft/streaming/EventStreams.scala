@@ -66,8 +66,9 @@ object EventStreams {
     * time on BOTH ends, so Spark can size the state store exactly:
     * click state is evicted once the purchase-side watermark passes
     * click_ts + 30min — the canonical bounded-state stream join. State
-    * shards by user_id (the equi-key), no global coordination. */
-  /** joinType "inner" = attributed purchases only; "leftOuter" = every
+    * shards by user_id (the equi-key), no global coordination.
+    *
+    * joinType "inner" = attributed purchases only; "leftOuter" = every
     * purchase, unattributed ones emitted with null click columns once the
     * click-side watermark proves no match can still arrive — the shape
     * for "conversion + organic" reporting where losing unmatched

@@ -7,18 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * silently dropped (round-1 ADVICE flagged a 54/55 contract). */
 class ContractSpec extends AnyFunSuite {
 
-  private val noOracle = Set(
-    "q_approx_distinct", // HLL is approximate — property-tested in HllSpec
-    "q_approx_percentile", // sketch-based — property-tested vs exact percentile
-    "q_dedup_near",      // MinHash mixing not portably SQL-expressible
-    "q_dedup_simhash",   // same
-    "q_ann_lsh",         // sign bits of float dots not portable
-    "q_ann_knn",         // LSH-bucketed search — same reason
-    "q_ann_ivf",         // argmax assignment not portable
-    "q_dedup_embed_lsh", // LSH candidates — same; confirm-subset pinned vs q_dedup_embed
-    "q_hll_merge",       // DataSketches HLL estimate — not reproducible in DuckDB; union==direct pinned
-    "q_sketch_overlap",  // Theta intersection estimate — custom aggregate, pinned vs exact overlap
-  )
+  // Derived from RegenGolden.NoOracle — the ONE declaration of the
+  // NO-ORACLE set. GoldenSpec generates its pins from the same list, so a
+  // query can't be declared oracle-free here while silently getting no
+  // golden verification there (the two lists can't drift).
+  private val noOracle: Set[String] = graft.tools.RegenGolden.NoOracle.toSet
 
   test("all 121 declared queries are present") {
     assert(SparkEntry.queries.size == 121,

@@ -61,10 +61,20 @@ class InvariantSpec extends SparkSpec {
     val exactAny = ev.select("event_type", "user_id").distinct()
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    graft.queries.AggQueries.queries("q_sketch_overlap")(spark, sf001).collect().foreach { r =>
+    val exactH1 = h1.distinct().groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactH2 = h2.distinct().groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = graft.queries.AggQueries.queries("q_sketch_overlap")(spark, sf001).collect()
+    assert(rows.nonEmpty, "overlap report is empty — query lost its input")
+    assert(rows.map(_.getString(0)).toSet == exactAny.keySet,
+      "overlap report does not cover every event type")
+    rows.foreach { r =>
       val t = r.getString(0)
       // cardinalities sit far below the sketch's k=4096 entries, so the
       // sketches are in exact mode — estimates must EQUAL the true counts
+      assert(r.getLong(1) == exactH1.getOrElse(t, 0L), s"$t: est_h1 ${r.getLong(1)}")
+      assert(r.getLong(2) == exactH2.getOrElse(t, 0L), s"$t: est_h2 ${r.getLong(2)}")
       assert(r.getLong(3) == exactBoth.getOrElse(t, 0L),
         s"$t: intersection estimate ${r.getLong(3)} != exact ${exactBoth.get(t)}")
       assert(r.getLong(4) == exactAny(t),
