@@ -1,0 +1,269 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.13 round-4 analytics operators: anomaly detection, skyline
+  * (Pareto frontier), token-entropy scoring, a composite Gopher-style
+  * quality gate, compaction bin-packing, and PMI token association.
+  *
+  * All six are ORACLE queries. The float discipline (§7.3) is the usual
+  * three tools: decisions made by CROSS-MULTIPLIED integer comparisons
+  * (never a float mean/ratio), per-term values snapped to an integer
+  * nano-grid BEFORE any order-dependent sum, and r2/r3 single-op rounding
+  * for displayed ratios.
+  */
+object AnalyticsQueries extends QueryGroup {
+
+  private val enStops = Seq("the", "a", "of", "and", "is")
+
+  private def toks(c: Column): Column =
+    filter(split(lower(c), wsRegex), t => t =!= "")
+
+  /** DuckDB mirror of toks(text) */
+  private val oToks =
+    "list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '')"
+
+  val queries: Map[String, QFn] = Map(
+    // ---- anomaly detection without a float mean (ORACLE) ---------------
+    // Events whose value exceeds 2× their user's mean. The naive form
+    // (value > 2*avg(value)) can never hash-match an oracle — avg is an
+    // order-dependent float sum. Cross-multiplying clears it: with exact
+    // integer cents, value > 2·mean  ⟺  cents·n > 2·sum_cents, all
+    // BIGINT (cents ≤ 1e4, n ≤ corpus rows — no overflow until ~1e15
+    // rows per user). Shape at 100 TB: ONE hash shuffle on user_id (both
+    // window aggregates share the partition), then a k-group aggregate.
+    "q_anomaly_mean" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      val anom = col("cents") * col("n_u") > col("s_u") * lit(2L)
+      Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("n_u", count(col("cents")).over(w))
+        .withColumn("s_u", sum(col("cents")).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(anom, 1L).otherwise(0L)).as("n_anom"),
+          sum(when(anom, col("cents")).otherwise(0L)).as("anom_cents"))
+        .orderBy("event_type")
+    }),
+
+    // ---- 2-D skyline / Pareto frontier (ORACLE) -------------------------
+    // Per order status: orders not dominated on (price↑, recency↑) — the
+    // classic skyline operator, O(n log n) via one window sort instead of
+    // the O(n²) NOT EXISTS self-join. A row survives iff its date beats
+    // the max date among STRICTLY higher prices (RANGE … 1 PRECEDING on
+    // descending integer cents = "cents ≥ mine+1") and ties the max date
+    // among equal prices (RANGE CURRENT ROW = the peer group). Both
+    // frames ride ONE (status, cents desc) sort — a single exchange, no
+    // join. Dominance is evaluated on exact integers and raw timestamps;
+    // nothing floats.
+    "q_skyline" -> ((s, d) => {
+      val ws = Window.partitionBy("o_orderstatus").orderBy(col("cents").desc)
+      val wGt = ws.rangeBetween(Window.unboundedPreceding, -1)
+      val wEq = ws.rangeBetween(Window.currentRow, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("m_gt", max(col("o_orderdate")).over(wGt))
+        .withColumn("m_eq", max(col("o_orderdate")).over(wEq))
+        .filter((col("m_gt").isNull || col("o_orderdate") > col("m_gt")) &&
+          col("o_orderdate") === col("m_eq"))
+        .select(col("o_orderstatus"), col("o_orderkey"), col("cents"),
+          fmtTs(col("o_orderdate")).as("odate"))
+        .orderBy("o_orderstatus", "o_orderkey")
+    }),
+
+    // ---- token-entropy quality scoring (ORACLE) -------------------------
+    // Shannon entropy of each doc's token distribution — the information-
+    // density signal that separates natural text (high) from boilerplate
+    // and keyword stuffing (low). Entropy is Σ -p·ln(p): an order-
+    // dependent float sum, so each term is snapped to an integer nano-nat
+    // grid FIRST (floor(-p·ln(p)·1e9 + 0.5)); the BIGINT sum is then
+    // order-free and engine-exact (§7.3.13 — p is a single division of
+    // exact counts, ln-bit agreement is already load-bearing for tf-idf/
+    // BM25). Half-nat buckets → per-lang histogram. Shape at 100 TB: one
+    // (doc, tok) count aggregate, a window sharing the doc_id partition,
+    // then two k-group aggregates — one shuffle family on doc_id.
+    "q_entropy" -> ((s, d) => {
+      val p = col("c").cast("double") / col("n").cast("double")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+        .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("doc_id")))
+        .withColumn("term_nano",
+          floor(-p * log(p) * lit(1000000000.0) + lit(0.5)).cast("long"))
+        .groupBy("doc_id", "lang").agg(sum(col("term_nano")).as("ent_nano"))
+        .withColumn("bucket", expr("ent_nano div 500000000"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ent_nano")).as("sum_ent_nano"))
+        .orderBy("lang", "bucket")
+    }),
+
+    // ---- composite Gopher-style quality gate (ORACLE) -------------------
+    // The production curation shape (Gopher/C4/Dolma): a doc passes a
+    // CONJUNCTION of cheap rules — token count in range, mean word length
+    // in [3,10], ≥2 stopwords, duplicated-3-gram fraction < 0.3. Every
+    // rule is an integer cross-multiplication (3·n ≤ Σlen ≤ 10·n, not
+    // Σlen/n ∈ [3,10]; 10·dups < 3·grams, not dups/grams < 0.3), so the
+    // report is exact. Pure map-side until one k-group aggregate — zero
+    // pre-agg shuffle at any scale.
+    "q_quality_gate" -> ((s, d) => {
+      val t = toks(col("text"))
+      val n2 = size(t) - 2
+      val grams = zip_with(
+        zip_with(slice(t, lit(1), n2), slice(t, lit(2), n2), (x, y) => concat(x, lit(" "), y)),
+        slice(t, lit(3), n2), (x, y) => concat(x, lit(" "), y))
+      val cnt1 = (c: Column) => sum(when(c, 1L).otherwise(0L))
+      Tables.documents(s, d)
+        .select(col("lang"),
+          size(t).cast("long").as("n_tok"),
+          length(concat_ws("", t)).cast("long").as("sum_len"),
+          size(filter(t, x => x.isin(enStops: _*))).cast("long").as("n_stop"),
+          when(size(t) >= 3, grams).otherwise(array(concat_ws(" ", t))).as("g"))
+        .select(col("lang"), col("n_tok"), col("sum_len"), col("n_stop"),
+          size(col("g")).cast("long").as("n_grams"),
+          size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+        .withColumn("r_len", col("n_tok").between(20L, 200L))
+        .withColumn("r_word",
+          col("sum_len") >= col("n_tok") * 3L && col("sum_len") <= col("n_tok") * 10L)
+        .withColumn("r_stop", col("n_stop") >= 2L)
+        .withColumn("r_rep",
+          (col("n_grams") - col("n_distinct")) * lit(10L) < col("n_grams") * lit(3L))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          cnt1(col("r_len")).as("n_len_ok"), cnt1(col("r_word")).as("n_word_ok"),
+          cnt1(col("r_stop")).as("n_stop_ok"), cnt1(col("r_rep")).as("n_rep_ok"),
+          cnt1(col("r_len") && col("r_word") && col("r_stop") && col("r_rep")).as("n_pass"))
+        .orderBy("lang")
+    }),
+
+    // ---- compaction bin-packing planner (ORACLE) ------------------------
+    // The table-maintenance operator behind every lakehouse OPTIMIZE:
+    // group small files (stand-in: orders, size = exact cents) into
+    // target-sized compaction bins. Greedy running-sum packing —
+    // bin = (cumulative_size - 1) div target — is deterministic and
+    // single-pass, exactly how distributed compaction planners batch
+    // files per partition. One window sort per status partition + two
+    // k-group aggregates; at 100 TB the per-partition file lists are
+    // metadata-scale, orders smaller than the data they describe.
+    "q_compact_plan" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("cum", sum(col("cents")).over(w))
+        .withColumn("bin", expr("(cum - 1) div 1000000000"))
+        .groupBy("o_orderstatus", "bin")
+        .agg(count(lit(1)).as("n_files"), sum(col("cents")).as("bin_cents"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_bins"), sum(col("n_files")).as("n_files"),
+          max(col("bin_cents")).as("max_bin_cents"),
+          r2(sum(col("bin_cents")).cast("double") / count(lit(1))).as("avg_bin_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- PMI token association (ORACLE) ---------------------------------
+    // Pointwise mutual information over within-doc token co-occurrence —
+    // the collocation/phrase-mining signal (top pairs by support, PMI
+    // attached). Pairs are generated ROW-LOCALLY from each doc's sorted
+    // distinct-token array (indexed transform + flatten — no self-join on
+    // the corpus; per-doc vocab is bounded, so the expansion is O(v²)
+    // per row, not O(corpus²)). PMI's inputs are exact BIGINT counts;
+    // products stay < 2^53, so the single division + ln is bit-identical
+    // in both engines (r3 for display). Doc-frequency and corpus-size
+    // sides are tiny aggregates → broadcast joins at any scale.
+    "q_pmi_cooccur" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), array_sort(array_distinct(toks(col("text")))).as("td"))
+        .filter(size(col("td")) > 0)
+        .localCheckpoint(true) // one tokenizer pass for pairs + df + N (§7.3.11)
+      val pairs = docs
+        .select(explode(flatten(transform(col("td"), (x, i) =>
+          transform(slice(col("td"), i + lit(2), size(col("td"))),
+            y => struct(x.as("t1"), y.as("t2")))))).as("p"))
+        .select(col("p.t1"), col("p.t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n_co"))
+      val df = docs.select(explode(col("td")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("nd"))
+      pairs
+        .join(broadcast(df.select(col("tok").as("t1"), col("df").as("df1"))), "t1")
+        .join(broadcast(df.select(col("tok").as("t2"), col("df").as("df2"))), "t2")
+        .crossJoin(broadcast(n))
+        .withColumn("pmi", r3(log((col("n_co") * col("nd")).cast("double") /
+          (col("df1") * col("df2")).cast("double"))))
+        .select("t1", "t2", "n_co", "pmi")
+        .orderBy(col("n_co").desc, col("t1"), col("t2")).limit(15)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_anomaly_mean" ->
+      ("WITH c AS (SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "w AS (SELECT event_type, cents, count(cents) OVER (PARTITION BY user_id) AS n_u, " +
+        "sum(cents) OVER (PARTITION BY user_id) AS s_u FROM c) " +
+        "SELECT event_type, count(*) AS n_events, " +
+        "CAST(sum(CASE WHEN cents * n_u > s_u * 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom, " +
+        "CAST(sum(CASE WHEN cents * n_u > s_u * 2 THEN cents ELSE 0 END) AS BIGINT) AS anom_cents " +
+        "FROM w GROUP BY event_type ORDER BY event_type"),
+    "q_skyline" ->
+      ("WITH c AS (SELECT o_orderstatus, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents, " +
+        "CAST(o_orderdate AS TIMESTAMP) AS dt FROM orders), " +
+        "m AS (SELECT *, max(dt) OVER (PARTITION BY o_orderstatus ORDER BY cents DESC " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_gt, " +
+        "max(dt) OVER (PARTITION BY o_orderstatus ORDER BY cents DESC " +
+        "RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS m_eq FROM c) " +
+        "SELECT o_orderstatus, o_orderkey, cents, strftime(dt, '%Y-%m-%d %H:%M:%S') AS odate " +
+        "FROM m WHERE (m_gt IS NULL OR dt > m_gt) AND dt = m_eq " +
+        "ORDER BY o_orderstatus, o_orderkey"),
+    "q_entropy" ->
+      ("WITH e AS (SELECT doc_id, lang, unnest(" + oToks + ") AS tok FROM documents), " +
+        "c AS (SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2, 3), " +
+        "w AS (SELECT doc_id, lang, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM c), " +
+        "t AS (SELECT doc_id, lang, CAST(floor((-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * " +
+        "ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS term_nano FROM w), " +
+        "dd AS (SELECT doc_id, lang, CAST(sum(term_nano) AS BIGINT) AS ent_nano FROM t GROUP BY 1, 2) " +
+        "SELECT lang, ent_nano // 500000000 AS bucket, count(*) AS n_docs, " +
+        "CAST(sum(ent_nano) AS BIGINT) AS sum_ent_nano " +
+        "FROM dd GROUP BY 1, 2 ORDER BY lang, bucket"),
+    "q_quality_gate" ->
+      ("WITH t AS (SELECT lang, " + oToks + " AS t FROM documents), " +
+        "m AS (SELECT lang, CAST(len(t) AS BIGINT) AS n_tok, " +
+        "CAST(len(array_to_string(t, '')) AS BIGINT) AS sum_len, " +
+        "CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS n_stop, " +
+        "CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t) - 2), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [array_to_string(t, ' ')] END AS g FROM t), " +
+        "r AS (SELECT lang, (n_tok BETWEEN 20 AND 200) AS r_len, " +
+        "(sum_len >= n_tok * 3 AND sum_len <= n_tok * 10) AS r_word, (n_stop >= 2) AS r_stop, " +
+        "((CAST(len(g) AS BIGINT) - CAST(len(list_distinct(g)) AS BIGINT)) * 10 < CAST(len(g) AS BIGINT) * 3) AS r_rep FROM m) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN r_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok, " +
+        "CAST(sum(CASE WHEN r_word THEN 1 ELSE 0 END) AS BIGINT) AS n_word_ok, " +
+        "CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_ok, " +
+        "CAST(sum(CASE WHEN r_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok, " +
+        "CAST(sum(CASE WHEN r_len AND r_word AND r_stop AND r_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass " +
+        "FROM r GROUP BY lang ORDER BY lang"),
+    "q_compact_plan" ->
+      ("WITH c AS (SELECT o_orderstatus, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "w AS (SELECT o_orderstatus, cents, sum(cents) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c), " +
+        "b AS (SELECT o_orderstatus, (cum - 1) // 1000000000 AS bin, count(*) AS n_files, " +
+        "CAST(sum(cents) AS BIGINT) AS bin_cents FROM w GROUP BY 1, 2) " +
+        "SELECT o_orderstatus, count(*) AS n_bins, CAST(sum(n_files) AS BIGINT) AS n_files, " +
+        "max(bin_cents) AS max_bin_cents, " +
+        "floor(CAST(sum(bin_cents) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS avg_bin_cents " +
+        "FROM b GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_pmi_cooccur" ->
+      ("WITH t AS (SELECT doc_id, list_sort(list_distinct(" + oToks + ")) AS td FROM documents), " +
+        "tt AS (SELECT doc_id, td FROM t WHERE len(td) > 0), " +
+        "e AS (SELECT doc_id, unnest(td) AS tok FROM tt), " +
+        "dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY tok), " +
+        "p AS (SELECT a.tok AS t1, b.tok AS t2, CAST(count(*) AS BIGINT) AS n_co " +
+        "FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.tok < b.tok GROUP BY 1, 2), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM tt) " +
+        "SELECT t1, t2, n_co, floor(ln(CAST(n_co * nd AS DOUBLE) / CAST(d1.df * d2.df AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS pmi " +
+        "FROM p JOIN dfr d1 ON p.t1 = d1.tok JOIN dfr d2 ON p.t2 = d2.tok CROSS JOIN nn " +
+        "ORDER BY n_co DESC, t1, t2 LIMIT 15"),
+  )
+}

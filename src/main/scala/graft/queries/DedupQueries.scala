@@ -414,6 +414,32 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("pr").desc, col("doc_id")).limit(20)
     }),
 
+    // ---- triangle counting over the near-dup graph (ORACLE) -------------
+    // The third graph algorithm next to connected components and
+    // PageRank: per-document triangle participation over the thresholded
+    // pair set. Triangles = dense near-dup cliques — the
+    // template/boilerplate families CC lumps into one blob and degree
+    // alone overstates (a hub touching many singletons has no
+    // triangles). Canonical-order enumeration: edges are stored d1 < d2,
+    // so joining ab⋈bc on the middle vertex and confirming ac counts
+    // each triangle exactly once — two hash joins on the pair set, zero
+    // work on the corpus itself (pairs come from the same memoized
+    // artifact as clusters/survivor/centrality). At web scale the
+    // standard refinement is ordering vertices by degree before the
+    // join; the thresholded graph here is orders smaller than the
+    // corpus, so the plain canonical order suffices.
+    "q_graph_triangles" -> ((s, d) => {
+      val e = nearDupPairs(s, d)
+      val ab = e.select(col("d1").as("a"), col("d2").as("b"))
+      val bc = e.select(col("d1").as("b"), col("d2").as("c"))
+      val ac = e.select(col("d1").as("a2"), col("d2").as("c2"))
+      ab.join(bc, "b")
+        .join(ac, col("a") === col("a2") && col("c") === col("c2"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("doc_id")).limit(20)
+    }),
+
     // ---- bloom-filter incremental dedup (ORACLE) ------------------------
     // The incremental-batch shape: an existing corpus (even doc_ids) vs a
     // new batch (odd doc_ids). A Bloom filter over the corpus' prefix
@@ -635,6 +661,21 @@ object DedupQueries extends QueryGroup {
         "i5 AS (SELECT e.dst AS node, CAST(150000 + (85 * CAST(sum(r.pr // g.deg) AS BIGINT)) // 100 AS BIGINT) AS pr " +
         "FROM edges e JOIN i4 r ON e.src = r.node JOIN deg g ON e.src = g.src GROUP BY e.dst) " +
         "SELECT node AS doc_id, pr FROM i5 ORDER BY pr DESC, doc_id LIMIT 20"),
+    "q_graph_triangles" ->
+      ("WITH sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS s, " +
+        "CAST(len(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS BIGINT) AS nsh " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh " +
+        "HAVING CAST(count(*) AS DOUBLE) / CAST(a.nsh + b.nsh - count(*) AS DOUBLE) >= 0.5), " +
+        "tri AS (SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c FROM p e1 JOIN p e2 ON e1.d2 = e2.d1 " +
+        "JOIN p e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2), " +
+        "nodes AS (SELECT unnest([a, b, c]) AS doc_id FROM tri) " +
+        "SELECT doc_id, count(*) AS n_tri FROM nodes GROUP BY doc_id ORDER BY n_tri DESC, doc_id LIMIT 20"),
     "q_dedup_embed" ->
       ("WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, " +
         "floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000.0 + 0.5) / 1000.0 AS cosr " +

@@ -1,0 +1,89 @@
+package graft
+
+import graft.queries.AnalyticsQueries
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the round-4 analytics operators — each is
+  * oracle-checked by the driver, so these pin the SEMANTICS (dominance,
+  * anomaly definition, conservation laws) rather than exact values. */
+class AnalyticsSpec extends SparkSpec {
+
+  private def q(name: String) = AnalyticsQueries.queries(name)(spark, sf0001)
+
+  test("q_skyline: result is mutually non-dominated and every dropped order is dominated") {
+    val sky = q("q_skyline").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+    // mutual non-domination within each status group
+    for (g <- sky.groupBy(_._1).values; a <- g; b <- g if a != b)
+      assert(!(a._2 >= b._2 && a._3 >= b._3 && (a._2 > b._2 || a._3 > b._3)),
+        s"skyline row $b dominated by $a")
+    // completeness: a non-skyline order must have a dominator
+    val all = Tables.orders(spark, sf0001)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val skyKeys = sky.map(_._2).toSet // cents values are near-unique at sf0.001
+    val byStatus = all.groupBy(_._1)
+    for ((st, g) <- byStatus; r <- g if !skyKeys.contains(r._3))
+      assert(g.exists(o => o._3 >= r._3 && o._4 >= r._4 && (o._3 > r._3 || o._4 > r._4)),
+        s"dropped order $r has no dominator in status $st")
+  }
+
+  test("q_anomaly_mean: flags exactly the events above 2x their user's exact mean") {
+    val rows = Tables.events(spark, sf0001)
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expected = rows.count { case (u, c) =>
+      val v = byUser(u); c * v.length > 2 * v.sum
+    }
+    val got = q("q_anomaly_mean").agg(sum("n_anom")).collect()(0).getLong(0)
+    assert(got == expected, s"anomaly count $got != exact recompute $expected")
+  }
+
+  test("q_compact_plan: conserves files and cents; bins are contiguous per status") {
+    val plan = q("q_compact_plan").collect()
+    val nFiles = plan.map(_.getAs[Long]("n_files")).sum
+    assert(nFiles == Tables.orders(spark, sf0001).count())
+    // no bin exceeds target + one max-file overshoot (greedy invariant)
+    val maxCents = Tables.orders(spark, sf0001)
+      .agg(max(round(col("o_totalprice") * 100).cast("long"))).collect()(0).getLong(0)
+    plan.foreach { r =>
+      assert(r.getAs[Long]("max_bin_cents") <= 1000000000L + maxCents,
+        s"bin overshoots target by more than one file: $r")
+    }
+  }
+
+  test("q_entropy: per-doc entropy is in [0, ln(n_tok)] nano-nats") {
+    // uniform distribution maximizes entropy at ln(k) <= ln(total tokens)
+    val docs = Tables.documents(spark, sf0001)
+      .select(size(split(lower(col("text")), "[ \\t\\n\\r\\f]+")).as("n"))
+      .agg(max("n")).collect()(0).getInt(0)
+    val cap = math.ceil(math.log(docs.toDouble) * 1e9).toLong
+    q("q_entropy").collect().foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b * 500000000L <= cap, s"entropy bucket $b out of [0, ln(max_tok)] range")
+    }
+  }
+
+  test("q_quality_gate: conjunction count never exceeds any single rule count") {
+    q("q_quality_gate").collect().foreach { case Row(_, n: Long, l: Long, w: Long, s: Long, rp: Long, p: Long) =>
+      assert(p <= Seq(l, w, s, rp).min && Seq(l, w, s, rp).max <= n)
+    }
+  }
+
+  test("q_pmi_cooccur: support never exceeds either marginal doc-frequency") {
+    val df = Tables.documents(spark, sf0001)
+      .select(explode(array_distinct(filter(
+        split(lower(col("text")), "[ \\t\\n\\r\\f]+"), t => t =!= ""))).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q("q_pmi_cooccur").collect().foreach { r =>
+      val (t1, t2, nCo) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(t1 < t2, "pair not in canonical order")
+      assert(nCo <= math.min(df(t1), df(t2)), s"support $nCo exceeds marginals for ($t1,$t2)")
+    }
+  }
+}

@@ -7,7 +7,8 @@ package graft
 class QueriesSmokeSpec extends SparkSpec {
 
   // queries whose correct sf0.001 output may legitimately be empty
-  private val mayBeEmpty = Set("q_join_anti", "q_dedup_simhash", "q_dedup_near", "q_dedup_ngram")
+  private val mayBeEmpty = Set("q_join_anti", "q_dedup_simhash", "q_dedup_near", "q_dedup_ngram",
+    "q_graph_triangles")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
