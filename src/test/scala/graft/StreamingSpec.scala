@@ -219,6 +219,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState keeps composite ValueState+MapState per user across batches") {
+    // The Spark 4 arbitrary-state API (successor to mapGroupsWithState):
+    // ProfileProcessor maintains a running (count, sum) ValueState and a
+    // per-event-type MapState under one key. Requires RocksDB.
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val st = MemoryStream[Ev](spark)
+      val rows = runBatches(st, EventStreams.runningProfile(st.toDS()).toDF(),
+        OutputMode.Update, Seq(
+          Seq(Ev(1, 7, "click", ts(1), 1.0), Ev(2, 7, "view", ts(2), 2.0),
+            Ev(3, 8, "click", ts(3), 5.0)),
+          Seq(Ev(4, 7, "click", ts(4), 3.0)),
+          Seq(Ev(5, 8, "purchase", ts(5), 7.0), Ev(6, 8, "click", ts(6), 1.0)),
+        ), "t_tws")
+      // memory sink in Update mode appends each batch's emission; the
+      // LAST row per user is the current profile
+      val last = rows.zipWithIndex.groupBy(_._1.getLong(0))
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+      assert(last(7L).getLong(1) == 3 && last(7L).getDouble(2) == 6.0 &&
+        last(7L).getLong(3) == 2, s"user 7 profile wrong: ${last(7L)}")
+      assert(last(8L).getLong(1) == 3 && last(8L).getDouble(2) == 13.0 &&
+        last(8L).getLong(3) == 2, s"user 8 profile wrong: ${last(8L)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("Trigger.AvailableNow drains incrementally with exactly-once across restarts") {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_stream_eo").toString
