@@ -196,6 +196,52 @@ object AnalyticsQueries extends QueryGroup {
         .select("t1", "t2", "n_co", "pmi")
         .orderBy(col("n_co").desc, col("t1"), col("t2")).limit(15)
     }),
+
+    // ---- token-distribution drift detection (ORACLE) --------------------
+    // Train/serve skew detection: compare per-token document frequency
+    // between two corpus splits (even/odd doc_ids stand in for
+    // train vs new-crawl) and rank tokens by rate divergence. The
+    // RANKING key is the cross-multiplied integer |df_a·n_b − df_b·n_a|
+    // — a float rate difference could flip order in the last ulp and
+    // break the top-k; the displayed rate_diff is two exact-int
+    // divisions and one subtraction (bit-identical), r3 for output.
+    // Shape at 100 TB: distinct (doc, tok) explode → ONE hash aggregate
+    // with conditional counts (no per-split join), split sizes broadcast.
+    "q_token_drift" -> ((s, d) => {
+      val sizes = Tables.documents(s, d).agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+        .groupBy("tok")
+        .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("df_a"),
+          sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("df_b"))
+        .crossJoin(broadcast(sizes))
+        .withColumn("drift", abs(col("df_a") * col("n_b") - col("df_b") * col("n_a")))
+        .withColumn("rate_diff", r3(col("df_a").cast("double") / col("n_a").cast("double")
+          - col("df_b").cast("double") / col("n_b").cast("double")))
+        .select("tok", "df_a", "df_b", "drift", "rate_diff")
+        .orderBy(col("drift").desc, col("tok")).limit(20)
+    }),
+
+    // ---- exact 7-day rolling distinct users / WAU (ORACLE) --------------
+    // The engagement metric every event pipeline reports: distinct users
+    // over a 7-day window sliding daily. COUNT(DISTINCT) over a range
+    // frame isn't a window aggregate either engine supports, so this is
+    // the standard explode rewrite: each (user, active-day) pair — NOT
+    // each raw event — fans out to the ≤7 window-ends it contributes to,
+    // then one distinct + count per window. The first distinct collapses
+    // the 100 TB event stream to (users × days) BEFORE the ×7 fan-out;
+    // the approximate path at extreme scale is the mergeable-sketch
+    // q_hll_merge next door — this is its exact counterpart.
+    "q_sliding_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("w")).distinct()
+        .groupBy("w").agg(count(lit(1)).as("wau"))
+        .select(date_format(col("w"), "yyyy-MM-dd").as("window_end"), col("wau"))
+        .orderBy("window_end")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -265,5 +311,19 @@ object AnalyticsQueries extends QueryGroup {
         "SELECT t1, t2, n_co, floor(ln(CAST(n_co * nd AS DOUBLE) / CAST(d1.df * d2.df AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS pmi " +
         "FROM p JOIN dfr d1 ON p.t1 = d1.tok JOIN dfr d2 ON p.t2 = d2.tok CROSS JOIN nn " +
         "ORDER BY n_co DESC, t1, t2 LIMIT 15"),
+    "q_token_drift" ->
+      ("WITH s AS (SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM documents), " +
+        "e AS (SELECT doc_id, unnest(list_distinct(" + oToks + ")) AS tok FROM documents), " +
+        "f AS (SELECT tok, CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_a, " +
+        "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS df_b FROM e GROUP BY tok) " +
+        "SELECT tok, df_a, df_b, abs(df_a * n_b - df_b * n_a) AS drift, " +
+        "floor((CAST(df_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(df_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS rate_diff " +
+        "FROM f CROSS JOIN s ORDER BY drift DESC, tok LIMIT 20"),
+    "q_sliding_distinct" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "uw AS (SELECT DISTINCT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS w FROM ud) " +
+        "SELECT strftime(CAST(w AS DATE), '%Y-%m-%d') AS window_end, count(*) AS wau " +
+        "FROM uw GROUP BY 1 ORDER BY window_end"),
   )
 }

@@ -74,6 +74,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_token_drift: drift score is zero iff split rates are exactly equal") {
+    q("q_token_drift").collect().foreach { r =>
+      val (dfA, dfB, drift) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(drift >= 0)
+      if (drift == 0) assert(r.getDouble(4) == 0.0,
+        s"zero integer drift but nonzero rate_diff: $r")
+      assert(dfA != dfB || drift == 0 || math.abs(dfA - dfB) > 0)
+    }
+  }
+
+  test("q_sliding_distinct: each 7-day WAU bounds its days' DAU (max <= wau <= sum)") {
+    val dau = Tables.events(spark, sf0001)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy("day").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    q("q_sliding_distinct").collect().foreach { r =>
+      val w = java.time.LocalDate.parse(r.getString(0), fmt)
+      val daus = (0 to 6).flatMap(k => dau.get(w.minusDays(k).toString))
+      val wau = r.getLong(1)
+      assert(daus.nonEmpty && wau >= daus.max && wau <= daus.sum,
+        s"WAU $wau outside [max DAU ${daus.max}, sum DAU ${daus.sum}] for window ending $w")
+    }
+  }
+
   test("q_pmi_cooccur: support never exceeds either marginal doc-frequency") {
     val df = Tables.documents(spark, sf0001)
       .select(explode(array_distinct(filter(
