@@ -239,4 +239,66 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new ProfileProcessor, TimeMode.None(), OutputMode.Update)
   }
+
+  /** The 30-minute-gap sessionizer on transformWithState EVENT-TIME
+    * TIMERS — same semantics as [[customSessionize]], but gap expiry is
+    * an explicit registered timer (fires when the watermark passes
+    * last + 30 min) handled in handleExpiredTimer, instead of
+    * GroupStateTimeout's single implicit per-key timeout. Explicit
+    * timers are the API's second capability step: a processor can keep
+    * MANY timers per key (session close + daily rollup + TTL sweep),
+    * where the old API allows exactly one. Stale timers are deleted on
+    * every session extension so state holds one live timer per user. */
+  class SessionProcessor extends StatefulProcessor[Long, Ev, SessionOut] {
+    @transient private var sess: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def close(user: Long, s: SessionState): SessionOut =
+      SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = if (sess.exists()) Option(sess.get()) else None
+      val closed = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= GapMs =>
+            cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            closed += close(user, s)
+            cur = Some(SessionState(t, t, 1L, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.last + GapMs)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
+      if (sess.exists()) {
+        val s = sess.get()
+        sess.clear()
+        Iterator.single(close(user, s))
+      } else Iterator.empty
+  }
+
+  /** Append-mode sessionization with explicit event-time timers. */
+  def sessionizeTws(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime(), OutputMode.Append)
+  }
 }

@@ -253,6 +253,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers close sessions in parity with flatMapGroupsWithState") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batches = Seq(
+        Seq(Ev(1, 7, "click", ts(0), 1.0), Ev(2, 7, "click", ts(5), 2.0)),
+        Seq(Ev(3, 7, "click", ts(10), 3.0)),
+        Seq(Ev(4, 7, "click", ts(50), 4.0)), // 40-min gap closes session A
+        Seq(Ev(5, 8, "click", ts(200), 1.0)),
+        Seq(Ev(6, 8, "click", ts(400), 1.0)),
+      )
+      val st = MemoryStream[Ev](spark)
+      val rows = runBatches(st, EventStreams.sessionizeTws(st.toDS()).toDF(),
+        OutputMode.Append, batches, "t_tws_sessions")
+      // session A: 3 events, sum 6.0 — the same closure the
+      // flatMapGroupsWithState test pins, now driven by a registered timer
+      val u7 = rows.filter(_.getLong(0) == 7L)
+      assert(u7.exists(r => r.getLong(3) == 3 && math.abs(r.getDouble(4) - 6.0) < 1e-9),
+        s"timer-closed session A (3 events, sum 6.0) missing: $rows")
+      // session B (single event at minute 50) closes once the watermark
+      // from minute 400 passes its gap timer
+      assert(u7.exists(r => r.getLong(3) == 1 && math.abs(r.getDouble(4) - 4.0) < 1e-9),
+        s"timer-closed session B (1 event, sum 4.0) missing: $rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("Trigger.AvailableNow drains incrementally with exactly-once across restarts") {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_stream_eo").toString
