@@ -224,6 +224,69 @@ object AnalyticsQueries extends QueryGroup {
         .orderBy(col("drift").desc, col("tok")).limit(20)
     }),
 
+    // ---- ordered string aggregation / LISTAGG (ORACLE) ------------------
+    // The LISTAGG / string_agg shape BI tools emit constantly. The only
+    // way it can hash-match across engines is a TOTAL order on the
+    // elements: Spark's collect_set order is partition-dependent, so the
+    // set is sorted BEFORE joining (array_join(array_sort(...))) and the
+    // oracle states string_agg(DISTINCT … ORDER BY …). k-group output.
+    "q_listagg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+
+    // ---- deterministic mode / most-frequent value (ORACLE) --------------
+    // mode() with an EXPLICIT tie-break (count desc, then value asc) —
+    // both engines' built-in mode() leave ties undefined, which can
+    // never hash-match, so the operator is count + row_number over the
+    // group. Two aggregations sharing the lang hash partitioning + a
+    // tiny window over k groups.
+    "q_mode" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("source"))
+      Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("source").as("mode_source"), col("n"))
+        .orderBy("lang")
+    }),
+
+    // ---- correlation / linear regression from exact sums (ORACLE) -------
+    // Pearson corr and OLS slope/intercept per group — the BI stats
+    // aggregates. The built-in corr()/regr_slope() accumulate doubles in
+    // partition order and can never hash-match an oracle; instead all
+    // five moment sums (Σx Σy Σxy Σx² Σy²) are EXACT integers over cents
+    // (summed as DECIMAL(38)/HUGEINT so no scale ceiling), and the
+    // closed-form formulas are evaluated in doubles with an identical
+    // operation order in both engines — exact ints → one rounding per
+    // cast → IEEE-identical arithmetic. Map-side partials + one k-group
+    // aggregate; the moment-sum form is also the distributed-merge shape
+    // (partial moments re-combine associatively at any scale).
+    "q_corr_regr" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val li = Tables.lineitem(s, d)
+        .withColumn("x", round(col("l_quantity") * 100).cast("long"))
+        .withColumn("y", round(col("l_extendedprice") * 100).cast("long"))
+      val g = li.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+      g.withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
+        .withColumn("corr_xy", r3(col("num") / (sqrt(col("dx")) * sqrt(col("dy")))))
+        .withColumn("slope", r3(col("num") / col("dx")))
+        .withColumn("icept_usd", r2((col("sy") - (col("num") / col("dx")) * col("sx")) / col("n") / lit(100.0)))
+        .select("l_returnflag", "corr_xy", "slope", "icept_usd")
+        .orderBy("l_returnflag")
+    }),
+
     // ---- exact 7-day rolling distinct users / WAU (ORACLE) --------------
     // The engagement metric every event pipeline reports: distinct users
     // over a 7-day window sliding daily. COUNT(DISTINCT) over a range
@@ -320,6 +383,28 @@ object AnalyticsQueries extends QueryGroup {
         "SELECT tok, df_a, df_b, abs(df_a * n_b - df_b * n_a) AS drift, " +
         "floor((CAST(df_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(df_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS rate_diff " +
         "FROM f CROSS JOIN s ORDER BY drift DESC, tok LIMIT 20"),
+    "q_listagg" ->
+      ("SELECT o_orderpriority, string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses, " +
+        "CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses, count(*) AS n_orders " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_mode" ->
+      ("WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rn FROM c) " +
+        "SELECT lang, source AS mode_source, n FROM r WHERE rn = 1 ORDER BY lang"),
+    "q_corr_regr" ->
+      ("WITH b AS (SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS x, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem), " +
+        "m AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx, CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(y * y AS HUGEINT)) AS DOUBLE) AS syy FROM b GROUP BY l_returnflag), " +
+        "f AS (SELECT l_returnflag, n * sxy - sx * sy AS num, n * sxx - sx * sx AS dx, " +
+        "n * syy - sy * sy AS dy, sx, sy, n FROM m) " +
+        "SELECT l_returnflag, floor(num / (sqrt(dx) * sqrt(dy)) * 1000.0 + 0.5) / 1000.0 AS corr_xy, " +
+        "floor(num / dx * 1000.0 + 0.5) / 1000.0 AS slope, " +
+        "floor((sy - (num / dx) * sx) / n / 100.0 * 100.0 + 0.5) / 100.0 AS icept_usd " +
+        "FROM f ORDER BY l_returnflag"),
     "q_sliding_distinct" ->
       ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
         "uw AS (SELECT DISTINCT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS w FROM ud) " +

@@ -99,6 +99,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_corr_regr: correlation in [-1,1] and matches a direct double recompute") {
+    val rows = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), round(col("l_quantity") * 100).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).view.mapValues { g =>
+      val n = g.length.toDouble
+      val sx = g.map(_._2.toDouble).sum; val sy = g.map(_._3.toDouble).sum
+      val sxy = g.map(t => t._2.toDouble * t._3).sum
+      val sxx = g.map(t => t._2.toDouble * t._2).sum
+      val syy = g.map(t => t._3.toDouble * t._3).sum
+      (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }.toMap
+    q("q_corr_regr").collect().foreach { r =>
+      val c = r.getDouble(1)
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $r")
+      assert(math.abs(c - expected(r.getString(0))) < 2e-3,
+        s"corr ${c} far from recompute ${expected(r.getString(0))}")
+    }
+  }
+
+  test("q_mode: returns the true argmax count per lang") {
+    val counts = Tables.documents(spark, sf0001)
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val maxByLang = counts.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    q("q_mode").collect().foreach { r =>
+      assert(r.getLong(2) == maxByLang(r.getString(0)), s"mode count not the max: $r")
+    }
+  }
+
+  test("q_listagg: element lists are sorted and consistent with the distinct count") {
+    q("q_listagg").collect().foreach { r =>
+      val parts = r.getString(1).split(",").toSeq
+      assert(parts == parts.sorted && parts.distinct == parts,
+        s"listagg not sorted-distinct: $r")
+      assert(parts.size.toLong == r.getLong(2), s"n_statuses mismatch: $r")
+    }
+  }
+
   test("q_pmi_cooccur: support never exceeds either marginal doc-frequency") {
     val df = Tables.documents(spark, sf0001)
       .select(explode(array_distinct(filter(
