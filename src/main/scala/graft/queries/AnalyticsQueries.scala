@@ -287,6 +287,63 @@ object AnalyticsQueries extends QueryGroup {
         .orderBy("l_returnflag")
     }),
 
+    // ---- weighted median via running weight (ORACLE) --------------------
+    // Lower weighted median: smallest value v with 2·Σweight(≤v) ≥ total
+    // weight. The threshold test is invariant to tie order inside equal
+    // values (the LAST row of value v carries cum = Σweight(≤v), which is
+    // order-free), so an ORDER BY on the value alone is deterministic —
+    // no fragile tiebreak column needed. All integers (cents weights);
+    // one window sort per group, the total rides the same partition.
+    "q_weighted_median" -> ((s, d) => {
+      val wc = Window.partitionBy("l_returnflag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("l_returnflag")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"),
+          round(col("l_quantity") * 100).cast("long").as("wgt"))
+        .withColumn("cum", sum(col("wgt")).over(wc))
+        .withColumn("tot", sum(col("wgt")).over(wt))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min(col("v")).as("wmedian_cents"), max(col("tot")).as("total_weight"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- HAVING against a global aggregate (ORACLE) ---------------------
+    // The TPC-H Q11 shape: keep groups whose aggregate exceeds a fraction
+    // of the GLOBAL aggregate. The global total is a one-row broadcast;
+    // the retention test is cross-multiplied (20·sum > total ⟺ share >
+    // 5%) so the cut is exact; the displayed share is one r2 division.
+    "q_having_global" -> ((s, d) => {
+      val c = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      val tot = c.agg(sum(col("cents")).as("tot"))
+      c.groupBy("o_orderpriority").agg(sum(col("cents")).as("sum_cents"))
+        .crossJoin(broadcast(tot))
+        .filter(col("sum_cents") * 20L > col("tot"))
+        .withColumn("share_pct", r2(col("sum_cents").cast("double") * lit(100.0) / col("tot").cast("double")))
+        .select("o_orderpriority", "sum_cents", "share_pct")
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- exact DECIMAL money arithmetic (ORACLE) ------------------------
+    // The money-typed path: doubles cast ONCE to DECIMAL(18,2) at the
+    // boundary, then all aggregation in exact decimal — the type
+    // discipline a financial pipeline uses instead of the cents-BIGINT
+    // trick the rest of this suite demonstrates. Sums re-cast to
+    // DECIMAL(18,2) on output so both engines agree on scale. Map-side
+    // partials + one k-group aggregate.
+    "q_decimal_exact" -> ((s, d) => {
+      val m = col("o_totalprice").cast("decimal(18,2)")
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(sum(m).cast("decimal(18,2)").as("sum_usd"),
+          min(m).as("min_usd"), max(m).as("max_usd"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ---- exact 7-day rolling distinct users / WAU (ORACLE) --------------
     // The engagement metric every event pipeline reports: distinct users
     // over a 7-day window sliding daily. COUNT(DISTINCT) over a range
@@ -405,6 +462,25 @@ object AnalyticsQueries extends QueryGroup {
         "floor(num / dx * 1000.0 + 0.5) / 1000.0 AS slope, " +
         "floor((sy - (num / dx) * sx) / n / 100.0 * 100.0 + 0.5) / 100.0 AS icept_usd " +
         "FROM f ORDER BY l_returnflag"),
+    "q_weighted_median" ->
+      ("WITH b AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v, " +
+        "CAST(round(l_quantity * 100) AS BIGINT) AS wgt FROM lineitem), " +
+        "w AS (SELECT l_returnflag, v, sum(wgt) OVER (PARTITION BY l_returnflag ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(wgt) OVER (PARTITION BY l_returnflag) AS tot FROM b) " +
+        "SELECT l_returnflag, min(v) AS wmedian_cents, CAST(max(tot) AS BIGINT) AS total_weight " +
+        "FROM w WHERE cum * 2 >= tot GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_having_global" ->
+      ("WITH c AS (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM c), " +
+        "g AS (SELECT o_orderpriority, CAST(sum(cents) AS BIGINT) AS sum_cents FROM c GROUP BY 1) " +
+        "SELECT o_orderpriority, sum_cents, " +
+        "floor(CAST(sum_cents AS DOUBLE) * 100.0 / CAST(tot AS DOUBLE) * 100.0 + 0.5) / 100.0 AS share_pct " +
+        "FROM g CROSS JOIN t WHERE sum_cents * 20 > tot ORDER BY o_orderpriority"),
+    "q_decimal_exact" ->
+      ("SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_usd, " +
+        "min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_usd, max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_usd, " +
+        "count(*) AS n_orders FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q_sliding_distinct" ->
       ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
         "uw AS (SELECT DISTINCT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS w FROM ud) " +

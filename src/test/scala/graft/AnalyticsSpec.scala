@@ -139,6 +139,45 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_weighted_median: half the weight sits on each side of the result") {
+    val rows = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_quantity") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byFlag = rows.groupBy(_._1)
+    q("q_weighted_median").collect().foreach { r =>
+      val (flag, med) = (r.getString(0), r.getLong(1))
+      val g = byFlag(flag)
+      val tot = g.map(_._3).sum
+      val below = g.filter(_._2 < med).map(_._3).sum   // strictly below median
+      val upTo = g.filter(_._2 <= med).map(_._3).sum   // including median value
+      assert(2 * below < tot && 2 * upTo >= tot,
+        s"$flag: weighted median $med violates the half-weight property")
+    }
+  }
+
+  test("q_having_global: shares of retained groups are each > 5% and <= 100%") {
+    val rows = q("q_having_global").collect()
+    rows.foreach { r =>
+      val pct = r.getDouble(2)
+      assert(pct > 5.0 - 0.01 && pct <= 100.0, s"share out of range: $r")
+    }
+    assert(rows.nonEmpty, "no group exceeds 5% of global — degenerate fixture")
+  }
+
+  test("q_decimal_exact: decimal sums equal the cents-BIGINT recompute exactly") {
+    val exact = Tables.orders(spark, sf0001)
+      .groupBy("o_orderstatus")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q("q_decimal_exact").collect().foreach { r =>
+      val dec = r.getDecimal(1)
+      val cents = dec.movePointRight(2).longValueExact()
+      assert(cents == exact(r.getString(0)),
+        s"decimal sum $dec != cents recompute ${exact(r.getString(0))}")
+    }
+  }
+
   test("q_pmi_cooccur: support never exceeds either marginal doc-frequency") {
     val df = Tables.documents(spark, sf0001)
       .select(explode(array_distinct(filter(
