@@ -182,4 +182,51 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       s"running and total frames shuffled separately:\n$p")
   }
+
+  test("q_skyline evaluates both dominance frames off one (status, cents) sort") {
+    val p = plan("q_skyline")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"strict-dominance and peer-group frames shuffled separately:\n$p")
+    assert(!p.contains("Join"), s"skyline must not self-join:\n$p")
+  }
+
+  test("q_anomaly_mean shares one user_id shuffle between both window aggregates") {
+    val p = plan("q_anomaly_mean")
+    assert("Window".r.findAllIn(p).size <= 1,
+      s"count and sum windows planned separately:\n$p")
+    assert(!p.contains("Join"), s"anomaly test must not self-join:\n$p")
+  }
+
+  test("q_corr_regr aggregates moments in two phases with no join") {
+    val p = plan("q_corr_regr")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"moment sums must not shuffle-join:\n$p")
+  }
+
+  test("q_token_drift broadcasts the split sizes (no shuffle join on the token side)") {
+    val p = plan("q_token_drift")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"split sizes were shuffle-joined:\n$p")
+  }
+
+  test("q_pmi_cooccur broadcasts doc-frequency and corpus-size sides") {
+    val p = plan("q_pmi_cooccur")
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"df sides were shuffle-joined:\n$p")
+  }
+
+  test("q_having_global broadcasts the one-row global total") {
+    val p = plan("q_having_global")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"global total was shuffle-joined:\n$p")
+  }
+
+  test("q_quality_gate is map-side until the final k-group aggregate") {
+    val p = plan("q_quality_gate")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"pre-aggregation shuffle appeared:\n$p")
+    assert(!p.contains("Join"), s"quality gate must not join:\n$p")
+  }
 }
