@@ -344,6 +344,60 @@ object AnalyticsQueries extends QueryGroup {
         .orderBy("o_orderstatus")
     }),
 
+    // ---- time-bound conversion funnel (ORACLE) ---------------------------
+    // Conversion-WINDOW attribution: of users whose first click lands on
+    // weekday W, how many purchase within 7 days of that click, and how
+    // fast. Unlike q_funnel (unbounded ordering), the step carries a
+    // deadline — the marketing-attribution shape. Weekday is epoch-day
+    // mod 7 (both engines' dayofweek() disagree on Sunday). Time-to-
+    // convert sums exact micros BEFORE one division chain in identical
+    // order. Shape: two user-keyed aggregates + one user join — a single
+    // shuffle family on user_id; the weekday rollup is k-group.
+    "q_funnel_window" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val fc = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("c0"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+      fc.join(p, Seq("user_id"), "left")
+        .withColumn("pin", when(col("pts") >= col("c0") &&
+          col("pts") <= col("c0") + expr("INTERVAL 7 DAYS"), col("pts")))
+        .groupBy("user_id", "c0").agg(min(col("pin")).as("p0"))
+        .withColumn("wd", expr("datediff(to_date(c0), date'1970-01-01') % 7"))
+        .withColumn("dt_us", unix_micros(col("p0")) - unix_micros(col("c0")))
+        .groupBy("wd")
+        .agg(count(lit(1)).as("n_clicked"), count(col("p0")).as("n_conv"),
+          r2(count(col("p0")).cast("double") * lit(100.0) / count(lit(1)).cast("double")).as("conv_pct"),
+          r2(sum(col("dt_us")).cast("double") / count(col("p0")).cast("double") / lit(3600000000.0)).as("avg_hours"))
+        .orderBy("wd")
+    }),
+
+    // ---- data-profiling audit (ORACLE) -----------------------------------
+    // The ANALYZE/profiling operator every ingestion pipeline runs first:
+    // per column — nulls and exact distinct cardinality — in ONE pass
+    // (one multi-distinct aggregate, which Catalyst plans via expand;
+    // at 100 TB the exact profile is affordable per-partition-sample or
+    // swapped for approx_count_distinct; the report stays one row per
+    // column either way).
+    "q_null_audit" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val m = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        countDistinct(col("o_custkey")).as("dist_custkey"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_status"),
+        countDistinct(col("o_orderstatus")).as("dist_status"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("null_priority"),
+        countDistinct(col("o_orderpriority")).as("dist_priority"))
+      m.select(expr(
+        "stack(3, 'o_custkey', null_custkey, dist_custkey, " +
+          "'o_orderpriority', null_priority, dist_priority, " +
+          "'o_orderstatus', null_status, dist_status) AS (col_name, n_nulls, n_distinct)"),
+        col("n_rows"))
+        .select("col_name", "n_rows", "n_nulls", "n_distinct")
+        .orderBy("col_name")
+    }),
+
     // ---- exact 7-day rolling distinct users / WAU (ORACLE) --------------
     // The engagement metric every event pipeline reports: distinct users
     // over a 7-day window sliding daily. COUNT(DISTINCT) over a range
@@ -481,6 +535,30 @@ object AnalyticsQueries extends QueryGroup {
       ("SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_usd, " +
         "min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_usd, max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_usd, " +
         "count(*) AS n_orders FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_funnel_window" ->
+      ("WITH fc AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS c0 FROM events WHERE event_type = 'click' GROUP BY user_id), " +
+        "p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts FROM events WHERE event_type = 'purchase'), " +
+        "u AS (SELECT fc.user_id, fc.c0, min(CASE WHEN p.pts >= fc.c0 AND p.pts <= fc.c0 + INTERVAL 7 DAY THEN p.pts END) AS p0 " +
+        "FROM fc LEFT JOIN p ON fc.user_id = p.user_id GROUP BY fc.user_id, fc.c0), " +
+        "w AS (SELECT date_diff('day', DATE '1970-01-01', CAST(c0 AS DATE)) % 7 AS wd, p0, " +
+        "epoch_us(p0) - epoch_us(c0) AS dt_us FROM u) " +
+        "SELECT CAST(wd AS BIGINT) AS wd, count(*) AS n_clicked, CAST(count(p0) AS BIGINT) AS n_conv, " +
+        "floor(CAST(count(p0) AS DOUBLE) * 100.0 / CAST(count(*) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS conv_pct, " +
+        "floor(CAST(sum(dt_us) AS DOUBLE) / CAST(count(p0) AS DOUBLE) / 3600000000.0 * 100.0 + 0.5) / 100.0 AS avg_hours " +
+        "FROM w GROUP BY 1 ORDER BY wd"),
+    "q_null_audit" ->
+      ("WITH m AS (SELECT count(*) AS n_rows, " +
+        "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey, " +
+        "CAST(count(DISTINCT o_custkey) AS BIGINT) AS dist_custkey, " +
+        "CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_status, " +
+        "CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS dist_status, " +
+        "CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_priority, " +
+        "CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS dist_priority FROM orders) " +
+        "SELECT col_name, n_rows, n_nulls, n_distinct FROM (" +
+        "SELECT 'o_custkey' AS col_name, n_rows, null_custkey AS n_nulls, dist_custkey AS n_distinct FROM m " +
+        "UNION ALL SELECT 'o_orderpriority', n_rows, null_priority, dist_priority FROM m " +
+        "UNION ALL SELECT 'o_orderstatus', n_rows, null_status, dist_status FROM m) " +
+        "ORDER BY col_name"),
     "q_sliding_distinct" ->
       ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
         "uw AS (SELECT DISTINCT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS w FROM ud) " +

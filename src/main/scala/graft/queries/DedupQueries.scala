@@ -440,6 +440,21 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("n_tri").desc, col("doc_id")).limit(20)
     }),
 
+    // ---- inverted-index statistics (ORACLE) -----------------------------
+    // Observability over the shared shingle artifact: the document-
+    // frequency histogram of the inverted index (df capped at 10+). This
+    // is the metric a dedup pipeline watches to catch boilerplate BEFORE
+    // it explodes a bucket — a fat high-df tail is the early warning the
+    // MAX_BUCKET caps then contain. Same memoized index, two k-group
+    // aggregates; at 100 TB this is the index-health dashboard query.
+    "q_index_stats" -> ((s, d) =>
+      shingleRowsWithCount(s, d)
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .withColumn("df_bucket", least(col("df"), lit(10L)))
+        .groupBy("df_bucket")
+        .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("sum_postings"))
+        .orderBy("df_bucket")),
+
     // ---- bloom-filter incremental dedup (ORACLE) ------------------------
     // The incremental-batch shape: an existing corpus (even doc_ids) vs a
     // new batch (odd doc_ids). A Bloom filter over the corpus' prefix
@@ -676,6 +691,16 @@ object DedupQueries extends QueryGroup {
         "JOIN p e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2), " +
         "nodes AS (SELECT unnest([a, b, c]) AS doc_id FROM tri) " +
         "SELECT doc_id, count(*) AS n_tri FROM nodes GROUP BY doc_id ORDER BY n_tri DESC, doc_id LIMIT 20"),
+    "q_index_stats" ->
+      ("WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END) AS sh " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
+        "e AS (SELECT doc_id, unnest(sh) AS s FROM d), " +
+        "f AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY s), " +
+        "b AS (SELECT least(df, 10) AS df_bucket, df FROM f) " +
+        "SELECT df_bucket, count(*) AS n_shingles, CAST(sum(df) AS BIGINT) AS sum_postings " +
+        "FROM b GROUP BY 1 ORDER BY df_bucket"),
     "q_dedup_embed" ->
       ("WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, " +
         "floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000.0 + 0.5) / 1000.0 AS cosr " +

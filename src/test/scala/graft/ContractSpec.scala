@@ -13,9 +13,9 @@ class ContractSpec extends AnyFunSuite {
   // golden verification there (the two lists can't drift).
   private val noOracle: Set[String] = graft.tools.RegenGolden.NoOracle.toSet
 
-  test("all 136 declared queries are present") {
-    assert(SparkEntry.queries.size == 136,
-      s"expected 136 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
+  test("all 139 declared queries are present") {
+    assert(SparkEntry.queries.size == 139,
+      s"expected 139 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
   }
 
   test("oracle coverage is exactly queries minus the declared NO-ORACLE set") {
