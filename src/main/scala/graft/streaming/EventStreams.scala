@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** SURVEY §2.10 — the true Structured Streaming surface (the batch-
@@ -300,5 +300,40 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor, TimeMode.EventTime(), OutputMode.Append)
+  }
+
+  case class RecentAvg(user_id: Long, n_window: Long, avg_recent: Double)
+
+  /** Bounded recent-window buffer on ListState — the third state
+    * primitive (ValueState/MapState covered by ProfileProcessor, timers
+    * by SessionProcessor): keep each user's last N event values in
+    * arrival order and emit their running average. ListState appends
+    * WITHOUT deserializing the existing buffer (RocksDB merge-op), which
+    * is the point at scale — a GroupState Vector would rewrite the whole
+    * buffer per event. The trim-on-overflow keeps state O(N) per key. */
+  class RecentProcessor(n: Int) extends StatefulProcessor[Long, Ev, RecentAvg] {
+    @transient private var recent: ListState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[Double](
+        "recent", Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[RecentAvg] = {
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        .foreach(e => recent.appendValue(e.value))
+      val buf = recent.get().toArray
+      val keep = buf.takeRight(n)
+      if (keep.length < buf.length) recent.put(keep)
+      Iterator.single(RecentAvg(user, keep.length.toLong, keep.sum / keep.length))
+    }
+  }
+
+  /** One (user, rolling avg over last 3 values) row per micro-batch. */
+  def recentAverages(events: Dataset[Ev]): Dataset[RecentAvg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentProcessor(3), TimeMode.None(), OutputMode.Update)
   }
 }

@@ -287,6 +287,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState ListState keeps a bounded last-3 buffer per user") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val st = MemoryStream[Ev](spark)
+      val rows = runBatches(st, EventStreams.recentAverages(st.toDS()).toDF(),
+        OutputMode.Update, Seq(
+          Seq(Ev(1, 5, "click", ts(1), 2.0), Ev(2, 5, "click", ts(2), 4.0)),
+          Seq(Ev(3, 5, "click", ts(3), 6.0)),
+          // 4th value evicts the first: buffer = (4, 6, 8), avg 6.0
+          Seq(Ev(4, 5, "click", ts(4), 8.0)),
+        ), "t_tws_recent")
+      val last = rows.zipWithIndex.filter(_._1.getLong(0) == 5L).maxBy(_._2)._1
+      assert(last.getLong(1) == 3, s"buffer not trimmed to 3: $last")
+      assert(math.abs(last.getDouble(2) - 6.0) < 1e-9,
+        s"rolling avg should be (4+6+8)/3 = 6.0: $last")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("Trigger.AvailableNow drains incrementally with exactly-once across restarts") {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_stream_eo").toString
