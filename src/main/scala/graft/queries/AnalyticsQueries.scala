@@ -398,6 +398,44 @@ object AnalyticsQueries extends QueryGroup {
         .orderBy("col_name")
     }),
 
+    // ---- 3-event path mining (ORACLE) ------------------------------------
+    // The product-analytics path query: most common 3-event sequences
+    // (order-2 extension of q_event_transitions' order-1 matrix). Two
+    // leads over ONE (user, time) window sort; path support counted by
+    // occurrences and by distinct users. Total orders everywhere:
+    // (ts, event_id) within user, (count desc, path) on output.
+    "q_event_path" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .withColumn("path", concat_ws(">", col("event_type"), col("e2"), col("e3")))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_occurrences").desc, col("path")).limit(15)
+    }),
+
+    // ---- transition dwell-time analysis (ORACLE) -------------------------
+    // How long users sit between consecutive events, per (prev → cur)
+    // transition — the latency companion to the Markov transition matrix.
+    // Gaps are exact BIGINT micros (engines agree on timestamp
+    // subtraction at micro precision); the displayed mean is one r2
+    // division chain of exact sums. Same single (user, time) window sort
+    // as q_event_path, then a k²-group aggregate.
+    "q_dwell_time" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap_us")).as("sum_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          r2(sum(col("gap_us")).cast("double") / count(lit(1)).cast("double") / lit(1000000.0)).as("avg_gap_sec"))
+        .orderBy("prev_type", "cur_type")
+    }),
+
     // ---- exact 7-day rolling distinct users / WAU (ORACLE) --------------
     // The engagement metric every event pipeline reports: distinct users
     // over a 7-day window sliding daily. COUNT(DISTINCT) over a range
@@ -559,6 +597,22 @@ object AnalyticsQueries extends QueryGroup {
         "UNION ALL SELECT 'o_orderpriority', n_rows, null_priority, dist_priority FROM m " +
         "UNION ALL SELECT 'o_orderstatus', n_rows, null_status, dist_status FROM m) " +
         "ORDER BY col_name"),
+    "q_event_path" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events), " +
+        "s AS (SELECT user_id, event_type, lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3 " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)) " +
+        "SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n_occurrences, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM s WHERE e3 IS NOT NULL GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 15"),
+    "q_dwell_time" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events), " +
+        "s AS (SELECT event_type AS cur_type, lag(event_type, 1) OVER w AS prev_type, " +
+        "epoch_us(t) - lag(epoch_us(t), 1) OVER w AS gap_us " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)) " +
+        "SELECT prev_type, cur_type, count(*) AS n_gaps, CAST(sum(gap_us) AS BIGINT) AS sum_gap_us, " +
+        "CAST(max(gap_us) AS BIGINT) AS max_gap_us, " +
+        "floor(CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0 AS avg_gap_sec " +
+        "FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY prev_type, cur_type"),
     "q_sliding_distinct" ->
       ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
         "uw AS (SELECT DISTINCT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS w FROM ud) " +
