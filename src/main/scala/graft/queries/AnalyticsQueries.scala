@@ -436,6 +436,71 @@ object AnalyticsQueries extends QueryGroup {
         .orderBy("prev_type", "cur_type")
     }),
 
+    // ---- equi-depth histogram / decile statistics (ORACLE) ---------------
+    // The optimizer-statistics operator: 10 equal-population buckets with
+    // per-bucket bounds, PER GROUP — what ANALYZE TABLE collects (by
+    // sampling at 100 TB; this is the exact form). The ntile window is
+    // keyed on the group so it shards across executors — a global ntile
+    // would funnel the corpus through one reducer, the single-partition
+    // trap. Total (cents, orderkey) order makes the tiling deterministic.
+    "q_histogram_eqd" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("cents"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("o_orderpriority", "decile")
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"))
+        .orderBy("o_orderpriority", "decile")
+    }),
+
+    // ---- consistent cross-table hash sampling (ORACLE) -------------------
+    // Debug-at-scale sampling done RIGHT: sample ~10% of customers by a
+    // content hash of the KEY, then keep ALL their orders — the two
+    // tables stay joinable because membership is a pure function of the
+    // key, not a per-table coin flip (rand() samples of two tables share
+    // ~1% of customers; hash samples share 100%). Per-status counts over
+    // the sampled join; the customer side of the join is the sample —
+    // broadcastable at any corpus scale.
+    "q_sample_join" -> ((s, d) => {
+      val sampled = Tables.customer(s, d)
+        .filter(md5(col("c_custkey").cast("string")) < "1a") // 26/256 ≈ 10%
+        .select(col("c_custkey"))
+      Tables.orders(s, d)
+        .join(broadcast(sampled), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), countDistinct(col("o_custkey")).as("n_customers"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- Z-order clustering key (ORACLE) ----------------------------------
+    // The multi-dimensional half of the lakehouse OPTIMIZE story next to
+    // q_compact_plan's bin packing: interleave the bits of two dimensions
+    // (quantity, price-bucket) into a Z-value so range queries on EITHER
+    // dimension touch few clusters. The interleave is 6 explicit
+    // shift/mask terms per dimension — integer-exact in both engines —
+    // and the report shows per-cluster dimension bounds (the locality a
+    // Z-sort buys). Row-local compute + one k-group aggregate.
+    "q_zorder" -> ((s, d) => {
+      def interleave(x: Column, y: Column): Column =
+        (0 until 6).map { i =>
+          val xb = shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i)
+          val yb = shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+          xb.bitwiseOR(yb)
+        }.reduce(_ bitwiseOR _)
+      Tables.lineitem(s, d)
+        .withColumn("x", least(floor(col("l_quantity")).cast("long"), lit(63L)))
+        .withColumn("y", least(floor(col("l_extendedprice") / lit(2000.0)).cast("long"), lit(63L)))
+        .withColumn("z", interleave(col("x"), col("y")))
+        .withColumn("z_cluster", expr("z div 64"))
+        .groupBy("z_cluster")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_qty"), max(col("x")).as("max_qty"),
+          min(col("y")).as("min_pb"), max(col("y")).as("max_pb"))
+        .orderBy("z_cluster")
+    }),
+
     // ---- exact 7-day rolling distinct users / WAU (ORACLE) --------------
     // The engagement metric every event pipeline reports: distinct users
     // over a 7-day window sliding daily. COUNT(DISTINCT) over a range
@@ -613,6 +678,25 @@ object AnalyticsQueries extends QueryGroup {
         "CAST(max(gap_us) AS BIGINT) AS max_gap_us, " +
         "floor(CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0 AS avg_gap_sec " +
         "FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY prev_type, cur_type"),
+    "q_histogram_eqd" ->
+      ("WITH c AS (SELECT o_orderpriority, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "n AS (SELECT o_orderpriority, cents, CAST(ntile(10) OVER (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey) AS BIGINT) AS decile FROM c) " +
+        "SELECT o_orderpriority, decile, count(*) AS n, min(cents) AS lo_cents, max(cents) AS hi_cents " +
+        "FROM n GROUP BY 1, 2 ORDER BY o_orderpriority, decile"),
+    "q_sample_join" ->
+      ("WITH s AS (SELECT c_custkey FROM customer WHERE md5(CAST(c_custkey AS VARCHAR)) < '1a') " +
+        "SELECT o_orderstatus, count(*) AS n_orders, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM orders JOIN s ON o_custkey = c_custkey GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_zorder" ->
+      ("WITH b AS (SELECT least(CAST(floor(l_quantity) AS BIGINT), 63) AS x, " +
+        "least(CAST(floor(l_extendedprice / 2000.0) AS BIGINT), 63) AS y FROM lineitem), " +
+        "z AS (SELECT x, y, " +
+        "(((x >> 0) & 1) << 0) | (((y >> 0) & 1) << 1) | (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3) | " +
+        "(((x >> 2) & 1) << 4) | (((y >> 2) & 1) << 5) | (((x >> 3) & 1) << 6) | (((y >> 3) & 1) << 7) | " +
+        "(((x >> 4) & 1) << 8) | (((y >> 4) & 1) << 9) | (((x >> 5) & 1) << 10) | (((y >> 5) & 1) << 11) AS zv FROM b) " +
+        "SELECT zv // 64 AS z_cluster, count(*) AS n_rows, min(x) AS min_qty, max(x) AS max_qty, " +
+        "min(y) AS min_pb, max(y) AS max_pb FROM z GROUP BY 1 ORDER BY z_cluster"),
     "q_sliding_distinct" ->
       ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
         "uw AS (SELECT DISTINCT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS w FROM ud) " +

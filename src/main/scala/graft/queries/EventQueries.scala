@@ -47,6 +47,40 @@ object EventQueries extends QueryGroup {
         .orderBy("bucket")
     }),
 
+    // as-of join with a TOLERANCE bound (pandas merge_asof(tolerance=...)
+    // semantics): a purchase only matches its latest prior click if that
+    // click is within 1 hour — older matches are reported as expired, and
+    // purchases with no prior click at all as unmatched. Same single
+    // (user, time) window sort as q_join_asof; the tolerance test is an
+    // exact integer micros comparison. The avg is guarded by a count
+    // predicate (identical CASE in the oracle), never a 0/0 NaN.
+    "q_asof_tolerance" -> ((s, d) => {
+      val tolUs = 3600000000L // 1 hour
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          when(col("event_type") === "click", col("ts")).as("click_ts"),
+          when(col("event_type") === "purchase", 0).otherwise(1).as("tag"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val m = ev.withColumn("prev_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(pmod(col("user_id"), lit(10)).cast("long").as("bucket"),
+          (unix_micros(col("ts")) - unix_micros(col("prev_click_ts"))).as("gap_us"))
+      val inTol = col("gap_us").isNotNull && col("gap_us") <= lit(tolUs)
+      m.groupBy("bucket")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(inTol, 1L).otherwise(0L)).as("n_matched_1h"),
+          sum(when(col("gap_us").isNotNull && col("gap_us") > tolUs, 1L).otherwise(0L)).as("n_expired"),
+          sum(when(col("gap_us").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+          when(sum(when(inTol, 1L).otherwise(0L)) > 0L,
+            r2(sum(when(inTol, col("gap_us")).otherwise(0L)).cast("double")
+              / sum(when(inTol, 1L).otherwise(0L)).cast("double") / lit(1000000.0)))
+            .as("avg_gap_sec"))
+        .orderBy("bucket")
+    }),
+
     // same semantics as q_join_asof, but through the custom whole-operator
     // path: AsOfJoin LogicalPlan -> AsOfJoinStrategy -> AsOfJoinExec
     // (co-partitioned streaming merge; see graft.plans.AsOfJoin). Verified
@@ -254,6 +288,22 @@ object EventQueries extends QueryGroup {
         "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts > c.ts) " +
         "SELECT CAST(user_id % 10 AS BIGINT) AS bucket, count(*) AS n_matched, " +
         "floor(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0 * 100.0 + 0.5) / 100.0 AS avg_gap_sec " +
+        "FROM m GROUP BY bucket ORDER BY bucket"),
+    "q_asof_tolerance" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events " +
+        "WHERE event_type IN ('click', 'purchase')), " +
+        "p AS (SELECT * FROM e WHERE event_type = 'purchase'), " +
+        "c AS (SELECT * FROM e WHERE event_type = 'click'), " +
+        "m AS (SELECT p.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us " +
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts) " +
+        "SELECT CAST(user_id % 10 AS BIGINT) AS bucket, count(*) AS n_purchases, " +
+        "CAST(sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_1h, " +
+        "CAST(sum(CASE WHEN gap_us IS NOT NULL AND gap_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_expired, " +
+        "CAST(sum(CASE WHEN gap_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched, " +
+        "CASE WHEN sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000 THEN 1 ELSE 0 END) > 0 THEN " +
+        "floor(CAST(sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000 THEN gap_us ELSE 0 END) AS DOUBLE) " +
+        "/ CAST(sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000 THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ 1000000.0 * 100.0 + 0.5) / 100.0 END AS avg_gap_sec " +
         "FROM m GROUP BY bucket ORDER BY bucket"),
     "q_asof_custom" ->
       ("WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events " +
