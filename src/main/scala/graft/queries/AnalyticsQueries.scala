@@ -501,6 +501,49 @@ object AnalyticsQueries extends QueryGroup {
         .orderBy("z_cluster")
     }),
 
+    // ---- week-over-week change report (ORACLE) ----------------------------
+    // The period-over-period BI shape: weekly revenue per status with the
+    // previous week's value and percent change. Week key = epoch-day div 7
+    // (date_trunc('week') differs on week-start conventions across
+    // engines). The pct change is a single division of exact cents sums,
+    // r2'd; first weeks emit NULL (lag null), never a 0-division. One
+    // k-group aggregate + a tiny lag window over (status, week) rows.
+    "q_week_over_week" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy("wk")
+      Tables.orders(s, d)
+        .withColumn("wk", expr("datediff(to_date(o_orderdate), date'1970-01-01') div 7"))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy("o_orderstatus", "wk")
+        .agg(sum(col("cents")).as("rev_cents"), count(lit(1)).as("n_orders"))
+        .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+        .withColumn("wow_pct", r2((col("rev_cents") - col("prev_cents")).cast("double")
+          * lit(100.0) / col("prev_cents").cast("double")))
+        .select("o_orderstatus", "wk", "rev_cents", "n_orders", "wow_pct")
+        .orderBy("o_orderstatus", "wk")
+    }),
+
+    // ---- schema-evolution union (ORACLE) ----------------------------------
+    // Ingestion batches drift: an early batch lacks columns a later batch
+    // has. unionByName(allowMissingColumns = true) aligns by NAME and
+    // null-fills the gaps — positional unionAll would silently misalign.
+    // Stand-in: an "old" projection without o_orderpriority unioned with
+    // a "new" one that has it; per-priority counts with NULL for the old
+    // batch. Pure map-side + one k-group agg.
+    "q_union_evolve" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val old = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val neu = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderpriority"))
+      old.unionByName(neu, allowMissingColumns = true)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority").asc_nulls_first)
+    }),
+
     // ---- exact 7-day rolling distinct users / WAU (ORACLE) --------------
     // The engagement metric every event pipeline reports: distinct users
     // over a 7-day window sliding daily. COUNT(DISTINCT) over a range
@@ -697,6 +740,22 @@ object AnalyticsQueries extends QueryGroup {
         "(((x >> 4) & 1) << 8) | (((y >> 4) & 1) << 9) | (((x >> 5) & 1) << 10) | (((y >> 5) & 1) << 11) AS zv FROM b) " +
         "SELECT zv // 64 AS z_cluster, count(*) AS n_rows, min(x) AS min_qty, max(x) AS max_qty, " +
         "min(y) AS min_pb, max(y) AS max_pb FROM z GROUP BY 1 ORDER BY z_cluster"),
+    "q_week_over_week" ->
+      ("WITH c AS (SELECT o_orderstatus, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7 AS wk, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "g AS (SELECT o_orderstatus, CAST(wk AS BIGINT) AS wk, CAST(sum(cents) AS BIGINT) AS rev_cents, " +
+        "count(*) AS n_orders FROM c GROUP BY 1, 2), " +
+        "l AS (SELECT *, lag(rev_cents, 1) OVER (PARTITION BY o_orderstatus ORDER BY wk) AS prev_cents FROM g) " +
+        "SELECT o_orderstatus, wk, rev_cents, n_orders, " +
+        "floor(CAST(rev_cents - prev_cents AS DOUBLE) * 100.0 / CAST(prev_cents AS DOUBLE) * 100.0 + 0.5) / 100.0 AS wow_pct " +
+        "FROM l ORDER BY o_orderstatus, wk"),
+    "q_union_evolve" ->
+      ("WITH u AS (SELECT o_orderkey, o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS cents, " +
+        "CAST(NULL AS VARCHAR) AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 0 " +
+        "UNION ALL SELECT o_orderkey, o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT), o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 2 = 1) " +
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        "FROM u GROUP BY 1, 2 ORDER BY o_orderstatus, o_orderpriority NULLS FIRST"),
     "q_sliding_distinct" ->
       ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
         "uw AS (SELECT DISTINCT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS w FROM ud) " +
