@@ -440,6 +440,22 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("n_tri").desc, col("doc_id")).limit(20)
     }),
 
+    // ---- near-dup graph degree distribution (ORACLE) --------------------
+    // Graph-health observability over the pair set: the degree histogram
+    // (degree capped into an 8+ tail bucket). A fattening high-degree
+    // tail means template families are growing into hubs — the signal to
+    // tighten thresholds or caps before clustering cost blows up. One
+    // aggregate over the memoized pair artifact, k-row output.
+    "q_graph_degree" -> ((s, d) => {
+      val p = nearDupPairs(s, d)
+      p.select(col("d1").as("node")).unionAll(p.select(col("d2").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .withColumn("deg_bucket", least(col("deg"), lit(8L)))
+        .groupBy("deg_bucket")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("sum_deg"))
+        .orderBy("deg_bucket")
+    }),
+
     // ---- inverted-index statistics (ORACLE) -----------------------------
     // Observability over the shared shingle artifact: the document-
     // frequency histogram of the inverted index (df capped at 10+). This
@@ -691,6 +707,22 @@ object DedupQueries extends QueryGroup {
         "JOIN p e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2), " +
         "nodes AS (SELECT unnest([a, b, c]) AS doc_id FROM tri) " +
         "SELECT doc_id, count(*) AS n_tri FROM nodes GROUP BY doc_id ORDER BY n_tri DESC, doc_id LIMIT 20"),
+    "q_graph_degree" ->
+      ("WITH sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS s, " +
+        "CAST(len(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS BIGINT) AS nsh " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh " +
+        "HAVING CAST(count(*) AS DOUBLE) / CAST(a.nsh + b.nsh - count(*) AS DOUBLE) >= 0.5), " +
+        "e AS (SELECT d1 AS node FROM p UNION ALL SELECT d2 FROM p), " +
+        "g AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY node), " +
+        "b AS (SELECT least(deg, 8) AS deg_bucket, deg FROM g) " +
+        "SELECT deg_bucket, count(*) AS n_nodes, CAST(sum(deg) AS BIGINT) AS sum_deg " +
+        "FROM b GROUP BY 1 ORDER BY deg_bucket"),
     "q_index_stats" ->
       ("WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
         "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries extends QueryGroup {
 
-  val queries: Map[String, QFn] = Map(
+  val queries: Map[String, QFn] = extraQueries ++ Map(
     // content-hash dedup; representative = min(doc_id) per hash (never
     // dropDuplicates — row-pick order is nondeterministic).
     "q_dedup_exact" -> ((s, d) => {
@@ -175,7 +175,53 @@ object TextQueries extends QueryGroup {
         .orderBy("lang", "label")),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  lazy val extraQueries: Map[String, QFn] = Map(
+    // ---- per-document keyword extraction (ORACLE) -----------------------
+    // Each doc's keyword = its max-tf-idf token; report the per-lang
+    // keyword histogram (top 15). The ranking key is EXACT: tf is an
+    // integer count and idf is snapped to a 1e9 nano-grid (floor of the
+    // shared ln), so score = tf · idf_nano is a BIGINT — the argmax can
+    // never flip on a last-ulp libm divergence, unlike ranking on the
+    // raw double product (§7.3). One (doc, tok) aggregate, a broadcast
+    // df join, one per-doc window top-1, one k-group count.
+    "q_keywords" -> ((s, d) => {
+      val toksCol = filter(split(lower(col("text")), wsRegex), t => t =!= "")
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(toksCol).as("tok"))
+      val tf = tok.groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
+      val df = tok.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d)
+        .filter(size(toksCol) > 0).agg(count(lit(1)).as("nd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+      tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
+        .withColumn("idf_nano",
+          floor(log(col("nd").cast("double") / col("df").cast("double")) * lit(1000000000.0)).cast("long"))
+        .withColumn("score", col("tf") * col("idf_nano"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang"), col("tok").as("keyword"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("lang"), col("keyword")).limit(15)
+    }),
+  )
+
+  lazy val extraOracleSql: Map[String, String] = Map(
+    "q_keywords" ->
+      ("WITH t AS (SELECT doc_id, lang, unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '')) AS tok FROM documents), " +
+        "tf AS (SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2, 3), " +
+        "dfr AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY tok), " +
+        "nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM t), " +
+        "sc AS (SELECT tf.doc_id, tf.lang, tf.tok, " +
+        "tf.tf * CAST(floor(ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000000.0) AS BIGINT) AS score " +
+        "FROM tf JOIN dfr ON tf.tok = dfr.tok CROSS JOIN nn), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM sc) " +
+        "SELECT lang, tok AS keyword, count(*) AS n_docs FROM r WHERE rn = 1 " +
+        "GROUP BY 1, 2 ORDER BY n_docs DESC, lang, keyword LIMIT 15"),
+  )
+
+  val oracleSql: Map[String, String] = extraOracleSql ++ Map(
     "q_cms_heavy" ->
       ("WITH e AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '')) AS tok FROM documents), " +
         "t AS (SELECT count(*) // 500 + 1 AS thr FROM e) " +
