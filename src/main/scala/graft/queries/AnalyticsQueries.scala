@@ -544,6 +544,28 @@ object AnalyticsQueries extends QueryGroup {
         .orderBy(col("o_orderstatus"), col("o_orderpriority").asc_nulls_first)
     }),
 
+    // ---- longest same-event streaks (ORACLE) ------------------------------
+    // Run-length encoding of per-user event sequences: the classic
+    // gaps-and-islands double-window (change flag → running sum = run id)
+    // then run lengths — "longest streak" analytics. Both windows and the
+    // run-id aggregate share ONE user_id hash partition; the final
+    // per-type rollup is k-group. All integers.
+    "q_streaks" -> ((s, d) => {
+      val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(wo).isNull ||
+            lag(col("event_type"), 1).over(wo) =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("max_streak"),
+          sum(col("run_len")).as("n_events"))
+        .orderBy("event_type")
+    }),
+
     // ---- exact 7-day rolling distinct users / WAU (ORACLE) --------------
     // The engagement metric every event pipeline reports: distinct users
     // over a 7-day window sliding daily. COUNT(DISTINCT) over a range
@@ -756,6 +778,16 @@ object AnalyticsQueries extends QueryGroup {
         "FROM orders WHERE o_orderkey % 2 = 1) " +
         "SELECT o_orderstatus, o_orderpriority, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents " +
         "FROM u GROUP BY 1, 2 ORDER BY o_orderstatus, o_orderpriority NULLS FIRST"),
+    "q_streaks" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events), " +
+        "c AS (SELECT user_id, event_type, CASE WHEN lag(event_type, 1) OVER w IS NULL " +
+        "OR lag(event_type, 1) OVER w <> event_type THEN 1 ELSE 0 END AS chg, t, event_id " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "r AS (SELECT user_id, event_type, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM c), " +
+        "g AS (SELECT user_id, run_id, event_type, CAST(count(*) AS BIGINT) AS run_len FROM r GROUP BY 1, 2, 3) " +
+        "SELECT event_type, count(*) AS n_runs, max(run_len) AS max_streak, " +
+        "CAST(sum(run_len) AS BIGINT) AS n_events FROM g GROUP BY event_type ORDER BY event_type"),
     "q_sliding_distinct" ->
       ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
         "uw AS (SELECT DISTINCT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS w FROM ud) " +
