@@ -336,4 +336,43 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new RecentProcessor(3), TimeMode.None(), OutputMode.Update)
   }
+
+  /** Running totals BOOTSTRAPPED from a batch snapshot — the
+    * backfill-then-stream deployment shape: a historical batch aggregate
+    * seeds per-key state once at query start (handleInitialState), and
+    * the stream continues from there instead of recounting history.
+    * The initial-state side is a KeyValueGroupedDataset, so the seed
+    * join shards by key like everything else. */
+  class BootstrappedTotals
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, Ev, UserTotal, UserTotal] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)](
+        "totals", Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+    override def handleInitialState(user: Long, seed: UserTotal,
+                                    tv: TimerValues): Unit =
+      totals.update((seed.n_events, seed.total_value))
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[UserTotal] = {
+      var (n, v) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; v += e.value }
+      totals.update((n, v))
+      Iterator.single(UserTotal(user, n, v))
+    }
+  }
+
+  /** Update-mode running totals seeded from `snapshot` (a batch
+    * aggregate with the same key). */
+  def bootstrappedTotals(events: Dataset[Ev],
+                         snapshot: Dataset[UserTotal]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new BootstrappedTotals, TimeMode.None(), OutputMode.Update,
+        snapshot.groupByKey(_.user_id))
+  }
 }

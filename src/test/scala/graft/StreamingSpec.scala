@@ -314,6 +314,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState initial state seeds totals from a batch snapshot") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // historical batch snapshot: user 7 already has 5 events / 10.0
+      val snapshot = Seq(EventStreams.UserTotal(7L, 5L, 10.0)).toDS()
+      val st = MemoryStream[Ev](spark)
+      val rows = runBatches(st,
+        EventStreams.bootstrappedTotals(st.toDS(), snapshot).toDF(),
+        OutputMode.Update, Seq(
+          Seq(Ev(1, 7, "click", ts(1), 2.0)),          // seeded user continues
+          Seq(Ev(2, 8, "click", ts(2), 1.0)),          // unseeded user starts at 0
+        ), "t_tws_boot")
+      val last = rows.zipWithIndex.groupBy(_._1.getLong(0))
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+      assert(last(7L).getLong(1) == 6 && math.abs(last(7L).getDouble(2) - 12.0) < 1e-9,
+        s"bootstrap (5, 10.0) + stream (1, 2.0) expected: ${last(7L)}")
+      assert(last(8L).getLong(1) == 1 && math.abs(last(8L).getDouble(2) - 1.0) < 1e-9,
+        s"unseeded user should start fresh: ${last(8L)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("Trigger.AvailableNow drains incrementally with exactly-once across restarts") {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_stream_eo").toString
