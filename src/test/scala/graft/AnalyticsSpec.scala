@@ -178,6 +178,62 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_zorder: clusters are local — each spans at most 8 values per dimension") {
+    // z_cluster = z >> 6 fixes the top 3 interleaved bits of each dim, so
+    // within a cluster both dimensions vary by < 2^3
+    val plan = q("q_zorder").collect()
+    plan.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 7, s"qty not local in cluster: $r")
+      assert(r.getLong(5) - r.getLong(4) <= 7, s"price-bucket not local in cluster: $r")
+    }
+    assert(plan.map(_.getLong(1)).sum == Tables.lineitem(spark, sf0001).count())
+  }
+
+  test("q_asof_tolerance: matched + expired + unmatched partitions the purchases") {
+    graft.queries.EventQueries.queries("q_asof_tolerance")(spark, sf0001)
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("n_purchases") == r.getAs[Long]("n_matched_1h")
+          + r.getAs[Long]("n_expired") + r.getAs[Long]("n_unmatched"),
+          s"tri-state does not partition n_purchases: $r")
+      }
+  }
+
+  test("q_funnel_window: conversions never exceed clickers") {
+    q("q_funnel_window").collect().foreach { r =>
+      assert(r.getAs[Long]("n_conv") <= r.getAs[Long]("n_clicked"),
+        s"more conversions than clickers: $r")
+    }
+  }
+
+  test("q_histogram_eqd: deciles are balanced within one row per group") {
+    q("q_histogram_eqd").collect().groupBy(_.getString(0)).values.foreach { g =>
+      val ns = g.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"unbalanced equi-depth deciles: ${g.toSeq}")
+      assert(g.sortBy(_.getLong(1)).toSeq.sliding(2).forall {
+        case Seq(a, b) => a.getLong(4) <= b.getLong(3) // hi(prev) <= lo(next)
+        case _ => true
+      }, s"decile bounds overlap: ${g.toSeq}")
+    }
+  }
+
+  test("q_week_over_week / q_streaks / q_union_evolve conserve their totals") {
+    val orderCents = Tables.orders(spark, sf0001)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).collect()(0).getLong(0)
+    assert(q("q_week_over_week").agg(sum("rev_cents")).collect()(0).getLong(0) == orderCents)
+    assert(q("q_union_evolve").agg(sum("sum_cents")).collect()(0).getLong(0) == orderCents)
+    assert(q("q_streaks").agg(sum("n_events")).collect()(0).getLong(0) ==
+      Tables.events(spark, sf0001).count())
+  }
+
+  test("q_sample_join: sampled customer count bounds the distinct customers seen") {
+    val nSampled = Tables.customer(spark, sf0001)
+      .filter(md5(col("c_custkey").cast("string")) < "1a").count()
+    val seen = q("q_sample_join").agg(sum("n_customers")).collect()(0).getLong(0)
+    assert(seen <= nSampled * 3, // a customer can appear under each status
+      s"more sampled customers seen ($seen) than exist x statuses (${nSampled * 3})")
+    assert(seen > 0, "empty sample — degenerate fixture")
+  }
+
   test("q_pmi_cooccur: support never exceeds either marginal doc-frequency") {
     val df = Tables.documents(spark, sf0001)
       .select(explode(array_distinct(filter(
