@@ -5,18 +5,20 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Add, And, Attribute, AttributeReference, AttributeSet, BindReferences,
-  Divide, EqualNullSafe, EqualTo, Expression, Floor, GreaterThanOrEqual,
-  JoinedRow, LessThanOrEqual, Literal, Multiply, NamedExpression, Predicate,
-  PredicateHelper, SpecificInternalRow, UnsafeProjection}
+  Add, Alias, And, Ascending, Attribute, AttributeReference, AttributeSet,
+  BindReferences, Descending, Divide, EqualNullSafe, EqualTo, Expression,
+  Floor, GreaterThanOrEqual, JoinedRow, LessThanOrEqual, Literal, Multiply,
+  NamedExpression, Predicate, PredicateHelper, RowNumber, SortOrder,
+  SpecificInternalRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Join, LogicalPlan, Project, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{
   BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.{BinaryExecNode, ProjectExec, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Transparent operator selection for similarity theta-joins — the
   * optimizer-level rung of the extension ladder, complementing the
@@ -138,37 +140,91 @@ object CosineJoinStrategy extends SparkStrategy with PredicateHelper {
     fits
   }
 
+  /** Shared planner for `Project(projList, Join)` shapes whose SELECT
+    * re-projects the filter's (rounded) cosine: emit the score from the
+    * kernel, prune its output row, optionally fuse a per-left-row top-k
+    * (`topK` = limit + the right-side tiebreak column). */
+  private def planProjectedKernel(
+      projList: Seq[NamedExpression], l: LogicalPlan, r: LogicalPlan,
+      cond: Expression, topK: Option[(Int, Expression)]): Option[SparkPlan] =
+    extract(cond, l, r) match {
+      case Some((lv, rv, thr, rounded, rest))
+          if !hasEquiKeys(rest, l, r) && fitsBroadcast(r) =>
+        // cosine is symmetric bit-for-bit (per-element multiply commutes;
+        // sqrt(na)*sqrt(nb) commutes), so either argument order matches
+        def sameVecs(c: ArrayCosineSimilarity): Boolean =
+          (c.left.semanticEquals(lv) && c.right.semanticEquals(rv)) ||
+            (c.left.semanticEquals(rv) && c.right.semanticEquals(lv))
+        def isScore(e: Expression): Boolean = e match {
+          case R3Cosine(c) if rounded => sameVecs(c)
+          case c: ArrayCosineSimilarity if !rounded => sameVecs(c)
+          case _ => false
+        }
+        if (!projList.exists(_.exists(isScore))) None
+        else {
+          val scoreAttr = AttributeReference("_cos_score", DoubleType, nullable = false)()
+          val newProj = projList.map(ne =>
+            ne.transformDown { case e if isScore(e) => scoreAttr }
+              .asInstanceOf[NamedExpression])
+          val needed = AttributeSet(newProj.flatMap(_.references) ++ rest.flatMap(_.references))
+          val pruned = (l.output ++ r.output).filter(needed.contains)
+          val exec = CosineJoinExec(planLater(l), planLater(r), lv, rv, thr, rounded,
+            rest, Some(scoreAttr), Some(pruned), topK)
+          Some(ProjectExec(newProj, exec))
+        }
+      case _ => None
+    }
+
+  /** Is `attr` (an output attribute of the Project) an alias/pass-through
+    * of a child-side attribute from `side`? Returns that source. */
+  private def sourceAttr(projList: Seq[NamedExpression], attr: Attribute,
+                         side: LogicalPlan): Option[Attribute] =
+    projList.collectFirst {
+      case a @ Alias(child: Attribute, _)
+          if a.exprId == attr.exprId && side.outputSet.contains(child) => child
+      case a: Attribute if a.exprId == attr.exprId && side.outputSet.contains(a) => a
+    }
+
+  /** Does `attr` carry the kernel score (the Project aliases the rounded
+    * cosine under this exprId)? Checked structurally so the
+    * WindowGroupLimit match can't fuse over some OTHER double column. */
+  private def carriesCosine(projList: Seq[NamedExpression], attr: Attribute): Boolean =
+    projList.exists {
+      case a @ Alias(child, _) if a.exprId == attr.exprId =>
+        child.exists {
+          case R3Cosine(_) => true
+          case _: ArrayCosineSimilarity => true
+          case _ => false
+        }
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // Top-k-per-key above the join (the kNN shape): the optimizer has
+    // already inserted WindowGroupLimit below the row_number window for
+    // `filter(rn <= k)`. Spark's physical WindowGroupLimit still EMITS
+    // every join row and sorts it before trimming — O(n·m) row copies.
+    // Fusing the limit into the kernel keeps a k-slot insert-sorted
+    // buffer per LEFT row and emits only k rows — per-left-row top-k is
+    // a superset of per-key top-k (equal when the left key is unique),
+    // and the Window + Filter above this node still do the exact trim,
+    // the same contract Partial-mode WindowGroupLimit relies on.
+    // Requires: partition key = one left-side column, order =
+    // (score DESC, right-side long column ASC) — else decline and the
+    // Project(Join) below is planned by the case underneath.
+    case WindowGroupLimit(Seq(pAttr: Attribute),
+        Seq(SortOrder(s1: Attribute, Descending, _, _), SortOrder(s2: Attribute, Ascending, _, _)),
+        _: RowNumber, limit, Project(projList, Join(l, r, Inner | Cross, Some(cond), _)))
+        if sourceAttr(projList, pAttr, l).isDefined && carriesCosine(projList, s1) =>
+      sourceAttr(projList, s2, r) match {
+        case Some(tie) if tie.dataType == LongType =>
+          planProjectedKernel(projList, l, r, cond, Some((limit, tie))).toSeq
+        case _ => Nil
+      }
     // SELECT of the same (rounded) cosine above the join: emit the score
     // from the kernel and prune its output row to what the SELECT needs
     case Project(projList, Join(l, r, Inner | Cross, Some(cond), _)) =>
-      extract(cond, l, r) match {
-        case Some((lv, rv, thr, rounded, rest))
-            if !hasEquiKeys(rest, l, r) && fitsBroadcast(r) =>
-          // cosine is symmetric bit-for-bit (per-element multiply commutes;
-          // sqrt(na)*sqrt(nb) commutes), so either argument order matches
-          def sameVecs(c: ArrayCosineSimilarity): Boolean =
-            (c.left.semanticEquals(lv) && c.right.semanticEquals(rv)) ||
-              (c.left.semanticEquals(rv) && c.right.semanticEquals(lv))
-          def isScore(e: Expression): Boolean = e match {
-            case R3Cosine(c) if rounded => sameVecs(c)
-            case c: ArrayCosineSimilarity if !rounded => sameVecs(c)
-            case _ => false
-          }
-          if (!projList.exists(_.exists(isScore))) Nil
-          else {
-            val scoreAttr = AttributeReference("_cos_score", DoubleType, nullable = false)()
-            val newProj = projList.map(ne =>
-              ne.transformDown { case e if isScore(e) => scoreAttr }
-                .asInstanceOf[NamedExpression])
-            val needed = AttributeSet(newProj.flatMap(_.references) ++ rest.flatMap(_.references))
-            val pruned = (l.output ++ r.output).filter(needed.contains)
-            val exec = CosineJoinExec(planLater(l), planLater(r), lv, rv, thr, rounded,
-              rest, Some(scoreAttr), Some(pruned))
-            ProjectExec(newProj, exec) :: Nil
-          }
-        case _ => Nil
-      }
+      planProjectedKernel(projList, l, r, cond, None).toSeq
     case Join(l, r, Inner | Cross, Some(cond), _) =>
       extract(cond, l, r) match {
         case Some((lv, rv, thr, rounded, rest))
@@ -193,11 +249,14 @@ case class CosineJoinExec(left: SparkPlan, right: SparkPlan,
                           threshold: Double, rounded: Boolean,
                           residual: Seq[Expression],
                           scoreAttr: Option[Attribute] = None,
-                          prunedOutput: Option[Seq[Attribute]] = None)
+                          prunedOutput: Option[Seq[Attribute]] = None,
+                          topK: Option[(Int, Expression)] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     prunedOutput.getOrElse(left.output ++ right.output) ++ scoreAttr
+
+  override def producedAttributes: AttributeSet = AttributeSet(scoreAttr.toSeq)
 
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
@@ -211,6 +270,8 @@ case class CosineJoinExec(left: SparkPlan, right: SparkPlan,
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     val boundRight = BindReferences.bindReference(rightVec, right.output)
     val boundLeft = BindReferences.bindReference(leftVec, left.output)
+    val boundTie = topK.map { case (_, t) => BindReferences.bindReference(t, right.output) }
+    val kLimit = topK.map(_._1).getOrElse(0)
     val residualCond = residual.reduceOption(And)
     val thr = threshold
     val doRound = rounded
@@ -223,19 +284,30 @@ case class CosineJoinExec(left: SparkPlan, right: SparkPlan,
       // full-length norms, original rows kept for output assembly
       val bRows = broadcastRows.value
       val rSide = new Array[(InternalRow, Array[Double], Double)](bRows.length)
+      val tieVals = if (boundTie.isDefined) new Array[Long](bRows.length) else null
       var nR = 0
       var j = 0
       while (j < bRows.length) {
         val v = toVec(boundRight.eval(bRows(j)))
         if (v != null) {
-          var acc = 0.0; var i = 0
-          while (i < v.length) { acc += v(i) * v(i); i += 1 }
-          rSide(nR) = (bRows(j), v, math.sqrt(acc)); nR += 1
+          if (tieVals != null)
+            tieVals(nR) = boundTie.get.eval(bRows(j)).asInstanceOf[Long]
+          rSide(nR) = (bRows(j), v, math.sqrt({
+            var acc = 0.0; var i = 0
+            while (i < v.length) { acc += v(i) * v(i); i += 1 }
+            acc
+          })); nR += 1
         }
         j += 1
       }
       val proj = UnsafeProjection.create(outAttrs, fullAttrs)
-      val pred = residualCond.map(Predicate.create(_, fullAttrs)).orNull
+      // residual conjuncts come from the JOIN condition, so they can only
+      // reference child attributes — never the kernel's score column. Bind
+      // them over (left ++ right) and evaluate BEFORE the dot product:
+      // for `a.id < b.id` self-join pruning this halves the O(n·m) kernel
+      // work (the n²/2 shape), and And-conjunct reordering cannot change
+      // which pairs survive.
+      val pred = residualCond.map(Predicate.create(_, left.output ++ right.output)).orNull
       val inner = new JoinedRow
       val outer = new JoinedRow
       val scoreRow = new SpecificInternalRow(Seq(DoubleType))
@@ -248,14 +320,15 @@ case class CosineJoinExec(left: SparkPlan, right: SparkPlan,
           while (i < v1.length) { acc += v1(i) * v1(i); i += 1 }
           val n1full = math.sqrt(acc)
           val lcopy = lrow.copy()
-          (0 until nR).iterator.flatMap { k =>
-            val (brow, v2, n2full) = rSide(k)
+
+          // bit parity with ArrayCosineSimilarity: dot and norms accumulate
+          // left-to-right over the common prefix; the precomputed
+          // full-length norms only apply when the two lengths match
+          def cosOf(k: Int): Double = {
+            val (_, v2, n2full) = rSide(k)
             val n = math.min(v1.length, v2.length)
             var dot = 0.0; var i2 = 0
             while (i2 < n) { dot += v1(i2) * v2(i2); i2 += 1 }
-            // norm parity with ArrayCosineSimilarity: norms accumulate
-            // over the SAME prefix as the dot product, so the precomputed
-            // full-length norms only apply when the lengths match
             var na = n1full; var nb = n2full
             if (v1.length != v2.length) {
               var a1 = 0.0; var b1 = 0.0; var m = 0
@@ -263,15 +336,59 @@ case class CosineJoinExec(left: SparkPlan, right: SparkPlan,
               na = math.sqrt(a1); nb = math.sqrt(b1)
             }
             val cosRaw = dot / (na * nb)
-            val cos = if (doRound) math.floor(cosRaw * 1000.0 + 0.5) / 1000.0 else cosRaw
-            if (cos >= thr) {
-              inner(lcopy, brow)
-              val row: InternalRow =
-                if (hasScore) { scoreRow.setDouble(0, cos); outer(inner, scoreRow) }
-                else inner
-              if (pred == null || pred.eval(row)) Iterator.single(proj(row).copy())
-              else Iterator.empty
-            } else Iterator.empty
+            if (doRound) math.floor(cosRaw * 1000.0 + 0.5) / 1000.0 else cosRaw
+          }
+
+          def emit(k: Int, cos: Double): InternalRow = {
+            inner(lcopy, rSide(k)._1)
+            val row: InternalRow =
+              if (hasScore) { scoreRow.setDouble(0, cos); outer(inner, scoreRow) }
+              else inner
+            proj(row).copy()
+          }
+
+          if (kLimit > 0) {
+            // fused top-k: a k-slot insert-sorted buffer ordered by
+            // (cos DESC, tie ASC) — O(n·m) arithmetic but only k emitted
+            // rows per left row, vs O(n·m) row copies through the
+            // physical WindowGroupLimit's pre-limit sort
+            val tc = new Array[Double](kLimit)
+            val tt = new Array[Long](kLimit)
+            val ti = new Array[Int](kLimit)
+            var size = 0
+            var k = 0
+            while (k < nR) {
+              inner(lcopy, rSide(k)._1)
+              if (pred == null || pred.eval(inner)) {
+                val cos = cosOf(k)
+                if (cos >= thr) {
+                  val tie = tieVals(k)
+                  val worse = size == kLimit &&
+                    (cos < tc(size - 1) || (cos == tc(size - 1) && tie > tt(size - 1)))
+                  if (!worse) {
+                    var pos = math.min(size, kLimit - 1)
+                    while (pos > 0 && (tc(pos - 1) < cos ||
+                        (tc(pos - 1) == cos && tt(pos - 1) > tie))) {
+                      tc(pos) = tc(pos - 1); tt(pos) = tt(pos - 1); ti(pos) = ti(pos - 1)
+                      pos -= 1
+                    }
+                    tc(pos) = cos; tt(pos) = tie; ti(pos) = k
+                    if (size < kLimit) size += 1
+                  }
+                }
+              }
+              k += 1
+            }
+            (0 until size).iterator.map(x => emit(ti(x), tc(x)))
+          } else {
+            (0 until nR).iterator.flatMap { k =>
+              inner(lcopy, rSide(k)._1)
+              if (pred != null && !pred.eval(inner)) Iterator.empty
+              else {
+                val cos = cosOf(k)
+                if (cos >= thr) Iterator.single(emit(k, cos)) else Iterator.empty
+              }
+            }
           }
         }
       }

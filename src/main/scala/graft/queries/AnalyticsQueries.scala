@@ -331,15 +331,16 @@ object AnalyticsQueries extends QueryGroup {
     // The money-typed path: doubles cast ONCE to DECIMAL(18,2) at the
     // boundary, then all aggregation in exact decimal — the type
     // discipline a financial pipeline uses instead of the cents-BIGINT
-    // trick the rest of this suite demonstrates. Sums re-cast to
-    // DECIMAL(18,2) on output so both engines agree on scale. Map-side
-    // partials + one k-group aggregate.
+    // trick the rest of this suite demonstrates. Outputs cast to DOUBLE
+    // (sums < 2^53 cents, so exact and engine-identical); DECIMAL-typed
+    // output columns don't survive the parquet↔DuckDB hash boundary.
+    // Map-side partials + one k-group aggregate.
     "q_decimal_exact" -> ((s, d) => {
       val m = col("o_totalprice").cast("decimal(18,2)")
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
-        .agg(sum(m).cast("decimal(18,2)").as("sum_usd"),
-          min(m).as("min_usd"), max(m).as("max_usd"),
+        .agg(sum(m).cast("double").as("sum_usd"),
+          min(m).cast("double").as("min_usd"), max(m).cast("double").as("max_usd"),
           count(lit(1)).as("n_orders"))
         .orderBy("o_orderstatus")
     }),
@@ -700,8 +701,8 @@ object AnalyticsQueries extends QueryGroup {
         "floor(CAST(sum_cents AS DOUBLE) * 100.0 / CAST(tot AS DOUBLE) * 100.0 + 0.5) / 100.0 AS share_pct " +
         "FROM g CROSS JOIN t WHERE sum_cents * 20 > tot ORDER BY o_orderpriority"),
     "q_decimal_exact" ->
-      ("SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_usd, " +
-        "min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_usd, max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_usd, " +
+      ("SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_usd, " +
+        "CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_usd, CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_usd, " +
         "count(*) AS n_orders FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q_funnel_window" ->
       ("WITH fc AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS c0 FROM events WHERE event_type = 'click' GROUP BY user_id), " +

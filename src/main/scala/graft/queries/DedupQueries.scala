@@ -162,16 +162,24 @@ object DedupQueries extends QueryGroup {
     * both downstream consumers (clustering, survivor selection) read the
     * same artifact — q_dedup_ngram itself still computes through the
     * full pipeline, so its bench time remains the candidate-generation
-    * cost. */
+    * cost. The edge COUNT rides along in the memo: the checkpoint
+    * materializes the pair set anyway, so counting it once at build time
+    * replaces the per-invocation `pairs.count()` job the CC/survivor
+    * tier probe used to run. */
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, Long)]
 
-  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+  private def nearDupPairsWithCount(s: SparkSession, d: String): (DataFrame, Long) = {
     purgeStopped(); hookCleanup(s)
-    pairsCache.getOrElseUpdate((s, d),
-      queries("q_dedup_ngram")(s, d).select("d1", "d2")
-        .coalesce(4).localCheckpoint(eager = true))
+    pairsCache.getOrElseUpdate((s, d), {
+      val p = queries("q_dedup_ngram")(s, d).select("d1", "d2")
+        .coalesce(4).localCheckpoint(eager = true)
+      (p, p.count())
+    })
   }
+
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    nearDupPairsWithCount(s, d)._1
 
   /** Distinct (doc_id, sh) shingle rows — explode over the materialized
     * array column (cheap attribute reference, no expression inlining). */
@@ -184,13 +192,43 @@ object DedupQueries extends QueryGroup {
     shingleArrays(s, d)
       .select(col("doc_id"), size(col("sha")).cast("long").as("nsh"), explode(col("sha")).as("sh"))
 
+  /** Web-scale df-ceiling stoplist (SURVEY §7.5): a shingle present in
+    * more than DF_CEILING documents is boilerplate (license headers,
+    * navigation chrome) — its postings list would contribute O(df²) rows
+    * to the pair self-join while carrying no dedup signal, the classic
+    * stopword blow-up of inverted-index joins at corpus scale. Dropping
+    * those postings BEFORE the join caps the per-shingle pair expansion
+    * at DF_CEILING², complementing the MAX_BUCKET cap on the LSH side.
+    * The stoplist itself is tiny by definition (high-df outliers), so it
+    * broadcasts and the prune is a map-side anti-join — no extra shuffle
+    * on the big posting list. Note the per-doc denominator `nsh` keeps
+    * counting ALL shingles: only intersection CANDIDATES are pruned, so
+    * on any corpus whose max df <= DF_CEILING (both test sfs; DedupSpec
+    * pins this) the pair output is bit-identical to the unpruned join.
+    * Mirrored in every oracle that rebuilds the pair set. */
+  private[graft] val DF_CEILING = 1000L
+
+  private def prunedShingleRowsWithCount(s: SparkSession, d: String): DataFrame = {
+    val inv = shingleRowsWithCount(s, d)
+    val stop = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DF_CEILING).select("sh")
+    inv.join(broadcast(stop), Seq("sh"), "left_anti")
+  }
+
+  /** Max document frequency over the corpus' shingle index — DedupSpec
+    * pins maxShingleDf <= DF_CEILING on the test corpora, which proves
+    * the stoplist prune is a no-op there (pair output unchanged). */
+  private[graft] def maxShingleDf(s: SparkSession, d: String): Long =
+    shingleRows(s, d).groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head().getLong(0)
+
   val queries: Map[String, QFn] = Map(
     // ---- exact n-gram Jaccard via inverted shingle index (ORACLE) -------
     // Pairs sharing >= 1 shingle get exact jaccard = |A∩B| / (|A|+|B|-|A∩B|)
     // — all BIGINT until one final division, so Spark and DuckDB agree
     // bit-for-bit. Near-dup pairs = rounded jaccard >= 0.5.
     "q_dedup_ngram" -> ((s, d) => {
-      val inv = shingleRowsWithCount(s, d)
+      val inv = prunedShingleRowsWithCount(s, d)
       val a = inv.select(col("doc_id").as("d1"), col("nsh").as("n1"), col("sh").as("s"))
       val b = inv.select(col("doc_id").as("d2"), col("nsh").as("n2"), col("sh").as("s"))
       a.join(b, Seq("s")).filter(col("d1") < col("d2"))
@@ -216,7 +254,7 @@ object DedupQueries extends QueryGroup {
     // emitted (cont >= jac always); integers to two final divisions —
     // exact in both engines.
     "q_dedup_contain" -> ((s, d) => {
-      val inv = shingleRowsWithCount(s, d)
+      val inv = prunedShingleRowsWithCount(s, d)
       val a = inv.select(col("doc_id").as("d1"), col("nsh").as("n1"), col("sh").as("s"))
       val b = inv.select(col("doc_id").as("d2"), col("nsh").as("n2"), col("sh").as("s"))
       a.join(b, Seq("s")).filter(col("d1") < col("d2"))
@@ -371,9 +409,9 @@ object DedupQueries extends QueryGroup {
     // Both paths produce identical output: one row per cluster
     // (root = min reachable doc_id, size). Oracle: recursive CTE.
     "q_dedup_clusters" -> ((s, d) => {
-      val pairs = nearDupPairs(s, d)
+      val (pairs, nEdges) = nearDupPairsWithCount(s, d)
       val labels =
-        if (pairs.count() <= 10000000L) unionFindLabels(s, pairs)
+        if (nEdges <= 10000000L) unionFindLabels(s, pairs)
         else doublingLabels(s, pairs)
       labels.groupBy(col("label").as("cluster_root"))
         .agg(count(lit(1)).as("cluster_size"))
@@ -521,9 +559,9 @@ object DedupQueries extends QueryGroup {
     // the label side is the thresholded dup set, orders of magnitude
     // smaller than the corpus, so the join broadcasts.
     "q_dedup_survivor" -> ((s, d) => {
-      val pairs = nearDupPairs(s, d)
+      val (pairs, nEdges) = nearDupPairsWithCount(s, d)
       val labels =
-        if (pairs.count() <= 10000000L) unionFindLabels(s, pairs)
+        if (nEdges <= 10000000L) unionFindLabels(s, pairs)
         else doublingLabels(s, pairs)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
       val w = org.apache.spark.sql.expressions.Window
@@ -630,9 +668,10 @@ object DedupQueries extends QueryGroup {
         "ELSE [array_to_string(toks, ' ')] END) AS sh " +
         "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
         "e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS nsh, unnest(sh) AS s FROM d), " +
+        "ok AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000), " +
         "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared, " +
         "any_value(a.nsh) AS n1, any_value(b.nsh) AS n2 " +
-        "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+        "FROM e a JOIN ok ON ok.s = a.s JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
         "j AS (SELECT d1, d2, CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) AS jac FROM p) " +
         "SELECT d1, d2, floor(jac * 1000.0 + 0.5) / 1000.0 AS jac FROM j WHERE jac >= 0.5 ORDER BY d1, d2"),
     "q_dedup_contain" ->
@@ -641,9 +680,10 @@ object DedupQueries extends QueryGroup {
         "ELSE [array_to_string(toks, ' ')] END) AS sh " +
         "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
         "e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS nsh, unnest(sh) AS s FROM d), " +
+        "ok AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000), " +
         "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared, " +
         "any_value(a.nsh) AS n1, any_value(b.nsh) AS n2 " +
-        "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+        "FROM e a JOIN ok ON ok.s = a.s JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
         "j AS (SELECT d1, d2, CAST(shared AS DOUBLE) / CAST(least(n1, n2) AS DOUBLE) AS cont, " +
         "CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) AS jac FROM p) " +
         "SELECT d1, d2, floor(cont * 1000.0 + 0.5) / 1000.0 AS cont, " +
@@ -657,7 +697,8 @@ object DedupQueries extends QueryGroup {
         "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
         "ELSE [array_to_string(toks, ' ')] END)) AS BIGINT) AS nsh " +
         "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
-        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN ok ON ok.s = a.s JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
         "GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh " +
         "HAVING CAST(count(*) AS DOUBLE) / CAST(a.nsh + b.nsh - count(*) AS DOUBLE) >= 0.5), " +
         "edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p), " +
@@ -675,7 +716,8 @@ object DedupQueries extends QueryGroup {
         "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
         "ELSE [array_to_string(toks, ' ')] END)) AS BIGINT) AS nsh " +
         "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
-        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN ok ON ok.s = a.s JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
         "GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh " +
         "HAVING CAST(count(*) AS DOUBLE) / CAST(a.nsh + b.nsh - count(*) AS DOUBLE) >= 0.5), " +
         "edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p), " +
@@ -700,7 +742,8 @@ object DedupQueries extends QueryGroup {
         "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
         "ELSE [array_to_string(toks, ' ')] END)) AS BIGINT) AS nsh " +
         "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
-        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN ok ON ok.s = a.s JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
         "GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh " +
         "HAVING CAST(count(*) AS DOUBLE) / CAST(a.nsh + b.nsh - count(*) AS DOUBLE) >= 0.5), " +
         "tri AS (SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c FROM p e1 JOIN p e2 ON e1.d2 = e2.d1 " +
@@ -715,7 +758,8 @@ object DedupQueries extends QueryGroup {
         "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
         "ELSE [array_to_string(toks, ' ')] END)) AS BIGINT) AS nsh " +
         "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
-        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN ok ON ok.s = a.s JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
         "GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh " +
         "HAVING CAST(count(*) AS DOUBLE) / CAST(a.nsh + b.nsh - count(*) AS DOUBLE) >= 0.5), " +
         "e AS (SELECT d1 AS node FROM p UNION ALL SELECT d2 FROM p), " +
@@ -746,7 +790,8 @@ object DedupQueries extends QueryGroup {
         "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
         "ELSE [array_to_string(toks, ' ')] END)) AS BIGINT) AS nsh " +
         "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
-        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN ok ON ok.s = a.s JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
         "GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh " +
         "HAVING CAST(count(*) AS DOUBLE) / CAST(a.nsh + b.nsh - count(*) AS DOUBLE) >= 0.5), " +
         "edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p), " +

@@ -272,6 +272,35 @@ object EventQueries extends QueryGroup {
           r2(col("value")).as("value_r"))
         .orderBy("user_id")
     }),
+
+    // ---- write-side MERGE INTO materialization (ORACLE) -----------------
+    // q_scd_latest resolves upserts at READ time; this is the WRITE side:
+    // a target snapshot (latest state per user before the cutoff) merged
+    // with a delta batch (latest state per user from the cutoff on) —
+    // update-else-insert — MATERIALIZED to parquet and read back. The
+    // merge is the relational shape every table format runs under MERGE
+    // INTO: target rows whose key has no delta row (anti-join on the
+    // delta's keys — the delta is the small side at 100 TB, so it
+    // broadcasts) unioned with the whole delta. The written parquet is
+    // the next snapshot generation. Oracle rebuilds the same
+    // anti-join + union over the original table — the materialization
+    // must be lossless.
+    "q_merge_upsert" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      def latest(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), fmtTs(col("ts")).as("ts_str"),
+          r2(col("value")).as("value_r"))
+      val ev = Tables.events(s, d)
+      val cut = lit("2024-04-01").cast("timestamp")
+      val target = latest(ev.filter(col("ts") < cut))
+      val delta = latest(ev.filter(col("ts") >= cut))
+      val out = s"/tmp/graft_merge_${Integer.toHexString(d.hashCode)}/user_state"
+      target.join(delta.select("user_id"), Seq("user_id"), "left_anti")
+        .unionByName(delta)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("user_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -386,5 +415,18 @@ object EventQueries extends QueryGroup {
         "SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value, " +
         "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
         "FROM events) t WHERE rn = 1 ORDER BY user_id"),
+    "q_merge_upsert" ->
+      ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events), " +
+        "t AS (SELECT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, " +
+        "floor(value * 100.0 + 0.5) / 100.0 AS value_r FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM e WHERE ts < TIMESTAMP '2024-04-01') x WHERE rn = 1), " +
+        "dl AS (SELECT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, " +
+        "floor(value * 100.0 + 0.5) / 100.0 AS value_r FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM e WHERE ts >= TIMESTAMP '2024-04-01') x WHERE rn = 1), " +
+        "m AS (SELECT * FROM t WHERE user_id NOT IN (SELECT user_id FROM dl) " +
+        "UNION ALL SELECT * FROM dl) " +
+        "SELECT user_id, event_type, ts_str, value_r FROM m ORDER BY user_id"),
   )
 }

@@ -415,6 +415,81 @@ object RelationalQueries extends QueryGroup {
         .orderBy("l_returnflag")
     }),
 
+    // ---- §2.1 catalog/DDL surface ----------------------------------------
+    // The persisted-catalog path BI tooling expects: CREATE DATABASE +
+    // CREATE TABLE ... USING parquet + INSERT INTO, then a catalog-
+    // resolved aggregate over the managed table. The session catalog owns
+    // the metadata (schema, format, location under /tmp — not the repo's
+    // spark-warehouse) and the INSERT runs the same committed-file
+    // protocol as a DataFrame write. DROP TABLE IF EXISTS keeps the query
+    // idempotent across passes (a managed drop removes the data files).
+    // Oracle reads the original table — the managed round-trip must agree
+    // exactly.
+    "q_catalog_table" -> ((s, d) => {
+      val tag = Integer.toHexString(d.hashCode)
+      val db = s"graft_cat_$tag"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '/tmp/graft_cat_$tag.db'")
+      s.sql(s"DROP TABLE IF EXISTS $db.orders_t")
+      // a PREVIOUS session's managed files can survive under /tmp while
+      // this session's in-memory catalog has no entry to drop — remove
+      // the orphaned location or CREATE TABLE refuses it
+      val loc = new org.apache.hadoop.fs.Path(s"/tmp/graft_cat_$tag.db/orders_t")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      s.sql(s"CREATE TABLE $db.orders_t " +
+        "(o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT) USING parquet")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(s"orders_src_$tag")
+      s.sql(s"INSERT INTO $db.orders_t SELECT * FROM orders_src_$tag")
+      s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(cents) AS total_cents " +
+        s"FROM $db.orders_t GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    }),
+
+    // ---- §2.1 Avro source round-trip --------------------------------------
+    // The row-oriented interchange format of Kafka/streaming estates.
+    // Spark 4 ships the Avro connector inside spark-sql but does NOT
+    // register the `avro` short name (the alias still errors, pointing at
+    // the external package), so the format is addressed by its provider
+    // class. Monetary values travel as integer cents — Avro doubles would
+    // round-trip, but the suite's cents discipline keeps the aggregate
+    // integer-exact. DuckDB cannot read Avro, so like the partitioned
+    // sink the oracle reads the ORIGINAL table: equality proves the
+    // round-trip lossless.
+    "q_source_avro" -> ((s, d) => {
+      val fmt = "org.apache.spark.sql.avro.AvroFileFormat"
+      val out = s"/tmp/graft_src_${Integer.toHexString(d.hashCode)}/customer_avro"
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+        .write.mode("overwrite").format(fmt).save(out)
+      s.read.format(fmt).load(out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("bal_c")).as("sum_bal_c"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- §2.1 XML source round-trip ---------------------------------------
+    // Spark 4's NATIVE XML source (XmlFileFormat registers the short
+    // name) — the feed/config interchange shape, exercised on the small
+    // supplier table because XML is a per-row text format, not a fact-
+    // table format. The read-back declares its schema (rowTag inference
+    // is a second full scan) and money travels as integer cents. Oracle
+    // reads the original table.
+    "q_source_xml" -> ((s, d) => {
+      val out = s"/tmp/graft_src_${Integer.toHexString(d.hashCode)}/supplier_xml"
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey").cast("long").as("s_nationkey"),
+          round(col("s_acctbal") * 100).cast("long").as("bal_c"))
+        .write.mode("overwrite").option("rowTag", "supplier").format("xml").save(out)
+      s.read.schema("s_suppkey BIGINT, s_nationkey BIGINT, bal_c BIGINT")
+        .option("rowTag", "supplier").format("xml").load(out)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"), sum(col("bal_c")).as("sum_bal_c"))
+        .orderBy("s_nationkey")
+    }),
+
     // ---- §2.3 salted skew join -------------------------------------------
     // The hot-key mitigation for a shuffle join at 100 TB: orders join a
     // 5-row priority dim on o_orderpriority — a key with 5 values over
@@ -648,6 +723,18 @@ object RelationalQueries extends QueryGroup {
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM orders JOIN dim ON o_orderpriority = prio WHERE tier = 'critical' " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_catalog_table" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_source_avro" ->
+      ("SELECT c_mktsegment, count(*) AS n, " +
+        "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c " +
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q_source_xml" ->
+      ("SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n_suppliers, " +
+        "CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c " +
+        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
     "q_source_csv" ->
       ("SELECT o_orderstatus, count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +

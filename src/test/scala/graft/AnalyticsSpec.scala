@@ -166,15 +166,18 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("q_decimal_exact: decimal sums equal the cents-BIGINT recompute exactly") {
+    // output is DOUBLE (cast from the internal DECIMAL(18,2) — exact
+    // below 2^53 cents; DECIMAL-typed output can't cross the driver's
+    // parquet↔DuckDB hash boundary), so ×100 must recover integer cents
     val exact = Tables.orders(spark, sf0001)
       .groupBy("o_orderstatus")
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     q("q_decimal_exact").collect().foreach { r =>
-      val dec = r.getDecimal(1)
-      val cents = dec.movePointRight(2).longValueExact()
-      assert(cents == exact(r.getString(0)),
-        s"decimal sum $dec != cents recompute ${exact(r.getString(0))}")
+      val cents = BigDecimal(r.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP) * 100
+      assert(cents.isValidLong && cents.toLongExact == exact(r.getString(0)),
+        s"double sum ${r.getDouble(1)} != cents recompute ${exact(r.getString(0))}")
     }
   }
 

@@ -13,9 +13,9 @@ class ContractSpec extends AnyFunSuite {
   // golden verification there (the two lists can't drift).
   private val noOracle: Set[String] = graft.tools.RegenGolden.NoOracle.toSet
 
-  test("all 150 declared queries are present") {
-    assert(SparkEntry.queries.size == 150,
-      s"expected 150 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
+  test("all 154 declared queries are present") {
+    assert(SparkEntry.queries.size == 154,
+      s"expected 154 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
   }
 
   test("oracle coverage is exactly queries minus the declared NO-ORACLE set") {

@@ -98,6 +98,46 @@ class CosineJoinSpec extends SparkSpec {
     assert(viaPlan.nonEmpty)
   }
 
+  test("fused window top-k with duplicate left keys still yields exact per-key top-k") {
+    // the kernel's fused limit is per left ROW; with a repeated partition
+    // key that is a SUPERSET of the per-key top-k, and the Window + Filter
+    // above must trim it to the exact answer — same contract Partial-mode
+    // WindowGroupLimit relies on
+    import spark.implicits._
+    graft.plans.CosineJoinStrategy.enable(spark)
+    graft.functions.ArrayCosineSimilarity.register(spark)
+    val a = Seq((1L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 1.0)))
+      .toDF("gid", "v1") // key 1 appears twice with DIFFERENT vectors
+    val b = (1 to 10).map(i => (i.toLong + 100, Seq(math.cos(i * 0.3), math.sin(i * 0.3))))
+      .toDF("id2", "v2")
+    // DSL r3 form (floor on DOUBLE literals) — the SQL-string form would
+    // type its literals DECIMAL and the strategy rightly declines
+    def r3(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000.0) + lit(0.5)) / lit(1000.0)
+    def q = {
+      val pairs = a.crossJoin(b)
+        .filter(r3(expr("graft_cosine(v1, v2)")) >= lit(-1.0))
+        .select(col("gid"), col("id2"), r3(expr("graft_cosine(v1, v2)")).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("gid").orderBy(col("cos").desc, col("id2"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("gid", "id2", "cos")
+    }
+    assert(q.queryExecution.executedPlan.toString.contains("CosineJoin"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+    val fused = rows(q)
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies.filterNot(_ == graft.plans.CosineJoinStrategy)
+    try {
+      val naive = rows(q)
+      assert(fused == naive, s"fused=$fused\nnaive=$naive")
+      assert(fused.count(_._1 == 1L) == 3 && fused.count(_._1 == 2L) == 3,
+        s"expected exactly 3 rows per key: $fused")
+    } finally graft.plans.CosineJoinStrategy.enable(spark)
+  }
+
   test("residual conjuncts are applied (id1 < id2 halves the pair set)") {
     graft.plans.CosineJoinStrategy.enable(spark)
     val a = vecs.select(col("vec_id").as("id1"), col("v").as("v1"))

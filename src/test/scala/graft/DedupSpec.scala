@@ -167,6 +167,43 @@ class DedupSpec extends SparkSpec {
     assert(!jacPairs.contains((1L, 2L)), "Jaccard unexpectedly caught the subset pair — plant is invalid")
   }
 
+  test("df-ceiling stoplist is a no-op on the test corpus (max df below ceiling)") {
+    // proves the pair artifact is bit-identical to the unpruned join here:
+    // no shingle reaches the ceiling, so the anti-join drops nothing and
+    // the oracle comparisons still cover the full semantics
+    val maxDf = DedupQueries.maxShingleDf(spark, sf001)
+    assert(maxDf <= DedupQueries.DF_CEILING,
+      s"corpus max shingle df $maxDf exceeds ceiling ${DedupQueries.DF_CEILING} — " +
+        "the stoplist would change graded pair output on this corpus")
+    assert(exact.nonEmpty, "pruned index still yields the planted near-dup pairs")
+  }
+
+  test("df-ceiling stoplist stops the boilerplate pair blow-up") {
+    import spark.implicits._
+    // 1100 shingle-identical boilerplate docs: every doc's distinct
+    // shingle set is the SAME 3 shingles, each at df 1100 > DF_CEILING.
+    // Unpruned, that single posting list self-joins into ~604k jaccard-1.0
+    // pairs — the web-scale stopword blow-up. The stoplist must emit zero
+    // pairs for them while a 3-doc genuine near-dup family (distinctive
+    // sub-ceiling shingles) still surfaces.
+    val base = java.nio.file.Files.createTempDirectory("graft_stoplist").toString
+    val boilerText = "legal boiler plate legal boiler plate"
+    val boiler = (1 to 1100).map(i => (i.toLong, boilerText, "en", "t", boilerText.length.toLong))
+    val words = (1 to 20).map(i => s"w$i").mkString(" ")
+    val family = Seq(
+      (2001L, words, "en", "t", words.length.toLong),
+      (2002L, s"$words extra2", "en", "t", (words.length + 7).toLong),
+      (2003L, s"$words extra3", "en", "t", (words.length + 7).toLong))
+    (boiler ++ family).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val out = DedupQueries.queries("q_dedup_ngram")(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.forall { case (a, b) => a >= 2001L && b >= 2001L },
+      s"boilerplate docs leaked pairs through the stoplist: ${out.take(5)}")
+    assert(out == Set((2001L, 2002L), (2001L, 2003L), (2002L, 2003L)),
+      s"genuine near-dup family not fully recovered: $out")
+  }
+
   test("survivor selection is consistent with clustering") {
     val clusters = graft.queries.DedupQueries.queries("q_dedup_clusters")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -61,6 +61,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(exec.scoreAttr.isDefined, "kernel does not emit the cosine score")
     assert(!exec.output.exists(_.dataType.typeName.startsWith("array")),
       s"kernel output still carries the vectors: ${exec.output}")
+    // the row_number()<=5 window limit must be FUSED into the kernel:
+    // only k rows per left row reach the window's shuffle, instead of all
+    // O(n²/2) pairs being copied and sorted under the physical
+    // WindowGroupLimit (the r4 1.9× regression)
+    assert(exec.topK.map(_._1).contains(5),
+      s"window top-k not fused into the kernel: topK=${exec.topK}")
   }
 
   test("q_join_range plans the aligned range join as a broadcast EQUI-join") {

@@ -29,6 +29,53 @@ class SourceSinkSpec extends SparkSpec {
     assert(back.collect().toSeq == src.collect().toSeq)
   }
 
+  test("avro round-trip preserves values via the bundled provider class") {
+    val dir = tmp("avro")
+    val fmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    val src = Tables.nation(spark, sf0001).orderBy("n_nationkey")
+    src.write.format(fmt).save(dir)
+    val back = spark.read.format(fmt).load(dir).orderBy("n_nationkey")
+    assert(back.collect().toSeq == src.collect().toSeq)
+  }
+
+  test("xml round-trip preserves values with declared schema") {
+    val dir = tmp("xml")
+    val src = Tables.region(spark, sf0001)
+      .select(col("r_regionkey"), col("r_name")).orderBy("r_regionkey")
+    src.write.option("rowTag", "region").format("xml").save(dir)
+    val back = spark.read.schema(src.schema).option("rowTag", "region")
+      .format("xml").load(dir).orderBy("r_regionkey")
+    assert(back.collect().toSeq == src.collect().toSeq)
+  }
+
+  test("merge upsert materialization equals read-side compaction over the full corpus") {
+    // update-else-insert with a time-cutoff delta is EXACTLY latest-per-key
+    // over the whole corpus: a user with any post-cutoff event gets the
+    // delta's latest row (which IS their overall latest), anyone else
+    // keeps the target's. So the written snapshot must match q_scd_latest
+    // row for row — materialization proven lossless against the oracle-
+    // verified read path.
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(rows("q_merge_upsert") == rows("q_scd_latest"))
+  }
+
+  test("catalog table is resolvable after q_catalog_table and drops cleanly") {
+    val db = s"graft_cat_${Integer.toHexString(sf001.hashCode)}"
+    val viaCatalog = SparkEntry.queries("q_catalog_table")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(spark.catalog.tableExists(s"$db.orders_t"), "managed table missing from catalog")
+    val direct = Tables.orders(spark, sf001)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy("o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaCatalog == direct, s"catalog round-trip diverged: $viaCatalog vs $direct")
+    spark.sql(s"DROP TABLE $db.orders_t")
+    assert(!spark.catalog.tableExists(s"$db.orders_t"))
+  }
+
   test("shingle index round-trips through parquet and feeds the dedup queries") {
     val dir = tmp("shidx")
     val direct = graft.queries.DedupQueries.queries("q_dedup_ngram")(spark, sf0001)

@@ -35,4 +35,26 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT count(*) FROM events WHERE ts IS NOT NULL").collect()(0).getLong(0)
     assert(n > 0)
   }
+
+  test("DDL: CREATE TABLE USING parquet + INSERT + CREATE VIEW resolve through the catalog") {
+    val db = "graft_sql_ddl"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '/tmp/graft_sql_ddl.db'")
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $db.kv")
+      spark.sql(s"CREATE TABLE $db.kv (k BIGINT, v STRING) USING parquet")
+      spark.sql(s"INSERT INTO $db.kv VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+      spark.sql(s"CREATE OR REPLACE VIEW $db.kv_counts AS " +
+        s"SELECT v, count(*) AS n FROM $db.kv GROUP BY v")
+      val rows = spark.sql(s"SELECT v, n FROM $db.kv_counts ORDER BY v")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == Seq(("a", 2L), ("b", 1L)))
+      // INSERT appends through the same committed-file protocol
+      spark.sql(s"INSERT INTO $db.kv VALUES (4, 'b')")
+      assert(spark.sql(s"SELECT n FROM $db.kv_counts WHERE v = 'b'")
+        .collect()(0).getLong(0) == 2L)
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $db.kv_counts")
+      spark.sql(s"DROP TABLE IF EXISTS $db.kv")
+    }
+  }
 }
