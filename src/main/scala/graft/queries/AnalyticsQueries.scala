@@ -585,9 +585,113 @@ object AnalyticsQueries extends QueryGroup {
         .groupBy("w").agg(count(lit(1)).as("wau"))
         .select(date_format(col("w"), "yyyy-MM-dd").as("window_end"), col("wau"))
         .orderBy("window_end")),
+
+    // ---- bitmap-rollup exact distinct (ORACLE) ---------------------------
+    // Exact daily distinct users per event type via 64-bit bitmap words —
+    // the roaring-style rollup: (key, word-index) partials carry one bit
+    // per user, OR-merge associatively (mergeable like a sketch but
+    // EXACT), and popcounts sum to the distinct count. This is how exact
+    // distinct survives incremental/rollup pipelines at 100 TB, where a
+    // COUNT(DISTINCT) result can't be re-aggregated but bitmap partials
+    // can. All integer (bit_or words, bit_count popcounts) — bit-exact
+    // in both engines. 32-bit words inside the BIGINT: bit 63 would be
+    // a signed-overflow error in DuckDB's `<<`. Two hash aggregates, the
+    // first keyed on (type, day, word) so hot keys shard across reducers.
+    "q_bitmap_distinct" -> ((s, d) => {
+      val words = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        .withColumn("w", expr("user_id div 32"))
+        .withColumn("b", expr("shiftleft(1L, cast(pmod(user_id, 32) as int))"))
+        .groupBy("event_type", "day", "w")
+        .agg(expr("bit_or(b)").as("bm"))
+      words.groupBy("event_type", "day")
+        .agg(sum(expr("bit_count(bm)")).cast("long").as("du"))
+        .groupBy("event_type")
+        .agg(sum(col("du")).as("user_days"), max(col("du")).as("max_daily"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")
+    }),
+
+    // ---- robust outliers via median/MAD (ORACLE) -------------------------
+    // The robust companion to q_anomaly_mean's cross-multiplied mean
+    // test: median absolute deviation ignores the heavy tail that drags
+    // a mean. Everything stays integer: interpolated medians of integer
+    // cents are half-integral, so DOUBLED medians (med2, mad4=4·MAD) are
+    // exact BIGINTs, and |x−med| > 3·MAD cross-multiplies to
+    // 2·d2 > 3·mad4 with d2 = |2·cents − med2|. Two per-group
+    // sort-aggregates (the q_agg_percentile machinery, parity proven) +
+    // two broadcast joins of k-row medians back onto the rows.
+    "q_outliers_mad" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderstatus"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val med = o.groupBy("o_orderstatus")
+        .agg((expr("percentile(cents, 0.5)") * 2).cast("long").as("med2"))
+      val dev = o.join(broadcast(med), "o_orderstatus")
+        .withColumn("d2", abs(col("cents") * 2 - col("med2")))
+      val mad = dev.groupBy("o_orderstatus")
+        .agg((expr("percentile(d2, 0.5)") * 2).cast("long").as("mad4"))
+      dev.join(broadcast(mad), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (first(col("med2")).cast("double") / lit(200.0)).as("med_usd"),
+          (first(col("mad4")).cast("double") / lit(400.0)).as("mad_usd"),
+          sum(when(col("d2") * 2 > col("mad4") * 3, 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- Gini revenue concentration (ORACLE) -----------------------------
+    // Inequality of order values per status via the exact rank formula
+    // G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), x ascending. The rank comes
+    // from row_number over (cents, orderkey); permutations within a
+    // cents tie can't change Σi·xᵢ (equal xᵢ), so the BIGINT sums are
+    // deterministic. Σi·xᵢ ≈ 2.5e16 at sf0.1 — inside int64 but past
+    // 2^53, so numerator and denominator are each computed exactly in
+    // BIGINT and cast to double ONCE (identical nearest rounding) before
+    // the single division + r3. One per-group window sort + one k-group
+    // aggregate — the same shuffle family as the percentile queries.
+    "q_gini" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("cents"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s0"),
+          sum(col("i") * col("cents")).as("s1"))
+        .withColumn("gini", r3((col("s1") * 2 - (col("n") + 1) * col("s0")).cast("double")
+          / (col("n") * col("s0")).cast("double")))
+        .select(col("o_orderstatus"), col("n"), col("s0").as("sum_cents"), col("gini"))
+        .orderBy("o_orderstatus")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_bitmap_distinct" ->
+      ("WITH w AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id // 32 AS w, " +
+        "bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS bm " +
+        "FROM events GROUP BY 1, 2, 3), " +
+        "d AS (SELECT event_type, day, CAST(sum(bit_count(bm)) AS BIGINT) AS du FROM w GROUP BY 1, 2) " +
+        "SELECT event_type, CAST(sum(du) AS BIGINT) AS user_days, max(du) AS max_daily, " +
+        "count(*) AS n_days FROM d GROUP BY event_type ORDER BY event_type"),
+    "q_outliers_mad" ->
+      ("WITH o AS (SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "m AS (SELECT o_orderstatus, CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2 FROM o GROUP BY 1), " +
+        "d AS (SELECT o.o_orderstatus, cents, abs(2 * cents - med2) AS d2, med2 FROM o JOIN m USING (o_orderstatus)), " +
+        "a AS (SELECT o_orderstatus, CAST(quantile_cont(d2, 0.5) * 2 AS BIGINT) AS mad4 FROM d GROUP BY 1) " +
+        "SELECT d.o_orderstatus, count(*) AS n, " +
+        "CAST(any_value(d.med2) AS DOUBLE) / 200.0 AS med_usd, " +
+        "CAST(any_value(a.mad4) AS DOUBLE) / 400.0 AS mad_usd, " +
+        "CAST(sum(CASE WHEN 2 * d.d2 > 3 * a.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+        "FROM d JOIN a USING (o_orderstatus) GROUP BY 1 ORDER BY 1"),
+    "q_gini" ->
+      ("WITH o AS (SELECT o_orderstatus, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "r AS (SELECT o_orderstatus, cents, CAST(row_number() OVER (PARTITION BY o_orderstatus " +
+        "ORDER BY cents, o_orderkey) AS BIGINT) AS i FROM o), " +
+        "g AS (SELECT o_orderstatus, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s0, " +
+        "CAST(sum(i * cents) AS BIGINT) AS s1 FROM r GROUP BY 1) " +
+        "SELECT o_orderstatus, n, s0 AS sum_cents, " +
+        "floor((CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS gini " +
+        "FROM g ORDER BY o_orderstatus"),
     "q_anomaly_mean" ->
       ("WITH c AS (SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
         "w AS (SELECT event_type, cents, count(cents) OVER (PARTITION BY user_id) AS n_u, " +

@@ -494,6 +494,26 @@ object DedupQueries extends QueryGroup {
         .orderBy("deg_bucket")
     }),
 
+    // ---- near-dup rate by source (ORACLE) --------------------------------
+    // The curation dashboard question the pair set exists to answer:
+    // which ingestion source is most duplicated. Docs appearing in ≥1
+    // near-dup pair, counted as a share of each source's docs. The
+    // dup-doc set is derived from the memoized pair artifact (orders
+    // smaller than the corpus) so it BROADCASTS into one left join over
+    // the documents scan; counts exact to one final r2 division.
+    "q_dup_rate_source" -> ((s, d) => {
+      val p = nearDupPairs(s, d)
+      val dup = p.select(col("d1").as("doc_id"))
+        .unionAll(p.select(col("d2").as("doc_id"))).distinct()
+        .withColumn("isdup", lit(1L))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(broadcast(dup), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), count(col("isdup")).as("n_dup"),
+          r2(count(col("isdup")).cast("double") * lit(100.0) / count(lit(1)).cast("double")).as("dup_pct"))
+        .orderBy("source")
+    }),
+
     // ---- inverted-index statistics (ORACLE) -----------------------------
     // Observability over the shared shingle artifact: the document-
     // frequency histogram of the inverted index (df capped at 10+). This
@@ -767,6 +787,22 @@ object DedupQueries extends QueryGroup {
         "b AS (SELECT least(deg, 8) AS deg_bucket, deg FROM g) " +
         "SELECT deg_bucket, count(*) AS n_nodes, CAST(sum(deg) AS BIGINT) AS sum_deg " +
         "FROM b GROUP BY 1 ORDER BY deg_bucket"),
+    "q_dup_rate_source" ->
+      ("WITH sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS s, " +
+        "CAST(len(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS BIGINT) AS nsh " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
+        "ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN ok ON ok.s = a.s JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh " +
+        "HAVING CAST(count(*) AS DOUBLE) / CAST(a.nsh + b.nsh - count(*) AS DOUBLE) >= 0.5), " +
+        "dup AS (SELECT DISTINCT doc_id FROM (SELECT d1 AS doc_id FROM p UNION ALL SELECT d2 FROM p) u) " +
+        "SELECT d.source, count(*) AS n_docs, CAST(count(dup.doc_id) AS BIGINT) AS n_dup, " +
+        "floor((CAST(count(dup.doc_id) AS DOUBLE) * 100.0 / CAST(count(*) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS dup_pct " +
+        "FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id GROUP BY 1 ORDER BY 1"),
     "q_index_stats" ->
       ("WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
         "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +

@@ -447,6 +447,32 @@ object RelationalQueries extends QueryGroup {
         s"FROM $db.orders_t GROUP BY o_orderstatus ORDER BY o_orderstatus")
     }),
 
+    // ---- §2.1 cached-relation surface ------------------------------------
+    // CACHE TABLE ... AS SELECT: the interactive-session accelerator. The
+    // cached relation is columnar (InMemoryRelation, built eagerly) and
+    // subsequent access scans it instead of parquet — PlanAuditSpec pins
+    // the InMemoryTableScan. Money as integer cents; oracle on the
+    // original table, because caching must be semantically invisible.
+    // At 100 TB this is the per-session hot-set tool (cache the filtered
+    // projection, not the fact table); the cross-session analogue is the
+    // persisted artifact pattern (saveShingleIndex / q_sink_partitioned).
+    "q_cache_table" -> ((s, d) => {
+      val tag = Integer.toHexString(d.hashCode)
+      val v = s"graft_cache_$tag"
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(s"${v}_src")
+      // CACHE TABLE ... AS SELECT registers a temp view of the same
+      // name; release the cache AND drop the view so re-invocation
+      // (bench passes, repeated sessions) stays idempotent
+      s.sql(s"UNCACHE TABLE IF EXISTS $v")
+      s.sql(s"DROP VIEW IF EXISTS $v")
+      s.sql(s"CACHE TABLE $v AS SELECT * FROM ${v}_src")
+      s.table(v).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- §2.1 Avro source round-trip --------------------------------------
     // The row-oriented interchange format of Kafka/streaming estates.
     // Spark 4 ships the Avro connector inside spark-sql but does NOT
@@ -723,6 +749,10 @@ object RelationalQueries extends QueryGroup {
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM orders JOIN dim ON o_orderpriority = prio WHERE tier = 'critical' " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_cache_table" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_catalog_table" ->
       ("SELECT o_orderstatus, count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +

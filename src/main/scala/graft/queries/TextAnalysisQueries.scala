@@ -255,6 +255,37 @@ object TextAnalysisQueries extends QueryGroup {
           r2(sum(col("chunk_toks")).cast("double") / count(lit(1))).as("avg_chunk_toks"))
         .orderBy("lang")
     }),
+
+    // ---- unigram-LM surprisal scoring (ORACLE) ---------------------------
+    // The perplexity-filter shape training-data curation actually runs:
+    // score each document by its average token surprisal ln(N/ctf)
+    // against the corpus' own unigram distribution — high scorers are
+    // rare-token outliers (OCR noise, codes, wrong-language fragments),
+    // low scorers are boilerplate. Per-token surprisal is snapped to an
+    // integer nano-nat grid BEFORE the per-doc weighted sum (order-free
+    // BIGINT), the per-doc mean is one integer division, and the ranking
+    // key is that integer — a last-ulp ln divergence can't flip the
+    // top-15 (§7.3). Shape: one (doc, term) aggregate, a broadcast term
+    // table join (vocab ≪ corpus), one per-doc aggregate.
+    "q_surprisal" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val ct = tf.groupBy("term").agg(sum("tf").as("ctf"))
+      val totals = ct.agg(sum("ctf").as("ntot"))
+      val sn = ct.crossJoin(broadcast(totals))
+        .withColumn("snano", floor(log(col("ntot").cast("double") / col("ctf").cast("double"))
+          * lit(1e9) + lit(0.5)).cast("long"))
+        .select("term", "snano")
+      tf.join(sn, "term")
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("snano")).as("sum_nano"), sum(col("tf")).as("dl"))
+        .withColumn("avg_nano", expr("sum_nano div dl"))
+        .select(col("doc_id"), (col("avg_nano").cast("double") / lit(1e9)).as("surprisal"),
+          col("dl").as("n_tokens"))
+        .orderBy(col("surprisal").desc, col("doc_id"))
+        .limit(15)
+    }),
   )
 
   private val oracleToks =
@@ -263,6 +294,16 @@ object TextAnalysisQueries extends QueryGroup {
     "CAST(len(list_filter(t, x -> x IN (" + words.map("'" + _ + "'").mkString(", ") + "))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_surprisal" ->
+      ("WITH t AS (SELECT doc_id, unnest(" + oracleToks + ") AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), " +
+        "ct AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1), " +
+        "n AS (SELECT CAST(sum(ctf) AS BIGINT) AS ntot FROM ct), " +
+        "sn AS (SELECT term, CAST(floor(ln(CAST(ntot AS DOUBLE) / CAST(ctf AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS snano FROM ct, n), " +
+        "p AS (SELECT tf.doc_id, CAST(sum(tf.tf * sn.snano) AS BIGINT) AS sum_nano, " +
+        "CAST(sum(tf.tf) AS BIGINT) AS dl FROM tf JOIN sn USING (term) GROUP BY 1) " +
+        "SELECT doc_id, CAST(sum_nano // dl AS DOUBLE) / 1000000000.0 AS surprisal, dl AS n_tokens " +
+        "FROM p ORDER BY surprisal DESC, doc_id LIMIT 15"),
     "q_lang_id" ->
       ("WITH t AS (SELECT lang, " + oracleToks + " AS t FROM documents), " +
         "sc AS (SELECT lang, " + oracleHits(enStops) + " AS s_en, " + oracleHits(frStops) + " AS s_fr, " +

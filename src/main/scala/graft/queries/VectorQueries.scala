@@ -145,9 +145,45 @@ object VectorQueries extends QueryGroup {
           r3(col("sum_x3").cast("double") / (col("n") * lit(1000.0)).cast("double")).as("centroid_c"))
         .orderBy("cid", "dim")
     }),
+
+    // ---- embedding health audit (ORACLE) ---------------------------------
+    // The ingest gate a vector store runs before indexing: per label —
+    // vector count, zero vectors, min/avg/max L2 norm. Each x² is
+    // snapped to an integer nano-grid BEFORE summing, so the per-vector
+    // sum-of-squares is an order-free exact BIGINT and the single sqrt
+    // sees identical bits in both engines; the avg goes through a
+    // nano-snapped norm summed exactly, divided once. Pure map-side work
+    // + one k-group aggregate — the q_vec_quantize shuffle shape.
+    "q_vector_norms" -> ((s, d) => {
+      val sqNano = expr("aggregate(transform(embedding, " +
+        "x -> cast(floor(cast(x as double) * cast(x as double) * 1e9 + 0.5) as bigint)), " +
+        "0L, (a, v) -> a + v)")
+      Tables.embeddings(s, d)
+        .select(col("label"), sqNano.as("sq_nano"))
+        .withColumn("nrm", sqrt(col("sq_nano").cast("double") / lit(1e9)))
+        .withColumn("norm_nano", floor(col("nrm") * lit(1e9) + lit(0.5)).cast("long"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("sq_nano") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          r3(min(col("nrm"))).as("min_norm"),
+          r3(max(col("nrm"))).as("max_norm"),
+          r3(sum(col("norm_nano")).cast("double") / count(lit(1)).cast("double") / lit(1e9)).as("avg_norm"))
+        .orderBy("label")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_vector_norms" ->
+      ("WITH v AS (SELECT label, CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]), " +
+        "x -> CAST(floor(x * x * 1000000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sq_nano FROM embeddings), " +
+        "n AS (SELECT label, sq_nano, sqrt(CAST(sq_nano AS DOUBLE) / 1000000000.0) AS nrm FROM v), " +
+        "m AS (SELECT label, sq_nano, nrm, CAST(floor(nrm * 1000000000.0 + 0.5) AS BIGINT) AS norm_nano FROM n) " +
+        "SELECT CAST(label AS INT) AS label, count(*) AS n_vecs, " +
+        "CAST(sum(CASE WHEN sq_nano = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero, " +
+        "floor(min(nrm) * 1000.0 + 0.5) / 1000.0 AS min_norm, " +
+        "floor(max(nrm) * 1000.0 + 0.5) / 1000.0 AS max_norm, " +
+        "floor((CAST(sum(norm_nano) AS DOUBLE) / count(*) / 1000000000.0) * 1000.0 + 0.5) / 1000.0 AS avg_norm " +
+        "FROM m GROUP BY label ORDER BY label"),
     "q_vec_quantize" ->
       ("WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "sc AS (SELECT label, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, " +

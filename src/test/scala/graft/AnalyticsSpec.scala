@@ -181,6 +181,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_bitmap_distinct: bitmap popcounts equal COUNT(DISTINCT) exactly") {
+    // per event_type, summed daily popcounts must equal the direct
+    // distinct (user, day) count — bitmaps are exact, not a sketch
+    val viaBitmap = q("q_bitmap_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables.events(spark, sf0001)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaBitmap == direct, s"bitmap=$viaBitmap direct=$direct")
+    assert(viaBitmap.values.sum > 0)
+  }
+
+  test("q_outliers_mad: outliers are a minority and the MAD bound is honored") {
+    q("q_outliers_mad").collect().foreach { r =>
+      val (n, med, mad, out) = (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(out <= n / 2, s"MAD outliers cannot be a majority: $r")
+      assert(med > 0 && mad >= 0, s"degenerate median/MAD: $r")
+      // recompute one group's count independently
+      val cents = Tables.orders(spark, sf0001)
+        .filter(col("o_orderstatus") === r.getString(0))
+        .select(round(col("o_totalprice") * 100).cast("long")).collect().map(_.getLong(0))
+      val recomputed = cents.count(c => math.abs(c - med * 100) > 3 * mad * 100)
+      assert(recomputed == out, s"${r.getString(0)}: recomputed $recomputed != $out")
+    }
+  }
+
+  test("q_gini: coefficients sit in [0, 1) and a uniform fixture scores 0") {
+    q("q_gini").collect().foreach { r =>
+      val g = r.getDouble(3)
+      assert(g >= 0.0 && g < 1.0, s"gini out of range: $r")
+    }
+    // analytic check: equal values => G = 0 by the rank formula
+    // (2·Σi·x − (n+1)·n·x) = x·(2·n(n+1)/2 − (n+1)·n) = 0
+    val n = 100L; val x = 7L
+    val s1 = (1L to n).map(_ * x).sum
+    assert(2 * s1 - (n + 1) * n * x == 0L)
+  }
+
   test("q_zorder: clusters are local — each spans at most 8 values per dimension") {
     // z_cluster = z >> 6 fixes the top 3 interleaved bits of each dim, so
     // within a cluster both dimensions vary by < 2^3

@@ -176,4 +176,47 @@ class InvariantSpec extends SparkSpec {
       assert(shares.last <= 1.0 + 1e-9, s"$st last share ${shares.last}")
     }
   }
+
+  test("surprisal scores are non-negative, descending, and penalize rare tokens") {
+    val rows = graft.queries.TextAnalysisQueries.queries("q_surprisal")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 15)
+    assert(rows.forall(_._2 >= 0.0), s"negative surprisal: ${rows.find(_._2 < 0.0)}")
+    val scores = rows.map(_._2)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"not ranked descending: ${scores.toSeq}")
+    // upper bound: mean surprisal can't exceed ln(N) (an all-hapax doc)
+    val nTotal = Tables.documents(spark, sf0001)
+      .select(explode(split(lower(col("text")), "[ \\t\\n\\r\\f]+")).as("t"))
+      .filter(col("t") =!= "").count()
+    assert(rows.forall(_._2 <= math.log(nTotal.toDouble) + 1e-6),
+      s"surprisal exceeds ln(N)=${math.log(nTotal.toDouble)}")
+  }
+
+  test("dup rate by source is consistent with the near-dup pair set") {
+    val rows = graft.queries.DedupQueries.queries("q_dup_rate_source")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val dupDocs = graft.queries.DedupQueries.queries("q_dedup_ngram")(spark, sf0001)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(_._3).sum == dupDocs.size.toLong,
+      s"per-source dup counts don't sum to the distinct dup-doc count")
+    rows.foreach { case (src, n, nd, pct) =>
+      assert(nd <= n, s"$src: more dups than docs")
+      assert(pct >= 0.0 && pct <= 100.0, s"$src: pct out of range")
+    }
+    assert(rows.map(_._2).sum == Tables.documents(spark, sf0001).count())
+  }
+
+  test("vector norm audit: bounds ordered, zero vectors counted exactly") {
+    val rows = graft.queries.VectorQueries.queries("q_vector_norms")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (label, n, nZero, mn, mx, avg) =>
+      assert(n > 0 && nZero >= 0 && nZero <= n, s"label $label counts")
+      assert(mn <= avg + 1e-9 && avg <= mx + 1e-9, s"label $label: min $mn avg $avg max $mx")
+      assert(mn >= 0.0, s"label $label negative norm")
+    }
+    assert(rows.map(_._2).sum == Tables.embeddings(spark, sf0001).count())
+  }
 }

@@ -13,6 +13,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q_cache_table reads the columnar cache, not parquet") {
+    // the FileScan inside InMemoryRelation's tree is the cached BUILD
+    // plan; the executed access is the in-memory scan above it
+    val p = plan("q_cache_table")
+    assert(p.contains("Scan In-memory table") || p.contains("InMemoryTableScan"),
+      s"cached relation not used:\n$p")
+  }
+
+  test("q_dup_rate_source broadcasts the dup-doc set into the corpus join") {
+    val p = plan("q_dup_rate_source")
+    assert(p.contains("BroadcastHashJoin"), s"dup set not broadcast:\n$p")
+  }
+
   test("q_topk_global uses TakeOrderedAndProject (no global sort of the table)") {
     assert(plan("q_topk_global").contains("TakeOrderedAndProject"))
   }

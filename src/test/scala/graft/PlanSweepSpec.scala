@@ -29,6 +29,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_kmeans_assign",     // 8-row centroid table crossed for per-vector argmax
     "q_kmeans_update",     // same broadcast centroids as the assign step
     "q_ann_ivf",           // k-row coarse-quantizer codebook
+    "q_surprisal",         // one-row corpus-token-total scalar vs the vocab
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
