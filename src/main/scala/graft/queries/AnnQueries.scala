@@ -109,14 +109,23 @@ object AnnQueries extends QueryGroup {
       (0 until bitsPerTable)
         .map(b => when(dot(col("v"), hp(tbl * bitsPerTable + b)) >= 0.0, 1L << b).otherwise(0L))
         .reduce(_ + _) + lit(tbl.toLong * 65536L)
+    // MATERIALIZE the banded signatures once: three consumers (bucket
+    // census + both join sides) would otherwise each re-run the 32
+    // interpreted HOF hyperplane dots per vector — the same
+    // CollapseProject re-inlining trap as the shingle index (§7.3.11).
+    // At scale this artifact is the LSH index a pipeline persists.
     val banded = e.select(col("vec_id"), col("v"),
       explode(array((0 until nTables).map(bkey): _*)).as("bkey"))
+      .localCheckpoint(true)
+    // the bucket census is ≤ nTables·2^bits rows — broadcast it so the
+    // size-cap prune is map-side on both join branches instead of two
+    // extra shuffles of vector-carrying rows
     val okBuckets = banded.groupBy("bkey")
       .agg(count(lit(1)).as("n")).filter(col("n").between(2, 256))
       .select("bkey")
-    val m1 = banded.join(okBuckets, "bkey")
+    val m1 = banded.join(broadcast(okBuckets), "bkey")
       .select(col("bkey"), col("vec_id").as("id1"), col("v").as("v1"))
-    val m2 = banded.join(okBuckets, "bkey")
+    val m2 = banded.join(broadcast(okBuckets), "bkey")
       .select(col("bkey"), col("vec_id").as("id2"), col("v").as("v2"))
     m1.join(m2, Seq("bkey")).filter(col("id1") =!= col("id2"))
   }
