@@ -118,6 +118,20 @@ object AggQueries extends QueryGroup {
           r2(max(col("o_totalprice"))).as("max_price"))
         .orderBy("bucket")),
 
+    // 2-D histogram (heatmap feed): month × price-bucket grid with count
+    // and exact cents mass — the BI density matrix shape. Bucketing is
+    // integer (cents div), month from the shared-UTC timestamp; ONE
+    // two-key hash aggregate whose output is the 12×10 grid regardless
+    // of corpus size.
+    "q_histogram2d" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(month(col("o_orderdate")).cast("long").as("mon"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("price_bucket", least(expr("cents div 5000000"), lit(9L)))
+        .groupBy("mon", "price_bucket")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("mon", "price_bucket")),
+
     // exact interpolating percentile (SortAggregate) <-> DuckDB quantile_cont
     "q_agg_percentile" -> ((s, d) =>
       Tables.orders(s, d)
@@ -283,6 +297,12 @@ object AggQueries extends QueryGroup {
         "floor(min(o_totalprice) * 100.0 + 0.5) / 100.0 AS min_price, " +
         "floor(max(o_totalprice) * 100.0 + 0.5) / 100.0 AS max_price " +
         "FROM orders GROUP BY 1 ORDER BY bucket"),
+    "q_histogram2d" ->
+      ("WITH c AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS mon, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT mon, least(cents // 5000000, 9) AS price_bucket, count(*) AS n, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        "FROM c GROUP BY 1, 2 ORDER BY mon, price_bucket"),
     "q_agg_percentile" ->
       "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS p50, round(quantile_cont(o_totalprice, 0.9), 2) AS p90 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "q_agg_skew" ->

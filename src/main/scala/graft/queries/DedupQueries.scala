@@ -494,6 +494,32 @@ object DedupQueries extends QueryGroup {
         .orderBy("deg_bucket")
     }),
 
+    // ---- ensemble dedup consensus (ORACLE) -------------------------------
+    // The multi-method report a curation pipeline reviews before picking
+    // thresholds: every pair flagged by ANY of the three exact dedup
+    // flavors (3-gram Jaccard, blocked Levenshtein, embedding cosine —
+    // doc_id and vec_id share a key space), with per-method flags and
+    // the agreement count. Pairs flagged by one method only are the
+    // threshold-tuning frontier; 3/3 pairs are safe deletes. Each input
+    // is the already-graded query (the shingle/pair artifacts memoize),
+    // so this is a union of three SMALL pair sets + one k-ish aggregate
+    // — report-scale, not corpus-scale.
+    "q_dedup_consensus" -> ((s, d) => {
+      val ng = queries("q_dedup_ngram")(s, d)
+        .select(col("d1"), col("d2")).withColumn("m", lit("ngram"))
+      val ed = queries("q_dedup_edit")(s, d)
+        .select(col("d1"), col("d2")).withColumn("m", lit("edit"))
+      val em = queries("q_dedup_embed")(s, d)
+        .select(col("id1").as("d1"), col("id2").as("d2")).withColumn("m", lit("embed"))
+      ng.unionAll(ed).unionAll(em)
+        .groupBy("d1", "d2")
+        .agg(max(when(col("m") === "ngram", 1L).otherwise(0L)).as("by_ngram"),
+          max(when(col("m") === "edit", 1L).otherwise(0L)).as("by_edit"),
+          max(when(col("m") === "embed", 1L).otherwise(0L)).as("by_embed"))
+        .withColumn("n_methods", col("by_ngram") + col("by_edit") + col("by_embed"))
+        .orderBy("d1", "d2")
+    }),
+
     // ---- near-dup rate by source (ORACLE) --------------------------------
     // The curation dashboard question the pair set exists to answer:
     // which ingestion source is most duplicated. Docs appearing in ≥1
@@ -787,6 +813,33 @@ object DedupQueries extends QueryGroup {
         "b AS (SELECT least(deg, 8) AS deg_bucket, deg FROM g) " +
         "SELECT deg_bucket, count(*) AS n_nodes, CAST(sum(deg) AS BIGINT) AS sum_deg " +
         "FROM b GROUP BY 1 ORDER BY deg_bucket"),
+    "q_dedup_consensus" ->
+      ("WITH sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS s, " +
+        "CAST(len(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS BIGINT) AS nsh " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
+        "ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000), " +
+        "png AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN ok ON ok.s = a.s JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh " +
+        "HAVING CAST(count(*) AS DOUBLE) / CAST(a.nsh + b.nsh - count(*) AS DOUBLE) >= 0.5), " +
+        "fe AS (SELECT doc_id, text, array_to_string(list_slice(" +
+        "list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> ''), 1, 5), ' ') AS fp FROM documents), " +
+        "oke AS (SELECT fp FROM fe GROUP BY fp HAVING count(*) BETWEEN 2 AND 64), " +
+        "ped AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM fe a JOIN fe b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "WHERE a.fp IN (SELECT fp FROM oke) AND levenshtein(a.text, b.text) <= 40), " +
+        "pem AS (SELECT a.vec_id AS d1, b.vec_id AS d2 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000.0 + 0.5) / 1000.0 >= 0.4), " +
+        "u AS (SELECT d1, d2, 'ngram' AS m FROM png UNION ALL SELECT d1, d2, 'edit' FROM ped " +
+        "UNION ALL SELECT d1, d2, 'embed' FROM pem), " +
+        "c AS (SELECT d1, d2, CAST(max(CASE WHEN m = 'ngram' THEN 1 ELSE 0 END) AS BIGINT) AS by_ngram, " +
+        "CAST(max(CASE WHEN m = 'edit' THEN 1 ELSE 0 END) AS BIGINT) AS by_edit, " +
+        "CAST(max(CASE WHEN m = 'embed' THEN 1 ELSE 0 END) AS BIGINT) AS by_embed " +
+        "FROM u GROUP BY 1, 2) " +
+        "SELECT d1, d2, by_ngram, by_edit, by_embed, by_ngram + by_edit + by_embed AS n_methods " +
+        "FROM c ORDER BY d1, d2"),
     "q_dup_rate_source" ->
       ("WITH sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
         "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +

@@ -301,6 +301,75 @@ object EventQueries extends QueryGroup {
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out).orderBy("user_id")
     }),
+
+    // ---- sweep-line session concurrency (ORACLE) -------------------------
+    // Peak concurrent sessions per day — the capacity-planning question
+    // sessionization feeds. Classic sweep line: each session interval
+    // becomes (+1 at start, −1 at end+1µs) endpoint rows; concurrency is
+    // the RANGE running sum over endpoint time (RANGE, not ROWS: all
+    // deltas at one instant apply atomically, so tie order can't skew the
+    // peak — identical semantics in both engines). The sweep SHARDS by
+    // day: sessions are split into per-day segments so every partition's
+    // sweep is self-contained — a global-ordered running sum would be the
+    // single-reducer plan that dies at 100 TB. One user-key shuffle
+    // (sessionize) + one day-key shuffle (sweep).
+    "q_sessions_concurrent" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("new_s", when(col("prev_us").isNull
+          || (unix_micros(col("ts")) - col("prev_us")) > 30L * 60L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min(unix_micros(col("ts"))).as("s_us"), max(unix_micros(col("ts"))).as("e_us"))
+      val segs = sess
+        .withColumn("day", explode(expr(
+          "sequence(to_date(timestamp_micros(s_us)), to_date(timestamp_micros(e_us)))")))
+        .withColumn("day_us", unix_micros(col("day").cast("timestamp")))
+        .withColumn("seg_s", greatest(col("s_us"), col("day_us")))
+        .withColumn("seg_e", least(col("e_us"), col("day_us") + 86399999999L))
+      val deltas = segs.select(col("day"), col("seg_s").as("us"), lit(1L).as("delta"))
+        .unionAll(segs.select(col("day"), (col("seg_e") + 1L).as("us"), lit(-1L).as("delta")))
+      val sweep = Window.partitionBy("day").orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("conc", sum(col("delta")).over(sweep))
+        .groupBy("day")
+        .agg(max(col("conc")).as("peak_concurrent"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_segments"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("peak_concurrent"), col("n_segments"))
+        .orderBy("day")
+    }),
+
+    // ---- first/last-touch revenue attribution (ORACLE) -------------------
+    // The marketing-attribution split: each purchase's cents credited to
+    // the weekday of its FIRST prior click and of its LAST prior click —
+    // the two endpoints of the attribution-model spectrum, side by side.
+    // min/max click per purchase ride ONE user-keyed join + aggregate
+    // (per-user click×purchase pairs are bounded by activity, not corpus);
+    // the weekday rollup is k-group. Weekday = epoch-day mod 7 (engines'
+    // dayofweek() disagree on week start, §7.3).
+    "q_first_last_touch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"))
+      val touched = p.join(c, Seq("user_id")).filter(col("cts") <= col("pts"))
+        .groupBy("user_id", "pid", "pts", "cents")
+        .agg(min(col("cts")).as("first_t"), max(col("cts")).as("last_t"))
+      val f = touched
+        .withColumn("wd", expr("datediff(to_date(first_t), date'1970-01-01') % 7"))
+        .groupBy("wd").agg(count(lit(1)).as("n_first"), sum(col("cents")).as("first_cents"))
+      val l = touched
+        .withColumn("wd", expr("datediff(to_date(last_t), date'1970-01-01') % 7"))
+        .groupBy("wd").agg(count(lit(1)).as("n_last"), sum(col("cents")).as("last_cents"))
+      f.join(l, Seq("wd"), "full")
+        .na.fill(0L, Seq("n_first", "first_cents", "n_last", "last_cents"))
+        .orderBy("wd")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -415,6 +484,42 @@ object EventQueries extends QueryGroup {
         "SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value, " +
         "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
         "FROM events) t WHERE rn = 1 ORDER BY user_id"),
+    "q_sessions_concurrent" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "f AS (SELECT user_id, event_id, epoch_us(ts) AS us, CASE WHEN lag(epoch_us(ts)) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR " +
+        "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "g AS (SELECT user_id, us, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f), " +
+        "sess AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us FROM g GROUP BY 1, 2), " +
+        "segs AS (SELECT user_id, sid, s_us, e_us, unnest(generate_series(" +
+        "CAST(make_timestamp(s_us) AS DATE), CAST(make_timestamp(e_us) AS DATE), INTERVAL 1 DAY)) AS dayts FROM sess), " +
+        "seg2 AS (SELECT CAST(dayts AS DATE) AS day, " +
+        "greatest(s_us, epoch_us(CAST(CAST(dayts AS DATE) AS TIMESTAMP))) AS seg_s, " +
+        "least(e_us, epoch_us(CAST(CAST(dayts AS DATE) AS TIMESTAMP)) + 86399999999) AS seg_e FROM segs), " +
+        "deltas AS (SELECT day, seg_s AS us, 1 AS delta FROM seg2 " +
+        "UNION ALL SELECT day, seg_e + 1, -1 FROM seg2), " +
+        "sw AS (SELECT day, delta, sum(delta) OVER (PARTITION BY day ORDER BY us " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM deltas) " +
+        "SELECT strftime(CAST(day AS TIMESTAMP), '%Y-%m-%d') AS day, " +
+        "CAST(max(conc) AS BIGINT) AS peak_concurrent, " +
+        "CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_segments " +
+        "FROM sw GROUP BY 1 ORDER BY day"),
+    "q_first_last_touch" ->
+      ("WITH p AS (SELECT user_id, event_id AS pid, CAST(ts AS TIMESTAMP) AS pts, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts FROM events WHERE event_type = 'click'), " +
+        "t AS (SELECT p.user_id, p.pid, p.pts, p.cents, min(c.cts) AS first_t, max(c.cts) AS last_t " +
+        "FROM p JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts GROUP BY 1, 2, 3, 4), " +
+        "f AS (SELECT datediff('day', DATE '1970-01-01', CAST(first_t AS DATE)) % 7 AS wd, " +
+        "count(*) AS n_first, CAST(sum(cents) AS BIGINT) AS first_cents FROM t GROUP BY 1), " +
+        "l AS (SELECT datediff('day', DATE '1970-01-01', CAST(last_t AS DATE)) % 7 AS wd, " +
+        "count(*) AS n_last, CAST(sum(cents) AS BIGINT) AS last_cents FROM t GROUP BY 1) " +
+        "SELECT CAST(coalesce(f.wd, l.wd) AS BIGINT) AS wd, coalesce(n_first, 0) AS n_first, " +
+        "coalesce(first_cents, 0) AS first_cents, coalesce(n_last, 0) AS n_last, " +
+        "coalesce(last_cents, 0) AS last_cents " +
+        "FROM f FULL JOIN l ON f.wd = l.wd ORDER BY wd"),
     "q_merge_upsert" ->
       ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events), " +
         "t AS (SELECT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, " +

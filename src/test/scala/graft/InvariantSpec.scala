@@ -207,6 +207,59 @@ class InvariantSpec extends SparkSpec {
     assert(rows.map(_._2).sum == Tables.documents(spark, sf0001).count())
   }
 
+  test("sweep-line concurrency: peaks bounded by segment counts, sessions conserved") {
+    val days = graft.queries.EventQueries.queries("q_sessions_concurrent")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(days.nonEmpty)
+    days.foreach { case (day, peak, nSeg) =>
+      assert(peak >= 1 && peak <= nSeg, s"$day: peak $peak vs segments $nSeg")
+    }
+    // day-splitting only ADDS segments: total segments >= total sessions
+    val nSessions = graft.queries.WindowQueries.queries("q_session_30m")(spark, sf0001)
+      .collect().map(_.getLong(1)).sum
+    assert(days.map(_._3).sum >= nSessions,
+      s"segments ${days.map(_._3).sum} < sessions $nSessions")
+  }
+
+  test("attribution: first-touch and last-touch credit the same purchase mass") {
+    val rows = graft.queries.EventQueries.queries("q_first_last_touch")(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every touched purchase is credited exactly once on each side, so
+    // the two models must agree in total and differ only in distribution
+    assert(rows.map(_._1).sum == rows.map(_._3).sum, "n_first total != n_last total")
+    assert(rows.map(_._2).sum == rows.map(_._4).sum, "first cents total != last cents total")
+    assert(rows.map(_._2).sum > 0)
+  }
+
+  test("dedup consensus flags reproduce the three source pair sets exactly") {
+    def pairSet(name: String, c1: Int = 0, c2: Int = 1) =
+      graft.queries.DedupQueries.queries(name)(spark, sf0001)
+        .collect().map(r => (r.getLong(c1), r.getLong(c2))).toSet
+    val consensus = graft.queries.DedupQueries.queries("q_dedup_consensus")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val ng = pairSet("q_dedup_ngram")
+    val ed = pairSet("q_dedup_edit")
+    val em = pairSet("q_dedup_embed")
+    assert(consensus.keySet == (ng ++ ed ++ em), "consensus pair universe mismatch")
+    consensus.foreach { case (p, (bn, be, bm, n)) =>
+      assert(bn == (if (ng(p)) 1L else 0L), s"$p ngram flag")
+      assert(be == (if (ed(p)) 1L else 0L), s"$p edit flag")
+      assert(bm == (if (em(p)) 1L else 0L), s"$p embed flag")
+      assert(n == bn + be + bm)
+    }
+  }
+
+  test("2-D histogram partitions all orders and conserves cents") {
+    val grid = graft.queries.AggQueries.queries("q_histogram2d")(spark, sf0001)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    val o = Tables.orders(spark, sf0001)
+      .agg(count(lit(1)), sum(round(col("o_totalprice") * 100).cast("long")))
+      .head()
+    assert(grid.map(_._1).sum == o.getLong(0), "row count not conserved")
+    assert(grid.map(_._2).sum == o.getLong(1), "cents mass not conserved")
+  }
+
   test("vector norm audit: bounds ordered, zero vectors counted exactly") {
     val rows = graft.queries.VectorQueries.queries("q_vector_norms")(spark, sf0001)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
