@@ -102,6 +102,45 @@ class StreamingSpec extends SparkSpec {
     assert(seen.map(_._1).distinct.size == seen.size, "epochs are distinct")
   }
 
+  test("foreachBatch streaming upsert maintains a latest-per-key parquet snapshot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the standard streaming-CDC recipe: every micro-batch is reduced to
+    // latest-per-key, then MERGEd into the parquet snapshot exactly like
+    // the batch q_merge_upsert (anti-join on the delta's keys + union).
+    // The merged frame is materialized via localCheckpoint BEFORE the
+    // overwrite — a lazy read of the same path it's about to replace is
+    // the classic self-overwrite corruption.
+    val st = MemoryStream[Ev](spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_supsert").toString + "/snap"
+    val q = EventStreams.toForeachBatch(st.toDF(), (df, _) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      val delta = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val merged =
+        if (new java.io.File(dir).exists) {
+          val target = df.sparkSession.read.parquet(dir)
+          target.join(delta.select("user_id"), Seq("user_id"), "left_anti")
+            .unionByName(delta)
+        } else delta
+      merged.localCheckpoint(true).write.mode("overwrite").parquet(dir)
+    }).start()
+    try {
+      st.addData(Seq(Ev(1, 1, "click", ts(1), 1.0), Ev(2, 2, "view", ts(2), 2.0)))
+      q.processAllAvailable()
+      st.addData(Seq(Ev(3, 1, "purchase", ts(5), 9.0), Ev(4, 3, "click", ts(6), 3.0)))
+      q.processAllAvailable()
+      st.addData(Seq(Ev(5, 2, "purchase", ts(9), 7.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val snap = spark.read.parquet(dir)
+      .select("user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(snap == Set((1L, "purchase", 9.0), (2L, "purchase", 7.0), (3L, "click", 3.0)),
+      s"snapshot is not latest-per-user: $snap")
+  }
+
   test("built-in session_window aggregates per user") {
     import spark.implicits._
     val st = MemoryStream[Ev](spark)
