@@ -447,6 +447,35 @@ object RelationalQueries extends QueryGroup {
         s"FROM $db.orders_t GROUP BY o_orderstatus ORDER BY o_orderstatus")
     }),
 
+    // ---- §2.1 JDBC source/sink round-trip --------------------------------
+    // The federation path: write a projection to a relational database
+    // (embedded Derby — the same spark.read/write.jdbc surface talks to
+    // any warehouse) and read it back as a PARTITIONED scan: 4 parallel
+    // range-bounded queries on the numeric key, which is how a JDBC
+    // extract avoids the single-connection bottleneck at scale. Money as
+    // integer cents (DOUBLE↔DECIMAL drift across JDBC dialects is the
+    // classic silent killer). mode("overwrite") drops and recreates the
+    // table, keeping passes idempotent. Oracle on the original table.
+    "q_source_jdbc" -> ((s, d) => {
+      System.setProperty("derby.system.home", "/tmp")
+      val tag = Integer.toHexString(d.hashCode)
+      val url = s"jdbc:derby:/tmp/graft_jdbc_$tag;create=true"
+      val props = new java.util.Properties()
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").jdbc(url, "ORDERS_T", props)
+      s.read
+        .option("partitionColumn", "o_orderkey")
+        .option("numPartitions", "4")
+        .option("lowerBound", "0")
+        .option("upperBound", "2000000")
+        .jdbc(url, "ORDERS_T", props)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- §2.1 cached-relation surface ------------------------------------
     // CACHE TABLE ... AS SELECT: the interactive-session accelerator. The
     // cached relation is columnar (InMemoryRelation, built eagerly) and
@@ -749,6 +778,10 @@ object RelationalQueries extends QueryGroup {
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM orders JOIN dim ON o_orderpriority = prio WHERE tier = 'critical' " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_source_jdbc" ->
+      ("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_cache_table" ->
       ("SELECT l_returnflag, count(*) AS n, " +
         "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +

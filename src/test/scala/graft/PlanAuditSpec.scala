@@ -21,6 +21,12 @@ class PlanAuditSpec extends SparkSpec {
       s"cached relation not used:\n$p")
   }
 
+  test("q_source_jdbc reads the database as a 4-way partitioned scan") {
+    val p = plan("q_source_jdbc")
+    assert(p.contains("numPartitions=4"),
+      s"JDBC read is not range-partitioned (single-connection extract):\n$p")
+  }
+
   test("q_dup_rate_source broadcasts the dup-doc set into the corpus join") {
     val p = plan("q_dup_rate_source")
     assert(p.contains("BroadcastHashJoin"), s"dup set not broadcast:\n$p")

@@ -48,6 +48,17 @@ class SourceSinkSpec extends SparkSpec {
     assert(back.collect().toSeq == src.collect().toSeq)
   }
 
+  test("jdbc round-trip to embedded Derby preserves values") {
+    System.setProperty("derby.system.home", "/tmp")
+    val url = "jdbc:derby:/tmp/graft_jdbc_spec;create=true"
+    val props = new java.util.Properties()
+    val src = Tables.nation(spark, sf0001)
+      .select(col("n_nationkey"), col("n_name")).orderBy("n_nationkey")
+    src.write.mode("overwrite").jdbc(url, "NATION_T", props)
+    val back = spark.read.jdbc(url, "NATION_T", props).orderBy("n_nationkey")
+    assert(back.collect().toSeq == src.collect().toSeq)
+  }
+
   test("merge upsert materialization equals read-side compaction over the full corpus") {
     // update-else-insert with a time-cutoff delta is EXACTLY latest-per-key
     // over the whole corpus: a user with any post-cutoff event gets the
