@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{
   Add, Alias, And, Ascending, Attribute, AttributeReference, AttributeSet,
   BindReferences, Descending, Divide, EqualNullSafe, EqualTo, Expression,
   Floor, GreaterThanOrEqual, JoinedRow, LessThanOrEqual, Literal, Multiply,
-  NamedExpression, Predicate, PredicateHelper, RowNumber, SortOrder,
-  SpecificInternalRow, UnsafeProjection}
+  NamedExpression, NullsFirst, Predicate, PredicateHelper, RowNumber,
+  SortOrder, SpecificInternalRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Join, LogicalPlan, Project, WindowGroupLimit}
@@ -143,10 +143,15 @@ object CosineJoinStrategy extends SparkStrategy with PredicateHelper {
   /** Shared planner for `Project(projList, Join)` shapes whose SELECT
     * re-projects the filter's (rounded) cosine: emit the score from the
     * kernel, prune its output row, optionally fuse a per-left-row top-k
-    * (`topK` = limit + the right-side tiebreak column). */
+    * (`topK` = limit + the right-side tiebreak column + its
+    * nulls-first-ness). `sortKey`, when set, must be an alias of EXACTLY
+    * the filter's (rounded) cosine — fusing a top-k whose window orders
+    * by some OTHER cosine (unrounded, or over different vectors) would
+    * prune by the wrong score and silently drop true top-k rows. */
   private def planProjectedKernel(
       projList: Seq[NamedExpression], l: LogicalPlan, r: LogicalPlan,
-      cond: Expression, topK: Option[(Int, Expression)]): Option[SparkPlan] =
+      cond: Expression, topK: Option[(Int, Expression, Boolean)],
+      sortKey: Option[Attribute] = None): Option[SparkPlan] =
     extract(cond, l, r) match {
       case Some((lv, rv, thr, rounded, rest))
           if !hasEquiKeys(rest, l, r) && fitsBroadcast(r) =>
@@ -160,7 +165,11 @@ object CosineJoinStrategy extends SparkStrategy with PredicateHelper {
           case c: ArrayCosineSimilarity if !rounded => sameVecs(c)
           case _ => false
         }
-        if (!projList.exists(_.exists(isScore))) None
+        val sortKeyIsScore = sortKey.forall(sa => projList.exists {
+          case a @ Alias(child, _) => a.exprId == sa.exprId && isScore(child)
+          case _ => false
+        })
+        if (!projList.exists(_.exists(isScore)) || !sortKeyIsScore) None
         else {
           val scoreAttr = AttributeReference("_cos_score", DoubleType, nullable = false)()
           val newProj = projList.map(ne =>
@@ -185,20 +194,6 @@ object CosineJoinStrategy extends SparkStrategy with PredicateHelper {
       case a: Attribute if a.exprId == attr.exprId && side.outputSet.contains(a) => a
     }
 
-  /** Does `attr` carry the kernel score (the Project aliases the rounded
-    * cosine under this exprId)? Checked structurally so the
-    * WindowGroupLimit match can't fuse over some OTHER double column. */
-  private def carriesCosine(projList: Seq[NamedExpression], attr: Attribute): Boolean =
-    projList.exists {
-      case a @ Alias(child, _) if a.exprId == attr.exprId =>
-        child.exists {
-          case R3Cosine(_) => true
-          case _: ArrayCosineSimilarity => true
-          case _ => false
-        }
-      case _ => false
-    }
-
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     // Top-k-per-key above the join (the kNN shape): the optimizer has
     // already inserted WindowGroupLimit below the row_number window for
@@ -213,12 +208,16 @@ object CosineJoinStrategy extends SparkStrategy with PredicateHelper {
     // (score DESC, right-side long column ASC) — else decline and the
     // Project(Join) below is planned by the case underneath.
     case WindowGroupLimit(Seq(pAttr: Attribute),
-        Seq(SortOrder(s1: Attribute, Descending, _, _), SortOrder(s2: Attribute, Ascending, _, _)),
+        Seq(SortOrder(s1: Attribute, Descending, _, _), SortOrder(s2: Attribute, Ascending, no2, _)),
         _: RowNumber, limit, Project(projList, Join(l, r, Inner | Cross, Some(cond), _)))
-        if sourceAttr(projList, pAttr, l).isDefined && carriesCosine(projList, s1) =>
+        if sourceAttr(projList, pAttr, l).isDefined =>
       sourceAttr(projList, s2, r) match {
         case Some(tie) if tie.dataType == LongType =>
-          planProjectedKernel(projList, l, r, cond, Some((limit, tie))).toSeq
+          // planProjectedKernel verifies s1 aliases EXACTLY the filter's
+          // (rounded) cosine before fusing; the tie's null ordering rides
+          // into the kernel so null tiebreaks rank as the window would
+          planProjectedKernel(projList, l, r, cond,
+            Some((limit, tie, no2 == NullsFirst)), sortKey = Some(s1)).toSeq
         case _ => Nil
       }
     // SELECT of the same (rounded) cosine above the join: emit the score
@@ -250,7 +249,7 @@ case class CosineJoinExec(left: SparkPlan, right: SparkPlan,
                           residual: Seq[Expression],
                           scoreAttr: Option[Attribute] = None,
                           prunedOutput: Option[Seq[Attribute]] = None,
-                          topK: Option[(Int, Expression)] = None)
+                          topK: Option[(Int, Expression, Boolean)] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -270,8 +269,9 @@ case class CosineJoinExec(left: SparkPlan, right: SparkPlan,
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     val boundRight = BindReferences.bindReference(rightVec, right.output)
     val boundLeft = BindReferences.bindReference(leftVec, left.output)
-    val boundTie = topK.map { case (_, t) => BindReferences.bindReference(t, right.output) }
+    val boundTie = topK.map { case (_, t, _) => BindReferences.bindReference(t, right.output) }
     val kLimit = topK.map(_._1).getOrElse(0)
+    val tieNullsFirst = topK.exists(_._3)
     val residualCond = residual.reduceOption(And)
     val thr = threshold
     val doRound = rounded
@@ -285,13 +285,17 @@ case class CosineJoinExec(left: SparkPlan, right: SparkPlan,
       val bRows = broadcastRows.value
       val rSide = new Array[(InternalRow, Array[Double], Double)](bRows.length)
       val tieVals = if (boundTie.isDefined) new Array[Long](bRows.length) else null
+      val tieNulls = if (boundTie.isDefined) new Array[Boolean](bRows.length) else null
       var nR = 0
       var j = 0
       while (j < bRows.length) {
         val v = toVec(boundRight.eval(bRows(j)))
         if (v != null) {
-          if (tieVals != null)
-            tieVals(nR) = boundTie.get.eval(bRows(j)).asInstanceOf[Long]
+          if (tieVals != null) {
+            val tv = boundTie.get.eval(bRows(j))
+            if (tv == null) tieNulls(nR) = true
+            else tieVals(nR) = tv.asInstanceOf[Long]
+          }
           rSide(nR) = (bRows(j), v, math.sqrt({
             var acc = 0.0; var i = 0
             while (i < v.length) { acc += v(i) * v(i); i += 1 }
@@ -349,13 +353,22 @@ case class CosineJoinExec(left: SparkPlan, right: SparkPlan,
 
           if (kLimit > 0) {
             // fused top-k: a k-slot insert-sorted buffer ordered by
-            // (cos DESC, tie ASC) — O(n·m) arithmetic but only k emitted
-            // rows per left row, vs O(n·m) row copies through the
-            // physical WindowGroupLimit's pre-limit sort
+            // (cos DESC, tie ASC with the window's null ordering) —
+            // O(n·m) arithmetic but only k emitted rows per left row, vs
+            // O(n·m) row copies through the physical WindowGroupLimit's
+            // pre-limit sort
             val tc = new Array[Double](kLimit)
             val tt = new Array[Long](kLimit)
+            val tn = new Array[Boolean](kLimit)
             val ti = new Array[Int](kLimit)
             var size = 0
+            // does tie (aN, a) sort strictly before (bN, b) under
+            // ASC + the captured null ordering?
+            def tieBefore(aN: Boolean, a: Long, bN: Boolean, b: Long): Boolean =
+              if (aN && bN) false
+              else if (aN) tieNullsFirst
+              else if (bN) !tieNullsFirst
+              else a < b
             var k = 0
             while (k < nR) {
               inner(lcopy, rSide(k)._1)
@@ -363,16 +376,17 @@ case class CosineJoinExec(left: SparkPlan, right: SparkPlan,
                 val cos = cosOf(k)
                 if (cos >= thr) {
                   val tie = tieVals(k)
-                  val worse = size == kLimit &&
-                    (cos < tc(size - 1) || (cos == tc(size - 1) && tie > tt(size - 1)))
-                  if (!worse) {
+                  val tieN = tieNulls(k)
+                  def beats(i: Int): Boolean =
+                    cos > tc(i) || (cos == tc(i) && tieBefore(tieN, tie, tn(i), tt(i)))
+                  if (size < kLimit || beats(size - 1)) {
                     var pos = math.min(size, kLimit - 1)
-                    while (pos > 0 && (tc(pos - 1) < cos ||
-                        (tc(pos - 1) == cos && tt(pos - 1) > tie))) {
-                      tc(pos) = tc(pos - 1); tt(pos) = tt(pos - 1); ti(pos) = ti(pos - 1)
+                    while (pos > 0 && beats(pos - 1)) {
+                      tc(pos) = tc(pos - 1); tt(pos) = tt(pos - 1)
+                      tn(pos) = tn(pos - 1); ti(pos) = ti(pos - 1)
                       pos -= 1
                     }
-                    tc(pos) = cos; tt(pos) = tie; ti(pos) = k
+                    tc(pos) = cos; tt(pos) = tie; tn(pos) = tieN; ti(pos) = k
                     if (size < kLimit) size += 1
                   }
                 }

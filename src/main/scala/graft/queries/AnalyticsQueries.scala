@@ -643,23 +643,27 @@ object AnalyticsQueries extends QueryGroup {
     // Inequality of order values per status via the exact rank formula
     // G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), x ascending. The rank comes
     // from row_number over (cents, orderkey); permutations within a
-    // cents tie can't change Σi·xᵢ (equal xᵢ), so the BIGINT sums are
-    // deterministic. Σi·xᵢ ≈ 2.5e16 at sf0.1 — inside int64 but past
-    // 2^53, so numerator and denominator are each computed exactly in
-    // BIGINT and cast to double ONCE (identical nearest rounding) before
-    // the single division + r3. One per-group window sort + one k-group
-    // aggregate — the same shuffle family as the percentile queries.
+    // cents tie can't change Σi·xᵢ (equal xᵢ), so the sums are
+    // deterministic. Σi·xᵢ grows as n²·x̄ — past int64 around sf1 — so
+    // it accumulates in DECIMAL(38) ↔ HUGEINT (no magnitude ceiling at
+    // any deployment size, like the correlation moment sums), and
+    // numerator/denominator are each computed exactly in decimal and
+    // cast to double ONCE (identical nearest rounding) before the single
+    // division + r3. One per-group window sort + one k-group aggregate —
+    // the same shuffle family as the percentile queries.
     "q_gini" -> ((s, d) => {
       val w = Window.partitionBy("o_orderstatus").orderBy(col("cents"), col("o_orderkey"))
+      val dec = "decimal(38,0)"
       Tables.orders(s, d)
         .select(col("o_orderstatus"), col("o_orderkey"),
           round(col("o_totalprice") * 100).cast("long").as("cents"))
         .withColumn("i", row_number().over(w).cast("long"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("s0"),
-          sum(col("i") * col("cents")).as("s1"))
-        .withColumn("gini", r3((col("s1") * 2 - (col("n") + 1) * col("s0")).cast("double")
-          / (col("n") * col("s0")).cast("double")))
+          sum((col("i") * col("cents")).cast(dec)).as("s1"))
+        .withColumn("gini", r3(
+          (col("s1") * 2 - (col("n") + 1).cast(dec) * col("s0").cast(dec)).cast("double")
+            / (col("n").cast(dec) * col("s0").cast(dec)).cast("double")))
         .select(col("o_orderstatus"), col("n"), col("s0").as("sum_cents"), col("gini"))
         .orderBy("o_orderstatus")
     }),
@@ -688,9 +692,10 @@ object AnalyticsQueries extends QueryGroup {
         "r AS (SELECT o_orderstatus, cents, CAST(row_number() OVER (PARTITION BY o_orderstatus " +
         "ORDER BY cents, o_orderkey) AS BIGINT) AS i FROM o), " +
         "g AS (SELECT o_orderstatus, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s0, " +
-        "CAST(sum(i * cents) AS BIGINT) AS s1 FROM r GROUP BY 1) " +
+        "sum(CAST(i AS HUGEINT) * cents) AS s1 FROM r GROUP BY 1) " +
         "SELECT o_orderstatus, n, s0 AS sum_cents, " +
-        "floor((CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS gini " +
+        "floor((CAST(2 * s1 - CAST(n + 1 AS HUGEINT) * s0 AS DOUBLE) / " +
+        "CAST(CAST(n AS HUGEINT) * s0 AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS gini " +
         "FROM g ORDER BY o_orderstatus"),
     "q_anomaly_mean" ->
       ("WITH c AS (SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +

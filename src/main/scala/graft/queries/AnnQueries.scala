@@ -113,10 +113,13 @@ object AnnQueries extends QueryGroup {
     // census + both join sides) would otherwise each re-run the 32
     // interpreted HOF hyperplane dots per vector — the same
     // CollapseProject re-inlining trap as the shingle index (§7.3.11).
-    // At scale this artifact is the LSH index a pipeline persists.
+    // LAZY checkpoint (not eager): plan-only consumers — PlanSweepSpec,
+    // explain — stay free; the first real action materializes and every
+    // later job reads the cached blocks. At scale this artifact is the
+    // LSH index a pipeline persists.
     val banded = e.select(col("vec_id"), col("v"),
       explode(array((0 until nTables).map(bkey): _*)).as("bkey"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     // the bucket census is ≤ nTables·2^bits rows — broadcast it so the
     // size-cap prune is map-side on both join branches instead of two
     // extra shuffles of vector-carrying rows

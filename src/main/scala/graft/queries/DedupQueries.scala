@@ -501,11 +501,13 @@ object DedupQueries extends QueryGroup {
     // doc_id and vec_id share a key space), with per-method flags and
     // the agreement count. Pairs flagged by one method only are the
     // threshold-tuning frontier; 3/3 pairs are safe deletes. Each input
-    // is the already-graded query (the shingle/pair artifacts memoize),
-    // so this is a union of three SMALL pair sets + one k-ish aggregate
-    // — report-scale, not corpus-scale.
+    // is the already-graded query, and the Jaccard pairs come from the
+    // MEMOIZED nearDupPairs artifact (exactly q_dedup_ngram's (d1, d2))
+    // instead of re-running the inverted-index self-join — a union of
+    // three SMALL pair sets + one k-ish aggregate; report-scale, not
+    // corpus-scale.
     "q_dedup_consensus" -> ((s, d) => {
-      val ng = queries("q_dedup_ngram")(s, d)
+      val ng = nearDupPairs(s, d)
         .select(col("d1"), col("d2")).withColumn("m", lit("ngram"))
       val ed = queries("q_dedup_edit")(s, d)
         .select(col("d1"), col("d2")).withColumn("m", lit("edit"))

@@ -200,11 +200,16 @@ class AnalyticsSpec extends SparkSpec {
       val (n, med, mad, out) = (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
       assert(out <= n / 2, s"MAD outliers cannot be a majority: $r")
       assert(med > 0 && mad >= 0, s"degenerate median/MAD: $r")
-      // recompute one group's count independently
+      // recompute one group's count independently — in INTEGERS, exactly
+      // like the query (med_usd = med2/200, mad_usd = mad4/400 recover
+      // the doubled medians exactly; a float |x−med| > 3·MAD recompute
+      // could flip on rows landing exactly on the boundary)
+      val med2 = math.round(med * 200)
+      val mad4 = math.round(mad * 400)
       val cents = Tables.orders(spark, sf0001)
         .filter(col("o_orderstatus") === r.getString(0))
         .select(round(col("o_totalprice") * 100).cast("long")).collect().map(_.getLong(0))
-      val recomputed = cents.count(c => math.abs(c - med * 100) > 3 * mad * 100)
+      val recomputed = cents.count(c => 2 * math.abs(2 * c - med2) > 3 * mad4)
       assert(recomputed == out, s"${r.getString(0)}: recomputed $recomputed != $out")
     }
   }

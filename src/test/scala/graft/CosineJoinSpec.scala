@@ -138,6 +138,80 @@ class CosineJoinSpec extends SparkSpec {
     } finally graft.plans.CosineJoinStrategy.enable(spark)
   }
 
+  test("fusion declines when the window orders by a different cosine than the filter") {
+    // filter on the ROUNDED cosine but window ordered by the UNROUNDED
+    // one: pruning inside the kernel by the rounded score could evict a
+    // row the raw-score window ranks in the top-k, so the strategy must
+    // NOT fuse — the physical WindowGroupLimit does the trim instead
+    import spark.implicits._
+    graft.plans.CosineJoinStrategy.enable(spark)
+    graft.functions.ArrayCosineSimilarity.register(spark)
+    val a = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("gid", "v1")
+    val b = (1 to 8).map(i => (i.toLong + 100, Seq(math.cos(i * 0.4), math.sin(i * 0.4))))
+      .toDF("id2", "v2")
+    def r3(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000.0) + lit(0.5)) / lit(1000.0)
+    def q = {
+      val pairs = a.crossJoin(b)
+        .filter(r3(expr("graft_cosine(v1, v2)")) >= lit(-1.0))
+        .select(col("gid"), col("id2"), expr("graft_cosine(v1, v2)").as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("gid").orderBy(col("cos").desc, col("id2"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("gid", "id2", "cos")
+    }
+    def findExec(p: org.apache.spark.sql.execution.SparkPlan): Option[graft.plans.CosineJoinExec] =
+      p.collectFirst { case c: graft.plans.CosineJoinExec => c }.orElse(
+        p.collectFirst {
+          case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => ad
+        }.flatMap(ad => findExec(ad.executedPlan)))
+    val exec = findExec(q.queryExecution.executedPlan)
+    assert(exec.forall(_.topK.isEmpty),
+      s"top-k fused over a MISMATCHED sort score: ${exec.map(_.topK)}")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+    val planned = rows(q)
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies.filterNot(_ == graft.plans.CosineJoinStrategy)
+    try assert(planned == rows(q))
+    finally graft.plans.CosineJoinStrategy.enable(spark)
+  }
+
+  test("fused top-k ranks NULL tiebreaks like the window's NULLS FIRST") {
+    // negative ids make the bug visible: a null tie coerced to 0 would
+    // sort AFTER -5/-3, while ASC NULLS FIRST ranks the null row first
+    import spark.implicits._
+    graft.plans.CosineJoinStrategy.enable(spark)
+    graft.functions.ArrayCosineSimilarity.register(spark)
+    val a = Seq((1L, Seq(1.0, 0.0))).toDF("gid", "v1")
+    val b = Seq((Option(-5L), Seq(1.0, 0.0)), (Option(-3L), Seq(1.0, 0.0)),
+      (Option.empty[Long], Seq(1.0, 0.0)), (Option(7L), Seq(0.5, 0.5)))
+      .toDF("id2", "v2")
+    def r3(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000.0) + lit(0.5)) / lit(1000.0)
+    def q = {
+      val pairs = a.crossJoin(b)
+        .filter(r3(expr("graft_cosine(v1, v2)")) >= lit(-1.0))
+        .select(col("gid"), col("id2"), r3(expr("graft_cosine(v1, v2)")).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("gid").orderBy(col("cos").desc, col("id2"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .select("gid", "id2")
+    }
+    assert(q.queryExecution.executedPlan.toString.contains("CosineJoin"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .sortBy(_._2.getOrElse(Long.MinValue)).toSeq
+    val fused = rows(q)
+    assert(fused.map(_._2) == Seq(None, Some(-5L)),
+      s"NULLS FIRST tie not honored in fused top-k: $fused")
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies.filterNot(_ == graft.plans.CosineJoinStrategy)
+    try assert(fused == rows(q))
+    finally graft.plans.CosineJoinStrategy.enable(spark)
+  }
+
   test("residual conjuncts are applied (id1 < id2 halves the pair set)") {
     graft.plans.CosineJoinStrategy.enable(spark)
     val a = vecs.select(col("vec_id").as("id1"), col("v").as("v1"))

@@ -41,6 +41,12 @@ class SqlSurfaceSpec extends SparkSpec {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '/tmp/graft_sql_ddl.db'")
     try {
       spark.sql(s"DROP TABLE IF EXISTS $db.kv")
+      // a crashed PREVIOUS run can leave managed files the fresh
+      // in-memory catalog has no entry to drop (same guard as
+      // q_catalog_table) — clear the orphaned location first
+      val loc = new org.apache.hadoop.fs.Path("/tmp/graft_sql_ddl.db/kv")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       spark.sql(s"CREATE TABLE $db.kv (k BIGINT, v STRING) USING parquet")
       spark.sql(s"INSERT INTO $db.kv VALUES (1, 'a'), (2, 'b'), (3, 'a')")
       spark.sql(s"CREATE OR REPLACE VIEW $db.kv_counts AS " +
