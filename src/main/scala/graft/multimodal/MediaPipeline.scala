@@ -7,7 +7,11 @@ import java.security.MessageDigest
 /** SURVEY §2.12 — multimodal-column decode plumbing: media travel as
   * opaque BINARY columns + typed metadata; decode/feature-extract runs as
   * a partition-local batch stage (`mapPartitions` over a typed Dataset —
-  * the JVM analog of arrow-batched Python UDFs).
+  * the JVM analog of arrow-batched `mapInPandas`: this environment has
+  * no Python runtime for library code, so the Scala typed-batch form
+  * carries the same contract — declared output schema, batch-at-a-time
+  * iteration, per-batch/partition init — and a pandas-UDF deployment
+  * swaps in at exactly the decode seam without touching the plumbing).
   *
   * The decode step itself is a clearly-marked deterministic STUB (this
   * environment ships no image/audio codecs); everything around it — the

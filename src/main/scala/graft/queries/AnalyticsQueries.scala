@@ -586,6 +586,60 @@ object AnalyticsQueries extends QueryGroup {
         .select(date_format(col("w"), "yyyy-MM-dd").as("window_end"), col("wau"))
         .orderBy("window_end")),
 
+    // ---- weekly churn (ORACLE) -------------------------------------------
+    // Users active in week w with NO activity in week w+1 — the retention
+    // complement to q_cohort_retention's "who came back" view. Presence
+    // is (user, week) DISTINCT (the 100 TB event stream collapses before
+    // any join), next-week presence is a self left-join on the shifted
+    // key, and the final week is excluded (its churn is unknowable). The
+    // one-row max-week scalar broadcasts.
+    "q_churn" -> ((s, d) => {
+      val wk = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7).cast("long").as("week"))
+        .distinct()
+      val maxw = wk.agg(max("week").as("mw"))
+      val nxt = wk.select(col("user_id"), (col("week") - 1).as("week"), lit(1L).as("has_next"))
+      wk.join(nxt, Seq("user_id", "week"), "left")
+        .crossJoin(broadcast(maxw))
+        .filter(col("week") < col("mw"))
+        .groupBy("week")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("has_next").isNull, 1L).otherwise(0L)).as("n_churned"),
+          r2(sum(when(col("has_next").isNull, 1L).otherwise(0L)).cast("double") * lit(100.0)
+            / count(lit(1)).cast("double")).as("churn_pct"))
+        .orderBy("week")
+    }),
+
+    // ---- lag-1 autocorrelation of daily revenue (ORACLE) -----------------
+    // Time-series health: does today's revenue predict tomorrow's? The
+    // daily series is the corpus-scale aggregate (exact integer cents);
+    // the lag pairing and Pearson moments then run over ~hundreds of
+    // rows, so the unpartitioned day-order window is k-scale by
+    // construction, not a corpus sort. Moments multiply and accumulate in
+    // DECIMAL(38) ↔ HUGEINT (cents² ~ 1e24); one double chain + r3.
+    "q_autocorr" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.orderBy("day")
+      val pairs = daily.withColumn("prev", lag(col("cents"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      pairs.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("prev").cast(dec)).cast("double").as("sx"),
+        sum(col("cents").cast(dec)).cast("double").as("sy"),
+        sum(col("prev").cast(dec) * col("cents").cast(dec)).cast("double").as("sxy"),
+        sum(col("prev").cast(dec) * col("prev").cast(dec)).cast("double").as("sxx"),
+        sum(col("cents").cast(dec) * col("cents").cast(dec)).cast("double").as("syy"))
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
+        .select(col("n").cast("long").as("n_pairs"),
+          r3(col("num") / (sqrt(col("dx")) * sqrt(col("dy")))).as("autocorr_lag1"))
+    }),
+
     // ---- bitmap-rollup exact distinct (ORACLE) ---------------------------
     // Exact daily distinct users per event type via 64-bit bitmap words —
     // the roaring-style rollup: (key, word-index) partials carry one bit
@@ -670,6 +724,28 @@ object AnalyticsQueries extends QueryGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_churn" ->
+      ("WITH wk AS (SELECT DISTINCT user_id, " +
+        "CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week FROM events), " +
+        "mw AS (SELECT max(week) AS mw FROM wk), " +
+        "j AS (SELECT w.user_id, w.week, CASE WHEN n.user_id IS NULL THEN 1 ELSE 0 END AS churned " +
+        "FROM wk w LEFT JOIN wk n ON n.user_id = w.user_id AND n.week = w.week + 1, mw WHERE w.week < mw.mw) " +
+        "SELECT week, count(*) AS n_active, CAST(sum(churned) AS BIGINT) AS n_churned, " +
+        "floor((CAST(sum(churned) AS DOUBLE) * 100.0 / CAST(count(*) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS churn_pct " +
+        "FROM j GROUP BY week ORDER BY week"),
+    "q_autocorr" ->
+      ("WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents FROM events GROUP BY 1), " +
+        "p AS (SELECT cents, lag(cents) OVER (ORDER BY day) AS prev FROM daily), " +
+        "q AS (SELECT prev, cents FROM p WHERE prev IS NOT NULL), " +
+        "m AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(CAST(prev AS HUGEINT)) AS DOUBLE) AS sx, CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(prev AS HUGEINT) * CAST(cents AS HUGEINT)) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(prev AS HUGEINT) * CAST(prev AS HUGEINT)) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS DOUBLE) AS syy FROM q) " +
+        "SELECT CAST(n AS BIGINT) AS n_pairs, " +
+        "floor((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 1000.0 + 0.5) / 1000.0 AS autocorr_lag1 " +
+        "FROM m"),
     "q_bitmap_distinct" ->
       ("WITH w AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id // 32 AS w, " +
         "bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS bm " +

@@ -286,6 +286,40 @@ object TextAnalysisQueries extends QueryGroup {
         .orderBy(col("surprisal").desc, col("doc_id"))
         .limit(15)
     }),
+
+    // ---- Zipf-slope corpus health fit (ORACLE) ---------------------------
+    // Natural text follows freq ∝ rank^s with s ≈ −1; a corpus whose
+    // fitted log-log slope drifts far from −1 is template/synthetic/spam
+    // — the corpus-health check next to entropy and repetition. OLS of
+    // ln(freq) on ln(rank) over the top-200 tokens: both coordinates are
+    // lns OF INTEGERS snapped to the nano grid (identical bits, §7.3);
+    // the cross-moments reach ~1e19–1e20 so they multiply AND accumulate
+    // in DECIMAL(38) ↔ HUGEINT; one double division + r3 at the end.
+    // Scale: the token count is the corpus-scale stage (one hash agg);
+    // the global rank window carries a rank<=200 filter, so Spark's
+    // window-group-limit bounds the single-reducer input to 200 rows per
+    // map partition — not a global sort of the vocabulary.
+    "q_tok_zipf" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val tf = Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("term"))
+      val ranked = tf.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 200)
+        .withColumn("x", floor(log(col("rank").cast("double")) * lit(1e9) + lit(0.5)).cast("long"))
+        .withColumn("y", floor(log(col("freq").cast("double")) * lit(1e9) + lit(0.5)).cast("long"))
+      ranked.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).cast("double").as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).cast("double").as("sxx"))
+        .withColumn("zipf_slope", r3((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx"))))
+        .select(col("n").cast("long").as("n_tokens"), col("zipf_slope"))
+    }),
   )
 
   private val oracleToks =
@@ -294,6 +328,18 @@ object TextAnalysisQueries extends QueryGroup {
     "CAST(len(list_filter(t, x -> x IN (" + words.map("'" + _ + "'").mkString(", ") + "))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_tok_zipf" ->
+      ("WITH t AS (SELECT unnest(" + oracleToks + ") AS term FROM documents), " +
+        "tf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY 1), " +
+        "r AS (SELECT term, freq, CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank FROM tf), " +
+        "g AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS x, " +
+        "CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS y FROM r WHERE rank <= 200), " +
+        "m AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx, CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx FROM g) " +
+        "SELECT CAST(n AS BIGINT) AS n_tokens, " +
+        "floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000.0 + 0.5) / 1000.0 AS zipf_slope FROM m"),
     "q_surprisal" ->
       ("WITH t AS (SELECT doc_id, unnest(" + oracleToks + ") AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), " +

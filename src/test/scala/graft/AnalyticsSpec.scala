@@ -226,6 +226,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(2 * s1 - (n + 1) * n * x == 0L)
   }
 
+  test("q_churn: churned counts bounded by active, weeks complete up to max-1") {
+    val rows = q("q_churn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (wk, act, ch, pct) =>
+      assert(ch <= act, s"week $wk: churned $ch > active $act")
+      assert(pct >= 0.0 && pct <= 100.0, s"week $wk pct $pct")
+    }
+    // the final (unknowable) week must be excluded
+    val allWeeks = Tables.events(spark, sf0001)
+      .select(floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7).cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    assert(rows.map(_._1).max == allWeeks.max - 1,
+      "last reported churn week should be max_week - 1")
+  }
+
+  test("q_autocorr and q_tok_zipf land in their analytic ranges") {
+    val ac = q("q_autocorr").collect()(0)
+    assert(ac.getLong(0) > 0)
+    assert(math.abs(ac.getDouble(1)) <= 1.0 + 1e-9, s"autocorr out of [-1,1]: $ac")
+    val z = graft.queries.TextAnalysisQueries.queries("q_tok_zipf")(spark, sf0001).collect()(0)
+    // sf0.001's synthetic vocab is tiny (31 tokens) — the fit uses
+    // min(vocab, 200) points; at sf0.01+ it saturates at 200
+    assert(z.getLong(0) >= 10 && z.getLong(0) <= 200,
+      s"unexpected ranked-token count: $z")
+    assert(z.getDouble(1) < 0.0, s"zipf slope must be negative for any real corpus: $z")
+  }
+
   test("q_zorder: clusters are local — each spans at most 8 values per dimension") {
     // z_cluster = z >> 6 fixes the top 3 interleaved bits of each dim, so
     // within a cluster both dimensions vary by < 2^3

@@ -30,6 +30,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_kmeans_update",     // same broadcast centroids as the assign step
     "q_ann_ivf",           // k-row coarse-quantizer codebook
     "q_surprisal",         // one-row corpus-token-total scalar vs the vocab
+    "q_churn",             // one-row max-week scalar vs the presence table
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
