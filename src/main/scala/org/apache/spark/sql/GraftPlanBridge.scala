@@ -32,4 +32,20 @@ object GraftPlanBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Apply an extensions installer to a fresh SparkSessionExtensions and
+    * return what it would contribute to a new session — the builder
+    * methods are private[sql], so the config-path test
+    * (`spark.sql.extensions=graft.GraftExtensions`) crosses the
+    * visibility boundary here instead of tearing down the shared test
+    * session to build a configured one. */
+  def builtExtensions(spark: SparkSession, installer: SparkSessionExtensions => Unit)
+  : (Seq[execution.SparkStrategy],
+     Seq[org.apache.spark.sql.catalyst.rules.Rule[
+       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]) = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val ext = new SparkSessionExtensions
+    installer(ext)
+    (ext.buildPlannerStrategies(cs), ext.buildOptimizerRules(cs))
+  }
 }
