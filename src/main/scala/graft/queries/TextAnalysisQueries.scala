@@ -287,6 +287,35 @@ object TextAnalysisQueries extends QueryGroup {
         .limit(15)
     }),
 
+    // ---- quality-filter funnel (ORACLE) ----------------------------------
+    // The attrition report every curation pipeline publishes: how many
+    // documents each quality gate drops, applied IN SEQUENCE (length →
+    // stopword ratio → lexical diversity), so stage N's input is stage
+    // N−1's survivors. All gates are cross-multiplied integer tests
+    // (never a float ratio, §7.3); the whole funnel is ONE pass over the
+    // corpus producing conditional counts — three rows out regardless of
+    // scale. q_quality_score gives the distributions; this gives the
+    // pipeline view of the same signals.
+    "q_filter_funnel" -> ((s, d) => {
+      val t = toks(col("text"))
+      val m = Tables.documents(s, d).select(
+        size(t).cast("long").as("n_tok"),
+        size(filter(t, x => x.isin(enStops.map(lit): _*))).cast("long").as("n_stop"),
+        size(array_distinct(t)).cast("long").as("n_uniq"))
+      m.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("n_tok") >= 10, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("n_tok") >= 10 && col("n_stop") * 20 >= col("n_tok"), 1L)
+          .otherwise(0L)).as("n2"),
+        sum(when(col("n_tok") >= 10 && col("n_stop") * 20 >= col("n_tok")
+          && col("n_uniq") * 2 >= col("n_tok"), 1L).otherwise(0L)).as("n3"))
+        .selectExpr("stack(3, '1_length', n0, n1, '2_stopword', n1, n2, " +
+          "'3_diversity', n2, n3) as (stage, n_in, n_out)")
+        .select(col("stage"), col("n_in"), (col("n_in") - col("n_out")).as("n_dropped"),
+          col("n_out"))
+        .orderBy("stage")
+    }),
+
     // ---- Zipf-slope corpus health fit (ORACLE) ---------------------------
     // Natural text follows freq ∝ rank^s with s ≈ −1; a corpus whose
     // fitted log-log slope drifts far from −1 is template/synthetic/spam
@@ -328,6 +357,18 @@ object TextAnalysisQueries extends QueryGroup {
     "CAST(len(list_filter(t, x -> x IN (" + words.map("'" + _ + "'").mkString(", ") + "))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_filter_funnel" ->
+      ("WITH t AS (SELECT " + oracleToks + " AS t FROM documents), " +
+        "m AS (SELECT CAST(len(t) AS BIGINT) AS n_tok, " + oracleHits(enStops) + " AS n_stop, " +
+        "CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq FROM t), " +
+        "g AS (SELECT count(*) AS n0, " +
+        "CAST(sum(CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN n_tok >= 10 AND n_stop * 20 >= n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+        "CAST(sum(CASE WHEN n_tok >= 10 AND n_stop * 20 >= n_tok AND n_uniq * 2 >= n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n3 FROM m), " +
+        "u AS (SELECT '1_length' AS stage, n0 AS n_in, n1 AS n_out FROM g " +
+        "UNION ALL SELECT '2_stopword', n1, n2 FROM g " +
+        "UNION ALL SELECT '3_diversity', n2, n3 FROM g) " +
+        "SELECT stage, n_in, n_in - n_out AS n_dropped, n_out FROM u ORDER BY stage"),
     "q_tok_zipf" ->
       ("WITH t AS (SELECT unnest(" + oracleToks + ") AS term FROM documents), " +
         "tf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY 1), " +

@@ -260,6 +260,23 @@ class InvariantSpec extends SparkSpec {
     assert(grid.map(_._2).sum == o.getLong(1), "cents mass not conserved")
   }
 
+  test("filter funnel: stages chain (each n_in is the previous n_out) and only shrink") {
+    val stages = graft.queries.TextAnalysisQueries.queries("q_filter_funnel")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(stages.length == 3)
+    assert(stages.head._2 == Tables.documents(spark, sf0001).count(),
+      "stage 1 input must be the whole corpus")
+    stages.foreach { case (st, in, dropped, out) =>
+      assert(in - dropped == out, s"$st: attrition bookkeeping broken")
+      assert(out <= in, s"$st grew")
+    }
+    stages.sliding(2).foreach { case Array((s1, _, _, out1), (s2, in2, _, _)) =>
+      assert(out1 == in2, s"$s1 -> $s2: funnel not chained")
+    }
+    assert(stages.last._4 > 0, "every doc filtered out — gates degenerate")
+  }
+
   test("vector norm audit: bounds ordered, zero vectors counted exactly") {
     val rows = graft.queries.VectorQueries.queries("q_vector_norms")(spark, sf0001)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
