@@ -31,30 +31,24 @@ object AnnQueries extends QueryGroup {
 
   private val NBITS = 16
   private val NPART = 16
-  private val DIM = 64
-
-  /** Deterministic integer hyperplanes (LCG sequence, values in
-    * [-2^15, 2^15)) — exactly representable as doubles, identical
-    * everywhere, no RNG dependency. */
-  private def hp(j: Int): Array[Double] =
-    Array.tabulate(DIM) { i =>
-      val x = (1103515245L * (j * DIM + i + 1) + 12345L) & 0x7FFFFFFFL
-      ((x % 65536L) - 32768L).toDouble
-    }
 
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(v: Column, w: Array[Double]): Column =
-    aggregate(zip_with(v, array(w.map(lit): _*), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sign-LSH signature over hyperplanes [firstPlane, firstPlane+nBits)
+    * via the codegen'd [[graft.functions.LshSignature]] kernel — one
+    * fused loop per vector instead of an interpreted HOF fold per bit
+    * (the planes come from the shared [[graft.functions.Hyperplanes]]
+    * definition, so the bits are provably the same). */
+  private def lshSig(v: Column, firstPlane: Int, nBits: Int): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.LshSignature(
+        org.apache.spark.sql.GraftPlanBridge.expression(v), firstPlane, nBits))
 
   val queries: Map[String, QFn] = Map(
     // ---- sign-LSH bucketing --------------------------------------------
     "q_ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d).withColumn("v", vecD(col("embedding")))
-      val sig = (0 until NBITS)
-        .map(j => when(dot(col("v"), hp(j)) >= 0.0, 1L << j).otherwise(0L))
-        .reduce(_ + _)
-      e.withColumn("bucket", sig)
+      e.withColumn("bucket", lshSig(col("v"), 0, NBITS))
         .groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
         .groupBy("bucket_size").agg(count(lit(1)).as("n_buckets"))
         .orderBy("bucket_size")
@@ -106,13 +100,11 @@ object AnnQueries extends QueryGroup {
     val nTables = 4
     val bitsPerTable = 8
     def bkey(tbl: Int): Column =
-      (0 until bitsPerTable)
-        .map(b => when(dot(col("v"), hp(tbl * bitsPerTable + b)) >= 0.0, 1L << b).otherwise(0L))
-        .reduce(_ + _) + lit(tbl.toLong * 65536L)
+      lshSig(col("v"), tbl * bitsPerTable, bitsPerTable) + lit(tbl.toLong * 65536L)
     // MATERIALIZE the banded signatures once: three consumers (bucket
-    // census + both join sides) would otherwise each re-run the 32
-    // interpreted HOF hyperplane dots per vector — the same
-    // CollapseProject re-inlining trap as the shingle index (§7.3.11).
+    // census + both join sides) would otherwise each re-run the codegen'd
+    // signature kernel over every vector — the same CollapseProject
+    // re-inlining trap as the shingle index (§7.3.11).
     // LAZY checkpoint (not eager): plan-only consumers — PlanSweepSpec,
     // explain — stay free; the first real action materializes and every
     // later job reads the cached blocks. At scale this artifact is the

@@ -48,4 +48,59 @@ class NativeExpressionSpec extends SparkSpec {
       spark.sql("SELECT graft_cosine('abc', array(1.0d))").collect()
     }
   }
+
+  private def lshCol(v: org.apache.spark.sql.Column, first: Int, bits: Int) =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.LshSignature(
+        org.apache.spark.sql.GraftPlanBridge.expression(v), first, bits))
+
+  test("graft_lsh_sig equals the per-bit HOF fold on real embeddings") {
+    // the kernel replaced one aggregate(zip_with) fold PER BIT — every
+    // signature must be bit-identical to that declarative form
+    import graft.functions.Hyperplanes
+    def hofDot(v: org.apache.spark.sql.Column, w: Array[Double]) =
+      aggregate(zip_with(v, array(w.map(lit): _*), (x, y) => x * y),
+        lit(0.0), (a, x) => a + x)
+    val e = Tables.embeddings(spark, sf0001)
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+    val hofSig = (0 until 16)
+      .map(j => when(hofDot(col("v"), Hyperplanes.plane(j)) >= 0.0, 1L << j).otherwise(0L))
+      .reduce(_ + _)
+    val mismatches = e.select(lshCol(col("v"), 0, 16).as("native"), hofSig.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0, s"$mismatches signature mismatches vs the HOF form")
+  }
+
+  test("graft_lsh_sig codegen agrees with interpreted eval and is codegen-resident") {
+    // plain Cast (codegen-able) instead of the transform HOF: a HOF in
+    // the same projection would drag the whole Project out of
+    // whole-stage codegen and the test would exercise the wrong path
+    val e = Tables.embeddings(spark, sf0001)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val viaCodegen = e.select(col("vec_id"), lshCol(col("v"), 8, 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // interpreted path: evaluate the expression directly on driver rows
+    val expr0 = graft.functions.LshSignature(
+      org.apache.spark.sql.GraftPlanBridge.expression(col("v")), 8, 8)
+    val interpreted = e.select(col("vec_id"), col("v")).collect().map { r =>
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        r.getSeq[Double](1).toArray)
+      r.getLong(0) -> expr0.nullSafeEval(arr).asInstanceOf[Long]
+    }.toMap
+    assert(viaCodegen == interpreted, "codegen and interpreted signatures diverge")
+    val plan = e.select(lshCol(col("v"), 0, 16)).queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_lsh_sig"))
+    assert(line.exists(_.trim.startsWith("*")),
+      s"graft_lsh_sig not inside a codegen span:\n$plan")
+  }
+
+  test("graft_lsh_sig null vector yields null, signatures land in [0, 2^bits)") {
+    import spark.implicits._
+    val df = Seq((1L, Some(Seq(1.0, -2.0))), (2L, None))
+      .toDF("id", "v")
+    val rows = df.select(col("id"), lshCol(col("v"), 0, 8).as("s")).collect()
+    val byId = rows.map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byId(2L).isEmpty, "null vector must produce a null signature")
+    assert(byId(1L).exists(s => s >= 0L && s < 256L), s"signature out of range: $byId")
+  }
 }
