@@ -1,0 +1,33 @@
+package graft
+
+/** Cross-partitioning determinism pin for the float-sensitive queries:
+  * changing spark.sql.shuffle.partitions changes how partial aggregates
+  * merge, which is exactly where an order-dependent float sum leaks a
+  * last-ulp divergence (the failure class SURVEY §7.3's nano-grid /
+  * cents / DECIMAL(38) discipline exists to prevent). Every query here
+  * must return IDENTICAL rows — bitwise, not approximately — under a
+  * different partition count, or its oracle hash-match is a coincidence
+  * of one partitioning. */
+class RepartitionDeterminismSpec extends SparkSpec {
+
+  // the queries whose outputs pass through ln/sqrt/ratio arithmetic or
+  // big-integer moment sums — the ones a partial-merge reorder could bite
+  private val floatSensitive = Seq(
+    "q_entropy", "q_tfidf_top", "q_bm25_top", "q_pmi_cooccur",
+    "q_surprisal", "q_tok_zipf", "q_autocorr", "q_gini",
+    "q_vector_norms", "q_agg_stats", "q_corr_regr", "q_keywords")
+
+  test("float-sensitive queries return identical rows across shuffle-partition settings") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(name: String): Seq[org.apache.spark.sql.Row] =
+      SparkEntry.queries(name)(spark, sf0001).collect().toSeq
+    try {
+      val baseline = floatSensitive.map(n => n -> run(n)).toMap
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      floatSensitive.foreach { n =>
+        assert(run(n) == baseline(n),
+          s"$n output depends on the shuffle partitioning — order-dependent float path")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}
