@@ -342,6 +342,34 @@ object EventQueries extends QueryGroup {
         .orderBy("day")
     }),
 
+    // ---- session-level conversion by size bucket (ORACLE) ----------------
+    // Do longer sessions convert better? Sessionization and the funnel
+    // composed: per session — event count and whether it contains a
+    // purchase — then conversion rate per session-size bucket. The same
+    // single user-keyed window shuffle as q_session_30m (flag + running
+    // sum + per-session aggregate all ride it); the bucket rollup is
+    // k-group. Counts exact to one r2 division.
+    "q_session_conversion" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("new_s", when(col("prev_us").isNull
+          || (unix_micros(col("ts")) - col("prev_us")) > 30L * 60L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_ev"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      sess
+        .withColumn("size_bucket",
+          when(col("n_ev") <= 1, "1").when(col("n_ev") <= 4, "2-4")
+            .when(col("n_ev") <= 9, "5-9").otherwise("10+"))
+        .groupBy("size_bucket")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("conv")).as("n_converted"),
+          r2(sum(col("conv")).cast("double") * lit(100.0) / count(lit(1)).cast("double")).as("conv_pct"))
+        .orderBy("size_bucket")
+    }),
+
     // ---- first/last-touch revenue attribution (ORACLE) -------------------
     // The marketing-attribution split: each purchase's cents credited to
     // the weekday of its FIRST prior click and of its LAST prior click —
@@ -506,6 +534,22 @@ object EventQueries extends QueryGroup {
         "CAST(max(conc) AS BIGINT) AS peak_concurrent, " +
         "CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_segments " +
         "FROM sw GROUP BY 1 ORDER BY day"),
+    "q_session_conversion" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "f AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us, CASE WHEN lag(epoch_us(ts)) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR " +
+        "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "g AS (SELECT user_id, event_type, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f), " +
+        "sess AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_ev, " +
+        "CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv " +
+        "FROM g GROUP BY 1, 2), " +
+        "b AS (SELECT CASE WHEN n_ev <= 1 THEN '1' WHEN n_ev <= 4 THEN '2-4' " +
+        "WHEN n_ev <= 9 THEN '5-9' ELSE '10+' END AS size_bucket, conv FROM sess) " +
+        "SELECT size_bucket, count(*) AS n_sessions, CAST(sum(conv) AS BIGINT) AS n_converted, " +
+        "floor((CAST(sum(conv) AS DOUBLE) * 100.0 / CAST(count(*) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS conv_pct " +
+        "FROM b GROUP BY 1 ORDER BY size_bucket"),
     "q_first_last_touch" ->
       ("WITH p AS (SELECT user_id, event_id AS pid, CAST(ts AS TIMESTAMP) AS pts, " +
         "CAST(round(value * 100) AS BIGINT) AS cents FROM events WHERE event_type = 'purchase'), " +

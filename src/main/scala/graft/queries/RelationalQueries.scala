@@ -447,6 +447,29 @@ object RelationalQueries extends QueryGroup {
         s"FROM $db.orders_t GROUP BY o_orderstatus ORDER BY o_orderstatus")
     }),
 
+    // ---- join-key skew report (ORACLE) -----------------------------------
+    // The operational input to the salting decision (q_join_salted): per
+    // candidate join key — row count, exact distinct keys, and the
+    // hottest key's share of rows. Top share near 1/n_distinct means the
+    // shuffle balances; a fat top share says salt or broadcast. One
+    // groupBy per audited column (each shards on its own key) — the
+    // ANALYZE-style sweep a platform team schedules; k-row output.
+    "q_skew_report" -> ((s, d) => {
+      def keyStats(df: org.apache.spark.sql.DataFrame, name: String, k: String) =
+        df.groupBy(col(k).cast("string").as("kv"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_distinct"),
+            max(col("c")).as("maxc"))
+          .select(lit(name).as("key_col"), col("n_rows"), col("n_distinct"),
+            r3(col("maxc").cast("double") / col("n_rows").cast("double")).as("top_share"))
+      keyStats(Tables.orders(s, d), "orders.o_custkey", "o_custkey")
+        .unionAll(keyStats(Tables.orders(s, d), "orders.o_orderpriority", "o_orderpriority"))
+        .unionAll(keyStats(Tables.lineitem(s, d), "lineitem.l_returnflag", "l_returnflag"))
+        .unionAll(keyStats(Tables.customer(s, d), "customer.c_nationkey", "c_nationkey"))
+        .unionAll(keyStats(Tables.events(s, d), "events.user_id", "user_id"))
+        .orderBy("key_col")
+    }),
+
     // ---- §2.1 JDBC source/sink round-trip --------------------------------
     // The federation path: write a projection to a relational database
     // (embedded Derby — the same spark.read/write.jdbc surface talks to
@@ -778,6 +801,23 @@ object RelationalQueries extends QueryGroup {
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM orders JOIN dim ON o_orderpriority = prio WHERE tier = 'critical' " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_skew_report" ->
+      ("WITH c1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY o_custkey), " +
+        "c2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY o_orderpriority), " +
+        "c3 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY l_returnflag), " +
+        "c4 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM customer GROUP BY c_nationkey), " +
+        "c5 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id), " +
+        "u AS (SELECT 'orders.o_custkey' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_distinct, " +
+        "floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS top_share FROM c1 " +
+        "UNION ALL SELECT 'orders.o_orderpriority', CAST(sum(c) AS BIGINT), count(*), " +
+        "floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 1000.0 + 0.5) / 1000.0 FROM c2 " +
+        "UNION ALL SELECT 'lineitem.l_returnflag', CAST(sum(c) AS BIGINT), count(*), " +
+        "floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 1000.0 + 0.5) / 1000.0 FROM c3 " +
+        "UNION ALL SELECT 'customer.c_nationkey', CAST(sum(c) AS BIGINT), count(*), " +
+        "floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 1000.0 + 0.5) / 1000.0 FROM c4 " +
+        "UNION ALL SELECT 'events.user_id', CAST(sum(c) AS BIGINT), count(*), " +
+        "floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 1000.0 + 0.5) / 1000.0 FROM c5) " +
+        "SELECT key_col, n_rows, n_distinct, top_share FROM u ORDER BY key_col"),
     "q_source_jdbc" ->
       ("SELECT o_orderpriority, count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +

@@ -260,6 +260,35 @@ class InvariantSpec extends SparkSpec {
     assert(grid.map(_._2).sum == o.getLong(1), "cents mass not conserved")
   }
 
+  test("session conversion buckets partition exactly the sessions q_session_30m counts") {
+    val buckets = graft.queries.EventQueries.queries("q_session_conversion")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val totalSessions = graft.queries.WindowQueries.queries("q_session_30m")(spark, sf0001)
+      .collect().map(_.getLong(1)).sum
+    assert(buckets.map(_._2).sum == totalSessions,
+      s"bucketed sessions ${buckets.map(_._2).sum} != sessionizer's $totalSessions")
+    buckets.foreach { case (b, n, conv, pct) =>
+      assert(conv <= n, s"bucket $b: conversions exceed sessions")
+      assert(pct >= 0.0 && pct <= 100.0, s"bucket $b pct $pct")
+    }
+  }
+
+  test("skew report: shares in (0,1], distinct <= rows, known low-cardinality keys flagged") {
+    val rows = graft.queries.RelationalQueries.queries("q_skew_report")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.size == 5)
+    rows.foreach { case (k, (n, d, share)) =>
+      assert(d >= 1 && d <= n, s"$k: distinct $d vs rows $n")
+      assert(share > 0.0 && share <= 1.0, s"$k: share $share")
+      assert(share >= 1.0 / d - 1e-9, s"$k: top share below uniform floor")
+    }
+    // the 3-value returnflag and 5-value priority are the salting
+    // candidates this report exists to expose
+    assert(rows("lineitem.l_returnflag")._2 <= 5)
+    assert(rows("lineitem.l_returnflag")._3 >= 0.2)
+    assert(rows("orders.o_custkey")._3 <= 0.05, "high-card key should have a thin top share")
+  }
+
   test("filter funnel: stages chain (each n_in is the previous n_out) and only shrink") {
     val stages = graft.queries.TextAnalysisQueries.queries("q_filter_funnel")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
