@@ -721,6 +721,101 @@ object AnalyticsQueries extends QueryGroup {
         .select(col("o_orderstatus"), col("n"), col("s0").as("sum_cents"), col("gini"))
         .orderBy("o_orderstatus")
     }),
+
+    // ---- Pareto revenue concentration (ORACLE) ---------------------------
+    // "How many customers cover 80% of revenue?" — the curation sibling of
+    // q_gini. The global prefix sum over customers ordered by (cents desc,
+    // custkey) is computed WITHOUT a single-partition window: customers are
+    // bucketed by the decimal digit count of their cents (an exact integer
+    // proxy for log10, no float log whose last ulp could flip a bucket at
+    // an exact power), the running sum is windowed WITHIN each bucket in
+    // parallel, and only the ≤19-row bucket-total table goes through a
+    // global (k-row, driver-safe) window for the cross-bucket prefix.
+    // digits(cents) orders identically to cents across buckets, so
+    // prefix(bucket) + local cumsum IS the global cumsum. The 80% cut is
+    // the cross-multiplied integer test (cum-before)*5 < total*4 — no
+    // float share ever decides membership.
+    "q_pareto" -> ((s, d) => {
+      val cust = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("dig", length(col("cents").cast("string")).cast("long"))
+      val wIn = Window.partitionBy("dig").orderBy(col("cents").desc, col("o_custkey"))
+      val local = cust
+        .withColumn("lcum", sum(col("cents")).over(
+          wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wB = Window.orderBy(col("dig").desc) // ≤19 rows — driver-safe global window
+      val prefix = cust.groupBy("dig").agg(sum(col("cents")).as("bsum"))
+        .withColumn("pcum", coalesce(sum(col("bsum")).over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("dig", "pcum")
+      val total = cust.agg(sum(col("cents")).as("total"), count(lit(1)).as("n_customers"))
+      local.join(broadcast(prefix), "dig").crossJoin(broadcast(total))
+        .agg(
+          max(col("n_customers")).as("n_customers"),
+          max(col("total")).as("total_cents"),
+          sum(when((col("pcum") + col("lcum") - col("cents")) * 5 < col("total") * 4, 1L)
+            .otherwise(0L)).as("n_top80"))
+        .withColumn("pct_top80",
+          r2(col("n_top80").cast("double") * lit(100.0) / col("n_customers").cast("double")))
+    }),
+
+    // ---- trimmed mean (ORACLE) -------------------------------------------
+    // Robust per-status order value: drop the bottom and top 5% of orders
+    // by (cents, orderkey) rank and average the middle 90% — the
+    // outlier-insensitive sibling of q_outliers_mad. Trim membership is
+    // pure integer rank arithmetic (rn vs n div 20) on a deterministic
+    // total order, so both engines cut at exactly the same rows. One
+    // per-status window sort + two k-group aggregates; the raw mean rides
+    // the same small join. Means are exact integer-cent sums divided once.
+    "q_trimmed_mean" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderstatus"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("cents"), col("o_orderkey"))
+      val raw = o.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_total"), sum(col("cents")).as("raw_cents"))
+      val kept = o.withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(raw.select(col("o_orderstatus"), col("n_total"))), "o_orderstatus")
+        .filter(col("rn") > expr("n_total div 20") && col("rn") <= col("n_total") - expr("n_total div 20"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_kept"), sum(col("cents")).as("kept_cents"))
+      raw.join(kept, "o_orderstatus")
+        .select(col("o_orderstatus"), col("n_total"), col("n_kept"),
+          r2(col("raw_cents").cast("double") / col("n_total").cast("double") / lit(100.0)).as("mean_raw"),
+          r2(col("kept_cents").cast("double") / col("n_kept").cast("double") / lit(100.0)).as("mean_trimmed"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- RFM customer segmentation (ORACLE) ------------------------------
+    // The classic marketing cut: recency (days since last order), frequency
+    // (order count), monetary (lifetime cents), each scored into quartiles
+    // with ntile(4) — SQL-standard distribution (first n%4 tiles take the
+    // extra row), identical in both engines given the same total order, so
+    // every ORDER BY carries the custkey tiebreak. Quartiles are taken
+    // WITHIN market segment: the window partitions by c_mktsegment (the
+    // shuffle parallelizes across segments; at 10⁹ customers the same
+    // scores come from 3 broadcast quantile thresholds instead — SURVEY
+    // §7.5). Output is the segment×RFM-code census a campaign would pull.
+    "q_rfm" -> ((s, d) => {
+      val cust = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(max(col("o_orderdate")).as("lastd"), count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val maxd = Tables.orders(s, d).agg(max(col("o_orderdate")).as("maxd"))
+      val seg = cust
+        .join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), "o_custkey")
+        .crossJoin(broadcast(maxd))
+        .withColumn("rec_days", datediff(col("maxd").cast("date"), col("lastd").cast("date")).cast("long"))
+      def q(w: org.apache.spark.sql.expressions.WindowSpec) = ntile(4).over(w).cast("long")
+      val byRec = Window.partitionBy("c_mktsegment").orderBy(col("rec_days"), col("o_custkey"))
+      val byFreq = Window.partitionBy("c_mktsegment").orderBy(col("freq").desc, col("o_custkey"))
+      val byMon = Window.partitionBy("c_mktsegment").orderBy(col("cents").desc, col("o_custkey"))
+      seg
+        .withColumn("rfm_code", q(byRec) * 100 + q(byFreq) * 10 + q(byMon))
+        .groupBy("c_mktsegment", "rfm_code")
+        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("sum_cents"))
+        .orderBy("c_mktsegment", "rfm_code")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -773,6 +868,42 @@ object AnalyticsQueries extends QueryGroup {
         "floor((CAST(2 * s1 - CAST(n + 1 AS HUGEINT) * s0 AS DOUBLE) / " +
         "CAST(CAST(n AS HUGEINT) * s0 AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS gini " +
         "FROM g ORDER BY o_orderstatus"),
+    "q_pareto" ->
+      ("WITH c AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(cents) AS BIGINT) AS total, count(*) AS n_customers FROM c), " +
+        "w AS (SELECT cents, CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM c) " +
+        "SELECT t.n_customers, t.total AS total_cents, " +
+        "CAST(sum(CASE WHEN (cum - cents) * 5 < total * 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_top80, " +
+        "floor((CAST(sum(CASE WHEN (cum - cents) * 5 < total * 4 THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 " +
+        "/ CAST(t.n_customers AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS pct_top80 " +
+        "FROM w, t GROUP BY t.n_customers, t.total"),
+    "q_trimmed_mean" ->
+      ("WITH o AS (SELECT o_orderstatus, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "raw AS (SELECT o_orderstatus, count(*) AS n_total, CAST(sum(cents) AS BIGINT) AS raw_cents FROM o GROUP BY 1), " +
+        "r AS (SELECT o_orderstatus, cents, CAST(row_number() OVER (PARTITION BY o_orderstatus " +
+        "ORDER BY cents, o_orderkey) AS BIGINT) AS rn FROM o), " +
+        "kept AS (SELECT r.o_orderstatus, count(*) AS n_kept, CAST(sum(cents) AS BIGINT) AS kept_cents " +
+        "FROM r JOIN raw USING (o_orderstatus) " +
+        "WHERE rn > n_total // 20 AND rn <= n_total - n_total // 20 GROUP BY 1) " +
+        "SELECT o_orderstatus, n_total, n_kept, " +
+        "floor((CAST(raw_cents AS DOUBLE) / CAST(n_total AS DOUBLE) / 100.0) * 100.0 + 0.5) / 100.0 AS mean_raw, " +
+        "floor((CAST(kept_cents AS DOUBLE) / CAST(n_kept AS DOUBLE) / 100.0) * 100.0 + 0.5) / 100.0 AS mean_trimmed " +
+        "FROM raw JOIN kept USING (o_orderstatus) ORDER BY o_orderstatus"),
+    "q_rfm" ->
+      ("WITH c AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS lastd, count(*) AS freq, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents FROM orders GROUP BY 1), " +
+        "mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders), " +
+        "s AS (SELECT c.*, c_mktsegment, CAST(date_diff('day', lastd, maxd) AS BIGINT) AS rec_days " +
+        "FROM c JOIN customer ON c_custkey = o_custkey, mx), " +
+        "t AS (SELECT c_mktsegment, cents, " +
+        "CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY rec_days, o_custkey) AS BIGINT) * 100 + " +
+        "CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY freq DESC, o_custkey) AS BIGINT) * 10 + " +
+        "CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY cents DESC, o_custkey) AS BIGINT) AS rfm_code " +
+        "FROM s) " +
+        "SELECT c_mktsegment, rfm_code, count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        "FROM t GROUP BY 1, 2 ORDER BY c_mktsegment, rfm_code"),
     "q_anomaly_mean" ->
       ("WITH c AS (SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
         "w AS (SELECT event_type, cents, count(cents) OVER (PARTITION BY user_id) AS n_u, " +

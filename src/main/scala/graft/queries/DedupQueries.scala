@@ -542,6 +542,28 @@ object DedupQueries extends QueryGroup {
         .orderBy("source")
     }),
 
+    // ---- exact-dup family size distribution (ORACLE) ---------------------
+    // The copy-count histogram: how many exact-duplicate families exist at
+    // each multiplicity, and how much of the corpus they absorb. Families
+    // key on md5 of the normalized text (identical bytes in both engines),
+    // so the two shuffles move 16-byte digests, never document bodies —
+    // the shape that survives 100 TB. n_docs = size × families is exact;
+    // corpus share is one r2 division. The "size 1" row doubles as the
+    // unique-doc count, making this the before/after dedup report.
+    "q_dup_family_size" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fam = docs.select(md5(lower(trim(col("text")))).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("family_size"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      fam.groupBy("family_size")
+        .agg(count(lit(1)).as("n_families"),
+          (col("family_size") * count(lit(1))).as("n_docs"))
+        .crossJoin(broadcast(total))
+        .select(col("family_size"), col("n_families"), col("n_docs"),
+          r2(col("n_docs").cast("double") * lit(100.0) / col("n_total").cast("double")).as("corpus_pct"))
+        .orderBy("family_size")
+    }),
+
     // ---- inverted-index statistics (ORACLE) -----------------------------
     // Observability over the shared shingle artifact: the document-
     // frequency histogram of the inverted index (df capped at 10+). This
@@ -858,6 +880,15 @@ object DedupQueries extends QueryGroup {
         "SELECT d.source, count(*) AS n_docs, CAST(count(dup.doc_id) AS BIGINT) AS n_dup, " +
         "floor((CAST(count(dup.doc_id) AS DOUBLE) * 100.0 / CAST(count(*) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS dup_pct " +
         "FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id GROUP BY 1 ORDER BY 1"),
+    "q_dup_family_size" ->
+      ("WITH f AS (SELECT md5(lower(trim(text))) AS h, CAST(count(*) AS BIGINT) AS family_size " +
+        "FROM documents GROUP BY h), " +
+        "t AS (SELECT count(*) AS n_total FROM documents), " +
+        "g AS (SELECT family_size, count(*) AS n_families, " +
+        "CAST(family_size * count(*) AS BIGINT) AS n_docs FROM f GROUP BY 1) " +
+        "SELECT family_size, n_families, n_docs, " +
+        "floor((CAST(n_docs AS DOUBLE) * 100.0 / CAST(n_total AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS corpus_pct " +
+        "FROM g, t ORDER BY family_size"),
     "q_index_stats" ->
       ("WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
         "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +

@@ -370,6 +370,30 @@ object EventQueries extends QueryGroup {
         .orderBy("size_bucket")
     }),
 
+    // ---- inter-event gap distribution (ORACLE) ---------------------------
+    // How bursty is the event stream? Per user, the gap to the previous
+    // event in whole seconds (integer µs subtraction + `div` truncation —
+    // never float division), bucketed by the DECIMAL DIGIT COUNT of the
+    // gap — an exact-integer log10 proxy (string length), immune to the
+    // last-ulp flips a float log10 suffers at exact powers of ten. The
+    // lag rides the same user-keyed window shuffle as sessionization;
+    // the histogram is a ≤12-group rollup. Informs the session-gap (30m)
+    // and watermark choices operationally.
+    "q_gap_dist" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_s", expr("(us - prev) div 1000000"))
+        .withColumn("gap_digits", length(col("gap_s").cast("string")).cast("long"))
+        .groupBy("gap_digits")
+        .agg(count(lit(1)).as("n_gaps"), min(col("gap_s")).as("min_s"),
+          max(col("gap_s")).as("max_s"),
+          r2(sum(col("gap_s")).cast("double") / count(lit(1)).cast("double")).as("avg_s"))
+        .orderBy("gap_digits")
+    }),
+
     // ---- first/last-touch revenue attribution (ORACLE) -------------------
     // The marketing-attribution split: each purchase's cents credited to
     // the weekday of its FIRST prior click and of its LAST prior click —
@@ -550,6 +574,14 @@ object EventQueries extends QueryGroup {
         "SELECT size_bucket, count(*) AS n_sessions, CAST(sum(conv) AS BIGINT) AS n_converted, " +
         "floor((CAST(sum(conv) AS DOUBLE) * 100.0 / CAST(count(*) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS conv_pct " +
         "FROM b GROUP BY 1 ORDER BY size_bucket"),
+    "q_gap_dist" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(ts AS TIMESTAMP) AS t FROM events), " +
+        "g AS (SELECT us - lag(us) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap_us FROM e), " +
+        "s AS (SELECT gap_us // 1000000 AS gap_s FROM g WHERE gap_us IS NOT NULL), " +
+        "b AS (SELECT gap_s, CAST(length(CAST(gap_s AS VARCHAR)) AS BIGINT) AS gap_digits FROM s) " +
+        "SELECT gap_digits, count(*) AS n_gaps, min(gap_s) AS min_s, max(gap_s) AS max_s, " +
+        "floor((CAST(sum(gap_s) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS avg_s " +
+        "FROM b GROUP BY 1 ORDER BY gap_digits"),
     "q_first_last_touch" ->
       ("WITH p AS (SELECT user_id, event_id AS pid, CAST(ts AS TIMESTAMP) AS pts, " +
         "CAST(round(value * 100) AS BIGINT) AS cents FROM events WHERE event_type = 'purchase'), " +

@@ -205,6 +205,34 @@ object TextQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("lang"), col("keyword")).limit(15)
     }),
+
+    // ---- vocabulary coverage curve (ORACLE) -----------------------------
+    // What share of the token mass do the top-10/100/1000 types cover?
+    // The tokenizer-budget question asked before every BPE training run.
+    // The global token census shuffles once (distributed); the cumulative
+    // share is then computed over ONLY the top-1000 rows (distributed
+    // TakeOrderedAndProject → a ≤1000-row window — never a corpus-scale
+    // single-partition sort). Counts are exact integers; each share is
+    // one r3 division of exact sums.
+    "q_vocab_coverage" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(filter(split(lower(col("text")), wsRegex), t => t =!= "")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_types"))
+      val top = counts.orderBy(col("n").desc, col("tok")).limit(1000)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("tok")) // ≤1000 rows post-limit — driver-safe
+      top
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("n")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .filter(col("rn").isin(10L, 100L, 1000L))
+        .crossJoin(broadcast(total))
+        .select(col("rn").as("top_k"), col("cum").as("cum_tokens"), col("total").as("total_tokens"),
+          col("n_types"), r3(col("cum").cast("double") / col("total").cast("double")).as("coverage"))
+        .orderBy("top_k")
+    }),
   )
 
   lazy val extraOracleSql: Map[String, String] = Map(
@@ -219,6 +247,17 @@ object TextQueries extends QueryGroup {
         "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM sc) " +
         "SELECT lang, tok AS keyword, count(*) AS n_docs FROM r WHERE rn = 1 " +
         "GROUP BY 1, 2 ORDER BY n_docs DESC, lang, keyword LIMIT 15"),
+    "q_vocab_coverage" ->
+      ("WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '')) AS tok FROM documents), " +
+        "c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY tok), " +
+        "tt AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_types FROM c), " +
+        "top AS (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 1000), " +
+        "r AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rn, " +
+        "CAST(sum(n) OVER (ORDER BY n DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum " +
+        "FROM top) " +
+        "SELECT rn AS top_k, cum AS cum_tokens, total AS total_tokens, n_types, " +
+        "floor((CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS coverage " +
+        "FROM r, tt WHERE rn IN (10, 100, 1000) ORDER BY top_k"),
   )
 
   val oracleSql: Map[String, String] = extraOracleSql ++ Map(

@@ -289,6 +289,72 @@ class InvariantSpec extends SparkSpec {
     assert(rows("orders.o_custkey")._3 <= 0.05, "high-card key should have a thin top share")
   }
 
+  test("pareto: bucketed two-level prefix sum equals the brute-force 80% cut") {
+    val r = graft.queries.AnalyticsQueries.queries("q_pareto")(spark, sf0001).collect()(0)
+    val (nCust, total, nTop, pct) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    // brute force on the collected per-customer cents
+    val cents = Tables.orders(spark, sf0001)
+      .groupBy("o_custkey").agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(_.getLong(1)).sorted(Ordering[Long].reverse)
+    assert(cents.length == nCust && cents.sum == total)
+    var cum = 0L; var k = 0
+    while (cum * 5 < total * 4) { cum += cents(k); k += 1 }
+    assert(nTop == k, s"two-level cut $nTop != brute-force $k")
+    assert(pct > 0.0 && pct <= 100.0)
+  }
+
+  test("trimmed mean sits within the raw distribution and trims ~10%") {
+    graft.queries.AnalyticsQueries.queries("q_trimmed_mean")(spark, sf0001).collect().foreach { r =>
+      val (n, kept, raw, trimmed) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(kept == n - 2 * (n / 20), s"kept $kept of $n is not the symmetric 5% trim")
+      assert(trimmed > 0 && math.abs(trimmed - raw) / raw < 0.25,
+        s"trimmed $trimmed implausibly far from raw $raw")
+    }
+  }
+
+  test("rfm: segment census conserves customers and codes are valid quartile triples") {
+    val rows = graft.queries.AnalyticsQueries.queries("q_rfm")(spark, sf0001).collect()
+    val nWithOrders = Tables.orders(spark, sf0001).select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nWithOrders, "RFM census loses customers")
+    rows.foreach { r =>
+      val code = r.getLong(1)
+      val (q1, q2, q3) = (code / 100, code / 10 % 10, code % 10)
+      assert(Seq(q1, q2, q3).forall(q => q >= 1 && q <= 4), s"bad rfm code $code")
+    }
+  }
+
+  test("gap distribution conserves gaps (events minus one per active user)") {
+    val buckets = graft.queries.EventQueries.queries("q_gap_dist")(spark, sf0001).collect()
+    val ev = Tables.events(spark, sf0001)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(buckets.map(_.getLong(1)).sum == expected, "gap count != events - users")
+    buckets.foreach { r =>
+      val (dig, mn, mx) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(mn.toString.length == dig && mx.toString.length == dig,
+        s"bucket $dig holds out-of-range gaps [$mn,$mx]")
+    }
+  }
+
+  test("vocab coverage is monotone in k and bounded by the total token mass") {
+    val rows = graft.queries.TextQueries.queries("q_vocab_coverage")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    var prev = 0.0
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "cumulative exceeds total")
+      assert(r.getDouble(4) >= prev, "coverage not monotone in k")
+      prev = r.getDouble(4)
+    }
+  }
+
+  test("dup family sizes partition the corpus exactly") {
+    val rows = graft.queries.DedupQueries.queries("q_dup_family_size")(spark, sf0001).collect()
+    val total = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getLong(2)).sum == total, "family histogram loses docs")
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1), "n_docs != size * families")
+    }
+  }
+
   test("filter funnel: stages chain (each n_in is the previous n_out) and only shrink") {
     val stages = graft.queries.TextAnalysisQueries.queries("q_filter_funnel")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
