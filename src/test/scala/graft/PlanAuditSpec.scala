@@ -254,4 +254,39 @@ class PlanAuditSpec extends SparkSpec {
       s"pre-aggregation shuffle appeared:\n$p")
     assert(!p.contains("Join"), s"quality gate must not join:\n$p")
   }
+
+  test("q_pareto windows the customer aggregate only WITHIN digit buckets") {
+    // the corpus-scale prefix sum must ride partitioned windows; the only
+    // unpartitioned (SinglePartition) window allowed is the ≤19-row
+    // bucket-total prefix — i.e. every window over the customer aggregate
+    // carries a partition spec.
+    val p = plan("q_pareto")
+    // the customer-scale running sum must shuffle BY BUCKET, not to one
+    // partition (the remaining SinglePartition exchanges are partial→final
+    // scalar aggregates and the ≤19-row bucket-prefix window — k-row)
+    assert("Exchange hashpartitioning\\(dig#".r.findFirstIn(p).isDefined,
+      s"customer-scale window lost its bucket partitioning:\n$p")
+    val windows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+    assert(windows.size == 2 && windows.forall(_.contains("dig#")),
+      s"expected exactly the two digit-bucket-scoped windows:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bucket prefix table not broadcast:\n$p")
+  }
+
+  test("q_vocab_coverage takes the top-1000 census without a global vocab sort") {
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-1000 not planned as distributed take-ordered:\n$p")
+  }
+
+  test("q_dup_family_size shuffles md5 digests, not document bodies") {
+    val p = plan("q_dup_family_size")
+    assert(p.contains("md5"), s"family key is not the md5 digest:\n$p")
+    assert(!p.matches("(?s).*Exchange hashpartitioning\\(text.*"),
+      s"raw text column reached a shuffle:\n$p")
+  }
+
+  test("q_trimmed_mean broadcasts the per-status counts into the rank filter") {
+    val p = plan("q_trimmed_mean")
+    assert(p.contains("BroadcastHashJoin"), s"k-row count table not broadcast:\n$p")
+  }
 }
