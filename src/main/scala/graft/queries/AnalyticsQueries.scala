@@ -745,14 +745,22 @@ object AnalyticsQueries extends QueryGroup {
         .withColumn("lcum", sum(col("cents")).over(
           wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val wB = Window.orderBy(col("dig").desc) // ≤19 rows — driver-safe global window
-      val prefix = cust.groupBy("dig").agg(sum(col("cents")).as("bsum"))
+      // grand totals ride the SAME k-row bucket table as the cross-bucket
+      // prefix (full-frame window sums), so the scalar side needs no extra
+      // corpus aggregation and no one-row cross join — one broadcast
+      // equi-join on dig carries prefix AND totals to every row
+      val prefix = cust.groupBy("dig")
+        .agg(sum(col("cents")).as("bsum"), count(lit(1)).as("bn"))
         .withColumn("pcum", coalesce(sum(col("bsum")).over(
           wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("dig", "pcum")
-      val total = cust.agg(sum(col("cents")).as("total"), count(lit(1)).as("n_customers"))
-      local.join(broadcast(prefix), "dig").crossJoin(broadcast(total))
+        .withColumn("total", sum(col("bsum")).over(
+          wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("n_cust", sum(col("bn")).over(
+          wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select("dig", "pcum", "total", "n_cust")
+      local.join(broadcast(prefix), "dig")
         .agg(
-          max(col("n_customers")).as("n_customers"),
+          max(col("n_cust")).as("n_customers"),
           max(col("total")).as("total_cents"),
           sum(when((col("pcum") + col("lcum") - col("cents")) * 5 < col("total") * 4, 1L)
             .otherwise(0L)).as("n_top80"))

@@ -31,7 +31,6 @@ class PlanSweepSpec extends SparkSpec {
     "q_ann_ivf",           // k-row coarse-quantizer codebook
     "q_surprisal",         // one-row corpus-token-total scalar vs the vocab
     "q_churn",             // one-row max-week scalar vs the presence table
-    "q_pareto",            // one-row (total, n) scalar vs the customer aggregate
     "q_rfm",               // one-row max-orderdate scalar vs the customer aggregate
     "q_vocab_coverage",    // one-row token-mass scalar vs the ≤1000-row top-k
     "q_dup_family_size",   // one-row corpus-count scalar vs the k-row histogram
