@@ -349,6 +349,56 @@ object TextAnalysisQueries extends QueryGroup {
           / (col("n") * col("sxx") - col("sx") * col("sx"))))
         .select(col("n").cast("long").as("n_tokens"), col("zipf_slope"))
     }),
+
+    // ---- bigram conditional-probability LM head (ORACLE) -----------------
+    // The top of the bigram language model a perplexity filter would use:
+    // the 20 most frequent bigrams with P(w2|w1) = c(w1w2) / c(w1·),
+    // where c(w1·) counts bigrams starting with w1 — both exact integer
+    // counts from one bigram pass, so the probability is a single r3
+    // division. Bigrams come from zip_with over adjacent slices (row-
+    // local, no UDF); the prefix-count join keys on w1 — the SAME key the
+    // bigram shuffle already used, so no extra repartitioning at scale.
+    // Top-20 by (count desc, w1, w2) plans as TakeOrderedAndProject.
+    "q_bigram_lm" -> ((s, d) => {
+      val bi = Tables.documents(s, d)
+        .withColumn("tk", toks(col("text")))
+        .select(explode(expr(
+          "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)), " +
+            "slice(tk, 2, greatest(size(tk) - 1, 0)), " +
+            "(a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_bigram"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("n_prefix"))
+      c2.join(c1, "w1")
+        .select(col("w1"), col("w2"), col("n_bigram"), col("n_prefix"),
+          r3(col("n_bigram").cast("double") / col("n_prefix").cast("double")).as("p_cond"))
+        .orderBy(col("n_bigram").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
+    // ---- cross-language vocabulary overlap (ORACLE) ----------------------
+    // How much vocabulary do the corpus languages share? Jaccard between
+    // per-language vocabularies — the signal that flags mislabeled or
+    // code-mixed slices before language-filtered training runs. The
+    // distinct (lang, tok) table self-joins on token: each token's bucket
+    // is at most n_langs² pairs (k² ≈ 25), so the join is flat at any
+    // corpus size; vocabulary sizes are a k-row broadcast. Counts exact,
+    // Jaccard = one r3 division of exact integers.
+    "q_lang_overlap" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(col("lang"), explode(toks(col("text"))).as("tok")).distinct()
+      val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("v"))
+      val va = vocab.select(col("tok"), col("lang").as("l1"))
+      val vb = vocab.select(col("tok"), col("lang").as("l2"))
+      va.join(vb, "tok").filter(col("l1") < col("l2"))
+        .groupBy("l1", "l2").agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("lang").as("l1"), col("v").as("v1"))), "l1")
+        .join(broadcast(sizes.select(col("lang").as("l2"), col("v").as("v2"))), "l2")
+        .select(col("l1"), col("l2"), col("v1"), col("v2"), col("n_shared"),
+          r3(col("n_shared").cast("double")
+            / (col("v1") + col("v2") - col("n_shared")).cast("double")).as("jaccard"))
+        .orderBy("l1", "l2")
+    }),
   )
 
   private val oracleToks =
@@ -381,6 +431,23 @@ object TextAnalysisQueries extends QueryGroup {
         "CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx FROM g) " +
         "SELECT CAST(n AS BIGINT) AS n_tokens, " +
         "floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000.0 + 0.5) / 1000.0 AS zipf_slope FROM m"),
+    "q_bigram_lm" ->
+      ("WITH t AS (SELECT " + oracleToks + " AS tk FROM documents), " +
+        "b AS (SELECT unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)), i -> tk[i])) AS w1, " +
+        "unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)), i -> tk[i + 1])) AS w2 FROM t), " +
+        "c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bigram FROM b GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_prefix FROM b GROUP BY 1) " +
+        "SELECT w1, w2, n_bigram, n_prefix, " +
+        "floor((CAST(n_bigram AS DOUBLE) / CAST(n_prefix AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS p_cond " +
+        "FROM c2 JOIN c1 USING (w1) ORDER BY n_bigram DESC, w1, w2 LIMIT 20"),
+    "q_lang_overlap" ->
+      ("WITH v AS (SELECT DISTINCT lang, unnest(" + oracleToks + ") AS tok FROM documents), " +
+        "sz AS (SELECT lang, count(*) AS v FROM v GROUP BY 1), " +
+        "p AS (SELECT a.lang AS l1, b.lang AS l2, count(*) AS n_shared " +
+        "FROM v a JOIN v b ON a.tok = b.tok AND a.lang < b.lang GROUP BY 1, 2) " +
+        "SELECT l1, l2, s1.v AS v1, s2.v AS v2, n_shared, " +
+        "floor((CAST(n_shared AS DOUBLE) / CAST(s1.v + s2.v - n_shared AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS jaccard " +
+        "FROM p JOIN sz s1 ON s1.lang = l1 JOIN sz s2 ON s2.lang = l2 ORDER BY l1, l2"),
     "q_surprisal" ->
       ("WITH t AS (SELECT doc_id, unnest(" + oracleToks + ") AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), " +

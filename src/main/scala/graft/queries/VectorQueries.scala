@@ -170,9 +170,57 @@ object VectorQueries extends QueryGroup {
           r3(sum(col("norm_nano")).cast("double") / count(lit(1)).cast("double") / lit(1e9)).as("avg_norm"))
         .orderBy("label")
     }),
+
+    // ---- per-label centroid drift audit (ORACLE) -------------------------
+    // Embedding-distribution drift: each label's centroid — its L2 norm
+    // and its distance to the GLOBAL centroid. The fairness check run
+    // before per-label retrieval tuning. Exactness: each coordinate is
+    // snapped to a 1e-6 grid BEFORE any sum, so per-(label, dim) sums are
+    // order-free BIGINTs; the centroid difference is cross-multiplied
+    // (sl·ng − sg·nl — never a float mean), squared and summed per label
+    // in DECIMAL(38) ↔ HUGEINT, and cast to double ONCE for the final
+    // sqrt + division. Shape: one (label, dim) aggregate (dim fan-out is
+    // the embedding width — row-local explode), the 64-row global-sum
+    // side broadcasts, then a k-row label rollup.
+    "q_emb_centroid" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val x = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(transform(col("embedding"),
+          v => floor(v.cast("double") * lit(1e6) + lit(0.5)).cast("long"))))
+        .toDF("label", "dim", "xi")
+      val byLabel = x.groupBy("label", "dim")
+        .agg(sum(col("xi")).as("sl"), count(lit(1)).as("nl"))
+      val global = x.groupBy("dim").agg(sum(col("xi")).as("sg"), count(lit(1)).as("ng"))
+      byLabel.join(broadcast(global), "dim")
+        .withColumn("diff", col("sl").cast(dec) * col("ng") - col("sg").cast(dec) * col("nl"))
+        .groupBy("label")
+        .agg(max(col("nl")).as("n_vecs"), max(col("ng")).as("ng"),
+          sum((col("diff") * col("diff")).cast(dec)).as("d2"),
+          sum((col("sl").cast(dec) * col("sl").cast(dec)).cast(dec)).as("c2"))
+        .select(col("label"), col("n_vecs"),
+          r3(sqrt(col("c2").cast("double"))
+            / (col("n_vecs").cast("double") * lit(1e6))).as("centroid_norm"),
+          r3(sqrt(col("d2").cast("double"))
+            / (col("n_vecs").cast("double") * col("ng").cast("double") * lit(1e6))).as("drift"))
+        .orderBy("label")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_emb_centroid" ->
+      ("WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "x AS (SELECT label, unnest(generate_series(1, len(e))) AS dim, " +
+        "unnest(list_transform(e, q -> CAST(floor(q * 1000000.0 + 0.5) AS BIGINT))) AS xi FROM v), " +
+        "bl AS (SELECT label, dim, CAST(sum(xi) AS BIGINT) AS sl, count(*) AS nl FROM x GROUP BY 1, 2), " +
+        "g AS (SELECT dim, CAST(sum(xi) AS BIGINT) AS sg, count(*) AS ng FROM x GROUP BY 1), " +
+        "j AS (SELECT label, nl, ng, CAST(sl AS HUGEINT) * ng - CAST(sg AS HUGEINT) * nl AS diff, " +
+        "CAST(sl AS HUGEINT) * CAST(sl AS HUGEINT) AS sl2 FROM bl JOIN g USING (dim)), " +
+        "a AS (SELECT label, max(nl) AS n_vecs, max(ng) AS ng, " +
+        "sum(diff * diff) AS d2, sum(sl2) AS c2 FROM j GROUP BY 1) " +
+        "SELECT CAST(label AS INT) AS label, CAST(n_vecs AS BIGINT) AS n_vecs, " +
+        "floor((sqrt(CAST(c2 AS DOUBLE)) / (CAST(n_vecs AS DOUBLE) * 1000000.0)) * 1000.0 + 0.5) / 1000.0 AS centroid_norm, " +
+        "floor((sqrt(CAST(d2 AS DOUBLE)) / (CAST(n_vecs AS DOUBLE) * CAST(ng AS DOUBLE) * 1000000.0)) * 1000.0 + 0.5) / 1000.0 AS drift " +
+        "FROM a ORDER BY label"),
     "q_vector_norms" ->
       ("WITH v AS (SELECT label, CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]), " +
         "x -> CAST(floor(x * x * 1000000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sq_nano FROM embeddings), " +

@@ -355,6 +355,41 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM: conditional probabilities are valid and consistent with the counts") {
+    val rows = graft.queries.TextAnalysisQueries.queries("q_bigram_lm")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val counts = rows.map(_.getLong(2))
+    assert(counts.sameElements(counts.sorted(Ordering[Long].reverse)), "top-20 not sorted by count")
+    rows.foreach { r =>
+      val (c2, c1, p) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(c2 <= c1, "bigram count exceeds its prefix count")
+      assert(p > 0.0 && p <= 1.0, s"P(w2|w1)=$p out of range")
+      assert(math.abs(p - math.floor(c2.toDouble / c1 * 1000 + 0.5) / 1000) < 1e-12)
+    }
+  }
+
+  test("lang overlap: jaccard bounded and intersection no larger than either vocabulary") {
+    val rows = graft.queries.TextAnalysisQueries.queries("q_lang_overlap")(spark, sf0001).collect()
+    val k = Tables.documents(spark, sf0001).select("lang").distinct().count()
+    assert(rows.length == k * (k - 1) / 2, "missing language pairs")
+    rows.foreach { r =>
+      val (v1, v2, inter, j) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(inter <= math.min(v1, v2), "intersection exceeds a vocabulary")
+      assert(j >= 0.0 && j <= 1.0, s"jaccard $j out of range")
+    }
+  }
+
+  test("embedding centroids: norm bounded by the label's max vector norm, drift nonnegative") {
+    val norms = graft.queries.VectorQueries.queries("q_vector_norms")(spark, sf0001)
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap // label -> max_norm
+    graft.queries.VectorQueries.queries("q_emb_centroid")(spark, sf0001).collect().foreach { r =>
+      val (label, cn, drift) = (r.getInt(0), r.getDouble(2), r.getDouble(3))
+      assert(cn >= 0.0 && cn <= norms(label) + 1e-9,
+        s"label $label centroid norm $cn exceeds max vector norm ${norms(label)} (convexity)")
+      assert(drift >= 0.0, s"label $label negative drift")
+    }
+  }
+
   test("filter funnel: stages chain (each n_in is the previous n_out) and only shrink") {
     val stages = graft.queries.TextAnalysisQueries.queries("q_filter_funnel")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

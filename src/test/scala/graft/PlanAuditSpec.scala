@@ -289,4 +289,13 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_trimmed_mean")
     assert(p.contains("BroadcastHashJoin"), s"k-row count table not broadcast:\n$p")
   }
+
+  test("q_bigram_lm plans the top-20 as distributed take-ordered") {
+    assert(plan("q_bigram_lm").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_emb_centroid broadcasts the dim-width global-sum side") {
+    val p = plan("q_emb_centroid")
+    assert(p.contains("BroadcastHashJoin"), s"global centroid side not broadcast:\n$p")
+  }
 }
