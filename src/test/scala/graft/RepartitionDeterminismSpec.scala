@@ -15,7 +15,11 @@ class RepartitionDeterminismSpec extends SparkSpec {
   private val floatSensitive = Seq(
     "q_entropy", "q_tfidf_top", "q_bm25_top", "q_pmi_cooccur",
     "q_surprisal", "q_tok_zipf", "q_autocorr", "q_gini",
-    "q_vector_norms", "q_agg_stats", "q_corr_regr", "q_keywords")
+    "q_vector_norms", "q_agg_stats", "q_corr_regr", "q_keywords",
+    // round-5 additions: sqrt-of-decimal-moment (centroid drift), the
+    // digit-bucketed prefix ratio, and the trimmed/LM ratios
+    "q_emb_centroid", "q_pareto", "q_trimmed_mean", "q_bigram_lm",
+    "q_lang_overlap", "q_vocab_coverage")
 
   test("float-sensitive queries return identical rows across shuffle-partition settings") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
