@@ -110,6 +110,33 @@ object RelationalQueries extends QueryGroup {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    // ---- multi-correlated EXISTS / NOT EXISTS (TPC-H Q21 shape) ----------
+    // "Suppliers who were the ONLY late shipper on a shared order": line
+    // was late (integer datediff > 60 — no float date math), EXISTS
+    // another supplier's line on the same order, NOT EXISTS another
+    // supplier's LATE line on the same order. The two correlated
+    // subqueries plan as a left-semi and a left-anti join, both keyed on
+    // l_orderkey — the SAME key as the fact join, so at scale all three
+    // hash-shuffles co-partition and AQE can chain them without a
+    // repartition. Top-10 suppliers by blamed-order count.
+    "q_multi_exists" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")) > 60)
+        .select(col("l_orderkey").as("k"), col("l_suppkey").as("s")).distinct()
+      val others = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val lateOthers = late.select(col("k").as("k3"), col("s").as("s3"))
+      late
+        .join(others, col("k") === col("k2") && col("s") =!= col("s2"), "left_semi")
+        .join(lateOthers, col("k") === col("k3") && col("s") =!= col("s3"), "left_anti")
+        .groupBy(col("s").as("l_suppkey"))
+        .agg(count(lit(1)).as("n_blamed"))
+        .orderBy(col("n_blamed").desc, col("l_suppkey"))
+        .limit(10)
+    }),
+
     // range join against an interval dimension. The predicate
     // o_orderdate ∈ [m_start, m_start + 1 month) is interval-ALIGNED, so
     // the scale path rewrites it to a broadcast EQUI-join on the derived
@@ -704,6 +731,15 @@ object RelationalQueries extends QueryGroup {
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995) ORDER BY c_custkey",
     "q_join_anti" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "q_multi_exists" ->
+      ("WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders WHERE o_orderstatus = 'F'), " +
+        "l AS (SELECT l_orderkey, l_suppkey, CAST(l_shipdate AS DATE) AS sd FROM lineitem), " +
+        "late AS (SELECT DISTINCT l_orderkey AS k, l_suppkey AS s FROM l JOIN o ON l_orderkey = o_orderkey " +
+        "WHERE date_diff('day', od, sd) > 60), " +
+        "f AS (SELECT k, s FROM late t WHERE EXISTS (SELECT 1 FROM l WHERE l.l_orderkey = t.k AND l.l_suppkey <> t.s) " +
+        "AND NOT EXISTS (SELECT 1 FROM late x WHERE x.k = t.k AND x.s <> t.s)) " +
+        "SELECT s AS l_suppkey, count(*) AS n_blamed FROM f GROUP BY 1 " +
+        "ORDER BY n_blamed DESC, l_suppkey LIMIT 10"),
     "q_join_range" ->
       ("WITH dim AS (SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01', INTERVAL 1 MONTH)) AS m_start) " +
         "SELECT strftime(m_start, '%Y-%m') AS month, count(*) AS n_orders, " +

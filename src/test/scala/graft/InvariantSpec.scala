@@ -390,6 +390,29 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("multi-exists: every blamed supplier truly is the only late shipper on shared orders") {
+    // recompute the Q21 semantics brutally on the collected sf0.001 slice
+    val o = Tables.orders(spark, sf0001).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), unix_date(col("o_orderdate").cast("date")).as("od")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lines = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        unix_date(col("l_shipdate").cast("date")).as("sd")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byOrder = lines.groupBy(_._1)
+    def isLate(k: Long, shipDay: Int): Boolean =
+      o.contains(k) && (shipDay - o(k)) > 60
+    val blamed = byOrder.toSeq.flatMap { case (k, ls) =>
+      val supps = ls.map(_._2).distinct
+      val lateSupps = ls.filter(l => isLate(k, l._3)).map(_._2).distinct
+      if (supps.size > 1 && lateSupps.size == 1) lateSupps else Nil
+    }.groupBy(identity).map { case (s, v) => s -> v.size.toLong }
+    val expected = blamed.toSeq.sortBy { case (s, n) => (-n, s) }.take(10)
+    val got = graft.queries.RelationalQueries.queries("q_multi_exists")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == expected, s"q_multi_exists diverges from the brute-force Q21 recompute")
+  }
+
   test("filter funnel: stages chain (each n_in is the previous n_out) and only shrink") {
     val stages = graft.queries.TextAnalysisQueries.queries("q_filter_funnel")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
