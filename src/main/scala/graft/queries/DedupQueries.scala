@@ -494,6 +494,32 @@ object DedupQueries extends QueryGroup {
         .orderBy("deg_bucket")
     }),
 
+    // ---- recursive-CTE BFS over the near-dup graph (ORACLE) --------------
+    // SQL-standard WITH RECURSIVE on Spark 4: breadth-first reachability
+    // from the smallest node of the near-dup graph, depth-bounded to 3 —
+    // "how far does edit contamination spread from this document?" The
+    // per-doc min-depth aggregate collapses path multiplicity, so the
+    // result is the exact BFS frontier census regardless of how either
+    // engine schedules the recursion. Depth bound + MAX_BUCKET-capped
+    // degrees bound the path expansion; at corpus scale unbounded
+    // reachability goes through q_dedup_clusters' label doubling instead
+    // (this is the ad-hoc SQL face of the same graph).
+    "q_graph_bfs" -> ((s, d) => {
+      nearDupPairs(s, d).createOrReplaceTempView("graft_pairs")
+      s.sql(
+        "WITH RECURSIVE edges AS (SELECT d1 AS a, d2 AS b FROM graft_pairs " +
+          "UNION SELECT d2, d1 FROM graft_pairs), " +
+          "seed AS (SELECT min(a) AS s FROM edges), " +
+          "reach(doc_id, depth) AS (" +
+          "SELECT s, CAST(0 AS BIGINT) FROM seed " +
+          "UNION ALL " +
+          "SELECT e.b, r.depth + CAST(1 AS BIGINT) FROM reach r JOIN edges e ON e.a = r.doc_id " +
+          "WHERE r.depth < 3), " +
+          "md AS (SELECT doc_id, min(depth) AS depth FROM reach GROUP BY doc_id) " +
+          "SELECT depth, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+          "FROM md GROUP BY depth ORDER BY depth")
+    }),
+
     // ---- ensemble dedup consensus (ORACLE) -------------------------------
     // The multi-method report a curation pipeline reviews before picking
     // thresholds: every pair flagged by ANY of the three exact dedup
@@ -778,6 +804,26 @@ object DedupQueries extends QueryGroup {
         "SELECT cluster_root, count(*) AS cluster_size FROM " +
         "(SELECT src, min(dst) AS cluster_root FROM reach GROUP BY src) x " +
         "GROUP BY cluster_root ORDER BY cluster_root"),
+    "q_graph_bfs" ->
+      ("WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS s, " +
+        "CAST(len(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS BIGINT) AS nsh " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
+        "ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN ok ON ok.s = a.s JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh " +
+        "HAVING CAST(count(*) AS DOUBLE) / CAST(a.nsh + b.nsh - count(*) AS DOUBLE) >= 0.5), " +
+        "edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p), " +
+        "seed AS (SELECT min(a) AS s FROM edges), " +
+        "reach(doc_id, depth) AS (SELECT s, CAST(0 AS BIGINT) FROM seed " +
+        "UNION ALL SELECT e.b, r.depth + CAST(1 AS BIGINT) FROM reach r JOIN edges e ON e.a = r.doc_id " +
+        "WHERE r.depth < 3), " +
+        "md AS (SELECT doc_id, min(depth) AS depth FROM reach GROUP BY doc_id) " +
+        "SELECT depth, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM md GROUP BY depth ORDER BY depth"),
     "q_doc_centrality" ->
       ("WITH sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
         "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +

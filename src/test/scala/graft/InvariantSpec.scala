@@ -413,6 +413,18 @@ class InvariantSpec extends SparkSpec {
     assert(got == expected, s"q_multi_exists diverges from the brute-force Q21 recompute")
   }
 
+  test("graph BFS: depth 0 is exactly the seed and depths stay within the bound") {
+    val rows = graft.queries.DedupQueries.queries("q_graph_bfs")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val d0 = rows.filter(_.getLong(0) == 0L)
+    assert(d0.length == 1 && d0(0).getLong(1) == 1L, "depth-0 frontier is not the single seed")
+    assert(d0(0).getLong(2) == d0(0).getLong(3), "depth-0 min_doc != max_doc")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 3, "depth outside the recursion bound")
+      assert(r.getLong(1) >= 1 && r.getLong(2) <= r.getLong(3))
+    }
+  }
+
   test("filter funnel: stages chain (each n_in is the previous n_out) and only shrink") {
     val stages = graft.queries.TextAnalysisQueries.queries("q_filter_funnel")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
