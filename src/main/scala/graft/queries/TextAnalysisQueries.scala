@@ -350,6 +350,68 @@ object TextAnalysisQueries extends QueryGroup {
         .select(col("n").cast("long").as("n_tokens"), col("zipf_slope"))
     }),
 
+    // ---- first BPE merge candidates (ORACLE) -----------------------------
+    // The first iteration of byte-pair-encoding training: count adjacent
+    // character pairs across the corpus, weighted by word frequency —
+    // the top pair is the first merge a BPE tokenizer would learn. The
+    // heavy lifting happens on the DISTINCT word census (types, not the
+    // full token stream), so the char-pair explode touches each distinct
+    // word once no matter how often it occurs; counts are exact integers
+    // and the top-20 plans as TakeOrderedAndProject.
+    "q_bpe_merge" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      words
+        .select(col("n"), explode(expr(
+          "CASE WHEN char_length(w) < 2 THEN array() " +
+            "ELSE transform(sequence(1, char_length(w) - 1), i -> substr(w, i, 2)) END")).as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // ---- data-mixture sampling weights (ORACLE) --------------------------
+    // The mixture-planning step before a training run: per-source token
+    // masses and temperature-smoothed (α = 0.5) sampling weights, plus
+    // each source's token allocation out of a budget of half the corpus.
+    // sqrt of an exact integer is a single-op double (identical bits),
+    // snapped to a micro-grid (1e6 — the product w·budget must clear int64;
+    // a petascale run lifts this into DECIMAL(38)) BEFORE normalizing so
+    // the shares and the integer allocation are engine-independent. ONE
+    // corpus pass + a k-row rollup.
+    "q_mix_weights" -> ((s, d) => {
+      val src = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(size(toks(col("text")))).as("n_tokens"))
+        .withColumn("w_micro", floor(sqrt(col("n_tokens").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+      val tot = src.agg(sum(col("w_micro")).as("w_sum"), sum(col("n_tokens")).as("tok_sum"))
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          r3(col("w_micro").cast("double") / col("w_sum").cast("double")).as("mix_share"),
+          expr("(w_micro * (tok_sum div 2)) div w_sum").as("alloc_tokens"))
+        .orderBy("source")
+    }),
+
+    // ---- character-class corpus profile (ORACLE) -------------------------
+    // Byte/char-level composition per language — the encoding sanity
+    // check before tokenizer training: letters, digits, whitespace and
+    // "other" counted exactly by length-difference after class deletion
+    // (regexp_replace with explicit classes identical in Java and RE2).
+    // Pure map-side arithmetic, one k-group rollup.
+    "q_char_classes" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          length(col("text")).cast("long").as("total"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[a-z]", ""))).cast("long").as("letters"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("long").as("digits"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[ \\t\\n\\r\\f]", ""))).cast("long").as("spaces"))
+        .groupBy("lang")
+        .agg(sum(col("total")).as("n_chars"), sum(col("letters")).as("n_letters"),
+          sum(col("digits")).as("n_digits"), sum(col("spaces")).as("n_spaces"),
+          sum(col("total") - col("letters") - col("digits") - col("spaces")).as("n_other"))
+        .orderBy("lang")),
+
     // ---- bigram conditional-probability LM head (ORACLE) -----------------
     // The top of the bigram language model a perplexity filter would use:
     // the 20 most frequent bigrams with P(w2|w1) = c(w1w2) / c(w1·),
@@ -431,6 +493,33 @@ object TextAnalysisQueries extends QueryGroup {
         "CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx FROM g) " +
         "SELECT CAST(n AS BIGINT) AS n_tokens, " +
         "floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000.0 + 0.5) / 1000.0 AS zipf_slope FROM m"),
+    "q_bpe_merge" ->
+      ("WITH w AS (SELECT unnest(" + oracleToks + ") AS w FROM documents), " +
+        "c AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1), " +
+        "p AS (SELECT n, unnest(CASE WHEN length(w) < 2 THEN [] " +
+        "ELSE list_transform(generate_series(1, length(w) - 1), i -> substr(w, i, 2)) END) AS pair FROM c) " +
+        "SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences FROM p GROUP BY pair " +
+        "ORDER BY n_occurrences DESC, pair LIMIT 20"),
+    "q_mix_weights" ->
+      ("WITH s AS (SELECT source, count(*) AS n_docs, CAST(sum(len(" + oracleToks + ")) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY 1), " +
+        "w AS (SELECT source, n_docs, n_tokens, " +
+        "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w_micro FROM s), " +
+        "t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_sum, CAST(sum(n_tokens) AS BIGINT) AS tok_sum FROM w) " +
+        "SELECT source, n_docs, n_tokens, " +
+        "floor((CAST(w_micro AS DOUBLE) / CAST(w_sum AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS mix_share, " +
+        "(w_micro * (tok_sum // 2)) // w_sum AS alloc_tokens " +
+        "FROM w, t ORDER BY source"),
+    "q_char_classes" ->
+      ("WITH c AS (SELECT lang, CAST(length(text) AS BIGINT) AS total, " +
+        "CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS letters, " +
+        "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits, " +
+        "CAST(length(text) - length(regexp_replace(text, '[ \\t\\n\\r\\f]', '', 'g')) AS BIGINT) AS spaces " +
+        "FROM documents) " +
+        "SELECT lang, CAST(sum(total) AS BIGINT) AS n_chars, CAST(sum(letters) AS BIGINT) AS n_letters, " +
+        "CAST(sum(digits) AS BIGINT) AS n_digits, CAST(sum(spaces) AS BIGINT) AS n_spaces, " +
+        "CAST(sum(total - letters - digits - spaces) AS BIGINT) AS n_other " +
+        "FROM c GROUP BY lang ORDER BY lang"),
     "q_bigram_lm" ->
       ("WITH t AS (SELECT " + oracleToks + " AS tk FROM documents), " +
         "b AS (SELECT unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)), i -> tk[i])) AS w1, " +

@@ -13,9 +13,9 @@ class ContractSpec extends AnyFunSuite {
   // golden verification there (the two lists can't drift).
   private val noOracle: Set[String] = graft.tools.RegenGolden.NoOracle.toSet
 
-  test("all 183 declared queries are present") {
-    assert(SparkEntry.queries.size == 183,
-      s"expected 183 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
+  test("all 186 declared queries are present") {
+    assert(SparkEntry.queries.size == 186,
+      s"expected 186 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
   }
 
   test("oracle coverage is exactly queries minus the declared NO-ORACLE set") {

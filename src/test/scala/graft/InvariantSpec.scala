@@ -454,4 +454,57 @@ class InvariantSpec extends SparkSpec {
     }
     assert(rows.map(_._2).sum == Tables.embeddings(spark, sf0001).count())
   }
+
+  test("BPE merges: pair mass bounded by the corpus char-pair budget, sorted, true bigrams") {
+    val rows = graft.queries.TextAnalysisQueries.queries("q_bpe_merge")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sorted(Ordering[Long].reverse)), "top-20 not sorted by count")
+    rows.foreach { r =>
+      assert(r.getString(0).length == 2, s"pair '${r.getString(0)}' is not a character bigram")
+      assert(r.getLong(1) >= 1)
+    }
+    // every word of length L contributes exactly L-1 pairs: totals must reconcile
+    val words = Tables.documents(spark, sf0001)
+      .select(explode(filter(split(lower(col("text")), "[ \\t\\n\\r\\f]+"), t => t =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val budget = words.select(sum(col("n") * greatest(length(col("w")) - 1, lit(0)))).head.getLong(0)
+    assert(counts.sum <= budget, "top-20 pair mass exceeds the corpus pair budget")
+  }
+
+  test("mix weights: shares form a distribution and allocations respect the half-corpus budget") {
+    val rows = graft.queries.TextAnalysisQueries.queries("q_mix_weights")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getDouble(3))
+    shares.foreach(sh => assert(sh >= 0.0 && sh <= 1.0, s"share $sh out of range"))
+    assert(math.abs(shares.sum - 1.0) <= 0.002 * rows.length, "shares do not sum to ~1")
+    val tokTotal = rows.map(_.getLong(2)).sum
+    val allocs = rows.map(_.getLong(4))
+    allocs.foreach(a => assert(a >= 0))
+    assert(allocs.sum <= tokTotal / 2, "allocations overrun the half-corpus budget")
+    // sqrt smoothing flattens the mixture: smaller sources get a share boost
+    val byTokens = rows.sortBy(_.getLong(2))
+    byTokens.sliding(2).foreach { case Array(small, big) =>
+      val smallBoost = small.getDouble(3) * tokTotal - small.getLong(2).toDouble
+      val bigBoost = big.getDouble(3) * tokTotal - big.getLong(2).toDouble
+      assert(smallBoost >= bigBoost - 1e-3 * tokTotal,
+        "temperature smoothing failed to favor the smaller source")
+    }
+  }
+
+  test("char classes: class counts partition total chars exactly per language") {
+    val rows = graft.queries.TextAnalysisQueries.queries("q_char_classes")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (total, letters, digits, spaces, other) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(letters + digits + spaces + other == total,
+        s"lang ${r.getString(0)}: classes do not partition the char total")
+      assert(Seq(letters, digits, spaces, other).forall(_ >= 0))
+      assert(spaces > 0, s"lang ${r.getString(0)}: multi-word docs must contain whitespace")
+    }
+    val grandTotal = Tables.documents(spark, sf0001)
+      .select(sum(length(col("text")))).head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum == grandTotal, "per-language totals lose characters")
+  }
 }

@@ -298,4 +298,20 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_emb_centroid")
     assert(p.contains("BroadcastHashJoin"), s"global centroid side not broadcast:\n$p")
   }
+
+  test("q_bpe_merge plans the top-20 pairs as distributed take-ordered") {
+    assert(plan("q_bpe_merge").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_mix_weights broadcasts the one-row weight/token totals") {
+    val p = plan("q_mix_weights")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"one-row totals side not broadcast:\n$p")
+  }
+
+  test("q_char_classes stays map-side up to a single k-group aggregation shuffle") {
+    val p = plan("q_char_classes")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"char-class profile shuffles more than the one rollup:\n$p")
+  }
 }

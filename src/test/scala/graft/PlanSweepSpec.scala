@@ -34,6 +34,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_rfm",               // one-row max-orderdate scalar vs the customer aggregate
     "q_vocab_coverage",    // one-row token-mass scalar vs the ≤1000-row top-k
     "q_dup_family_size",   // one-row corpus-count scalar vs the k-row histogram
+    "q_mix_weights",       // one-row weight/token-total scalar vs the k-row source table
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -19,7 +19,7 @@ class RepartitionDeterminismSpec extends SparkSpec {
     // round-5 additions: sqrt-of-decimal-moment (centroid drift), the
     // digit-bucketed prefix ratio, and the trimmed/LM ratios
     "q_emb_centroid", "q_pareto", "q_trimmed_mean", "q_bigram_lm",
-    "q_lang_overlap", "q_vocab_coverage")
+    "q_lang_overlap", "q_vocab_coverage", "q_mix_weights")
 
   test("float-sensitive queries return identical rows across shuffle-partition settings") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
