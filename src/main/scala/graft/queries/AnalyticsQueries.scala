@@ -27,6 +27,37 @@ object AnalyticsQueries extends QueryGroup {
     "list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '')"
 
   val queries: Map[String, QFn] = Map(
+    // ---- corpus snapshot diff (ORACLE) ----------------------------------
+    // The incremental-curation primitive: diff two corpus versions into
+    // added / removed / changed / unchanged. Versions are carved
+    // deterministically from the corpus (v1 drops doc_id % 10 == 0,
+    // v2 drops % 7 == 0 and rewrites % 5 == 0 docs), change detection
+    // compares md5 DIGESTS, never bodies — at 100 TB the full outer
+    // join moves doc_id + 32-byte digest + a length per side, and the
+    // same digest artifact is what an incremental pipeline persists
+    // between runs to diff against next week's crawl. One join keyed on
+    // doc_id + a 4-row rollup.
+    "q_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("h1"),
+          length(col("text")).cast("long").as("len1"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("t2", when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+        .select(col("doc_id"), md5(col("t2")).as("h2"),
+          length(col("t2")).cast("long").as("len2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") === col("h2"), "unchanged")
+            .otherwise("changed"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), sum(coalesce(col("len2"), col("len1"))).as("n_chars"))
+        .orderBy("status")
+    }),
+
     // ---- anomaly detection without a float mean (ORACLE) ---------------
     // Events whose value exceeds 2× their user's mean. The naive form
     // (value > 2*avg(value)) can never hash-match an oracle — avg is an
@@ -827,6 +858,17 @@ object AnalyticsQueries extends QueryGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      ("WITH v1 AS (SELECT doc_id, md5(text) AS h1, CAST(length(text) AS BIGINT) AS len1 " +
+        "FROM documents WHERE doc_id % 10 <> 0), " +
+        "v2 AS (SELECT doc_id, md5(t2) AS h2, CAST(length(t2) AS BIGINT) AS len2 FROM " +
+        "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS t2 " +
+        "FROM documents WHERE doc_id % 7 <> 0) s), " +
+        "f AS (SELECT CASE WHEN h1 IS NULL THEN 'added' WHEN h2 IS NULL THEN 'removed' " +
+        "WHEN h1 = h2 THEN 'unchanged' ELSE 'changed' END AS status, coalesce(len2, len1) AS len " +
+        "FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id) " +
+        "SELECT status, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len) AS BIGINT) AS n_chars " +
+        "FROM f GROUP BY 1 ORDER BY status"),
     "q_churn" ->
       ("WITH wk AS (SELECT DISTINCT user_id, " +
         "CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week FROM events), " +

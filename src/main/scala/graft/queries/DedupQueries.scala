@@ -267,6 +267,50 @@ object DedupQueries extends QueryGroup {
         .orderBy("d1", "d2")
     }),
 
+    // ---- PPJoin-style prefix-filtered set-similarity join (ORACLE) ------
+    // The third candidate-generation strategy next to the full inverted
+    // index (q_dedup_ngram) and LSH banding (q_dedup_near): order each
+    // doc's DISTINCT 3-gram shingle set by ascending global df (rarest
+    // first, shingle tiebreak) and join only on the first
+    // p = n - ceil(tau*n) + 1 shingles. For Jaccard >= tau the filter is
+    // LOSSLESS: J >= tau forces |A∩B| >= ceil(tau*|A|), so the
+    // df-order-smallest common shingle cannot sit in either suffix
+    // (which holds only ceil(tau*n) - 1 elements) — it lands in BOTH
+    // prefixes. At corpus scale this is the frequent-shingle antidote
+    // WITHOUT a stoplist: high-df boilerplate shingles sort to the array
+    // tails and never enter the candidate join, so posting lists in the
+    // join are short by construction. Candidates get an exact
+    // array_intersect confirm; the threshold test is cross-multiplied
+    // integers (5i >= 3u <=> i/u >= 0.6, §7.3), so the output EQUALS the
+    // exact tau=0.6 all-pairs join — which is what the DuckDB oracle
+    // computes. (The set domain is the SAME memoized shingle artifact
+    // the other dedup consumers share; unigram token sets are useless
+    // here — on this templated corpus ~57% of ALL doc pairs clear
+    // token-Jaccard 0.6, so any token-set output is O(n²) by itself.)
+    "q_dedup_prefix" -> ((s, d) => {
+      val dt = shingleRows(s, d).select(col("doc_id"), col("sh").as("tok"))
+      val dfTab = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+      val arr = dt.join(dfTab, "tok")
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"))
+        .select(col("doc_id"), expr("transform(st, x -> x.tok)").as("arr"),
+          size(col("st")).cast("long").as("n"))
+        .withColumn("p", (col("n") - expr("(3 * n + 4) div 5") + lit(1)).cast("int"))
+        .localCheckpoint(eager = true) // reused by the explode AND both confirm joins
+      val pre = arr.select(col("doc_id"), explode(expr("slice(arr, 1, p)")).as("tok"))
+      val cand = pre.as("a")
+        .join(pre.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      cand
+        .join(arr.select(col("doc_id").as("d1"), col("arr").as("a1"), col("n").as("n1")), "d1")
+        .join(arr.select(col("doc_id").as("d2"), col("arr").as("a2"), col("n").as("n2")), "d2")
+        .withColumn("i", size(array_intersect(col("a1"), col("a2"))).cast("long"))
+        .filter(col("i") * 5 >= (col("n1") + col("n2") - col("i")) * 3)
+        .select(col("d1"), col("d2"),
+          r3(col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double")).as("jac"))
+        .orderBy("d1", "d2")
+    }),
+
     // ---- MinHash + LSH banding (NO-ORACLE) ------------------------------
     "q_dedup_near" -> ((s, d) => {
       // signature via ONE codegen'd hash aggregate (K min-columns over the
@@ -785,6 +829,20 @@ object DedupQueries extends QueryGroup {
         "SELECT d1, d2, floor(cont * 1000.0 + 0.5) / 1000.0 AS cont, " +
         "floor(jac * 1000.0 + 0.5) / 1000.0 AS jac FROM j " +
         "WHERE cont >= 0.8 ORDER BY d1, d2"),
+    // exact tau=0.6 shingle-set Jaccard join — the prefix filter is lossless,
+    // so the Spark side's filtered+confirmed output must equal this
+    "q_dedup_prefix" ->
+      ("WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents), " +
+        "dt AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS tok FROM w), " +
+        "n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY 1), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i " +
+        "FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "j AS (SELECT d1, d2, i, n1.n AS n1, n2.n AS n2 FROM p " +
+        "JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id) " +
+        "SELECT d1, d2, floor(CAST(i AS DOUBLE) / CAST(n1 + n2 - i AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS jac " +
+        "FROM j WHERE i * 5 >= (n1 + n2 - i) * 3 ORDER BY d1, d2"),
     "q_dedup_clusters" ->
       ("WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
         "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +

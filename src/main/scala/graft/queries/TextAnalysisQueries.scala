@@ -393,6 +393,29 @@ object TextAnalysisQueries extends QueryGroup {
         .orderBy("source")
     }),
 
+    // ---- sequence-packing efficiency (ORACLE) ----------------------------
+    // The context-length planning table: for candidate window sizes
+    // 512/2048/8192, how many training sequences the corpus yields
+    // one-doc-per-sequence (each doc padded up to a window multiple),
+    // how many tokens that padding burns, and the perfect-packing lower
+    // bound ceil(total/ctx) — the gap is what a packing/concat stage
+    // would recover. All ceil math is integer ((n + ctx - 1) div ctx);
+    // the waste share is the single r3 division. ONE corpus pass: doc
+    // lengths explode over the 3 candidate windows row-locally, then a
+    // 3-group rollup.
+    "q_pack_efficiency" -> ((s, d) => {
+      val lens = Tables.documents(s, d).select(size(toks(col("text"))).cast("long").as("n"))
+      lens.select(col("n"), explode(array(lit(512L), lit(2048L), lit(8192L))).as("ctx"))
+        .groupBy("ctx")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+          sum(expr("(n + ctx - 1) div ctx")).as("n_seqs_padded"),
+          sum(expr("((n + ctx - 1) div ctx) * ctx - n")).as("pad_tokens"))
+        .select(col("ctx"), col("n_docs"), col("n_tokens"), col("n_seqs_padded"), col("pad_tokens"),
+          r3(col("pad_tokens").cast("double") / (col("n_seqs_padded") * col("ctx")).cast("double")).as("waste_share"),
+          expr("(n_tokens + ctx - 1) div ctx").as("n_seqs_packed"))
+        .orderBy("ctx")
+    }),
+
     // ---- character-class corpus profile (ORACLE) -------------------------
     // Byte/char-level composition per language — the encoding sanity
     // check before tokenizer training: letters, digits, whitespace and
@@ -510,6 +533,15 @@ object TextAnalysisQueries extends QueryGroup {
         "floor((CAST(w_micro AS DOUBLE) / CAST(w_sum AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS mix_share, " +
         "(w_micro * (tok_sum // 2)) // w_sum AS alloc_tokens " +
         "FROM w, t ORDER BY source"),
+    "q_pack_efficiency" ->
+      ("WITH l AS (SELECT CAST(len(" + oracleToks + ") AS BIGINT) AS n FROM documents), " +
+        "e AS (SELECT n, CAST(ctx AS BIGINT) AS ctx FROM l, (VALUES (512), (2048), (8192)) AS c(ctx)), " +
+        "g AS (SELECT ctx, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens, " +
+        "CAST(sum((n + ctx - 1) // ctx) AS BIGINT) AS n_seqs_padded, " +
+        "CAST(sum(((n + ctx - 1) // ctx) * ctx - n) AS BIGINT) AS pad_tokens FROM e GROUP BY 1) " +
+        "SELECT ctx, n_docs, n_tokens, n_seqs_padded, pad_tokens, " +
+        "floor(CAST(pad_tokens AS DOUBLE) / CAST(n_seqs_padded * ctx AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS waste_share, " +
+        "(n_tokens + ctx - 1) // ctx AS n_seqs_packed FROM g ORDER BY ctx"),
     "q_char_classes" ->
       ("WITH c AS (SELECT lang, CAST(length(text) AS BIGINT) AS total, " +
         "CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS letters, " +

@@ -204,6 +204,39 @@ class DedupSpec extends SparkSpec {
       s"genuine near-dup family not fully recovered: $out")
   }
 
+  test("prefix filter is lossless: q_dedup_prefix equals the brute-force tau=0.6 join") {
+    // recompute the exact shingle-set Jaccard join with NO prefix filter,
+    // driver-side, and demand pair-for-pair equality — the pigeonhole
+    // argument (the df-order-smallest common shingle cannot hide in
+    // either suffix when J >= tau) must hold on real data, not just on
+    // paper
+    val toksByDoc = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), "[ \\t\\n\\r\\f]+").as("t"))
+      .collect().map { r =>
+        val toks = r.getSeq[String](1).filter(_.nonEmpty)
+        val shingles =
+          if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+          else Set(toks.mkString(" "))
+        r.getLong(0) -> shingles
+      }.toMap
+    val docs = toksByDoc.keys.toSeq.sorted
+    val brute = (for {
+      i <- docs.indices.iterator; j <- (i + 1) until docs.length
+      a = toksByDoc(docs(i)); b = toksByDoc(docs(j))
+      inter = (a & b).size.toLong; union = a.size + b.size - inter
+      if inter * 5 >= union * 3
+    } yield (docs(i), docs(j)) ->
+      (math.floor(inter.toDouble / union * 1000.0 + 0.5) / 1000.0)).toMap
+    val got = pairs("q_dedup_prefix", sf0001)
+    assert(got == brute,
+      s"prefix join diverged from exact: missing=${(brute.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- brute.keySet).take(5)}")
+    assert(brute.nonEmpty, "no tau=0.6 pairs at sf0.001 — parity test is vacuous")
+  }
+
   test("survivor selection is consistent with clustering") {
     val clusters = graft.queries.DedupQueries.queries("q_dedup_clusters")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -507,4 +507,40 @@ class InvariantSpec extends SparkSpec {
       .select(sum(length(col("text")))).head.getLong(0)
     assert(rows.map(_.getLong(1)).sum == grandTotal, "per-language totals lose characters")
   }
+
+  test("snapshot diff: status census reconciles with the carve rules exactly") {
+    val rows = graft.queries.AnalyticsQueries.queries("q_snapshot_diff")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = Tables.documents(spark, sf0001).select("doc_id").collect().map(_.getLong(0))
+    def inV1(i: Long) = i % 10 != 0
+    def inV2(i: Long) = i % 7 != 0
+    val added = ids.count(i => !inV1(i) && inV2(i)).toLong
+    val removed = ids.count(i => inV1(i) && !inV2(i)).toLong
+    val changed = ids.count(i => inV1(i) && inV2(i) && i % 5 == 0).toLong
+    val unchanged = ids.count(i => inV1(i) && inV2(i) && i % 5 != 0).toLong
+    assert(rows.getOrElse("added", 0L) == added, s"added: $rows vs $added")
+    assert(rows.getOrElse("removed", 0L) == removed, s"removed: $rows vs $removed")
+    assert(rows.getOrElse("changed", 0L) == changed, s"changed: $rows vs $changed")
+    assert(rows.getOrElse("unchanged", 0L) == unchanged, s"unchanged: $rows vs $unchanged")
+  }
+
+  test("pack efficiency: integer ceil identities hold and packing beats padding") {
+    val rows = graft.queries.TextAnalysisQueries.queries("q_pack_efficiency")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(512L, 2048L, 8192L))
+    val (docs, toks) = (rows.map(_.getLong(1)).distinct, rows.map(_.getLong(2)).distinct)
+    assert(docs.length == 1 && toks.length == 1,
+      "per-ctx rows disagree on corpus doc/token totals")
+    rows.foreach { r =>
+      val (ctx, nTokens, nPad, pad, waste, nPacked) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6))
+      assert(pad == nPad * ctx - nTokens, s"ctx $ctx: pad_tokens identity broken")
+      assert(nPacked == (nTokens + ctx - 1) / ctx, s"ctx $ctx: packed lower bound wrong")
+      assert(nPacked <= nPad, s"ctx $ctx: perfect packing cannot need MORE sequences")
+      assert(waste >= 0.0 && waste < 1.0, s"ctx $ctx: waste share $waste out of range")
+    }
+    // waste grows with window size on a short-doc corpus
+    val wastes = rows.map(_.getDouble(5))
+    assert(wastes.sameElements(wastes.sorted), s"waste not monotone in ctx: ${wastes.toSeq}")
+  }
 }

@@ -314,4 +314,24 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       s"char-class profile shuffles more than the one rollup:\n$p")
   }
+
+  test("q_snapshot_diff diffs on digests via one doc_id-keyed full-outer join") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("FullOuter"), s"snapshot diff lost the full-outer shape:\n$p")
+    // change detection must move digests, not bodies: md5 is projected
+    // below the join, so the shuffle carries 32-byte hashes
+    assert(p.contains("md5"), s"digest projection missing below the join:\n$p")
+  }
+
+  test("q_dedup_prefix joins only on prefix tokens (slice before the self-join)") {
+    val p = plan("q_dedup_prefix")
+    assert(p.contains("slice("), s"prefix slice not in the candidate plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"prefix join degenerated to all-pairs:\n$p")
+  }
+
+  test("q_pack_efficiency is one corpus pass + a 3-group rollup") {
+    val p = plan("q_pack_efficiency")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"packing table shuffles more than the one rollup:\n$p")
+  }
 }
