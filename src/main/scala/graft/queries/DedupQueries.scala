@@ -240,6 +240,33 @@ object DedupQueries extends QueryGroup {
         .orderBy("d1", "d2")
     }),
 
+    // ---- incremental near-dup vs prior snapshot (ORACLE) ----------------
+    // The weekly-crawl question q_snapshot_diff's exact-digest diff can't
+    // answer: which NEW docs are near-duplicates of the PRIOR corpus
+    // (reworded boilerplate, light edits) and should be dropped before
+    // training. Carve: prior = doc_id % 3 != 0, batch = % 3 == 0. Same
+    // memoized shingle artifact, but the inverted-index join is
+    // ASYMMETRIC (batch × prior, no self-pairing): at 100 TB the prior
+    // side's posting lists come straight from the persisted index of the
+    // last run (saveShingleIndex/loadShingleIndex) — only the new batch
+    // pays tokenization, which is the entire point of incremental dedup.
+    // Threshold is the cross-multiplied jaccard >= 0.5 the ngram family
+    // uses; all-integer until the displayed r3 division.
+    "q_snapshot_neardup" -> ((s, d) => {
+      val inv = prunedShingleRowsWithCount(s, d)
+      val prior = inv.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("d_prior"), col("nsh").as("n1"), col("sh").as("s"))
+      val batch = inv.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("d_new"), col("nsh").as("n2"), col("sh").as("s"))
+      batch.join(prior, Seq("s"))
+        .groupBy("d_new", "d_prior")
+        .agg(count(lit(1)).as("shared"), first(col("n2")).as("n2"), first(col("n1")).as("n1"))
+        .filter(col("shared") * 2 >= col("n1") + col("n2") - col("shared"))
+        .select(col("d_new"), col("d_prior"),
+          r3(col("shared").cast("double") / (col("n1") + col("n2") - col("shared")).cast("double")).as("jac"))
+        .orderBy("d_new", "d_prior")
+    }),
+
     // ---- asymmetric shingle containment (ORACLE) ------------------------
     // The dedup flavor symmetric Jaccard structurally under-scores: a
     // short doc quoted or concatenated inside a long one has
@@ -814,6 +841,22 @@ object DedupQueries extends QueryGroup {
         "FROM e a JOIN ok ON ok.s = a.s JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
         "j AS (SELECT d1, d2, CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) AS jac FROM p) " +
         "SELECT d1, d2, floor(jac * 1000.0 + 0.5) / 1000.0 AS jac FROM j WHERE jac >= 0.5 ORDER BY d1, d2"),
+    // same shingle domain and df ceiling as q_dedup_ngram, but the join is
+    // batch (doc_id % 3 == 0) × prior (doc_id % 3 != 0)
+    "q_snapshot_neardup" ->
+      ("WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END) AS sh " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
+        "e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS nsh, unnest(sh) AS s FROM d), " +
+        "ok AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000), " +
+        "p AS (SELECT b.doc_id AS d_new, a.doc_id AS d_prior, CAST(count(*) AS BIGINT) AS shared, " +
+        "any_value(b.nsh) AS n2, any_value(a.nsh) AS n1 " +
+        "FROM e b JOIN ok ON ok.s = b.s JOIN e a ON b.s = a.s " +
+        "WHERE b.doc_id % 3 = 0 AND a.doc_id % 3 <> 0 GROUP BY b.doc_id, a.doc_id), " +
+        "j AS (SELECT d_new, d_prior, shared, n1, n2 FROM p WHERE shared * 2 >= n1 + n2 - shared) " +
+        "SELECT d_new, d_prior, floor(CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS jac " +
+        "FROM j ORDER BY d_new, d_prior"),
     "q_dedup_contain" ->
       ("WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
         "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.12 — text-analysis operators for a training-data pipeline:
@@ -416,6 +417,36 @@ object TextAnalysisQueries extends QueryGroup {
         .orderBy("ctx")
     }),
 
+    // ---- sequence-packing assignment report (ORACLE) ---------------------
+    // The packing stage itself (q_pack_efficiency is the planning table):
+    // concat-and-chunk each SOURCE's docs in doc_id order into ctx=2048
+    // windows and report, per source, the sequence count, the docs split
+    // across a window boundary, and the packed fill ratio. Packing
+    // per-source shard is the real 100 TB design — the running-sum window
+    // partitions by source (parallel, no global single-partition window),
+    // and a production writer would emit (seq_id = cum div ctx, offset =
+    // before mod ctx) per doc from exactly this frame. All integers: the
+    // boundary-cross test compares `div` buckets of before vs cum-1
+    // (guarded to n>0 so the -1 edge never feeds the div), fill is the
+    // single r3 division.
+    "q_pack_assign" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), size(toks(col("text"))).cast("long").as("n"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("split_doc",
+          when(col("n") > 0 &&
+            expr("(cum - n) div 2048") =!= expr("(cum - 1) div 2048"), 1L).otherwise(0L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+          sum(col("split_doc")).as("n_split_docs"))
+        .withColumn("n_seqs", expr("(n_tokens + 2047) div 2048"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_seqs"),
+          col("n_split_docs"),
+          r3(col("n_tokens").cast("double") / (col("n_seqs") * lit(2048L)).cast("double")).as("fill"))
+        .orderBy("source")
+    }),
+
     // ---- character-class corpus profile (ORACLE) -------------------------
     // Byte/char-level composition per language — the encoding sanity
     // check before tokenizer training: letters, digits, whitespace and
@@ -542,6 +573,16 @@ object TextAnalysisQueries extends QueryGroup {
         "SELECT ctx, n_docs, n_tokens, n_seqs_padded, pad_tokens, " +
         "floor(CAST(pad_tokens AS DOUBLE) / CAST(n_seqs_padded * ctx AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS waste_share, " +
         "(n_tokens + ctx - 1) // ctx AS n_seqs_packed FROM g ORDER BY ctx"),
+    "q_pack_assign" ->
+      ("WITH l AS (SELECT source, doc_id, CAST(len(" + oracleToks + ") AS BIGINT) AS n FROM documents), " +
+        "c AS (SELECT source, n, sum(n) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM l), " +
+        "g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN n > 0 AND (cum - n) // 2048 <> (cum - 1) // 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs " +
+        "FROM c GROUP BY 1) " +
+        "SELECT source, n_docs, n_tokens, (n_tokens + 2047) // 2048 AS n_seqs, n_split_docs, " +
+        "floor(CAST(n_tokens AS DOUBLE) / CAST(((n_tokens + 2047) // 2048) * 2048 AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS fill " +
+        "FROM g ORDER BY source"),
     "q_char_classes" ->
       ("WITH c AS (SELECT lang, CAST(length(text) AS BIGINT) AS total, " +
         "CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS letters, " +

@@ -237,6 +237,26 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "no tau=0.6 pairs at sf0.001 — parity test is vacuous")
   }
 
+  test("incremental near-dup equals the cross-carve restriction of the full pair set") {
+    // the asymmetric batch×prior join must surface EXACTLY the q_dedup_ngram
+    // pairs that straddle the carve (one member in each snapshot) — no
+    // self-pairs within a carve, none dropped
+    val got = DedupQueries.queries("q_snapshot_neardup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    got.foreach { case (dNew, dPrior, _) =>
+      assert(dNew % 3 == 0, s"$dNew is not a batch doc")
+      assert(dPrior % 3 != 0, s"$dPrior is not a prior doc")
+    }
+    val expected = exact.collect {
+      case ((d1, d2), jac) if (d1 % 3 == 0) != (d2 % 3 == 0) =>
+        val (b, p) = if (d1 % 3 == 0) (d1, d2) else (d2, d1)
+        (b, p, jac)
+    }.toSet
+    assert(got == expected,
+      s"cross-carve mismatch: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(expected.nonEmpty, "no cross-carve near-dup pairs at sf0.01 — test is vacuous")
+  }
+
   test("survivor selection is consistent with clustering") {
     val clusters = graft.queries.DedupQueries.queries("q_dedup_clusters")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -543,4 +543,25 @@ class InvariantSpec extends SparkSpec {
     val wastes = rows.map(_.getDouble(5))
     assert(wastes.sameElements(wastes.sorted), s"waste not monotone in ctx: ${wastes.toSeq}")
   }
+
+  test("pack assignment: per-source seq counts, split bounds and corpus totals reconcile") {
+    val rows = graft.queries.TextAnalysisQueries.queries("q_pack_assign")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, nDocs, nTokens, nSeqs, nSplit, fill) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(nSeqs == (nTokens + 2047) / 2048, s"$src: seq count is not ceil(tokens/ctx)")
+      assert(nSplit >= 0 && nSplit <= math.min(nDocs, math.max(nSeqs - 1, 0)),
+        s"$src: $nSplit split docs vs $nDocs docs / $nSeqs seqs — each of the " +
+          "nSeqs-1 boundaries splits at most one doc")
+      assert(fill > 0.0 && fill <= 1.0, s"$src: fill $fill out of range")
+    }
+    val docTotal = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == docTotal, "per-source doc counts lose docs")
+    // same corpus totals q_pack_efficiency reports (cross-query consistency)
+    val eff = graft.queries.TextAnalysisQueries.queries("q_pack_efficiency")(spark, sf0001)
+      .collect().head
+    assert(rows.map(_.getLong(2)).sum == eff.getLong(2), "token totals disagree with q_pack_efficiency")
+  }
 }

@@ -334,4 +334,18 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       s"packing table shuffles more than the one rollup:\n$p")
   }
+
+  test("q_pack_assign's running-sum window is partitioned by source, never global") {
+    val p = plan("q_pack_assign")
+    assert(p.contains("Window"), s"packing cumsum lost its window:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"packing window collapsed to a single partition — the 100 TB killer:\n$p")
+  }
+
+  test("q_snapshot_neardup pushes both carve filters below the index join") {
+    val p = plan("q_snapshot_neardup")
+    // the % 3 carve must filter each side BEFORE the shingle join, not after
+    assert("% 3".r.findAllIn(p).size >= 2, s"carve filters not pushed to both sides:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
