@@ -315,9 +315,13 @@ object DedupQueries extends QueryGroup {
     // here — on this templated corpus ~57% of ALL doc pairs clear
     // token-Jaccard 0.6, so any token-set output is O(n²) by itself.)
     "q_dedup_prefix" -> ((s, d) => {
+      // df via a window over the exploded postings: ONE exchange keyed on
+      // the shingle replaces the agg + join-back pair (the join's probe
+      // side would shuffle on the same key anyway — the window form reads
+      // the partition once and skips the join stage entirely)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("tok")
       val dt = shingleRows(s, d).select(col("doc_id"), col("sh").as("tok"))
-      val dfTab = dt.groupBy("tok").agg(count(lit(1)).as("df"))
-      val arr = dt.join(dfTab, "tok")
+      val arr = dt.withColumn("df", count(lit(1)).over(w))
         .groupBy("doc_id")
         .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"))
         .select(col("doc_id"), expr("transform(st, x -> x.tok)").as("arr"),
