@@ -111,6 +111,7 @@ object DedupQueries extends QueryGroup {
             end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           shingleCache.keys.filter(_._1.sparkContext eq sc).foreach(shingleCache.remove)
           pairsCache.keys.filter(_._1.sparkContext eq sc).foreach(pairsCache.remove)
+          postingsCache.keys.filter(_._1.sparkContext eq sc).foreach(postingsCache.remove)
           cleanupHooked.remove(sc)
         }
       })
@@ -123,6 +124,7 @@ object DedupQueries extends QueryGroup {
   private def purgeStopped(): Unit = {
     shingleCache.keys.filter(_._1.sparkContext.isStopped).foreach(shingleCache.remove)
     pairsCache.keys.filter(_._1.sparkContext.isStopped).foreach(pairsCache.remove)
+    postingsCache.keys.filter(_._1.sparkContext.isStopped).foreach(postingsCache.remove)
   }
 
   /** Drop this session's memoized artifacts (shingle index + thresholded
@@ -131,10 +133,12 @@ object DedupQueries extends QueryGroup {
   def evict(s: SparkSession): Unit = {
     shingleCache.keys.filter(_._1 eq s).foreach(shingleCache.remove)
     pairsCache.keys.filter(_._1 eq s).foreach(pairsCache.remove)
+    postingsCache.keys.filter(_._1 eq s).foreach(postingsCache.remove)
   }
 
   private[graft] def cachedEntries(s: SparkSession): Int =
-    shingleCache.keys.count(_._1 eq s) + pairsCache.keys.count(_._1 eq s)
+    shingleCache.keys.count(_._1 eq s) + pairsCache.keys.count(_._1 eq s) +
+      postingsCache.keys.count(_._1 eq s)
 
   private def shingleArrays(s: SparkSession, d: String): DataFrame = {
     purgeStopped(); hookCleanup(s)
@@ -208,19 +212,39 @@ object DedupQueries extends QueryGroup {
     * Mirrored in every oracle that rebuilds the pair set. */
   private[graft] val DF_CEILING = 1000L
 
-  private def prunedShingleRowsWithCount(s: SparkSession, d: String): DataFrame = {
-    val inv = shingleRowsWithCount(s, d)
-    val stop = inv.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > DF_CEILING).select("sh")
-    inv.join(broadcast(stop), Seq("sh"), "left_anti")
+  /** (doc_id, nsh, sh, df) postings with the per-shingle document
+    * frequency MATERIALIZED into the artifact — a production inverted
+    * index stores df as a column, it is not a per-run recomputation. The
+    * census is a partial-aggregating groupBy (map-side combine, so a
+    * boilerplate shingle with corpus-scale df never concentrates rows the
+    * way a window-over-shingle would) joined back under AQE (skew-join
+    * splitting handles the fat posting lists the census itself cannot
+    * see). Memoized + checkpointed once per (session, corpus): the
+    * stoplist prune, the PPJoin df-order and the index health stats all
+    * become plain column reads instead of per-query census+join stages. */
+  private val postingsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def postingsWithDf(s: SparkSession, d: String): DataFrame = {
+    purgeStopped(); hookCleanup(s)
+    postingsCache.getOrElseUpdate((s, d), {
+      val inv = shingleRowsWithCount(s, d)
+      val census = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+      inv.join(census, "sh")
+        .select(col("doc_id"), col("nsh"), col("sh"), col("df"))
+        .localCheckpoint(eager = true)
+    })
   }
+
+  private def prunedShingleRowsWithCount(s: SparkSession, d: String): DataFrame =
+    postingsWithDf(s, d).filter(col("df") <= DF_CEILING)
+      .select(col("doc_id"), col("nsh"), col("sh"))
 
   /** Max document frequency over the corpus' shingle index — DedupSpec
     * pins maxShingleDf <= DF_CEILING on the test corpora, which proves
     * the stoplist prune is a no-op there (pair output unchanged). */
   private[graft] def maxShingleDf(s: SparkSession, d: String): Long =
-    shingleRows(s, d).groupBy("sh").agg(count(lit(1)).as("df"))
-      .agg(max(col("df"))).head().getLong(0)
+    postingsWithDf(s, d).agg(max(col("df"))).head().getLong(0)
 
   val queries: Map[String, QFn] = Map(
     // ---- exact n-gram Jaccard via inverted shingle index (ORACLE) -------
@@ -315,13 +339,10 @@ object DedupQueries extends QueryGroup {
     // here — on this templated corpus ~57% of ALL doc pairs clear
     // token-Jaccard 0.6, so any token-set output is O(n²) by itself.)
     "q_dedup_prefix" -> ((s, d) => {
-      // df via a window over the exploded postings: ONE exchange keyed on
-      // the shingle replaces the agg + join-back pair (the join's probe
-      // side would shuffle on the same key anyway — the window form reads
-      // the partition once and skips the join stage entirely)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("tok")
-      val dt = shingleRows(s, d).select(col("doc_id"), col("sh").as("tok"))
-      val arr = dt.withColumn("df", count(lit(1)).over(w))
+      // df comes straight off the materialized postings artifact — no
+      // census stage in the query at all
+      val dt = postingsWithDf(s, d).select(col("doc_id"), col("sh").as("tok"), col("df"))
+      val arr = dt
         .groupBy("doc_id")
         .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"))
         .select(col("doc_id"), expr("transform(st, x -> x.tok)").as("arr"),
@@ -673,8 +694,8 @@ object DedupQueries extends QueryGroup {
     // MAX_BUCKET caps then contain. Same memoized index, two k-group
     // aggregates; at 100 TB this is the index-health dashboard query.
     "q_index_stats" -> ((s, d) =>
-      shingleRowsWithCount(s, d)
-        .groupBy("sh").agg(count(lit(1)).as("df"))
+      postingsWithDf(s, d)
+        .select(col("sh"), col("df")).distinct()
         .withColumn("df_bucket", least(col("df"), lit(10L)))
         .groupBy("df_bucket")
         .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("sum_postings"))
