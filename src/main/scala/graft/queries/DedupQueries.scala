@@ -348,6 +348,11 @@ object DedupQueries extends QueryGroup {
         .select(col("doc_id"), expr("transform(st, x -> x.tok)").as("arr"),
           size(col("st")).cast("long").as("n"))
         .withColumn("p", (col("n") - expr("(3 * n + 4) div 5") + lit(1)).cast("int"))
+        // one array row per DOCUMENT (not per posting): the artifact is
+        // tiny relative to the corpus, so pack it into few partitions
+        // before checkpointing — 3 consumers then schedule 8 tasks, not
+        // 32 near-empty ones (same sizing rationale as the pairs memo)
+        .coalesce(8)
         .localCheckpoint(eager = true) // reused by the explode AND both confirm joins
       val pre = arr.select(col("doc_id"), explode(expr("slice(arr, 1, p)")).as("tok"))
       val cand = pre.as("a")
