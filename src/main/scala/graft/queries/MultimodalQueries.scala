@@ -58,6 +58,42 @@ object MultimodalQueries extends QueryGroup {
           sum(col("n_sampled")).as("total_sampled"))
         .orderBy("kind")
     }),
+
+    // ---- resize stage (ORACLE) ------------------------------------------
+    // decode -> fit-into-64×64 resize, the normalization step between
+    // decode and feature extraction. Pixel work is the stub; the
+    // DIMENSION arithmetic (w·64 div max(w,h), aspect preserved) is the
+    // real thing, pure integer, and hash-verified: the oracle reproduces
+    // the stub's digest-derived dimensions from md5 hex and applies the
+    // same integer scaling.
+    "q_media_resize" -> ((s, d) => {
+      val decoded = graft.multimodal.MediaPipeline.pipelineTyped(Tables.documents(s, d))
+      graft.multimodal.MediaPipeline.resize(decoded, 64).toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("resized"), 1L).otherwise(0L)).as("n_resized"),
+          sum(col("out_w").cast("long")).as("sum_w"),
+          sum(col("out_h").cast("long")).as("sum_h"))
+        .orderBy("kind")
+    }),
+
+    // ---- feature extraction feeding a ranking (ORACLE) ------------------
+    // the decode stub's 8-dim feature vector used downstream: top-3 media
+    // per kind by integer feature mass. Features are digest-byte/255
+    // floats; round(f·255) recovers the exact byte numerators, so the
+    // ranking is integer-decided and the oracle rebuilds it from md5 hex.
+    "q_media_features" -> ((s, d) => {
+      val decoded = graft.multimodal.MediaPipeline.pipeline(Tables.documents(s, d))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("kind").orderBy(col("mass").desc, col("id"))
+      decoded
+        .withColumn("mass",
+          expr("aggregate(transform(feature, f -> CAST(round(f * 255.0) AS BIGINT)), 0L, (a, v) -> a + v)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("kind"), col("id"), col("mass"))
+        .orderBy("kind", "id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -75,5 +111,25 @@ object MultimodalQueries extends QueryGroup {
         "SELECT kind, count(*) AS n_media, CAST(sum(n_frames) AS BIGINT) AS total_frames, " +
         "CAST(sum(CAST(floor((n_frames - 1) / 8) AS BIGINT) + 1) AS BIGINT) AS total_sampled " +
         "FROM f GROUP BY kind ORDER BY kind"),
+    "q_media_resize" ->
+      ("WITH m AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, md5(text) AS hex FROM documents), " +
+        "d AS (SELECT kind, 16 + (CAST(('0x' || substr(hex, 1, 2)) AS INT) & 127) AS w, " +
+        "16 + (CAST(('0x' || substr(hex, 3, 2)) AS INT) & 127) AS h FROM m), " +
+        "r AS (SELECT kind, w, h, greatest(w, h) AS big FROM d), " +
+        "o AS (SELECT kind, CASE WHEN big <= 64 THEN 0 ELSE 1 END AS resized, " +
+        "CASE WHEN big <= 64 THEN w ELSE greatest(1, (w * 64) // big) END AS ow, " +
+        "CASE WHEN big <= 64 THEN h ELSE greatest(1, (h * 64) // big) END AS oh FROM r) " +
+        "SELECT kind, count(*) AS n_media, CAST(sum(resized) AS BIGINT) AS n_resized, " +
+        "CAST(sum(ow) AS BIGINT) AS sum_w, CAST(sum(oh) AS BIGINT) AS sum_h " +
+        "FROM o GROUP BY kind ORDER BY kind"),
+    "q_media_features" ->
+      ("WITH m AS (SELECT doc_id AS id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, md5(text) AS hex FROM documents), " +
+        "f AS (SELECT kind, id, " +
+        (0 until 8).map(k => s"CAST(('0x' || substr(hex, ${2 * k + 1}, 2)) AS BIGINT)").mkString(" + ") +
+        " AS mass FROM m), " +
+        "r AS (SELECT kind, id, mass, row_number() OVER (PARTITION BY kind ORDER BY mass DESC, id) AS rn FROM f) " +
+        "SELECT kind, id, mass FROM r WHERE rn <= 3 ORDER BY kind, id"),
   )
 }

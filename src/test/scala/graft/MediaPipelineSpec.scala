@@ -36,4 +36,27 @@ class MediaPipelineSpec extends SparkSpec {
       .select("feature").collect().map(_.getSeq[Float](0))
     assert(feats.forall(f => f.length == 8 && f.forall(x => x >= 0.0f && x <= 1.0f)))
   }
+
+  test("resize fits the 64-box, preserves aspect ratio, and is a no-op inside it") {
+    val decoded = MediaPipeline.pipelineTyped(Tables.documents(spark, sf0001))
+    val rows = MediaPipeline.resize(decoded, 64).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.out_w >= 1 && r.out_w <= 64 && r.out_h >= 1 && r.out_h <= 64,
+        s"media ${r.id}: ${r.out_w}x${r.out_h} escapes the box")
+      if (!r.resized) {
+        assert(r.out_w == r.width && r.out_h == r.height, s"media ${r.id}: no-op path rescaled")
+        assert(math.max(r.width, r.height) <= 64)
+      } else {
+        val big = math.max(r.width, r.height)
+        assert(big > 64)
+        // integer-truncated aspect preservation: out = in * 64 div big
+        assert(r.out_w == math.max(1, r.width * 64 / big), s"media ${r.id}: width scale off")
+        assert(r.out_h == math.max(1, r.height * 64 / big), s"media ${r.id}: height scale off")
+        assert(math.max(r.out_w, r.out_h) == 64, s"media ${r.id}: longest side must hit the box edge")
+      }
+    }
+    // the stub's dims are 16..143, so both branches must actually occur
+    assert(rows.exists(_.resized) && rows.exists(!_.resized), "one resize branch untested")
+  }
 }
