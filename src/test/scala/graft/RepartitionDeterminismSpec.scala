@@ -19,7 +19,11 @@ class RepartitionDeterminismSpec extends SparkSpec {
     // round-5 additions: sqrt-of-decimal-moment (centroid drift), the
     // digit-bucketed prefix ratio, and the trimmed/LM ratios
     "q_emb_centroid", "q_pareto", "q_trimmed_mean", "q_bigram_lm",
-    "q_lang_overlap", "q_vocab_coverage", "q_mix_weights")
+    "q_lang_overlap", "q_vocab_coverage", "q_mix_weights",
+    // late round-5 additions: the similarity-ratio joins and the
+    // packing/waste ratios (integer-decided, r3-displayed — pin it)
+    "q_dedup_prefix", "q_snapshot_neardup", "q_pack_efficiency",
+    "q_pack_assign")
 
   test("float-sensitive queries return identical rows across shuffle-partition settings") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
