@@ -161,6 +161,19 @@ object DedupQueries extends QueryGroup {
     shingleCache.update((s, corpus), s.read.parquet(path))
   }
 
+  /** Persist / install the df-bearing POSTINGS index — the artifact the
+    * stoplist, PPJoin and incremental snapshot near-dup actually consume.
+    * Loading it means a later run pays neither tokenization NOR the df
+    * census: the exact economics `q_snapshot_neardup` describes for the
+    * prior-corpus side of a weekly crawl. */
+  def savePostingsIndex(s: SparkSession, corpus: String, path: String): Unit =
+    postingsWithDf(s, corpus).write.mode("overwrite").parquet(path)
+
+  def loadPostingsIndex(s: SparkSession, corpus: String, path: String): Unit = {
+    purgeStopped(); hookCleanup(s)
+    postingsCache.update((s, corpus), s.read.parquet(path))
+  }
+
   /** The thresholded near-dup pair set (jaccard >= 0.5), memoized like
     * the shingle index: candidate generation runs ONCE per corpus and
     * both downstream consumers (clustering, survivor selection) read the

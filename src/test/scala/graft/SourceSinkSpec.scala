@@ -100,6 +100,24 @@ class SourceSinkSpec extends SparkSpec {
     graft.queries.DedupQueries.evict(spark) // leave no test-local artifact behind
   }
 
+  test("postings index round-trips through parquet and feeds the incremental near-dup") {
+    val dir = tmp("postidx")
+    val direct = graft.queries.DedupQueries.queries("q_snapshot_neardup")(spark, sf0001)
+      .collect().toSeq
+    graft.queries.DedupQueries.savePostingsIndex(spark, sf0001, dir)
+    graft.queries.DedupQueries.evict(spark)
+    graft.queries.DedupQueries.loadPostingsIndex(spark, sf0001, dir)
+    val viaLoaded = graft.queries.DedupQueries.queries("q_snapshot_neardup")(spark, sf0001)
+      .collect().toSeq
+    assert(viaLoaded == direct,
+      "incremental near-dup over the persisted postings index diverged from the built one")
+    // the loaded postings artifact must satisfy the consumer alone — no
+    // shingle-array rebuild (no re-tokenization) behind its back
+    assert(graft.queries.DedupQueries.cachedEntries(spark) == 1,
+      "near-dup over a loaded postings index should touch no other artifact")
+    graft.queries.DedupQueries.evict(spark)
+  }
+
   test("evict releases a session's memoized dedup artifacts") {
     graft.queries.DedupQueries.queries("q_dedup_clusters")(spark, sf0001).collect()
     assert(graft.queries.DedupQueries.cachedEntries(spark) >= 2,
