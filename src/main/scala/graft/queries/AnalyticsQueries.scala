@@ -318,6 +318,69 @@ object AnalyticsQueries extends QueryGroup {
         .orderBy("l_returnflag")
     }),
 
+    // ---- Spearman rank correlation (ORACLE) -----------------------------
+    // The robust companion to q_corr_regr's Pearson: correlation of RANKS
+    // ignores the heavy price tail that inflates moment-based corr.
+    // Built-in rank() leaves ties undefined across engines, so ranks are
+    // row_number over (value, o_orderkey) — o_orderkey is the table's
+    // unique key, so the tie order is a stated total order both engines
+    // compute identically (a documented variant of tie-averaged Spearman;
+    // lineitem's (orderkey, linenumber) is NOT unique in this corpus,
+    // which would leave real engine freedom — orders is the table with a
+    // true PK). x = order value in cents, y = order date as yyyymmdd:
+    // "does order value drift with time" per status. Σd² is exact
+    // (DECIMAL(38)/HUGEINT); the n(n²−1) denominator is evaluated in
+    // doubles as nd·nd·nd − nd (identical single ops — n³ clears int64
+    // only past ~2e6 rows/group, doubles don't care); one final division
+    // + r3. Scale: two per-group sort windows (partitioned by group,
+    // never global) + one hash agg.
+    "q_corr_spearman" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val b = Tables.orders(s, d).select(col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("x"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast("long").as("y"),
+        col("o_orderkey"))
+      val wx = Window.partitionBy("o_orderstatus").orderBy(col("x"), col("o_orderkey"))
+      val wy = Window.partitionBy("o_orderstatus").orderBy(col("y"), col("o_orderkey"))
+      b.withColumn("rx", row_number().over(wx).cast("long"))
+        .withColumn("ry", row_number().over(wy).cast("long"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(((col("rx") - col("ry")) * (col("rx") - col("ry"))).cast(dec))
+            .cast("double").as("sd2"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("rho", r3(lit(1.0) - lit(6.0) * col("sd2")
+          / (col("nd") * col("nd") * col("nd") - col("nd"))))
+        .select("o_orderstatus", "n", "rho")
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- grouped argmax via max_by/min_by (ORACLE) ----------------------
+    // Per-group "row with the extreme value" WITHOUT a window sort: the
+    // max_by/min_by aggregate is one hash agg with map-side partials —
+    // the shape that wins at corpus scale when only the argmax row is
+    // wanted (q_mode's row_number window sorts every group; this sorts
+    // nothing). Ties are impossible by construction: the ordinal packs
+    // (cents, custkey) into one BIGINT (custkey < 1e9 keeps the packing
+    // monotone for negative balances too), so both engines pick the same
+    // row deterministically.
+    "q_argmax_group" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey"), col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        .withColumn("ord", col("cents") * lit(1000000000L) + col("c_custkey"))
+      c.groupBy("c_nationkey").agg(
+          expr("max_by(c_custkey, ord)").as("top_cust"),
+          max(col("cents")).as("top_bal_cents"),
+          expr("min_by(c_custkey, ord)").as("bottom_cust"),
+          min(col("cents")).as("bottom_bal_cents"),
+          count(lit(1)).as("n_cust"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))), "c_nationkey")
+        .select("n_name", "top_cust", "top_bal_cents",
+          "bottom_cust", "bottom_bal_cents", "n_cust")
+        .orderBy("n_name")
+    }),
+
     // ---- weighted median via running weight (ORACLE) --------------------
     // Lower weighted median: smallest value v with 2·Σweight(≤v) ≥ total
     // weight. The threshold test is invariant to tie order inside equal
@@ -1051,6 +1114,28 @@ object AnalyticsQueries extends QueryGroup {
         "floor(num / dx * 1000.0 + 0.5) / 1000.0 AS slope, " +
         "floor((sy - (num / dx) * sx) / n / 100.0 * 100.0 + 0.5) / 100.0 AS icept_usd " +
         "FROM f ORDER BY l_returnflag"),
+    "q_corr_spearman" ->
+      ("WITH b AS (SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS x, " +
+        "CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS y, o_orderkey FROM orders), " +
+        "r AS (SELECT o_orderstatus, " +
+        "CAST(row_number() OVER (PARTITION BY o_orderstatus ORDER BY x, o_orderkey) AS BIGINT) AS rx, " +
+        "CAST(row_number() OVER (PARTITION BY o_orderstatus ORDER BY y, o_orderkey) AS BIGINT) AS ry FROM b), " +
+        "m AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST((rx - ry) * (rx - ry) AS HUGEINT)) AS DOUBLE) AS sd2 FROM r GROUP BY 1), " +
+        "f AS (SELECT o_orderstatus, n, CAST(n AS DOUBLE) AS nd, sd2 FROM m) " +
+        "SELECT o_orderstatus, n, " +
+        "floor((1.0 - 6.0 * sd2 / (nd * nd * nd - nd)) * 1000.0 + 0.5) / 1000.0 AS rho " +
+        "FROM f ORDER BY o_orderstatus"),
+    "q_argmax_group" ->
+      ("WITH c AS (SELECT c_nationkey, c_custkey, " +
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer), " +
+        "o AS (SELECT c_nationkey, c_custkey, cents, " +
+        "cents * 1000000000 + c_custkey AS ord FROM c), " +
+        "g AS (SELECT c_nationkey, arg_max(c_custkey, ord) AS top_cust, " +
+        "max(cents) AS top_bal_cents, arg_min(c_custkey, ord) AS bottom_cust, " +
+        "min(cents) AS bottom_bal_cents, CAST(count(*) AS BIGINT) AS n_cust FROM o GROUP BY 1) " +
+        "SELECT n_name, top_cust, top_bal_cents, bottom_cust, bottom_bal_cents, n_cust " +
+        "FROM g JOIN nation ON n_nationkey = c_nationkey ORDER BY n_name"),
     "q_weighted_median" ->
       ("WITH b AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v, " +
         "CAST(round(l_quantity * 100) AS BIGINT) AS wgt FROM lineitem), " +

@@ -402,6 +402,71 @@ object DedupQueries extends QueryGroup {
         .orderBy("d1", "d2")
     }),
 
+    // ---- per-decile shingle novelty (ORACLE) ----------------------------
+    // The corpus self-redundancy curve curation teams watch as a crawl
+    // grows: for each doc (in doc_id order, the ingestion order), how
+    // many of its 3-gram shingles have NEVER been seen in any earlier
+    // doc? Falling novelty = the crawl is re-fetching what it already
+    // has; the decile rollup makes it a 10-row report. First-occurrence
+    // is min(doc_id) per shingle — ONE extra aggregate over the shared
+    // postings artifact, joined back shingle-keyed (the same shuffle key
+    // as every other index consumer); Σnovel over all docs = |vocab| by
+    // construction (pinned in DedupSpec). All integers to one r3 ratio.
+    "q_ngram_novelty" -> ((s, d) => {
+      val post = postingsWithDf(s, d)
+      val firstSeen = post.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+      val mx = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
+      post.join(firstSeen, "sh")
+        .groupBy("doc_id")
+        .agg(first(col("nsh")).as("nsh"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+        .crossJoin(broadcast(mx))
+        .withColumn("decile", expr("doc_id * 10 div (mx + 1)"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum(col("novel")).as("novel_shingles"),
+          sum(col("nsh")).as("total_shingles"))
+        .withColumn("novelty_share",
+          r3(col("novel_shingles").cast("double") / col("total_shingles").cast("double")))
+        .orderBy("decile")
+    }),
+
+    // ---- idf-weighted sparse cosine similarity (ORACLE) -----------------
+    // The sparse-retrieval complement to q_dedup_embed's dense cosine:
+    // docs as idf-weighted shingle vectors (tf ≡ 1 on distinct shingles),
+    // so cos(A,B) = Σ_{A∩B} idf² / (‖A‖·‖B‖). Rare-shingle overlap now
+    // counts for more than boilerplate overlap — the scoring Jaccard
+    // can't express. Same df-ceiling-pruned inverted index self-join as
+    // q_dedup_ngram (one shingle-keyed shuffle, bucket-bounded); per-term
+    // weights are ln²(N/df) snapped to a micro grid (ln bit-agreement is
+    // load-bearing, §7.3), so dot and norms are EXACT BIGINTs; the
+    // cos >= 0.5 cut cross-multiplies in DECIMAL(38) ↔ HUGEINT
+    // (4·dot² >= ‖A‖²·‖B‖²), and Cauchy-Schwarz survives the snapping
+    // (dot2 <= min-norm term-by-term), so cos <= 1 exactly.
+    "q_sim_sparse" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val post = postingsWithDf(s, d).filter(col("df") <= DF_CEILING)
+        .select(col("doc_id"), col("sh"), col("df"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      val lg = log(col("nd").cast("double") / col("df").cast("double"))
+      val w = post.crossJoin(broadcast(nd))
+        .withColumn("w2", floor(lg * lg * lit(1e6) + lit(0.5)).cast("long"))
+        .select(col("doc_id"), col("sh"), col("w2"))
+      val norms = w.groupBy("doc_id").agg(sum(col("w2")).as("norm2"))
+      val dots = w.as("a")
+        .join(w.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), col("a.w2").as("w2"))
+        .groupBy("d1", "d2").agg(sum(col("w2")).as("dot2"))
+      dots
+        .join(norms.select(col("doc_id").as("d1"), col("norm2").as("m1")), "d1")
+        .join(norms.select(col("doc_id").as("d2"), col("norm2").as("m2")), "d2")
+        .filter(col("dot2").cast(dec) * col("dot2").cast(dec) * lit(4)
+          >= col("m1").cast(dec) * col("m2").cast(dec))
+        .select(col("d1"), col("d2"),
+          r3(col("dot2").cast("double")
+            / (sqrt(col("m1").cast("double")) * sqrt(col("m2").cast("double")))).as("cos_tfidf"))
+        .orderBy("d1", "d2")
+    }),
+
     // ---- MinHash + LSH banding (NO-ORACLE) ------------------------------
     "q_dedup_near" -> ((s, d) => {
       // signature via ONE codegen'd hash aggregate (K min-columns over the
@@ -950,6 +1015,49 @@ object DedupQueries extends QueryGroup {
         "JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id) " +
         "SELECT d1, d2, floor(CAST(i AS DOUBLE) / CAST(n1 + n2 - i AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS jac " +
         "FROM j WHERE i * 5 >= (n1 + n2 - i) * 3 ORDER BY d1, d2"),
+    // first-occurrence census over the same shingle domain; deciles over
+    // doc_id ingestion order
+    "q_ngram_novelty" ->
+      ("WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END) AS sh " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
+        "e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS nsh, unnest(sh) AS s FROM d), " +
+        "f AS (SELECT s, min(doc_id) AS first_doc FROM e GROUP BY 1), " +
+        "pd AS (SELECT e.doc_id, any_value(e.nsh) AS nsh, " +
+        "CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel " +
+        "FROM e JOIN f ON e.s = f.s GROUP BY 1), " +
+        "mx AS (SELECT max(doc_id) AS mx FROM documents), " +
+        "g AS (SELECT doc_id * 10 // (mx + 1) AS decile, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(novel) AS BIGINT) AS novel_shingles, CAST(sum(nsh) AS BIGINT) AS total_shingles " +
+        "FROM pd, mx GROUP BY 1) " +
+        "SELECT decile, n_docs, novel_shingles, total_shingles, " +
+        "floor(CAST(novel_shingles AS DOUBLE) / CAST(total_shingles AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS novelty_share " +
+        "FROM g ORDER BY decile"),
+    // idf²-weighted dot over the df-ceiling-pruned postings; micro-grid
+    // weights keep dot/norms integer; the 0.5 cut cross-multiplies in
+    // HUGEINT
+    "q_sim_sparse" ->
+      ("WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END) AS sh " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
+        "e AS (SELECT doc_id, unnest(sh) AS s FROM d), " +
+        "c AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY 1), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents), " +
+        "w AS (SELECT e.doc_id, e.s, CAST(floor(" +
+        "ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) " +
+        "* 1000000.0 + 0.5) AS BIGINT) AS w2 " +
+        "FROM e JOIN c ON e.s = c.s, nd WHERE df <= 1000), " +
+        "n AS (SELECT doc_id, CAST(sum(w2) AS BIGINT) AS norm2 FROM w GROUP BY 1), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(sum(a.w2) AS BIGINT) AS dot2 " +
+        "FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "j AS (SELECT d1, d2, dot2, n1.norm2 AS m1, n2.norm2 AS m2 FROM p " +
+        "JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id) " +
+        "SELECT d1, d2, floor(CAST(dot2 AS DOUBLE) / (sqrt(CAST(m1 AS DOUBLE)) * sqrt(CAST(m2 AS DOUBLE))) " +
+        "* 1000.0 + 0.5) / 1000.0 AS cos_tfidf FROM j " +
+        "WHERE CAST(dot2 AS HUGEINT) * CAST(dot2 AS HUGEINT) * 4 >= CAST(m1 AS HUGEINT) * CAST(m2 AS HUGEINT) " +
+        "ORDER BY d1, d2"),
     "q_dedup_clusters" ->
       ("WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
         "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +

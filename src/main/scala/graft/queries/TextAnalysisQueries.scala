@@ -317,6 +317,41 @@ object TextAnalysisQueries extends QueryGroup {
         .orderBy("stage")
     }),
 
+    // ---- Heaps-law vocabulary growth (ORACLE) ----------------------------
+    // Zipf's sibling: vocabulary size grows ~ (corpus tokens)^β, β < 1.
+    // Per doc-id decile (ingestion order): tokens ingested, NEW token
+    // types first seen in that decile (min(doc_id) census — the same
+    // first-occurrence machinery as q_ngram_novelty but over unigram
+    // types), and the cumulative curves a curation dashboard plots. A
+    // decile whose new_types stops falling signals a domain shift in the
+    // crawl. All exact integers; the two cumulative windows run over 10
+    // rows (the decile rollup), not the corpus — the corpus-scale stages
+    // are the token census and one hash agg, both term-keyed.
+    "q_vocab_growth" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val mx = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
+      val dm = Tables.documents(s, d).crossJoin(broadcast(mx))
+        .withColumn("decile", expr("doc_id * 10 div (mx + 1)"))
+        .groupBy("decile").agg(count(lit(1)).as("n_docs"))
+      val tm = tok.crossJoin(broadcast(mx))
+        .withColumn("decile", expr("doc_id * 10 div (mx + 1)"))
+        .groupBy("decile").agg(count(lit(1)).as("n_tokens"))
+      val nt = tok.groupBy("term").agg(min(col("doc_id")).as("first_doc"))
+        .crossJoin(broadcast(mx))
+        .withColumn("decile", expr("first_doc * 10 div (mx + 1)"))
+        .groupBy("decile").agg(count(lit(1)).as("new_types"))
+      val wc = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dm.join(tm, Seq("decile"), "left").join(nt, Seq("decile"), "left")
+        .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+        .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(wc))
+        .withColumn("cum_types", sum(col("new_types")).over(wc))
+        .select("decile", "n_docs", "n_tokens", "new_types", "cum_tokens", "cum_types")
+        .orderBy("decile")
+    }),
+
     // ---- Zipf-slope corpus health fit (ORACLE) ---------------------------
     // Natural text follows freq ∝ rank^s with s ≈ −1; a corpus whose
     // fitted log-log slope drifts far from −1 is template/synthetic/spam
@@ -535,6 +570,23 @@ object TextAnalysisQueries extends QueryGroup {
         "UNION ALL SELECT '2_stopword', n1, n2 FROM g " +
         "UNION ALL SELECT '3_diversity', n2, n3 FROM g) " +
         "SELECT stage, n_in, n_in - n_out AS n_dropped, n_out FROM u ORDER BY stage"),
+    "q_vocab_growth" ->
+      ("WITH t AS (SELECT doc_id, unnest(" + oracleToks + ") AS term FROM documents), " +
+        "mx AS (SELECT max(doc_id) AS mx FROM documents), " +
+        "dm AS (SELECT doc_id * 10 // (mx + 1) AS decile, CAST(count(*) AS BIGINT) AS n_docs " +
+        "FROM documents, mx GROUP BY 1), " +
+        "tm AS (SELECT doc_id * 10 // (mx + 1) AS decile, CAST(count(*) AS BIGINT) AS n_tokens " +
+        "FROM t, mx GROUP BY 1), " +
+        "f AS (SELECT term, min(doc_id) AS first_doc FROM t GROUP BY 1), " +
+        "nt AS (SELECT first_doc * 10 // (mx + 1) AS decile, CAST(count(*) AS BIGINT) AS new_types " +
+        "FROM f, mx GROUP BY 1), " +
+        "g AS (SELECT dm.decile, dm.n_docs, coalesce(tm.n_tokens, 0) AS n_tokens, " +
+        "coalesce(nt.new_types, 0) AS new_types FROM dm " +
+        "LEFT JOIN tm ON dm.decile = tm.decile LEFT JOIN nt ON dm.decile = nt.decile) " +
+        "SELECT decile, n_docs, n_tokens, new_types, " +
+        "CAST(sum(n_tokens) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens, " +
+        "CAST(sum(new_types) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types " +
+        "FROM g ORDER BY decile"),
     "q_tok_zipf" ->
       ("WITH t AS (SELECT unnest(" + oracleToks + ") AS term FROM documents), " +
         "tf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY 1), " +

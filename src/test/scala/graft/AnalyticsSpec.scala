@@ -322,4 +322,63 @@ class AnalyticsSpec extends SparkSpec {
       assert(nCo <= math.min(df(t1), df(t2)), s"support $nCo exceeds marginals for ($t1,$t2)")
     }
   }
+
+  test("q_corr_spearman matches a driver-side rank recomputation exactly") {
+    val data = Tables.orders(spark, sf0001)
+      .select(col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast("long"),
+        col("o_orderkey"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = data.groupBy(_._1).map { case (st, g) =>
+      // the query's exact tie order: (value, o_orderkey) — o_orderkey is
+      // the table's unique key, so the permutation is well-defined
+      val rx = g.sortBy(t => (t._2, t._4)).zipWithIndex
+        .map { case (t, i) => t._4 -> (i + 1).toLong }.toMap
+      val ry = g.sortBy(t => (t._3, t._4)).zipWithIndex
+        .map { case (t, i) => t._4 -> (i + 1).toLong }.toMap
+      val sd2 = g.map { t => val d = rx(t._4) - ry(t._4); d * d }.sum.toDouble
+      val nd = g.length.toDouble
+      val rho = 1.0 - 6.0 * sd2 / (nd * nd * nd - nd)
+      st -> (g.length.toLong, math.floor(rho * 1000.0 + 0.5) / 1000.0)
+    }
+    val got = q("q_corr_spearman").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected, s"spearman drift: got $got expected $expected")
+    got.values.foreach { case (_, rho) => assert(rho >= -1.0 && rho <= 1.0) }
+  }
+
+  test("q_argmax_group picks the same extremes as a full driver-side scan") {
+    val names = Tables.nation(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val byNation = Tables.customer(spark, sf0001)
+      .select(col("c_nationkey"), col("c_custkey"), round(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expected = byNation.map { case (nk, g) =>
+      val top = g.maxBy(t => (t._3, t._2)); val bot = g.minBy(t => (t._3, t._2))
+      names(nk) -> (top._2, top._3, bot._2, bot._3, g.length.toLong)
+    }
+    val got = q("q_argmax_group").collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expected, s"argmax drift: got $got expected $expected")
+  }
+
+  test("q_vocab_growth conserves tokens/types and its cumulatives are monotone") {
+    val rows = graft.queries.TextAnalysisQueries.queries("q_vocab_growth")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == (0L to 9L), s"deciles not 0..9: ${rows.map(_._1).toSeq}")
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(filter(split(lower(col("text")), "[ \\t\\n\\r\\f]+"), t => t =!= "")).as("tok"))
+    assert(rows.map(_._3).sum == toks.count(), "token mass not conserved across deciles")
+    assert(rows.map(_._4).sum == toks.distinct().count(),
+      "sum of new_types must equal the corpus vocabulary size")
+    assert(rows.map(_._2).sum == Tables.documents(spark, sf0001).count(), "docs not conserved")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._5 >= a._5 && b._6 >= a._6, s"cumulative curve not monotone: $a -> $b")
+    }
+    assert(rows.last._5 == rows.map(_._3).sum && rows.last._6 == rows.map(_._4).sum,
+      "final cumulatives must equal the totals")
+  }
 }

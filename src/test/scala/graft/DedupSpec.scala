@@ -237,6 +237,68 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "no tau=0.6 pairs at sf0.001 — parity test is vacuous")
   }
 
+  test("q_sim_sparse equals a driver-side idf-squared cosine recomputation") {
+    val shByDoc = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), "[ \\t\\n\\r\\f]+").as("t"))
+      .collect().map { r =>
+        val toks = r.getSeq[String](1).filter(_.nonEmpty)
+        val shingles =
+          if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+          else Set(toks.mkString(" "))
+        r.getLong(0) -> shingles
+      }.toMap
+    val n = shByDoc.size.toLong
+    val dfm = shByDoc.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // the query's snapped weight: w2 = floor(ln²(N/df)·1e6 + 0.5), df-pruned
+    def w2(sh: String): Long = {
+      val l = math.log(n.toDouble / dfm(sh).toDouble); math.floor(l * l * 1e6 + 0.5).toLong
+    }
+    val pruned = shByDoc.view.mapValues(_.filter(s => dfm(s) <= 1000L)).toMap
+    val norm2 = pruned.map { case (d, s) => d -> s.toSeq.map(w2).sum }
+    val docs = shByDoc.keys.toSeq.sorted
+    val brute = (for {
+      i <- docs.indices.iterator; j <- (i + 1) until docs.length
+      d1 = docs(i); d2 = docs(j)
+      dot2 = (pruned(d1) & pruned(d2)).toSeq.map(w2).sum
+      if BigInt(dot2) * BigInt(dot2) * 4 >= BigInt(norm2(d1)) * BigInt(norm2(d2))
+    } yield (d1, d2) -> (math.floor(dot2.toDouble
+      / (math.sqrt(norm2(d1).toDouble) * math.sqrt(norm2(d2).toDouble))
+      * 1000.0 + 0.5) / 1000.0)).toMap
+    val got = pairs("q_sim_sparse", sf0001)
+    assert(got == brute,
+      s"sparse cosine diverged: missing=${(brute.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- brute.keySet).take(5)}")
+    assert(brute.nonEmpty, "no sparse-cosine pairs at sf0.001 — parity test is vacuous")
+    got.values.foreach(c => assert(c > 0.0 && c <= 1.0, s"cosine out of range: $c"))
+  }
+
+  test("q_ngram_novelty conserves the shingle vocabulary across deciles") {
+    val rows = DedupQueries.queries("q_ngram_novelty")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (0L to 9L), s"deciles not 0..9: ${rows.map(_._1).toSeq}")
+    // Σ novel over the corpus = |distinct shingles|: every shingle is
+    // novel exactly once, in the doc where it first appears
+    val vocab = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), "[ \\t\\n\\r\\f]+").as("t"))
+      .collect().flatMap { r =>
+        val toks = r.getSeq[String](1).filter(_.nonEmpty)
+        if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+        else Set(toks.mkString(" "))
+      }.toSet
+    assert(rows.map(_._3).sum == vocab.size.toLong,
+      s"novel mass ${rows.map(_._3).sum} != vocabulary ${vocab.size}")
+    rows.foreach { case (dec, nDocs, novel, total, share) =>
+      assert(novel <= total, s"decile $dec: novel $novel exceeds shingle mass $total")
+      assert(nDocs > 0 && share >= 0.0 && share <= 1.0, s"degenerate decile row: $dec")
+    }
+  }
+
   test("incremental near-dup equals the cross-carve restriction of the full pair set") {
     // the asymmetric batch×prior join must surface EXACTLY the q_dedup_ngram
     // pairs that straddle the carve (one member in each snapshot) — no

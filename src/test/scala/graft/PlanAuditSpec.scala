@@ -335,6 +335,13 @@ class PlanAuditSpec extends SparkSpec {
       s"packing table shuffles more than the one rollup:\n$p")
   }
 
+  test("q_corr_spearman's rank windows are status-partitioned, never global") {
+    val p = plan("q_corr_spearman")
+    assert(p.contains("Window"), s"spearman lost its rank windows:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"spearman rank window collapsed to a single partition — the 100 TB killer:\n$p")
+  }
+
   test("q_pack_assign's running-sum window is partitioned by source, never global") {
     val p = plan("q_pack_assign")
     assert(p.contains("Window"), s"packing cumsum lost its window:\n$p")

@@ -35,6 +35,9 @@ class PlanSweepSpec extends SparkSpec {
     "q_vocab_coverage",    // one-row token-mass scalar vs the ≤1000-row top-k
     "q_dup_family_size",   // one-row corpus-count scalar vs the k-row histogram
     "q_mix_weights",       // one-row weight/token-total scalar vs the k-row source table
+    "q_ngram_novelty",     // one-row max-doc-id scalar for the decile bucketing
+    "q_vocab_growth",      // one-row max-doc-id scalar for the decile bucketing
+    "q_sim_sparse",        // one-row corpus-count scalar for the idf weights
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

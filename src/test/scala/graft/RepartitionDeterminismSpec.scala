@@ -23,7 +23,10 @@ class RepartitionDeterminismSpec extends SparkSpec {
     // late round-5 additions: the similarity-ratio joins and the
     // packing/waste ratios (integer-decided, r3-displayed — pin it)
     "q_dedup_prefix", "q_snapshot_neardup", "q_pack_efficiency",
-    "q_pack_assign")
+    "q_pack_assign",
+    // round-5 batch 2: rank-moment ratio, ln²-grid sparse cosine, and
+    // the two first-occurrence ratio/cumulative reports
+    "q_corr_spearman", "q_sim_sparse", "q_ngram_novelty", "q_vocab_growth")
 
   test("float-sensitive queries return identical rows across shuffle-partition settings") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
