@@ -918,6 +918,36 @@ object AnalyticsQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("sum_cents"))
         .orderBy("c_mktsegment", "rfm_code")
     }),
+
+    // ---- Kolmogorov–Smirnov distribution drift (ORACLE) ------------------
+    // The numeric-feature sibling of q_token_drift: KS distance between
+    // two sources' doc-length distributions — max over the merged support
+    // of |ECDF₀ − ECDF₁|. Distribution-shift detection for a numeric
+    // column, the check a curation pipeline runs when a new crawl batch
+    // looks "off". The census (one map-side-combinable groupBy on the
+    // length value) is the corpus-scale stage; the ECDF cumsum window
+    // runs over the DISTINCT VALUE table (bounded by the feature's
+    // cardinality, ~300 lengths here, never corpus rows). The max and
+    // its location are integer-decided: d_num = |cum0·n1 − cum1·n0| is
+    // an exact BIGINT, tie on the smallest length; only the final
+    // KS = d_num/(n0·n1) is floated, r3'd.
+    "q_ecdf_ks" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("source").isin("src0", "src1"))
+        .select(col("n_chars"), when(col("source") === "src0", 1L).otherwise(0L).as("is0"))
+      val cen = base.groupBy("n_chars")
+        .agg(sum(col("is0")).as("c0"), (count(lit(1)) - sum(col("is0"))).as("c1"))
+      val w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = cen.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+      cen.withColumn("cum0", sum(col("c0")).over(w))
+        .withColumn("cum1", sum(col("c1")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("d_num", abs(col("cum0") * col("n1") - col("cum1") * col("n0")))
+        .orderBy(col("d_num").desc, col("n_chars"))
+        .limit(1)
+        .select(col("n_chars").as("at_len"), col("n0"), col("n1"), col("d_num"),
+          r3(col("d_num").cast("double")
+            / (col("n0") * col("n1")).cast("double")).as("ks"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1245,5 +1275,19 @@ object AnalyticsQueries extends QueryGroup {
         "uw AS (SELECT DISTINCT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS w FROM ud) " +
         "SELECT strftime(CAST(w AS DATE), '%Y-%m-%d') AS window_end, count(*) AS wau " +
         "FROM uw GROUP BY 1 ORDER BY window_end"),
+    // cross-multiplied ECDF distance: d_num exact BIGINT, one r3'd ratio
+    "q_ecdf_ks" ->
+      ("WITH b AS (SELECT n_chars, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is0 " +
+        "FROM documents WHERE source IN ('src0', 'src1')), " +
+        "c AS (SELECT n_chars, CAST(sum(is0) AS BIGINT) AS c0, " +
+        "CAST(count(*) - sum(is0) AS BIGINT) AS c1 FROM b GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1 FROM c), " +
+        "w AS (SELECT n_chars, " +
+        "CAST(sum(c0) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum0, " +
+        "CAST(sum(c1) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1 FROM c), " +
+        "j AS (SELECT n_chars, abs(cum0 * n1 - cum1 * n0) AS d_num, n0, n1 FROM w, t) " +
+        "SELECT n_chars AS at_len, n0, n1, d_num, " +
+        "floor(CAST(d_num AS DOUBLE) / CAST(n0 * n1 AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS ks " +
+        "FROM j ORDER BY d_num DESC, n_chars LIMIT 1"),
   )
 }

@@ -422,6 +422,36 @@ object EventQueries extends QueryGroup {
         .na.fill(0L, Seq("n_first", "first_cents", "n_last", "last_cents"))
         .orderBy("wd")
     }),
+
+    // ---- 7-day trailing-window revenue (ORACLE) --------------------------
+    // The time-interval RANGE frame the row-count frames (q_win_frame_*)
+    // can't express: each day's trailing-7-day revenue, where the frame
+    // is bounded by DAY DISTANCE, not row count — a calendar gap (day
+    // with no purchases) shrinks the frame's row membership and
+    // roll7_days reports it. Corpus-scale work is the per-day rollup
+    // (map-side combinable, day-keyed); the window then runs over the
+    // day table (365 rows/year regardless of corpus size — bounded by
+    // calendar span, not data volume), so the single-partition sort is a
+    // constant-size tail, not a scale risk. Cents snapped with the
+    // engine-exact floor(x*100+0.5); the rolling average is one division
+    // chain over exact integers, r2'd.
+    "q_rolling_7d" -> ((s, d) => {
+      val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("dday"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .groupBy("dday")
+        .agg(sum(col("cents")).as("day_cents"), count(lit(1)).as("n_purch"))
+        .withColumn("day_num", expr("datediff(dday, date'1970-01-01')").cast("long"))
+        .withColumn("roll7_cents", sum(col("day_cents")).over(w))
+        .withColumn("roll7_days", count(lit(1)).over(w))
+        .withColumn("roll7_avg_usd", r2(col("roll7_cents").cast("double")
+          / col("roll7_days").cast("double") / lit(100.0)))
+        .select(fmtDate(col("dday")).as("day"), col("n_purch"), col("day_cents"),
+          col("roll7_cents"), col("roll7_days"), col("roll7_avg_usd"))
+        .orderBy("day")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -609,5 +639,19 @@ object EventQueries extends QueryGroup {
         "m AS (SELECT * FROM t WHERE user_id NOT IN (SELECT user_id FROM dl) " +
         "UNION ALL SELECT * FROM dl) " +
         "SELECT user_id, event_type, ts_str, value_r FROM m ORDER BY user_id"),
+    // integer RANGE frame keyed on epoch-day distance; identical
+    // floor-snap cents and division chain
+    "q_rolling_7d" ->
+      ("WITH p AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dday, " +
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events WHERE event_type = 'purchase'), " +
+        "g AS (SELECT dday, CAST(sum(cents) AS BIGINT) AS day_cents, count(*) AS n_purch FROM p GROUP BY 1), " +
+        "w AS (SELECT dday, n_purch, day_cents, " +
+        "CAST(sum(day_cents) OVER fr AS BIGINT) AS roll7_cents, " +
+        "CAST(count(*) OVER fr AS BIGINT) AS roll7_days " +
+        "FROM (SELECT *, date_diff('day', DATE '1970-01-01', dday) AS day_num FROM g) t " +
+        "WINDOW fr AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) " +
+        "SELECT strftime(dday, '%Y-%m-%d') AS day, n_purch, day_cents, roll7_cents, roll7_days, " +
+        "floor(CAST(roll7_cents AS DOUBLE) / CAST(roll7_days AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS roll7_avg_usd " +
+        "FROM w ORDER BY day"),
   )
 }

@@ -595,6 +595,33 @@ object RelationalQueries extends QueryGroup {
         .orderBy("s_nationkey")
     }),
 
+    // ---- §2.1 binaryFile source (raw-asset ingest) ------------------------
+    // The ingest path for media/blob estates: `binaryFile` reads whole
+    // files as (path, modificationTime, length, content BINARY) rows —
+    // how a multimodal pipeline lands image/audio assets before the
+    // MediaPipeline decode stage. Fixture: 20 docs written one-file-each
+    // via the text sink partitioned by doc_id (each file = text + '\n'),
+    // then read back with recursiveFileLookup (disables partition
+    // inference, so the full path survives for key extraction) +
+    // pathGlobFilter (skips _SUCCESS). The census proves LOSSLESS ingest:
+    // per-file byte length and content md5 — the oracle recomputes both
+    // from the original table (octet_length+1 / md5(text||'\n')), so the
+    // whole write→filesystem→binaryFile loop is hash-verified.
+    "q_source_binaryfile" -> ((s, d) => {
+      val out = s"/tmp/graft_src_${Integer.toHexString(d.hashCode)}/docs_bin"
+      Tables.documents(s, d).filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+        .write.mode("overwrite").partitionBy("doc_id").format("text").save(out)
+      s.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.txt")
+        .load(out)
+        .select(regexp_extract(col("path"), "doc_id=(\\d+)", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- §2.3 salted skew join -------------------------------------------
     // The hot-key mitigation for a shuffle join at 100 TB: orders join a
     // 5-row priority dim on o_orderpriority — a key with 5 values over
@@ -874,6 +901,12 @@ object RelationalQueries extends QueryGroup {
       ("SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n_suppliers, " +
         "CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c " +
         "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // round-trip losslessness: the oracle recomputes file size and md5
+    // from the ORIGINAL rows (the text sink appends one '\n' per line)
+    "q_source_binaryfile" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes, " +
+        "md5(text || chr(10)) AS content_md5 " +
+        "FROM documents WHERE doc_id < 20 ORDER BY doc_id"),
     "q_source_csv" ->
       ("SELECT o_orderstatus, count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +

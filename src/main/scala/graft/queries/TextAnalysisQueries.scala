@@ -550,6 +550,41 @@ object TextAnalysisQueries extends QueryGroup {
             / (col("v1") + col("v2") - col("n_shared")).cast("double")).as("jaccard"))
         .orderBy("l1", "l2")
     }),
+
+    // ---- chi-square token–source association (ORACLE) --------------------
+    // The feature-selection statistic behind quality classifiers: which
+    // tokens are most UNEVENLY distributed across sources? χ² over the
+    // term×source contingency grid, E = n_t·m_s/M. Zero cells matter
+    // ((0−E)²/E = E), so the full grid is rebuilt: term totals × the
+    // k-row broadcast source totals, left-joined back to the census on
+    // the SAME term-keyed partitioning (no extra shuffle family). Exact
+    // across engines: each cell contributes floor((M·c − n_t·m_s)²·1e6 /
+    // (M·n_t·m_s)) — an integer micro-χ² in DECIMAL(38) ↔ HUGEINT
+    // (integral div truncates identically for non-negative operands) —
+    // and the per-term sum of integers is order-free. Top-20 is
+    // take-ordered on the integer, tie-broken by term.
+    "q_chi2_tokens" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(toks(col("text"))).as("term"))
+      val census = tok.groupBy("term", "source").agg(count(lit(1)).as("c"))
+      val nt = census.groupBy("term").agg(sum(col("c")).as("n_t"))
+      val ms = census.groupBy("source").agg(sum(col("c")).as("m_s"))
+      val tot = census.agg(sum(col("c")).as("mm"))
+      nt.crossJoin(broadcast(ms)).crossJoin(broadcast(tot))
+        .join(census, Seq("term", "source"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("numer",
+          col("mm").cast(dec) * col("c") - col("n_t").cast(dec) * col("m_s"))
+        .withColumn("contrib", expr("CAST(numer * numer * 1000000 AS DECIMAL(38,0)) " +
+          "div CAST(CAST(mm AS DECIMAL(38,0)) * n_t * m_s AS DECIMAL(38,0))"))
+        .groupBy("term", "n_t")
+        .agg(sum(col("contrib")).as("chi2_micro"))
+        .orderBy(col("chi2_micro").desc, col("term"))
+        .limit(20)
+        .select(col("term"), col("n_t"),
+          (col("chi2_micro").cast("double") / lit(1000000.0)).as("chi2"))
+    }),
   )
 
   private val oracleToks =
@@ -741,5 +776,22 @@ object TextAnalysisQueries extends QueryGroup {
         "SELECT lang, count(*) AS n_chunks, CAST(sum(chunk_toks) AS BIGINT) AS sum_chunk_toks, " +
         "floor(CAST(sum(chunk_toks) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS avg_chunk_toks " +
         "FROM c GROUP BY lang ORDER BY lang"),
+    // full contingency grid incl. zero cells; micro-χ² integral division
+    // in HUGEINT mirrors Spark's DECIMAL(38) div
+    "q_chi2_tokens" ->
+      ("WITH t AS (SELECT source, unnest(" + oracleToks + ") AS term FROM documents), " +
+        "c AS (SELECT term, source, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2), " +
+        "nt AS (SELECT term, CAST(sum(c) AS BIGINT) AS n_t FROM c GROUP BY 1), " +
+        "ms AS (SELECT source, CAST(sum(c) AS BIGINT) AS m_s FROM c GROUP BY 1), " +
+        "mm AS (SELECT CAST(sum(c) AS BIGINT) AS mm FROM c), " +
+        "g AS (SELECT nt.term, nt.n_t, ms.source, ms.m_s, mm.mm, coalesce(c.c, 0) AS cc " +
+        "FROM nt CROSS JOIN ms CROSS JOIN mm " +
+        "LEFT JOIN c ON c.term = nt.term AND c.source = ms.source), " +
+        "x AS (SELECT term, n_t, CAST(sum(" +
+        "(CAST(mm AS HUGEINT) * cc - CAST(n_t AS HUGEINT) * m_s) " +
+        "* (CAST(mm AS HUGEINT) * cc - CAST(n_t AS HUGEINT) * m_s) * 1000000 " +
+        "// (CAST(mm AS HUGEINT) * n_t * m_s)) AS BIGINT) AS chi2_micro FROM g GROUP BY 1, 2) " +
+        "SELECT term, n_t, CAST(chi2_micro AS DOUBLE) / 1000000.0 AS chi2 " +
+        "FROM x ORDER BY chi2_micro DESC, term LIMIT 20"),
   )
 }

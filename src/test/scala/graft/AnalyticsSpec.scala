@@ -381,4 +381,79 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.last._5 == rows.map(_._3).sum && rows.last._6 == rows.map(_._4).sum,
       "final cumulatives must equal the totals")
   }
+
+  test("q_rolling_7d equals a driver-side trailing-window recomputation") {
+    val daily = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(expr("datediff(to_date(ts), date'1970-01-01')").cast("long").as("dn"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (dn, g) => (dn, g.map(_._2).sum, g.length.toLong) }
+      .toSeq.sortBy(_._1)
+    val expected = daily.map { case (dn, _, _) =>
+      val frame = daily.filter(d => d._1 >= dn - 6 && d._1 <= dn)
+      val rc = frame.map(_._2).sum; val rd = frame.length.toLong
+      dn -> (rc, rd, math.floor(rc.toDouble / rd.toDouble / 100.0 * 100.0 + 0.5) / 100.0)
+    }.toMap
+    val got = graft.queries.EventQueries.queries("q_rolling_7d")(spark, sf0001).collect()
+      .map { r =>
+        val dn = java.time.LocalDate.parse(r.getString(0)).toEpochDay
+        dn -> (r.getLong(3), r.getLong(4), r.getDouble(5))
+      }.toMap
+    assert(got == expected, s"rolling drift: got $got expected $expected")
+    assert(expected.size > 7, "fewer than 8 purchase days at sf0.001 — frame test is vacuous")
+  }
+
+  test("q_chi2_tokens matches a float chi-square recomputation within the micro grid") {
+    val cells = Tables.documents(spark, sf0001)
+      .select(col("source"), explode(filter(split(lower(col("text")), "[ \\t\\n\\r\\f]+"),
+        t => t =!= "")).as("term"))
+      .groupBy("term", "source").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nt = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ms = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val mm = cells.map(_._3).sum.toDouble
+    val chi = nt.keys.map { t =>
+      t -> ms.keys.map { s =>
+        val c = cells.find(x => x._1 == t && x._2 == s).map(_._3).getOrElse(0L).toDouble
+        val e = nt(t) * ms(s) / mm
+        (c - e) * (c - e) / e
+      }.sum
+    }.toMap
+    val got = graft.queries.TextAnalysisQueries.queries("q_chi2_tokens")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 20, s"expected top-20, got ${got.length}")
+    got.foreach { case (t, n, x) =>
+      assert(n == nt(t), s"term total drift for $t")
+      assert(x >= 0.0, s"negative chi2 for $t")
+      // each of the |sources| cells floors away < 1e-6; float recompute
+      // differs only by that and ulp noise
+      assert(math.abs(x - chi(t)) < 1e-3, s"chi2 drift for $t: $x vs ${chi(t)}")
+    }
+    // the query's top-20 is the true top-20 of the full statistic
+    val top = chi.toSeq.sortBy { case (t, x) => (-x, t) }.take(20).map(_._1)
+    assert(got.map(_._1).toSeq == top, "top-20 ordering diverged from the full recompute")
+  }
+
+  test("q_ecdf_ks equals a driver-side exact KS recomputation") {
+    val lens = Tables.documents(spark, sf0001)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val l0 = lens.filter(_._1 == "src0").map(_._2).sorted
+    val l1 = lens.filter(_._1 == "src1").map(_._2).sorted
+    val support = (l0 ++ l1).distinct.sorted
+    val best = support.map { v =>
+      val c0 = l0.count(_ <= v).toLong; val c1 = l1.count(_ <= v).toLong
+      (v, math.abs(c0 * l1.length - c1 * l0.length))
+    }.sortBy { case (v, d) => (-d, v) }.head
+    val r = graft.queries.AnalyticsQueries.queries("q_ecdf_ks")(spark, sf0001).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == best._1, s"KS location drift: ${r(0).getLong(0)} vs ${best._1}")
+    assert(r(0).getLong(1) == l0.length.toLong && r(0).getLong(2) == l1.length.toLong)
+    assert(r(0).getLong(3) == best._2, s"KS numerator drift: ${r(0).getLong(3)} vs ${best._2}")
+    val ks = r(0).getDouble(4)
+    assert(ks >= 0.0 && ks <= 1.0, s"KS out of range: $ks")
+    assert(best._2 > 0, "identical ECDFs at sf0.001 — KS test is vacuous")
+  }
 }

@@ -38,6 +38,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_ngram_novelty",     // one-row max-doc-id scalar for the decile bucketing
     "q_vocab_growth",      // one-row max-doc-id scalar for the decile bucketing
     "q_sim_sparse",        // one-row corpus-count scalar for the idf weights
+    "q_chi2_tokens",       // k-row source totals + one-row corpus total for the grid
+    "q_ecdf_ks",           // one-row (n0, n1) totals vs the length census
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

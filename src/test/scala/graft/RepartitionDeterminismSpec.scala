@@ -26,7 +26,9 @@ class RepartitionDeterminismSpec extends SparkSpec {
     "q_pack_assign",
     // round-5 batch 2: rank-moment ratio, ln²-grid sparse cosine, and
     // the two first-occurrence ratio/cumulative reports
-    "q_corr_spearman", "q_sim_sparse", "q_ngram_novelty", "q_vocab_growth")
+    "q_corr_spearman", "q_sim_sparse", "q_ngram_novelty", "q_vocab_growth",
+    // round-5 batch 3: rolling-average, micro-χ², and KS ratios
+    "q_rolling_7d", "q_chi2_tokens", "q_ecdf_ks")
 
   test("float-sensitive queries return identical rows across shuffle-partition settings") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

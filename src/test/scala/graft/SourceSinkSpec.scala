@@ -38,6 +38,20 @@ class SourceSinkSpec extends SparkSpec {
     assert(back.collect().toSeq == src.collect().toSeq)
   }
 
+  test("binaryFile ingest is byte-lossless against the original rows") {
+    val got = graft.queries.RelationalQueries.queries("q_source_binaryfile")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expected = Tables.documents(spark, sf0001).filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        length(encode(concat(col("text"), lit("\n")), "UTF-8")).cast("long"),
+        md5(encode(concat(col("text"), lit("\n")), "UTF-8")))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == expected.toSeq,
+      s"binaryFile ingest not lossless: got ${got.take(3).toSeq} expected ${expected.take(3).toSeq}")
+    assert(got.length == 20, s"expected 20 files, got ${got.length}")
+  }
+
   test("xml round-trip preserves values with declared schema") {
     val dir = tmp("xml")
     val src = Tables.region(spark, sf0001)
