@@ -252,6 +252,25 @@ object AggQueries extends QueryGroup {
           thetaUnion(col("sk1"), col("sk2")).as("est_any"))
         .orderBy("event_type")
     }),
+
+    // ---- grouping_id subtotal disambiguation (ORACLE) --------------------
+    // The flag q_rollup/q_cube omit: when a grouping column can itself be
+    // NULL, a NULL cell is ambiguous — genuine NULL group or subtotal
+    // row? grouping_id() (one bit per column, 0 = grouped) is the
+    // engine-level disambiguator BI tools key on. Spark's grouping_id()
+    // and DuckDB's GROUPING(a, b) pack bits identically (left column =
+    // high bit). Same single-pass partial-agg rollup as q_rollup; gid is
+    // computed in the aggregate, free.
+    "q_grouping_id" -> ((s, d) =>
+      Tables.customer(s, d)
+        .withColumn("bal_c", round(col("c_acctbal") * 100).cast("long"))
+        .withColumn("nk", col("c_nationkey").cast("long"))
+        .rollup("c_mktsegment", "nk")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_cust"), sum(col("bal_c")).as("sum_bal_c"))
+        .select("c_mktsegment", "nk", "gid", "n_cust", "sum_bal_c")
+        .orderBy(col("gid"), col("c_mktsegment").asc_nulls_first,
+          col("nk").asc_nulls_first)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -323,5 +342,12 @@ object AggQueries extends QueryGroup {
         "UNION ALL SELECT o_orderpriority, 'n_o', n_o FROM wide " +
         "UNION ALL SELECT o_orderpriority, 'n_p', n_p FROM wide) u " +
         "ORDER BY o_orderpriority, status_col"),
+    // GROUPING(a, b) packs bits exactly like Spark's grouping_id()
+    "q_grouping_id" ->
+      ("SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS nk, " +
+        "CAST(GROUPING(c_mktsegment, c_nationkey) AS BIGINT) AS gid, " +
+        "count(*) AS n_cust, CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c " +
+        "FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey) " +
+        "ORDER BY gid, c_mktsegment NULLS FIRST, nk NULLS FIRST"),
   )
 }

@@ -948,6 +948,76 @@ object AnalyticsQueries extends QueryGroup {
           r3(col("d_num").cast("double")
             / (col("n0") * col("n1")).cast("double")).as("ks"))
     }),
+
+    // ---- decile gains/lift table (ORACLE) --------------------------------
+    // The model-eval shape: rank customers by total spend WITHIN their
+    // market segment, cut into deciles, report each decile's revenue
+    // share and lift over the segment average. The ntile windows are
+    // segment-partitioned (the global-gains variant would be a corpus
+    // sort — q_histogram_eqd's censused deciles are the scale path for
+    // that); ties broken by custkey, so both engines cut identically.
+    // Lift cross-multiplies exact integers (dec_cents·seg_n vs
+    // seg_cents·n_cust) in DECIMAL(38)↔HUGEINT before ONE division.
+    "q_decile_lift" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val spend = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), "o_custkey")
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("cents").desc, col("o_custkey"))
+      val g = spend.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("c_mktsegment", "decile")
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("dec_cents"))
+      val t = g.groupBy("c_mktsegment")
+        .agg(sum(col("n_cust")).as("seg_n"), sum(col("dec_cents")).as("seg_cents"))
+      g.join(broadcast(t), "c_mktsegment")
+        .withColumn("rev_share",
+          r3(col("dec_cents").cast("double") / col("seg_cents").cast("double")))
+        .withColumn("lift",
+          r3((col("dec_cents").cast(dec) * col("seg_n")).cast("double")
+            / (col("seg_cents").cast(dec) * col("n_cust")).cast("double")))
+        .select("c_mktsegment", "decile", "n_cust", "dec_cents", "rev_share", "lift")
+        .orderBy("c_mktsegment", "decile")
+    }),
+
+    // ---- Welch two-sample t statistic (ORACLE) ---------------------------
+    // The A/B-test readout: does cohort A (user_id even) spend per
+    // purchase differently from cohort B? Welch's t from exact integer
+    // moments — ONE conditional aggregate produces (n, Σc, Σc²) for both
+    // cohorts (Σc² in DECIMAL(38) ↔ HUGEINT), then the t statistic is a
+    // fixed single-op double chain (each mean/variance/`t` step is one
+    // IEEE op on engine-identical inputs, the q_corr_regr discipline).
+    // No shuffle beyond the one 2-partial aggregate; map-side combine
+    // does the heavy lifting.
+    "q_ab_ttest" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(pmod(col("user_id"), lit(2)).cast("long").as("grp"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      p.agg(
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("grp") === 0, col("c")).otherwise(0L)).as("s0"),
+          sum(when(col("grp") === 0, col("c").cast(dec) * col("c"))
+            .otherwise(lit(0).cast(dec))).as("q0"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("grp") === 1, col("c")).otherwise(0L)).as("s1"),
+          sum(when(col("grp") === 1, col("c").cast(dec) * col("c"))
+            .otherwise(lit(0).cast(dec))).as("q1"))
+        .withColumn("m0", col("s0").cast("double") / col("n0").cast("double"))
+        .withColumn("m1", col("s1").cast("double") / col("n1").cast("double"))
+        .withColumn("v0", (col("n0").cast(dec) * col("q0") - col("s0").cast(dec) * col("s0"))
+          .cast("double") / (col("n0") * (col("n0") - lit(1L))).cast("double"))
+        .withColumn("v1", (col("n1").cast(dec) * col("q1") - col("s1").cast(dec) * col("s1"))
+          .cast("double") / (col("n1") * (col("n1") - lit(1L))).cast("double"))
+        .withColumn("t_stat", r3((col("m0") - col("m1"))
+          / sqrt(col("v0") / col("n0").cast("double") + col("v1") / col("n1").cast("double"))))
+        .select(col("n0"), col("n1"),
+          r2(col("m0") / lit(100.0)).as("mean0_usd"),
+          r2(col("m1") / lit(100.0)).as("mean1_usd"),
+          col("t_stat"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1289,5 +1359,44 @@ object AnalyticsQueries extends QueryGroup {
         "SELECT n_chars AS at_len, n0, n1, d_num, " +
         "floor(CAST(d_num AS DOUBLE) / CAST(n0 * n1 AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS ks " +
         "FROM j ORDER BY d_num DESC, n_chars LIMIT 1"),
+    // segment-partitioned ntile cuts; lift cross-multiplied in HUGEINT
+    "q_decile_lift" ->
+      ("WITH sp AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1), " +
+        "j AS (SELECT sp.o_custkey, sp.cents, c.c_mktsegment FROM sp " +
+        "JOIN customer c ON c.c_custkey = sp.o_custkey), " +
+        "n AS (SELECT c_mktsegment, CAST(ntile(10) OVER " +
+        "(PARTITION BY c_mktsegment ORDER BY cents DESC, o_custkey) AS BIGINT) AS decile, cents FROM j), " +
+        "g AS (SELECT c_mktsegment, decile, count(*) AS n_cust, CAST(sum(cents) AS BIGINT) AS dec_cents " +
+        "FROM n GROUP BY 1, 2), " +
+        "t AS (SELECT c_mktsegment, CAST(sum(n_cust) AS BIGINT) AS seg_n, " +
+        "CAST(sum(dec_cents) AS BIGINT) AS seg_cents FROM g GROUP BY 1) " +
+        "SELECT g.c_mktsegment, g.decile, g.n_cust, g.dec_cents, " +
+        "floor(CAST(dec_cents AS DOUBLE) / CAST(seg_cents AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS rev_share, " +
+        "floor(CAST(CAST(dec_cents AS HUGEINT) * seg_n AS DOUBLE) " +
+        "/ CAST(CAST(seg_cents AS HUGEINT) * n_cust AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS lift " +
+        "FROM g JOIN t ON g.c_mktsegment = t.c_mktsegment " +
+        "ORDER BY g.c_mktsegment, decile"),
+    // identical single-op IEEE chain from exact integer moments
+    "q_ab_ttest" ->
+      ("WITH p AS (SELECT user_id % 2 AS grp, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "a AS (SELECT " +
+        "CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(sum(CASE WHEN grp = 0 THEN c ELSE 0 END) AS BIGINT) AS s0, " +
+        "sum(CASE WHEN grp = 0 THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q0, " +
+        "CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN grp = 1 THEN c ELSE 0 END) AS BIGINT) AS s1, " +
+        "sum(CASE WHEN grp = 1 THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q1 FROM p), " +
+        "m AS (SELECT n0, n1, " +
+        "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0, " +
+        "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1, " +
+        "CAST(CAST(n0 AS HUGEINT) * q0 - CAST(s0 AS HUGEINT) * s0 AS DOUBLE) / CAST(n0 * (n0 - 1) AS DOUBLE) AS v0, " +
+        "CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / CAST(n1 * (n1 - 1) AS DOUBLE) AS v1 FROM a) " +
+        "SELECT n0, n1, " +
+        "floor(m0 / 100.0 * 100.0 + 0.5) / 100.0 AS mean0_usd, " +
+        "floor(m1 / 100.0 * 100.0 + 0.5) / 100.0 AS mean1_usd, " +
+        "floor((m0 - m1) / sqrt(v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS t_stat " +
+        "FROM m"),
   )
 }

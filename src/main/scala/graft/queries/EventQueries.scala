@@ -452,6 +452,35 @@ object EventQueries extends QueryGroup {
           col("roll7_cents"), col("roll7_days"), col("roll7_avg_usd"))
         .orderBy("day")
     }),
+
+    // ---- forward as-of join (ORACLE) -------------------------------------
+    // pandas merge_asof(direction='forward'): each click matched to its
+    // EARLIEST strictly-later purchase — time-to-convert attribution,
+    // the mirror of q_join_asof's latest-earlier-click. Same single
+    // (user, time)-sorted window pass, frame flipped to rows [+1, +inf)
+    // with first(non-null). Purchases sort BEFORE clicks at equal ts
+    // (tag 0 < 1), so a same-instant purchase is NOT in the click's
+    // following frame and "strictly later" holds — the exact dual of the
+    // backward query's tie discipline. The DuckDB oracle uses the same
+    // window construction (its native ASOF JOIN is backward-only).
+    "q_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          when(col("event_type") === "purchase", col("ts")).as("purchase_ts"),
+          when(col("event_type") === "purchase", 0).otherwise(1).as("tag"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      ev.withColumn("next_purchase_ts", first(col("purchase_ts"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click" && col("next_purchase_ts").isNotNull)
+        .select(pmod(col("user_id"), lit(10)).cast("long").as("bucket"),
+          (unix_micros(col("next_purchase_ts")) - unix_micros(col("ts"))).as("gap_us"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_matched"),
+          r2(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000.0).as("avg_gap_sec"))
+        .orderBy("bucket")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -653,5 +682,20 @@ object EventQueries extends QueryGroup {
         "SELECT strftime(dday, '%Y-%m-%d') AS day, n_purch, day_cents, roll7_cents, roll7_days, " +
         "floor(CAST(roll7_cents AS DOUBLE) / CAST(roll7_days AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS roll7_avg_usd " +
         "FROM w ORDER BY day"),
+    // DuckDB's native ASOF JOIN is backward-only, so the oracle mirrors
+    // the forward window construction (purchase-first tie order keeps
+    // the match strictly later)
+    "q_asof_forward" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, " +
+        "CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END AS purchase_ts, " +
+        "CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag " +
+        "FROM events WHERE event_type IN ('click', 'purchase')), " +
+        "w AS (SELECT *, first_value(purchase_ts IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, tag, event_id " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np FROM e) " +
+        "SELECT CAST(user_id % 10 AS BIGINT) AS bucket, count(*) AS n_matched, " +
+        "floor(CAST(sum(epoch_us(np) - epoch_us(ts)) AS DOUBLE) / count(*) / 1000000.0 * 100.0 + 0.5) / 100.0 AS avg_gap_sec " +
+        "FROM w WHERE event_type = 'click' AND np IS NOT NULL " +
+        "GROUP BY 1 ORDER BY bucket"),
   )
 }

@@ -622,6 +622,52 @@ object RelationalQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // ---- §2.3 market-share star join (TPC-H Q8 shape) ---------------------
+    // The hardest classic join topology in the suite: lineitem joined to
+    // SIX other tables with nation playing TWO different roles (customer-
+    // side region filter, supplier-side attribution). Per order year:
+    // total PROMO-part revenue from ASIA-region customers, and NATION_0
+    // suppliers' share of it. Join strategy mirrors the 100 TB plan: the
+    // two fact-fact edges (lineitem⋈orders on orderkey, orders⋈customer
+    // on custkey) shuffle on their keys; every dimension path (region→
+    // nation→customer filter, part filtered to PROMO, supplier⋈nation)
+    // reduces to a broadcast build side. Revenue is exact centi-cents
+    // (price_c·(100−disc_c), the cross-multiplied discount — no float
+    // product), so the share is one r3'd division of exact BIGINTs.
+    "q_market_share" -> ((s, d) => {
+      val nat = Tables.nation(s, d)
+      val asiaNat = nat.join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+          nat("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nationkey"))
+      val asiaCust = Tables.customer(s, d).join(broadcast(asiaNat), "c_nationkey")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      val promo = Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val supNation = Tables.supplier(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cc"))
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("rev_cc")).as("rev_cc_total"),
+          sum(when(col("supp_nation") === "NATION_0", col("rev_cc"))
+            .otherwise(0L)).as("rev_cc_n0"))
+        .withColumn("share",
+          r3(col("rev_cc_n0").cast("double") / col("rev_cc_total").cast("double")))
+        .orderBy("yr")
+    }),
+
     // ---- §2.3 salted skew join -------------------------------------------
     // The hot-key mitigation for a shuffle join at 100 TB: orders join a
     // 5-row priority dim on o_orderpriority — a key with 5 values over
@@ -907,6 +953,25 @@ object RelationalQueries extends QueryGroup {
       ("SELECT doc_id, CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes, " +
         "md5(text || chr(10)) AS content_md5 " +
         "FROM documents WHERE doc_id < 20 ORDER BY doc_id"),
+    // centi-cent revenue keeps the discount product integer-exact
+    "q_market_share" ->
+      ("WITH ac AS (SELECT c_custkey FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), " +
+        "o AS (SELECT o_orderkey, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr " +
+        "FROM orders JOIN ac ON o_custkey = c_custkey), " +
+        "sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey), " +
+        "l AS (SELECT l_orderkey, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cc, " +
+        "supp_nation FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO' " +
+        "JOIN sn ON l_suppkey = s_suppkey) " +
+        "SELECT yr, count(*) AS n_lines, CAST(sum(rev_cc) AS BIGINT) AS rev_cc_total, " +
+        "CAST(sum(CASE WHEN supp_nation = 'NATION_0' THEN rev_cc ELSE 0 END) AS BIGINT) AS rev_cc_n0, " +
+        "floor(CAST(sum(CASE WHEN supp_nation = 'NATION_0' THEN rev_cc ELSE 0 END) AS DOUBLE) " +
+        "/ CAST(sum(rev_cc) AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS share " +
+        "FROM l JOIN o ON l_orderkey = o_orderkey GROUP BY yr ORDER BY yr"),
     "q_source_csv" ->
       ("SELECT o_orderstatus, count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +

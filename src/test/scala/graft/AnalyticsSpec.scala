@@ -456,4 +456,119 @@ class AnalyticsSpec extends SparkSpec {
     assert(ks >= 0.0 && ks <= 1.0, s"KS out of range: $ks")
     assert(best._2 > 0, "identical ECDFs at sf0.001 — KS test is vacuous")
   }
+
+  test("q_ab_ttest equals a driver-side Welch recomputation from exact moments") {
+    val cs = Tables.events(spark, sf0001).filter(col("event_type") === "purchase")
+      .select(pmod(col("user_id"), lit(2)).cast("long"),
+        floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def mom(g: Long) = {
+      val v = cs.filter(_._1 == g).map(_._2)
+      (v.length.toLong, v.sum, v.map(c => BigInt(c) * BigInt(c)).sum)
+    }
+    val (n0, s0, q0) = mom(0); val (n1, s1, q1) = mom(1)
+    val m0 = s0.toDouble / n0.toDouble; val m1 = s1.toDouble / n1.toDouble
+    val v0 = (BigInt(n0) * q0 - BigInt(s0) * BigInt(s0)).toDouble / (n0 * (n0 - 1)).toDouble
+    val v1 = (BigInt(n1) * q1 - BigInt(s1) * BigInt(s1)).toDouble / (n1 * (n1 - 1)).toDouble
+    val t = (m0 - m1) / math.sqrt(v0 / n0.toDouble + v1 / n1.toDouble)
+    val r = graft.queries.AnalyticsQueries.queries("q_ab_ttest")(spark, sf0001).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == n0 && r(0).getLong(1) == n1)
+    assert(r(0).getDouble(2) == math.floor(m0 / 100.0 * 100.0 + 0.5) / 100.0)
+    assert(r(0).getDouble(3) == math.floor(m1 / 100.0 * 100.0 + 0.5) / 100.0)
+    assert(r(0).getDouble(4) == math.floor(t * 1000.0 + 0.5) / 1000.0,
+      s"t-stat drift: ${r(0).getDouble(4)} vs $t")
+    assert(n0 > 30 && n1 > 30, "cohorts too small at sf0.001 — t-test is vacuous")
+  }
+
+  test("q_decile_lift conserves segment totals and orders lift with spend") {
+    val rows = q("q_decile_lift").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val bySeg = rows.groupBy(_._1)
+    val spend = Tables.orders(spark, sf0001)
+      .groupBy("o_custkey").agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .join(Tables.customer(spark, sf0001)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), "o_custkey")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((seg, g) <- bySeg) {
+      assert(g.map(_._2).sorted.toSeq == (1L to 10L), s"$seg deciles not 1..10")
+      assert(g.map(_._3).sum == spend(seg)._1, s"$seg customer count not conserved")
+      assert(g.map(_._4).sum == spend(seg)._2, s"$seg cents not conserved")
+      val byDec = g.sortBy(_._2)
+      // decile 1 holds the biggest spenders: lift must be >= 1 and the
+      // per-decile revenue non-increasing
+      assert(byDec.head._6 >= 1.0, s"$seg top-decile lift < 1")
+      byDec.map(_._4).sliding(2).foreach { case Array(a, b) =>
+        assert(a >= b, s"$seg decile revenue not non-increasing") }
+      g.foreach { r => assert(r._5 >= 0.0 && r._5 <= 1.0, s"$seg share out of range") }
+    }
+  }
+
+  test("q_market_share: shares are consistent and revenue conserves vs a flat recompute") {
+    val rows = graft.queries.RelationalQueries.queries("q_market_share")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty, "no ASIA/PROMO revenue at sf0.001 — query is vacuous")
+    rows.foreach { case (yr, n, tot, n0, share) =>
+      assert(n > 0 && tot > 0 && n0 >= 0 && n0 <= tot, s"degenerate year row $yr")
+      assert(share == math.floor(n0.toDouble / tot.toDouble * 1000.0 + 0.5) / 1000.0,
+        s"share not the declared ratio for year $yr")
+    }
+    // independent single-SQL recompute of the total revenue mass
+    val flat = spark.sql(s"""
+      SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+      FROM parquet.`$sf0001/lineitem.parquet` l
+      JOIN parquet.`$sf0001/part.parquet` p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+      JOIN parquet.`$sf0001/orders.parquet` o ON l.l_orderkey = o.o_orderkey
+      JOIN parquet.`$sf0001/customer.parquet` c ON o.o_custkey = c.c_custkey
+      JOIN parquet.`$sf0001/nation.parquet` n ON c.c_nationkey = n.n_nationkey
+      JOIN parquet.`$sf0001/region.parquet` r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'""").collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == flat, "total revenue mass diverged from the flat recompute")
+  }
+
+  test("q_grouping_id: gid levels partition the rollup and conserve the total") {
+    val rows = graft.queries.AggQueries.queries("q_grouping_id")(spark, sf0001).collect()
+      .map(r => (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = Tables.customer(spark, sf0001).count()
+    val grand = rows.filter(_._3 == 3L)
+    assert(grand.length == 1 && grand.head._4 == total, "grand-total row wrong")
+    assert(rows.filter(_._3 == 1L).map(_._4).sum == total, "segment subtotals don't conserve")
+    assert(rows.filter(_._3 == 0L).map(_._4).sum == total, "detail rows don't conserve")
+    rows.foreach { case (seg, nk, gid, _, _) =>
+      assert(Set(0L, 1L, 3L)(gid), s"unexpected gid $gid")
+      if (gid == 0L) assert(seg.isDefined && nk.isDefined, "detail row with NULL keys")
+      if (gid == 1L) assert(seg.isDefined && nk.isEmpty, "segment subtotal shape wrong")
+      if (gid == 3L) assert(seg.isEmpty && nk.isEmpty, "grand total shape wrong")
+    }
+  }
+
+  test("q_asof_forward matches a driver-side earliest-later-purchase scan") {
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val gaps = byUser.values.flatMap { g =>
+      val purchases = g.filter(_._2 == "purchase")
+      g.filter(_._2 == "click").flatMap { c =>
+        // strictly later: same-ts purchases are excluded (they sort first)
+        val later = purchases.filter(p => p._3 > c._3)
+        if (later.isEmpty) None
+        else Some((c._1 % 10, later.map(_._3).min - c._3))
+      }
+    }.toSeq
+    val expected = gaps.groupBy(_._1).map { case (b, g) =>
+      val s = g.map(_._2).sum
+      b -> (g.length.toLong,
+        math.floor(s.toDouble / g.length / 1000000.0 * 100.0 + 0.5) / 100.0)
+    }
+    val got = graft.queries.EventQueries.queries("q_asof_forward")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected, s"forward as-of drift: got $got expected $expected")
+    assert(expected.values.map(_._1).sum > 50, "too few matches at sf0.001 — test is vacuous")
+  }
 }

@@ -335,6 +335,21 @@ class PlanAuditSpec extends SparkSpec {
       s"packing table shuffles more than the one rollup:\n$p")
   }
 
+  test("q_market_share broadcasts every dimension path") {
+    val p = plan("q_market_share")
+    assert(p.contains("BroadcastHashJoin"),
+      s"market-share lost its broadcast dimension joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"market-share plans a non-equi join:\n$p")
+  }
+
+  test("q_decile_lift's ntile windows are segment-partitioned, never global") {
+    val p = plan("q_decile_lift")
+    assert(p.contains("Window"), s"decile lift lost its ntile window:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"decile ntile collapsed to a single partition — the 100 TB killer:\n$p")
+  }
+
   test("q_corr_spearman's rank windows are status-partitioned, never global") {
     val p = plan("q_corr_spearman")
     assert(p.contains("Window"), s"spearman lost its rank windows:\n$p")
