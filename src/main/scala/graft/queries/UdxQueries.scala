@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.TopKAgg
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -107,6 +108,26 @@ object UdxQueries extends QueryGroup {
         .orderBy(col("n").desc, col("bigram"))
         .limit(10)
     }),
+
+    // ---- bounded partial top-k aggregator (ORACLE) -----------------------
+    // graft.functions.TopKAgg: top-3 orders per status as a HASH AGGREGATE
+    // whose buffer never exceeds k pairs — map-side combine ships ≤k rows
+    // per group per task, O(groups·k) shuffle motion, vs the window
+    // row_number form that sorts every group member on one reducer (the
+    // hot-group killer at 100 TB). The oracle IS that window form, so the
+    // gate proves the aggregator equals the sort semantics (score desc,
+    // key asc) it replaces.
+    "q_topk_peragg" -> ((s, d) => {
+      val topk = udaf(TopKAgg(3), Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy("o_orderstatus")
+        .agg(topk(col("cents"), col("o_orderkey")).as("top"))
+        .select(col("o_orderstatus"), posexplode(col("top")))
+        .select(col("o_orderstatus"), (col("pos") + 1).cast("long").as("rank"),
+          col("col._2").as("o_orderkey"), col("col._1").as("cents"))
+        .orderBy("o_orderstatus", "rank")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -130,5 +151,14 @@ object UdxQueries extends QueryGroup {
         "idx AS (SELECT unnest(generate_series(1, (SELECT max(len(toks)) FROM d))) AS i), " +
         "b AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram FROM d, idx WHERE i <= len(toks) - 1) " +
         "SELECT bigram, count(*) AS n FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 10"),
+    // the window form the aggregator replaces — equality proves the
+    // partial-agg top-k preserves sort semantics
+    "q_topk_peragg" ->
+      ("WITH r AS (SELECT o_orderstatus, o_orderkey, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents, " +
+        "row_number() OVER (PARTITION BY o_orderstatus " +
+        "ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rn FROM orders) " +
+        "SELECT o_orderstatus, CAST(rn AS BIGINT) AS rank, o_orderkey, cents " +
+        "FROM r WHERE rn <= 3 ORDER BY o_orderstatus, rank"),
   )
 }

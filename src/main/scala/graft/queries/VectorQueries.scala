@@ -204,6 +204,50 @@ object VectorQueries extends QueryGroup {
             / (col("n_vecs").cast("double") * col("ng").cast("double") * lit(1e6))).as("drift"))
         .orderBy("label")
     }),
+
+    // ---- matryoshka truncation eval (ORACLE) -----------------------------
+    // The dimension-budget report behind MRL-style embeddings: if the
+    // store keeps only the first 16 of 64 dims (4× cheaper ANN), how much
+    // of each query's full-dim top-10 neighborhood survives? For 10 probe
+    // vectors (vec_id < 10) against the whole corpus: rank candidates by
+    // full-dim cosine and by 16-dim-truncated cosine, report
+    // |top10 ∩ top10_16|. Cross-engine exactness: components snap to a
+    // 1e-6 grid first, so dots/norms are exact order-free BIGINTs; each
+    // cosine is then a fixed 3-op double chain (identical bits), ranked
+    // with a vec_id tiebreak. Scale shape: probes broadcast against the
+    // corpus (O(n·probes) row-local work), two probe-partitioned rank
+    // windows, one 10-row rollup — the corpus is never shuffled.
+    "q_matryoshka" -> ((s, d) => {
+      val wv = Tables.embeddings(s, d)
+        .withColumn("w", transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")))
+        .withColumn("n64", aggregate(col("w"), lit(0L), (acc, x) => acc + x * x))
+        .withColumn("n16", aggregate(slice(col("w"), 1, 16), lit(0L), (acc, x) => acc + x * x))
+        .select(col("vec_id"), col("w"), col("n64"), col("n16"))
+      val probes = wv.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("w").as("qw"),
+          col("n64").as("qn64"), col("n16").as("qn16"))
+      val pairs = wv.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dot64", aggregate(zip_with(col("w"), col("qw"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("dot16", aggregate(zip_with(slice(col("w"), 1, 16), slice(col("qw"), 1, 16),
+          (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+        .withColumn("cos64", col("dot64").cast("double")
+          / (sqrt(col("n64").cast("double")) * sqrt(col("qn64").cast("double"))))
+        .withColumn("cos16", col("dot16").cast("double")
+          / (sqrt(col("n16").cast("double")) * sqrt(col("qn16").cast("double"))))
+      val w64 = Window.partitionBy("q_id").orderBy(col("cos64").desc, col("vec_id"))
+      val w16 = Window.partitionBy("q_id").orderBy(col("cos16").desc, col("vec_id"))
+      pairs
+        .withColumn("r64", row_number().over(w64))
+        .withColumn("r16", row_number().over(w16))
+        .groupBy("q_id")
+        .agg(sum(when(col("r64") <= 10 && col("r16") <= 10, 1L).otherwise(0L)).as("overlap10"),
+          r2(sum(when(col("r64") <= 10 && col("r16") <= 10, 1L).otherwise(0L))
+            .cast("double") / lit(10.0)).as("recall_at_10"))
+        .orderBy("q_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -278,5 +322,26 @@ object VectorQueries extends QueryGroup {
         "SELECT cid, dim, " +
         "floor(CAST(sum(x3) AS DOUBLE) / (count(*) * 1000.0) * 1000.0 + 0.5) / 1000.0 AS centroid_c " +
         "FROM x GROUP BY cid, dim ORDER BY cid, dim"),
+    // 1e-6-grid weights keep dots/norms exact BIGINTs (< 2^53, so the
+    // double ranking chain is bit-identical); vec_id tiebreak
+    "q_matryoshka" ->
+      ("WITH w AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+        "x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS w FROM embeddings), " +
+        "n AS (SELECT vec_id, w, " +
+        "CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS n64, " +
+        "CAST(list_sum(list_transform(w[1:16], x -> x * x)) AS BIGINT) AS n16 FROM w), " +
+        "p AS (SELECT c.vec_id, q.vec_id AS q_id, " +
+        "CAST(list_sum(list_transform(generate_series(1, 64), i -> c.w[i] * q.w[i])) AS BIGINT) AS dot64, " +
+        "CAST(list_sum(list_transform(generate_series(1, 16), i -> c.w[i] * q.w[i])) AS BIGINT) AS dot16, " +
+        "c.n64, c.n16, q.n64 AS qn64, q.n16 AS qn16 " +
+        "FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id), " +
+        "r AS (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY CAST(dot64 AS DOUBLE) " +
+        "/ (sqrt(CAST(n64 AS DOUBLE)) * sqrt(CAST(qn64 AS DOUBLE))) DESC, vec_id) AS r64, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY CAST(dot16 AS DOUBLE) " +
+        "/ (sqrt(CAST(n16 AS DOUBLE)) * sqrt(CAST(qn16 AS DOUBLE))) DESC, vec_id) AS r16 FROM p) " +
+        "SELECT q_id, CAST(sum(CASE WHEN r64 <= 10 AND r16 <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS overlap10, " +
+        "floor(CAST(sum(CASE WHEN r64 <= 10 AND r16 <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 * 100.0 + 0.5) / 100.0 AS recall_at_10 " +
+        "FROM r GROUP BY q_id ORDER BY q_id"),
   )
 }

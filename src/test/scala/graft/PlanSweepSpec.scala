@@ -40,6 +40,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_sim_sparse",        // one-row corpus-count scalar for the idf weights
     "q_chi2_tokens",       // k-row source totals + one-row corpus total for the grid
     "q_ecdf_ks",           // one-row (n0, n1) totals vs the length census
+    "q_matryoshka",        // 10-probe broadcast vs the corpus — the deliberate probe fan-out
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -30,7 +30,9 @@ class RepartitionDeterminismSpec extends SparkSpec {
     // round-5 batch 3: rolling-average, micro-χ², and KS ratios
     "q_rolling_7d", "q_chi2_tokens", "q_ecdf_ks",
     // round-5 batch 4: share/lift/t-stat ratios and the forward as-of avg
-    "q_market_share", "q_decile_lift", "q_ab_ttest", "q_asof_forward")
+    "q_market_share", "q_decile_lift", "q_ab_ttest", "q_asof_forward",
+    // round-5 batch 5: grid-exact cosine rankings
+    "q_matryoshka")
 
   test("float-sensitive queries return identical rows across shuffle-partition settings") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -52,4 +52,29 @@ class VectorSpec extends SparkSpec {
     assert(rows("2_click") >= rows("3_purchase"))
     assert(rows("3_purchase") > 0L) // corpus is dense enough to convert
   }
+
+  test("q_matryoshka equals a driver-side grid-exact ranking recomputation") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray)
+      .toMap
+    def cos(a: Array[Long], b: Array[Long], dims: Int): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < dims) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val expected = (0L until 10L).map { q =>
+      val cands = vecs.keys.filter(_ != q).toSeq
+      def top10(dims: Int) = cands
+        .sortBy(c => (-cos(vecs(c), vecs(q), dims), c)).take(10).toSet
+      q -> (top10(64) & top10(16)).size.toLong
+    }.toMap
+    val got = VectorQueries.queries("q_matryoshka")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"matryoshka drift: got $got expected $expected")
+    assert(expected.values.exists(_ < 10L),
+      "truncation lost nothing at sf0.001 — eval is vacuous")
+    assert(expected.values.exists(_ > 0L), "no overlap at all — grid or ranking broken")
+  }
 }
