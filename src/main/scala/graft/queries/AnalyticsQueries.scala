@@ -1018,6 +1018,67 @@ object AnalyticsQueries extends QueryGroup {
           r2(col("m1") / lit(100.0)).as("mean1_usd"),
           col("t_stat"))
     }),
+
+    // ---- market-basket brand lift (ORACLE) -------------------------------
+    // Association-rule mining: brand pairs bought together more often
+    // than independence predicts. Pair generation is the order-keyed
+    // self-join of the DISTINCT (order, brand) table — blowup bounded by
+    // brands-per-order (≤ lines-per-order, ~7), never all-brands². The
+    // c_ab ≥ 5 support floor kills noise pairs BEFORE the k-row count
+    // joins. lift = N·c_ab/(c_a·c_b) as an integral micro-division of
+    // exact BIGINTs, so the top-20 ranking and the displayed value are
+    // engine-identical; take-ordered with a (b1, b2) tiebreak.
+    "q_basket_lift" -> ((s, d) => {
+      val ob = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+      val tot = ob.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val ca = ob.groupBy("p_brand").agg(count(lit(1)).as("c"))
+      val pairs = ob.select(col("l_orderkey"), col("p_brand").as("b1"))
+        .join(ob.select(col("l_orderkey"), col("p_brand").as("b2")), Seq("l_orderkey"))
+        .filter(col("b1") < col("b2"))
+        .groupBy("b1", "b2").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      pairs
+        .join(broadcast(ca.select(col("p_brand").as("b1"), col("c").as("c_a"))), "b1")
+        .join(broadcast(ca.select(col("p_brand").as("b2"), col("c").as("c_b"))), "b2")
+        .crossJoin(broadcast(tot))
+        .withColumn("lift_micro", expr("c_ab * n_orders * 1000000 div (c_a * c_b)"))
+        .orderBy(col("lift_micro").desc, col("b1"), col("b2"))
+        .limit(20)
+        .select(col("b1"), col("b2"), col("c_ab"), col("c_a"), col("c_b"),
+          (col("lift_micro").cast("double") / lit(1000000.0)).as("lift"))
+    }),
+
+    // ---- Benford first-digit audit (ORACLE) ------------------------------
+    // The fraud/data-quality screen: natural money amounts follow
+    // P(d) = log10(1 + 1/d); a synthetic or truncated feed doesn't. The
+    // observed share is an integral micro-division of exact counts; the
+    // Benford expectation is ln(1+1/d)/ln(10) — ln is the one
+    // transcendental both engines agree on bit-for-bit (§7.3) — snapped
+    // to the same micro grid, so the deviation column is an exact
+    // integer. One map-side digit extraction (leading digit via the
+    // decimal string — no log10 on data) + a 9-row aggregate.
+    "q_benford" -> ((s, d) => {
+      val digits = Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+        .filter(col("c") > 0)
+        .withColumn("digit", substring(col("c").cast("string"), 1, 1).cast("long"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("nn"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("share_micro", expr("n * 1000000 div nn"))
+        .withColumn("benford_micro",
+          floor(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0))
+            * lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("dev_micro", abs(col("share_micro") - col("benford_micro")))
+        .select(col("digit"), col("n"),
+          (col("share_micro").cast("double") / lit(1000000.0)).as("share"),
+          (col("benford_micro").cast("double") / lit(1000000.0)).as("benford_p"),
+          col("dev_micro"))
+        .orderBy("digit")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1398,5 +1459,34 @@ object AnalyticsQueries extends QueryGroup {
         "floor(m1 / 100.0 * 100.0 + 0.5) / 100.0 AS mean1_usd, " +
         "floor((m0 - m1) / sqrt(v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS t_stat " +
         "FROM m"),
+    // order-keyed pair join; lift as HUGEINT integral micro-division
+    "q_basket_lift" ->
+      ("WITH ob AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey), " +
+        "t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob), " +
+        "ca AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS c FROM ob GROUP BY 1), " +
+        "p AS (SELECT a.p_brand AS b1, b.p_brand AS b2, CAST(count(*) AS BIGINT) AS c_ab " +
+        "FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5), " +
+        "j AS (SELECT b1, b2, c_ab, x.c AS c_a, y.c AS c_b, n_orders, " +
+        "CAST(CAST(c_ab AS HUGEINT) * n_orders * 1000000 // (CAST(x.c AS HUGEINT) * y.c) AS BIGINT) AS lift_micro " +
+        "FROM p JOIN ca x ON p.b1 = x.p_brand JOIN ca y ON p.b2 = y.p_brand, t) " +
+        "SELECT b1, b2, c_ab, c_a, c_b, CAST(lift_micro AS DOUBLE) / 1000000.0 AS lift " +
+        "FROM j ORDER BY lift_micro DESC, b1, b2 LIMIT 20"),
+    // decimal-string leading digit (no log10 on data); ln-chain Benford
+    // expectation on the shared micro grid
+    "q_benford" ->
+      ("WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders " +
+        "WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0), " +
+        "g AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit, " +
+        "CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM g), " +
+        "x AS (SELECT digit, n, n * 1000000 // nn AS share_micro, " +
+        "CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000.0 + 0.5) AS BIGINT) AS benford_micro " +
+        "FROM g, t) " +
+        "SELECT digit, n, CAST(share_micro AS DOUBLE) / 1000000.0 AS share, " +
+        "CAST(benford_micro AS DOUBLE) / 1000000.0 AS benford_p, " +
+        "abs(share_micro - benford_micro) AS dev_micro " +
+        "FROM x ORDER BY digit"),
   )
 }

@@ -622,6 +622,34 @@ object RelationalQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // ---- §2.3 nation-pair trade matrix via the SQL entry path ------------
+    // TPC-H Q7 generalized to the full supplier-nation × customer-nation
+    // matrix, and the ONLY graded query expressed as a raw spark.sql(...)
+    // string over Tables.registerViews — proving the ad-hoc/BI entry
+    // path (temp views + SQL text) produces the exact same gated results
+    // as the DataFrame API. Catalyst plans it identically: two fact
+    // shuffles (lineitem⋈orders, orders⋈customer), broadcast dim paths,
+    // exact centi-cent revenue.
+    "q_volume_ship" -> ((s, d) => {
+      graft.Tables.registerViews(s, d)
+      s.sql("""
+        WITH sn AS (SELECT s_suppkey, n_name AS supp_nation
+                    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        cn AS (SELECT c_custkey, n_name AS cust_nation
+               FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        SELECT supp_nation, cust_nation, CAST(year(l_shipdate) AS BIGINT) AS yr,
+          count(*) AS n_lines,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_cc
+        FROM lineitem
+        JOIN sn ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN cn ON o_custkey = c_custkey
+        WHERE supp_nation <> cust_nation
+        GROUP BY supp_nation, cust_nation, yr
+        ORDER BY supp_nation, cust_nation, yr""")
+    }),
+
     // ---- §2.3 market-share star join (TPC-H Q8 shape) ---------------------
     // The hardest classic join topology in the suite: lineitem joined to
     // SIX other tables with nation playing TWO different roles (customer-
@@ -953,6 +981,24 @@ object RelationalQueries extends QueryGroup {
       ("SELECT doc_id, CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes, " +
         "md5(text || chr(10)) AS content_md5 " +
         "FROM documents WHERE doc_id < 20 ORDER BY doc_id"),
+    // same matrix, DuckDB dialect — the Spark side is raw SQL text too,
+    // so this pair gates dialect-for-dialect parity
+    "q_volume_ship" ->
+      ("WITH sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey), " +
+        "cn AS (SELECT c_custkey, n_name AS cust_nation FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey) " +
+        "SELECT supp_nation, cust_nation, CAST(year(l_shipdate) AS BIGINT) AS yr, " +
+        "count(*) AS n_lines, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) " +
+        "* (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_cc " +
+        "FROM lineitem " +
+        "JOIN sn ON l_suppkey = s_suppkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN cn ON o_custkey = c_custkey " +
+        "WHERE supp_nation <> cust_nation " +
+        "GROUP BY supp_nation, cust_nation, yr " +
+        "ORDER BY supp_nation, cust_nation, yr"),
     // centi-cent revenue keeps the discount product integer-exact
     "q_market_share" ->
       ("WITH ac AS (SELECT c_custkey FROM customer " +

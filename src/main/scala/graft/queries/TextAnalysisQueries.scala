@@ -585,6 +585,32 @@ object TextAnalysisQueries extends QueryGroup {
         .select(col("term"), col("n_t"),
           (col("chi2_micro").cast("double") / lit(1000000.0)).as("chi2"))
     }),
+
+    // ---- epoch×shard training-loader assignment (ORACLE) -----------------
+    // The data-loader contract for multi-epoch training: each document
+    // lands on a shard per epoch via a CONTENT-SEEDED portable hash
+    // (md5(doc_id:epoch) — q_split_hash's engine-portable bucket trick),
+    // so every worker can recompute its shard list without coordination
+    // and reshuffling between epochs is deterministic. The report a
+    // loader-health dashboard shows: per (epoch, shard) doc/char mass
+    // and the balance factor n·shards/total (1.0 = perfectly even).
+    // Map-side 3× epoch fan-out + one (epoch, shard)-keyed aggregate;
+    // the per-epoch totals are a k-row broadcast.
+    "q_epoch_shards" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .withColumn("epoch", explode(array(lit(0L), lit(1L), lit(2L))))
+        .withColumn("shard", pmod(conv(substring(md5(
+            concat(col("doc_id").cast("string"), lit(":"), col("epoch").cast("string"))),
+          1, 4), 16, 10).cast("long"), lit(8L)))
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val t = g.groupBy("epoch").agg(sum(col("n_docs")).as("tot"))
+      g.join(broadcast(t), "epoch")
+        .withColumn("balance",
+          r3((col("n_docs") * lit(8L)).cast("double") / col("tot").cast("double")))
+        .select("epoch", "shard", "n_docs", "sum_chars", "balance")
+        .orderBy("epoch", "shard")
+    }),
   )
 
   private val oracleToks =
@@ -793,5 +819,17 @@ object TextAnalysisQueries extends QueryGroup {
         "// (CAST(mm AS HUGEINT) * n_t * m_s)) AS BIGINT) AS chi2_micro FROM g GROUP BY 1, 2) " +
         "SELECT term, n_t, CAST(chi2_micro AS DOUBLE) / 1000000.0 AS chi2 " +
         "FROM x ORDER BY chi2_micro DESC, term LIMIT 20"),
+    // portable md5-prefix shard hash, identical string seed both engines
+    "q_epoch_shards" ->
+      ("WITH e AS (SELECT doc_id, n_chars, unnest([0, 1, 2]) AS epoch FROM documents), " +
+        "a AS (SELECT CAST(epoch AS BIGINT) AS epoch, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard, " +
+        "n_chars FROM e), " +
+        "g AS (SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM a GROUP BY 1, 2), " +
+        "t AS (SELECT epoch, CAST(sum(n_docs) AS BIGINT) AS tot FROM g GROUP BY 1) " +
+        "SELECT g.epoch, g.shard, g.n_docs, g.sum_chars, " +
+        "floor(CAST(g.n_docs * 8 AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS balance " +
+        "FROM g JOIN t ON g.epoch = t.epoch ORDER BY g.epoch, g.shard"),
   )
 }

@@ -546,6 +546,93 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_basket_lift equals a driver-side association recomputation") {
+    val ob = Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = ob.map(_._1).distinct.length.toLong
+    val ca = ob.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cab = ob.groupBy(_._1).values.flatMap { g =>
+      val bs = g.map(_._2).sorted
+      for (i <- bs.indices; j <- (i + 1) until bs.length) yield (bs(i), bs(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 5L).toMap
+    val expected = cab.map { case ((b1, b2), c) =>
+      (b1, b2) -> (c, ca(b1), ca(b2), c * n * 1000000L / (ca(b1) * ca(b2)))
+    }.toSeq.sortBy { case ((b1, b2), t) => (-t._4, b1, b2) }.take(20)
+    val got = q("q_basket_lift").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          math.round(r.getDouble(5) * 1000000.0))))
+    assert(got.toSeq == expected, s"basket lift drift:\n got ${got.take(3).toSeq}\n exp ${expected.take(3)}")
+    assert(expected.nonEmpty, "no supported pairs at sf0.001 — lift test is vacuous")
+  }
+
+  test("q_benford: digit census conserves orders and expectation matches ln recompute") {
+    val rows = q("q_benford").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.map(_._1).forall(d => d >= 1 && d <= 9), "non-digit row")
+    val total = Tables.orders(spark, sf0001)
+      .filter(round(col("o_totalprice") * 100).cast("long") > 0).count()
+    assert(rows.map(_._2).sum == total, "digit census lost orders")
+    rows.foreach { case (d, _, share, p, dev) =>
+      val expP = math.floor(math.log(1.0 + 1.0 / d.toDouble) / math.log(10.0) * 1e6 + 0.5) / 1e6
+      assert(p == expP, s"benford_p drift for digit $d: $p vs $expP")
+      assert(share >= 0.0 && share <= 1.0 && dev >= 0L)
+    }
+    // shares are floors of exact micro ratios: they sum to <= 1 and
+    // within 9 micro of it
+    val sm = rows.map(r => math.round(r._3 * 1e6)).sum
+    assert(sm <= 1000000L && sm >= 1000000L - 9L, s"share mass $sm out of the floor envelope")
+  }
+
+  test("q_epoch_shards conserves docs per epoch and actually reshuffles between epochs") {
+    val rows = graft.queries.TextAnalysisQueries.queries("q_epoch_shards")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val nDocs = Tables.documents(spark, sf0001).count()
+    for (e <- 0L to 2L) {
+      val g = rows.filter(_._1 == e)
+      assert(g.map(_._2).toSet.subsetOf((0L to 7L).toSet), s"epoch $e has a bad shard id")
+      assert(g.map(_._3).sum == nDocs, s"epoch $e lost documents")
+      g.foreach { r => assert(r._5 > 0.0, s"degenerate balance in epoch $e") }
+    }
+    // the per-(doc, epoch) hash must actually differ across epochs for
+    // most docs — otherwise every epoch replays the same shard order
+    val a = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(":0"))), 1, 4), 16, 10)
+          .cast("long"), lit(8L)).as("s0"),
+        pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(":1"))), 1, 4), 16, 10)
+          .cast("long"), lit(8L)).as("s1"))
+      .filter(col("s0") =!= col("s1")).count()
+    assert(a > nDocs / 2, s"only $a/$nDocs docs moved shards between epochs")
+  }
+
+  test("q_volume_ship (raw SQL entry) equals the DataFrame-API formulation") {
+    val sql = graft.queries.RelationalQueries.queries("q_volume_ship")(spark, sf0001)
+      .collect().toSeq
+    val sn = Tables.supplier(spark, sf0001)
+      .join(Tables.nation(spark, sf0001), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cn = Tables.customer(spark, sf0001)
+      .join(Tables.nation(spark, sf0001), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val df = Tables.lineitem(spark, sf0001)
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .withColumn("rev_cc", round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_cc")).as("rev_cc"))
+      .orderBy("supp_nation", "cust_nation", "yr")
+      .collect().toSeq
+    assert(sql == df, "SQL-text entry diverged from the DataFrame formulation")
+    assert(sql.nonEmpty, "empty trade matrix at sf0.001 — parity test is vacuous")
+  }
+
   test("q_asof_forward matches a driver-side earliest-later-purchase scan") {
     val ev = Tables.events(spark, sf0001)
       .filter(col("event_type").isin("click", "purchase"))

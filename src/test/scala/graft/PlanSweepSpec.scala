@@ -41,6 +41,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_chi2_tokens",       // k-row source totals + one-row corpus total for the grid
     "q_ecdf_ks",           // one-row (n0, n1) totals vs the length census
     "q_matryoshka",        // 10-probe broadcast vs the corpus — the deliberate probe fan-out
+    "q_basket_lift",       // one-row order-total scalar vs the ≥5-support pair table
+    "q_benford",           // one-row grand-total scalar vs the 9-digit census
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -32,7 +32,9 @@ class RepartitionDeterminismSpec extends SparkSpec {
     // round-5 batch 4: share/lift/t-stat ratios and the forward as-of avg
     "q_market_share", "q_decile_lift", "q_ab_ttest", "q_asof_forward",
     // round-5 batch 5: grid-exact cosine rankings
-    "q_matryoshka")
+    "q_matryoshka",
+    // round-5 batch 6: micro-grid lift/share/balance ratios
+    "q_basket_lift", "q_benford", "q_epoch_shards")
 
   test("float-sensitive queries return identical rows across shuffle-partition settings") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
