@@ -29,11 +29,26 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** events with `ts` converted nanos-long -> TimestampType (microseconds,
-    * truncated — matches DuckDB `CAST(ts AS TIMESTAMP)`). */
+  /** events with `ts` normalized to TimestampType microseconds — matching
+    * DuckDB `CAST(ts AS TIMESTAMP)` on the same file, whatever the
+    * corpus generation wrote:
+    *  - parquet TIMESTAMP(NANOS) (earlier corpus drops): read as
+    *    nanos-long via the legacy conf, then integer-divide to micros
+    *    (never `/1000.0`, which would round instead of truncate and
+    *    diverge from DuckDB's truncation);
+    *  - parquet TIMESTAMP(MICROS) isAdjustedToUTC=false (current drops):
+    *    arrives as TIMESTAMP_NTZ; cast to TimestampType (identity on the
+    *    micros value — the session TZ is pinned UTC). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Register every corpus table as a temp view (plus the native
