@@ -35,6 +35,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Tables.events reads TIMESTAMP_NTZ micros and casts to TimestampType;
+      // that cast is only the identity under a UTC session TZ. Pin it here
+      // (not just via build.sbt javaOptions) so a bare `java graft.Bench`
+      // on a non-UTC host can't shift event timestamps.
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT/codegen/parquet-footer startup is process cost,

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-time per-session engine setup (config-free path; the config path
+  * is `spark.sql.extensions=graft.GraftExtensions`).
+  *
+  * Queries used to self-register the native function / planner strategy /
+  * legacy-parquet conf on every invocation. Each call was idempotent and
+  * cheap, but it was still per-query driver work that a 200+-query
+  * catalog multiplies (registry lookups, strategy-list scans, conf RPCs).
+  * Now `Tables` funnels every query's first table load through
+  * [[init]], which does the work exactly once per SparkSession and is a
+  * no-op (one weak-set lookup) afterwards.
+  *
+  * The session set is weak so a stopped/discarded session doesn't pin its
+  * JVM-wide entry (tests build and stop many sessions).
+  */
+object Bootstrap {
+  private val done = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def init(s: SparkSession): Unit =
+    if (!done.contains(s)) synchronized {
+      if (!done.contains(s)) {
+        // events.ts may be parquet TIMESTAMP(NANOS), which Spark 4.x only
+        // reads with the legacy conf (runtime-settable).
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        graft.functions.ArrayCosineSimilarity.register(s)
+        graft.plans.CosineJoinStrategy.enable(s)
+        done.add(s)
+      }
+    }
+}

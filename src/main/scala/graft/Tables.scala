@@ -8,16 +8,18 @@ import org.apache.spark.sql.functions._
   *
   * All loads are plain `spark.read.parquet` so Catalyst gets a clean
   * FileSourceScan it can push filters/projections into. The one special
-  * case is `events`: its `ts` column is parquet TIMESTAMP(NANOS), which
-  * Spark 4.x refuses to read unless `spark.sql.legacy.parquet.nanosAsLong`
-  * is set (runtime-settable). We read it as nanos-long and convert to a
-  * proper microsecond timestamp with integer division (never `/1000.0`,
-  * which would round instead of truncate and diverge from DuckDB's
-  * `CAST(ts AS TIMESTAMP)` truncation).
+  * case is `events`: depending on the corpus drop, its `ts` column is
+  * either parquet TIMESTAMP(NANOS) (read as nanos-long via the legacy
+  * conf, then integer-divided to micros) or TIMESTAMP(MICROS)
+  * isAdjustedToUTC=false (arrives as TIMESTAMP_NTZ, cast to TimestampType
+  * under the UTC session TZ) — see the `events()` scaladoc for why each
+  * path is exactly DuckDB's `CAST(ts AS TIMESTAMP)`.
   */
 object Tables {
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    Bootstrap.init(s)
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
@@ -40,14 +42,19 @@ object Tables {
     *    arrives as TIMESTAMP_NTZ; cast to TimestampType (identity on the
     *    micros value — the session TZ is pinned UTC). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => // TIMESTAMP_NTZ
+      case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        // A corrupted regeneration (e.g. string ts) must fail loudly, not
+        // silently cast to nulls.
+        throw new IllegalStateException(
+          s"events.ts has unexpected parquet type $other; expected " +
+            "TIMESTAMP(NANOS) [long], TIMESTAMP, or TIMESTAMP_NTZ")
     }
   }
 
@@ -60,6 +67,5 @@ object Tables {
       "lineitem", "documents", "embeddings")
       .foreach(n => t(s, d, n).createOrReplaceTempView(n))
     events(s, d).createOrReplaceTempView("events")
-    graft.functions.ArrayCosineSimilarity.register(s)
   }
 }

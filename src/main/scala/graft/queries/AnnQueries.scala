@@ -130,7 +130,6 @@ object AnnQueries extends QueryGroup {
     * the exact kernel — AnnSpec pins this), rounded to 3dp, top-k by
     * (cosr desc, id2). */
   private[graft] def lshKnn(e: DataFrame, k: Int): DataFrame = {
-    graft.functions.ArrayCosineSimilarity.register(e.sparkSession)
     val cand = lshCandidates(e)
       .select(col("id1").as("vec_id"), col("id2").as("v2"),
         r3(expr("graft_cosine(v1, v2)")).as("cos_sim"))
@@ -151,7 +150,6 @@ object AnnQueries extends QueryGroup {
     * construction — DedupSpec pins it); recall is the LSH collision
     * probability, property-tested on planted near-duplicates. */
   private[graft] def cosineLshPairs(e: DataFrame, threshold: Double): DataFrame = {
-    graft.functions.ArrayCosineSimilarity.register(e.sparkSession)
     lshCandidates(e).filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), r3(expr("graft_cosine(v1, v2)")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

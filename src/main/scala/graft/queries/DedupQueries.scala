@@ -560,8 +560,6 @@ object DedupQueries extends QueryGroup {
     // operator → DuckDB hash-match" in one graded query (plan shape
     // pinned by PlanAuditSpec; bit parity proven in CosineJoinSpec).
     "q_dedup_embed" -> ((s, d) => {
-      graft.functions.ArrayCosineSimilarity.register(s)
-      graft.plans.CosineJoinStrategy.enable(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       val a = e.select(col("vec_id").as("id1"), col("v").as("v1"))

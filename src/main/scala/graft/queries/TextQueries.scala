@@ -148,8 +148,6 @@ object TextQueries extends QueryGroup {
     // before the window's small shuffle. Plan shape pinned in
     // PlanAuditSpec; bit parity with the oracle proven by the hash-match.
     "q_sim_knn" -> ((s, d) => {
-      graft.functions.ArrayCosineSimilarity.register(s)
-      graft.plans.CosineJoinStrategy.enable(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       val a = e.select(col("vec_id").as("id1"), col("v").as("va"))

@@ -84,7 +84,6 @@ object UdxQueries extends QueryGroup {
     // no boxing/serialization, fused into whole-stage codegen. Computes
     // cosine(embedding, reverse(embedding)) per vector.
     "q_native_cosine" -> ((s, d) => {
-      graft.functions.ArrayCosineSimilarity.register(s)
       Tables.embeddings(s, d)
         .withColumn("v", transform(col("embedding"), x => x.cast("double")))
         .select(col("vec_id"),

@@ -67,7 +67,6 @@ object VectorQueries extends QueryGroup {
 
     // ---- k-means assignment step over broadcast centroids ---------------
     "q_kmeans_assign" -> ((s, d) => {
-      graft.functions.ArrayCosineSimilarity.register(s)
       val e = Tables.embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
       val cent = Tables.embeddings(s, d).filter(col("vec_id") < K)
         .select(col("vec_id").as("cid"), vecD(col("embedding")).as("cv"))
@@ -97,7 +96,6 @@ object VectorQueries extends QueryGroup {
     // split + scoring is row-local (posexplode + codegen'd cosine); the
     // only shuffle is the final 128-row aggregate.
     "q_ann_pq" -> ((s, d) => {
-      graft.functions.ArrayCosineSimilarity.register(s)
       val M = 8; val DSUB = 8; val CODES = 16
       val e = Tables.embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
       val sub = e.select(col("vec_id"),
@@ -126,7 +124,6 @@ object VectorQueries extends QueryGroup {
     // assignment broadcast + one shuffle keyed (cid, dim) with map-side
     // partial sums — the exact distributed k-means update.
     "q_kmeans_update" -> ((s, d) => {
-      graft.functions.ArrayCosineSimilarity.register(s)
       val e = Tables.embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
       val cent = Tables.embeddings(s, d).filter(col("vec_id") < K)
         .select(col("vec_id").as("cid"), vecD(col("embedding")).as("cv"))

@@ -82,12 +82,33 @@ object WindowQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // Global ntile/percent_rank/cume_dist WITHOUT the unpartitioned
+    // window (`Window.orderBy` with no PARTITION BY = whole corpus
+    // through one reducer — the last corpus-scale single-reducer sort
+    // this suite had, removed in r6). ShardedRank range-partitions on
+    // the total order and stitches per-shard row numbers with broadcast
+    // offsets; the rank functions are then closed-form arithmetic over
+    // (rn, n) — exactly the definitions the window functions compute:
+    //   ntile(4):      first n%4 buckets get n/4+1 rows, rest n/4;
+    //   percent_rank:  (rank-1)/(n-1), and rank = rn (ORDER BY is total);
+    //   cume_dist:     rn/n (peer groups are singletons).
+    // The divisions are the same exact-integer-to-double operations
+    // DuckDB's window implementation performs, so the oracle hash is
+    // unchanged.
     "q_win_ntile_pct" -> ((s, d) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      Tables.orders(s, d)
-        .withColumn("quartile", ntile(4).over(w).cast("long"))
-        .withColumn("pct_rank", round(percent_rank().over(w), 6))
-        .withColumn("cume", round(cume_dist().over(w), 6))
+      graft.plans.ShardedRank.withRowNumber(
+          Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+          "rn", "n", col("o_totalprice").desc, col("o_orderkey"))
+        .withColumn("base", expr("n div 4"))
+        .withColumn("rem", col("n") % 4)
+        .withColumn("quartile",
+          when(col("rn") <= col("rem") * (col("base") + 1),
+            expr("(rn - 1) div (base + 1) + 1"))
+            .otherwise(expr("rem + (rn - rem * (base + 1) - 1) div base + 1")))
+        .withColumn("pct_rank",
+          round(when(col("n") === 1, lit(0.0))
+            .otherwise((col("rn") - 1).cast("double") / (col("n") - 1).cast("double")), 6))
+        .withColumn("cume", round(col("rn").cast("double") / col("n").cast("double"), 6))
         .select("o_orderkey", "quartile", "pct_rank", "cume")
         .orderBy("o_orderkey")
     }),

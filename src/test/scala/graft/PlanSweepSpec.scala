@@ -45,15 +45,62 @@ class PlanSweepSpec extends SparkSpec {
     "q_benford",           // one-row grand-total scalar vs the 9-digit census
   )
 
+  // queries that legitimately plan an UNPARTITIONED window (empty
+  // PARTITION BY = every input row through one reducer — a scale-killer
+  // on corpus-scale input, tolerable only on k-bounded intermediates).
+  // Each entry's window input is bounded by construction, independent of
+  // corpus size:
+  private val kBoundedGlobalWindow = Set(
+    "q_autocorr",       // daily rollup series (≤ #days in the corpus)
+    "q_ecdf_ks",        // ~300-row document-length census
+    "q_pareto",         // supplier census after aggregation
+    "q_rolling_7d",     // daily revenue rollup (≤ #days)
+    "q_tok_zipf",       // rank over the top-k token census
+    "q_vocab_coverage", // ≤1000-row top-k vocabulary
+    "q_vocab_growth",   // decile buckets over a ≤10-row census
+    "q_win_ntile_pct",  // ShardedRank's shards-row (=shuffle.partitions)
+                        // offset census — the corpus itself is ranked via
+                        // range-repartition + per-shard local row numbers
+  )
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans no Cartesian product and no stray nested-loop join") {
-      val p = fn(spark, sf0001).queryExecution.executedPlan.toString
+      val df = fn(spark, sf0001)
+      val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
       if (!onerowCross(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BroadcastNestedLoopJoin outside the one-row allowlist:\n$p")
       }
+      // No corpus-scale single-reducer sorts: an unpartitioned window is
+      // only acceptable on a k-bounded intermediate (allowlisted above).
+      // This is the permanent tripwire behind r5's manual window audit.
+      val unpart = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      if (!kBoundedGlobalWindow(name)) {
+        assert(unpart.isEmpty,
+          s"$name plans an unpartitioned Window over ${unpart.map(_.child.nodeName)} " +
+            s"outside the k-bounded allowlist — shard it (see graft.plans.ShardedRank):\n$p")
+      }
     }
+  }
+
+  test("q_win_ntile_pct's only global window consumes the shard census, not the corpus") {
+    val qe = SparkEntry.queries("q_win_ntile_pct")(spark, sf0001).queryExecution
+    val unpart = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.size == 1)
+    // the window's subtree must aggregate before it ranks: the input is
+    // the per-shard count census (≤ spark.sql.shuffle.partitions rows)
+    val aggBelow = unpart.head.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggBelow.nonEmpty,
+      "ntile census window no longer sits on an aggregate — corpus-scale regression?")
   }
 }
