@@ -332,4 +332,17 @@ class DedupSpec extends SparkSpec {
       assert(survivorChars > 0)
     }
   }
+
+  test("persisted postings index round-trips losslessly through parquet") {
+    // diskPostings = savePostingsIndex -> loadPostingsIndex; the on-disk
+    // copy must contain EXACTLY the rows of the live artifact, or
+    // q_snapshot_neardup's prior side silently diverges from its oracle
+    val live = graft.queries.DedupQueries.postingsArtifact(spark, sf001)
+    val disk = graft.queries.DedupQueries.diskPostings(spark, sf001)
+    assert(disk.schema.map(f => (f.name, f.dataType)) ==
+      live.schema.map(f => (f.name, f.dataType)), "schema changed in round-trip")
+    assert(disk.exceptAll(live).count() == 0, "disk copy has rows the live index lacks")
+    assert(live.exceptAll(disk).count() == 0, "disk copy lost rows")
+    assert(live.count() > 0, "vacuous: empty postings index")
+  }
 }
