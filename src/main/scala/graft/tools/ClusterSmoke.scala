@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-executor smoke harness: runs a representative query subset under
+  * `local-cluster[2,4,4096]` — REAL executor JVMs with a real RPC/serde
+  * boundary, unlike `local[*]` where everything shares the driver heap.
+  * This is the closest a single machine gets to the 1000-executor
+  * deployment target: broadcast kernels (CosineJoinExec), custom
+  * aggregator buffers (theta sketch / top-k), checkpointed dedup
+  * artifacts and `mapPartitions` codecs all must serialize across the
+  * boundary or this run throws.
+  *
+  * Invoked by LocalClusterSpec in a CHILD JVM (one SparkContext per JVM;
+  * the test JVM already holds the shared local[4] session). Writes each
+  * query's result to `outDir/<name>` as parquet; the spec re-reads them
+  * and compares row-for-row against the same queries on local[4].
+  *
+  * Usage: ClusterSmoke <outDir> <sfDir>
+  */
+object ClusterSmoke {
+
+  /** Representative slice: every custom physical operator, every custom
+    * aggregator, both mapPartitions paths, the memoized dedup artifacts,
+    * a salted join, and the sharded global rank. */
+  val smokeSet: Seq[String] = Seq(
+    "q_agg_pricing",      // baseline hash aggregate
+    "q_join_3way_topk",   // broadcast + shuffle join mix
+    "q_join_salted",      // explicit salting across executors
+    "q_join_bucketed",    // bucketed table round-trip
+    "q_win_rank",         // partitioned window
+    "q_win_ntile_pct",    // ShardedRank: range shuffle + id stitching
+    "q_session_30m",      // sessionization windows
+    "q_asof_custom",      // AsOfJoinExec (custom SparkPlan)
+    "q_sim_knn",          // CosineJoinExec broadcast kernel + fused top-k
+    "q_dedup_embed",      // CosineJoinExec threshold form
+    "q_native_cosine",    // codegen'd Catalyst expression on executors
+    "q_udaf_weighted",    // Aggregator encoder round-trip
+    "q_topk_peragg",      // TypedImperativeAggregate buffer serde
+    "q_approx_distinct",  // datasketches HLL buffers across shuffle
+    "q_sketch_overlap",   // theta sketch agg + merge
+    "q_cms_heavy",        // count-min sketch agg
+    "q_dedup_ngram",      // localCheckpoint'd shingle index on executors
+    "q_dedup_near",       // MinHash + LSH banding
+    "q_dedup_clusters",   // union-find mapPartitions tier
+    "q_media_features",   // MediaPipeline mapPartitions codec init
+  )
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val sfDir = args(1)
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,4,4096]")
+      .appName("graft-cluster-smoke")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.memory", "2g")
+      // executor JVMs need the library classes (this build's classdirs
+      // ride the test JVM's classpath) and the JDK17 module opens
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val execs = waitForExecutors(spark, want = 2, timeoutMs = 120000)
+      require(execs >= 2, s"only $execs executors registered — not a multi-executor run")
+      smokeSet.foreach { name =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        println(f"[cluster-smoke] $name%-20s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      println("[cluster-smoke] OK")
+    } finally spark.stop()
+  }
+
+  /** Block until `want` executors register (local-cluster workers start
+    * asynchronously; running before they join would fall back to fewer
+    * executors and weaken the test). */
+  private def waitForExecutors(spark: SparkSession, want: Int, timeoutMs: Long): Int = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var n = 0
+    while ({
+      n = spark.sparkContext.getExecutorMemoryStatus.size - 1 // minus driver
+      n < want && System.currentTimeMillis() < deadline
+    }) Thread.sleep(500)
+    n
+  }
+}
