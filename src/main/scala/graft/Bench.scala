@@ -40,6 +40,11 @@ object Bench {
       // (not just via build.sbt javaOptions) so a bare `java graft.Bench`
       // on a non-UTC host can't shift event timestamps.
       .config("spark.sql.session.timeZone", "UTC")
+      // 213 queries × several codegen'd stages each blows straight past
+      // the default 100-entry generated-class cache — every pass then
+      // re-compiles Janino classes it just evicted (the r5 suite-wide
+      // drift). Static conf, so it must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT/codegen/parquet-footer startup is process cost,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 aggregations: hash aggregate (partial+final), distinct
@@ -271,6 +272,41 @@ object AggQueries extends QueryGroup {
         .select("c_mktsegment", "nk", "gid", "n_cust", "sum_bal_c")
         .orderBy(col("gid"), col("c_mktsegment").asc_nulls_first,
           col("nk").asc_nulls_first)),
+    // ---- discrete percentiles by the explicit cume definition (ORACLE) --
+    // Exact p25/p50/p75 per priority as the SMALLEST VALUE whose
+    // cumulative share reaches p — the cume_dist definition written out
+    // long-hand in BOTH engines, because percentile_disc/quantile_disc
+    // flavors differ across engines while this construction cannot.
+    // Partitioned windows only (k groups in parallel, no global sort).
+    "q_percentile_disc" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("cents"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("cume", count(lit(1)).over(w).cast("double")
+          / count(lit(1)).over(Window.partitionBy("o_orderpriority")).cast("double"))
+        .groupBy("o_orderpriority")
+        .agg(min(when(col("cume") >= 0.25, col("cents"))).as("p25_c"),
+          min(when(col("cume") >= 0.50, col("cents"))).as("p50_c"),
+          min(when(col("cume") >= 0.75, col("cents"))).as("p75_c"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- bitwise aggregates (ORACLE) ------------------------------------
+    // bit_or/bit_and/bit_xor as integrity fingerprints: the xor of a
+    // key set is order-independent and cheap to maintain incrementally,
+    // the classic checksum for "same set of ids on both sides of a
+    // migration". Map-side combinable like any algebraic aggregate.
+    "q_bit_aggs" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("bit_or(user_id)").as("ids_or"),
+          expr("bit_and(user_id)").as("ids_and"),
+          expr("bit_xor(user_id)").as("ids_xor"),
+          expr("bit_xor(event_id)").as("event_checksum"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -349,5 +385,18 @@ object AggQueries extends QueryGroup {
         "count(*) AS n_cust, CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c " +
         "FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey) " +
         "ORDER BY gid, c_mktsegment NULLS FIRST, nk NULLS FIRST"),
+    "q_percentile_disc" ->
+      ("SELECT o_orderpriority, min(CASE WHEN cume >= 0.25 THEN cents END) AS p25_c, " +
+        "min(CASE WHEN cume >= 0.50 THEN cents END) AS p50_c, " +
+        "min(CASE WHEN cume >= 0.75 THEN cents END) AS p75_c FROM (" +
+        "SELECT o_orderpriority, cents, " +
+        "CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY cents RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+        "/ CAST(count(*) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS cume " +
+        "FROM (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) t) u " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_bit_aggs" ->
+      ("SELECT event_type, count(*) AS n, bit_or(user_id) AS ids_or, bit_and(user_id) AS ids_and, " +
+        "bit_xor(user_id) AS ids_xor, bit_xor(event_id) AS event_checksum " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
   )
 }

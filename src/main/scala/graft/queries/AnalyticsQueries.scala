@@ -1079,6 +1079,69 @@ object AnalyticsQueries extends QueryGroup {
           col("dev_micro"))
         .orderBy("digit")
     }),
+    // ---- sample-ratio-mismatch chi-square (ORACLE) ----------------------
+    // The experimentation-health check next to q_ab_ttest: signups split
+    // by user parity should be ~50/50; the chi-square statistic against
+    // that expectation flags broken assignment (the classic SRM guard).
+    // Counts are exact integers; chi2 is three deterministic double ops.
+    "q_ab_srm" -> ((s, d) => {
+      Tables.events(s, d).filter(col("event_type") === "signup")
+        .groupBy().agg(
+          sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"))
+        .withColumn("chi2", r3(
+          (col("n_a") - col("n_b")).cast("double") * (col("n_a") - col("n_b")).cast("double")
+            / (col("n_a") + col("n_b")).cast("double")))
+        .withColumn("srm", (col("chi2") > lit(3.841)).cast("boolean"))
+        .select("n_a", "n_b", "chi2", "srm")
+    }),
+
+    // ---- calendar spine with zero-fill (ORACLE) -------------------------
+    // The generator-driven date dimension: sequence() emits every day in
+    // the order-date span (a Generate node — no table needed), left join
+    // brings in per-day order stats, and missing days surface as
+    // explicit zero rows — the gap-visible daily series a forecasting
+    // job consumes. The spine is ~#days rows (k-bounded); the daily
+    // aggregate is the only corpus-scale pass.
+    "q_date_spine" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("day", to_date(col("o_orderdate")))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      val daily = o.groupBy("day").agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      val spine = o.groupBy().agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(fmtDate(col("day")).as("day"),
+          coalesce(col("n"), lit(0L)).as("n_orders"),
+          coalesce(col("c"), lit(0L)).as("cents"))
+        .orderBy("day")
+    }),
+
+    // ---- winsorized mean (ORACLE) ---------------------------------------
+    // The robust-mean complement to q_trimmed_mean: instead of DROPPING
+    // the tails, CLAMP them to the p05/p95 discrete quantiles — keeps n
+    // constant, which matters when the mean feeds a downstream rate.
+    // Quantiles by the explicit cume_dist definition (smallest value
+    // with cume >= p, stated identically in both engines rather than
+    // trusting quantile-function flavors to agree); all arithmetic in
+    // exact integer cents until the single r2 division.
+    "q_winsorized_mean" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("cents"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("cume", count(lit(1)).over(w).cast("double")
+          / count(lit(1)).over(Window.partitionBy("o_orderpriority")).cast("double"))
+      val bounds = base.groupBy("o_orderpriority").agg(
+        min(when(col("cume") >= 0.05, col("cents"))).as("lo"),
+        min(when(col("cume") >= 0.95, col("cents"))).as("hi"))
+      base.join(bounds, "o_orderpriority")
+        .withColumn("wc", least(greatest(col("cents"), col("lo")), col("hi")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          r2(sum(col("wc")).cast("double") / count(lit(1)) / lit(100.0)).as("winsor_mean"))
+        .orderBy("o_orderpriority")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1488,5 +1551,29 @@ object AnalyticsQueries extends QueryGroup {
         "CAST(benford_micro AS DOUBLE) / 1000000.0 AS benford_p, " +
         "abs(share_micro - benford_micro) AS dev_micro " +
         "FROM x ORDER BY digit"),
+    "q_ab_srm" ->
+      ("SELECT n_a, n_b, chi2, chi2 > 3.841 AS srm FROM (" +
+        "SELECT n_a, n_b, floor(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS chi2 FROM (" +
+        "SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a, " +
+        "sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b " +
+        "FROM events WHERE event_type = 'signup') t) u"),
+    "q_date_spine" ->
+      ("WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "daily AS (SELECT day, count(*) AS n, sum(cents) AS c FROM o GROUP BY day), " +
+        "spine AS (SELECT unnest(generate_series(min_d, max_d, INTERVAL 1 DAY)) AS day " +
+        "FROM (SELECT min(day) AS min_d, max(day) AS max_d FROM o) b) " +
+        "SELECT strftime(CAST(s.day AS DATE), '%Y-%m-%d') AS day, coalesce(d.n, 0) AS n_orders, coalesce(d.c, 0) AS cents " +
+        "FROM spine s LEFT JOIN daily d ON CAST(s.day AS DATE) = d.day ORDER BY day"),
+    "q_winsorized_mean" ->
+      ("WITH base AS (SELECT o_orderpriority, cents, " +
+        "CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY cents RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+        "/ CAST(count(*) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS cume " +
+        "FROM (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) t), " +
+        "bounds AS (SELECT o_orderpriority, min(CASE WHEN cume >= 0.05 THEN cents END) AS lo, " +
+        "min(CASE WHEN cume >= 0.95 THEN cents END) AS hi FROM base GROUP BY o_orderpriority) " +
+        "SELECT b.o_orderpriority, count(*) AS n, " +
+        "floor(CAST(sum(least(greatest(b.cents, x.lo), x.hi)) AS DOUBLE) / count(*) / 100.0 * 100.0 + 0.5) / 100.0 AS winsor_mean " +
+        "FROM base b JOIN bounds x ON b.o_orderpriority = x.o_orderpriority " +
+        "GROUP BY b.o_orderpriority ORDER BY b.o_orderpriority"),
   )
 }

@@ -136,6 +136,11 @@ object DedupQueries extends QueryGroup {
     postingsCache.keys.filter(_._1 eq s).foreach(postingsCache.remove)
   }
 
+  /** shingle-ARRAY entries only — 0 means no corpus re-tokenization
+    * happened (the postings consumers ran off loaded artifacts alone) */
+  private[graft] def cachedShingleEntries(s: SparkSession): Int =
+    shingleCache.keys.count(_._1 eq s)
+
   private[graft] def cachedEntries(s: SparkSession): Int =
     shingleCache.keys.count(_._1 eq s) + pairsCache.keys.count(_._1 eq s) +
       postingsCache.keys.count(_._1 eq s)

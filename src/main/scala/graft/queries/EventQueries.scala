@@ -481,6 +481,107 @@ object EventQueries extends QueryGroup {
           r2(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000.0).as("avg_gap_sec"))
         .orderBy("bucket")
     }),
+    // ---- exponentially weighted moving average (ORACLE) -----------------
+    // Per-user EWMA with half-life decay over the last 10 events — the
+    // smoothing a metrics pipeline applies to noisy per-user signals.
+    // Weights are powers of 1/2 (exactly representable), values are
+    // exact integer cents, so every term cents_j * 2^-j is a dyadic
+    // rational within double's 53-bit mantissa and the sum is EXACT —
+    // no accumulation-order risk between engines (§7.3 discipline:
+    // ordinary ewma alphas like 0.3 would NOT survive the hash gate).
+    // Window shape: one partitioned window, 10 lag terms, zero extra
+    // shuffles — at 100 TB this is a single per-user-partitioned pass.
+    "q_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val withC = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val ewmaC = (0 to 9).map(j =>
+        coalesce(lag(col("cents"), j).over(w), lit(0L)).cast("double")
+          * lit(math.pow(0.5, j))).reduce(_ + _)
+      withC
+        .withColumn("ewma_c", ewmaC)
+        .select(col("event_id"), col("user_id"), r2(col("ewma_c") / lit(100.0)).as("ewma"))
+        .orderBy("event_id")
+    }),
+
+    // ---- day-of-week x hour activity profile (ORACLE) -------------------
+    // The 7x24 heatmap behind load forecasting and anomaly baselines.
+    // Day-of-week is computed ARITHMETICALLY from the epoch-day number
+    // ((days + 3) % 7 -> 0=Monday; 1970-01-01 was a Thursday), because
+    // dayofweek()'s numbering differs between engines (Spark 1=Sunday,
+    // DuckDB 0=Sunday) — the formula is the engine-neutral form.
+    "q_dow_hour" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("dow", pmod(unix_date(to_date(col("ts"))) + lit(3), lit(7)).cast("long"))
+        .withColumn("hr", hour(col("ts")).cast("long"))
+        .groupBy("dow", "hr")
+        .agg(count(lit(1)).as("n_events"),
+          r2(sum(col("cents")).cast("double") / count(lit(1)) / lit(100.0)).as("avg_value"))
+        .orderBy("dow", "hr")
+    }),
+
+    // ---- hourly grid resample with LINEAR interpolation (ORACLE) --------
+    // The interpolating complement to q_resample_locf: per user, an
+    // hourly timestamp grid strictly inside the event span, each grid
+    // point valued by linear interpolation between its bracketing
+    // events. Shape: grid rows UNIONed into the event stream, then ONE
+    // partitioned window pass carries the previous/next event value and
+    // time to every grid row (last/first with ignoreNulls) — no range
+    // join, no per-grid-point probe; this is the 100 TB-safe resample.
+    // Arithmetic: interp = (c0*(t1-t) + c1*(t-t0)) / (t1-t0) on exact
+    // integer cents x micros, numerator in decimal(38) (HUGEINT in the
+    // oracle) — nonnegative throughout, so truncating and floor division
+    // agree. Grid capped at 24 points/user to bound the report.
+    "q_resample_linear" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), round(col("value") * 100).cast("long").as("cents"))
+      val grid = ev.groupBy("user_id").agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id"), explode(sequence(
+          date_trunc("hour", col("t0")) + expr("INTERVAL 1 HOUR"),
+          date_trunc("hour", col("t1")), expr("INTERVAL 1 HOUR"))).as("ts"))
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id").orderBy("ts")))
+        .filter(col("rn") <= 24)
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("cents"),
+          lit(1).as("is_grid"))
+      val merged = ev.withColumn("is_grid", lit(0)).unionByName(grid)
+        .withColumn("tus", unix_micros(col("ts")))
+      // events sort before a same-timestamp grid point, so an exact-hit
+      // grid row interpolates between the equal event and itself
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("is_grid"))
+      val prevSpec = w.rowsBetween(Window.unboundedPreceding, -1)
+      val nextSpec = w.rowsBetween(0, Window.unboundedFollowing)
+      val evC = when(col("is_grid") === 0, col("cents"))
+      val evT = when(col("is_grid") === 0, col("tus"))
+      merged
+        .withColumn("c0", last(evC, ignoreNulls = true).over(prevSpec))
+        .withColumn("t0", last(evT, ignoreNulls = true).over(prevSpec))
+        .withColumn("c1", first(evC, ignoreNulls = true).over(nextSpec))
+        .withColumn("t1", first(evT, ignoreNulls = true).over(nextSpec))
+        .filter(col("is_grid") === 1)
+        .withColumn("ic", when(col("t1") === col("t0"), col("c0")).otherwise(
+          expr("(cast(c0 as decimal(38,0)) * cast(t1 - tus as decimal(38,0)) " +
+            "+ cast(c1 as decimal(38,0)) * cast(tus - t0 as decimal(38,0))) " +
+            "div cast(t1 - t0 as decimal(38,0))")))
+        .select(col("user_id"), fmtTs(col("ts")).as("grid_ts"),
+          r2(col("ic").cast("double") / lit(100.0)).as("value_interp"))
+        .orderBy("user_id", "grid_ts")
+    }),
+
+    // ---- json_tuple generator extraction (ORACLE) -----------------------
+    // The UDTF-shaped JSON path: json_tuple plans a Generate node (one
+    // pass, no per-field re-parse the repeated get_json_object form
+    // pays), the right shape when extracting MANY fields from big JSON
+    // payloads at scale.
+    "q_json_tuple" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"), json_tuple(col("props"), "k").as("k"))
+        .select(col("event_type"), col("k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          r2(sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -697,5 +798,44 @@ object EventQueries extends QueryGroup {
         "floor(CAST(sum(epoch_us(np) - epoch_us(ts)) AS DOUBLE) / count(*) / 1000000.0 * 100.0 + 0.5) / 100.0 AS avg_gap_sec " +
         "FROM w WHERE event_type = 'click' AND np IS NOT NULL " +
         "GROUP BY 1 ORDER BY bucket"),
+    "q_ewma" ->
+      ("SELECT event_id, user_id, floor(ewma_c / 100.0 * 100.0 + 0.5) / 100.0 AS ewma FROM (" +
+        "SELECT event_id, user_id, " +
+        (0 to 9).map(j => s"coalesce(CAST(lag(cents, $j) OVER w AS DOUBLE), 0.0) * ${math.pow(0.5, j)}")
+          .mkString(" + ") + " AS ewma_c " +
+        "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events) e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t ORDER BY event_id"),
+    "q_dow_hour" ->
+      ("SELECT dow, hr, count(*) AS n_events, " +
+        "floor(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 * 100.0 + 0.5) / 100.0 AS avg_value FROM (" +
+        "SELECT ((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 + 7) % 7 AS dow, " +
+        "CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events) t " +
+        "GROUP BY dow, hr ORDER BY dow, hr"),
+    "q_resample_linear" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, CAST(round(value * 100) AS BIGINT) AS cents, 0 AS is_grid FROM events), " +
+        "g AS (SELECT user_id, unnest(generate_series(date_trunc('hour', t0) + INTERVAL 1 HOUR, date_trunc('hour', t1), INTERVAL 1 HOUR)) AS ts " +
+        "FROM (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM e GROUP BY user_id) b), " +
+        "g24 AS (SELECT user_id, ts, CAST(NULL AS BIGINT) AS cents, 1 AS is_grid FROM " +
+        "(SELECT user_id, ts, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM g) x WHERE rn <= 24), " +
+        "m AS (SELECT *, epoch_us(ts) AS tus FROM (SELECT * FROM e UNION ALL SELECT * FROM g24) u), " +
+        "f AS (SELECT user_id, ts, is_grid, tus, " +
+        "last_value(CASE WHEN is_grid = 0 THEN cents END IGNORE NULLS) OVER wp AS c0, " +
+        "last_value(CASE WHEN is_grid = 0 THEN tus END IGNORE NULLS) OVER wp AS t0, " +
+        "first_value(CASE WHEN is_grid = 0 THEN cents END IGNORE NULLS) OVER wn AS c1, " +
+        "first_value(CASE WHEN is_grid = 0 THEN tus END IGNORE NULLS) OVER wn AS t1 " +
+        "FROM m WINDOW wp AS (PARTITION BY user_id ORDER BY tus, is_grid ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+        "wn AS (PARTITION BY user_id ORDER BY tus, is_grid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS grid_ts, " +
+        "floor(CAST(ic AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS value_interp FROM (" +
+        "SELECT user_id, ts, CASE WHEN t1 = t0 THEN c0 ELSE " +
+        "CAST((CAST(c0 AS HUGEINT) * (t1 - tus) + CAST(c1 AS HUGEINT) * (tus - t0)) // (t1 - t0) AS BIGINT) END AS ic " +
+        "FROM f WHERE is_grid = 1) z ORDER BY user_id, grid_ts"),
+    "q_json_tuple" ->
+      ("SELECT event_type, count(*) AS n, sum(k) AS sum_k, " +
+        "floor(CAST(sum(k) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS avg_k " +
+        "FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t " +
+        "GROUP BY event_type ORDER BY event_type"),
   )
 }

@@ -611,6 +611,66 @@ object TextAnalysisQueries extends QueryGroup {
         .select("epoch", "shard", "n_docs", "sum_chars", "balance")
         .orderBy("epoch", "shard")
     }),
+    // ---- PII detection + redaction accounting (ORACLE) ------------------
+    // The scrub step every training-data pipeline runs before release.
+    // The synthetic corpus carries no organic PII, so each doc is
+    // deterministically AUGMENTED with a contact line derived from its
+    // own doc_id (both engines construct the identical string — the
+    // regexes then have real work to do): detect emails + phone numbers,
+    // count them, and account for the size delta after replacing them
+    // with redaction tags. Row-local regex work over one projection —
+    // embarrassingly parallel at any scale; the per-source rollup is the
+    // only (tiny) shuffle.
+    "q_pii_redact" -> ((s, d) => {
+      val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      Tables.documents(s, d)
+        .withColumn("txt", concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .withColumn("n_email", size(regexp_extract_all(col("txt"), lit(emailRe), lit(0))).cast("long"))
+        .withColumn("n_phone", size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0))).cast("long"))
+        .withColumn("red", regexp_replace(regexp_replace(col("txt"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_email")).as("emails"),
+          sum(col("n_phone")).as("phones"),
+          sum(length(col("txt")) - length(col("red"))).cast("long").as("chars_redacted"))
+        .orderBy("source")
+    }),
+
+    // ---- regex vocabulary extraction (ORACLE) ---------------------------
+    // regexp_extract_all as a Generate-adjacent primitive: pull every
+    // long token (6+ letters) out of each doc, explode, and census per
+    // language — the match-domain census a regex-driven filter rule is
+    // tuned against. The pattern uses only constructs with identical
+    // semantics in Java regex (Spark) and RE2 (DuckDB).
+    "q_regex_extract" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), explode(regexp_extract_all(col("text"), lit("[a-z]{6,}"), lit(0))).as("w"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_matches"), countDistinct(col("w")).as("n_distinct"),
+          min(col("w")).as("first_alpha"), max(col("w")).as("last_alpha"))
+        .orderBy("lang")
+    }),
+
+    // ---- per-source dataset card (ORACLE) -------------------------------
+    // The one-page "datasheet" a curation team publishes with a corpus:
+    // per source, volume (docs/chars/tokens), language spread, and the
+    // short-doc share that drives filter tuning. Pure aggregation over
+    // one pass of the corpus (token counts via the shared ws-split, no
+    // index needed) — report-scale output, corpus-scale input.
+    "q_dataset_card" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("ntok", size(filter(split(lower(col("text")), wsRegex), t => t =!= "")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("ntok")).as("total_tokens"),
+          r2(sum(col("ntok")).cast("double") / count(lit(1))).as("avg_tokens"),
+          r3(sum(when(col("ntok") < 20, 1L).otherwise(0L)).cast("double") / count(lit(1))).as("short_share"))
+        .orderBy("source")
+    }),
   )
 
   private val oracleToks =
@@ -831,5 +891,27 @@ object TextAnalysisQueries extends QueryGroup {
         "SELECT g.epoch, g.shard, g.n_docs, g.sum_chars, " +
         "floor(CAST(g.n_docs * 8 AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS balance " +
         "FROM g JOIN t ON g.epoch = t.epoch ORDER BY g.epoch, g.shard"),
+    "q_pii_redact" ->
+      ("SELECT source, count(*) AS n_docs, sum(n_email) AS emails, sum(n_phone) AS phones, " +
+        "CAST(sum(length(txt) - length(red)) AS BIGINT) AS chars_redacted FROM (" +
+        "SELECT source, txt, " +
+        "CAST(len(regexp_extract_all(txt, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS BIGINT) AS n_email, " +
+        "CAST(len(regexp_extract_all(txt, '\\+1-555-[0-9]{4}')) AS BIGINT) AS n_phone, " +
+        "regexp_replace(regexp_replace(txt, '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'), '\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS red " +
+        "FROM (SELECT source, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt FROM documents) a) b " +
+        "GROUP BY source ORDER BY source"),
+    "q_regex_extract" ->
+      ("SELECT lang, count(*) AS n_matches, count(DISTINCT w) AS n_distinct, " +
+        "min(w) AS first_alpha, max(w) AS last_alpha " +
+        "FROM (SELECT lang, unnest(regexp_extract_all(text, '[a-z]{6,}')) AS w FROM documents) t " +
+        "GROUP BY lang ORDER BY lang"),
+    "q_dataset_card" ->
+      ("SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, " +
+        "sum(n_chars) AS total_chars, sum(ntok) AS total_tokens, " +
+        "floor(CAST(sum(ntok) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS avg_tokens, " +
+        "floor(CAST(sum(CASE WHEN ntok < 20 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000.0 + 0.5) / 1000.0 AS short_share FROM (" +
+        "SELECT source, lang, n_chars, CAST(len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '')) AS BIGINT) AS ntok " +
+        "FROM documents) t GROUP BY source ORDER BY source"),
   )
 }

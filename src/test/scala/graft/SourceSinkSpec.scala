@@ -126,9 +126,13 @@ class SourceSinkSpec extends SparkSpec {
     assert(viaLoaded == direct,
       "incremental near-dup over the persisted postings index diverged from the built one")
     // the loaded postings artifact must satisfy the consumer alone — no
-    // shingle-array rebuild (no re-tokenization) behind its back
-    assert(graft.queries.DedupQueries.cachedEntries(spark) == 1,
-      "near-dup over a loaded postings index should touch no other artifact")
+    // shingle-array rebuild (no re-tokenization) behind its back. Two
+    // postings entries are expected: the loaded index plus the #ondisk
+    // alias q_snapshot_neardup's prior side round-trips through parquet.
+    assert(graft.queries.DedupQueries.cachedShingleEntries(spark) == 0,
+      "near-dup over a loaded postings index re-tokenized the corpus")
+    assert(graft.queries.DedupQueries.cachedEntries(spark) == 2,
+      "expected exactly the loaded postings + its on-disk prior alias")
     graft.queries.DedupQueries.evict(spark)
   }
 
