@@ -807,6 +807,77 @@ object RelationalQueries extends QueryGroup {
           r2(max(col("value"))).as("max_v"))
         .orderBy("event_type")
     }),
+    // ---- TPC-H Q3 shape: shipping-priority top-10 (ORACLE) --------------
+    // customer(segment) |x| orders(before cut) |x| lineitem(shipped after
+    // cut), revenue-ranked top 10 open orders. Revenue in exact integer
+    // ten-thousandths (price_c * (100 - disc_c)) — the suite's standard
+    // discipline for sum(price * (1-disc)). The segment filter prunes the
+    // customer side before the join; the two date filters reach their
+    // scans (PushedFilters). Top-10 via sort+limit (TakeOrderedAndProject
+    // — no global sort materialization).
+    "q_ship_priority" -> ((s, d) => {
+      val cut = lit("1998-06-30").cast("timestamp")
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+        .withColumn("rev_tk", round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .select("l_orderkey", "rev_tk")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(col("rev_tk")).as("revenue_tk"))
+        .select(col("l_orderkey"), r2(col("revenue_tk").cast("double") / lit(10000.0)).as("revenue"),
+          fmtDate(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue_tk").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- TPC-H Q15 shape: top supplier(s) by period revenue (ORACLE) ----
+    // Quarter revenue per supplier, then the supplier(s) AT the maximum —
+    // the classic view + scalar-max join. The max is a one-row broadcast
+    // against the k-suppliers aggregate; ties all surface (no arbitrary
+    // row pick), ordered by suppkey.
+    "q_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+        .withColumn("rev_tk", round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .groupBy("l_suppkey").agg(sum(col("rev_tk")).as("total_tk"))
+      val mx = rev.agg(max(col("total_tk")).as("mx"))
+      rev.join(broadcast(mx), col("total_tk") === col("mx"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          r2(col("total_tk").cast("double") / lit(10000.0)).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- TPC-H Q18 shape: large-quantity orders (ORACLE) ----------------
+    // Orders whose total line quantity exceeds a threshold, with the
+    // customer attached — the IN-subquery-over-groupBy-HAVING shape. The
+    // qualifying-orders aggregate is computed ONCE and reused as both
+    // the filter and the quantity column (no second lineitem pass); the
+    // customer join is broadcast (qualifying set is tiny by definition).
+    "q_large_orders" -> ((s, d) => {
+      val qty = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+        .filter(col("qty_c") > lit(9000L))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      broadcast(qty)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_name"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          fmtDate(col("o_orderdate")).as("o_orderdate"),
+          r2(col("o_totalprice")).as("o_totalprice"),
+          r2(col("qty_c").cast("double") / lit(100.0)).as("total_qty"))
+        .orderBy(col("qty_c").desc, col("o_orderkey"))
+        .limit(20)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1027,5 +1098,28 @@ object RelationalQueries extends QueryGroup {
         "floor(min(value) * 100.0 + 0.5) / 100.0 AS min_v, " +
         "floor(max(value) * 100.0 + 0.5) / 100.0 AS max_v " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_ship_priority" ->
+      ("SELECT l_orderkey, floor(CAST(revenue_tk AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue, " +
+        "strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate, o_orderpriority FROM (" +
+        "SELECT l_orderkey, o_orderdate, o_orderpriority, sum(rev_tk) AS revenue_tk FROM (" +
+        "SELECT l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_tk " +
+        "FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-30') l " +
+        "JOIN (SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-30') o ON l_orderkey = o_orderkey " +
+        "JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c ON o_custkey = c_custkey " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority) t " +
+        "ORDER BY revenue_tk DESC, l_orderkey LIMIT 10"),
+    "q_top_supplier" ->
+      ("WITH rev AS (SELECT l_suppkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_tk " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01' GROUP BY l_suppkey) " +
+        "SELECT s_suppkey, s_name, floor(CAST(total_tk AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS total_revenue " +
+        "FROM rev JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE total_tk = (SELECT max(total_tk) FROM rev) ORDER BY s_suppkey"),
+    "q_large_orders" ->
+      ("SELECT c_name, c_custkey, o_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate, " +
+        "floor(o_totalprice * 100.0 + 0.5) / 100.0 AS o_totalprice, " +
+        "floor(CAST(qty_c AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_qty " +
+        "FROM (SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 9000) q " +
+        "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY qty_c DESC, o_orderkey LIMIT 20"),
   )
 }
