@@ -307,6 +307,24 @@ object AggQueries extends QueryGroup {
           expr("bit_xor(event_id)").as("event_checksum"))
         .orderBy("event_type")
     }),
+    // ---- exact GLOBAL percentiles without a global sort (ORACLE) --------
+    // The corpus-wide p50/p90/p99 every SLA report needs, computed by
+    // ShardedRank (range-shuffle + per-shard numbering + broadcast
+    // offsets — same primitive as q_win_ntile_pct) instead of the
+    // single-reducer ORDER BY that percentile-by-position implies.
+    // Discrete definition: value at position ceil(p*n) of the total
+    // (cents, orderkey) order — closed-form from the global row number.
+    "q_percentile_global" -> ((s, d) => {
+      graft.plans.ShardedRank.withRowNumber(
+          Tables.orders(s, d).select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+          "rn", "n", col("cents"), col("o_orderkey"))
+        .groupBy()
+        .agg(max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("cents"))).as("p50_c"),
+          max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("cents"))).as("p90_c"),
+          max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("cents"))).as("p99_c"),
+          max(col("n")).as("n"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -398,5 +416,11 @@ object AggQueries extends QueryGroup {
       ("SELECT event_type, count(*) AS n, bit_or(user_id) AS ids_or, bit_and(user_id) AS ids_and, " +
         "bit_xor(user_id) AS ids_xor, bit_xor(event_id) AS event_checksum " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_percentile_global" ->
+      ("SELECT max(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END) AS p50_c, " +
+        "max(CASE WHEN rn = (n * 90 + 99) // 100 THEN cents END) AS p90_c, " +
+        "max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS p99_c, max(n) AS n FROM (" +
+        "SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn, count(*) OVER () AS n " +
+        "FROM (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) t) u"),
   )
 }

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** GRADED Structured Streaming: these queries run a REAL streaming job —
+  * `readStream` file source → event-time aggregation →
+  * `Trigger.AvailableNow` drain into a memory sink — and hand the drained
+  * result to the same DuckDB hash gate as every batch query. This closes
+  * the loop SURVEY §2.10 left to unit tests: the streaming execution path
+  * (micro-batch planner, state store, watermark eviction) is now
+  * oracle-verified, not just spec-asserted.
+  *
+  * Determinism rules that make a STREAM hash-gateable:
+  *   - `AvailableNow` + a bounded file source ⇒ a fixed batch plan over
+  *     fixed input — no timing dependence;
+  *   - sums in exact integer cents: state-store partial aggregation
+  *     accumulates in arrival order, which differs from DuckDB's scan
+  *     order, so double sums would drift in the last ulp (§7.3);
+  *   - the append-mode query reports only windows CLOSED by the final
+  *     watermark (max event time − delay) — a pure event-time function
+  *     of the input, mirrored literally in the oracle's SQL;
+  *   - the complete-mode query has no watermark at all.
+  *
+  * At 100 TB the same topology runs unbounded: the file source becomes a
+  * stream, state stores shard per key range across executors, and the
+  * memory sink becomes a real sink — nothing in the query body changes.
+  */
+object StreamQueries extends QueryGroup {
+
+  private val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** events as an UNBOUNDED source with the same ts normalization as
+    * Tables.events (readStream needs an explicit schema; file source
+    * accepts the single-file path as a one-file glob). */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    graft.Bootstrap.init(s)
+    // the file stream source wants a DIRECTORY; the corpus dir holds one
+    // file per table, so glob-filter it down to the events file
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => stream
+      case _ =>
+        stream.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
+
+  /** Drain `agg` through a memory sink and return the sink table. */
+  private def drain(s: SparkSession, agg: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${ctr.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val queries: Map[String, QFn] = Map(
+    // ---- streamed tumbling counts, complete mode (ORACLE) ---------------
+    // Identical event-time semantics to the batch q_tumbling_1h, computed
+    // by the micro-batch engine + state store instead of a hash
+    // aggregate. Complete mode: every window is in the sink at drain end,
+    // so the result equals the batch aggregation exactly.
+    "q_stream_tumbling" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      drain(s, agg, "complete")
+        .select(fmtTs(col("w.start")).as("window_start"), col("event_type"),
+          col("n"), col("sum_cents"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // ---- streamed windows under a watermark, append mode (ORACLE) -------
+    // The genuinely streaming contract: append mode emits a window ONLY
+    // once the watermark (max event time − 17 min) passes its end, and
+    // windows still open at drain end are withheld. The oracle states
+    // that eviction rule literally: hour buckets whose end <= max(ts) −
+    // 17 min. Equality proves the engine's watermark arithmetic — not
+    // just the aggregation — matches the declarative definition. (17 min
+    // is deliberately not a divisor of the window size, so the watermark
+    // never lands exactly on a window boundary where emit-at-equality
+    // flavors could differ.)
+    "q_stream_window_append" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "17 minutes")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      drain(s, agg, "append")
+        .select(fmtTs(col("w.start")).as("window_start"), col("event_type"),
+          col("n"), col("sum_cents"))
+        .orderBy("window_start", "event_type")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      ("SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start, " +
+        "event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM events GROUP BY 1, event_type ORDER BY window_start, event_type"),
+    "q_stream_window_append" ->
+      ("WITH e AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '17 minutes' AS w FROM events) " +
+        "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents FROM e, wm " +
+        "WHERE ws + INTERVAL '1 hour' <= w " +
+        "GROUP BY ws, event_type ORDER BY window_start, event_type"),
+  )
+}

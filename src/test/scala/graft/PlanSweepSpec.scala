@@ -61,6 +61,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_win_ntile_pct",  // ShardedRank's shards-row (=shuffle.partitions)
                         // offset census — the corpus itself is ranked via
                         // range-repartition + per-shard local row numbers
+    "q_percentile_global", // same ShardedRank census window
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
