@@ -102,6 +102,41 @@ object StreamQueries extends QueryGroup {
           col("n"), col("sum_cents"))
         .orderBy("window_start", "event_type")
     }),
+
+    // ---- streamed exactly-once dedup (ORACLE) ---------------------------
+    // The at-least-once ingestion story: the SAME source unioned with
+    // itself simulates a redelivering upstream (every event arrives
+    // twice); dropDuplicatesWithinWatermark on the event key must
+    // collapse the stream back to exactly-once. The oracle is the plain
+    // batch census of the ORIGINAL table — equality proves the dedup
+    // state logic removed precisely the redelivered copies.
+    "q_stream_dedup" -> ((s, d) => {
+      val e = eventsStream(s, d).select(col("event_id"), col("event_type"), col("ts"))
+      val redelivered = e.union(e)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      drain(s, redelivered, "complete")
+        .select(col("event_type"), col("n"))
+        .orderBy("event_type")
+    }),
+
+    // ---- stream-static dimension join (ORACLE) --------------------------
+    // The canonical enrichment topology: an unbounded fact stream joined
+    // to a bounded dimension table (broadcast per micro-batch — no
+    // stream-stream state). Grades the StreamingSymmetricHashJoin-free
+    // fast path end-to-end through the hash gate.
+    "q_stream_enrich" -> ((s, d) => {
+      val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val agg = eventsStream(s, d)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      drain(s, agg, "complete")
+        .select(col("c_mktsegment"), col("event_type"), col("n"), col("sum_cents"))
+        .orderBy("c_mktsegment", "event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -117,5 +152,12 @@ object StreamQueries extends QueryGroup {
         "CAST(sum(cents) AS BIGINT) AS sum_cents FROM e, wm " +
         "WHERE ws + INTERVAL '1 hour' <= w " +
         "GROUP BY ws, event_type ORDER BY window_start, event_type"),
+    "q_stream_dedup" ->
+      ("SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_stream_enrich" ->
+      ("SELECT c_mktsegment, event_type, count(*) AS n, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type"),
   )
 }

@@ -44,6 +44,10 @@ object ClusterSmoke {
     "q_dedup_near",       // MinHash + LSH banding
     "q_dedup_clusters",   // union-find mapPartitions tier
     "q_media_features",   // MediaPipeline mapPartitions codec init
+    "q_dedup_prefix",     // PPJoin hashed candidate join + broadcast confirm
+    "q_resample_linear",  // generator + union + ignoreNulls window carry
+    "q_percentile_global", // ShardedRank offsets across executors
+    "q_stream_tumbling",  // micro-batch engine + state store on executors
   )
 
   def main(args: Array[String]): Unit = {

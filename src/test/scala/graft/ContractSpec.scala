@@ -13,9 +13,9 @@ class ContractSpec extends AnyFunSuite {
   // golden verification there (the two lists can't drift).
   private val noOracle: Set[String] = graft.tools.RegenGolden.NoOracle.toSet
 
-  test("all 231 declared queries are present") {
-    assert(SparkEntry.queries.size == 231,
-      s"expected 231 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
+  test("all 233 declared queries are present") {
+    assert(SparkEntry.queries.size == 233,
+      s"expected 233 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
   }
 
   test("oracle coverage is exactly queries minus the declared NO-ORACLE set") {
