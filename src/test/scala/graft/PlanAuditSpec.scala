@@ -370,4 +370,41 @@ class PlanAuditSpec extends SparkSpec {
     assert("% 3".r.findAllIn(p).size >= 2, s"carve filters not pushed to both sides:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_ship_priority takes top-10 without a global sort and pushes all three filters") {
+    val p = plan("q_ship_priority")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 materialized a global sort:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate")
+      || p.contains("LessThan(o_orderdate"), s"order-date cut not pushed:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate"), s"ship-date cut not pushed:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), s"segment filter not pushed:\n$p")
+  }
+
+  test("q_large_orders broadcasts the qualifying-orders aggregate") {
+    assert(plan("q_large_orders").contains("BroadcastHashJoin"))
+  }
+
+  test("q_percentile_global plans no single-partition corpus sort") {
+    val p = plan("q_percentile_global")
+    // ShardedRank: the only exchanges on the corpus path are the range
+    // repartition and aggregate shuffles — never Exchange SinglePartition
+    // below a Sort of the full table
+    assert(p.contains("rangepartitioning"), s"range shuffle missing:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Sort [cents") && l.contains("true, 0")),
+      s"global sort of the corpus appeared:\n$p")
+  }
+
+  test("q_stream_enrich's dimension join broadcasts the static side per micro-batch") {
+    // the drained memory table hides the stream plan; audit the logical
+    // batch equivalent instead: events x customer must broadcast customer
+    val dim = Tables.customer(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("c_custkey"),
+        org.apache.spark.sql.functions.col("c_mktsegment"))
+    val p = Tables.events(spark, sf0001)
+      .join(dim, org.apache.spark.sql.functions.col("user_id")
+        === org.apache.spark.sql.functions.col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"dimension side not broadcast:\n$p")
+  }
 }
