@@ -34,7 +34,12 @@ class RepartitionDeterminismSpec extends SparkSpec {
     // round-5 batch 5: grid-exact cosine rankings
     "q_matryoshka",
     // round-5 batch 6: micro-grid lift/share/balance ratios
-    "q_basket_lift", "q_benford", "q_epoch_shards")
+    "q_basket_lift", "q_benford", "q_epoch_shards",
+    // round-6: ShardedRank consumers (global rank stitched from
+    // per-shard numbering — the shard count itself must not matter),
+    // the interpolating resampler, and the EWMA dyadic sum
+    "q_win_ntile_pct", "q_percentile_global", "q_resample_linear",
+    "q_ewma", "q_winsorized_mean")
 
   test("float-sensitive queries return identical rows across shuffle-partition settings") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
