@@ -1142,6 +1142,32 @@ object AnalyticsQueries extends QueryGroup {
           r2(sum(col("wc")).cast("double") / count(lit(1)) / lit(100.0)).as("winsor_mean"))
         .orderBy("o_orderpriority")
     }),
+    // ---- classical seasonal decomposition (ORACLE) ----------------------
+    // Daily revenue = trend + day-of-week seasonal + residual: a 7-day
+    // centered moving average (trend), the mean of the detrended series
+    // per weekday (seasonal), and what's left (residual). One
+    // corpus-scale daily aggregate; every window after it runs on the
+    // ~#days census (k-bounded — PlanSweep-allowlisted). All terms are
+    // floor-divisions of exact integer sums < 2^53, identical in both
+    // engines.
+    "q_seasonal_decompose" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .withColumn("day", to_date(col("o_orderdate")))
+        .groupBy("day")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val det = daily
+        .withColumn("trend_c",
+          floor(sum(col("c")).over(w7).cast("double") / count(lit(1)).over(w7)).cast("long"))
+        .withColumn("det_c", col("c") - col("trend_c"))
+        .withColumn("dow", pmod(unix_date(col("day")) + lit(3), lit(7)).cast("long"))
+      val seas = det.groupBy("dow")
+        .agg(floor(sum(col("det_c")).cast("double") / count(lit(1))).cast("long").as("seas_c"))
+      det.join(broadcast(seas), "dow")
+        .select(fmtDate(col("day")).as("day"), col("c"), col("trend_c"),
+          col("seas_c"), (col("det_c") - col("seas_c")).as("resid_c"))
+        .orderBy("day")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1575,5 +1601,16 @@ object AnalyticsQueries extends QueryGroup {
         "floor(CAST(sum(least(greatest(b.cents, x.lo), x.hi)) AS DOUBLE) / count(*) / 100.0 * 100.0 + 0.5) / 100.0 AS winsor_mean " +
         "FROM base b JOIN bounds x ON b.o_orderpriority = x.o_orderpriority " +
         "GROUP BY b.o_orderpriority ORDER BY b.o_orderpriority"),
+    "q_seasonal_decompose" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c " +
+        "FROM orders GROUP BY 1), " +
+        "det AS (SELECT day, c, " +
+        "CAST(floor(CAST(sum(c) OVER w7 AS DOUBLE) / count(*) OVER w7) AS BIGINT) AS trend_c, " +
+        "((date_diff('day', DATE '1970-01-01', day) + 3) % 7 + 7) % 7 AS dow " +
+        "FROM daily WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "det2 AS (SELECT day, c, trend_c, c - trend_c AS det_c, dow FROM det), " +
+        "seas AS (SELECT dow, CAST(floor(CAST(sum(det_c) AS DOUBLE) / count(*)) AS BIGINT) AS seas_c FROM det2 GROUP BY dow) " +
+        "SELECT strftime(day, '%Y-%m-%d') AS day, c, trend_c, seas_c, det_c - seas_c AS resid_c " +
+        "FROM det2 JOIN seas USING (dow) ORDER BY day"),
   )
 }

@@ -914,6 +914,22 @@ object DedupQueries extends QueryGroup {
           max(when(col("rn") === 1, col("n_chars"))).as("survivor_chars"))
         .orderBy("cluster_root")
     }),
+    // ---- cross-source duplicate matrix (ORACLE) -------------------------
+    // WHERE is the shared content coming from? The near-dup pair set
+    // (memoized — zero extra candidate generation) joined back to each
+    // side's ingestion source, rolled into an unordered source-pair
+    // matrix. The report a curation team uses to spot mirror sites and
+    // feed the crawler's dedup-by-origin rules.
+    "q_dup_source_matrix" -> ((s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      nearDupPairs(s, d)
+        .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+        .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+        .select(least(col("s1"), col("s2")).as("src1"),
+          greatest(col("s1"), col("s2")).as("src2"))
+        .groupBy("src1", "src2").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src1", "src2")
+    }),
   )
 
   /** Edit-distance dedup over (doc_id, text, fp) rows: same-bucket pairs
@@ -1308,5 +1324,20 @@ object DedupQueries extends QueryGroup {
         "SELECT source, count(*) AS n_dup FROM b " +
         "WHERE EXISTS (SELECT 1 FROM c WHERE c.fp = b.fp) " +
         "GROUP BY source ORDER BY source"),
+    "q_dup_source_matrix" ->
+      ("WITH sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS s, " +
+        "CAST(len(list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END)) AS BIGINT) AS nsh " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks FROM documents) t), " +
+        "ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sh a JOIN ok ON ok.s = a.s JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh " +
+        "HAVING CAST(count(*) AS DOUBLE) / CAST(a.nsh + b.nsh - count(*) AS DOUBLE) >= 0.5) " +
+        "SELECT least(da.source, db.source) AS src1, greatest(da.source, db.source) AS src2, count(*) AS n_pairs " +
+        "FROM p JOIN documents da ON p.d1 = da.doc_id JOIN documents db ON p.d2 = db.doc_id " +
+        "GROUP BY 1, 2 ORDER BY src1, src2"),
   )
 }

@@ -582,6 +582,59 @@ object EventQueries extends QueryGroup {
           r2(sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
         .orderBy("event_type")
     }),
+    // ---- cohort lifetime-value matrix (ORACLE) --------------------------
+    // Revenue-weighted cohort retention: users cohorted by first-seen
+    // epoch-week (ANY event), purchase cents rolled into (cohort-week,
+    // weeks-since) cells — the LTV triangle. Week arithmetic on
+    // epoch-day div 7 integers (no date-truncation flavors); single
+    // shuffle on user for the cohort min, then a k-cells aggregate.
+    "q_cohort_ltv" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("wk", expr("unix_date(to_date(ts)) div 7"))
+      val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cwk"))
+      ev.filter(col("event_type") === "purchase")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .join(cohort, "user_id")
+        .groupBy(col("cwk"), (col("wk") - col("cwk")).as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_buyers"),
+          count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+        .select(col("cwk").as("cohort_week"), col("weeks_since"),
+          col("n_buyers"), col("n_purchases"), col("cents"))
+        .orderBy("cohort_week", "weeks_since")
+    }),
+
+    // ---- nearest-neighbor as-of join, either direction (ORACLE) ---------
+    // The third as-of flavor next to backward (q_join_asof) and forward
+    // (q_asof_forward): each purchase takes its NEAREST click in time,
+    // past or future, ties to the earlier click. Same single-window
+    // union topology as the resampler — no range join, no per-row
+    // probe: clicks sort before a same-timestamp purchase, so a
+    // zero-gap click is found on the backward side deterministically.
+    "q_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"))
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("is_p"), col("event_id"))
+      val clickT = when(col("is_p") === 0, col("tus"))
+      ev
+        .withColumn("prev_t", last(clickT, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("next_t", first(clickT, ignoreNulls = true)
+          .over(w.rowsBetween(1, Window.unboundedFollowing)))
+        .filter(col("is_p") === 1)
+        .withColumn("gp", col("tus") - col("prev_t"))
+        .withColumn("gn", col("next_t") - col("tus"))
+        .withColumn("dir",
+          when(col("gp").isNull && col("gn").isNull, "none")
+            .when(col("gn").isNull || (col("gp").isNotNull && col("gp") <= col("gn")), "back")
+            .otherwise("fwd"))
+        .withColumn("gap_us", when(col("dir") === "back", col("gp"))
+          .when(col("dir") === "fwd", col("gn")))
+        .select(col("event_id"), col("user_id"), col("dir"),
+          r2(col("gap_us").cast("double") / lit(1000000.0)).as("gap_sec"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -837,5 +890,27 @@ object EventQueries extends QueryGroup {
         "floor(CAST(sum(k) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS avg_k " +
         "FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t " +
         "GROUP BY event_type ORDER BY event_type"),
+    "q_cohort_ltv" ->
+      ("WITH ev AS (SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents, " +
+        "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk FROM events), " +
+        "cohort AS (SELECT user_id, min(wk) AS cwk FROM ev GROUP BY user_id) " +
+        "SELECT CAST(cwk AS BIGINT) AS cohort_week, CAST(wk - cwk AS BIGINT) AS weeks_since, " +
+        "count(DISTINCT e.user_id) AS n_buyers, count(*) AS n_purchases, sum(cents) AS cents " +
+        "FROM ev e JOIN cohort c ON e.user_id = c.user_id WHERE event_type = 'purchase' " +
+        "GROUP BY cwk, wk - cwk ORDER BY cohort_week, weeks_since"),
+    "q_asof_nearest" ->
+      ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p FROM events WHERE event_type IN ('click', 'purchase')), " +
+        "f AS (SELECT event_id, user_id, is_p, tus, " +
+        "last_value(CASE WHEN is_p = 0 THEN tus END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, is_p, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t, " +
+        "first_value(CASE WHEN is_p = 0 THEN tus END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, is_p, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t " +
+        "FROM ev) " +
+        "SELECT event_id, user_id, dir, floor(CAST(gap_us AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0 AS gap_sec FROM (" +
+        "SELECT event_id, user_id, " +
+        "CASE WHEN prev_t IS NULL AND next_t IS NULL THEN 'none' " +
+        "WHEN next_t IS NULL OR (prev_t IS NOT NULL AND tus - prev_t <= next_t - tus) THEN 'back' ELSE 'fwd' END AS dir, " +
+        "CASE WHEN prev_t IS NULL AND next_t IS NULL THEN NULL " +
+        "WHEN next_t IS NULL OR (prev_t IS NOT NULL AND tus - prev_t <= next_t - tus) THEN tus - prev_t ELSE next_t - tus END AS gap_us " +
+        "FROM f WHERE is_p = 1) z ORDER BY event_id"),
   )
 }

@@ -62,6 +62,7 @@ class PlanSweepSpec extends SparkSpec {
                         // offset census — the corpus itself is ranked via
                         // range-repartition + per-shard local row numbers
     "q_percentile_global", // same ShardedRank census window
+    "q_seasonal_decompose", // 7-day MA over the ~#days daily census
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
