@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Multi-executor smoke harness: runs a representative query subset under
+/** Multi-executor smoke harness: runs a representative query subset (incl. streaming) under
   * `local-cluster[2,4,4096]` — REAL executor JVMs with a real RPC/serde
   * boundary, unlike `local[*]` where everything shares the driver heap.
   * This is the closest a single machine gets to the 1000-executor

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Proves the engine survives a REAL executor boundary: a child JVM runs
-  * ClusterSmoke's 20-query slice under `local-cluster[2,4,4096]` (two
+  * ClusterSmoke's representative slice under `local-cluster[2,4,4096]` (two
   * separate executor JVMs, real serialization of broadcast kernels,
   * custom aggregator buffers, checkpoint blocks and codec state), and
   * every result must equal the same query on the shared local[4]
@@ -16,7 +16,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class LocalClusterSpec extends SparkSpec {
 
-  test("20-query smoke under local-cluster[2,4,4096] matches local[4] row-for-row") {
+  test("ClusterSmoke.smokeSet under local-cluster[2,4,4096] matches local[4] row-for-row") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_cluster_smoke_").toString
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
