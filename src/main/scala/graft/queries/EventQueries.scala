@@ -635,6 +635,42 @@ object EventQueries extends QueryGroup {
           r2(col("gap_us").cast("double") / lit(1000000.0)).as("gap_sec"))
         .orderBy("event_id")
     }),
+    // ---- Spark 4 VARIANT extraction, graded (ORACLE) --------------------
+    // parse_json ONCE into the binary variant encoding, then typed
+    // variant_get extraction — the semi-structured hot path that at
+    // scale replaces per-field JSON re-parsing (VariantSpec pins the
+    // encoding details; this gives the path an oracle-graded row). The
+    // oracle reads the same field through DuckDB's JSON extraction, so
+    // equality proves the variant encode/decode is value-faithful.
+    "q_variant_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("v", expr("parse_json(props)"))
+        .withColumn("k", expr("variant_get(v, '$.k', 'long')"))
+        .groupBy(pmod(col("k"), lit(7)).cast("long").as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("k_mod")
+    }),
+
+    // ---- error-safe arithmetic: try_divide / try_add (ORACLE) -----------
+    // Under ANSI mode (Spark 4 default) a divide-by-zero THROWS mid-job;
+    // try_* functions give per-row null semantics instead — the contract
+    // a 100 TB pipeline needs (one bad row must not kill a 6-hour job).
+    // Gaps between consecutive purchase values per user can be zero, so
+    // the ratio of value-delta to time-gap exercises the real case.
+    "q_try_arith" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).filter(col("event_type") === "purchase")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("dc", col("cents") - lag(col("cents"), 1).over(w))
+        .withColumn("dt", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("rate", expr("try_divide(dc, dt div 1000000)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("rate").isNull && col("dc").isNotNull, 1L).otherwise(0L)).as("n_zero_gap"),
+          r2(sum(coalesce(col("rate"), lit(0.0)))).as("sum_rate"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -912,5 +948,22 @@ object EventQueries extends QueryGroup {
         "CASE WHEN prev_t IS NULL AND next_t IS NULL THEN NULL " +
         "WHEN next_t IS NULL OR (prev_t IS NOT NULL AND tus - prev_t <= next_t - tus) THEN tus - prev_t ELSE next_t - tus END AS gap_us " +
         "FROM f WHERE is_p = 1) z ORDER BY event_id"),
+    "q_variant_extract" ->
+      ("SELECT CAST(((k % 7) + 7) % 7 AS BIGINT) AS k_mod, count(*) AS n, sum(k) AS sum_k, " +
+        "min(k) AS min_k, max(k) AS max_k " +
+        "FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t " +
+        "GROUP BY 1 ORDER BY k_mod"),
+    "q_try_arith" ->
+      ("WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events WHERE event_type = 'purchase'), " +
+        "g AS (SELECT user_id, cents - lag(cents, 1) OVER w AS dc, " +
+        "epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS dt " +
+        "FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "r AS (SELECT user_id, dc, CASE WHEN dt // 1000000 = 0 THEN NULL " +
+        "ELSE CAST(dc AS DOUBLE) / CAST(dt // 1000000 AS DOUBLE) END AS rate FROM g) " +
+        "SELECT user_id, count(*) AS n, " +
+        "sum(CASE WHEN rate IS NULL AND dc IS NOT NULL THEN 1 ELSE 0 END) AS n_zero_gap, " +
+        "floor(sum(coalesce(rate, 0.0)) * 100.0 + 0.5) / 100.0 AS sum_rate " +
+        "FROM r GROUP BY user_id ORDER BY user_id"),
   )
 }

@@ -878,6 +878,28 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("qty_c").desc, col("o_orderkey"))
         .limit(20)
     }),
+    // ---- schema-merge parquet read (ORACLE) -----------------------------
+    // The source-level face of schema evolution (q_union_evolve is the
+    // query-level face): two parquet drops — an old one without a column
+    // and a new one with it — read as ONE dataset via mergeSchema; the
+    // missing column surfaces as null for old rows. At 100 TB this is
+    // how a years-old lake with accreted columns reads without a
+    // rewrite. Oracle reconstructs the same union from the live table.
+    "q_source_merge_schema" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_merge_schema_").toString
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$base/drop=old")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$base/drop=new")
+      s.read.option("mergeSchema", "true").parquet(base)
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>")).as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("prio")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1121,5 +1143,10 @@ object RelationalQueries extends QueryGroup {
         "FROM (SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 9000) q " +
         "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
         "ORDER BY qty_c DESC, o_orderkey LIMIT 20"),
+    "q_source_merge_schema" ->
+      ("SELECT coalesce(prio, '<pre-schema>') AS prio, count(*) AS n, " +
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents FROM (" +
+        "SELECT o_totalprice, CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS prio " +
+        "FROM orders) t GROUP BY 1 ORDER BY prio"),
   )
 }

@@ -671,6 +671,23 @@ object TextAnalysisQueries extends QueryGroup {
           r3(sum(when(col("ntok") < 20, 1L).otherwise(0L)).cast("double") / count(lit(1))).as("short_share"))
         .orderBy("source")
     }),
+    // ---- case-insensitive collation grouping (ORACLE) -------------------
+    // Spark 4 collations: grouping under UTF8_LCASE folds case at the
+    // COMPARISON level (no projection rewrite) — the engine-native way
+    // to normalize user-generated text keys. The mixed-case key is
+    // synthesized deterministically (doc_id parity picks upper/lower),
+    // and the oracle folds with lower() — equality proves the collation
+    // compares exactly like explicit case-folding.
+    "q_collation_group" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("k", when(col("doc_id") % 2 === 0, upper(col("source")))
+          .otherwise(col("source")))
+        .withColumn("kc", expr("collate(k, 'UTF8_LCASE')"))
+        .groupBy("kc")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .select(lower(col("kc")).as("source_ci"), col("n_docs"), col("chars"))
+        .orderBy("source_ci")
+    }),
   )
 
   private val oracleToks =
@@ -913,5 +930,9 @@ object TextAnalysisQueries extends QueryGroup {
         "floor(CAST(sum(CASE WHEN ntok < 20 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000.0 + 0.5) / 1000.0 AS short_share FROM (" +
         "SELECT source, lang, n_chars, CAST(len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '')) AS BIGINT) AS ntok " +
         "FROM documents) t GROUP BY source ORDER BY source"),
+    "q_collation_group" ->
+      ("SELECT lower(k) AS source_ci, count(*) AS n_docs, sum(n_chars) AS chars FROM (" +
+        "SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS k, n_chars " +
+        "FROM documents) t GROUP BY 1 ORDER BY source_ci"),
   )
 }
