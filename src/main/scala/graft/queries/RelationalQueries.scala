@@ -900,6 +900,41 @@ object RelationalQueries extends QueryGroup {
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
         .orderBy("prio")
     }),
+    // ---- error-tolerant CSV ingestion (ORACLE) --------------------------
+    // The one-bad-row-must-not-kill-the-job contract at the SOURCE: a
+    // CSV extract with deterministically corrupted rows (every 97th
+    // order key gets a non-numeric key field) read back in PERMISSIVE
+    // mode — malformed rows land in _corrupt_record instead of failing
+    // the scan, and the report accounts for BOTH populations. The
+    // oracle derives the same split from the live table by the same
+    // rule, so equality proves the permissive parser quarantined
+    // exactly the planted rows and parsed every other field losslessly.
+    "q_source_csv_corrupt" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_csv_corrupt_").toString
+      Tables.orders(s, d)
+        .select(concat_ws(",",
+          when(col("o_orderkey") % 97 === 0, lit("corrupted")).otherwise(col("o_orderkey").cast("string")),
+          col("o_custkey").cast("string"),
+          format_string("%.2f", col("o_totalprice"))).as("line"))
+        .write.mode("overwrite").text(base)
+      val schema = "o_orderkey LONG, o_custkey LONG, o_totalprice STRING, _corrupt_record STRING"
+      val parsed = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(base)
+      // the key column MUST appear in the aggregate: the CSV parser only
+      // parses REQUIRED columns (column pruning), and corrupt-record
+      // detection sees only what was parsed — prune away o_orderkey and
+      // the planted corruption is invisible (caught live by this query's
+      // first draft)
+      parsed.groupBy()
+        .agg(sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt_record").isNull,
+            round(col("o_totalprice").cast("double") * 100).cast("long"))
+            .otherwise(0L)).as("good_cents"),
+          max(when(col("_corrupt_record").isNull, col("o_orderkey"))).as("max_good_key"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1148,5 +1183,11 @@ object RelationalQueries extends QueryGroup {
         "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents FROM (" +
         "SELECT o_totalprice, CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS prio " +
         "FROM orders) t GROUP BY 1 ORDER BY prio"),
+    "q_source_csv_corrupt" ->
+      ("SELECT sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS n_corrupt, " +
+        "sum(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END) AS n_good, " +
+        "sum(CASE WHEN o_orderkey % 97 <> 0 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS good_cents, " +
+        "max(CASE WHEN o_orderkey % 97 <> 0 THEN o_orderkey END) AS max_good_key " +
+        "FROM orders"),
   )
 }
