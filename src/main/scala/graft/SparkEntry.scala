@@ -25,6 +25,7 @@ object SparkEntry {
     VectorQueries,
     AnalyticsQueries,
     StreamQueries,
+    LakehouseQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

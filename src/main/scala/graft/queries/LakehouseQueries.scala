@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.TxnLog
+
+/** Transactional-table (lakehouse-lite) surface: time travel over an
+  * atomic commit log, copy-on-write delete, and manifest-level file
+  * skipping — the commit protocol a multi-writer 100 TB lake needs
+  * (`graft.sources.TxnLog` holds the protocol; these queries grade it
+  * through the DuckDB hash gate by reconstructing every snapshot's
+  * expected contents from the immutable source table).
+  */
+object LakehouseQueries extends QueryGroup {
+
+  private def cents(c: String) = round(col(c) * 100).cast("long")
+
+  def queries: Map[String, QFn] = Map(
+
+    // ---- time travel across append / append / COW-delete / append -------
+    // Four commits, then a census of EVERY version still readable from
+    // the log: v0 append (≤1996), v1 append (1997-98), v2 copy-on-write
+    // delete of status 'F' (remove+rewrite in one atomic commit), v3
+    // append (≥1999). Each snapshot read resolves its live file set from
+    // manifests 0..v only — data files are immutable, so v0's census is
+    // byte-stable no matter how many commits follow (the audit/replay
+    // guarantee time travel exists for). Oracle recomputes all four
+    // snapshots declaratively from `orders`; hash equality proves the
+    // log's add/remove algebra and the COW rewrite lossless.
+    "q_txn_timetravel" -> ((s, d) => {
+      val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/orders_tt"
+      TxnLog.rmrf(base)
+      val log = new graft.sources.TxnLog(s, base, statCol = Some("o_year"))
+      log.init()
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        cents("o_totalprice").as("cents"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      // modest file counts per commit: enough files that the COW delete
+      // exercises multi-file remove+rewrite, few enough that local fixture
+      // job counts stay sane
+      log.append(o.filter(col("o_year") <= 1996).repartition(4))
+      log.append(o.filter(col("o_year").between(1997, 1998)).repartition(4))
+      log.deleteWhere(col("o_orderstatus") === "F")
+      log.append(o.filter(col("o_year") >= 1999).repartition(4))
+      val versions = (0 to 3).map { v =>
+        log.read(v).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("total_cents"))
+          .select(lit(v).cast("long").as("version"),
+            col("n_rows"), col("total_cents"))
+      }
+      versions.reduce(_ unionAll _).orderBy("version")
+    }),
+
+    // ---- manifest-level file skipping ------------------------------------
+    // One commit per order-year with min/max year stats riding the
+    // manifest; a 1997-98 read plans ONLY the two overlapping file
+    // groups — file skipping decided from ~bytes of metadata BEFORE any
+    // parquet footer is opened (the across-files analogue of row-group
+    // pruning; at 100 TB this is the difference between opening 2 files
+    // and 7 years of them). TxnLogSpec pins inputFiles.length == 2; the
+    // oracle proves pruning lossless (superset guarantee + row filter).
+    "q_txn_prune" -> ((s, d) => {
+      val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/orders_py"
+      TxnLog.rmrf(base)
+      val log = new graft.sources.TxnLog(s, base, statCol = Some("o_year"))
+      log.init()
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        cents("o_totalprice").as("cents"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      (1995 to 2001).foreach { y =>
+        log.append(o.filter(col("o_year") === y).coalesce(1))
+      }
+      log.readPruned(log.latestVersion(), 1997L, 1998L)
+        .filter(col("o_year").between(1997, 1998))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        .orderBy("o_orderstatus")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_txn_timetravel" ->
+      ("WITH o AS (SELECT o_orderstatus AS st, year(o_orderdate) AS yr, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE yr <= 1996 " +
+        "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE yr <= 1998 " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE yr <= 1998 AND st <> 'F' " +
+        "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "WHERE (yr <= 1998 AND st <> 'F') OR yr >= 1999 " +
+        "ORDER BY version"),
+    "q_txn_prune" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders WHERE year(o_orderdate) BETWEEN 1997 AND 1998 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+  )
+}

@@ -878,6 +878,102 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("qty_c").desc, col("o_orderkey"))
         .limit(20)
     }),
+
+    // ---- TPC-H Q10 shape: returned-item reporting (ORACLE) --------------
+    // Top-20 customers by revenue lost to returns in a quarter:
+    // customer |x| orders(quarter) |x| lineitem(returnflag = 'R') |x|
+    // nation. Revenue in exact integer ten-thousandths; the date filter
+    // and the returnflag filter both reach their scans, the nation dim
+    // is broadcast, and the top-20 is TakeOrderedAndProject over the
+    // customer aggregate — never a global sort of the join output.
+    "q_returned_items" -> ((s, d) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-04-01").cast("timestamp")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .withColumn("rev_tk", round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .select("l_orderkey", "rev_tk")
+      val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(col("rev_tk")).as("rev_tk"),
+          // acctbal is a per-customer constant; max() carries it through
+          // the aggregate without a second customer join
+          max(round(col("c_acctbal") * 100).cast("long")).as("acct_c"))
+        .select(col("c_custkey"), col("c_name"),
+          r2(col("rev_tk").cast("double") / lit(10000.0)).as("revenue"),
+          r2(col("acct_c").cast("double") / lit(100.0)).as("c_acctbal"),
+          col("n_name"), col("rev_tk"))
+        .orderBy(col("rev_tk").desc, col("c_custkey"))
+        .limit(20)
+        .drop("rev_tk")
+    }),
+
+    // ---- TPC-H Q21 shape: suppliers who kept orders waiting (ORACLE) ----
+    // The classic form is a correlated EXISTS (another supplier in the
+    // order) + NOT EXISTS (any other supplier shipping later) per line —
+    // two corpus-scale correlated subqueries. The scale-correct rewrite:
+    // collapse to one (order, supplier) aggregate, then ONE partitioned
+    // window derives both predicates — n_suppliers ≥ 2 (the EXISTS) and
+    // supplier_max_ship = order_max_ship (the NOT EXISTS: nobody else
+    // shipped strictly later; ties qualify both, exactly as the double
+    // negation does). One shuffle on l_orderkey replaces two correlated
+    // joins; finished orders only, count per supplier, top 10.
+    "q_waiting_supplier" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fOrders = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      val perSupp = Tables.lineitem(s, d)
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(col("l_shipdate")).as("supp_max"))
+      val w = Window.partitionBy("l_orderkey")
+      val waiting = perSupp
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("order_max", max(col("supp_max")).over(w))
+        .filter(col("n_supp") >= 2 && col("supp_max") === col("order_max"))
+      waiting.groupBy("l_suppkey")
+        .agg(countDistinct(col("l_orderkey")).as("numwait"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(10)
+    }),
+
+    // ---- TPC-H Q22 shape: global sales opportunity (ORACLE) -------------
+    // Dormant high-balance customers by country: acctbal above the global
+    // positive-balance average AND no orders since 2000. The average is a
+    // one-row broadcast, but the comparison is cross-multiplied exact
+    // integers (c_cents · n > total_cents) so no float ratio ever decides
+    // a knife-edge row; the "no recent orders" predicate is a left-anti
+    // join against the date-pruned orders scan (never a correlated
+    // NOT EXISTS per row); nation dim broadcast.
+    "q_sales_opportunity" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .withColumn("acct_c", round(col("c_acctbal") * 100).cast("long"))
+      val avgPos = c.filter(col("acct_c") > 0L)
+        .agg(count(lit(1)).as("n_pos"), sum(col("acct_c")).as("sum_pos"))
+      val idle = c
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+      idle.crossJoin(broadcast(avgPos))
+        .filter(col("acct_c") * col("n_pos") > col("sum_pos"))
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"), sum(col("acct_c")).as("bal_c"))
+        .select(col("n_name"), col("numcust"),
+          r2(col("bal_c").cast("double") / lit(100.0)).as("totacctbal"))
+        .orderBy("n_name")
+    }),
     // ---- schema-merge parquet read (ORACLE) -----------------------------
     // The source-level face of schema evolution (q_union_evolve is the
     // query-level face): two parquet drops — an old one without a column
@@ -1178,6 +1274,34 @@ object RelationalQueries extends QueryGroup {
         "FROM (SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 9000) q " +
         "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
         "ORDER BY qty_c DESC, o_orderkey LIMIT 20"),
+    "q_returned_items" ->
+      ("SELECT c_custkey, c_name, floor(CAST(rev_tk AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue, " +
+        "floor(CAST(acct_c AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS c_acctbal, n_name FROM (" +
+        "SELECT c_custkey, c_name, n_name, sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_tk, " +
+        "max(CAST(round(c_acctbal * 100) AS BIGINT)) AS acct_c " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' " +
+        "GROUP BY c_custkey, c_name, n_name) t ORDER BY rev_tk DESC, c_custkey LIMIT 20"),
+    "q_waiting_supplier" ->
+      ("WITH per_supp AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_max " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F' " +
+        "GROUP BY l_orderkey, l_suppkey), " +
+        "marked AS (SELECT l_suppkey, l_orderkey, count(*) OVER (PARTITION BY l_orderkey) AS n_supp, " +
+        "supp_max, max(supp_max) OVER (PARTITION BY l_orderkey) AS order_max FROM per_supp) " +
+        "SELECT s_suppkey, s_name, numwait FROM (" +
+        "SELECT l_suppkey, count(DISTINCT l_orderkey) AS numwait FROM marked " +
+        "WHERE n_supp >= 2 AND supp_max = order_max GROUP BY l_suppkey) w " +
+        "JOIN supplier ON l_suppkey = s_suppkey ORDER BY numwait DESC, s_suppkey LIMIT 10"),
+    "q_sales_opportunity" ->
+      ("WITH c AS (SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acct_c FROM customer), " +
+        "avg_pos AS (SELECT count(*) AS n_pos, sum(acct_c) AS sum_pos FROM c WHERE acct_c > 0) " +
+        "SELECT n_name, count(*) AS numcust, " +
+        "floor(CAST(sum(acct_c) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS totacctbal " +
+        "FROM c CROSS JOIN avg_pos JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE acct_c * n_pos > sum_pos " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01') " +
+        "GROUP BY n_name ORDER BY n_name"),
     "q_source_merge_schema" ->
       ("SELECT coalesce(prio, '<pre-schema>') AS prio, count(*) AS n, " +
         "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents FROM (" +

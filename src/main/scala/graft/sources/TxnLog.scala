@@ -1,0 +1,207 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, FileAlreadyExistsException}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal copy-on-write transactional table format (lakehouse-lite).
+  *
+  * Layout:
+  * {{{
+  *   <base>/data/<uuid>.parquet/          one parquet dir per committed file group
+  *   <base>/_txnlog/00000.txn             ordered commit manifests
+  * }}}
+  *
+  * A manifest is a TSV action log (one action per line):
+  * {{{
+  *   add    <relative-path>  <rows>  <statMin>  <statMax>
+  *   remove <relative-path>
+  * }}}
+  * where statMin/statMax are min/max of a declared Long stat column
+  * (file-skipping metadata, the role parquet footers play inside a file
+  * and Iceberg manifests play across files). `-` when no stat column.
+  *
+  * Commit protocol (optimistic concurrency, serializable log order):
+  *  1. write the manifest body to `_txnlog/.tmp-<uuid>` and fsync;
+  *  2. publish it as version N via `Files.createLink(N.txn, tmp)` — a
+  *     hard link is atomic on POSIX and FAILS if the destination exists,
+  *     unlike rename(2), which silently overwrites. A loser of the race
+  *     re-reads the log (its snapshot may now be stale), rebases, and
+  *     retries at N+1.
+  *  On HDFS the equivalent primitive is rename-without-overwrite; object
+  *  stores need an external CAS (a DynamoDB/Postgres log store) — the
+  *  protocol shape is identical, only the atomic-publish primitive moves.
+  *
+  * Reads are snapshot-isolated for free: version N's live set is fully
+  * determined by manifests 0..N, and data files are immutable once
+  * published, so a reader pinned at N never sees a concurrent writer.
+  * Deletes/updates are copy-on-write: rewrite affected files, one
+  * `remove` + one `add` per file, all in a single atomic commit.
+  */
+final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = None) {
+  import TxnLog.{AddFile, Manifest}
+
+  private val logDir: Path = Paths.get(base, "_txnlog")
+  private val dataDir: Path = Paths.get(base, "data")
+
+  def init(): Unit = { Files.createDirectories(logDir); Files.createDirectories(dataDir) }
+
+  /** Highest committed version, or -1 for an empty log. */
+  def latestVersion(): Int = {
+    if (!Files.exists(logDir)) return -1
+    val it = Files.list(logDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      it.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".txn"))
+        .map(_.stripSuffix(".txn").toInt)
+        .foldLeft(-1)(math.max)
+    } finally it.close()
+  }
+
+  private def manifestPath(v: Int): Path = logDir.resolve(f"$v%05d.txn")
+
+  private def readManifest(v: Int): Manifest = {
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(manifestPath(v), StandardCharsets.UTF_8).asScala
+    val adds = Seq.newBuilder[AddFile]
+    val removes = Seq.newBuilder[String]
+    lines.foreach { line =>
+      line.split('\t') match {
+        case Array("add", p, rows, lo, hi) =>
+          adds += AddFile(p, rows.toLong,
+            if (lo == "-") Long.MinValue else lo.toLong,
+            if (hi == "-") Long.MaxValue else hi.toLong)
+        case Array("remove", p) => removes += p
+        case other => throw new IllegalStateException(
+          s"corrupt manifest $v: ${other.mkString("\t")}")
+      }
+    }
+    Manifest(adds.result(), removes.result())
+  }
+
+  /** Live file set at `version` (inclusive), in commit order. */
+  def snapshotFiles(version: Int): Seq[AddFile] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    (0 to version).foreach { v =>
+      val m = readManifest(v)
+      m.removes.foreach(live.remove)
+      m.adds.foreach(a => live(a.path) = a)
+    }
+    live.values.toSeq
+  }
+
+  /** Atomically publish a manifest; returns the committed version.
+    * Retries (rebase is the caller's concern — for append-only commits a
+    * blind retry is always serializable; rewrites re-derive their file set). */
+  def commit(adds: Seq[AddFile], removes: Seq[String]): Int = {
+    val body = (removes.map(p => s"remove\t$p") ++
+      adds.map(a => s"add\t${a.path}\t${a.rows}\t${a.statMin}\t${a.statMax}"))
+      .mkString("", "\n", "\n")
+    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try {
+      var v = latestVersion() + 1
+      var committed = -1
+      while (committed < 0) {
+        try {
+          Files.createLink(manifestPath(v), tmp) // atomic publish; fails if exists
+          committed = v
+        } catch { case _: FileAlreadyExistsException => v += 1 }
+      }
+      committed
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Write `df` as a new file group and commit it as an append.
+    * Stats for file-skipping are computed from the written files
+    * themselves (one metadata-cheap scan of the fresh data — the
+    * across-files analogue of parquet's own footer stats). */
+  def append(df: DataFrame): Int = {
+    val rel = s"data/${UUID.randomUUID()}.parquet"
+    df.write.parquet(s"$base/$rel")
+    commit(statsFor(rel), Seq.empty)
+  }
+
+  /** Copy-on-write delete: files holding at least one matching row are
+    * removed and their surviving rows rewritten as a fresh file group
+    * (delete + minor compaction), all in ONE commit so readers never
+    * observe a half-applied delete. Untouched files are left in place.
+    * Two jobs total regardless of file count: one pushdown-filtered
+    * probe scan finds the touched files (`input_file_name` groups), one
+    * rewrite job writes the survivors — the shape that holds at 100 TB,
+    * where per-file driver loops would mean millions of tiny jobs. */
+  def deleteWhere(pred: org.apache.spark.sql.Column): Int = {
+    val ver = latestVersion()
+    val files = snapshotFiles(ver)
+    val touchedDirs = readFiles(files).filter(pred)
+      .select(input_file_name().as("f")).distinct().collect()
+      .map(_.getString(0)).toSeq
+    val touched = files.filter(f => touchedDirs.exists(_.contains(s"/${f.path}/")))
+    if (touched.isEmpty) return ver
+    val keep = spark.read
+      .parquet(touched.map(f => s"$base/${f.path}"): _*)
+      .filter(!pred)
+    val adds =
+      if (keep.isEmpty) Seq.empty
+      else {
+        val rel = s"data/${UUID.randomUUID()}.parquet"
+        keep.write.parquet(s"$base/$rel")
+        statsFor(rel)
+      }
+    commit(adds, touched.map(_.path))
+  }
+
+  private def statsFor(rel: String): Seq[AddFile] = statCol match {
+    case Some(c) =>
+      val agg = spark.read.parquet(s"$base/$rel")
+        .agg(count(lit(1)).as("n"), min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .head()
+      Seq(AddFile(rel, agg.getLong(0), agg.getLong(1), agg.getLong(2)))
+    case None =>
+      val n = spark.read.parquet(s"$base/$rel").count()
+      Seq(AddFile(rel, n, Long.MinValue, Long.MaxValue))
+  }
+
+  /** Snapshot read at `version` (time travel). */
+  def read(version: Int): DataFrame = readFiles(snapshotFiles(version))
+
+  /** Latest-snapshot read. */
+  def read(): DataFrame = read(latestVersion())
+
+  /** Stats-pruned snapshot read: only files whose [statMin, statMax]
+    * range overlaps [lo, hi] are planned — manifest-level file skipping,
+    * BEFORE any parquet footer is opened. The caller still applies the
+    * row-level filter; pruning is a superset guarantee. */
+  def readPruned(version: Int, lo: Long, hi: Long): DataFrame = {
+    val files = snapshotFiles(version).filter(f => f.statMax >= lo && f.statMin <= hi)
+    readFiles(files)
+  }
+
+  private def readFiles(files: Seq[AddFile]): DataFrame = {
+    if (files.isEmpty)
+      throw new IllegalStateException("empty snapshot read")
+    spark.read.parquet(files.map(f => s"$base/${f.path}"): _*)
+  }
+}
+
+object TxnLog {
+  final case class AddFile(path: String, rows: Long, statMin: Long, statMax: Long)
+  final case class Manifest(adds: Seq[AddFile], removes: Seq[String])
+
+  /** Recursive local delete for idempotent fixtures. */
+  def rmrf(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val all = Files.walk(p)
+      try all.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(Files.delete)
+      finally all.close()
+    }
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.TxnLog
+
+/** Contract tests for the lakehouse-lite commit log (graft.sources.TxnLog):
+  * snapshot isolation, atomic optimistic commits under real contention,
+  * copy-on-write delete, and manifest-level file skipping. */
+class TxnLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBase(tag: String): String = {
+    val p = s"/tmp/graft_txnspec_$tag"
+    TxnLog.rmrf(p); p
+  }
+
+  test("append/time-travel: every version stays readable and immutable") {
+    val base = freshBase("tt")
+    val log = new TxnLog(spark, base, statCol = Some("k"))
+    log.init()
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    log.append(Seq((3L, "c")).toDF("k", "v"))
+    assert(log.latestVersion() == 1)
+    assert(log.read(0).count() == 2)
+    assert(log.read(1).count() == 3)
+    // a later commit must not change an older snapshot
+    log.append(Seq((4L, "d")).toDF("k", "v"))
+    assert(log.read(0).count() == 2)
+    assert(log.read().count() == 4)
+  }
+
+  test("copy-on-write delete: one atomic commit, untouched files survive") {
+    val base = freshBase("cow")
+    val log = new TxnLog(spark, base, statCol = Some("k"))
+    log.init()
+    log.append(Seq((1L, "keep"), (2L, "drop")).toDF("k", "v").coalesce(1))
+    log.append(Seq((3L, "keep")).toDF("k", "v").coalesce(1)) // no matching rows
+    val before = log.snapshotFiles(log.latestVersion()).map(_.path).toSet
+    val v = log.deleteWhere(col("v") === "drop")
+    assert(v == 2, "delete must be exactly one new commit")
+    val after = log.snapshotFiles(v).map(_.path).toSet
+    // the file with no 'drop' rows must be byte-identical (not rewritten)
+    assert(after.intersect(before).size == 1)
+    assert(log.read(v).select("v").as[String].collect().sorted.toSeq == Seq("keep", "keep"))
+    // pre-delete snapshot still shows the dropped row (time travel)
+    assert(log.read(1).count() == 3)
+  }
+
+  test("delete with no matching rows is a no-op commit-wise") {
+    val base = freshBase("noop")
+    val log = new TxnLog(spark, base, statCol = Some("k"))
+    log.init()
+    log.append(Seq((1L, "a")).toDF("k", "v"))
+    val v0 = log.latestVersion()
+    assert(log.deleteWhere(col("v") === "zzz") == v0)
+    assert(log.latestVersion() == v0)
+  }
+
+  test("concurrent committers: hard-link publish serializes, no commit lost") {
+    val base = freshBase("race")
+    val log = new TxnLog(spark, base, statCol = None)
+    log.init()
+    val n = 8
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    // raw manifest commits (no Spark jobs) so all threads contend on the
+    // SAME next-version slot at once — the worst case for the protocol
+    val futures = (0 until n).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          start.await()
+          log.commit(Seq(TxnLog.AddFile(s"data/f$i.parquet", 1L, 0L, 0L)), Seq.empty)
+        }
+      })
+    }
+    start.countDown()
+    val versions = futures.map(_.get(60, TimeUnit.SECONDS))
+    pool.shutdown()
+    // all n commits landed, at n distinct consecutive versions
+    assert(versions.toSet == (0 until n).toSet)
+    assert(log.snapshotFiles(n - 1).size == n)
+  }
+
+  test("manifest stats prune the planned file set (and stay lossless)") {
+    val base = freshBase("prune")
+    val log = new TxnLog(spark, base, statCol = Some("k"))
+    log.init()
+    (0 until 5).foreach { i =>
+      log.append(Seq((i * 10L, s"g$i"), (i * 10L + 9L, s"g$i")).toDF("k", "v").coalesce(1))
+    }
+    val pruned = log.readPruned(log.latestVersion(), 20L, 39L)
+    assert(pruned.inputFiles.length == 2, "only the two overlapping file groups may be planned")
+    val full = log.read().filter(col("k").between(20L, 39L))
+    assert(pruned.filter(col("k").between(20L, 39L)).count() == full.count())
+  }
+
+  test("graded fixture: q_txn_prune plans exactly the two overlapping year files") {
+    val d = sf0001
+    // build the same table the graded query builds, then check its scan set
+    SparkEntry.queries("q_txn_prune")(spark, d).collect()
+    val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/orders_py"
+    val log = new TxnLog(spark, base, statCol = Some("o_year"))
+    assert(log.readPruned(log.latestVersion(), 1997L, 1998L).inputFiles.length == 2)
+    assert(log.read().inputFiles.length == 7)
+  }
+}
