@@ -69,6 +69,25 @@ object AnnQueries extends QueryGroup {
       lshKnn(e.select(col("vec_id"), col("v")), 3)
     }),
 
+    // ---- NN-descent graph refinement: the graph-ANN family --------------
+    // The HNSW-class recall/latency trade on Spark's terms: instead of a
+    // driver-side navigable graph (pointer-chasing, hostile to a BSP
+    // engine), run NN-descent (Dong et al., WWW'11): seed a kNN graph
+    // from the LSH candidates, then refine by the observation that a
+    // neighbor's neighbor is likely a neighbor — each round self-joins
+    // the (undirected) graph on the shared vertex, scores the NEW
+    // candidate pairs with the exact codegen'd cosine, and keeps the
+    // best k per vertex. Every round is two hash joins on ids + one
+    // id-keyed shuffle (vectors ride in only for the scoring
+    // projection); candidates per round are bounded by n·(2k)², never
+    // O(n²). Two rounds recover most of what single-table LSH misses —
+    // AnnSpec proves per-vertex monotone improvement over the seed and
+    // planted-recall; NO-ORACLE (golden-pinned).
+    "q_ann_nndescent" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).withColumn("v", vecD(col("embedding")))
+      nnDescent(e.select(col("vec_id"), col("v")), k = 3, rounds = 2)
+    }),
+
     // ---- IVF coarse quantization ---------------------------------------
     "q_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d).withColumn("v", vecD(col("embedding")))
@@ -140,6 +159,47 @@ object AnnQueries extends QueryGroup {
       .filter(col("rn") <= k)
       .select("vec_id", "v2", "cos_sim")
       .orderBy("vec_id", "v2")
+  }
+
+  /** NN-descent refinement of the LSH-seeded kNN graph over (vec_id, v)
+    * rows. Each round: make the graph undirected (reverse neighbors are
+    * candidates too — the half NN-descent's convergence depends on),
+    * self-join on the shared vertex for neighbor-of-neighbor pairs,
+    * dedup BEFORE scoring (a pair reachable through several shared
+    * vertices is scored once), score with the exact codegen'd
+    * graft_cosine at 3dp, merge with the current edges, keep top-k per
+    * vertex by (cos desc, id). The merge key (cos, dst) is total, so
+    * the result is deterministic at any partitioning. */
+  private[graft] def nnDescent(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val vecs1 = e.select(col("vec_id").as("src"), col("v").as("sv"))
+    val vecs2 = e.select(col("vec_id").as("dst"), col("v").as("dv"))
+    def topK(g: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))
+      g.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("src", "dst", "cos_sim")
+    }
+    val seed = lshKnn(e, k)
+      .select(col("vec_id").as("src"), col("v2").as("dst"), col("cos_sim"))
+    var graph = seed
+    for (_ <- 1 to rounds) {
+      val undirected = graph.select("src", "dst")
+        .unionAll(graph.select(col("dst").as("src"), col("src").as("dst")))
+      val cand = undirected.as("g1")
+        .join(undirected.as("g2"), col("g1.dst") === col("g2.src"))
+        .select(col("g1.src").as("src"), col("g2.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val scored = cand
+        .join(vecs1, "src").join(vecs2, "dst")
+        .select(col("src"), col("dst"),
+          r3(expr("graft_cosine(sv, dv)")).as("cos_sim"))
+      graph = topK(graph.unionAll(scored)
+        .groupBy("src", "dst").agg(first("cos_sim").as("cos_sim")))
+        .localCheckpoint(eager = false)
+    }
+    graph.select(col("src").as("vec_id"), col("dst").as("nbr_id"), col("cos_sim"))
+      .orderBy("vec_id", "nbr_id")
   }
 
   /** Embedding-cosine near-dup pairs THROUGH the LSH candidate path —

@@ -91,6 +91,62 @@ class AnnSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("NN-descent: scores agree with the exact kernel, no self-pairs, <= k per vertex") {
+    val g = AnnQueries.queries("q_ann_nndescent")(spark, sf0001).collect()
+    assert(g.nonEmpty)
+    assert(g.forall(r => r.getLong(0) != r.getLong(1)), "self-pair leaked")
+    assert(g.groupBy(_.getLong(0)).forall(_._2.length <= 3), "more than k neighbors")
+    val exact = graft.functions.CosineKernel
+      .pairsAbove(spark, Tables.embeddings(spark, sf0001), -1.0)
+      .collect().flatMap(r => Seq(
+        (r.getLong(0), r.getLong(1)) -> r.getDouble(2),
+        (r.getLong(1), r.getLong(0)) -> r.getDouble(2))).toMap
+    g.foreach { r =>
+      val pair = (r.getLong(0), r.getLong(1))
+      assert(exact(pair) == r.getDouble(2), s"pair $pair: ${r.getDouble(2)} vs ${exact(pair)}")
+    }
+  }
+
+  test("NN-descent refinement never loses ground: per-vertex best >= LSH-seed best") {
+    val e = Tables.embeddings(spark, sf0001)
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .select("vec_id", "v")
+    def bestBy(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(2)).max).toMap
+    val seed = bestBy(AnnQueries.lshKnn(e, 3).collect())
+    val refined = bestBy(AnnQueries.nnDescent(e, 3, 2).collect())
+    seed.foreach { case (src, best) =>
+      assert(refined.getOrElse(src, Double.MinValue) >= best,
+        s"vertex $src regressed: seed $best, refined ${refined.get(src)}")
+    }
+    // and the refinement must actually find something better somewhere
+    val improved = seed.count { case (src, best) => refined.getOrElse(src, best) > best }
+    assert(improved > 0, "two NN-descent rounds improved no vertex at all")
+  }
+
+  test("NN-descent: planted near neighbor recalled in top-3 for >= 80% of probes") {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sf0001).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val planted = base.map { case (id, v) =>
+      (id + 1000000L,
+        v.zipWithIndex.map { case (x, i) => x * (1.0 + 0.05 * math.sin(id * 31.0 + i)) })
+    }
+    val all = (base ++ planted).map { case (id, v) => (id, v.toSeq) }
+      .toSeq.toDF("vec_id", "v")
+    val knn = AnnQueries.nnDescent(all, 3, 2).collect()
+    val byProbe = knn.filter(_.getLong(0) >= 1000000L)
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val hits = base.count { case (id, _) =>
+      byProbe.getOrElse(id + 1000000L, Set.empty[Long]).contains(id) }
+    assert(hits.toDouble >= 0.8 * base.length, s"recall $hits/${base.length}")
+  }
+
+  test("NN-descent is deterministic across runs") {
+    def run() = AnnQueries.queries("q_ann_nndescent")(spark, sf0001).collect().toSeq
+    assert(run() == run())
+  }
+
   test("brute-force kNN invariants: 5 neighbors per non-terminal vector, no self-pairs") {
     val knn = graft.queries.TextQueries.queries("q_sim_knn")(spark, sf0001).collect()
     assert(knn.forall(r => r.getLong(0) < r.getLong(1)), "pair ordering violated")
