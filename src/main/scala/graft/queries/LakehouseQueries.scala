@@ -81,6 +81,40 @@ object LakehouseQueries extends QueryGroup {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
         .orderBy("o_orderstatus")
     }),
+
+    // ---- CDC from the commit log: metadata-only change accounting --------
+    // The incremental-consumer contract: each commit's change set (added
+    // file groups, removed file groups, with row counts) is fully
+    // determined by the manifests — a downstream job learns WHAT changed
+    // without scanning ANY data file, then reads only the added groups.
+    // At 100 TB this is the difference between reprocessing the table and
+    // reprocessing the day's delta. Same 4-commit history as
+    // q_txn_timetravel; per commit step: rows entering, rows leaving
+    // (COW-delete shows the rewrite — all touched rows leave, survivors
+    // re-enter), and the net. The oracle recomputes every step's row
+    // algebra from `orders` declaratively.
+    "q_txn_cdc" -> ((s, d) => {
+      val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/orders_cdc"
+      TxnLog.rmrf(base)
+      val log = new graft.sources.TxnLog(s, base, statCol = Some("o_year"))
+      log.init()
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        cents("o_totalprice").as("cents"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      log.append(o.filter(col("o_year") <= 1996).repartition(4))
+      log.append(o.filter(col("o_year").between(1997, 1998)).repartition(4))
+      log.deleteWhere(col("o_orderstatus") === "F")
+      log.append(o.filter(col("o_year") >= 1999).repartition(4))
+      val steps = (1 to 3).map { v =>
+        val (adds, removes) = log.changes(v)
+        (v.toLong, adds.map(_.rows).sum, removes.map(_.rows).sum)
+      }
+      import s.implicits._
+      steps.toDF("step", "rows_added", "rows_removed")
+        .withColumn("net_rows", col("rows_added") - col("rows_removed"))
+        .orderBy("step")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -98,5 +132,22 @@ object LakehouseQueries extends QueryGroup {
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
         "FROM orders WHERE year(o_orderdate) BETWEEN 1997 AND 1998 " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // step 2 is the COW delete: every 1995-98 file group holds 'F' rows
+    // (status is ~uniform thirds over round-robin files), so all their
+    // rows leave and the non-F survivors re-enter as the rewrite group
+    "q_txn_cdc" ->
+      ("WITH o AS (SELECT o_orderstatus AS st, year(o_orderdate) AS yr FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS step, " +
+        "(SELECT count(*) FROM o WHERE yr BETWEEN 1997 AND 1998) AS rows_added, " +
+        "CAST(0 AS BIGINT) AS rows_removed, " +
+        "(SELECT count(*) FROM o WHERE yr BETWEEN 1997 AND 1998) AS net_rows " +
+        "UNION ALL SELECT 2, " +
+        "(SELECT count(*) FROM o WHERE yr <= 1998 AND st <> 'F'), " +
+        "(SELECT count(*) FROM o WHERE yr <= 1998), " +
+        "(SELECT count(*) FROM o WHERE yr <= 1998 AND st <> 'F') - (SELECT count(*) FROM o WHERE yr <= 1998) " +
+        "UNION ALL SELECT 3, " +
+        "(SELECT count(*) FROM o WHERE yr >= 1999), CAST(0 AS BIGINT), " +
+        "(SELECT count(*) FROM o WHERE yr >= 1999) " +
+        "ORDER BY step"),
   )
 }

@@ -95,6 +95,16 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     live.values.toSeq
   }
 
+  /** Change set of commit `v` against the previous snapshot: the added
+    * file groups and the removed ones WITH their manifest stats (rows,
+    * min/max) resolved from the v-1 live set — everything incremental
+    * CDC needs, without touching a single data file. */
+  def changes(v: Int): (Seq[AddFile], Seq[AddFile]) = {
+    val prev = snapshotFiles(v - 1).map(f => f.path -> f).toMap
+    val m = readManifest(v)
+    (m.adds, m.removes.map(prev))
+  }
+
   /** Atomically publish a manifest; returns the committed version.
     * Retries (rebase is the caller's concern — for append-only commits a
     * blind retry is always serializable; rewrites re-derive their file set). */
@@ -117,14 +127,28 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Write `df` as a new file group and commit it as an append.
-    * Stats for file-skipping are computed from the written files
-    * themselves (one metadata-cheap scan of the fresh data — the
-    * across-files analogue of parquet's own footer stats). */
-  def append(df: DataFrame): Int = {
+  /** Write `df` as a new file group and commit it as an append. */
+  def append(df: DataFrame): Int = commit(writeGroup(df).toSeq, Seq.empty)
+
+  /** Write one file group, with the manifest stats (row count, min/max of
+    * the stat column) OBSERVED on the write job itself — no second scan
+    * of freshly written data, the same single-pass stats collection a
+    * production table format does. An empty group is not committed. */
+  private def writeGroup(df: DataFrame): Option[AddFile] = {
     val rel = s"data/${UUID.randomUUID()}.parquet"
-    df.write.parquet(s"$base/$rel")
-    commit(statsFor(rel), Seq.empty)
+    val obs = org.apache.spark.sql.Observation()
+    val observed = statCol match {
+      case Some(c) => df.observe(obs, count(lit(1)).as("n"),
+        min(col(c)).as("lo"), max(col(c)).as("hi"))
+      case None => df.observe(obs, count(lit(1)).as("n"))
+    }
+    observed.write.parquet(s"$base/$rel")
+    val m = obs.get
+    val n = m("n").asInstanceOf[Long]
+    if (n == 0L) { TxnLog.rmrf(s"$base/$rel"); None }
+    else Some(AddFile(rel, n,
+      if (statCol.isDefined) m("lo").asInstanceOf[Long] else Long.MinValue,
+      if (statCol.isDefined) m("hi").asInstanceOf[Long] else Long.MaxValue))
   }
 
   /** Copy-on-write delete: files holding at least one matching row are
@@ -146,25 +170,7 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     val keep = spark.read
       .parquet(touched.map(f => s"$base/${f.path}"): _*)
       .filter(!pred)
-    val adds =
-      if (keep.isEmpty) Seq.empty
-      else {
-        val rel = s"data/${UUID.randomUUID()}.parquet"
-        keep.write.parquet(s"$base/$rel")
-        statsFor(rel)
-      }
-    commit(adds, touched.map(_.path))
-  }
-
-  private def statsFor(rel: String): Seq[AddFile] = statCol match {
-    case Some(c) =>
-      val agg = spark.read.parquet(s"$base/$rel")
-        .agg(count(lit(1)).as("n"), min(col(c)).as("lo"), max(col(c)).as("hi"))
-        .head()
-      Seq(AddFile(rel, agg.getLong(0), agg.getLong(1), agg.getLong(2)))
-    case None =>
-      val n = spark.read.parquet(s"$base/$rel").count()
-      Seq(AddFile(rel, n, Long.MinValue, Long.MaxValue))
+    commit(writeGroup(keep).toSeq, touched.map(_.path))
   }
 
   /** Snapshot read at `version` (time travel). */
