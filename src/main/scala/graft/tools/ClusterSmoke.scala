@@ -48,6 +48,9 @@ object ClusterSmoke {
     "q_resample_linear",  // generator + union + ignoreNulls window carry
     "q_percentile_global", // ShardedRank offsets across executors
     "q_stream_tumbling",  // micro-batch engine + state store on executors
+    "q_txn_timetravel",   // TxnLog commit protocol + COW delete across executors
+    "q_txn_cdc",          // Observation write-job stats from executor tasks
+    "q_ann_nndescent",    // iterated graph self-joins + checkpoint blocks
   )
 
   def main(args: Array[String]): Unit = {
