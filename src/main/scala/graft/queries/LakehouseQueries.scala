@@ -115,6 +115,43 @@ object LakehouseQueries extends QueryGroup {
         .withColumn("net_rows", col("rows_added") - col("rows_removed"))
         .orderBy("step")
     }),
+
+    // ---- compaction (OPTIMIZE) commit ------------------------------------
+    // The maintenance half of the lifecycle: yearly commits except 1997,
+    // which lands as 12 monthly commits — the small-file accretion
+    // pattern of fine-grained appends. One compaction commit then folds
+    // every group under 5% of the table (exactly the twelve ~1.3%
+    // months, at every sf — the year groups, 8-16%, survive with their
+    // tighter stats ranges). The post-compaction census must equal the
+    // plain table (oracle): equality proves the rewrite lossless;
+    // TxnLogSpec pins the group counts (18 -> 7) and that pre-compaction
+    // time travel still sees the fine-grained layout.
+    "q_txn_compact" -> ((s, d) => {
+      val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/orders_oc"
+      TxnLog.rmrf(base)
+      val log = new graft.sources.TxnLog(s, base, statCol = Some("o_year"))
+      log.init()
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        cents("o_totalprice").as("cents"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      (1995 to 2001).foreach {
+        case 1997 =>
+          (1 to 12).foreach { m =>
+            log.append(o.filter(col("o_year") === 1997 && col("o_month") === m)
+              .drop("o_month").coalesce(1))
+          }
+        case y =>
+          log.append(o.filter(col("o_year") === y).drop("o_month").coalesce(1))
+      }
+      val nTotal = log.snapshotFiles(log.latestVersion()).map(_.rows).sum
+      log.compact(maxRows = nTotal / 20)
+      log.read()
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        .orderBy("o_year")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -149,5 +186,9 @@ object LakehouseQueries extends QueryGroup {
         "(SELECT count(*) FROM o WHERE yr >= 1999), CAST(0 AS BIGINT), " +
         "(SELECT count(*) FROM o WHERE yr >= 1999) " +
         "ORDER BY step"),
+    "q_txn_compact" ->
+      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders GROUP BY 1 ORDER BY o_year"),
   )
 }

@@ -173,6 +173,21 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     commit(writeGroup(keep).toSeq, touched.map(_.path))
   }
 
+  /** Small-file compaction (OPTIMIZE): every live group under
+    * `maxRows` is folded into one rewritten group in a single atomic
+    * commit — data identical by construction, time travel to the
+    * pre-compaction layout intact. Groups at or above the threshold
+    * keep their files (and their tighter stats ranges). At 100 TB this
+    * is the maintenance commit that keeps per-file metadata and scan
+    * task counts bounded as daily appends accrete. */
+  def compact(maxRows: Long): Int = {
+    val ver = latestVersion()
+    val small = snapshotFiles(ver).filter(_.rows < maxRows)
+    if (small.size < 2) return ver
+    val merged = spark.read.parquet(small.map(f => s"$base/${f.path}"): _*)
+    commit(writeGroup(merged.coalesce(1)).toSeq, small.map(_.path))
+  }
+
   /** Snapshot read at `version` (time travel). */
   def read(version: Int): DataFrame = readFiles(snapshotFiles(version))
 

@@ -97,6 +97,39 @@ class TxnLogSpec extends SparkSpec {
     assert(pruned.filter(col("k").between(20L, 39L)).count() == full.count())
   }
 
+  test("compaction folds only sub-threshold groups, old layout stays time-travelable") {
+    val base = freshBase("opt")
+    val log = new TxnLog(spark, base, statCol = Some("k"))
+    log.init()
+    // 3 small groups + 2 big ones
+    (0 until 3).foreach(i => log.append(Seq((i.toLong, "s")).toDF("k", "v").coalesce(1)))
+    (0 until 2).foreach(i => log.append(
+      (0 until 10).map(j => (100L + i * 10 + j, "b")).toDF("k", "v").coalesce(1)))
+    val preVer = log.latestVersion()
+    val v = log.compact(maxRows = 5L)
+    assert(v == preVer + 1, "compaction must be one commit")
+    val after = log.snapshotFiles(v)
+    assert(after.size == 3, s"expected 2 big + 1 merged group, got ${after.size}")
+    assert(log.read(v).count() == 23)
+    // the merged group's stats must cover the merged key range
+    val merged = after.filterNot(f => log.snapshotFiles(preVer).map(_.path).contains(f.path))
+    assert(merged.size == 1 && merged.head.rows == 3
+      && merged.head.statMin == 0L && merged.head.statMax == 2L)
+    // pre-compaction snapshot still shows the fine-grained layout
+    assert(log.snapshotFiles(preVer).size == 5)
+    assert(log.read(preVer).count() == 23)
+  }
+
+  test("graded fixture: q_txn_compact goes 18 fine-grained groups -> 7") {
+    val d = sf0001
+    SparkEntry.queries("q_txn_compact")(spark, d).collect()
+    val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/orders_oc"
+    val log = new TxnLog(spark, base, statCol = Some("o_year"))
+    val ver = log.latestVersion()
+    assert(log.snapshotFiles(ver - 1).size == 18, "pre-compaction layout")
+    assert(log.snapshotFiles(ver).size == 7, "post-compaction layout")
+  }
+
   test("graded fixture: q_txn_prune plans exactly the two overlapping year files") {
     val d = sf0001
     // build the same table the graded query builds, then check its scan set
