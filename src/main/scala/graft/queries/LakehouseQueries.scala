@@ -152,6 +152,37 @@ object LakehouseQueries extends QueryGroup {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
         .orderBy("o_year")
     }),
+
+    // ---- log-native MERGE (upsert) commit --------------------------------
+    // MERGE against the commit log itself (q_merge_upsert is the
+    // format-free materialization of the same semantics): the table
+    // holds orders <= 1998, then one delta arrives carrying UPDATES
+    // (1997-98 rows repriced +10%) and INSERTS (everything from 1999
+    // on), and one upsert commit applies both faces atomically —
+    // matched keys overwritten, unmatched appended, untouched rows
+    // carried by the COW rewrite. The delta's keys travel as two
+    // broadcasts (semi probe, anti survivors): two jobs + one write no
+    // matter the table size. The census proves both faces: 1997-98
+    // cents exactly +10%, 1999+ present, earlier years untouched.
+    "q_txn_upsert" -> ((s, d) => {
+      val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/orders_up"
+      TxnLog.rmrf(base)
+      val log = new graft.sources.TxnLog(s, base, statCol = Some("o_year"))
+      log.init()
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        cents("o_totalprice").as("cents"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      log.append(o.filter(col("o_year") <= 1998).repartition(4))
+      val delta = o.filter(col("o_year").between(1997, 1998))
+        .withColumn("cents", col("cents") + expr("cents div 10"))
+        .unionByName(o.filter(col("o_year") >= 1999))
+      log.upsert(delta, "o_orderkey")
+      log.read()
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        .orderBy("o_year")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -190,5 +221,13 @@ object LakehouseQueries extends QueryGroup {
       ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
         "FROM orders GROUP BY 1 ORDER BY o_year"),
+    // 1997-98 repriced +10% by the upsert (integer cents + cents//10 —
+    // both engines truncate on positive values), all other years as-is
+    "q_txn_upsert" ->
+      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n, " +
+        "CAST(sum(CASE WHEN year(o_orderdate) BETWEEN 1997 AND 1998 " +
+        "THEN cents + cents // 10 ELSE cents END) AS BIGINT) AS total_cents " +
+        "FROM (SELECT o_orderdate, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) t " +
+        "GROUP BY 1 ORDER BY o_year"),
   )
 }

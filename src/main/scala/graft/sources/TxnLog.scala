@@ -173,6 +173,35 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     commit(writeGroup(keep).toSeq, touched.map(_.path))
   }
 
+  /** Copy-on-write MERGE: `WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED
+    * INSERT *` against the live snapshot, keyed by `keyCol`. The delta's
+    * keys are broadcast twice — a semi-join probe finds the touched
+    * files, an anti-join keeps their unmatched survivors — then ONE new
+    * group holds survivors + the whole delta, and one atomic commit
+    * swaps it in. Two jobs + one write regardless of table size; the
+    * broadcast assumes the delta is small relative to the table, which
+    * is the MERGE shape that exists at 100 TB (a day's changes against
+    * years of history). */
+  def upsert(updates: DataFrame, keyCol: String): Int = {
+    val ver = latestVersion()
+    val files = snapshotFiles(ver)
+    val keys = updates.select(keyCol)
+    // input_file_name() is single-source only — stamp it BEFORE the probe
+    // join introduces the (broadcast) second source
+    val touchedDirs = readFiles(files)
+      .withColumn("_f", input_file_name())
+      .join(broadcast(keys), Seq(keyCol), "left_semi")
+      .select(col("_f")).distinct().collect()
+      .map(_.getString(0)).toSeq
+    val touched = files.filter(f => touchedDirs.exists(_.contains(s"/${f.path}/")))
+    val merged =
+      if (touched.isEmpty) updates
+      else spark.read.parquet(touched.map(f => s"$base/${f.path}"): _*)
+        .join(broadcast(keys), Seq(keyCol), "left_anti")
+        .unionByName(updates)
+    commit(writeGroup(merged).toSeq, touched.map(_.path))
+  }
+
   /** Small-file compaction (OPTIMIZE): every live group under
     * `maxRows` is folded into one rewritten group in a single atomic
     * commit — data identical by construction, time travel to the

@@ -43,6 +43,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_matryoshka",        // 10-probe broadcast vs the corpus — the deliberate probe fan-out
     "q_basket_lift",       // one-row order-total scalar vs the ≥5-support pair table
     "q_benford",           // one-row grand-total scalar vs the 9-digit census
+    "q_sales_opportunity", // one-row positive-balance (n, sum) scalar vs customers
   )
 
   // queries that legitimately plan an UNPARTITIONED window (empty

@@ -39,7 +39,11 @@ class RepartitionDeterminismSpec extends SparkSpec {
     // per-shard numbering — the shard count itself must not matter),
     // the interpolating resampler, and the EWMA dyadic sum
     "q_win_ntile_pct", "q_percentile_global", "q_resample_linear",
-    "q_ewma", "q_winsorized_mean")
+    "q_ewma", "q_winsorized_mean",
+    // round-6 late: revenue/balance ratio displays and the iterated
+    // graph top-k merge (its (cos desc, id) key must stay total under
+    // any partial-merge order)
+    "q_returned_items", "q_sales_opportunity", "q_ann_nndescent")
 
   test("float-sensitive queries return identical rows across shuffle-partition settings") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -97,6 +97,23 @@ class TxnLogSpec extends SparkSpec {
     assert(pruned.filter(col("k").between(20L, 39L)).count() == full.count())
   }
 
+  test("upsert: matched keys overwritten, unmatched inserted, untouched files survive") {
+    val base = freshBase("up")
+    val log = new TxnLog(spark, base, statCol = Some("k"))
+    log.init()
+    log.append(Seq((1L, "old1"), (2L, "old2")).toDF("k", "v").coalesce(1))
+    log.append(Seq((10L, "other")).toDF("k", "v").coalesce(1)) // no matched keys
+    val before = log.snapshotFiles(log.latestVersion()).map(_.path).toSet
+    val v = log.upsert(Seq((2L, "NEW2"), (3L, "NEW3")).toDF("k", "v"), "k")
+    assert(v == 2, "upsert must be exactly one commit")
+    val rows = log.read(v).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "old1", 2L -> "NEW2", 3L -> "NEW3", 10L -> "other"))
+    // the file with no matched keys must not be rewritten
+    assert(log.snapshotFiles(v).map(_.path).toSet.intersect(before).size == 1)
+    // pre-upsert snapshot unchanged (time travel)
+    assert(log.read(1).filter(col("v") === "old2").count() == 1)
+  }
+
   test("compaction folds only sub-threshold groups, old layout stays time-travelable") {
     val base = freshBase("opt")
     val log = new TxnLog(spark, base, statCol = Some("k"))
