@@ -125,6 +125,27 @@ object WindowQueries extends QueryGroup {
         .orderBy("o_custkey")
     }),
 
+    // nth_value over an unbounded-both frame: the "second purchase"
+    // report (conversion analysts' second-touch shape). The frame makes
+    // nth_value a per-partition constant, so one row_number pick per
+    // customer carries it out; customers with a single order surface
+    // NULL (second order genuinely absent, not a frame artifact). The
+    // (date, key) ORDER BY is total — deterministic under any partial
+    // merge order, same clause in DuckDB.
+    "q_win_nth" -> ((s, d) => {
+      val wOrd = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(wFull))
+        .withColumn("third_key", nth_value(col("o_orderkey"), 3).over(wFull))
+        .withColumn("n_orders", count(lit(1)).over(wFull))
+        .withColumn("rn", row_number().over(wOrd))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("first_key"),
+          col("second_key"), col("third_key"), col("n_orders"))
+        .orderBy("o_custkey")
+    }),
+
     // §2.10 sessionization — gaps-and-islands (deterministic batch form).
     // Session-start flag via lag > 30min, running sum -> session id, then
     // two-level aggregate: per (user, session) -> per user.
@@ -208,6 +229,16 @@ object WindowQueries extends QueryGroup {
       ("SELECT o_custkey, first_price, last_price FROM (" +
         "SELECT o_custkey, first_value(o_totalprice) OVER wf AS first_price, " +
         "last_value(o_totalprice) OVER wf AS last_price, row_number() OVER wo AS rn FROM orders " +
+        "WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
+        "wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t " +
+        "WHERE rn = 1 ORDER BY o_custkey"),
+    "q_win_nth" ->
+      ("SELECT o_custkey, first_key, second_key, third_key, n_orders FROM (" +
+        "SELECT o_custkey, o_orderkey AS first_key, " +
+        "nth_value(o_orderkey, 2) OVER wf AS second_key, " +
+        "nth_value(o_orderkey, 3) OVER wf AS third_key, " +
+        "count(*) OVER wf AS n_orders, row_number() OVER wo AS rn FROM orders " +
         "WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
         "wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t " +
