@@ -121,6 +121,44 @@ object StreamQueries extends QueryGroup {
         .orderBy("event_type")
     }),
 
+    // ---- streaming sink INTO the transactional table (ORACLE) -----------
+    // Exactly-once ingestion where it actually has to live: the TABLE,
+    // not the engine. foreachBatch commits each micro-batch to a TxnLog
+    // with a (appId, batchId) txn marker; the SAME bounded stream is
+    // then drained a SECOND time from a fresh checkpoint — every batch
+    // redelivered — and commitIfAbsent must skip them all because the
+    // committed marker, not the checkpoint, is the source of truth. The
+    // oracle is the plain batch census: equality proves the second drain
+    // added exactly zero rows. (This is the sink-side idempotence that
+    // makes at-least-once delivery + transactional commit = exactly
+    // once at 100 TB.)
+    "q_stream_txn_sink" -> ((s, d) => {
+      val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/events_sink"
+      graft.sources.TxnLog.rmrf(base)
+      val log = new graft.sources.TxnLog(s, base)
+      log.init()
+      def drainOnce(): Unit = {
+        val ck = java.nio.file.Files.createTempDirectory("graft_txn_sink_ck_").toString
+        val q = eventsStream(s, d)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            log.commitIfAbsent("events-sink", id, batch); ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drainOnce()
+      drainOnce() // full redelivery — the txn markers must absorb it
+      log.read()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("event_type")
+    }),
+
     // ---- stream-static dimension join (ORACLE) --------------------------
     // The canonical enrichment topology: an unbounded fact stream joined
     // to a bounded dimension table (broadcast per micro-batch — no
@@ -154,6 +192,10 @@ object StreamQueries extends QueryGroup {
         "GROUP BY ws, event_type ORDER BY window_start, event_type"),
     "q_stream_dedup" ->
       ("SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_stream_txn_sink" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_stream_enrich" ->
       ("SELECT c_mktsegment, event_type, count(*) AS n, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +

@@ -70,6 +70,7 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     val lines = Files.readAllLines(manifestPath(v), StandardCharsets.UTF_8).asScala
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
+    val txns = Seq.newBuilder[(String, Long)]
     lines.foreach { line =>
       line.split('\t') match {
         case Array("add", p, rows, lo, hi) =>
@@ -77,11 +78,12 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
             if (lo == "-") Long.MinValue else lo.toLong,
             if (hi == "-") Long.MaxValue else hi.toLong)
         case Array("remove", p) => removes += p
+        case Array("txn", app, batch) => txns += (app -> batch.toLong)
         case other => throw new IllegalStateException(
           s"corrupt manifest $v: ${other.mkString("\t")}")
       }
     }
-    Manifest(adds.result(), removes.result())
+    Manifest(adds.result(), removes.result(), txns.result())
   }
 
   /** Live file set at `version` (inclusive), in commit order. */
@@ -107,9 +109,15 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
 
   /** Atomically publish a manifest; returns the committed version.
     * Retries (rebase is the caller's concern — for append-only commits a
-    * blind retry is always serializable; rewrites re-derive their file set). */
-  def commit(adds: Seq[AddFile], removes: Seq[String]): Int = {
-    val body = (removes.map(p => s"remove\t$p") ++
+    * blind retry is always serializable; rewrites re-derive their file
+    * set). An optional `txn` marker rides the manifest for idempotent
+    * re-delivery detection (see [[commitIfAbsent]]); on a publish race
+    * the marker is re-checked against every manifest that won, so a
+    * duplicate (app, batch) can never land twice. */
+  def commit(adds: Seq[AddFile], removes: Seq[String],
+             txn: Option[(String, Long)] = None): Int = {
+    val body = (txn.toSeq.map { case (a, b) => s"txn\t$a\t$b" } ++
+      removes.map(p => s"remove\t$p") ++
       adds.map(a => s"add\t${a.path}\t${a.rows}\t${a.statMin}\t${a.statMax}"))
       .mkString("", "\n", "\n")
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
@@ -118,6 +126,12 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
       var v = latestVersion() + 1
       var committed = -1
       while (committed < 0) {
+        txn.foreach { t =>
+          // a racing writer may have published our (app, batch) between
+          // retries — losing the publish race means re-reading the log
+          if ((0 until v).exists(i => readManifest(i).txns.contains(t)))
+            return -1
+        }
         try {
           Files.createLink(manifestPath(v), tmp) // atomic publish; fails if exists
           committed = v
@@ -125,6 +139,22 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
       }
       committed
     } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Idempotent streaming-sink commit: write-and-commit `df` tagged with
+    * (appId, batchId) UNLESS that transaction already appears in the log
+    * — the exactly-once contract a `foreachBatch` sink needs when the
+    * engine re-delivers a batch after a restart (the committed marker,
+    * not the checkpoint, is the source of truth on the table side).
+    * Returns the committed version, or -1 if the batch was already in. */
+  def commitIfAbsent(appId: String, batchId: Long, df: DataFrame): Int = {
+    val v = latestVersion()
+    val seen = (0 to v).exists(i => readManifest(i).txns.contains(appId -> batchId))
+    if (seen) return -1
+    val adds = writeGroup(df).toSeq
+    val committed = commit(adds, Seq.empty, txn = Some(appId -> batchId))
+    if (committed < 0) adds.foreach(a => TxnLog.rmrf(s"$base/${a.path}")) // lost the race
+    committed
   }
 
   /** Write `df` as a new file group and commit it as an append. */
@@ -217,6 +247,27 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     commit(writeGroup(merged.coalesce(1)).toSeq, small.map(_.path))
   }
 
+  /** Physical cleanup (VACUUM): delete every data group on disk that no
+    * snapshot in [retainFrom, latest] references. Time travel to
+    * versions before `retainFrom` is sacrificed — the standard
+    * retention trade. Returns the removed group paths. Metadata-only
+    * decision (manifest union vs directory listing), so its cost is
+    * file-count-, not data-, proportional. */
+  def vacuum(retainFrom: Int): Seq[String] = {
+    val latest = latestVersion()
+    val referenced = (retainFrom to latest)
+      .flatMap(v => snapshotFiles(v).map(_.path)).toSet
+    import scala.jdk.CollectionConverters._
+    val onDisk = {
+      val it = Files.list(dataDir)
+      try it.iterator().asScala.map(p => s"data/${p.getFileName}").toList
+      finally it.close()
+    }
+    val doomed = onDisk.filterNot(referenced)
+    doomed.foreach(p => TxnLog.rmrf(s"$base/$p"))
+    doomed.sorted
+  }
+
   /** Snapshot read at `version` (time travel). */
   def read(version: Int): DataFrame = readFiles(snapshotFiles(version))
 
@@ -241,7 +292,8 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
 
 object TxnLog {
   final case class AddFile(path: String, rows: Long, statMin: Long, statMax: Long)
-  final case class Manifest(adds: Seq[AddFile], removes: Seq[String])
+  final case class Manifest(adds: Seq[AddFile], removes: Seq[String],
+    txns: Seq[(String, Long)] = Seq.empty)
 
   /** Recursive local delete for idempotent fixtures. */
   def rmrf(path: String): Unit = {
