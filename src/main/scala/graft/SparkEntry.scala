@@ -26,6 +26,7 @@ object SparkEntry {
     AnalyticsQueries,
     StreamQueries,
     LakehouseQueries,
+    TpchQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
