@@ -671,6 +671,26 @@ object EventQueries extends QueryGroup {
           r2(sum(coalesce(col("rate"), lit(0.0)))).as("sum_rate"))
         .orderBy("user_id")
     }),
+
+    // ---- next-event training pairs (ORACLE) -----------------------------
+    // Sequence-dataset construction for a next-action model: per user in
+    // deterministic event order (ts, event_id), each event becomes a
+    // (prev2 > prev1 -> next) example once two predecessors exist; the
+    // query reports the top-25 context->label patterns. One user-keyed
+    // window pass (two lags ride the same sort), then a 125-key-bounded
+    // aggregate — at 100 TB the example-emission is a per-partition
+    // projection, and only the pattern census shuffles.
+    "q_next_event_pairs" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("p1", lag(col("event_type"), 1).over(w))
+        .withColumn("p2", lag(col("event_type"), 2).over(w))
+        .filter(col("p2").isNotNull)
+        .groupBy(col("p2"), col("p1"), col("event_type").as("next_event"))
+        .agg(count(lit(1)).as("n_examples"))
+        .orderBy(col("n_examples").desc, col("p2"), col("p1"), col("next_event"))
+        .limit(25)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -965,5 +985,12 @@ object EventQueries extends QueryGroup {
         "sum(CASE WHEN rate IS NULL AND dc IS NOT NULL THEN 1 ELSE 0 END) AS n_zero_gap, " +
         "floor(sum(coalesce(rate, 0.0)) * 100.0 + 0.5) / 100.0 AS sum_rate " +
         "FROM r GROUP BY user_id ORDER BY user_id"),
+    "q_next_event_pairs" ->
+      ("WITH s AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events), " +
+        "l AS (SELECT event_type, lag(event_type, 1) OVER w AS p1, lag(event_type, 2) OVER w AS p2 " +
+        "FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT p2, p1, event_type AS next_event, count(*) AS n_examples " +
+        "FROM l WHERE p2 IS NOT NULL GROUP BY p2, p1, next_event " +
+        "ORDER BY n_examples DESC, p2, p1, next_event LIMIT 25"),
   )
 }

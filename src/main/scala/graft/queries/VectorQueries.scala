@@ -245,6 +245,45 @@ object VectorQueries extends QueryGroup {
             .cast("double") / lit(10.0)).as("recall_at_10"))
         .orderBy("q_id")
     }),
+
+    // ---- retrieval-quality evaluation: P@10 + MRR (ORACLE) --------------
+    // The embedding-eval operator a training pipeline runs after every
+    // index build: exact cosine top-10 for each probe (vec_id % 10 = 0),
+    // relevance = label agreement, rolled up per probe label as mean
+    // precision@10 and MRR. Ranking is on the ROUNDED cosine (3dp) with
+    // id tiebreak — the q_sim_knn discipline that makes a float ranking
+    // portably SQL-expressible — and the declarative crossJoin + rounded-
+    // cosine filter + top-k window is intercepted by CosineJoinStrategy
+    // (broadcast kernel, k rows per probe reach the shuffle). The MRR
+    // sum is EXACT integers: reciprocal ranks are scaled by
+    // lcm(1..10) = 2520, so 2520/rank is an integer for every rank ≤ 10
+    // and no float accumulates across rows — one final division per
+    // output row.
+    "q_retrieval_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val probes = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val pairs = probes.crossJoin(e)
+        .filter(r3(expr("graft_cosine(qv, v)")) >= lit(-1.0) && col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          r3(expr("graft_cosine(qv, v)")).as("cos_sim"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+      val top = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val scored = top
+        .join(broadcast(lab.select(col("vec_id").as("q_id"), col("label").as("q_label"))), "q_id")
+        .join(broadcast(lab.select(col("vec_id"), col("label").as("n_label"))), "vec_id")
+        .withColumn("rel", when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+      scored.groupBy("q_id", "q_label")
+        .agg(sum(col("rel")).as("hits"),
+          coalesce(max(when(col("rel") === 1L, expr("2520 div rn"))), lit(0L)).as("rr2520"))
+        .groupBy("q_label")
+        .agg(count(lit(1)).as("n_probes"), sum(col("hits")).as("total_hits"),
+          r3(sum(col("hits")).cast("double") / (lit(10.0) * count(lit(1)))).as("mean_p10"),
+          r3(sum(col("rr2520")).cast("double") / (lit(2520.0) * count(lit(1)))).as("mrr"))
+        .orderBy("q_label")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -340,5 +379,21 @@ object VectorQueries extends QueryGroup {
         "SELECT q_id, CAST(sum(CASE WHEN r64 <= 10 AND r16 <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS overlap10, " +
         "floor(CAST(sum(CASE WHEN r64 <= 10 AND r16 <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 * 100.0 + 0.5) / 100.0 AS recall_at_10 " +
         "FROM r GROUP BY q_id ORDER BY q_id"),
+    "q_retrieval_eval" ->
+      ("WITH p AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id, " +
+        "floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) * 1000.0 + 0.5) / 1000.0 AS cosr " +
+        "FROM embeddings q JOIN embeddings e ON q.vec_id % 10 = 0 AND q.vec_id <> e.vec_id), " +
+        "r AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cosr DESC, vec_id) AS rn FROM p), " +
+        "top10 AS (SELECT * FROM r WHERE rn <= 10), " +
+        "scored AS (SELECT t.q_id, ql.label AS q_label, t.rn, " +
+        "CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel " +
+        "FROM top10 t JOIN embeddings ql ON t.q_id = ql.vec_id JOIN embeddings nl ON t.vec_id = nl.vec_id), " +
+        "per_probe AS (SELECT q_id, q_label, CAST(sum(rel) AS BIGINT) AS hits, " +
+        "coalesce(max(CASE WHEN rel = 1 THEN 2520 // rn END), 0) AS rr2520 " +
+        "FROM scored GROUP BY q_id, q_label) " +
+        "SELECT CAST(q_label AS INT) AS q_label, count(*) AS n_probes, CAST(sum(hits) AS BIGINT) AS total_hits, " +
+        "floor(CAST(sum(hits) AS DOUBLE) / (10.0 * count(*)) * 1000.0 + 0.5) / 1000.0 AS mean_p10, " +
+        "floor(CAST(sum(rr2520) AS DOUBLE) / (2520.0 * count(*)) * 1000.0 + 0.5) / 1000.0 AS mrr " +
+        "FROM per_probe GROUP BY q_label ORDER BY q_label"),
   )
 }

@@ -13,9 +13,9 @@ class ContractSpec extends AnyFunSuite {
   // golden verification there (the two lists can't drift).
   private val noOracle: Set[String] = graft.tools.RegenGolden.NoOracle.toSet
 
-  test("all 264 declared queries are present") {
-    assert(SparkEntry.queries.size == 264,
-      s"expected 264 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
+  test("all 269 declared queries are present") {
+    assert(SparkEntry.queries.size == 269,
+      s"expected 269 queries, got ${SparkEntry.queries.size}: ${SparkEntry.queries.keys.toSeq.sorted}")
   }
 
   test("oracle coverage is exactly queries minus the declared NO-ORACLE set") {

@@ -44,6 +44,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_basket_lift",       // one-row order-total scalar vs the ≥5-support pair table
     "q_benford",           // one-row grand-total scalar vs the 9-digit census
     "q_sales_opportunity", // one-row positive-balance (n, sum) scalar vs customers
+    "q_mask_join",         // one-row token-collision audit scalar vs the k-segment rollup
+    "q_target_encode",     // one-row global-prior (gn, ghits) scalar vs the k-category table
   )
 
   // queries that legitimately plan an UNPARTITIONED window (empty
