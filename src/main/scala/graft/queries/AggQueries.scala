@@ -325,6 +325,56 @@ object AggQueries extends QueryGroup {
           max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("cents"))).as("p99_c"),
           max(col("n")).as("n"))
     }),
+
+    // ---- linear-interpolated percentiles, EXACT (ORACLE) ----------------
+    // percentile_cont semantics per priority, but the interpolation
+    // h = (n−1)·p, q = v[⌊h⌋]·(1−frac) + v[⌊h⌋+1]·frac is carried out in
+    // integer QUARTER-CENTS: for p ∈ {¼, ½, ¾}, h·4 = (n−1)·per4 is an
+    // exact integer, so ⌊h⌋ and the fraction numerator r = h4 mod 4 are
+    // closed-form — q_qc = v_lo_c·(4−r) + v_hi_c·r never touches a float
+    // until the single final /400 projection. Engines disagree on
+    // percentile_cont tie/rounding flavors; this construction cannot.
+    // Partitioned windows only (k priority groups in parallel).
+    "q_percentile_cont" -> ((s, d) => {
+      val byV = Window.partitionBy("o_orderpriority").orderBy(col("cents"), col("o_orderkey"))
+      val all = Window.partitionBy("o_orderpriority")
+      val base = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("rn", row_number().over(byV))
+        .withColumn("n", count(lit(1)).over(all))
+      def qqc(per4: Int): org.apache.spark.sql.Column = {
+        val h4 = (col("n") - 1) * per4
+        val lo = expr(s"((n - 1) * $per4) div 4") + 1
+        val r = h4 % 4
+        max(when(col("rn") === lo, col("cents") * (lit(4) - r))) +
+          coalesce(max(when(col("rn") === lo + 1, col("cents") * r)), lit(0L))
+      }
+      base.groupBy("o_orderpriority")
+        .agg(max(col("n")).as("n"),
+          r2(qqc(1).cast("double") / lit(400.0)).as("p25"),
+          r2(qqc(2).cast("double") / lit(400.0)).as("p50"),
+          r2(qqc(3).cast("double") / lit(400.0)).as("p75"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- hypothetical-set rank (ORACLE) ---------------------------------
+    // "Where would a $50,000.00 order rank in each priority's price
+    // distribution?" — the hypothetical-set rank/percentile family
+    // (rank = 1 + #{v > x} descending; pctl = #{v <= x}/n) computed as
+    // plain conditional counts: one aggregate pass, no sort at all, and
+    // trivially exact cross-engine. At 100 TB this is a map-side-
+    // combinable scan — the cheapest possible probe of a distribution.
+    "q_hypothetical_rank" -> ((s, d) => {
+      val x = 5000000L // $50,000.00 in cents
+      Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(when(col("cents") > x, 1L).otherwise(0L)) + 1L).as("hyp_rank_desc"),
+          r3(sum(when(col("cents") <= x, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double")).as("hyp_pctl"))
+        .orderBy("o_orderpriority")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -422,5 +472,23 @@ object AggQueries extends QueryGroup {
         "max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS p99_c, max(n) AS n FROM (" +
         "SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn, count(*) OVER () AS n " +
         "FROM (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) t) u"),
+    "q_percentile_cont" ->
+      ("WITH b AS (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents, " +
+        "row_number() OVER (PARTITION BY o_orderpriority ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS rn, " +
+        "count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) " +
+        "SELECT o_orderpriority, max(n) AS n, " +
+        "floor(CAST(max(CASE WHEN rn = ((n - 1) * 1) // 4 + 1 THEN cents * (4 - ((n - 1) * 1) % 4) END) " +
+        "+ coalesce(max(CASE WHEN rn = ((n - 1) * 1) // 4 + 2 THEN cents * (((n - 1) * 1) % 4) END), 0) AS DOUBLE) / 400.0 * 100.0 + 0.5) / 100.0 AS p25, " +
+        "floor(CAST(max(CASE WHEN rn = ((n - 1) * 2) // 4 + 1 THEN cents * (4 - ((n - 1) * 2) % 4) END) " +
+        "+ coalesce(max(CASE WHEN rn = ((n - 1) * 2) // 4 + 2 THEN cents * (((n - 1) * 2) % 4) END), 0) AS DOUBLE) / 400.0 * 100.0 + 0.5) / 100.0 AS p50, " +
+        "floor(CAST(max(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN cents * (4 - ((n - 1) * 3) % 4) END) " +
+        "+ coalesce(max(CASE WHEN rn = ((n - 1) * 3) // 4 + 2 THEN cents * (((n - 1) * 3) % 4) END), 0) AS DOUBLE) / 400.0 * 100.0 + 0.5) / 100.0 AS p75 " +
+        "FROM b GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_hypothetical_rank" ->
+      ("SELECT o_orderpriority, count(*) AS n, " +
+        "sum(CASE WHEN cents > 5000000 THEN 1 ELSE 0 END) + 1 AS hyp_rank_desc, " +
+        "floor(CAST(sum(CASE WHEN cents <= 5000000 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS hyp_pctl " +
+        "FROM (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) t " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
   )
 }

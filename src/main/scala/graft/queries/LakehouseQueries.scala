@@ -197,6 +197,49 @@ object LakehouseQueries extends QueryGroup {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
         .orderBy("o_year")
     }),
+
+    // ---- incremental materialized-aggregate maintenance ------------------
+    // The incremental-pipeline contract the CDC face exists FOR: a
+    // per-year (rows, cents) materialization is built ONCE at v0, then
+    // maintained through three later commits (append, COW delete,
+    // append) by reading ONLY each commit's changed file groups —
+    // adds contribute +1-signed partials, removes −1-signed ones (their
+    // files are immutable and still on disk, so the retraction aggregate
+    // needs no pre-image bookkeeping). At 100 TB the refresh cost is
+    // O(changed files), not O(table); the oracle recomputes the final
+    // state declaratively from `orders`, so hash equality proves the
+    // delta algebra (including the delete's remove+rewrite pair)
+    // converges to exactly the full recompute.
+    "q_txn_incr_agg" -> ((s, d) => {
+      val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/orders_incr"
+      TxnLog.rmrf(base)
+      val log = new graft.sources.TxnLog(s, base, statCol = Some("o_year"))
+      log.init()
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        cents("o_totalprice").as("cents"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      log.append(o.filter(col("o_year") <= 1997).repartition(4))             // v0
+      log.append(o.filter(col("o_year").between(1998, 1999)).repartition(4)) // v1
+      log.deleteWhere(col("o_orderstatus") === "F")                          // v2
+      log.append(o.filter(col("o_year") >= 2000).repartition(4))             // v3
+      def partial(fs: Seq[graft.sources.TxnLog.AddFile], sign: Int): Option[DataFrame] =
+        if (fs.isEmpty) None
+        else Some(s.read.parquet(fs.map(f => s"$base/${f.path}"): _*)
+          .groupBy("o_year")
+          .agg((count(lit(1)) * sign).as("dn"), (sum(col("cents")) * sign).as("dc")))
+      val view0 = log.read(0).groupBy("o_year")
+        .agg(count(lit(1)).as("dn"), sum(col("cents")).as("dc"))
+      val deltas = (1 to log.latestVersion()).flatMap { v =>
+        val (adds, removes) = log.changes(v)
+        partial(adds, 1).toSeq ++ partial(removes, -1).toSeq
+      }
+      (view0 +: deltas).reduce(_ unionAll _)
+        .groupBy("o_year")
+        .agg(sum(col("dn")).as("n_rows"), sum(col("dc")).as("total_cents"))
+        .filter(col("n_rows") > 0)
+        .orderBy("o_year")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -242,6 +285,14 @@ object LakehouseQueries extends QueryGroup {
         "CAST(sum(CASE WHEN year(o_orderdate) BETWEEN 1997 AND 1998 " +
         "THEN cents + cents // 10 ELSE cents END) AS BIGINT) AS total_cents " +
         "FROM (SELECT o_orderdate, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) t " +
+        "GROUP BY 1 ORDER BY o_year"),
+    // final maintained state: the v2 COW delete dropped 'F' rows present
+    // then (years <= 1999); the v3 append re-added years >= 2000 intact
+    "q_txn_incr_agg" ->
+      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_rows, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders WHERE (year(o_orderdate) <= 1999 AND o_orderstatus <> 'F') " +
+        "OR year(o_orderdate) >= 2000 " +
         "GROUP BY 1 ORDER BY o_year"),
   )
 }
