@@ -175,6 +175,40 @@ object StreamQueries extends QueryGroup {
         .select(col("c_mktsegment"), col("event_type"), col("n"), col("sum_cents"))
         .orderBy("c_mktsegment", "event_type")
     }),
+
+    // ---- stream-stream interval join (ORACLE) ---------------------------
+    // The hardest streaming topology: two unbounded sources joined on key
+    // + an event-time interval (purchases within 30 minutes AFTER a view
+    // by the same user), via StreamingSymmetricHashJoin with watermarks
+    // on BOTH sides — the interval condition is what lets each side's
+    // state evict (a view older than watermark−30min can never match a
+    // future purchase). The drained pair set is aggregated per user in
+    // batch; with AvailableNow over the bounded source the pair set
+    // equals the batch self-join exactly, which is precisely what the
+    // oracle states. At 100 TB the same topology runs unbounded with
+    // per-key-range sharded join state.
+    "q_stream_interval_join" -> ((s, d) => {
+      val views = eventsStream(s, d).filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("v_id"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = eventsStream(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withWatermark("p_ts", "1 hour")
+      val pairs = views.join(purchases,
+        col("v_user") === col("p_user")
+          && col("p_ts") >= col("v_ts")
+          && col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      drain(s, pairs, "append")
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("v_id")).as("n_views_matched"),
+          countDistinct(col("p_id")).as("n_purchases_matched"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -201,5 +235,15 @@ object StreamQueries extends QueryGroup {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM events JOIN customer ON user_id = c_custkey " +
         "GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type"),
+    "q_stream_interval_join" ->
+      ("SELECT v.user_id AS user_id, count(*) AS n_pairs, " +
+        "count(DISTINCT v.event_id) AS n_views_matched, " +
+        "count(DISTINCT p.event_id) AS n_purchases_matched, " +
+        "CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM events v JOIN events p ON v.user_id = p.user_id " +
+        "AND v.event_type = 'view' AND p.event_type = 'purchase' " +
+        "AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP) " +
+        "AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes' " +
+        "GROUP BY v.user_id ORDER BY user_id"),
   )
 }

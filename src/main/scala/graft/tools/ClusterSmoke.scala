@@ -51,6 +51,10 @@ object ClusterSmoke {
     "q_txn_timetravel",   // TxnLog commit protocol + COW delete across executors
     "q_txn_cdc",          // Observation write-job stats from executor tasks
     "q_ann_nndescent",    // iterated graph self-joins + checkpoint blocks
+    "q_txn_incr_agg",     // CDC delta maintenance reading changed groups on executors
+    "q_retrieval_eval",   // CosineJoinExec fused top-k + post-trim label joins
+    "q_stream_interval_join", // StreamingSymmetricHashJoin state across executors
+    "q_local_volume",     // TPC-H Q5: two fact shuffles + dim broadcasts
   )
 
   def main(args: Array[String]): Unit = {
