@@ -209,6 +209,35 @@ object StreamQueries extends QueryGroup {
           sum(col("cents")).as("sum_cents"))
         .orderBy("user_id")
     }),
+
+    // ---- stream-stream LEFT OUTER interval join (ORACLE) ----------------
+    // The outer flavor is where streaming semantics genuinely diverge
+    // from batch: a view's null-extended row may only be emitted once the
+    // watermark PROVES no matching purchase can still arrive (v_ts +
+    // 30 min < final watermark = max ts − 1 h). The oracle states that
+    // eviction rule literally — matched pairs are the batch join, and the
+    // unmatched census counts exactly the views old enough for the state
+    // store to have closed them out. Grading this proves the engine's
+    // outer-join watermark arithmetic, not just its match plumbing.
+    "q_stream_outer_join" -> ((s, d) => {
+      val views = eventsStream(s, d).filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("v_id"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = eventsStream(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = views.join(purchases,
+        col("v_user") === col("p_user")
+          && col("p_ts") >= col("v_ts")
+          && col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      drain(s, joined, "append")
+        .agg(sum(when(col("p_id").isNotNull, 1L).otherwise(0L)).as("n_matched_pairs"),
+          countDistinct(when(col("p_id").isNotNull, col("v_id"))).as("n_views_matched"),
+          sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("n_views_closed_unmatched"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -245,5 +274,18 @@ object StreamQueries extends QueryGroup {
         "AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP) " +
         "AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes' " +
         "GROUP BY v.user_id ORDER BY user_id"),
+    // the final global watermark is the MIN of the two sides' (max event
+    // time - 1h); a view's null row emits only once v_ts + 30min passes it
+    "q_stream_outer_join" ->
+      ("WITH v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'view'), " +
+        "p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'), " +
+        "wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p)) - INTERVAL '1 hour' AS w), " +
+        "m AS (SELECT v.event_id AS v_id, p.event_id AS p_id FROM v JOIN p ON v.user_id = p.user_id " +
+        "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes') " +
+        "SELECT (SELECT count(*) FROM m) AS n_matched_pairs, " +
+        "(SELECT count(DISTINCT v_id) FROM m) AS n_views_matched, " +
+        "(SELECT count(*) FROM v, wm WHERE v.ts + INTERVAL '30 minutes' < wm.w " +
+        "AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id " +
+        "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes')) AS n_views_closed_unmatched"),
   )
 }

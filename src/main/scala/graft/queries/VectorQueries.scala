@@ -248,7 +248,10 @@ object VectorQueries extends QueryGroup {
 
     // ---- retrieval-quality evaluation: P@10 + MRR (ORACLE) --------------
     // The embedding-eval operator a training pipeline runs after every
-    // index build: exact cosine top-10 for each probe (vec_id % 10 = 0),
+    // index build: exact cosine top-10 for each probe in a FIXED panel
+    // (vec_id % 10 = 0 AND vec_id < 1000 — eval sets are fixed-size in
+    // practice, so the pass stays O(panel·corpus) at any corpus scale,
+    // never a corpus-fraction² blowup),
     // relevance = label agreement, rolled up per probe label as mean
     // precision@10 and MRR. Ranking is on the ROUNDED cosine (3dp) with
     // id tiebreak — the q_sim_knn discipline that makes a float ranking
@@ -262,7 +265,7 @@ object VectorQueries extends QueryGroup {
     "q_retrieval_eval" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val probes = e.filter(col("vec_id") % 10 === 0)
+      val probes = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val pairs = probes.crossJoin(e)
         .filter(r3(expr("graft_cosine(qv, v)")) >= lit(-1.0) && col("q_id") =!= col("vec_id"))
@@ -382,7 +385,7 @@ object VectorQueries extends QueryGroup {
     "q_retrieval_eval" ->
       ("WITH p AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id, " +
         "floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) * 1000.0 + 0.5) / 1000.0 AS cosr " +
-        "FROM embeddings q JOIN embeddings e ON q.vec_id % 10 = 0 AND q.vec_id <> e.vec_id), " +
+        "FROM embeddings q JOIN embeddings e ON q.vec_id % 10 = 0 AND q.vec_id < 1000 AND q.vec_id <> e.vec_id), " +
         "r AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cosr DESC, vec_id) AS rn FROM p), " +
         "top10 AS (SELECT * FROM r WHERE rn <= 10), " +
         "scored AS (SELECT t.q_id, ql.label AS q_label, t.rn, " +
