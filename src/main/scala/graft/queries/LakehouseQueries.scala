@@ -240,6 +240,43 @@ object LakehouseQueries extends QueryGroup {
         .filter(col("n_rows") > 0)
         .orderBy("o_year")
     }),
+
+    // ---- CHECK-constraint-gated writes with atomic quarantine ------------
+    // The data-quality gate at the TABLE boundary: a corrupted extract
+    // (every 97th order key gets a negated amount — the planted-violation
+    // recipe q_source_csv_corrupt uses at the CSV parse layer) is
+    // appended in three commits through a `cents > 0` CHECK. Violating
+    // rows never enter a snapshot; each commit diverts them to a
+    // quarantine group referenced by a `qrn` action in the SAME atomic
+    // manifest, so accept/divert is one publish and the audit trail is
+    // replayable per commit. The report reconciles all three
+    // populations — live census, quarantine census, and their sum
+    // against the source — and the oracle recomputes each from `orders`
+    // with the same %97 rule: hash equality proves the gate diverted
+    // exactly the violations, atomically, with nothing lost.
+    "q_txn_constraint" -> ((s, d) => {
+      val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/orders_chk"
+      TxnLog.rmrf(base)
+      val log = new graft.sources.TxnLog(s, base, statCol = Some("o_year"))
+      log.init()
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, -cents("o_totalprice"))
+          .otherwise(cents("o_totalprice")).as("cents"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      val check = col("cents") > 0L
+      log.appendChecked(o.filter(col("o_year") <= 1997), check)
+      log.appendChecked(o.filter(col("o_year").between(1998, 1999)), check)
+      log.appendChecked(o.filter(col("o_year") >= 2000), check)
+      val v = log.latestVersion()
+      val live = log.read(v)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .select(lit("live").as("population"), col("n"), col("sum_cents"))
+      val quar = log.readQuarantine(v).get
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .select(lit("quarantine").as("population"), col("n"), col("sum_cents"))
+      live.unionAll(quar).orderBy("population")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -294,5 +331,12 @@ object LakehouseQueries extends QueryGroup {
         "FROM orders WHERE (year(o_orderdate) <= 1999 AND o_orderstatus <> 'F') " +
         "OR year(o_orderdate) >= 2000 " +
         "GROUP BY 1 ORDER BY o_year"),
+    "q_txn_constraint" ->
+      ("WITH o AS (SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 " +
+        "THEN -CAST(round(o_totalprice * 100) AS BIGINT) " +
+        "ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents FROM orders) " +
+        "SELECT 'live' AS population, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents FROM o WHERE cents > 0 " +
+        "UNION ALL SELECT 'quarantine', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE NOT (cents > 0) " +
+        "ORDER BY population"),
   )
 }

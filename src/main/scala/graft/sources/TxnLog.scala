@@ -71,6 +71,7 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
     val txns = Seq.newBuilder[(String, Long)]
+    val qrns = Seq.newBuilder[AddFile]
     lines.foreach { line =>
       line.split('\t') match {
         case Array("add", p, rows, lo, hi) =>
@@ -79,11 +80,17 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
             if (hi == "-") Long.MaxValue else hi.toLong)
         case Array("remove", p) => removes += p
         case Array("txn", app, batch) => txns += (app -> batch.toLong)
+        // quarantine artifact: referenced by the commit for audit/replay
+        // but NEVER part of the live snapshot
+        case Array("qrn", p, rows, lo, hi) =>
+          qrns += AddFile(p, rows.toLong,
+            if (lo == "-") Long.MinValue else lo.toLong,
+            if (hi == "-") Long.MaxValue else hi.toLong)
         case other => throw new IllegalStateException(
           s"corrupt manifest $v: ${other.mkString("\t")}")
       }
     }
-    Manifest(adds.result(), removes.result(), txns.result())
+    Manifest(adds.result(), removes.result(), txns.result(), qrns.result())
   }
 
   /** Live file set at `version` (inclusive), in commit order. */
@@ -115,10 +122,12 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     * the marker is re-checked against every manifest that won, so a
     * duplicate (app, batch) can never land twice. */
   def commit(adds: Seq[AddFile], removes: Seq[String],
-             txn: Option[(String, Long)] = None): Int = {
+             txn: Option[(String, Long)] = None,
+             quarantines: Seq[AddFile] = Seq.empty): Int = {
     val body = (txn.toSeq.map { case (a, b) => s"txn\t$a\t$b" } ++
       removes.map(p => s"remove\t$p") ++
-      adds.map(a => s"add\t${a.path}\t${a.rows}\t${a.statMin}\t${a.statMax}"))
+      adds.map(a => s"add\t${a.path}\t${a.rows}\t${a.statMin}\t${a.statMax}") ++
+      quarantines.map(a => s"qrn\t${a.path}\t${a.rows}\t${a.statMin}\t${a.statMax}"))
       .mkString("", "\n", "\n")
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -159,6 +168,32 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
 
   /** Write `df` as a new file group and commit it as an append. */
   def append(df: DataFrame): Int = commit(writeGroup(df).toSeq, Seq.empty)
+
+  /** CHECK-constraint-gated append: rows satisfying `constraint` enter
+    * the live table; violating rows (constraint FALSE or NULL — the SQL
+    * CHECK semantics) land in a quarantine file group referenced by a
+    * `qrn` action in the SAME manifest, so the accept/divert decision is
+    * one atomic publish — an auditor replaying the log sees exactly
+    * which commit diverted what, and a half-applied gate is impossible.
+    * The quarantine is never part of any snapshot; [[quarantined]]
+    * reads it back for triage. Returns the committed version. */
+  def appendChecked(df: DataFrame, constraint: org.apache.spark.sql.Column): Int = {
+    val pass = coalesce(constraint, lit(false))
+    val good = writeGroup(df.filter(pass))
+    val bad = writeGroup(df.filter(!pass))
+    commit(good.toSeq, Seq.empty, quarantines = bad.toSeq)
+  }
+
+  /** All quarantine artifacts up to `version` (append-only audit set). */
+  def quarantined(version: Int): Seq[AddFile] =
+    (0 to version).flatMap(v => readManifest(v).quarantines)
+
+  /** Quarantine read-back for triage; empty quarantine is a valid state
+    * so the caller gets an empty-schema-safe option. */
+  def readQuarantine(version: Int): Option[DataFrame] = {
+    val q = quarantined(version)
+    if (q.isEmpty) None else Some(readFiles(q))
+  }
 
   /** Write one file group, with the manifest stats (row count, min/max of
     * the stat column) OBSERVED on the write job itself — no second scan
@@ -255,8 +290,11 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     * file-count-, not data-, proportional. */
   def vacuum(retainFrom: Int): Seq[String] = {
     val latest = latestVersion()
-    val referenced = (retainFrom to latest)
-      .flatMap(v => snapshotFiles(v).map(_.path)).toSet
+    // quarantine artifacts are audit data: retained alongside the same
+    // version window (a vacuumed-away version's quarantine goes with it)
+    val referenced = ((retainFrom to latest)
+      .flatMap(v => snapshotFiles(v).map(_.path)) ++
+      (retainFrom to latest).flatMap(v => readManifest(v).quarantines.map(_.path))).toSet
     import scala.jdk.CollectionConverters._
     val onDisk = {
       val it = Files.list(dataDir)
@@ -293,7 +331,8 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
 object TxnLog {
   final case class AddFile(path: String, rows: Long, statMin: Long, statMax: Long)
   final case class Manifest(adds: Seq[AddFile], removes: Seq[String],
-    txns: Seq[(String, Long)] = Seq.empty)
+    txns: Seq[(String, Long)] = Seq.empty,
+    quarantines: Seq[AddFile] = Seq.empty)
 
   /** Recursive local delete for idempotent fixtures. */
   def rmrf(path: String): Unit = {

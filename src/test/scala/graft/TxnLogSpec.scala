@@ -187,4 +187,40 @@ class TxnLogSpec extends SparkSpec {
     assert(log.readPruned(log.latestVersion(), 1997L, 1998L).inputFiles.length == 2)
     assert(log.read().inputFiles.length == 7)
   }
+
+  test("appendChecked: violations quarantined atomically, never in a snapshot; NULL check fails closed") {
+    val base = freshBase("chk")
+    val log = new TxnLog(spark, base, statCol = Some("k"))
+    log.init()
+    // NULL constraint result must divert (SQL CHECK passes only on TRUE)
+    val df = Seq((1L, Some(5L)), (2L, Some(-1L)), (3L, None: Option[Long]))
+      .toDF("k", "amt")
+    val v = log.appendChecked(df, col("amt") > 0L)
+    assert(v == 0)
+    assert(log.read(v).select("k").as[Long].collect().toSet == Set(1L))
+    val q = log.readQuarantine(v).get
+    assert(q.select("k").as[Long].collect().toSet == Set(2L, 3L))
+    // the qrn reference rides the SAME manifest as the add — one publish
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(base, "_txnlog", "00000.txn"))
+    assert(manifest.contains("add\t") && manifest.contains("qrn\t"))
+    // quarantine accumulates across commits; later snapshots stay clean
+    log.appendChecked(Seq((4L, Some(-7L))).toDF("k", "amt"), col("amt") > 0L)
+    assert(log.read().count() == 1)
+    assert(log.readQuarantine(log.latestVersion()).get.count() == 3)
+    // an all-good append writes no qrn action at all
+    val v2 = log.appendChecked(Seq((5L, Some(9L))).toDF("k", "amt"), col("amt") > 0L)
+    assert(log.quarantined(v2).size == 2) // unchanged artifact count
+  }
+
+  test("vacuum retains quarantine artifacts of the retained version window") {
+    val base = freshBase("chkvac")
+    val log = new TxnLog(spark, base, statCol = Some("k"))
+    log.init()
+    log.appendChecked(Seq((1L, 5L), (2L, -1L)).toDF("k", "amt"), col("amt") > 0L) // v0
+    log.append(Seq((3L, 6L)).toDF("k", "amt"))                                    // v1
+    val removed = log.vacuum(retainFrom = 0)
+    assert(removed.isEmpty, s"nothing is unreferenced when v0 is retained: $removed")
+    assert(log.readQuarantine(log.latestVersion()).get.count() == 1)
+  }
 }
