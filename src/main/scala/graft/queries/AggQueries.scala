@@ -357,6 +357,23 @@ object AggQueries extends QueryGroup {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- boolean aggregates (ORACLE) ------------------------------------
+    // bool_and / bool_or / count_if as data-quality predicates per event
+    // type, over EXACT integer-cent comparisons (a float threshold could
+    // flip a knife-edge row cross-engine; an integer one cannot). All
+    // three are algebraic — map-side combinable, the cheapest possible
+    // invariant check over 100 TB.
+    "q_bool_aggs" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("bool_and(cents >= 0)").as("all_nonneg"),
+          expr("bool_or(cents > 90000)").as("any_over_900"),
+          expr("count_if(cents > 50000)").as("n_over_500"))
+        .orderBy("event_type")
+    }),
+
     // ---- hypothetical-set rank (ORACLE) ---------------------------------
     // "Where would a $50,000.00 order rank in each priority's price
     // distribution?" — the hypothetical-set rank/percentile family
@@ -484,6 +501,11 @@ object AggQueries extends QueryGroup {
         "floor(CAST(max(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN cents * (4 - ((n - 1) * 3) % 4) END) " +
         "+ coalesce(max(CASE WHEN rn = ((n - 1) * 3) // 4 + 2 THEN cents * (((n - 1) * 3) % 4) END), 0) AS DOUBLE) / 400.0 * 100.0 + 0.5) / 100.0 AS p75 " +
         "FROM b GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_bool_aggs" ->
+      ("SELECT event_type, count(*) AS n, bool_and(cents >= 0) AS all_nonneg, " +
+        "bool_or(cents > 90000) AS any_over_900, count_if(cents > 50000) AS n_over_500 " +
+        "FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events) t " +
+        "GROUP BY event_type ORDER BY event_type"),
     "q_hypothetical_rank" ->
       ("SELECT o_orderpriority, count(*) AS n, " +
         "sum(CASE WHEN cents > 5000000 THEN 1 ELSE 0 END) + 1 AS hyp_rank_desc, " +

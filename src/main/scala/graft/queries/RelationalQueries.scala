@@ -1031,6 +1031,26 @@ object RelationalQueries extends QueryGroup {
             .otherwise(0L)).as("good_cents"),
           max(when(col("_corrupt_record").isNull, col("o_orderkey"))).as("max_good_key"))
     }),
+
+    // ---- computed (generated) source (ORACLE) ---------------------------
+    // A table that is never read from storage: spark.range generates the
+    // rows ON the executors and every derived column is a deterministic
+    // function of the id (md5-based bucketing — the same portable hash
+    // recipe as q_split_hash). This is how a 100 TB benchmark corpus or
+    // synthetic-data sweep materializes: generation cost scales with
+    // cores, storage cost is zero, and the oracle regenerates the
+    // identical rows from DuckDB's range() — proof the generation is
+    // engine-independent, not an artifact of one engine's RNG.
+    "q_source_generated" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("id").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+      s.range(0, 100000)
+        .withColumn("b16", bucket % 16)
+        .groupBy("b16")
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
+        .orderBy("b16")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1307,6 +1327,10 @@ object RelationalQueries extends QueryGroup {
         "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents FROM (" +
         "SELECT o_totalprice, CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS prio " +
         "FROM orders) t GROUP BY 1 ORDER BY prio"),
+    "q_source_generated" ->
+      ("SELECT b16, count(*) AS n, min(i) AS min_id, max(i) AS max_id, CAST(sum(i) AS BIGINT) AS sum_id " +
+        "FROM (SELECT i, CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 2)) AS BIGINT) % 16 AS b16 " +
+        "FROM range(0, 100000) t(i)) g GROUP BY b16 ORDER BY b16"),
     "q_source_csv_corrupt" ->
       ("SELECT sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS n_corrupt, " +
         "sum(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END) AS n_good, " +

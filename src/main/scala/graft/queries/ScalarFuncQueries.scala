@@ -84,6 +84,34 @@ object ScalarFuncQueries extends QueryGroup {
         .select(col("pos").cast("long").as("pos"), col("n"), col("avg_val"))
         .orderBy("pos")),
 
+    // ---- higher-order array functions (ORACLE) --------------------------
+    // transform/filter/exists/forall/aggregate as codegen-adjacent
+    // row-local vector ops — the lambda surface a feature pipeline leans
+    // on instead of exploding arrays. Counts come from filter lengths
+    // (portably identical to exists/forall), and the aggregate fold runs
+    // on a micro-unit integer grid so the fold order can't produce float
+    // drift. Oracle mirrors with DuckDB list lambdas.
+    "q_hof_funcs" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      e.select(col("label"),
+          size(filter(col("v"), x => x > 0)).cast("long").as("n_pos"),
+          exists(col("v"), x => x > 0.3).as("has_big"),
+          forall(col("v"), x => abs(x) < lit(0.5)).as("all_small"),
+          aggregate(transform(col("v"),
+            x => floor(x * 1000000.0 + 0.5).cast("long")), lit(0L),
+            (acc, x) => acc + x).as("sum_micro"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("n_pos")).as("total_pos"),
+          expr("count_if(has_big)").as("n_has_big"),
+          expr("count_if(all_small)").as("n_all_small"),
+          sum(col("sum_micro")).as("mass_micro"))
+        .select(col("label").cast("int").as("label"), col("n_vecs"),
+          col("total_pos"), col("n_has_big"), col("n_all_small"), col("mass_micro"))
+        .orderBy("label")
+    }),
+
     "q_map_struct" -> ((s, d) => {
       // build a map + struct from scalar columns, then extract back out —
       // outputs are flattened scalars (nested types never hash-compared).
@@ -140,5 +168,16 @@ object ScalarFuncQueries extends QueryGroup {
     "q_map_struct" ->
       ("SELECT lang AS lang_x, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM documents GROUP BY lang ORDER BY lang_x"),
+    "q_hof_funcs" ->
+      ("WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "p AS (SELECT label, " +
+        "CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos, " +
+        "len(list_filter(v, x -> x > 0.3)) > 0 AS has_big, " +
+        "len(list_filter(v, x -> abs(x) < 0.5)) = len(v) AS all_small, " +
+        "CAST(list_sum(list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sum_micro FROM e) " +
+        "SELECT CAST(label AS INT) AS label, count(*) AS n_vecs, " +
+        "CAST(sum(n_pos) AS BIGINT) AS total_pos, count_if(has_big) AS n_has_big, " +
+        "count_if(all_small) AS n_all_small, CAST(sum(sum_micro) AS BIGINT) AS mass_micro " +
+        "FROM p GROUP BY label ORDER BY label"),
   )
 }
