@@ -297,6 +297,60 @@ object RelationalQueries extends QueryGroup {
         .orderBy("o_custkey")
     }),
 
+    // INTERSECT ALL: multiplicity-preserving intersection — each custkey
+    // survives min(#1995, #1996) times, which the census makes visible.
+    "q_intersect_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val b = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      a.intersectAll(b).groupBy("o_custkey").agg(count(lit(1)).as("n_common"))
+        .orderBy("o_custkey")
+    }),
+
+    // ---- ORDER BY + LIMIT/OFFSET pagination -----------------------------
+    // Page 3 of the price-ranked orders (rows 41-60 of a total order) —
+    // the BI pagination contract. OFFSET still sorts the full prefix, so
+    // a deep page is O(offset) per request; keyset pagination (WHERE
+    // key > last-seen) is the scale path — this grades the semantics.
+    "q_paginate" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), r2(col("o_totalprice")).as("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(40).limit(20)),
+
+    // ---- null-handling scalar family ------------------------------------
+    // nullif / coalesce / nvl2 as one pipeline: the status 'P' is masked
+    // to NULL (nullif), re-labeled (coalesce), and branch-flagged (nvl2 —
+    // mirrored by CASE in the oracle since engines differ on nvl2).
+    // Corpus has no natural nulls, so the mask synthesizes them — the
+    // same recipe as q_join_nullsafe.
+    "q_null_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("k", nullif(col("o_orderstatus"), lit("P")))
+        .withColumn("lbl", coalesce(col("k"), lit("PENDING")))
+        .withColumn("flag", expr("nvl2(k, 'known', 'masked')"))
+        .groupBy("lbl", "flag")
+        .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("lbl")),
+
+    // ---- SQL-defined scalar function (CREATE FUNCTION) -------------------
+    // The declarative UDF entry path: the revenue formula is defined ONCE
+    // as a SQL function (catalog object, fully visible to Catalyst — it
+    // inlines into codegen, unlike a black-box Scala UDF) and used from
+    // SQL text. The oracle states the same arithmetic inline, so hash
+    // equality proves the function body was applied losslessly.
+    "q_sql_udf" -> ((s, d) => {
+      graft.Tables.registerViews(s, d)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_net_tk(p DOUBLE, disc DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(round(p * 100) AS BIGINT) * (100 - CAST(round(disc * 100) AS BIGINT))""")
+      s.sql("""
+        SELECT l_returnflag,
+          count(*) AS n,
+          CAST(sum(graft_net_tk(l_extendedprice, l_discount)) AS BIGINT) AS rev_tk
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
     // null-safe equality join (<=>): NULL keys match each other — the
     // semantics MERGE/dedup pipelines need when the join key is optional.
     // Keys are synthesized (corpus has no nulls): nation keys 20+ -> NULL
@@ -1327,6 +1381,24 @@ object RelationalQueries extends QueryGroup {
         "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents FROM (" +
         "SELECT o_totalprice, CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS prio " +
         "FROM orders) t GROUP BY 1 ORDER BY prio"),
+    "q_intersect_all" ->
+      ("SELECT o_custkey, count(*) AS n_common FROM (" +
+        "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 " +
+        "INTERSECT ALL SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) t " +
+        "GROUP BY o_custkey ORDER BY o_custkey"),
+    "q_paginate" ->
+      ("SELECT o_orderkey, floor(o_totalprice * 100.0 + 0.5) / 100.0 AS o_totalprice " +
+        "FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40"),
+    "q_null_funcs" ->
+      ("WITH t AS (SELECT nullif(o_orderstatus, 'P') AS k, o_custkey FROM orders) " +
+        "SELECT coalesce(k, 'PENDING') AS lbl, " +
+        "CASE WHEN k IS NOT NULL THEN 'known' ELSE 'masked' END AS flag, " +
+        "count(*) AS n, count(DISTINCT o_custkey) AS n_cust " +
+        "FROM t GROUP BY lbl, flag ORDER BY lbl"),
+    "q_sql_udf" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_tk " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_source_generated" ->
       ("SELECT b16, count(*) AS n, min(i) AS min_id, max(i) AS max_id, CAST(sum(i) AS BIGINT) AS sum_id " +
         "FROM (SELECT i, CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 2)) AS BIGINT) % 16 AS b16 " +
