@@ -238,6 +238,30 @@ object StreamQueries extends QueryGroup {
           countDistinct(when(col("p_id").isNotNull, col("v_id"))).as("n_views_matched"),
           sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("n_views_closed_unmatched"))
     }),
+
+    // ---- streamed session windows, append mode (ORACLE) -----------------
+    // Dynamic-gap session aggregation on the streaming engine: session
+    // state merges as events arrive and a session only emits once the
+    // watermark passes its end (last event + 30 min gap). NB the
+    // session-break rule is NON-STRICT (an event exactly at
+    // last + gap starts a NEW session — [start, last+gap) windows merge
+    // only on true overlap), which is the opposite boundary convention
+    // from the batch q_session_30m's strict >; the oracle states the
+    // streaming rule. Session census per user over CLOSED sessions only
+    // (end <= max ts − 17 min), k-bounded output.
+    "q_stream_session" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withWatermark("ts", "17 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      drain(s, agg, "append")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"),
+          sum(col("sum_cents")).as("sum_cents"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -287,5 +311,23 @@ object StreamQueries extends QueryGroup {
         "(SELECT count(*) FROM v, wm WHERE v.ts + INTERVAL '30 minutes' < wm.w " +
         "AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id " +
         "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes')) AS n_views_closed_unmatched"),
+    // streaming session semantics: NON-STRICT break (gap >= 30 min starts
+    // a new session); a session is reported only once closed by the final
+    // watermark (last event + 30 min <= max ts - 17 min)
+    "q_stream_session" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "wm AS (SELECT max(ts) - INTERVAL '17 minutes' AS w FROM e), " +
+        "flagged AS (SELECT user_id, ts, cents, " +
+        "CASE WHEN lag(ts, 1) OVER win IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER win) >= 1800000000 THEN 1 ELSE 0 END AS new_s " +
+        "FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT user_id, ts, cents, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged), " +
+        "per_s AS (SELECT user_id, sid, count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents, " +
+        "max(ts) + INTERVAL '30 minutes' AS s_end FROM sess GROUP BY user_id, sid) " +
+        "SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events, " +
+        "CAST(sum(sum_cents) AS BIGINT) AS sum_cents, CAST(max(n_events) AS BIGINT) AS max_session_events " +
+        "FROM per_s, wm WHERE s_end <= w GROUP BY user_id ORDER BY user_id"),
   )
 }
