@@ -277,6 +277,39 @@ object LakehouseQueries extends QueryGroup {
         .select(lit("quarantine").as("population"), col("n"), col("sum_cents"))
       live.unionAll(quar).orderBy("population")
     }),
+
+    // ---- metadata-only branching (git model on the commit log) ----------
+    // The what-if primitive a 100 TB lake needs: fork an 'experiment'
+    // branch at v1, then DIVERGE — main appends 2000+ orders while the
+    // branch copy-on-write-deletes status 'F' — and read THREE heads
+    // from one store: the shared ancestor v1 (immutable under both
+    // tips), the advanced main, and the branch. Branching costs zero
+    // data movement (shared immutable groups + a fork-point meta
+    // published by the same fails-if-exists hard link as a commit), and
+    // the oracle recomputes each head declaratively: equality proves
+    // the two tips are fully isolated and the ancestor unchanged.
+    "q_txn_branch" -> ((s, d) => {
+      val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/orders_br"
+      TxnLog.rmrf(base)
+      val log = new graft.sources.TxnLog(s, base, statCol = Some("o_year"))
+      log.init()
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        cents("o_totalprice").as("cents"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      log.append(o.filter(col("o_year") <= 1997).repartition(4))             // v0
+      log.append(o.filter(col("o_year").between(1998, 1999)).repartition(4)) // v1
+      val exp = log.branch("experiment", fromVersion = 1)
+      log.append(o.filter(col("o_year") >= 2000).repartition(4))             // main v2
+      exp.deleteWhere(col("o_orderstatus") === "F")                          // branch v2
+      def census(df: org.apache.spark.sql.DataFrame, head: String) =
+        df.agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+          .select(lit(head).as("head"), col("n"), col("total_cents"))
+      census(log.read(1), "ancestor_v1")
+        .unionAll(census(log.read(), "main"))
+        .unionAll(census(exp.read(), "experiment"))
+        .orderBy("head")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -338,5 +371,15 @@ object LakehouseQueries extends QueryGroup {
         "SELECT 'live' AS population, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents FROM o WHERE cents > 0 " +
         "UNION ALL SELECT 'quarantine', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE NOT (cents > 0) " +
         "ORDER BY population"),
+    // ancestor v1 = all years <= 1999; main tip adds >= 2000; the branch
+    // tip is the ancestor minus status 'F' (its COW delete) — and NOT
+    // main's 2000+ rows, which is exactly the isolation being proven
+    "q_txn_branch" ->
+      ("WITH o AS (SELECT o_orderstatus AS st, year(o_orderdate) AS yr, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT 'ancestor_v1' AS head, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE yr <= 1999 " +
+        "UNION ALL SELECT 'experiment', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE yr <= 1999 AND st <> 'F' " +
+        "UNION ALL SELECT 'main', count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "ORDER BY head"),
   )
 }

@@ -41,29 +41,73 @@ import org.apache.spark.sql.functions._
   * Deletes/updates are copy-on-write: rewrite affected files, one
   * `remove` + one `add` per file, all in a single atomic commit.
   */
-final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = None) {
+final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = None,
+                   branchInfo: Option[(String, Int)] = None) {
   import TxnLog.{AddFile, Manifest}
 
-  private val logDir: Path = Paths.get(base, "_txnlog")
+  private val mainLogDir: Path = Paths.get(base, "_txnlog")
+  // a branch's own manifests live under _txnlog/branch=<name>/ and start
+  // at forkVersion+1; versions <= forkVersion resolve from the parent
+  // (main) chain — the git model: shared immutable history + divergent tips
+  private val branchLogDir: Option[Path] =
+    branchInfo.map { case (name, _) => mainLogDir.resolve(s"branch=$name") }
+  private val forkVersion: Int = branchInfo.map(_._2).getOrElse(Int.MaxValue)
+  private def logDirFor(v: Int): Path =
+    if (v <= forkVersion) mainLogDir else branchLogDir.get
+  private val logDir: Path = branchLogDir.getOrElse(mainLogDir)
   private val dataDir: Path = Paths.get(base, "data")
 
   def init(): Unit = { Files.createDirectories(logDir); Files.createDirectories(dataDir) }
 
-  /** Highest committed version, or -1 for an empty log. */
+  /** Fork a named branch at `fromVersion`. Branch commits are invisible
+    * to main (and vice versa from `fromVersion+1` on); data files are
+    * shared and immutable, so branching is a METADATA-ONLY operation —
+    * the what-if/experiment primitive (reprocess a slice on a branch,
+    * compare, then promote or drop) at any table size. The branch meta
+    * (fork point) is published with the same fails-if-exists hard-link
+    * primitive as a commit, so branch creation cannot race. Vacuum runs
+    * from main but retains every group any branch references. */
+  def branch(name: String, fromVersion: Int): TxnLog = {
+    require(branchInfo.isEmpty, "branching from a branch is not supported")
+    require(fromVersion <= latestVersion(), s"cannot fork at unborn version $fromVersion")
+    val bdir = mainLogDir.resolve(s"branch=$name")
+    Files.createDirectories(bdir)
+    val meta = bdir.resolve("_meta")
+    if (!Files.exists(meta)) {
+      val tmp = bdir.resolve(s".tmp-${UUID.randomUUID()}")
+      Files.write(tmp, s"fork\t$fromVersion\n".getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(meta, tmp)
+      catch { case _: FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
+    }
+    val persistedFork = Files.readString(meta).trim.split('\t')(1).toInt
+    new TxnLog(spark, base, statCol, Some((name, persistedFork)))
+  }
+
+  /** Open an existing branch (fork point read from its published meta). */
+  def openBranch(name: String): TxnLog = {
+    val meta = mainLogDir.resolve(s"branch=$name").resolve("_meta")
+    val fork = Files.readString(meta).trim.split('\t')(1).toInt
+    new TxnLog(spark, base, statCol, Some((name, fork)))
+  }
+
+  /** Highest committed version, or -1 for an empty log. On a branch:
+    * the fork version until the branch has own commits. */
   def latestVersion(): Int = {
-    if (!Files.exists(logDir)) return -1
+    if (!Files.exists(logDir)) return branchInfo.map(_._2).getOrElse(-1)
     val it = Files.list(logDir)
     try {
       import scala.jdk.CollectionConverters._
-      it.iterator().asScala
+      val own = it.iterator().asScala
         .map(_.getFileName.toString)
         .filter(_.endsWith(".txn"))
         .map(_.stripSuffix(".txn").toInt)
         .foldLeft(-1)(math.max)
+      if (branchInfo.isDefined) math.max(own, forkVersion) else own
     } finally it.close()
   }
 
-  private def manifestPath(v: Int): Path = logDir.resolve(f"$v%05d.txn")
+  private def manifestPath(v: Int): Path = logDirFor(v).resolve(f"$v%05d.txn")
 
   private def readManifest(v: Int): Manifest = {
     import scala.jdk.CollectionConverters._
@@ -290,11 +334,29 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     * file-count-, not data-, proportional. */
   def vacuum(retainFrom: Int): Seq[String] = {
     val latest = latestVersion()
+    import scala.jdk.CollectionConverters._
+    // every group any branch tip references stays: branches share main's
+    // data files, so a main-side retention decision must see them
+    val branchRefs: Set[String] = {
+      if (!Files.exists(mainLogDir)) Set.empty
+      else {
+        val it = Files.list(mainLogDir)
+        try it.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("branch="))
+          .flatMap { bdir =>
+            val name = bdir.getFileName.toString.stripPrefix("branch=")
+            val b = openBranch(name)
+            (0 to b.latestVersion()).flatMap(v =>
+              b.snapshotFiles(v).map(_.path) ++ b.readManifest(v).quarantines.map(_.path))
+          }.toSet
+        finally it.close()
+      }
+    }
     // quarantine artifacts are audit data: retained alongside the same
     // version window (a vacuumed-away version's quarantine goes with it)
     val referenced = ((retainFrom to latest)
       .flatMap(v => snapshotFiles(v).map(_.path)) ++
-      (retainFrom to latest).flatMap(v => readManifest(v).quarantines.map(_.path))).toSet
+      (retainFrom to latest).flatMap(v => readManifest(v).quarantines.map(_.path))).toSet ++ branchRefs
     import scala.jdk.CollectionConverters._
     val onDisk = {
       val it = Files.list(dataDir)

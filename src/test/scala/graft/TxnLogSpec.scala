@@ -213,6 +213,32 @@ class TxnLogSpec extends SparkSpec {
     assert(log.quarantined(v2).size == 2) // unchanged artifact count
   }
 
+  test("branch: divergent tips are isolated, ancestor immutable, vacuum keeps branch refs") {
+    val base = freshBase("br")
+    val log = new TxnLog(spark, base, statCol = Some("k"))
+    log.init()
+    log.append(Seq((1L, "a"), (2L, "drop")).toDF("k", "v").coalesce(1)) // v0
+    log.append(Seq((3L, "c")).toDF("k", "v").coalesce(1))               // v1
+    val exp = log.branch("exp", fromVersion = 1)
+    assert(exp.latestVersion() == 1)
+    assert(exp.read().count() == 3) // branch tip starts at the fork snapshot
+    // diverge: main appends, branch deletes
+    log.append(Seq((4L, "d")).toDF("k", "v").coalesce(1))               // main v2
+    exp.deleteWhere(col("v") === "drop")                                // branch v2
+    assert(log.read().count() == 4, "main unaffected by branch delete")
+    assert(exp.read().count() == 2, "branch unaffected by main append")
+    assert(log.read(1).count() == 3 && exp.read(1).count() == 3, "shared ancestor immutable")
+    // reopening resolves the persisted fork point
+    val reopened = log.openBranch("exp")
+    assert(reopened.read().count() == 2)
+    // vacuum from main must NOT delete the group only the branch references
+    // (v0's original group was COW-removed on the branch... the inverse:
+    // main v2 retention window excludes v0, but the branch still uses v1's
+    // groups which include v0's)
+    val removed = log.vacuum(retainFrom = 2)
+    assert(exp.read().count() == 2, s"branch tip must survive main vacuum (removed: $removed)")
+  }
+
   test("vacuum retains quarantine artifacts of the retained version window") {
     val base = freshBase("chkvac")
     val log = new TxnLog(spark, base, statCol = Some("k"))
