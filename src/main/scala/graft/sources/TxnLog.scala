@@ -91,6 +91,34 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     new TxnLog(spark, base, statCol, Some((name, fork)))
   }
 
+  /** Fast-forward promote: adopt a branch's commits onto main by
+    * hard-linking its manifest files into the main chain — metadata
+    * only, like the branch itself. Legal only while main's tip is still
+    * the branch's fork point (true fast-forward; a diverged main needs
+    * a rebase, which is the caller's decision). Each link is the same
+    * atomic fails-if-exists publish as a commit, so losing a race to a
+    * concurrent main writer aborts cleanly mid-sequence — and the
+    * already-promoted prefix is a VALID main history (every branch
+    * manifest was built on the fork snapshot), exactly like a partially
+    * pushed commit stack. Returns main's new tip. */
+  def promote(name: String): Int = {
+    require(branchInfo.isEmpty, "promote runs on the main handle")
+    val b = openBranch(name)
+    val fork = b.forkVersion
+    require(latestVersion() == fork,
+      s"main advanced past fork $fork — rebase the branch before promoting")
+    var tip = fork
+    ((fork + 1) to b.latestVersion()).foreach { v =>
+      try {
+        Files.createLink(manifestPath(v), b.manifestPath(v))
+        tip = v
+      } catch { case _: FileAlreadyExistsException =>
+        return tip // lost the race to a concurrent main commit
+      }
+    }
+    tip
+  }
+
   /** Highest committed version, or -1 for an empty log. On a branch:
     * the fork version until the branch has own commits. */
   def latestVersion(): Int = {

@@ -239,6 +239,28 @@ class TxnLogSpec extends SparkSpec {
     assert(exp.read().count() == 2, s"branch tip must survive main vacuum (removed: $removed)")
   }
 
+  test("promote: fast-forward adopts branch commits; diverged main refuses") {
+    val base = freshBase("pr")
+    val log = new TxnLog(spark, base, statCol = Some("k"))
+    log.init()
+    log.append(Seq((1L, "a"), (2L, "drop")).toDF("k", "v").coalesce(1)) // v0
+    val exp = log.branch("exp", fromVersion = 0)
+    exp.deleteWhere(col("v") === "drop")                                // branch v1
+    exp.append(Seq((3L, "c")).toDF("k", "v").coalesce(1))               // branch v2
+    val tip = log.promote("exp")
+    assert(tip == 2)
+    assert(log.read().as[(Long, String)].collect().toSet == Set((1L, "a"), (3L, "c")))
+    // a diverged main must refuse the fast-forward
+    val base2 = freshBase("pr2")
+    val log2 = new TxnLog(spark, base2, statCol = Some("k"))
+    log2.init()
+    log2.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    val e2 = log2.branch("exp", fromVersion = 0)
+    e2.append(Seq((2L, "b")).toDF("k", "v").coalesce(1))
+    log2.append(Seq((9L, "z")).toDF("k", "v").coalesce(1)) // main diverges
+    intercept[IllegalArgumentException] { log2.promote("exp") }
+  }
+
   test("vacuum retains quarantine artifacts of the retained version window") {
     val base = freshBase("chkvac")
     val log = new TxnLog(spark, base, statCol = Some("k"))
