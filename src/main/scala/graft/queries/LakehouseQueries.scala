@@ -310,6 +310,31 @@ object LakehouseQueries extends QueryGroup {
         .unionAll(census(exp.read(), "experiment"))
         .orderBy("head")
     }),
+
+    // ---- additive schema evolution on the commit log ---------------------
+    // The years-old-lake contract at the TABLE level (q_source_merge_schema
+    // is the raw-source face): generation 1 commits without a priority
+    // column, generation 2 commits WITH it, and `readEvolved` surfaces
+    // the union schema — pre-schema rows as NULL priority — with ZERO
+    // rewrite of the old groups. The census proves old and new
+    // generations keep their exact row/cents masses through the merge.
+    "q_txn_evolve" -> ((s, d) => {
+      val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/orders_ev"
+      TxnLog.rmrf(base)
+      val log = new graft.sources.TxnLog(s, base, statCol = Some("o_year"))
+      log.init()
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), cents("o_totalprice").as("cents"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderpriority"))
+      log.append(o.filter(col("o_year") <= 1998)
+        .drop("o_orderpriority").repartition(4))                 // gen-1 schema
+      log.append(o.filter(col("o_year") >= 1999).repartition(4)) // gen-2 schema
+      log.readEvolved(log.latestVersion())
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>")).as("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("prio")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -381,5 +406,11 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 'experiment', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE yr <= 1999 AND st <> 'F' " +
         "UNION ALL SELECT 'main', count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "ORDER BY head"),
+    "q_txn_evolve" ->
+      ("SELECT coalesce(prio, '<pre-schema>') AS prio, count(*) AS n, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents FROM (" +
+        "SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, " +
+        "CASE WHEN year(o_orderdate) >= 1999 THEN o_orderpriority END AS prio " +
+        "FROM orders) t GROUP BY 1 ORDER BY prio"),
   )
 }

@@ -1086,6 +1086,29 @@ object RelationalQueries extends QueryGroup {
           max(when(col("_corrupt_record").isNull, col("o_orderkey"))).as("max_good_key"))
     }),
 
+    // ---- observed job metrics as the graded result (ORACLE) -------------
+    // Production observability: the scan job carries its own metrics via
+    // `Dataset.observe` (accumulator-backed, exact, no second scan), and
+    // the REPORT IS those metrics — rows scanned, rows matching a
+    // predicate, exact cents mass. The oracle recomputes the same three
+    // numbers declaratively, so hash equality proves the listener path
+    // delivers exact counts, not approximations. The driving action is a
+    // one-row aggregate (never a data-sized collect).
+    "q_observe_metrics" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      val df = Tables.lineitem(s, d)
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+        .observe(obs, count(lit(1)).as("rows_scanned"),
+          sum(when(col("l_quantity") >= 25, 1L).otherwise(0L)).as("rows_big_qty"),
+          sum(col("cents")).as("total_cents"))
+      df.agg(count(lit(1))).collect() // one-row action that runs the observed scan
+      val m = obs.get
+      s.range(1).select(
+        lit(m("rows_scanned").asInstanceOf[Long]).as("rows_scanned"),
+        lit(m("rows_big_qty").asInstanceOf[Long]).as("rows_big_qty"),
+        lit(m("total_cents").asInstanceOf[Long]).as("total_cents"))
+    }),
+
     // ---- computed (generated) source (ORACLE) ---------------------------
     // A table that is never read from storage: spark.range generates the
     // rows ON the executors and every derived column is a deterministic
@@ -1399,6 +1422,11 @@ object RelationalQueries extends QueryGroup {
       ("SELECT l_returnflag, count(*) AS n, " +
         "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_tk " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_observe_metrics" ->
+      ("SELECT count(*) AS rows_scanned, " +
+        "sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS rows_big_qty, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM lineitem"),
     "q_source_generated" ->
       ("SELECT b16, count(*) AS n, min(i) AS min_id, max(i) AS max_id, CAST(sum(i) AS BIGINT) AS sum_id " +
         "FROM (SELECT i, CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 2)) AS BIGINT) % 16 AS b16 " +

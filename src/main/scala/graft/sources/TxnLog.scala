@@ -399,6 +399,17 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
   /** Snapshot read at `version` (time travel). */
   def read(version: Int): DataFrame = readFiles(snapshotFiles(version))
 
+  /** Schema-evolving snapshot read: file groups written before a column
+    * existed surface it as NULL (parquet mergeSchema across the live
+    * set). Additive evolution costs NO rewrite — only readers that ask
+    * for the union schema pay the footer merge. */
+  def readEvolved(version: Int): DataFrame = {
+    val files = snapshotFiles(version)
+    if (files.isEmpty) throw new IllegalStateException("empty snapshot read")
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$base/${f.path}"): _*)
+  }
+
   /** Latest-snapshot read. */
   def read(): DataFrame = read(latestVersion())
 
