@@ -84,6 +84,29 @@ object ScalarFuncQueries extends QueryGroup {
         .select(col("pos").cast("long").as("pos"), col("n"), col("avg_val"))
         .orderBy("pos")),
 
+    // ---- URL parsing (ORACLE) -------------------------------------------
+    // The crawl-pipeline decomposition step: synthesized per-doc URLs
+    // pulled apart with parse_url (HOST/PATH/QUERY + query-param
+    // extraction), rolled up per host. The oracle rebuilds the same
+    // parts from the source columns directly, so hash equality proves
+    // parse_url's decomposition against the URL's known construction —
+    // not against another engine's parser quirks.
+    "q_url_funcs" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.org/"), col("lang"), lit("/doc/"), col("doc_id"),
+          lit("?k="), col("n_chars") % 10))
+      t.select(
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'k')").cast("long").as("k"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("path")).as("n_paths"),
+          sum(col("k")).as("sum_k"))
+        .orderBy("host")
+    }),
+
     // ---- higher-order array functions (ORACLE) --------------------------
     // transform/filter/exists/forall/aggregate as codegen-adjacent
     // row-local vector ops — the lambda surface a feature pipeline leans
@@ -168,6 +191,11 @@ object ScalarFuncQueries extends QueryGroup {
     "q_map_struct" ->
       ("SELECT lang AS lang_x, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM documents GROUP BY lang ORDER BY lang_x"),
+    "q_url_funcs" ->
+      ("SELECT source || '.example.org' AS host, count(*) AS n_docs, " +
+        "count(DISTINCT '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)) AS n_paths, " +
+        "CAST(sum(n_chars % 10) AS BIGINT) AS sum_k " +
+        "FROM documents GROUP BY host ORDER BY host"),
     "q_hof_funcs" ->
       ("WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "p AS (SELECT label, " +
