@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(ArrayCosineSimilarity.descriptor)
+    ext.injectFunction(graft.functions.NormalizeNfc.descriptor)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.CosineJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)

@@ -738,6 +738,57 @@ object DedupQueries extends QueryGroup {
         .orderBy("deg_bucket")
     }),
 
+    // ---- common-neighbor link prediction over the kNN graph -------------
+    // (ORACLE) The fourth graph algorithm: Jaccard link prediction.
+    // The near-dup graph is transitively CLOSED at every SF (dup
+    // families are cliques — zero open wedges, measured), so prediction
+    // runs on the graph that does have structure: the undirected top-3
+    // cosine kNN graph over embeddings (built by the same intercepted
+    // crossJoin + rounded-cosine + window-top-k shape as q_sim_knn, so
+    // CosineJoinStrategy's kernel does the O(n²) part with k rows per
+    // vector reaching the shuffle). Non-adjacent pairs sharing ≥1
+    // neighbor are scored |N(u)∩N(v)| / |N(u)∪N(v)| — "probably the
+    // same cluster, the kNN cut just missed the edge" — exactly the
+    // candidate-expansion rule NN-descent (q_ann_nndescent) iterates.
+    // Wedge join + anti-join + degree join all run on the k·n edge
+    // artifact, never on the corpus; a 10⁹-node kNN graph shards the
+    // same way by neighbor id since degrees are k-bounded by
+    // construction. Score = ratio of exact integer counts, r3-rounded,
+    // (u, v) tiebreak.
+    "q_graph_jaccard" -> ((s, d) => {
+      graft.functions.ArrayCosineSimilarity.register(s)
+      graft.plans.CosineJoinStrategy.enable(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val a = e.select(col("vec_id").as("id1"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id2"), col("v").as("vb"))
+      val pairs = a.crossJoin(b)
+        .filter(r3(expr("graft_cosine(va, vb)")) >= lit(-1.0) && col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"), r3(expr("graft_cosine(va, vb)")).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id1").orderBy(col("cos_sim").desc, col("id2"))
+      val knn = pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      val ed = knn.select(least(col("id1"), col("id2")).as("u"),
+        greatest(col("id1"), col("id2")).as("v")).distinct()
+      val edges = ed.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(ed.select(col("v").as("a"), col("u").as("b")))
+      val deg = edges.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val wedges = edges.select(col("a").as("n"), col("b").as("u"))
+        .join(edges.select(col("a").as("n"), col("b").as("v")), "n")
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("common"))
+      val cand = wedges.join(ed, Seq("u", "v"), "left_anti")
+      cand
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(col("u"), col("v"), col("common"),
+          r3(col("common").cast("double") /
+            (col("du") + col("dv") - col("common"))).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("u"), col("v")).limit(20)
+    }),
+
     // ---- recursive-CTE BFS over the near-dup graph (ORACLE) --------------
     // SQL-standard WITH RECURSIVE on Spark 4: breadth-first reachability
     // from the smallest node of the near-dup graph, depth-bounded to 3 —
@@ -1137,6 +1188,19 @@ object DedupQueries extends QueryGroup {
         "SELECT cluster_root, count(*) AS cluster_size FROM " +
         "(SELECT src, min(dst) AS cluster_root FROM reach GROUP BY src) x " +
         "GROUP BY cluster_root ORDER BY cluster_root"),
+    "q_graph_jaccard" ->
+      ("WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, " +
+        "floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000.0 + 0.5) / 1000.0 AS cosr " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id), " +
+        "r AS (SELECT id1, id2, row_number() OVER (PARTITION BY id1 ORDER BY cosr DESC, id2) AS rn FROM p), " +
+        "ed AS (SELECT DISTINCT least(id1, id2) AS u, greatest(id1, id2) AS v FROM r WHERE rn <= 3), " +
+        "edges AS (SELECT u AS a, v AS b FROM ed UNION ALL SELECT v, u FROM ed), " +
+        "deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a), " +
+        "wedges AS (SELECT e1.b AS u, e2.b AS v, CAST(count(*) AS BIGINT) AS common FROM edges e1 JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b GROUP BY e1.b, e2.b), " +
+        "cand AS (SELECT u, v, common FROM wedges w ANTI JOIN ed ON w.u = ed.u AND w.v = ed.v) " +
+        "SELECT u, v, common, floor(CAST(common AS DOUBLE)/(du.deg + dv.deg - common)*1000.0 + 0.5)/1000.0 AS jaccard " +
+        "FROM cand JOIN deg du ON cand.u = du.node JOIN deg dv ON cand.v = dv.node " +
+        "ORDER BY jaccard DESC, u, v LIMIT 20"),
     "q_graph_bfs" ->
       ("WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
         "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +

@@ -335,6 +335,39 @@ object LakehouseQueries extends QueryGroup {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
         .orderBy("prio")
     }),
+
+    // ---- RESTORE: metadata-only rollback of a bad commit -----------------
+    // The ops primitive the immutable log exists for: v0 good append, v1
+    // good append, v2 a BAD copy-on-write delete (fat-fingered predicate
+    // wiping status 'O'), then restore(1) — one manifest commit (v3) that
+    // re-adds v1's removed groups and drops v2's rewrite, touching zero
+    // data bytes at any table size. History stays append-only: all four
+    // versions remain readable (the census proves v2's damage is both
+    // REAL — mass drops — and fully undone at v3 == v1), and the bad
+    // interval stays auditable instead of being scrubbed. Oracle
+    // recomputes each version's expected mass declaratively from orders.
+    "q_txn_restore" -> ((s, d) => {
+      val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/orders_rs"
+      TxnLog.rmrf(base)
+      val log = new graft.sources.TxnLog(s, base, statCol = Some("o_year"))
+      log.init()
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        cents("o_totalprice").as("cents"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      log.append(o.filter(col("o_year") <= 1997).repartition(4))   // v0
+      log.append(o.filter(col("o_year") >= 1998).repartition(4))   // v1
+      log.deleteWhere(col("o_orderstatus") === "O")                // v2 (bad)
+      val v3 = log.restore(1)                                      // undo
+      require(v3 == 3, s"restore committed unexpected version $v3")
+      val versions = (0 to 3).map { v =>
+        log.read(v).agg(
+          count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(v).cast("long").as("version"), col("n_rows"),
+            col("total_cents"))
+      }
+      versions.reduce(_ unionAll _).orderBy("version")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -346,6 +379,14 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE yr <= 1998 AND st <> 'F' " +
         "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "WHERE (yr <= 1998 AND st <> 'F') OR yr >= 1999 " +
+        "ORDER BY version"),
+    "q_txn_restore" ->
+      ("WITH o AS (SELECT o_orderstatus AS st, year(o_orderdate) AS yr, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE yr <= 1997 " +
+        "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE st <> 'O' " +
+        "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "ORDER BY version"),
     "q_txn_prune" ->
       ("SELECT o_orderstatus, count(*) AS n, " +

@@ -779,6 +779,44 @@ object RelationalQueries extends QueryGroup {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- §2.3 runtime bloom-filter join pruning --------------------------
+    // (ORACLE) The fourth leg of the adaptive-planning triad (salting /
+    // AQE skew-split / DPP): Catalyst's InjectRuntimeFilter. A shuffle
+    // join whose build side carries a selective filter (urgent 1995
+    // orders ≈ 3% of orders) gets a bloom filter of the build-side join
+    // keys injected into the PROBE side's scan — at 100 TB, ~97% of
+    // lineitem rows die at the scan instead of riding the shuffle, with
+    // zero query rewrite (the runtime analogue of q_dedup_bloom's
+    // hand-built sketch prune; RuntimeFilterSpec pins the injected
+    // bloom_filter_might_contain and off-vs-on equality). Thresholds are
+    // session-scoped for the fixture (scan-size gate 0, broadcast off so
+    // the join actually shuffles); the aggregate is materialized eagerly
+    // (localCheckpoint) while they hold, then they are restored.
+    "q_join_runtime_filter" -> ((s, d) => {
+      val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set(keys(0), "-1"); s.conf.set(keys(1), "-1")
+        s.conf.set(keys(2), "true"); s.conf.set(keys(3), "0")
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            year(col("o_orderdate")) === 1995)
+          .select(col("o_orderkey"))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev_cents"))
+          .orderBy("l_returnflag")
+          .localCheckpoint(true)
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    }),
+
     // ---- §2.3 bucketed co-located join -----------------------------------
     // The shuffle-amortization posture for tables joined REPEATEDLY at
     // 100 TB: both sides written bucketBy(8, join-key) (+ sortBy, so the
@@ -1240,6 +1278,12 @@ object RelationalQueries extends QueryGroup {
         "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM " +
         "(SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem) t " +
         "WHERE price_c > 5000000 GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_join_runtime_filter" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_join_salted" ->
       ("WITH dim(prio, weight) AS (VALUES ('1-URGENT', 10), ('2-HIGH', 8), ('3-MEDIUM', 5), " +
         "('4-NOT SPECIFIED', 2), ('5-LOW', 1)) " +

@@ -688,6 +688,31 @@ object TextAnalysisQueries extends QueryGroup {
         .select(lower(col("kc")).as("source_ci"), col("n_docs"), col("chars"))
         .orderBy("source_ci")
     }),
+
+    // ---- Unicode NFC normalization (native expression) (ORACLE) ---------
+    // The canonical-composition pass exact dedup depends on: "é" as
+    // U+00E9 vs "e"+U+0301 are byte-different strings that hash apart
+    // until normalized. The corpus is ASCII, so the decomposed input is
+    // MANUFACTURED deterministically in-query (every 'e' → 'e'+combining
+    // acute, via the same regexp in both engines), then composed back by
+    // the codegen'd graft_normalize (java.text.Normalizer NFC) and
+    // fingerprinted. n_raw > n_nfc proves real composition happened;
+    // md5 equality against DuckDB's utf8proc nfc_normalize proves the
+    // two UAX #15 implementations agree byte-for-byte. Pure map-side
+    // work inside whole-stage codegen — the 100 TB shape of a
+    // normalization pass (and the isNormalized fast path makes the
+    // all-ASCII majority case allocation-free).
+    "q_normalize_text" -> ((s, d) => {
+      graft.functions.NormalizeNfc.register(s)
+      Tables.documents(s, d)
+        .withColumn("t2",
+          regexp_replace(lower(col("text")), "e", "e\u0301"))
+        .select(col("doc_id"),
+          length(col("t2")).cast("long").as("n_raw"),
+          length(expr("graft_normalize(t2)")).cast("long").as("n_nfc"),
+          md5(expr("graft_normalize(t2)")).as("digest"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val oracleToks =
@@ -934,5 +959,10 @@ object TextAnalysisQueries extends QueryGroup {
       ("SELECT lower(k) AS source_ci, count(*) AS n_docs, sum(n_chars) AS chars FROM (" +
         "SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS k, n_chars " +
         "FROM documents) t GROUP BY 1 ORDER BY source_ci"),
+    "q_normalize_text" ->
+      ("SELECT doc_id, length(t2) AS n_raw, length(nfc_normalize(t2)) AS n_nfc, " +
+        "md5(nfc_normalize(t2)) AS digest FROM " +
+        "(SELECT doc_id, regexp_replace(lower(text), 'e', 'e' || chr(769), 'g') AS t2 " +
+        "FROM documents) t ORDER BY doc_id"),
   )
 }

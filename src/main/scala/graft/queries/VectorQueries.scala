@@ -287,9 +287,42 @@ object VectorQueries extends QueryGroup {
           r3(sum(col("rr2520")).cast("double") / (lit(2520.0) * count(lit(1)))).as("mrr"))
         .orderBy("q_label")
     }),
+
+    // ---- distributed Gram matrix XᵀX — the PCA/whitening reduction ------
+    // (ORACLE) The moment matrix every spectral preprocessing step
+    // (PCA, whitening, low-rank probes) needs over an embedding store:
+    // upper-triangle XᵀX cells from elements quantized to an exact
+    // integer milli-grid (single-op floor on identical parquet floats,
+    // so both engines sum identical integers — no accumulation-order
+    // drift at any parallelism). Shape: the d² pair expansion happens
+    // ROW-LOCALLY (two generators), and map-side partial aggregation
+    // collapses every task to ≤ d(d+1)/2 = 2080 cells before the ONE
+    // shuffle — shuffle volume is partitions·d², independent of row
+    // count. Covariance follows driver-side from these cells plus the
+    // mean vector (q_emb_centroid) without another corpus pass. For
+    // d ≫ 10³ the same plan runs per (i-block, j-block) tile; the cell
+    // algebra is unchanged.
+    "q_emb_gram" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("qv"))
+      e.select(posexplode(col("qv")).as(Seq("i", "xi")), col("qv"))
+        .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
+        .filter(col("j") >= col("i"))
+        .groupBy("i", "j")
+        .agg(sum(col("xi") * col("xj")).as("dot"))
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("dot"))
+        .orderBy("i", "j")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_emb_gram" ->
+      ("WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv FROM embeddings), " +
+        "e AS (SELECT vec_id, i-1 AS i, qv[i] AS xi FROM q, UNNEST(range(1, len(qv)+1)) AS r(i)) " +
+        "SELECT a.i AS i, b.i AS j, sum(a.xi*b.xi) AS dot FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2 ORDER BY i, j"),
+
     "q_emb_centroid" ->
       ("WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
         "x AS (SELECT label, unnest(generate_series(1, len(e))) AS dim, " +

@@ -144,7 +144,9 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     val removes = Seq.newBuilder[String]
     val txns = Seq.newBuilder[(String, Long)]
     val qrns = Seq.newBuilder[AddFile]
-    lines.foreach { line =>
+    // an action-less commit (e.g. restore to the current state) is a
+    // single blank line — legal, not corruption
+    lines.filter(_.nonEmpty).foreach { line =>
       line.split('\t') match {
         case Array("add", p, rows, lo, hi) =>
           adds += AddFile(p, rows.toLong,
@@ -220,6 +222,24 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
       }
       committed
     } finally Files.deleteIfExists(tmp)
+  }
+
+  /** RESTORE VERSION AS OF `v`: one metadata-only commit whose live set
+    * becomes exactly snapshot(v)'s — files live now but not at v are
+    * removed, files live at v but since removed are re-added. No data
+    * file is touched (immutability makes old bytes still correct), so
+    * restore cost is manifest-sized at any table size. History is NOT
+    * rewritten: the restore is a new version on top, so the bad
+    * interval stays auditable and a restore can itself be restored
+    * away. Only valid while vacuum's retention window still covers v's
+    * files — the same contract as Delta's RESTORE. */
+  def restore(v: Int): Int = {
+    val target = snapshotFiles(v)
+    val cur = snapshotFiles(latestVersion())
+    val targetPaths = target.map(_.path).toSet
+    val curPaths = cur.map(_.path).toSet
+    commit(target.filterNot(f => curPaths.contains(f.path)),
+      cur.map(_.path).filterNot(targetPaths.contains))
   }
 
   /** Idempotent streaming-sink commit: write-and-commit `df` tagged with

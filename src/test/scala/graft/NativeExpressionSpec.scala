@@ -103,4 +103,36 @@ class NativeExpressionSpec extends SparkSpec {
     assert(byId(2L).isEmpty, "null vector must produce a null signature")
     assert(byId(1L).exists(s => s >= 0L && s < 256L), s"signature out of range: $byId")
   }
+
+  test("graft_normalize: NFC composition matches java.text.Normalizer, codegen == interpreted") {
+    import spark.implicits._
+    graft.functions.NormalizeNfc.register(spark)
+    // decomposed e + U+0301, precomposed é, ASCII (fast path), null
+    val cases = Seq((1L, Some("cafe\u0301")), (2L, Some("caf\u00e9")),
+      (3L, Some("plain ascii")), (4L, None))
+    val df = cases.toDF("id", "s")
+    val out = df.select(col("id"), expr("graft_normalize(s)").as("n")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    cases.foreach { case (id, in) =>
+      val expected = in.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+      assert(out(id) == expected, s"id=$id: ${out(id)} != $expected")
+    }
+    assert(out(1L) == out(2L), "decomposed and precomposed forms must normalize equal")
+    assert(out(1L).get.length == 4, "NFC must compose e+combining-acute to one char")
+    // codegen vs interpreted: evaluate the expression directly
+    val e0 = graft.functions.NormalizeNfc(
+      org.apache.spark.sql.GraftPlanBridge.expression(col("s")))
+    cases.collect { case (id, Some(in)) =>
+      val interp = e0.nullSafeEval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(in)).toString
+      assert(out(id).contains(interp), s"id=$id codegen ${out(id)} != interpreted $interp")
+    }
+    // and it runs inside a codegen span (on a real scan — a literal local
+    // table constant-folds to LocalTableScan with no codegen stage at all)
+    val plan = Tables.documents(spark, sf0001)
+      .select(expr("graft_normalize(text)")).queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_normalize"))
+    assert(line.exists(_.trim.startsWith("*")),
+      s"graft_normalize not inside a codegen span:\n$plan")
+  }
 }

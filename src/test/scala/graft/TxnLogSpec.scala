@@ -261,6 +261,33 @@ class TxnLogSpec extends SparkSpec {
     intercept[IllegalArgumentException] { log2.promote("exp") }
   }
 
+  test("restore: metadata-only rollback, old versions stay readable, restorable itself") {
+    val base = freshBase("rs")
+    val log = new TxnLog(spark, base, statCol = Some("k"))
+    log.init()
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)) // v0
+    log.append(Seq((3L, "c")).toDF("k", "v").coalesce(1))            // v1
+    log.deleteWhere(col("k") <= 2L)                                  // v2 (bad)
+    assert(log.read().count() == 1)
+    val dataFilesBefore = new java.io.File(s"$base/data").list().sorted.toSeq
+    val v3 = log.restore(1)
+    assert(v3 == 3)
+    // live set equals v1 exactly
+    assert(log.read().orderBy("k").collect().toSeq ==
+      log.read(1).orderBy("k").collect().toSeq)
+    // metadata-only: restore wrote no data files
+    val dataFilesAfter = new java.io.File(s"$base/data").list().sorted.toSeq
+    assert(dataFilesAfter == dataFilesBefore, "restore must not write data files")
+    // history preserved: the bad v2 snapshot is still readable
+    assert(log.read(2).count() == 1)
+    // a restore is itself restorable (back to the post-delete state)
+    val v4 = log.restore(2)
+    assert(v4 == 4 && log.read().count() == 1)
+    // restoring to the CURRENT state is an empty (but valid) commit
+    val v5 = log.restore(4)
+    assert(v5 == 5 && log.read().count() == 1)
+  }
+
   test("vacuum retains quarantine artifacts of the retained version window") {
     val base = freshBase("chkvac")
     val log = new TxnLog(spark, base, statCol = Some("k"))
