@@ -691,6 +691,59 @@ object EventQueries extends QueryGroup {
         .orderBy(col("n_examples").desc, col("p2"), col("p1"), col("next_event"))
         .limit(25)
     }),
+
+    // ---- Bradley-Terry preference ranking (ORACLE) ----------------------
+    // The preference-data aggregation a reward-model pipeline runs over
+    // pairwise comparisons: consecutive same-user events form a
+    // comparison between their two event types (winner = higher value;
+    // value ties break to the lexicographically smaller type), and two
+    // Bradley-Terry MM iterations rank the types:
+    // p_i ← W_i / Σ_j n_ij/(p_i+p_j), from a uniform start. The
+    // corpus-scale work is ONE lag window (user-keyed) + ONE pair-census
+    // aggregate; the solver then runs on the k²-bounded directed-pair
+    // matrix (two tiny self-joins — at any corpus scale the item set is
+    // the model-output vocabulary, not the corpus). EVERY arithmetic
+    // step is integer: ratings live in micro-units and each MM term is
+    // one `div` of exact BIGINTs (term-level floor, mirrored literally
+    // in the oracle), so the fixpoint is bit-exact cross-engine — no
+    // float ever enters. (BIGINT headroom: n·10¹² needs n < 9·10⁶
+    // comparisons per pair; past that, scale the numerator down or use
+    // DECIMAL(38).)
+    "q_pref_bradley_terry" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cmp = Tables.events(s, d)
+        .withColumn("pt", lag(col("event_type"), 1).over(w))
+        .withColumn("pv", lag(col("value"), 1).over(w))
+        .filter(col("pt").isNotNull && col("pt") =!= col("event_type"))
+        .withColumn("winner",
+          when(col("value") > col("pv") ||
+            (col("value") === col("pv") && col("event_type") < col("pt")),
+            col("event_type")).otherwise(col("pt")))
+        .withColumn("loser",
+          when(col("winner") === col("event_type"), col("pt"))
+            .otherwise(col("event_type")))
+      // directed pair matrix: one row per ordered (i, j), games + wins
+      val dir = cmp
+        .select(col("winner").as("i"), col("loser").as("j"), lit(1L).as("win"))
+        .unionAll(cmp.select(col("loser").as("i"), col("winner").as("j"),
+          lit(0L).as("win")))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), sum(col("win")).as("w"))
+        .localCheckpoint(true) // k²-bounded; cut the corpus lineage once
+      def iterate(p: org.apache.spark.sql.DataFrame) = dir
+        .join(p.select(col("i"), col("p").as("pi")), "i")
+        .join(p.select(col("i").as("j"), col("p").as("pj")), "j")
+        .groupBy("i")
+        .agg(sum(col("w")).as("bigw"), sum(col("n")).as("games"),
+          sum(expr("n * 1000000000000 div (pi + pj)")).as("dd"))
+        .select(col("i"), col("games"), col("bigw"),
+          expr("bigw * 1000000000000 div dd").as("p"))
+      val p0 = dir.select(col("i")).distinct()
+        .select(col("i"), lit(1000000L).as("p"))
+      val p2 = iterate(iterate(p0))
+      p2.select(col("i").as("event_type"), col("games"), col("bigw").as("wins"),
+        col("p").as("rating_micro")).orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -992,5 +1045,20 @@ object EventQueries extends QueryGroup {
         "SELECT p2, p1, event_type AS next_event, count(*) AS n_examples " +
         "FROM l WHERE p2 IS NOT NULL GROUP BY p2, p1, next_event " +
         "ORDER BY n_examples DESC, p2, p1, next_event LIMIT 25"),
+    "q_pref_bradley_terry" ->
+      ("WITH seq AS (SELECT event_type, value, user_id, event_id, " +
+        "lag(event_type) OVER w AS pt, lag(value) OVER w AS pv FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)), " +
+        "cmp AS (SELECT CASE WHEN value > pv OR (value = pv AND event_type < pt) THEN event_type ELSE pt END AS winner, " +
+        "CASE WHEN value > pv OR (value = pv AND event_type < pt) THEN pt ELSE event_type END AS loser " +
+        "FROM seq WHERE pt IS NOT NULL AND pt <> event_type), " +
+        "dirpairs AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n, CAST(sum(win) AS BIGINT) AS w FROM (" +
+        "SELECT winner AS i, loser AS j, 1 AS win FROM cmp " +
+        "UNION ALL SELECT loser, winner, 0 FROM cmp) u GROUP BY i, j), " +
+        "p1 AS (SELECT i, sum(w) * 1000000000000 // sum(n * 1000000000000 // 2000000) AS p FROM dirpairs GROUP BY i), " +
+        "it2 AS (SELECT d.i AS i, sum(d.w) AS wins, sum(d.n) AS games, " +
+        "sum(d.w) * 1000000000000 // sum(d.n * 1000000000000 // (pi.p + pj.p)) AS p " +
+        "FROM dirpairs d JOIN p1 pi ON d.i = pi.i JOIN p1 pj ON d.j = pj.i GROUP BY d.i) " +
+        "SELECT i AS event_type, games, wins, p AS rating_micro FROM it2 ORDER BY event_type"),
   )
 }

@@ -174,6 +174,48 @@ object StreamQueries extends QueryGroup {
         .orderBy("event_type")
     }),
 
+    // ---- streaming CDC source over the commit log (ORACLE) --------------
+    // The read-side completion of the lakehouse streaming story
+    // (q_stream_txn_sink is the write side): a custom DataSourceV2
+    // MicroBatchStream (graft.sources.TxnLogStreamProvider) whose
+    // offsets ARE log versions, streaming one row per manifest action
+    // with removes resolved to their retraction pre-image — exactly how
+    // an incremental consumer tails a 100 TB table for KB per commit.
+    // The fixture replays the CDC lifecycle (append / append / COW
+    // delete / append); the streamed per-version row masses are graded
+    // against the declarative recompute. Complete-mode aggregation over
+    // a 4-version AvailableNow drain: the engine's offset planning (one
+    // batch per (start, end] version range) decides what arrives — hash
+    // equality proves the source's offset→action algebra, not just the
+    // fixture.
+    "q_stream_txn_source" -> ((s, d) => {
+      val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/orders_ss"
+      graft.sources.TxnLog.rmrf(base)
+      val log = new graft.sources.TxnLog(s, base, statCol = Some("o_year"))
+      log.init()
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+        .localCheckpoint(eager = false)
+      log.append(o.filter(col("o_year") <= 1996))                // v0
+      log.append(o.filter(col("o_year").between(1997, 1998)))    // v1
+      log.deleteWhere(col("o_orderstatus") === "F")              // v2
+      log.append(o.filter(col("o_year") >= 1999))                // v3
+      val agg = s.readStream
+        .format("graft.sources.TxnLogStreamProvider")
+        .option("path", base).load()
+        .groupBy("version")
+        .agg(sum(when(col("action") === "add", col("file_rows"))
+            .otherwise(0L)).as("rows_added"),
+          sum(when(col("action") === "remove", col("file_rows"))
+            .otherwise(0L)).as("rows_removed"))
+      drain(s, agg, "complete")
+        .select(col("version"), col("rows_added"), col("rows_removed"),
+          (col("rows_added") - col("rows_removed")).as("net_rows"))
+        .orderBy("version")
+    }),
+
     // ---- stream-static dimension join (ORACLE) --------------------------
     // The canonical enrichment topology: an unbounded fact stream joined
     // to a bounded dimension table (broadcast per micro-batch — no
@@ -298,6 +340,20 @@ object StreamQueries extends QueryGroup {
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_stream_txn_source" ->
+      ("WITH o AS (SELECT o_orderstatus AS st, year(o_orderdate) AS yr FROM orders) " +
+        "SELECT CAST(0 AS BIGINT) AS version, " +
+        "(SELECT count(*) FROM o WHERE yr <= 1996) AS rows_added, " +
+        "CAST(0 AS BIGINT) AS rows_removed, " +
+        "(SELECT count(*) FROM o WHERE yr <= 1996) AS net_rows " +
+        "UNION ALL SELECT 1, (SELECT count(*) FROM o WHERE yr BETWEEN 1997 AND 1998), " +
+        "CAST(0 AS BIGINT), (SELECT count(*) FROM o WHERE yr BETWEEN 1997 AND 1998) " +
+        "UNION ALL SELECT 2, (SELECT count(*) FROM o WHERE yr <= 1998 AND st <> 'F'), " +
+        "(SELECT count(*) FROM o WHERE yr <= 1998), " +
+        "(SELECT count(*) FROM o WHERE yr <= 1998 AND st <> 'F') - (SELECT count(*) FROM o WHERE yr <= 1998) " +
+        "UNION ALL SELECT 3, (SELECT count(*) FROM o WHERE yr >= 1999), " +
+        "CAST(0 AS BIGINT), (SELECT count(*) FROM o WHERE yr >= 1999) " +
+        "ORDER BY version"),
     "q_stream_enrich" ->
       ("SELECT c_mktsegment, event_type, count(*) AS n, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +

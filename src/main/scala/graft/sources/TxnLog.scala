@@ -137,35 +137,8 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
 
   private def manifestPath(v: Int): Path = logDirFor(v).resolve(f"$v%05d.txn")
 
-  private def readManifest(v: Int): Manifest = {
-    import scala.jdk.CollectionConverters._
-    val lines = Files.readAllLines(manifestPath(v), StandardCharsets.UTF_8).asScala
-    val adds = Seq.newBuilder[AddFile]
-    val removes = Seq.newBuilder[String]
-    val txns = Seq.newBuilder[(String, Long)]
-    val qrns = Seq.newBuilder[AddFile]
-    // an action-less commit (e.g. restore to the current state) is a
-    // single blank line — legal, not corruption
-    lines.filter(_.nonEmpty).foreach { line =>
-      line.split('\t') match {
-        case Array("add", p, rows, lo, hi) =>
-          adds += AddFile(p, rows.toLong,
-            if (lo == "-") Long.MinValue else lo.toLong,
-            if (hi == "-") Long.MaxValue else hi.toLong)
-        case Array("remove", p) => removes += p
-        case Array("txn", app, batch) => txns += (app -> batch.toLong)
-        // quarantine artifact: referenced by the commit for audit/replay
-        // but NEVER part of the live snapshot
-        case Array("qrn", p, rows, lo, hi) =>
-          qrns += AddFile(p, rows.toLong,
-            if (lo == "-") Long.MinValue else lo.toLong,
-            if (hi == "-") Long.MaxValue else hi.toLong)
-        case other => throw new IllegalStateException(
-          s"corrupt manifest $v: ${other.mkString("\t")}")
-      }
-    }
-    Manifest(adds.result(), removes.result(), txns.result(), qrns.result())
-  }
+  private def readManifest(v: Int): Manifest =
+    TxnLog.parseManifest(manifestPath(v), v)
 
   /** Live file set at `version` (inclusive), in commit order. */
   def snapshotFiles(version: Int): Seq[AddFile] = {
@@ -454,6 +427,60 @@ object TxnLog {
   final case class Manifest(adds: Seq[AddFile], removes: Seq[String],
     txns: Seq[(String, Long)] = Seq.empty,
     quarantines: Seq[AddFile] = Seq.empty)
+
+  /** Parse one manifest file (shared by the instance reader and the
+    * streaming source, which runs without a TxnLog instance). */
+  def parseManifest(p: Path, v: Int): Manifest = {
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+    val adds = Seq.newBuilder[AddFile]
+    val removes = Seq.newBuilder[String]
+    val txns = Seq.newBuilder[(String, Long)]
+    val qrns = Seq.newBuilder[AddFile]
+    // an action-less commit (e.g. restore to the current state) is a
+    // single blank line — legal, not corruption
+    lines.filter(_.nonEmpty).foreach { line =>
+      line.split('\t') match {
+        case Array("add", p0, rows, lo, hi) =>
+          adds += AddFile(p0, rows.toLong,
+            if (lo == "-") Long.MinValue else lo.toLong,
+            if (hi == "-") Long.MaxValue else hi.toLong)
+        case Array("remove", p0) => removes += p0
+        case Array("txn", app, batch) => txns += (app -> batch.toLong)
+        // quarantine artifact: referenced by the commit for audit/replay
+        // but NEVER part of the live snapshot
+        case Array("qrn", p0, rows, lo, hi) =>
+          qrns += AddFile(p0, rows.toLong,
+            if (lo == "-") Long.MinValue else lo.toLong,
+            if (hi == "-") Long.MaxValue else hi.toLong)
+        case other => throw new IllegalStateException(
+          s"corrupt manifest $v: ${other.mkString("\t")}")
+      }
+    }
+    Manifest(adds.result(), removes.result(), txns.result(), qrns.result())
+  }
+
+  /** Latest committed version on the MAIN chain at `base` (branch dirs
+    * under _txnlog/branch=* are directories and don't match *.txn). -1
+    * when nothing is committed yet. Static so the streaming source can
+    * poll without constructing a TxnLog (no SparkSession needed). */
+  def latestMainVersion(base: String): Int = {
+    val dir = Paths.get(base, "_txnlog")
+    if (!Files.exists(dir)) return -1
+    val it = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      it.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".txn"))
+        .map(_.stripSuffix(".txn").toInt)
+        .foldLeft(-1)(math.max)
+    } finally it.close()
+  }
+
+  /** Main-chain manifest of version `v` at `base` (static, see above). */
+  def mainManifest(base: String, v: Int): Manifest =
+    parseManifest(Paths.get(base, "_txnlog", f"$v%05d.txn"), v)
 
   /** Recursive local delete for idempotent fixtures. */
   def rmrf(path: String): Unit = {
