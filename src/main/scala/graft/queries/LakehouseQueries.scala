@@ -368,6 +368,43 @@ object LakehouseQueries extends QueryGroup {
       }
       versions.reduce(_ unionAll _).orderBy("version")
     }),
+
+    // ---- bloom-index point lookup: file skipping beyond min/max ----------
+    // (ORACLE) Min/max stats (q_txn_prune) only skip on the layout
+    // order; a point lookup on a high-cardinality key UNCORRELATED with
+    // that order (o_orderkey inside year-partitioned commits) gets
+    // useless ranges and must open every file — unless each group
+    // carries a bloom sidecar, referenced from the manifest (`blm`
+    // action, the Delta bloom-index / Iceberg puffin pattern). The
+    // lookup key is data-derived (min orderkey of 1998), so exactly one
+    // year-group's bloom answers "maybe" and ~(1−fpp) of the other six
+    // are skipped at PLANNING time from KB of sidecar — at 100 TB this
+    // is a single-file read instead of a table scan. The bloom is only
+    // a candidate generator: the exact filter confirms, so fpp can
+    // never corrupt the answer (TxnLogSpec pins the planned-file count
+    // and the degrade-to-scan path for unindexed groups).
+    "q_txn_bloom_skip" -> ((s, d) => {
+      val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/orders_bf"
+      TxnLog.rmrf(base)
+      val log = new graft.sources.TxnLog(s, base, statCol = Some("o_year"),
+        bloomCol = Some("o_orderkey"))
+      log.init()
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        cents("o_totalprice").as("cents"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+        .localCheckpoint(eager = false)
+      (1995 to 2001).foreach { y =>
+        log.append(o.filter(col("o_year") === y).coalesce(1))
+      }
+      val key = o.filter(col("o_year") === 1998)
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      log.readPointLookup(log.latestVersion(), key)
+        .filter(col("o_orderkey") === key)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+          col("o_year"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -388,6 +425,11 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE st <> 'O' " +
         "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "ORDER BY version"),
+    "q_txn_bloom_skip" ->
+      ("SELECT o_orderkey, o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS cents, " +
+        "CAST(year(o_orderdate) AS BIGINT) AS o_year FROM orders " +
+        "WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders WHERE year(o_orderdate) = 1998) " +
+        "ORDER BY o_orderkey"),
     "q_txn_prune" ->
       ("SELECT o_orderstatus, count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +

@@ -817,6 +817,20 @@ object RelationalQueries extends QueryGroup {
         v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
     }),
 
+    // ---- §2.2 GROUP BY ALL / ORDER BY ALL sugar --------------------------
+    // (ORACLE) The analyst-SQL ergonomics surface both engines added in
+    // the same era: every non-aggregate select item groups implicitly,
+    // and the output orders by the whole select list. Same plan as the
+    // explicit form — this grades the RESOLUTION rule (which items are
+    // grouping keys), not new execution machinery, with the oracle
+    // running the IDENTICAL SQL text in DuckDB.
+    "q_groupby_all" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_gba")
+      s.sql("SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS yr, " +
+        "count(*) AS n, CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents " +
+        "FROM graft_orders_gba GROUP BY ALL ORDER BY ALL")
+    }),
+
     // ---- §2.3 bucketed co-located join -----------------------------------
     // The shuffle-amortization posture for tables joined REPEATEDLY at
     // 100 TB: both sides written bucketBy(8, join-key) (+ sortBy, so the
@@ -1284,6 +1298,10 @@ object RelationalQueries extends QueryGroup {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995 " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_groupby_all" ->
+      ("SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS yr, " +
+        "count(*) AS n, CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY ALL ORDER BY ALL"),
     "q_join_salted" ->
       ("WITH dim(prio, weight) AS (VALUES ('1-URGENT', 10), ('2-HIGH', 8), ('3-MEDIUM', 5), " +
         "('4-NOT SPECIFIED', 2), ('5-LOW', 1)) " +

@@ -689,6 +689,44 @@ object TextAnalysisQueries extends QueryGroup {
         .orderBy("source_ci")
     }),
 
+    // ---- full BPE tokenization (native expression) (NO-ORACLE) ----------
+    // Completes q_bpe_merge's single pair-count round into the real
+    // tokenizer loop (Sennrich et al., arXiv:1508.07909): LEARN 32
+    // merges on the distinct-word census (vocabulary-bounded — 31 rows
+    // here, ≤10⁶ on web corpora; production learns on a sample/census,
+    // never the raw corpus), then APPLY the learned ranks corpus-wide
+    // through the codegen'd graft_bpe expression — greedy lowest-rank
+    // merging per word, the exact inference rule BPE vocabularies ship
+    // with. The apply pass is the 100 TB part: pure map-side, one
+    // expression in the scan projection, merge table riding the
+    // expression (a broadcast in spirit). Per-source report: token
+    // masses before/after + compression. Tie-breaks (count desc, pair
+    // asc; rank asc, leftmost) make tokenization bit-reproducible —
+    // golden-pinned; BpeSpec proves the detokenization identity and
+    // agreement with an independent reference implementation.
+    "q_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val census = docs.select(explode(toks(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy("w").collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val merges = graft.functions.Bpe.learn(census, 32)
+      val bpe = org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.BpeEncode(
+          org.apache.spark.sql.GraftPlanBridge.expression(lower(col("text"))),
+          merges))
+      docs
+        .select(col("source"),
+          size(toks(col("text"))).cast("long").as("n_words"),
+          length(regexp_replace(lower(col("text")), wsRegex, "")).cast("long").as("n_chars"),
+          size(bpe).cast("long").as("n_bpe"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("words"),
+          sum(col("n_chars")).as("chars"), sum(col("n_bpe")).as("bpe_tokens"),
+          r3(sum(col("n_bpe")).cast("double") / sum(col("n_chars")))
+            .as("tokens_per_char"))
+        .orderBy("source")
+    }),
+
     // ---- Unicode NFC normalization (native expression) (ORACLE) ---------
     // The canonical-composition pass exact dedup depends on: "é" as
     // U+00E9 vs "e"+U+0301 are byte-different strings that hash apart

@@ -42,7 +42,8 @@ import org.apache.spark.sql.functions._
   * `remove` + one `add` per file, all in a single atomic commit.
   */
 final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = None,
-                   branchInfo: Option[(String, Int)] = None) {
+                   branchInfo: Option[(String, Int)] = None,
+                   bloomCol: Option[String] = None) {
   import TxnLog.{AddFile, Manifest}
 
   private val mainLogDir: Path = Paths.get(base, "_txnlog")
@@ -170,11 +171,13 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     * duplicate (app, batch) can never land twice. */
   def commit(adds: Seq[AddFile], removes: Seq[String],
              txn: Option[(String, Long)] = None,
-             quarantines: Seq[AddFile] = Seq.empty): Int = {
+             quarantines: Seq[AddFile] = Seq.empty,
+             blooms: Seq[(String, String)] = Seq.empty): Int = {
     val body = (txn.toSeq.map { case (a, b) => s"txn\t$a\t$b" } ++
       removes.map(p => s"remove\t$p") ++
       adds.map(a => s"add\t${a.path}\t${a.rows}\t${a.statMin}\t${a.statMax}") ++
-      quarantines.map(a => s"qrn\t${a.path}\t${a.rows}\t${a.statMin}\t${a.statMax}"))
+      quarantines.map(a => s"qrn\t${a.path}\t${a.rows}\t${a.statMin}\t${a.statMax}") ++
+      blooms.map { case (p, sc) => s"blm\t$p\t$sc" })
       .mkString("", "\n", "\n")
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -232,7 +235,12 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
   }
 
   /** Write `df` as a new file group and commit it as an append. */
-  def append(df: DataFrame): Int = commit(writeGroup(df).toSeq, Seq.empty)
+  def append(df: DataFrame): Int = {
+    val adds = writeGroup(df).toSeq
+    commit(adds, Seq.empty,
+      blooms = if (bloomCol.isDefined) adds.map(a => a.path -> s"${a.path}.bloom")
+               else Seq.empty)
+  }
 
   /** CHECK-constraint-gated append: rows satisfying `constraint` enter
     * the live table; violating rows (constraint FALSE or NULL — the SQL
@@ -276,9 +284,23 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     val m = obs.get
     val n = m("n").asInstanceOf[Long]
     if (n == 0L) { TxnLog.rmrf(s"$base/$rel"); None }
-    else Some(AddFile(rel, n,
-      if (statCol.isDefined) m("lo").asInstanceOf[Long] else Long.MinValue,
-      if (statCol.isDefined) m("hi").asInstanceOf[Long] else Long.MaxValue))
+    else {
+      // optional per-file bloom index sidecar (the Delta bloom-index /
+      // Iceberg puffin pattern): built from the freshly written group,
+      // referenced from the manifest (`blm` line) so a point lookup can
+      // skip files at PLANNING time on a column the sort/stat order
+      // doesn't help with. KB-scale sidecar, loaded only when a lookup
+      // is planned — never by full scans.
+      bloomCol.foreach { c =>
+        val bloom = spark.read.parquet(s"$base/$rel")
+          .stat.bloomFilter(c, math.max(n, 1L), 0.01)
+        val out = Files.newOutputStream(Paths.get(base, s"$rel.bloom"))
+        try bloom.writeTo(out) finally out.close()
+      }
+      Some(AddFile(rel, n,
+        if (statCol.isDefined) m("lo").asInstanceOf[Long] else Long.MinValue,
+        if (statCol.isDefined) m("hi").asInstanceOf[Long] else Long.MaxValue))
+    }
   }
 
   /** Copy-on-write delete: files holding at least one matching row are
@@ -384,7 +406,9 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
       try it.iterator().asScala.map(p => s"data/${p.getFileName}").toList
       finally it.close()
     }
-    val doomed = onDisk.filterNot(referenced)
+    // a bloom sidecar lives and dies with its data group
+    val doomed = onDisk.filterNot(p => referenced.contains(p) ||
+      (p.endsWith(".bloom") && referenced.contains(p.stripSuffix(".bloom"))))
     doomed.foreach(p => TxnLog.rmrf(s"$base/$p"))
     doomed.sorted
   }
@@ -415,6 +439,32 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     readFiles(files)
   }
 
+  /** Point lookup on the bloom-indexed column: plans ONLY the file
+    * groups whose sidecar bloom might contain `value` (files without a
+    * bloom — e.g. COW rewrites — are always planned: a missing index
+    * degrades to a scan, never to a wrong answer). This is the skipping
+    * axis min/max stats can't give: a high-cardinality key uncorrelated
+    * with the layout order has useless ranges, but its bloom kills
+    * (1−fpp) of non-matching files at PLANNING time from KB of sidecar.
+    * The caller applies the exact filter — bloom hits are candidates. */
+  def readPointLookup(version: Int, value: Long): DataFrame = {
+    val blooms: Map[String, String] =
+      (0 to version).flatMap(v => readManifest(v).blooms).toMap
+    val files = snapshotFiles(version)
+    val keep = files.filter { f =>
+      blooms.get(f.path) match {
+        case Some(sc) =>
+          val in = Files.newInputStream(Paths.get(base, sc))
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+            .mightContainLong(value)
+          finally in.close()
+        case None => true
+      }
+    }
+    // an absent key can legitimately plan ZERO files — that's the win
+    if (keep.isEmpty) readFiles(files).limit(0) else readFiles(keep)
+  }
+
   private def readFiles(files: Seq[AddFile]): DataFrame = {
     if (files.isEmpty)
       throw new IllegalStateException("empty snapshot read")
@@ -426,7 +476,8 @@ object TxnLog {
   final case class AddFile(path: String, rows: Long, statMin: Long, statMax: Long)
   final case class Manifest(adds: Seq[AddFile], removes: Seq[String],
     txns: Seq[(String, Long)] = Seq.empty,
-    quarantines: Seq[AddFile] = Seq.empty)
+    quarantines: Seq[AddFile] = Seq.empty,
+    blooms: Map[String, String] = Map.empty)
 
   /** Parse one manifest file (shared by the instance reader and the
     * streaming source, which runs without a TxnLog instance). */
@@ -437,6 +488,7 @@ object TxnLog {
     val removes = Seq.newBuilder[String]
     val txns = Seq.newBuilder[(String, Long)]
     val qrns = Seq.newBuilder[AddFile]
+    val blms = Seq.newBuilder[(String, String)]
     // an action-less commit (e.g. restore to the current state) is a
     // single blank line — legal, not corruption
     lines.filter(_.nonEmpty).foreach { line =>
@@ -453,11 +505,14 @@ object TxnLog {
           qrns += AddFile(p0, rows.toLong,
             if (lo == "-") Long.MinValue else lo.toLong,
             if (hi == "-") Long.MaxValue else hi.toLong)
+        // bloom-index sidecar reference for an added file group
+        case Array("blm", p0, sc) => blms += (p0 -> sc)
         case other => throw new IllegalStateException(
           s"corrupt manifest $v: ${other.mkString("\t")}")
       }
     }
-    Manifest(adds.result(), removes.result(), txns.result(), qrns.result())
+    Manifest(adds.result(), removes.result(), txns.result(), qrns.result(),
+      blms.result().toMap)
   }
 
   /** Latest committed version on the MAIN chain at `base` (branch dirs

@@ -55,6 +55,10 @@ object ClusterSmoke {
     "q_retrieval_eval",   // CosineJoinExec fused top-k + post-trim label joins
     "q_stream_interval_join", // StreamingSymmetricHashJoin state across executors
     "q_local_volume",     // TPC-H Q5: two fact shuffles + dim broadcasts
+    "q_stream_txn_source", // DSv2 MicroBatchStream: InputPartition serde to real executors
+    "q_substring_dup",    // hashed-window analytic dedup + interval merge
+    "q_graph_jaccard",    // kNN kernel + wedge joins across executors
+    "q_pref_bradley_terry", // lag window + checkpointed solver joins
   )
 
   def main(args: Array[String]): Unit = {

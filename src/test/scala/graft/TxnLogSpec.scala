@@ -288,6 +288,45 @@ class TxnLogSpec extends SparkSpec {
     assert(v5 == 5 && log.read().count() == 1)
   }
 
+  test("bloom point lookup plans only candidate files; unindexed groups degrade to scan") {
+    val base = freshBase("bf")
+    val log = new TxnLog(spark, base, statCol = Some("k"), bloomCol = Some("k"))
+    log.init()
+    // 5 groups of 100 disjoint keys each
+    (0 until 5).foreach { g =>
+      log.append((g * 100 until (g + 1) * 100).map(i => (i.toLong, s"v$i"))
+        .toDF("k", "v").coalesce(1))
+    }
+    val hit = log.readPointLookup(log.latestVersion(), 250L)
+    // planning-time skipping: the matching group + at most one 1%-fpp
+    // false positive
+    assert(hit.inputFiles.length <= 2,
+      s"expected <=2 planned files of 5, got ${hit.inputFiles.length}")
+    assert(hit.filter(col("k") === 250L).count() == 1)
+    // a group committed WITHOUT a bloom (raw commit) must always be planned
+    val extra = (500 until 600).map(i => (i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+    val log2 = new TxnLog(spark, base, statCol = Some("k")) // no bloomCol
+    log2.append(extra)
+    val hit2 = log2.readPointLookup(log2.latestVersion(), 250L)
+    assert(hit2.filter(col("k") === 250L).count() == 1)
+    assert(hit2.inputFiles.length <= 3, "unindexed group + candidates only")
+    // vacuum must not strand or wrongly delete sidecars: drop versions
+    // 0-1's exclusive groups, keep the rest — every retained data group
+    // keeps its sidecar
+    val log3 = new TxnLog(spark, base, statCol = Some("k"), bloomCol = Some("k"))
+    log3.deleteWhere(col("k") < 100L) // makes group 0 unreferenced at the tip
+    val removed = log3.vacuum(retainFrom = log3.latestVersion())
+    assert(removed.exists(_.endsWith(".parquet")), s"expected a doomed group: $removed")
+    removed.filter(_.endsWith(".parquet")).foreach { p =>
+      assert(removed.contains(p + ".bloom") ||
+        !new java.io.File(s"$base/$p.bloom").exists(),
+        s"sidecar of doomed $p must go with it")
+    }
+    val live = log3.readPointLookup(log3.latestVersion(), 250L)
+    assert(live.filter(col("k") === 250L).count() == 1,
+      "retained groups must keep working sidecars after vacuum")
+  }
+
   test("vacuum retains quarantine artifacts of the retained version window") {
     val base = freshBase("chkvac")
     val log = new TxnLog(spark, base, statCol = Some("k"))
