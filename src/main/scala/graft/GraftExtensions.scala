@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(ArrayCosineSimilarity.descriptor)
     ext.injectFunction(graft.functions.NormalizeNfc.descriptor)
+    ext.injectFunction(graft.functions.JaroWinkler.descriptor)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.CosineJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)

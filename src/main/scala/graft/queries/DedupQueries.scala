@@ -112,6 +112,7 @@ object DedupQueries extends QueryGroup {
           shingleCache.keys.filter(_._1.sparkContext eq sc).foreach(shingleCache.remove)
           pairsCache.keys.filter(_._1.sparkContext eq sc).foreach(pairsCache.remove)
           postingsCache.keys.filter(_._1.sparkContext eq sc).foreach(postingsCache.remove)
+          knnCache.keys.filter(_._1.sparkContext eq sc).foreach(knnCache.remove)
           cleanupHooked.remove(sc)
         }
       })
@@ -125,6 +126,7 @@ object DedupQueries extends QueryGroup {
     shingleCache.keys.filter(_._1.sparkContext.isStopped).foreach(shingleCache.remove)
     pairsCache.keys.filter(_._1.sparkContext.isStopped).foreach(pairsCache.remove)
     postingsCache.keys.filter(_._1.sparkContext.isStopped).foreach(postingsCache.remove)
+    knnCache.keys.filter(_._1.sparkContext.isStopped).foreach(knnCache.remove)
   }
 
   /** Drop this session's memoized artifacts (shingle index + thresholded
@@ -134,6 +136,7 @@ object DedupQueries extends QueryGroup {
     shingleCache.keys.filter(_._1 eq s).foreach(shingleCache.remove)
     pairsCache.keys.filter(_._1 eq s).foreach(pairsCache.remove)
     postingsCache.keys.filter(_._1 eq s).foreach(postingsCache.remove)
+    knnCache.keys.filter(_._1 eq s).foreach(knnCache.remove)
   }
 
   /** shingle-ARRAY entries only — 0 means no corpus re-tokenization
@@ -225,6 +228,36 @@ object DedupQueries extends QueryGroup {
 
   private def nearDupPairs(s: SparkSession, d: String): DataFrame =
     nearDupPairsWithCount(s, d)._1
+
+  private val knnCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Undirected top-3 cosine kNN edge set over embeddings (u < v,
+    * distinct), memoized + checkpointed per (session, corpus) — the
+    * shared graph artifact under q_graph_jaccard and q_graph_lpa, built
+    * once by the CosineJoin-intercepted kernel exactly like the shingle
+    * pair set is built once for the dedup family. */
+  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+    purgeStopped(); hookCleanup(s)
+    knnCache.getOrElseUpdate((s, d), {
+      graft.functions.ArrayCosineSimilarity.register(s)
+      graft.plans.CosineJoinStrategy.enable(s)
+      val e = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val a = e.select(col("vec_id").as("id1"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id2"), col("v").as("vb"))
+      val pairs = a.crossJoin(b)
+        .filter(r3(expr("graft_cosine(va, vb)")) >= lit(-1.0) && col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"), r3(expr("graft_cosine(va, vb)")).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id1").orderBy(col("cos_sim").desc, col("id2"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(least(col("id1"), col("id2")).as("u"),
+          greatest(col("id1"), col("id2")).as("v")).distinct()
+        .coalesce(4).localCheckpoint(eager = true)
+    })
+  }
 
   /** Distinct (doc_id, sh) shingle rows — explode over the materialized
     * array column (cheap attribute reference, no expression inlining). */
@@ -756,21 +789,7 @@ object DedupQueries extends QueryGroup {
     // construction. Score = ratio of exact integer counts, r3-rounded,
     // (u, v) tiebreak.
     "q_graph_jaccard" -> ((s, d) => {
-      graft.functions.ArrayCosineSimilarity.register(s)
-      graft.plans.CosineJoinStrategy.enable(s)
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val a = e.select(col("vec_id").as("id1"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("id2"), col("v").as("vb"))
-      val pairs = a.crossJoin(b)
-        .filter(r3(expr("graft_cosine(va, vb)")) >= lit(-1.0) && col("id1") =!= col("id2"))
-        .select(col("id1"), col("id2"), r3(expr("graft_cosine(va, vb)")).as("cos_sim"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id1").orderBy(col("cos_sim").desc, col("id2"))
-      val knn = pairs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-      val ed = knn.select(least(col("id1"), col("id2")).as("u"),
-        greatest(col("id1"), col("id2")).as("v")).distinct()
+      val ed = knnEdges(s, d)
       val edges = ed.select(col("u").as("a"), col("v").as("b"))
         .unionAll(ed.select(col("v").as("a"), col("u").as("b")))
       val deg = edges.groupBy(col("a").as("node"))
@@ -787,6 +806,43 @@ object DedupQueries extends QueryGroup {
           r3(col("common").cast("double") /
             (col("du") + col("dv") - col("common"))).as("jaccard"))
         .orderBy(col("jaccard").desc, col("u"), col("v")).limit(20)
+    }),
+
+    // ---- label-propagation communities over the kNN graph (ORACLE) ------
+    // The fifth graph algorithm: synchronous LPA (Raghavan et al.,
+    // arXiv:0709.2938), 3 rounds. Where connected components answers
+    // "what touches what", LPA finds DENSITY — the embedding
+    // neighborhoods that keep voting for the same label are semantic
+    // clusters even when weak edges chain whole components together
+    // (dedup-family curation at the topic level). Each round is one
+    // join of the memoized k-bounded edge artifact against the current
+    // label table + one argmax census — shuffle keyed by node, rounds
+    // bounded, exactly the BSP shape of the CC/PageRank siblings.
+    // Determinism: labels start as node ids; a node adopts its
+    // neighbors' modal label with ties to the SMALLEST label; fixed
+    // round count — bit-identical in any engine (the oracle replays the
+    // same 3 rounds declaratively).
+    "q_graph_lpa" -> ((s, d) => {
+      val ed = knnEdges(s, d)
+      val edges = ed.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(ed.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      (1 to 3).foreach { _ =>
+        val byNode = org.apache.spark.sql.expressions.Window
+          .partitionBy("a").orderBy(col("n").desc, col("label"))
+        labels = edges
+          .join(labels, edges("b") === labels("node"))
+          .groupBy(col("a"), col("label")).agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(byNode))
+          .filter(col("rn") === 1)
+          .select(col("a").as("node"), col("label"))
+      }
+      labels.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"))
+        .orderBy(col("n_nodes").desc, col("community")).limit(20)
     }),
 
     // ---- recursive-CTE BFS over the near-dup graph (ORACLE) --------------
@@ -1201,6 +1257,22 @@ object DedupQueries extends QueryGroup {
         "SELECT u, v, common, floor(CAST(common AS DOUBLE)/(du.deg + dv.deg - common)*1000.0 + 0.5)/1000.0 AS jaccard " +
         "FROM cand JOIN deg du ON cand.u = du.node JOIN deg dv ON cand.v = dv.node " +
         "ORDER BY jaccard DESC, u, v LIMIT 20"),
+    "q_graph_lpa" ->
+      ("WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, " +
+        "floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000.0 + 0.5) / 1000.0 AS cosr " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id), " +
+        "r AS (SELECT id1, id2, row_number() OVER (PARTITION BY id1 ORDER BY cosr DESC, id2) AS rn FROM p), " +
+        "ed AS (SELECT DISTINCT least(id1, id2) AS u, greatest(id1, id2) AS v FROM r WHERE rn <= 3), " +
+        "edges AS (SELECT u AS a, v AS b FROM ed UNION ALL SELECT v, u FROM ed), " +
+        "l0 AS (SELECT DISTINCT a AS node, a AS label FROM edges), " +
+        "c1 AS (SELECT e.a AS a, l.label AS label, count(*) AS n FROM edges e JOIN l0 l ON e.b = l.node GROUP BY 1, 2), " +
+        "l1 AS (SELECT a AS node, label FROM (SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY n DESC, label) AS rn FROM c1) t WHERE rn = 1), " +
+        "c2 AS (SELECT e.a AS a, l.label AS label, count(*) AS n FROM edges e JOIN l1 l ON e.b = l.node GROUP BY 1, 2), " +
+        "l2 AS (SELECT a AS node, label FROM (SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY n DESC, label) AS rn FROM c2) t WHERE rn = 1), " +
+        "c3 AS (SELECT e.a AS a, l.label AS label, count(*) AS n FROM edges e JOIN l2 l ON e.b = l.node GROUP BY 1, 2), " +
+        "l3 AS (SELECT a AS node, label FROM (SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY n DESC, label) AS rn FROM c3) t WHERE rn = 1) " +
+        "SELECT label AS community, count(*) AS n_nodes, min(node) AS min_node, max(node) AS max_node " +
+        "FROM l3 GROUP BY 1 ORDER BY n_nodes DESC, community LIMIT 20"),
     "q_graph_bfs" ->
       ("WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 " +
         "THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +

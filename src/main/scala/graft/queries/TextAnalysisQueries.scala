@@ -727,6 +727,44 @@ object TextAnalysisQueries extends QueryGroup {
         .orderBy("source")
     }),
 
+    // ---- Jaro-Winkler fuzzy vocabulary match (native expression) --------
+    // (ORACLE) Record-linkage for short strings: a deterministic typo
+    // generator (2nd/3rd chars of each doc's first token swapped —
+    // first char preserved, as real fat-finger typos mostly do) makes a
+    // dirty lookup column, and each DISTINCT dirty value is linked back
+    // to the vocabulary by best graft_jaro score. Scale shape: the
+    // corpus pass is ONE census hash-agg (score distinct values, never
+    // rows — 10⁹ rows with 10⁵ distinct keys score 10⁵ pairs);
+    // candidates come from an EQUI-join on the first-character blocking
+    // key (the standard linkage blocking trade, stated — no
+    // nested-loop anywhere), scored by the codegen'd kernel, best via
+    // (r3 score desc, word asc). DuckDB's jaro_winkler_similarity
+    // implements the identical Winkler spec (0.7 boost threshold,
+    // p=0.1, prefix≤4; JaroWinklerSpec pins pairwise equality), so the
+    // oracle replays the whole pipeline.
+    "q_fuzzy_match" -> ((s, d) => {
+      graft.functions.JaroWinkler.register(s)
+      val docs = Tables.documents(s, d)
+      val vocab = docs.select(explode(toks(col("text"))).as("w")).distinct()
+        .withColumn("blk", substring(col("w"), 1, 1))
+      val census = docs
+        .select(element_at(toks(col("text")), 1).as("w0"))
+        .select(when(length(col("w0")) >= 4,
+          concat(substring(col("w0"), 1, 1), substring(col("w0"), 3, 1),
+            substring(col("w0"), 2, 1), expr("substring(w0, 4)")))
+          .otherwise(col("w0")).as("dirty"))
+        .groupBy("dirty").agg(count(lit(1)).as("n_docs"))
+        .withColumn("blk", substring(col("dirty"), 1, 1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dirty").orderBy(col("score").desc, col("w"))
+      census.join(broadcast(vocab), "blk")
+        .withColumn("score", r3(expr("graft_jaro(dirty, w)")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dirty"), col("w").as("matched"), col("score"), col("n_docs"))
+        .orderBy("dirty")
+    }),
+
     // ---- Unicode NFC normalization (native expression) (ORACLE) ---------
     // The canonical-composition pass exact dedup depends on: "é" as
     // U+00E9 vs "e"+U+0301 are byte-different strings that hash apart
@@ -997,6 +1035,17 @@ object TextAnalysisQueries extends QueryGroup {
       ("SELECT lower(k) AS source_ci, count(*) AS n_docs, sum(n_chars) AS chars FROM (" +
         "SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS k, n_chars " +
         "FROM documents) t GROUP BY 1 ORDER BY source_ci"),
+    "q_fuzzy_match" ->
+      ("WITH tk AS (SELECT doc_id, " + oracleToks + " AS t FROM documents), " +
+        "vocab AS (SELECT DISTINCT unnest(t) AS w FROM tk), " +
+        "vb AS (SELECT w, substr(w, 1, 1) AS blk FROM vocab), " +
+        "d0 AS (SELECT t[1] AS w0 FROM tk WHERE len(t) >= 1), " +
+        "dirty AS (SELECT CASE WHEN length(w0) >= 4 THEN substr(w0,1,1) || substr(w0,3,1) || substr(w0,2,1) || substr(w0,4) ELSE w0 END AS dirty FROM d0), " +
+        "census AS (SELECT dirty, count(*) AS n_docs, substr(dirty,1,1) AS blk FROM dirty GROUP BY 1), " +
+        "scored AS (SELECT c.dirty, v.w, floor(jaro_winkler_similarity(c.dirty, v.w)*1000.0 + 0.5)/1000.0 AS score, c.n_docs " +
+        "FROM census c JOIN vb v USING (blk)), " +
+        "best AS (SELECT dirty, w, score, n_docs, row_number() OVER (PARTITION BY dirty ORDER BY score DESC, w) AS rn FROM scored) " +
+        "SELECT dirty, w AS matched, score, n_docs FROM best WHERE rn = 1 ORDER BY dirty"),
     "q_normalize_text" ->
       ("SELECT doc_id, length(t2) AS n_raw, length(nfc_normalize(t2)) AS n_nfc, " +
         "md5(nfc_normalize(t2)) AS digest FROM " +

@@ -104,6 +104,36 @@ class NativeExpressionSpec extends SparkSpec {
     assert(byId(1L).exists(s => s >= 0L && s < 256L), s"signature out of range: $byId")
   }
 
+  test("graft_jaro: textbook values, symmetry, bounds, codegen-resident") {
+    import graft.functions.JaroWinklerKernel.jw
+    // classic published pairs (Winkler spec with the 0.7 boost gate)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-10)
+    assert(jw("abc", "xyz") == 0.0 && jw("same", "same") == 1.0)
+    assert(jw("", "x") == 0.0 && jw("", "") == 1.0)
+    // boost gate: below-0.7 jaro must NOT get the prefix bonus
+    import graft.functions.JaroWinklerKernel.jaro
+    val pairsBelow = Seq(("abcdxxxxx", "abzzzz"))
+    pairsBelow.foreach { case (a, b) =>
+      if (jaro(a, b) <= 0.7) assert(jw(a, b) == jaro(a, b), s"boost leaked for $a/$b")
+    }
+    // symmetry over corpus words
+    graft.functions.JaroWinkler.register(spark)
+    val words = Tables.documents(spark, sf0001)
+      .select(explode(split(lower(col("text")), "[ \\t\\n\\r\\f]+")).as("w"))
+      .filter(col("w") =!= "").distinct().collect().map(_.getString(0))
+    for (a <- words.take(12); b <- words.take(12))
+      assert(jw(a, b) == jw(b, a), s"asymmetric on $a/$b")
+    // SQL registration + codegen span on a real scan
+    val r = spark.sql("SELECT graft_jaro('martha', 'marhta') AS s").head.getDouble(0)
+    assert(math.abs(r - 0.9611111111111111) < 1e-12)
+    val plan = Tables.documents(spark, sf0001)
+      .select(expr("graft_jaro(text, source)")).queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_jaro"))
+    assert(line.exists(_.trim.startsWith("*")),
+      s"graft_jaro not inside a codegen span:\n$plan")
+  }
+
   test("graft_normalize: NFC composition matches java.text.Normalizer, codegen == interpreted") {
     import spark.implicits._
     graft.functions.NormalizeNfc.register(spark)
