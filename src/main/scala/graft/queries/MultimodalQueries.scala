@@ -94,6 +94,52 @@ object MultimodalQueries extends QueryGroup {
         .select(col("kind"), col("id"), col("mass"))
         .orderBy("kind", "id")
     }),
+
+    // ---- perceptual-hash media near-dup (ORACLE) ------------------------
+    // The media face of dedup: an 8-bit aHash over the decoded feature
+    // vector (bit i set iff feature i is above the vector's mean —
+    // integer cross-multiply 8·bᵢ > Σb, no float threshold), then
+    // near-dup candidates at Hamming ≤ 1 via the MULTI-PROBE trick: each
+    // asset emits its hash plus all 8 single-bit flips as probe keys,
+    // and a plain equi-join on (kind, probe) finds every exact and
+    // Hamming-1 pair — 9 keys per asset instead of an O(n²) comparison,
+    // the same index-expansion q_dedup_simhash uses at 64 bits. Both
+    // orientations of every pair match, so id1 < id2 keeps exactly one.
+    // Per-kind census: assets, distinct hashes, exact-hash pairs,
+    // Hamming-1 pairs. The oracle brute-forces the pair space
+    // declaratively (xor + bit_count) — equality proves the probe
+    // expansion finds the identical pair set.
+    "q_media_phash" -> ((s, d) => {
+      val decoded = graft.multimodal.MediaPipeline.pipeline(Tables.documents(s, d))
+      val withHash = decoded
+        .withColumn("b", expr("transform(feature, f -> CAST(round(f * 255.0) AS BIGINT))"))
+        .withColumn("tot", expr("aggregate(b, 0L, (a, v) -> a + v)"))
+        .withColumn("phash", (0 until 8).map(i =>
+          when(expr(s"b[$i] * 8 > tot"), lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _))
+        .select(col("kind"), col("id"), col("phash"))
+      val probes = withHash.select(col("kind"), col("id").as("id1"),
+          col("phash").as("h1"),
+          explode(array(col("phash") +:
+            (0 until 8).map(i => col("phash").bitwiseXOR(lit(1L << i))): _*)).as("probe"))
+      val pairs = probes.join(
+          withHash.select(col("kind"), col("id").as("id2"),
+            col("phash").as("h2"), col("phash").as("probe")),
+          Seq("kind", "probe"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("dist", expr("bit_count(h1 ^ h2)"))
+      val pairCensus = pairs.groupBy("kind").agg(
+        sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_exact_pairs"),
+        sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n_h1_pairs"))
+      withHash.groupBy("kind")
+        .agg(count(lit(1)).as("n_media"),
+          count_distinct(col("phash")).as("n_hashes"))
+        .join(pairCensus, Seq("kind"), "left")
+        .select(col("kind"), col("n_media"), col("n_hashes"),
+          coalesce(col("n_exact_pairs"), lit(0L)).as("n_exact_pairs"),
+          coalesce(col("n_h1_pairs"), lit(0L)).as("n_h1_pairs"))
+        .orderBy("kind")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -123,6 +169,23 @@ object MultimodalQueries extends QueryGroup {
         "SELECT kind, count(*) AS n_media, CAST(sum(resized) AS BIGINT) AS n_resized, " +
         "CAST(sum(ow) AS BIGINT) AS sum_w, CAST(sum(oh) AS BIGINT) AS sum_h " +
         "FROM o GROUP BY kind ORDER BY kind"),
+    "q_media_phash" -> {
+      val bytes = (0 until 8).map(i =>
+        s"CAST(('0x' || substr(hex, ${2 * i + 1}, 2)) AS BIGINT)").mkString("[", ", ", "]")
+      val phash = (0 until 8).map(i =>
+        s"(CASE WHEN b[${i + 1}]*8 > tot THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      "WITH m AS (SELECT doc_id AS id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, md5(text) AS hex FROM documents), " +
+        s"bts AS (SELECT id, kind, $bytes AS b FROM m), " +
+        "h AS (SELECT id, kind, b, b[1]+b[2]+b[3]+b[4]+b[5]+b[6]+b[7]+b[8] AS tot FROM bts), " +
+        s"ph AS (SELECT id, kind, $phash AS phash FROM h), " +
+        "pairs AS (SELECT a.kind AS kind, bit_count(xor(a.phash, b.phash)) AS dist FROM ph a JOIN ph b ON a.kind = b.kind AND a.id < b.id), " +
+        "pc AS (SELECT kind, CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_pairs, " +
+        "CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_h1_pairs FROM pairs GROUP BY kind), " +
+        "base AS (SELECT kind, count(*) AS n_media, count(DISTINCT phash) AS n_hashes FROM ph GROUP BY kind) " +
+        "SELECT base.kind AS kind, n_media, n_hashes, coalesce(n_exact_pairs, 0) AS n_exact_pairs, " +
+        "coalesce(n_h1_pairs, 0) AS n_h1_pairs FROM base LEFT JOIN pc ON base.kind = pc.kind ORDER BY kind"
+    },
     "q_media_features" ->
       ("WITH m AS (SELECT doc_id AS id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
         "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, md5(text) AS hex FROM documents), " +
