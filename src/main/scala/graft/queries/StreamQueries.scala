@@ -216,6 +216,44 @@ object StreamQueries extends QueryGroup {
         .orderBy("version")
     }),
 
+    // ---- transformWithState profile maintenance (ORACLE) ----------------
+    // Spark 4's arbitrary-state API (the map/flatMapGroupsWithState
+    // successor) through the hash gate: EventStreams.ProfileProcessor
+    // keeps a ValueState (running count/sum) AND a MapState (per-type
+    // counts) per user — composite named state, each var its own RocksDB
+    // column family, so touching one counter doesn't rewrite the whole
+    // blob (the write-amplification fix that matters at 100 TB/day).
+    // Update mode emits one profile row per user per batch; profiles are
+    // MONOTONE in n_events, so max-per-user = final state whatever the
+    // batch split. Graded census: users and event mass by distinct-type
+    // count (integers only — the processor's double sum accumulates in
+    // iterator order, so floats stay out of the grade; cents discipline
+    // lives in the aggregation queries). Requires the RocksDB provider —
+    // the off-heap state posture, session-scoped here.
+    "q_stream_tws_profile" -> ((s, d) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val evs = eventsStream(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"), col("value"))
+          .as[graft.streaming.EventStreams.Ev]
+        val profiles = graft.streaming.EventStreams.runningProfile(evs).toDF()
+        val drained = drain(s, profiles, "update")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("n_events").desc)
+        drained.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("n_types"), expr("n_events div 5").as("events_bucket"))
+          .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("total_events"))
+          .orderBy("n_types", "events_bucket")
+          .localCheckpoint(true) // materialize before the provider conf reverts
+      } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    }),
+
     // ---- stream-static dimension join (ORACLE) --------------------------
     // The canonical enrichment topology: an unbounded fact stream joined
     // to a bounded dimension table (broadcast per micro-batch — no
@@ -354,6 +392,12 @@ object StreamQueries extends QueryGroup {
         "UNION ALL SELECT 3, (SELECT count(*) FROM o WHERE yr >= 1999), " +
         "CAST(0 AS BIGINT), (SELECT count(*) FROM o WHERE yr >= 1999) " +
         "ORDER BY version"),
+    "q_stream_tws_profile" ->
+      ("WITH u AS (SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT n_types, n_events // 5 AS events_bucket, count(*) AS n_users, " +
+        "CAST(sum(n_events) AS BIGINT) AS total_events " +
+        "FROM u GROUP BY 1, 2 ORDER BY n_types, events_bucket"),
     "q_stream_enrich" ->
       ("SELECT c_mktsegment, event_type, count(*) AS n, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
