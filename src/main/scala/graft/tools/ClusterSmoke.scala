@@ -59,6 +59,9 @@ object ClusterSmoke {
     "q_substring_dup",    // hashed-window analytic dedup + interval merge
     "q_graph_jaccard",    // kNN kernel + wedge joins across executors
     "q_pref_bradley_terry", // lag window + checkpointed solver joins
+    "q_stream_tws_profile", // transformWithState + RocksDB state store on executors
+    "q_bpe_encode",       // graft_bpe expression (merge table serde) on executors
+    "q_fuzzy_match",      // graft_jaro kernel + broadcast vocab across executors
   )
 
   def main(args: Array[String]): Unit = {
