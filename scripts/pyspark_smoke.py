@@ -76,8 +76,18 @@ def main():
     n_pairs = knn.count()
     assert "CosineJoin" in plan, f"CosineJoinStrategy did not intercept:\n{plan}"
     assert "CartesianProduct" not in plan, "cosine join fell back to CartesianProduct"
+
+    # 4. the round-7 scalar expressions, SQL-only: NFC normalization
+    # (decomposed e+U+0301 must compose to 4 chars) and Jaro-Winkler
+    # (textbook martha/marhta value)
+    n = spark.sql("SELECT length(graft_normalize('cafe\\u0301')) AS n").head().n
+    assert n == 4, f"graft_normalize NFC length {n} != 4"
+    j = spark.sql("SELECT graft_jaro('martha', 'marhta') AS j").head().j
+    assert abs(j - 0.9611111111111111) < 1e-12, f"graft_jaro {j}"
+
     print(f"pyspark smoke OK: graft_cosine=1.0, {len(rows)} status groups, "
-          f"{n_pairs} cosine pairs via the CosineJoin physical operator")
+          f"{n_pairs} cosine pairs via the CosineJoin physical operator, "
+          f"graft_normalize + graft_jaro callable from SQL")
     spark.stop()
 
 

@@ -88,4 +88,53 @@ class PropertySpec extends AnyFunSuite {
       assert(a.n_bytes == bytes.length.toLong)
     }
   }
+
+  test("Bpe: random words always detokenize exactly under random learned merges") {
+    val word = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+    val census = Gen.nonEmptyListOf(Gen.zip(word, Gen.choose(1L, 50L)))
+    forAll(census, word) { (wc, probe) =>
+      val merges = graft.functions.Bpe.learn(wc, 12)
+      val rank = merges.zipWithIndex.toMap
+      (probe :: wc.map(_._1)).foreach { w =>
+        val toks = graft.functions.Bpe.encodeWord(w, rank)
+        assert(toks.mkString("") == w, s"detok broke: $w -> ${toks.toSeq}")
+        assert(toks.forall(_.nonEmpty))
+      }
+    }
+  }
+
+  test("JaroWinkler: symmetry, bounds, identity, and boost-gate invariants") {
+    import graft.functions.JaroWinklerKernel.{jaro, jw}
+    val word = Gen.listOf(Gen.oneOf('a', 'b', 'c', 'x')).map(_.mkString)
+    forAll(word, word) { (a, b) =>
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"out of range: $a/$b -> $s")
+      assert(s == jw(b, a), s"asymmetric: $a/$b")
+      if (a == b) assert(s == 1.0)
+      val j = jaro(a, b)
+      assert(s >= j, "winkler boost can only raise the score")
+      if (j <= 0.7) assert(s == j, s"boost below gate: $a/$b")
+    }
+  }
+
+  test("interval union (gaps-and-islands) equals brute-force coverage") {
+    // the q_substring_dup merge: spans [s, s+W) union-merged per doc
+    val W = 8
+    val starts = Gen.nonEmptyListOf(Gen.choose(1, 120))
+    forAll(starts, Gen.const(())) { (ss, _) =>
+      val sorted = ss.distinct.sorted
+      // islands exactly as the query computes them
+      var covered = 0L
+      var curStart = -1; var curEnd = -1
+      sorted.foreach { s =>
+        if (curEnd < 0 || s > curEnd) { // new island
+          if (curEnd >= 0) covered += curEnd - curStart
+          curStart = s; curEnd = s + W
+        } else curEnd = math.max(curEnd, s + W)
+      }
+      if (curEnd >= 0) covered += curEnd - curStart
+      val brute = sorted.flatMap(s => s until s + W).distinct.size.toLong
+      assert(covered == brute, s"islands $covered != brute $brute for $sorted")
+    }
+  }
 }
