@@ -692,6 +692,31 @@ object EventQueries extends QueryGroup {
         .limit(25)
     }),
 
+    // ---- time-to-convert distribution (ORACLE) --------------------------
+    // The latency-funnel classic: per user, micros from FIRST view to
+    // the first purchase at-or-after it, censused into 10-minute
+    // buckets. Two shuffles keyed by user (first-view aggregate, then
+    // the purchase confirm join) and a k-bounded bucket rollup — the
+    // histogram form deliberately avoids a global percentile sort
+    // (exact global percentiles go through ShardedRank,
+    // q_percentile_global); deltas are exact epoch-microsecond
+    // integers, so every bound is bit-portable.
+    "q_time_to_convert" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("vmin"))
+      ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .filter(col("ts") >= col("vmin"))
+        .groupBy(col("user_id"), col("vmin"))
+        .agg(min(unix_micros(col("ts"))).as("pmin"))
+        .withColumn("delta_us", col("pmin") - unix_micros(col("vmin")))
+        .groupBy(expr("delta_us div 600000000").as("bucket_10m"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("delta_us")).as("min_us"), max(col("delta_us")).as("max_us"))
+        .orderBy("bucket_10m")
+    }),
+
     // ---- Bradley-Terry preference ranking (ORACLE) ----------------------
     // The preference-data aggregation a reward-model pipeline runs over
     // pairwise comparisons: consecutive same-user events form a
@@ -1045,6 +1070,14 @@ object EventQueries extends QueryGroup {
         "SELECT p2, p1, event_type AS next_event, count(*) AS n_examples " +
         "FROM l WHERE p2 IS NOT NULL GROUP BY p2, p1, next_event " +
         "ORDER BY n_examples DESC, p2, p1, next_event LIMIT 25"),
+    "q_time_to_convert" ->
+      ("WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS vmin FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "dd AS (SELECT v.user_id AS user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) - epoch_us(vmin) AS delta_us " +
+        "FROM v JOIN events e ON e.user_id = v.user_id AND e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= vmin " +
+        "GROUP BY v.user_id, vmin) " +
+        "SELECT delta_us // 600000000 AS bucket_10m, count(*) AS n_users, " +
+        "min(delta_us) AS min_us, max(delta_us) AS max_us " +
+        "FROM dd GROUP BY 1 ORDER BY bucket_10m"),
     "q_pref_bradley_terry" ->
       ("WITH seq AS (SELECT event_type, value, user_id, event_id, " +
         "lag(event_type) OVER w AS pt, lag(value) OVER w AS pv FROM events " +

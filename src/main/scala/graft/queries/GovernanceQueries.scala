@@ -92,9 +92,78 @@ object GovernanceQueries extends QueryGroup {
         .select(col("c_mktsegment"), col("c_nationkey"), col("n"), col("hits"), col("enc"))
         .orderBy("c_mktsegment", "c_nationkey")
     }),
+
+    // ---- group-mean missing-value imputation (ORACLE) -------------------
+    // The fill-before-training classic: values go missing (synthesized
+    // deterministically — first md5 byte of "orderkey-linenumber" ≡ 0
+    // mod 10 nulls ~10% of quantities; md5-on-string is the PORTABLE
+    // content hash both engines share, the q_split_hash discipline —
+    // xxhash64 seeds differ cross-engine), and each hole is imputed
+    // with its GROUP's mean of the present values. All integer: the
+    // imputed value is one floor division of exact centi-sums, so the
+    // post-imputation mass census is bit-exact at any parallelism. One
+    // pass for group stats (map-side combinable); at scale the k-row
+    // stat table broadcasts back over the facts with no second shuffle.
+    "q_impute_group" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("qty_raw", floor(col("l_quantity")).cast("long"))
+        .withColumn("missing",
+          conv(substring(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))), 1, 2),
+            16, 10).cast("long") % 10 === 0L)
+      val stats = li.groupBy("l_returnflag")
+        .agg(sum(when(!col("missing"), col("qty_raw") * 100)).as("present_centi"),
+          sum(when(!col("missing"), 1L).otherwise(0L)).as("n_present"),
+          sum(when(col("missing"), 1L).otherwise(0L)).as("n_missing"))
+        .withColumn("imputed_centi",
+          expr("present_centi div n_present"))
+      stats.select(col("l_returnflag"), col("n_present"), col("n_missing"),
+          col("imputed_centi"),
+          (col("present_centi") + col("n_missing") * col("imputed_centi"))
+            .as("total_centi"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- per-group min-max feature scaling (ORACLE) ---------------------
+    // The [0, 1] normalization step before distance-based models, per
+    // market segment, entirely in integers: scaled ppm =
+    // (x − min)·10⁶ div (max − min) on exact account-balance cents.
+    // Two passes at most: a k-row min/max aggregate broadcast back over
+    // the table (never a window over the corpus); the census proves the
+    // scaling maps min → 0 and max → 10⁶ exactly.
+    "q_feature_scale" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .withColumn("cents", round(col("c_acctbal") * 100).cast("long"))
+      val mm = c.groupBy("c_mktsegment")
+        .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      c.join(broadcast(mm), "c_mktsegment")
+        .withColumn("ppm", expr("(cents - lo) * 1000000 div (hi - lo)"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), min(col("lo")).as("min_cents"),
+          max(col("hi")).as("max_cents"),
+          min(col("ppm")).as("min_ppm"), max(col("ppm")).as("max_ppm"),
+          expr("sum(ppm) div count(1)").as("avg_ppm"))
+        .orderBy("c_mktsegment")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_impute_group" ->
+      ("WITH li AS (SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS q, " +
+        "(CAST(('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 2)) AS BIGINT) % 10 = 0) AS missing FROM lineitem), " +
+        "st AS (SELECT l_returnflag, CAST(sum(CASE WHEN NOT missing THEN q * 100 END) AS BIGINT) AS present_centi, " +
+        "CAST(sum(CASE WHEN NOT missing THEN 1 ELSE 0 END) AS BIGINT) AS n_present, " +
+        "CAST(sum(CASE WHEN missing THEN 1 ELSE 0 END) AS BIGINT) AS n_missing FROM li GROUP BY 1) " +
+        "SELECT l_returnflag, n_present, n_missing, present_centi // n_present AS imputed_centi, " +
+        "present_centi + n_missing * (present_centi // n_present) AS total_centi " +
+        "FROM st ORDER BY l_returnflag"),
+    "q_feature_scale" ->
+      ("WITH c AS (SELECT c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer), " +
+        "mm AS (SELECT c_mktsegment, min(cents) AS lo, max(cents) AS hi FROM c GROUP BY 1), " +
+        "sc AS (SELECT c.c_mktsegment AS seg, cents, lo, hi, (cents - lo) * 1000000 // (hi - lo) AS ppm " +
+        "FROM c JOIN mm ON c.c_mktsegment = mm.c_mktsegment) " +
+        "SELECT seg AS c_mktsegment, count(*) AS n, min(lo) AS min_cents, max(hi) AS max_cents, " +
+        "min(ppm) AS min_ppm, max(ppm) AS max_ppm, CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm " +
+        "FROM sc GROUP BY seg ORDER BY c_mktsegment"),
     "q_k_anon" ->
       ("WITH qi AS (SELECT c_mktsegment, c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band, count(*) AS k " +
         "FROM customer GROUP BY c_mktsegment, c_nationkey, bal_band) " +
