@@ -717,6 +717,37 @@ object EventQueries extends QueryGroup {
         .orderBy("bucket_10m")
     }),
 
+    // ---- Holt double-exponential smoothing forecast (ORACLE) ------------
+    // The trend-aware forecasting classic next to EWMA/seasonal-
+    // decompose: per user, level+trend recursions (α=0.3, β=0.1) over
+    // the time-ordered cent series, seeded the textbook way (l₂=v₂,
+    // t₂=v₂−v₁), one-step forecast = l+t. Shape: ONE shuffle keyed by
+    // user collects each series (array_sort on (ts, id) structs — no
+    // window), then a single `aggregate` HOF fold runs row-locally —
+    // per-key state is two doubles, the BSP-friendly form of a
+    // recursive filter. Floats are safe here because BOTH engines fold
+    // the identical per-user sequence with the identical op order
+    // (DuckDB list_reduce mirrors the lambda literally) — bit-equal
+    // chains, r3 only at the end; never an order-dependent SUM.
+    "q_holt_forecast" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy("user_id")
+        .agg(expr("transform(array_sort(collect_list(struct(ts, event_id, cents))), p -> p.cents)")
+          .as("vals"))
+        .filter(size(col("vals")) >= 2)
+        .withColumn("st", expr(
+          "aggregate(slice(vals, 3, size(vals) - 2), " +
+            "named_struct('l', CAST(element_at(vals, 2) AS DOUBLE), " +
+            "'t', CAST(element_at(vals, 2) - element_at(vals, 1) AS DOUBLE)), " +
+            "(acc, x) -> named_struct(" +
+            "'l', 0.3D * CAST(x AS DOUBLE) + 0.7D * (acc.l + acc.t), " +
+            "'t', 0.1D * ((0.3D * CAST(x AS DOUBLE) + 0.7D * (acc.l + acc.t)) - acc.l) + 0.9D * acc.t))"))
+        .select(col("user_id"), size(col("vals")).cast("long").as("n"),
+          r3(col("st.l") + col("st.t")).as("forecast_cents"))
+        .orderBy("user_id")
+    }),
+
     // ---- Bradley-Terry preference ranking (ORACLE) ----------------------
     // The preference-data aggregation a reward-model pipeline runs over
     // pairwise comparisons: consecutive same-user events form a
@@ -1070,6 +1101,21 @@ object EventQueries extends QueryGroup {
         "SELECT p2, p1, event_type AS next_event, count(*) AS n_examples " +
         "FROM l WHERE p2 IS NOT NULL GROUP BY p2, p1, next_event " +
         "ORDER BY n_examples DESC, p2, p1, next_event LIMIT 25"),
+    "q_holt_forecast" ->
+      ("WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), " +
+        "s AS (SELECT user_id, list(cents ORDER BY ts, event_id) AS vals FROM e GROUP BY 1), " +
+        "h AS (SELECT user_id, len(vals) AS n, " +
+        // list-valued fold state [l, t]: DuckDB's list_reduce evaluates a
+        // STRUCT accumulator's fields sequentially against the already-
+        // mutated acc (measured: coupled recursions silently corrupt),
+        // while list elements evaluate against the original acc
+        "list_reduce(list_concat([[CAST(vals[2] AS DOUBLE), CAST(vals[2] - vals[1] AS DOUBLE)]], " +
+        "list_transform(vals[3:], x -> [CAST(x AS DOUBLE), 0.0e0])), " +
+        "(acc, x) -> [0.3e0 * x[1] + 0.7e0 * (acc[1] + acc[2]), " +
+        "0.1e0 * ((0.3e0 * x[1] + 0.7e0 * (acc[1] + acc[2])) - acc[1]) + 0.9e0 * acc[2]]) AS st " +
+        "FROM s WHERE len(vals) >= 2) " +
+        "SELECT user_id, CAST(n AS BIGINT) AS n, floor((st[1] + st[2]) * 1000.0 + 0.5) / 1000.0 AS forecast_cents " +
+        "FROM h ORDER BY user_id"),
     "q_time_to_convert" ->
       ("WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS vmin FROM events WHERE event_type = 'view' GROUP BY 1), " +
         "dd AS (SELECT v.user_id AS user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) - epoch_us(vmin) AS delta_us " +
