@@ -26,7 +26,14 @@ object Bootstrap {
         // events.ts may be parquet TIMESTAMP(NANOS), which Spark 4.x only
         // reads with the legacy conf (runtime-settable).
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // the full scalar-function ladder, so EVERY entry point (Verify,
+        // Bench, RunJob's ad-hoc SQL, tests) sees the same SQL surface
+        // the extensions path injects — not just the queries that
+        // happen to self-register
         graft.functions.ArrayCosineSimilarity.register(s)
+        graft.functions.NormalizeNfc.register(s)
+        graft.functions.JaroWinkler.register(s)
+        graft.functions.LshSignature.register(s)
         graft.plans.CosineJoinStrategy.enable(s)
         done.add(s)
       }

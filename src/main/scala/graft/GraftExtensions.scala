@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ArrayCosineSimilarity.descriptor)
     ext.injectFunction(graft.functions.NormalizeNfc.descriptor)
     ext.injectFunction(graft.functions.JaroWinkler.descriptor)
+    ext.injectFunction(graft.functions.LshSignature.descriptor)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.CosineJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)

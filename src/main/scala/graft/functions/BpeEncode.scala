@@ -125,7 +125,7 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   /** Kernel entry point shared by eval and generated code. */
   def encode(s: UTF8String): GenericArrayData = {
     val toks = Array.newBuilder[Any]
-    s.toString.split("[ \t\n\r\f]+").foreach { w =>
+    BpeEncode.Ws.split(s.toString).foreach { w =>
       if (w.nonEmpty)
         Bpe.encodeWord(w, rank).foreach(t => toks += UTF8String.fromString(t))
     }
@@ -145,4 +145,10 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 
   override def prettyName: String = "graft_bpe"
+}
+
+object BpeEncode {
+  /** Precompiled once — String.split would Pattern.compile per ROW on
+    * the corpus-wide map pass. */
+  private[functions] val Ws = java.util.regex.Pattern.compile("[ \t\n\r\f]+")
 }

@@ -100,3 +100,37 @@ case class LshSignature(child: Expression, firstPlane: Int, nBits: Int)
 
   override def prettyName: String = "graft_lsh_sig"
 }
+
+object LshSignature {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+
+  /** SQL surface: graft_lsh_sig(vec, firstPlane, nBits) — the plane
+    * window must be FOLDABLE integer literals (the plane family is part
+    * of the expression's identity, like a seed), enforced at resolution
+    * time so a non-literal fails loudly, not at runtime. */
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_lsh_sig"),
+    new ExpressionInfo(classOf[LshSignature].getName, "graft_lsh_sig"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        s"graft_lsh_sig expects (array<double>, firstPlane, nBits), got ${children.length} args")
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_lsh_sig: $what must be an integer literal, got $other")
+      }
+      LshSignature(children.head,
+        intLit(children(1), "firstPlane"), intLit(children(2), "nBits"))
+    },
+  )
+
+  /** Idempotent runtime registration (same contract as
+    * [[ArrayCosineSimilarity.register]]). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(descriptor._1)) {
+      registry.registerFunction(descriptor._1, descriptor._2, descriptor._3)
+    }
+  }
+}

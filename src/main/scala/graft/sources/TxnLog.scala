@@ -236,7 +236,7 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
 
   /** Write `df` as a new file group and commit it as an append. */
   def append(df: DataFrame): Int = {
-    val adds = writeGroup(df).toSeq
+    val adds = writeGroup(df, withBloom = bloomCol.isDefined).toSeq
     commit(adds, Seq.empty,
       blooms = if (bloomCol.isDefined) adds.map(a => a.path -> s"${a.path}.bloom")
                else Seq.empty)
@@ -272,7 +272,7 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     * the stat column) OBSERVED on the write job itself — no second scan
     * of freshly written data, the same single-pass stats collection a
     * production table format does. An empty group is not committed. */
-  private def writeGroup(df: DataFrame): Option[AddFile] = {
+  private def writeGroup(df: DataFrame, withBloom: Boolean = false): Option[AddFile] = {
     val rel = s"data/${UUID.randomUUID()}.parquet"
     val obs = org.apache.spark.sql.Observation()
     val observed = statCol match {
@@ -286,12 +286,17 @@ final class TxnLog(spark: SparkSession, base: String, statCol: Option[String] = 
     if (n == 0L) { TxnLog.rmrf(s"$base/$rel"); None }
     else {
       // optional per-file bloom index sidecar (the Delta bloom-index /
-      // Iceberg puffin pattern): built from the freshly written group,
-      // referenced from the manifest (`blm` line) so a point lookup can
-      // skip files at PLANNING time on a column the sort/stat order
-      // doesn't help with. KB-scale sidecar, loaded only when a lookup
-      // is planned — never by full scans.
-      bloomCol.foreach { c =>
+      // Iceberg puffin pattern): built from the freshly written group
+      // (ONE extra scan of the new group only — the index build a
+      // production format also pays, deliberately off the Observation
+      // fast path since a bloom can't ride an aggregate), referenced
+      // from the manifest (`blm` line) so a point lookup can skip files
+      // at PLANNING time on a column the sort/stat order doesn't help
+      // with. Built ONLY when the caller will commit a blm reference
+      // (append) — rewrite paths (COW delete/upsert/compact) would
+      // otherwise pay the scan and strand an orphan sidecar no manifest
+      // points at; they degrade to always-planned instead.
+      if (withBloom) bloomCol.foreach { c =>
         val bloom = spark.read.parquet(s"$base/$rel")
           .stat.bloomFilter(c, math.max(n, 1L), 0.01)
         val out = Files.newOutputStream(Paths.get(base, s"$rel.bloom"))

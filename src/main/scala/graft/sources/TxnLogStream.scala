@@ -51,26 +51,36 @@ object TxnLogStream {
     StructField("stat_min", LongType, nullable = false),
     StructField("stat_max", LongType, nullable = false)))
 
-  /** (action, path, rows, statMin, statMax) rows of one version, removes
-    * resolved against the prior live set. */
-  def actionRows(base: String, v: Int): Seq[(String, String, Long, Long, Long)] = {
-    val m = TxnLog.mainManifest(base, v)
-    val prior: Map[String, TxnLog.AddFile] = {
-      val live = scala.collection.mutable.LinkedHashMap.empty[String, TxnLog.AddFile]
-      (0 until v).foreach { i =>
-        val mi = TxnLog.mainManifest(base, i)
-        mi.removes.foreach(live.remove)
-        mi.adds.foreach(a => live(a.path) = a)
+  /** (action, path, rows, statMin, statMax) rows for every version in
+    * [from, to], removes resolved against the evolving live set. ONE
+    * forward replay of manifests 0..to — the live map threads through
+    * the range (each version's remove resolution reads the map, then
+    * the map absorbs that version's own adds/removes), so a batch
+    * costs one linear log replay instead of one replay PER VERSION
+    * (O(length²) for a batch spanning the whole log). */
+  def actionRowsRange(base: String, from: Int, to: Int)
+  : Map[Int, Seq[(String, String, Long, Long, Long)]] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, TxnLog.AddFile]
+    val out = Map.newBuilder[Int, Seq[(String, String, Long, Long, Long)]]
+    (0 to to).foreach { v =>
+      val m = TxnLog.mainManifest(base, v)
+      if (v >= from) {
+        out += v -> (m.adds.map(a => ("add", a.path, a.rows, a.statMin, a.statMax)) ++
+          m.removes.map { p =>
+            val f = live.getOrElse(p, throw new IllegalStateException(
+              s"version $v removes unknown file $p"))
+            ("remove", f.path, f.rows, f.statMin, f.statMax)
+          })
       }
-      live.toMap
+      m.removes.foreach(live.remove)
+      m.adds.foreach(a => live(a.path) = a)
     }
-    m.adds.map(a => ("add", a.path, a.rows, a.statMin, a.statMax)) ++
-      m.removes.map { p =>
-        val f = prior.getOrElse(p, throw new IllegalStateException(
-          s"version $v removes unknown file $p"))
-        ("remove", f.path, f.rows, f.statMin, f.statMax)
-      }
+    out.result()
   }
+
+  /** Single-version convenience (tests / ad-hoc inspection). */
+  def actionRows(base: String, v: Int): Seq[(String, String, Long, Long, Long)] =
+    actionRowsRange(base, v, v)(v)
 }
 
 /** `format("graft.sources.TxnLogStreamProvider")` entry point. */
@@ -113,8 +123,10 @@ final class TxnLogMicroBatchStream(base: String) extends MicroBatchStream {
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[VersionOffset].v
     val e = end.asInstanceOf[VersionOffset].v
+    if (e <= s) return Array.empty
+    val byVersion = TxnLogStream.actionRowsRange(base, s + 1, e)
     ((s + 1) to e).map { v =>
-      TxnLogActionsPartition(v, TxnLogStream.actionRows(base, v).toArray)
+      TxnLogActionsPartition(v, byVersion(v).toArray)
     }.toArray
   }
 
