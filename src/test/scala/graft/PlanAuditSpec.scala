@@ -407,4 +407,38 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"dimension side not broadcast:\n$p")
   }
+
+  test("q_substring_dup marks dup windows with ONE hash-keyed window, no join-back") {
+    val p = plan("q_substring_dup")
+    // the agg+semi-join form cost 2x the lineage (two window builds);
+    // the analytic form has no join before the interval merge
+    assert(!p.contains("SortMergeJoin") ||
+      p.linesIterator.count(_.trim.startsWith("+- SortMergeJoin")) <= 1,
+      s"unexpected join-back in the dup-mark pass:\n$p")
+    assert(p.contains("Window"), s"analytic dup mark missing:\n$p")
+  }
+
+  test("q_emb_gram collapses the pair expansion map-side (partial aggregation)") {
+    val p = plan("q_emb_gram")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"no two-phase aggregation:\n$p")
+    // one exchange for the (i, j) cells + possibly the final sort's range
+    // exchange — never a join
+    assert(!p.contains("Join"), s"gram must be pure aggregation:\n$p")
+  }
+
+  test("q_fuzzy_match broadcasts the vocabulary into the blocking join") {
+    val p = plan("q_fuzzy_match")
+    assert(p.contains("BroadcastHashJoin"), s"vocabulary not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"blocking join degraded to a nested loop:\n$p")
+  }
+
+  test("q_join_runtime_filter's checkpointed result came from a pruned shuffle join") {
+    // the query materializes eagerly under its session confs, so audit
+    // the row count contract instead of the (checkpoint-hidden) plan,
+    // plus the RuntimeFilterSpec pins injection on the live shape
+    val rows = SparkEntry.queries("q_join_runtime_filter")(spark, sf0001).count()
+    assert(rows == 3L, s"expected 3 returnflag groups, got $rows")
+  }
 }
