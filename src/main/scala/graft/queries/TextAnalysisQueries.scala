@@ -727,6 +727,41 @@ object TextAnalysisQueries extends QueryGroup {
         .orderBy("source")
     }),
 
+    // ---- end-to-end curation pipeline (ORACLE) --------------------------
+    // The composite a real training-data run executes as ONE job — each
+    // stage is an already-graded operator, composed: (1) quality gate
+    // (length ≥ 10 tokens AND type/token diversity ≥ ½ — integer
+    // cross-multiplied, q_filter_funnel's rules); (2) exact dedup
+    // (min doc_id survives per md5 digest — the deterministic survivor
+    // rule, q_dedup_exact's); (3) reproducible 80/10/10 split on the
+    // content hash (q_split_hash's buckets); (4) per-split doc/token/
+    // char census. One corpus pass + one digest-keyed dedup shuffle +
+    // a k-row census — the whole pipeline is two shuffles at any
+    // scale, and the oracle replays all four stages declaratively, so
+    // the hash gate grades the COMPOSITION (stage ordering, survivor
+    // determinism, gate-before-dedup semantics), not just the parts.
+    "q_curation_pipeline" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("digest").orderBy("doc_id")
+      Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .withColumn("n_tok", size(col("t")).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(col("t"))).cast("long"))
+        .filter(col("n_tok") >= 10 && col("n_uniq") * 2 >= col("n_tok"))
+        .withColumn("digest", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("bucket",
+          conv(substring(col("digest"), 1, 2), 16, 10).cast("long"))
+        .withColumn("split",
+          when(col("bucket") < 204, "train")
+            .when(col("bucket") < 230, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .orderBy("split")
+    }),
+
     // ---- Jaro-Winkler fuzzy vocabulary match (native expression) --------
     // (ORACLE) Record-linkage for short strings: a deterministic typo
     // generator (2nd/3rd chars of each doc's first token swapped —
@@ -1035,6 +1070,16 @@ object TextAnalysisQueries extends QueryGroup {
       ("SELECT lower(k) AS source_ci, count(*) AS n_docs, sum(n_chars) AS chars FROM (" +
         "SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS k, n_chars " +
         "FROM documents) t GROUP BY 1 ORDER BY source_ci"),
+    "q_curation_pipeline" ->
+      ("WITH t AS (SELECT doc_id, text, n_chars, " + oracleToks + " AS tk FROM documents), " +
+        "gated AS (SELECT doc_id, text, n_chars, CAST(len(tk) AS BIGINT) AS n_tok " +
+        "FROM t WHERE len(tk) >= 10 AND len(list_distinct(tk)) * 2 >= len(tk)), " +
+        "dd AS (SELECT doc_id, n_chars, n_tok, md5(text) AS digest, " +
+        "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM gated), " +
+        "surv AS (SELECT n_chars, n_tok, CAST(('0x' || substr(digest, 1, 2)) AS BIGINT) AS bucket FROM dd WHERE rn = 1), " +
+        "sp AS (SELECT CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split, n_tok, n_chars FROM surv) " +
+        "SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars FROM sp GROUP BY split ORDER BY split"),
     "q_fuzzy_match" ->
       ("WITH tk AS (SELECT doc_id, " + oracleToks + " AS t FROM documents), " +
         "vocab AS (SELECT DISTINCT unnest(t) AS w FROM tk), " +
