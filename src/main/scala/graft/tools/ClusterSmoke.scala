@@ -62,6 +62,8 @@ object ClusterSmoke {
     "q_stream_tws_profile", // transformWithState + RocksDB state store on executors
     "q_bpe_encode",       // graft_bpe expression (merge table serde) on executors
     "q_fuzzy_match",      // graft_jaro kernel + broadcast vocab across executors
+    "q_curation_pipeline", // composed gate->dedup->split DAG across executors
+    "q_holt_forecast",    // array-fold recursion after a real shuffle collect
   )
 
   def main(args: Array[String]): Unit = {
