@@ -318,6 +318,30 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .offset(40).limit(20)),
 
+    // ---- keyset (seek) pagination — the deep-page scale path ------------
+    // (ORACLE) q_paginate's OFFSET form scans-and-discards 40 rows;
+    // page 10⁶ discards 2·10⁷ — OFFSET cost grows with page depth. The
+    // keyset form seeks: remember the LAST KEY of the previous page
+    // (here derived in-query as the 40th tuple in (cents desc, key)
+    // order — one TakeOrderedAndProject, k-bounded) and fetch WHERE
+    // tuple < boundary LIMIT 20. The predicate pushes into the scan, so
+    // every page costs the same regardless of depth — the pagination
+    // contract a 100 TB result-serving layer needs. Prices are compared
+    // in exact integer cents so the strict tuple order is portable.
+    "q_paginate_keyset" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val boundary = o.orderBy(col("cents").desc, col("o_orderkey"))
+        .limit(40).orderBy(col("cents").asc, col("o_orderkey").desc).limit(1)
+        .select(col("cents").as("bc"), col("o_orderkey").as("bk"))
+      o.join(broadcast(boundary),
+          col("cents") < col("bc") ||
+            (col("cents") === col("bc") && col("o_orderkey") > col("bk")))
+        .orderBy(col("cents").desc, col("o_orderkey")).limit(20)
+        .select(col("o_orderkey"), col("cents"))
+    }),
+
     // ---- null-handling scalar family ------------------------------------
     // nullif / coalesce / nvl2 as one pipeline: the status 'P' is masked
     // to NULL (nullif), re-labeled (coalesce), and branch-flagged (nvl2 —
@@ -1471,6 +1495,13 @@ object RelationalQueries extends QueryGroup {
         "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 " +
         "INTERSECT ALL SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) t " +
         "GROUP BY o_custkey ORDER BY o_custkey"),
+    "q_paginate_keyset" ->
+      ("WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "b AS (SELECT cents AS bc, o_orderkey AS bk FROM o ORDER BY cents DESC, o_orderkey LIMIT 40) , " +
+        "bd AS (SELECT bc, bk FROM b ORDER BY bc ASC, bk DESC LIMIT 1) " +
+        "SELECT o_orderkey, cents FROM o, bd " +
+        "WHERE cents < bc OR (cents = bc AND o_orderkey > bk) " +
+        "ORDER BY cents DESC, o_orderkey LIMIT 20"),
     "q_paginate" ->
       ("SELECT o_orderkey, floor(o_totalprice * 100.0 + 0.5) / 100.0 AS o_totalprice " +
         "FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40"),

@@ -26,6 +26,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_vec_quantize",      // per-corpus scale scalar
     "q_sample_det",
     "q_keywords",          // corpus-size scalar
+    "q_paginate_keyset",   // 1-row page-boundary tuple broadcast into the seek predicate
     "q_kmeans_assign",     // 8-row centroid table crossed for per-vector argmax
     "q_kmeans_update",     // same broadcast centroids as the assign step
     "q_ann_ivf",           // k-row coarse-quantizer codebook
