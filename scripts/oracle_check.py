@@ -15,6 +15,11 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Types the driver's hash can never see from a Spark parquet dump — any
+# oracle column typed this way is the round-7 HUGEINT bug class (value
+# compare passes, driver hash fails). Hard FAIL even when values match.
+BAD_ORACLE_TYPES = {"HUGEINT", "UHUGEINT", "DECIMAL(38,0)"}
+
 
 def norm(v):
     if isinstance(v, float):
@@ -43,18 +48,32 @@ def main():
             n_fail += 1
             continue
         try:
-            srel = con.execute(f"SELECT * FROM read_parquet({files!r})")
-            scols = [c[0] for c in srel.description]
+            srel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            scols, stypes = list(srel.columns), [str(t) for t in srel.types]
             srows = srel.fetchall()
-            orel = con.execute(sql)
-            ocols = [c[0] for c in orel.description]
+            orel = con.sql(sql)
+            ocols, otypes = list(orel.columns), [str(t) for t in orel.types]
             orows = orel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
+        badtypes = [(c, t) for c, t in zip(ocols, otypes)
+                    if t in BAD_ORACLE_TYPES]
+        if badtypes:
+            print(f"FAIL {name}: oracle result type driver-hash-unsafe: {badtypes}")
+            n_fail += 1
+            continue
         sidx = sorted(range(len(scols)), key=lambda i: scols[i])
         oidx = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        # informational: spark-vs-oracle dtype drift that is NOT yet a
+        # known hash-breaker (e.g. INTEGER vs BIGINT) — visible so a new
+        # driver-hash-sensitive pairing can be spotted, without failing
+        # pairings the driver demonstrably accepts
+        tdiff = [(scols[si], stypes[si], otypes[oi])
+                 for si, oi in zip(sidx, oidx) if stypes[si] != otypes[oi]]
+        if tdiff:
+            print(f"TYPEDIFF {name}: (col, spark, oracle) {tdiff}")
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
             n_fail += 1

@@ -503,12 +503,12 @@ object AggQueries extends QueryGroup {
         "FROM b GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_bool_aggs" ->
       ("SELECT event_type, count(*) AS n, bool_and(cents >= 0) AS all_nonneg, " +
-        "bool_or(cents > 90000) AS any_over_900, count_if(cents > 50000) AS n_over_500 " +
+        "bool_or(cents > 90000) AS any_over_900, CAST(count_if(cents > 50000) AS BIGINT) AS n_over_500 " +
         "FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events) t " +
         "GROUP BY event_type ORDER BY event_type"),
     "q_hypothetical_rank" ->
       ("SELECT o_orderpriority, count(*) AS n, " +
-        "sum(CASE WHEN cents > 5000000 THEN 1 ELSE 0 END) + 1 AS hyp_rank_desc, " +
+        "CAST(sum(CASE WHEN cents > 5000000 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS hyp_rank_desc, " +
         "floor(CAST(sum(CASE WHEN cents <= 5000000 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS hyp_pctl " +
         "FROM (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) t " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),

@@ -1580,12 +1580,12 @@ object AnalyticsQueries extends QueryGroup {
     "q_ab_srm" ->
       ("SELECT n_a, n_b, chi2, chi2 > 3.841 AS srm FROM (" +
         "SELECT n_a, n_b, floor(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS chi2 FROM (" +
-        "SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a, " +
-        "sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b " +
+        "SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b " +
         "FROM events WHERE event_type = 'signup') t) u"),
     "q_date_spine" ->
       ("WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
-        "daily AS (SELECT day, count(*) AS n, sum(cents) AS c FROM o GROUP BY day), " +
+        "daily AS (SELECT day, count(*) AS n, CAST(sum(cents) AS BIGINT) AS c FROM o GROUP BY day), " +
         "spine AS (SELECT unnest(generate_series(min_d, max_d, INTERVAL 1 DAY)) AS day " +
         "FROM (SELECT min(day) AS min_d, max(day) AS max_d FROM o) b) " +
         "SELECT strftime(CAST(s.day AS DATE), '%Y-%m-%d') AS day, coalesce(d.n, 0) AS n_orders, coalesce(d.c, 0) AS cents " +
@@ -1602,7 +1602,7 @@ object AnalyticsQueries extends QueryGroup {
         "FROM base b JOIN bounds x ON b.o_orderpriority = x.o_orderpriority " +
         "GROUP BY b.o_orderpriority ORDER BY b.o_orderpriority"),
     "q_seasonal_decompose" ->
-      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c " +
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c " +
         "FROM orders GROUP BY 1), " +
         "det AS (SELECT day, c, " +
         "CAST(floor(CAST(sum(c) OVER w7 AS DOUBLE) / count(*) OVER w7) AS BIGINT) AS trend_c, " +

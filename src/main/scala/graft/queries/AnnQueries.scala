@@ -161,6 +161,67 @@ object AnnQueries extends QueryGroup {
       .orderBy("vec_id", "v2")
   }
 
+  /** EXACT top-k cosine kNN in the blocked all-pairs shape — the form a
+    * 1000-executor cluster runs when the answer must be exact (the
+    * approximate twins lshKnn/nnDescent are the sub-quadratic paths, but
+    * on weakly-clustered embeddings their recall is < 1 — measured ~75%
+    * at top-3 on this corpus — and exact kNN has no sub-quadratic
+    * algorithm in general).
+    *
+    * Shape: 2-D blocking. Queries hash to √P row-blocks, data to √P
+    * column-blocks; each side replicates √P-fold and meets its partner
+    * in an EQUI-join on the (bq, bd) cell key — so the O(n²) compute is
+    * spread evenly over P shuffle cells with NO broadcast of a full side
+    * (the old kernel's bound) and no driver participation. Each join
+    * task prunes to k candidates per query imperatively as rows stream
+    * through (memory k·|queries in cell|, never the cell product), and a
+    * final k-bounded window merges the √P per-block winners. Shuffle is
+    * O(n·√P) rows; only the compute is quadratic, and that evenly.
+    *
+    * Determinism: scores at 3dp (r3), ties broken by ascending neighbor
+    * id — a total order, so the result is partitioning-independent and
+    * hash-gateable. */
+  private[graft] def blockedKnn(e: DataFrame, k: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val cells = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val nb = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val blockIds = array((0 until nb).map(lit): _*)
+    val q = e.select(pmod(hash(col("vec_id")), lit(nb)).as("bq"),
+        col("vec_id").as("id1"), col("v").as("va"))
+      .withColumn("bd", explode(blockIds))
+    val dat = e.select(pmod(hash(col("vec_id")), lit(nb)).as("bd"),
+        col("vec_id").as("id2"), col("v").as("vb"))
+      .withColumn("bq", explode(blockIds))
+    val scored = q.join(dat, Seq("bq", "bd"))
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"), r3(expr("graft_cosine(va, vb)")).as("cos_sim"))
+    val pruned = scored.as[(Long, Long, Double)].mapPartitions { it =>
+      // per-task bounded top-k: all rows of (query, data-block) live in
+      // one task, so keeping k per query here provably preserves the
+      // global top-k through the final merge
+      val best = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[(Double, Long)]]
+      def beats(a: (Double, Long), b: (Double, Long)): Boolean =
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+      it.foreach { case (i, j, c) =>
+        val arr = best.getOrElseUpdate(i,
+          new scala.collection.mutable.ArrayBuffer[(Double, Long)](k + 1))
+        var pos = arr.length
+        while (pos > 0 && beats((c, j), arr(pos - 1))) pos -= 1
+        if (pos < k) {
+          arr.insert(pos, (c, j))
+          if (arr.length > k) arr.remove(k)
+        }
+      }
+      best.iterator.flatMap { case (i, arr) => arr.map { case (c, j) => (i, j, c) } }
+    }.toDF("id1", "id2", "cos_sim")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id1").orderBy(col("cos_sim").desc, col("id2"))
+    pruned.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("id1").as("vec_id"), col("id2").as("nbr_id"), col("cos_sim"))
+  }
+
   /** NN-descent refinement of the LSH-seeded kNN graph over (vec_id, v)
     * rows. Each round: make the graph undirected (reverse neighbors are
     * candidates too — the half NN-descent's convergence depends on),

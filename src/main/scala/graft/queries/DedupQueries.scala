@@ -234,28 +234,29 @@ object DedupQueries extends QueryGroup {
 
   /** Undirected top-3 cosine kNN edge set over embeddings (u < v,
     * distinct), memoized + checkpointed per (session, corpus) — the
-    * shared graph artifact under q_graph_jaccard and q_graph_lpa, built
-    * once by the CosineJoin-intercepted kernel exactly like the shingle
-    * pair set is built once for the dedup family. */
-  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+    * shared graph artifact under q_graph_jaccard and q_graph_lpa.
+    *
+    * Built through the scale-shaped EXACT path (round-8, replacing the
+    * broadcast-bound brute crossJoin ScaleProbe measured at factor²):
+    * [[AnnQueries.blockedKnn]] — 2-D blocked all-pairs equi-join with
+    * per-task k-bounded pruning, O(n·√P) shuffle, no full-side broadcast,
+    * no driver state. Exactness is non-negotiable here: both consumers
+    * are DuckDB-hash-gated, and the approximate generators measure < 1
+    * recall on this weakly-clustered corpus (nn-descent plateaus at ~75%
+    * of brute top-3 — see GraphEdgesSpec, which pins edge-set equality
+    * of this artifact against the all-pairs reference on both graded
+    * corpora). Partition sizing follows spark.sql.shuffle.partitions —
+    * no local[32]-ism coalesce. */
+  private[graft] def knnEdges(s: SparkSession, d: String): DataFrame = {
     purgeStopped(); hookCleanup(s)
     knnCache.getOrElseUpdate((s, d), {
       graft.functions.ArrayCosineSimilarity.register(s)
-      graft.plans.CosineJoinStrategy.enable(s)
       val e = graft.Tables.embeddings(s, d)
         .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val a = e.select(col("vec_id").as("id1"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("id2"), col("v").as("vb"))
-      val pairs = a.crossJoin(b)
-        .filter(r3(expr("graft_cosine(va, vb)")) >= lit(-1.0) && col("id1") =!= col("id2"))
-        .select(col("id1"), col("id2"), r3(expr("graft_cosine(va, vb)")).as("cos_sim"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id1").orderBy(col("cos_sim").desc, col("id2"))
-      pairs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(least(col("id1"), col("id2")).as("u"),
-          greatest(col("id1"), col("id2")).as("v")).distinct()
-        .coalesce(4).localCheckpoint(eager = true)
+      AnnQueries.blockedKnn(e, 3)
+        .select(least(col("vec_id"), col("nbr_id")).as("u"),
+          greatest(col("vec_id"), col("nbr_id")).as("v")).distinct()
+        .localCheckpoint(eager = true)
     })
   }
 
@@ -970,14 +971,25 @@ object DedupQueries extends QueryGroup {
     // oracle-checkable: per-source count of batch docs whose fingerprint
     // already exists in the corpus.
     "q_dedup_bloom" -> ((s, d) => {
-      val fp = concat_ws(" ", slice(toks(col("text")), 1, 5))
+      // HOF-free fingerprint (round-8): value-identical to
+      // concat_ws(" ", slice(toks(text), 1, 5)) — edge-trim makes split
+      // emit no empty tokens, so the filter() lambda (CodegenFallback,
+      // it dragged the probe's Filter out of whole-stage codegen) isn't
+      // needed on this hot path
+      val fp = array_join(slice(split(
+        regexp_replace(lower(col("text")), "(^[ \\t\\n\\r\\f]+)|([ \\t\\n\\r\\f]+$)", ""),
+        "[ \\t\\n\\r\\f]+"), 1, 5), " ")
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), fp.as("fp"))
       val corpus = docs.filter(col("doc_id") % 2 === 0).select("fp")
       val batch = docs.filter(col("doc_id") % 2 === 1)
       val bloom = corpus.stat.bloomFilter("fp", math.max(corpus.count(), 1L), 0.01)
-      val bc = s.sparkContext.broadcast(bloom)
-      val mightContain = udf((x: String) => x != null && bc.value.mightContain(x))
-      batch.filter(mightContain(col("fp")))
+      // native codegen'd probe (round-8): the bloom rides the expression
+      // like BpeEncode's merge table — no UDF interpreter boundary on
+      // the batch-side hot path
+      val mightContain = org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.BloomMightContain(
+          org.apache.spark.sql.GraftPlanBridge.expression(col("fp")), bloom))
+      batch.filter(col("fp").isNotNull && mightContain)
         .join(corpus, Seq("fp"), "left_semi")
         .groupBy("source").agg(count(lit(1)).as("n_dup"))
         .orderBy("source")

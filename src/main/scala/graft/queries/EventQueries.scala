@@ -1051,7 +1051,7 @@ object EventQueries extends QueryGroup {
         "CAST((CAST(c0 AS HUGEINT) * (t1 - tus) + CAST(c1 AS HUGEINT) * (tus - t0)) // (t1 - t0) AS BIGINT) END AS ic " +
         "FROM f WHERE is_grid = 1) z ORDER BY user_id, grid_ts"),
     "q_json_tuple" ->
-      ("SELECT event_type, count(*) AS n, sum(k) AS sum_k, " +
+      ("SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, " +
         "floor(CAST(sum(k) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS avg_k " +
         "FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t " +
         "GROUP BY event_type ORDER BY event_type"),
@@ -1060,7 +1060,7 @@ object EventQueries extends QueryGroup {
         "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk FROM events), " +
         "cohort AS (SELECT user_id, min(wk) AS cwk FROM ev GROUP BY user_id) " +
         "SELECT CAST(cwk AS BIGINT) AS cohort_week, CAST(wk - cwk AS BIGINT) AS weeks_since, " +
-        "count(DISTINCT e.user_id) AS n_buyers, count(*) AS n_purchases, sum(cents) AS cents " +
+        "count(DISTINCT e.user_id) AS n_buyers, count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS cents " +
         "FROM ev e JOIN cohort c ON e.user_id = c.user_id WHERE event_type = 'purchase' " +
         "GROUP BY cwk, wk - cwk ORDER BY cohort_week, weeks_since"),
     "q_asof_nearest" ->
@@ -1078,7 +1078,7 @@ object EventQueries extends QueryGroup {
         "WHEN next_t IS NULL OR (prev_t IS NOT NULL AND tus - prev_t <= next_t - tus) THEN tus - prev_t ELSE next_t - tus END AS gap_us " +
         "FROM f WHERE is_p = 1) z ORDER BY event_id"),
     "q_variant_extract" ->
-      ("SELECT CAST(((k % 7) + 7) % 7 AS BIGINT) AS k_mod, count(*) AS n, sum(k) AS sum_k, " +
+      ("SELECT CAST(((k % 7) + 7) % 7 AS BIGINT) AS k_mod, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, " +
         "min(k) AS min_k, max(k) AS max_k " +
         "FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t " +
         "GROUP BY 1 ORDER BY k_mod"),
@@ -1091,7 +1091,7 @@ object EventQueries extends QueryGroup {
         "r AS (SELECT user_id, dc, CASE WHEN dt // 1000000 = 0 THEN NULL " +
         "ELSE CAST(dc AS DOUBLE) / CAST(dt // 1000000 AS DOUBLE) END AS rate FROM g) " +
         "SELECT user_id, count(*) AS n, " +
-        "sum(CASE WHEN rate IS NULL AND dc IS NOT NULL THEN 1 ELSE 0 END) AS n_zero_gap, " +
+        "CAST(sum(CASE WHEN rate IS NULL AND dc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_gap, " +
         "floor(sum(coalesce(rate, 0.0)) * 100.0 + 0.5) / 100.0 AS sum_rate " +
         "FROM r GROUP BY user_id ORDER BY user_id"),
     "q_next_event_pairs" ->
@@ -1135,8 +1135,8 @@ object EventQueries extends QueryGroup {
         "SELECT winner AS i, loser AS j, 1 AS win FROM cmp " +
         "UNION ALL SELECT loser, winner, 0 FROM cmp) u GROUP BY i, j), " +
         "p1 AS (SELECT i, sum(w) * 1000000000000 // sum(n * 1000000000000 // 2000000) AS p FROM dirpairs GROUP BY i), " +
-        "it2 AS (SELECT d.i AS i, sum(d.w) AS wins, sum(d.n) AS games, " +
-        "sum(d.w) * 1000000000000 // sum(d.n * 1000000000000 // (pi.p + pj.p)) AS p " +
+        "it2 AS (SELECT d.i AS i, CAST(sum(d.w) AS BIGINT) AS wins, CAST(sum(d.n) AS BIGINT) AS games, " +
+        "CAST(sum(d.w) * 1000000000000 // sum(d.n * 1000000000000 // (pi.p + pj.p)) AS BIGINT) AS p " +
         "FROM dirpairs d JOIN p1 pi ON d.i = pi.i JOIN p1 pj ON d.j = pj.i GROUP BY d.i) " +
         "SELECT i AS event_type, games, wins, p AS rating_micro FROM it2 ORDER BY event_type"),
   )

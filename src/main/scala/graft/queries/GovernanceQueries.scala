@@ -136,7 +136,10 @@ object GovernanceQueries extends QueryGroup {
       val mm = c.groupBy("c_mktsegment")
         .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
       c.join(broadcast(mm), "c_mktsegment")
-        .withColumn("ppm", expr("(cents - lo) * 1000000 div (hi - lo)"))
+        // nullif guards the degenerate single-valued segment: both
+        // engines then agree on NULL ppm instead of Spark-null vs
+        // DuckDB division-by-zero error
+        .withColumn("ppm", expr("(cents - lo) * 1000000 div nullif(hi - lo, 0)"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), min(col("lo")).as("min_cents"),
           max(col("hi")).as("max_cents"),
@@ -159,7 +162,7 @@ object GovernanceQueries extends QueryGroup {
     "q_feature_scale" ->
       ("WITH c AS (SELECT c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer), " +
         "mm AS (SELECT c_mktsegment, min(cents) AS lo, max(cents) AS hi FROM c GROUP BY 1), " +
-        "sc AS (SELECT c.c_mktsegment AS seg, cents, lo, hi, (cents - lo) * 1000000 // (hi - lo) AS ppm " +
+        "sc AS (SELECT c.c_mktsegment AS seg, cents, lo, hi, (cents - lo) * 1000000 // nullif(hi - lo, 0) AS ppm " +
         "FROM c JOIN mm ON c.c_mktsegment = mm.c_mktsegment) " +
         "SELECT seg AS c_mktsegment, count(*) AS n, min(lo) AS min_cents, max(hi) AS max_cents, " +
         "min(ppm) AS min_ppm, max(ppm) AS max_ppm, CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm " +
@@ -168,22 +171,22 @@ object GovernanceQueries extends QueryGroup {
       ("WITH qi AS (SELECT c_mktsegment, c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band, count(*) AS k " +
         "FROM customer GROUP BY c_mktsegment, c_nationkey, bal_band) " +
         "SELECT c_mktsegment, count(*) AS n_groups, " +
-        "sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS n_singletons, " +
-        "sum(k) AS n_rows, sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS rows_small_k, " +
+        "CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons, " +
+        "CAST(sum(k) AS BIGINT) AS n_rows, CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_small_k, " +
         "floor(CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE) / CAST(sum(k) AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS suppress_rate " +
         "FROM qi GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "q_mask_join" ->
       ("WITH mc AS (SELECT md5('pepper:' || CAST(c_custkey AS VARCHAR)) AS c_token, c_mktsegment FROM customer), " +
         "mo AS (SELECT md5('pepper:' || CAST(o_custkey AS VARCHAR)) AS o_token, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders), " +
         "audit AS (SELECT count(DISTINCT c_custkey) AS n_keys, count(DISTINCT md5('pepper:' || CAST(c_custkey AS VARCHAR))) AS n_tokens FROM customer) " +
-        "SELECT c_mktsegment, count(*) AS n_orders, sum(price_c) AS cents, " +
+        "SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(price_c) AS BIGINT) AS cents, " +
         "(SELECT n_tokens = n_keys FROM audit) AS collision_free " +
         "FROM mo JOIN mc ON o_token = c_token GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "q_target_encode" ->
       ("WITH ct AS (SELECT c_mktsegment, c_nationkey, coalesce(t, 0) AS t FROM customer " +
         "LEFT JOIN (SELECT o_custkey, max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS t " +
         "FROM orders GROUP BY o_custkey) u ON c_custkey = o_custkey), " +
-        "cat AS (SELECT c_mktsegment, c_nationkey, count(*) AS n, sum(t) AS hits FROM ct GROUP BY c_mktsegment, c_nationkey), " +
+        "cat AS (SELECT c_mktsegment, c_nationkey, count(*) AS n, CAST(sum(t) AS BIGINT) AS hits FROM ct GROUP BY c_mktsegment, c_nationkey), " +
         "gl AS (SELECT count(*) AS gn, sum(t) AS ghits FROM ct) " +
         "SELECT c_mktsegment, c_nationkey, n, hits, " +
         "floor((CAST(hits AS DOUBLE) + 10.0 * (CAST(ghits AS DOUBLE) / CAST(gn AS DOUBLE))) / CAST(n + 10 AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS enc " +

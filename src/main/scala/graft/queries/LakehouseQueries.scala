@@ -55,6 +55,66 @@ object LakehouseQueries extends QueryGroup {
       versions.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // ---- PUBLIC-spec Delta Lake log interop (read-only) -----------------
+    // The first thing a real user does is point the engine at data that
+    // already lives in an open-format table. Fixture: a mini Delta table
+    // written to the PUBLIC delta-io protocol layout (_delta_log JSON
+    // actions — protocol/metaData/add/commitInfo/remove), three commits:
+    // v0 adds two file groups, v1 appends a third, v2 removes the first
+    // (the delete/compaction shape). graft.sources.DeltaLogReader
+    // replays the action log and hands each snapshot's live file list
+    // straight to the parquet scan (pushdown intact). The graded census
+    // reads ALL THREE versions — time travel over a foreign log — and
+    // the oracle reconstructs each snapshot from `orders` (groups are
+    // o_orderkey % 3 residues), so hash equality proves the add/remove
+    // replay, unknown-action skipping, and version pinning.
+    "q_delta_scan" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val base = s"/tmp/graft_delta_${Integer.toHexString(d.hashCode)}/orders_dl"
+      TxnLog.rmrf(base)
+      Files.createDirectories(Paths.get(base, "_delta_log"))
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        cents("o_totalprice").as("cents"))
+      // one parquet FILE per group, spec-style relative add paths
+      def writeGroup(res: Int): String = {
+        val tmp = s"$base/.stage-$res"
+        o.filter(pmod(col("o_orderkey"), lit(3)) === res).coalesce(1)
+          .write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).iterator()
+        var src: java.nio.file.Path = null
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) src = p
+        }
+        val rel = s"part-g$res.parquet"
+        Files.move(src, Paths.get(base, rel))
+        TxnLog.rmrf(tmp)
+        rel
+      }
+      val (g0, g1, g2) = (writeGroup(0), writeGroup(1), writeGroup(2))
+      def sz(rel: String): Long = Files.size(Paths.get(base, rel))
+      def commit(v: Long, lines: Seq[String]): Unit =
+        Files.write(Paths.get(base, "_delta_log", f"$v%020d.json"),
+          lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      def add(rel: String) =
+        s"""{"add":{"path":"$rel","partitionValues":{},"size":${sz(rel)},"modificationTime":0,"dataChange":true}}"""
+      commit(0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"metaData":{"id":"graft-orders-dl","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":[],"configuration":{},"createdTime":0}}""",
+        add(g0), add(g1)))
+      commit(1, Seq("""{"commitInfo":{"operation":"WRITE"}}""", add(g2)))
+      commit(2, Seq("""{"commitInfo":{"operation":"DELETE"}}""",
+        s"""{"remove":{"path":"$g0","deletionTimestamp":0,"dataChange":true}}"""))
+      val versions = (0L to 2L).map { v =>
+        graft.sources.DeltaLogReader.read(s, base, v).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("total_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("total_cents"))
+      }
+      versions.reduce(_ unionAll _).orderBy("version")
+    }),
+
     // ---- manifest-level file skipping ------------------------------------
     // One commit per order-year with min/max year stats riding the
     // manifest; a 1997-98 read plans ONLY the two overlapping file
@@ -408,6 +468,12 @@ object LakehouseQueries extends QueryGroup {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_delta_scan" ->
+      ("WITH o AS (SELECT o_orderkey % 3 AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE g IN (0, 1) " +
+        "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE g IN (1, 2) " +
+        "ORDER BY version"),
     "q_txn_timetravel" ->
       ("WITH o AS (SELECT o_orderstatus AS st, year(o_orderdate) AS yr, " +
         "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +

@@ -1487,7 +1487,7 @@ object RelationalQueries extends QueryGroup {
         "GROUP BY n_name ORDER BY n_name"),
     "q_source_merge_schema" ->
       ("SELECT coalesce(prio, '<pre-schema>') AS prio, count(*) AS n, " +
-        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents FROM (" +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents FROM (" +
         "SELECT o_totalprice, CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS prio " +
         "FROM orders) t GROUP BY 1 ORDER BY prio"),
     "q_intersect_all" ->
@@ -1517,7 +1517,7 @@ object RelationalQueries extends QueryGroup {
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_observe_metrics" ->
       ("SELECT count(*) AS rows_scanned, " +
-        "sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS rows_big_qty, " +
+        "CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS rows_big_qty, " +
         "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
         "FROM lineitem"),
     "q_source_generated" ->
@@ -1525,9 +1525,9 @@ object RelationalQueries extends QueryGroup {
         "FROM (SELECT i, CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 2)) AS BIGINT) % 16 AS b16 " +
         "FROM range(0, 100000) t(i)) g GROUP BY b16 ORDER BY b16"),
     "q_source_csv_corrupt" ->
-      ("SELECT sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS n_corrupt, " +
-        "sum(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END) AS n_good, " +
-        "sum(CASE WHEN o_orderkey % 97 <> 0 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS good_cents, " +
+      ("SELECT CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt, " +
+        "CAST(sum(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good, " +
+        "CAST(sum(CASE WHEN o_orderkey % 97 <> 0 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS good_cents, " +
         "max(CASE WHEN o_orderkey % 97 <> 0 THEN o_orderkey END) AS max_good_key " +
         "FROM orders"),
   )

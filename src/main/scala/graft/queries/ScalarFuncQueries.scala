@@ -204,8 +204,8 @@ object ScalarFuncQueries extends QueryGroup {
         "len(list_filter(v, x -> abs(x) < 0.5)) = len(v) AS all_small, " +
         "CAST(list_sum(list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sum_micro FROM e) " +
         "SELECT CAST(label AS INT) AS label, count(*) AS n_vecs, " +
-        "CAST(sum(n_pos) AS BIGINT) AS total_pos, count_if(has_big) AS n_has_big, " +
-        "count_if(all_small) AS n_all_small, CAST(sum(sum_micro) AS BIGINT) AS mass_micro " +
+        "CAST(sum(n_pos) AS BIGINT) AS total_pos, CAST(count_if(has_big) AS BIGINT) AS n_has_big, " +
+        "CAST(count_if(all_small) AS BIGINT) AS n_all_small, CAST(sum(sum_micro) AS BIGINT) AS mass_micro " +
         "FROM p GROUP BY label ORDER BY label"),
   )
 }

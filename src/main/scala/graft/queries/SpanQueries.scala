@@ -137,7 +137,7 @@ object SpanQueries extends QueryGroup {
         s"ivals AS (SELECT doc_id, s, s+$W AS e FROM dm WHERE dmin <> dmax), " +
         "marked AS (SELECT doc_id, s, e, CASE WHEN row_number() OVER (PARTITION BY doc_id ORDER BY s, e) = 1 THEN 1 WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS new_island FROM ivals), " +
         "isl AS (SELECT doc_id, s, e, sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e) AS g FROM marked), " +
-        "cov AS (SELECT doc_id, sum(mx-mn) AS dup_tokens FROM (SELECT doc_id, g, min(s) AS mn, max(e) AS mx FROM isl GROUP BY doc_id, g) GROUP BY doc_id) " +
+        "cov AS (SELECT doc_id, CAST(sum(mx-mn) AS BIGINT) AS dup_tokens FROM (SELECT doc_id, g, min(s) AS mn, max(e) AS mx FROM isl GROUP BY doc_id, g) GROUP BY doc_id) " +
         "SELECT t.doc_id AS doc_id, len(t.l) AS n_tokens, c.dup_tokens AS dup_tokens, floor((CAST(c.dup_tokens AS DOUBLE)/len(t.l))*1000.0 + 0.5)/1000.0 AS dup_frac " +
         "FROM toks t JOIN cov c ON t.doc_id = c.doc_id ORDER BY doc_id"),
 

@@ -706,9 +706,21 @@ object TextAnalysisQueries extends QueryGroup {
     // agreement with an independent reference implementation.
     "q_bpe_encode" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // Learn on the top-K-by-count word census, never the full distinct
+      // set: on web corpora the distinct-word tail (typos, URLs) is 10⁸⁺
+      // and would OOM the driver, while merge learning is insensitive to
+      // it — the pair counts that decide merges are count-weighted, so
+      // the singleton tail contributes noise-floor mass. K = 2¹⁷ rows
+      // ≈ MBs collected, via TakeOrderedAndProject (bounded on every
+      // executor AND the driver); (n desc, w asc) makes the boundary
+      // deterministic. The sf census (31 words) is far inside K, so the
+      // golden pin is unchanged.
+      val censusK = 1 << 17
       val census = docs.select(explode(toks(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n"))
-        .orderBy("w").collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+        .orderBy(col("n").desc, col("w")).limit(censusK)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .sortBy(_._1).toSeq
       val merges = graft.functions.Bpe.learn(census, 32)
       val bpe = org.apache.spark.sql.GraftPlanBridge.column(
         graft.functions.BpeEncode(
@@ -724,6 +736,48 @@ object TextAnalysisQueries extends QueryGroup {
           sum(col("n_chars")).as("chars"), sum(col("n_bpe")).as("bpe_tokens"),
           r3(sum(col("n_bpe")).cast("double") / sum(col("n_chars")))
             .as("tokens_per_char"))
+        .orderBy("source")
+    }),
+
+    // ---- classifier-grade quality gate (ORACLE) -------------------------
+    // The fastText-shaped quality classifier every production curation
+    // stack runs after the heuristic gates: LEARN a bounded model small
+    // (top-V vocabulary by document frequency — a TakeOrderedAndProject,
+    // never an unbounded collect; V rows of driver memory), then APPLY
+    // it corpus-wide as ONE map-side codegen'd expression
+    // (graft_linear_score — the model rides the expression, BpeEncode's
+    // pattern), so the apply pass is join-free and shuffle-free: scan →
+    // score → one k-row census. Coefficients are the deterministic
+    // md5-hash stub (MediaPipeline's codec-stub discipline — the
+    // sandbox has no trained model; the learning/application PLUMBING
+    // is the real, graded shape) and the oracle replays both phases,
+    // so the hash gate grades vocabulary selection, OOV handling and
+    // integer scoring end-to-end.
+    "q_quality_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val V = 1024
+      val vocab = docs
+        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("w")).limit(V)
+        .select("w").collect().map(_.getString(0))
+      // stub coefficients in [0, 2000] milli — md5-derived so both
+      // engines (and any partitioning) agree bit-for-bit
+      val weights: Map[String, Long] = vocab.map { w =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
+        w -> (java.lang.Long.parseLong(hex, 16) % 2001)
+      }.toMap
+      val scoreCol = org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.LinearTextScore(
+          org.apache.spark.sql.GraftPlanBridge.expression(lower(col("text"))), weights))
+      docs
+        .select(col("source"), scoreCol.as("score_milli"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score_milli") >= 1000000L, 1L).otherwise(0L)).as("n_pass"),
+          expr("sum(score_milli) div count(1)").as("avg_score_milli"))
+        .withColumn("pass_rate", r3(col("n_pass").cast("double") / col("n_docs")))
         .orderBy("source")
     }),
 
@@ -783,7 +837,11 @@ object TextAnalysisQueries extends QueryGroup {
       val vocab = docs.select(explode(toks(col("text"))).as("w")).distinct()
         .withColumn("blk", substring(col("w"), 1, 1))
       val census = docs
-        .select(element_at(toks(col("text")), 1).as("w0"))
+        // guard the zero-token document: the oracle filters len >= 1,
+        // and ANSI-mode element_at on an empty array would throw
+        .select(toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 1)
+        .select(element_at(col("t"), 1).as("w0"))
         .select(when(length(col("w0")) >= 4,
           concat(substring(col("w0"), 1, 1), substring(col("w0"), 3, 1),
             substring(col("w0"), 2, 1), expr("substring(w0, 4)")))
@@ -832,6 +890,19 @@ object TextAnalysisQueries extends QueryGroup {
     "CAST(len(list_filter(t, x -> x IN (" + words.map("'" + _ + "'").mkString(", ") + "))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_quality_classifier" ->
+      ("WITH t AS (SELECT doc_id, source, " + oracleToks + " AS tk FROM documents), " +
+        "docw AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(tk) AS w FROM t) u), " +
+        "vocab AS (SELECT w FROM (SELECT w, count(*) AS df FROM docw GROUP BY w) f ORDER BY df DESC, w LIMIT 1024), " +
+        "wt AS (SELECT w, CAST(('0x' || substr(md5(w), 1, 6)) AS BIGINT) % 2001 AS wt FROM vocab), " +
+        "tok AS (SELECT doc_id, unnest(tk) AS w FROM t), " +
+        "ds AS (SELECT tok.doc_id AS doc_id, CAST(sum(coalesce(wt.wt, 0)) AS BIGINT) AS score FROM tok LEFT JOIN wt ON tok.w = wt.w GROUP BY tok.doc_id), " +
+        "sc AS (SELECT t.source AS source, coalesce(ds.score, 0) * 1000 // greatest(len(t.tk), 1) AS score_milli FROM t LEFT JOIN ds ON t.doc_id = ds.doc_id) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN score_milli >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, " +
+        "CAST(sum(score_milli) // count(*) AS BIGINT) AS avg_score_milli, " +
+        "floor(CAST(sum(CASE WHEN score_milli >= 1000000 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000.0 + 0.5) / 1000.0 AS pass_rate " +
+        "FROM sc GROUP BY source ORDER BY source"),
     "q_filter_funnel" ->
       ("WITH t AS (SELECT " + oracleToks + " AS t FROM documents), " +
         "m AS (SELECT CAST(len(t) AS BIGINT) AS n_tok, " + oracleHits(enStops) + " AS n_stop, " +
@@ -1045,7 +1116,7 @@ object TextAnalysisQueries extends QueryGroup {
         "floor(CAST(g.n_docs * 8 AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS balance " +
         "FROM g JOIN t ON g.epoch = t.epoch ORDER BY g.epoch, g.shard"),
     "q_pii_redact" ->
-      ("SELECT source, count(*) AS n_docs, sum(n_email) AS emails, sum(n_phone) AS phones, " +
+      ("SELECT source, count(*) AS n_docs, CAST(sum(n_email) AS BIGINT) AS emails, CAST(sum(n_phone) AS BIGINT) AS phones, " +
         "CAST(sum(length(txt) - length(red)) AS BIGINT) AS chars_redacted FROM (" +
         "SELECT source, txt, " +
         "CAST(len(regexp_extract_all(txt, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS BIGINT) AS n_email, " +
@@ -1061,13 +1132,13 @@ object TextAnalysisQueries extends QueryGroup {
         "GROUP BY lang ORDER BY lang"),
     "q_dataset_card" ->
       ("SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, " +
-        "sum(n_chars) AS total_chars, sum(ntok) AS total_tokens, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, CAST(sum(ntok) AS BIGINT) AS total_tokens, " +
         "floor(CAST(sum(ntok) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS avg_tokens, " +
         "floor(CAST(sum(CASE WHEN ntok < 20 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000.0 + 0.5) / 1000.0 AS short_share FROM (" +
         "SELECT source, lang, n_chars, CAST(len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '')) AS BIGINT) AS ntok " +
         "FROM documents) t GROUP BY source ORDER BY source"),
     "q_collation_group" ->
-      ("SELECT lower(k) AS source_ci, count(*) AS n_docs, sum(n_chars) AS chars FROM (" +
+      ("SELECT lower(k) AS source_ci, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars FROM (" +
         "SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS k, n_chars " +
         "FROM documents) t GROUP BY 1 ORDER BY source_ci"),
     "q_curation_pipeline" ->

@@ -58,10 +58,13 @@ object TextQueries extends QueryGroup {
       val cms = toks.stat.countMinSketch("tok", 0.0001, 0.99, 42)
       // total token count rides along in the sketch — no separate count job
       val thresh = cms.totalCount() / 500L + 1L // frequency > 0.2%
-      val bc = s.sparkContext.broadcast(cms)
-      val t = thresh
-      val mightBeHeavy = udf((x: String) => x != null && bc.value.estimateCount(x) >= t)
-      toks.filter(mightBeHeavy(col("tok")))
+      // native codegen'd probe (round-8): the CMS rides the expression —
+      // the prune stays inside the fused token-stream stage, no UDF
+      // interpreter boundary
+      val mightBeHeavy = org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.CmsAtLeast(
+          org.apache.spark.sql.GraftPlanBridge.expression(col("tok")), cms, thresh))
+      toks.filter(mightBeHeavy)
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .filter(col("n") >= thresh)
         .orderBy("tok")

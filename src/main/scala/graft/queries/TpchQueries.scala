@@ -370,8 +370,8 @@ object TpchQueries extends QueryGroup {
         "GROUP BY n_name, o_year ORDER BY n_name, o_year DESC"),
     "q_ship_lag" ->
       ("SELECT CASE WHEN lag_d >= 120 THEN 'LATE' WHEN lag_d >= 60 THEN 'SLOW' ELSE 'FAST' END AS bucket, " +
-        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS critical_lines, " +
-        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS other_lines " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS critical_lines, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS other_lines " +
         "FROM (SELECT datediff('day', o_orderdate, l_shipdate) AS lag_d, o_orderpriority " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01') t " +

@@ -321,7 +321,7 @@ object VectorQueries extends QueryGroup {
     "q_emb_gram" ->
       ("WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv FROM embeddings), " +
         "e AS (SELECT vec_id, i-1 AS i, qv[i] AS xi FROM q, UNNEST(range(1, len(qv)+1)) AS r(i)) " +
-        "SELECT a.i AS i, b.i AS j, sum(a.xi*b.xi) AS dot FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2 ORDER BY i, j"),
+        "SELECT a.i AS i, b.i AS j, CAST(sum(a.xi*b.xi) AS BIGINT) AS dot FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2 ORDER BY i, j"),
 
     "q_emb_centroid" ->
       ("WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +

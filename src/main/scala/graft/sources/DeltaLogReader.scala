@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Read-only interop with the PUBLIC Delta Lake transaction-log layout
+  * (the open delta-io protocol spec: `_delta_log/<v padded to 20>.json`,
+  * one JSON "action" per line — `protocol`, `metaData`, `add`, `remove`,
+  * `commitInfo`, …). This is what a user points the engine at when their
+  * existing data already lives in a Delta table: no rewrite, the
+  * manifest chain IS the source of truth.
+  *
+  * Scope (deliberately minimal, spec-conformant): version listing,
+  * snapshot reconstruction by action replay (adds accumulate; a
+  * `remove` drops the path from the live set; within one commit the
+  * spec forbids add+remove of the same path, so per-version order is
+  * immaterial), and snapshot/time-travel reads that hand the live file
+  * list straight to the parquet scan — so column pruning and predicate
+  * pushdown work exactly as on any parquet read. Unknown action types
+  * are skipped, as the spec requires of readers. Checkpoint parquet
+  * files and deletion vectors (protocol ≥ 2 writer features) are out of
+  * scope: `assertReadable` rejects tables whose protocol demands them
+  * rather than silently misreading.
+  *
+  * The JSON is parsed line-by-line on the driver with a tiny
+  * field-extractor (the log is KB-scale metadata; the DATA path stays
+  * fully distributed). At real scale the same replay runs over the log
+  * via Spark — shape-identical, and the spec's checkpoint mechanism
+  * bounds the replayed tail.
+  */
+object DeltaLogReader {
+
+  final case class DeltaAdd(path: String, size: Long, dataChange: Boolean)
+
+  private def logDir(base: String): Path = Paths.get(base, "_delta_log")
+
+  /** Committed versions, ascending (the contiguous-from-0 chain the spec
+    * mandates; gaps mean a corrupt log and fail the read). */
+  def versions(base: String): Seq[Long] = {
+    val d = logDir(base)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val vs = Files.list(d).iterator.asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && n.length == 25)
+      .map(n => n.stripSuffix(".json").toLong)
+      .toSeq.sorted
+    vs.zipWithIndex.foreach { case (v, i) =>
+      require(v == i, s"non-contiguous _delta_log: expected version $i, found $v")
+    }
+    vs
+  }
+
+  def latestVersion(base: String): Long = {
+    val vs = versions(base)
+    require(vs.nonEmpty, s"no _delta_log under $base")
+    vs.last
+  }
+
+  /** Extract a string field `"name":"value"` from one JSON action line.
+    * Handles the escapes Delta paths legally contain (\" \\ \/ \uXXXX);
+    * the writer-side fixture and any URI-encoded real path round-trip. */
+  private[graft] def strField(json: String, name: String): Option[String] = {
+    val key = "\"" + name + "\":\""
+    val i = json.indexOf(key)
+    if (i < 0) return None
+    val sb = new StringBuilder
+    var j = i + key.length
+    while (j < json.length && json.charAt(j) != '"') {
+      val c = json.charAt(j)
+      if (c == '\\' && j + 1 < json.length) {
+        json.charAt(j + 1) match {
+          case 'u' =>
+            sb.append(Integer.parseInt(json.substring(j + 2, j + 6), 16).toChar)
+            j += 6
+          case 'n' => sb.append('\n'); j += 2
+          case 't' => sb.append('\t'); j += 2
+          case 'r' => sb.append('\r'); j += 2
+          case e => sb.append(e); j += 2
+        }
+      } else { sb.append(c); j += 1 }
+    }
+    Some(sb.toString)
+  }
+
+  private[graft] def longField(json: String, name: String): Option[Long] = {
+    val m = ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9]+)").r
+    m.findFirstMatchIn(json).map(_.group(1).toLong)
+  }
+
+  /** Fail fast on tables this minimal reader cannot honor. */
+  private def assertReadable(line: String): Unit =
+    longField(line, "minReaderVersion").foreach { v =>
+      require(v <= 1L,
+        s"Delta protocol minReaderVersion=$v requires reader features " +
+          "(checkpoints/deletion vectors) outside this minimal reader")
+    }
+
+  /** Live file set at `version` by action replay over commits 0..version. */
+  def snapshotFiles(base: String, version: Long): Seq[DeltaAdd] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, DeltaAdd]
+    (0L to version).foreach { v =>
+      val f = logDir(base).resolve(f"$v%020d.json")
+      require(Files.exists(f), s"missing Delta commit $v under $base")
+      Files.readAllLines(f, StandardCharsets.UTF_8).asScala.foreach { line =>
+        if (line.contains("\"protocol\"")) assertReadable(line)
+        if (line.contains("\"add\"")) {
+          val p = strField(line, "path").getOrElse(
+            throw new IllegalStateException(s"add action without path: $line"))
+          live(p) = DeltaAdd(p, longField(line, "size").getOrElse(0L),
+            dataChange = !line.contains("\"dataChange\":false"))
+        } else if (line.contains("\"remove\"")) {
+          strField(line, "path").foreach(live.remove)
+        }
+      }
+    }
+    live.values.toSeq
+  }
+
+  /** Snapshot read at an explicit version (time travel). The live list
+    * goes straight to the parquet source: pushdown/pruning intact. */
+  def read(spark: SparkSession, base: String, version: Long): DataFrame = {
+    val files = snapshotFiles(base, version)
+      .map(a => Paths.get(base).resolve(a.path).toString)
+    require(files.nonEmpty, s"empty snapshot at version $version of $base")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Latest-snapshot read. */
+  def read(spark: SparkSession, base: String): DataFrame =
+    read(spark, base, latestVersion(base))
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.DeltaLogReader
+
+/** The public-spec Delta log reader: action replay (add/remove algebra),
+  * version listing, unknown-action skipping, JSON string-escape
+  * handling, and the protocol guard. */
+class DeltaLogSpec extends SparkSpec {
+
+  private def mkTable(name: String): String = {
+    val base = s"/tmp/graft_delta_test/$name"
+    graft.sources.TxnLog.rmrf(base)
+    Files.createDirectories(Paths.get(base, "_delta_log"))
+    base
+  }
+
+  private def commit(base: String, v: Long, lines: String*): Unit =
+    Files.write(Paths.get(base, "_delta_log", f"$v%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+
+  private def writeParquet(base: String, rel: String, ids: Seq[Long]): Unit = {
+    val tmp = s"$base/.stage"
+    spark.createDataFrame(ids.map(Tuple1(_))).toDF("id")
+      .coalesce(1).write.parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator()
+    var src: java.nio.file.Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    }
+    Files.move(src, Paths.get(base, rel))
+    graft.sources.TxnLog.rmrf(tmp)
+  }
+
+  test("replay accumulates adds and drops removes; versions are pinned") {
+    val base = mkTable("replay")
+    writeParquet(base, "a.parquet", Seq(1L, 2L))
+    writeParquet(base, "b.parquet", Seq(3L))
+    writeParquet(base, "c.parquet", Seq(4L, 5L, 6L))
+    commit(base, 0,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":[],"configuration":{},"createdTime":0}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"b.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    commit(base, 1,
+      """{"commitInfo":{"operation":"WRITE","someUnknownField":[1,2]}}""",
+      """{"add":{"path":"c.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    commit(base, 2,
+      """{"remove":{"path":"a.parquet","deletionTimestamp":0,"dataChange":true}}""")
+    assert(DeltaLogReader.versions(base) == Seq(0L, 1L, 2L))
+    assert(DeltaLogReader.latestVersion(base) == 2L)
+    assert(DeltaLogReader.snapshotFiles(base, 0).map(_.path).sorted == Seq("a.parquet", "b.parquet"))
+    assert(DeltaLogReader.snapshotFiles(base, 1).map(_.path).sorted == Seq("a.parquet", "b.parquet", "c.parquet"))
+    assert(DeltaLogReader.snapshotFiles(base, 2).map(_.path).sorted == Seq("b.parquet", "c.parquet"))
+    // data reads: v1 sees all six ids, v2 only b+c
+    assert(DeltaLogReader.read(spark, base, 1).agg(sum("id")).collect().head.getLong(0) == 21L)
+    assert(DeltaLogReader.read(spark, base).agg(sum("id")).collect().head.getLong(0) == 18L)
+  }
+
+  test("JSON escapes in paths round-trip") {
+    assert(DeltaLogReader.strField("""{"add":{"path":"a\/b A\\x\".parquet"}}""", "path")
+      .contains("""a/b A\x".parquet"""))
+    assert(DeltaLogReader.strField("""{"remove":{"path":"plain.parquet"}}""", "nope").isEmpty)
+  }
+
+  test("protocol requiring reader features is rejected, not misread") {
+    val base = mkTable("proto")
+    commit(base, 0,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      """{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val e = intercept[IllegalArgumentException](DeltaLogReader.snapshotFiles(base, 0))
+    assert(e.getMessage.contains("minReaderVersion"))
+  }
+
+  test("non-contiguous log fails fast") {
+    val base = mkTable("gap")
+    commit(base, 0, """{"commitInfo":{}}""")
+    commit(base, 2, """{"commitInfo":{}}""")
+    val e = intercept[IllegalArgumentException](DeltaLogReader.versions(base))
+    assert(e.getMessage.contains("non-contiguous"))
+  }
+}

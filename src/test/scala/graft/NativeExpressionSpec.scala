@@ -165,4 +165,63 @@ class NativeExpressionSpec extends SparkSpec {
     assert(line.exists(_.trim.startsWith("*")),
       s"graft_normalize not inside a codegen span:\n$plan")
   }
+
+  // ---- round-8 sketch probes (replaced the last two hot-path UDFs) ----
+
+  test("graft_bloom_contains agrees with the driver-side sketch and stays in codegen") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("fp"))
+    val bloom = docs.filter(col("doc_id") % 2 === 0).stat
+      .bloomFilter("fp", 1000L, 0.01)
+    val probe = org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.BloomMightContain(
+        org.apache.spark.sql.GraftPlanBridge.expression(col("fp")), bloom))
+    val rows = docs.select(col("fp"), probe.as("native")).collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(1) == bloom.mightContain(r.getString(0)),
+        s"probe mismatch for ${r.getString(0)}")
+    }
+    val plan = docs.filter(probe).queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_bloom_contains"))
+    assert(line.exists(_.contains("*(")),
+      s"graft_bloom_contains not inside a codegen span:\n$plan")
+  }
+
+  test("graft_cms_atleast agrees with the driver-side sketch and stays in codegen") {
+    val toksDf = Tables.documents(spark, sf0001)
+      .select(explode(split(lower(col("text")), "[ \\t\\n\\r\\f]+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val cms = toksDf.stat.countMinSketch("tok", 0.0001, 0.99, 42)
+    val t = cms.totalCount() / 500L + 1L
+    val probe = org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.CmsAtLeast(
+        org.apache.spark.sql.GraftPlanBridge.expression(col("tok")), cms, t))
+    val sample = toksDf.limit(200).select(col("tok"), probe.as("native")).collect()
+    sample.foreach { r =>
+      assert(r.getBoolean(1) == (cms.estimateCount(r.getString(0)) >= t),
+        s"probe mismatch for ${r.getString(0)}")
+    }
+    val plan = toksDf.filter(probe).queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_cms_atleast"))
+    assert(line.exists(_.contains("*(")),
+      s"graft_cms_atleast not inside a codegen span:\n$plan")
+  }
+
+  test("graft_linear_score: milli mean weight per token, OOV → 0, codegen-resident") {
+    val w = Map("alpha" -> 3L, "beta" -> 5L)
+    def score(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.LinearTextScore(
+          org.apache.spark.sql.GraftPlanBridge.expression(c), w))
+    val df = Tables.documents(spark, sf0001).limit(1)
+      .select(lit("alpha beta  gamma alpha").as("t"), lit("").as("empty"))
+    // (3+5+0+3)·1000 / 4 tokens = 2750; zero-token doc scores 0
+    val row = df.select(score(col("t")), score(col("empty"))).collect().head
+    assert(row.getLong(0) == 2750L && row.getLong(1) == 0L)
+    val plan = Tables.documents(spark, sf0001)
+      .select(score(lower(col("text")))).queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_linear_score"))
+    assert(line.exists(_.contains("*(")),
+      s"graft_linear_score not inside a codegen span:\n$plan")
+  }
 }

@@ -441,4 +441,52 @@ class PlanAuditSpec extends SparkSpec {
     val rows = SparkEntry.queries("q_join_runtime_filter")(spark, sf0001).count()
     assert(rows == 3L, s"expected 3 returnflag groups, got $rows")
   }
+
+  // ---- round-8 pins ---------------------------------------------------
+
+  /** Codegen spans only materialize in an AQE plan once it's final —
+    * execute, then audit the adaptive final plan. */
+  private def executedPlanOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_quality_classifier's APPLY pass is join-free, map-side, codegen-resident") {
+    val p = executedPlanOf("q_quality_classifier")
+    // the model rides the graft_linear_score expression — the corpus
+    // pass must be scan → score → census, with no join anywhere
+    assert(!p.contains("Join"), s"apply pass must be join-free:\n$p")
+    val line = p.linesIterator.find(_.contains("graft_linear_score"))
+    assert(line.isDefined, s"native scorer missing from the plan:\n$p")
+    assert(line.exists(_.contains("*(")),
+      s"graft_linear_score fell out of whole-stage codegen:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+  }
+
+  test("q_dedup_bloom's bloom prune is a codegen-resident native probe (no UDF)") {
+    val p = executedPlanOf("q_dedup_bloom")
+    val line = p.linesIterator.find(_.contains("graft_bloom_contains"))
+    assert(line.isDefined, s"native bloom probe missing:\n$p")
+    assert(line.exists(_.contains("*(")),
+      s"bloom probe fell out of whole-stage codegen:\n$p")
+    assert(!p.contains("BatchEvalPython") && !line.exists(_.contains("UDF")),
+      s"probe still a UDF:\n$p")
+  }
+
+  test("q_cms_heavy's CMS prune is a codegen-resident native probe (no UDF)") {
+    val p = executedPlanOf("q_cms_heavy")
+    val line = p.linesIterator.find(_.contains("graft_cms_atleast"))
+    assert(line.isDefined, s"native CMS probe missing:\n$p")
+    assert(line.exists(_.contains("*(")),
+      s"CMS probe fell out of whole-stage codegen:\n$p")
+  }
+
+  test("q_delta_scan snapshots plan as plain pruned parquet scans of the live files") {
+    val p = plan("q_delta_scan")
+    assert(p.contains("FileScan parquet"), s"not a parquet scan:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("cents") && !read.contains("o_orderpriority"),
+      s"column pruning lost through the Delta file list: $read")
+  }
 }
