@@ -172,10 +172,11 @@ object AnnQueries extends QueryGroup {
     * column-blocks; each side replicates √P-fold and meets its partner
     * in an EQUI-join on the (bq, bd) cell key — so the O(n²) compute is
     * spread evenly over P shuffle cells with NO broadcast of a full side
-    * (the old kernel's bound) and no driver participation. Each join
-    * task prunes to k candidates per query imperatively as rows stream
-    * through (memory k·|queries in cell|, never the cell product), and a
-    * final k-bounded window merges the √P per-block winners. Shuffle is
+    * (the old kernel's bound) and no driver participation. The rank<=k
+    * window over the join output plans as WindowGroupLimit(Partial)
+    * before its exchange, so each join task prunes to k rows per query
+    * map-side (memory k·|queries in cell|, never the cell product) and
+    * only √P·k rows per query reach the final merge. Shuffle is
     * O(n·√P) rows; only the compute is quadratic, and that evenly.
     *
     * Determinism: scores at 3dp (r3), ties broken by ascending neighbor
@@ -183,7 +184,6 @@ object AnnQueries extends QueryGroup {
     * hash-gateable. */
   private[graft] def blockedKnn(e: DataFrame, k: Int): DataFrame = {
     val s = e.sparkSession
-    import s.implicits._
     val cells = s.conf.get("spark.sql.shuffle.partitions").toInt
     val nb = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
     val blockIds = array((0 until nb).map(lit): _*)
@@ -196,29 +196,16 @@ object AnnQueries extends QueryGroup {
     val scored = q.join(dat, Seq("bq", "bd"))
       .filter(col("id1") =!= col("id2"))
       .select(col("id1"), col("id2"), r3(expr("graft_cosine(va, vb)")).as("cos_sim"))
-    val pruned = scored.as[(Long, Long, Double)].mapPartitions { it =>
-      // per-task bounded top-k: all rows of (query, data-block) live in
-      // one task, so keeping k per query here provably preserves the
-      // global top-k through the final merge
-      val best = scala.collection.mutable.HashMap
-        .empty[Long, scala.collection.mutable.ArrayBuffer[(Double, Long)]]
-      def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-      it.foreach { case (i, j, c) =>
-        val arr = best.getOrElseUpdate(i,
-          new scala.collection.mutable.ArrayBuffer[(Double, Long)](k + 1))
-        var pos = arr.length
-        while (pos > 0 && beats((c, j), arr(pos - 1))) pos -= 1
-        if (pos < k) {
-          arr.insert(pos, (c, j))
-          if (arr.length > k) arr.remove(k)
-        }
-      }
-      best.iterator.flatMap { case (i, arr) => arr.map { case (c, j) => (i, j, c) } }
-    }.toDF("id1", "id2", "cos_sim")
+    // the rank<=k filter over the cell-join output: Spark plans this as
+    // WindowGroupLimit(Partial) BEFORE the exchange (the q_sample_weighted
+    // pattern), i.e. each join task prunes to k rows per query map-side —
+    // the bounded per-block prune falls out of the declarative form with
+    // no custom mapPartitions (an earlier imperative prune paid a
+    // DeserializeToObject boundary on every scored pair; see
+    // PlanAuditSpec's q_graph_jaccard pin for the shape guard)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id1").orderBy(col("cos_sim").desc, col("id2"))
-    pruned.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("id1").as("vec_id"), col("id2").as("nbr_id"), col("cos_sim"))
   }
 
