@@ -91,6 +91,25 @@ object DeltaLogReader {
     m.findFirstMatchIn(json).map(_.group(1).toLong)
   }
 
+  /** Partition columns from the LAST metaData action at or before
+    * `version` (Delta replaces table metadata wholesale per commit). */
+  def partitionColumns(base: String, version: Long): Seq[String] = {
+    var cols: Seq[String] = Seq.empty
+    (0L to version).foreach { v =>
+      val f = logDir(base).resolve(f"$v%020d.json")
+      if (Files.exists(f))
+        Files.readAllLines(f, StandardCharsets.UTF_8).asScala.foreach { line =>
+          if (line.contains("\"metaData\"")) {
+            val m = """"partitionColumns":\[([^\]]*)\]""".r
+            m.findFirstMatchIn(line).foreach { g =>
+              cols = """"([^"]*)"""".r.findAllMatchIn(g.group(1)).map(_.group(1)).toSeq
+            }
+          }
+        }
+    }
+    cols
+  }
+
   /** Fail fast on tables this minimal reader cannot honor. */
   private def assertReadable(line: String): Unit =
     longField(line, "minReaderVersion").foreach { v =>
@@ -121,12 +140,29 @@ object DeltaLogReader {
   }
 
   /** Snapshot read at an explicit version (time travel). The live list
-    * goes straight to the parquet source: pushdown/pruning intact. */
+    * goes straight to the parquet source: pushdown/pruning intact.
+    *
+    * Partitioned tables: Delta stores partition values in the log
+    * (`add.partitionValues`), NOT in the data files. When every live
+    * path is hive-style (`col=value/…` — what delta-spark writes), the
+    * scan recovers the partition columns from the paths via `basePath`,
+    * and partition pruning keeps working. A partitioned table with
+    * non-hive paths would need per-file literal stitching — rejected
+    * fast rather than silently dropping columns. */
   def read(spark: SparkSession, base: String, version: Long): DataFrame = {
-    val files = snapshotFiles(base, version)
-      .map(a => Paths.get(base).resolve(a.path).toString)
-    require(files.nonEmpty, s"empty snapshot at version $version of $base")
-    spark.read.parquet(files: _*)
+    val adds = snapshotFiles(base, version)
+    require(adds.nonEmpty, s"empty snapshot at version $version of $base")
+    val files = adds.map(a => Paths.get(base).resolve(a.path).toString)
+    val pcols = partitionColumns(base, version)
+    if (pcols.isEmpty) spark.read.parquet(files: _*)
+    else {
+      val hive = adds.forall(a => pcols.forall(c => a.path.contains(c + "=")))
+      require(hive,
+        s"partitioned Delta table (${pcols.mkString(",")}) with non-hive " +
+          "data paths — partition values live only in the log; this " +
+          "minimal reader supports hive-style layouts only")
+      spark.read.option("basePath", base).parquet(files: _*)
+    }
   }
 
   /** Latest-snapshot read. */

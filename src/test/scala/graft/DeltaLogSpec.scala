@@ -76,6 +76,38 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("minReaderVersion"))
   }
 
+  test("hive-layout partitioned table: partition column recovered, pruning intact") {
+    val base = mkTable("part")
+    Files.createDirectories(Paths.get(base, "p=a"))
+    Files.createDirectories(Paths.get(base, "p=b"))
+    writeParquet(base, "p=a/f1.parquet", Seq(1L, 2L))
+    writeParquet(base, "p=b/f2.parquet", Seq(10L))
+    commit(base, 0,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":["p"],"configuration":{},"createdTime":0}}""",
+      """{"add":{"path":"p=a/f1.parquet","partitionValues":{"p":"a"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"p=b/f2.parquet","partitionValues":{"p":"b"},"size":1,"modificationTime":0,"dataChange":true}}""")
+    assert(DeltaLogReader.partitionColumns(base, 0) == Seq("p"))
+    val df = DeltaLogReader.read(spark, base)
+    assert(df.columns.toSet == Set("id", "p"), s"partition column lost: ${df.columns.toSeq}")
+    assert(df.filter(col("p") === "b").agg(sum("id")).collect().head.getLong(0) == 10L)
+    // the p='b' predicate must prune at partition level, not row level
+    val plan = df.filter(col("p") === "b").queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("p#") || scanLine.contains("(p"),
+      s"no partition filter pushed: $scanLine")
+  }
+
+  test("partitioned table with non-hive paths is rejected, not silently column-dropped") {
+    val base = mkTable("partbad")
+    writeParquet(base, "f1.parquet", Seq(1L))
+    commit(base, 0,
+      """{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":["p"],"configuration":{},"createdTime":0}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{"p":"a"},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val e = intercept[IllegalArgumentException](DeltaLogReader.read(spark, base, 0))
+    assert(e.getMessage.contains("non-hive"))
+  }
+
   test("non-contiguous log fails fast") {
     val base = mkTable("gap")
     commit(base, 0, """{"commitInfo":{}}""")
