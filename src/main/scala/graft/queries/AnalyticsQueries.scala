@@ -458,7 +458,7 @@ object AnalyticsQueries extends QueryGroup {
         .withColumn("pin", when(col("pts") >= col("c0") &&
           col("pts") <= col("c0") + expr("INTERVAL 7 DAYS"), col("pts")))
         .groupBy("user_id", "c0").agg(min(col("pin")).as("p0"))
-        .withColumn("wd", expr("datediff(to_date(c0), date'1970-01-01') % 7"))
+        .withColumn("wd", expr("CAST(datediff(to_date(c0), date'1970-01-01') % 7 AS BIGINT)"))
         .withColumn("dt_us", unix_micros(col("p0")) - unix_micros(col("c0")))
         .groupBy("wd")
         .agg(count(lit(1)).as("n_clicked"), count(col("p0")).as("n_conv"),

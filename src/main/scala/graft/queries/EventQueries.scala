@@ -413,10 +413,10 @@ object EventQueries extends QueryGroup {
         .groupBy("user_id", "pid", "pts", "cents")
         .agg(min(col("cts")).as("first_t"), max(col("cts")).as("last_t"))
       val f = touched
-        .withColumn("wd", expr("datediff(to_date(first_t), date'1970-01-01') % 7"))
+        .withColumn("wd", expr("CAST(datediff(to_date(first_t), date'1970-01-01') % 7 AS BIGINT)"))
         .groupBy("wd").agg(count(lit(1)).as("n_first"), sum(col("cents")).as("first_cents"))
       val l = touched
-        .withColumn("wd", expr("datediff(to_date(last_t), date'1970-01-01') % 7"))
+        .withColumn("wd", expr("CAST(datediff(to_date(last_t), date'1970-01-01') % 7 AS BIGINT)"))
         .groupBy("wd").agg(count(lit(1)).as("n_last"), sum(col("cents")).as("last_cents"))
       f.join(l, Seq("wd"), "full")
         .na.fill(0L, Seq("n_first", "first_cents", "n_last", "last_cents"))

@@ -123,7 +123,7 @@ object SpanQueries extends QueryGroup {
         .filter(col("k") === 3)
         .groupBy("doc_id")
         .agg(max(col("phrase")).as("phrase"), count(lit(1)).as("n_matches"),
-          min(col("anchor")).as("first_pos"))
+          min(col("anchor")).cast("long").as("first_pos"))
         .select(col("doc_id"), col("phrase"), col("n_matches"), col("first_pos"))
         .orderBy("doc_id")
     }),

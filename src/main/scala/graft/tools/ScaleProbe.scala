@@ -97,7 +97,10 @@ object ScaleProbe {
   private val probes = Seq(
     "q_agg_pricing", "q_join_3way_topk", "q_win_rank", "q_session_30m",
     "q_topk_global", "q_dedup_ngram", "q_substring_dup", "q_bpe_encode",
-    "q_ann_lsh", "q_sim_knn")
+    "q_ann_lsh", "q_sim_knn",
+    // round-8 additions: the classifier apply pass and the two
+    // native-probe prunes — all expected at-or-under the data factor
+    "q_quality_classifier", "q_dedup_bloom", "q_cms_heavy")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -127,7 +130,7 @@ object ScaleProbe {
       val big = time(q, out)
       val ratio = big / math.max(small, 1e-9)
       println(f"[scale-probe] $q%-18s small=$small%6.2fs big=$big%7.2fs ratio=$ratio%6.1fx")
-      s""""$q":{"small":$small%.2f,"big":$big%.2f,"ratio":$ratio%.1f}"""
+      f""""$q%s":{"small":$small%.2f,"big":$big%.2f,"ratio":$ratio%.1f}"""
     }
     println(s"""{"metric":"scaleprobe","factor":$f,"queries":{${rows.mkString(",")}}}""")
     s.stop()
