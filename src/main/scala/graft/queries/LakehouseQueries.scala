@@ -69,43 +69,7 @@ object LakehouseQueries extends QueryGroup {
     // o_orderkey % 3 residues), so hash equality proves the add/remove
     // replay, unknown-action skipping, and version pinning.
     "q_delta_scan" -> ((s, d) => {
-      import java.nio.file.{Files, Paths}
-      val base = s"/tmp/graft_delta_${Integer.toHexString(d.hashCode)}/orders_dl"
-      TxnLog.rmrf(base)
-      Files.createDirectories(Paths.get(base, "_delta_log"))
-      val o = Tables.orders(s, d).select(
-        col("o_orderkey"), col("o_orderpriority"),
-        cents("o_totalprice").as("cents"))
-      // one parquet FILE per group, spec-style relative add paths
-      def writeGroup(res: Int): String = {
-        val tmp = s"$base/.stage-$res"
-        o.filter(pmod(col("o_orderkey"), lit(3)) === res).coalesce(1)
-          .write.parquet(tmp)
-        val part = Files.list(Paths.get(tmp)).iterator()
-        var src: java.nio.file.Path = null
-        while (part.hasNext) {
-          val p = part.next()
-          if (p.getFileName.toString.endsWith(".parquet")) src = p
-        }
-        val rel = s"part-g$res.parquet"
-        Files.move(src, Paths.get(base, rel))
-        TxnLog.rmrf(tmp)
-        rel
-      }
-      val (g0, g1, g2) = (writeGroup(0), writeGroup(1), writeGroup(2))
-      def sz(rel: String): Long = Files.size(Paths.get(base, rel))
-      def commit(v: Long, lines: Seq[String]): Unit =
-        Files.write(Paths.get(base, "_delta_log", f"$v%020d.json"),
-          lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-      def add(rel: String) =
-        s"""{"add":{"path":"$rel","partitionValues":{},"size":${sz(rel)},"modificationTime":0,"dataChange":true}}"""
-      commit(0, Seq(
-        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-        """{"metaData":{"id":"graft-orders-dl","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":[],"configuration":{},"createdTime":0}}""",
-        add(g0), add(g1)))
-      commit(1, Seq("""{"commitInfo":{"operation":"WRITE"}}""", add(g2)))
-      commit(2, Seq("""{"commitInfo":{"operation":"DELETE"}}""",
-        s"""{"remove":{"path":"$g0","deletionTimestamp":0,"dataChange":true}}"""))
+      val base = LakehouseQueries.mkDeltaFixture(s, d, "orders_dl")
       val versions = (0L to 2L).map { v =>
         graft.sources.DeltaLogReader.read(s, base, v).agg(
           count(lit(1)).as("n_rows"),
@@ -466,6 +430,56 @@ object LakehouseQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
   )
+
+  /** Build the shared 3-commit public-spec Delta fixture from `orders`:
+    * one parquet file per o_orderkey%3 residue, v0 adds g0+g1 (with
+    * protocol+metaData), v1 appends g2, v2 removes g0. Add actions
+    * carry delta-style `stats` with exact numRecords, so both the
+    * snapshot reader and the action stream are oracle-reconstructable
+    * from `orders`. Idempotent per (corpus, suffix) — rebuilt from
+    * scratch each call, TxnLog-fixture discipline. */
+  private[queries] def mkDeltaFixture(s: SparkSession, d: String, suffix: String): String = {
+    import java.nio.file.{Files, Paths}
+    val base = s"/tmp/graft_delta_${Integer.toHexString(d.hashCode)}/$suffix"
+    TxnLog.rmrf(base)
+    Files.createDirectories(Paths.get(base, "_delta_log"))
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      cents("o_totalprice").as("cents"))
+    // one parquet FILE per group, spec-style relative add paths
+    def writeGroup(res: Int): (String, Long) = {
+      val grp = o.filter(pmod(col("o_orderkey"), lit(3)) === res)
+      val n = grp.count()
+      val tmp = s"$base/.stage-$res"
+      grp.coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator()
+      var src: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) src = p
+      }
+      val rel = s"part-g$res.parquet"
+      Files.move(src, Paths.get(base, rel))
+      TxnLog.rmrf(tmp)
+      (rel, n)
+    }
+    val Seq(g0, g1, g2) = (0 to 2).map(writeGroup)
+    def commit(v: Long, lines: Seq[String]): Unit =
+      Files.write(Paths.get(base, "_delta_log", f"$v%020d.json"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    def add(g: (String, Long)) = {
+      val sz = Files.size(Paths.get(base, g._1))
+      s"""{"add":{"path":"${g._1}","partitionValues":{},"size":$sz,"modificationTime":0,"dataChange":true,"stats":"{\\"numRecords\\":${g._2}}"}}"""
+    }
+    commit(0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"metaData":{"id":"graft-orders-dl","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":[],"configuration":{},"createdTime":0}}""",
+      add(g0), add(g1)))
+    commit(1, Seq("""{"commitInfo":{"operation":"WRITE"}}""", add(g2)))
+    commit(2, Seq("""{"commitInfo":{"operation":"DELETE"}}""",
+      s"""{"remove":{"path":"${g0._1}","deletionTimestamp":0,"dataChange":true}}"""))
+    base
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_delta_scan" ->

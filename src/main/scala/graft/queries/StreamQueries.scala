@@ -188,6 +188,32 @@ object StreamQueries extends QueryGroup {
     // batch per (start, end] version range) decides what arrives — hash
     // equality proves the source's offset→action algebra, not just the
     // fixture.
+    // ---- streaming a FOREIGN (public-spec Delta) commit log (ORACLE) ----
+    // The DSv2 MicroBatchStream pointed at a _delta_log: offsets are
+    // Delta versions, each batch carries the version's add/remove
+    // actions with numRecords resolved (removes get their pre-image
+    // from the live-set replay, like the native TxnLog stream). The
+    // graded census aggregates file/row mass per version; the oracle
+    // rebuilds the expected ledger from `orders` because the fixture's
+    // groups are o_orderkey%3 residues with exact stats — so the hash
+    // gate grades action parsing, stats extraction AND remove
+    // resolution through the streaming engine end to end.
+    "q_stream_delta" -> ((s, d) => {
+      val base = LakehouseQueries.mkDeltaFixture(s, d, "orders_dls")
+      val agg = s.readStream
+        .format("graft.sources.DeltaStreamProvider")
+        .option("path", base).load()
+        .groupBy("version")
+        .agg(
+          sum(when(col("action") === "add", 1L).otherwise(0L)).as("n_adds"),
+          sum(when(col("action") === "remove", 1L).otherwise(0L)).as("n_removes"),
+          sum(when(col("action") === "add", col("num_records"))
+            .otherwise(0L)).as("rows_added"),
+          sum(when(col("action") === "remove", col("num_records"))
+            .otherwise(0L)).as("rows_removed"))
+      drain(s, agg, "complete").orderBy("version")
+    }),
+
     "q_stream_txn_source" -> ((s, d) => {
       val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/orders_ss"
       graft.sources.TxnLog.rmrf(base)
@@ -360,6 +386,13 @@ object StreamQueries extends QueryGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_delta" ->
+      ("WITH c AS (SELECT o_orderkey % 3 AS g, count(*) AS n FROM orders GROUP BY g) " +
+        "SELECT CAST(0 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_adds, CAST(0 AS BIGINT) AS n_removes, " +
+        "CAST((SELECT sum(n) FROM c WHERE g IN (0, 1)) AS BIGINT) AS rows_added, CAST(0 AS BIGINT) AS rows_removed " +
+        "UNION ALL SELECT 1, 1, 0, CAST((SELECT n FROM c WHERE g = 2) AS BIGINT), 0 " +
+        "UNION ALL SELECT 2, 0, 1, 0, CAST((SELECT n FROM c WHERE g = 0) AS BIGINT) " +
+        "ORDER BY version"),
     "q_stream_tumbling" ->
       ("SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start, " +
         "event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
