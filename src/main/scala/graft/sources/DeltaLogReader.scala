@@ -38,8 +38,9 @@ object DeltaLogReader {
 
   private def logDir(base: String): Path = Paths.get(base, "_delta_log")
 
-  /** Committed versions, ascending (the contiguous-from-0 chain the spec
-    * mandates; gaps mean a corrupt log and fail the read). */
+  /** Committed JSON versions, ascending. The chain must be gap-free —
+    * but it may START above 0 on a vacuumed table (pre-checkpoint
+    * commits legally deleted; reads then require the checkpoint). */
   def versions(base: String): Seq[Long] = {
     val d = logDir(base)
     if (!Files.isDirectory(d)) return Seq.empty
@@ -48,8 +49,8 @@ object DeltaLogReader {
       .filter(n => n.endsWith(".json") && n.length == 25)
       .map(n => n.stripSuffix(".json").toLong)
       .toSeq.sorted
-    vs.zipWithIndex.foreach { case (v, i) =>
-      require(v == i, s"non-contiguous _delta_log: expected version $i, found $v")
+    vs.zip(vs.drop(1)).foreach { case (a, b) =>
+      require(b == a + 1, s"non-contiguous _delta_log: gap between $a and $b")
     }
     vs
   }
@@ -118,10 +119,49 @@ object DeltaLogReader {
           "(checkpoints/deletion vectors) outside this minimal reader")
     }
 
-  /** Live file set at `version` by action replay over commits 0..version. */
-  def snapshotFiles(base: String, version: Long): Seq[DeltaAdd] = {
+  /** `_last_checkpoint` pointer (spec: JSON `{"version":N,"size":M}`),
+    * if present and usable for `version` (checkpoint ≤ requested). */
+  private def checkpointAt(base: String, version: Long): Option[Long] = {
+    val p = logDir(base).resolve("_last_checkpoint")
+    if (!Files.exists(p)) return None
+    longField(Files.readString(p, StandardCharsets.UTF_8), "version")
+      .filter(_ <= version)
+  }
+
+  /** Live file set at `version`.
+    *
+    * With a usable checkpoint (the spec's replay-bounding mechanism —
+    * `_last_checkpoint` → `<v>.checkpoint.parquet`, one row per live
+    * action): seed the live set from the checkpoint's `add` rows via a
+    * regular Spark parquet read, then replay ONLY the JSON commits
+    * after it. Without one: full action replay from 0. Either path
+    * applies the same add/remove algebra; on a long-lived table the
+    * checkpoint turns O(history) replay into O(tail). */
+  def snapshotFiles(base: String, version: Long): Seq[DeltaAdd] =
+    snapshotFiles(None, base, version)
+
+  def snapshotFiles(spark: Option[SparkSession], base: String, version: Long): Seq[DeltaAdd] = {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, DeltaAdd]
-    (0L to version).foreach { v =>
+    val ckpt = spark.flatMap(s => checkpointAt(base, version).map((s, _)))
+    ckpt.foreach { case (s, cv) =>
+      val cp = logDir(base).resolve(f"$cv%020d.checkpoint.parquet")
+      require(Files.exists(cp), s"_last_checkpoint points at missing $cp")
+      import org.apache.spark.sql.functions.col
+      val cdf = s.read.parquet(cp.toString)
+      // the checkpoint carries the protocol action too — honor the guard
+      if (cdf.columns.contains("protocol"))
+        cdf.filter(col("protocol").isNotNull)
+          .select(col("protocol.minReaderVersion")).collect()
+          .foreach(r => if (!r.isNullAt(0)) assertReadable(
+            s"""{"protocol":{"minReaderVersion":${r.getInt(0)}}}"""))
+      cdf.filter(col("add").isNotNull)
+        .select(col("add.path"), col("add.size"))
+        .collect()
+        .foreach(r => live(r.getString(0)) =
+          DeltaAdd(r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1), dataChange = true))
+    }
+    val from = ckpt.map(_._2 + 1).getOrElse(0L)
+    (from to version).foreach { v =>
       val f = logDir(base).resolve(f"$v%020d.json")
       require(Files.exists(f), s"missing Delta commit $v under $base")
       Files.readAllLines(f, StandardCharsets.UTF_8).asScala.foreach { line =>
@@ -150,7 +190,7 @@ object DeltaLogReader {
     * non-hive paths would need per-file literal stitching — rejected
     * fast rather than silently dropping columns. */
   def read(spark: SparkSession, base: String, version: Long): DataFrame = {
-    val adds = snapshotFiles(base, version)
+    val adds = snapshotFiles(Some(spark), base, version)
     require(adds.nonEmpty, s"empty snapshot at version $version of $base")
     val files = adds.map(a => Paths.get(base).resolve(a.path).toString)
     val pcols = partitionColumns(base, version)

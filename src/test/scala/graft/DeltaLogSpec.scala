@@ -108,6 +108,57 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("non-hive"))
   }
 
+  test("checkpoint bounds the replay: vacuumed early commits stay readable") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = mkTable("ckpt")
+    writeParquet(base, "a.parquet", Seq(1L, 2L))
+    writeParquet(base, "b.parquet", Seq(3L))
+    writeParquet(base, "c.parquet", Seq(4L))
+    commit(base, 0,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"b.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    commit(base, 1,
+      """{"remove":{"path":"a.parquet","deletionTimestamp":0,"dataChange":true}}""")
+    commit(base, 2,
+      """{"add":{"path":"c.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    // spec-shaped checkpoint at v1: one row per live action (protocol +
+    // the surviving add), written as ONE parquet file
+    val ckptSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType), StructField("size", LongType))))))
+    val ckptRows = Seq(Row(Row(1), null), Row(null, Row("b.parquet", 1L)))
+    val tmp = s"$base/.ckpt-stage"
+    spark.createDataFrame(spark.sparkContext.parallelize(ckptRows, 1), ckptSchema)
+      .coalesce(1).write.parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator()
+    var src: java.nio.file.Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    }
+    Files.move(src, Paths.get(base, "_delta_log", f"${1L}%020d.checkpoint.parquet"))
+    graft.sources.TxnLog.rmrf(tmp)
+    Files.writeString(Paths.get(base, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":2}""")
+    // checkpoint + tail equals full replay
+    assert(DeltaLogReader.snapshotFiles(Some(spark), base, 2).map(_.path).sorted
+      == Seq("b.parquet", "c.parquet"))
+    // time travel BELOW the checkpoint ignores it (full replay of 0..0)
+    assert(DeltaLogReader.snapshotFiles(Some(spark), base, 0).map(_.path).sorted
+      == Seq("a.parquet", "b.parquet"))
+    assert(DeltaLogReader.read(spark, base, 2).agg(sum("id")).collect().head.getLong(0) == 7L)
+    // vacuum the pre-checkpoint commits: checkpointed reads keep working,
+    // pre-checkpoint time travel now (correctly) fails
+    Files.delete(Paths.get(base, "_delta_log", f"${0L}%020d.json"))
+    assert(DeltaLogReader.read(spark, base, 2).agg(sum("id")).collect().head.getLong(0) == 7L)
+    intercept[IllegalArgumentException](
+      DeltaLogReader.snapshotFiles(Some(spark), base, 0))
+  }
+
   test("non-contiguous log fails fast") {
     val base = mkTable("gap")
     commit(base, 0, """{"commitInfo":{}}""")
