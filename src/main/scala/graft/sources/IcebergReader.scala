@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+
+/** Read-only interop with the PUBLIC Apache Iceberg table layout (the
+  * open iceberg spec) — the second foreign format after
+  * [[DeltaLogReader]], and a structurally different one: where Delta is
+  * a log of JSON actions replayed forward, Iceberg is a TREE walked
+  * downward —
+  *
+  * {{{
+  *   metadata/version-hint.text            → current metadata version
+  *   metadata/v<N>.metadata.json           → snapshots + current-snapshot-id
+  *   <snapshot>.manifest-list (avro)       → manifest_path rows
+  *   <manifest>.avro                       → {status, data_file{file_path,
+  *                                            record_count, …}} entries
+  *   data files (parquet)
+  * }}}
+  *
+  * Scope (minimal, spec-conformant): version-hint + metadata parsing,
+  * snapshot selection (current or explicit id — time travel), manifest
+  * walking via the ordinary Spark avro source, and the status filter
+  * (entries with status=2 DELETED are dropped; 0 EXISTING / 1 ADDED are
+  * live). The data path hands the live file list to the plain parquet
+  * source — pruning/pushdown intact, metadata stays KB-scale. Relative
+  * `file_path`/`manifest_path` entries resolve against the table base
+  * (absolute URIs pass through).
+  *
+  * Two v2 features are real, not rejected:
+  *   - POSITION deletes (`data_file.content = 1`): delete files are
+  *     parquet rows of (file_path, pos); the read applies them with a
+  *     broadcast LEFT ANTI join against the scan's own
+  *     `_metadata.file_path` / `_metadata.row_index` columns — Spark's
+  *     native row-position metadata IS the spec's `pos`, so no custom
+  *     scan is needed and pushdown/pruning on the data side survive.
+  *   - PARTITION pruning: manifest entries carry the typed
+  *     `data_file.partition` struct; [[readWhere]] filters entries on
+  *     it driver-side (KB of avro) so non-matching data files are
+  *     never handed to the parquet source — the Iceberg equivalent of
+  *     `q_txn_prune`'s manifest skipping.
+  *
+  * Out of scope, rejected fast rather than misread: format-version > 2
+  * and EQUALITY deletes (`content = 2`).
+  */
+object IcebergReader {
+
+  final case class IcebergSnapshot(id: Long, manifestList: String)
+
+  private def metaDir(base: String) = Paths.get(base, "metadata")
+
+  /** Current metadata version from `version-hint.text` (the file-system
+    * catalog's pointer, what Hadoop-catalog Iceberg tables ship). */
+  def currentMetadataVersion(base: String): Int = {
+    val hint = metaDir(base).resolve("version-hint.text")
+    require(Files.exists(hint), s"no metadata/version-hint.text under $base")
+    Files.readString(hint, StandardCharsets.UTF_8).trim.toInt
+  }
+
+  private def metadataJson(base: String, v: Int): String = {
+    val p = metaDir(base).resolve(s"v$v.metadata.json")
+    require(Files.exists(p), s"missing metadata/v$v.metadata.json under $base")
+    Files.readString(p, StandardCharsets.UTF_8)
+  }
+
+  /** All snapshots declared by metadata version `v`. */
+  def snapshots(base: String, v: Int): Seq[IcebergSnapshot] = {
+    val json = metadataJson(base, v)
+    DeltaLogReader.longField(json, "format-version").foreach { fv =>
+      require(fv <= 2L, s"Iceberg format-version=$fv beyond this minimal reader")
+    }
+    val snap = ("\"snapshot-id\"\\s*:\\s*(\\d+)[^{}]*" +
+      "\"manifest-list\"\\s*:\\s*\"([^\"]+)\"").r
+    snap.findAllMatchIn(json)
+      .map(m => IcebergSnapshot(m.group(1).toLong, m.group(2))).toSeq
+  }
+
+  def currentSnapshotId(base: String, v: Int): Long =
+    DeltaLogReader.longField(metadataJson(base, v), "current-snapshot-id")
+      .getOrElse(throw new IllegalStateException(s"no current-snapshot-id in v$v"))
+
+  private def resolve(base: String, p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p
+    else Paths.get(base).resolve(p).toString
+
+  /** One snapshot's planned scan: live data files (+ record counts)
+    * and the live position-delete files to anti-join away. */
+  final case class SnapshotScan(dataFiles: Seq[(String, Long)], posDeleteFiles: Seq[String])
+
+  private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  /** Walk manifest-list → manifests → live entries (status != 2
+    * DELETED), split by `data_file.content` (absent ⇒ v1, all data).
+    * `entryFilter` prunes manifest ENTRIES driver-side — a predicate
+    * over `data_file.partition` (partition pruning; it applies to
+    * delete entries too, which is spec-consistent: a position delete
+    * lives in its target's partition) or over `status` (incremental
+    * scans). */
+  def planSnapshot(spark: SparkSession, base: String, snapshotId: Long,
+                   entryFilter: Column = lit(true)): SnapshotScan = {
+    val snap = snapshots(base, currentMetadataVersion(base))
+      .find(_.id == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapshotId not in ${base}'s metadata"))
+    val manifests = spark.read.format(avroFmt)
+      .load(resolve(base, snap.manifestList))
+      .select("manifest_path").collect().map(r => resolve(base, r.getString(0)))
+    require(manifests.nonEmpty, s"snapshot $snapshotId has no manifests")
+    val entries = spark.read.format(avroFmt).load(manifests.toIndexedSeq: _*)
+      .filter(col("status") =!= 2)
+    val dataFileFields = entries.schema("data_file").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    if (!dataFileFields.contains("content")) {
+      val files = entries.filter(entryFilter)
+        .select(col("data_file.file_path"), col("data_file.record_count"))
+        .collect().map(r => (resolve(base, r.getString(0)), r.getLong(1))).toSeq
+      SnapshotScan(files, Nil)
+    } else {
+      val eq = entries.filter(col("data_file.content") === 2).limit(1).count()
+      require(eq == 0L, "v2 EQUALITY deletes present — beyond this minimal reader")
+      val files = entries
+        .filter(col("data_file.content") === 0 && entryFilter)
+        .select(col("data_file.file_path"), col("data_file.record_count"))
+        .collect().map(r => (resolve(base, r.getString(0)), r.getLong(1))).toSeq
+      val dels = entries.filter(col("data_file.content") === 1 && entryFilter)
+        .select(col("data_file.file_path"))
+        .collect().map(r => resolve(base, r.getString(0))).toSeq
+      SnapshotScan(files, dels)
+    }
+  }
+
+  /** Live (file_path, record_count) of one snapshot (data files only). */
+  def snapshotFiles(spark: SparkSession, base: String, snapshotId: Long): Seq[(String, Long)] =
+    planSnapshot(spark, base, snapshotId).dataFiles
+
+  /** `file:///x` and `/x` spellings of the same local path compare
+    * equal: the spec stores full URIs in delete files while Spark's
+    * `_metadata.file_path` renders a scheme-qualified URI. */
+  private def normPath(c: Column): Column = regexp_replace(c, "^file:/*", "/")
+
+  private def readScan(spark: SparkSession, base: String, snapshotId: Long,
+                       scan: SnapshotScan): DataFrame = {
+    require(scan.dataFiles.nonEmpty, s"empty snapshot $snapshotId of $base")
+    val data = spark.read.parquet(scan.dataFiles.map(_._1): _*)
+    if (scan.posDeleteFiles.isEmpty) data
+    else {
+      // Spec position-delete application as a plain anti-join: the
+      // delete side is metadata-scale next to the data (broadcast);
+      // the data side keys on Spark's native parquet row positions, so
+      // the scan itself stays the ordinary pushdown-friendly one.
+      val dels = spark.read.parquet(scan.posDeleteFiles: _*)
+        .select(normPath(col("file_path")).as("__del_path"), col("pos").as("__del_pos"))
+      val cols = data.columns.map(col)
+      data
+        .withColumn("__path", normPath(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(broadcast(dels),
+          col("__path") === col("__del_path") && col("__pos") === col("__del_pos"),
+          "left_anti")
+        .select(cols.toIndexedSeq: _*)
+    }
+  }
+
+  /** Snapshot read (explicit id = time travel), position deletes applied. */
+  def read(spark: SparkSession, base: String, snapshotId: Long): DataFrame =
+    readScan(spark, base, snapshotId, planSnapshot(spark, base, snapshotId))
+
+  /** Current-snapshot read. */
+  def read(spark: SparkSession, base: String): DataFrame =
+    read(spark, base, currentSnapshotId(base, currentMetadataVersion(base)))
+
+  /** Incremental append read: only the rows `snapshotId` itself ADDED
+    * (status=1 data entries of its manifest list) — the spec's
+    * incremental append scan, the consumer loop's diff between
+    * consecutive snapshots. Snapshots that also ADD delete files are
+    * rejected (appends-only is the contract; Iceberg's own incremental
+    * append scan refuses overwrite/delete snapshots the same way). */
+  def readAppended(spark: SparkSession, base: String, snapshotId: Long): DataFrame = {
+    val scan = planSnapshot(spark, base, snapshotId, col("status") === 1)
+    require(scan.posDeleteFiles.isEmpty,
+      s"snapshot $snapshotId adds delete files — not an append-only snapshot")
+    require(scan.dataFiles.nonEmpty, s"snapshot $snapshotId appended no data files")
+    spark.read.parquet(scan.dataFiles.map(_._1): _*)
+  }
+
+  /** Partition-pruned snapshot read: `partitionFilter` is evaluated
+    * against each manifest entry's typed `data_file.partition` struct
+    * (e.g. `col("data_file.partition.p") === "x"`), so pruned files
+    * never reach the parquet source. The caller still applies its row
+    * filter — identity-partitioned data files carry the source column,
+    * making the residual exact. */
+  def readWhere(spark: SparkSession, base: String, snapshotId: Long,
+                partitionFilter: Column): DataFrame =
+    readScan(spark, base, snapshotId,
+      planSnapshot(spark, base, snapshotId, partitionFilter))
+}

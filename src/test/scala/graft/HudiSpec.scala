@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.HudiReader
+
+/** The public-spec Hudi CoW reader: timeline filtering, file-slice
+  * resolution, time travel, and the fail-fast guards. */
+class HudiSpec extends SparkSpec {
+
+  private def mkTable(name: String, tableType: String = "COPY_ON_WRITE"): String = {
+    val base = s"/tmp/graft_hudi_test/$name"
+    graft.sources.TxnLog.rmrf(base)
+    Files.createDirectories(Paths.get(base, ".hoodie"))
+    Files.writeString(Paths.get(base, ".hoodie", "hoodie.properties"),
+      s"# test table\nhoodie.table.name=$name\nhoodie.table.type=$tableType\n")
+    base
+  }
+
+  private def writeFile(base: String, name: String, ids: Seq[Long]): Unit = {
+    val tmp = s"$base/.stage"
+    graft.sources.TxnLog.rmrf(tmp)
+    spark.createDataFrame(ids.map(Tuple1(_))).toDF("id").coalesce(1).write.parquet(tmp)
+    val it = Files.list(Paths.get(tmp)).iterator()
+    var src: java.nio.file.Path = null
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    }
+    Files.move(src, Paths.get(base, name))
+    graft.sources.TxnLog.rmrf(tmp)
+  }
+
+  private def commit(base: String, instant: String): Unit =
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.commit"), "{}")
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("slice resolution: an upsert rewrite shadows the group's older file") {
+    val base = mkTable("slices")
+    writeFile(base, "a_0-0-0_001.parquet", Seq(1L, 2L))
+    writeFile(base, "b_0-0-0_001.parquet", Seq(10L))
+    commit(base, "001")
+    writeFile(base, "a_0-1-0_002.parquet", Seq(1L, 3L)) // retried token differs
+    commit(base, "002")
+    assert(ids(HudiReader.read(spark, base)) == Seq(1L, 3L, 10L))
+    assert(ids(HudiReader.readAsOf(spark, base, "001")) == Seq(1L, 2L, 10L))
+  }
+
+  test("inflight instants are invisible even though their files exist") {
+    val base = mkTable("inflight")
+    writeFile(base, "a_0-0-0_001.parquet", Seq(1L))
+    commit(base, "001")
+    writeFile(base, "a_0-0-0_002.parquet", Seq(99L))
+    Files.writeString(Paths.get(base, ".hoodie", "002.inflight"), "")
+    assert(HudiReader.completedCommits(base) == Seq("001"))
+    assert(ids(HudiReader.read(spark, base)) == Seq(1L))
+  }
+
+  test("groups born after the as-of instant drop out of time travel") {
+    val base = mkTable("born")
+    writeFile(base, "a_0-0-0_001.parquet", Seq(1L))
+    commit(base, "001")
+    writeFile(base, "b_0-0-0_002.parquet", Seq(2L))
+    commit(base, "002")
+    assert(ids(HudiReader.readAsOf(spark, base, "001")) == Seq(1L))
+    assert(ids(HudiReader.read(spark, base)) == Seq(1L, 2L))
+  }
+
+  test("merge-on-read tables and empty timelines are rejected fast") {
+    val mor = mkTable("mor", tableType = "MERGE_ON_READ")
+    writeFile(mor, "a_0-0-0_001.parquet", Seq(1L))
+    commit(mor, "001")
+    val e = intercept[IllegalArgumentException](HudiReader.read(spark, mor))
+    assert(e.getMessage.contains("COPY_ON_WRITE"))
+    val empty = mkTable("empty")
+    writeFile(empty, "a_0-0-0_001.parquet", Seq(1L))
+    intercept[IllegalArgumentException](HudiReader.read(spark, empty))
+  }
+}

@@ -1,0 +1,241 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.IcebergReader
+
+/** The public-spec Iceberg tree reader: snapshot selection, status
+  * filtering, relative-path resolution, and the fail-fast guards. */
+class IcebergSpec extends SparkSpec {
+
+  private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  private def mkTable(name: String): String = {
+    val base = s"/tmp/graft_iceberg_test/$name"
+    graft.sources.TxnLog.rmrf(base)
+    Files.createDirectories(Paths.get(base, "metadata"))
+    Files.createDirectories(Paths.get(base, "data"))
+    base
+  }
+
+  private def moveOnly(base: String, tmp: String, target: String, ext: String): Unit = {
+    val it = Files.list(Paths.get(tmp)).iterator()
+    var src: java.nio.file.Path = null
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.getFileName.toString.endsWith(ext)) src = p
+    }
+    Files.move(src, Paths.get(base, target))
+    graft.sources.TxnLog.rmrf(tmp)
+  }
+
+  private def writeData(base: String, rel: String, ids: Seq[Long]): Long = {
+    val tmp = s"$base/.d-stage"
+    spark.createDataFrame(ids.map(Tuple1(_))).toDF("id").coalesce(1).write.parquet(tmp)
+    moveOnly(base, tmp, rel, ".parquet")
+    ids.length.toLong
+  }
+
+  private val entrySchema = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("data_file", StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("file_format", StringType, nullable = false),
+      StructField("record_count", LongType, nullable = false))))))
+
+  private def writeManifest(base: String, rel: String,
+                            entries: Seq[(Int, String, Long)]): Unit = {
+    val rows = entries.map { case (st, p, n) => Row(st, Row(p, "PARQUET", n)) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), entrySchema)
+      .coalesce(1).write.format(avroFmt).save(s"$base/.m-stage")
+    moveOnly(base, s"$base/.m-stage", rel, ".avro")
+  }
+
+  // v2 manifest: data_file carries `content` (0 data / 1 position
+  // deletes / 2 equality deletes) and optionally the typed identity
+  // `partition` struct (single string field `p`).
+  private def writeManifestV2(base: String, rel: String,
+                              entries: Seq[(Int, String, Long, Int, Option[String])]): Unit = {
+    val withPart = entries.exists(_._5.isDefined)
+    val dataFields = Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("file_format", StringType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("content", IntegerType, nullable = false)) ++
+      (if (withPart) Seq(StructField("partition",
+        StructType(Seq(StructField("p", StringType, nullable = false))))) else Nil)
+    val schema = StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("data_file", StructType(dataFields))))
+    val rows = entries.map { case (st, p, n, c, part) =>
+      val core = Seq[Any](p, "PARQUET", n, c) ++
+        (if (withPart) Seq(Row(part.get)) else Nil)
+      Row(st, Row(core: _*))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.format(avroFmt).save(s"$base/.m-stage")
+    moveOnly(base, s"$base/.m-stage", rel, ".avro")
+  }
+
+  private def writeManifestList(base: String, rel: String, manifests: Seq[String]): Unit = {
+    val schema = StructType(Seq(StructField("manifest_path", StringType, nullable = false)))
+    val rows = manifests.map(Row(_))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.format(avroFmt).save(s"$base/.ml-stage")
+    moveOnly(base, s"$base/.ml-stage", rel, ".avro")
+  }
+
+  private def writeMeta(base: String, v: Int, current: Long, snaps: Seq[Long],
+                        formatVersion: Int = 1): Unit = {
+    val ss = snaps.map(i =>
+      s"""{"snapshot-id":$i,"timestamp-ms":0,"manifest-list":"metadata/snap-$i.avro"}""")
+    Files.writeString(Paths.get(base, "metadata", s"v$v.metadata.json"),
+      s"""{"format-version":$formatVersion,"table-uuid":"t","location":"$base",""" +
+        s""""current-snapshot-id":$current,"snapshots":[${ss.mkString(",")}]}""")
+    Files.writeString(Paths.get(base, "metadata", "version-hint.text"), v.toString)
+  }
+
+  test("status filter and snapshot time travel over the manifest tree") {
+    val base = mkTable("walk")
+    writeData(base, "data/a.parquet", Seq(1L, 2L))
+    writeData(base, "data/b.parquet", Seq(3L))
+    writeData(base, "data/c.parquet", Seq(10L))
+    writeManifest(base, "metadata/m1.avro",
+      Seq((1, "data/a.parquet", 2L), (1, "data/b.parquet", 1L)))
+    writeManifest(base, "metadata/m2.avro",
+      Seq((2, "data/a.parquet", 2L), (0, "data/b.parquet", 1L), (1, "data/c.parquet", 1L)))
+    writeManifestList(base, "metadata/snap-1.avro", Seq("metadata/m1.avro"))
+    writeManifestList(base, "metadata/snap-2.avro", Seq("metadata/m2.avro"))
+    writeMeta(base, 2, current = 2L, snaps = Seq(1L, 2L))
+    assert(IcebergReader.currentMetadataVersion(base) == 2)
+    assert(IcebergReader.currentSnapshotId(base, 2) == 2L)
+    assert(IcebergReader.snapshotFiles(spark, base, 1L).map(_._1.split('/').last).sorted
+      == Seq("a.parquet", "b.parquet"))
+    assert(IcebergReader.snapshotFiles(spark, base, 2L).map(_._1.split('/').last).sorted
+      == Seq("b.parquet", "c.parquet"))
+    // current read sums b+c; snapshot-1 read sums a+b
+    assert(IcebergReader.read(spark, base).agg(sum("id")).collect().head.getLong(0) == 13L)
+    assert(IcebergReader.read(spark, base, 1L).agg(sum("id")).collect().head.getLong(0) == 6L)
+  }
+
+  test("v2 position deletes apply via _metadata row positions; snapshot 1 is unaffected") {
+    val base = mkTable("posdel")
+    writeData(base, "data/a.parquet", Seq(1L, 2L, 3L, 4L))
+    writeData(base, "data/b.parquet", Seq(10L, 20L))
+    // delete rows at positions 1 and 3 of a.parquet (values 2 and 4),
+    // addressing the file exactly as _metadata.file_path renders it
+    val aUri = spark.read.parquet(s"$base/data/a.parquet")
+      .select(col("_metadata.file_path")).head().getString(0)
+    val tmp = s"$base/.del-stage"
+    spark.createDataFrame(Seq((aUri, 1L), (aUri, 3L))).toDF("file_path", "pos")
+      .coalesce(1).write.parquet(tmp)
+    moveOnly(base, tmp, "data/del.parquet", ".parquet")
+    writeManifestV2(base, "metadata/m1.avro",
+      Seq((1, "data/a.parquet", 4L, 0, None), (1, "data/b.parquet", 2L, 0, None)))
+    writeManifestV2(base, "metadata/m2.avro",
+      Seq((0, "data/a.parquet", 4L, 0, None), (0, "data/b.parquet", 2L, 0, None)))
+    writeManifestV2(base, "metadata/md2.avro", Seq((1, "data/del.parquet", 2L, 1, None)))
+    writeManifestList(base, "metadata/snap-1.avro", Seq("metadata/m1.avro"))
+    writeManifestList(base, "metadata/snap-2.avro", Seq("metadata/m2.avro", "metadata/md2.avro"))
+    writeMeta(base, 2, current = 2L, snaps = Seq(1L, 2L), formatVersion = 2)
+    assert(IcebergReader.read(spark, base, 1L).select("id").collect().map(_.getLong(0)).sorted
+      sameElements Array(1L, 2L, 3L, 4L, 10L, 20L))
+    assert(IcebergReader.read(spark, base).select("id").collect().map(_.getLong(0)).sorted
+      sameElements Array(1L, 3L, 10L, 20L))
+  }
+
+  test("incremental append scan reads only a snapshot's own ADDED files") {
+    // reuse the "walk" fixture shape: snap 1 adds a+b; snap 2 deletes
+    // a, carries b EXISTING, adds c — the append diff of snap 2 is c
+    val base = mkTable("incr")
+    writeData(base, "data/a.parquet", Seq(1L, 2L))
+    writeData(base, "data/b.parquet", Seq(3L))
+    writeData(base, "data/c.parquet", Seq(10L))
+    writeManifest(base, "metadata/m1.avro",
+      Seq((1, "data/a.parquet", 2L), (1, "data/b.parquet", 1L)))
+    writeManifest(base, "metadata/m2.avro",
+      Seq((2, "data/a.parquet", 2L), (0, "data/b.parquet", 1L), (1, "data/c.parquet", 1L)))
+    writeManifestList(base, "metadata/snap-1.avro", Seq("metadata/m1.avro"))
+    writeManifestList(base, "metadata/snap-2.avro", Seq("metadata/m2.avro"))
+    writeMeta(base, 2, current = 2L, snaps = Seq(1L, 2L))
+    assert(IcebergReader.readAppended(spark, base, 1L)
+      .select("id").collect().map(_.getLong(0)).sorted sameElements Array(1L, 2L, 3L))
+    assert(IcebergReader.readAppended(spark, base, 2L)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
+  test("incremental append scan rejects snapshots that add delete files") {
+    val base = mkTable("incrdel")
+    writeData(base, "data/a.parquet", Seq(1L))
+    val aUri = spark.read.parquet(s"$base/data/a.parquet")
+      .select(col("_metadata.file_path")).head().getString(0)
+    val tmp = s"$base/.del-stage"
+    spark.createDataFrame(Seq((aUri, 0L))).toDF("file_path", "pos")
+      .coalesce(1).write.parquet(tmp)
+    moveOnly(base, tmp, "data/del.parquet", ".parquet")
+    writeManifestV2(base, "metadata/m1.avro", Seq((1, "data/a.parquet", 1L, 0, None)))
+    writeManifestList(base, "metadata/snap-1.avro", Seq("metadata/m1.avro"))
+    writeManifestV2(base, "metadata/m2.avro", Seq((0, "data/a.parquet", 1L, 0, None)))
+    writeManifestV2(base, "metadata/md2.avro", Seq((1, "data/del.parquet", 1L, 1, None)))
+    writeManifestList(base, "metadata/snap-2.avro", Seq("metadata/m2.avro", "metadata/md2.avro"))
+    writeMeta(base, 2, current = 2L, snaps = Seq(1L, 2L), formatVersion = 2)
+    val e = intercept[IllegalArgumentException](IcebergReader.readAppended(spark, base, 2L))
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("v2 equality deletes are rejected fast") {
+    val base = mkTable("eqdel")
+    writeData(base, "data/a.parquet", Seq(1L))
+    writeData(base, "data/e.parquet", Seq(9L))
+    writeManifestV2(base, "metadata/m1.avro",
+      Seq((1, "data/a.parquet", 1L, 0, None), (1, "data/e.parquet", 1L, 2, None)))
+    writeManifestList(base, "metadata/snap-1.avro", Seq("metadata/m1.avro"))
+    writeMeta(base, 1, current = 1L, snaps = Seq(1L), formatVersion = 2)
+    val e = intercept[IllegalArgumentException](IcebergReader.read(spark, base))
+    assert(e.getMessage.contains("EQUALITY"))
+  }
+
+  test("partition predicate prunes manifest entries before the parquet source") {
+    val base = mkTable("prune")
+    writeData(base, "data/x.parquet", Seq(1L))
+    writeData(base, "data/y.parquet", Seq(2L))
+    writeData(base, "data/z.parquet", Seq(3L))
+    writeManifestV2(base, "metadata/m1.avro", Seq(
+      (1, "data/x.parquet", 1L, 0, Some("x")),
+      (1, "data/y.parquet", 1L, 0, Some("y")),
+      (1, "data/z.parquet", 1L, 0, Some("z"))))
+    writeManifestList(base, "metadata/snap-1.avro", Seq("metadata/m1.avro"))
+    writeMeta(base, 1, current = 1L, snaps = Seq(1L), formatVersion = 2)
+    val scan = IcebergReader.planSnapshot(spark, base, 1L,
+      col("data_file.partition.p").isin("x", "z"))
+    assert(scan.dataFiles.map(_._1.split('/').last).sorted == Seq("x.parquet", "z.parquet"))
+    assert(IcebergReader.readWhere(spark, base, 1L, col("data_file.partition.p") === "y")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("the graded prune fixture plans 2 of 5 partition files") {
+    val d = "/root/testdata/sf0.001"
+    val base = graft.queries.LakehouseQueries.icebergPartFixtureForTest(spark, d)
+    val all = IcebergReader.planSnapshot(spark, base, 1L)
+    val pruned = IcebergReader.planSnapshot(spark, base, 1L,
+      col("data_file.partition.o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    assert(all.dataFiles.size == 5)
+    assert(pruned.dataFiles.size == 2)
+  }
+
+  test("format-version beyond 2 and unknown snapshot ids are rejected") {
+    val base = mkTable("guards")
+    writeData(base, "data/a.parquet", Seq(1L))
+    writeManifest(base, "metadata/m1.avro", Seq((1, "data/a.parquet", 1L)))
+    writeManifestList(base, "metadata/snap-1.avro", Seq("metadata/m1.avro"))
+    writeMeta(base, 1, current = 1L, snaps = Seq(1L), formatVersion = 3)
+    val e = intercept[IllegalArgumentException](IcebergReader.snapshots(base, 1))
+    assert(e.getMessage.contains("format-version"))
+    writeMeta(base, 1, current = 1L, snaps = Seq(1L))
+    intercept[IllegalArgumentException](IcebergReader.snapshotFiles(spark, base, 99L))
+  }
+}

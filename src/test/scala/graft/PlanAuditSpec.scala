@@ -489,4 +489,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(read.contains("cents") && !read.contains("o_orderpriority"),
       s"column pruning lost through the Delta file list: $read")
   }
+
+  test("q_iceberg_deletes applies position deletes as a broadcast anti-join") {
+    val p = executedPlanOf("q_iceberg_deletes")
+    // the delete side is metadata-scale: LEFT ANTI must hash-broadcast,
+    // never nested-loop, and the data side stays a parquet scan
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"position deletes not a broadcast anti-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in the delete path:\n$p")
+    assert(p.contains("FileScan parquet"), s"data side not a parquet scan:\n$p")
+  }
+
+  test("q_iceberg_scan plans as plain pruned parquet scans of the live files") {
+    val p = plan("q_iceberg_scan")
+    assert(p.contains("FileScan parquet"), s"not a parquet scan:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("cents") && !read.contains("o_orderpriority"),
+      s"column pruning lost through the Iceberg file list: $read")
+  }
 }
