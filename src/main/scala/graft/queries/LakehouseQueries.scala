@@ -79,6 +79,31 @@ object LakehouseQueries extends QueryGroup {
       versions.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // ---- PUBLIC-spec Delta Lake EXPORT (the write path) ------------------
+    // DeltaLogWriter emits a spec-conformant table — protocol +
+    // metaData (real Spark schema JSON) + add actions with numRecords
+    // stats, commit file written last via CREATE_NEW — so downstream
+    // Delta consumers can read what this engine produces. Graded as a
+    // round trip through the already-graded reader: create from the
+    // '1-URGENT' slice, append the rest, census BOTH versions via time
+    // travel. A writer that mis-stated adds, dropped part files, or
+    // broke the version chain hash-fails.
+    "q_delta_roundtrip" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_rt"
+      val o = iceOrders(s, d)
+      graft.sources.DeltaLogWriter.create(s,
+        o.filter(col("o_orderpriority") === "1-URGENT").repartition(2), base, "graft-orders-rt")
+      graft.sources.DeltaLogWriter.append(s,
+        o.filter(col("o_orderpriority") =!= "1-URGENT").repartition(3), base)
+      val versions = Seq(0L, 1L).map { v =>
+        graft.sources.DeltaLogReader.read(s, base, v).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("total_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("total_cents"))
+      }
+      versions.reduce(_ unionAll _).orderBy("version")
+    }),
+
     // ---- PUBLIC-spec Apache Iceberg interop (read-only) -----------------
     // The SECOND foreign table format, structurally opposite to Delta:
     // Iceberg is a metadata TREE walked downward (version-hint →
@@ -123,6 +148,24 @@ object LakehouseQueries extends QueryGroup {
           .select(lit(snap).as("snapshot_id"), col("n_rows"), col("total_cents"))
       }
       versions.reduce(_ unionAll _).orderBy("snapshot_id")
+    }),
+
+    // ---- Iceberg `files` metadata relation -------------------------------
+    // The ops-dashboard query: file counts and row counts per snapshot
+    // answered from the manifest entries ALONE — record_count rides the
+    // manifest, so no data file is ever opened (PlanAuditSpec pins the
+    // plan parquet-free). The census must also agree with the data:
+    // the oracle derives the same numbers from `orders` itself, so a
+    // manifest whose record_count drifted from its file would fail.
+    "q_iceberg_files" -> ((s, d) => {
+      val base = LakehouseQueries.mkIcebergFixture(s, d, "orders_ice")
+      val snaps = Seq(1L, 2L).map { snap =>
+        graft.sources.IcebergReader.filesTable(s, base, snap).agg(
+          count(lit(1)).as("n_files"),
+          sum(col("record_count")).as("n_rows"))
+          .select(lit(snap).as("snapshot_id"), col("n_files"), col("n_rows"))
+      }
+      snaps.reduce(_ unionAll _).orderBy("snapshot_id")
     }),
 
     // ---- Iceberg incremental append scan --------------------------------
@@ -822,6 +865,16 @@ object LakehouseQueries extends QueryGroup {
       ("WITH o AS (SELECT o_orderkey % 2 AS g, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CAST(1 AS BIGINT) AS snapshot_id, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE NOT (g = 0 AND pri = '1-URGENT') " +
+        "ORDER BY snapshot_id"),
+    "q_delta_roundtrip" ->
+      ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE pri = '1-URGENT' " +
+        "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "ORDER BY version"),
+    "q_iceberg_files" ->
+      ("WITH o AS (SELECT o_orderkey % 4 AS g FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(count(DISTINCT g) AS BIGINT) AS n_files, count(*) AS n_rows FROM o WHERE g IN (0, 1, 2) " +
+        "UNION ALL SELECT 2, count(DISTINCT g), count(*) FROM o WHERE g IN (1, 2, 3) " +
         "ORDER BY snapshot_id"),
     "q_iceberg_incr" ->
       ("WITH o AS (SELECT o_orderkey % 4 AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +

@@ -99,8 +99,10 @@ object IcebergReader {
     * delete entries too, which is spec-consistent: a position delete
     * lives in its target's partition) or over `status` (incremental
     * scans). */
-  def planSnapshot(spark: SparkSession, base: String, snapshotId: Long,
-                   entryFilter: Column = lit(true)): SnapshotScan = {
+  /** Live manifest entries of one snapshot (status != 2 DELETED), as
+    * the avro-backed DataFrame the planners and the `files` metadata
+    * relation share. */
+  private def liveEntries(spark: SparkSession, base: String, snapshotId: Long): DataFrame = {
     val snap = snapshots(base, currentMetadataVersion(base))
       .find(_.id == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
@@ -109,10 +111,33 @@ object IcebergReader {
       .load(resolve(base, snap.manifestList))
       .select("manifest_path").collect().map(r => resolve(base, r.getString(0)))
     require(manifests.nonEmpty, s"snapshot $snapshotId has no manifests")
-    val entries = spark.read.format(avroFmt).load(manifests.toIndexedSeq: _*)
+    spark.read.format(avroFmt).load(manifests.toIndexedSeq: _*)
       .filter(col("status") =!= 2)
-    val dataFileFields = entries.schema("data_file").dataType
+  }
+
+  private def dataFileFieldsOf(entries: DataFrame): Array[String] =
+    entries.schema("data_file").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+
+  /** The `files` metadata relation of one snapshot: the live entries
+    * themselves — a census over it (file counts, row counts from
+    * `record_count`) never opens a data file, so lakehouse ops
+    * queries run at metadata cost. */
+  def filesTable(spark: SparkSession, base: String, snapshotId: Long): DataFrame = {
+    val entries = liveEntries(spark, base, snapshotId)
+    val content =
+      if (dataFileFieldsOf(entries).contains("content")) col("data_file.content")
+      else lit(0)
+    entries.select(
+      col("data_file.file_path").as("file_path"),
+      col("data_file.record_count").as("record_count"),
+      content.as("content"))
+  }
+
+  def planSnapshot(spark: SparkSession, base: String, snapshotId: Long,
+                   entryFilter: Column = lit(true)): SnapshotScan = {
+    val entries = liveEntries(spark, base, snapshotId)
+    val dataFileFields = dataFileFieldsOf(entries)
     if (!dataFileFields.contains("content")) {
       val files = entries.filter(entryFilter)
         .select(col("data_file.file_path"), col("data_file.record_count"))

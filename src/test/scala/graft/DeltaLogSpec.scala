@@ -166,4 +166,34 @@ class DeltaLogSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](DeltaLogReader.versions(base))
     assert(e.getMessage.contains("non-contiguous"))
   }
+
+  test("writer round-trip: create + append produce versions the reader replays") {
+    val base = "/tmp/graft_delta_test/writer"
+    val df1 = spark.createDataFrame(Seq(1L, 2L, 3L).map(Tuple1(_))).toDF("id")
+    val df2 = spark.createDataFrame(Seq(10L, 20L).map(Tuple1(_))).toDF("id")
+    graft.sources.DeltaLogWriter.create(spark, df1.repartition(2), base, "t-writer")
+    graft.sources.DeltaLogWriter.append(spark, df2.coalesce(1), base)
+    assert(DeltaLogReader.versions(base) == Seq(0L, 1L))
+    assert(DeltaLogReader.read(spark, base, 0)
+      .agg(sum("id")).collect().head.getLong(0) == 6L)
+    assert(DeltaLogReader.read(spark, base)
+      .agg(sum("id")).collect().head.getLong(0) == 36L)
+    // spec essentials on disk: protocol first commit, the REAL Spark
+    // schema in schemaString, per-file numRecords stats
+    val v0 = Files.readString(Paths.get(base, "_delta_log", "00000000000000000000.json"))
+    assert(v0.contains("\"protocol\""))
+    assert(v0.contains("schemaString") && v0.contains("\\\"id\\\""))
+    assert(v0.contains("numRecords"))
+  }
+
+  test("writer refuses to overwrite an already-committed version") {
+    val base = "/tmp/graft_delta_test/writer_clash"
+    val df = spark.createDataFrame(Seq(1L).map(Tuple1(_))).toDF("id")
+    graft.sources.DeltaLogWriter.create(spark, df, base, "t-clash")
+    // a racing writer committing the SAME version must fail, not
+    // clobber — the spec's mutual-exclusion point (CREATE_NEW)
+    intercept[java.nio.file.FileAlreadyExistsException](
+      graft.sources.DeltaLogWriter.commit(base, 0L,
+        Seq("""{"commitInfo":{"operation":"RACER"}}""")))
+  }
 }

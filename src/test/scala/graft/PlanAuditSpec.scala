@@ -500,6 +500,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("FileScan parquet"), s"data side not a parquet scan:\n$p")
   }
 
+  test("q_iceberg_files answers from manifest metadata only (no parquet data scan)") {
+    val p = plan("q_iceberg_files")
+    assert(!p.contains("FileScan parquet"),
+      s"files metadata relation opened a data file:\n$p")
+    assert(p.toLowerCase.contains("avro"), s"manifest avro scan missing:\n$p")
+  }
+
   test("q_iceberg_scan plans as plain pruned parquet scans of the live files") {
     val p = plan("q_iceberg_scan")
     assert(p.contains("FileScan parquet"), s"not a parquet scan:\n$p")
