@@ -231,6 +231,26 @@ object LakehouseQueries extends QueryGroup {
       snaps.reduce(_ unionAll _).orderBy("snapshot")
     }),
 
+    // ---- Hudi incremental query (CDC poll) -------------------------------
+    // The consumer loop over a CoW table: rows written by commits in
+    // (from, to], via the _hoodie_commit_time meta column every real
+    // Hudi writer stamps. The rewrite copies unchanged rows forward
+    // with their ORIGINAL commit time, so batch 2 surfaces ONLY the
+    // updated '2-HIGH' rows (cents+7) — carried rows stay silent and
+    // deletes surface as absence. incrementalFiles prunes untouched
+    // file groups from the scan before any row is read. Batch 1 is the
+    // initial load (everything ≤ 001).
+    "q_hudi_incr" -> ((s, d) => {
+      val base = LakehouseQueries.mkHudiIncrFixture(s, d, "orders_hudi_i")
+      val batches = Seq(("000", "001"), ("001", "002")).zipWithIndex.map { case ((lo, hi), i) =>
+        graft.sources.HudiReader.readIncremental(s, base, lo, hi).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("total_cents"))
+          .select(lit(i + 1L).as("batch"), col("n_rows"), col("total_cents"))
+      }
+      batches.reduce(_ unionAll _).orderBy("batch")
+    }),
+
     // ---- manifest-level file skipping ------------------------------------
     // One commit per order-year with min/max year stats riding the
     // manifest; a 1997-98 read plans ONLY the two overlapping file
@@ -808,29 +828,65 @@ object LakehouseQueries extends QueryGroup {
     Files.writeString(Paths.get(base, ".hoodie", "hoodie.properties"),
       "hoodie.table.name=orders_hudi\nhoodie.table.type=COPY_ON_WRITE\n")
     val o = iceOrders(s, d)
-    def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = s"$base/.stage"
-      TxnLog.rmrf(tmp)
-      df.coalesce(1).write.parquet(tmp)
-      val it = Files.list(Paths.get(tmp)).iterator()
-      var src: java.nio.file.Path = null
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.getFileName.toString.endsWith(".parquet")) src = p
-      }
-      Files.move(src, Paths.get(base, name))
-      TxnLog.rmrf(tmp)
-    }
     (0 to 2).foreach { g =>
-      writeFile(o.filter(pmod(col("o_orderkey"), lit(3)) === g), s"g${g}_0-0-0_001.parquet")
+      hudiWriteFile(s, base, o.filter(pmod(col("o_orderkey"), lit(3)) === g),
+        s"g${g}_0-0-0_001.parquet")
     }
     Files.writeString(Paths.get(base, ".hoodie", "001.commit"), "{}")
-    writeFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 0 &&
+    hudiWriteFile(s, base, o.filter(pmod(col("o_orderkey"), lit(3)) === 0 &&
       col("o_orderpriority") =!= "1-URGENT"), "g0_0-0-0_002.parquet")
     Files.writeString(Paths.get(base, ".hoodie", "002.commit"), "{}")
     // instant 003 started rewriting g1 but never completed
-    writeFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 1).limit(1), "g1_0-0-0_003.parquet")
+    hudiWriteFile(s, base, o.filter(pmod(col("o_orderkey"), lit(3)) === 1).limit(1),
+      "g1_0-0-0_003.parquet")
     Files.writeString(Paths.get(base, ".hoodie", "003.inflight"), "")
+    base
+  }
+
+  private def hudiWriteFile(s: SparkSession, base: String,
+                            df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tmp = s"$base/.stage"
+    TxnLog.rmrf(tmp)
+    df.coalesce(1).write.parquet(tmp)
+    val it = Files.list(Paths.get(tmp)).iterator()
+    var src: java.nio.file.Path = null
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    }
+    Files.move(src, Paths.get(base, name))
+    TxnLog.rmrf(tmp)
+  }
+
+  /** Build the Hudi incremental fixture: like [[mkHudiFixture]] but
+    * every row carries the `_hoodie_commit_time` meta column a real
+    * Hudi writer stamps. Instant 001 writes all three groups; instant
+    * 002 CoW-rewrites g0 — '1-URGENT' rows deleted, '2-HIGH' rows
+    * UPDATED (cents+7, commit time 002), the rest copied forward with
+    * their ORIGINAL commit time, which is exactly what makes
+    * incremental reads surface only the changed rows. */
+  private[queries] def mkHudiIncrFixture(s: SparkSession, d: String, suffix: String): String = {
+    import java.nio.file.{Files, Paths}
+    val base = s"/tmp/graft_hudi_${Integer.toHexString(d.hashCode)}/$suffix"
+    TxnLog.rmrf(base)
+    Files.createDirectories(Paths.get(base, ".hoodie"))
+    Files.writeString(Paths.get(base, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=orders_hudi_incr\nhoodie.table.type=COPY_ON_WRITE\n")
+    val o = iceOrders(s, d).withColumn("_hoodie_commit_time", lit("001"))
+    (0 to 2).foreach { g =>
+      hudiWriteFile(s, base, o.filter(pmod(col("o_orderkey"), lit(3)) === g),
+        s"g${g}_0-0-0_001.parquet")
+    }
+    Files.writeString(Paths.get(base, ".hoodie", "001.commit"), "{}")
+    val g0v2 = o.filter(pmod(col("o_orderkey"), lit(3)) === 0 &&
+        col("o_orderpriority") =!= "1-URGENT")
+      .withColumn("cents", when(col("o_orderpriority") === "2-HIGH",
+        col("cents") + 7).otherwise(col("cents")))
+      .withColumn("_hoodie_commit_time", when(col("o_orderpriority") === "2-HIGH",
+        lit("002")).otherwise(col("_hoodie_commit_time")))
+    hudiWriteFile(s, base, g0v2, "g0_0-0-0_002.parquet")
+    Files.writeString(Paths.get(base, ".hoodie", "002.commit"), "{}")
     base
   }
 
@@ -871,6 +927,11 @@ object LakehouseQueries extends QueryGroup {
         "SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE pri = '1-URGENT' " +
         "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "ORDER BY version"),
+    "q_hudi_incr" ->
+      ("WITH o AS (SELECT o_orderkey % 3 AS g, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS batch, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents + 7) AS BIGINT) FROM o WHERE g = 0 AND pri = '2-HIGH' " +
+        "ORDER BY batch"),
     "q_iceberg_files" ->
       ("WITH o AS (SELECT o_orderkey % 4 AS g FROM orders) " +
         "SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(count(DISTINCT g) AS BIGINT) AS n_files, count(*) AS n_rows FROM o WHERE g IN (0, 1, 2) " +

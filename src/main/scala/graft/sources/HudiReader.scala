@@ -101,6 +101,39 @@ object HudiReader {
       .toSeq.sorted
   }
 
+  /** The file slices an incremental read in (from, to] must open:
+    * latest committed slice per group as of `to`, RESTRICTED to groups
+    * whose latest instant falls in the range — untouched file groups
+    * are pruned from the scan entirely (Hudi's incremental candidate
+    * pruning; at scale this is what keeps a CDC poll from re-reading
+    * the table). */
+  def incrementalFiles(base: String, fromTime: String, toTime: String): Seq[String] = {
+    assertReadable(base)
+    val committed = completedCommits(base).filter(_ <= toTime).toSet
+    baseFiles(base)
+      .filter(f => committed.contains(f.instant))
+      .groupBy(_.fileId).values
+      .map(_.maxBy(_.instant))
+      .filter(_.instant > fromTime)
+      .map(_.path).toSeq.sorted
+  }
+
+  /** Hudi incremental query: the rows commits in (from, to] wrote.
+    * A copy-on-write rewrite copies unchanged rows forward with their
+    * ORIGINAL `_hoodie_commit_time`, so filtering the pruned slices on
+    * that meta column surfaces exactly the upserted rows — deletes, by
+    * design, surface as absence, not rows. */
+  def readIncremental(spark: SparkSession, base: String,
+                      fromTime: String, toTime: String): DataFrame = {
+    val files = incrementalFiles(base, fromTime, toTime)
+    require(files.nonEmpty, s"no commits in ($fromTime, $toTime] under $base")
+    val df = spark.read.parquet(files: _*)
+    require(df.columns.contains("_hoodie_commit_time"),
+      s"$base carries no _hoodie_commit_time meta column — not incremental-readable")
+    df.filter(org.apache.spark.sql.functions.col("_hoodie_commit_time") > fromTime &&
+      org.apache.spark.sql.functions.col("_hoodie_commit_time") <= toTime)
+  }
+
   /** Time-travel snapshot read. */
   def readAsOf(spark: SparkSession, base: String, asOf: String): DataFrame = {
     val files = sliceFiles(base, asOf)

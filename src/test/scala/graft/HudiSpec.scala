@@ -68,6 +68,47 @@ class HudiSpec extends SparkSpec {
     assert(ids(HudiReader.read(spark, base)) == Seq(1L, 2L))
   }
 
+  private def writeFileWithTime(base: String, name: String,
+                                rows: Seq[(Long, String)]): Unit = {
+    val tmp = s"$base/.stage"
+    graft.sources.TxnLog.rmrf(tmp)
+    spark.createDataFrame(rows).toDF("id", "_hoodie_commit_time")
+      .coalesce(1).write.parquet(tmp)
+    val it = Files.list(Paths.get(tmp)).iterator()
+    var src: java.nio.file.Path = null
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    }
+    Files.move(src, Paths.get(base, name))
+    graft.sources.TxnLog.rmrf(tmp)
+  }
+
+  test("incremental read surfaces only the range's rows and prunes untouched groups") {
+    val base = mkTable("incr")
+    writeFileWithTime(base, "a_0-0-0_001.parquet", Seq(1L -> "001", 2L -> "001"))
+    writeFileWithTime(base, "b_0-0-0_001.parquet", Seq(10L -> "001"))
+    commit(base, "001")
+    // rewrite of a: id 1 carried (original commit time), id 3 upserted
+    writeFileWithTime(base, "a_0-0-0_002.parquet", Seq(1L -> "001", 3L -> "002"))
+    commit(base, "002")
+    // untouched group b is pruned from the incremental scan entirely
+    assert(HudiReader.incrementalFiles(base, "001", "002")
+      .map(_.split('/').last) == Seq("a_0-0-0_002.parquet"))
+    assert(ids(HudiReader.readIncremental(spark, base, "001", "002")) == Seq(3L))
+    // initial load: everything as of 001
+    assert(ids(HudiReader.readIncremental(spark, base, "000", "001")) == Seq(1L, 2L, 10L))
+  }
+
+  test("incremental read rejects tables without the meta column") {
+    val base = mkTable("incrmeta")
+    writeFile(base, "a_0-0-0_001.parquet", Seq(1L))
+    commit(base, "001")
+    val e = intercept[IllegalArgumentException](
+      HudiReader.readIncremental(spark, base, "000", "001"))
+    assert(e.getMessage.contains("_hoodie_commit_time"))
+  }
+
   test("merge-on-read tables and empty timelines are rejected fast") {
     val mor = mkTable("mor", tableType = "MERGE_ON_READ")
     writeFile(mor, "a_0-0-0_001.parquet", Seq(1L))
