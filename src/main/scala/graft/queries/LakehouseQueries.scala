@@ -104,6 +104,80 @@ object LakehouseQueries extends QueryGroup {
       versions.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // ---- Delta OPTIMIZE (bin-pack compaction) ----------------------------
+    // The maintenance job every Delta table needs: 7 small live files
+    // (3 from create + 4 from append) bin-packed into 1, committed as
+    // remove+add actions that ALL carry dataChange=false — the spec's
+    // content-unchanged marker. Graded via time travel: pre- and
+    // post-OPTIMIZE censuses must be IDENTICAL (the compaction
+    // invariant) while the live file counts (7 → 1) pin that the
+    // rewrite actually happened and that the reader replays
+    // dataChange=false actions like any other add/remove.
+    "q_delta_optimize" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_opt"
+      val o = iceOrders(s, d)
+      graft.sources.DeltaLogWriter.create(s,
+        o.filter(col("o_orderpriority") === "1-URGENT").repartition(3), base, "graft-orders-opt")
+      graft.sources.DeltaLogWriter.append(s,
+        o.filter(col("o_orderpriority") =!= "1-URGENT").repartition(4), base)
+      graft.sources.DeltaLogWriter.optimize(s, base)
+      val versions = Seq(1L, 2L).map { v =>
+        val nFiles = graft.sources.DeltaLogReader.snapshotFiles(Some(s), base, v).size.toLong
+        graft.sources.DeltaLogReader.read(s, base, v).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("total_cents"))
+          .select(lit(v).as("version"), lit(nFiles).as("n_files"),
+            col("n_rows"), col("total_cents"))
+      }
+      versions.reduce(_ unionAll _).orderBy("version")
+    }),
+
+    // ---- Delta checkpoint write + log expiry -----------------------------
+    // The replay-bounding half of the spec: after v0+v1, `checkpoint`
+    // emits <v1>.checkpoint.parquet + _last_checkpoint, `expireLog`
+    // deletes the now-redundant v0 commit JSON (the metadata half of
+    // VACUUM), and v2 appends AFTER the cleanup. The graded censuses
+    // read v1 (reconstructable ONLY through the checkpoint — its JSON
+    // predecessor is gone) and v2 (checkpoint seed + O(tail) replay of
+    // exactly one commit). A checkpoint that missed a live file,
+    // mis-sized, or a reader that still demanded commit 0 hash-fails.
+    "q_delta_checkpoint" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_ckpt"
+      val o = iceOrders(s, d)
+      def grp(r: Int) = o.filter(pmod(col("o_orderkey"), lit(3)) === r)
+      graft.sources.DeltaLogWriter.create(s, grp(0).coalesce(1), base, "graft-orders-ckpt")
+      graft.sources.DeltaLogWriter.append(s, grp(1).coalesce(1), base)
+      graft.sources.DeltaLogWriter.checkpoint(s, base)
+      graft.sources.DeltaLogWriter.expireLog(base)
+      graft.sources.DeltaLogWriter.append(s, grp(2).coalesce(1), base)
+      val versions = Seq(1L, 2L).map { v =>
+        graft.sources.DeltaLogReader.read(s, base, v).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("total_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("total_cents"))
+      }
+      versions.reduce(_ unionAll _).orderBy("version")
+    }),
+
+    // ---- Delta Change Data Feed ------------------------------------------
+    // The CDC contract an incremental consumer reads: v0 inserts (two
+    // files by o_orderkey%2), v1 cdc-updates f0's '2-HIGH' rows
+    // (cents+5) — the commit carries _change_data files with explicit
+    // update_preimage/update_postimage rows which must be used INSTEAD
+    // of its add/remove (no double counting) — and v2 deletes f1 with
+    // no cdc files, so the delete derives from the remove's pre-image.
+    // Census per (version, change_type); the oracle replays all three
+    // change sets from `orders`, grading the cdc-priority rule, the
+    // insert/delete derivations and the dataChange algebra at once.
+    "q_delta_cdf" -> ((s, d) => {
+      val base = LakehouseQueries.mkDeltaCdfFixture(s, d, "orders_cdf")
+      graft.sources.DeltaLogReader.readChanges(s, base, 0L, 2L)
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .orderBy("version", "change_type")
+    }),
+
     // ---- PUBLIC-spec Apache Iceberg interop (read-only) -----------------
     // The SECOND foreign table format, structurally opposite to Delta:
     // Iceberg is a metadata TREE walked downward (version-hint →
@@ -653,6 +727,69 @@ object LakehouseQueries extends QueryGroup {
     base
   }
 
+  /** Build the public-spec Delta CDF fixture from `orders`: v0 inserts
+    * two files (o_orderkey%2), v1 updates f0's '2-HIGH' rows (cents+5)
+    * carrying explicit `_change_data/` cdc files (preimage+postimage,
+    * dataChange=false per spec) ALONGSIDE its remove+add rewrite, and
+    * v2 deletes f1 with no cdc files — the remove-pre-image derivation
+    * path. */
+  private[queries] def mkDeltaCdfFixture(s: SparkSession, d: String, suffix: String): String = {
+    import java.nio.file.{Files, Paths}
+    val base = s"/tmp/graft_delta_${Integer.toHexString(d.hashCode)}/$suffix"
+    TxnLog.rmrf(base)
+    Files.createDirectories(Paths.get(base, "_delta_log"))
+    Files.createDirectories(Paths.get(base, "_change_data"))
+    val o = iceOrders(s, d)
+    def writeOne(df: org.apache.spark.sql.DataFrame, rel: String): (String, Long) = {
+      val tmp = s"$base/.stage"
+      TxnLog.rmrf(tmp)
+      df.coalesce(1).write.parquet(tmp)
+      val it = Files.list(Paths.get(tmp)).iterator()
+      var src: java.nio.file.Path = null
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) src = p
+      }
+      Files.move(src, Paths.get(base, rel))
+      TxnLog.rmrf(tmp)
+      (rel, df.count())
+    }
+    def add(g: (String, Long)) = {
+      val sz = Files.size(Paths.get(base, g._1))
+      s"""{"add":{"path":"${g._1}","partitionValues":{},"size":$sz,"modificationTime":0,"dataChange":true,"stats":"{\\"numRecords\\":${g._2}}"}}"""
+    }
+    def commit(v: Long, lines: Seq[String]): Unit =
+      Files.write(Paths.get(base, "_delta_log", f"$v%020d.json"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val f0 = writeOne(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), "f0.parquet")
+    val f1 = writeOne(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), "f1.parquet")
+    commit(0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"metaData":{"id":"graft-orders-cdf","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}""",
+      add(f0), add(f1)))
+    // v1: update '2-HIGH' in f0 — rewrite + explicit cdc change files
+    val g0 = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+    val hit = g0.filter(col("o_orderpriority") === "2-HIGH")
+    val f0v2 = writeOne(
+      g0.withColumn("cents", when(col("o_orderpriority") === "2-HIGH",
+        col("cents") + 5).otherwise(col("cents"))), "f0v2.parquet")
+    val cdc = writeOne(
+      hit.withColumn("_change_type", lit("update_preimage")) unionAll
+        hit.withColumn("cents", col("cents") + 5)
+          .withColumn("_change_type", lit("update_postimage")),
+      "_change_data/cdc-1.parquet")
+    commit(1, Seq(
+      """{"commitInfo":{"operation":"UPDATE","timestamp":0}}""",
+      s"""{"cdc":{"path":"${cdc._1}","partitionValues":{},"size":${Files.size(Paths.get(base, cdc._1))},"dataChange":false}}""",
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":0,"dataChange":true}}""",
+      add(f0v2)))
+    // v2: delete f1 wholesale, no cdc files — pre-image derivation
+    commit(2, Seq(
+      """{"commitInfo":{"operation":"DELETE","timestamp":0}}""",
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":0,"dataChange":true}}"""))
+    base
+  }
+
   /** One Iceberg manifest entry: `status` 0 EXISTING / 1 ADDED /
     * 2 DELETED; `content` 0 data / 1 position deletes; `part` the
     * identity-partition value when the table is partitioned. */
@@ -958,6 +1095,23 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE g IN (1, 2) " +
         "ORDER BY version"),
+    "q_delta_optimize" ->
+      ("WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS version, CAST(7 AS BIGINT) AS n_files, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 2, 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "ORDER BY version"),
+    "q_delta_checkpoint" ->
+      ("WITH o AS (SELECT o_orderkey % 3 AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE g IN (0, 1) " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "ORDER BY version"),
+    "q_delta_cdf" ->
+      ("WITH o AS (SELECT o_orderkey % 2 AS g, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS cents_sum FROM o " +
+        "UNION ALL SELECT 1, 'update_preimage', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE g = 0 AND pri = '2-HIGH' " +
+        "UNION ALL SELECT 1, 'update_postimage', count(*), CAST(sum(cents + 5) AS BIGINT) FROM o WHERE g = 0 AND pri = '2-HIGH' " +
+        "UNION ALL SELECT 2, 'delete', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE g = 1 " +
+        "ORDER BY version, change_type"),
     "q_txn_timetravel" ->
       ("WITH o AS (SELECT o_orderstatus AS st, year(o_orderdate) AS yr, " +
         "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +

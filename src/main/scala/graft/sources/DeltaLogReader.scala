@@ -208,4 +208,58 @@ object DeltaLogReader {
   /** Latest-snapshot read. */
   def read(spark: SparkSession, base: String): DataFrame =
     read(spark, base, latestVersion(base))
+
+  /** Change Data Feed over versions [fromVersion, toVersion] — the
+    * spec's batch CDF contract:
+    *
+    *   - a commit carrying `cdc` actions is represented by THOSE files
+    *     alone (they live under `_change_data/` and carry the
+    *     `_change_type` column — update_preimage/update_postimage/...);
+    *     its add/remove actions exist for snapshot readers and must NOT
+    *     double-count here;
+    *   - otherwise `add` actions with `dataChange=true` surface their
+    *     rows as inserts, and `remove` actions with `dataChange=true`
+    *     surface the removed file's rows as deletes (the pre-image is
+    *     the file itself — still on disk until VACUUM);
+    *   - `dataChange=false` commits (OPTIMIZE) change nothing and emit
+    *     nothing — the property that makes CDF cheaper than diffing
+    *     snapshots.
+    *
+    * Every result row is stamped with `_change_type` and
+    * `_commit_version`; the data path is ordinary parquet scans of just
+    * the referenced files, so pushdown and pruning stay intact. */
+  def readChanges(spark: SparkSession, base: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromVersion <= toVersion, s"empty CDF range [$fromVersion, $toVersion]")
+    val parts = (fromVersion to toVersion).flatMap { v =>
+      val f = logDir(base).resolve(f"$v%020d.json")
+      require(Files.exists(f), s"missing Delta commit $v under $base")
+      val lines = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      lines.filter(_.contains("\"protocol\"")).foreach(assertReadable)
+      // cdc actions are declared with dataChange=false by the spec (the
+      // data change is what they DESCRIBE) — the no-change exclusion
+      // applies only to add/remove
+      def paths(kind: String, skipNoChange: Boolean): Seq[String] = lines.collect {
+        case l if l.contains("\"" + kind + "\"") &&
+          !(skipNoChange && l.contains("\"dataChange\":false")) =>
+          strField(l, "path").getOrElse(
+            throw new IllegalStateException(s"$kind action without path: $l"))
+      }
+      val cdc = paths("cdc", skipNoChange = false)
+      val reads: Seq[(Seq[String], Option[String])] =
+        if (cdc.nonEmpty) Seq((cdc, None)) // cdc files carry _change_type themselves
+        else Seq((paths("add", skipNoChange = true), Some("insert")),
+          (paths("remove", skipNoChange = true), Some("delete")))
+      reads.collect { case (files, tag) if files.nonEmpty =>
+        val df = spark.read.parquet(files.map(p => Paths.get(base).resolve(p).toString): _*)
+        tag.fold(df)(t => df.withColumn("_change_type", lit(t)))
+          .withColumn("_commit_version", lit(v))
+      }
+    }
+    require(parts.nonEmpty, s"no data-changing commits in [$fromVersion, $toVersion] of $base")
+    val cols = parts.head.columns.filterNot(
+      c => c == "_change_type" || c == "_commit_version").toSeq :+ "_change_type" :+ "_commit_version"
+    parts.map(_.select(cols.map(col): _*)).reduce(_ unionAll _)
+  }
 }

@@ -98,4 +98,100 @@ object DeltaLogWriter {
     commit(base, version,
       s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""" +: addActions(spark, base, rels))
   }
+
+  /** OPTIMIZE: bin-pack the current live files into
+    * `ceil(liveBytes / targetBytes)` compacted files and commit the
+    * rewrite as one version whose add AND remove actions all carry
+    * `dataChange=false` — the spec's marker that the commit reshapes
+    * storage without changing table content, which is what lets a
+    * streaming consumer of the log skip it. Time travel to any prior
+    * version keeps working (removes only drop paths from the live set;
+    * the old part files stay on disk until VACUUM).
+    *
+    * The rewrite itself is the ordinary distributed read of just the
+    * live files followed by a repartition to the packed file count —
+    * at cluster scale this is the standard small-file compaction job,
+    * and only the KB-scale commit JSON is driver-side. Returns the
+    * (filesBefore, filesAfter) census so callers can report it. */
+  def optimize(spark: SparkSession, base: String,
+               targetBytes: Long = 128L << 20): (Int, Int) = {
+    val version = DeltaLogReader.latestVersion(base)
+    val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
+    val liveBytes = live.map(_.size).sum
+    val numOut = math.max(1, math.ceil(liveBytes.toDouble / targetBytes).toInt)
+    if (numOut >= live.size) return (live.size, live.size) // nothing to pack
+    val df = spark.read.parquet(live.map(a => s"$base/${a.path}"): _*)
+      .repartition(numOut)
+    val rels = writeData(df, base, version + 1)
+    val adds = addActions(spark, base, rels)
+      .map(_.replace("\"dataChange\":true", "\"dataChange\":false"))
+    val removes = live.map(a =>
+      s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":false}}""")
+    commit(base, version + 1,
+      s"""{"commitInfo":{"operation":"OPTIMIZE","timestamp":0}}""" +: (removes ++ adds))
+    (live.size, rels.size)
+  }
+
+  /** Write the spec's replay-bounding checkpoint for the CURRENT
+    * version: one parquet file `<v>.checkpoint.parquet` holding every
+    * action needed to reconstruct the snapshot (protocol + metaData +
+    * one row per live add, each in its own nullable struct column, the
+    * spec's checkpoint schema shape), then point `_last_checkpoint` at
+    * it. Readers seed the live set from the checkpoint and replay only
+    * the JSON tail — O(tail) instead of O(history) on long-lived
+    * tables, and the precondition for log cleanup ([[expireLog]]). */
+  def checkpoint(spark: SparkSession, base: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val version = DeltaLogReader.latestVersion(base)
+    val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
+    val addT = StructType(Seq(
+      StructField("path", StringType), StructField("size", LongType),
+      StructField("dataChange", BooleanType)))
+    val protoT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val metaT = StructType(Seq(
+      StructField("id", StringType), StructField("schemaString", StringType)))
+    val schema = StructType(Seq(
+      StructField("protocol", protoT), StructField("metaData", metaT),
+      StructField("add", addT)))
+    val rows = Row(Row(1, 2), null, null) +: Row(null, Row("graft", "{}"), null) +:
+      live.map(a => Row(null, null, Row(a.path, a.size, true)))
+    val dir = Paths.get(base, "_delta_log")
+    val tmp = s"$base/_delta_log/.ckpt-stage"
+    TxnLog.rmrf(tmp)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint stage wrote no parquet"))
+    Files.move(part, dir.resolve(f"$version%020d.checkpoint.parquet"))
+    TxnLog.rmrf(tmp)
+    Files.write(dir.resolve("_last_checkpoint"),
+      s"""{"version":$version,"size":${rows.size}}""".getBytes(StandardCharsets.UTF_8))
+    version
+  }
+
+  /** Log cleanup (the metadata half of VACUUM): delete JSON commits
+    * STRICTLY BEFORE the checkpointed version — they are redundant once
+    * the checkpoint exists, and the spec permits removing them. Reads
+    * at or after the checkpoint keep working; earlier time travel is
+    * gone by design. Refuses to run without a checkpoint. Returns how
+    * many commit files were deleted. */
+  def expireLog(base: String): Int = {
+    val dir = Paths.get(base, "_delta_log")
+    val lc = dir.resolve("_last_checkpoint")
+    require(Files.exists(lc), s"expireLog without a checkpoint under $base")
+    val ckpt = DeltaLogReader.longField(
+      Files.readString(lc, StandardCharsets.UTF_8), "version")
+      .getOrElse(throw new IllegalStateException("_last_checkpoint has no version"))
+    val victims = Files.list(dir).iterator.asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".json") && n.length == 25 && n.stripSuffix(".json").toLong < ckpt
+      }.toSeq
+    victims.foreach(Files.delete)
+    victims.size
+  }
 }

@@ -186,6 +186,91 @@ class DeltaLogSpec extends SparkSpec {
     assert(v0.contains("numRecords"))
   }
 
+  test("optimize bin-packs live files, content-identically, with dataChange=false actions") {
+    val base = "/tmp/graft_delta_test/optimize"
+    val df = spark.createDataFrame((1L to 9L).map(Tuple1(_))).toDF("id")
+    graft.sources.DeltaLogWriter.create(spark, df.repartition(3), base, "t-opt")
+    graft.sources.DeltaLogWriter.append(spark,
+      spark.createDataFrame(Seq(100L, 200L).map(Tuple1(_))).toDF("id").repartition(2), base)
+    val (before, after) = graft.sources.DeltaLogWriter.optimize(spark, base)
+    assert(before == 5 && after == 1)
+    assert(DeltaLogReader.snapshotFiles(base, 2).size == 1)
+    // the compaction invariant: content identical across the rewrite
+    assert(DeltaLogReader.read(spark, base, 1).agg(sum("id")).collect().head.getLong(0) ==
+      DeltaLogReader.read(spark, base, 2).agg(sum("id")).collect().head.getLong(0))
+    // time travel to pre-OPTIMIZE still sees the small files
+    assert(DeltaLogReader.snapshotFiles(base, 1).size == 5)
+    // every action in the OPTIMIZE commit is dataChange=false
+    val v2 = Files.readString(Paths.get(base, "_delta_log", f"${2L}%020d.json"))
+    assert(!v2.contains("\"dataChange\":true"), v2)
+    assert(v2.linesIterator.count(_.contains("\"remove\"")) == 5)
+    // already-packed table: no-op, no new commit
+    assert(graft.sources.DeltaLogWriter.optimize(spark, base) == ((1, 1)))
+    assert(DeltaLogReader.latestVersion(base) == 2L)
+  }
+
+  test("writer checkpoint + expireLog: O(tail) reads survive log cleanup") {
+    val base = "/tmp/graft_delta_test/wckpt"
+    def one(ids: Long*) = spark.createDataFrame(ids.map(Tuple1(_))).toDF("id").coalesce(1)
+    graft.sources.DeltaLogWriter.create(spark, one(1L, 2L), base, "t-wc")
+    graft.sources.DeltaLogWriter.append(spark, one(3L), base)
+    assert(graft.sources.DeltaLogWriter.checkpoint(spark, base) == 1L)
+    assert(graft.sources.DeltaLogWriter.expireLog(base) == 1) // v0 json gone
+    graft.sources.DeltaLogWriter.append(spark, one(10L), base)
+    assert(DeltaLogReader.versions(base) == Seq(1L, 2L))
+    assert(DeltaLogReader.read(spark, base, 1).agg(sum("id")).collect().head.getLong(0) == 6L)
+    assert(DeltaLogReader.read(spark, base, 2).agg(sum("id")).collect().head.getLong(0) == 16L)
+    // expireLog refuses to run without a checkpoint
+    val bare = "/tmp/graft_delta_test/wckpt_bare"
+    graft.sources.DeltaLogWriter.create(spark, one(1L), bare, "t-bare")
+    intercept[IllegalArgumentException](graft.sources.DeltaLogWriter.expireLog(bare))
+  }
+
+  test("readChanges: cdc files win over add/remove; inserts and deletes derive; OPTIMIZE is silent") {
+    val base = mkTable("cdf")
+    writeParquet(base, "a.parquet", Seq(1L, 2L))
+    writeParquet(base, "b.parquet", Seq(5L))
+    commit(base, 0,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"b.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    // v1: update in a.parquet with explicit cdc file — the rewrite's
+    // add/remove must NOT double-count
+    Files.createDirectories(Paths.get(base, "_change_data"))
+    val cdcDf = spark.createDataFrame(Seq((2L, "update_preimage"), (7L, "update_postimage")))
+      .toDF("id", "_change_type")
+    val tmp = s"$base/.cdcstage"
+    cdcDf.coalesce(1).write.parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator()
+    var src: java.nio.file.Path = null
+    while (part.hasNext) { val p = part.next(); if (p.getFileName.toString.endsWith(".parquet")) src = p }
+    Files.move(src, Paths.get(base, "_change_data", "cdc-1.parquet"))
+    graft.sources.TxnLog.rmrf(tmp)
+    writeParquet(base, "a2.parquet", Seq(1L, 7L))
+    commit(base, 1,
+      """{"cdc":{"path":"_change_data/cdc-1.parquet","partitionValues":{},"size":1,"dataChange":false}}""",
+      """{"remove":{"path":"a.parquet","deletionTimestamp":0,"dataChange":true}}""",
+      """{"add":{"path":"a2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    // v2: OPTIMIZE (dataChange=false) — must emit NOTHING
+    writeParquet(base, "packed.parquet", Seq(1L, 7L, 5L))
+    commit(base, 2,
+      """{"remove":{"path":"a2.parquet","deletionTimestamp":0,"dataChange":false}}""",
+      """{"remove":{"path":"b.parquet","deletionTimestamp":0,"dataChange":false}}""",
+      """{"add":{"path":"packed.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":false}}""")
+    // v3: delete the packed file — pre-image derivation
+    commit(base, 3,
+      """{"remove":{"path":"packed.parquet","deletionTimestamp":0,"dataChange":true}}""")
+    val ch = DeltaLogReader.readChanges(spark, base, 0L, 3L)
+      .groupBy("_commit_version", "_change_type").agg(sum("id").as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(ch == Set(
+      (0L, "insert", 8L),            // 1+2+5
+      (1L, "update_preimage", 2L),   // cdc file only — not a2's 1+7
+      (1L, "update_postimage", 7L),
+      (3L, "delete", 13L)))          // packed pre-image 1+7+5; v2 silent
+    intercept[IllegalArgumentException](DeltaLogReader.readChanges(spark, base, 2L, 2L))
+  }
+
   test("writer refuses to overwrite an already-committed version") {
     val base = "/tmp/graft_delta_test/writer_clash"
     val df = spark.createDataFrame(Seq(1L).map(Tuple1(_))).toDF("id")
