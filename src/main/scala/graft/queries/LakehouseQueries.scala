@@ -281,6 +281,27 @@ object LakehouseQueries extends QueryGroup {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- Iceberg column-stats (min/max) file skipping --------------------
+    // The OTHER half of Iceberg's scan planning: manifest entries carry
+    // lower_bounds/upper_bounds per field id (spec single-value
+    // serialization — 8-byte little-endian longs) and a range predicate
+    // prunes files whose bounds don't overlap BEFORE any data is
+    // opened. Fixture: one data file per order-year with exact o_year
+    // bounds; a 1997-98 read plans 2 of 7 files (IcebergSpec pins it).
+    // boundsOverlap decodes the spec's little-endian binary with a
+    // hex byte-swap + conv over the KB-scale entry rows; files without
+    // bounds are kept, per spec. The residual row filter keeps the
+    // engine honest; the oracle replays the predicate over `orders`.
+    "q_iceberg_stats_prune" -> ((s, d) => {
+      val base = LakehouseQueries.mkIcebergStatsFixture(s, d, "orders_ices")
+      graft.sources.IcebergReader.readWhere(s, base, 1L,
+          graft.sources.IcebergReader.boundsOverlap(3, 1997L, 1998L))
+        .filter(col("o_year").between(1997, 1998))
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .orderBy("o_year")
+    }),
+
     // ---- PUBLIC-spec Apache Hudi CoW interop (read-only) ----------------
     // The THIRD foreign format, a third distinct shape: a TIMELINE
     // (.hoodie/<instant>.commit markers) joined against file NAMES
@@ -795,7 +816,8 @@ object LakehouseQueries extends QueryGroup {
     * identity-partition value when the table is partitioned. */
   private[queries] final case class IceEntry(
       status: Int, path: String, records: Long,
-      content: Int = 0, part: Option[String] = None)
+      content: Int = 0, part: Option[String] = None,
+      bounds: Option[(Int, Long, Long)] = None)
 
   /** Plumbing for the public-spec Iceberg fixtures (Hadoop-catalog
     * layout): single-file stage-and-rename writes so every tree node
@@ -834,6 +856,11 @@ object LakehouseQueries extends QueryGroup {
       * `data_file.partition` struct only for a partitioned table. */
     def manifest(rel: String, entries: Seq[IceEntry],
                  withContent: Boolean = false, partCol: Option[String] = None): Unit = {
+      val withBounds = entries.exists(_.bounds.isDefined)
+      // spec single-value serialization: long bounds are 8 bytes
+      // little-endian, keyed by field id in map<int, binary>
+      def le(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array
       val dataFields = Seq(
         StructField("file_path", StringType, nullable = false),
         StructField("file_format", StringType, nullable = false),
@@ -841,14 +868,25 @@ object LakehouseQueries extends QueryGroup {
         StructField("file_size_in_bytes", LongType, nullable = false)) ++
         (if (withContent) Seq(StructField("content", IntegerType, nullable = false)) else Nil) ++
         partCol.map(c => StructField("partition",
-          StructType(Seq(StructField(c, StringType, nullable = false)))))
+          StructType(Seq(StructField(c, StringType, nullable = false))))) ++
+        (if (withBounds) {
+          // avro has no int-keyed maps: the iceberg spec encodes
+          // map<int, binary> as an array of {key, value} records
+          val kv = ArrayType(StructType(Seq(
+            StructField("key", IntegerType, nullable = false),
+            StructField("value", BinaryType, nullable = false))))
+          Seq(StructField("lower_bounds", kv), StructField("upper_bounds", kv))
+        } else Nil)
       val schema = StructType(Seq(
         StructField("status", IntegerType, nullable = false),
         StructField("data_file", StructType(dataFields))))
       val rows = entries.map { e =>
         val core = Seq[Any](e.path, "PARQUET", e.records, sizeOf(e.path)) ++
           (if (withContent) Seq(e.content) else Nil) ++
-          (if (partCol.isDefined) Seq(Row(e.part.get)) else Nil)
+          (if (partCol.isDefined) Seq(Row(e.part.get)) else Nil) ++
+          (if (withBounds) Seq(
+            e.bounds.map { case (fid, lo, _) => Seq(Row(fid, le(lo))) }.orNull,
+            e.bounds.map { case (fid, _, hi) => Seq(Row(fid, le(hi))) }.orNull) else Nil)
         Row(e.status, Row(core: _*))
       }
       writeOne(s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema), rel, avro = true)
@@ -910,6 +948,29 @@ object LakehouseQueries extends QueryGroup {
     t.base
   }
 
+  /** Build the column-stats fixture from `orders`: one data file per
+    * order-year (the clustered-write layout stats skipping assumes),
+    * each manifest entry carrying the spec's `lower_bounds` /
+    * `upper_bounds` for field id 3 (`o_year`) in single-value
+    * serialization (8-byte little-endian longs keyed by field id). */
+  private[queries] def mkIcebergStatsFixture(s: SparkSession, d: String, suffix: String): String = {
+    val t = new IceTable(s, iceBase(d, suffix))
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey"), cents("o_totalprice").as("cents"),
+      year(col("o_orderdate")).cast("long").as("o_year"))
+    val years = o.select(min("o_year"), max("o_year")).collect().head
+    val entries = (years.getLong(0) to years.getLong(1)).map { y =>
+      val grp = o.filter(col("o_year") === y)
+      val rel = s"data/part-y$y.parquet"
+      t.writeOne(grp, rel)
+      IceEntry(1, rel, grp.count(), bounds = Some((3, y, y)))
+    }
+    t.manifest("metadata/m1.avro", entries)
+    t.manifestList(1L, Seq("metadata/m1.avro"))
+    t.meta(1, current = 1L, snaps = Seq(1L))
+    t.base
+  }
+
   /** Build the v2 position-delete fixture from `orders`: two data
     * files by o_orderkey%2; snapshot 1 adds both; snapshot 2 carries
     * them EXISTING and adds one POSITION-delete file (content=1)
@@ -951,6 +1012,9 @@ object LakehouseQueries extends QueryGroup {
     * partitioned fixture without reaching the private builder). */
   def icebergPartFixtureForTest(s: SparkSession, d: String): String =
     mkIcebergPartFixture(s, d, "orders_icep_test")
+
+  def icebergStatsFixtureForTest(s: SparkSession, d: String): String =
+    mkIcebergStatsFixture(s, d, "orders_ices_test")
 
   /** Build the Hudi copy-on-write fixture from `orders`: three file
     * groups by o_orderkey%3, all written at instant 001; instant 002
@@ -1095,6 +1159,11 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE g IN (1, 2) " +
         "ORDER BY version"),
+    "q_iceberg_stats_prune" ->
+      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_rows, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders WHERE year(o_orderdate) BETWEEN 1997 AND 1998 " +
+        "GROUP BY 1 ORDER BY o_year"),
     "q_delta_optimize" ->
       ("WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CAST(1 AS BIGINT) AS version, CAST(7 AS BIGINT) AS n_files, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +

@@ -174,6 +174,45 @@ object StreamQueries extends QueryGroup {
         .orderBy("event_type")
     }),
 
+    // ---- streaming sink into a FOREIGN (public-spec Delta) table --------
+    // q_stream_txn_sink's exactly-once discipline pointed at the OPEN
+    // format: foreachBatch commits each micro-batch through
+    // DeltaLogWriter.appendIfAbsent, which rides the spec's OWN
+    // idempotence protocol — a `txn` (SetTransaction) action per
+    // commit, batches skipped when the log already holds the appId's
+    // marker at or beyond them. The same bounded stream is drained a
+    // SECOND time from a fresh checkpoint (full redelivery) and must
+    // add exactly zero rows, because the TABLE is the source of truth,
+    // not the engine checkpoint. The graded census reads the final
+    // table back through the Delta reader; equality with the plain
+    // batch census proves the no-duplicates property — and the emitted
+    // table is consumable by any Delta reader downstream.
+    "q_stream_delta_sink" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/events_sink"
+      graft.sources.TxnLog.rmrf(base)
+      def drainOnce(): Unit = {
+        val ck = java.nio.file.Files.createTempDirectory("graft_delta_sink_ck_").toString
+        val q = eventsStream(s, d)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.sources.DeltaLogWriter.appendIfAbsent(s, batch.coalesce(1),
+              base, "events-delta-sink", id); ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drainOnce()
+      drainOnce() // full redelivery — the spec's txn markers must absorb it
+      graft.sources.DeltaLogReader.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("event_type")
+    }),
+
     // ---- streaming CDC source over the commit log (ORACLE) --------------
     // The read-side completion of the lakehouse streaming story
     // (q_stream_txn_sink is the write side): a custom DataSourceV2
@@ -408,6 +447,10 @@ object StreamQueries extends QueryGroup {
     "q_stream_dedup" ->
       ("SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"),
     "q_stream_txn_sink" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_stream_delta_sink" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM events GROUP BY event_type ORDER BY event_type"),

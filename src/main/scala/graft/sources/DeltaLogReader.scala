@@ -209,6 +209,23 @@ object DeltaLogReader {
   def read(spark: SparkSession, base: String): DataFrame =
     read(spark, base, latestVersion(base))
 
+  /** Highest `txn` (SetTransaction) version recorded for `appId` — the
+    * spec's idempotent-writer watermark. A streaming sink consults it
+    * to skip redelivered micro-batches ([[DeltaLogWriter.appendIfAbsent]]).
+    * Scans the KB-scale commit JSON; this minimal reader does not fold
+    * txn rows into checkpoints, so it replays the full JSON chain. */
+  def lastTxnVersion(base: String, appId: String): Option[Long] = {
+    val quoted = "\"appId\":\"" + appId + "\""
+    versions(base).flatMap { v =>
+      Files.readAllLines(logDir(base).resolve(f"$v%020d.json"), StandardCharsets.UTF_8)
+        .asScala.collect {
+          case line if line.contains("\"txn\"") && line.contains(quoted) =>
+            longField(line, "version").getOrElse(
+              throw new IllegalStateException(s"txn action without version: $line"))
+        }
+    }.maxOption
+  }
+
   /** Change Data Feed over versions [fromVersion, toVersion] — the
     * spec's batch CDF contract:
     *

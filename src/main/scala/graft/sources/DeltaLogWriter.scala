@@ -99,6 +99,46 @@ object DeltaLogWriter {
       s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""" +: addActions(spark, base, rels))
   }
 
+  /** Idempotent streaming append — the spec's `txn` (SetTransaction)
+    * protocol, exactly what Delta's own streaming sink rides: every
+    * commit carries `{"txn":{"appId","version"}}` with the micro-batch
+    * id, and a redelivered batch is SKIPPED when the log already holds
+    * a txn for this appId at or beyond it. The TABLE is the source of
+    * truth, not the engine's checkpoint — at-least-once delivery +
+    * this marker = exactly-once at the sink. Creates the table on the
+    * first batch. Returns true when the batch was written. */
+  def appendIfAbsent(spark: SparkSession, df: DataFrame, base: String,
+                     appId: String, batchId: Long): Boolean = {
+    val exists = Files.isDirectory(Paths.get(base, "_delta_log")) &&
+      DeltaLogReader.versions(base).nonEmpty
+    if (exists && DeltaLogReader.lastTxnVersion(base, appId).exists(_ >= batchId))
+      return false
+    val txn = s"""{"txn":{"appId":"${esc(appId)}","version":$batchId,"lastUpdated":0}}"""
+    if (df.isEmpty) {
+      // an empty batch still advances the watermark (txn-only commit);
+      // it cannot CREATE a table — there is no schema to declare yet
+      if (exists) commit(base, DeltaLogReader.latestVersion(base) + 1, Seq(txn))
+      return exists
+    }
+    if (!exists) {
+      TxnLog.rmrf(base)
+      val rels = writeData(df, base, 0L)
+      commit(base, 0L, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"${esc(appId)}","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${esc(df.schema.json)}","partitionColumns":[],""" +
+          s""""configuration":{},"createdTime":0}}""",
+        txn) ++ addActions(spark, base, rels))
+    } else {
+      val version = DeltaLogReader.latestVersion(base) + 1
+      val rels = writeData(df, base, version)
+      commit(base, version,
+        Seq(s"""{"commitInfo":{"operation":"STREAMING UPDATE","timestamp":0}}""", txn) ++
+          addActions(spark, base, rels))
+    }
+    true
+  }
+
   /** OPTIMIZE: bin-pack the current live files into
     * `ceil(liveBytes / targetBytes)` compacted files and commit the
     * rewrite as one version whose add AND remove actions all carry

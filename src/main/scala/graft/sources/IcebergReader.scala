@@ -211,6 +211,33 @@ object IcebergReader {
     spark.read.parquet(scan.dataFiles.map(_._1): _*)
   }
 
+  /** Manifest-entry filter for the spec's column-stats file skipping:
+    * keep entries whose `[lower_bounds, upper_bounds]` for `fieldId`
+    * overlap `[lo, hi]`. Bounds ride the manifest as
+    * `map<field-id, binary>` in the spec's single-value serialization —
+    * little-endian for long fields — so the decode is a byte-swap of
+    * the hex rendering + `conv`; entries without bounds for the field
+    * are KEPT (can't prune what isn't tracked, the spec's own rule).
+    * The filter runs over KB-scale manifest avro on the planning path;
+    * the data files a non-overlapping entry describes are never handed
+    * to the parquet source. Non-negative bounds only (the fixture's
+    * year/cents fields; a signed decode would need two's-complement
+    * handling `conv` doesn't give). */
+  def boundsOverlap(fieldId: Int, lo: Long, hi: Long): Column = {
+    require(lo >= 0 && hi >= lo, s"need 0 <= lo <= hi, got [$lo, $hi]")
+    import org.apache.spark.sql.functions.{concat, conv, hex, map_from_entries, substring, try_element_at}
+    // avro encodes the spec's map<int, binary> as an array of
+    // {key, value} records — rebuild the map, then look up the field
+    def dec(m: String): Column = {
+      val h = hex(try_element_at(map_from_entries(col(s"data_file.$m")), lit(fieldId)))
+      val beHex = concat((0 until 8).reverse.map(i => substring(h, i * 2 + 1, 2)): _*)
+      conv(beHex, 16, 10).cast("long")
+    }
+    val lower = dec("lower_bounds")
+    val upper = dec("upper_bounds")
+    lower.isNull || upper.isNull || (lower <= lit(hi) && upper >= lit(lo))
+  }
+
   /** Partition-pruned snapshot read: `partitionFilter` is evaluated
     * against each manifest entry's typed `data_file.partition` struct
     * (e.g. `col("data_file.partition.p") === "x"`), so pruned files

@@ -271,6 +271,28 @@ class DeltaLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](DeltaLogReader.readChanges(spark, base, 2L, 2L))
   }
 
+  test("appendIfAbsent: txn markers absorb redelivered batches; empty batches advance the watermark") {
+    val base = "/tmp/graft_delta_test/txnsink"
+    graft.sources.TxnLog.rmrf(base)
+    def one(ids: Long*) = spark.createDataFrame(ids.map(Tuple1(_))).toDF("id").coalesce(1)
+    val W = graft.sources.DeltaLogWriter
+    assert(W.appendIfAbsent(spark, one(1L, 2L), base, "app", 0L))   // creates v0
+    assert(W.appendIfAbsent(spark, one(3L), base, "app", 1L))       // v1
+    assert(!W.appendIfAbsent(spark, one(99L), base, "app", 1L))     // redelivery: skipped
+    assert(!W.appendIfAbsent(spark, one(99L), base, "app", 0L))
+    assert(DeltaLogReader.lastTxnVersion(base, "app").contains(1L))
+    assert(DeltaLogReader.lastTxnVersion(base, "other").isEmpty)
+    // a DIFFERENT app's batches are independent
+    assert(W.appendIfAbsent(spark, one(10L), base, "app2", 0L))
+    // empty batch: txn-only commit, no data change, watermark advances
+    val empty = spark.createDataFrame(Seq.empty[Tuple1[Long]]).toDF("id")
+    assert(W.appendIfAbsent(spark, empty, base, "app", 2L))
+    assert(DeltaLogReader.lastTxnVersion(base, "app").contains(2L))
+    assert(!W.appendIfAbsent(spark, one(99L), base, "app", 2L))
+    assert(DeltaLogReader.read(spark, base)
+      .agg(sum("id")).collect().head.getLong(0) == 16L)
+  }
+
   test("writer refuses to overwrite an already-committed version") {
     val base = "/tmp/graft_delta_test/writer_clash"
     val df = spark.createDataFrame(Seq(1L).map(Tuple1(_))).toDF("id")

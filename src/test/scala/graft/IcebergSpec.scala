@@ -227,6 +227,24 @@ class IcebergSpec extends SparkSpec {
     assert(pruned.dataFiles.size == 2)
   }
 
+  test("column-stats bounds prune files; entries without bounds are kept") {
+    // the graded fixture: one file per order-year, lower/upper bounds
+    // on field id 3 (o_year) in little-endian single-value serialization
+    val d = "/root/testdata/sf0.001"
+    val base = graft.queries.LakehouseQueries.icebergStatsFixtureForTest(spark, d)
+    val all = IcebergReader.planSnapshot(spark, base, 1L)
+    val pruned = IcebergReader.planSnapshot(spark, base, 1L,
+      IcebergReader.boundsOverlap(3, 1997L, 1998L))
+    assert(all.dataFiles.size == 7, s"expected 7 year files, got ${all.dataFiles.size}")
+    assert(pruned.dataFiles.map(_._1.split('/').last).sorted
+      == Seq("part-y1997.parquet", "part-y1998.parquet"))
+    // a field id with no tracked bounds can't prune: everything is kept
+    assert(IcebergReader.planSnapshot(spark, base, 1L,
+      IcebergReader.boundsOverlap(99, 0L, 0L)).dataFiles.size == 7)
+    // degenerate ranges are rejected up front
+    intercept[IllegalArgumentException](IcebergReader.boundsOverlap(3, 5L, 4L))
+  }
+
   test("format-version beyond 2 and unknown snapshot ids are rejected") {
     val base = mkTable("guards")
     writeData(base, "data/a.parquet", Seq(1L))
