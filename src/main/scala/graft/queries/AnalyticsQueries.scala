@@ -58,6 +58,34 @@ object AnalyticsQueries extends QueryGroup {
         .orderBy("status")
     }),
 
+    // ---- CUSUM changepoint detection (ORACLE) ---------------------------
+    // Where did the level of daily revenue shift? The classic CUSUM
+    // statistic S_t = Σ(x_i − mean) is float-hostile (a running mean),
+    // but cross-multiplying clears it exactly: n·S_t = n·C_t − t·T with
+    // C_t the cumulative daily cents and T/n the global total/count —
+    // all BIGINT (n ≈ 2.4k days; daily cents ~1e13 at 100 TB keeps
+    // n·C_t < 2^63). The changepoint is argmax |n·S_t| with a date
+    // tiebreak. Shape at scale: one hash shuffle to the ≤#days daily
+    // census, then every window — cumulative, index, and the full-frame
+    // totals — runs over that k-bounded series (PlanSweep-allowlisted),
+    // and a 1-row TakeOrdered picks the argmax.
+    "q_changepoint" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      val wCum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      daily
+        .withColumn("cum", sum(col("x")).over(wCum))
+        .withColumn("idx", row_number().over(Window.orderBy("d")).cast("long"))
+        .withColumn("tot", sum(col("x")).over(wAll))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("sv", col("n") * col("cum") - col("idx") * col("tot"))
+        .orderBy(abs(col("sv")).desc, col("d"))
+        .limit(1)
+        .select(col("d").as("cp_date"), abs(col("sv")).as("s_abs"), col("n").as("n_days"))
+    }),
+
     // ---- anomaly detection without a float mean (ORACLE) ---------------
     // Events whose value exceeds 2× their user's mean. The naive form
     // (value > 2*avg(value)) can never hash-match an oracle — avg is an
@@ -1267,6 +1295,13 @@ object AnalyticsQueries extends QueryGroup {
         "FROM s) " +
         "SELECT c_mktsegment, rfm_code, count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS sum_cents " +
         "FROM t GROUP BY 1, 2 ORDER BY c_mktsegment, rfm_code"),
+    "q_changepoint" ->
+      ("WITH daily AS (SELECT o_orderdate AS d, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1), " +
+        "w AS (SELECT d, CAST(sum(x) OVER (ORDER BY d) AS BIGINT) AS cum, " +
+        "CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS idx, " +
+        "CAST(sum(x) OVER () AS BIGINT) AS tot, count(*) OVER () AS n FROM daily) " +
+        "SELECT d AS cp_date, CAST(abs(n * cum - idx * tot) AS BIGINT) AS s_abs, n AS n_days " +
+        "FROM w ORDER BY abs(n * cum - idx * tot) DESC, d LIMIT 1"),
     "q_anomaly_mean" ->
       ("WITH c AS (SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
         "w AS (SELECT event_type, cents, count(cents) OVER (PARTITION BY user_id) AS n_u, " +

@@ -1049,6 +1049,44 @@ object DedupQueries extends QueryGroup {
         .groupBy("src1", "src2").agg(count(lit(1)).as("n_pairs"))
         .orderBy("src1", "src2")
     }),
+
+    // ---- URL canonicalization dedup (ORACLE) ----------------------------
+    // The web-crawl dedup that runs BEFORE any content hashing: the
+    // same page arrives under scheme/host case variants, trailing
+    // slashes, tracking params (utm_*/ref) and fragments. The fixture
+    // derives a noisy URL per document (variant by doc_id%4, page by
+    // doc_id%50 — q_url_funcs' construction discipline); the OPERATOR
+    // canonicalizes with parse_url — lowercase scheme+host, path with
+    // the trailing slash stripped, query and fragment dropped — and
+    // dedups per canonical URL with a min-doc_id survivor rule. The
+    // oracle constructs the canonical form directly from the columns,
+    // so hash equality proves the canonicalizer RECOVERS it from every
+    // noisy variant. Pure map-side string work + two hash aggregations:
+    // no shuffle beyond the group-bys, scale-safe at crawl size.
+    "q_dedup_url" -> ((s, d) => {
+      val page = (col("doc_id") % 50).cast("string")
+      val hostL = concat(col("source"), lit(".example.org"))
+      val variant = col("doc_id") % 4
+      val raw = when(variant === 0,
+          concat(lit("https://"), col("source"), lit(".Example.org/doc/"), page))
+        .when(variant === 1, concat(lit("HTTPS://"), hostL, lit("/doc/"), page, lit("/")))
+        .when(variant === 2, concat(lit("https://"), upper(col("source")),
+          lit(".example.org/doc/"), page, lit("?utm_source=x&utm_campaign=y")))
+        .otherwise(concat(lit("https://"), hostL, lit("/doc/"), page,
+          lit("?ref=abc#frag")))
+      val canon = Tables.documents(s, d)
+        .withColumn("raw", raw)
+        .withColumn("canon", concat(
+          lower(expr("parse_url(raw, 'PROTOCOL')")), lit("://"),
+          lower(expr("parse_url(raw, 'HOST')")),
+          regexp_replace(expr("parse_url(raw, 'PATH')"), "/$", "")))
+      canon.groupBy(col("source"), col("canon"))
+        .agg(min(col("doc_id")).as("surv"), count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(sum(col("n")).as("n_raw"), count(lit(1)).as("n_canon"),
+          sum(col("surv")).as("survivors_sum"))
+        .orderBy("source")
+    }),
   )
 
   /** Edit-distance dedup over (doc_id, text, fp) rows: same-bucket pairs
@@ -1487,5 +1525,11 @@ object DedupQueries extends QueryGroup {
         "SELECT least(da.source, db.source) AS src1, greatest(da.source, db.source) AS src2, count(*) AS n_pairs " +
         "FROM p JOIN documents da ON p.d1 = da.doc_id JOIN documents db ON p.d2 = db.doc_id " +
         "GROUP BY 1, 2 ORDER BY src1, src2"),
+    "q_dedup_url" ->
+      ("WITH c AS (SELECT source, doc_id, " +
+        "'https://' || source || '.example.org/doc/' || CAST(doc_id % 50 AS VARCHAR) AS canon FROM documents), " +
+        "g AS (SELECT source, canon, min(doc_id) AS surv, count(*) AS n FROM c GROUP BY 1, 2) " +
+        "SELECT source, CAST(sum(n) AS BIGINT) AS n_raw, count(*) AS n_canon, " +
+        "CAST(sum(surv) AS BIGINT) AS survivors_sum FROM g GROUP BY source ORDER BY source"),
   )
 }

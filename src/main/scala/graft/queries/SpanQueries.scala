@@ -92,6 +92,49 @@ object SpanQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // ---- span-level benchmark decontamination (ORACLE) ------------------
+    // q_contamination FLAGS docs sharing an 8-gram with the benchmark
+    // split (doc_id%50=0); this is the SCRUB — the part a training
+    // pipeline actually ships: every corpus position whose W-gram
+    // occurs in the benchmark marks a span [s, s+W), overlapping spans
+    // union-merge per doc (the same gaps-and-islands pass as
+    // q_substring_dup), and the per-lang census reports docs touched,
+    // tokens removed, and tokens surviving. Removing SPANS instead of
+    // whole docs is what preserves yield: a 500-token doc with one
+    // leaked question loses 8 tokens, not 500.
+    // Scale: the benchmark gram set is test-set-sized by nature —
+    // BROADCAST; corpus windows never shuffle for the match, only the
+    // per-doc island window shuffles, keyed by doc_id.
+    "q_decontaminate" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), toksOf(col("text")).as("l"))
+      val wins = toks.filter(size(col("l")) >= W)
+        .select(col("doc_id"), col("lang"),
+          posexplode(transform(sequence(lit(1), size(col("l")) - W + 1),
+            i => md5(concat_ws(" ", slice(col("l"), i, lit(W)))))))
+        .select(col("doc_id"), col("lang"), (col("pos") + 1).as("s"), col("col").as("w"))
+      val bench = wins.filter(col("doc_id") % 50 === 0).select("w").distinct()
+      val ivals = wins.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), "w")
+        .select(col("doc_id"), col("lang"), col("s"), (col("s") + W).as("e"))
+      val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+      val before = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+      val cov = ivals
+        .withColumn("new_island",
+          when(row_number().over(byDoc) === 1, 1L)
+            .when(col("s") > max(col("e")).over(before), 1L)
+            .otherwise(0L))
+        .withColumn("g", sum(col("new_island")).over(byDoc))
+        .groupBy(col("doc_id"), col("lang"), col("g"))
+        .agg(min(col("s")).as("mn"), max(col("e")).as("mx"))
+        .groupBy("doc_id", "lang").agg(sum(col("mx") - col("mn")).as("rm"))
+      cov.join(toks.select(col("doc_id"), size(col("l")).cast("long").as("nt")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("rm")).as("removed_tokens"),
+          sum(col("nt") - col("rm")).as("clean_tokens"))
+        .orderBy("lang")
+    }),
+
     // ---- positional-index phrase search (ORACLE) ------------------------
     // Phase 1 (corpus-scale agg, k-row result): the most frequent
     // trigram, ties to the lexicographically smallest — a deterministic,
@@ -140,6 +183,18 @@ object SpanQueries extends QueryGroup {
         "cov AS (SELECT doc_id, CAST(sum(mx-mn) AS BIGINT) AS dup_tokens FROM (SELECT doc_id, g, min(s) AS mn, max(e) AS mx FROM isl GROUP BY doc_id, g) GROUP BY doc_id) " +
         "SELECT t.doc_id AS doc_id, len(t.l) AS n_tokens, c.dup_tokens AS dup_tokens, floor((CAST(c.dup_tokens AS DOUBLE)/len(t.l))*1000.0 + 0.5)/1000.0 AS dup_frac " +
         "FROM toks t JOIN cov c ON t.doc_id = c.doc_id ORDER BY doc_id"),
+
+    "q_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), t -> t <> '') AS l FROM documents), " +
+        s"wins AS (SELECT doc_id, lang, i AS s, md5(array_to_string(l[i:i+${W - 1}], ' ')) AS w FROM toks, UNNEST(range(1, len(l)-$W+2)) AS r(i) WHERE len(l) >= $W), " +
+        "bench AS (SELECT DISTINCT w FROM wins WHERE doc_id % 50 = 0), " +
+        s"ivals AS (SELECT doc_id, lang, s, s+$W AS e FROM wins JOIN bench USING (w) WHERE doc_id % 50 <> 0), " +
+        "marked AS (SELECT doc_id, lang, s, e, CASE WHEN row_number() OVER (PARTITION BY doc_id ORDER BY s, e) = 1 THEN 1 WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS new_island FROM ivals), " +
+        "isl AS (SELECT doc_id, lang, s, e, sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e) AS g FROM marked), " +
+        "cov AS (SELECT doc_id, lang, CAST(sum(mx-mn) AS BIGINT) AS rm FROM (SELECT doc_id, lang, g, min(s) AS mn, max(e) AS mx FROM isl GROUP BY doc_id, lang, g) GROUP BY doc_id, lang) " +
+        "SELECT c.lang AS lang, count(*) AS n_docs, CAST(sum(c.rm) AS BIGINT) AS removed_tokens, " +
+        "CAST(sum(len(t.l) - c.rm) AS BIGINT) AS clean_tokens " +
+        "FROM cov c JOIN toks t ON c.doc_id = t.doc_id GROUP BY c.lang ORDER BY lang"),
 
     "q_phrase_search" ->
       ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), t -> t <> '') AS l FROM documents), " +

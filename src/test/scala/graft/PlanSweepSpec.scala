@@ -67,6 +67,7 @@ class PlanSweepSpec extends SparkSpec {
                         // range-repartition + per-shard local row numbers
     "q_percentile_global", // same ShardedRank census window
     "q_seasonal_decompose", // 7-day MA over the ~#days daily census
+    "q_changepoint",    // CUSUM windows over the ≤#days daily census
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
