@@ -1010,6 +1010,41 @@ object AnalyticsQueries extends QueryGroup {
         .orderBy("c_mktsegment", "decile")
     }),
 
+    // ---- Mann-Whitney U (rank-sum) statistic (ORACLE) --------------------
+    // The NON-parametric two-sample test — what you reach for when
+    // spend distributions are too skewed for q_ab_ttest's Welch t.
+    // Finished (F) vs open (O) orders per market segment. Average tie
+    // ranks are float-hostile ((rmin+rmax)/2), so everything is scaled
+    // by 2: 2·avgrank = 2·rank() + |ties| − 1, exact BIGINT; the
+    // reported statistic is 2·U_F = Σ(2·avgrank over F) − n_F(n_F+1).
+    // Shape at 100 TB: one shuffle keyed by segment for the rank
+    // window (the tie-count window shares the partitioning), then a
+    // k-segment aggregate — the same skew posture as q_rfm's ntiles;
+    // a production run over heavier segments range-shards the rank
+    // via ShardedRank.
+    "q_mann_whitney" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select(col("o_custkey"), col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      val j = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select("seg", "st", "cents")
+      val wr = Window.partitionBy("seg").orderBy("cents")
+      val wt = Window.partitionBy("seg", "cents")
+      val a = j
+        .withColumn("r2", rank().over(wr).cast("long") * 2
+          + count(lit(1)).over(wt) - 1)
+        .groupBy("seg")
+        .agg(sum(when(col("st") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("st") === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when(col("st") === "F", col("r2")).otherwise(0L)).as("s2"))
+      a.select(col("seg"), col("n_f"), col("n_o"),
+          (col("s2") - col("n_f") * (col("n_f") + 1)).as("u2_f"))
+        .orderBy("seg")
+    }),
+
     // ---- Welch two-sample t statistic (ORACLE) ---------------------------
     // The A/B-test readout: does cohort A (user_id even) spend per
     // purchase differently from cohort B? Welch's t from exact integer
@@ -1295,6 +1330,14 @@ object AnalyticsQueries extends QueryGroup {
         "FROM s) " +
         "SELECT c_mktsegment, rfm_code, count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS sum_cents " +
         "FROM t GROUP BY 1, 2 ORDER BY c_mktsegment, rfm_code"),
+    "q_mann_whitney" ->
+      ("WITH j AS (SELECT c_mktsegment AS seg, o_orderstatus AS st, CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderstatus IN ('F', 'O')), " +
+        "r AS (SELECT seg, st, 2 * rank() OVER (PARTITION BY seg ORDER BY cents) + count(*) OVER (PARTITION BY seg, cents) - 1 AS r2 FROM j), " +
+        "a AS (SELECT seg, CAST(sum(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, " +
+        "CAST(sum(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, " +
+        "CAST(sum(CASE WHEN st = 'F' THEN r2 ELSE 0 END) AS BIGINT) AS s2 FROM r GROUP BY seg) " +
+        "SELECT seg, n_f, n_o, CAST(s2 - n_f * (n_f + 1) AS BIGINT) AS u2_f FROM a ORDER BY seg"),
     "q_changepoint" ->
       ("WITH daily AS (SELECT o_orderdate AS d, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1), " +
         "w AS (SELECT d, CAST(sum(x) OVER (ORDER BY d) AS BIGINT) AS cum, " +

@@ -789,6 +789,36 @@ object DedupQueries extends QueryGroup {
     // same way by neighbor id since degrees are k-bounded by
     // construction. Score = ratio of exact integer counts, r3-rounded,
     // (u, v) tiebreak.
+    // ---- PageRank over the kNN graph (ORACLE) ---------------------------
+    // Which documents sit at the center of the similarity graph? Power
+    // iteration made hash-exact: ranks live in integer MICRO units
+    // (r0 = 1e6), each step is pr' = 150000 + Σ_in (pr·85) div
+    // (deg·100) — damping 0.85 as an exact integral division, 3
+    // unrolled iterations, every engine-order dependence gone. Shape
+    // at 100 TB: each iteration is one equi-join of the k-bounded edge
+    // artifact against the rank vector + one hash aggregate keyed by
+    // node — the standard distributed PageRank step; no window, no
+    // global sort until the final 20-row TakeOrdered.
+    "q_graph_pagerank" -> ((s, d) => {
+      val ed = knnEdges(s, d)
+      val edges = ed.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(ed.select(col("v").as("a"), col("u").as("b")))
+      val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("dega"))
+      var pr = deg.select(col("a").as("node"), lit(1000000L).as("pr"))
+      for (_ <- 1 to 3) {
+        pr = edges
+          .join(pr.withColumnRenamed("node", "a"), "a")
+          .join(deg, "a")
+          .select(col("b"), expr("(pr * 85) div (dega * 100)").as("c"))
+          .groupBy(col("b").as("node"))
+          .agg((sum(col("c")) + 150000L).as("pr"))
+      }
+      pr.join(deg.select(col("a").as("node"), col("dega").as("deg")), "node")
+        .select(col("node"), col("pr").as("rank_micro"), col("deg"))
+        .orderBy(col("rank_micro").desc, col("node"))
+        .limit(20)
+    }),
+
     "q_graph_jaccard" -> ((s, d) => {
       val ed = knnEdges(s, d)
       val edges = ed.select(col("u").as("a"), col("v").as("b"))
@@ -1294,6 +1324,20 @@ object DedupQueries extends QueryGroup {
         "SELECT cluster_root, count(*) AS cluster_size FROM " +
         "(SELECT src, min(dst) AS cluster_root FROM reach GROUP BY src) x " +
         "GROUP BY cluster_root ORDER BY cluster_root"),
+    "q_graph_pagerank" ->
+      ("WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, " +
+        "floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000.0 + 0.5) / 1000.0 AS cosr " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id), " +
+        "r AS (SELECT id1, id2, row_number() OVER (PARTITION BY id1 ORDER BY cosr DESC, id2) AS rn FROM p), " +
+        "ed AS (SELECT DISTINCT least(id1, id2) AS u, greatest(id1, id2) AS v FROM r WHERE rn <= 3), " +
+        "edges AS (SELECT u AS a, v AS b FROM ed UNION ALL SELECT v, u FROM ed), " +
+        "deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a), " +
+        "pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM deg), " +
+        "pr1 AS (SELECT e.b AS node, CAST(150000 + sum((r.pr * 85) // (d.deg * 100)) AS BIGINT) AS pr FROM edges e JOIN pr0 r ON e.a = r.node JOIN deg d ON e.a = d.node GROUP BY e.b), " +
+        "pr2 AS (SELECT e.b AS node, CAST(150000 + sum((r.pr * 85) // (d.deg * 100)) AS BIGINT) AS pr FROM edges e JOIN pr1 r ON e.a = r.node JOIN deg d ON e.a = d.node GROUP BY e.b), " +
+        "pr3 AS (SELECT e.b AS node, CAST(150000 + sum((r.pr * 85) // (d.deg * 100)) AS BIGINT) AS pr FROM edges e JOIN pr2 r ON e.a = r.node JOIN deg d ON e.a = d.node GROUP BY e.b) " +
+        "SELECT p3.node AS node, p3.pr AS rank_micro, d.deg AS deg FROM pr3 p3 JOIN deg d ON p3.node = d.node " +
+        "ORDER BY rank_micro DESC, node LIMIT 20"),
     "q_graph_jaccard" ->
       ("WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, " +
         "floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000.0 + 0.5) / 1000.0 AS cosr " +

@@ -104,6 +104,33 @@ object LakehouseQueries extends QueryGroup {
       versions.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // ---- PUBLIC-spec Apache Iceberg EXPORT (the write path) -------------
+    // IcebergWriter emits a spec-conformant Hadoop-catalog table:
+    // data files + ADDED manifest entries + manifest list per
+    // snapshot, metadata JSON chain, version-hint committed LAST (the
+    // filesystem catalog's pointer swap). append carries the previous
+    // snapshot's live files as EXISTING entries, so the incremental
+    // append scan's status=1 filter still sees exactly the new rows.
+    // Graded as a round trip through the already-graded reader: census
+    // BOTH snapshots via time travel. A writer that dropped part
+    // files, mis-counted record_count, or broke the snapshot chain
+    // hash-fails.
+    "q_iceberg_roundtrip" -> ((s, d) => {
+      val base = s"${iceBase(d, "orders_rt")}"
+      val o = iceOrders(s, d)
+      graft.sources.IcebergWriter.create(s,
+        o.filter(col("o_orderpriority") === "1-URGENT").repartition(2), base)
+      graft.sources.IcebergWriter.append(s,
+        o.filter(col("o_orderpriority") =!= "1-URGENT").repartition(3), base)
+      val versions = Seq(1L, 2L).map { snap =>
+        graft.sources.IcebergReader.read(s, base, snap).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("total_cents"))
+          .select(lit(snap).as("snapshot_id"), col("n_rows"), col("total_cents"))
+      }
+      versions.reduce(_ unionAll _).orderBy("snapshot_id")
+    }),
+
     // ---- Delta OPTIMIZE (bin-pack compaction) ----------------------------
     // The maintenance job every Delta table needs: 7 small live files
     // (3 from create + 4 from append) bin-packed into 1, committed as
@@ -698,6 +725,47 @@ object LakehouseQueries extends QueryGroup {
     }),
   )
 
+  /** Write ONE parquet file per distinct value of `groupCol` in a
+    * SINGLE Spark job: the rows funnel through one task (fixture-scale
+    * data) and `partitionBy` on a COPY column splits them into
+    * per-group files, moved to `relFor(value)` under `base`. Returns
+    * value → (rel, rowCount); the counts come from one metadata-cheap
+    * read-back. Replaces the one-job-per-group staging loops that
+    * dominated the lakehouse fixtures' bench cost (a 7-group fixture
+    * was 14 sequential jobs; this is 2). */
+  private def writeGroups(s: SparkSession, base: String,
+                          df: org.apache.spark.sql.DataFrame,
+                          groupCol: org.apache.spark.sql.Column,
+                          relFor: String => String): Map[String, (String, Long)] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val tmp = s"$base/.stage"
+    TxnLog.rmrf(tmp)
+    df.withColumn("__g", groupCol.cast("string"))
+      .repartition(1).write.partitionBy("__g").parquet(tmp)
+    val moved = Files.list(Paths.get(tmp)).iterator.asScala
+      .filter(_.getFileName.toString.startsWith("__g="))
+      .map { dir =>
+        val v = dir.getFileName.toString.stripPrefix("__g=")
+        val parts = Files.list(dir).iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        require(parts.size == 1,
+          s"single-task partitionBy wrote ${parts.size} files for group $v")
+        val rel = relFor(v)
+        Files.createDirectories(Paths.get(base, rel).getParent)
+        Files.move(parts.head, Paths.get(base, rel))
+        v -> rel
+      }.toMap
+    TxnLog.rmrf(tmp)
+    val counts = s.read.parquet(moved.values.map(r => s"$base/$r").toSeq: _*)
+      .groupBy(col("_metadata.file_name").as("f"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    moved.map { case (v, rel) =>
+      v -> (rel, counts.getOrElse(rel.split('/').last, 0L))
+    }
+  }
+
   /** Build the shared 3-commit public-spec Delta fixture from `orders`:
     * one parquet file per o_orderkey%3 residue, v0 adds g0+g1 (with
     * protocol+metaData), v1 appends g2, v2 removes g0. Add actions
@@ -713,24 +781,11 @@ object LakehouseQueries extends QueryGroup {
     val o = Tables.orders(s, d).select(
       col("o_orderkey"), col("o_orderpriority"),
       cents("o_totalprice").as("cents"))
-    // one parquet FILE per group, spec-style relative add paths
-    def writeGroup(res: Int): (String, Long) = {
-      val grp = o.filter(pmod(col("o_orderkey"), lit(3)) === res)
-      val n = grp.count()
-      val tmp = s"$base/.stage-$res"
-      grp.coalesce(1).write.parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).iterator()
-      var src: java.nio.file.Path = null
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) src = p
-      }
-      val rel = s"part-g$res.parquet"
-      Files.move(src, Paths.get(base, rel))
-      TxnLog.rmrf(tmp)
-      (rel, n)
-    }
-    val Seq(g0, g1, g2) = (0 to 2).map(writeGroup)
+    // one parquet FILE per group, spec-style relative add paths —
+    // all three groups in a single staged job
+    val g = writeGroups(s, base, o, pmod(col("o_orderkey"), lit(3)),
+      v => s"part-g$v.parquet")
+    val Seq(g0, g1, g2) = (0 to 2).map(i => g(i.toString))
     def commit(v: Long, lines: Seq[String]): Unit =
       Files.write(Paths.get(base, "_delta_log", f"$v%020d.json"),
         lines.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -782,8 +837,9 @@ object LakehouseQueries extends QueryGroup {
     def commit(v: Long, lines: Seq[String]): Unit =
       Files.write(Paths.get(base, "_delta_log", f"$v%020d.json"),
         lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-    val f0 = writeOne(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), "f0.parquet")
-    val f1 = writeOne(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), "f1.parquet")
+    val gcdf = writeGroups(s, base, o, pmod(col("o_orderkey"), lit(2)),
+      v => s"f$v.parquet")
+    val Seq(f0, f1) = (0 to 1).map(i => gcdf(i.toString))
     commit(0, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       """{"metaData":{"id":"graft-orders-cdf","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}""",
@@ -928,12 +984,9 @@ object LakehouseQueries extends QueryGroup {
   private[queries] def mkIcebergFixture(s: SparkSession, d: String, suffix: String): String = {
     val t = new IceTable(s, iceBase(d, suffix))
     val o = iceOrders(s, d)
-    val groups = (0 to 3).map { res =>
-      val grp = o.filter(pmod(col("o_orderkey"), lit(4)) === res)
-      val rel = s"data/part-g$res.parquet"
-      t.writeOne(grp, rel)
-      (rel, grp.count())
-    }
+    val g = writeGroups(s, t.base, o, pmod(col("o_orderkey"), lit(4)),
+      v => s"data/part-g$v.parquet")
+    val groups = (0 to 3).map(i => g(i.toString))
     // snapshot 1: first three groups ADDED; snapshot 2: g0 DELETED,
     // g1/g2 carried as EXISTING, g3 ADDED
     t.manifest("metadata/m1.avro",
@@ -958,12 +1011,10 @@ object LakehouseQueries extends QueryGroup {
     val o = Tables.orders(s, d).select(
       col("o_orderkey"), cents("o_totalprice").as("cents"),
       year(col("o_orderdate")).cast("long").as("o_year"))
-    val years = o.select(min("o_year"), max("o_year")).collect().head
-    val entries = (years.getLong(0) to years.getLong(1)).map { y =>
-      val grp = o.filter(col("o_year") === y)
-      val rel = s"data/part-y$y.parquet"
-      t.writeOne(grp, rel)
-      IceEntry(1, rel, grp.count(), bounds = Some((3, y, y)))
+    val g = writeGroups(s, t.base, o, col("o_year"), v => s"data/part-y$v.parquet")
+    val entries = g.keys.toSeq.sortBy(_.toLong).map { v =>
+      val (rel, n) = g(v)
+      IceEntry(1, rel, n, bounds = Some((3, v.toLong, v.toLong)))
     }
     t.manifest("metadata/m1.avro", entries)
     t.manifestList(1L, Seq("metadata/m1.avro"))
@@ -982,12 +1033,9 @@ object LakehouseQueries extends QueryGroup {
   private[queries] def mkIcebergV2Fixture(s: SparkSession, d: String, suffix: String): String = {
     val t = new IceTable(s, iceBase(d, suffix))
     val o = iceOrders(s, d)
-    val groups = (0 to 1).map { res =>
-      val grp = o.filter(pmod(col("o_orderkey"), lit(2)) === res)
-      val rel = s"data/part-g$res.parquet"
-      t.writeOne(grp, rel)
-      (rel, grp.count())
-    }
+    val g2 = writeGroups(s, t.base, o, pmod(col("o_orderkey"), lit(2)),
+      v => s"data/part-g$v.parquet")
+    val groups = (0 to 1).map(i => g2(i.toString))
     val delRows = s.read.parquet(s"${t.base}/${groups(0)._1}")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("_metadata.file_path").as("file_path"),
@@ -1029,10 +1077,8 @@ object LakehouseQueries extends QueryGroup {
     Files.writeString(Paths.get(base, ".hoodie", "hoodie.properties"),
       "hoodie.table.name=orders_hudi\nhoodie.table.type=COPY_ON_WRITE\n")
     val o = iceOrders(s, d)
-    (0 to 2).foreach { g =>
-      hudiWriteFile(s, base, o.filter(pmod(col("o_orderkey"), lit(3)) === g),
-        s"g${g}_0-0-0_001.parquet")
-    }
+    writeGroups(s, base, o, pmod(col("o_orderkey"), lit(3)),
+      v => s"g${v}_0-0-0_001.parquet")
     Files.writeString(Paths.get(base, ".hoodie", "001.commit"), "{}")
     hudiWriteFile(s, base, o.filter(pmod(col("o_orderkey"), lit(3)) === 0 &&
       col("o_orderpriority") =!= "1-URGENT"), "g0_0-0-0_002.parquet")
@@ -1075,10 +1121,8 @@ object LakehouseQueries extends QueryGroup {
     Files.writeString(Paths.get(base, ".hoodie", "hoodie.properties"),
       "hoodie.table.name=orders_hudi_incr\nhoodie.table.type=COPY_ON_WRITE\n")
     val o = iceOrders(s, d).withColumn("_hoodie_commit_time", lit("001"))
-    (0 to 2).foreach { g =>
-      hudiWriteFile(s, base, o.filter(pmod(col("o_orderkey"), lit(3)) === g),
-        s"g${g}_0-0-0_001.parquet")
-    }
+    writeGroups(s, base, o, pmod(col("o_orderkey"), lit(3)),
+      v => s"g${v}_0-0-0_001.parquet")
     Files.writeString(Paths.get(base, ".hoodie", "001.commit"), "{}")
     val g0v2 = o.filter(pmod(col("o_orderkey"), lit(3)) === 0 &&
         col("o_orderpriority") =!= "1-URGENT")
@@ -1100,11 +1144,15 @@ object LakehouseQueries extends QueryGroup {
     val o = iceOrders(s, d)
     val pris = o.select("o_orderpriority").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
+    // group on an index surrogate: priority values contain spaces,
+    // which hive-style partition dirs escape
+    val idx = pris.zipWithIndex.foldLeft(lit(-1)) { case (acc, (p, i)) =>
+      when(col("o_orderpriority") === p, i).otherwise(acc)
+    }
+    val g = writeGroups(s, t.base, o, idx, v => s"data/part-p$v.parquet")
     val entries = pris.zipWithIndex.map { case (pri, i) =>
-      val grp = o.filter(col("o_orderpriority") === pri)
-      val rel = s"data/part-p$i.parquet"
-      t.writeOne(grp, rel)
-      IceEntry(1, rel, grp.count(), part = Some(pri))
+      val (rel, n) = g(i.toString)
+      IceEntry(1, rel, n, part = Some(pri))
     }
     t.manifest("metadata/m1.avro", entries, partCol = Some("o_orderpriority"))
     t.manifestList(1L, Seq("metadata/m1.avro"))
@@ -1159,6 +1207,11 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE g IN (1, 2) " +
         "ORDER BY version"),
+    "q_iceberg_roundtrip" ->
+      ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS snapshot_id, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE pri = '1-URGENT' " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "ORDER BY snapshot_id"),
     "q_iceberg_stats_prune" ->
       ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_rows, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +

@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.types._
+
+/** Write-side twin of [[IcebergReader]]: emit a PUBLIC-spec Apache
+  * Iceberg table (Hadoop-catalog layout, format v1) so existing
+  * Iceberg consumers can read what this engine produces — the export
+  * path when downstream stays on Iceberg.
+  *
+  * Scope (minimal, spec-conformant, append-only):
+  *   - `create`: write the DataFrame's partitions as parquet data
+  *     files, one ADDED (status=1) manifest entry each, one manifest +
+  *     manifest list for snapshot 1, then `v1.metadata.json` and the
+  *     `version-hint.text` pointer (committed LAST — the filesystem
+  *     catalog's atomic pointer swap).
+  *   - `append`: snapshot N+1 — a NEW manifest carrying the previous
+  *     snapshot's live files as EXISTING (status=0) entries plus the
+  *     new files as ADDED, so [[IcebergReader.readAppended]]'s
+  *     status=1 filter sees exactly the appended rows (the
+  *     exactly-once property incremental consumers rely on).
+  *
+  * The DATA write is the ordinary distributed parquet sink; manifests
+  * and manifest lists are KB-scale avro composed through the ordinary
+  * Spark avro source, and the metadata JSON is driver-side — the same
+  * metadata/data split the spec itself mandates. `record_count` rides
+  * each manifest entry (from one `_metadata.file_name` group-by over
+  * just the new files), so downstream `files`-relation censuses work
+  * at metadata cost.
+  */
+object IcebergWriter {
+
+  private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  private val entrySchema = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("data_file", StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("file_format", StringType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = false))))))
+
+  /** Stage-write `df` and move its part files to deterministic
+    * `data/s<snapshot>-<i>.parquet` names; returns (relPath, rows). */
+  private def writeData(spark: SparkSession, df: DataFrame, base: String,
+                        snapshot: Long): Seq[(String, Long)] = {
+    val tmp = s"$base/.stage-s$snapshot"
+    TxnLog.rmrf(tmp)
+    df.write.parquet(tmp)
+    Files.createDirectories(Paths.get(base, "data"))
+    val moved = Files.list(Paths.get(tmp)).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .zipWithIndex.map { case (p, i) =>
+        val rel = s"data/s$snapshot-$i.parquet"
+        Files.move(p, Paths.get(base, rel))
+        rel
+      }
+    TxnLog.rmrf(tmp)
+    require(moved.nonEmpty, s"writeData produced no part files under $tmp")
+    val counts = spark.read.parquet(moved.map(r => s"$base/$r"): _*)
+      .groupBy(col("_metadata.file_name").as("f"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    moved.map(rel => rel -> counts.getOrElse(rel.split('/').last, 0L))
+  }
+
+  /** One avro file of manifest entries at `rel`. */
+  private def writeManifest(spark: SparkSession, base: String, rel: String,
+                            entries: Seq[(Int, String, Long)]): Unit = {
+    val rows = entries.map { case (status, path, n) =>
+      Row(status, Row(path, "PARQUET", n, Files.size(Paths.get(base, path))))
+    }
+    writeOneAvro(spark, base, rel,
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), entrySchema))
+  }
+
+  private def writeOneAvro(spark: SparkSession, base: String, rel: String,
+                           df: DataFrame): Unit = {
+    val tmp = s"$base/.stage-avro"
+    TxnLog.rmrf(tmp)
+    df.coalesce(1).write.format(avroFmt).save(tmp)
+    val src = Files.list(Paths.get(tmp)).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".avro"))
+      .getOrElse(throw new IllegalStateException(s"no avro staged under $tmp"))
+    Files.move(src, Paths.get(base, rel))
+    TxnLog.rmrf(tmp)
+  }
+
+  private def writeManifestList(spark: SparkSession, base: String,
+                                snapshot: Long, manifests: Seq[String]): Unit = {
+    val schema = StructType(Seq(
+      StructField("manifest_path", StringType, nullable = false),
+      StructField("manifest_length", LongType, nullable = false)))
+    val rows = manifests.map(m => Row(m, Files.size(Paths.get(base, m))))
+    writeOneAvro(spark, base, s"metadata/snap-$snapshot.avro",
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+  }
+
+  /** metadata JSON + version hint; the hint write is the commit point. */
+  private def writeMeta(base: String, v: Int, current: Long, snaps: Seq[Long]): Unit = {
+    val ss = snaps.map(i =>
+      s"""{"snapshot-id":$i,"timestamp-ms":0,"manifest-list":"metadata/snap-$i.avro"}""")
+    Files.writeString(Paths.get(base, "metadata", s"v$v.metadata.json"),
+      s"""{"format-version":1,"table-uuid":"graft-export","location":"$base",""" +
+        s""""current-snapshot-id":$current,"snapshots":[${ss.mkString(",")}]}""")
+    Files.writeString(Paths.get(base, "metadata", "version-hint.text"), v.toString)
+  }
+
+  /** Create a new Iceberg table at `base` (snapshot 1). */
+  def create(spark: SparkSession, df: DataFrame, base: String): Unit = {
+    TxnLog.rmrf(base)
+    Files.createDirectories(Paths.get(base, "metadata"))
+    val files = writeData(spark, df, base, 1L)
+    writeManifest(spark, base, "metadata/m1.avro", files.map { case (p, n) => (1, p, n) })
+    writeManifestList(spark, base, 1L, Seq("metadata/m1.avro"))
+    writeMeta(base, 1, current = 1L, snaps = Seq(1L))
+  }
+
+  /** Append-only commit: snapshot N+1 adds `df`'s rows; the previous
+    * snapshot's live files ride along as EXISTING entries. */
+  def append(spark: SparkSession, df: DataFrame, base: String): Unit = {
+    val v = IcebergReader.currentMetadataVersion(base)
+    val prev = IcebergReader.currentSnapshotId(base, v)
+    val carried = IcebergReader.snapshotFiles(spark, base, prev)
+      .map { case (abs, n) =>
+        // reader resolves relative paths against base; store them relative
+        val rel = abs.stripPrefix(Paths.get(base).toString).stripPrefix("/")
+        (0, rel, n)
+      }
+    val snap = prev + 1
+    val files = writeData(spark, df, base, snap)
+    writeManifest(spark, base, s"metadata/m$snap.avro",
+      carried ++ files.map { case (p, n) => (1, p, n) })
+    writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
+    writeMeta(base, v + 1, current = snap, snaps = (1L to snap))
+  }
+}

@@ -245,6 +245,29 @@ class IcebergSpec extends SparkSpec {
     intercept[IllegalArgumentException](IcebergReader.boundsOverlap(3, 5L, 4L))
   }
 
+  test("writer round-trip: create + append emit snapshots the reader and incremental scan honor") {
+    val base = "/tmp/graft_iceberg_test/writer"
+    val W = graft.sources.IcebergWriter
+    val df1 = spark.createDataFrame(Seq(1L, 2L, 3L).map(Tuple1(_))).toDF("id")
+    val df2 = spark.createDataFrame(Seq(10L, 20L).map(Tuple1(_))).toDF("id")
+    W.create(spark, df1.repartition(2), base)
+    W.append(spark, df2.coalesce(1), base)
+    assert(IcebergReader.currentMetadataVersion(base) == 2)
+    assert(IcebergReader.read(spark, base, 1L)
+      .agg(sum("id")).collect().head.getLong(0) == 6L)
+    assert(IcebergReader.read(spark, base)
+      .agg(sum("id")).collect().head.getLong(0) == 36L)
+    // the EXISTING/ADDED split: snapshot 2's incremental append scan
+    // must see ONLY the appended rows, not the carried files
+    assert(IcebergReader.readAppended(spark, base, 2L)
+      .agg(sum("id")).collect().head.getLong(0) == 30L)
+    // record_count rides the manifests: the files relation answers
+    // row counts without opening a data file
+    val ft = IcebergReader.filesTable(spark, base, 2L)
+      .agg(sum("record_count")).collect().head.getLong(0)
+    assert(ft == 5L)
+  }
+
   test("format-version beyond 2 and unknown snapshot ids are rejected") {
     val base = mkTable("guards")
     writeData(base, "data/a.parquet", Seq(1L))
