@@ -1010,6 +1010,43 @@ object AnalyticsQueries extends QueryGroup {
         .orderBy("c_mktsegment", "decile")
     }),
 
+    // ---- Theil-Sen robust regression (ORACLE) ----------------------------
+    // The median-of-pairwise-slopes line through monthly revenue — the
+    // robust alternative to q_corr_regr's least squares (one wild month
+    // can't move it). Slopes live in integer MILLI-cents/month — both
+    // Spark's `div` and DuckDB's integer `//` truncate toward zero
+    // (measured: -879335883 from both, where a floor would give ...84),
+    // so plain integral division is cross-engine exact even on the
+    // negative slopes. Lower median with (slope, i, j) tiebreak;
+    // intercept = median(y·1000 − slope·m).
+    // Scale: the month census is k-bounded (≤ #months), so the pair
+    // self-join (≤ months²) and both median windows run on bounded
+    // intermediates — allowlisted with that argument; the corpus
+    // touches one hash aggregate only.
+    "q_theil_sen" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy((((year(col("o_orderdate")) - 1992) * 12)
+          + month(col("o_orderdate")) - 1).cast("long").as("m"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      val a = monthly.select(col("m").as("i"), col("y").as("yi"))
+      val b = monthly.select(col("m").as("j"), col("y").as("yj"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val med = a.join(broadcast(b), col("i") < col("j"))
+        .select(col("i"), col("j"),
+          expr("((yj - yi) * 1000) div (j - i)").as("sl"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("rn", row_number().over(Window.orderBy("sl", "i", "j")))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("sl").as("slope_milli"), col("n").as("n_pairs"))
+      monthly.crossJoin(broadcast(med))
+        .withColumn("c", col("y") * 1000L - col("slope_milli") * col("m"))
+        .withColumn("k", count(lit(1)).over(wAll))
+        .withColumn("rn", row_number().over(Window.orderBy("c", "m")))
+        .filter(col("rn") === expr("(k + 1) div 2"))
+        .select(col("k").as("n_months"), col("n_pairs"),
+          col("slope_milli"), col("c").as("intercept_milli"))
+    }),
+
     // ---- Mann-Whitney U (rank-sum) statistic (ORACLE) --------------------
     // The NON-parametric two-sample test — what you reach for when
     // spend distributions are too skewed for q_ab_ttest's Welch t.
@@ -1330,6 +1367,17 @@ object AnalyticsQueries extends QueryGroup {
         "FROM s) " +
         "SELECT c_mktsegment, rfm_code, count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS sum_cents " +
         "FROM t GROUP BY 1, 2 ORDER BY c_mktsegment, rfm_code"),
+    "q_theil_sen" ->
+      ("WITH mth AS (SELECT ((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1) AS m, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y FROM orders GROUP BY 1), " +
+        "p AS (SELECT a.m AS i, b.m AS j, ((b.y - a.y) * 1000) // (b.m - a.m) AS sl FROM mth a JOIN mth b ON a.m < b.m), " +
+        "ps AS (SELECT i, j, sl, count(*) OVER () AS n, row_number() OVER (ORDER BY sl, i, j) AS rn FROM p), " +
+        "med AS (SELECT CAST(sl AS BIGINT) AS slope_milli, CAST(n AS BIGINT) AS n_pairs FROM ps WHERE rn = (n + 1) // 2), " +
+        "ic AS (SELECT m, y * 1000 - (SELECT slope_milli FROM med) * m AS c FROM mth), " +
+        "ics AS (SELECT c, m, count(*) OVER () AS k, row_number() OVER (ORDER BY c, m) AS rn FROM ic) " +
+        "SELECT CAST(k AS BIGINT) AS n_months, (SELECT n_pairs FROM med) AS n_pairs, " +
+        "(SELECT slope_milli FROM med) AS slope_milli, CAST(c AS BIGINT) AS intercept_milli " +
+        "FROM ics WHERE rn = (k + 1) // 2"),
     "q_mann_whitney" ->
       ("WITH j AS (SELECT c_mktsegment AS seg, o_orderstatus AS st, CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
         "FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderstatus IN ('F', 'O')), " +

@@ -159,6 +159,51 @@ object LakehouseQueries extends QueryGroup {
       versions.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // ---- Delta RESTORE (forward-moving revert) --------------------------
+    // v0 writes the '1-URGENT' slice as 3 files, v1 OPTIMIZEs them
+    // into 1, v2 RESTOREs v0 — a NEW commit (history intact) that
+    // removes the packed file and RE-ADDS the original three, both
+    // sides a KB-scale path-set diff with no data file read or
+    // written. All three censuses are content-identical (what restore
+    // promises); the per-version live file counts 3 → 1 → 3 pin that
+    // every transition actually happened, including the add-back path.
+    "q_delta_restore" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_restore"
+      val o = iceOrders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      graft.sources.DeltaLogWriter.create(s, o.repartition(3), base, "graft-orders-restore")
+      graft.sources.DeltaLogWriter.optimize(s, base)
+      graft.sources.DeltaLogWriter.restore(s, base, 0L)
+      val versions = (0L to 2L).map { v =>
+        val nFiles = graft.sources.DeltaLogReader.snapshotFiles(Some(s), base, v).size.toLong
+        graft.sources.DeltaLogReader.read(s, base, v).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("total_cents"))
+          .select(lit(v).as("version"), lit(nFiles).as("n_files"),
+            col("n_rows"), col("total_cents"))
+      }
+      versions.reduce(_ unionAll _).orderBy("version")
+    }),
+
+    // ---- Delta partitioned write (hive layout + partitionValues) --------
+    // The write-side completion of the reader's partitioned support:
+    // create with partitionColumns lands data in `col=value/` dirs
+    // (values escaped on disk, REAL values in each add's
+    // partitionValues — the spec's path/metadata split, including the
+    // space in '4-NOT SPECIFIED'), and a predicate read back through
+    // the reader prunes at partition level. The census groups by the
+    // partition column itself, which the data files do NOT carry —
+    // only a reader that recovers it from the layout can answer.
+    "q_delta_part_write" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_part"
+      graft.sources.DeltaLogWriter.create(s, iceOrders(s, d), base,
+        "graft-orders-part", partitionBy = Seq("o_orderpriority"))
+      graft.sources.DeltaLogReader.read(s, base)
+        .filter(col("o_orderpriority").isin("2-HIGH", "4-NOT SPECIFIED"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- Delta checkpoint write + log expiry -----------------------------
     // The replay-bounding half of the spec: after v0+v1, `checkpoint`
     // emits <v1>.checkpoint.parquet + _last_checkpoint, `expireLog`
@@ -1222,6 +1267,17 @@ object LakehouseQueries extends QueryGroup {
         "SELECT CAST(1 AS BIGINT) AS version, CAST(7 AS BIGINT) AS n_files, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
         "UNION ALL SELECT 2, 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "ORDER BY version"),
+    "q_delta_restore" ->
+      ("WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "SELECT CAST(0 AS BIGINT) AS version, CAST(3 AS BIGINT) AS n_files, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 1, 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 2, 3, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "ORDER BY version"),
+    "q_delta_part_write" ->
+      ("SELECT o_orderpriority, count(*) AS n_rows, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders WHERE o_orderpriority IN ('2-HIGH', '4-NOT SPECIFIED') " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_delta_checkpoint" ->
       ("WITH o AS (SELECT o_orderkey % 3 AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE g IN (0, 1) " +

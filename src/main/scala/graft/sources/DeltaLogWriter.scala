@@ -35,6 +35,30 @@ object DeltaLogWriter {
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
+  /** Undo hive-style partition-dir escaping (`%XX`) — dir names are
+    * escaped on disk, but `partitionValues` in the log carry the real
+    * value (the spec's split between path spelling and metadata). */
+  private def unescapeHive(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length)
+        { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+      else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `col=value/...` path prefix → the add action's partitionValues. */
+  private def partitionValuesOf(rel: String): String = {
+    val kvs = rel.split('/').dropRight(1).flatMap { seg =>
+      val eq = seg.indexOf('=')
+      if (eq < 0) None
+      else Some(s""""${esc(seg.take(eq))}":"${esc(unescapeHive(seg.drop(eq + 1)))}"""")
+    }
+    kvs.mkString("{", ",", "}")
+  }
+
   /** One add action per new part file, stats included. */
   private def addActions(spark: SparkSession, base: String, relPaths: Seq[String]): Seq[String] = {
     val counts = spark.read.parquet(relPaths.map(r => s"$base/$r"): _*)
@@ -45,22 +69,33 @@ object DeltaLogWriter {
       val name = rel.split('/').last
       val n = counts.getOrElse(name, 0L)
       val sz = Files.size(Paths.get(base, rel))
-      s"""{"add":{"path":"$rel","partitionValues":{},"size":$sz,"modificationTime":0,""" +
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":${partitionValuesOf(rel)},""" +
+        s""""size":$sz,"modificationTime":0,""" +
         s""""dataChange":true,"stats":"{\\"numRecords\\":$n}"}}"""
     }
   }
 
   /** Stage-write `df` as parquet and move the part files under the
-    * table base with a version prefix; returns their relative paths. */
-  private def writeData(df: DataFrame, base: String, version: Long): Seq[String] = {
+    * table base with a version prefix; returns their relative paths.
+    * With `partitionBy`, the stage write uses the hive layout and the
+    * moves preserve the `col=value/` dirs — partition values then live
+    * in BOTH the paths (for the scan's basePath recovery) and the add
+    * actions' partitionValues (for log-only readers), as delta-spark
+    * itself writes them. */
+  private def writeData(df: DataFrame, base: String, version: Long,
+                        partitionBy: Seq[String] = Nil): Seq[String] = {
     val tmp = s"$base/.stage-v$version"
     TxnLog.rmrf(tmp)
-    df.write.parquet(tmp)
+    val w = df.write
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
     Files.createDirectories(Paths.get(base))
-    val moved = Files.list(Paths.get(tmp)).iterator.asScala
+    val moved = Files.walk(Paths.get(tmp)).iterator.asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map { p =>
-        val rel = s"v$version-${p.getFileName}"
+        val relDir = Paths.get(tmp).relativize(p.getParent).toString
+        val prefix = if (relDir.isEmpty) "" else relDir + "/"
+        val rel = s"$prefix" + s"v$version-${p.getFileName}"
+        Files.createDirectories(Paths.get(base, rel).getParent)
         Files.move(p, Paths.get(base, rel))
         rel
       }.toSeq
@@ -80,21 +115,27 @@ object DeltaLogWriter {
       StandardOpenOption.CREATE_NEW)
   }
 
-  /** Create a new Delta table at `base` (version 0). */
-  def create(spark: SparkSession, df: DataFrame, base: String, tableId: String): Unit = {
+  /** Create a new Delta table at `base` (version 0). With
+    * `partitionBy`, data lands in the hive layout and partition values
+    * ride both the paths and each add's `partitionValues`. */
+  def create(spark: SparkSession, df: DataFrame, base: String, tableId: String,
+             partitionBy: Seq[String] = Nil): Unit = {
     TxnLog.rmrf(base)
-    val rels = writeData(df, base, 0L)
+    val rels = writeData(df, base, 0L, partitionBy)
+    val pcols = partitionBy.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
     commit(base, 0L, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       s"""{"metaData":{"id":"${esc(tableId)}","format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":"${esc(df.schema.json)}","partitionColumns":[],""" +
+        s""""schemaString":"${esc(df.schema.json)}","partitionColumns":$pcols,""" +
         s""""configuration":{},"createdTime":0}}""") ++ addActions(spark, base, rels))
   }
 
-  /** Append-only commit: the table's next version adds `df`'s rows. */
+  /** Append-only commit: the table's next version adds `df`'s rows.
+    * Partitioning follows the table's declared partitionColumns. */
   def append(spark: SparkSession, df: DataFrame, base: String): Unit = {
     val version = DeltaLogReader.latestVersion(base) + 1
-    val rels = writeData(df, base, version)
+    val rels = writeData(df, base, version,
+      DeltaLogReader.partitionColumns(base, version - 1))
     commit(base, version,
       s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""" +: addActions(spark, base, rels))
   }
@@ -156,6 +197,9 @@ object DeltaLogWriter {
   def optimize(spark: SparkSession, base: String,
                targetBytes: Long = 128L << 20): (Int, Int) = {
     val version = DeltaLogReader.latestVersion(base)
+    require(DeltaLogReader.partitionColumns(base, version).isEmpty,
+      "OPTIMIZE on a partitioned table needs per-partition bin-packing — " +
+        "beyond this minimal writer")
     val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
     val liveBytes = live.map(_.size).sum
     val numOut = math.max(1, math.ceil(liveBytes.toDouble / targetBytes).toInt)
@@ -170,6 +214,31 @@ object DeltaLogWriter {
     commit(base, version + 1,
       s"""{"commitInfo":{"operation":"OPTIMIZE","timestamp":0}}""" +: (removes ++ adds))
     (live.size, rels.size)
+  }
+
+  /** RESTORE: make the table's NEXT version content-identical to
+    * `toVersion` — as a new commit (history stays intact; this is how
+    * the real feature works, a forward-moving revert, not a rollback):
+    * remove every currently-live file the target lacks, add back every
+    * target file the current snapshot dropped. Both sides are KB-scale
+    * path-set diffs; no data file is read or written. Returns
+    * (removed, readded) counts. */
+  def restore(spark: SparkSession, base: String, toVersion: Long): (Int, Int) = {
+    val current = DeltaLogReader.latestVersion(base)
+    require(toVersion < current, s"restore target $toVersion is not before $current")
+    val want = DeltaLogReader.snapshotFiles(Some(spark), base, toVersion)
+    val have = DeltaLogReader.snapshotFiles(Some(spark), base, current)
+    val wantP = want.map(_.path).toSet
+    val haveP = have.map(_.path).toSet
+    val removes = have.filterNot(a => wantP.contains(a.path)).map(a =>
+      s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":true}}""")
+    val adds = want.filterNot(a => haveP.contains(a.path)).map(a =>
+      s"""{"add":{"path":"${esc(a.path)}","partitionValues":${partitionValuesOf(a.path)},""" +
+        s""""size":${a.size},"modificationTime":0,"dataChange":true}}""")
+    commit(base, current + 1,
+      s"""{"commitInfo":{"operation":"RESTORE","readVersion":$toVersion,"timestamp":0}}""" +:
+        (removes ++ adds))
+    (removes.size, adds.size)
   }
 
   /** Write the spec's replay-bounding checkpoint for the CURRENT

@@ -293,6 +293,43 @@ class DeltaLogSpec extends SparkSpec {
       .agg(sum("id")).collect().head.getLong(0) == 16L)
   }
 
+  test("restore reverts content as a new commit, re-adding dropped files") {
+    val base = "/tmp/graft_delta_test/restore"
+    val W = graft.sources.DeltaLogWriter
+    val df = spark.createDataFrame((1L to 6L).map(Tuple1(_))).toDF("id")
+    W.create(spark, df.repartition(3), base, "t-restore")
+    W.optimize(spark, base)
+    assert(W.restore(spark, base, 0L) == ((1, 3))) // drop packed, re-add 3
+    assert(DeltaLogReader.latestVersion(base) == 2L)
+    assert(DeltaLogReader.snapshotFiles(base, 2).size == 3)
+    assert(DeltaLogReader.read(spark, base).agg(sum("id")).collect().head.getLong(0) == 21L)
+    // history intact: the packed version still reads
+    assert(DeltaLogReader.snapshotFiles(base, 1).size == 1)
+    intercept[IllegalArgumentException](W.restore(spark, base, 5L))
+  }
+
+  test("partitioned create: hive layout, real values in partitionValues, pruning on read-back") {
+    val base = "/tmp/graft_delta_test/partwrite"
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b"), (2L, "a b"), (10L, "c"))).toDF("id", "p")
+    graft.sources.DeltaLogWriter.create(spark, df, base, "t-pw", partitionBy = Seq("p"))
+    // the dir name is escaped, the logged partitionValue is NOT
+    val v0 = Files.readString(Paths.get(base, "_delta_log", "00000000000000000000.json"))
+    assert(v0.contains(""""partitionColumns":["p"]"""))
+    assert(v0.contains(""""p":"a b""""), v0)
+    val back = DeltaLogReader.read(spark, base)
+    assert(back.columns.toSet == Set("id", "p"))
+    assert(back.filter(col("p") === "a b").agg(sum("id")).collect().head.getLong(0) == 3L)
+    // appends follow the declared partitioning automatically
+    graft.sources.DeltaLogWriter.append(spark,
+      spark.createDataFrame(Seq((20L, "c"))).toDF("id", "p"), base)
+    assert(DeltaLogReader.read(spark, base).filter(col("p") === "c")
+      .agg(sum("id")).collect().head.getLong(0) == 30L)
+    // OPTIMIZE would flatten the layout — rejected fast
+    intercept[IllegalArgumentException](
+      graft.sources.DeltaLogWriter.optimize(spark, base))
+  }
+
   test("writer refuses to overwrite an already-committed version") {
     val base = "/tmp/graft_delta_test/writer_clash"
     val df = spark.createDataFrame(Seq(1L).map(Tuple1(_))).toDF("id")

@@ -47,6 +47,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_sales_opportunity", // one-row positive-balance (n, sum) scalar vs customers
     "q_mask_join",         // one-row token-collision audit scalar vs the k-segment rollup
     "q_target_encode",     // one-row global-prior (gn, ghits) scalar vs the k-category table
+    "q_theil_sen",         // month-census self-pairing (≤ months², k-bounded) + 1-row median slope
   )
 
   // queries that legitimately plan an UNPARTITIONED window (empty
@@ -68,6 +69,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_percentile_global", // same ShardedRank census window
     "q_seasonal_decompose", // 7-day MA over the ~#days daily census
     "q_changepoint",    // CUSUM windows over the ≤#days daily census
+    "q_theil_sen",      // median windows over the ≤months² pair census
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
