@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod}
+
+/** Write-side twin of [[HudiReader]]: emit a PUBLIC-spec Apache Hudi
+  * copy-on-write table — the THIRD export format, with the third
+  * distinct write discipline: no central manifest at all. State is the
+  * TIMELINE (`.hoodie/<instant>.commit` markers) plus file NAMES
+  * (`<fileId>_<writeToken>_<instant>.parquet`), and an upsert is a
+  * wholesale rewrite of every touched file group.
+  *
+  * File groups use the bucket-index discipline (Hudi's simple bucket
+  * index): group = recordKey mod `hoodie.bucket.index.num.buckets`,
+  * recorded in `hoodie.properties` so upserts route rows to their
+  * groups without any lookup table. Every row carries
+  * `_hoodie_commit_time` (and `_hoodie_record_key`), stamped by the
+  * instant that WROTE it — a copy-on-write rewrite carries unchanged
+  * rows forward with their ORIGINAL commit time, which is exactly what
+  * makes [[HudiReader.readIncremental]] surface only real changes.
+  *
+  * Commit protocol per instant (the timeline two-phase):
+  *   1. `.hoodie/<instant>.inflight` marker (readers ignore the data),
+  *   2. the group data files (one single-task partitionBy job),
+  *   3. `.hoodie/<instant>.commit` LAST — the atomic visibility flip.
+  */
+object HudiWriter {
+
+  private def pad(i: Int): String = f"$i%03d"
+
+  private def nextInstant(base: String): String = {
+    val d = Paths.get(base, ".hoodie")
+    val marker = "^([0-9]+)\\.(commit|inflight)$".r
+    val used = Files.list(d).iterator.asScala
+      .map(_.getFileName.toString)
+      .collect { case marker(t, _) => t.toInt }
+      .toSeq
+    pad(if (used.isEmpty) 1 else used.max + 1)
+  }
+
+  private def numBuckets(base: String): Int = {
+    val p = Files.readAllLines(Paths.get(base, ".hoodie", "hoodie.properties")).asScala
+      .flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k.trim -> v.trim)
+        case _           => None
+      }).toMap
+    p.getOrElse("hoodie.bucket.index.num.buckets",
+      throw new IllegalStateException(s"$base has no bucket-index size")).toInt
+  }
+
+  private def keyField(base: String): String = {
+    Files.readAllLines(Paths.get(base, ".hoodie", "hoodie.properties")).asScala
+      .flatMap(_.split("=", 2) match {
+        case Array(k, v) if k.trim == "hoodie.table.recordkey.fields" => Some(v.trim)
+        case _ => None
+      }).headOption
+      .getOrElse(throw new IllegalStateException(s"$base declares no record key"))
+  }
+
+  /** One data file per bucket in a SINGLE staged job (fixture-scale
+    * single-task partitionBy, the same discipline as the lakehouse
+    * fixtures); at cluster scale each bucket is its own write task. */
+  private def writeBuckets(spark: SparkSession, df: DataFrame, base: String,
+                           bucketOf: Column, instant: String): Unit = {
+    val tmp = s"$base/.stage"
+    TxnLog.rmrf(tmp)
+    df.withColumn("__g", bucketOf.cast("string"))
+      .repartition(1).write.partitionBy("__g").parquet(tmp)
+    Files.list(Paths.get(tmp)).iterator.asScala
+      .filter(_.getFileName.toString.startsWith("__g="))
+      .foreach { dir =>
+        val g = dir.getFileName.toString.stripPrefix("__g=")
+        val parts = Files.list(dir).iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        require(parts.size == 1, s"bucket $g staged ${parts.size} files")
+        Files.move(parts.head, Paths.get(base, s"g${g}_0-0-0_$instant.parquet"))
+      }
+    TxnLog.rmrf(tmp)
+  }
+
+  /** Create a COW table at `base`: every row stamped with the creating
+    * instant, one base file per key bucket. */
+  def create(spark: SparkSession, df: DataFrame, base: String,
+             tableName: String, keyCol: String, buckets: Int): String = {
+    require(df.columns.contains(keyCol), s"no $keyCol column to key on")
+    TxnLog.rmrf(base)
+    Files.createDirectories(Paths.get(base, ".hoodie"))
+    Files.writeString(Paths.get(base, ".hoodie", "hoodie.properties"),
+      s"hoodie.table.name=$tableName\nhoodie.table.type=COPY_ON_WRITE\n" +
+        s"hoodie.table.recordkey.fields=$keyCol\n" +
+        s"hoodie.bucket.index.num.buckets=$buckets\n")
+    val instant = pad(1)
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.inflight"), "")
+    val stamped = df
+      .withColumn("_hoodie_commit_time", lit(instant))
+      .withColumn("_hoodie_record_key", col(keyCol).cast("string"))
+    writeBuckets(spark, stamped, base, pmod(col(keyCol), lit(buckets)), instant)
+    Files.delete(Paths.get(base, ".hoodie", s"$instant.inflight"))
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.commit"), "{}")
+    instant
+  }
+
+  /** Copy-on-write upsert: rows in `df` replace same-key rows; every
+    * TOUCHED bucket is rewritten wholesale — carried rows keep their
+    * ORIGINAL `_hoodie_commit_time`, upserted rows get this instant's.
+    * Untouched buckets are not rewritten (their files stay; the
+    * incremental reader's group pruning depends on it). Returns the
+    * new instant. */
+  def upsert(spark: SparkSession, df: DataFrame, base: String): String = {
+    HudiReader.assertReadable(base)
+    val key = keyField(base)
+    require(df.columns.contains(key), s"upsert batch lacks the record key $key")
+    val n = numBuckets(base)
+    val instant = nextInstant(base)
+    val asOf = HudiReader.completedCommits(base).last
+    val bucket = pmod(col(key), lit(n))
+    val touched = df.select(bucket.cast("string").as("g")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val committed = HudiReader.completedCommits(base).filter(_ <= asOf).toSet
+    val slicePaths = HudiReader.baseFiles(base)
+      .filter(f => committed.contains(f.instant))
+      .groupBy(_.fileId).values.map(_.maxBy(_.instant))
+      .filter(f => touched.contains(f.fileId.stripPrefix("g")))
+      .map(_.path).toSeq
+    require(slicePaths.nonEmpty, s"upsert touches no existing bucket under $base")
+    val old = spark.read.parquet(slicePaths: _*)
+    val carried = old.join(df.select(col(key)).distinct(), Seq(key), "left_anti")
+    val stamped = df
+      .withColumn("_hoodie_commit_time", lit(instant))
+      .withColumn("_hoodie_record_key", col(key).cast("string"))
+      .select(old.columns.map(col).toIndexedSeq: _*)
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.inflight"), "")
+    writeBuckets(spark, carried.unionAll(stamped), base, bucket, instant)
+    Files.delete(Paths.get(base, ".hoodie", s"$instant.inflight"))
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.commit"), "{}")
+    instant
+  }
+}

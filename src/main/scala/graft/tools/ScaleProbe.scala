@@ -100,7 +100,10 @@ object ScaleProbe {
     "q_ann_lsh", "q_sim_knn",
     // round-8 additions: the classifier apply pass and the two
     // native-probe prunes — all expected at-or-under the data factor
-    "q_quality_classifier", "q_dedup_bloom", "q_cms_heavy")
+    "q_quality_classifier", "q_dedup_bloom", "q_cms_heavy",
+    // round-8-late: canonicalization dedup (map-side), span scrub
+    // (broadcast bench + per-doc window), CUSUM (daily-census windows)
+    "q_dedup_url", "q_decontaminate", "q_changepoint")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

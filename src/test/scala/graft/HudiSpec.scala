@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.sum
+
 import graft.sources.HudiReader
 
 /** The public-spec Hudi CoW reader: timeline filtering, file-slice
@@ -107,6 +109,34 @@ class HudiSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       HudiReader.readIncremental(spark, base, "000", "001"))
     assert(e.getMessage.contains("_hoodie_commit_time"))
+  }
+
+  test("writer round-trip: create + upsert commit through the timeline, carried rows keep their instant") {
+    val base = "/tmp/graft_hudi_test/writer"
+    val W = graft.sources.HudiWriter
+    val df = spark.createDataFrame(Seq(
+      (0L, 10L), (1L, 11L), (2L, 12L), (3L, 13L))).toDF("id", "v")
+    val c1 = W.create(spark, df, base, "t-w", "id", 2)
+    assert(c1 == "001")
+    assert(HudiReader.read(spark, base).agg(sum("v")).collect().head.getLong(0) == 46L)
+    // upsert id=2 (bucket 0) only: bucket 1's file must NOT be rewritten
+    val before = HudiReader.baseFiles(base).map(_.path).toSet
+    val c2 = W.upsert(spark, spark.createDataFrame(Seq((2L, 100L))).toDF("id", "v"), base)
+    assert(c2 == "002")
+    assert(HudiReader.read(spark, base).agg(sum("v")).collect().head.getLong(0) == 134L)
+    val added = HudiReader.baseFiles(base).map(_.path).toSet -- before
+    assert(added.map(_.split('/').last) == Set("g0_0-0-0_002.parquet"),
+      s"untouched buckets were rewritten: $added")
+    // carried row id=0 keeps commit time 001 ⇒ incremental sees ONLY id=2
+    val incr = HudiReader.readIncremental(spark, base, c1, c2)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(incr == Seq(2L))
+    // time travel to the create instant still sees the original value
+    assert(HudiReader.readAsOf(spark, base, c1)
+      .agg(sum("v")).collect().head.getLong(0) == 46L)
+    // the upsert batch must carry the record key
+    intercept[IllegalArgumentException](
+      W.upsert(spark, spark.createDataFrame(Seq(Tuple1(1L))).toDF("x"), base))
   }
 
   test("merge-on-read tables and empty timelines are rejected fast") {
