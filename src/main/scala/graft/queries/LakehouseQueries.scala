@@ -131,6 +131,62 @@ object LakehouseQueries extends QueryGroup {
       versions.reduce(_ unionAll _).orderBy("snapshot_id")
     }),
 
+    // ---- Iceberg compaction (rewrite data files) ------------------------
+    // The foreign twin of q_delta_optimize on the metadata-TREE format:
+    // create (3 files) + append (2 more) + rewrite → snapshot 3 packs
+    // the 5 live files into 1, old entries DELETED, new ADDED, content
+    // identical. n_files comes from the `files` metadata relation — a
+    // census that never opens a data file — so the output pins both
+    // the compaction invariant AND that the manifests tell the truth
+    // about what the rewrite did.
+    "q_iceberg_compact" -> ((s, d) => {
+      val base = s"${iceBase(d, "orders_cp")}"
+      val o = iceOrders(s, d)
+      graft.sources.IcebergWriter.create(s,
+        o.filter(col("o_orderpriority") === "1-URGENT").repartition(3), base)
+      graft.sources.IcebergWriter.append(s,
+        o.filter(col("o_orderpriority") === "2-HIGH").repartition(2), base)
+      graft.sources.IcebergWriter.rewrite(s, base)
+      val versions = Seq(2L, 3L).map { snap =>
+        val nFiles = graft.sources.IcebergReader.filesTable(s, base, snap)
+          .filter(col("content") === 0).count()
+        graft.sources.IcebergReader.read(s, base, snap).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("total_cents"))
+          .select(lit(snap).as("snapshot_id"), lit(nFiles).as("n_files"),
+            col("n_rows"), col("total_cents"))
+      }
+      versions.reduce(_ unionAll _).orderBy("snapshot_id")
+    }),
+
+    // ---- Iceberg snapshot expiry ----------------------------------------
+    // The other half of maintenance (q_delta_checkpoint's foreign
+    // twin, tree-style): after create+append+rewrite, expiring
+    // snapshots < 3 DELETES the 5 pre-compaction data files (orphans —
+    // referenced only by dropped snapshots) and their manifest lists
+    // from disk, and writes a metadata version listing ONLY snapshot
+    // 3. The census proves the surviving snapshot still reads in full
+    // AFTER the orphans are gone — an expiry that dropped a still-
+    // referenced file would hash-fail — while n_orphans and
+    // n_snapshots pin the cleanup's exact scope.
+    "q_iceberg_expire" -> ((s, d) => {
+      val base = s"${iceBase(d, "orders_ex")}"
+      val o = iceOrders(s, d)
+      graft.sources.IcebergWriter.create(s,
+        o.filter(col("o_orderpriority") === "1-URGENT").repartition(3), base)
+      graft.sources.IcebergWriter.append(s,
+        o.filter(col("o_orderpriority") === "2-HIGH").repartition(2), base)
+      graft.sources.IcebergWriter.rewrite(s, base)
+      val orphans = graft.sources.IcebergWriter.expireSnapshots(s, base, keepFrom = 3L)
+      val nSnaps = graft.sources.IcebergReader.snapshots(base,
+        graft.sources.IcebergReader.currentMetadataVersion(base)).size.toLong
+      graft.sources.IcebergReader.read(s, base).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("total_cents"))
+        .select(lit(orphans.size.toLong).as("n_orphans"),
+          lit(nSnaps).as("n_snapshots"), col("n_rows"), col("total_cents"))
+    }),
+
     // ---- Delta OPTIMIZE (bin-pack compaction) ----------------------------
     // The maintenance job every Delta table needs: 7 small live files
     // (3 from create + 4 from append) bin-packed into 1, committed as
@@ -1291,6 +1347,17 @@ object LakehouseQueries extends QueryGroup {
         "SELECT CAST(1 AS BIGINT) AS snapshot_id, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE pri = '1-URGENT' " +
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "ORDER BY snapshot_id"),
+    "q_iceberg_compact" ->
+      ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders " +
+        "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) " +
+        "SELECT CAST(2 AS BIGINT) AS snapshot_id, CAST(5 AS BIGINT) AS n_files, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 3, 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "ORDER BY snapshot_id"),
+    "q_iceberg_expire" ->
+      ("SELECT CAST(5 AS BIGINT) AS n_orphans, CAST(1 AS BIGINT) AS n_snapshots, " +
+        "count(*) AS n_rows, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')"),
     "q_iceberg_stats_prune" ->
       ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_rows, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +

@@ -123,6 +123,65 @@ object IcebergWriter {
     writeMeta(base, 1, current = 1L, snaps = Seq(1L))
   }
 
+  /** Bin-pack compaction (the rewrite-data-files action): snapshot N+1
+    * replaces ALL live data files with `ceil(liveBytes/target)` packed
+    * files — old entries DELETED (status=2), new ADDED, content
+    * identical. The foreign twin of `DeltaLogWriter.optimize`; the old
+    * files stay on disk for time travel until [[expireSnapshots]].
+    * Returns (filesBefore, filesAfter). */
+  def rewrite(spark: SparkSession, base: String,
+              targetBytes: Long = 128L << 20): (Int, Int) = {
+    val v = IcebergReader.currentMetadataVersion(base)
+    val prev = IcebergReader.currentSnapshotId(base, v)
+    val scan = IcebergReader.planSnapshot(spark, base, prev)
+    require(scan.posDeleteFiles.isEmpty,
+      "rewrite over position deletes must apply them first — beyond this minimal writer")
+    val live = scan.dataFiles
+    val liveBytes = live.map(f => Files.size(Paths.get(f._1))).sum
+    val numOut = math.max(1, math.ceil(liveBytes.toDouble / targetBytes).toInt)
+    if (numOut >= live.size) return (live.size, live.size)
+    val snap = prev + 1
+    val files = writeData(spark,
+      spark.read.parquet(live.map(_._1): _*).repartition(numOut), base, snap)
+    val dropped = live.map { case (abs, n) =>
+      (2, abs.stripPrefix(Paths.get(base).toString).stripPrefix("/"), n)
+    }
+    writeManifest(spark, base, s"metadata/m$snap.avro",
+      dropped ++ files.map { case (p, n) => (1, p, n) })
+    writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
+    // snapshot ids need not be contiguous after an expiry — carry the
+    // actual surviving list forward
+    writeMeta(base, v + 1, current = snap,
+      snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap)
+    (live.size, files.size)
+  }
+
+  /** Snapshot expiry (the other half of table maintenance): a new
+    * metadata version lists ONLY snapshots ≥ `keepFrom`; data files
+    * referenced exclusively by dropped snapshots — and the dropped
+    * manifest lists — are DELETED from disk. Time travel to expired
+    * snapshots fails by design; every kept snapshot keeps reading.
+    * Returns the orphaned data files that were removed. */
+  def expireSnapshots(spark: SparkSession, base: String, keepFrom: Long): Seq[String] = {
+    val v = IcebergReader.currentMetadataVersion(base)
+    val all = IcebergReader.snapshots(base, v).map(_.id).sorted
+    val (dropped, kept) = all.partition(_ < keepFrom)
+    require(kept.nonEmpty, s"expiry would drop every snapshot of $base")
+    val current = IcebergReader.currentSnapshotId(base, v)
+    require(kept.contains(current), s"expiry would drop the CURRENT snapshot $current")
+    if (dropped.isEmpty) return Nil
+    val keptFiles = kept.flatMap(id =>
+      IcebergReader.snapshotFiles(spark, base, id).map(_._1)).toSet
+    val orphans = dropped
+      .flatMap(id => IcebergReader.snapshotFiles(spark, base, id).map(_._1))
+      .distinct.filterNot(keptFiles)
+    writeMeta(base, v + 1, current = current, snaps = kept)
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    dropped.foreach(id =>
+      Files.deleteIfExists(Paths.get(base, s"metadata/snap-$id.avro")))
+    orphans
+  }
+
   /** Append-only commit: snapshot N+1 adds `df`'s rows; the previous
     * snapshot's live files ride along as EXISTING entries. */
   def append(spark: SparkSession, df: DataFrame, base: String): Unit = {
@@ -139,6 +198,9 @@ object IcebergWriter {
     writeManifest(spark, base, s"metadata/m$snap.avro",
       carried ++ files.map { case (p, n) => (1, p, n) })
     writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
-    writeMeta(base, v + 1, current = snap, snaps = (1L to snap))
+    // snapshot ids need not be contiguous after an expiry — carry the
+    // actual surviving list forward
+    writeMeta(base, v + 1, current = snap,
+      snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap)
   }
 }

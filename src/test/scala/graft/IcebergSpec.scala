@@ -268,6 +268,31 @@ class IcebergSpec extends SparkSpec {
     assert(ft == 5L)
   }
 
+  test("rewrite packs live files content-identically; expiry deletes only orphans") {
+    val base = "/tmp/graft_iceberg_test/maint"
+    val W = graft.sources.IcebergWriter
+    W.create(spark, spark.createDataFrame((1L to 6L).map(Tuple1(_))).toDF("id")
+      .repartition(3), base)
+    W.append(spark, spark.createDataFrame(Seq(10L, 20L).map(Tuple1(_))).toDF("id")
+      .coalesce(1), base)
+    assert(W.rewrite(spark, base) == ((4, 1)))
+    // compaction invariant + time travel intact
+    assert(IcebergReader.read(spark, base, 3L).agg(sum("id")).collect().head.getLong(0) == 51L)
+    assert(IcebergReader.read(spark, base, 2L).agg(sum("id")).collect().head.getLong(0) == 51L)
+    assert(IcebergReader.snapshotFiles(spark, base, 3L).size == 1)
+    // already-packed: no-op
+    assert(W.rewrite(spark, base) == ((1, 1)))
+    // expire snapshots 1-2: their 4 pre-compaction files are orphans
+    val orphans = W.expireSnapshots(spark, base, keepFrom = 3L)
+    assert(orphans.size == 4)
+    assert(orphans.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    // the kept snapshot still reads in full; expired time travel fails
+    assert(IcebergReader.read(spark, base).agg(sum("id")).collect().head.getLong(0) == 51L)
+    intercept[IllegalArgumentException](IcebergReader.read(spark, base, 1L))
+    // guards: cannot drop the current snapshot or everything
+    intercept[IllegalArgumentException](W.expireSnapshots(spark, base, keepFrom = 99L))
+  }
+
   test("format-version beyond 2 and unknown snapshot ids are rejected") {
     val base = mkTable("guards")
     writeData(base, "data/a.parquet", Seq(1L))
