@@ -514,4 +514,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(read.contains("cents") && !read.contains("o_orderpriority"),
       s"column pruning lost through the Iceberg file list: $read")
   }
+
+  // ---- round-8-late pins ----------------------------------------------
+
+  test("q_delta_part_write's read-back prunes at partition level") {
+    val p = plan("q_delta_part_write")
+    // the partition column lives only in the hive paths; the predicate
+    // must land in PartitionFilters, not a row-level Filter
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("o_orderpriority"),
+      s"no partition filter pushed into the Delta hive scan: $scanLine\n$p")
+  }
+
+  test("q_dedup_url's canonicalization is map-side: two aggregates, no join") {
+    val p = executedPlanOf("q_dedup_url")
+    assert(!p.contains("Join"), s"canonicalization dedup must be join-free:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, // partial+final × two levels
+      s"expected two-level hash aggregation:\n$p")
+  }
+
+  test("q_decontaminate matches benchmark grams via a broadcast join, islands via a doc-keyed window") {
+    val p = executedPlanOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram match must broadcast (test sets are small):\n$p")
+    assert(!p.contains("SortMergeJoin") ||
+      p.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+      s"corpus-side shuffle join crept into the gram match:\n$p")
+  }
+
+  test("q_graph_pagerank is equi-joins + hash aggregates — no window, no nested loop") {
+    val p = executedPlanOf("q_graph_pagerank")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pagerank iteration planned a non-equi join:\n$p")
+    assert(!p.contains("Window"), s"pagerank must not use windows:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final top-20 should be a TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("q_changepoint's windows run over the daily census, not the corpus") {
+    val qe = SparkEntry.queries("q_changepoint")(spark, sf0001).queryExecution
+    val unpart = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.nonEmpty, "expected the k-bounded global CUSUM windows")
+    // every global window must sit above the daily aggregate
+    unpart.foreach { w =>
+      val aggBelow = w.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggBelow.nonEmpty,
+        s"CUSUM window consumes pre-aggregation (corpus-scale) input:\n${w.treeString}")
+    }
+  }
 }
