@@ -131,6 +131,29 @@ object LakehouseQueries extends QueryGroup {
       versions.reduce(_ unionAll _).orderBy("snapshot_id")
     }),
 
+    // ---- cross-format migration (Iceberg → Delta) -----------------------
+    // The interop story end-to-end: READ the live snapshot of a
+    // foreign Iceberg table (manifest-tree walk), WRITE it as a
+    // spec-conformant Delta table (log + stats), read it BACK through
+    // the Delta reader, and census both ends — a migration that
+    // dropped rows, double-counted a carried file, or broke either
+    // format's metadata hash-fails on the source/migrated equality.
+    // The data files themselves move through one distributed
+    // parquet-to-parquet pass; only KB of metadata is rewritten — the
+    // actual cost profile of a 100 TB format migration.
+    "q_lake_migrate" -> ((s, d) => {
+      val src = LakehouseQueries.mkIcebergFixture(s, d, "orders_mig")
+      val dst = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_mig"
+      val live = graft.sources.IcebergReader.read(s, src, 2L)
+      graft.sources.DeltaLogWriter.create(s, live.repartition(2), dst, "graft-orders-mig")
+      def census(df: org.apache.spark.sql.DataFrame, which: String) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(which).as("side"), col("n_rows"), col("total_cents"))
+      census(live, "source")
+        .unionAll(census(graft.sources.DeltaLogReader.read(s, dst), "migrated"))
+        .orderBy("side")
+    }),
+
     // ---- Iceberg compaction (rewrite data files) ------------------------
     // The foreign twin of q_delta_optimize on the metadata-TREE format:
     // create (3 files) + append (2 more) + rewrite → snapshot 3 packs
@@ -1347,6 +1370,11 @@ object LakehouseQueries extends QueryGroup {
         "SELECT CAST(1 AS BIGINT) AS snapshot_id, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE pri = '1-URGENT' " +
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "ORDER BY snapshot_id"),
+    "q_lake_migrate" ->
+      ("WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders WHERE o_orderkey % 4 IN (1, 2, 3)) " +
+        "SELECT 'migrated' AS side, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 'source', count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "ORDER BY side"),
     "q_iceberg_compact" ->
       ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders " +
         "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) " +
