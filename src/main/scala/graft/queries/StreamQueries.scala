@@ -213,6 +213,46 @@ object StreamQueries extends QueryGroup {
         .orderBy("event_type")
     }),
 
+    // ---- streaming sink into a Hudi CoW table (upsert idempotence) ------
+    // The THIRD exactly-once mechanism in the sink family, and the one
+    // key-value ingestion actually relies on: no transaction marker at
+    // all — the sink is a KEYED UPSERT, so a redelivered batch rewrites
+    // the same keys to the same values and the table converges by
+    // CONTENT. Same graded shape as the txn-marker sinks: drain the
+    // bounded stream twice from fresh checkpoints (full redelivery),
+    // census through the Hudi reader, equal the plain batch census.
+    // The non-equal failure mode is real: an append-style sink (or a
+    // writer that routed keys to the wrong bucket) doubles the rows.
+    "q_stream_hudi_sink" -> ((s, d) => {
+      val base = s"/tmp/graft_hudi_${Integer.toHexString(d.hashCode)}/events_sink"
+      graft.sources.TxnLog.rmrf(base)
+      def drainOnce(): Unit = {
+        val ck = java.nio.file.Files.createTempDirectory("graft_hudi_sink_ck_").toString
+        val q = eventsStream(s, d)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val exists = java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(base, ".hoodie"))
+            if (exists) graft.sources.HudiWriter.upsert(s, batch, base)
+            else graft.sources.HudiWriter.create(s, batch, base,
+              "events_sink", "event_id", 4)
+            ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drainOnce()
+      drainOnce() // full redelivery — keyed upserts must converge by content
+      graft.sources.HudiReader.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("event_type")
+    }),
+
     // ---- streaming CDC source over the commit log (ORACLE) --------------
     // The read-side completion of the lakehouse streaming story
     // (q_stream_txn_sink is the write side): a custom DataSourceV2
@@ -447,6 +487,10 @@ object StreamQueries extends QueryGroup {
     "q_stream_dedup" ->
       ("SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"),
     "q_stream_txn_sink" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_stream_hudi_sink" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM events GROUP BY event_type ORDER BY event_type"),

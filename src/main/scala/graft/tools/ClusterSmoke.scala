@@ -59,6 +59,10 @@ object ClusterSmoke {
     "q_substring_dup",    // hashed-window analytic dedup + interval merge
     "q_graph_jaccard",    // kNN kernel + wedge joins across executors
     "q_pref_bradley_terry", // lag window + checkpointed solver joins
+    "q_graph_pagerank",   // iterated rank joins over the shared edge artifact
+    "q_decontaminate",    // broadcast benchmark grams + per-doc island windows
+    "q_hudi_roundtrip",   // Hudi writer: bucket writes run as executor tasks
+    "q_stream_delta_sink", // foreachBatch Delta commits driven by the micro-batch engine
     "q_stream_tws_profile", // transformWithState + RocksDB state store on executors
     "q_bpe_encode",       // graft_bpe expression (merge table serde) on executors
     "q_fuzzy_match",      // graft_jaro kernel + broadcast vocab across executors
