@@ -1047,6 +1047,37 @@ object AnalyticsQueries extends QueryGroup {
           col("slope_milli"), col("c").as("intercept_milli"))
     }),
 
+    // ---- Kendall concordance (ORACLE) ------------------------------------
+    // Do months with more orders also gross more revenue? Kendall's
+    // tau counts CONCORDANT vs DISCORDANT month pairs — rank-based, so
+    // one wild month can't move it (q_corr_spearman's sibling; tau is
+    // the one with the direct probabilistic reading P(agree)−P(disagree)).
+    // The tau-b denominator needs a sqrt, so the graded outputs stay on
+    // the integer numerator side: C, D, ties on either axis, and the
+    // net C−D. Same k-bounded month-census self-pairing as q_theil_sen
+    // (≤ months², PlanSweep-allowlisted); the corpus touches one hash
+    // aggregate.
+    "q_kendall" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy((((year(col("o_orderdate")) - 1992) * 12)
+          + month(col("o_orderdate")) - 1).cast("long").as("m"))
+        .agg(count(lit(1)).as("x"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      val a = monthly.select(col("m").as("i"), col("x").as("xi"), col("y").as("yi"))
+      val b = monthly.select(col("m").as("j"), col("x").as("xj"), col("y").as("yj"))
+      val sx = signum(col("xj") - col("xi")).cast("long")
+      val sy = signum(col("yj") - col("yi")).cast("long")
+      a.join(broadcast(b), col("i") < col("j"))
+        .select(sx.as("sx"), sy.as("sy"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("sx") * col("sy") > 0, 1L).otherwise(0L)).as("concordant"),
+          sum(when(col("sx") * col("sy") < 0, 1L).otherwise(0L)).as("discordant"),
+          sum(when(col("sx") === 0 || col("sy") === 0, 1L).otherwise(0L)).as("tied"))
+        .select(col("n_pairs"), col("concordant"), col("discordant"), col("tied"),
+          (col("concordant") - col("discordant")).as("net"))
+    }),
+
     // ---- Mann-Whitney U (rank-sum) statistic (ORACLE) --------------------
     // The NON-parametric two-sample test — what you reach for when
     // spend distributions are too skewed for q_ab_ttest's Welch t.
@@ -1367,6 +1398,17 @@ object AnalyticsQueries extends QueryGroup {
         "FROM s) " +
         "SELECT c_mktsegment, rfm_code, count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS sum_cents " +
         "FROM t GROUP BY 1, 2 ORDER BY c_mktsegment, rfm_code"),
+    "q_kendall" ->
+      ("WITH mth AS (SELECT ((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1) AS m, " +
+        "count(*) AS x, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y FROM orders GROUP BY 1), " +
+        "p AS (SELECT CAST(sign(b.x - a.x) AS BIGINT) AS sx, CAST(sign(b.y - a.y) AS BIGINT) AS sy " +
+        "FROM mth a JOIN mth b ON a.m < b.m) " +
+        "SELECT count(*) AS n_pairs, " +
+        "CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant, " +
+        "CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant, " +
+        "CAST(sum(CASE WHEN sx = 0 OR sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied, " +
+        "CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) - sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS net " +
+        "FROM p"),
     "q_theil_sen" ->
       ("WITH mth AS (SELECT ((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1) AS m, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y FROM orders GROUP BY 1), " +

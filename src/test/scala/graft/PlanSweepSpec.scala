@@ -48,6 +48,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_mask_join",         // one-row token-collision audit scalar vs the k-segment rollup
     "q_target_encode",     // one-row global-prior (gn, ghits) scalar vs the k-category table
     "q_theil_sen",         // month-census self-pairing (≤ months², k-bounded) + 1-row median slope
+    "q_kendall",           // the same k-bounded month-census self-pairing, concordance census
   )
 
   // queries that legitimately plan an UNPARTITIONED window (empty
