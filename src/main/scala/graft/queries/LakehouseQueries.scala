@@ -154,6 +154,27 @@ object LakehouseQueries extends QueryGroup {
         .orderBy("side")
     }),
 
+    // ---- Iceberg partitioned EXPORT -------------------------------------
+    // The write-side completion of q_iceberg_prune: createPartitioned
+    // lands one data file per o_orderpriority with the typed
+    // data_file.partition struct riding each manifest entry, and the
+    // graded read back through readWhere prunes 3 of 5 files at the
+    // manifest before the parquet source (IcebergSpec pins it) —
+    // proving the WRITER emitted partition metadata a planner can
+    // actually use, not just a layout.
+    "q_iceberg_part_write" -> ((s, d) => {
+      val base = s"${iceBase(d, "orders_pw")}"
+      graft.sources.IcebergWriter.createPartitioned(s, iceOrders(s, d),
+        base, "o_orderpriority")
+      val keep = Seq("1-URGENT", "2-HIGH")
+      graft.sources.IcebergReader.readWhere(s, base, 1L,
+          col("data_file.partition.o_orderpriority").isin(keep: _*))
+        .filter(col("o_orderpriority").isin(keep: _*))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- Iceberg compaction (rewrite data files) ------------------------
     // The foreign twin of q_delta_optimize on the metadata-TREE format:
     // create (3 files) + append (2 more) + rewrite → snapshot 3 packs
@@ -236,6 +257,35 @@ object LakehouseQueries extends QueryGroup {
             col("n_rows"), col("total_cents"))
       }
       versions.reduce(_ unionAll _).orderBy("version")
+    }),
+
+    // ---- Delta data skipping (min/max stats) ----------------------------
+    // The Delta twin of q_iceberg_stats_prune: each add action carries
+    // per-file minValues/maxValues for o_year (the spec's data-skipping
+    // stats, written by one read-back aggregation over just the new
+    // files), and a 1997-98 range read plans 2 of the 7 one-file-per-
+    // year commits — the pruned files never reach the parquet source
+    // (DeltaLogSpec pins the planned count). Files without bounds are
+    // kept per spec. The residual row filter keeps the engine honest;
+    // the oracle replays the predicate over `orders`.
+    "q_delta_stats_skip" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_skip"
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), cents("o_totalprice").as("cents"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      val years = o.select(min("o_year"), max("o_year")).collect().head
+      (years.getLong(0) to years.getLong(1)).zipWithIndex.foreach { case (y, i) =>
+        val slice = o.filter(col("o_year") === y).coalesce(1)
+        if (i == 0) graft.sources.DeltaLogWriter.create(s, slice, base,
+          "graft-orders-skip", statsFor = Seq("o_year"))
+        else graft.sources.DeltaLogWriter.append(s, slice, base, statsFor = Seq("o_year"))
+      }
+      graft.sources.DeltaLogReader.readWhere(s, base,
+          graft.sources.DeltaLogReader.latestVersion(base), "o_year", 1997L, 1998L)
+        .filter(col("o_year").between(1997, 1998))
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .orderBy("o_year")
     }),
 
     // ---- Delta RESTORE (forward-moving revert) --------------------------
@@ -1375,6 +1425,11 @@ object LakehouseQueries extends QueryGroup {
         "SELECT 'migrated' AS side, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
         "UNION ALL SELECT 'source', count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "ORDER BY side"),
+    "q_iceberg_part_write" ->
+      ("SELECT o_orderpriority, count(*) AS n_rows, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_iceberg_compact" ->
       ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders " +
         "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) " +
@@ -1396,6 +1451,11 @@ object LakehouseQueries extends QueryGroup {
         "SELECT CAST(1 AS BIGINT) AS version, CAST(7 AS BIGINT) AS n_files, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
         "UNION ALL SELECT 2, 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "ORDER BY version"),
+    "q_delta_stats_skip" ->
+      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_rows, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders WHERE year(o_orderdate) BETWEEN 1997 AND 1998 " +
+        "GROUP BY 1 ORDER BY o_year"),
     "q_delta_restore" ->
       ("WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders WHERE o_orderpriority = '1-URGENT') " +
         "SELECT CAST(0 AS BIGINT) AS version, CAST(3 AS BIGINT) AS n_files, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +

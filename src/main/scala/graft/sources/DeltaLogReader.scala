@@ -34,7 +34,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DeltaLogReader {
 
-  final case class DeltaAdd(path: String, size: Long, dataChange: Boolean)
+  final case class DeltaAdd(path: String, size: Long, dataChange: Boolean,
+                            minValues: Map[String, Long] = Map.empty,
+                            maxValues: Map[String, Long] = Map.empty)
+
+  /** Integral `minValues`/`maxValues` out of an add action's embedded
+    * `stats` JSON string (quotes arrive backslash-escaped inside the
+    * action line — match both spellings, the DeltaStream discipline). */
+  private[graft] def statBounds(line: String, tag: String): Map[String, Long] = {
+    val obj = (tag + "\\\\?\":\\s?\\{([^}]*)\\}").r
+    obj.findFirstMatchIn(line).map { m =>
+      "\\\\?\"(\\w+)\\\\?\":\\s?(-?[0-9]+)".r.findAllMatchIn(m.group(1))
+        .map(kv => kv.group(1) -> kv.group(2).toLong).toMap
+    }.getOrElse(Map.empty)
+  }
 
   private def logDir(base: String): Path = Paths.get(base, "_delta_log")
 
@@ -170,7 +183,9 @@ object DeltaLogReader {
           val p = strField(line, "path").getOrElse(
             throw new IllegalStateException(s"add action without path: $line"))
           live(p) = DeltaAdd(p, longField(line, "size").getOrElse(0L),
-            dataChange = !line.contains("\"dataChange\":false"))
+            dataChange = !line.contains("\"dataChange\":false"),
+            minValues = statBounds(line, "minValues"),
+            maxValues = statBounds(line, "maxValues"))
         } else if (line.contains("\"remove\"")) {
           strField(line, "path").foreach(live.remove)
         }
@@ -208,6 +223,33 @@ object DeltaLogReader {
   /** Latest-snapshot read. */
   def read(spark: SparkSession, base: String): DataFrame =
     read(spark, base, latestVersion(base))
+
+  /** The live files a `[lo, hi]` range read on `column` must open —
+    * Delta data skipping: files whose `minValues`/`maxValues` for the
+    * column miss the range never reach the parquet source. Files
+    * without bounds for the column are KEPT (can't prune what isn't
+    * tracked — also what makes checkpoint-seeded adds, which carry no
+    * stats, safe). */
+  def filesWhere(spark: SparkSession, base: String, version: Long,
+                 column: String, lo: Long, hi: Long): Seq[DeltaAdd] = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    snapshotFiles(Some(spark), base, version).filter { a =>
+      (a.minValues.get(column), a.maxValues.get(column)) match {
+        case (Some(mn), Some(mx)) => mn <= hi && mx >= lo
+        case _                    => true
+      }
+    }
+  }
+
+  /** Stats-pruned range read ([[filesWhere]] + plain parquet scan);
+    * the caller still applies its row predicate — the residual that
+    * keeps the engine honest inside partially-overlapping files. */
+  def readWhere(spark: SparkSession, base: String, version: Long,
+                column: String, lo: Long, hi: Long): DataFrame = {
+    val files = filesWhere(spark, base, version, column, lo, hi)
+    require(files.nonEmpty, s"no file of $base@$version overlaps $column in [$lo, $hi]")
+    spark.read.parquet(files.map(a => Paths.get(base).resolve(a.path).toString): _*)
+  }
 
   /** Highest `txn` (SetTransaction) version recorded for `appId` — the
     * spec's idempotent-writer watermark. A streaming sink consults it

@@ -59,19 +59,35 @@ object DeltaLogWriter {
     kvs.mkString("{", ",", "}")
   }
 
-  /** One add action per new part file, stats included. */
-  private def addActions(spark: SparkSession, base: String, relPaths: Seq[String]): Seq[String] = {
-    val counts = spark.read.parquet(relPaths.map(r => s"$base/$r"): _*)
+  /** One add action per new part file, stats included. With
+    * `statsFor`, each add also carries per-file `minValues`/`maxValues`
+    * for those (integral) columns — the spec's data-skipping stats,
+    * what lets a reader plan around files whose range misses the
+    * predicate. One read-back aggregation computes counts and bounds
+    * for every new file together. */
+  private def addActions(spark: SparkSession, base: String, relPaths: Seq[String],
+                         statsFor: Seq[String] = Nil): Seq[String] = {
+    import org.apache.spark.sql.functions.{max, min}
+    val aggs = count(lit(1)).as("n") +:
+      statsFor.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val byFile = spark.read.parquet(relPaths.map(r => s"$base/$r"): _*)
       .groupBy(col("_metadata.file_name").as("f"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getAs[String]("f") -> r).toMap
     relPaths.map { rel =>
       val name = rel.split('/').last
-      val n = counts.getOrElse(name, 0L)
+      val row = byFile.get(name)
+      val n = row.map(_.getAs[Long]("n")).getOrElse(0L)
       val sz = Files.size(Paths.get(base, rel))
+      val bounds = if (statsFor.isEmpty || row.isEmpty) "" else {
+        def side(tag: String, pre: String) = statsFor
+          .map(c => s"""\\"${esc(c)}\\":${row.get.getAs[Long](s"${pre}_$c")}""")
+          .mkString(s""",\\"$tag\\":{""", ",", "}")
+        side("minValues", "mn") + side("maxValues", "mx")
+      }
       s"""{"add":{"path":"${esc(rel)}","partitionValues":${partitionValuesOf(rel)},""" +
         s""""size":$sz,"modificationTime":0,""" +
-        s""""dataChange":true,"stats":"{\\"numRecords\\":$n}"}}"""
+        s""""dataChange":true,"stats":"{\\"numRecords\\":$n$bounds}"}}"""
     }
   }
 
@@ -119,7 +135,7 @@ object DeltaLogWriter {
     * `partitionBy`, data lands in the hive layout and partition values
     * ride both the paths and each add's `partitionValues`. */
   def create(spark: SparkSession, df: DataFrame, base: String, tableId: String,
-             partitionBy: Seq[String] = Nil): Unit = {
+             partitionBy: Seq[String] = Nil, statsFor: Seq[String] = Nil): Unit = {
     TxnLog.rmrf(base)
     val rels = writeData(df, base, 0L, partitionBy)
     val pcols = partitionBy.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
@@ -127,17 +143,19 @@ object DeltaLogWriter {
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       s"""{"metaData":{"id":"${esc(tableId)}","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":"${esc(df.schema.json)}","partitionColumns":$pcols,""" +
-        s""""configuration":{},"createdTime":0}}""") ++ addActions(spark, base, rels))
+        s""""configuration":{},"createdTime":0}}""") ++ addActions(spark, base, rels, statsFor))
   }
 
   /** Append-only commit: the table's next version adds `df`'s rows.
     * Partitioning follows the table's declared partitionColumns. */
-  def append(spark: SparkSession, df: DataFrame, base: String): Unit = {
+  def append(spark: SparkSession, df: DataFrame, base: String,
+             statsFor: Seq[String] = Nil): Unit = {
     val version = DeltaLogReader.latestVersion(base) + 1
     val rels = writeData(df, base, version,
       DeltaLogReader.partitionColumns(base, version - 1))
     commit(base, version,
-      s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""" +: addActions(spark, base, rels))
+      s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""" +:
+        addActions(spark, base, rels, statsFor))
   }
 
   /** Idempotent streaming append — the spec's `txn` (SetTransaction)

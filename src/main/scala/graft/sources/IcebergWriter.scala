@@ -81,6 +81,77 @@ object IcebergWriter {
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), entrySchema))
   }
 
+  /** Manifest variant whose entries carry the typed identity
+    * `data_file.partition` struct ([[IcebergReader.readWhere]] prunes
+    * on it). */
+  private def writePartManifest(spark: SparkSession, base: String, rel: String,
+                                partCol: String,
+                                entries: Seq[(Int, String, Long, String)]): Unit = {
+    val schema = StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("data_file", StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("file_format", StringType, nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("file_size_in_bytes", LongType, nullable = false),
+        StructField("partition",
+          StructType(Seq(StructField(partCol, StringType, nullable = false)))))))))
+    val rows = entries.map { case (status, path, n, pv) =>
+      Row(status, Row(path, "PARQUET", n, Files.size(Paths.get(base, path)), Row(pv)))
+    }
+    writeOneAvro(spark, base, rel,
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+  }
+
+  /** Identity-partitioned create: ONE data file per distinct value of
+    * `partitionCol` (a single-task partitionBy staging job — at
+    * cluster scale each partition is its own write task), each
+    * manifest entry carrying the typed partition struct so
+    * [[IcebergReader.readWhere]] prunes non-matching files before the
+    * parquet source. The partition column STAYS in the data files
+    * (identity partitioning; the residual row filter remains exact). */
+  def createPartitioned(spark: SparkSession, df: DataFrame, base: String,
+                        partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, when, lit => flit}
+    TxnLog.rmrf(base)
+    Files.createDirectories(Paths.get(base, "metadata"))
+    Files.createDirectories(Paths.get(base, "data"))
+    // index surrogate: partition values may contain characters hive
+    // dir names escape ('4-NOT SPECIFIED')
+    val vals = df.select(partitionCol).distinct()
+      .collect().map(_.get(0).toString).sorted.toSeq
+    val idx = vals.zipWithIndex.foldLeft(flit(-1)) { case (acc, (v, i)) =>
+      when(col(partitionCol) === v, i).otherwise(acc)
+    }
+    val tmp = s"$base/.stage-s1"
+    TxnLog.rmrf(tmp)
+    df.withColumn("__g", idx.cast("string"))
+      .repartition(1).write.partitionBy("__g").parquet(tmp)
+    val rels = Files.list(Paths.get(tmp)).iterator.asScala
+      .filter(_.getFileName.toString.startsWith("__g="))
+      .map { dir =>
+        val i = dir.getFileName.toString.stripPrefix("__g=").toInt
+        val parts = Files.list(dir).iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        require(parts.size == 1, s"partition $i staged ${parts.size} files")
+        val rel = s"data/part-p$i.parquet"
+        Files.move(parts.head, Paths.get(base, rel))
+        i -> rel
+      }.toMap
+    TxnLog.rmrf(tmp)
+    val counts = spark.read.parquet(rels.values.map(r => s"$base/$r").toSeq: _*)
+      .groupBy(col("_metadata.file_name").as("f"))
+      .agg(org.apache.spark.sql.functions.count(flit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val entries = vals.zipWithIndex.map { case (v, i) =>
+      val rel = rels(i)
+      (1, rel, counts.getOrElse(rel.split('/').last, 0L), v)
+    }
+    writePartManifest(spark, base, "metadata/m1.avro", partitionCol, entries)
+    writeManifestList(spark, base, 1L, Seq("metadata/m1.avro"))
+    writeMeta(base, 1, current = 1L, snaps = Seq(1L))
+  }
+
   private def writeOneAvro(spark: SparkSession, base: String, rel: String,
                            df: DataFrame): Unit = {
     val tmp = s"$base/.stage-avro"

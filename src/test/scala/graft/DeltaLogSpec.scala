@@ -330,6 +330,32 @@ class DeltaLogSpec extends SparkSpec {
       graft.sources.DeltaLogWriter.optimize(spark, base))
   }
 
+  test("data skipping: stats bounds prune files; unstated bounds keep them") {
+    val base = "/tmp/graft_delta_test/skip"
+    val W = graft.sources.DeltaLogWriter
+    def one(vals: (Long, Long)*) =
+      spark.createDataFrame(vals).toDF("id", "k").coalesce(1)
+    W.create(spark, one(1L -> 10L, 2L -> 19L), base, "t-skip", statsFor = Seq("k"))
+    W.append(spark, one(3L -> 20L, 4L -> 29L), base, statsFor = Seq("k"))
+    W.append(spark, one(5L -> 30L), base, statsFor = Seq("k"))
+    W.append(spark, one(6L -> 99L), base) // no stats: must always be kept
+    val v = DeltaLogReader.latestVersion(base)
+    def planned(lo: Long, hi: Long) =
+      DeltaLogReader.filesWhere(spark, base, v, "k", lo, hi).size
+    assert(planned(20L, 29L) == 2) // the middle file + the stats-less one
+    assert(planned(0L, 5L) == 1)   // only the stats-less file survives
+    assert(planned(0L, 99L) == 4)
+    assert(DeltaLogReader.readWhere(spark, base, v, "k", 20L, 29L)
+      .filter(col("k").between(20L, 29L))
+      .agg(sum("id")).collect().head.getLong(0) == 7L)
+    intercept[IllegalArgumentException](
+      DeltaLogReader.filesWhere(spark, base, v, "k", 5L, 4L))
+    // the stats JSON carries both bounds objects, escaped per spec
+    val v0 = Files.readString(Paths.get(base, "_delta_log", "00000000000000000000.json"))
+    assert(v0.contains("""minValues\":{\"k\":10}"""), v0)
+    assert(v0.contains("""maxValues\":{\"k\":19}"""), v0)
+  }
+
   test("writer refuses to overwrite an already-committed version") {
     val base = "/tmp/graft_delta_test/writer_clash"
     val df = spark.createDataFrame(Seq(1L).map(Tuple1(_))).toDF("id")

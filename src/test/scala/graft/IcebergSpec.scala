@@ -268,6 +268,22 @@ class IcebergSpec extends SparkSpec {
     assert(ft == 5L)
   }
 
+  test("createPartitioned's manifest partition structs prune at the planner") {
+    val base = "/tmp/graft_iceberg_test/partwrite"
+    val df = spark.createDataFrame(Seq(
+      (1L, "a"), (2L, "a"), (10L, "b"), (20L, "c x"))).toDF("id", "p")
+    graft.sources.IcebergWriter.createPartitioned(spark, df, base, "p")
+    val all = IcebergReader.planSnapshot(spark, base, 1L)
+    assert(all.dataFiles.size == 3)
+    val pruned = IcebergReader.planSnapshot(spark, base, 1L,
+      col("data_file.partition.p") === "c x") // the escaped-value case
+    assert(pruned.dataFiles.size == 1)
+    assert(IcebergReader.readWhere(spark, base, 1L, col("data_file.partition.p") === "c x")
+      .agg(sum("id")).collect().head.getLong(0) == 20L)
+    // the partition column stays in the data files (identity layout)
+    assert(IcebergReader.read(spark, base, 1L).columns.contains("p"))
+  }
+
   test("rewrite packs live files content-identically; expiry deletes only orphans") {
     val base = "/tmp/graft_iceberg_test/maint"
     val W = graft.sources.IcebergWriter
