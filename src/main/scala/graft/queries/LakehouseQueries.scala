@@ -259,6 +259,33 @@ object LakehouseQueries extends QueryGroup {
       versions.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // ---- Delta DML: DELETE WHERE + UPDATE, CDF emitted by the WRITER ----
+    // q_delta_cdf grades the CDF READ contract over a hand-composed
+    // spec fixture; this grades the WRITE side: create (v0), then the
+    // writer's own copy-on-write deleteWhere('1-URGENT') (v1) and
+    // update('2-HIGH', cents+7) (v2) — each commit rewrites ONLY the
+    // files holding matching rows (located via the scan's own
+    // _metadata.file_path) and emits a _change_data file alongside its
+    // remove+add actions. The graded output is readChanges over the
+    // whole history: insert/delete/update_preimage/update_postimage
+    // censuses, every one produced by this engine's writer and
+    // consumed by its reader — DML round-trip through the open format.
+    "q_delta_dml" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_dml"
+      val o = iceOrders(s, d)
+      graft.sources.DeltaLogWriter.create(s, o.repartition(2), base, "graft-orders-dml")
+      graft.sources.DeltaLogWriter.deleteWhere(s, base,
+        col("o_orderpriority") === "1-URGENT")
+      graft.sources.DeltaLogWriter.update(s, base,
+        col("o_orderpriority") === "2-HIGH",
+        df => df.withColumn("cents", col("cents") + 7))
+      graft.sources.DeltaLogReader.readChanges(s, base, 0L, 2L)
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .orderBy("version", "change_type")
+    }),
+
     // ---- Delta data skipping (min/max stats) ----------------------------
     // The Delta twin of q_iceberg_stats_prune: each add action carries
     // per-file minValues/maxValues for o_year (the spec's data-skipping
@@ -1451,6 +1478,13 @@ object LakehouseQueries extends QueryGroup {
         "SELECT CAST(1 AS BIGINT) AS version, CAST(7 AS BIGINT) AS n_files, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
         "UNION ALL SELECT 2, 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "ORDER BY version"),
+    "q_delta_dml" ->
+      ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS cents_sum FROM o " +
+        "UNION ALL SELECT 1, 'delete', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri = '1-URGENT' " +
+        "UNION ALL SELECT 2, 'update_preimage', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri = '2-HIGH' " +
+        "UNION ALL SELECT 2, 'update_postimage', count(*), CAST(sum(cents + 7) AS BIGINT) FROM o WHERE pri = '2-HIGH' " +
+        "ORDER BY version, change_type"),
     "q_delta_stats_skip" ->
       ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_rows, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +

@@ -234,6 +234,78 @@ object DeltaLogWriter {
     (live.size, rels.size)
   }
 
+  /** Copy-on-write core for DELETE/UPDATE: find the live files holding
+    * predicate-matching rows (via the scan's own `_metadata.file_path`),
+    * rewrite ONLY those files (survivors + post-images), and commit
+    * removes + adds + a `cdc` action whose `_change_data/` file carries
+    * the change rows — so [[DeltaLogReader.readChanges]] sees exactly
+    * the DML's effect. Untouched files are not rewritten. Returns
+    * (affectedFiles, matchedRows). */
+  private def cowModify(spark: SparkSession, base: String, predicate: org.apache.spark.sql.Column,
+                        op: String, post: Option[DataFrame => DataFrame]): (Int, Long) = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val version = DeltaLogReader.latestVersion(base)
+    require(DeltaLogReader.partitionColumns(base, version).isEmpty,
+      s"$op on a partitioned table is beyond this minimal writer")
+    val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
+    val relByAbs = live.map(a =>
+      Paths.get(base).resolve(a.path).normalize.toString -> a.path).toMap
+    val scan = spark.read.parquet(live.map(a => s"$base/${a.path}"): _*)
+      .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+    val matched = scan.filter(predicate)
+    val affectedAbs = matched.select("__path").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (affectedAbs.isEmpty) return (0, 0L)
+    val affectedRel = affectedAbs.map(a => relByAbs.getOrElse(a,
+      throw new IllegalStateException(s"matched file $a not in the live set")))
+    val inAffected = scan.filter(col("__path").isin(affectedAbs: _*))
+    val survivors = inAffected.filter(!predicate).drop("__path")
+    val hit = matched.drop("__path")
+    val nMatched = hit.count()
+    val changes = post match {
+      case None => hit.withColumn("_change_type", lit("delete"))
+      case Some(f) => hit.withColumn("_change_type", lit("update_preimage"))
+        .unionAll(f(hit).withColumn("_change_type", lit("update_postimage")))
+    }
+    val newData = post.fold(survivors)(f => survivors.unionAll(f(hit)))
+    val next = version + 1
+    // the change file (KB-to-MB scale: only this DML's rows)
+    Files.createDirectories(Paths.get(base, "_change_data"))
+    val cdcTmp = s"$base/.stage-cdc$next"
+    TxnLog.rmrf(cdcTmp)
+    changes.coalesce(1).write.parquet(cdcTmp)
+    val cdcSrc = Files.list(Paths.get(cdcTmp)).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no cdc file staged"))
+    val cdcRel = s"_change_data/cdc-$next.parquet"
+    Files.move(cdcSrc, Paths.get(base, cdcRel))
+    TxnLog.rmrf(cdcTmp)
+    val adds =
+      if (newData.isEmpty) Nil
+      else addActions(spark, base, writeData(newData.coalesce(1), base, next))
+    val removes = affectedRel.map(rel =>
+      s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":0,"dataChange":true}}""")
+    commit(base, next, Seq(
+      s"""{"commitInfo":{"operation":"$op","timestamp":0}}""",
+      s"""{"cdc":{"path":"${esc(cdcRel)}","partitionValues":{},""" +
+        s""""size":${Files.size(Paths.get(base, cdcRel))},"dataChange":false}}""") ++
+      removes ++ adds)
+    (affectedRel.size, nMatched)
+  }
+
+  /** DELETE WHERE — copy-on-write: matching rows disappear from the
+    * rewritten files, and the CDF carries them as `delete` rows. */
+  def deleteWhere(spark: SparkSession, base: String,
+                  predicate: org.apache.spark.sql.Column): (Int, Long) =
+    cowModify(spark, base, predicate, "DELETE", None)
+
+  /** UPDATE ... WHERE — copy-on-write: matching rows are transformed by
+    * `set`, and the CDF carries `update_preimage`/`update_postimage`
+    * pairs. */
+  def update(spark: SparkSession, base: String, predicate: org.apache.spark.sql.Column,
+             set: DataFrame => DataFrame): (Int, Long) =
+    cowModify(spark, base, predicate, "UPDATE", Some(set))
+
   /** RESTORE: make the table's NEXT version content-identical to
     * `toVersion` — as a new commit (history stays intact; this is how
     * the real feature works, a forward-moving revert, not a rollback):

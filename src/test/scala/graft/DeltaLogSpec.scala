@@ -356,6 +356,37 @@ class DeltaLogSpec extends SparkSpec {
     assert(v0.contains("""maxValues\":{\"k\":19}"""), v0)
   }
 
+  test("deleteWhere/update rewrite only affected files and emit consumable CDF") {
+    val base = "/tmp/graft_delta_test/dml"
+    val W = graft.sources.DeltaLogWriter
+    // two files: evens in one, odds in the other
+    W.create(spark, spark.createDataFrame(Seq(2L, 4L, 6L).map(Tuple1(_))).toDF("id").coalesce(1),
+      base, "t-dml")
+    W.append(spark, spark.createDataFrame(Seq(1L, 3L).map(Tuple1(_))).toDF("id").coalesce(1), base)
+    val before = DeltaLogReader.snapshotFiles(base, 1L).map(_.path).toSet
+    // delete id=4: only the evens file is rewritten
+    assert(W.deleteWhere(spark, base, col("id") === 4L) == ((1, 1L)))
+    val afterDel = DeltaLogReader.snapshotFiles(base, 2L).map(_.path).toSet
+    assert((before -- afterDel).size == 1 && (afterDel -- before).size == 1,
+      s"expected exactly one file swapped: $before -> $afterDel")
+    assert(DeltaLogReader.read(spark, base).agg(sum("id")).collect().head.getLong(0) == 12L)
+    // update odds: +10 each
+    assert(W.update(spark, base, col("id") % 2 === 1L,
+      df => df.withColumn("id", col("id") + 10L)) == ((1, 2L)))
+    assert(DeltaLogReader.read(spark, base).agg(sum("id")).collect().head.getLong(0) == 32L)
+    // the CDF both DMLs emitted reads back exactly
+    val ch = DeltaLogReader.readChanges(spark, base, 2L, 3L)
+      .groupBy("_commit_version", "_change_type").agg(sum("id").as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(ch == Set(
+      (2L, "delete", 4L),
+      (3L, "update_preimage", 4L),    // 1+3
+      (3L, "update_postimage", 24L))) // 11+13
+    // a predicate matching nothing is a no-op: no commit
+    assert(W.deleteWhere(spark, base, col("id") === 999L) == ((0, 0L)))
+    assert(DeltaLogReader.latestVersion(base) == 3L)
+  }
+
   test("writer refuses to overwrite an already-committed version") {
     val base = "/tmp/graft_delta_test/writer_clash"
     val df = spark.createDataFrame(Seq(1L).map(Tuple1(_))).toDF("id")
