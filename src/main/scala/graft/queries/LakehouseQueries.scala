@@ -286,6 +286,34 @@ object LakehouseQueries extends QueryGroup {
         .orderBy("version", "change_type")
     }),
 
+    // ---- Delta MERGE (upsert), one commit, writer-emitted CDF -----------
+    // The most-used DML: source rows REPLACE same-key table rows
+    // (whole-row UPDATE SET *) and unseen keys INSERT — in ONE commit,
+    // like the real statement. Table = the even-key half of orders;
+    // source = its '2-HIGH' rows at cents+3 (updates) plus the entire
+    // odd-key half (inserts). Only files holding matched keys are
+    // rewritten; the commit's _change_data file carries the
+    // pre/post-image pairs AND the insert rows, and the graded output
+    // is readChanges over the history — so key routing, whole-row
+    // replacement, and insert/update classification are all
+    // hash-graded through the engine's own writer AND reader.
+    "q_delta_merge" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_merge"
+      val o = iceOrders(s, d)
+      val evens = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      val odds = o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      graft.sources.DeltaLogWriter.create(s, evens.repartition(2), base, "graft-orders-merge")
+      val source = evens.filter(col("o_orderpriority") === "2-HIGH")
+        .withColumn("cents", col("cents") + 3)
+        .unionAll(odds)
+      graft.sources.DeltaLogWriter.merge(s, base, source, "o_orderkey")
+      graft.sources.DeltaLogReader.readChanges(s, base, 0L, 1L)
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .orderBy("version", "change_type")
+    }),
+
     // ---- Delta data skipping (min/max stats) ----------------------------
     // The Delta twin of q_iceberg_stats_prune: each add action carries
     // per-file minValues/maxValues for o_year (the spec's data-skipping
@@ -1478,6 +1506,13 @@ object LakehouseQueries extends QueryGroup {
         "SELECT CAST(1 AS BIGINT) AS version, CAST(7 AS BIGINT) AS n_files, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
         "UNION ALL SELECT 2, 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "ORDER BY version"),
+    "q_delta_merge" ->
+      ("WITH o AS (SELECT o_orderkey % 2 AS g, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS cents_sum FROM o WHERE g = 0 " +
+        "UNION ALL SELECT 1, 'insert', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE g = 1 " +
+        "UNION ALL SELECT 1, 'update_preimage', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE g = 0 AND pri = '2-HIGH' " +
+        "UNION ALL SELECT 1, 'update_postimage', count(*), CAST(sum(cents + 3) AS BIGINT) FROM o WHERE g = 0 AND pri = '2-HIGH' " +
+        "ORDER BY version, change_type"),
     "q_delta_dml" ->
       ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS cents_sum FROM o " +

@@ -306,6 +306,69 @@ object DeltaLogWriter {
              set: DataFrame => DataFrame): (Int, Long) =
     cowModify(spark, base, predicate, "UPDATE", Some(set))
 
+  /** MERGE (upsert) — ONE commit, like the real statement: source rows
+    * REPLACE same-key table rows (whole-row UPDATE SET *), source rows
+    * with unseen keys INSERT. Only the files holding matched keys are
+    * rewritten (new keys ride the same new file); the commit's
+    * `_change_data` file carries update_preimage/update_postimage
+    * pairs AND the insert rows, so CDF consumers see the merge's exact
+    * effect. `source` must have the table's data schema. Returns
+    * (updatedRows, insertedRows). */
+  def merge(spark: SparkSession, base: String, source: DataFrame,
+            keyCol: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    val version = DeltaLogReader.latestVersion(base)
+    require(DeltaLogReader.partitionColumns(base, version).isEmpty,
+      "MERGE on a partitioned table is beyond this minimal writer")
+    val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
+    val relByAbs = live.map(a =>
+      Paths.get(base).resolve(a.path).normalize.toString -> a.path).toMap
+    val scan = spark.read.parquet(live.map(a => s"$base/${a.path}"): _*)
+      .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+    val srcKeys = broadcast(source.select(col(keyCol)).distinct())
+    val matched = scan.join(srcKeys, keyCol)
+    val affectedAbs = matched.select("__path").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val affectedRel = affectedAbs.map(a => relByAbs.getOrElse(a,
+      throw new IllegalStateException(s"matched file $a not in the live set")))
+    val cols = scan.drop("__path").columns.toIndexedSeq
+    val src = source.select(cols.map(col): _*)
+    val updSrc = src.join(broadcast(scan.select(col(keyCol)).distinct()), keyCol, "left_semi")
+      .select(cols.map(col): _*)
+    val insSrc = src.join(broadcast(scan.select(col(keyCol)).distinct()), keyCol, "left_anti")
+      .select(cols.map(col): _*)
+    val survivors = scan.filter(col("__path").isin(affectedAbs: _*))
+      .join(srcKeys, Seq(keyCol), "left_anti").select(cols.map(col): _*)
+    val pre = matched.select(cols.map(col): _*)
+    val nUpd = pre.count()
+    val nIns = insSrc.count()
+    require(nUpd + nIns > 0, "MERGE source matches nothing and inserts nothing")
+    val changes = pre.withColumn("_change_type", lit("update_preimage"))
+      .unionAll(updSrc.withColumn("_change_type", lit("update_postimage")))
+      .unionAll(insSrc.withColumn("_change_type", lit("insert")))
+    val next = version + 1
+    Files.createDirectories(Paths.get(base, "_change_data"))
+    val cdcTmp = s"$base/.stage-cdc$next"
+    TxnLog.rmrf(cdcTmp)
+    changes.coalesce(1).write.parquet(cdcTmp)
+    val cdcSrc = Files.list(Paths.get(cdcTmp)).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no cdc file staged"))
+    val cdcRel = s"_change_data/cdc-$next.parquet"
+    Files.move(cdcSrc, Paths.get(base, cdcRel))
+    TxnLog.rmrf(cdcTmp)
+    val newData = survivors.unionAll(updSrc).unionAll(insSrc)
+    val adds = addActions(spark, base, writeData(newData.coalesce(1), base, next))
+    val removes = affectedRel.map(rel =>
+      s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":0,"dataChange":true}}""")
+    commit(base, next, Seq(
+      s"""{"commitInfo":{"operation":"MERGE","timestamp":0}}""",
+      s"""{"cdc":{"path":"${esc(cdcRel)}","partitionValues":{},""" +
+        s""""size":${Files.size(Paths.get(base, cdcRel))},"dataChange":false}}""") ++
+      removes ++ adds)
+    (nUpd, nIns)
+  }
+
   /** RESTORE: make the table's NEXT version content-identical to
     * `toVersion` — as a new commit (history stays intact; this is how
     * the real feature works, a forward-moving revert, not a rollback):

@@ -387,6 +387,29 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLogReader.latestVersion(base) == 3L)
   }
 
+  test("merge upserts in one commit: matched files rewritten, unseen keys insert, CDF complete") {
+    val base = "/tmp/graft_delta_test/merge"
+    val W = graft.sources.DeltaLogWriter
+    def kv(vals: (Long, Long)*) = spark.createDataFrame(vals).toDF("id", "v").coalesce(1)
+    W.create(spark, kv(1L -> 10L, 2L -> 20L), base, "t-merge")
+    W.append(spark, kv(5L -> 50L), base)
+    // update id=2 (file 1 only), insert id=9 — ONE commit
+    assert(W.merge(spark, base, kv(2L -> 99L, 9L -> 90L), "id") == ((1L, 1L)))
+    assert(DeltaLogReader.latestVersion(base) == 2L)
+    assert(DeltaLogReader.read(spark, base).agg(sum("v")).collect().head.getLong(0)
+      == 10L + 99L + 50L + 90L)
+    // the untouched second file survived the merge
+    assert(DeltaLogReader.snapshotFiles(base, 2L).map(_.path)
+      .exists(p => DeltaLogReader.snapshotFiles(base, 1L).map(_.path).contains(p)))
+    val ch = DeltaLogReader.readChanges(spark, base, 2L, 2L)
+      .groupBy("_change_type").agg(sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch == Map("update_preimage" -> 20L, "update_postimage" -> 99L, "insert" -> 90L))
+    // a merge with nothing to do is rejected, not an empty commit
+    intercept[IllegalArgumentException](
+      W.merge(spark, base, kv(2L -> 99L).filter(col("id") === 0L), "id"))
+  }
+
   test("writer refuses to overwrite an already-committed version") {
     val base = "/tmp/graft_delta_test/writer_clash"
     val df = spark.createDataFrame(Seq(1L).map(Tuple1(_))).toDF("id")
