@@ -314,6 +314,40 @@ object LakehouseQueries extends QueryGroup {
         .orderBy("version", "change_type")
     }),
 
+    // ---- Delta DELETION VECTORS (the modern DML shape) -------------------
+    // Modern Delta writers soft-delete by DEFAULT: instead of
+    // rewriting a file, the commit attaches a roaring-bitmap sidecar
+    // (`deletionVector` descriptor: z85 uuid, offset, sizeInBytes,
+    // cardinality) marking the file's dead row positions, and upgrades
+    // the protocol to minReaderVersion 3 + readerFeatures=
+    // [deletionVectors] — the #1 interop gap for any reader that only
+    // speaks protocol 1. Fixture: create orders as 2 files (v0), DV-
+    // delete '1-URGENT' (v1), then STACK a second DV-delete of
+    // '2-HIGH' (v2) — the second sidecar must union the first's
+    // positions. The graded census time-travels all three versions;
+    // the reader decodes the bitmaps (from-scratch Z85 +
+    // RoaringBitmapArray codec, spec frame with CRC) and applies them
+    // as a broadcast anti-join on the scan's native
+    // _metadata.row_index — the Iceberg position-delete shape, so the
+    // data path stays the ordinary pushdown-friendly parquet scan.
+    // Oracle replays both predicates over `orders`.
+    "q_delta_dv" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_dv"
+      val o = iceOrders(s, d)
+      graft.sources.DeltaLogWriter.create(s, o.repartition(2), base, "graft-orders-dv")
+      graft.sources.DeltaLogWriter.deleteWhereDv(s, base,
+        col("o_orderpriority") === "1-URGENT")
+      graft.sources.DeltaLogWriter.deleteWhereDv(s, base,
+        col("o_orderpriority") === "2-HIGH")
+      val versions = (0L to 2L).map { v =>
+        graft.sources.DeltaLogReader.read(s, base, v).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("total_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("total_cents"))
+      }
+      versions.reduce(_ unionAll _).orderBy("version")
+    }),
+
     // ---- Delta data skipping (min/max stats) ----------------------------
     // The Delta twin of q_iceberg_stats_prune: each add action carries
     // per-file minValues/maxValues for o_year (the spec's data-skipping
@@ -1418,6 +1452,12 @@ object LakehouseQueries extends QueryGroup {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_delta_dv" ->
+      ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri <> '1-URGENT' " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri NOT IN ('1-URGENT', '2-HIGH') " +
+        "ORDER BY version"),
     "q_iceberg_scan" ->
       ("WITH o AS (SELECT o_orderkey % 4 AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CAST(1 AS BIGINT) AS snapshot_id, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE g IN (0, 1, 2) " +

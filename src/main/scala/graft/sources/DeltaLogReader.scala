@@ -34,9 +34,53 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DeltaLogReader {
 
+  /** Spec deletion-vector descriptor riding an add action: which rows
+    * of the file are soft-deleted, as a serialized roaring bitmap in a
+    * sidecar (`u`/`p`) or inline (`i`). */
+  final case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+                                offset: Long, sizeInBytes: Int, cardinality: Long)
+
   final case class DeltaAdd(path: String, size: Long, dataChange: Boolean,
                             minValues: Map[String, Long] = Map.empty,
-                            maxValues: Map[String, Long] = Map.empty)
+                            maxValues: Map[String, Long] = Map.empty,
+                            numRecords: Long = -1L,
+                            dv: Option[DvDescriptor] = None)
+
+  /** Parse the `deletionVector` sub-object out of an add action line.
+    * The closing brace is found with a quote-aware scan: the z85
+    * alphabet puts `{`/`}` INSIDE pathOrInlineDv strings, so a naive
+    * indexOf('}') truncates the object mid-field. */
+  private[sources] def dvOf(line: String): Option[DvDescriptor] = {
+    val i = line.indexOf("\"deletionVector\"")
+    if (i < 0) return None
+    var j = line.indexOf('{', i)
+    var depth = 0
+    var inStr = false
+    var end = -1
+    while (end < 0 && j < line.length) {
+      val c = line.charAt(j)
+      if (inStr) {
+        if (c == '\\') j += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = j
+        case _ =>
+      }
+      j += 1
+    }
+    val obj = line.substring(i, if (end < 0) line.length else end + 1)
+    Some(DvDescriptor(
+      strField(obj, "storageType").getOrElse(
+        throw new IllegalStateException(s"deletionVector without storageType: $line")),
+      strField(obj, "pathOrInlineDv").getOrElse(
+        throw new IllegalStateException(s"deletionVector without pathOrInlineDv: $line")),
+      longField(obj, "offset").getOrElse(0L),
+      longField(obj, "sizeInBytes").getOrElse(
+        throw new IllegalStateException(s"deletionVector without sizeInBytes: $line")).toInt,
+      longField(obj, "cardinality").getOrElse(-1L)))
+  }
 
   /** Integral `minValues`/`maxValues` out of an add action's embedded
     * `stats` JSON string (quotes arrive backslash-escaped inside the
@@ -105,31 +149,85 @@ object DeltaLogReader {
     m.findFirstMatchIn(json).map(_.group(1).toLong)
   }
 
+  private def partitionColsOfLine(line: String): Option[Seq[String]] = {
+    val m = """"partitionColumns":\[([^\]]*)\]""".r
+    m.findFirstMatchIn(line).map { g =>
+      """"([^"]*)"""".r.findAllMatchIn(g.group(1)).map(_.group(1)).toSeq
+    }
+  }
+
   /** Partition columns from the LAST metaData action at or before
-    * `version` (Delta replaces table metadata wholesale per commit). */
-  def partitionColumns(base: String, version: Long): Seq[String] = {
-    var cols: Seq[String] = Seq.empty
-    (0L to version).foreach { v =>
+    * `version` (Delta replaces table metadata wholesale per commit).
+    * On a vacuumed table (pre-checkpoint commits deleted) the v0
+    * metaData JSON is gone — the checkpoint's folded metaData row
+    * supplies it instead, then any later JSON metaData overrides. */
+  def partitionColumns(base: String, version: Long): Seq[String] =
+    partitionColumns(None, base, version)
+
+  def partitionColumns(spark: Option[SparkSession], base: String, version: Long): Seq[String] = {
+    val ckpt = spark.flatMap(s => checkpointAt(base, version).map((s, _)))
+    var cols: Seq[String] = ckpt.map { case (s, cv) =>
+      checkpointMeta(s, base, cv).map(_._3).getOrElse(Seq.empty)
+    }.getOrElse {
+      require(versions(base).headOption.contains(0L) || version < 0,
+        s"vacuumed _delta_log under $base: table metadata needs the " +
+          "checkpoint — pass a SparkSession to partitionColumns")
+      Seq.empty
+    }
+    val from = ckpt.map(_._2 + 1).getOrElse(0L)
+    (from to version).foreach { v =>
       val f = logDir(base).resolve(f"$v%020d.json")
       if (Files.exists(f))
         Files.readAllLines(f, StandardCharsets.UTF_8).asScala.foreach { line =>
-          if (line.contains("\"metaData\"")) {
-            val m = """"partitionColumns":\[([^\]]*)\]""".r
-            m.findFirstMatchIn(line).foreach { g =>
-              cols = """"([^"]*)"""".r.findAllMatchIn(g.group(1)).map(_.group(1)).toSeq
-            }
-          }
+          if (line.contains("\"metaData\""))
+            partitionColsOfLine(line).foreach(cols = _)
         }
     }
     cols
   }
 
-  /** Fail fast on tables this minimal reader cannot honor. */
+  /** The checkpoint's folded metaData row, if the checkpoint carries
+    * one: (id, schemaString, partitionColumns). Older checkpoints
+    * without the column return None. */
+  private[sources] def checkpointMeta(spark: SparkSession, base: String,
+                                      cv: Long): Option[(String, String, Seq[String])] = {
+    import org.apache.spark.sql.functions.col
+    val cp = logDir(base).resolve(f"$cv%020d.checkpoint.parquet")
+    require(Files.exists(cp), s"_last_checkpoint points at missing $cp")
+    val cdf = spark.read.parquet(cp.toString)
+    if (!cdf.columns.contains("metaData")) return None
+    val fields = cdf.schema("metaData").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    if (!fields.contains("partitionColumns")) return None
+    cdf.filter(col("metaData").isNotNull)
+      .select(col("metaData.id"), col("metaData.schemaString"),
+        col("metaData.partitionColumns"))
+      .collect().headOption
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[String](2)))
+  }
+
+  /** Reader features this engine honors (the table-features protocol:
+    * minReaderVersion=3 lists the features a reader MUST implement). */
+  private val SupportedReaderFeatures = Set("deletionVectors")
+
+  /** Fail fast on tables this minimal reader cannot honor. Version 1
+    * needs nothing; version 3 is readable iff every listed
+    * readerFeature is implemented here; version 2 (column mapping by
+    * protocol version, no feature list) is rejected. */
   private def assertReadable(line: String): Unit =
     longField(line, "minReaderVersion").foreach { v =>
-      require(v <= 1L,
+      if (v == 3L) {
+        val feats = """"readerFeatures":\[([^\]]*)\]""".r
+          .findFirstMatchIn(line)
+          .map(m => """"([^"]*)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSet)
+          .getOrElse(Set.empty[String])
+        val unsupported = feats -- SupportedReaderFeatures
+        require(unsupported.isEmpty,
+          s"Delta readerFeatures ${unsupported.mkString(",")} not implemented " +
+            s"by this reader (supported: ${SupportedReaderFeatures.mkString(",")})")
+      } else require(v <= 1L,
         s"Delta protocol minReaderVersion=$v requires reader features " +
-          "(checkpoints/deletion vectors) outside this minimal reader")
+          "outside this minimal reader")
     }
 
   /** `_last_checkpoint` pointer (spec: JSON `{"version":N,"size":M}`),
@@ -167,31 +265,84 @@ object DeltaLogReader {
           .select(col("protocol.minReaderVersion")).collect()
           .foreach(r => if (!r.isNullAt(0)) assertReadable(
             s"""{"protocol":{"minReaderVersion":${r.getInt(0)}}}"""))
+      val hasStats = cdf.schema("add").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.contains("stats")
+      val statsCol = if (hasStats) col("add.stats")
+                     else org.apache.spark.sql.functions.lit(null).cast("string")
       cdf.filter(col("add").isNotNull)
-        .select(col("add.path"), col("add.size"))
+        .select(col("add.path"), col("add.size"), statsCol)
         .collect()
-        .foreach(r => live(r.getString(0)) =
-          DeltaAdd(r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1), dataChange = true))
+        .foreach { r =>
+          val stats = if (r.isNullAt(2)) "" else r.getString(2)
+          live(r.getString(0)) = DeltaAdd(r.getString(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1), dataChange = true,
+            minValues = statBounds(stats, "minValues"),
+            maxValues = statBounds(stats, "maxValues"),
+            numRecords = DeltaStream.numRecords(stats))
+        }
     }
     val from = ckpt.map(_._2 + 1).getOrElse(0L)
     (from to version).foreach { v =>
       val f = logDir(base).resolve(f"$v%020d.json")
       require(Files.exists(f), s"missing Delta commit $v under $base")
+      // removes apply BEFORE adds within one commit: a DV-writing DML
+      // legally removes a path and re-adds it with a new deletionVector
+      // in the same commit (the only same-path add+remove the spec
+      // allows); for ordinary commits the order is immaterial
+      val adds = Seq.newBuilder[DeltaAdd]
       Files.readAllLines(f, StandardCharsets.UTF_8).asScala.foreach { line =>
         if (line.contains("\"protocol\"")) assertReadable(line)
         if (line.contains("\"add\"")) {
           val p = strField(line, "path").getOrElse(
             throw new IllegalStateException(s"add action without path: $line"))
-          live(p) = DeltaAdd(p, longField(line, "size").getOrElse(0L),
+          adds += DeltaAdd(p, longField(line, "size").getOrElse(0L),
             dataChange = !line.contains("\"dataChange\":false"),
             minValues = statBounds(line, "minValues"),
-            maxValues = statBounds(line, "maxValues"))
+            maxValues = statBounds(line, "maxValues"),
+            numRecords = DeltaStream.numRecords(line),
+            dv = dvOf(line))
         } else if (line.contains("\"remove\"")) {
           strField(line, "path").foreach(live.remove)
         }
       }
+      adds.result().foreach(a => live(a.path) = a)
     }
     live.values.toSeq
+  }
+
+  /** Apply each file's deletion vector (if any) to the scan: decode the
+    * KB-scale bitmaps into (file, row_index) pairs — payload bytes ship
+    * to executors, positions never materialize on the driver — and
+    * LEFT ANTI join against Spark's native parquet row positions, the
+    * same shape as Iceberg position deletes. Files without a DV pass
+    * through untouched; pushdown and pruning on the data side survive
+    * because the scan itself stays the ordinary parquet read. */
+  private def applyDvs(spark: SparkSession, base: String,
+                       adds: Seq[DeltaAdd], data: DataFrame): DataFrame = {
+    val withDv = adds.filter(_.dv.isDefined)
+    if (withDv.isEmpty) return data
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    val payloads: Seq[(String, Array[Byte])] = withDv.map { a =>
+      val abs = Paths.get(base).resolve(a.path).normalize.toString
+      val d = a.dv.get
+      (abs, RoaringDv.loadPayload(base, d.storageType, d.pathOrInlineDv,
+        d.offset, d.sizeInBytes))
+    }
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong)
+    val dels = spark.createDataset(payloads)(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.BINARY))
+      .flatMap { case (p, bytes) => RoaringDv.deserialize(bytes).map(pos => (p, pos)) }(enc)
+      .toDF("__del_path", "__del_pos")
+    val cols = data.columns.map(col)
+    data
+      .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(broadcast(dels),
+        col("__path") === col("__del_path") && col("__pos") === col("__del_pos"),
+        "left_anti")
+      .select(cols.toIndexedSeq: _*)
   }
 
   /** Snapshot read at an explicit version (time travel). The live list
@@ -208,8 +359,8 @@ object DeltaLogReader {
     val adds = snapshotFiles(Some(spark), base, version)
     require(adds.nonEmpty, s"empty snapshot at version $version of $base")
     val files = adds.map(a => Paths.get(base).resolve(a.path).toString)
-    val pcols = partitionColumns(base, version)
-    if (pcols.isEmpty) spark.read.parquet(files: _*)
+    val pcols = partitionColumns(Some(spark), base, version)
+    val data = if (pcols.isEmpty) spark.read.parquet(files: _*)
     else {
       val hive = adds.forall(a => pcols.forall(c => a.path.contains(c + "=")))
       require(hive,
@@ -218,6 +369,7 @@ object DeltaLogReader {
           "minimal reader supports hive-style layouts only")
       spark.read.option("basePath", base).parquet(files: _*)
     }
+    applyDvs(spark, base, adds, data)
   }
 
   /** Latest-snapshot read. */
@@ -248,17 +400,26 @@ object DeltaLogReader {
                 column: String, lo: Long, hi: Long): DataFrame = {
     val files = filesWhere(spark, base, version, column, lo, hi)
     require(files.nonEmpty, s"no file of $base@$version overlaps $column in [$lo, $hi]")
-    spark.read.parquet(files.map(a => Paths.get(base).resolve(a.path).toString): _*)
+    applyDvs(spark, base, files,
+      spark.read.parquet(files.map(a => Paths.get(base).resolve(a.path).toString): _*))
   }
 
   /** Highest `txn` (SetTransaction) version recorded for `appId` — the
     * spec's idempotent-writer watermark. A streaming sink consults it
     * to skip redelivered micro-batches ([[DeltaLogWriter.appendIfAbsent]]).
-    * Scans the KB-scale commit JSON; this minimal reader does not fold
-    * txn rows into checkpoints, so it replays the full JSON chain. */
-  def lastTxnVersion(base: String, appId: String): Option[Long] = {
+    * Scans the KB-scale commit JSON; on a vacuumed table the
+    * checkpoint's folded txn rows supply the watermark the expired
+    * commits carried (pass a SparkSession to read them), so an
+    * expireLog never re-opens the exactly-once window. */
+  def lastTxnVersion(base: String, appId: String): Option[Long] =
+    lastTxnVersion(None, base, appId)
+
+  def lastTxnVersion(spark: Option[SparkSession], base: String, appId: String): Option[Long] = {
     val quoted = "\"appId\":\"" + appId + "\""
-    versions(base).flatMap { v =>
+    val fromCkpt = spark.flatMap { s =>
+      checkpointAt(base, Long.MaxValue).flatMap(cv => checkpointTxn(s, base, cv, appId))
+    }
+    val fromJson = versions(base).flatMap { v =>
       Files.readAllLines(logDir(base).resolve(f"$v%020d.json"), StandardCharsets.UTF_8)
         .asScala.collect {
           case line if line.contains("\"txn\"") && line.contains(quoted) =>
@@ -266,6 +427,34 @@ object DeltaLogReader {
               throw new IllegalStateException(s"txn action without version: $line"))
         }
     }.maxOption
+    (fromCkpt.toSeq ++ fromJson.toSeq).maxOption
+  }
+
+  /** The checkpoint's folded txn watermark for `appId`, if present. */
+  private def checkpointTxn(spark: SparkSession, base: String,
+                            cv: Long, appId: String): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    val cp = logDir(base).resolve(f"$cv%020d.checkpoint.parquet")
+    if (!Files.exists(cp)) return None
+    val cdf = spark.read.parquet(cp.toString)
+    if (!cdf.columns.contains("txn")) return None
+    cdf.filter(col("txn").isNotNull && col("txn.appId") === appId)
+      .select(col("txn.version")).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+  }
+
+  /** Every folded (appId, version) txn watermark in the checkpoint —
+    * the writer re-folds them when it takes the NEXT checkpoint. */
+  private[sources] def checkpointTxns(spark: SparkSession, base: String,
+                                      cv: Long): Map[String, Long] = {
+    import org.apache.spark.sql.functions.col
+    val cp = logDir(base).resolve(f"$cv%020d.checkpoint.parquet")
+    if (!Files.exists(cp)) return Map.empty
+    val cdf = spark.read.parquet(cp.toString)
+    if (!cdf.columns.contains("txn")) return Map.empty
+    cdf.filter(col("txn").isNotNull)
+      .select(col("txn.appId"), col("txn.version")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   /** Change Data Feed over versions [fromVersion, toVersion] — the

@@ -49,15 +49,18 @@ object DeltaLogWriter {
     sb.toString
   }
 
-  /** `col=value/...` path prefix → the add action's partitionValues. */
-  private def partitionValuesOf(rel: String): String = {
-    val kvs = rel.split('/').dropRight(1).flatMap { seg =>
+  /** `col=value/...` path prefix → (column, real value) pairs. */
+  private def partitionValuePairs(rel: String): Seq[(String, String)] =
+    rel.split('/').dropRight(1).toSeq.flatMap { seg =>
       val eq = seg.indexOf('=')
-      if (eq < 0) None
-      else Some(s""""${esc(seg.take(eq))}":"${esc(unescapeHive(seg.drop(eq + 1)))}"""")
+      if (eq < 0) None else Some(seg.take(eq) -> unescapeHive(seg.drop(eq + 1)))
     }
-    kvs.mkString("{", ",", "}")
-  }
+
+  /** `col=value/...` path prefix → the add action's partitionValues. */
+  private def partitionValuesOf(rel: String): String =
+    partitionValuePairs(rel)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
 
   /** One add action per new part file, stats included. With
     * `statsFor`, each add also carries per-file `minValues`/`maxValues`
@@ -68,8 +71,12 @@ object DeltaLogWriter {
   private def addActions(spark: SparkSession, base: String, relPaths: Seq[String],
                          statsFor: Seq[String] = Nil): Seq[String] = {
     import org.apache.spark.sql.functions.{max, min}
+    // cast the bounds to long up front: an IntegerType stats column
+    // would otherwise CCE on the Long read, and an all-NULL file would
+    // NPE on unboxing — null bounds are skipped below instead
     val aggs = count(lit(1)).as("n") +:
-      statsFor.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+      statsFor.flatMap(c => Seq(min(col(c)).cast("long").as(s"mn_$c"),
+        max(col(c)).cast("long").as(s"mx_$c")))
     val byFile = spark.read.parquet(relPaths.map(r => s"$base/$r"): _*)
       .groupBy(col("_metadata.file_name").as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -79,8 +86,10 @@ object DeltaLogWriter {
       val row = byFile.get(name)
       val n = row.map(_.getAs[Long]("n")).getOrElse(0L)
       val sz = Files.size(Paths.get(base, rel))
-      val bounds = if (statsFor.isEmpty || row.isEmpty) "" else {
-        def side(tag: String, pre: String) = statsFor
+      val tracked = row.toSeq.flatMap(r => statsFor.filter(c =>
+        !r.isNullAt(r.fieldIndex(s"mn_$c")) && !r.isNullAt(r.fieldIndex(s"mx_$c"))))
+      val bounds = if (tracked.isEmpty) "" else {
+        def side(tag: String, pre: String) = tracked
           .map(c => s"""\\"${esc(c)}\\":${row.get.getAs[Long](s"${pre}_$c")}""")
           .mkString(s""",\\"$tag\\":{""", ",", "}")
         side("minValues", "mn") + side("maxValues", "mx")
@@ -152,7 +161,7 @@ object DeltaLogWriter {
              statsFor: Seq[String] = Nil): Unit = {
     val version = DeltaLogReader.latestVersion(base) + 1
     val rels = writeData(df, base, version,
-      DeltaLogReader.partitionColumns(base, version - 1))
+      DeltaLogReader.partitionColumns(Some(spark), base, version - 1))
     commit(base, version,
       s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""" +:
         addActions(spark, base, rels, statsFor))
@@ -170,7 +179,7 @@ object DeltaLogWriter {
                      appId: String, batchId: Long): Boolean = {
     val exists = Files.isDirectory(Paths.get(base, "_delta_log")) &&
       DeltaLogReader.versions(base).nonEmpty
-    if (exists && DeltaLogReader.lastTxnVersion(base, appId).exists(_ >= batchId))
+    if (exists && DeltaLogReader.lastTxnVersion(Some(spark), base, appId).exists(_ >= batchId))
       return false
     val txn = s"""{"txn":{"appId":"${esc(appId)}","version":$batchId,"lastUpdated":0}}"""
     if (df.isEmpty) {
@@ -215,10 +224,11 @@ object DeltaLogWriter {
   def optimize(spark: SparkSession, base: String,
                targetBytes: Long = 128L << 20): (Int, Int) = {
     val version = DeltaLogReader.latestVersion(base)
-    require(DeltaLogReader.partitionColumns(base, version).isEmpty,
+    require(DeltaLogReader.partitionColumns(Some(spark), base, version).isEmpty,
       "OPTIMIZE on a partitioned table needs per-partition bin-packing — " +
         "beyond this minimal writer")
     val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
+    requireNoDv(live, "OPTIMIZE")
     val liveBytes = live.map(_.size).sum
     val numOut = math.max(1, math.ceil(liveBytes.toDouble / targetBytes).toInt)
     if (numOut >= live.size) return (live.size, live.size) // nothing to pack
@@ -234,6 +244,84 @@ object DeltaLogWriter {
     (live.size, rels.size)
   }
 
+  /** Rewrite-based ops read live parquet raw — on a DV-carrying table
+    * they would resurrect soft-deleted rows, so they refuse instead. */
+  private def requireNoDv(live: Seq[DeltaLogReader.DeltaAdd], op: String): Unit =
+    require(live.forall(_.dv.isEmpty),
+      s"$op over deletion vectors — materialize them first (rewrite the " +
+        "DV-masked files) before running this rewrite op")
+
+  /** Canonical stats JSON for an add action (numRecords stays the
+    * PHYSICAL row count per spec, even under a deletion vector). */
+  private def statsJsonOf(a: DeltaLogReader.DeltaAdd): String = {
+    def side(tag: String, m: Map[String, Long]) =
+      if (m.isEmpty) ""
+      else m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"""\\"${esc(k)}\\":$v""" }
+        .mkString(s""",\\"$tag\\":{""", ",", "}")
+    s"""{\\"numRecords\\":${a.numRecords}${side("minValues", a.minValues)}${side("maxValues", a.maxValues)}}"""
+  }
+
+  /** DELETE WHERE via DELETION VECTORS — the modern Delta DML shape:
+    * no data file is rewritten; instead each affected file gets a
+    * roaring-bitmap sidecar marking its deleted row positions, and the
+    * commit swaps the file's add action for one carrying the
+    * `deletionVector` descriptor (the one same-path remove+add the
+    * spec allows in a commit). The commit also upgrades the protocol
+    * to the table-features form (minReaderVersion 3 +
+    * readerFeatures=[deletionVectors]) — exactly what makes modern
+    * tables unreadable to feature-blind readers, which
+    * [[DeltaLogReader]] now implements. Stacks: a second DV delete
+    * unions positions into a fresh sidecar. Position sets are
+    * DML-sized (KB-scale bitmaps), never table-sized. Returns
+    * (affectedFiles, newlyDeletedRows). */
+  def deleteWhereDv(spark: SparkSession, base: String,
+                    predicate: org.apache.spark.sql.Column): (Int, Long) = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val version = DeltaLogReader.latestVersion(base)
+    val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
+    val byAbs = live.map(a =>
+      Paths.get(base).resolve(a.path).normalize.toString -> a).toMap
+    val existing: Map[String, Seq[Long]] = live.flatMap(a => a.dv.map { d =>
+      a.path -> RoaringDv.deserialize(RoaringDv.loadPayload(
+        base, d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes))
+    }).toMap
+    // matched = predicate-TRUE rows not already masked by a DV
+    val scan = spark.read.parquet(live.map(a => s"$base/${a.path}"): _*)
+      .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val already = existing.iterator.flatMap { case (rel, ps) =>
+      val abs = Paths.get(base).resolve(rel).normalize.toString
+      ps.map(p => (abs, p))
+    }.toSet
+    val hits = scan.filter(predicate.eqNullSafe(true))
+      .select("__path", "__pos").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filterNot(already)
+    if (hits.isEmpty) return (0, 0L)
+    val byFile = hits.groupBy(_._1)
+    val actions = byFile.toSeq.sortBy(_._1).map { case (abs, rows) =>
+      val a = byAbs.getOrElse(abs,
+        throw new IllegalStateException(s"matched file $abs not in the live set"))
+      val merged = (existing.getOrElse(a.path, Seq.empty) ++ rows.map(_._2))
+        .distinct.sorted
+      val (uuidZ85, off, sz) = RoaringDv.writeDvFile(base, merged)
+      val dvJson = s""""deletionVector":{"storageType":"u","pathOrInlineDv":"$uuidZ85",""" +
+        s""""offset":$off,"sizeInBytes":$sz,"cardinality":${merged.size}}"""
+      Seq(
+        s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":true}}""",
+        s"""{"add":{"path":"${esc(a.path)}","partitionValues":${partitionValuesOf(a.path)},""" +
+          s""""size":${a.size},"modificationTime":0,"dataChange":true,""" +
+          s""""stats":"${statsJsonOf(a)}",$dvJson}}""")
+    }
+    commit(base, version + 1, Seq(
+      s"""{"commitInfo":{"operation":"DELETE","timestamp":0}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""") ++
+      actions.flatten)
+    (byFile.size, hits.length.toLong)
+  }
+
   /** Copy-on-write core for DELETE/UPDATE: find the live files holding
     * predicate-matching rows (via the scan's own `_metadata.file_path`),
     * rewrite ONLY those files (survivors + post-images), and commit
@@ -245,9 +333,10 @@ object DeltaLogWriter {
                         op: String, post: Option[DataFrame => DataFrame]): (Int, Long) = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     val version = DeltaLogReader.latestVersion(base)
-    require(DeltaLogReader.partitionColumns(base, version).isEmpty,
+    require(DeltaLogReader.partitionColumns(Some(spark), base, version).isEmpty,
       s"$op on a partitioned table is beyond this minimal writer")
     val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
+    requireNoDv(live, op)
     val relByAbs = live.map(a =>
       Paths.get(base).resolve(a.path).normalize.toString -> a.path).toMap
     val scan = spark.read.parquet(live.map(a => s"$base/${a.path}"): _*)
@@ -259,7 +348,11 @@ object DeltaLogWriter {
     val affectedRel = affectedAbs.map(a => relByAbs.getOrElse(a,
       throw new IllegalStateException(s"matched file $a not in the live set")))
     val inAffected = scan.filter(col("__path").isin(affectedAbs: _*))
-    val survivors = inAffected.filter(!predicate).drop("__path")
+    // SQL DML semantics: a row is matched only when the predicate is
+    // TRUE — rows where it evaluates to NULL (e.g. a NULL column under
+    // ===) must survive the rewrite, so the survivor filter is
+    // NOT-null-safe-true, not the plain negation (which is NULL too)
+    val survivors = inAffected.filter(!predicate.eqNullSafe(true)).drop("__path")
     val hit = matched.drop("__path")
     val nMatched = hit.count()
     val changes = post match {
@@ -318,9 +411,10 @@ object DeltaLogWriter {
             keyCol: String): (Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
     val version = DeltaLogReader.latestVersion(base)
-    require(DeltaLogReader.partitionColumns(base, version).isEmpty,
+    require(DeltaLogReader.partitionColumns(Some(spark), base, version).isEmpty,
       "MERGE on a partitioned table is beyond this minimal writer")
     val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
+    requireNoDv(live, "MERGE")
     val relByAbs = live.map(a =>
       Paths.get(base).resolve(a.path).normalize.toString -> a.path).toMap
     val scan = spark.read.parquet(live.map(a => s"$base/${a.path}"): _*)
@@ -381,6 +475,7 @@ object DeltaLogWriter {
     require(toVersion < current, s"restore target $toVersion is not before $current")
     val want = DeltaLogReader.snapshotFiles(Some(spark), base, toVersion)
     val have = DeltaLogReader.snapshotFiles(Some(spark), base, current)
+    requireNoDv(want ++ have, "RESTORE")
     val wantP = want.map(_.path).toSet
     val haveP = have.map(_.path).toSet
     val removes = have.filterNot(a => wantP.contains(a.path)).map(a =>
@@ -396,30 +491,74 @@ object DeltaLogWriter {
 
   /** Write the spec's replay-bounding checkpoint for the CURRENT
     * version: one parquet file `<v>.checkpoint.parquet` holding every
-    * action needed to reconstruct the snapshot (protocol + metaData +
-    * one row per live add, each in its own nullable struct column, the
-    * spec's checkpoint schema shape), then point `_last_checkpoint` at
-    * it. Readers seed the live set from the checkpoint and replay only
-    * the JSON tail — O(tail) instead of O(history) on long-lived
-    * tables, and the precondition for log cleanup ([[expireLog]]). */
+    * action needed to reconstruct the snapshot — protocol, the REAL
+    * metaData (schemaString + partitionColumns, folded from the log so
+    * expired commits keep partitioned tables and external readers
+    * whole), every appId's txn watermark (so [[expireLog]] never
+    * re-opens the exactly-once window), and one row per live add
+    * carrying partitionValues and the stats JSON (numRecords +
+    * min/max bounds, so data skipping survives the expiry) — each in
+    * its own nullable struct column, the spec's checkpoint schema
+    * shape — then point `_last_checkpoint` at it. Remove tombstones
+    * are NOT folded: this writer's expireLog cleans only the log,
+    * never data files, so no reader consumes them here. Readers seed
+    * the live set from the checkpoint and replay only the JSON tail —
+    * O(tail) instead of O(history) on long-lived tables. */
   def checkpoint(spark: SparkSession, base: String): Long = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val version = DeltaLogReader.latestVersion(base)
     val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
+    requireNoDv(live, "checkpoint") // DV descriptors are not folded yet
+    // fold the REAL table state, not placeholders: the latest metaData
+    // (schemaString + partitionColumns — without it a post-expiry read
+    // of a partitioned table would silently drop partition columns,
+    // and an external Delta reader honoring _last_checkpoint would see
+    // an empty schema) and every appId's txn watermark (without it
+    // expireLog would re-open the exactly-once window for redelivered
+    // micro-batches). Remove tombstones are NOT folded: this writer's
+    // expireLog only cleans the log, never data files, so no reader
+    // needs them — documented, not spec-divergent for that use.
+    val meta = latestMetaData(spark, base, version)
+    val txns = foldedTxns(spark, base, version)
     val addT = StructType(Seq(
-      StructField("path", StringType), StructField("size", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
     val protoT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType)))
     val metaT = StructType(Seq(
-      StructField("id", StringType), StructField("schemaString", StringType)))
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(StructField("provider", StringType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("createdTime", LongType)))
+    val txnT = StructType(Seq(
+      StructField("appId", StringType), StructField("version", LongType),
+      StructField("lastUpdated", LongType)))
     val schema = StructType(Seq(
       StructField("protocol", protoT), StructField("metaData", metaT),
-      StructField("add", addT)))
-    val rows = Row(Row(1, 2), null, null) +: Row(null, Row("graft", "{}"), null) +:
-      live.map(a => Row(null, null, Row(a.path, a.size, true)))
+      StructField("txn", txnT), StructField("add", addT)))
+    def statsJson(a: DeltaLogReader.DeltaAdd): String = {
+      def side(tag: String, m: Map[String, Long]) =
+        if (m.isEmpty) ""
+        else m.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":$v""" }
+          .mkString(s""","$tag":{""", ",", "}")
+      s"""{"numRecords":${a.numRecords}${side("minValues", a.minValues)}${side("maxValues", a.maxValues)}}"""
+    }
+    val rows =
+      Row(Row(1, 2), null, null, null) +:
+      Row(null, Row(meta._1, Row("parquet"), meta._2, meta._3, 0L), null, null) +:
+      (txns.toSeq.sortBy(_._1).map { case (app, v) =>
+        Row(null, null, Row(app, v, 0L), null)
+      } ++
+      live.map(a => Row(null, null, null,
+        Row(a.path, partitionValuePairs(a.path).toMap, a.size, 0L, true, statsJson(a)))))
     val dir = Paths.get(base, "_delta_log")
     val tmp = s"$base/_delta_log/.ckpt-stage"
     TxnLog.rmrf(tmp)
@@ -433,6 +572,57 @@ object DeltaLogWriter {
     Files.write(dir.resolve("_last_checkpoint"),
       s"""{"version":$version,"size":${rows.size}}""".getBytes(StandardCharsets.UTF_8))
     version
+  }
+
+  /** Latest metaData action at or before `version`: (id, schemaString,
+    * partitionColumns). Seeds from a prior checkpoint's folded metaData
+    * when the early commits are already expired, then overlays any
+    * later JSON metaData (Delta replaces table metadata wholesale). */
+  private def latestMetaData(spark: SparkSession, base: String,
+                             version: Long): (String, String, Seq[String]) = {
+    val vs = DeltaLogReader.versions(base).filter(_ <= version)
+    var found: Option[(String, String, Seq[String])] =
+      if (vs.headOption.contains(0L)) None
+      else DeltaLogReader.checkpointMeta(spark, base, vs.head)
+    vs.foreach { v =>
+      Files.readAllLines(Paths.get(base, "_delta_log", f"$v%020d.json"),
+          StandardCharsets.UTF_8).asScala.foreach { line =>
+        if (line.contains("\"metaData\"")) {
+          val id = DeltaLogReader.strField(line, "id").getOrElse("graft")
+          val schema = DeltaLogReader.strField(line, "schemaString").getOrElse("{}")
+          val pcols = """"partitionColumns":\[([^\]]*)\]""".r
+            .findFirstMatchIn(line)
+            .map(g => """"([^"]*)"""".r.findAllMatchIn(g.group(1)).map(_.group(1)).toSeq)
+            .getOrElse(Seq.empty)
+          found = Some((id, schema, pcols))
+        }
+      }
+    }
+    found.getOrElse(throw new IllegalStateException(
+      s"no metaData action found in $base's log or checkpoint — cannot checkpoint"))
+  }
+
+  /** Every appId's highest txn watermark at or before `version`,
+    * seeded from a prior checkpoint's folded txn rows. */
+  private def foldedTxns(spark: SparkSession, base: String,
+                         version: Long): Map[String, Long] = {
+    val vs = DeltaLogReader.versions(base).filter(_ <= version)
+    val seed =
+      if (vs.headOption.contains(0L)) Map.empty[String, Long]
+      else DeltaLogReader.checkpointTxns(spark, base, vs.head)
+    vs.foldLeft(seed) { (acc, v) =>
+      Files.readAllLines(Paths.get(base, "_delta_log", f"$v%020d.json"),
+          StandardCharsets.UTF_8).asScala.foldLeft(acc) { (m, line) =>
+        if (!line.contains("\"txn\"")) m
+        else {
+          val app = DeltaLogReader.strField(line, "appId").getOrElse(
+            throw new IllegalStateException(s"txn action without appId: $line"))
+          val tv = DeltaLogReader.longField(line, "version").getOrElse(
+            throw new IllegalStateException(s"txn action without version: $line"))
+          m + (app -> math.max(tv, m.getOrElse(app, Long.MinValue)))
+        }
+      }
+    }
   }
 
   /** Log cleanup (the metadata half of VACUUM): delete JSON commits

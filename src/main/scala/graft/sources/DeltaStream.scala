@@ -44,15 +44,47 @@ object DeltaStream {
     m.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(-1L)
   }
 
-  /** One linear replay of commits 0..to (the [[TxnLogStream]] trick —
+  /** One linear replay of the commit chain (the [[TxnLogStream]] trick —
     * never one replay per version): per-version action rows for
-    * [from, to], removes resolved against the evolving live set. */
+    * [from, to], removes resolved against the evolving live set.
+    *
+    * A VACUUMED table (log legally starts above 0, pre-checkpoint
+    * commits deleted by `expireLog`) streams through its checkpoint:
+    * the live set seeds from the checkpoint's add rows, offsets at or
+    * below the checkpoint version collapse into ONE initial-snapshot
+    * batch AT the checkpoint version (the checkpoint is immutable, so
+    * restart replay stays byte-identical), and the JSON tail replays
+    * from there. A vacuumed log WITHOUT a checkpoint fails explicitly
+    * instead of with 'missing Delta commit 0'. */
   def actionRowsRange(base: String, from: Long, to: Long)
   : Map[Long, Seq[(String, String, Long, Long)]] = {
     import scala.jdk.CollectionConverters._
+    val vs = DeltaLogReader.versions(base)
+    require(vs.nonEmpty, s"no Delta commits under $base")
+    val head = vs.head
     val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     val out = Map.newBuilder[Long, Seq[(String, String, Long, Long)]]
-    (0L to to).foreach { v =>
+    var replayFrom = 0L
+    if (head > 0) {
+      require(from <= to, s"empty range [$from, $to]") // clarity before the ckpt work
+      val spark = org.apache.spark.sql.SparkSession.active
+      // seed from the checkpoint (snapshotFiles at the checkpoint
+      // version reads it without touching any expired commit)
+      val seeded =
+        try DeltaLogReader.snapshotFiles(Some(spark), base, head)
+        catch {
+          case e: IllegalArgumentException => throw new IllegalStateException(
+            s"vacuumed Delta log under $base (first commit $head) is not " +
+              s"streamable without a checkpoint at $head: ${e.getMessage}")
+        }
+      seeded.foreach(a => live(a.path) = (a.size, a.numRecords))
+      // offsets <= head are unreconstructable per-commit — emit the
+      // checkpoint snapshot as one batch at the checkpoint version
+      if (from <= head)
+        out += head -> seeded.map(a => ("add", a.path, a.size, a.numRecords))
+      replayFrom = head + 1
+    }
+    (replayFrom to to).foreach { v =>
       val f = java.nio.file.Paths.get(base, "_delta_log", f"$v%020d.json")
       require(java.nio.file.Files.exists(f), s"missing Delta commit $v under $base")
       val rows = Seq.newBuilder[(String, String, Long, Long)]

@@ -70,7 +70,7 @@ class DeltaLogSpec extends SparkSpec {
   test("protocol requiring reader features is rejected, not misread") {
     val base = mkTable("proto")
     commit(base, 0,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":9}}""",
       """{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
     val e = intercept[IllegalArgumentException](DeltaLogReader.snapshotFiles(base, 0))
     assert(e.getMessage.contains("minReaderVersion"))
@@ -408,6 +408,175 @@ class DeltaLogSpec extends SparkSpec {
     // a merge with nothing to do is rejected, not an empty commit
     intercept[IllegalArgumentException](
       W.merge(spark, base, kv(2L -> 99L).filter(col("id") === 0L), "id"))
+  }
+
+  test("DML keeps rows whose predicate evaluates to NULL (SQL semantics)") {
+    val base = "/tmp/graft_delta_test/nullpred"
+    // tag is NULL for id=3: DELETE WHERE tag = 'x' must keep it
+    val df = spark.createDataFrame(Seq(
+      (1L, Option("x")), (2L, Option("y")), (3L, Option.empty[String])))
+      .toDF("id", "tag").coalesce(1)
+    graft.sources.DeltaLogWriter.create(spark, df, base, "t-nullpred")
+    val (files, matched) =
+      graft.sources.DeltaLogWriter.deleteWhere(spark, base, col("tag") === "x")
+    assert(files == 1 && matched == 1L)
+    val left = DeltaLogReader.read(spark, base).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(left == Seq(2L, 3L), s"NULL-predicate row dropped: $left")
+    // and UPDATE must carry the NULL row forward unmodified
+    graft.sources.DeltaLogWriter.update(spark, base, col("tag") === "y",
+      d => d.withColumn("id", col("id") + 100))
+    val after = DeltaLogReader.read(spark, base).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == Seq(3L, 102L), s"update lost the NULL-predicate row: $after")
+  }
+
+  test("checkpoint folds metaData + txn + stats: expiry keeps exactly-once, partitions, skipping") {
+    val base = "/tmp/graft_delta_test/ckptfold"
+    graft.sources.TxnLog.rmrf(base)
+    def one(ids: Long*) = spark.createDataFrame(ids.map(Tuple1(_))).toDF("id").coalesce(1)
+    // two streamed batches establish the txn watermark
+    assert(graft.sources.DeltaLogWriter.appendIfAbsent(spark, one(1L, 2L), base, "app", 0L))
+    assert(graft.sources.DeltaLogWriter.appendIfAbsent(spark, one(3L), base, "app", 1L))
+    graft.sources.DeltaLogWriter.checkpoint(spark, base)
+    assert(graft.sources.DeltaLogWriter.expireLog(base) == 1)
+    // the watermark survived the expiry: a redelivered batch is skipped
+    assert(DeltaLogReader.lastTxnVersion(Some(spark), base, "app").contains(1L))
+    assert(!graft.sources.DeltaLogWriter.appendIfAbsent(spark, one(3L), base, "app", 1L))
+    assert(DeltaLogReader.read(spark, base).count() == 3L)
+    // partitioned table: partitionColumns survive the expiry via the
+    // folded metaData (the v0 JSON that declared them is gone)
+    val pbase = "/tmp/graft_delta_test/ckptfold_part"
+    val pdf = spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("id", "p")
+    graft.sources.DeltaLogWriter.create(spark, pdf, pbase, "t-cfp", partitionBy = Seq("p"))
+    graft.sources.DeltaLogWriter.append(spark,
+      spark.createDataFrame(Seq((3L, "a"))).toDF("id", "p"), pbase)
+    graft.sources.DeltaLogWriter.checkpoint(spark, pbase)
+    graft.sources.DeltaLogWriter.expireLog(pbase)
+    assert(DeltaLogReader.partitionColumns(Some(spark), pbase, 1L) == Seq("p"))
+    val got = DeltaLogReader.read(spark, pbase)
+    assert(got.columns.contains("p"), s"partition column lost after expiry: ${got.columns.toSeq}")
+    assert(got.filter(col("p") === "a").count() == 2L)
+    // data-skipping stats fold into the checkpoint add rows
+    val sbase = "/tmp/graft_delta_test/ckptfold_stats"
+    val s1 = spark.createDataFrame(Seq(Tuple1(1L), Tuple1(2L))).toDF("y").coalesce(1)
+    val s2 = spark.createDataFrame(Seq(Tuple1(10L), Tuple1(11L))).toDF("y").coalesce(1)
+    graft.sources.DeltaLogWriter.create(spark, s1, sbase, "t-cfs", statsFor = Seq("y"))
+    graft.sources.DeltaLogWriter.append(spark, s2, sbase, statsFor = Seq("y"))
+    graft.sources.DeltaLogWriter.checkpoint(spark, sbase)
+    graft.sources.DeltaLogWriter.expireLog(sbase)
+    val planned = DeltaLogReader.filesWhere(spark, sbase, 1L, "y", 10L, 11L)
+    assert(planned.size == 1, s"checkpoint-seeded stats did not prune: ${planned.map(_.path)}")
+  }
+
+  test("stats columns: integer types and all-NULL files do not break addActions") {
+    val base = "/tmp/graft_delta_test/intstats"
+    val df = spark.createDataFrame(Seq((1, Option(5)), (2, Option.empty[Int])))
+      .toDF("id", "v").coalesce(1)
+    // IntegerType bounds must be cast, not CCE'd
+    graft.sources.DeltaLogWriter.create(spark, df, base, "t-int", statsFor = Seq("v"))
+    val allNull = spark.createDataFrame(Seq((3, Option.empty[Int]), (4, Option.empty[Int])))
+      .toDF("id", "v").coalesce(1)
+    // an all-NULL file gets NO bounds (kept by every range read) — not an NPE
+    graft.sources.DeltaLogWriter.append(spark, allNull, base, statsFor = Seq("v"))
+    val adds = DeltaLogReader.snapshotFiles(Some(spark), base, 1L)
+    assert(adds.exists(a => a.minValues.get("v").contains(5L)))
+    assert(adds.exists(a => a.minValues.isEmpty))
+    assert(DeltaLogReader.filesWhere(spark, base, 1L, "v", 100L, 200L).size == 1)
+  }
+
+  test("vacuumed log streams through its checkpoint (initial snapshot + tail)") {
+    val base = "/tmp/graft_delta_test/vacstream"
+    def one(ids: Long*) = spark.createDataFrame(ids.map(Tuple1(_))).toDF("id").coalesce(1)
+    graft.sources.DeltaLogWriter.create(spark, one(1L, 2L), base, "t-vs")
+    graft.sources.DeltaLogWriter.append(spark, one(3L), base)
+    graft.sources.DeltaLogWriter.checkpoint(spark, base) // at v1
+    graft.sources.DeltaLogWriter.expireLog(base)         // v0 json gone
+    graft.sources.DeltaLogWriter.append(spark, one(10L, 11L), base) // v2
+    val rows = graft.sources.DeltaStream.actionRowsRange(base, 0L, 2L)
+    // offsets <= checkpoint collapse into ONE snapshot batch at v1
+    assert(!rows.contains(0L))
+    assert(rows(1L).map(_._1).forall(_ == "add") && rows(1L).size == 2)
+    assert(rows(1L).map(_._4).sum == 3L, s"snapshot numRecords wrong: ${rows(1L)}")
+    assert(rows(2L).size == 1 && rows(2L).head._4 == 2L)
+    // a restart asking only for the tail replays it identically
+    assert(graft.sources.DeltaStream.actionRowsRange(base, 2L, 2L)(2L) == rows(2L))
+    // vacuumed log with the checkpoint REMOVED fails explicitly
+    Files.delete(Paths.get(base, "_delta_log", f"${1L}%020d.checkpoint.parquet"))
+    val e = intercept[Exception](graft.sources.DeltaStream.actionRowsRange(base, 0L, 2L))
+    assert(e.getMessage.contains("checkpoint"), e.getMessage)
+  }
+
+  test("roaring DV codec: z85 + bitmap round-trips, containers both shapes") {
+    import graft.sources.RoaringDv
+    // z85 round trip (RFC 32 test vector: "HelloW" is the spec's
+    // 0x86 0x4F 0xD2 0x6F 0xB5 0x59 0xF7 0x5B)
+    val rfc = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)
+    assert(RoaringDv.z85Encode(rfc) == "HelloWorld")
+    assert(RoaringDv.z85Decode("HelloWorld").toSeq == rfc.toSeq)
+    // bitmap round trips: empty, array container, bitmap container
+    // (card > 4096 in one 64k chunk), multi-high-word
+    val cases = Seq(
+      Seq.empty[Long],
+      Seq(0L, 1L, 5L, 65535L, 65536L, 100000L),
+      (0L until 5000L).map(_ * 2),                    // bitmap container
+      Seq(3L, (1L << 32) + 7, (2L << 32) + 9))        // three high words
+    cases.foreach { ps =>
+      val got = RoaringDv.deserialize(RoaringDv.serialize(ps))
+      assert(got == ps.sorted, s"round trip failed for ${ps.take(5)}...")
+    }
+  }
+
+  test("deletion vectors: DV delete stacks, time travel intact, guards hold") {
+    val base = "/tmp/graft_delta_test/dv"
+    val df = spark.createDataFrame(
+      (1L to 10L).map(i => (i, if (i % 2 == 0) "even" else "odd")))
+      .toDF("id", "par").repartition(2)
+    graft.sources.DeltaLogWriter.create(spark, df, base, "t-dv")
+    val (f1, n1) = graft.sources.DeltaLogWriter.deleteWhereDv(spark, base, col("id") <= 3)
+    assert(n1 == 3L && f1 >= 1)
+    // second DV delete STACKS onto the first (positions union)
+    val (_, n2) = graft.sources.DeltaLogWriter.deleteWhereDv(spark, base, col("id") <= 5)
+    assert(n2 == 2L, s"already-masked rows re-deleted: $n2")
+    assert(DeltaLogReader.read(spark, base, 0L).count() == 10L)
+    assert(DeltaLogReader.read(spark, base, 1L).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == (4L to 10L))
+    assert(DeltaLogReader.read(spark, base, 2L).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == (6L to 10L))
+    // a DV no-op predicate commits nothing
+    assert(graft.sources.DeltaLogWriter.deleteWhereDv(spark, base, col("id") > 99) == ((0, 0L)))
+    assert(DeltaLogReader.latestVersion(base) == 2L)
+    // rewrite ops refuse DV tables instead of resurrecting masked rows
+    intercept[IllegalArgumentException](graft.sources.DeltaLogWriter.optimize(spark, base))
+    intercept[IllegalArgumentException](
+      graft.sources.DeltaLogWriter.deleteWhere(spark, base, col("id") === 9))
+    intercept[IllegalArgumentException](graft.sources.DeltaLogWriter.checkpoint(spark, base))
+    // the DV commit upgraded the protocol: a feature-blind assert would
+    // have rejected it, ours accepts exactly the supported feature set
+    val proto = java.nio.file.Files.readString(
+      Paths.get(base, "_delta_log", f"${1L}%020d.json"))
+    assert(proto.contains("\"readerFeatures\":[\"deletionVectors\"]"))
+  }
+
+  test("unknown reader features still rejected; inline + absolute-path DVs readable") {
+    val base = mkTable("dvinline")
+    writeParquet(base, "a.parquet", Seq(1L, 2L, 3L, 4L))
+    // inline DV ('i'): z85 of the 4-byte-padded payload masking row 1
+    val payload = graft.sources.RoaringDv.serialize(Seq(1L))
+    val padded = payload ++ Array.fill((4 - payload.length % 4) % 4)(0.toByte)
+    val inline = graft.sources.RoaringDv.z85Encode(padded)
+    commit(base, 0,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${payload.length},"cardinality":1}}}""")
+    assert(DeltaLogReader.read(spark, base, 0L).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L))
+    // a feature outside the supported set still fails fast
+    val bad = mkTable("dvbad")
+    commit(bad, 0,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}""",
+      """{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val e = intercept[IllegalArgumentException](DeltaLogReader.snapshotFiles(bad, 0))
+    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
   }
 
   test("writer refuses to overwrite an already-committed version") {
