@@ -653,6 +653,38 @@ object LakehouseQueries extends QueryGroup {
     // deletes surface as absence. incrementalFiles prunes untouched
     // file groups from the scan before any row is read. Batch 1 is the
     // initial load (everything ≤ 001).
+    // ---- Hudi MERGE_ON_READ (snapshot + read-optimized + compaction) ----
+    // The streaming-ingest Hudi shape the CoW reader rejected: writes
+    // land as avro LOG files against a base file (one `.deltacommit`
+    // instant each), so ingest never rewrites data — the read pays the
+    // merge instead. Fixture: createMor over orders (3 key buckets,
+    // commit 001), deltacommit 002 logs an upsert (cents+7 on
+    // '2-HIGH') AND tombstones ('1-URGENT' keys, _hoodie_is_deleted),
+    // then compactMor folds the dirty slices into fresh bases (commit
+    // 003). Census three phases: (1) read-optimized BEFORE compaction
+    // — logs invisible, original content (the bounded-staleness view);
+    // (2) snapshot — per-key last-writer-wins merge of base ⊎ logs,
+    // one shuffle keyed by _hoodie_record_key; (3) read-optimized
+    // AFTER compaction — base-only now equals the snapshot, proving
+    // the fold was lossless. Oracle replays upsert+delete from orders.
+    "q_hudi_mor" -> ((s, d) => {
+      val base = s"/tmp/graft_hudi_${Integer.toHexString(d.hashCode)}/orders_mor"
+      val o = iceOrders(s, d)
+      graft.sources.HudiWriter.createMor(s, o, base, "orders_mor", "o_orderkey", 3)
+      val ups = o.filter(col("o_orderpriority") === "2-HIGH")
+        .withColumn("cents", col("cents") + 7)
+      val dels = o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      graft.sources.HudiWriter.logCommit(s, base, ups, Some(dels))
+      def census(df: org.apache.spark.sql.DataFrame, phase: Long) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(phase).as("phase"), col("n_rows"), col("total_cents"))
+      val ro = census(graft.sources.HudiReader.readOptimized(s, base, "002"), 1L)
+      val snap = census(graft.sources.HudiReader.readMor(s, base), 2L)
+      graft.sources.HudiWriter.compactMor(s, base)
+      val post = census(graft.sources.HudiReader.readOptimized(s, base, "003"), 3L)
+      Seq(ro, snap, post).reduce(_ unionAll _).orderBy("phase")
+    }),
+
     "q_hudi_incr" -> ((s, d) => {
       val base = LakehouseQueries.mkHudiIncrFixture(s, d, "orders_hudi_i")
       val batches = Seq(("000", "001"), ("001", "002")).zipWithIndex.map { case ((lo, hi), i) =>
@@ -1458,6 +1490,12 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri <> '1-URGENT' " +
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri NOT IN ('1-URGENT', '2-HIGH') " +
         "ORDER BY version"),
+    "q_hudi_mor" ->
+      ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents + CASE WHEN pri = '2-HIGH' THEN 7 ELSE 0 END) AS BIGINT) FROM o WHERE pri <> '1-URGENT' " +
+        "UNION ALL SELECT 3, count(*), CAST(sum(cents + CASE WHEN pri = '2-HIGH' THEN 7 ELSE 0 END) AS BIGINT) FROM o WHERE pri <> '1-URGENT' " +
+        "ORDER BY phase"),
     "q_iceberg_scan" ->
       ("WITH o AS (SELECT o_orderkey % 4 AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CAST(1 AS BIGINT) AS snapshot_id, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE g IN (0, 1, 2) " +

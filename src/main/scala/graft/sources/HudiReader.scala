@@ -54,9 +54,13 @@ object HudiReader {
       }.toMap
   }
 
+  def tableType(base: String): String =
+    props(base).getOrElse("hoodie.table.type", "COPY_ON_WRITE")
+
   def assertReadable(base: String): Unit = {
-    val t = props(base).getOrElse("hoodie.table.type", "COPY_ON_WRITE")
-    require(t == "COPY_ON_WRITE", s"hoodie.table.type=$t — only COPY_ON_WRITE is readable here")
+    val t = tableType(base)
+    require(t == "COPY_ON_WRITE",
+      s"hoodie.table.type=$t — this is the COPY_ON_WRITE path; MOR reads go through readMor/readOptimized")
   }
 
   /** Completed commit instants, ascending. Inflight/requested markers
@@ -146,5 +150,122 @@ object HudiReader {
     val commits = completedCommits(base)
     require(commits.nonEmpty, s"no completed commits under $base")
     readAsOf(spark, base, commits.last)
+  }
+
+  // ---- MERGE_ON_READ ------------------------------------------------------
+  //
+  // The streaming-ingest table shape: writes land as LOG files against a
+  // base file (a `.deltacommit` instant each), reads merge them by record
+  // key, and a compaction commit folds logs into a fresh base. Two views:
+  //   - SNAPSHOT  = base ⊎ logs merged (latest writer wins per key,
+  //     `_hoodie_is_deleted` tombstones drop the key),
+  //   - READ-OPTIMIZED = base files only (cheap, bounded-staleness).
+  //
+  // Log files keep Hudi's name grammar minus the leading dot (Spark file
+  // sources treat dotfiles as hidden and would refuse to scan them) and
+  // carry their committing instant in the token slot (real Hudi reads it
+  // from the log-block headers, which this minimal layout does not have):
+  //   `<fileId>_<baseInstant>.log.<version>_<instant>.avro`
+  // A log attaches to the file SLICE whose base instant it names, so
+  // after compaction old logs stay attached to the superseded base and
+  // the new base starts clean — exactly the spec's slice algebra.
+
+  final case class LogFile(fileId: String, baseInstant: String,
+                           version: Int, instant: String, path: String)
+
+  private val morLogFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  /** Completed delta commits (MOR log writes), ascending. */
+  def completedDeltaCommits(base: String): Seq[String] = {
+    val d = hoodieDir(base)
+    require(Files.isDirectory(d), s"no .hoodie timeline under $base")
+    val dc = "^([0-9]+)\\.deltacommit$".r
+    Files.list(d).iterator.asScala
+      .map(_.getFileName.toString)
+      .collect { case dc(t) => t }
+      .toSeq.sorted
+  }
+
+  /** All log files under the table (driver-side name walk). */
+  def logFiles(base: String): Seq[LogFile] = {
+    val name = "^(.+?)_([0-9]+)\\.log\\.([0-9]+)_([0-9]+)\\.avro$".r
+    Files.walk(Paths.get(base)).iterator.asScala
+      .filter(p => Files.isRegularFile(p) && !p.startsWith(hoodieDir(base)))
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case name(fid, bi, v, instant) => Some(LogFile(fid, bi, v.toInt, instant, p.toString))
+          case _                         => None
+        }
+      }.toSeq
+  }
+
+  /** The live file slices of a MOR table as of `asOf`: per group, the
+    * latest base file whose instant is a completed COMMIT (create or
+    * compaction), plus the completed-DELTACOMMIT logs attached to that
+    * base instant, ordered by log version. */
+  def morSlices(base: String, asOf: String): Seq[(BaseFile, Seq[LogFile])] = {
+    require(tableType(base) == "MERGE_ON_READ",
+      s"morSlices on a ${tableType(base)} table — use sliceFiles")
+    val commits = completedCommits(base).filter(_ <= asOf).toSet
+    require(commits.nonEmpty, s"no completed commit at or before $asOf under $base")
+    val deltas = completedDeltaCommits(base).filter(_ <= asOf).toSet
+    val logsByGroup = logFiles(base)
+      .filter(l => deltas.contains(l.instant))
+      .groupBy(l => (l.fileId, l.baseInstant))
+    baseFiles(base)
+      .filter(f => commits.contains(f.instant))
+      .groupBy(_.fileId).values.map { fs =>
+        val b = fs.maxBy(_.instant)
+        (b, logsByGroup.getOrElse((b.fileId, b.instant), Seq.empty)
+          .sortBy(l => (l.instant, l.version)))
+      }.toSeq.sortBy(_._1.path)
+  }
+
+  /** MOR read-optimized view: base files only — the bounded-staleness
+    * query Hudi serves from `_ro` tables. Plain parquet scan. */
+  def readOptimized(spark: SparkSession, base: String, asOf: String): DataFrame = {
+    val bases = morSlices(base, asOf).map(_._1.path)
+    require(bases.nonEmpty, s"empty read-optimized snapshot at $asOf of $base")
+    spark.read.parquet(bases: _*)
+  }
+
+  /** MOR snapshot view: per record key, the LAST writer wins — log
+    * records (by ascending log version) supersede the base row, and a
+    * `_hoodie_is_deleted=true` tombstone drops the key. The merge is
+    * ONE shuffle keyed by `_hoodie_record_key` (keys are routed to one
+    * file group by the bucket index, so the per-key window never
+    * crosses groups) — the standard distributed compact-on-read, no
+    * driver participation, pushdown intact on both scans. */
+  def readMor(spark: SparkSession, base: String, asOf: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    val slices = morSlices(base, asOf)
+    require(slices.nonEmpty, s"empty MOR snapshot at $asOf of $base")
+    val bases = slices.map(_._1.path)
+    val logs = slices.flatMap(_._2)
+    val baseDf = spark.read.parquet(bases: _*)
+    val dataCols = baseDf.columns.filterNot(_ == "_hoodie_is_deleted")
+    if (logs.isEmpty) return baseDf.select(dataCols.map(col).toIndexedSeq: _*)
+    // precedence: any log beats base; later log versions beat earlier.
+    // version rides the FILE, so stamp it per-scan and union — at scale
+    // each log file is its own split, the stamp is a per-split literal.
+    val logDf = logs.map { l =>
+      spark.read.format(morLogFmt).load(l.path)
+        .withColumn("__prec", lit(l.instant.toLong * 1000L + l.version))
+    }.reduce(_ unionByName _)
+    val merged = baseDf.withColumn("__prec", lit(0L))
+      .withColumn("_hoodie_is_deleted", lit(false))
+      .unionByName(logDf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_hoodie_record_key").orderBy(col("__prec").desc)
+    merged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("_hoodie_is_deleted"))
+      .select(dataCols.map(col).toIndexedSeq: _*)
+  }
+
+  /** Latest MOR snapshot (across commits AND deltacommits). */
+  def readMor(spark: SparkSession, base: String): DataFrame = {
+    val all = (completedCommits(base) ++ completedDeltaCommits(base)).sorted
+    require(all.nonEmpty, s"no completed instants under $base")
+    readMor(spark, base, all.last)
   }
 }

@@ -34,7 +34,7 @@ object HudiWriter {
 
   private def nextInstant(base: String): String = {
     val d = Paths.get(base, ".hoodie")
-    val marker = "^([0-9]+)\\.(commit|inflight)$".r
+    val marker = "^([0-9]+)\\.(commit|deltacommit|inflight)$".r
     val used = Files.list(d).iterator.asScala
       .map(_.getFileName.toString)
       .collect { case marker(t, _) => t.toInt }
@@ -102,6 +102,118 @@ object HudiWriter {
     Files.delete(Paths.get(base, ".hoodie", s"$instant.inflight"))
     Files.writeString(Paths.get(base, ".hoodie", s"$instant.commit"), "{}")
     instant
+  }
+
+  // ---- MERGE_ON_READ ------------------------------------------------------
+
+  /** Create a MERGE_ON_READ table: identical base layout to the CoW
+    * create (one base file per key bucket, instant 001 committed via
+    * the two-phase timeline) but declared MOR — subsequent writes land
+    * as LOG files ([[logCommit]]) until a compaction folds them. */
+  def createMor(spark: SparkSession, df: DataFrame, base: String,
+                tableName: String, keyCol: String, buckets: Int): String = {
+    require(df.columns.contains(keyCol), s"no $keyCol column to key on")
+    TxnLog.rmrf(base)
+    Files.createDirectories(Paths.get(base, ".hoodie"))
+    Files.writeString(Paths.get(base, ".hoodie", "hoodie.properties"),
+      s"hoodie.table.name=$tableName\nhoodie.table.type=MERGE_ON_READ\n" +
+        s"hoodie.table.recordkey.fields=$keyCol\n" +
+        s"hoodie.bucket.index.num.buckets=$buckets\n")
+    val instant = pad(1)
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.inflight"), "")
+    val stamped = df
+      .withColumn("_hoodie_commit_time", lit(instant))
+      .withColumn("_hoodie_record_key", col(keyCol).cast("string"))
+    writeBuckets(spark, stamped, base, pmod(col(keyCol), lit(buckets)), instant)
+    Files.delete(Paths.get(base, ".hoodie", s"$instant.inflight"))
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.commit"), "{}")
+    instant
+  }
+
+  /** MOR delta commit: upserts and key deletes land as ONE avro log
+    * file per touched bucket — no base file is rewritten (the write
+    * economics streaming ingest picks MOR for). Log rows carry the
+    * full record schema plus `_hoodie_is_deleted`; tombstones carry
+    * NULL data columns. The instant completes as `.deltacommit`.
+    * Returns the new instant. */
+  def logCommit(spark: SparkSession, base: String, upserts: DataFrame,
+                deleteKeys: Option[DataFrame] = None): String = {
+    import org.apache.spark.sql.functions.{lit => flit}
+    require(HudiReader.tableType(base) == "MERGE_ON_READ",
+      s"logCommit on a ${HudiReader.tableType(base)} table — use upsert")
+    val key = keyField(base)
+    val n = numBuckets(base)
+    val instant = nextInstant(base)
+    val asOf = HudiReader.completedCommits(base).last
+    val slices = HudiReader.morSlices(base, asOf).map(_._1)
+    val schemaCols = spark.read.parquet(slices.head.path).columns.toIndexedSeq
+    val ups = upserts
+      .withColumn("_hoodie_commit_time", flit(instant))
+      .withColumn("_hoodie_record_key", col(key).cast("string"))
+      .select(schemaCols.map(col): _*)
+      .withColumn("_hoodie_is_deleted", flit(false))
+    val records = deleteKeys.fold(ups) { keys =>
+      val tombs = schemaCols.foldLeft(keys.select(col(keys.columns.head).as(key))) { (d, c) =>
+        if (c == key) d
+        else if (c == "_hoodie_commit_time") d.withColumn(c, flit(instant))
+        else if (c == "_hoodie_record_key") d.withColumn(c, col(key).cast("string"))
+        else d.withColumn(c, flit(null).cast(ups.schema(c).dataType))
+      }.select(schemaCols.map(col): _*).withColumn("_hoodie_is_deleted", flit(true))
+      ups.unionByName(tombs)
+    }
+    require(!records.isEmpty, "logCommit with nothing to write")
+    // one log file per touched bucket, attached to that bucket's
+    // CURRENT base instant (the file-slice the log belongs to)
+    val baseInstantOf = slices.map(b => b.fileId -> b.instant).toMap
+    val bucket = pmod(col(key), lit(n))
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.inflight"), "")
+    val tmp = s"$base/.stage-log"
+    TxnLog.rmrf(tmp)
+    records.withColumn("__g", bucket.cast("string"))
+      .repartition(1).write.partitionBy("__g")
+      .format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
+    Files.list(Paths.get(tmp)).iterator.asScala
+      .filter(_.getFileName.toString.startsWith("__g="))
+      .foreach { dir =>
+        val g = dir.getFileName.toString.stripPrefix("__g=")
+        val fid = s"g$g"
+        val bi = baseInstantOf.getOrElse(fid,
+          throw new IllegalStateException(s"log write targets unknown file group $fid"))
+        val parts = Files.list(dir).iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".avro")).toSeq
+        require(parts.size == 1, s"bucket $g staged ${parts.size} log files")
+        val v = HudiReader.logFiles(base)
+          .count(l => l.fileId == fid && l.baseInstant == bi) + 1
+        Files.move(parts.head, Paths.get(base, s"${fid}_$bi.log.${v}_$instant.avro"))
+      }
+    TxnLog.rmrf(tmp)
+    Files.delete(Paths.get(base, ".hoodie", s"$instant.inflight"))
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.deltacommit"), "{}")
+    instant
+  }
+
+  /** MOR compaction: fold every log-carrying file slice into a fresh
+    * base file at a new COMMIT instant (Hudi compactions complete as
+    * commits, not deltacommits). Old bases and their logs stay on disk
+    * — time travel to pre-compaction instants keeps merging them, and
+    * the new slice starts log-free. Untouched groups are not
+    * rewritten. Returns (compactedGroups, newInstant). */
+  def compactMor(spark: SparkSession, base: String): (Int, String) = {
+    val all = (HudiReader.completedCommits(base) ++
+      HudiReader.completedDeltaCommits(base)).sorted
+    val dirty = HudiReader.morSlices(base, all.last).filter(_._2.nonEmpty)
+    if (dirty.isEmpty) return (0, all.last)
+    val instant = nextInstant(base)
+    val merged = HudiReader.readMor(spark, base, all.last)
+    val key = keyField(base)
+    val dirtyIds = dirty.map(_._1.fileId.stripPrefix("g").toInt).toSet
+    val bucket = pmod(col(key), lit(numBuckets(base)))
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.inflight"), "")
+    writeBuckets(spark, merged.filter(bucket.isin(dirtyIds.toSeq: _*)),
+      base, bucket, instant)
+    Files.delete(Paths.get(base, ".hoodie", s"$instant.inflight"))
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.commit"), "{}")
+    (dirty.size, instant)
   }
 
   /** Copy-on-write upsert: rows in `df` replace same-key rows; every

@@ -149,4 +149,49 @@ class HudiSpec extends SparkSpec {
     writeFile(empty, "a_0-0-0_001.parquet", Seq(1L))
     intercept[IllegalArgumentException](HudiReader.read(spark, empty))
   }
+
+  test("MOR: log merge, tombstones, slice algebra across compaction") {
+    import org.apache.spark.sql.functions.col
+    val base = "/tmp/graft_hudi_test/mor"
+    val df = spark.createDataFrame((1L to 9L).map(i => (i, i * 10L))).toDF("k", "v")
+    graft.sources.HudiWriter.createMor(spark, df, base, "t-mor", "k", 3)
+    assert(HudiReader.tableType(base) == "MERGE_ON_READ")
+    // the CoW path refuses a MOR table
+    intercept[IllegalArgumentException](HudiReader.read(spark, base))
+    // deltacommit 002: upsert k=1 (v=111) + tombstone k=2; only their
+    // buckets (1, 2) get log files — bucket 0 stays log-free
+    val ups = spark.createDataFrame(Seq((1L, 111L))).toDF("k", "v")
+    val dels = spark.createDataFrame(Seq(Tuple1(2L))).toDF("k")
+    graft.sources.HudiWriter.logCommit(spark, base, ups, Some(dels))
+    val slices = HudiReader.morSlices(base, "002")
+    assert(slices.count(_._2.nonEmpty) == 2, s"wrong dirty-slice count: $slices")
+    // read-optimized ignores logs; snapshot merges them
+    assert(HudiReader.readOptimized(spark, base, "002").count() == 9L)
+    val snap = HudiReader.readMor(spark, base).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(snap == ((1L, 111L) +: (3L to 9L).map(i => (i, i * 10L))), s"merge wrong: $snap")
+    // second log on the same slice: later version wins
+    graft.sources.HudiWriter.logCommit(spark, base,
+      spark.createDataFrame(Seq((1L, 222L))).toDF("k", "v"))
+    assert(HudiReader.readMor(spark, base).filter(col("k") === 1L)
+      .select("v").head().getLong(0) == 222L)
+    // compaction folds dirty slices only; snapshot content unchanged
+    val before = HudiReader.readMor(spark, base).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val (n, instant) = graft.sources.HudiWriter.compactMor(spark, base)
+    assert(n == 2, s"compacted $n groups, expected the 2 dirty ones")
+    val after = HudiReader.readMor(spark, base).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(after == before, "compaction changed content")
+    assert(HudiReader.readOptimized(spark, base, instant).count() == before.size.toLong)
+    // old logs attach to the superseded base: pre-compaction time
+    // travel still merges them
+    val tt = HudiReader.readMor(spark, base, "002").select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(tt == ((1L, 111L) +: (3L to 9L).map(i => (i, i * 10L))), s"time travel wrong: $tt")
+    // and the fresh slices are log-free
+    val all = (HudiReader.completedCommits(base) ++
+      HudiReader.completedDeltaCommits(base)).sorted
+    assert(HudiReader.morSlices(base, all.last).forall(_._2.isEmpty))
+  }
 }
