@@ -653,6 +653,61 @@ object LakehouseQueries extends QueryGroup {
     // deletes surface as absence. incrementalFiles prunes untouched
     // file groups from the scan before any row is read. Batch 1 is the
     // initial load (everything ≤ 001).
+    // ---- Iceberg partition TRANSFORMS (bucket / truncate / month) --------
+    // The prod layouts identity pruning can't touch: the manifest
+    // stores the TRANSFORM RESULT (bucket id, truncated value, months
+    // from epoch), so a planner must re-apply the transform to the
+    // predicate's literals to prune — which works precisely because
+    // the transforms are deterministic public functions (murmur3
+    // bucket per the spec's appendix, from scratch). Three fixtures
+    // from `orders`, one per transform family: bucket(8, o_orderkey)
+    // probed at the min+max keys, truncate(2, o_year) probed at
+    // 1997-98, month(o_orderdate) probed at 1997-03..04. Each read
+    // prunes at the manifest (IcebergSpec pins planned-file counts:
+    // ≤2 of 8, 2 of 4, 2 of ~80) and keeps the exact residual row
+    // filter; the oracle replays the three predicates.
+    "q_iceberg_transform_prune" -> ((s, d) => {
+      import graft.sources.{IcebergReader, IcebergTransforms, IcebergWriter}
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderdate"),
+        cents("o_totalprice").as("cents"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      def census(df: org.apache.spark.sql.DataFrame, phase: Long) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(phase).as("phase"), col("n_rows"), col("total_cents"))
+      // bucket(8) on the key column, probed at the min and max keys
+      val b1 = iceBase(d, "orders_tb")
+      IcebergWriter.createTransformPartitioned(s, o.select("o_orderkey", "cents"),
+        b1, "okey_bucket", IcebergTransforms.bucketCol(8, col("o_orderkey")),
+        "bucket[8]", sourceId = 1)
+      val mm = o.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val keys = Seq(mm.getLong(0), mm.getLong(1))
+      val buckets = keys.map(k => IcebergTransforms.bucket(8)(k).toLong).distinct
+      val p1 = census(IcebergReader.readWhere(s, b1, 1L,
+          col("data_file.partition.okey_bucket").isin(buckets: _*))
+        .filter(col("o_orderkey").isin(keys: _*)), 1L)
+      // truncate(2) on the year column, probed at 1997-98
+      val b2 = iceBase(d, "orders_tt")
+      IcebergWriter.createTransformPartitioned(s, o.select("o_year", "cents"),
+        b2, "year_trunc", IcebergTransforms.truncateCol(2L, col("o_year")),
+        "truncate[2]", sourceId = 1)
+      val truncs = Seq(1997L, 1998L).map(IcebergTransforms.truncate(2L)).distinct
+      val p2 = census(IcebergReader.readWhere(s, b2, 1L,
+          col("data_file.partition.year_trunc").isin(truncs: _*))
+        .filter(col("o_year").between(1997, 1998)), 2L)
+      // month() on the date column, probed at 1997-03..1997-04
+      val b3 = iceBase(d, "orders_tm")
+      IcebergWriter.createTransformPartitioned(s, o.select("o_orderdate", "cents"),
+        b3, "odate_month", IcebergTransforms.monthCol(col("o_orderdate")),
+        "month", sourceId = 1)
+      val months = Seq(IcebergTransforms.monthOf("1997-03-01"),
+        IcebergTransforms.monthOf("1997-04-01"))
+      val p3 = census(IcebergReader.readWhere(s, b3, 1L,
+          col("data_file.partition.odate_month").isin(months: _*))
+        .filter(col("o_orderdate") >= "1997-03-01" && col("o_orderdate") < "1997-05-01"), 3L)
+      Seq(p1, p2, p3).reduce(_ unionAll _).orderBy("phase")
+    }),
+
     // ---- Hudi MERGE_ON_READ (snapshot + read-optimized + compaction) ----
     // The streaming-ingest Hudi shape the CoW reader rejected: writes
     // land as avro LOG files against a base file (one `.deltacommit`
@@ -1490,6 +1545,13 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri <> '1-URGENT' " +
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri NOT IN ('1-URGENT', '2-HIGH') " +
         "ORDER BY version"),
+    "q_iceberg_transform_prune" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderdate, year(o_orderdate) AS y, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders) OR o_orderkey = (SELECT max(o_orderkey) FROM orders) " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE y BETWEEN 1997 AND 1998 " +
+        "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE o_orderdate >= DATE '1997-03-01' AND o_orderdate < DATE '1997-05-01' " +
+        "ORDER BY phase"),
     "q_hudi_mor" ->
       ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +

@@ -152,6 +152,69 @@ object IcebergWriter {
     writeMeta(base, 1, current = 1L, snaps = Seq(1L))
   }
 
+  /** Transform-partitioned create (the prod layouts: `bucket[N]`,
+    * `truncate[W]`, `day|month|year`): ONE data file per distinct
+    * TRANSFORMED value of `partExpr`, each manifest entry carrying the
+    * typed long `data_file.partition.<fieldName>` — the spec stores
+    * the transform RESULT in partition metadata, never the source
+    * value, which is exactly why a planner must re-apply the transform
+    * to predicate literals to prune ([[IcebergReader.readWhere]] with
+    * a filter built from [[IcebergTransforms]]). The partition spec
+    * (name, transform, source) rides the metadata JSON. The source
+    * column STAYS in the data files, so residual row filters are
+    * exact. */
+  def createTransformPartitioned(spark: SparkSession, df: DataFrame, base: String,
+                                 fieldName: String, partExpr: org.apache.spark.sql.Column,
+                                 transform: String, sourceId: Int): Unit = {
+    import org.apache.spark.sql.Row
+    TxnLog.rmrf(base)
+    Files.createDirectories(Paths.get(base, "metadata"))
+    Files.createDirectories(Paths.get(base, "data"))
+    val tmp = s"$base/.stage-s1"
+    TxnLog.rmrf(tmp)
+    df.withColumn("__g", partExpr.cast("long").cast("string"))
+      .repartition(1).write.partitionBy("__g").parquet(tmp)
+    val rels = Files.list(Paths.get(tmp)).iterator.asScala
+      .filter(_.getFileName.toString.startsWith("__g="))
+      .map { dir =>
+        val v = dir.getFileName.toString.stripPrefix("__g=").toLong
+        val parts = Files.list(dir).iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        require(parts.size == 1, s"partition $v staged ${parts.size} files")
+        val rel = s"data/part-$fieldName-$v.parquet"
+        Files.move(parts.head, Paths.get(base, rel))
+        v -> rel
+      }.toMap
+    TxnLog.rmrf(tmp)
+    val counts = spark.read.parquet(rels.values.map(r => s"$base/$r").toSeq: _*)
+      .groupBy(col("_metadata.file_name").as("f"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val schema = StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("data_file", StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("file_format", StringType, nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("file_size_in_bytes", LongType, nullable = false),
+        StructField("partition",
+          StructType(Seq(StructField(fieldName, LongType, nullable = false)))))))))
+    val rows = rels.toSeq.sortBy(_._1).map { case (v, rel) =>
+      Row(1, Row(rel, "PARQUET", counts.getOrElse(rel.split('/').last, 0L),
+        Files.size(Paths.get(base, rel)), Row(v)))
+    }
+    writeOneAvro(spark, base, "metadata/m1.avro",
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+    writeManifestList(spark, base, 1L, Seq("metadata/m1.avro"))
+    val spec = s""""partition-specs":[{"spec-id":0,"fields":[{"name":"${fieldName}",""" +
+      s""""transform":"$transform","source-id":$sourceId,"field-id":1000}]}],"""
+    val ss = s"""{"snapshot-id":1,"timestamp-ms":0,"manifest-list":"metadata/snap-1.avro"}"""
+    Files.writeString(Paths.get(base, "metadata", "v1.metadata.json"),
+      s"""{"format-version":1,"table-uuid":"graft-export","location":"$base",$spec""" +
+        s""""current-snapshot-id":1,"snapshots":[$ss]}""")
+    Files.writeString(Paths.get(base, "metadata", "version-hint.text"), "1")
+  }
+
   private def writeOneAvro(spark: SparkSession, base: String, rel: String,
                            df: DataFrame): Unit = {
     val tmp = s"$base/.stage-avro"

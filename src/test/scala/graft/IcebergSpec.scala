@@ -320,4 +320,38 @@ class IcebergSpec extends SparkSpec {
     writeMeta(base, 1, current = 1L, snaps = Seq(1L))
     intercept[IllegalArgumentException](IcebergReader.snapshotFiles(spark, base, 99L))
   }
+
+  test("bucket transform matches the spec's published vector") {
+    import graft.sources.IcebergTransforms
+    // the Iceberg spec's Appendix B example: hashLong(34) = 2017239379
+    assert(IcebergTransforms.murmur3Long(34L) == 2017239379)
+    assert(IcebergTransforms.bucket(16)(34L) == 2017239379 % 16)
+    assert(IcebergTransforms.truncate(10L)(-1L) == -10L) // floored, not toward zero
+    assert(IcebergTransforms.monthOf("1970-01-15") == 0L)
+    assert(IcebergTransforms.monthOf("1997-03-01") == 326L)
+  }
+
+  test("transform-partitioned writes prune at the manifest by re-applied transforms") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{IcebergTransforms, IcebergWriter}
+    val base = "/tmp/graft_iceberg_test/transform"
+    val df = spark.createDataFrame((1L to 100L).map(i => (i, i * 3L))).toDF("k", "v")
+    IcebergWriter.createTransformPartitioned(spark, df, base,
+      "k_bucket", IcebergTransforms.bucketCol(4, col("k")), "bucket[4]", 1)
+    val all = IcebergReader.planSnapshot(spark, base, 1L)
+    assert(all.dataFiles.size == 4, s"expected 4 bucket files, got ${all.dataFiles.size}")
+    // pruning: a point lookup plans exactly the key's bucket file
+    val b = IcebergTransforms.bucket(4)(42L).toLong
+    val planned = IcebergReader.planSnapshot(spark, base, 1L,
+      col("data_file.partition.k_bucket") === b)
+    assert(planned.dataFiles.size == 1, s"planned ${planned.dataFiles.size} of 4")
+    val got = IcebergReader.readWhere(spark, base, 1L,
+        col("data_file.partition.k_bucket") === b)
+      .filter(col("k") === 42L).select("v").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(126L))
+    // the partition spec rides the metadata JSON
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(base, "metadata", "v1.metadata.json"))
+    assert(meta.contains("\"transform\":\"bucket[4]\""), meta)
+  }
 }
