@@ -653,6 +653,29 @@ object LakehouseQueries extends QueryGroup {
     // deletes surface as absence. incrementalFiles prunes untouched
     // file groups from the scan before any row is read. Batch 1 is the
     // initial load (everything ≤ 001).
+    // ---- Iceberg v2 EQUALITY deletes (the Flink-CDC shape) ---------------
+    // CDC writers delete by VALUE, not position: the delete file's
+    // columns are the equality tuple (here o_orderpriority =
+    // '1-URGENT'), and the spec's sequence-number window makes it
+    // erase matching rows ONLY from data files with a strictly
+    // smaller sequence — the same commit re-inserts the urgent rows
+    // at cents+11 in a sequence-2 data file, and those must survive.
+    // Census both snapshots: snapshot 1 (pre-delete) is untouched;
+    // snapshot 2 = everything minus old urgent plus re-inserted
+    // urgent. The apply is one broadcast anti-join per delete file,
+    // null-safe on the tuple, scoped to older files by the scan's own
+    // _metadata.file_path; the oracle replays delete+reinsert.
+    "q_iceberg_eq_deletes" -> ((s, d) => {
+      val base = LakehouseQueries.mkIcebergEqDelFixture(s, d, "orders_eqd")
+      val versions = Seq(1L, 2L).map { snap =>
+        graft.sources.IcebergReader.read(s, base, snap).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("total_cents"))
+          .select(lit(snap).as("snapshot_id"), col("n_rows"), col("total_cents"))
+      }
+      versions.reduce(_ unionAll _).orderBy("snapshot_id")
+    }),
+
     // ---- Iceberg partition TRANSFORMS (bucket / truncate / month) --------
     // The prod layouts identity pruning can't touch: the manifest
     // stores the TRANSFORM RESULT (bucket id, truncated value, months
@@ -1251,7 +1274,7 @@ object LakehouseQueries extends QueryGroup {
   private[queries] final case class IceEntry(
       status: Int, path: String, records: Long,
       content: Int = 0, part: Option[String] = None,
-      bounds: Option[(Int, Long, Long)] = None)
+      bounds: Option[(Int, Long, Long)] = None, seq: Long = 0L)
 
   /** Plumbing for the public-spec Iceberg fixtures (Hadoop-catalog
     * layout): single-file stage-and-rename writes so every tree node
@@ -1289,7 +1312,8 @@ object LakehouseQueries extends QueryGroup {
       * need: `content` only for a v2 manifest, the typed
       * `data_file.partition` struct only for a partitioned table. */
     def manifest(rel: String, entries: Seq[IceEntry],
-                 withContent: Boolean = false, partCol: Option[String] = None): Unit = {
+                 withContent: Boolean = false, partCol: Option[String] = None,
+                 withSeq: Boolean = false): Unit = {
       val withBounds = entries.exists(_.bounds.isDefined)
       // spec single-value serialization: long bounds are 8 bytes
       // little-endian, keyed by field id in map<int, binary>
@@ -1312,8 +1336,9 @@ object LakehouseQueries extends QueryGroup {
           Seq(StructField("lower_bounds", kv), StructField("upper_bounds", kv))
         } else Nil)
       val schema = StructType(Seq(
-        StructField("status", IntegerType, nullable = false),
-        StructField("data_file", StructType(dataFields))))
+        StructField("status", IntegerType, nullable = false)) ++
+        (if (withSeq) Seq(StructField("sequence_number", LongType, nullable = false)) else Nil) ++
+        Seq(StructField("data_file", StructType(dataFields))))
       val rows = entries.map { e =>
         val core = Seq[Any](e.path, "PARQUET", e.records, sizeOf(e.path)) ++
           (if (withContent) Seq(e.content) else Nil) ++
@@ -1321,7 +1346,8 @@ object LakehouseQueries extends QueryGroup {
           (if (withBounds) Seq(
             e.bounds.map { case (fid, lo, _) => Seq(Row(fid, le(lo))) }.orNull,
             e.bounds.map { case (fid, _, hi) => Seq(Row(fid, le(hi))) }.orNull) else Nil)
-        Row(e.status, Row(core: _*))
+        if (withSeq) Row(e.status, e.seq, Row(core: _*))
+        else Row(e.status, Row(core: _*))
       }
       writeOne(s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema), rel, avro = true)
     }
@@ -1434,6 +1460,41 @@ object LakehouseQueries extends QueryGroup {
     t.base
   }
 
+  /** Build the v2 EQUALITY-delete fixture (the Flink-CDC table shape)
+    * from `orders`: snapshot 1 (sequence 1) = two data files by
+    * o_orderkey%2; snapshot 2 (sequence 2) carries them EXISTING, adds
+    * an equality-delete file (content=2, one row: o_orderpriority =
+    * '1-URGENT') AND a new data file of re-inserted '1-URGENT' rows at
+    * cents+11 — which must SURVIVE, because the delete only erases
+    * rows from files with a strictly smaller sequence number. */
+  private[queries] def mkIcebergEqDelFixture(s: SparkSession, d: String, suffix: String): String = {
+    val t = new IceTable(s, iceBase(d, suffix))
+    val o = iceOrders(s, d)
+    val g2 = writeGroups(s, t.base, o, pmod(col("o_orderkey"), lit(2)),
+      v => s"data/part-g$v.parquet")
+    val groups = (0 to 1).map(i => g2(i.toString))
+    val eqRel = "data/eqdel-1.parquet"
+    t.writeOne(s.createDataFrame(Seq(Tuple1("1-URGENT"))).toDF("o_orderpriority"), eqRel)
+    val reins = o.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("cents", col("cents") + 11)
+    val reinsRel = "data/part-g2.parquet"
+    t.writeOne(reins, reinsRel)
+    val nReins = reins.count()
+    t.manifest("metadata/m1.avro",
+      groups.map { case (p, n) => IceEntry(1, p, n, seq = 1L) },
+      withContent = true, withSeq = true)
+    t.manifest("metadata/m2.avro",
+      groups.map { case (p, n) => IceEntry(0, p, n, seq = 1L) } ++ Seq(
+        IceEntry(1, eqRel, 1L, content = 2, seq = 2L),
+        IceEntry(1, reinsRel, nReins, seq = 2L)),
+      withContent = true, withSeq = true)
+    t.manifestList(1L, Seq("metadata/m1.avro"))
+    t.manifestList(2L, Seq("metadata/m2.avro"))
+    t.meta(1, current = 1L, snaps = Seq(1L), formatVersion = 2)
+    t.meta(2, current = 2L, snaps = Seq(1L, 2L), formatVersion = 2)
+    t.base
+  }
+
   /** Test hook (IcebergSpec pins the planned-file counts of the
     * partitioned fixture without reaching the private builder). */
   def icebergPartFixtureForTest(s: SparkSession, d: String): String =
@@ -1441,6 +1502,9 @@ object LakehouseQueries extends QueryGroup {
 
   def icebergStatsFixtureForTest(s: SparkSession, d: String): String =
     mkIcebergStatsFixture(s, d, "orders_ices_test")
+
+  def icebergEqDelFixtureForTest(s: SparkSession, d: String): String =
+    mkIcebergEqDelFixture(s, d, "orders_eqd_test")
 
   /** Build the Hudi copy-on-write fixture from `orders`: three file
     * groups by o_orderkey%3, all written at instant 001; instant 002
@@ -1545,6 +1609,11 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri <> '1-URGENT' " +
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri NOT IN ('1-URGENT', '2-HIGH') " +
         "ORDER BY version"),
+    "q_iceberg_eq_deletes" ->
+      ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS snapshot_id, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(CASE WHEN pri = '1-URGENT' THEN cents + 11 ELSE cents END) AS BIGINT) FROM o " +
+        "ORDER BY snapshot_id"),
     "q_iceberg_transform_prune" ->
       ("WITH o AS (SELECT o_orderkey, o_orderdate, year(o_orderdate) AS y, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +

@@ -43,8 +43,13 @@ import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
   *     never handed to the parquet source — the Iceberg equivalent of
   *     `q_txn_prune`'s manifest skipping.
   *
-  * Out of scope, rejected fast rather than misread: format-version > 2
-  * and EQUALITY deletes (`content = 2`).
+  *   - EQUALITY deletes (`content = 2`, the Flink-CDC shape): the
+  *     delete file's columns are the equality tuple; each delete
+  *     erases matching rows from data files with a strictly smaller
+  *     sequence number — applied as one broadcast anti-join per
+  *     delete file, null-safe per spec.
+  *
+  * Out of scope, rejected fast rather than misread: format-version > 2.
   */
 object IcebergReader {
 
@@ -86,9 +91,15 @@ object IcebergReader {
     if (p.startsWith("/") || p.contains("://")) p
     else Paths.get(base).resolve(p).toString
 
-  /** One snapshot's planned scan: live data files (+ record counts)
-    * and the live position-delete files to anti-join away. */
-  final case class SnapshotScan(dataFiles: Seq[(String, Long)], posDeleteFiles: Seq[String])
+  /** One snapshot's planned scan: live data files (+ record counts),
+    * the live position-delete files to anti-join away, the live
+    * EQUALITY-delete files (path, sequence number) — each applies only
+    * to data files with a STRICTLY smaller sequence number, the spec's
+    * window that keeps same-commit re-inserts alive — and the data
+    * files' own sequence numbers. */
+  final case class SnapshotScan(dataFiles: Seq[(String, Long)], posDeleteFiles: Seq[String],
+                                eqDeleteFiles: Seq[(String, Long)] = Nil,
+                                dataSeq: Map[String, Long] = Map.empty)
 
   private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
 
@@ -144,16 +155,30 @@ object IcebergReader {
         .collect().map(r => (resolve(base, r.getString(0)), r.getLong(1))).toSeq
       SnapshotScan(files, Nil)
     } else {
-      val eq = entries.filter(col("data_file.content") === 2).limit(1).count()
-      require(eq == 0L, "v2 EQUALITY deletes present — beyond this minimal reader")
-      val files = entries
+      // v2: sequence numbers ride the manifest entries (inherited from
+      // the committing snapshot); absent means 0
+      val seqCol =
+        if (entries.columns.contains("sequence_number")) col("sequence_number")
+        else lit(0L)
+      val withSeq = entries.withColumn("__seq", seqCol)
+      val files = withSeq
         .filter(col("data_file.content") === 0 && entryFilter)
-        .select(col("data_file.file_path"), col("data_file.record_count"))
-        .collect().map(r => (resolve(base, r.getString(0)), r.getLong(1))).toSeq
-      val dels = entries.filter(col("data_file.content") === 1 && entryFilter)
+        .select(col("data_file.file_path"), col("data_file.record_count"), col("__seq"))
+        .collect().map(r => (resolve(base, r.getString(0)), r.getLong(1), r.getLong(2))).toSeq
+      val dels = withSeq.filter(col("data_file.content") === 1 && entryFilter)
         .select(col("data_file.file_path"))
         .collect().map(r => resolve(base, r.getString(0))).toSeq
-      SnapshotScan(files, dels)
+      val eqDels = withSeq.filter(col("data_file.content") === 2 && entryFilter)
+        .select(col("data_file.file_path"), col("__seq"))
+        .collect().map(r => (resolve(base, r.getString(0)), r.getLong(1))).toSeq
+      // the window NEEDS an ordering: EQUALITY deletes in a manifest
+      // that tracks no sequence numbers cannot be applied soundly —
+      // treating every file as sequence 0 would silently no-op them
+      require(eqDels.isEmpty || entries.columns.contains("sequence_number"),
+        "v2 EQUALITY deletes present but the manifest carries no " +
+          "sequence numbers — cannot order the delete window")
+      SnapshotScan(files.map(f => (f._1, f._2)), dels, eqDels,
+        files.map(f => f._1 -> f._3).toMap)
     }
   }
 
@@ -169,24 +194,45 @@ object IcebergReader {
   private def readScan(spark: SparkSession, base: String, snapshotId: Long,
                        scan: SnapshotScan): DataFrame = {
     require(scan.dataFiles.nonEmpty, s"empty snapshot $snapshotId of $base")
-    val data = spark.read.parquet(scan.dataFiles.map(_._1): _*)
-    if (scan.posDeleteFiles.isEmpty) data
-    else {
+    val raw = spark.read.parquet(scan.dataFiles.map(_._1): _*)
+    val cols = raw.columns.map(col)
+    if (scan.posDeleteFiles.isEmpty && scan.eqDeleteFiles.isEmpty) return raw
+    // stamp the file identity ONCE while the plan is still a plain
+    // file-source relation (_metadata dies at the first join)
+    var data = raw
+      .withColumn("__path", normPath(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+    if (scan.posDeleteFiles.nonEmpty) {
       // Spec position-delete application as a plain anti-join: the
       // delete side is metadata-scale next to the data (broadcast);
       // the data side keys on Spark's native parquet row positions, so
       // the scan itself stays the ordinary pushdown-friendly one.
       val dels = spark.read.parquet(scan.posDeleteFiles: _*)
         .select(normPath(col("file_path")).as("__del_path"), col("pos").as("__del_pos"))
-      val cols = data.columns.map(col)
-      data
-        .withColumn("__path", normPath(col("_metadata.file_path")))
-        .withColumn("__pos", col("_metadata.row_index"))
-        .join(broadcast(dels),
-          col("__path") === col("__del_path") && col("__pos") === col("__del_pos"),
-          "left_anti")
-        .select(cols.toIndexedSeq: _*)
+      data = data.join(broadcast(dels),
+        col("__path") === col("__del_path") && col("__pos") === col("__del_pos"),
+        "left_anti")
     }
+    // EQUALITY deletes (the Flink-CDC shape): each delete file's OWN
+    // columns are the equality tuple (the spec's equality_ids resolve
+    // to exactly the columns the file carries); it erases matching
+    // rows from data files with a STRICTLY smaller sequence number —
+    // rows (re)inserted at or after the delete's sequence survive.
+    // One broadcast anti-join per delete file, null-safe per spec.
+    scan.eqDeleteFiles.sortBy(_._2).foreach { case (delPath, delSeq) =>
+      val older = scan.dataFiles.map(_._1)
+        .filter(p => scan.dataSeq.getOrElse(p, 0L) < delSeq)
+        .map(p => p.replaceFirst("^file:/*", "/"))
+      if (older.nonEmpty) {
+        val dels = spark.read.parquet(delPath)
+        val eqCols = dels.columns.toSeq
+        val renamed = eqCols.foldLeft(dels)((d, c) => d.withColumnRenamed(c, s"__del_$c"))
+        val cond = eqCols.map(c => col(c) <=> col(s"__del_$c")).reduce(_ && _) &&
+          col("__path").isin(older: _*)
+        data = data.join(broadcast(renamed), cond, "left_anti")
+      }
+    }
+    data.select(cols.toIndexedSeq: _*)
   }
 
   /** Snapshot read (explicit id = time travel), position deletes applied. */
@@ -205,7 +251,7 @@ object IcebergReader {
     * append scan refuses overwrite/delete snapshots the same way). */
   def readAppended(spark: SparkSession, base: String, snapshotId: Long): DataFrame = {
     val scan = planSnapshot(spark, base, snapshotId, col("status") === 1)
-    require(scan.posDeleteFiles.isEmpty,
+    require(scan.posDeleteFiles.isEmpty && scan.eqDeleteFiles.isEmpty,
       s"snapshot $snapshotId adds delete files — not an append-only snapshot")
     require(scan.dataFiles.nonEmpty, s"snapshot $snapshotId appended no data files")
     spark.read.parquet(scan.dataFiles.map(_._1): _*)

@@ -268,8 +268,8 @@ object IcebergWriter {
     val v = IcebergReader.currentMetadataVersion(base)
     val prev = IcebergReader.currentSnapshotId(base, v)
     val scan = IcebergReader.planSnapshot(spark, base, prev)
-    require(scan.posDeleteFiles.isEmpty,
-      "rewrite over position deletes must apply them first — beyond this minimal writer")
+    require(scan.posDeleteFiles.isEmpty && scan.eqDeleteFiles.isEmpty,
+      "rewrite over delete files must apply them first — beyond this minimal writer")
     val live = scan.dataFiles
     val liveBytes = live.map(f => Files.size(Paths.get(f._1))).sum
     val numOut = math.max(1, math.ceil(liveBytes.toDouble / targetBytes).toInt)

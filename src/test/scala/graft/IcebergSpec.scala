@@ -187,7 +187,7 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"))
   }
 
-  test("v2 equality deletes are rejected fast") {
+  test("equality deletes without sequence numbers are rejected, not no-op'd") {
     val base = mkTable("eqdel")
     writeData(base, "data/a.parquet", Seq(1L))
     writeData(base, "data/e.parquet", Seq(9L))
@@ -319,6 +319,28 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("format-version"))
     writeMeta(base, 1, current = 1L, snaps = Seq(1L))
     intercept[IllegalArgumentException](IcebergReader.snapshotFiles(spark, base, 99L))
+  }
+
+  test("equality deletes erase by tuple within the sequence window only") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val base = graft.queries.LakehouseQueries.icebergEqDelFixtureForTest(spark, d)
+    val snap1 = IcebergReader.read(spark, base, 1L)
+    val urgent1 = snap1.filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(urgent1 > 0, "fixture has no urgent rows to delete")
+    val snap2 = IcebergReader.read(spark, base, 2L)
+    // old urgent rows erased; re-inserted (sequence-2) urgent rows survive
+    assert(snap2.count() == snap1.count())
+    val cents1 = snap1.filter(col("o_orderpriority") === "1-URGENT")
+      .agg(org.apache.spark.sql.functions.sum("cents")).head().getLong(0)
+    val cents2 = snap2.filter(col("o_orderpriority") === "1-URGENT")
+      .agg(org.apache.spark.sql.functions.sum("cents")).head().getLong(0)
+    assert(cents2 == cents1 + 11 * urgent1,
+      s"sequence window broken: $cents2 != $cents1 + 11*$urgent1")
+    // the planner reports the delete file; appended-only scans refuse it
+    val scan = IcebergReader.planSnapshot(spark, base, 2L)
+    assert(scan.eqDeleteFiles.size == 1 && scan.dataFiles.size == 3)
+    intercept[IllegalArgumentException](IcebergReader.readAppended(spark, base, 2L))
   }
 
   test("bucket transform matches the spec's published vector") {
