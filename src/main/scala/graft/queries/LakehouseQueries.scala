@@ -348,6 +348,31 @@ object LakehouseQueries extends QueryGroup {
       versions.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // ---- Delta COLUMN MAPPING (mode=name) --------------------------------
+    // Any table that ever ran ALTER TABLE RENAME COLUMN carries
+    // delta.columnMapping.mode=name: parquet files store PHYSICAL
+    // uuid-ish names (col-1, col-2, ...), the logical schema lives
+    // only in the log via each field's physicalName metadata, and a
+    // rename is a metaData-ONLY commit — zero data movement. Fixture:
+    // create column-mapped from orders (v0), rename o_orderpriority →
+    // priority (v1). The graded census reads BOTH versions grouping by
+    // the version's OWN logical name — a mapping-blind reader sees
+    // only col-N names and can answer neither. Oracle replays from
+    // orders.
+    "q_delta_colmap" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_cm"
+      graft.sources.DeltaLogWriter.createColumnMapped(s, iceOrders(s, d),
+        base, "graft-orders-cm")
+      graft.sources.DeltaLogWriter.renameColumn(s, base, "o_orderpriority", "priority")
+      def census(v: Long, logical: String) =
+        graft.sources.DeltaLogReader.read(s, base, v)
+          .groupBy(col(logical).as("priority"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(v).as("version"), col("priority"), col("n_rows"), col("total_cents"))
+      census(0L, "o_orderpriority").unionAll(census(1L, "priority"))
+        .orderBy("version", "priority")
+    }),
+
     // ---- Delta data skipping (min/max stats) ----------------------------
     // The Delta twin of q_iceberg_stats_prune: each add action carries
     // per-file minValues/maxValues for o_year (the spec's data-skipping
@@ -1603,6 +1628,11 @@ object LakehouseQueries extends QueryGroup {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_delta_colmap" ->
+      ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(0 AS BIGINT) AS version, pri AS priority, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o GROUP BY pri " +
+        "UNION ALL SELECT 1, pri, count(*), CAST(sum(cents) AS BIGINT) FROM o GROUP BY pri " +
+        "ORDER BY version, priority"),
     "q_delta_dv" ->
       ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +

@@ -208,12 +208,12 @@ object DeltaLogReader {
 
   /** Reader features this engine honors (the table-features protocol:
     * minReaderVersion=3 lists the features a reader MUST implement). */
-  private val SupportedReaderFeatures = Set("deletionVectors")
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
 
   /** Fail fast on tables this minimal reader cannot honor. Version 1
-    * needs nothing; version 3 is readable iff every listed
-    * readerFeature is implemented here; version 2 (column mapping by
-    * protocol version, no feature list) is rejected. */
+    * needs nothing; version 2 is column mapping by protocol version
+    * (implemented — see [[columnMappingSchema]]); version 3 is
+    * readable iff every listed readerFeature is implemented here. */
   private def assertReadable(line: String): Unit =
     longField(line, "minReaderVersion").foreach { v =>
       if (v == 3L) {
@@ -225,10 +225,38 @@ object DeltaLogReader {
         require(unsupported.isEmpty,
           s"Delta readerFeatures ${unsupported.mkString(",")} not implemented " +
             s"by this reader (supported: ${SupportedReaderFeatures.mkString(",")})")
-      } else require(v <= 1L,
+      } else require(v <= 2L,
         s"Delta protocol minReaderVersion=$v requires reader features " +
           "outside this minimal reader")
     }
+
+  /** Column-mapping (mode=name) schema of the table at `version`, if
+    * the latest metaData declares it: tables that ever RENAMED a
+    * column write `delta.columnMapping.mode=name` and address parquet
+    * columns by each field's `delta.columnMapping.physicalName`
+    * metadata — the logical schema is log-only, so a mapping-blind
+    * reader sees the physical uuid names (or misses renamed columns
+    * entirely). Returns the LOGICAL schema whose field metadata
+    * carries the physical names. */
+  private[sources] def columnMappingSchema(base: String, version: Long)
+  : Option[org.apache.spark.sql.types.StructType] = {
+    var metaLine: Option[String] = None
+    versions(base).filter(_ <= version).foreach { v =>
+      Files.readAllLines(logDir(base).resolve(f"$v%020d.json"), StandardCharsets.UTF_8)
+        .asScala.foreach { line =>
+          if (line.contains("\"metaData\"")) metaLine = Some(line)
+        }
+    }
+    metaLine.filter(_.contains("delta.columnMapping.mode")).map { line =>
+      val mode = strField(line, "delta.columnMapping.mode")
+      require(mode.contains("name"),
+        s"delta.columnMapping.mode=${mode.getOrElse("?")} — only 'name' is supported")
+      val json = strField(line, "schemaString").getOrElse(
+        throw new IllegalStateException(s"column-mapped metaData without schemaString: $line"))
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+  }
 
   /** `_last_checkpoint` pointer (spec: JSON `{"version":N,"size":M}`),
     * if present and usable for `version` (checkpoint ≤ requested). */
@@ -360,6 +388,23 @@ object DeltaLogReader {
     require(adds.nonEmpty, s"empty snapshot at version $version of $base")
     val files = adds.map(a => Paths.get(base).resolve(a.path).toString)
     val pcols = partitionColumns(Some(spark), base, version)
+    columnMappingSchema(base, version).foreach { logical =>
+      // column mapping: the parquet files carry PHYSICAL names; rename
+      // to the version's logical schema (a metaData-only rename commit
+      // changes what this returns with zero data movement — the whole
+      // point of the feature). Pruning/pushdown still run against the
+      // physical scan; the projection is a free alias.
+      require(pcols.isEmpty,
+        "column mapping on a partitioned table is beyond this minimal reader")
+      val physical = applyDvs(spark, base, adds, spark.read.parquet(files: _*))
+      val renames = logical.fields.map { f =>
+        val p = f.metadata.getString("delta.columnMapping.physicalName")
+        require(physical.columns.contains(p),
+          s"physical column $p (logical ${f.name}) missing from the data files")
+        org.apache.spark.sql.functions.col(p).as(f.name)
+      }
+      return physical.select(renames.toIndexedSeq: _*)
+    }
     val data = if (pcols.isEmpty) spark.read.parquet(files: _*)
     else {
       val hive = adds.forall(a => pcols.forall(c => a.path.contains(c + "=")))

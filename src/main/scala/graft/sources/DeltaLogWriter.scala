@@ -167,6 +167,60 @@ object DeltaLogWriter {
         addActions(spark, base, rels, statsFor))
   }
 
+  /** Create a COLUMN-MAPPED table (mode=name): parquet files carry
+    * deterministic PHYSICAL names (`col-<id>`), the logical schema
+    * lives only in the log — each field's metadata records its
+    * `delta.columnMapping.physicalName`/`id`, the configuration sets
+    * the mode, and the protocol is minReader 2 / minWriter 5 (the
+    * column-mapping protocol). This is what any table that ever ran
+    * ALTER TABLE RENAME COLUMN looks like. */
+  def createColumnMapped(spark: SparkSession, df: DataFrame, base: String,
+                         tableId: String): Unit = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    TxnLog.rmrf(base)
+    val phys = df.schema.fields.zipWithIndex.map { case (f, i) => f.name -> s"col-${i + 1}" }
+    val physDf = phys.foldLeft(df) { case (d, (l, p)) => d.withColumnRenamed(l, p) }
+    val rels = writeData(physDf, base, 0L)
+    val logical = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      StructField(f.name, f.dataType, f.nullable, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", i + 1L)
+        .putString("delta.columnMapping.physicalName", s"col-${i + 1}")
+        .build())
+    })
+    commit(base, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"${esc(tableId)}","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${esc(logical.json)}","partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"${phys.length}"},"createdTime":0}}""") ++
+      addActions(spark, base, rels))
+  }
+
+  /** ALTER TABLE RENAME COLUMN on a column-mapped table: a
+    * metaData-ONLY commit — the logical field name changes, the
+    * physicalName stays, and NOT ONE data byte moves (the reason the
+    * feature exists; on a 100 TB table this is the difference between
+    * an instant and a rewrite). */
+  def renameColumn(spark: SparkSession, base: String, from: String, to: String): Unit = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val version = DeltaLogReader.latestVersion(base)
+    val logical = DeltaLogReader.columnMappingSchema(base, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"renameColumn on $base, which is not column-mapped — a rename " +
+          "would strand the parquet column names"))
+    require(logical.fieldNames.contains(from), s"no column $from to rename")
+    require(!logical.fieldNames.contains(to), s"column $to already exists")
+    val renamed = StructType(logical.fields.map(f =>
+      if (f.name == from) StructField(to, f.dataType, f.nullable, f.metadata) else f))
+    val maxId = logical.fields.length
+    commit(base, version + 1, Seq(
+      s"""{"commitInfo":{"operation":"RENAME COLUMN","timestamp":0}}""",
+      s"""{"metaData":{"id":"graft","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${esc(renamed.json)}","partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"$maxId"},"createdTime":0}}"""))
+  }
+
   /** Idempotent streaming append — the spec's `txn` (SetTransaction)
     * protocol, exactly what Delta's own streaming sink rides: every
     * commit carries `{"txn":{"appId","version"}}` with the micro-batch

@@ -579,6 +579,33 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
   }
 
+  test("column mapping: physical names in files, logical in the log, rename is metadata-only") {
+    val base = "/tmp/graft_delta_test/colmap"
+    val df = spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("id", "tag")
+    graft.sources.DeltaLogWriter.createColumnMapped(spark, df.coalesce(1), base, "t-cm")
+    // the parquet files really carry physical names
+    val adds = DeltaLogReader.snapshotFiles(spark = Some(spark), base, 0L)
+    val raw = spark.read.parquet(s"$base/${adds.head.path}")
+    assert(raw.columns.toSet == Set("col-1", "col-2"), raw.columns.toSeq.toString)
+    // the mapped read surfaces logical names
+    val v0 = DeltaLogReader.read(spark, base, 0L)
+    assert(v0.columns.toSeq == Seq("id", "tag"))
+    assert(v0.filter(col("tag") === "b").head().getLong(0) == 2L)
+    // rename: metaData-only commit, no new data files
+    val filesBefore = DeltaLogReader.snapshotFiles(spark = Some(spark), base, 0L).map(_.path)
+    graft.sources.DeltaLogWriter.renameColumn(spark, base, "tag", "label")
+    assert(DeltaLogReader.snapshotFiles(spark = Some(spark), base, 1L).map(_.path) == filesBefore)
+    val v1 = DeltaLogReader.read(spark, base, 1L)
+    assert(v1.columns.toSeq == Seq("id", "label"))
+    // time travel still answers with the OLD logical name
+    assert(DeltaLogReader.read(spark, base, 0L).columns.toSeq == Seq("id", "tag"))
+    // renaming a non-mapped table is refused
+    val plain = "/tmp/graft_delta_test/colmap_plain"
+    graft.sources.DeltaLogWriter.create(spark, df.coalesce(1), plain, "t-plain")
+    intercept[IllegalArgumentException](
+      graft.sources.DeltaLogWriter.renameColumn(spark, plain, "tag", "label"))
+  }
+
   test("writer refuses to overwrite an already-committed version") {
     val base = "/tmp/graft_delta_test/writer_clash"
     val df = spark.createDataFrame(Seq(1L).map(Tuple1(_))).toDF("id")
