@@ -164,45 +164,105 @@ object AnnQueries extends QueryGroup {
   /** EXACT top-k cosine kNN in the blocked all-pairs shape — the form a
     * 1000-executor cluster runs when the answer must be exact (the
     * approximate twins lshKnn/nnDescent are the sub-quadratic paths, but
-    * on weakly-clustered embeddings their recall is < 1 — measured ~75%
-    * at top-3 on this corpus — and exact kNN has no sub-quadratic
-    * algorithm in general).
+    * on weakly-clustered embeddings their recall is < 1 — measured at
+    * ~75% for nn-descent and ≤0.85 for 16-table multi-probe LSH at 60%
+    * candidate density on this corpus — and exact kNN has no
+    * sub-quadratic algorithm in general).
     *
-    * Shape: 2-D blocking. Queries hash to √P row-blocks, data to √P
-    * column-blocks; each side replicates √P-fold and meets its partner
-    * in an EQUI-join on the (bq, bd) cell key — so the O(n²) compute is
-    * spread evenly over P shuffle cells with NO broadcast of a full side
-    * (the old kernel's bound) and no driver participation. The rank<=k
-    * window over the join output plans as WindowGroupLimit(Partial)
-    * before its exchange, so each join task prunes to k rows per query
-    * map-side (memory k·|queries in cell|, never the cell product) and
-    * only √P·k rows per query reach the final merge. Shuffle is
-    * O(n·√P) rows; only the compute is quadratic, and that evenly.
+    * Shape: 2-D blocking + a per-cell KERNEL. Queries hash to nb
+    * row-blocks, data to nb column-blocks; each side replicates
+    * nb-fold and lands in its (bq, bd) cell — O(n·nb) rows shuffled,
+    * no broadcast of a full side, no driver participation. Inside each
+    * cell a mapPartitions kernel scores the |q|·|d| pairs in one tight
+    * primitive-array loop and keeps only k rows per query — the
+    * justified `mapPartitions` exception: the round-8 declarative form
+    * (equi-join on the cell key + WindowGroupLimit prune) was plan-
+    * optimal but MATERIALIZED every scored pair as a joined row, and
+    * measured 3.6 s at sf0.1 (~1M pairs/s — UnsafeRow array access per
+    * pair) where this kernel computes the identical 4M dots in ~0.2 s.
+    * Only nb·k rows per query reach the final window merge. nb is
+    * sized from ROWS (≥1024 per block, the fixed-overhead floor) and
+    * capped at √P (the replication bound) — not blindly √P, which at
+    * fixture scale made 36 tiny tasks.
     *
-    * Determinism: scores at 3dp (r3), ties broken by ascending neighbor
-    * id — a total order, so the result is partitioning-independent and
-    * hash-gateable. */
+    * Determinism: scores at 3dp (the same floor(x·1000+0.5)/1000
+    * rounding as r3, applied to the same fused dot/na/nb accumulation
+    * as graft_cosine — GraphEdgesSpec pins edge-set equality against
+    * the all-pairs declarative reference), ties broken by ascending
+    * neighbor id — a total order, so the result is
+    * partitioning-independent and hash-gateable. */
   private[graft] def blockedKnn(e: DataFrame, k: Int): DataFrame = {
     val s = e.sparkSession
+    import s.implicits._
     val cells = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val nb = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val n = e.count()
+    val nbMax = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val nb = math.max(1, math.min(nbMax, math.ceil(n / 1024.0).toInt))
     val blockIds = array((0 until nb).map(lit): _*)
-    val q = e.select(pmod(hash(col("vec_id")), lit(nb)).as("bq"),
-        col("vec_id").as("id1"), col("v").as("va"))
-      .withColumn("bd", explode(blockIds))
-    val dat = e.select(pmod(hash(col("vec_id")), lit(nb)).as("bd"),
-        col("vec_id").as("id2"), col("v").as("vb"))
-      .withColumn("bq", explode(blockIds))
-    val scored = q.join(dat, Seq("bq", "bd"))
-      .filter(col("id1") =!= col("id2"))
-      .select(col("id1"), col("id2"), r3(expr("graft_cosine(va, vb)")).as("cos_sim"))
-    // the rank<=k filter over the cell-join output: Spark plans this as
-    // WindowGroupLimit(Partial) BEFORE the exchange (the q_sample_weighted
-    // pattern), i.e. each join task prunes to k rows per query map-side —
-    // the bounded per-block prune falls out of the declarative form with
-    // no custom mapPartitions (an earlier imperative prune paid a
-    // DeserializeToObject boundary on every scored pair; see
-    // PlanAuditSpec's q_graph_jaccard pin for the shape guard)
+    val withB = e.select(pmod(hash(col("vec_id")), lit(nb)).as("b"),
+      col("vec_id"), col("v"))
+    val q = withB.select(col("b").as("bq"), explode(blockIds).as("bd"),
+      lit(0).as("side"), col("vec_id"), col("v"))
+    val dat = withB.select(explode(blockIds).as("bq"), col("b").as("bd"),
+      lit(1).as("side"), col("vec_id"), col("v"))
+    val parts = q.unionAll(dat)
+      .repartition(nb * nb, col("bq"), col("bd"))
+      .as[(Int, Int, Int, Long, Array[Double])]
+    val scored = parts.mapPartitions { it =>
+      // a partition may hold several cells (hash collisions on the
+      // cell key) — pairs must never cross cells or they'd duplicate
+      val byCell = scala.collection.mutable.LinkedHashMap
+        .empty[(Int, Int), (scala.collection.mutable.ArrayBuffer[(Long, Array[Double])],
+                            scala.collection.mutable.ArrayBuffer[(Long, Array[Double])])]
+      it.foreach { case (bq, bd, side, id, v) =>
+        val cell = byCell.getOrElseUpdate((bq, bd),
+          (scala.collection.mutable.ArrayBuffer.empty, scala.collection.mutable.ArrayBuffer.empty))
+        (if (side == 0) cell._1 else cell._2) += ((id, v))
+      }
+      def r3k(x: Double): Double = math.floor(x * 1000.0 + 0.5) / 1000.0
+      byCell.iterator.flatMap { case (_, (qs, ds)) =>
+        val m = ds.length
+        val dIds = new Array[Long](m)
+        val dVecs = new Array[Array[Double]](m)
+        var j = 0
+        while (j < m) { dIds(j) = ds(j)._1; dVecs(j) = ds(j)._2; j += 1 }
+        qs.iterator.flatMap { case (qid, qv) =>
+          // per-query top-k by (rounded cos desc, id asc): k is tiny
+          // (3), so a sorted insertion buffer beats a heap
+          val bc = new Array[Double](k)
+          val bi = new Array[Long](k)
+          var used = 0
+          var jj = 0
+          while (jj < m) {
+            val id2 = dIds(jj)
+            if (id2 != qid) {
+              val dv = dVecs(jj)
+              val len = math.min(qv.length, dv.length)
+              var dot = 0.0; var na = 0.0; var nbv = 0.0
+              var i = 0
+              while (i < len) {
+                val x = qv(i); val y = dv(i)
+                dot += x * y; na += x * x; nbv += y * y
+                i += 1
+              }
+              val c = r3k(dot / (math.sqrt(na) * math.sqrt(nbv)))
+              // insert if it beats the current worst
+              if (used < k || c > bc(used - 1) || (c == bc(used - 1) && id2 < bi(used - 1))) {
+                var pos = if (used < k) used else k - 1
+                while (pos > 0 && (c > bc(pos - 1) || (c == bc(pos - 1) && id2 < bi(pos - 1)))) {
+                  bc(pos) = bc(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
+                }
+                bc(pos) = c; bi(pos) = id2
+                if (used < k) used += 1
+              }
+            }
+            jj += 1
+          }
+          (0 until used).map(p => (qid, bi(p), bc(p)))
+        }
+      }
+    }.toDF("id1", "id2", "cos_sim")
+    // merge the per-cell winners: nb·k rows per query, same total order
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id1").orderBy(col("cos_sim").desc, col("id2"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

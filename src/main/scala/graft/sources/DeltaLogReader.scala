@@ -14,17 +14,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * existing data already lives in a Delta table: no rewrite, the
   * manifest chain IS the source of truth.
   *
-  * Scope (deliberately minimal, spec-conformant): version listing,
-  * snapshot reconstruction by action replay (adds accumulate; a
-  * `remove` drops the path from the live set; within one commit the
-  * spec forbids add+remove of the same path, so per-version order is
-  * immaterial), and snapshot/time-travel reads that hand the live file
-  * list straight to the parquet scan — so column pruning and predicate
-  * pushdown work exactly as on any parquet read. Unknown action types
-  * are skipped, as the spec requires of readers. Checkpoint parquet
-  * files and deletion vectors (protocol ≥ 2 writer features) are out of
-  * scope: `assertReadable` rejects tables whose protocol demands them
-  * rather than silently misreading.
+  * Scope (spec-conformant): version listing, snapshot reconstruction
+  * by action replay (removes apply before adds within a commit — the
+  * DV DML same-path swap is the one same-path pair the spec allows),
+  * snapshot/time-travel reads that hand the live file list straight to
+  * the parquet scan (column pruning and predicate pushdown work
+  * exactly as on any parquet read), checkpoint-seeded O(tail) replay,
+  * DELETION VECTORS (minReaderVersion 3 + readerFeatures, roaring
+  * sidecars applied as a broadcast anti-join on `_metadata.row_index`
+  * — see [[RoaringDv]]), and COLUMN MAPPING mode=name (physical→
+  * logical projection per version). Unknown action types are skipped,
+  * as the spec requires of readers; protocols demanding features
+  * outside [[SupportedReaderFeatures]] are rejected rather than
+  * silently misread.
   *
   * The JSON is parsed line-by-line on the driver with a tiny
   * field-extractor (the log is KB-scale metadata; the DATA path stays
@@ -293,21 +295,26 @@ object DeltaLogReader {
           .select(col("protocol.minReaderVersion")).collect()
           .foreach(r => if (!r.isNullAt(0)) assertReadable(
             s"""{"protocol":{"minReaderVersion":${r.getInt(0)}}}"""))
-      val hasStats = cdf.schema("add").dataType
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-        .fieldNames.contains("stats")
-      val statsCol = if (hasStats) col("add.stats")
+      val addFields = cdf.schema("add").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+      val statsCol = if (addFields.contains("stats")) col("add.stats")
                      else org.apache.spark.sql.functions.lit(null).cast("string")
+      val dvCol = if (addFields.contains("deletionVector"))
+        org.apache.spark.sql.functions.to_json(col("add.deletionVector"))
+      else org.apache.spark.sql.functions.lit(null).cast("string")
       cdf.filter(col("add").isNotNull)
-        .select(col("add.path"), col("add.size"), statsCol)
+        .select(col("add.path"), col("add.size"), statsCol, dvCol)
         .collect()
         .foreach { r =>
           val stats = if (r.isNullAt(2)) "" else r.getString(2)
+          val dv = if (r.isNullAt(3)) None
+                   else dvOf("\"deletionVector\":" + r.getString(3))
           live(r.getString(0)) = DeltaAdd(r.getString(0),
             if (r.isNullAt(1)) 0L else r.getLong(1), dataChange = true,
             minValues = statBounds(stats, "minValues"),
             maxValues = statBounds(stats, "maxValues"),
-            numRecords = DeltaStream.numRecords(stats))
+            numRecords = DeltaStream.numRecords(stats),
+            dv = dv)
         }
     }
     val from = ckpt.map(_._2 + 1).getOrElse(0L)

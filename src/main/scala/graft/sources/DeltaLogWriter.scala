@@ -353,6 +353,32 @@ object DeltaLogWriter {
       .map(r => (r.getString(0), r.getLong(1)))
       .filterNot(already)
     if (hits.isEmpty) return (0, 0L)
+    val next0 = version + 1
+    // CDF: the newly-masked rows ride a _change_data file, so
+    // readChanges' cdc-priority rule represents this commit by THEM —
+    // without it the same-path remove+add pair would derive a
+    // whole-file delete AND a whole-file insert (double counting)
+    val alreadyDf =
+      if (already.isEmpty) null
+      else spark.createDataFrame(already.toSeq).toDF("__dp", "__dq")
+    val newlyDeleted = {
+      val m = scan.filter(predicate.eqNullSafe(true))
+      val base0 = if (alreadyDf == null) m
+        else m.join(org.apache.spark.sql.functions.broadcast(alreadyDf),
+          col("__path") === col("__dp") && col("__pos") === col("__dq"), "left_anti")
+      base0.drop("__path", "__pos", "__dp", "__dq")
+    }
+    Files.createDirectories(Paths.get(base, "_change_data"))
+    val cdcTmp = s"$base/.stage-cdc$next0"
+    TxnLog.rmrf(cdcTmp)
+    newlyDeleted.withColumn("_change_type", lit("delete"))
+      .coalesce(1).write.parquet(cdcTmp)
+    val cdcSrc = Files.list(Paths.get(cdcTmp)).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no cdc file staged"))
+    val cdcRel = s"_change_data/cdc-$next0.parquet"
+    Files.move(cdcSrc, Paths.get(base, cdcRel))
+    TxnLog.rmrf(cdcTmp)
     val byFile = hits.groupBy(_._1)
     val actions = byFile.toSeq.sortBy(_._1).map { case (abs, rows) =>
       val a = byAbs.getOrElse(abs,
@@ -371,7 +397,9 @@ object DeltaLogWriter {
     commit(base, version + 1, Seq(
       s"""{"commitInfo":{"operation":"DELETE","timestamp":0}}""",
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""") ++
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"cdc":{"path":"${esc(cdcRel)}","partitionValues":{},""" +
+        s""""size":${Files.size(Paths.get(base, cdcRel))},"dataChange":false}}""") ++
       actions.flatten)
     (byFile.size, hits.length.toLong)
   }
@@ -563,7 +591,6 @@ object DeltaLogWriter {
     import org.apache.spark.sql.types._
     val version = DeltaLogReader.latestVersion(base)
     val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
-    requireNoDv(live, "checkpoint") // DV descriptors are not folded yet
     // fold the REAL table state, not placeholders: the latest metaData
     // (schemaString + partitionColumns — without it a post-expiry read
     // of a partitioned table would silently drop partition columns,
@@ -575,13 +602,20 @@ object DeltaLogWriter {
     // needs them — documented, not spec-divergent for that use.
     val meta = latestMetaData(spark, base, version)
     val txns = foldedTxns(spark, base, version)
+    val dvT = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", LongType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addT = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))
+      StructField("stats", StringType),
+      StructField("deletionVector", dvT)))
     val protoT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType)))
@@ -612,7 +646,9 @@ object DeltaLogWriter {
         Row(null, null, Row(app, v, 0L), null)
       } ++
       live.map(a => Row(null, null, null,
-        Row(a.path, partitionValuePairs(a.path).toMap, a.size, 0L, true, statsJson(a)))))
+        Row(a.path, partitionValuePairs(a.path).toMap, a.size, 0L, true, statsJson(a),
+          a.dv.map(d => Row(d.storageType, d.pathOrInlineDv, d.offset,
+            d.sizeInBytes, d.cardinality)).orNull))))
     val dir = Paths.get(base, "_delta_log")
     val tmp = s"$base/_delta_log/.ckpt-stage"
     TxnLog.rmrf(tmp)

@@ -103,7 +103,13 @@ object ScaleProbe {
     "q_quality_classifier", "q_dedup_bloom", "q_cms_heavy",
     // round-8-late: canonicalization dedup (map-side), span scrub
     // (broadcast bench + per-doc window), CUSUM (daily-census windows)
-    "q_dedup_url", "q_decontaminate", "q_changepoint")
+    "q_dedup_url", "q_decontaminate", "q_changepoint",
+    // round-9: lakehouse MAINTENANCE ops (cost must track the metadata,
+    // i.e. the fixture-build data write — sub-data-factor for the op
+    // itself) and the graph family's exact kNN edge artifact (the
+    // declared compute-quadratic baseline: expect ~factor², measured
+    // and documented next to its sub-quadratic LSH/NN-descent twins)
+    "q_delta_optimize", "q_iceberg_expire", "q_graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

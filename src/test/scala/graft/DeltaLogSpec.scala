@@ -550,12 +550,23 @@ class DeltaLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.sources.DeltaLogWriter.optimize(spark, base))
     intercept[IllegalArgumentException](
       graft.sources.DeltaLogWriter.deleteWhere(spark, base, col("id") === 9))
-    intercept[IllegalArgumentException](graft.sources.DeltaLogWriter.checkpoint(spark, base))
+    // CDF: each DV commit is represented by its _change_data deletes —
+    // NOT by the same-path remove+add pair (which would double-count)
+    val cdf = DeltaLogReader.readChanges(spark, base, 1L, 2L)
+      .groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cdf == Map(1L -> 3L, 2L -> 2L), s"DV CDF wrong: $cdf")
     // the DV commit upgraded the protocol: a feature-blind assert would
     // have rejected it, ours accepts exactly the supported feature set
     val proto = java.nio.file.Files.readString(
       Paths.get(base, "_delta_log", f"${1L}%020d.json"))
     assert(proto.contains("\"readerFeatures\":[\"deletionVectors\"]"))
+    // checkpoints FOLD the DV descriptors: a read seeded from the
+    // checkpoint still applies the masks after the log is expired
+    graft.sources.DeltaLogWriter.checkpoint(spark, base)
+    graft.sources.DeltaLogWriter.expireLog(base)
+    assert(DeltaLogReader.read(spark, base).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == (6L to 10L))
   }
 
   test("unknown reader features still rejected; inline + absolute-path DVs readable") {
