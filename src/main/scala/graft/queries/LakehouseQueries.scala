@@ -678,6 +678,97 @@ object LakehouseQueries extends QueryGroup {
     // deletes surface as absence. incrementalFiles prunes untouched
     // file groups from the scan before any row is read. Batch 1 is the
     // initial load (everything ≤ 001).
+    // ---- Delta VACUUM (the data half) -------------------------------------
+    // q_delta_checkpoint graded the log half (expireLog); this grades
+    // the storage-reclaim half: after create(3 files) + OPTIMIZE(1
+    // packed file) + checkpoint + expireLog, the 3 originals are
+    // referenced by NO readable version — vacuum deletes exactly them,
+    // the packed file and the log survive, and the census is
+    // byte-identical across the cleanup. Disk file counts ride the
+    // output, so a vacuum that deleted a live file (content drift) or
+    // missed a dead one (count drift) hash-fails.
+    "q_delta_vacuum" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_vac"
+      val o = iceOrders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      graft.sources.DeltaLogWriter.create(s, o.repartition(3), base, "graft-orders-vac")
+      graft.sources.DeltaLogWriter.optimize(s, base)
+      graft.sources.DeltaLogWriter.checkpoint(s, base)
+      graft.sources.DeltaLogWriter.expireLog(base)
+      def diskFiles(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(base)).iterator.asScala
+          .count(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet") &&
+            !p.toString.contains("_delta_log")).toLong
+      }
+      def census(phase: Long, nFiles: Long) =
+        graft.sources.DeltaLogReader.read(s, base).agg(
+          count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(phase).as("phase"), lit(nFiles).as("n_files"),
+            col("n_rows"), col("total_cents"))
+      val pre = census(1L, diskFiles())
+      graft.sources.DeltaLogWriter.vacuum(s, base)
+      val post = census(2L, diskFiles())
+      pre.unionAll(post).orderBy("phase")
+    }),
+
+    // ---- Iceberg remove_orphan_files ---------------------------------------
+    // The crash-debris cleaner: a failed write stages data files the
+    // commit never claimed — they cost storage forever and break naive
+    // directory listings, but NO snapshot references them. The fixture
+    // plants one orphan next to the two claimed group files;
+    // removeOrphans detects it with a KB-scale manifest-vs-listing set
+    // difference (no data file opened) and deletes exactly it. The
+    // census pins content equality across the cleanup and the disk
+    // file counts (3 → 2).
+    "q_iceberg_orphans" -> ((s, d) => {
+      val base = LakehouseQueries.mkIcebergOrphanFixture(s, d, "orders_orph")
+      def diskFiles(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(base, "data"))
+          .iterator.asScala.size.toLong
+      }
+      def census(phase: Long, nFiles: Long) =
+        graft.sources.IcebergReader.read(s, base).agg(
+          count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(phase).as("phase"), lit(nFiles).as("n_files"),
+            col("n_rows"), col("total_cents"))
+      val pre = census(1L, diskFiles())
+      graft.sources.IcebergWriter.removeOrphans(s, base)
+      val post = census(2L, diskFiles())
+      pre.unionAll(post).orderBy("phase")
+    }),
+
+    // ---- Hudi CLEANER (keep-latest-file-versions) --------------------------
+    // The storage-reclaim half of copy-on-write: every upsert leaves
+    // the whole previous file slice behind, so two upserts over all
+    // three buckets leave 9 base files serving 3 groups. clean(keep=1)
+    // deletes the 6 superseded slices; the snapshot census is
+    // byte-identical across the cleanup (reads only ever open the
+    // latest slice) and the disk counts 9 → 3 pin that the reclaim
+    // actually happened and took nothing live.
+    "q_hudi_clean" -> ((s, d) => {
+      val base = s"/tmp/graft_hudi_${Integer.toHexString(d.hashCode)}/orders_clean"
+      val o = iceOrders(s, d)
+      graft.sources.HudiWriter.create(s, o, base, "orders_clean", "o_orderkey", 3)
+      graft.sources.HudiWriter.upsert(s,
+        o.filter(col("o_orderpriority") === "2-HIGH")
+          .withColumn("cents", col("cents") + 5), base)
+      graft.sources.HudiWriter.upsert(s,
+        o.filter(col("o_orderpriority") === "1-URGENT")
+          .withColumn("cents", col("cents") + 9), base)
+      def diskFiles(): Long = graft.sources.HudiReader.baseFiles(base).size.toLong
+      def census(phase: Long, nFiles: Long) =
+        graft.sources.HudiReader.read(s, base).agg(
+          count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(phase).as("phase"), lit(nFiles).as("n_files"),
+            col("n_rows"), col("total_cents"))
+      val pre = census(1L, diskFiles())
+      graft.sources.HudiWriter.clean(s, base)
+      val post = census(2L, diskFiles())
+      pre.unionAll(post).orderBy("phase")
+    }),
+
     // ---- Iceberg v2 EQUALITY deletes (the Flink-CDC shape) ---------------
     // CDC writers delete by VALUE, not position: the delete file's
     // columns are the equality tuple (here o_orderpriority =
@@ -1520,6 +1611,22 @@ object LakehouseQueries extends QueryGroup {
     t.base
   }
 
+  /** Build the orphan-file fixture: one snapshot over two o_orderkey%2
+    * group files, plus ONE unclaimed parquet planted in data/ — the
+    * debris a failed write leaves behind. */
+  private[queries] def mkIcebergOrphanFixture(s: SparkSession, d: String, suffix: String): String = {
+    val t = new IceTable(s, iceBase(d, suffix))
+    val o = iceOrders(s, d)
+    val g = writeGroups(s, t.base, o, pmod(col("o_orderkey"), lit(2)),
+      v => s"data/part-g$v.parquet")
+    val groups = (0 to 1).map(i => g(i.toString))
+    t.writeOne(o.limit(5), "data/orphan-debris.parquet")
+    t.manifest("metadata/m1.avro", groups.map { case (p, n) => IceEntry(1, p, n) })
+    t.manifestList(1L, Seq("metadata/m1.avro"))
+    t.meta(1, current = 1L, snaps = Seq(1L))
+    t.base
+  }
+
   /** Test hook (IcebergSpec pins the planned-file counts of the
     * partitioned fixture without reaching the private builder). */
   def icebergPartFixtureForTest(s: SparkSession, d: String): String =
@@ -1628,6 +1735,21 @@ object LakehouseQueries extends QueryGroup {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_delta_vacuum" ->
+      ("WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "SELECT CAST(1 AS BIGINT) AS phase, CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 2, 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "ORDER BY phase"),
+    "q_iceberg_orphans" ->
+      ("WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS phase, CAST(3 AS BIGINT) AS n_files, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 2, 2, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "ORDER BY phase"),
+    "q_hudi_clean" ->
+      ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS phase, CAST(9 AS BIGINT) AS n_files, count(*) AS n_rows, CAST(sum(cents + CASE WHEN pri = '2-HIGH' THEN 5 WHEN pri = '1-URGENT' THEN 9 ELSE 0 END) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 2, 3, count(*), CAST(sum(cents + CASE WHEN pri = '2-HIGH' THEN 5 WHEN pri = '1-URGENT' THEN 9 ELSE 0 END) AS BIGINT) FROM o " +
+        "ORDER BY phase"),
     "q_delta_colmap" ->
       ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CAST(0 AS BIGINT) AS version, pri AS priority, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o GROUP BY pri " +

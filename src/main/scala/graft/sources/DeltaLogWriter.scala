@@ -715,6 +715,30 @@ object DeltaLogWriter {
     }
   }
 
+  /** VACUUM, the data half: delete part files no READABLE version
+    * references (after [[expireLog]], readable = the checkpointed
+    * version onward — so files only pre-checkpoint history referenced
+    * become reclaimable, exactly the real feature's retention
+    * semantics with the checkpoint as the horizon). The reference set
+    * is a KB-scale path-set union over the readable snapshots; DV
+    * sidecars, `_change_data` files and the log itself are never
+    * touched. Time travel to vacuumed versions was already gone with
+    * their commits. Returns how many data files were deleted. */
+  def vacuum(spark: SparkSession, base: String): Int = {
+    val referenced = DeltaLogReader.versions(base)
+      .flatMap(v => DeltaLogReader.snapshotFiles(Some(spark), base, v))
+      .map(_.path).toSet
+    require(referenced.nonEmpty, s"vacuum would empty $base entirely")
+    val root = Paths.get(base)
+    val victims = Files.walk(root).iterator.asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString)
+      .filterNot(rel => rel.startsWith("_") || referenced.contains(rel))
+      .toSeq
+    victims.foreach(rel => Files.delete(root.resolve(rel)))
+    victims.size
+  }
+
   /** Log cleanup (the metadata half of VACUUM): delete JSON commits
     * STRICTLY BEFORE the checkpointed version — they are redundant once
     * the checkpoint exists, and the spec permits removing them. Reads

@@ -104,6 +104,28 @@ object HudiWriter {
     instant
   }
 
+  /** The Hudi CLEANER (KEEP_LATEST_FILE_VERSIONS): per file group,
+    * keep the newest `keepVersions` committed base files and delete
+    * the superseded slices — the storage-reclaim half of the CoW
+    * discipline (every upsert leaves the whole previous file behind;
+    * without a cleaner a hot bucket's history IS the table's size).
+    * Snapshot reads are untouched (they only ever open the latest
+    * slice); time travel past the retained window is gone by design,
+    * like snapshot expiry everywhere else. COW only — a MOR slice's
+    * logs belong to its base and are compaction's job. Returns the
+    * deleted file count. */
+  def clean(spark: SparkSession, base: String, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, s"must keep at least 1 version, got $keepVersions")
+    HudiReader.assertReadable(base)
+    val committed = HudiReader.completedCommits(base).toSet
+    val victims = HudiReader.baseFiles(base)
+      .filter(f => committed.contains(f.instant))
+      .groupBy(_.fileId).values.toSeq
+      .flatMap(_.sortBy(_.instant).dropRight(keepVersions))
+    victims.foreach(f => Files.delete(Paths.get(f.path)))
+    victims.size
+  }
+
   // ---- MERGE_ON_READ ------------------------------------------------------
 
   /** Create a MERGE_ON_READ table: identical base layout to the CoW

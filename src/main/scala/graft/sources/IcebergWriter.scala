@@ -316,6 +316,30 @@ object IcebergWriter {
     orphans
   }
 
+  /** remove_orphan_files: delete data files on disk that NO declared
+    * snapshot references — the crash-debris cleaner every object-store
+    * table eventually needs (a failed write stages files the commit
+    * never claimed; they cost storage forever and confuse naive
+    * directory listings). Detection is a KB-scale set difference:
+    * every snapshot's manifest-claimed paths (data AND delete files)
+    * versus the `data/` listing — no data file is opened. Returns the
+    * deleted relative paths. */
+  def removeOrphans(spark: SparkSession, base: String): Seq[String] = {
+    val v = IcebergReader.currentMetadataVersion(base)
+    val referenced = IcebergReader.snapshots(base, v).flatMap { s =>
+      val scan = IcebergReader.planSnapshot(spark, base, s.id)
+      scan.dataFiles.map(_._1) ++ scan.posDeleteFiles ++ scan.eqDeleteFiles.map(_._1)
+    }.map(p => Paths.get(p).normalize.toString).toSet
+    val dataDir = Paths.get(base, "data")
+    if (!Files.isDirectory(dataDir)) return Nil
+    val victims = Files.list(dataDir).iterator.asScala
+      .filter(p => Files.isRegularFile(p) &&
+        !referenced.contains(p.normalize.toString))
+      .toSeq
+    victims.foreach(Files.delete)
+    victims.map(p => s"data/${p.getFileName}")
+  }
+
   /** Append-only commit: snapshot N+1 adds `df`'s rows; the previous
     * snapshot's live files ride along as EXISTING entries. */
   def append(spark: SparkSession, df: DataFrame, base: String): Unit = {
