@@ -678,6 +678,34 @@ object LakehouseQueries extends QueryGroup {
     // deletes surface as absence. incrementalFiles prunes untouched
     // file groups from the scan before any row is read. Batch 1 is the
     // initial load (everything ≤ 001).
+    // ---- Delta schema evolution (ADD COLUMN, mergeSchema write) ----------
+    // The other metadata-only table change (q_delta_colmap grades
+    // RENAME): an evolving append commits a new metaData whose
+    // schemaString is the union schema — no old file is rewritten, and
+    // the LOG-enforced read surfaces the new column as NULL on
+    // pre-evolution rows (footer-sampled scans would instead pick
+    // whichever schema Spark sampled first). Fixture: v0 = '1-URGENT'
+    // slice WITHOUT the priority column; v1 appends the rest WITH it.
+    // Census per priority, old rows grouped under the NULL bucket;
+    // time travel to v0 answers with the narrow schema. Oracle replays
+    // both versions from orders.
+    "q_delta_evolve" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_evo"
+      val o = iceOrders(s, d)
+      graft.sources.DeltaLogWriter.create(s,
+        o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey", "cents"),
+        base, "graft-orders-evo")
+      graft.sources.DeltaLogWriter.appendEvolved(s,
+        o.filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_orderkey"), col("cents"), col("o_orderpriority").as("pri")), base)
+      val v0cols = graft.sources.DeltaLogReader.read(s, base, 0L).columns.length.toLong
+      graft.sources.DeltaLogReader.read(s, base, 1L)
+        .groupBy(coalesce(col("pri"), lit("(pre-evolution)")).as("pri"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(col("pri"), lit(v0cols).as("v0_cols"), col("n_rows"), col("total_cents"))
+        .orderBy("pri")
+    }),
+
     // ---- Delta VACUUM (the data half) -------------------------------------
     // q_delta_checkpoint graded the log half (expireLog); this grades
     // the storage-reclaim half: after create(3 files) + OPTIMIZE(1
@@ -1735,6 +1763,10 @@ object LakehouseQueries extends QueryGroup {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_delta_evolve" ->
+      ("WITH o AS (SELECT o_orderpriority AS opri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CASE WHEN opri = '1-URGENT' THEN '(pre-evolution)' ELSE opri END AS pri, CAST(2 AS BIGINT) AS v0_cols, " +
+        "count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o GROUP BY 1 ORDER BY pri"),
     "q_delta_vacuum" ->
       ("WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders WHERE o_orderpriority = '1-URGENT') " +
         "SELECT CAST(1 AS BIGINT) AS phase, CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +

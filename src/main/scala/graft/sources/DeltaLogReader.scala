@@ -380,6 +380,32 @@ object DeltaLogReader {
       .select(cols.toIndexedSeq: _*)
   }
 
+  /** The table's LOGICAL schema at `version` — the last metaData's
+    * schemaString (from the JSON tail, else the checkpoint's folded
+    * metaData). None when the metaData carries no parseable schema
+    * (hand-composed probe fixtures write "{}"). This is what makes the
+    * log the source of truth over the parquet footers: files written
+    * before an ADD COLUMN lack the column, and reading them under the
+    * declared schema surfaces it as NULL — the spec's schema
+    * evolution. */
+  private[sources] def tableSchema(spark: Option[SparkSession], base: String,
+                                   version: Long): Option[org.apache.spark.sql.types.StructType] = {
+    var json: Option[String] = None
+    val vs = versions(base).filter(_ <= version)
+    vs.foreach { v =>
+      Files.readAllLines(logDir(base).resolve(f"$v%020d.json"), StandardCharsets.UTF_8)
+        .asScala.foreach { line =>
+          if (line.contains("\"metaData\"")) json = strField(line, "schemaString")
+        }
+    }
+    if (json.isEmpty && !vs.headOption.contains(0L))
+      json = spark.flatMap(s => checkpointAt(base, version)
+        .flatMap(cv => checkpointMeta(s, base, cv)).map(_._2))
+    json.flatMap(j =>
+      scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+  }
+
   /** Snapshot read at an explicit version (time travel). The live list
     * goes straight to the parquet source: pushdown/pruning intact.
     *
@@ -412,8 +438,16 @@ object DeltaLogReader {
       }
       return physical.select(renames.toIndexedSeq: _*)
     }
-    val data = if (pcols.isEmpty) spark.read.parquet(files: _*)
-    else {
+    val data = if (pcols.isEmpty) {
+      // enforce the LOG's schema over the footers (non-partitioned,
+      // non-mapped tables): pre-ADD-COLUMN files surface the new
+      // column as NULL instead of the scan schema depending on which
+      // footer Spark sampled — the spec's schema evolution
+      tableSchema(Some(spark), base, version) match {
+        case Some(logical) => spark.read.schema(logical).parquet(files: _*)
+        case None          => spark.read.parquet(files: _*)
+      }
+    } else {
       val hive = adds.forall(a => pcols.forall(c => a.path.contains(c + "=")))
       require(hive,
         s"partitioned Delta table (${pcols.mkString(",")}) with non-hive " +

@@ -167,6 +167,36 @@ object DeltaLogWriter {
         addActions(spark, base, rels, statsFor))
   }
 
+  /** Schema-evolving append (ADD COLUMN + write in one commit, the
+    * mergeSchema write): `df`'s schema must be a SUPERSET of the
+    * table's current columns (same names may widen nullability only);
+    * the commit carries a new metaData with the union schema, and
+    * every earlier file's rows surface the new columns as NULL under
+    * the log-enforced read — no old file is rewritten (the evolution
+    * economics at 100 TB). */
+  def appendEvolved(spark: SparkSession, df: DataFrame, base: String,
+                    statsFor: Seq[String] = Nil): Unit = {
+    val version = DeltaLogReader.latestVersion(base) + 1
+    require(DeltaLogReader.partitionColumns(Some(spark), base, version - 1).isEmpty,
+      "schema-evolving append on a partitioned table is beyond this minimal writer")
+    DeltaLogReader.tableSchema(Some(spark), base, version - 1).foreach { cur =>
+      cur.fields.foreach { f =>
+        val g = df.schema.fields.find(_.name == f.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"evolved schema drops column ${f.name} — only ADD COLUMN is supported"))
+        require(g.dataType == f.dataType,
+          s"evolved schema changes ${f.name}: ${f.dataType} -> ${g.dataType}")
+      }
+    }
+    val rels = writeData(df, base, version)
+    commit(base, version,
+      Seq(s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""",
+        s"""{"metaData":{"id":"graft","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${esc(df.schema.json)}","partitionColumns":[],""" +
+          s""""configuration":{},"createdTime":0}}""") ++
+        addActions(spark, base, rels, statsFor))
+  }
+
   /** Create a COLUMN-MAPPED table (mode=name): parquet files carry
     * deterministic PHYSICAL names (`col-<id>`), the logical schema
     * lives only in the log — each field's metadata records its
