@@ -68,6 +68,14 @@ object ClusterSmoke {
     "q_fuzzy_match",      // graft_jaro kernel + broadcast vocab across executors
     "q_curation_pipeline", // composed gate->dedup->split DAG across executors
     "q_holt_forecast",    // array-fold recursion after a real shuffle collect
+    // round-9 executor-boundary risks:
+    "q_delta_dv",         // DV payload bytes ship to executors, decode in flatMap
+    "q_hudi_mor",         // avro log-file merge: per-key window across executor shuffles
+    "q_iceberg_eq_deletes", // null-safe broadcast anti-join scoped by file path
+    "q_delta_colmap",     // physical->logical projection over executor scans
+    // (q_graph_jaccard above now exercises the per-cell mapPartitions
+    // kNN kernel: tuple-encoder serde + primitive-array loops on
+    // executors)
   )
 
   def main(args: Array[String]): Unit = {

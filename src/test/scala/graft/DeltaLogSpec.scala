@@ -617,6 +617,28 @@ class DeltaLogSpec extends SparkSpec {
       graft.sources.DeltaLogWriter.renameColumn(spark, plain, "tag", "label"))
   }
 
+  test("plan pins: DV reads broadcast-anti-join; colmap filters push to the physical scan") {
+    // DV read: the mask applies as a BroadcastHashJoin LeftAnti over the
+    // ordinary parquet scan — never a nested loop, never a shuffle of
+    // the data side keyed by position
+    val dvBase = "/tmp/graft_delta_test/dvplan"
+    val df = spark.createDataFrame((1L to 8L).map(Tuple1(_))).toDF("id").coalesce(1)
+    graft.sources.DeltaLogWriter.create(spark, df, dvBase, "t-dvplan")
+    graft.sources.DeltaLogWriter.deleteWhereDv(spark, dvBase, col("id") <= 2)
+    val dvPlan = DeltaLogReader.read(spark, dvBase).queryExecution.executedPlan.toString
+    assert(dvPlan.contains("BroadcastHashJoin") && dvPlan.contains("LeftAnti"), dvPlan)
+    assert(!dvPlan.contains("BroadcastNestedLoopJoin"), dvPlan)
+    // column mapping: a filter on the LOGICAL name must reach the
+    // parquet source as a pushed filter on the PHYSICAL column
+    val cmBase = "/tmp/graft_delta_test/cmplan"
+    val cdf = spark.createDataFrame(Seq((1L, 5L), (2L, 9L))).toDF("id", "score").coalesce(1)
+    graft.sources.DeltaLogWriter.createColumnMapped(spark, cdf, cmBase, "t-cmplan")
+    val q = DeltaLogReader.read(spark, cmBase).filter(col("score") > 6)
+    val scanLine = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("col-2"), s"logical filter not pushed to the physical column: $scanLine")
+  }
+
   test("writer refuses to overwrite an already-committed version") {
     val base = "/tmp/graft_delta_test/writer_clash"
     val df = spark.createDataFrame(Seq(1L).map(Tuple1(_))).toDF("id")
