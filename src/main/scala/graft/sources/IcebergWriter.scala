@@ -172,8 +172,13 @@ object IcebergWriter {
     Files.createDirectories(Paths.get(base, "data"))
     val tmp = s"$base/.stage-s1"
     TxnLog.rmrf(tmp)
+    // repartition BY the transform value: each partition dir is written
+    // by exactly one task (one file per partition, the invariant below)
+    // and the ~|distinct values| writes run in parallel — a month
+    // transform over years of data is dozens of files, not one task's
+    // sequential loop
     df.withColumn("__g", partExpr.cast("long").cast("string"))
-      .repartition(1).write.partitionBy("__g").parquet(tmp)
+      .repartition(col("__g")).write.partitionBy("__g").parquet(tmp)
     val rels = Files.list(Paths.get(tmp)).iterator.asScala
       .filter(_.getFileName.toString.startsWith("__g="))
       .map { dir =>
