@@ -137,4 +137,25 @@ class PropertySpec extends AnyFunSuite {
       assert(covered == brute, s"islands $covered != brute $brute for $sorted")
     }
   }
+
+  test("roaring DV serialization round-trips arbitrary position sets (z85 too)") {
+    import graft.sources.RoaringDv
+    // positions spanning container boundaries, chunk edges, and >1 high
+    // word; sizes up to a few thousand (both array + bitmap containers
+    // appear because values cluster mod 65536 under the small gen)
+    val pos = Gen.listOf(Gen.frequency(
+      6 -> Gen.choose(0L, 70000L),            // dense low chunk
+      2 -> Gen.choose(0L, 1L << 20),          // sparse spread
+      1 -> Gen.choose(1L << 32, (1L << 32) + 100000L))) // second high word
+    forAll(pos, Gen.const(())) { (ps, _) =>
+      val sorted = ps.distinct.sorted
+      assert(RoaringDv.deserialize(RoaringDv.serialize(sorted)) == sorted)
+    }
+    // z85 round-trips arbitrary 4-aligned byte strings
+    val bytes = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+    forAll(bytes, Gen.const(())) { (bs, _) =>
+      val padded = bs.toArray ++ Array.fill((4 - bs.length % 4) % 4)(0.toByte)
+      assert(RoaringDv.z85Decode(RoaringDv.z85Encode(padded)).toSeq == padded.toSeq)
+    }
+  }
 }
