@@ -706,6 +706,68 @@ object LakehouseQueries extends QueryGroup {
         .orderBy("pri")
     }),
 
+    // ---- Delta CHECK constraints -------------------------------------------
+    // The quality gate at the TABLE boundary (q_txn_constraint grades
+    // the native log's flavor; this is the open-format one): ADD
+    // CONSTRAINT is a metaData-only commit carrying
+    // delta.constraints.<name> and bumping minWriterVersion to 3, and
+    // every later append validates BEFORE staging any data — a
+    // violating batch aborts with nothing on disk. Fixture: create the
+    // urgent slice, add CHECK (cents >= 0), append the valid rest,
+    // then attempt a negated-cents batch which must abort whole. The
+    // graded output pins the version count (3 — the failed append
+    // committed NOTHING), the rejected-batch count, and the census
+    // (only valid rows present).
+    "q_delta_constraint" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_chk"
+      val o = iceOrders(s, d)
+      graft.sources.DeltaLogWriter.create(s,
+        o.filter(col("o_orderpriority") === "1-URGENT"), base, "graft-orders-chk")
+      graft.sources.DeltaLogWriter.addConstraint(s, base, "cents_nonneg", "cents >= 0")
+      graft.sources.DeltaLogWriter.append(s,
+        o.filter(col("o_orderpriority") =!= "1-URGENT"), base)
+      val rejected =
+        try {
+          graft.sources.DeltaLogWriter.append(s,
+            o.withColumn("cents", -col("cents") - 1), base)
+          0L
+        } catch { case _: IllegalArgumentException => 1L }
+      val nVersions = graft.sources.DeltaLogReader.versions(base).size.toLong
+      graft.sources.DeltaLogReader.read(s, base).agg(
+        count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(nVersions).as("n_versions"), lit(rejected).as("rejected_batches"),
+          col("n_rows"), col("total_cents"))
+    }),
+
+    // ---- Iceberg refs: tags + branches -------------------------------------
+    // The audit/compliance surface: a TAG pins a snapshot by name
+    // (and shields it from expiry — the writer refuses to expire a
+    // ref'd snapshot), a BRANCH is a movable head; both live in the
+    // metadata's `refs` map and cost one metadata version to set.
+    // Fixture: snap 1 = urgent slice, snap 2 = everything; tag
+    // 'audit' → 1, branch 'dev' → 2; then an APPEND (snap 3) must
+    // carry the refs forward untouched. Census reads BY REF NAME —
+    // 'audit' still answers snapshot 1 after two later commits. The
+    // oracle replays both slices.
+    "q_iceberg_refs" -> ((s, d) => {
+      val base = iceBase(d, "orders_refs")
+      val o = iceOrders(s, d)
+      graft.sources.IcebergWriter.create(s,
+        o.filter(col("o_orderpriority") === "1-URGENT").repartition(2), base)
+      graft.sources.IcebergWriter.append(s,
+        o.filter(col("o_orderpriority") =!= "1-URGENT").repartition(2), base)
+      graft.sources.IcebergWriter.setRef(s, base, "audit", 1L, "tag")
+      graft.sources.IcebergWriter.setRef(s, base, "dev", 2L, "branch")
+      graft.sources.IcebergWriter.append(s,
+        o.filter(col("o_orderpriority") === "1-URGENT").repartition(1), base)
+      def census(ref: String, ord: Long) =
+        graft.sources.IcebergReader.readRef(s, base, ref).agg(
+          count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(ord).as("ord"), lit(ref).as("ref"),
+            col("n_rows"), col("total_cents"))
+      census("audit", 1L).unionAll(census("dev", 2L)).orderBy("ord")
+    }),
+
     // ---- Delta VACUUM (the data half) -------------------------------------
     // q_delta_checkpoint graded the log half (expireLog); this grades
     // the storage-reclaim half: after create(3 files) + OPTIMIZE(1
@@ -1767,6 +1829,15 @@ object LakehouseQueries extends QueryGroup {
       ("WITH o AS (SELECT o_orderpriority AS opri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CASE WHEN opri = '1-URGENT' THEN '(pre-evolution)' ELSE opri END AS pri, CAST(2 AS BIGINT) AS v0_cols, " +
         "count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o GROUP BY 1 ORDER BY pri"),
+    "q_delta_constraint" ->
+      ("WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(3 AS BIGINT) AS n_versions, CAST(1 AS BIGINT) AS rejected_batches, " +
+        "count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o"),
+    "q_iceberg_refs" ->
+      ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS ord, 'audit' AS ref, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE pri = '1-URGENT' " +
+        "UNION ALL SELECT 2, 'dev', count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "ORDER BY ord"),
     "q_delta_vacuum" ->
       ("WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders WHERE o_orderpriority = '1-URGENT') " +
         "SELECT CAST(1 AS BIGINT) AS phase, CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +

@@ -380,6 +380,24 @@ object DeltaLogReader {
       .select(cols.toIndexedSeq: _*)
   }
 
+  /** Table CHECK constraints at `version` — the last metaData's
+    * `delta.constraints.<name>` configuration entries (the spec's
+    * constraint storage; writers MUST validate every append against
+    * them, which is why declaring one bumps minWriterVersion to 3). */
+  def constraintsOf(base: String, version: Long): Map[String, String] = {
+    var found = Map.empty[String, String]
+    versions(base).filter(_ <= version).foreach { v =>
+      Files.readAllLines(logDir(base).resolve(f"$v%020d.json"), StandardCharsets.UTF_8)
+        .asScala.foreach { line =>
+          if (line.contains("\"metaData\"")) {
+            found = """"delta\.constraints\.(\w+)"\s*:\s*"([^"]*)"""".r
+              .findAllMatchIn(line).map(m => m.group(1) -> m.group(2)).toMap
+          }
+        }
+    }
+    found
+  }
+
   /** The table's LOGICAL schema at `version` — the last metaData's
     * schemaString (from the JSON tail, else the checkpoint's folded
     * metaData). None when the metaData carries no parseable schema

@@ -155,11 +155,48 @@ object DeltaLogWriter {
         s""""configuration":{},"createdTime":0}}""") ++ addActions(spark, base, rels, statsFor))
   }
 
+  /** ALTER TABLE ADD CONSTRAINT (CHECK): a metaData-only commit whose
+    * configuration carries `delta.constraints.<name>` and whose
+    * protocol bumps minWriterVersion to 3 (the spec's constraint
+    * writer version — feature-blind writers must not append
+    * unvalidated rows). Existing rows must already satisfy it. */
+  def addConstraint(spark: SparkSession, base: String,
+                    name: String, expr: String): Unit = {
+    import org.apache.spark.sql.functions.{expr => sqlExpr}
+    val version = DeltaLogReader.latestVersion(base)
+    require(DeltaLogReader.columnMappingSchema(base, version).isEmpty,
+      "constraints on a column-mapped table are beyond this minimal writer")
+    val bad = DeltaLogReader.read(spark, base)
+      .filter(!sqlExpr(expr).eqNullSafe(true)).count()
+    require(bad == 0L, s"$bad existing rows violate CHECK ($expr) — constraint not added")
+    val (id, schema, pcols) = latestMetaData(spark, base, version)
+    val all = DeltaLogReader.constraintsOf(base, version) + (name -> expr)
+    val conf = all.toSeq.sortBy(_._1)
+      .map { case (n, e) => s""""delta.constraints.${esc(n)}":"${esc(e)}"""" }
+      .mkString("{", ",", "}")
+    val pc = pcols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
+    commit(base, version + 1, Seq(
+      s"""{"commitInfo":{"operation":"ADD CONSTRAINT","timestamp":0}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+      s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${esc(schema)}","partitionColumns":$pc,""" +
+        s""""configuration":$conf,"createdTime":0}}"""))
+  }
+
   /** Append-only commit: the table's next version adds `df`'s rows.
-    * Partitioning follows the table's declared partitionColumns. */
+    * Partitioning follows the table's declared partitionColumns.
+    * Declared CHECK constraints are validated BEFORE any data is
+    * staged — a violating batch aborts the whole transaction with
+    * nothing on disk, the spec's writer obligation. */
   def append(spark: SparkSession, df: DataFrame, base: String,
              statsFor: Seq[String] = Nil): Unit = {
     val version = DeltaLogReader.latestVersion(base) + 1
+    DeltaLogReader.constraintsOf(base, version - 1).foreach { case (name, e) =>
+      import org.apache.spark.sql.functions.{expr => sqlExpr}
+      val bad = df.filter(!sqlExpr(e).eqNullSafe(true)).count()
+      require(bad == 0L,
+        s"append violates CHECK constraint $name ($e) on $bad rows — transaction aborted")
+    }
     val rels = writeData(df, base, version,
       DeltaLogReader.partitionColumns(Some(spark), base, version - 1))
     commit(base, version,

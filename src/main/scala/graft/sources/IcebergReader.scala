@@ -87,6 +87,27 @@ object IcebergReader {
     DeltaLogReader.longField(metadataJson(base, v), "current-snapshot-id")
       .getOrElse(throw new IllegalStateException(s"no current-snapshot-id in v$v"))
 
+  /** Named refs (the spec's `refs` map: branches + tags → snapshot
+    * ids) declared by metadata version `v`. A tag pins an auditable
+    * snapshot against expiry-by-default; a branch is a movable head. */
+  def refs(base: String, v: Int): Map[String, (Long, String)] = {
+    val json = metadataJson(base, v)
+    val block = """"refs"\s*:\s*\{(.*)$""".r
+    block.findFirstMatchIn(json).map { m =>
+      val one = """"([^"]+)"\s*:\s*\{\s*"snapshot-id"\s*:\s*(\d+)\s*,\s*"type"\s*:\s*"([^"]+)"\s*\}""".r
+      one.findAllMatchIn(m.group(1))
+        .map(r => r.group(1) -> (r.group(2).toLong, r.group(3))).toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** Snapshot read by REF name (`SELECT ... VERSION AS OF 'tag'`). */
+  def readRef(spark: SparkSession, base: String, ref: String): DataFrame = {
+    val v = currentMetadataVersion(base)
+    val (id, _) = refs(base, v).getOrElse(ref,
+      throw new IllegalArgumentException(s"no ref '$ref' in ${base}'s metadata"))
+    read(spark, base, id)
+  }
+
   private def resolve(base: String, p: String): String =
     if (p.startsWith("/") || p.contains("://")) p
     else Paths.get(base).resolve(p).toString

@@ -243,13 +243,34 @@ object IcebergWriter {
   }
 
   /** metadata JSON + version hint; the hint write is the commit point. */
-  private def writeMeta(base: String, v: Int, current: Long, snaps: Seq[Long]): Unit = {
+  private def writeMeta(base: String, v: Int, current: Long, snaps: Seq[Long],
+                        refs: Map[String, (Long, String)] = Map.empty): Unit = {
     val ss = snaps.map(i =>
       s"""{"snapshot-id":$i,"timestamp-ms":0,"manifest-list":"metadata/snap-$i.avro"}""")
+    val refsJson =
+      if (refs.isEmpty) ""
+      else refs.toSeq.sortBy(_._1).map { case (n, (id, t)) =>
+        s""""$n":{"snapshot-id":$id,"type":"$t"}"""
+      }.mkString(""","refs":{""", ",", "}")
     Files.writeString(Paths.get(base, "metadata", s"v$v.metadata.json"),
       s"""{"format-version":1,"table-uuid":"graft-export","location":"$base",""" +
-        s""""current-snapshot-id":$current,"snapshots":[${ss.mkString(",")}]}""")
+        s""""current-snapshot-id":$current,"snapshots":[${ss.mkString(",")}]$refsJson}""")
     Files.writeString(Paths.get(base, "metadata", "version-hint.text"), v.toString)
+  }
+
+  /** Create or move a named REF (tag = immutable audit pin, branch =
+    * movable head) — a metadata-only commit: a new metadata version
+    * with the refs map updated, nothing else touched. Tags are the
+    * spec's expiry shield for compliance snapshots. */
+  def setRef(spark: SparkSession, base: String, name: String,
+             snapshotId: Long, refType: String = "tag"): Unit = {
+    require(refType == "tag" || refType == "branch", s"bad ref type $refType")
+    val v = IcebergReader.currentMetadataVersion(base)
+    val snaps = IcebergReader.snapshots(base, v).map(_.id).sorted
+    require(snaps.contains(snapshotId), s"ref targets unknown snapshot $snapshotId")
+    writeMeta(base, v + 1, current = IcebergReader.currentSnapshotId(base, v),
+      snaps = snaps,
+      refs = IcebergReader.refs(base, v) + (name -> (snapshotId, refType)))
   }
 
   /** Create a new Iceberg table at `base` (snapshot 1). */
@@ -289,9 +310,10 @@ object IcebergWriter {
       dropped ++ files.map { case (p, n) => (1, p, n) })
     writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
     // snapshot ids need not be contiguous after an expiry — carry the
-    // actual surviving list forward
+    // actual surviving list forward (and every declared ref)
     writeMeta(base, v + 1, current = snap,
-      snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap)
+      snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
+      refs = IcebergReader.refs(base, v))
     (live.size, files.size)
   }
 
@@ -308,13 +330,18 @@ object IcebergWriter {
     require(kept.nonEmpty, s"expiry would drop every snapshot of $base")
     val current = IcebergReader.currentSnapshotId(base, v)
     require(kept.contains(current), s"expiry would drop the CURRENT snapshot $current")
+    val refs = IcebergReader.refs(base, v)
+    refs.foreach { case (name, (id, _)) =>
+      require(kept.contains(id),
+        s"expiry would drop snapshot $id pinned by ref '$name' — drop the ref first")
+    }
     if (dropped.isEmpty) return Nil
     val keptFiles = kept.flatMap(id =>
       IcebergReader.snapshotFiles(spark, base, id).map(_._1)).toSet
     val orphans = dropped
       .flatMap(id => IcebergReader.snapshotFiles(spark, base, id).map(_._1))
       .distinct.filterNot(keptFiles)
-    writeMeta(base, v + 1, current = current, snaps = kept)
+    writeMeta(base, v + 1, current = current, snaps = kept, refs = refs)
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     dropped.foreach(id =>
       Files.deleteIfExists(Paths.get(base, s"metadata/snap-$id.avro")))
@@ -362,8 +389,9 @@ object IcebergWriter {
       carried ++ files.map { case (p, n) => (1, p, n) })
     writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
     // snapshot ids need not be contiguous after an expiry — carry the
-    // actual surviving list forward
+    // actual surviving list forward (and every declared ref)
     writeMeta(base, v + 1, current = snap,
-      snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap)
+      snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
+      refs = IcebergReader.refs(base, v))
   }
 }

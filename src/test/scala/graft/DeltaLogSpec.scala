@@ -639,6 +639,32 @@ class DeltaLogSpec extends SparkSpec {
     assert(scanLine.contains("col-2"), s"logical filter not pushed to the physical column: $scanLine")
   }
 
+  test("CHECK constraints: NULL fails closed, violating batches leave nothing on disk") {
+    import graft.sources.{DeltaLogWriter => W}
+    val base = "/tmp/graft_delta_test/chk"
+    val df = spark.createDataFrame(Seq((1L, Option(5L)), (2L, Option(7L))))
+      .toDF("id", "v").coalesce(1)
+    W.create(spark, df, base, "t-chk")
+    // existing-row violations refuse the ADD itself
+    intercept[IllegalArgumentException](W.addConstraint(spark, base, "big", "v > 100"))
+    W.addConstraint(spark, base, "v_pos", "v > 0")
+    // a NULL v evaluates the predicate to NULL — fails CLOSED
+    val withNull = spark.createDataFrame(Seq((3L, Option.empty[Long])))
+      .toDF("id", "v").coalesce(1)
+    val filesBefore = java.nio.file.Files.walk(java.nio.file.Paths.get(base))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    intercept[IllegalArgumentException](W.append(spark, withNull, base))
+    val filesAfter = java.nio.file.Files.walk(java.nio.file.Paths.get(base))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(filesAfter == filesBefore, "aborted append staged data files")
+    // valid appends still pass; the constraint protocol bump landed
+    W.append(spark, spark.createDataFrame(Seq((4L, Option(9L)))).toDF("id", "v").coalesce(1), base)
+    assert(DeltaLogReader.read(spark, base).count() == 3L)
+    val proto = java.nio.file.Files.readString(
+      Paths.get(base, "_delta_log", f"${1L}%020d.json"))
+    assert(proto.contains("\"minWriterVersion\":3"), proto)
+  }
+
   test("writer refuses to overwrite an already-committed version") {
     val base = "/tmp/graft_delta_test/writer_clash"
     val df = spark.createDataFrame(Seq(1L).map(Tuple1(_))).toDF("id")

@@ -343,6 +343,24 @@ class IcebergSpec extends SparkSpec {
     intercept[IllegalArgumentException](IcebergReader.readAppended(spark, base, 2L))
   }
 
+  test("refs: tags shield snapshots from expiry and survive metadata rewrites") {
+    import graft.sources.{IcebergReader => IR, IcebergWriter => IW}
+    val base = "/tmp/graft_iceberg_test/refs"
+    def one(ids: Long*) = spark.createDataFrame(ids.map(Tuple1(_))).toDF("id").coalesce(1)
+    IW.create(spark, one(1L, 2L), base)
+    IW.append(spark, one(3L), base)
+    IW.setRef(spark, base, "audit", 1L, "tag")
+    IW.append(spark, one(4L), base) // refs must ride the metadata rewrite
+    assert(IR.refs(base, IR.currentMetadataVersion(base)) == Map("audit" -> (1L, "tag")))
+    assert(IR.readRef(spark, base, "audit").count() == 2L)
+    // expiry refuses to drop the pinned snapshot
+    val e = intercept[IllegalArgumentException](IW.expireSnapshots(spark, base, keepFrom = 2L))
+    assert(e.getMessage.contains("audit"), e.getMessage)
+    // unknown refs and unknown target snapshots fail loudly
+    intercept[IllegalArgumentException](IR.readRef(spark, base, "nope"))
+    intercept[IllegalArgumentException](IW.setRef(spark, base, "bad", 99L))
+  }
+
   test("bucket transform matches the spec's published vector") {
     import graft.sources.IcebergTransforms
     // the Iceberg spec's Appendix B example: hashLong(34) = 2017239379
