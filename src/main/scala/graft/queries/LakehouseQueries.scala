@@ -706,6 +706,33 @@ object LakehouseQueries extends QueryGroup {
         .orderBy("pri")
     }),
 
+    // ---- Delta TIMESTAMP AS OF ---------------------------------------------
+    // The other half of time travel (VERSION AS OF is graded all over
+    // this file): resolve a wall-clock timestamp to the latest commit
+    // at or before it via the commitInfo `timestamp` field — IN-COMMIT
+    // provenance, never file mtimes (not reproducible; a reader using
+    // them silently time-travels differently after any copy). Fixture:
+    // three commits stamped 1000/2000/3000 ms adding one o_orderkey%3
+    // group each; probes at 1500/2500/3500 must resolve v0/v1/v2, and
+    // a probe BEFORE the first commit must fail, not clamp. Oracle
+    // replays the cumulative residue censuses.
+    "q_delta_ts_travel" -> ((s, d) => {
+      val base = LakehouseQueries.mkDeltaTsFixture(s, d, "orders_ts")
+      val probes = Seq(1500L, 2500L, 3500L).map { ts =>
+        val v = graft.sources.DeltaLogReader.versionAtTimestamp(base, ts)
+        graft.sources.DeltaLogReader.read(s, base, v).agg(
+          count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(ts).as("probe_ts"), lit(v).as("version"),
+            col("n_rows"), col("total_cents"))
+      }
+      val early =
+        try { graft.sources.DeltaLogReader.versionAtTimestamp(base, 500L); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      probes.reduce(_ unionAll _)
+        .withColumn("early_probe_fails", lit(early))
+        .orderBy("probe_ts")
+    }),
+
     // ---- Delta CHECK constraints -------------------------------------------
     // The quality gate at the TABLE boundary (q_txn_constraint grades
     // the native log's flavor; this is the open-format one): ADD
@@ -1415,6 +1442,34 @@ object LakehouseQueries extends QueryGroup {
     base
   }
 
+  /** Build the timestamp-travel fixture: three timestamped commits
+    * (in-commit `commitInfo.timestamp` provenance at 1000/2000/3000 ms)
+    * adding the o_orderkey%3 residue groups one per commit. */
+  private[queries] def mkDeltaTsFixture(s: SparkSession, d: String, suffix: String): String = {
+    import java.nio.file.{Files, Paths}
+    val base = s"/tmp/graft_delta_${Integer.toHexString(d.hashCode)}/$suffix"
+    TxnLog.rmrf(base)
+    Files.createDirectories(Paths.get(base, "_delta_log"))
+    val o = iceOrders(s, d)
+    val g = writeGroups(s, base, o, pmod(col("o_orderkey"), lit(3)),
+      v => s"part-g$v.parquet")
+    def commit(v: Long, lines: Seq[String]): Unit =
+      Files.write(Paths.get(base, "_delta_log", f"$v%020d.json"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    def add(p: (String, Long)) = {
+      val sz = Files.size(Paths.get(base, p._1))
+      s"""{"add":{"path":"${p._1}","partitionValues":{},"size":$sz,"modificationTime":0,"dataChange":true}}"""
+    }
+    commit(0, Seq(
+      """{"commitInfo":{"operation":"WRITE","timestamp":1000}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"metaData":{"id":"graft-orders-ts","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":[],"configuration":{},"createdTime":0}}""",
+      add(g("0"))))
+    commit(1, Seq("""{"commitInfo":{"operation":"WRITE","timestamp":2000}}""", add(g("1"))))
+    commit(2, Seq("""{"commitInfo":{"operation":"WRITE","timestamp":3000}}""", add(g("2"))))
+    base
+  }
+
   /** Build the public-spec Delta CDF fixture from `orders`: v0 inserts
     * two files (o_orderkey%2), v1 updates f0's '2-HIGH' rows (cents+5)
     * carrying explicit `_change_data/` cdc files (preimage+postimage,
@@ -1834,6 +1889,12 @@ object LakehouseQueries extends QueryGroup {
       ("WITH o AS (SELECT o_orderpriority AS opri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CASE WHEN opri = '1-URGENT' THEN '(pre-evolution)' ELSE opri END AS pri, CAST(2 AS BIGINT) AS v0_cols, " +
         "count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o GROUP BY 1 ORDER BY pri"),
+    "q_delta_ts_travel" ->
+      ("WITH o AS (SELECT o_orderkey % 3 AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(1500 AS BIGINT) AS probe_ts, CAST(0 AS BIGINT) AS version, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents, CAST(1 AS BIGINT) AS early_probe_fails FROM o WHERE g = 0 " +
+        "UNION ALL SELECT 2500, 1, count(*), CAST(sum(cents) AS BIGINT), 1 FROM o WHERE g IN (0, 1) " +
+        "UNION ALL SELECT 3500, 2, count(*), CAST(sum(cents) AS BIGINT), 1 FROM o " +
+        "ORDER BY probe_ts"),
     "q_delta_constraint" ->
       ("WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CAST(3 AS BIGINT) AS n_versions, CAST(1 AS BIGINT) AS rejected_batches, " +

@@ -260,6 +260,34 @@ object DeltaLogReader {
     }
   }
 
+  /** TIMESTAMP AS OF resolution: the latest version whose commit
+    * timestamp is at or before `tsMillis` — the spec reads the
+    * commitInfo `timestamp` (the in-commit-provenance field; real
+    * Delta falls back to file mtimes, which are not reproducible and
+    * therefore rejected here rather than silently used). Fails when
+    * the table predates no commit (ts before the first commit) or a
+    * commit carries no timestamp. */
+  def versionAtTimestamp(base: String, tsMillis: Long): Long = {
+    val stamped = versions(base).map { v =>
+      val ts = Files.readAllLines(logDir(base).resolve(f"$v%020d.json"), StandardCharsets.UTF_8)
+        .asScala.collectFirst {
+          case line if line.contains("\"commitInfo\"") =>
+            longField(line, "timestamp").getOrElse(
+              throw new IllegalStateException(s"commitInfo without timestamp at version $v"))
+        }.getOrElse(throw new IllegalArgumentException(
+          s"version $v of $base has no commitInfo timestamp — " +
+            "timestamp travel needs in-commit provenance, not file mtimes"))
+      (v, ts)
+    }
+    stamped.zip(stamped.drop(1)).foreach { case ((va, a), (vb, b)) =>
+      require(a <= b, s"non-monotonic commit timestamps: v$va=$a > v$vb=$b")
+    }
+    val at = stamped.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no commit of $base at or before timestamp $tsMillis (first is ${stamped.head._2})")
+    at.last._1
+  }
+
   /** `_last_checkpoint` pointer (spec: JSON `{"version":N,"size":M}`),
     * if present and usable for `version` (checkpoint ≤ requested). */
   private def checkpointAt(base: String, version: Long): Option[Long] = {
