@@ -189,10 +189,11 @@ object DeltaLogReader {
   }
 
   /** The checkpoint's folded metaData row, if the checkpoint carries
-    * one: (id, schemaString, partitionColumns). Older checkpoints
-    * without the column return None. */
+    * one: (id, schemaString, partitionColumns, configuration). Older
+    * checkpoints without the column return None; ones folded before
+    * configuration was carried surface an empty map. */
   private[sources] def checkpointMeta(spark: SparkSession, base: String,
-                                      cv: Long): Option[(String, String, Seq[String])] = {
+                                      cv: Long): Option[(String, String, Seq[String], Map[String, String])] = {
     import org.apache.spark.sql.functions.col
     val cp = logDir(base).resolve(f"$cv%020d.checkpoint.parquet")
     require(Files.exists(cp), s"_last_checkpoint points at missing $cp")
@@ -201,11 +202,74 @@ object DeltaLogReader {
     val fields = cdf.schema("metaData").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
     if (!fields.contains("partitionColumns")) return None
+    val confCol =
+      if (fields.contains("configuration")) col("metaData.configuration")
+      else org.apache.spark.sql.functions.lit(null)
+        .cast("map<string,string>")
     cdf.filter(col("metaData").isNotNull)
       .select(col("metaData.id"), col("metaData.schemaString"),
-        col("metaData.partitionColumns"))
+        col("metaData.partitionColumns"), confCol)
       .collect().headOption
-      .map(r => (r.getString(0), r.getString(1), r.getSeq[String](2)))
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[String](2),
+        if (r.isNullAt(3)) Map.empty[String, String]
+        else r.getMap[String, String](3).toMap))
+  }
+
+  /** The checkpoint's folded protocol row, if present:
+    * (minReaderVersion, minWriterVersion, readerFeatures,
+    * writerFeatures). Checkpoints folded before the feature arrays
+    * were carried surface them empty. */
+  private[sources] def checkpointProtocol(spark: SparkSession, base: String, cv: Long)
+  : Option[(Int, Int, Seq[String], Seq[String])] = {
+    import org.apache.spark.sql.functions.col
+    val cp = logDir(base).resolve(f"$cv%020d.checkpoint.parquet")
+    require(Files.exists(cp), s"_last_checkpoint points at missing $cp")
+    val cdf = spark.read.parquet(cp.toString)
+    if (!cdf.columns.contains("protocol")) return None
+    val fields = cdf.schema("protocol").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    if (!fields.contains("minReaderVersion")) return None
+    def opt(name: String, tpe: String) =
+      if (fields.contains(name)) col(s"protocol.$name").cast(tpe)
+      else org.apache.spark.sql.functions.lit(null).cast(tpe)
+    cdf.filter(col("protocol.minReaderVersion").isNotNull)
+      .select(col("protocol.minReaderVersion").cast("int"), opt("minWriterVersion", "int"),
+        opt("readerFeatures", "array<string>"), opt("writerFeatures", "array<string>"))
+      .collect().headOption
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) 2 else r.getInt(1),
+        if (r.isNullAt(2)) Seq.empty[String] else r.getSeq[String](2),
+        if (r.isNullAt(3)) Seq.empty[String] else r.getSeq[String](3)))
+  }
+
+  /** The table's protocol in force at `version`: the LAST protocol
+    * action at or before it, seeded from the checkpoint when the early
+    * commits are expired. Defaults to the base (1, 2) protocol a table
+    * created without one implies. */
+  private[graft] def latestProtocol(spark: Option[SparkSession], base: String,
+                                    version: Long): (Int, Int, Seq[String], Seq[String]) = {
+    def featsOf(line: String, name: String): Seq[String] =
+      ("\"" + name + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(line)
+        .map(m => """"([^"]*)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+        .getOrElse(Seq.empty)
+    val vs = versions(base).filter(_ <= version)
+    var proto: (Int, Int, Seq[String], Seq[String]) =
+      if (vs.headOption.contains(0L)) (1, 2, Seq.empty, Seq.empty)
+      else spark.flatMap(s => checkpointAt(base, version)
+          .flatMap(cv => checkpointProtocol(s, base, cv)))
+        .getOrElse((1, 2, Seq.empty, Seq.empty))
+    vs.foreach { v =>
+      val f = logDir(base).resolve(f"$v%020d.json")
+      if (Files.exists(f))
+        Files.readAllLines(f, StandardCharsets.UTF_8).asScala.foreach { line =>
+          if (line.contains("\"protocol\""))
+            longField(line, "minReaderVersion").foreach { mr =>
+              proto = (mr.toInt,
+                longField(line, "minWriterVersion").map(_.toInt).getOrElse(proto._2),
+                featsOf(line, "readerFeatures"), featsOf(line, "writerFeatures"))
+            }
+        }
+    }
+    proto
   }
 
   /** Reader features this engine honors (the table-features protocol:
@@ -232,6 +296,92 @@ object DeltaLogReader {
           "outside this minimal reader")
     }
 
+  /** Scan one JSON string token starting at its opening quote; returns
+    * (unescaped value, index past the closing quote). */
+  private def scanString(s: String, from: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var j = from + 1
+    while (j < s.length && s.charAt(j) != '"') {
+      val c = s.charAt(j)
+      if (c == '\\' && j + 1 < s.length) {
+        s.charAt(j + 1) match {
+          case 'u' =>
+            sb.append(Integer.parseInt(s.substring(j + 2, j + 6), 16).toChar)
+            j += 6
+          case 'n' => sb.append('\n'); j += 2
+          case 't' => sb.append('\t'); j += 2
+          case 'r' => sb.append('\r'); j += 2
+          case e => sb.append(e); j += 2
+        }
+      } else { sb.append(c); j += 1 }
+    }
+    (sb.toString, j + 1)
+  }
+
+  /** The metaData line's `configuration` map (flat string→string per
+    * the spec), parsed with balanced braces and string escapes so CHECK
+    * expressions containing quotes or braces can't corrupt it. */
+  private[sources] def configOf(line: String): Map[String, String] = {
+    val key = "\"configuration\":{"
+    val i = line.indexOf(key)
+    if (i < 0) return Map.empty
+    val start = i + key.length - 1 // at '{'
+    var j = start
+    var depth = 0
+    var inStr = false
+    var end = -1
+    while (j < line.length && end < 0) {
+      val c = line.charAt(j)
+      if (inStr) {
+        if (c == '\\') j += 1
+        else if (c == '"') inStr = false
+      } else {
+        if (c == '"') inStr = true
+        else if (c == '{') depth += 1
+        else if (c == '}') { depth -= 1; if (depth == 0) end = j }
+      }
+      j += 1
+    }
+    require(end > start, s"unterminated configuration object in: $line")
+    val out = Map.newBuilder[String, String]
+    var p = start + 1
+    while (p < end) {
+      if (line.charAt(p) == '"') {
+        val (k, afterK) = scanString(line, p)
+        var q = afterK
+        while (q < end && line.charAt(q) != '"') q += 1
+        require(q < end, s"configuration key $k without a string value")
+        val (v, afterV) = scanString(line, q)
+        out += k -> v
+        p = afterV
+      } else p += 1
+    }
+    out.result()
+  }
+
+  /** The LAST metaData's (schemaString, configuration) at or before
+    * `version` — the JSON tail overriding, the checkpoint's folded
+    * metaData seeding when the early commits are already expired
+    * (without the seed, a checkpointed+expired column-mapped or
+    * constrained table would silently lose its mapping/constraints). */
+  private[sources] def latestMetaConfig(spark: Option[SparkSession], base: String,
+                                        version: Long): Option[(String, Map[String, String])] = {
+    val vs = versions(base).filter(_ <= version)
+    var found: Option[(String, Map[String, String])] =
+      if (vs.headOption.contains(0L)) None
+      else spark.flatMap(s => checkpointAt(base, version)
+        .flatMap(cv => checkpointMeta(s, base, cv)).map(m => (m._2, m._4)))
+    vs.foreach { v =>
+      val f = logDir(base).resolve(f"$v%020d.json")
+      if (Files.exists(f))
+        Files.readAllLines(f, StandardCharsets.UTF_8).asScala.foreach { line =>
+          if (line.contains("\"metaData\""))
+            found = Some((strField(line, "schemaString").getOrElse("{}"), configOf(line)))
+        }
+    }
+    found
+  }
+
   /** Column-mapping (mode=name) schema of the table at `version`, if
     * the latest metaData declares it: tables that ever RENAMED a
     * column write `delta.columnMapping.mode=name` and address parquet
@@ -241,24 +391,21 @@ object DeltaLogReader {
     * entirely). Returns the LOGICAL schema whose field metadata
     * carries the physical names. */
   private[sources] def columnMappingSchema(base: String, version: Long)
-  : Option[org.apache.spark.sql.types.StructType] = {
-    var metaLine: Option[String] = None
-    versions(base).filter(_ <= version).foreach { v =>
-      Files.readAllLines(logDir(base).resolve(f"$v%020d.json"), StandardCharsets.UTF_8)
-        .asScala.foreach { line =>
-          if (line.contains("\"metaData\"")) metaLine = Some(line)
-        }
-    }
-    metaLine.filter(_.contains("delta.columnMapping.mode")).map { line =>
-      val mode = strField(line, "delta.columnMapping.mode")
-      require(mode.contains("name"),
-        s"delta.columnMapping.mode=${mode.getOrElse("?")} — only 'name' is supported")
-      val json = strField(line, "schemaString").getOrElse(
-        throw new IllegalStateException(s"column-mapped metaData without schemaString: $line"))
-      org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-    }
-  }
+  : Option[org.apache.spark.sql.types.StructType] =
+    columnMappingSchema(None, base, version)
+
+  private[sources] def columnMappingSchema(spark: Option[SparkSession], base: String,
+                                           version: Long)
+  : Option[org.apache.spark.sql.types.StructType] =
+    latestMetaConfig(spark, base, version)
+      .filter(_._2.contains("delta.columnMapping.mode"))
+      .map { case (schemaJson, conf) =>
+        val mode = conf("delta.columnMapping.mode")
+        require(mode == "name",
+          s"delta.columnMapping.mode=$mode — only 'name' is supported")
+        org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
 
   /** TIMESTAMP AS OF resolution: the latest version whose commit
     * timestamp is at or before `tsMillis` — the spec reads the
@@ -317,12 +464,14 @@ object DeltaLogReader {
       require(Files.exists(cp), s"_last_checkpoint points at missing $cp")
       import org.apache.spark.sql.functions.col
       val cdf = s.read.parquet(cp.toString)
-      // the checkpoint carries the protocol action too — honor the guard
-      if (cdf.columns.contains("protocol"))
-        cdf.filter(col("protocol").isNotNull)
-          .select(col("protocol.minReaderVersion")).collect()
-          .foreach(r => if (!r.isNullAt(0)) assertReadable(
-            s"""{"protocol":{"minReaderVersion":${r.getInt(0)}}}"""))
+      // the checkpoint carries the protocol action too — honor the
+      // guard WITH its feature list (a v3 protocol reconstructed
+      // featureless would skip the unsupported-feature check entirely)
+      checkpointProtocol(s, base, cv).foreach { case (mr, _, rf, _) =>
+        val feats = rf.map(f => s""""$f"""").mkString("[", ",", "]")
+        assertReadable(
+          s"""{"protocol":{"minReaderVersion":$mr,"readerFeatures":$feats}}""")
+      }
       val addFields = cdf.schema("add").dataType
         .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
       val statsCol = if (addFields.contains("stats")) col("add.stats")
@@ -386,12 +535,28 @@ object DeltaLogReader {
     val withDv = adds.filter(_.dv.isDefined)
     if (withDv.isEmpty) return data
     import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    // both join sides must normalize to the SAME absolute form: the
+    // driver side resolves rel paths against the ABSOLUTE table root
+    // (a relative `base` would otherwise never match and the DVs would
+    // silently no-op — soft-deleted rows resurrected with no error)
+    // while the scan side strips the scan's `file:` URI scheme
+    val absBase = Paths.get(base).toAbsolutePath.normalize
     val payloads: Seq[(String, Array[Byte])] = withDv.map { a =>
-      val abs = Paths.get(base).resolve(a.path).normalize.toString
+      val abs = absBase.resolve(a.path).normalize.toString
       val d = a.dv.get
       (abs, RoaringDv.loadPayload(base, d.storageType, d.pathOrInlineDv,
         d.offset, d.sizeInBytes))
     }
+    // sanity-pin the convention with one O(1-row) probe: a direct scan
+    // of the first DV-carrying file must yield exactly the driver-side
+    // spelling, else the anti-join keys have drifted (path encoding,
+    // scheme, symlinks) and masked rows would leak back silently
+    val probePath = absBase.resolve(withDv.head.path).normalize.toString
+    val probed = spark.read.parquet(probePath)
+      .select(regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+      .head().getString(0)
+    require(probed == probePath,
+      s"DV path-match convention broke: scan spells '$probed', driver '$probePath'")
     val enc = org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong)
     val dels = spark.createDataset(payloads)(org.apache.spark.sql.Encoders.tuple(
@@ -412,19 +577,15 @@ object DeltaLogReader {
     * `delta.constraints.<name>` configuration entries (the spec's
     * constraint storage; writers MUST validate every append against
     * them, which is why declaring one bumps minWriterVersion to 3). */
-  def constraintsOf(base: String, version: Long): Map[String, String] = {
-    var found = Map.empty[String, String]
-    versions(base).filter(_ <= version).foreach { v =>
-      Files.readAllLines(logDir(base).resolve(f"$v%020d.json"), StandardCharsets.UTF_8)
-        .asScala.foreach { line =>
-          if (line.contains("\"metaData\"")) {
-            found = """"delta\.constraints\.(\w+)"\s*:\s*"([^"]*)"""".r
-              .findAllMatchIn(line).map(m => m.group(1) -> m.group(2)).toMap
-          }
-        }
-    }
-    found
-  }
+  def constraintsOf(base: String, version: Long): Map[String, String] =
+    constraintsOf(None, base, version)
+
+  def constraintsOf(spark: Option[SparkSession], base: String,
+                    version: Long): Map[String, String] =
+    latestMetaConfig(spark, base, version).map(_._2.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }).getOrElse(Map.empty)
 
   /** The table's LOGICAL schema at `version` — the last metaData's
     * schemaString (from the JSON tail, else the checkpoint's folded
@@ -467,7 +628,7 @@ object DeltaLogReader {
     require(adds.nonEmpty, s"empty snapshot at version $version of $base")
     val files = adds.map(a => Paths.get(base).resolve(a.path).toString)
     val pcols = partitionColumns(Some(spark), base, version)
-    columnMappingSchema(base, version).foreach { logical =>
+    columnMappingSchema(Some(spark), base, version).foreach { logical =>
       // column mapping: the parquet files carry PHYSICAL names; rename
       // to the version's logical schema (a metaData-only rename commit
       // changes what this returns with zero data movement — the whole

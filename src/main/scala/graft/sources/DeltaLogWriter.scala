@@ -164,13 +164,13 @@ object DeltaLogWriter {
                     name: String, expr: String): Unit = {
     import org.apache.spark.sql.functions.{expr => sqlExpr}
     val version = DeltaLogReader.latestVersion(base)
-    require(DeltaLogReader.columnMappingSchema(base, version).isEmpty,
+    require(DeltaLogReader.columnMappingSchema(Some(spark), base, version).isEmpty,
       "constraints on a column-mapped table are beyond this minimal writer")
     val bad = DeltaLogReader.read(spark, base)
       .filter(!sqlExpr(expr).eqNullSafe(true)).count()
     require(bad == 0L, s"$bad existing rows violate CHECK ($expr) — constraint not added")
-    val (id, schema, pcols) = latestMetaData(spark, base, version)
-    val all = DeltaLogReader.constraintsOf(base, version) + (name -> expr)
+    val (id, schema, pcols, _) = latestMetaData(spark, base, version)
+    val all = DeltaLogReader.constraintsOf(Some(spark), base, version) + (name -> expr)
     val conf = all.toSeq.sortBy(_._1)
       .map { case (n, e) => s""""delta.constraints.${esc(n)}":"${esc(e)}"""" }
       .mkString("{", ",", "}")
@@ -191,7 +191,7 @@ object DeltaLogWriter {
   def append(spark: SparkSession, df: DataFrame, base: String,
              statsFor: Seq[String] = Nil): Unit = {
     val version = DeltaLogReader.latestVersion(base) + 1
-    DeltaLogReader.constraintsOf(base, version - 1).foreach { case (name, e) =>
+    DeltaLogReader.constraintsOf(Some(spark), base, version - 1).foreach { case (name, e) =>
       import org.apache.spark.sql.functions.{expr => sqlExpr}
       val bad = df.filter(!sqlExpr(e).eqNullSafe(true)).count()
       require(bad == 0L,
@@ -271,7 +271,7 @@ object DeltaLogWriter {
   def renameColumn(spark: SparkSession, base: String, from: String, to: String): Unit = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val version = DeltaLogReader.latestVersion(base)
-    val logical = DeltaLogReader.columnMappingSchema(base, version).getOrElse(
+    val logical = DeltaLogReader.columnMappingSchema(Some(spark), base, version).getOrElse(
       throw new IllegalArgumentException(
         s"renameColumn on $base, which is not column-mapped — a rename " +
           "would strand the parquet column names"))
@@ -400,6 +400,9 @@ object DeltaLogWriter {
                     predicate: org.apache.spark.sql.Column): (Int, Long) = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     val version = DeltaLogReader.latestVersion(base)
+    require(DeltaLogReader.columnMappingSchema(Some(spark), base, version).isEmpty,
+      "DV DELETE on a column-mapped table is beyond this minimal writer " +
+        "(the predicate would bind logical names against physical columns)")
     val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
     val byAbs = live.map(a =>
       Paths.get(base).resolve(a.path).normalize.toString -> a).toMap
@@ -461,10 +464,32 @@ object DeltaLogWriter {
           s""""size":${a.size},"modificationTime":0,"dataChange":true,""" +
           s""""stats":"${statsJsonOf(a)}",$dvJson}}""")
     }
+    // upgrading to the table-features protocol (3, 7) must carry every
+    // feature the PRIOR protocol implied (the spec's legacy mapping),
+    // not just deletionVectors — dropping, say, an implied invariants
+    // feature would let feature-blind writers append unvalidated rows
+    val (mr0, mw0, rf0, wf0) = DeltaLogReader.latestProtocol(Some(spark), base, version)
+    // legacy implication holds only BELOW the table-features versions
+    // (at 3/7 the feature lists are already explicit)
+    val legacyReader = if (mr0 >= 3) Nil else (2 to mr0).flatMap {
+      case 2 => Seq("columnMapping")
+      case _ => Nil
+    }
+    val legacyWriter = if (mw0 >= 7) Nil else (2 to mw0).flatMap {
+      case 2 => Seq("appendOnly", "invariants")
+      case 3 => Seq("checkConstraints")
+      case 4 => Seq("generatedColumns", "changeDataFeed")
+      case 5 => Seq("columnMapping")
+      case 6 => Seq("identityColumns")
+      case _ => Nil
+    }
+    def featJson(fs: Seq[String]) = fs.map(f => s""""$f"""").mkString("[", ",", "]")
+    val readerFeats = (rf0 ++ legacyReader :+ "deletionVectors").distinct.sorted
+    val writerFeats = (wf0 ++ legacyWriter :+ "deletionVectors").distinct.sorted
     commit(base, version + 1, Seq(
       s"""{"commitInfo":{"operation":"DELETE","timestamp":0}}""",
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":${featJson(readerFeats)},"writerFeatures":${featJson(writerFeats)}}}""",
       s"""{"cdc":{"path":"${esc(cdcRel)}","partitionValues":{},""" +
         s""""size":${Files.size(Paths.get(base, cdcRel))},"dataChange":false}}""") ++
       actions.flatten)
@@ -669,6 +694,11 @@ object DeltaLogWriter {
     // needs them — documented, not spec-divergent for that use.
     val meta = latestMetaData(spark, base, version)
     val txns = foldedTxns(spark, base, version)
+    // fold the table's REAL protocol, features included — a DV table's
+    // checkpoint advertising minReaderVersion 1 would invite
+    // feature-blind external readers to scan the files raw and
+    // resurrect soft-deleted rows after the JSON log expires
+    val proto = DeltaLogReader.latestProtocol(Some(spark), base, version)
     val dvT = StructType(Seq(
       StructField("storageType", StringType),
       StructField("pathOrInlineDv", StringType),
@@ -685,12 +715,15 @@ object DeltaLogWriter {
       StructField("deletionVector", dvT)))
     val protoT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val metaT = StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(StructField("provider", StringType)))),
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
       StructField("createdTime", LongType)))
     val txnT = StructType(Seq(
       StructField("appId", StringType), StructField("version", LongType),
@@ -707,8 +740,11 @@ object DeltaLogWriter {
       s"""{"numRecords":${a.numRecords}${side("minValues", a.minValues)}${side("maxValues", a.maxValues)}}"""
     }
     val rows =
-      Row(Row(1, 2), null, null, null) +:
-      Row(null, Row(meta._1, Row("parquet"), meta._2, meta._3, 0L), null, null) +:
+      Row(Row(proto._1, proto._2,
+        if (proto._3.isEmpty) null else proto._3,
+        if (proto._4.isEmpty) null else proto._4), null, null, null) +:
+      Row(null, Row(meta._1, Row("parquet"), meta._2, meta._3, meta._4, 0L),
+        null, null) +:
       (txns.toSeq.sortBy(_._1).map { case (app, v) =>
         Row(null, null, Row(app, v, 0L), null)
       } ++
@@ -732,13 +768,14 @@ object DeltaLogWriter {
   }
 
   /** Latest metaData action at or before `version`: (id, schemaString,
-    * partitionColumns). Seeds from a prior checkpoint's folded metaData
-    * when the early commits are already expired, then overlays any
-    * later JSON metaData (Delta replaces table metadata wholesale). */
+    * partitionColumns, configuration). Seeds from a prior checkpoint's
+    * folded metaData when the early commits are already expired, then
+    * overlays any later JSON metaData (Delta replaces table metadata
+    * wholesale). */
   private def latestMetaData(spark: SparkSession, base: String,
-                             version: Long): (String, String, Seq[String]) = {
+                             version: Long): (String, String, Seq[String], Map[String, String]) = {
     val vs = DeltaLogReader.versions(base).filter(_ <= version)
-    var found: Option[(String, String, Seq[String])] =
+    var found: Option[(String, String, Seq[String], Map[String, String])] =
       if (vs.headOption.contains(0L)) None
       else DeltaLogReader.checkpointMeta(spark, base, vs.head)
     vs.foreach { v =>
@@ -751,7 +788,7 @@ object DeltaLogWriter {
             .findFirstMatchIn(line)
             .map(g => """"([^"]*)"""".r.findAllMatchIn(g.group(1)).map(_.group(1)).toSeq)
             .getOrElse(Seq.empty)
-          found = Some((id, schema, pcols))
+          found = Some((id, schema, pcols, DeltaLogReader.configOf(line)))
         }
       }
     }

@@ -77,8 +77,11 @@ object RoaringDv {
   // ---- RoaringBitmapArray (the spec's "portable" 64-bit format) ----------
 
   private val MAGIC = 1681511377
-  private val COOKIE_NO_RUN = 12347
-  private val COOKIE_RUN = 12346
+  // Public RoaringBitmap portable-format cookies: SERIAL_COOKIE_NO_RUNCONTAINER
+  // = 12346 (followed by a 4-byte container count), SERIAL_COOKIE = 12347
+  // (run-capable; container count - 1 lives in the cookie's high 16 bits).
+  private val COOKIE_NO_RUN = 12346
+  private val COOKIE_RUN = 12347
   private val ARRAY_MAX = 4096
 
   /** Serialize sorted, distinct, non-negative row indexes. */
@@ -100,7 +103,7 @@ object RoaringDv {
   }
 
   /** One standard 32-bit roaring bitmap (no-run portable format):
-    * cookie 12347 + container count, per-container (key, card-1)
+    * cookie 12346 + container count, per-container (key, card-1)
     * headers, offset header, then array (≤4096 values) or 8 KiB
     * bitset containers. */
   private def serialize32(values: Seq[Int]): Array[Byte] = {

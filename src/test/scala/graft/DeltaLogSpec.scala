@@ -525,6 +525,34 @@ class DeltaLogSpec extends SparkSpec {
       val got = RoaringDv.deserialize(RoaringDv.serialize(ps))
       assert(got == ps.sorted, s"round trip failed for ${ps.take(5)}...")
     }
+    // BYTE-pinned interop vector, hand-assembled per the PUBLIC portable
+    // formats (so writer/reader bugs can't cancel out): positions
+    // {1, 2, 100000} = one 32-bit bitmap, two array containers
+    // (key 0 → [1,2]; key 1 → [0x86A0]). Cookie must be
+    // SERIAL_COOKIE_NO_RUNCONTAINER = 12346 — real Delta writers emit
+    // exactly this; 12347 is the run-capable cookie.
+    val pinned = Array[Int](
+      0xd1, 0xd3, 0x39, 0x64,                         // magic 1681511377 LE
+      0x01, 0, 0, 0, 0, 0, 0, 0,                      // 1 bitmap
+      0x3a, 0x30, 0, 0,                               // cookie 12346 LE
+      0x02, 0, 0, 0,                                  // 2 containers
+      0x00, 0x00, 0x01, 0x00,                         // key 0, card-1 = 1
+      0x01, 0x00, 0x00, 0x00,                         // key 1, card-1 = 0
+      0x18, 0, 0, 0, 0x1c, 0, 0, 0,                   // offsets 24, 28
+      0x01, 0x00, 0x02, 0x00,                         // lows [1, 2]
+      0xa0, 0x86                                      // low [34464]
+    ).map(_.toByte)
+    assert(RoaringDv.serialize(Seq(1L, 2L, 100000L)).toSeq == pinned.toSeq,
+      "serialized bytes drifted from the spec-pinned portable format")
+    assert(RoaringDv.deserialize(pinned) == Seq(1L, 2L, 100000L))
+    // a run-flavored bitmap (cookie 12347, count-1 in the high 16 bits)
+    // is recognized and rejected explicitly, never misparsed as no-run
+    val runBitmap = Array[Int](
+      0xd1, 0xd3, 0x39, 0x64, 0x01, 0, 0, 0, 0, 0, 0, 0,
+      0x3b, 0x30, 0x00, 0x00  // cookie 12347 | (1-1)<<16 = one run container
+    ).map(_.toByte)
+    val eRun = intercept[IllegalArgumentException](RoaringDv.deserialize(runBitmap))
+    assert(eRun.getMessage.contains("run"), eRun.getMessage)
   }
 
   test("deletion vectors: DV delete stacks, time travel intact, guards hold") {
@@ -663,6 +691,46 @@ class DeltaLogSpec extends SparkSpec {
     val proto = java.nio.file.Files.readString(
       Paths.get(base, "_delta_log", f"${1L}%020d.json"))
     assert(proto.contains("\"minWriterVersion\":3"), proto)
+  }
+
+  test("checkpoint folds the REAL protocol + configuration: features and constraints survive expiry") {
+    import graft.sources.{DeltaLogWriter => W}
+    // (a) constraints: after checkpoint + expireLog the metaData JSON
+    // that declared them is gone — the checkpoint's folded
+    // configuration must still enforce them and keep minWriterVersion 3
+    val base = "/tmp/graft_delta_test/ckpt_conf"
+    val df = spark.createDataFrame(Seq((1L, 5L), (2L, 7L))).toDF("id", "v").coalesce(1)
+    W.create(spark, df, base, "t-ckpt-conf")
+    W.addConstraint(spark, base, "v_pos", "v > 0")
+    W.append(spark, spark.createDataFrame(Seq((3L, 9L))).toDF("id", "v").coalesce(1), base)
+    W.checkpoint(spark, base)
+    W.expireLog(base)
+    assert(DeltaLogReader.constraintsOf(Some(spark), base,
+      DeltaLogReader.latestVersion(base)) == Map("v_pos" -> "v > 0"),
+      "constraint lost across checkpoint+expiry")
+    intercept[IllegalArgumentException](W.append(spark,
+      spark.createDataFrame(Seq((4L, -1L))).toDF("id", "v").coalesce(1), base))
+    W.append(spark, spark.createDataFrame(Seq((5L, 2L))).toDF("id", "v").coalesce(1), base)
+    assert(DeltaLogReader.read(spark, base).count() == 4L)
+    // (b) protocol: a DV table's checkpoint must advertise
+    // minReaderVersion 3 + readerFeatures, not a hardcoded (1, 2) —
+    // else feature-blind external readers scan raw and resurrect rows
+    val dvb = "/tmp/graft_delta_test/ckpt_proto"
+    W.create(spark, spark.createDataFrame((1L to 6L).map(Tuple1(_))).toDF("id")
+      .coalesce(1), dvb, "t-ckpt-proto")
+    W.deleteWhereDv(spark, dvb, col("id") <= 2)
+    val cv = W.checkpoint(spark, dvb)
+    val cp = spark.read.parquet(
+      s"$dvb/_delta_log/${f"$cv%020d"}.checkpoint.parquet")
+    val prow = cp.filter(col("protocol").isNotNull)
+      .select("protocol.minReaderVersion", "protocol.readerFeatures").head()
+    assert(prow.getInt(0) == 3, s"checkpoint protocol downgraded: $prow")
+    assert(prow.getSeq[String](1) == Seq("deletionVectors"), prow.toString)
+    // and the folded configuration column exists (empty map here)
+    assert(cp.columns.contains("metaData"))
+    W.expireLog(dvb)
+    assert(DeltaLogReader.read(spark, dvb).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == (3L to 6L))
   }
 
   test("writer refuses to overwrite an already-committed version") {
