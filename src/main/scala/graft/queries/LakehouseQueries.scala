@@ -969,6 +969,55 @@ object LakehouseQueries extends QueryGroup {
       Seq(p1, p2, p3).reduce(_ unionAll _).orderBy("phase")
     }),
 
+    // ---- Iceberg TIMESTAMP transforms (day / hour / year) -----------------
+    // `days(event_ts)` is the dominant production Iceberg layout; the
+    // manifest stores the transform RESULT (an epoch-granule ordinal),
+    // so the planner re-applies the spec transform to the predicate's
+    // TIMESTAMP literals and prunes manifest entries before any footer
+    // opens. Three fixtures: day over a month of events (30 daily
+    // files, probe 3 days), hour over one day (24 hourly files, probe
+    // 3 hours), year over 7 years of order timestamps (probe 2). The
+    // source ts column stays in the data files, so residual row
+    // filters are exact. IcebergSpec pins the planned-file counts.
+    "q_iceberg_ts_transform" -> ((s, d) => {
+      import graft.sources.{IcebergReader, IcebergTransforms => T, IcebergWriter}
+      val ev = graft.Tables.events(s, d).select(col("ts"), col("event_id"))
+      def census(df: org.apache.spark.sql.DataFrame, phase: Long) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_ids"))
+          .select(lit(phase).as("phase"), col("n_rows"), col("sum_ids"))
+      // day(ts): one file per day of January 2024, probed at Jan 10-12
+      val b1 = iceBase(d, "events_td")
+      IcebergWriter.createTransformPartitioned(s, ev, b1, "ts_day",
+        T.dayColTs(col("ts")), "day", sourceId = 1)
+      val days = (10 to 12).map(i => T.dayOf(f"2024-01-$i%02d 00:00:00"))
+      val p1 = census(IcebergReader.readWhere(s, b1, 1L,
+          col("data_file.partition.ts_day").isin(days: _*))
+        .filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-13"), 1L)
+      // hour(ts) over Jan 5: 24 hourly files, probed at 09:00-11:59
+      val b2 = iceBase(d, "events_th")
+      IcebergWriter.createTransformPartitioned(s,
+        ev.filter(col("ts") >= "2024-01-05" && col("ts") < "2024-01-06"),
+        b2, "ts_hour", T.hourColTs(col("ts")), "hour", sourceId = 1)
+      val hours = (9 to 11).map(h => T.hourOf(f"2024-01-05 $h%02d:00:00"))
+      val p2 = census(IcebergReader.readWhere(s, b2, 1L,
+          col("data_file.partition.ts_hour").isin(hours: _*))
+        .filter(col("ts") >= "2024-01-05 09:00:00" && col("ts") < "2024-01-05 12:00:00"), 2L)
+      // year(o_ts): orders dates as midnight timestamps, probed 1995-96
+      val b3 = iceBase(d, "orders_ty")
+      val o = Tables.orders(s, d).select(
+        col("o_orderdate").cast("timestamp").as("o_ts"),
+        cents("o_totalprice").as("cents"))
+      IcebergWriter.createTransformPartitioned(s, o, b3, "ts_year",
+        T.yearColTs(col("o_ts")), "year", sourceId = 1)
+      val years = Seq("1995-01-01", "1996-01-01").map(T.yearOfTs)
+      val p3 = IcebergReader.readWhere(s, b3, 1L,
+          col("data_file.partition.ts_year").isin(years: _*))
+        .filter(col("o_ts") >= "1995-01-01" && col("o_ts") < "1997-01-01")
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_ids"))
+        .select(lit(3L).as("phase"), col("n_rows"), col("sum_ids"))
+      Seq(p1, p2, p3).reduce(_ unionAll _).orderBy("phase")
+    }),
+
     // ---- Hudi MERGE_ON_READ (snapshot + read-optimized + compaction) ----
     // The streaming-ingest Hudi shape the CoW reader rejected: writes
     // land as avro LOG files against a base file (one `.deltacommit`
@@ -999,6 +1048,38 @@ object LakehouseQueries extends QueryGroup {
       graft.sources.HudiWriter.compactMor(s, base)
       val post = census(graft.sources.HudiReader.readOptimized(s, base, "003"), 3L)
       Seq(ro, snap, post).reduce(_ unionAll _).orderBy("phase")
+    }),
+
+    // ---- Hudi CLUSTERING (the replacecommit) ------------------------------
+    // The read-layout rewrite real estates run nightly: live bucket
+    // groups are rewritten into key-range-sorted NEW file groups and the
+    // instant completes as `.replacecommit` listing the groups it
+    // retires — a reader that does not honor it double-reads or
+    // mis-slices (which is why unknown instant types are fast-rejected).
+    // Fixture: create (001, 3 bucket groups), upsert +5 on '1-URGENT'
+    // (002), cluster into 2 sorted groups (003). Census: (1) pre-cluster
+    // snapshot, (2) post-cluster snapshot — byte-identical content,
+    // clustering moves bytes not data, (3) time travel to 002 — the old
+    // groups still serve history, (4) incremental (001..003] — carried
+    // rows keep their ORIGINAL commit times, so only the 002 upserts
+    // surface even though every live file was written at 003.
+    "q_hudi_cluster" -> ((s, d) => {
+      val base = s"/tmp/graft_hudi_${Integer.toHexString(d.hashCode)}/orders_cluster"
+      val o = iceOrders(s, d)
+      graft.sources.HudiWriter.create(s, o, base, "orders_cluster", "o_orderkey", 3)
+      val ups = o.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("cents", col("cents") + 5)
+      graft.sources.HudiWriter.upsert(s, ups, base)
+      def census(df: org.apache.spark.sql.DataFrame, phase: Long) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(phase).as("phase"), col("n_rows"), col("total_cents"))
+      val pre = census(graft.sources.HudiReader.read(s, base), 1L)
+      graft.sources.HudiWriter.cluster(s, base, 2)
+      val post = census(graft.sources.HudiReader.read(s, base), 2L)
+      val tt = census(graft.sources.HudiReader.readAsOf(s, base, "002"), 3L)
+      val incr = census(
+        graft.sources.HudiReader.readIncremental(s, base, "001", "003"), 4L)
+      Seq(pre, post, tt, incr).reduce(_ unionAll _).orderBy("phase")
     }),
 
     "q_hudi_incr" -> ((s, d) => {
@@ -1968,6 +2049,13 @@ object LakehouseQueries extends QueryGroup {
         "SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
         "UNION ALL SELECT 2, count(*), CAST(sum(cents + CASE WHEN pri = '2-HIGH' THEN 9 ELSE 0 END) AS BIGINT) FROM o " +
         "UNION ALL SELECT 3, count(*), CAST(sum(cents + 9) AS BIGINT) FROM o WHERE pri = '2-HIGH' " +
+        "ORDER BY phase"),
+    "q_hudi_cluster" ->
+      ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) + CASE WHEN o_orderpriority = '1-URGENT' THEN 5 ELSE 0 END AS cents FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri = '1-URGENT' " +
         "ORDER BY phase"),
     "q_hudi_incr" ->
       ("WITH o AS (SELECT o_orderkey % 3 AS g, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +

@@ -63,17 +63,55 @@ object HudiReader {
       s"hoodie.table.type=$t — this is the COPY_ON_WRITE path; MOR reads go through readMor/readOptimized")
   }
 
-  /** Completed commit instants, ascending. Inflight/requested markers
-    * are not completions and are ignored. */
-  def completedCommits(base: String): Seq[String] = {
+  /** Timeline instant types this reader implements. Anything else
+    * (savepoint, rollback, restore, real-Hudi compound suffixes like
+    * `commit.requested`, …) is REJECTED fast: an unrecognized instant
+    * can change which file slices are live, and silently ignoring it
+    * mis-slices the table — the worst failure class (wrong answers,
+    * no error). */
+  private val KnownInstantTypes = Set("commit", "deltacommit", "replacecommit", "inflight")
+
+  /** The timeline as (instant, type) pairs, ascending by instant —
+    * every numbered marker must be a known type. */
+  private[sources] def timeline(base: String): Seq[(String, String)] = {
     val d = hoodieDir(base)
     require(Files.isDirectory(d), s"no .hoodie timeline under $base")
-    val commit = "^([0-9]+)\\.commit$".r
+    val numbered = "^([0-9]+)\\.(.+)$".r
     Files.list(d).iterator.asScala
       .map(_.getFileName.toString)
-      .collect { case commit(t) => t }
-      .toSeq.sorted
+      .flatMap {
+        case numbered(t, typ) =>
+          require(KnownInstantTypes.contains(typ),
+            s"unknown Hudi instant type '$typ' in $base's timeline ($t.$typ) — " +
+              s"refusing to slice a timeline this reader does not fully understand " +
+              s"(known: ${KnownInstantTypes.toSeq.sorted.mkString(", ")})")
+          Some(t -> typ)
+        case _ => None // hoodie.properties and friends
+      }.toSeq.sortBy(_._1)
   }
+
+  /** Completed instants that write BASE files — ordinary commits
+    * (create/upsert/compaction) and replacecommits (clustering /
+    * insert_overwrite) — ascending. Inflight markers are not
+    * completions. */
+  def completedCommits(base: String): Seq[String] =
+    timeline(base).collect { case (t, "commit" | "replacecommit") => t }
+
+  /** File groups RETIRED by replacecommits at or before `asOf`: a
+    * replacecommit's JSON lists the group ids its new files supersede
+    * (`{"replaced":["g0",…]}`); as of that instant the whole group —
+    * every slice of it — is dead, and the data lives in the NEW groups
+    * written at the replace instant. Time travel BEFORE the replace
+    * still sees the old groups (the filter is instant-scoped). */
+  def replacedGroups(base: String, asOf: String): Set[String] =
+    timeline(base).collect { case (t, "replacecommit") if t <= asOf => t }
+      .flatMap { t =>
+        val body = Files.readString(hoodieDir(base).resolve(s"$t.replacecommit"))
+        """"replaced"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
+          .map(m => """"([^"]*)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+          .getOrElse(throw new IllegalStateException(
+            s"replacecommit $t under $base lists no replaced groups"))
+      }.toSet
 
   /** All base files under the table (driver-side name walk, `.hoodie`
     * excluded), committed or not — the timeline decides visibility. */
@@ -94,15 +132,22 @@ object HudiReader {
 
   /** The live file slice per file group as of `asOf`: max committed
     * instant ≤ asOf. Groups created after `asOf` drop out. */
-  def sliceFiles(base: String, asOf: String): Seq[String] = {
+  def sliceFiles(base: String, asOf: String): Seq[String] =
+    liveSlices(base, asOf).map(_.path).sorted
+
+  /** The live base file per file group as of `asOf` (committed, latest
+    * slice, replaced groups dropped). */
+  private[sources] def liveSlices(base: String, asOf: String): Seq[BaseFile] = {
     assertReadable(base)
     val committed = completedCommits(base).filter(_ <= asOf).toSet
     require(committed.nonEmpty, s"no completed commit at or before $asOf under $base")
+    val dead = replacedGroups(base, asOf)
     baseFiles(base)
       .filter(f => committed.contains(f.instant))
       .groupBy(_.fileId).values
-      .map(_.maxBy(_.instant).path)
-      .toSeq.sorted
+      .map(_.maxBy(_.instant))
+      .filterNot(f => dead.contains(f.fileId))
+      .toSeq
   }
 
   /** The file slices an incremental read in (from, to] must open:
@@ -114,10 +159,12 @@ object HudiReader {
   def incrementalFiles(base: String, fromTime: String, toTime: String): Seq[String] = {
     assertReadable(base)
     val committed = completedCommits(base).filter(_ <= toTime).toSet
+    val dead = replacedGroups(base, toTime)
     baseFiles(base)
       .filter(f => committed.contains(f.instant))
       .groupBy(_.fileId).values
       .map(_.maxBy(_.instant))
+      .filterNot(f => dead.contains(f.fileId))
       .filter(_.instant > fromTime)
       .map(_.path).toSeq.sorted
   }
@@ -176,15 +223,8 @@ object HudiReader {
   private val morLogFmt = "org.apache.spark.sql.avro.AvroFileFormat"
 
   /** Completed delta commits (MOR log writes), ascending. */
-  def completedDeltaCommits(base: String): Seq[String] = {
-    val d = hoodieDir(base)
-    require(Files.isDirectory(d), s"no .hoodie timeline under $base")
-    val dc = "^([0-9]+)\\.deltacommit$".r
-    Files.list(d).iterator.asScala
-      .map(_.getFileName.toString)
-      .collect { case dc(t) => t }
-      .toSeq.sorted
-  }
+  def completedDeltaCommits(base: String): Seq[String] =
+    timeline(base).collect { case (t, "deltacommit") => t }
 
   /** All log files under the table (driver-side name walk). */
   def logFiles(base: String): Seq[LogFile] = {
@@ -209,6 +249,7 @@ object HudiReader {
     val commits = completedCommits(base).filter(_ <= asOf).toSet
     require(commits.nonEmpty, s"no completed commit at or before $asOf under $base")
     val deltas = completedDeltaCommits(base).filter(_ <= asOf).toSet
+    val dead = replacedGroups(base, asOf)
     val logsByGroup = logFiles(base)
       .filter(l => deltas.contains(l.instant))
       .groupBy(l => (l.fileId, l.baseInstant))
@@ -218,7 +259,9 @@ object HudiReader {
         val b = fs.maxBy(_.instant)
         (b, logsByGroup.getOrElse((b.fileId, b.instant), Seq.empty)
           .sortBy(l => (l.instant, l.version)))
-      }.toSeq.sortBy(_._1.path)
+      }.toSeq
+      .filterNot(s => dead.contains(s._1.fileId))
+      .sortBy(_._1.path)
   }
 
   /** MOR read-optimized view: base files only — the bounded-staleness
@@ -237,7 +280,7 @@ object HudiReader {
     * crosses groups) — the standard distributed compact-on-read, no
     * driver participation, pushdown intact on both scans. */
   def readMor(spark: SparkSession, base: String, asOf: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, row_number}
+    import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
     val slices = morSlices(base, asOf)
     require(slices.nonEmpty, s"empty MOR snapshot at $asOf of $base")
     val bases = slices.map(_._1.path)
@@ -246,12 +289,20 @@ object HudiReader {
     val dataCols = baseDf.columns.filterNot(_ == "_hoodie_is_deleted")
     if (logs.isEmpty) return baseDf.select(dataCols.map(col).toIndexedSeq: _*)
     // precedence: any log beats base; later log versions beat earlier.
-    // version rides the FILE, so stamp it per-scan and union — at scale
-    // each log file is its own split, the stamp is a per-split literal.
-    val logDf = logs.map { l =>
-      spark.read.format(morLogFmt).load(l.path)
-        .withColumn("__prec", lit(l.instant.toLong * 1000L + l.version))
-    }.reduce(_ unionByName _)
+    // Version rides the FILE NAME, so ALL logs are read in ONE avro
+    // scan and the precedence joins in from a KB-scale broadcast keyed
+    // by `_metadata.file_name` — a per-log-file union would grow the
+    // plan linearly in log count (an analyzer blow-up at 10⁴ logs).
+    // The multiplier is wide enough for 10⁶ log versions per slice;
+    // within-file ties cannot occur ([[HudiWriter.logCommit]] rejects
+    // key overlap between the upserts and tombstones of one commit).
+    val precRows = logs.map(l =>
+      (Paths.get(l.path).getFileName.toString, l.instant.toLong * 1000000L + l.version))
+    val prec = spark.createDataFrame(precRows).toDF("__log_name", "__prec")
+    val logDf = spark.read.format(morLogFmt).load(logs.map(_.path): _*)
+      .withColumn("__log_name", col("_metadata.file_name"))
+      .join(broadcast(prec), Seq("__log_name"))
+      .drop("__log_name")
     val merged = baseDf.withColumn("__prec", lit(0L))
       .withColumn("_hoodie_is_deleted", lit(false))
       .unionByName(logDf)

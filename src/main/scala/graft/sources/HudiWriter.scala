@@ -65,7 +65,8 @@ object HudiWriter {
     * single-task partitionBy, the same discipline as the lakehouse
     * fixtures); at cluster scale each bucket is its own write task. */
   private def writeBuckets(spark: SparkSession, df: DataFrame, base: String,
-                           bucketOf: Column, instant: String): Unit = {
+                           bucketOf: Column, instant: String,
+                           fileIdPrefix: String = "g"): Unit = {
     val tmp = s"$base/.stage"
     TxnLog.rmrf(tmp)
     df.withColumn("__g", bucketOf.cast("string"))
@@ -77,7 +78,7 @@ object HudiWriter {
         val parts = Files.list(dir).iterator.asScala
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
         require(parts.size == 1, s"bucket $g staged ${parts.size} files")
-        Files.move(parts.head, Paths.get(base, s"g${g}_0-0-0_$instant.parquet"))
+        Files.move(parts.head, Paths.get(base, s"$fileIdPrefix${g}_0-0-0_$instant.parquet"))
       }
     TxnLog.rmrf(tmp)
   }
@@ -117,6 +118,10 @@ object HudiWriter {
   def clean(spark: SparkSession, base: String, keepVersions: Int = 1): Int = {
     require(keepVersions >= 1, s"must keep at least 1 version, got $keepVersions")
     HudiReader.assertReadable(base)
+    require(HudiReader.replacedGroups(base,
+        HudiReader.completedCommits(base).last).isEmpty,
+      "clean on a clustered table is beyond this minimal writer: per-group " +
+        "keep-newest would retain dead replaced slices as if live")
     val committed = HudiReader.completedCommits(base).toSet
     val victims = HudiReader.baseFiles(base)
       .filter(f => committed.contains(f.instant))
@@ -184,6 +189,15 @@ object HudiWriter {
       ups.unionByName(tombs)
     }
     require(!records.isEmpty, "logCommit with nothing to write")
+    // within-commit determinism: one deltacommit may not carry two
+    // records for the same key (an upsert AND a tombstone, or a
+    // duplicate upsert) — they would land in the same log file with the
+    // same merge precedence and the snapshot survivor would be random
+    val clashes = records.groupBy(col("_hoodie_record_key"))
+      .count().filter(col("count") > 1).count()
+    require(clashes == 0L,
+      s"logCommit carries $clashes keys more than once (upsert/delete overlap " +
+        "or duplicate upserts) — the per-key survivor would be nondeterministic")
     // one log file per touched bucket, attached to that bucket's
     // CURRENT base instant (the file-slice the log belongs to)
     val baseInstantOf = slices.map(b => b.fileId -> b.instant).toMap
@@ -238,6 +252,43 @@ object HudiWriter {
     (dirty.size, instant)
   }
 
+  /** Hudi CLUSTERING — the `replacecommit`: rewrite the live file
+    * groups into `targetGroups` NEW, key-range-sorted groups
+    * (`c<i>_…`) and complete the instant as `.replacecommit` whose
+    * JSON lists the replaced group ids. Readers at or after the
+    * instant drop the old groups wholesale and serve the new ones;
+    * time travel BEFORE it still sees the bucket layout. Carried rows
+    * keep their ORIGINAL `_hoodie_commit_time` — clustering moves
+    * bytes, not data — so incremental reads stay truthful across the
+    * re-layout. COW only; later upserts/cleans are refused (the bucket
+    * index no longer routes keys to the live groups). Returns
+    * (replacedGroups, newInstant). */
+  def cluster(spark: SparkSession, base: String, targetGroups: Int): (Int, String) = {
+    import org.apache.spark.sql.functions.ntile
+    require(targetGroups >= 1, s"need at least 1 target group, got $targetGroups")
+    HudiReader.assertReadable(base)
+    val asOf = HudiReader.completedCommits(base).last
+    val live = HudiReader.liveSlices(base, asOf)
+    require(live.nonEmpty, s"nothing to cluster under $base")
+    require(HudiReader.replacedGroups(base, asOf).isEmpty,
+      s"$base is already clustered — re-clustering is beyond this minimal writer")
+    val key = keyField(base)
+    val instant = nextInstant(base)
+    val rows = spark.read.parquet(live.map(_.path): _*)
+    // key-range assignment: ntile over the key order gives contiguous,
+    // evenly-sized ranges (the read-optimization clustering exists
+    // for); at cluster scale this is a repartitionByRange, same shape
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(key))
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.inflight"), "")
+    writeBuckets(spark, rows, base, ntile(targetGroups).over(w) - 1, instant,
+      fileIdPrefix = "c")
+    Files.delete(Paths.get(base, ".hoodie", s"$instant.inflight"))
+    val replaced = live.map(_.fileId).sorted
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.replacecommit"),
+      replaced.map(id => s""""$id"""").mkString("""{"replaced":[""", ",", "]}"))
+    (replaced.size, instant)
+  }
+
   /** Copy-on-write upsert: rows in `df` replace same-key rows; every
     * TOUCHED bucket is rewritten wholesale — carried rows keep their
     * ORIGINAL `_hoodie_commit_time`, upserted rows get this instant's.
@@ -251,6 +302,9 @@ object HudiWriter {
     val n = numBuckets(base)
     val instant = nextInstant(base)
     val asOf = HudiReader.completedCommits(base).last
+    require(HudiReader.replacedGroups(base, asOf).isEmpty,
+      "upsert on a clustered table is beyond this minimal writer: the bucket " +
+        "index no longer routes record keys to the live (key-sorted) file groups")
     val bucket = pmod(col(key), lit(n))
     val touched = df.select(bucket.cast("string").as("g")).distinct()
       .collect().map(_.getString(0)).toSet

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{col, lit, month, pmod, udf, year}
+import org.apache.spark.sql.functions.{col, lit, month, pmod, udf, unix_micros, year}
 
 /** PUBLIC-spec Iceberg partition transforms (the spec's Appendix B):
   * the functions a writer applies to a source column to derive the
@@ -64,5 +64,54 @@ object IcebergTransforms {
   def monthOf(isoDate: String): Long = {
     val d = java.time.LocalDate.parse(isoDate)
     (d.getYear - 1970) * 12L + d.getMonthValue - 1
+  }
+
+  // ---- timestamp transforms (`year`/`day`/`hour` over micros) -------------
+  //
+  // The spec stores timestamps as MICROSECONDS from the unix epoch and
+  // defines the granularity transforms as ordinal offsets from it:
+  // year('2017-11-16T...') = 47, month = 574, day = 17486,
+  // hour('2017-11-16T22:31:08') = 419686 (pinned in IcebergSpec).
+  // `days(event_ts)` is the single most common production layout, so
+  // these are what make transform pruning useful on real tables.
+
+  private val MicrosPerHour = 3600000000L
+  private val MicrosPerDay = 86400000000L
+
+  /** Exact floor-division of a micros count column: subtract the
+    * non-negative pmod first, so the double division is of an exact
+    * multiple (numerator < 2^53 through year ~2255 — exact in IEEE). */
+  private def floorDivCol(us: Column, d: Long): Column =
+    ((us - pmod(us, lit(d))) / lit(d)).cast("long")
+
+  /** Days from the epoch of a timestamp column (the spec's `day`). */
+  def dayColTs(c: Column): Column = floorDivCol(unix_micros(c), MicrosPerDay)
+
+  /** Hours from the epoch of a timestamp column (the spec's `hour`). */
+  def hourColTs(c: Column): Column = floorDivCol(unix_micros(c), MicrosPerHour)
+
+  /** Years from 1970 of a timestamp column (the spec's `year`). The
+    * calendar is UTC — the engine pins spark.sql.session.timeZone=UTC
+    * at session build, making `year()` the UTC calendar year. */
+  def yearColTs(c: Column): Column = (year(c) - 1970).cast("long")
+
+  /** Driver-side twins — what the PLANNER applies to predicate
+    * timestamp literals ('yyyy-MM-dd HH:mm:ss' or ISO 'T' form, UTC)
+    * to prune manifest entries without touching data. */
+  def dayOf(isoTs: String): Long = Math.floorDiv(microsOf(isoTs), MicrosPerDay)
+
+  def hourOf(isoTs: String): Long = Math.floorDiv(microsOf(isoTs), MicrosPerHour)
+
+  def yearOfTs(isoTs: String): Long = parseTs(isoTs).getYear - 1970L
+
+  private def parseTs(isoTs: String): java.time.LocalDateTime = {
+    val t = isoTs.replace(' ', 'T')
+    if (t.contains("T")) java.time.LocalDateTime.parse(t)
+    else java.time.LocalDate.parse(t).atStartOfDay
+  }
+
+  private def microsOf(isoTs: String): Long = {
+    val ldt = parseTs(isoTs)
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
   }
 }

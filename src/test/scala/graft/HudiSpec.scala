@@ -194,4 +194,81 @@ class HudiSpec extends SparkSpec {
       HudiReader.completedDeltaCommits(base)).sorted
     assert(HudiReader.morSlices(base, all.last).forall(_._2.isEmpty))
   }
+
+  test("unknown instant types are rejected, never silently mis-sliced") {
+    val base = mkTable("weird_timeline")
+    writeFile(base, "a_0-0-0_001.parquet", Seq(1L, 2L))
+    commit(base, "001")
+    assert(ids(HudiReader.read(spark, base)) == Seq(1L, 2L))
+    // a savepoint (or any instant this reader does not implement) must
+    // fail the read outright — ignoring it risks wrong live-slice math
+    Files.writeString(Paths.get(base, ".hoodie", "002.savepoint"), "{}")
+    val e = intercept[IllegalArgumentException](HudiReader.read(spark, base))
+    assert(e.getMessage.contains("savepoint"), e.getMessage)
+    Files.delete(Paths.get(base, ".hoodie", "002.savepoint"))
+    // real-Hudi compound suffixes are unknown too (two-phase markers
+    // this minimal timeline does not model)
+    Files.writeString(Paths.get(base, ".hoodie", "002.commit.requested"), "")
+    intercept[IllegalArgumentException](HudiReader.read(spark, base))
+  }
+
+  test("clustering: replacecommit retires groups, preserves content, history, and incrementals") {
+    import org.apache.spark.sql.functions.col
+    val base = "/tmp/graft_hudi_test/cluster"
+    val df = spark.createDataFrame((1L to 9L).map(i => (i, i * 10L))).toDF("k", "v")
+    graft.sources.HudiWriter.create(spark, df, base, "t-cl", "k", 3)       // 001
+    graft.sources.HudiWriter.upsert(spark,
+      spark.createDataFrame(Seq((4L, 444L))).toDF("k", "v"), base)         // 002
+    val pre = HudiReader.read(spark, base).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val (nReplaced, instant) = graft.sources.HudiWriter.cluster(spark, base, 2)
+    assert(nReplaced == 3 && instant == "003", s"($nReplaced, $instant)")
+    // content identical; live files are exactly the 2 new c-groups
+    val post = HudiReader.read(spark, base).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(post == pre, "clustering changed content")
+    val live = HudiReader.sliceFiles(base, instant)
+    assert(live.size == 2 && live.forall(_.contains("/c")), s"live: $live")
+    // key-sorted: the two groups hold disjoint contiguous key ranges
+    def ks(p: String) =
+      spark.read.parquet(p).select("k").collect().map(_.getLong(0)).sorted.toSeq
+    val r0 = ks(live.head)
+    val r1 = ks(live.last)
+    assert((r0.max < r1.min) || (r1.max < r0.min),
+      s"clustered groups overlap in key space: $r0 vs $r1")
+    // time travel BEFORE the replace still serves the bucket groups
+    val tt = HudiReader.readAsOf(spark, base, "002").select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(tt == pre, "pre-cluster time travel broken")
+    assert(HudiReader.sliceFiles(base, "002").forall(_.contains("/g")))
+    // incremental across the re-layout: carried rows keep original
+    // commit times, so only the 002 upsert surfaces
+    val incr = HudiReader.readIncremental(spark, base, "001", instant)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(incr == Seq((4L, 444L)), s"incremental over cluster wrong: $incr")
+    // the bucket index no longer routes: further upserts/cleans refuse
+    intercept[IllegalArgumentException](graft.sources.HudiWriter.upsert(spark,
+      spark.createDataFrame(Seq((1L, 1L))).toDF("k", "v"), base))
+    intercept[IllegalArgumentException](graft.sources.HudiWriter.clean(spark, base))
+    intercept[IllegalArgumentException](graft.sources.HudiWriter.cluster(spark, base, 2))
+  }
+
+  test("logCommit rejects same-key collisions within one deltacommit") {
+    val base = "/tmp/graft_hudi_test/mor_clash"
+    val df = spark.createDataFrame((1L to 6L).map(i => (i, i * 10L))).toDF("k", "v")
+    graft.sources.HudiWriter.createMor(spark, df, base, "t-clash", "k", 2)
+    // upsert AND tombstone for k=3 in one commit → nondeterministic
+    // survivor under equal precedence — refused
+    val ups = spark.createDataFrame(Seq((3L, 333L))).toDF("k", "v")
+    val dels = spark.createDataFrame(Seq(Tuple1(3L))).toDF("k")
+    val e = intercept[IllegalArgumentException](
+      graft.sources.HudiWriter.logCommit(spark, base, ups, Some(dels)))
+    assert(e.getMessage.contains("nondeterministic"), e.getMessage)
+    // duplicate upsert keys are refused for the same reason
+    val dups = spark.createDataFrame(Seq((5L, 1L), (5L, 2L))).toDF("k", "v")
+    intercept[IllegalArgumentException](
+      graft.sources.HudiWriter.logCommit(spark, base, dups))
+    // nothing was committed by either attempt
+    assert(HudiReader.completedDeltaCommits(base).isEmpty)
+  }
 }

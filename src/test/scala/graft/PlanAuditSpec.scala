@@ -551,6 +551,36 @@ class PlanAuditSpec extends SparkSpec {
       s"final top-20 should be a TakeOrdered, not a global sort:\n$p")
   }
 
+  test("readMor plan size is O(1) in log-file count: one avro scan, no per-file union") {
+    // 6 deltacommits → 12 log files; the merge must still plan as ONE
+    // avro scan joined to a KB-scale broadcast precedence lookup, not a
+    // per-log-file unionByName fold (linear plan growth = analyzer
+    // blow-up at 10⁴ logs)
+    val base = "/tmp/graft_hudi_test/mor_plansize"
+    val df = spark.createDataFrame((1L to 8L).map(i => (i, i * 10L))).toDF("k", "v")
+    graft.sources.HudiWriter.createMor(spark, df, base, "t-psz", "k", 2)
+    (1 to 6).foreach { i =>
+      graft.sources.HudiWriter.logCommit(spark, base,
+        spark.createDataFrame(Seq((i.toLong, i * 1000L))).toDF("k", "v"))
+    }
+    assert(graft.sources.HudiReader.logFiles(base).size >= 6)
+    val qe = graft.sources.HudiReader.readMor(spark, base).queryExecution
+    val unions = qe.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions.size == 1, s"expected the single base⊎logs union:\n${qe.optimizedPlan}")
+    val scans = qe.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size <= 3, // base parquet + one avro + the tiny prec lookup
+      s"per-log-file scans crept back (${scans.size}):\n${qe.optimizedPlan}")
+    // and the merge is still right: last writer wins per key
+    val got = graft.sources.HudiReader.readMor(spark, base)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == ((1L to 6L).map(i => (i, i * 1000L)) ++ Seq((7L, 70L), (8L, 80L))),
+      s"merge wrong: $got")
+  }
+
   test("q_changepoint's windows run over the daily census, not the corpus") {
     val qe = SparkEntry.queries("q_changepoint")(spark, sf0001).queryExecution
     val unpart = qe.optimizedPlan.collect {
