@@ -2050,6 +2050,15 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 2, count(*), CAST(sum(cents + CASE WHEN pri = '2-HIGH' THEN 9 ELSE 0 END) AS BIGINT) FROM o " +
         "UNION ALL SELECT 3, count(*), CAST(sum(cents + 9) AS BIGINT) FROM o WHERE pri = '2-HIGH' " +
         "ORDER BY phase"),
+    "q_iceberg_ts_transform" ->
+      ("WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_id FROM events) " +
+        "SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS sum_ids FROM e " +
+        "WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13' " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(event_id) AS BIGINT) FROM e " +
+        "WHERE ts >= TIMESTAMP '2024-01-05 09:00:00' AND ts < TIMESTAMP '2024-01-05 12:00:00' " +
+        "UNION ALL SELECT 3, count(*), CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) FROM orders " +
+        "WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01' " +
+        "ORDER BY phase"),
     "q_hudi_cluster" ->
       ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) + CASE WHEN o_orderpriority = '1-URGENT' THEN 5 ELSE 0 END AS cents FROM orders) " +
         "SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +

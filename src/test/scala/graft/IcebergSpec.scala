@@ -371,6 +371,73 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTransforms.monthOf("1997-03-01") == 326L)
   }
 
+  test("timestamp transforms match the spec's ordinals (and their Column twins agree)") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IcebergTransforms
+    // the spec's 2017-11-16 example family: year=47, month=574,
+    // day=17486; hour('2017-11-16T22:31:08')=419686
+    assert(IcebergTransforms.yearOfTs("2017-11-16 00:00:00") == 47L)
+    assert(IcebergTransforms.dayOf("2017-11-16 00:00:00") == 17486L)
+    assert(IcebergTransforms.dayOf("2017-11-16 23:59:59") == 17486L)
+    assert(IcebergTransforms.hourOf("2017-11-16 22:31:08") == 419686L)
+    assert(IcebergTransforms.hourOf("1970-01-01 00:59:59") == 0L)
+    assert(IcebergTransforms.dayOf("1970-01-01 00:00:00") == 0L)
+    // driver-side planner fn ≡ Spark-side writer Column, per transform —
+    // the consistency that makes literal re-application a valid prune
+    val probes = Seq("1970-01-01 00:00:00", "2017-11-16 22:31:08",
+      "2024-01-05 09:30:00", "1995-07-04 23:59:59")
+    val df = spark.createDataFrame(probes.map(Tuple1(_))).toDF("s")
+      .withColumn("ts", col("s").cast("timestamp"))
+      .select(col("s"),
+        IcebergTransforms.dayColTs(col("ts")).as("d"),
+        IcebergTransforms.hourColTs(col("ts")).as("h"),
+        IcebergTransforms.yearColTs(col("ts")).as("y"))
+    df.collect().foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(1) == IcebergTransforms.dayOf(s), s"day($s)")
+      assert(r.getLong(2) == IcebergTransforms.hourOf(s), s"hour($s)")
+      assert(r.getLong(3) == IcebergTransforms.yearOfTs(s), s"year($s)")
+    }
+  }
+
+  test("the graded ts-transform fixtures plan exactly the granules the probe hits") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{IcebergTransforms => T}
+    // run the graded query once to (re)build its fixtures, then pin the
+    // planner's file counts against the DATA's own granule census — one
+    // file per non-empty granule, and the probe plans exactly the
+    // granules it hits (empty probe hours at tiny SF shrink both sides)
+    val d = sf0001
+    SparkEntry.queries("q_iceberg_ts_transform")(spark, d).collect()
+    val hex = Integer.toHexString(d.hashCode)
+    def planned(suffix: String, field: String, vals: Seq[Long]) =
+      IcebergReader.planSnapshot(spark, s"/tmp/graft_iceberg_$hex/$suffix", 1L,
+        col(s"data_file.partition.$field").isin(vals: _*)).dataFiles.size
+    def total(suffix: String) = IcebergReader.planSnapshot(spark,
+      s"/tmp/graft_iceberg_$hex/$suffix", 1L).dataFiles.size
+    def granules(df: org.apache.spark.sql.DataFrame, g: org.apache.spark.sql.Column) =
+      df.select(g.as("g")).distinct().collect().map(_.getLong(0)).toSet
+    val ev = graft.Tables.events(spark, d)
+    // day: 3 probed days of a 30-day month
+    val dayG = granules(ev, T.dayColTs(col("ts")))
+    val days = (10 to 12).map(i => T.dayOf(f"2024-01-$i%02d 00:00:00"))
+    assert(total("events_td") == dayG.size, s"day files ${total("events_td")} != ${dayG.size}")
+    assert(planned("events_td", "ts_day", days) == days.count(dayG),
+      "day prune width drifted from the data's non-empty granules")
+    assert(days.count(dayG) >= 2, "probe days unexpectedly empty — fixture too sparse")
+    // hour over Jan 5
+    val jan5 = ev.filter(col("ts") >= "2024-01-05" && col("ts") < "2024-01-06")
+    val hourG = granules(jan5, T.hourColTs(col("ts")))
+    val hours = (9 to 11).map(h => T.hourOf(f"2024-01-05 $h%02d:00:00"))
+    assert(total("events_th") == hourG.size)
+    assert(planned("events_th", "ts_hour", hours) == hours.count(hourG),
+      "hour prune width drifted from the data's non-empty granules")
+    // year over the 7 order years: exact 2-of-7 pin (dense at every SF)
+    val years = Seq("1995-01-01", "1996-01-01").map(T.yearOfTs)
+    assert(planned("orders_ty", "ts_year", years) == 2, "year prune width")
+    assert(total("orders_ty") == 7, s"order years: ${total("orders_ty")}")
+  }
+
   test("transform-partitioned writes prune at the manifest by re-applied transforms") {
     import org.apache.spark.sql.functions.col
     import graft.sources.{IcebergTransforms, IcebergWriter}
