@@ -969,6 +969,30 @@ object LakehouseQueries extends QueryGroup {
       Seq(p1, p2, p3).reduce(_ unionAll _).orderBy("phase")
     }),
 
+    // ---- Iceberg v2 DML: the position-delete WRITER ------------------------
+    // The merge-on-read write shape v2 exists for (a CDC ingest cannot
+    // afford CoW rewrites): DELETE commits ONE position-delete file
+    // (content=1, the spec's (file_path, pos) schema) plus a v2
+    // manifest carrying every previous live entry as EXISTING — no data
+    // file is rewritten, data files keep their original sequence
+    // numbers, the delete file commits at the new snapshot's sequence.
+    // Fixture: create (snap 1), position-delete '1-URGENT' (snap 2),
+    // a SECOND stacking delete of '2-HIGH' (snap 3 — already-masked
+    // rows never re-match). Census all three snapshots; IcebergSpec
+    // pins that the live data-file set is byte-identical across them.
+    "q_iceberg_dml" -> ((s, d) => {
+      import graft.sources.{IcebergReader, IcebergWriter}
+      val base = iceBase(d, "orders_dml")
+      IcebergWriter.create(s, iceOrders(s, d), base)
+      IcebergWriter.deleteWhere(s, base, col("o_orderpriority") === "1-URGENT")
+      IcebergWriter.deleteWhere(s, base, col("o_orderpriority") === "2-HIGH")
+      def census(snap: Long) =
+        IcebergReader.read(s, base, snap)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(snap).as("snapshot_id"), col("n_rows"), col("total_cents"))
+      Seq(1L, 2L, 3L).map(census).reduce(_ unionAll _).orderBy("snapshot_id")
+    }),
+
     // ---- Iceberg TIMESTAMP transforms (day / hour / year) -----------------
     // `days(event_ts)` is the dominant production Iceberg layout; the
     // manifest stores the transform RESULT (an epoch-granule ordinal),
@@ -2050,6 +2074,12 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 2, count(*), CAST(sum(cents + CASE WHEN pri = '2-HIGH' THEN 9 ELSE 0 END) AS BIGINT) FROM o " +
         "UNION ALL SELECT 3, count(*), CAST(sum(cents + 9) AS BIGINT) FROM o WHERE pri = '2-HIGH' " +
         "ORDER BY phase"),
+    "q_iceberg_dml" ->
+      ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS snapshot_id, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri <> '1-URGENT' " +
+        "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri NOT IN ('1-URGENT', '2-HIGH') " +
+        "ORDER BY snapshot_id"),
     "q_iceberg_ts_transform" ->
       ("WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_id FROM events) " +
         "SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS sum_ids FROM e " +

@@ -242,9 +242,11 @@ object IcebergWriter {
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
   }
 
-  /** metadata JSON + version hint; the hint write is the commit point. */
+  /** metadata JSON + version hint; the hint write is the commit point.
+    * `formatVersion` 2 marks tables carrying row-level delete files. */
   private def writeMeta(base: String, v: Int, current: Long, snaps: Seq[Long],
-                        refs: Map[String, (Long, String)] = Map.empty): Unit = {
+                        refs: Map[String, (Long, String)] = Map.empty,
+                        formatVersion: Int = 1): Unit = {
     val ss = snaps.map(i =>
       s"""{"snapshot-id":$i,"timestamp-ms":0,"manifest-list":"metadata/snap-$i.avro"}""")
     val refsJson =
@@ -253,7 +255,7 @@ object IcebergWriter {
         s""""$n":{"snapshot-id":$id,"type":"$t"}"""
       }.mkString(""","refs":{""", ",", "}")
     Files.writeString(Paths.get(base, "metadata", s"v$v.metadata.json"),
-      s"""{"format-version":1,"table-uuid":"graft-export","location":"$base",""" +
+      s"""{"format-version":$formatVersion,"table-uuid":"graft-export","location":"$base",""" +
         s""""current-snapshot-id":$current,"snapshots":[${ss.mkString(",")}]$refsJson}""")
     Files.writeString(Paths.get(base, "metadata", "version-hint.text"), v.toString)
   }
@@ -370,6 +372,97 @@ object IcebergWriter {
       .toSeq
     victims.foreach(Files.delete)
     victims.map(p => s"data/${p.getFileName}")
+  }
+
+  /** v2 manifest whose entries carry `data_file.content` (0 data /
+    * 1 position deletes / 2 equality deletes) and a top-level
+    * `sequence_number` — the ordering the spec's delete windows need.
+    * Entries: (status, relPath, recordCount, content, sequenceNumber). */
+  private def writeV2Manifest(spark: SparkSession, base: String, rel: String,
+                              entries: Seq[(Int, String, Long, Int, Long)]): Unit = {
+    val schema = StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("data_file", StructType(Seq(
+        StructField("content", IntegerType, nullable = false),
+        StructField("file_path", StringType, nullable = false),
+        StructField("file_format", StringType, nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("file_size_in_bytes", LongType, nullable = false))))))
+    val rows = entries.map { case (status, path, n, content, seq) =>
+      Row(status, seq, Row(content, path, "PARQUET", n, Files.size(Paths.get(base, path))))
+    }
+    writeOneAvro(spark, base, rel,
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+  }
+
+  /** Iceberg v2 DELETE as a POSITION-DELETE commit — the merge-on-read
+    * write shape row-level deletes exist for (a CDC ingest cannot
+    * afford the CoW rewrite): find the live (file_path, pos) pairs
+    * matching `predicate` via the scan's own parquet row positions,
+    * write ONE position-delete parquet (`content=1`, the spec's
+    * (file_path, pos) schema, sorted by file then pos), and commit
+    * snapshot N+1 whose v2 manifest carries every previous live entry
+    * as EXISTING — data files keep their original sequence numbers,
+    * the delete file commits at the new snapshot's sequence, and NO
+    * data file is rewritten. Stacks: a second delete adds a second
+    * delete file; already-masked rows never re-match (the match scan
+    * applies the existing deletes first). Returns
+    * (affectedDataFiles, newlyDeletedRows). */
+  def deleteWhere(spark: SparkSession, base: String,
+                  predicate: org.apache.spark.sql.Column): (Int, Long) = {
+    import org.apache.spark.sql.functions.regexp_replace
+    val v = IcebergReader.currentMetadataVersion(base)
+    val prev = IcebergReader.currentSnapshotId(base, v)
+    val scan = IcebergReader.planSnapshot(spark, base, prev)
+    require(scan.eqDeleteFiles.isEmpty,
+      "position DELETE over equality deletes is beyond this minimal writer " +
+        "(their windows would need a shared sequence ordering)")
+    require(scan.dataFiles.nonEmpty, s"DELETE on empty table $base")
+    // live matching rows, existing position deletes already applied —
+    // the read path's own semantics, keyed by native row positions
+    var data = spark.read.parquet(scan.dataFiles.map(_._1): _*)
+      .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    if (scan.posDeleteFiles.nonEmpty) {
+      val dels = spark.read.parquet(scan.posDeleteFiles: _*)
+        .select(regexp_replace(col("file_path"), "^file:/*", "/").as("__del_path"),
+          col("pos").as("__del_pos"))
+      data = data.join(org.apache.spark.sql.functions.broadcast(dels),
+        col("__path") === col("__del_path") && col("__pos") === col("__del_pos"),
+        "left_anti")
+    }
+    val hits = data.filter(predicate.eqNullSafe(true))
+      .select("__path", "__pos").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(identity)
+    if (hits.isEmpty) return (0, 0L)
+    val snap = prev + 1
+    // one position-delete file, spec schema (file_path, pos)
+    Files.createDirectories(Paths.get(base, "data"))
+    val tmp = s"$base/.stage-del$snap"
+    TxnLog.rmrf(tmp)
+    spark.createDataFrame(hits.toIndexedSeq).toDF("file_path", "pos")
+      .coalesce(1).write.parquet(tmp)
+    val delRel = s"data/del-s$snap.parquet"
+    val src = Files.list(Paths.get(tmp)).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no delete file staged"))
+    Files.move(src, Paths.get(base, delRel))
+    TxnLog.rmrf(tmp)
+    def relOf(abs: String) =
+      abs.stripPrefix(Paths.get(base).toString).stripPrefix("/")
+    val carriedData = scan.dataFiles.map { case (abs, n) =>
+      (0, relOf(abs), n, 0, scan.dataSeq.getOrElse(abs, 0L))
+    }
+    val carriedDels = scan.posDeleteFiles.map(abs =>
+      (0, relOf(abs), 0L, 1, 0L))
+    writeV2Manifest(spark, base, s"metadata/m$snap.avro",
+      carriedData ++ carriedDels :+ ((1, delRel, hits.length.toLong, 1, snap.toLong)))
+    writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
+    writeMeta(base, v + 1, current = snap,
+      snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
+      refs = IcebergReader.refs(base, v), formatVersion = 2)
+    (hits.map(_._1).distinct.length, hits.length.toLong)
   }
 
   /** Append-only commit: snapshot N+1 adds `df`'s rows; the previous

@@ -371,6 +371,44 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTransforms.monthOf("1997-03-01") == 326L)
   }
 
+  test("position-delete writer: no data rewrite, stacking, time travel, guards") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IcebergWriter
+    val base = "/tmp/graft_iceberg_test/dml"
+    val df = spark.createDataFrame((1L to 10L).map(i => (i, i * 2L))).toDF("k", "v")
+      .repartition(2)
+    IcebergWriter.create(spark, df, base)
+    val files1 = IcebergReader.planSnapshot(spark, base, 1L).dataFiles.map(_._1).sorted
+    val (nf, nd) = IcebergWriter.deleteWhere(spark, base, col("k") <= 3)
+    assert(nd == 3L && nf >= 1, s"($nf, $nd)")
+    // the DATA file set is byte-identical — only a delete file landed
+    val scan2 = IcebergReader.planSnapshot(spark, base, 2L)
+    assert(scan2.dataFiles.map(_._1).sorted == files1, "DELETE rewrote data files")
+    assert(scan2.posDeleteFiles.size == 1, scan2.posDeleteFiles.toString)
+    def ks(snap: Long) = IcebergReader.read(spark, base, snap)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks(2L) == (4L to 10L))
+    assert(ks(1L) == (1L to 10L), "time travel to the pre-delete snapshot broke")
+    // a second delete STACKS (already-masked rows never re-match)
+    val (_, nd2) = IcebergWriter.deleteWhere(spark, base, col("k") <= 5)
+    assert(nd2 == 2L, s"already-masked rows re-deleted: $nd2")
+    assert(ks(3L) == (6L to 10L))
+    assert(IcebergReader.planSnapshot(spark, base, 3L).posDeleteFiles.size == 2)
+    assert(IcebergReader.planSnapshot(spark, base, 3L).dataFiles.map(_._1).sorted == files1)
+    // a no-op predicate commits nothing
+    assert(IcebergWriter.deleteWhere(spark, base, col("k") > 99) == ((0, 0L)))
+    assert(IcebergReader.currentSnapshotId(base,
+      IcebergReader.currentMetadataVersion(base)) == 3L)
+    // rewrite still refuses tables with live delete files (it would
+    // resurrect masked rows), and the metadata is format-version 2
+    intercept[IllegalArgumentException](IcebergWriter.rewrite(spark, base))
+    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      base, "metadata", s"v${IcebergReader.currentMetadataVersion(base)}.metadata.json"))
+    assert(meta.contains("\"format-version\":2"), meta)
+    // orphan cleanup counts delete files as referenced
+    assert(graft.sources.IcebergWriter.removeOrphans(spark, base).isEmpty)
+  }
+
   test("timestamp transforms match the spec's ordinals (and their Column twins agree)") {
     import org.apache.spark.sql.functions.col
     import graft.sources.IcebergTransforms
