@@ -447,6 +447,51 @@ object LakehouseQueries extends QueryGroup {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- Delta DML on a PARTITIONED table ---------------------------------
+    // Partitioning is the DEFAULT production layout, so the CoW DML
+    // family must compose with it: create partitioned by priority (v0),
+    // DELETE half of '1-URGENT' (v1), UPDATE a third of '2-HIGH' (v2),
+    // then one MERGE that replaces some '3-MEDIUM' rows AND inserts a
+    // brand-new '9-SYNTH' partition (v3). Each commit reads via
+    // basePath (hive partition values surface as columns, so Catalyst
+    // partition-prunes the DML predicate) and rewrites ONLY the files
+    // of touched partitions — DeltaLogSpec pins that untouched
+    // partitions' files survive by IDENTITY, the economics that make
+    // partitioned DML viable at 100 TB. Census: time travel over all
+    // four versions plus the final per-partition breakdown, proving
+    // partition routing, hive-path partitionValues, and the new
+    // partition's birth through MERGE.
+    "q_delta_part_dml" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_pdml"
+      val o = iceOrders(s, d)
+      graft.sources.DeltaLogWriter.create(s, o.repartition(2), base,
+        "graft-orders-pdml", partitionBy = Seq("o_orderpriority"))
+      graft.sources.DeltaLogWriter.deleteWhere(s, base,
+        col("o_orderpriority") === "1-URGENT" && pmod(col("o_orderkey"), lit(2)) === 0)
+      graft.sources.DeltaLogWriter.update(s, base,
+        col("o_orderpriority") === "2-HIGH" && pmod(col("o_orderkey"), lit(3)) === 0,
+        df => df.withColumn("cents", col("cents") + 11))
+      val source = o.filter(col("o_orderpriority") === "3-MEDIUM" &&
+          pmod(col("o_orderkey"), lit(5)) === 0)
+        .withColumn("cents", col("cents") + 7)
+        .unionAll(o.filter(col("o_orderpriority") === "5-LOW" &&
+            pmod(col("o_orderkey"), lit(7)) === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("9-SYNTH").as("o_orderpriority"), lit(1234L).as("cents")))
+      graft.sources.DeltaLogWriter.merge(s, base, source, "o_orderkey")
+      val versions = (0L to 3L).map { v =>
+        graft.sources.DeltaLogReader.read(s, base, v).agg(
+          count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(v).as("phase"), lit("*").as("pri"),
+            col("n_rows"), col("total_cents"))
+      }
+      val byPart = graft.sources.DeltaLogReader.read(s, base, 3L)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(4L).as("phase"), col("pri"), col("n_rows"), col("total_cents"))
+      (versions :+ byPart).reduce(_ unionAll _).orderBy("phase", "pri")
+    }),
+
     // ---- Delta checkpoint write + log expiry -----------------------------
     // The replay-bounding half of the spec: after v0+v1, `checkpoint`
     // emits <v1>.checkpoint.parquet + _last_checkpoint, `expireLog`
@@ -991,6 +1036,46 @@ object LakehouseQueries extends QueryGroup {
           .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
           .select(lit(snap).as("snapshot_id"), col("n_rows"), col("total_cents"))
       Seq(1L, 2L, 3L).map(census).reduce(_ unionAll _).orderBy("snapshot_id")
+    }),
+
+    // ---- Iceberg v2 DML: the EQUALITY-delete WRITER (streaming upsert) ----
+    // The Flink-CDC commit shape: one snapshot carries an eq-delete
+    // file (the source's distinct keys, content=2) AND the source rows
+    // as a data append, both at the new snapshot's sequence — the
+    // spec's strictly-smaller-sequence window performs the merge, so
+    // the re-inserted rows survive their own delete with NO data file
+    // rewritten and no key index. Fixture: create (snap 1), upsertEq
+    // '2-HIGH' at cents+9 (snap 2), a STACKING upsertEq of the even
+    // '2-HIGH' keys at cents+20 (snap 3 — its delete must erase snap
+    // 2's re-inserts for those keys but keep the odd ones), then a
+    // plain append of a synthetic slice (snap 4 — the carried delete
+    // files must survive an append, the silent-resurrection class
+    // ADVICE r10 flagged). Census reads every snapshot via time travel.
+    "q_iceberg_eq_dml" -> ((s, d) => {
+      import graft.sources.{IcebergReader, IcebergWriter}
+      val base = iceBase(d, "orders_eqdml")
+      val o = iceOrders(s, d)
+      IcebergWriter.create(s, o.repartition(2), base)
+      IcebergWriter.upsertEq(s,
+        o.filter(col("o_orderpriority") === "2-HIGH")
+          .withColumn("cents", col("cents") + 9),
+        base, Seq("o_orderkey"))
+      IcebergWriter.upsertEq(s,
+        o.filter(col("o_orderpriority") === "2-HIGH" &&
+            pmod(col("o_orderkey"), lit(2)) === 0)
+          .withColumn("cents", col("cents") + 20),
+        base, Seq("o_orderkey"))
+      IcebergWriter.append(s,
+        o.filter(col("o_orderpriority") === "5-LOW" &&
+            pmod(col("o_orderkey"), lit(7)) === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("9-SYNTH").as("o_orderpriority"), lit(1234L).as("cents")),
+        base)
+      def census(snap: Long) =
+        IcebergReader.read(s, base, snap)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(snap).as("snapshot_id"), col("n_rows"), col("total_cents"))
+      Seq(1L, 2L, 3L, 4L).map(census).reduce(_ unionAll _).orderBy("snapshot_id")
     }),
 
     // ---- Iceberg TIMESTAMP transforms (day / hour / year) -----------------
@@ -2035,6 +2120,28 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri <> '1-URGENT' " +
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri NOT IN ('1-URGENT', '2-HIGH') " +
         "ORDER BY version"),
+    "q_delta_part_dml" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "v1 AS (SELECT * FROM o WHERE NOT (pri = '1-URGENT' AND k % 2 = 0)), " +
+        "v2 AS (SELECT k, pri, CASE WHEN pri = '2-HIGH' AND k % 3 = 0 THEN cents + 11 ELSE cents END AS cents FROM v1), " +
+        "src AS (SELECT k, pri, cents + 7 AS cents FROM o WHERE pri = '3-MEDIUM' AND k % 5 = 0 " +
+        "UNION ALL SELECT k + 100000000, '9-SYNTH', 1234 FROM o WHERE pri = '5-LOW' AND k % 7 = 0), " +
+        "v3 AS (SELECT * FROM v2 WHERE k NOT IN (SELECT k FROM src) UNION ALL SELECT * FROM src) " +
+        "SELECT CAST(0 AS BIGINT) AS phase, '*' AS pri, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 1, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v1 " +
+        "UNION ALL SELECT 2, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v2 " +
+        "UNION ALL SELECT 3, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v3 " +
+        "UNION ALL SELECT 4, pri, count(*), CAST(sum(cents) AS BIGINT) FROM v3 GROUP BY pri " +
+        "ORDER BY phase, pri"),
+    "q_iceberg_eq_dml" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "v3 AS (SELECT k, CASE WHEN pri = '2-HIGH' AND k % 2 = 0 THEN cents + 20 WHEN pri = '2-HIGH' THEN cents + 9 ELSE cents END AS cents FROM o), " +
+        "v4 AS (SELECT cents FROM v3 UNION ALL SELECT 1234 FROM o WHERE pri = '5-LOW' AND k % 7 = 0) " +
+        "SELECT CAST(1 AS BIGINT) AS snapshot_id, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(CASE WHEN pri = '2-HIGH' THEN cents + 9 ELSE cents END) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM v3 " +
+        "UNION ALL SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM v4 " +
+        "ORDER BY snapshot_id"),
     "q_iceberg_eq_deletes" ->
       ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CAST(1 AS BIGINT) AS snapshot_id, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +

@@ -398,46 +398,61 @@ object DeltaLogWriter {
     * (affectedFiles, newlyDeletedRows). */
   def deleteWhereDv(spark: SparkSession, base: String,
                     predicate: org.apache.spark.sql.Column): (Int, Long) = {
-    import org.apache.spark.sql.functions.{col, regexp_replace}
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    import org.apache.spark.sql.Encoders
     val version = DeltaLogReader.latestVersion(base)
     require(DeltaLogReader.columnMappingSchema(Some(spark), base, version).isEmpty,
       "DV DELETE on a column-mapped table is beyond this minimal writer " +
         "(the predicate would bind logical names against physical columns)")
+    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
     val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
     val byAbs = live.map(a =>
       Paths.get(base).resolve(a.path).normalize.toString -> a).toMap
-    val existing: Map[String, Seq[Long]] = live.flatMap(a => a.dv.map { d =>
-      a.path -> RoaringDv.deserialize(RoaringDv.loadPayload(
-        base, d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes))
+    // existing DV payloads as BYTES keyed by absolute path: positions
+    // deserialize executor-side only (both for the already-masked
+    // anti-join and the per-file merge below) — the driver never holds
+    // a position list, just KB-scale bitmap blobs
+    val existingBytes: Map[String, Array[Byte]] = live.flatMap(a => a.dv.map { d =>
+      Paths.get(base).resolve(a.path).normalize.toString ->
+        RoaringDv.loadPayload(base, d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes)
     }).toMap
+    val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    val alreadyDf =
+      if (existingBytes.isEmpty) None
+      else Some(spark.createDataset(existingBytes.toSeq)(
+          Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+        .flatMap { case (p, b) => RoaringDv.deserialize(b).map(pos => (p, pos)) }(pairEnc)
+        .toDF("__dp", "__dq"))
     // matched = predicate-TRUE rows not already masked by a DV
-    val scan = spark.read.parquet(live.map(a => s"$base/${a.path}"): _*)
+    val scan = dmlScan(spark, base, live, pcols)
       .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
       .withColumn("__pos", col("_metadata.row_index"))
-    val already = existing.iterator.flatMap { case (rel, ps) =>
-      val abs = Paths.get(base).resolve(rel).normalize.toString
-      ps.map(p => (abs, p))
-    }.toSet
-    val hits = scan.filter(predicate.eqNullSafe(true))
-      .select("__path", "__pos").collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .filterNot(already)
-    if (hits.isEmpty) return (0, 0L)
+    val matchedAll = scan.filter(predicate.eqNullSafe(true))
+    val matched = alreadyDf.fold(matchedAll)(d => matchedAll.join(broadcast(d),
+      col("__path") === col("__dp") && col("__pos") === col("__dq"), "left_anti"))
+    // per-file bitmap construction runs EXECUTOR-side (one group per
+    // affected file): the driver receives only (path, counts, payload)
+    // rows — KB-scale serialized bitmaps, never the position lists, so
+    // a wide DELETE at 100 TB cannot OOM the driver
+    val exBc = spark.sparkContext.broadcast(existingBytes)
+    val fileEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.BINARY)
+    val perFile = matched.select(col("__path"), col("__pos")).as(pairEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroups { (p, it) =>
+        val fresh = it.map(_._2).toArray
+        val merged = (exBc.value.get(p).map(RoaringDv.deserialize).getOrElse(Seq.empty) ++
+          fresh).distinct.sorted
+        (p, fresh.length.toLong, merged.size.toLong, RoaringDv.serialize(merged))
+      }(fileEnc)
+      .collect().sortBy(_._1)
+    if (perFile.isEmpty) return (0, 0L)
     val next0 = version + 1
     // CDF: the newly-masked rows ride a _change_data file, so
     // readChanges' cdc-priority rule represents this commit by THEM —
     // without it the same-path remove+add pair would derive a
     // whole-file delete AND a whole-file insert (double counting)
-    val alreadyDf =
-      if (already.isEmpty) null
-      else spark.createDataFrame(already.toSeq).toDF("__dp", "__dq")
-    val newlyDeleted = {
-      val m = scan.filter(predicate.eqNullSafe(true))
-      val base0 = if (alreadyDf == null) m
-        else m.join(org.apache.spark.sql.functions.broadcast(alreadyDf),
-          col("__path") === col("__dp") && col("__pos") === col("__dq"), "left_anti")
-      base0.drop("__path", "__pos", "__dp", "__dq")
-    }
+    val newlyDeleted = matched.drop("__path", "__pos")
     Files.createDirectories(Paths.get(base, "_change_data"))
     val cdcTmp = s"$base/.stage-cdc$next0"
     TxnLog.rmrf(cdcTmp)
@@ -449,15 +464,12 @@ object DeltaLogWriter {
     val cdcRel = s"_change_data/cdc-$next0.parquet"
     Files.move(cdcSrc, Paths.get(base, cdcRel))
     TxnLog.rmrf(cdcTmp)
-    val byFile = hits.groupBy(_._1)
-    val actions = byFile.toSeq.sortBy(_._1).map { case (abs, rows) =>
+    val actions = perFile.toSeq.map { case (abs, _, card, payload) =>
       val a = byAbs.getOrElse(abs,
         throw new IllegalStateException(s"matched file $abs not in the live set"))
-      val merged = (existing.getOrElse(a.path, Seq.empty) ++ rows.map(_._2))
-        .distinct.sorted
-      val (uuidZ85, off, sz) = RoaringDv.writeDvFile(base, merged)
+      val (uuidZ85, off, sz) = RoaringDv.writeDvPayload(base, payload)
       val dvJson = s""""deletionVector":{"storageType":"u","pathOrInlineDv":"$uuidZ85",""" +
-        s""""offset":$off,"sizeInBytes":$sz,"cardinality":${merged.size}}"""
+        s""""offset":$off,"sizeInBytes":$sz,"cardinality":$card}"""
       Seq(
         s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":true}}""",
         s"""{"add":{"path":"${esc(a.path)}","partitionValues":${partitionValuesOf(a.path)},""" +
@@ -493,7 +505,25 @@ object DeltaLogWriter {
       s"""{"cdc":{"path":"${esc(cdcRel)}","partitionValues":{},""" +
         s""""size":${Files.size(Paths.get(base, cdcRel))},"dataChange":false}}""") ++
       actions.flatten)
-    (byFile.size, hits.length.toLong)
+    (perFile.length, perFile.map(_._2).sum)
+  }
+
+  /** Partition-aware live-file scan for DML: partitioned tables read
+    * via `basePath` so hive-path partition values surface as columns
+    * (Delta keeps them OUT of the data files) and Catalyst's partition
+    * pruning still applies to the DML predicate — on a 100 TB table a
+    * `WHERE part = x` DELETE scans one partition, not the table. */
+  private def dmlScan(spark: SparkSession, base: String,
+                      live: Seq[DeltaLogReader.DeltaAdd], pcols: Seq[String]): DataFrame = {
+    val files = live.map(a => s"$base/${a.path}")
+    if (pcols.isEmpty) spark.read.parquet(files: _*)
+    else {
+      require(live.forall(a => pcols.forall(c => a.path.contains(c + "="))),
+        s"partitioned Delta table (${pcols.mkString(",")}) with non-hive " +
+          "data paths — partition values live only in the log; this " +
+          "minimal writer supports hive-style layouts only")
+      spark.read.option("basePath", base).parquet(files: _*)
+    }
   }
 
   /** Copy-on-write core for DELETE/UPDATE: find the live files holding
@@ -501,19 +531,21 @@ object DeltaLogWriter {
     * rewrite ONLY those files (survivors + post-images), and commit
     * removes + adds + a `cdc` action whose `_change_data/` file carries
     * the change rows — so [[DeltaLogReader.readChanges]] sees exactly
-    * the DML's effect. Untouched files are not rewritten. Returns
-    * (affectedFiles, matchedRows). */
+    * the DML's effect. Untouched files are not rewritten; on a
+    * partitioned table the rewrite keeps the hive layout (an UPDATE
+    * that changes a partition value routes the post-image to its new
+    * partition), and untouched PARTITIONS never appear in the commit.
+    * Returns (affectedFiles, matchedRows). */
   private def cowModify(spark: SparkSession, base: String, predicate: org.apache.spark.sql.Column,
                         op: String, post: Option[DataFrame => DataFrame]): (Int, Long) = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     val version = DeltaLogReader.latestVersion(base)
-    require(DeltaLogReader.partitionColumns(Some(spark), base, version).isEmpty,
-      s"$op on a partitioned table is beyond this minimal writer")
+    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
     val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
     requireNoDv(live, op)
     val relByAbs = live.map(a =>
       Paths.get(base).resolve(a.path).normalize.toString -> a.path).toMap
-    val scan = spark.read.parquet(live.map(a => s"$base/${a.path}"): _*)
+    val scan = dmlScan(spark, base, live, pcols)
       .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
     val matched = scan.filter(predicate)
     val affectedAbs = matched.select("__path").distinct()
@@ -549,7 +581,7 @@ object DeltaLogWriter {
     TxnLog.rmrf(cdcTmp)
     val adds =
       if (newData.isEmpty) Nil
-      else addActions(spark, base, writeData(newData.coalesce(1), base, next))
+      else addActions(spark, base, writeData(newData.coalesce(1), base, next, pcols))
     val removes = affectedRel.map(rel =>
       s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":0,"dataChange":true}}""")
     commit(base, next, Seq(
@@ -585,13 +617,12 @@ object DeltaLogWriter {
             keyCol: String): (Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
     val version = DeltaLogReader.latestVersion(base)
-    require(DeltaLogReader.partitionColumns(Some(spark), base, version).isEmpty,
-      "MERGE on a partitioned table is beyond this minimal writer")
+    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
     val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
     requireNoDv(live, "MERGE")
     val relByAbs = live.map(a =>
       Paths.get(base).resolve(a.path).normalize.toString -> a.path).toMap
-    val scan = spark.read.parquet(live.map(a => s"$base/${a.path}"): _*)
+    val scan = dmlScan(spark, base, live, pcols)
       .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
     val srcKeys = broadcast(source.select(col(keyCol)).distinct())
     val matched = scan.join(srcKeys, keyCol)
@@ -626,7 +657,7 @@ object DeltaLogWriter {
     Files.move(cdcSrc, Paths.get(base, cdcRel))
     TxnLog.rmrf(cdcTmp)
     val newData = survivors.unionAll(updSrc).unionAll(insSrc)
-    val adds = addActions(spark, base, writeData(newData.coalesce(1), base, next))
+    val adds = addActions(spark, base, writeData(newData.coalesce(1), base, next, pcols))
     val removes = affectedRel.map(rel =>
       s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":0,"dataChange":true}}""")
     commit(base, next, Seq(

@@ -87,6 +87,14 @@ object IcebergReader {
     DeltaLogReader.longField(metadataJson(base, v), "current-snapshot-id")
       .getOrElse(throw new IllegalStateException(s"no current-snapshot-id in v$v"))
 
+  /** The table's declared format-version at metadata version `v`
+    * (1 when absent). Writers must THREAD this through every metadata
+    * rewrite: re-stamping a v2 table (live delete files) as v1 would
+    * tell spec-conforming external readers to ignore the deletes. */
+  def formatVersion(base: String, v: Int): Int =
+    DeltaLogReader.longField(metadataJson(base, v), "format-version")
+      .map(_.toInt).getOrElse(1)
+
   /** Named refs (the spec's `refs` map: branches + tags → snapshot
     * ids) declared by metadata version `v`. A tag pins an auditable
     * snapshot against expiry-by-default; a branch is a movable head. */
@@ -117,10 +125,14 @@ object IcebergReader {
     * EQUALITY-delete files (path, sequence number) — each applies only
     * to data files with a STRICTLY smaller sequence number, the spec's
     * window that keeps same-commit re-inserts alive — and the data
-    * files' own sequence numbers. */
+    * files' own sequence numbers. `delMeta` carries each delete file's
+    * (record_count, sequence_number) so a writer re-committing the
+    * entries as EXISTING preserves the spec ordering external readers
+    * honor (a zeroed sequence would widen the delete window). */
   final case class SnapshotScan(dataFiles: Seq[(String, Long)], posDeleteFiles: Seq[String],
                                 eqDeleteFiles: Seq[(String, Long)] = Nil,
-                                dataSeq: Map[String, Long] = Map.empty)
+                                dataSeq: Map[String, Long] = Map.empty,
+                                delMeta: Map[String, (Long, Long)] = Map.empty)
 
   private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
 
@@ -187,19 +199,21 @@ object IcebergReader {
         .select(col("data_file.file_path"), col("data_file.record_count"), col("__seq"))
         .collect().map(r => (resolve(base, r.getString(0)), r.getLong(1), r.getLong(2))).toSeq
       val dels = withSeq.filter(col("data_file.content") === 1 && entryFilter)
-        .select(col("data_file.file_path"))
-        .collect().map(r => resolve(base, r.getString(0))).toSeq
+        .select(col("data_file.file_path"), col("data_file.record_count"), col("__seq"))
+        .collect().map(r => (resolve(base, r.getString(0)), r.getLong(1), r.getLong(2))).toSeq
       val eqDels = withSeq.filter(col("data_file.content") === 2 && entryFilter)
-        .select(col("data_file.file_path"), col("__seq"))
-        .collect().map(r => (resolve(base, r.getString(0)), r.getLong(1))).toSeq
+        .select(col("data_file.file_path"), col("data_file.record_count"), col("__seq"))
+        .collect().map(r => (resolve(base, r.getString(0)), r.getLong(1), r.getLong(2))).toSeq
       // the window NEEDS an ordering: EQUALITY deletes in a manifest
       // that tracks no sequence numbers cannot be applied soundly —
       // treating every file as sequence 0 would silently no-op them
       require(eqDels.isEmpty || entries.columns.contains("sequence_number"),
         "v2 EQUALITY deletes present but the manifest carries no " +
           "sequence numbers — cannot order the delete window")
-      SnapshotScan(files.map(f => (f._1, f._2)), dels, eqDels,
-        files.map(f => f._1 -> f._3).toMap)
+      SnapshotScan(files.map(f => (f._1, f._2)), dels.map(_._1),
+        eqDels.map(e => (e._1, e._3)),
+        files.map(f => f._1 -> f._3).toMap,
+        (dels ++ eqDels).map(d => d._1 -> (d._2, d._3)).toMap)
     }
   }
 
@@ -212,17 +226,13 @@ object IcebergReader {
     * `_metadata.file_path` renders a scheme-qualified URI. */
   private def normPath(c: Column): Column = regexp_replace(c, "^file:/*", "/")
 
-  private def readScan(spark: SparkSession, base: String, snapshotId: Long,
-                       scan: SnapshotScan): DataFrame = {
-    require(scan.dataFiles.nonEmpty, s"empty snapshot $snapshotId of $base")
-    val raw = spark.read.parquet(scan.dataFiles.map(_._1): _*)
-    val cols = raw.columns.map(col)
-    if (scan.posDeleteFiles.isEmpty && scan.eqDeleteFiles.isEmpty) return raw
-    // stamp the file identity ONCE while the plan is still a plain
-    // file-source relation (_metadata dies at the first join)
-    var data = raw
-      .withColumn("__path", normPath(col("_metadata.file_path")))
-      .withColumn("__pos", col("_metadata.row_index"))
+  /** Apply `scan`'s live position- and equality-delete files to a
+    * frame already stamped with `__path`/`__pos`. Shared by the read
+    * path and the DML writer (whose position DELETE must match only
+    * rows still live under the existing deletes). */
+  private[sources] def applyDeletes(spark: SparkSession, scan: SnapshotScan,
+                                    stamped: DataFrame): DataFrame = {
+    var data = stamped
     if (scan.posDeleteFiles.nonEmpty) {
       // Spec position-delete application as a plain anti-join: the
       // delete side is metadata-scale next to the data (broadcast);
@@ -253,7 +263,29 @@ object IcebergReader {
         data = data.join(broadcast(renamed), cond, "left_anti")
       }
     }
-    data.select(cols.toIndexedSeq: _*)
+    data
+  }
+
+  /** The live rows of a planned snapshot WITH their (`__path`, `__pos`)
+    * file identity — deletes applied, positions kept (the DML writer
+    * keys its new position-delete file on them). */
+  private[sources] def scanWithPositions(spark: SparkSession, scan: SnapshotScan): DataFrame = {
+    require(scan.dataFiles.nonEmpty, "empty snapshot scan")
+    // stamp the file identity ONCE while the plan is still a plain
+    // file-source relation (_metadata dies at the first join)
+    val stamped = spark.read.parquet(scan.dataFiles.map(_._1): _*)
+      .withColumn("__path", normPath(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+    applyDeletes(spark, scan, stamped)
+  }
+
+  private def readScan(spark: SparkSession, base: String, snapshotId: Long,
+                       scan: SnapshotScan): DataFrame = {
+    require(scan.dataFiles.nonEmpty, s"empty snapshot $snapshotId of $base")
+    val raw = spark.read.parquet(scan.dataFiles.map(_._1): _*)
+    val cols = raw.columns.map(col)
+    if (scan.posDeleteFiles.isEmpty && scan.eqDeleteFiles.isEmpty) return raw
+    scanWithPositions(spark, scan).select(cols.toIndexedSeq: _*)
   }
 
   /** Snapshot read (explicit id = time travel), position deletes applied. */

@@ -272,7 +272,8 @@ object IcebergWriter {
     require(snaps.contains(snapshotId), s"ref targets unknown snapshot $snapshotId")
     writeMeta(base, v + 1, current = IcebergReader.currentSnapshotId(base, v),
       snaps = snaps,
-      refs = IcebergReader.refs(base, v) + (name -> (snapshotId, refType)))
+      refs = IcebergReader.refs(base, v) + (name -> (snapshotId, refType)),
+      formatVersion = IcebergReader.formatVersion(base, v))
   }
 
   /** Create a new Iceberg table at `base` (snapshot 1). */
@@ -315,7 +316,8 @@ object IcebergWriter {
     // actual surviving list forward (and every declared ref)
     writeMeta(base, v + 1, current = snap,
       snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
-      refs = IcebergReader.refs(base, v))
+      refs = IcebergReader.refs(base, v),
+      formatVersion = IcebergReader.formatVersion(base, v))
     (live.size, files.size)
   }
 
@@ -338,12 +340,17 @@ object IcebergWriter {
         s"expiry would drop snapshot $id pinned by ref '$name' — drop the ref first")
     }
     if (dropped.isEmpty) return Nil
-    val keptFiles = kept.flatMap(id =>
-      IcebergReader.snapshotFiles(spark, base, id).map(_._1)).toSet
-    val orphans = dropped
-      .flatMap(id => IcebergReader.snapshotFiles(spark, base, id).map(_._1))
-      .distinct.filterNot(keptFiles)
-    writeMeta(base, v + 1, current = current, snaps = kept, refs = refs)
+    // the reference sets must include DELETE files too: a dropped
+    // snapshot's delete parquet is reclaimable disk, and a KEPT
+    // snapshot's delete file must never be swept as an orphan
+    def allFiles(id: Long): Seq[String] = {
+      val sc = IcebergReader.planSnapshot(spark, base, id)
+      sc.dataFiles.map(_._1) ++ sc.posDeleteFiles ++ sc.eqDeleteFiles.map(_._1)
+    }
+    val keptFiles = kept.flatMap(allFiles).toSet
+    val orphans = dropped.flatMap(allFiles).distinct.filterNot(keptFiles)
+    writeMeta(base, v + 1, current = current, snaps = kept, refs = refs,
+      formatVersion = IcebergReader.formatVersion(base, v))
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     dropped.foreach(id =>
       Files.deleteIfExists(Paths.get(base, s"metadata/snap-$id.avro")))
@@ -411,80 +418,147 @@ object IcebergWriter {
     * (affectedDataFiles, newlyDeletedRows). */
   def deleteWhere(spark: SparkSession, base: String,
                   predicate: org.apache.spark.sql.Column): (Int, Long) = {
-    import org.apache.spark.sql.functions.regexp_replace
     val v = IcebergReader.currentMetadataVersion(base)
     val prev = IcebergReader.currentSnapshotId(base, v)
     val scan = IcebergReader.planSnapshot(spark, base, prev)
-    require(scan.eqDeleteFiles.isEmpty,
-      "position DELETE over equality deletes is beyond this minimal writer " +
-        "(their windows would need a shared sequence ordering)")
     require(scan.dataFiles.nonEmpty, s"DELETE on empty table $base")
-    // live matching rows, existing position deletes already applied —
-    // the read path's own semantics, keyed by native row positions
-    var data = spark.read.parquet(scan.dataFiles.map(_._1): _*)
-      .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
-      .withColumn("__pos", col("_metadata.row_index"))
-    if (scan.posDeleteFiles.nonEmpty) {
-      val dels = spark.read.parquet(scan.posDeleteFiles: _*)
-        .select(regexp_replace(col("file_path"), "^file:/*", "/").as("__del_path"),
-          col("pos").as("__del_pos"))
-      data = data.join(org.apache.spark.sql.functions.broadcast(dels),
-        col("__path") === col("__del_path") && col("__pos") === col("__del_pos"),
-        "left_anti")
-    }
-    val hits = data.filter(predicate.eqNullSafe(true))
-      .select("__path", "__pos").collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(identity)
-    if (hits.isEmpty) return (0, 0L)
+    // live matching rows under the read path's OWN delete semantics
+    // (existing position AND equality deletes applied — an eq-deleted
+    // row must not be re-deleted by position), keyed by native row
+    // positions
+    val data = IcebergReader.scanWithPositions(spark, scan)
     val snap = prev + 1
-    // one position-delete file, spec schema (file_path, pos)
+    // the position-delete parquet (spec schema (file_path, pos), sorted
+    // by file then pos) is staged STRAIGHT from the distributed scan —
+    // matched positions never visit the driver; the commit census reads
+    // the KB-scale staged file back
     Files.createDirectories(Paths.get(base, "data"))
     val tmp = s"$base/.stage-del$snap"
     TxnLog.rmrf(tmp)
-    spark.createDataFrame(hits.toIndexedSeq).toDF("file_path", "pos")
-      .coalesce(1).write.parquet(tmp)
-    val delRel = s"data/del-s$snap.parquet"
+    data.filter(predicate.eqNullSafe(true))
+      .select(col("__path").as("file_path"), col("__pos").as("pos"))
+      .repartition(1).sortWithinPartitions("file_path", "pos")
+      .write.parquet(tmp)
     val src = Files.list(Paths.get(tmp)).iterator.asScala
       .find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("no delete file staged"))
+    val census = spark.read.parquet(src.toString)
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.countDistinct(col("file_path")).as("nf"))
+      .head()
+    val (nDel, nFiles) = (census.getLong(0), census.getLong(1))
+    if (nDel == 0L) { TxnLog.rmrf(tmp); return (0, 0L) }
+    val delRel = s"data/del-s$snap.parquet"
     Files.move(src, Paths.get(base, delRel))
     TxnLog.rmrf(tmp)
-    def relOf(abs: String) =
-      abs.stripPrefix(Paths.get(base).toString).stripPrefix("/")
-    val carriedData = scan.dataFiles.map { case (abs, n) =>
-      (0, relOf(abs), n, 0, scan.dataSeq.getOrElse(abs, 0L))
-    }
-    val carriedDels = scan.posDeleteFiles.map(abs =>
-      (0, relOf(abs), 0L, 1, 0L))
     writeV2Manifest(spark, base, s"metadata/m$snap.avro",
-      carriedData ++ carriedDels :+ ((1, delRel, hits.length.toLong, 1, snap.toLong)))
+      carriedEntries(scan, base) :+ ((1, delRel, nDel, 1, snap.toLong)))
     writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
     writeMeta(base, v + 1, current = snap,
       snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
       refs = IcebergReader.refs(base, v), formatVersion = 2)
-    (hits.map(_._1).distinct.length, hits.length.toLong)
+    (nFiles.toInt, nDel)
+  }
+
+  /** Iceberg v2 UPSERT the streaming-CDC way (the Flink shape): ONE
+    * snapshot committing an EQUALITY-delete file (the source's distinct
+    * key tuples, content=2) plus the source rows as a data append —
+    * both at the new snapshot's sequence. The spec window does the
+    * merge: the delete erases matching rows only from data files with a
+    * STRICTLY smaller sequence number, so the appended (re-inserted)
+    * rows survive their own delete — no data file is rewritten and no
+    * read-side key index is needed. Returns (deleteKeys, appendedRows). */
+  def upsertEq(spark: SparkSession, source: DataFrame, base: String,
+               eqCols: Seq[String]): (Long, Long) = {
+    require(eqCols.nonEmpty && eqCols.forall(source.columns.contains),
+      s"equality columns ${eqCols.mkString(",")} must all exist in the source")
+    val v = IcebergReader.currentMetadataVersion(base)
+    val prev = IcebergReader.currentSnapshotId(base, v)
+    val scan = IcebergReader.planSnapshot(spark, base, prev)
+    require(scan.dataFiles.nonEmpty, s"upsertEq on empty table $base")
+    val snap = prev + 1
+    // the eq-delete file's OWN columns are the equality tuple (the
+    // reader resolves the spec's equality_ids to exactly the columns
+    // the file carries)
+    Files.createDirectories(Paths.get(base, "data"))
+    val tmp = s"$base/.stage-eqdel$snap"
+    TxnLog.rmrf(tmp)
+    source.select(eqCols.map(col): _*).distinct()
+      .repartition(1).sortWithinPartitions(eqCols.map(col): _*)
+      .write.parquet(tmp)
+    val src = Files.list(Paths.get(tmp)).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no eq-delete file staged"))
+    val nKeys = spark.read.parquet(src.toString).count()
+    require(nKeys > 0, "upsertEq with an empty source")
+    val delRel = s"data/eqdel-s$snap.parquet"
+    Files.move(src, Paths.get(base, delRel))
+    TxnLog.rmrf(tmp)
+    val files = writeData(spark, source, base, snap)
+    writeV2Manifest(spark, base, s"metadata/m$snap.avro",
+      carriedEntries(scan, base) ++
+        files.map { case (p, n) => (1, p, n, 0, snap.toLong) } :+
+        ((1, delRel, nKeys, 2, snap.toLong)))
+    writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
+    writeMeta(base, v + 1, current = snap,
+      snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
+      refs = IcebergReader.refs(base, v), formatVersion = 2)
+    (nKeys, files.map(_._2).sum)
+  }
+
+  /** Every live entry of `scan` as EXISTING (status=0) v2 manifest
+    * rows — data files AND delete files, each keeping its ORIGINAL
+    * sequence number and record count (the spec's delete windows and
+    * censuses depend on them; zeroing a carried delete's sequence
+    * would widen its window for external readers). */
+  private def carriedEntries(scan: IcebergReader.SnapshotScan,
+                             base: String): Seq[(Int, String, Long, Int, Long)] = {
+    def relOf(abs: String) =
+      abs.stripPrefix(Paths.get(base).toString).stripPrefix("/")
+    val data = scan.dataFiles.map { case (abs, n) =>
+      (0, relOf(abs), n, 0, scan.dataSeq.getOrElse(abs, 0L))
+    }
+    val dels = (scan.posDeleteFiles.map(p => (p, 1)) ++
+      scan.eqDeleteFiles.map(e => (e._1, 2))).map { case (abs, content) =>
+      val (n, seq) = scan.delMeta.getOrElse(abs, (0L, 0L))
+      (0, relOf(abs), n, content, seq)
+    }
+    data ++ dels
   }
 
   /** Append-only commit: snapshot N+1 adds `df`'s rows; the previous
-    * snapshot's live files ride along as EXISTING entries. */
+    * snapshot's live files ride along as EXISTING entries. On a v2
+    * table (or any snapshot carrying live delete files) the carry uses
+    * a v2 manifest with content + sequence columns — a v1 manifest here
+    * would DROP the delete files and silently resurrect deleted rows on
+    * the next read. */
   def append(spark: SparkSession, df: DataFrame, base: String): Unit = {
     val v = IcebergReader.currentMetadataVersion(base)
     val prev = IcebergReader.currentSnapshotId(base, v)
-    val carried = IcebergReader.snapshotFiles(spark, base, prev)
-      .map { case (abs, n) =>
-        // reader resolves relative paths against base; store them relative
-        val rel = abs.stripPrefix(Paths.get(base).toString).stripPrefix("/")
-        (0, rel, n)
-      }
+    val fv = IcebergReader.formatVersion(base, v)
+    val scan = IcebergReader.planSnapshot(spark, base, prev)
+    val hasDels = scan.posDeleteFiles.nonEmpty || scan.eqDeleteFiles.nonEmpty
     val snap = prev + 1
     val files = writeData(spark, df, base, snap)
-    writeManifest(spark, base, s"metadata/m$snap.avro",
-      carried ++ files.map { case (p, n) => (1, p, n) })
+    if (fv == 1 && !hasDels) {
+      val carried = scan.dataFiles.map { case (abs, n) =>
+        // reader resolves relative paths against base; store them relative
+        (0, abs.stripPrefix(Paths.get(base).toString).stripPrefix("/"), n)
+      }
+      writeManifest(spark, base, s"metadata/m$snap.avro",
+        carried ++ files.map { case (p, n) => (1, p, n) })
+    } else {
+      writeV2Manifest(spark, base, s"metadata/m$snap.avro",
+        carriedEntries(scan, base) ++
+          files.map { case (p, n) => (1, p, n, 0, snap.toLong) })
+    }
     writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
     // snapshot ids need not be contiguous after an expiry — carry the
-    // actual surviving list forward (and every declared ref)
+    // actual surviving list forward (and every declared ref); the
+    // format-version is THREADED, never downgraded
     writeMeta(base, v + 1, current = snap,
       snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
-      refs = IcebergReader.refs(base, v))
+      refs = IcebergReader.refs(base, v),
+      formatVersion = if (hasDels) 2 else fv)
   }
 }

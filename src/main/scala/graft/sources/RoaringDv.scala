@@ -188,8 +188,13 @@ object RoaringDv {
     * descriptor pieces (z85 uuid spelling, offset, sizeInBytes). The
     * layout is the spec's: version byte 1, then at `offset` a 4-byte
     * BIG-endian payload size, the payload, and its CRC32 (BE). */
-  def writeDvFile(base: String, positions: Seq[Long]): (String, Long, Int) = {
-    val payload = serialize(positions)
+  def writeDvFile(base: String, positions: Seq[Long]): (String, Long, Int) =
+    writeDvPayload(base, serialize(positions))
+
+  /** Same frame, but from an ALREADY-serialized bitmap payload — the
+    * DML path builds payloads executor-side and ships only the bytes
+    * to the driver for the commit. */
+  def writeDvPayload(base: String, payload: Array[Byte]): (String, Long, Int) = {
     val uuid = java.util.UUID.nameUUIDFromBytes(payload) // deterministic fixture ids
     val uuidBytes = ByteBuffer.allocate(16)
       .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits).array

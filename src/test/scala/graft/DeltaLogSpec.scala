@@ -410,6 +410,48 @@ class DeltaLogSpec extends SparkSpec {
       W.merge(spark, base, kv(2L -> 99L).filter(col("id") === 0L), "id"))
   }
 
+  test("partitioned DML: untouched partitions survive by identity; MERGE births a partition") {
+    val base = "/tmp/graft_delta_test/pdml"
+    val W = graft.sources.DeltaLogWriter
+    def rows(vals: (Long, String, Long)*) =
+      spark.createDataFrame(vals).toDF("id", "p", "v").coalesce(1)
+    W.create(spark, rows((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (4L, "b", 40L), (5L, "c", 50L), (6L, "c", 60L)), base, "t-pdml",
+      partitionBy = Seq("p"))
+    def livePaths(v: Long) = DeltaLogReader.snapshotFiles(base, v).map(_.path).toSet
+    def partFiles(v: Long, p: String) = livePaths(v).filter(_.startsWith(s"p=$p/"))
+    // DELETE inside partition a: b and c files carried by IDENTITY (no
+    // rewrite) — the partition-pruned-DML economics at 100 TB
+    assert(W.deleteWhere(spark, base, col("p") === "a" && col("id") === 1L) == ((1, 1L)))
+    assert(partFiles(1L, "b") == partFiles(0L, "b"))
+    assert(partFiles(1L, "c") == partFiles(0L, "c"))
+    assert(partFiles(1L, "a") != partFiles(0L, "a"))
+    // the commit's removes touch ONLY partition a
+    val v1 = Files.readAllLines(Paths.get(base, "_delta_log", f"${1L}%020d.json"))
+    v1.forEach(l => if (l.contains("\"remove\"")) assert(l.contains("p=a"), l))
+    // UPDATE inside partition b: a and c untouched
+    assert(W.update(spark, base, col("p") === "b" && col("id") === 3L,
+      df => df.withColumn("v", col("v") + 100L)) == ((1, 1L)))
+    assert(partFiles(2L, "a") == partFiles(1L, "a"))
+    assert(partFiles(2L, "c") == partFiles(0L, "c"))
+    // MERGE: replace id=4 (partition b) and insert id=9 into a NEW
+    // partition z — partition values ride both paths and the log
+    assert(W.merge(spark, base, rows((4L, "b", 400L), (9L, "z", 90L)), "id") == ((1L, 1L)))
+    assert(partFiles(3L, "c") == partFiles(0L, "c"))
+    assert(partFiles(3L, "z").nonEmpty, s"new partition z missing: ${livePaths(3L)}")
+    val got = DeltaLogReader.read(spark, base)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("p"), r.getAs[Long]("v"))).toSet
+    assert(got == Set((2L, "a", 20L), (3L, "b", 130L), (4L, "b", 400L),
+      (5L, "c", 50L), (6L, "c", 60L), (9L, "z", 90L)))
+    // an UPDATE that CHANGES the partition value routes the post-image
+    // to its new partition directory
+    assert(W.update(spark, base, col("id") === 6L,
+      df => df.withColumn("p", lit("m"))) == ((1, 1L)))
+    assert(partFiles(4L, "m").nonEmpty)
+    assert(DeltaLogReader.read(spark, base).filter(col("id") === 6L)
+      .select("p").head().getString(0) == "m")
+  }
+
   test("DML keeps rows whose predicate evaluates to NULL (SQL semantics)") {
     val base = "/tmp/graft_delta_test/nullpred"
     // tag is NULL for id=3: DELETE WHERE tag = 'x' must keep it

@@ -409,6 +409,52 @@ class IcebergSpec extends SparkSpec {
     assert(graft.sources.IcebergWriter.removeOrphans(spark, base).isEmpty)
   }
 
+  test("equality-delete writer: upsert windows, stacking, appends carry delete files") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IcebergWriter
+    val base = "/tmp/graft_iceberg_test/eqdml"
+    def kv(vals: (Long, Long)*) = spark.createDataFrame(vals).toDF("k", "v").coalesce(1)
+    IcebergWriter.create(spark, kv((1L to 6L).map(i => (i, i * 10L)): _*), base)
+    def m() = IcebergReader.read(spark, base)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // snap 2: upsert k=2,3 — ONE eq-delete file + ONE data append, the
+    // re-inserts surviving their own delete (strictly-smaller window)
+    assert(IcebergWriter.upsertEq(spark, kv((2L, 200L), (3L, 300L)), base, Seq("k")) == ((2L, 2L)))
+    assert(m() == Map(1L -> 10L, 2L -> 200L, 3L -> 300L, 4L -> 40L, 5L -> 50L, 6L -> 60L))
+    // snap 3 STACKS: k=3 again — must erase snap 2's re-insert too
+    // (the carried eq-delete keeps its ORIGINAL sequence; zeroed
+    // sequences would empty its window and resurrect k=2's original)
+    IcebergWriter.upsertEq(spark, kv((3L, 999L)), base, Seq("k"))
+    assert(m() == Map(1L -> 10L, 2L -> 200L, 3L -> 999L, 4L -> 40L, 5L -> 50L, 6L -> 60L))
+    // snap 4: plain APPEND over live delete files — the r10 ADVICE
+    // regression: a v1-manifest carry would drop them and resurrect
+    IcebergWriter.append(spark, kv((9L, 90L)), base)
+    assert(m() == Map(1L -> 10L, 2L -> 200L, 3L -> 999L, 4L -> 40L,
+      5L -> 50L, 6L -> 60L, 9L -> 90L))
+    val scan4 = IcebergReader.planSnapshot(spark, base, 4L)
+    assert(scan4.eqDeleteFiles.map(_._2).sorted == Seq(2L, 3L), scan4.eqDeleteFiles.toString)
+    // format-version survives append AND expiry (no v1 downgrade while
+    // delete files are live)
+    IcebergWriter.expireSnapshots(spark, base, keepFrom = 2L)
+    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      base, "metadata", s"v${IcebergReader.currentMetadataVersion(base)}.metadata.json"))
+    assert(meta.contains("\"format-version\":2"), meta)
+    assert(m() == Map(1L -> 10L, 2L -> 200L, 3L -> 999L, 4L -> 40L,
+      5L -> 50L, 6L -> 60L, 9L -> 90L))
+    // position DELETE now composes with live eq deletes (shared
+    // sequence ordering): delete the re-inserted k=2
+    val (pf, pd) = IcebergWriter.deleteWhere(spark, base, col("k") === 2L)
+    assert(pf == 1 && pd == 1L, s"($pf, $pd)")
+    assert(m() == Map(1L -> 10L, 3L -> 999L, 4L -> 40L, 5L -> 50L, 6L -> 60L, 9L -> 90L))
+    // carried delete entries keep their original sequences + counts
+    val scanEnd = IcebergReader.planSnapshot(spark, base,
+      IcebergReader.currentSnapshotId(base, IcebergReader.currentMetadataVersion(base)))
+    assert(scanEnd.eqDeleteFiles.map(_._2).sorted == Seq(2L, 3L))
+    assert(scanEnd.posDeleteFiles.size == 1)
+    assert(scanEnd.delMeta.values.toSeq.map(_._1).sorted == Seq(1L, 1L, 2L),
+      scanEnd.delMeta.toString) // record counts: eqdel 2 keys, eqdel 1 key, posdel 1 row
+  }
+
   test("timestamp transforms match the spec's ordinals (and their Column twins agree)") {
     import org.apache.spark.sql.functions.col
     import graft.sources.IcebergTransforms
