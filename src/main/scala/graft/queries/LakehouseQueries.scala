@@ -1188,7 +1188,21 @@ object LakehouseQueries extends QueryGroup {
       val tt = census(graft.sources.HudiReader.readAsOf(s, base, "002"), 3L)
       val incr = census(
         graft.sources.HudiReader.readIncremental(s, base, "001", "003"), 4L)
-      Seq(pre, post, tt, incr).reduce(_ unionAll _).orderBy("phase")
+      // ingest AFTER clustering (nightly clustering + continuous ingest,
+      // the normal lifecycle): keys route through the rebuilt key-range
+      // index; then clean — retired bucket groups are dead wholesale,
+      // content untouched. clean DELETES the files the earlier phases'
+      // lazy plans reference, so those censuses materialize EAGERLY
+      // first (1-row aggregates — KB-scale checkpoints).
+      graft.sources.HudiWriter.upsert(s,
+        o.filter(col("o_orderpriority") === "3-MEDIUM")
+          .withColumn("cents", col("cents") + 9), base)
+      val postUp = census(graft.sources.HudiReader.read(s, base), 5L)
+      val early = Seq(pre, post, tt, incr, postUp)
+        .map(_.localCheckpoint(true))
+      graft.sources.HudiWriter.clean(s, base)
+      val postClean = census(graft.sources.HudiReader.read(s, base), 6L)
+      (early :+ postClean).reduce(_ unionAll _).orderBy("phase")
     }),
 
     "q_hudi_incr" -> ((s, d) => {
@@ -2202,6 +2216,8 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "UNION ALL SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri = '1-URGENT' " +
+        "UNION ALL SELECT 5, count(*), CAST(sum(cents + CASE WHEN pri = '3-MEDIUM' THEN 9 ELSE 0 END) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 6, count(*), CAST(sum(cents + CASE WHEN pri = '3-MEDIUM' THEN 9 ELSE 0 END) AS BIGINT) FROM o " +
         "ORDER BY phase"),
     "q_hudi_incr" ->
       ("WITH o AS (SELECT o_orderkey % 3 AS g, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +

@@ -33,12 +33,10 @@ object HudiWriter {
   private def pad(i: Int): String = f"$i%03d"
 
   private def nextInstant(base: String): String = {
-    val d = Paths.get(base, ".hoodie")
-    val marker = "^([0-9]+)\\.(commit|deltacommit|inflight)$".r
-    val used = Files.list(d).iterator.asScala
-      .map(_.getFileName.toString)
-      .collect { case marker(t, _) => t.toInt }
-      .toSeq
+    // derived from the reader's own timeline (every instant type it
+    // knows, replacecommit included), not a second private regex — a
+    // marker invisible to this list would reuse its instant and collide
+    val used = HudiReader.timeline(base).map(_._1.toInt)
     pad(if (used.isEmpty) 1 else used.max + 1)
   }
 
@@ -66,10 +64,11 @@ object HudiWriter {
     * fixtures); at cluster scale each bucket is its own write task. */
   private def writeBuckets(spark: SparkSession, df: DataFrame, base: String,
                            bucketOf: Column, instant: String,
-                           fileIdPrefix: String = "g"): Unit = {
+                           fileIdPrefix: String = "g",
+                           drop: Seq[String] = Nil): Unit = {
     val tmp = s"$base/.stage"
     TxnLog.rmrf(tmp)
-    df.withColumn("__g", bucketOf.cast("string"))
+    df.withColumn("__g", bucketOf.cast("string")).drop(drop: _*)
       .repartition(1).write.partitionBy("__g").parquet(tmp)
     Files.list(Paths.get(tmp)).iterator.asScala
       .filter(_.getFileName.toString.startsWith("__g="))
@@ -105,28 +104,29 @@ object HudiWriter {
     instant
   }
 
-  /** The Hudi CLEANER (KEEP_LATEST_FILE_VERSIONS): per file group,
+  /** The Hudi CLEANER (KEEP_LATEST_FILE_VERSIONS): per LIVE file group,
     * keep the newest `keepVersions` committed base files and delete
     * the superseded slices — the storage-reclaim half of the CoW
     * discipline (every upsert leaves the whole previous file behind;
     * without a cleaner a hot bucket's history IS the table's size).
-    * Snapshot reads are untouched (they only ever open the latest
-    * slice); time travel past the retained window is gone by design,
-    * like snapshot expiry everywhere else. COW only — a MOR slice's
-    * logs belong to its base and are compaction's job. Returns the
-    * deleted file count. */
+    * Groups RETIRED by a replacecommit are dead wholesale — every one
+    * of their slices is reclaimable (time travel before the replace
+    * goes with them, the expiry family's shared contract). Snapshot
+    * reads are untouched (they only ever open live latest slices).
+    * COW only — a MOR slice's logs belong to its base and are
+    * compaction's job. Returns the deleted file count. */
   def clean(spark: SparkSession, base: String, keepVersions: Int = 1): Int = {
     require(keepVersions >= 1, s"must keep at least 1 version, got $keepVersions")
     HudiReader.assertReadable(base)
-    require(HudiReader.replacedGroups(base,
-        HudiReader.completedCommits(base).last).isEmpty,
-      "clean on a clustered table is beyond this minimal writer: per-group " +
-        "keep-newest would retain dead replaced slices as if live")
     val committed = HudiReader.completedCommits(base).toSet
+    val dead = HudiReader.replacedGroups(base, HudiReader.completedCommits(base).last)
     val victims = HudiReader.baseFiles(base)
       .filter(f => committed.contains(f.instant))
-      .groupBy(_.fileId).values.toSeq
-      .flatMap(_.sortBy(_.instant).dropRight(keepVersions))
+      .groupBy(_.fileId).toSeq
+      .flatMap { case (fid, fs) =>
+        if (dead.contains(fid)) fs
+        else fs.sortBy(_.instant).dropRight(keepVersions)
+      }
     victims.foreach(f => Files.delete(Paths.get(f.path)))
     victims.size
   }
@@ -260,8 +260,8 @@ object HudiWriter {
     * time travel BEFORE it still sees the bucket layout. Carried rows
     * keep their ORIGINAL `_hoodie_commit_time` — clustering moves
     * bytes, not data — so incremental reads stay truthful across the
-    * re-layout. COW only; later upserts/cleans are refused (the bucket
-    * index no longer routes keys to the live groups). Returns
+    * re-layout. New group ids are INSTANT-scoped (`c<instant>x<i>`) so
+    * re-clustering never collides with retired ids. COW only. Returns
     * (replacedGroups, newInstant). */
   def cluster(spark: SparkSession, base: String, targetGroups: Int): (Int, String) = {
     import org.apache.spark.sql.functions.ntile
@@ -270,8 +270,6 @@ object HudiWriter {
     val asOf = HudiReader.completedCommits(base).last
     val live = HudiReader.liveSlices(base, asOf)
     require(live.nonEmpty, s"nothing to cluster under $base")
-    require(HudiReader.replacedGroups(base, asOf).isEmpty,
-      s"$base is already clustered — re-clustering is beyond this minimal writer")
     val key = keyField(base)
     val instant = nextInstant(base)
     val rows = spark.read.parquet(live.map(_.path): _*)
@@ -281,7 +279,7 @@ object HudiWriter {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(key))
     Files.writeString(Paths.get(base, ".hoodie", s"$instant.inflight"), "")
     writeBuckets(spark, rows, base, ntile(targetGroups).over(w) - 1, instant,
-      fileIdPrefix = "c")
+      fileIdPrefix = s"c${instant}x")
     Files.delete(Paths.get(base, ".hoodie", s"$instant.inflight"))
     val replaced = live.map(_.fileId).sorted
     Files.writeString(Paths.get(base, ".hoodie", s"$instant.replacecommit"),
@@ -289,40 +287,81 @@ object HudiWriter {
     (replaced.size, instant)
   }
 
+  /** Routing expression mapping a record key to its LIVE file-group id.
+    * Bucket layout: `g<key mod n>` — exact, no data read. Clustered
+    * layout (live groups are key-range replacements): a range index
+    * rebuilt from the live groups' per-file MIN key (one column-pruned
+    * scan of just the key column — at cluster scale, a parquet
+    * footer-stats read) — key k routes to the group with the largest
+    * min ≤ k, else the lowest group. */
+  private def keyRouter(spark: SparkSession, base: String, key: String,
+                        live: Seq[HudiReader.BaseFile], clustered: Boolean): Column = {
+    import org.apache.spark.sql.functions.{concat, lit => flit, min, when}
+    if (!clustered)
+      return concat(flit("g"), pmod(col(key), lit(numBuckets(base))).cast("string"))
+    val fidByName = live.map(f => Paths.get(f.path).getFileName.toString -> f.fileId).toMap
+    val mins = spark.read.parquet(live.map(_.path): _*)
+      .groupBy(col("_metadata.file_name").as("f"))
+      .agg(min(col(key)).as("mn"))
+      .orderBy("mn").collect()
+      .map(r => (fidByName(r.getString(0)), r.get(1)))
+    mins.tail.foldLeft(flit(mins.head._1): Column) { case (acc, (fid, mn)) =>
+      when(col(key) >= flit(mn), fid).otherwise(acc)
+    }
+  }
+
   /** Copy-on-write upsert: rows in `df` replace same-key rows; every
-    * TOUCHED bucket is rewritten wholesale — carried rows keep their
-    * ORIGINAL `_hoodie_commit_time`, upserted rows get this instant's.
-    * Untouched buckets are not rewritten (their files stay; the
-    * incremental reader's group pruning depends on it). Returns the
-    * new instant. */
+    * TOUCHED file group is rewritten wholesale — carried rows keep
+    * their ORIGINAL `_hoodie_commit_time`, upserted rows get this
+    * instant's. Untouched groups are not rewritten (their files stay;
+    * the incremental reader's group pruning depends on it). Composes
+    * with clustering: on a clustered table keys route through the
+    * rebuilt key-range index (see [[keyRouter]]), and any live group
+    * still HOLDING a batch key is rewritten too (range-boundary ties),
+    * so nightly clustering + continuous ingest — the normal lifecycle —
+    * works. Returns the new instant. */
   def upsert(spark: SparkSession, df: DataFrame, base: String): String = {
+    import org.apache.spark.sql.functions.{broadcast, regexp_extract}
     HudiReader.assertReadable(base)
     val key = keyField(base)
     require(df.columns.contains(key), s"upsert batch lacks the record key $key")
-    val n = numBuckets(base)
     val instant = nextInstant(base)
     val asOf = HudiReader.completedCommits(base).last
-    require(HudiReader.replacedGroups(base, asOf).isEmpty,
-      "upsert on a clustered table is beyond this minimal writer: the bucket " +
-        "index no longer routes record keys to the live (key-sorted) file groups")
-    val bucket = pmod(col(key), lit(n))
-    val touched = df.select(bucket.cast("string").as("g")).distinct()
+    val live = HudiReader.liveSlices(base, asOf)
+    val clustered = HudiReader.replacedGroups(base, asOf).nonEmpty
+    val router = keyRouter(spark, base, key, live, clustered)
+    val fidOf = regexp_extract(col("_metadata.file_name"),
+      "^(.+?)_[0-9]+-[0-9]+-[0-9]+_", 1)
+    // groups the batch routes INTO ...
+    var touched = df.select(router.as("fid")).distinct()
       .collect().map(_.getString(0)).toSet
-    val committed = HudiReader.completedCommits(base).filter(_ <= asOf).toSet
-    val slicePaths = HudiReader.baseFiles(base)
-      .filter(f => committed.contains(f.instant))
-      .groupBy(_.fileId).values.map(_.maxBy(_.instant))
-      .filter(f => touched.contains(f.fileId.stripPrefix("g")))
-      .map(_.path).toSeq
-    require(slicePaths.nonEmpty, s"upsert touches no existing bucket under $base")
-    val old = spark.read.parquet(slicePaths: _*)
+    // ... plus, on a clustered table, groups still HOLDING a batch key
+    // (equal keys can straddle an ntile range boundary; missing the
+    // holder would leave the stale row live) — the standard upsert
+    // index-lookup join, one key-column scan
+    if (clustered) {
+      touched ++= spark.read.parquet(live.map(_.path): _*)
+        .withColumn("__fid", fidOf)
+        .join(broadcast(df.select(col(key)).distinct()), Seq(key), "left_semi")
+        .select("__fid").distinct().collect().map(_.getString(0))
+    }
+    val slices = live.filter(f => touched.contains(f.fileId))
+    require(slices.nonEmpty, s"upsert touches no existing bucket under $base")
+    val old = spark.read.parquet(slices.map(_.path): _*).withColumn("__fid", fidOf)
+    val dataCols = old.columns.filterNot(_ == "__fid").toIndexedSeq
+    // carried rows stay in their OWN group (identity, never re-routed —
+    // re-routing a boundary-tied row into an untouched group would
+    // duplicate it); only the batch's rows go through the router
     val carried = old.join(df.select(col(key)).distinct(), Seq(key), "left_anti")
+      .select(dataCols.map(col) :+ col("__fid"): _*)
     val stamped = df
       .withColumn("_hoodie_commit_time", lit(instant))
       .withColumn("_hoodie_record_key", col(key).cast("string"))
-      .select(old.columns.map(col).toIndexedSeq: _*)
+      .select(dataCols.map(col): _*)
+      .withColumn("__fid", router)
     Files.writeString(Paths.get(base, ".hoodie", s"$instant.inflight"), "")
-    writeBuckets(spark, carried.unionAll(stamped), base, bucket, instant)
+    writeBuckets(spark, carried.unionByName(stamped), base, col("__fid"), instant,
+      fileIdPrefix = "", drop = Seq("__fid"))
     Files.delete(Paths.get(base, ".hoodie", s"$instant.inflight"))
     Files.writeString(Paths.get(base, ".hoodie", s"$instant.commit"), "{}")
     instant

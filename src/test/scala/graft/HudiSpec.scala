@@ -246,11 +246,30 @@ class HudiSpec extends SparkSpec {
     val incr = HudiReader.readIncremental(spark, base, "001", instant)
       .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(incr == Seq((4L, 444L)), s"incremental over cluster wrong: $incr")
-    // the bucket index no longer routes: further upserts/cleans refuse
-    intercept[IllegalArgumentException](graft.sources.HudiWriter.upsert(spark,
-      spark.createDataFrame(Seq((1L, 1L))).toDF("k", "v"), base))
-    intercept[IllegalArgumentException](graft.sources.HudiWriter.clean(spark, base))
-    intercept[IllegalArgumentException](graft.sources.HudiWriter.cluster(spark, base, 2))
+    // ingest AFTER clustering (the normal nightly lifecycle): keys
+    // route through the rebuilt key-range index — update k=2 (low
+    // range) and insert k=99 (beyond every range → last group)
+    graft.sources.HudiWriter.upsert(spark,
+      spark.createDataFrame(Seq((2L, 222L), (99L, 990L))).toDF("k", "v"), base) // 004
+    def snap() = HudiReader.read(spark, base).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val want = (pre.toMap + (2L -> 222L) + (99L -> 990L)).toSeq.sortBy(_._1)
+    assert(snap() == want, s"post-cluster upsert wrong: ${snap()}")
+    // only the touched range groups were rewritten at 004
+    val live4 = HudiReader.sliceFiles(base, "004")
+    assert(live4.size == 2 && live4.forall(_.contains("x")), s"live4: $live4")
+    assert(live4.count(_.endsWith("_004.parquet")) == 2,
+      s"both ranges held an upserted key, both rewritten: $live4")
+    // clean on the clustered table: retired bucket slices (g*) are dead
+    // wholesale, superseded c-slices drop to keep=1, content untouched
+    val cleaned = graft.sources.HudiWriter.clean(spark, base)
+    assert(cleaned >= 3, s"expected the 3+ retired g-slices reclaimed, got $cleaned")
+    assert(snap() == want, "clean changed content")
+    // RE-clustering composes too (instant-scoped ids cannot collide)
+    val (nRep2, instant2) = graft.sources.HudiWriter.cluster(spark, base, 3)
+    assert(nRep2 == 2 && instant2 == "005", s"($nRep2, $instant2)")
+    assert(snap() == want, "re-clustering changed content")
+    assert(HudiReader.sliceFiles(base, instant2).size == 3)
   }
 
   test("logCommit rejects same-key collisions within one deltacommit") {
