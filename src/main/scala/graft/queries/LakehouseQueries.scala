@@ -519,6 +519,35 @@ object LakehouseQueries extends QueryGroup {
       versions.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // ---- Delta V2 CHECKPOINT (checkpointPolicy=v2 + sidecars) -------------
+    // Modern writers emit this layout by default on large tables: the
+    // top-level `<v>.checkpoint.<uuid>.parquet` holds only NON-FILE
+    // actions (checkpointMetadata/protocol/metaData/txn) plus `sidecar`
+    // pointer rows, and the add actions live in sidecar parquet under
+    // _delta_log/_sidecars/ — a reader that only speaks classic
+    // checkpoints cannot reconstruct the snapshot at all once the JSON
+    // tail expires. Same discipline as q_delta_checkpoint: v0+v1,
+    // checkpointV2 (TWO sidecars — the reader must union them),
+    // expireLog (v0's JSON is gone; v1 is reconstructable ONLY through
+    // the sidecars), then append v2 and census both readable versions.
+    "q_delta_v2checkpoint" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_v2ck"
+      val o = iceOrders(s, d)
+      def grp(r: Int) = o.filter(pmod(col("o_orderkey"), lit(3)) === r)
+      graft.sources.DeltaLogWriter.create(s, grp(0).coalesce(1), base, "graft-orders-v2ck")
+      graft.sources.DeltaLogWriter.append(s, grp(1).coalesce(1), base)
+      graft.sources.DeltaLogWriter.checkpointV2(s, base)
+      graft.sources.DeltaLogWriter.expireLog(base)
+      graft.sources.DeltaLogWriter.append(s, grp(2).coalesce(1), base)
+      val versions = Seq(1L, 2L).map { v =>
+        graft.sources.DeltaLogReader.read(s, base, v).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("total_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("total_cents"))
+      }
+      versions.reduce(_ unionAll _).orderBy("version")
+    }),
+
     // ---- Delta Change Data Feed ------------------------------------------
     // The CDC contract an incremental consumer reads: v0 inserts (two
     // files by o_orderkey%2), v1 cdc-updates f0's '2-HIGH' rows
@@ -2317,6 +2346,11 @@ object LakehouseQueries extends QueryGroup {
         "FROM orders WHERE o_orderpriority IN ('2-HIGH', '4-NOT SPECIFIED') " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_delta_checkpoint" ->
+      ("WITH o AS (SELECT o_orderkey % 3 AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE g IN (0, 1) " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "ORDER BY version"),
+    "q_delta_v2checkpoint" ->
       ("WITH o AS (SELECT o_orderkey % 3 AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE g IN (0, 1) " +
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o " +

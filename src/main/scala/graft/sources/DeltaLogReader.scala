@@ -195,8 +195,7 @@ object DeltaLogReader {
   private[sources] def checkpointMeta(spark: SparkSession, base: String,
                                       cv: Long): Option[(String, String, Seq[String], Map[String, String])] = {
     import org.apache.spark.sql.functions.col
-    val cp = logDir(base).resolve(f"$cv%020d.checkpoint.parquet")
-    require(Files.exists(cp), s"_last_checkpoint points at missing $cp")
+    val cp = checkpointFile(base, cv)
     val cdf = spark.read.parquet(cp.toString)
     if (!cdf.columns.contains("metaData")) return None
     val fields = cdf.schema("metaData").dataType
@@ -222,8 +221,7 @@ object DeltaLogReader {
   private[sources] def checkpointProtocol(spark: SparkSession, base: String, cv: Long)
   : Option[(Int, Int, Seq[String], Seq[String])] = {
     import org.apache.spark.sql.functions.col
-    val cp = logDir(base).resolve(f"$cv%020d.checkpoint.parquet")
-    require(Files.exists(cp), s"_last_checkpoint points at missing $cp")
+    val cp = checkpointFile(base, cv)
     val cdf = spark.read.parquet(cp.toString)
     if (!cdf.columns.contains("protocol")) return None
     val fields = cdf.schema("protocol").dataType
@@ -274,7 +272,8 @@ object DeltaLogReader {
 
   /** Reader features this engine honors (the table-features protocol:
     * minReaderVersion=3 lists the features a reader MUST implement). */
-  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "v2Checkpoint")
 
   /** Fail fast on tables this minimal reader cannot honor. Version 1
     * needs nothing; version 2 is column mapping by protocol version
@@ -444,6 +443,29 @@ object DeltaLogReader {
       .filter(_ <= version)
   }
 
+  /** Resolve checkpoint version `cv` to its parquet file: the classic
+    * `<v>.checkpoint.parquet`, else the V2 spelling
+    * `<v>.checkpoint.<uniqueStr>.parquet` (UUID-named, what
+    * checkpointPolicy=v2 writers emit). */
+  private def checkpointFileOpt(base: String, cv: Long): Option[Path] = {
+    val d = logDir(base)
+    val classic = d.resolve(f"$cv%020d.checkpoint.parquet")
+    if (Files.exists(classic)) return Some(classic)
+    if (!Files.isDirectory(d)) return None
+    val prefix = f"$cv%020d.checkpoint."
+    val matches = Files.list(d).iterator.asScala.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith(prefix) && n.endsWith(".parquet")
+    }.toSeq
+    require(matches.size <= 1,
+      s"ambiguous checkpoint for version $cv under $d: $matches")
+    matches.headOption
+  }
+
+  private def checkpointFile(base: String, cv: Long): Path =
+    checkpointFileOpt(base, cv).getOrElse(throw new IllegalStateException(
+      s"_last_checkpoint points at version $cv but no checkpoint parquet exists"))
+
   /** Live file set at `version`.
     *
     * With a usable checkpoint (the spec's replay-bounding mechanism —
@@ -460,8 +482,7 @@ object DeltaLogReader {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, DeltaAdd]
     val ckpt = spark.flatMap(s => checkpointAt(base, version).map((s, _)))
     ckpt.foreach { case (s, cv) =>
-      val cp = logDir(base).resolve(f"$cv%020d.checkpoint.parquet")
-      require(Files.exists(cp), s"_last_checkpoint points at missing $cp")
+      val cp = checkpointFile(base, cv)
       import org.apache.spark.sql.functions.col
       val cdf = s.read.parquet(cp.toString)
       // the checkpoint carries the protocol action too — honor the
@@ -472,27 +493,45 @@ object DeltaLogReader {
         assertReadable(
           s"""{"protocol":{"minReaderVersion":$mr,"readerFeatures":$feats}}""")
       }
-      val addFields = cdf.schema("add").dataType
-        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
-      val statsCol = if (addFields.contains("stats")) col("add.stats")
-                     else org.apache.spark.sql.functions.lit(null).cast("string")
-      val dvCol = if (addFields.contains("deletionVector"))
-        org.apache.spark.sql.functions.to_json(col("add.deletionVector"))
-      else org.apache.spark.sql.functions.lit(null).cast("string")
-      cdf.filter(col("add").isNotNull)
-        .select(col("add.path"), col("add.size"), statsCol, dvCol)
-        .collect()
-        .foreach { r =>
-          val stats = if (r.isNullAt(2)) "" else r.getString(2)
-          val dv = if (r.isNullAt(3)) None
-                   else dvOf("\"deletionVector\":" + r.getString(3))
-          live(r.getString(0)) = DeltaAdd(r.getString(0),
-            if (r.isNullAt(1)) 0L else r.getLong(1), dataChange = true,
-            minValues = statBounds(stats, "minValues"),
-            maxValues = statBounds(stats, "maxValues"),
-            numRecords = DeltaStream.numRecords(stats),
-            dv = dv)
-        }
+      // V2 checkpoints (checkpointPolicy=v2): the top-level file holds
+      // only non-file actions plus `sidecar` pointers; the add rows
+      // live in sidecar parquet under _delta_log/_sidecars/ — read the
+      // union (a classic checkpoint carries adds inline instead)
+      val addSources: Seq[DataFrame] =
+        (if (cdf.columns.contains("add")) Seq(cdf) else Nil) ++
+          (if (!cdf.columns.contains("sidecar")) Nil
+           else {
+             val sidecars = cdf.filter(col("sidecar").isNotNull)
+               .select(col("sidecar.path")).collect().map(_.getString(0))
+               .map(p => if (p.startsWith("/") || p.contains("://")) p
+                 else logDir(base).resolve("_sidecars").resolve(p).toString)
+             if (sidecars.isEmpty) Nil else Seq(s.read.parquet(sidecars.toIndexedSeq: _*))
+           })
+      require(addSources.nonEmpty,
+        s"checkpoint $cp carries neither add rows nor sidecar pointers")
+      addSources.foreach { src =>
+        val addFields = src.schema("add").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+        val statsCol = if (addFields.contains("stats")) col("add.stats")
+                       else org.apache.spark.sql.functions.lit(null).cast("string")
+        val dvCol = if (addFields.contains("deletionVector"))
+          org.apache.spark.sql.functions.to_json(col("add.deletionVector"))
+        else org.apache.spark.sql.functions.lit(null).cast("string")
+        src.filter(col("add").isNotNull)
+          .select(col("add.path"), col("add.size"), statsCol, dvCol)
+          .collect()
+          .foreach { r =>
+            val stats = if (r.isNullAt(2)) "" else r.getString(2)
+            val dv = if (r.isNullAt(3)) None
+                     else dvOf("\"deletionVector\":" + r.getString(3))
+            live(r.getString(0)) = DeltaAdd(r.getString(0),
+              if (r.isNullAt(1)) 0L else r.getLong(1), dataChange = true,
+              minValues = statBounds(stats, "minValues"),
+              maxValues = statBounds(stats, "maxValues"),
+              numRecords = DeltaStream.numRecords(stats),
+              dv = dv)
+          }
+      }
     }
     val from = ckpt.map(_._2 + 1).getOrElse(0L)
     (from to version).foreach { v =>
@@ -727,8 +766,7 @@ object DeltaLogReader {
   private def checkpointTxn(spark: SparkSession, base: String,
                             cv: Long, appId: String): Option[Long] = {
     import org.apache.spark.sql.functions.col
-    val cp = logDir(base).resolve(f"$cv%020d.checkpoint.parquet")
-    if (!Files.exists(cp)) return None
+    val cp = checkpointFileOpt(base, cv).getOrElse(return None)
     val cdf = spark.read.parquet(cp.toString)
     if (!cdf.columns.contains("txn")) return None
     cdf.filter(col("txn").isNotNull && col("txn.appId") === appId)
@@ -741,8 +779,7 @@ object DeltaLogReader {
   private[sources] def checkpointTxns(spark: SparkSession, base: String,
                                       cv: Long): Map[String, Long] = {
     import org.apache.spark.sql.functions.col
-    val cp = logDir(base).resolve(f"$cv%020d.checkpoint.parquet")
-    if (!Files.exists(cp)) return Map.empty
+    val cp = checkpointFileOpt(base, cv).getOrElse(return Map.empty)
     val cdf = spark.read.parquet(cp.toString)
     if (!cdf.columns.contains("txn")) return Map.empty
     cdf.filter(col("txn").isNotNull)

@@ -320,7 +320,8 @@ object DeltaLogWriter {
         txn) ++ addActions(spark, base, rels))
     } else {
       val version = DeltaLogReader.latestVersion(base) + 1
-      val rels = writeData(df, base, version)
+      val rels = writeData(df, base, version,
+        DeltaLogReader.partitionColumns(Some(spark), base, version - 1))
       commit(base, version,
         Seq(s"""{"commitInfo":{"operation":"STREAMING UPDATE","timestamp":0}}""", txn) ++
           addActions(spark, base, rels))
@@ -709,34 +710,19 @@ object DeltaLogWriter {
     * never data files, so no reader consumes them here. Readers seed
     * the live set from the checkpoint and replay only the JSON tail —
     * O(tail) instead of O(history) on long-lived tables. */
-  def checkpoint(spark: SparkSession, base: String): Long = {
-    import org.apache.spark.sql.Row
+  // -- checkpoint schemas (the spec's nullable-struct-per-action shape) --
+  private val dvT = {
     import org.apache.spark.sql.types._
-    val version = DeltaLogReader.latestVersion(base)
-    val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
-    // fold the REAL table state, not placeholders: the latest metaData
-    // (schemaString + partitionColumns — without it a post-expiry read
-    // of a partitioned table would silently drop partition columns,
-    // and an external Delta reader honoring _last_checkpoint would see
-    // an empty schema) and every appId's txn watermark (without it
-    // expireLog would re-open the exactly-once window for redelivered
-    // micro-batches). Remove tombstones are NOT folded: this writer's
-    // expireLog only cleans the log, never data files, so no reader
-    // needs them — documented, not spec-divergent for that use.
-    val meta = latestMetaData(spark, base, version)
-    val txns = foldedTxns(spark, base, version)
-    // fold the table's REAL protocol, features included — a DV table's
-    // checkpoint advertising minReaderVersion 1 would invite
-    // feature-blind external readers to scan the files raw and
-    // resurrect soft-deleted rows after the JSON log expires
-    val proto = DeltaLogReader.latestProtocol(Some(spark), base, version)
-    val dvT = StructType(Seq(
+    StructType(Seq(
       StructField("storageType", StringType),
       StructField("pathOrInlineDv", StringType),
       StructField("offset", LongType),
       StructField("sizeInBytes", IntegerType),
       StructField("cardinality", LongType)))
-    val addT = StructType(Seq(
+  }
+  private val addT = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
@@ -744,24 +730,55 @@ object DeltaLogWriter {
       StructField("dataChange", BooleanType),
       StructField("stats", StringType),
       StructField("deletionVector", dvT)))
-    val protoT = StructType(Seq(
+  }
+  private val protoT = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType),
       StructField("readerFeatures", ArrayType(StringType)),
       StructField("writerFeatures", ArrayType(StringType))))
-    val metaT = StructType(Seq(
+  }
+  private val metaT = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(StructField("provider", StringType)))),
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration", MapType(StringType, StringType)),
       StructField("createdTime", LongType)))
-    val txnT = StructType(Seq(
-      StructField("appId", StringType), StructField("version", LongType),
+  }
+  private val txnT = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType),
       StructField("lastUpdated", LongType)))
-    val schema = StructType(Seq(
-      StructField("protocol", protoT), StructField("metaData", metaT),
-      StructField("txn", txnT), StructField("add", addT)))
+  }
+
+  /** The folded snapshot state every checkpoint flavor writes:
+    * (version, one Row per protocol/metaData/txn action, one add Row
+    * per live file). Remove tombstones are NOT folded: this writer's
+    * expireLog only cleans the log, never data files, so no reader
+    * needs them — documented, not spec-divergent for that use. */
+  private def foldCheckpointState(spark: SparkSession, base: String)
+  : (Long, Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = {
+    import org.apache.spark.sql.Row
+    val version = DeltaLogReader.latestVersion(base)
+    val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
+    // fold the REAL table state, not placeholders: the latest metaData
+    // (schemaString + partitionColumns — without it a post-expiry read
+    // of a partitioned table would silently drop partition columns)
+    // and every appId's txn watermark (without it expireLog would
+    // re-open the exactly-once window for redelivered micro-batches)
+    val meta = latestMetaData(spark, base, version)
+    val txns = foldedTxns(spark, base, version)
+    // fold the table's REAL protocol, features included — a DV table's
+    // checkpoint advertising minReaderVersion 1 would invite
+    // feature-blind external readers to scan the files raw and
+    // resurrect soft-deleted rows after the JSON log expires
+    val proto = DeltaLogReader.latestProtocol(Some(spark), base, version)
     def statsJson(a: DeltaLogReader.DeltaAdd): String = {
       def side(tag: String, m: Map[String, Long]) =
         if (m.isEmpty) ""
@@ -770,31 +787,101 @@ object DeltaLogWriter {
           .mkString(s""","$tag":{""", ",", "}")
       s"""{"numRecords":${a.numRecords}${side("minValues", a.minValues)}${side("maxValues", a.maxValues)}}"""
     }
-    val rows =
+    val actionRows = Seq(
       Row(Row(proto._1, proto._2,
         if (proto._3.isEmpty) null else proto._3,
-        if (proto._4.isEmpty) null else proto._4), null, null, null) +:
-      Row(null, Row(meta._1, Row("parquet"), meta._2, meta._3, meta._4, 0L),
-        null, null) +:
-      (txns.toSeq.sortBy(_._1).map { case (app, v) =>
-        Row(null, null, Row(app, v, 0L), null)
-      } ++
-      live.map(a => Row(null, null, null,
-        Row(a.path, partitionValuePairs(a.path).toMap, a.size, 0L, true, statsJson(a),
-          a.dv.map(d => Row(d.storageType, d.pathOrInlineDv, d.offset,
-            d.sizeInBytes, d.cardinality)).orNull))))
-    val dir = Paths.get(base, "_delta_log")
-    val tmp = s"$base/_delta_log/.ckpt-stage"
-    TxnLog.rmrf(tmp)
+        if (proto._4.isEmpty) null else proto._4), null, null),
+      Row(null, Row(meta._1, Row("parquet"), meta._2, meta._3, meta._4, 0L), null)) ++
+      txns.toSeq.sortBy(_._1).map { case (app, v) => Row(null, null, Row(app, v, 0L)) }
+    val addRows = live.map(a =>
+      Row(Row(a.path, partitionValuePairs(a.path).toMap, a.size, 0L, true, statsJson(a),
+        a.dv.map(d => Row(d.storageType, d.pathOrInlineDv, d.offset,
+          d.sizeInBytes, d.cardinality)).orNull)))
+    (version, actionRows, addRows)
+  }
+
+  /** Stage-write one single-part parquet of `rows` and move it to
+    * `dest`; returns the row count. */
+  private def writeOneParquet(spark: SparkSession, stage: String,
+                              rows: Seq[org.apache.spark.sql.Row],
+                              schema: org.apache.spark.sql.types.StructType,
+                              dest: java.nio.file.Path): Unit = {
+    TxnLog.rmrf(stage)
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-      .coalesce(1).write.parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).iterator.asScala
+      .coalesce(1).write.parquet(stage)
+    val part = Files.list(Paths.get(stage)).iterator.asScala
       .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint stage wrote no parquet"))
-    Files.move(part, dir.resolve(f"$version%020d.checkpoint.parquet"))
-    TxnLog.rmrf(tmp)
+      .getOrElse(throw new IllegalStateException(s"stage $stage wrote no parquet"))
+    Files.createDirectories(dest.getParent)
+    Files.move(part, dest)
+    TxnLog.rmrf(stage)
+  }
+
+  def checkpoint(spark: SparkSession, base: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val (version, actions, adds) = foldCheckpointState(spark, base)
+    val schema = StructType(Seq(
+      StructField("protocol", protoT), StructField("metaData", metaT),
+      StructField("txn", txnT), StructField("add", addT)))
+    val rows = actions.map(r => Row(r.get(0), r.get(1), r.get(2), null)) ++
+      adds.map(r => Row(null, null, null, r.get(0)))
+    val dir = Paths.get(base, "_delta_log")
+    writeOneParquet(spark, s"$base/_delta_log/.ckpt-stage", rows, schema,
+      dir.resolve(f"$version%020d.checkpoint.parquet"))
     Files.write(dir.resolve("_last_checkpoint"),
       s"""{"version":$version,"size":${rows.size}}""".getBytes(StandardCharsets.UTF_8))
+    version
+  }
+
+  /** The spec's V2 CHECKPOINT (`checkpointPolicy=v2`), the layout
+    * modern writers emit by default on large tables: the top-level
+    * `<v>.checkpoint.<uniqueStr>.parquet` holds ONLY non-file actions —
+    * `checkpointMetadata`, protocol, metaData, txn — plus `sidecar`
+    * pointer rows; the add actions live in sidecar parquet files under
+    * `_delta_log/_sidecars/`. The top-level file stays KB-scale no
+    * matter how many files the snapshot holds, and sidecars
+    * parallelize both write and read. Two sidecars are written (when
+    * the live set allows) so readers must genuinely UNION them. */
+  def checkpointV2(spark: SparkSession, base: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val (version, actions, adds) = foldCheckpointState(spark, base)
+    val sideSchema = StructType(Seq(StructField("add", addT)))
+    val sideDir = Paths.get(base, "_delta_log", "_sidecars")
+    val halves =
+      if (adds.size <= 1) Seq(adds)
+      else Seq(adds.take(adds.size / 2), adds.drop(adds.size / 2))
+    val sidecars = halves.zipWithIndex.map { case (rows, i) =>
+      // deterministic uuid-shaped names (fixture reproducibility); the
+      // spec only requires uniqueness within _sidecars/
+      val name = java.util.UUID.nameUUIDFromBytes(
+        s"$base-$version-$i".getBytes(StandardCharsets.UTF_8)).toString + ".parquet"
+      writeOneParquet(spark, s"$base/_delta_log/.sidecar-stage$i", rows, sideSchema,
+        sideDir.resolve(name))
+      (name, Files.size(sideDir.resolve(name)))
+    }
+    val ckptMetaT = StructType(Seq(StructField("version", LongType)))
+    val sidecarT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType)))
+    val topSchema = StructType(Seq(
+      StructField("checkpointMetadata", ckptMetaT),
+      StructField("sidecar", sidecarT),
+      StructField("protocol", protoT), StructField("metaData", metaT),
+      StructField("txn", txnT)))
+    val topRows =
+      Row(Row(version), null, null, null, null) +:
+      (sidecars.map { case (n, sz) => Row(null, Row(n, sz, 0L), null, null, null) } ++
+        actions.map(r => Row(null, null, r.get(0), r.get(1), r.get(2))))
+    val dir = Paths.get(base, "_delta_log")
+    val unique = java.util.UUID.nameUUIDFromBytes(
+      s"$base-$version-top".getBytes(StandardCharsets.UTF_8)).toString
+    writeOneParquet(spark, s"$base/_delta_log/.ckpt-stage", topRows, topSchema,
+      dir.resolve(f"$version%020d.checkpoint.$unique.parquet"))
+    Files.write(dir.resolve("_last_checkpoint"),
+      s"""{"version":$version,"size":${topRows.size}}""".getBytes(StandardCharsets.UTF_8))
     version
   }
 

@@ -511,6 +511,40 @@ class DeltaLogSpec extends SparkSpec {
     assert(planned.size == 1, s"checkpoint-seeded stats did not prune: ${planned.map(_.path)}")
   }
 
+  test("v2 checkpoint: sidecar-seeded snapshots, partitions, txns and DVs survive expiry") {
+    val base = "/tmp/graft_delta_test/v2ckpt"
+    val W = graft.sources.DeltaLogWriter
+    def kv(vals: (Long, String)*) = spark.createDataFrame(vals).toDF("id", "p").coalesce(1)
+    // PARTITIONED table + a txn watermark + a DV delete: everything the
+    // checkpoint must fold now rides the sidecar/top-level split
+    W.create(spark, kv(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b"), base,
+      "t-v2ck", partitionBy = Seq("p"))
+    assert(W.appendIfAbsent(spark, kv(5L -> "c"), base, "appV2", 7L))
+    W.deleteWhereDv(spark, base, col("id") === 2L)
+    val cv = W.checkpointV2(spark, base)
+    assert(cv == 2L)
+    // the top-level file is UUID-named and carries no adds; sidecars do
+    val dir = Paths.get(base, "_delta_log")
+    import scala.jdk.CollectionConverters._
+    val top = Files.list(dir).iterator.asScala.map(_.getFileName.toString)
+      .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet")).toSeq
+    assert(top.size == 1 && top.head.length > "00000000000000000002.checkpoint.parquet".length, top.toString)
+    assert(!spark.read.parquet(s"$base/_delta_log/${top.head}").columns.contains("add"))
+    assert(Files.list(dir.resolve("_sidecars")).iterator.asScala.size == 2)
+    assert(W.expireLog(base) == 2) // v0, v1 JSON gone
+    // snapshot reconstructable ONLY through the sidecars: partition
+    // column intact, DV applied, txn watermark still closed
+    val got = DeltaLogReader.read(spark, base)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("p"))).toSet
+    assert(got == Set((1L, "a"), (3L, "b"), (4L, "b"), (5L, "c")))
+    assert(DeltaLogReader.lastTxnVersion(Some(spark), base, "appV2").contains(7L))
+    assert(!W.appendIfAbsent(spark, kv(9L -> "z"), base, "appV2", 7L),
+      "redelivered batch re-applied after expiry — exactly-once window re-opened")
+    // the tail still replays on top of the sidecar seed
+    W.append(spark, kv(6L -> "c"), base)
+    assert(DeltaLogReader.read(spark, base).count() == 5L)
+  }
+
   test("stats columns: integer types and all-NULL files do not break addActions") {
     val base = "/tmp/graft_delta_test/intstats"
     val df = spark.createDataFrame(Seq((1, Option(5)), (2, Option.empty[Int])))
@@ -654,10 +688,10 @@ class DeltaLogSpec extends SparkSpec {
     // a feature outside the supported set still fails fast
     val bad = mkTable("dvbad")
     commit(bad, 0,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","typeWidening"]}}""",
       """{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
     val e = intercept[IllegalArgumentException](DeltaLogReader.snapshotFiles(bad, 0))
-    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+    assert(e.getMessage.contains("typeWidening"), e.getMessage)
   }
 
   test("column mapping: physical names in files, logical in the log, rename is metadata-only") {
