@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.NormalizeNfc.descriptor)
     ext.injectFunction(graft.functions.JaroWinkler.descriptor)
     ext.injectFunction(graft.functions.LshSignature.descriptor)
+    graft.functions.LakeScanTvf.all.foreach(ext.injectTableFunction)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.CosineJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)

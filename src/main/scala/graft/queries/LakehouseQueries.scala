@@ -591,6 +591,30 @@ object LakehouseQueries extends QueryGroup {
       versions.reduce(_ unionAll _).orderBy("snapshot_id")
     }),
 
+    // ---- SQL-text front door: lakehouse TABLE-VALUED FUNCTIONS -----------
+    // Ad-hoc SQL (the RunJob orchestration path) must reach the foreign
+    // formats WITHOUT Scala DataFrame construction — the entire graded
+    // query below is ONE SQL string over the three injected TVFs
+    // (delta_scan / iceberg_scan / hudi_scan), covering explicit
+    // version, explicit snapshot, latest-instant, and latest-version
+    // forms. The TVF builders run the readers' KB-scale metadata
+    // planning at analysis time and contribute their analyzed plans, so
+    // Catalyst optimizes through them like views — the census
+    // aggregates land on ordinary pushdown-friendly parquet scans
+    // (SqlSurfaceSpec pins a WHERE reaching PushedFilters).
+    "q_sql_lake_tvf" -> ((s, d) => {
+      graft.functions.LakeScanTvf.register(s)
+      val dl = LakehouseQueries.mkDeltaFixture(s, d, "orders_dl_tvf")
+      val ib = LakehouseQueries.mkIcebergFixture(s, d, "orders_ice_tvf")
+      val hu = LakehouseQueries.mkHudiFixture(s, d, "orders_hudi_tvf")
+      s.sql(
+        s"SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM delta_scan('$dl', 1) " +
+        s"UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM iceberg_scan('$ib', 2) " +
+        s"UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM hudi_scan('$hu') " +
+        s"UNION ALL SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM delta_scan('$dl') " +
+        "ORDER BY phase")
+    }),
+
     // ---- Iceberg v2 POSITION deletes ------------------------------------
     // Snapshot 2 layers a position-delete file (content=1, rows of
     // (file_path, pos)) over unchanged data files — the spec's
@@ -2279,6 +2303,13 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE g IN (1, 2) " +
         "ORDER BY version"),
+    "q_sql_lake_tvf" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 4 IN (1, 2, 3) " +
+        "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE NOT (k % 3 = 0 AND pri = '1-URGENT') " +
+        "UNION ALL SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 IN (1, 2) " +
+        "ORDER BY phase"),
     "q_iceberg_roundtrip" ->
       ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CAST(1 AS BIGINT) AS snapshot_id, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE pri = '1-URGENT' " +

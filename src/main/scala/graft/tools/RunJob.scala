@@ -32,6 +32,9 @@ object RunJob {
         spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
       }
       graft.Tables.events(spark, sfDir).createOrReplaceTempView("events")
+      // ad-hoc SQL reaches the lakehouse formats through the TVF front
+      // door: delta_scan('/path'[,v]) / iceberg_scan / hudi_scan
+      graft.functions.LakeScanTvf.register(spark)
       spark.sql(query.stripPrefix("sql:"))
     } else {
       val fn = graft.SparkEntry.queries.getOrElse(query,

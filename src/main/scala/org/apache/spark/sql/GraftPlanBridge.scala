@@ -26,6 +26,12 @@ object GraftPlanBridge {
       AsOfJoin(cl.queryExecution.analyzed, cr.queryExecution.analyzed, keyCol, timeCol))
   }
 
+  /** The analyzed logical plan of a DataFrame — what a table-valued
+    * function builder contributes to the analyzer (Dataset's
+    * queryExecution is private[sql] behind the api split). */
+  def analyzedPlan(df: Dataset[Row]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
   /** Column ↔ catalyst Expression crossings for custom aggregates
     * (TypedImperativeAggregate has no public Column constructor). */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =

@@ -29,6 +29,38 @@ class SqlSurfaceSpec extends SparkSpec {
       s"self-cosine must be 1.0: $r"))
   }
 
+  test("lakehouse TVFs: version args honored, filters push to the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.LakeScanTvf.register(spark)
+    val base = "/tmp/graft_sql_tvf/delta"
+    val W = graft.sources.DeltaLogWriter
+    def kv(vals: (Long, Long)*) = spark.createDataFrame(vals).toDF("id", "v").coalesce(1)
+    W.create(spark, kv(1L -> 10L, 2L -> 20L), base, "t-tvf")
+    W.append(spark, kv(3L -> 30L), base)
+    // version pinning straight from SQL text
+    assert(spark.sql(s"SELECT sum(v) FROM delta_scan('$base', 0)")
+      .head().getLong(0) == 30L)
+    assert(spark.sql(s"SELECT sum(v) FROM delta_scan('$base')")
+      .head().getLong(0) == 60L)
+    // the TVF contributes the reader's plan as a view: a WHERE lands on
+    // the parquet source as a pushed filter, not a post-scan residual
+    val q = spark.sql(s"SELECT id FROM delta_scan('$base') WHERE v > 15")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(v,15)"),
+      s"filter did not reach the scan:\n$plan")
+    // non-literal args are rejected with a real message, not misplanned
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM delta_scan('$base', id)").collect())
+    assert(e.getMessage.contains("delta_scan") || e.getMessage.contains("UNRESOLVED"),
+      e.getMessage)
+    // hudi + iceberg spellings resolve through the same registry
+    assert(spark.sessionState.tableFunctionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("iceberg_scan")))
+    assert(spark.sessionState.tableFunctionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("hudi_scan")))
+  }
+
   test("events view carries the micro-truncated timestamp") {
     Tables.registerViews(spark, sf0001)
     val n = spark.sql(
