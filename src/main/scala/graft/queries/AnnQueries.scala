@@ -195,7 +195,18 @@ object AnnQueries extends QueryGroup {
     val s = e.sparkSession
     import s.implicits._
     val cells = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val n = e.count()
+    // size blocks from PLAN STATISTICS, not a driver count() — the
+    // count burned one whole extra job before any real work. rowCount
+    // when the optimizer knows it, else sizeInBytes over an avg
+    // serialized embedding row (~id + 64 doubles). Misestimation only
+    // moves nb inside [1, √cells] — a performance knob, never
+    // correctness: the per-cell top-k merge is exact at ANY nb
+    // (GraphEdgesSpec pins edge-set equality against the declarative
+    // all-pairs reference).
+    val (rowCount, sizeInBytes) = org.apache.spark.sql.GraftPlanBridge.planStats(e)
+    val n: Long = rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse {
+      math.max(1L, sizeInBytes.min(BigInt(Long.MaxValue)).toLong / 600L)
+    }
     val nbMax = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
     val nb = math.max(1, math.min(nbMax, math.ceil(n / 1024.0).toInt))
     val blockIds = array((0 until nb).map(lit): _*)

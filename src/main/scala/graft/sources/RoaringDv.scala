@@ -11,8 +11,13 @@ import java.util.zip.CRC32
   *   - the 64-bit "RoaringBitmapArray" portable serialization the spec
   *     mandates for the bitmap payload (4-byte magic 1681511377 LE +
   *     8-byte bitmap count + one standard 32-bit roaring bitmap per
-  *     high word), with array and bitmap containers (run containers
-  *     are rejected fast, not misread),
+  *     high word), with ALL THREE container flavors readable — array,
+  *     8 KiB bitset, and RUN containers (cookie 12347 + run bitset;
+  *     the offset section is omitted below the spec's 4-container
+  *     threshold, where containers decode sequentially). The writer
+  *     emits array/bitset only (it never has run-friendly inputs);
+  *     the reader accepts what real DV writers emit after optimize
+  *     on dense deletes,
   *   - the on-disk DV file frame: a 1-byte format version, then each
   *     DV at its descriptor's `offset` as
   *     `<4-byte BE size><payload><4-byte BE CRC32(payload)>`.
@@ -148,6 +153,11 @@ object RoaringDv {
     }
   }
 
+  /** The spec's offset-header threshold: a run-cookie bitmap with
+    * fewer containers omits the offset section entirely and readers
+    * must decode containers SEQUENTIALLY in header order. */
+  private val NO_OFFSET_THRESHOLD = 4
+
   private def deserialize32(buf: ByteBuffer): Seq[Int] = {
     val start = buf.position()
     val cookie = buf.getInt
@@ -155,17 +165,36 @@ object RoaringDv {
       if (cookie == COOKIE_NO_RUN) (buf.getInt, false)
       else if ((cookie & 0xffff) == COOKIE_RUN) (((cookie >>> 16) & 0xffff) + 1, true)
       else throw new IllegalArgumentException(s"bad roaring cookie $cookie")
-    require(!hasRuns, "run containers are beyond this minimal DV reader")
+    // run-cookie bitmaps carry a bitset marking which containers are
+    // RUN-encoded ((start, extra-length) uint16 pairs) — real DV
+    // writers emit these after optimize on dense deletes
+    val runBits =
+      if (!hasRuns) null
+      else { val b = new Array[Byte]((n + 7) / 8); buf.get(b); b }
+    def isRun(i: Int) = hasRuns && (runBits(i >>> 3) & (1 << (i & 7))) != 0
     val headers = (0 until n).map { _ =>
       val key = buf.getShort & 0xffff
       val card = (buf.getShort & 0xffff) + 1
       (key, card)
     }
-    val offsets = (0 until n).map(_ => buf.getInt)
+    val hasOffsets = !hasRuns || n >= NO_OFFSET_THRESHOLD
+    val offsets = if (hasOffsets) (0 until n).map(_ => buf.getInt) else Seq.empty[Int]
     val out = Seq.newBuilder[Int]
-    headers.zip(offsets).foreach { case ((key, card), off) =>
-      buf.position(start + off)
-      if (card <= ARRAY_MAX) {
+    (0 until n).foreach { i =>
+      val (key, card) = headers(i)
+      if (hasOffsets) buf.position(start + offsets(i))
+      if (isRun(i)) {
+        val nRuns = buf.getShort & 0xffff
+        var total = 0
+        (0 until nRuns).foreach { _ =>
+          val v0 = buf.getShort & 0xffff
+          val len = buf.getShort & 0xffff // run covers v0 .. v0+len inclusive
+          (v0 to v0 + len).foreach(v => out += (key << 16) | v)
+          total += len + 1
+        }
+        require(total == card,
+          s"run container $i declares cardinality $card but its runs cover $total")
+      } else if (card <= ARRAY_MAX) {
         (0 until card).foreach { _ =>
           out += (key << 16) | (buf.getShort & 0xffff)
         }

@@ -26,6 +26,14 @@ object GraftPlanBridge {
       AsOfJoin(cl.queryExecution.analyzed, cr.queryExecution.analyzed, keyCol, timeCol))
   }
 
+  /** (rowCount if the optimizer knows it, sizeInBytes estimate) of a
+    * DataFrame's optimized plan — free driver-side statistics for
+    * sizing decisions that would otherwise burn a count() job. */
+  def planStats(df: Dataset[Row]): (Option[BigInt], BigInt) = {
+    val st = df.asInstanceOf[classic.Dataset[Row]].queryExecution.optimizedPlan.stats
+    (st.rowCount, st.sizeInBytes)
+  }
+
   /** The analyzed logical plan of a DataFrame — what a table-valued
     * function builder contributes to the analyzer (Dataset's
     * queryExecution is private[sql] behind the api split). */

@@ -621,14 +621,66 @@ class DeltaLogSpec extends SparkSpec {
     assert(RoaringDv.serialize(Seq(1L, 2L, 100000L)).toSeq == pinned.toSeq,
       "serialized bytes drifted from the spec-pinned portable format")
     assert(RoaringDv.deserialize(pinned) == Seq(1L, 2L, 100000L))
-    // a run-flavored bitmap (cookie 12347, count-1 in the high 16 bits)
-    // is recognized and rejected explicitly, never misparsed as no-run
-    val runBitmap = Array[Int](
-      0xd1, 0xd3, 0x39, 0x64, 0x01, 0, 0, 0, 0, 0, 0, 0,
-      0x3b, 0x30, 0x00, 0x00  // cookie 12347 | (1-1)<<16 = one run container
+    // RUN containers (cookie 12347) — hand-assembled per the portable
+    // spec. Below NO_OFFSET_THRESHOLD=4 the offset section is OMITTED
+    // and containers decode sequentially: 2 containers, container 0
+    // run-encoded ({5..8} as run (5, len 3)), container 1 array [1,2].
+    val runNoOffsets = Array[Int](
+      0xd1, 0xd3, 0x39, 0x64, 0x01, 0, 0, 0, 0, 0, 0, 0, // magic + 1 bitmap
+      0x3b, 0x30, 0x01, 0x00,   // cookie 12347 | (2-1)<<16
+      0x01,                     // run bitset: container 0 is a run
+      0x00, 0x00, 0x03, 0x00,   // key 0, card-1 = 3
+      0x01, 0x00, 0x01, 0x00,   // key 1, card-1 = 1
+      0x01, 0x00,               // container 0: 1 run
+      0x05, 0x00, 0x03, 0x00,   //   run start 5, extra length 3 → {5,6,7,8}
+      0x01, 0x00, 0x02, 0x00    // container 1: array [1, 2]
     ).map(_.toByte)
-    val eRun = intercept[IllegalArgumentException](RoaringDv.deserialize(runBitmap))
-    assert(eRun.getMessage.contains("run"), eRun.getMessage)
+    assert(RoaringDv.deserialize(runNoOffsets) ==
+      Seq(5L, 6L, 7L, 8L, 65537L, 65538L))
+    // at 4+ containers the offset section IS present (offsets from the
+    // bitmap's first cookie byte); container 2 is the run here
+    val runWithOffsets = Array[Int](
+      0xd1, 0xd3, 0x39, 0x64, 0x01, 0, 0, 0, 0, 0, 0, 0,
+      0x3b, 0x30, 0x03, 0x00,   // cookie 12347 | (4-1)<<16
+      0x04,                     // run bitset: container 2 is a run
+      0x00, 0x00, 0x00, 0x00,   // key 0, card 1
+      0x01, 0x00, 0x00, 0x00,   // key 1, card 1
+      0x02, 0x00, 0x02, 0x00,   // key 2, card 3
+      0x03, 0x00, 0x00, 0x00,   // key 3, card 1
+      37, 0, 0, 0, 39, 0, 0, 0, 41, 0, 0, 0, 47, 0, 0, 0, // offsets
+      0x0a, 0x00,               // c0: [10]
+      0x14, 0x00,               // c1: [20]
+      0x01, 0x00, 0x00, 0x00, 0x02, 0x00, // c2: 1 run, start 0 len 2 → {0,1,2}
+      0x07, 0x00                // c3: [7]
+    ).map(_.toByte)
+    assert(RoaringDv.deserialize(runWithOffsets) ==
+      Seq(10L, 65556L, 131072L, 131073L, 131074L, 196615L))
+    // a run whose coverage disagrees with the declared cardinality is
+    // rejected, not silently trusted
+    val badCard = runNoOffsets.clone()
+    badCard(19) = 0x05 // card-1 = 5, but the run still covers 4 values
+    intercept[IllegalArgumentException](RoaringDv.deserialize(badCard))
+  }
+
+  test("a run-encoded DV masks rows through the ordinary read path") {
+    val base = mkTable("dvrun")
+    writeParquet(base, "a.parquet", (0L to 9L))
+    // inline DV: run container masking rows 2..5 (one run, start 2 len 3)
+    val payload = Array[Int](
+      0xd1, 0xd3, 0x39, 0x64, 0x01, 0, 0, 0, 0, 0, 0, 0,
+      0x3b, 0x30, 0x00, 0x00,   // cookie 12347 | (1-1)<<16
+      0x01,                     // container 0 is a run
+      0x00, 0x00, 0x03, 0x00,   // key 0, card-1 = 3
+      0x01, 0x00,               // 1 run
+      0x02, 0x00, 0x03, 0x00    // start 2, extra length 3 → {2,3,4,5}
+    ).map(_.toByte)
+    val padded = payload ++ Array.fill((4 - payload.length % 4) % 4)(0.toByte)
+    val inline = graft.sources.RoaringDv.z85Encode(padded)
+    commit(base, 0,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${payload.length},"cardinality":4}}}""")
+    assert(DeltaLogReader.read(spark, base, 0L).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 6L, 7L, 8L, 9L))
   }
 
   test("deletion vectors: DV delete stacks, time travel intact, guards hold") {
