@@ -581,6 +581,54 @@ class PlanAuditSpec extends SparkSpec {
       s"merge wrong: $got")
   }
 
+  test("lakehouse DML writers never collect matched row positions to the driver") {
+    // the r10-flagged driver-OOM class: deleteWhereDv / Iceberg
+    // deleteWhere used to collect EVERY matched (path, pos) pair. Now
+    // per-file bitmaps build executor-side and the delete parquet
+    // stages straight from the scan — so no collect-family action may
+    // return a row-position schema. A QueryExecutionListener records
+    // the output schema of every collect/head during both DMLs.
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Seq[String]]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        if (Set("collect", "head", "collectResult").contains(funcName))
+          seen.add(qe.analyzed.output.map(_.name))
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val dbase = "/tmp/graft_plan_test/dml_positions_delta"
+      val rows = spark.createDataFrame((1L to 400L).map(i => (i, i % 7))).toDF("id", "g")
+      graft.sources.DeltaLogWriter.create(spark, rows.repartition(2), dbase, "t-pos")
+      graft.sources.DeltaLogWriter.deleteWhereDv(spark, dbase,
+        org.apache.spark.sql.functions.col("g") === 0L)
+      val ibase = "/tmp/graft_plan_test/dml_positions_ice"
+      graft.sources.IcebergWriter.create(spark, rows.repartition(2), ibase)
+      graft.sources.IcebergWriter.deleteWhere(spark, ibase,
+        org.apache.spark.sql.functions.col("g") === 1L)
+      // flush the async listener bus behind a sentinel collect
+      spark.range(1).toDF("__dml_pin_sentinel").collect()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!seen.contains(Seq("__dml_pin_sentinel")) && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      import scala.jdk.CollectionConverters._
+      val schemas = seen.asScala.toSeq
+      assert(schemas.contains(Seq("__dml_pin_sentinel")), "listener never flushed")
+      val positionShaped = schemas.filter(s =>
+        s == Seq("__path", "__pos") || s == Seq("file_path", "pos"))
+      assert(positionShaped.isEmpty,
+        s"a DML collected raw row positions to the driver: $schemas")
+      // and the results stayed right
+      assert(graft.sources.DeltaLogReader.read(spark, dbase).count() == 343L)
+      assert(graft.sources.IcebergReader.read(spark, ibase).count() == 342L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("q_changepoint's windows run over the daily census, not the corpus") {
     val qe = SparkEntry.queries("q_changepoint")(spark, sf0001).queryExecution
     val unpart = qe.optimizedPlan.collect {
