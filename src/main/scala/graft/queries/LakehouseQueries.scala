@@ -348,6 +348,43 @@ object LakehouseQueries extends QueryGroup {
       versions.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // ---- Delta REORG (APPLY PURGE): DV materialization ---------------------
+    // The missing half of the DV lifecycle: once a table accumulates
+    // deletion vectors, EVERY rewrite op refuses it (they would
+    // resurrect masked rows) and the soft-deleted bytes never reclaim.
+    // REORG rewrites ONLY the DV-carrying files with their masks
+    // applied and drops the descriptors — content identical, so the
+    // commit is dataChange=false and CDF consumers skip it, exactly
+    // like OPTIMIZE. Fixture: create (v0), two stacking DV deletes
+    // (v1, v2), reorgPurge (v3), append a replacement slice (v4),
+    // OPTIMIZE (v5 — legal again post-purge). Census every version
+    // PLUS the CDF census over the whole history (phases 10+v): REORG
+    // and OPTIMIZE must contribute NO change rows — an extra phase row
+    // hash-fails on row count.
+    "q_delta_reorg" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_reorg"
+      val o = iceOrders(s, d)
+      graft.sources.DeltaLogWriter.create(s, o.repartition(3), base, "graft-orders-reorg")
+      graft.sources.DeltaLogWriter.deleteWhereDv(s, base,
+        col("o_orderpriority") === "1-URGENT")
+      graft.sources.DeltaLogWriter.deleteWhereDv(s, base,
+        col("o_orderpriority") === "2-HIGH")
+      graft.sources.DeltaLogWriter.reorgPurge(s, base)
+      graft.sources.DeltaLogWriter.append(s,
+        o.filter(col("o_orderpriority") === "1-URGENT")
+          .withColumn("cents", col("cents") + 1).coalesce(1), base)
+      graft.sources.DeltaLogWriter.optimize(s, base)
+      val versions = (0L to 5L).map { v =>
+        graft.sources.DeltaLogReader.read(s, base, v).agg(
+          count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(v).as("phase"), col("n_rows"), col("total_cents"))
+      }
+      val cdf = graft.sources.DeltaLogReader.readChanges(s, base, 0L, 5L)
+        .groupBy((col("_commit_version") + 10L).as("phase"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      (versions :+ cdf).reduce(_ unionAll _).orderBy("phase")
+    }),
+
     // ---- Delta COLUMN MAPPING (mode=name) --------------------------------
     // Any table that ever ran ALTER TABLE RENAME COLUMN carries
     // delta.columnMapping.mode=name: parquet files store PHYSICAL
@@ -2209,6 +2246,21 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM v3 " +
         "UNION ALL SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM v4 " +
         "ORDER BY snapshot_id"),
+    "q_delta_reorg" ->
+      ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "base AS (SELECT cents FROM o WHERE pri NOT IN ('1-URGENT', '2-HIGH')), " +
+        "v4 AS (SELECT cents FROM base UNION ALL SELECT cents + 1 FROM o WHERE pri = '1-URGENT') " +
+        "SELECT CAST(0 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri <> '1-URGENT' " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM base " +
+        "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM base " +
+        "UNION ALL SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM v4 " +
+        "UNION ALL SELECT 5, count(*), CAST(sum(cents) AS BIGINT) FROM v4 " +
+        "UNION ALL SELECT 10, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 11, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri = '1-URGENT' " +
+        "UNION ALL SELECT 12, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri = '2-HIGH' " +
+        "UNION ALL SELECT 14, count(*), CAST(sum(cents + 1) AS BIGINT) FROM o WHERE pri = '1-URGENT' " +
+        "ORDER BY phase"),
     "q_iceberg_eq_deletes" ->
       ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CAST(1 AS BIGINT) AS snapshot_id, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +

@@ -612,6 +612,20 @@ object DeltaLogReader {
       .select(cols.toIndexedSeq: _*)
   }
 
+  /** Read a SUBSET of a snapshot's files with their deletion vectors
+    * applied (partition values recovered via basePath on partitioned
+    * tables) — the writer's REORG/purge path reads exactly the
+    * DV-carrying files this way. */
+  private[sources] def readAddsWithDvs(spark: SparkSession, base: String,
+                                       adds: Seq[DeltaAdd],
+                                       pcols: Seq[String]): DataFrame = {
+    val files = adds.map(a => Paths.get(base).resolve(a.path).toString)
+    val data =
+      if (pcols.isEmpty) spark.read.parquet(files: _*)
+      else spark.read.option("basePath", base).parquet(files: _*)
+    applyDvs(spark, base, adds, data)
+  }
+
   /** Table CHECK constraints at `version` — the last metaData's
     * `delta.constraints.<name>` configuration entries (the spec's
     * constraint storage; writers MUST validate every append against

@@ -346,24 +346,85 @@ object DeltaLogWriter {
   def optimize(spark: SparkSession, base: String,
                targetBytes: Long = 128L << 20): (Int, Int) = {
     val version = DeltaLogReader.latestVersion(base)
-    require(DeltaLogReader.partitionColumns(Some(spark), base, version).isEmpty,
-      "OPTIMIZE on a partitioned table needs per-partition bin-packing — " +
-        "beyond this minimal writer")
+    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
     val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
     requireNoDv(live, "OPTIMIZE")
-    val liveBytes = live.map(_.size).sum
-    val numOut = math.max(1, math.ceil(liveBytes.toDouble / targetBytes).toInt)
-    if (numOut >= live.size) return (live.size, live.size) // nothing to pack
-    val df = spark.read.parquet(live.map(a => s"$base/${a.path}"): _*)
-      .repartition(numOut)
-    val rels = writeData(df, base, version + 1)
-    val adds = addActions(spark, base, rels)
+    // partition dirs are independent pack domains (a file can only
+    // merge with files of its own partition values) — bin-pack each
+    // partition's live set separately and commit every rewrite in ONE
+    // version. Non-partitioned tables are the single-domain case.
+    val domains: Seq[(String, Seq[DeltaLogReader.DeltaAdd])] =
+      if (pcols.isEmpty) Seq(("", live))
+      else live.groupBy(a => a.path.take(a.path.lastIndexOf('/') + 1)).toSeq.sortBy(_._1)
+    val next = version + 1
+    var counter = 0
+    val packed = domains.flatMap { case (prefix, files) =>
+      val bytes = files.map(_.size).sum
+      val numOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      if (numOut >= files.size) None // this domain is already packed
+      else {
+        // stage the packed rewrite, then move parts under the SAME
+        // partition dir — partition values live in the path (and the
+        // add's partitionValues derive from it)
+        val tmp = s"$base/.stage-opt$next-$counter"
+        counter += 1
+        TxnLog.rmrf(tmp)
+        spark.read.parquet(files.map(a => s"$base/${a.path}"): _*)
+          .repartition(numOut).write.parquet(tmp)
+        val rels = Files.list(Paths.get(tmp)).iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map { p =>
+            val rel = s"$prefix" + s"v$next-${p.getFileName}"
+            Files.createDirectories(Paths.get(base, rel).getParent)
+            Files.move(p, Paths.get(base, rel))
+            rel
+          }.toSeq
+        TxnLog.rmrf(tmp)
+        Some((files, rels))
+      }
+    }
+    if (packed.isEmpty) return (live.size, live.size) // nothing to pack
+    val adds = addActions(spark, base, packed.flatMap(_._2))
       .map(_.replace("\"dataChange\":true", "\"dataChange\":false"))
-    val removes = live.map(a =>
+    val removes = packed.flatMap(_._1).map(a =>
       s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":false}}""")
-    commit(base, version + 1,
+    commit(base, next,
       s"""{"commitInfo":{"operation":"OPTIMIZE","timestamp":0}}""" +: (removes ++ adds))
-    (live.size, rels.size)
+    val rewrittenBefore = packed.map(_._1.size).sum
+    val rewrittenAfter = packed.map(_._2.size).sum
+    (live.size, live.size - rewrittenBefore + rewrittenAfter)
+  }
+
+  /** REORG TABLE ... APPLY (PURGE): MATERIALIZE the deletion vectors —
+    * rewrite ONLY the DV-carrying files with their masks applied and
+    * drop the descriptors. Content is IDENTICAL, so the commit is
+    * `dataChange=false` (CDF/streaming consumers skip it, like
+    * OPTIMIZE), and the purge unblocks every rewrite-based op
+    * (OPTIMIZE / CoW DML / MERGE / RESTORE refuse DV tables rather
+    * than resurrect masked rows). Files without a DV are NOT touched —
+    * on a 100 TB table the rewrite cost is proportional to the
+    * soft-deleted surface, not the table. Returns
+    * (purgedFiles, droppedPositions). */
+  def reorgPurge(spark: SparkSession, base: String): (Int, Long) = {
+    val version = DeltaLogReader.latestVersion(base)
+    require(DeltaLogReader.columnMappingSchema(Some(spark), base, version).isEmpty,
+      "REORG PURGE on a column-mapped table is beyond this minimal writer")
+    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
+    val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
+    val withDv = live.filter(_.dv.isDefined)
+    if (withDv.isEmpty) return (0, 0L)
+    val masked = DeltaLogReader.readAddsWithDvs(spark, base, withDv, pcols)
+    val next = version + 1
+    // stats keys carried from the purged files keep data skipping alive
+    val statsFor = withDv.flatMap(a => a.minValues.keys).distinct
+    val rels = writeData(masked.coalesce(1), base, next, pcols)
+    val adds = addActions(spark, base, rels, statsFor)
+      .map(_.replace("\"dataChange\":true", "\"dataChange\":false"))
+    val removes = withDv.map(a =>
+      s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":false}}""")
+    commit(base, next,
+      s"""{"commitInfo":{"operation":"REORG","timestamp":0}}""" +: (removes ++ adds))
+    (withDv.size, withDv.map(_.dv.get.cardinality).sum)
   }
 
   /** Rewrite-based ops read live parquet raw — on a DV-carrying table

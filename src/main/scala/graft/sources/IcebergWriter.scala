@@ -288,36 +288,56 @@ object IcebergWriter {
 
   /** Bin-pack compaction (the rewrite-data-files action): snapshot N+1
     * replaces ALL live data files with `ceil(liveBytes/target)` packed
-    * files — old entries DELETED (status=2), new ADDED, content
-    * identical. The foreign twin of `DeltaLogWriter.optimize`; the old
-    * files stay on disk for time travel until [[expireSnapshots]].
-    * Returns (filesBefore, filesAfter). */
+    * files — old entries DELETED (status=2), new ADDED. On a table
+    * carrying live position/equality delete files, the rewrite APPLIES
+    * them (the rows come from the read path's own delete semantics) and
+    * the delete files drop from the new snapshot too — real Iceberg
+    * compaction's delete-file elimination, the maintenance op that
+    * stops delete debt accumulating on a hot v2 table. Content is
+    * identical to the pre-rewrite READ; the old files stay on disk for
+    * time travel until [[expireSnapshots]]. The foreign twin of
+    * `DeltaLogWriter.optimize`+`reorgPurge`. Returns
+    * (filesBefore, filesAfter). */
   def rewrite(spark: SparkSession, base: String,
               targetBytes: Long = 128L << 20): (Int, Int) = {
     val v = IcebergReader.currentMetadataVersion(base)
+    val fv = IcebergReader.formatVersion(base, v)
     val prev = IcebergReader.currentSnapshotId(base, v)
     val scan = IcebergReader.planSnapshot(spark, base, prev)
-    require(scan.posDeleteFiles.isEmpty && scan.eqDeleteFiles.isEmpty,
-      "rewrite over delete files must apply them first — beyond this minimal writer")
     val live = scan.dataFiles
+    val hasDels = scan.posDeleteFiles.nonEmpty || scan.eqDeleteFiles.nonEmpty
     val liveBytes = live.map(f => Files.size(Paths.get(f._1))).sum
     val numOut = math.max(1, math.ceil(liveBytes.toDouble / targetBytes).toInt)
-    if (numOut >= live.size) return (live.size, live.size)
+    if (!hasDels && numOut >= live.size) return (live.size, live.size)
     val snap = prev + 1
-    val files = writeData(spark,
-      spark.read.parquet(live.map(_._1): _*).repartition(numOut), base, snap)
-    val dropped = live.map { case (abs, n) =>
-      (2, abs.stripPrefix(Paths.get(base).toString).stripPrefix("/"), n)
+    val rows =
+      if (hasDels) IcebergReader.read(spark, base, prev)
+      else spark.read.parquet(live.map(_._1): _*)
+    val files = writeData(spark, rows.repartition(numOut), base, snap)
+    def relOf(abs: String) = abs.stripPrefix(Paths.get(base).toString).stripPrefix("/")
+    if (fv == 1 && !hasDels) {
+      writeManifest(spark, base, s"metadata/m$snap.avro",
+        live.map { case (abs, n) => (2, relOf(abs), n) } ++
+          files.map { case (p, n) => (1, p, n) })
+    } else {
+      val droppedData = live.map { case (abs, n) =>
+        (2, relOf(abs), n, 0, scan.dataSeq.getOrElse(abs, 0L))
+      }
+      val droppedDels = (scan.posDeleteFiles.map(p => (p, 1)) ++
+        scan.eqDeleteFiles.map(e => (e._1, 2))).map { case (abs, content) =>
+        val (n, seq) = scan.delMeta.getOrElse(abs, (0L, 0L))
+        (2, relOf(abs), n, content, seq)
+      }
+      writeV2Manifest(spark, base, s"metadata/m$snap.avro",
+        droppedData ++ droppedDels ++
+          files.map { case (p, n) => (1, p, n, 0, snap.toLong) })
     }
-    writeManifest(spark, base, s"metadata/m$snap.avro",
-      dropped ++ files.map { case (p, n) => (1, p, n) })
     writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
     // snapshot ids need not be contiguous after an expiry — carry the
     // actual surviving list forward (and every declared ref)
     writeMeta(base, v + 1, current = snap,
       snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
-      refs = IcebergReader.refs(base, v),
-      formatVersion = IcebergReader.formatVersion(base, v))
+      refs = IcebergReader.refs(base, v), formatVersion = fv)
     (live.size, files.size)
   }
 

@@ -325,9 +325,19 @@ class DeltaLogSpec extends SparkSpec {
       spark.createDataFrame(Seq((20L, "c"))).toDF("id", "p"), base)
     assert(DeltaLogReader.read(spark, base).filter(col("p") === "c")
       .agg(sum("id")).collect().head.getLong(0) == 30L)
-    // OPTIMIZE would flatten the layout — rejected fast
-    intercept[IllegalArgumentException](
-      graft.sources.DeltaLogWriter.optimize(spark, base))
+    // OPTIMIZE packs per-partition: 'c' holds two small files (create +
+    // append) that merge INSIDE the partition dir; 'a b' is a single
+    // file — already packed, untouched by identity
+    val before = DeltaLogReader.snapshotFiles(base, 1L).map(_.path)
+    val (nb, na) = graft.sources.DeltaLogWriter.optimize(spark, base)
+    assert(nb == before.size && na == 2, s"($nb, $na) from ${before.size}")
+    val after = DeltaLogReader.snapshotFiles(base, 2L).map(_.path)
+    assert(after.count(_.startsWith("p=c/")) == 1, after.toString)
+    assert(after.count(_.startsWith("p=a")) == 1, after.toString)
+    assert(DeltaLogReader.read(spark, base).filter(col("p") === "c")
+      .agg(sum("id")).collect().head.getLong(0) == 30L)
+    assert(DeltaLogReader.read(spark, base).filter(col("p") === "a b")
+      .agg(sum("id")).collect().head.getLong(0) == 3L)
   }
 
   test("data skipping: stats bounds prune files; unstated bounds keep them") {
@@ -723,6 +733,31 @@ class DeltaLogSpec extends SparkSpec {
     graft.sources.DeltaLogWriter.expireLog(base)
     assert(DeltaLogReader.read(spark, base).select("id")
       .collect().map(_.getLong(0)).sorted.toSeq == (6L to 10L))
+  }
+
+  test("REORG PURGE materializes DVs: content identical, no CDF rows, rewrites unblock") {
+    val base = "/tmp/graft_delta_test/reorg"
+    val W = graft.sources.DeltaLogWriter
+    W.create(spark, spark.createDataFrame((1L to 10L).map(i => Tuple1(i))).toDF("id")
+      .repartition(2), base, "t-reorg")
+    W.deleteWhereDv(spark, base, col("id") <= 3L)                       // v1
+    val (pf, pp) = W.reorgPurge(spark, base)                            // v2
+    assert(pp == 3L && pf >= 1, s"($pf, $pp)")
+    def ids(v: Long) = DeltaLogReader.read(spark, base, v)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(DeltaLogReader.snapshotFiles(Some(spark), base, 2L).forall(_.dv.isEmpty),
+      "purge left DV descriptors live")
+    assert(ids(2L) == (4L to 10L))
+    assert(ids(1L) == (4L to 10L) && ids(0L) == (1L to 10L), "time travel broke")
+    // the purge commit is dataChange=false end to end: CDF over it alone
+    // has NOTHING to report
+    intercept[IllegalArgumentException](
+      DeltaLogReader.readChanges(spark, base, 2L, 2L))
+    // idempotent: nothing left to purge
+    assert(W.reorgPurge(spark, base) == ((0, 0L)))
+    // rewrite-based ops compose again post-purge (they refuse DV tables)
+    assert(W.deleteWhere(spark, base, col("id") === 9L)._2 == 1L)       // v3
+    assert(ids(3L) == Seq(4L, 5L, 6L, 7L, 8L, 10L))
   }
 
   test("unknown reader features still rejected; inline + absolute-path DVs readable") {

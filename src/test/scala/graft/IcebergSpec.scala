@@ -399,14 +399,23 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergWriter.deleteWhere(spark, base, col("k") > 99) == ((0, 0L)))
     assert(IcebergReader.currentSnapshotId(base,
       IcebergReader.currentMetadataVersion(base)) == 3L)
-    // rewrite still refuses tables with live delete files (it would
-    // resurrect masked rows), and the metadata is format-version 2
-    intercept[IllegalArgumentException](IcebergWriter.rewrite(spark, base))
+    // the metadata is format-version 2
     val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(
       base, "metadata", s"v${IcebergReader.currentMetadataVersion(base)}.metadata.json"))
     assert(meta.contains("\"format-version\":2"), meta)
     // orphan cleanup counts delete files as referenced
     assert(graft.sources.IcebergWriter.removeOrphans(spark, base).isEmpty)
+    // compaction APPLIES the live delete files: the new snapshot drops
+    // both the old data files AND the delete files, content equal to
+    // the pre-rewrite READ, and time travel still merges the old way
+    val (rb, ra) = IcebergWriter.rewrite(spark, base)
+    assert(rb == 2 && ra >= 1, s"($rb, $ra)")
+    val scanR = IcebergReader.planSnapshot(spark, base, 4L)
+    assert(scanR.posDeleteFiles.isEmpty && scanR.eqDeleteFiles.isEmpty,
+      s"rewrite carried delete files forward: $scanR")
+    assert(ks(4L) == (6L to 10L))
+    assert(ks(3L) == (6L to 10L), "pre-rewrite time travel broke")
+    assert(ks(1L) == (1L to 10L))
   }
 
   test("equality-delete writer: upsert windows, stacking, appends carry delete files") {
