@@ -713,7 +713,14 @@ object DeltaLogReader {
         s"partitioned Delta table (${pcols.mkString(",")}) with non-hive " +
           "data paths — partition values live only in the log; this " +
           "minimal reader supports hive-style layouts only")
-      spark.read.option("basePath", base).parquet(files: _*)
+      // enforce the LOG's schema here too: partition columns keep their
+      // DECLARED types (no dir-name inference drift) and pre-ADD-COLUMN
+      // files surface evolved columns as NULL
+      val reader = spark.read.option("basePath", base)
+      tableSchema(Some(spark), base, version) match {
+        case Some(logical) => reader.schema(logical).parquet(files: _*)
+        case None          => reader.parquet(files: _*)
+      }
     }
     applyDvs(spark, base, adds, data)
   }

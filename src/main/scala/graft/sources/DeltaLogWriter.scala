@@ -214,8 +214,9 @@ object DeltaLogWriter {
   def appendEvolved(spark: SparkSession, df: DataFrame, base: String,
                     statsFor: Seq[String] = Nil): Unit = {
     val version = DeltaLogReader.latestVersion(base) + 1
-    require(DeltaLogReader.partitionColumns(Some(spark), base, version - 1).isEmpty,
-      "schema-evolving append on a partitioned table is beyond this minimal writer")
+    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version - 1)
+    require(pcols.forall(df.columns.contains),
+      s"evolved schema drops a partition column (${pcols.mkString(",")})")
     DeltaLogReader.tableSchema(Some(spark), base, version - 1).foreach { cur =>
       cur.fields.foreach { f =>
         val g = df.schema.fields.find(_.name == f.name).getOrElse(
@@ -225,11 +226,12 @@ object DeltaLogWriter {
           s"evolved schema changes ${f.name}: ${f.dataType} -> ${g.dataType}")
       }
     }
-    val rels = writeData(df, base, version)
+    val rels = writeData(df, base, version, pcols)
+    val pc = pcols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
     commit(base, version,
       Seq(s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""",
         s"""{"metaData":{"id":"graft","format":{"provider":"parquet","options":{}},""" +
-          s""""schemaString":"${esc(df.schema.json)}","partitionColumns":[],""" +
+          s""""schemaString":"${esc(df.schema.json)}","partitionColumns":$pc,""" +
           s""""configuration":{},"createdTime":0}}""") ++
         addActions(spark, base, rels, statsFor))
   }
@@ -578,13 +580,27 @@ object DeltaLogWriter {
   private def dmlScan(spark: SparkSession, base: String,
                       live: Seq[DeltaLogReader.DeltaAdd], pcols: Seq[String]): DataFrame = {
     val files = live.map(a => s"$base/${a.path}")
-    if (pcols.isEmpty) spark.read.parquet(files: _*)
-    else {
+    val version = DeltaLogReader.latestVersion(base)
+    // the LOG's schema governs the scan (like the read path): on an
+    // evolved table, pre-ADD-COLUMN files must surface the new column
+    // as NULL — a footer-sampled scan schema would silently DROP the
+    // column from every survivor the rewrite re-writes
+    val declared = DeltaLogReader.tableSchema(Some(spark), base, version)
+    if (pcols.isEmpty) {
+      declared match {
+        case Some(logical) => spark.read.schema(logical).parquet(files: _*)
+        case None          => spark.read.parquet(files: _*)
+      }
+    } else {
       require(live.forall(a => pcols.forall(c => a.path.contains(c + "="))),
         s"partitioned Delta table (${pcols.mkString(",")}) with non-hive " +
           "data paths — partition values live only in the log; this " +
           "minimal writer supports hive-style layouts only")
-      spark.read.option("basePath", base).parquet(files: _*)
+      val reader = spark.read.option("basePath", base)
+      declared match {
+        case Some(logical) => reader.schema(logical).parquet(files: _*)
+        case None          => reader.parquet(files: _*)
+      }
     }
   }
 

@@ -735,6 +735,30 @@ class DeltaLogSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq == (6L to 10L))
   }
 
+  test("schema evolution composes with partitions and DML (survivors keep the new column)") {
+    val base = "/tmp/graft_delta_test/evolve_part"
+    val W = graft.sources.DeltaLogWriter
+    W.create(spark, spark.createDataFrame(Seq(
+      (1L, "a", 10L), (2L, "b", 20L), (5L, "b", 50L))).toDF("id", "p", "v")
+      .coalesce(1), base, "t-ep", partitionBy = Seq("p"))
+    // ADD COLUMN w + new rows, partitioning preserved
+    W.appendEvolved(spark, spark.createDataFrame(Seq(
+      (3L, "b", 30L, 7L), (4L, "b", 40L, 8L))).toDF("id", "p", "v", "w")
+      .coalesce(1), base)
+    def rows() = DeltaLogReader.read(spark, base).collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("p"), r.getAs[Long]("v"),
+        if (r.isNullAt(r.fieldIndex("w"))) -1L else r.getAs[Long]("w"))).toSet
+    assert(rows() == Set((1L, "a", 10L, -1L), (2L, "b", 20L, -1L),
+      (5L, "b", 50L, -1L), (3L, "b", 30L, 7L), (4L, "b", 40L, 8L)))
+    // DML over the MIXED-footer table: the rewrite must read under the
+    // LOG schema — survivor 4 keeps w=8 (a footer-sampled scan could
+    // silently drop the column), survivor 5 keeps its NULL
+    assert(W.deleteWhere(spark, base, col("id").isin(2L, 3L)) == ((2, 2L)))
+    assert(rows() == Set((1L, "a", 10L, -1L), (5L, "b", 50L, -1L), (4L, "b", 40L, 8L)))
+    // time travel to v0 answers with the narrow schema
+    assert(DeltaLogReader.read(spark, base, 0L).columns.toSet == Set("id", "p", "v"))
+  }
+
   test("REORG PURGE materializes DVs: content identical, no CDF rows, rewrites unblock") {
     val base = "/tmp/graft_delta_test/reorg"
     val W = graft.sources.DeltaLogWriter
