@@ -76,6 +76,12 @@ object ClusterSmoke {
     // (q_graph_jaccard above now exercises the per-cell mapPartitions
     // kNN kernel: tuple-encoder serde + primitive-array loops on
     // executors)
+    // round-11 executor-boundary risks:
+    "q_delta_reorg",      // DV delete's mapGroups builds roaring bitmaps on executors
+    "q_delta_part_dml",   // basePath-scanned partitioned DML + per-partition rewrites
+    "q_iceberg_eq_dml",   // eq-delete window anti-joins + distributed delete staging
+    "q_hudi_cluster",     // key-range router when-chain + post-cluster upsert tasks
+    "q_sql_lake_tvf",     // TVF-contributed analyzed plans executed across executors
   )
 
   def main(args: Array[String]): Unit = {
