@@ -419,7 +419,7 @@ object DeltaLogWriter {
     val next = version + 1
     // stats keys carried from the purged files keep data skipping alive
     val statsFor = withDv.flatMap(a => a.minValues.keys).distinct
-    val rels = writeData(masked.coalesce(1), base, next, pcols)
+    val rels = writeData(shapeRewrite(masked, pcols, withDv.size), base, next, pcols)
     val adds = addActions(spark, base, rels, statsFor)
       .map(_.replace("\"dataChange\":true", "\"dataChange\":false"))
     val removes = withDv.map(a =>
@@ -517,17 +517,8 @@ object DeltaLogWriter {
     // without it the same-path remove+add pair would derive a
     // whole-file delete AND a whole-file insert (double counting)
     val newlyDeleted = matched.drop("__path", "__pos")
-    Files.createDirectories(Paths.get(base, "_change_data"))
-    val cdcTmp = s"$base/.stage-cdc$next0"
-    TxnLog.rmrf(cdcTmp)
-    newlyDeleted.withColumn("_change_type", lit("delete"))
-      .coalesce(1).write.parquet(cdcTmp)
-    val cdcSrc = Files.list(Paths.get(cdcTmp)).iterator.asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("no cdc file staged"))
-    val cdcRel = s"_change_data/cdc-$next0.parquet"
-    Files.move(cdcSrc, Paths.get(base, cdcRel))
-    TxnLog.rmrf(cdcTmp)
+    val cdcActions = writeCdc(spark, base, next0,
+      newlyDeleted.withColumn("_change_type", lit("delete")), perFile.length)
     val actions = perFile.toSeq.map { case (abs, _, card, payload) =>
       val a = byAbs.getOrElse(abs,
         throw new IllegalStateException(s"matched file $abs not in the live set"))
@@ -565,10 +556,8 @@ object DeltaLogWriter {
     commit(base, version + 1, Seq(
       s"""{"commitInfo":{"operation":"DELETE","timestamp":0}}""",
       s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        s""""readerFeatures":${featJson(readerFeats)},"writerFeatures":${featJson(writerFeats)}}}""",
-      s"""{"cdc":{"path":"${esc(cdcRel)}","partitionValues":{},""" +
-        s""""size":${Files.size(Paths.get(base, cdcRel))},"dataChange":false}}""") ++
-      actions.flatten)
+        s""""readerFeatures":${featJson(readerFeats)},"writerFeatures":${featJson(writerFeats)}}}""") ++
+      cdcActions ++ actions.flatten)
     (perFile.length, perFile.map(_._2).sum)
   }
 
@@ -646,28 +635,54 @@ object DeltaLogWriter {
     }
     val newData = post.fold(survivors)(f => survivors.unionAll(f(hit)))
     val next = version + 1
-    // the change file (KB-to-MB scale: only this DML's rows)
-    Files.createDirectories(Paths.get(base, "_change_data"))
-    val cdcTmp = s"$base/.stage-cdc$next"
-    TxnLog.rmrf(cdcTmp)
-    changes.coalesce(1).write.parquet(cdcTmp)
-    val cdcSrc = Files.list(Paths.get(cdcTmp)).iterator.asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("no cdc file staged"))
-    val cdcRel = s"_change_data/cdc-$next.parquet"
-    Files.move(cdcSrc, Paths.get(base, cdcRel))
-    TxnLog.rmrf(cdcTmp)
+    val cdcActions = writeCdc(spark, base, next, changes, affectedRel.size)
     val adds =
       if (newData.isEmpty) Nil
-      else addActions(spark, base, writeData(newData.coalesce(1), base, next, pcols))
+      else addActions(spark, base,
+        writeData(shapeRewrite(newData, pcols, affectedRel.size), base, next, pcols))
     val removes = affectedRel.map(rel =>
       s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":0,"dataChange":true}}""")
-    commit(base, next, Seq(
-      s"""{"commitInfo":{"operation":"$op","timestamp":0}}""",
-      s"""{"cdc":{"path":"${esc(cdcRel)}","partitionValues":{},""" +
-        s""""size":${Files.size(Paths.get(base, cdcRel))},"dataChange":false}}""") ++
-      removes ++ adds)
+    commit(base, next,
+      s"""{"commitInfo":{"operation":"$op","timestamp":0}}""" +:
+        (cdcActions ++ removes ++ adds))
     (affectedRel.size, nMatched)
+  }
+
+  /** Shape a DML rewrite for the write: partitioned tables repartition
+    * by the partition columns (one write task per live partition value
+    * — the rewrite parallelizes with the partitions it touches); flat
+    * tables cap at one task per affected file. Never `coalesce(1)` —
+    * a wide DELETE's rewrite must not serialize onto one task. */
+  private def shapeRewrite(df: DataFrame, pcols: Seq[String],
+                           affected: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (pcols.nonEmpty) df.repartition(pcols.map(col): _*)
+    else df.coalesce(math.max(1, affected))
+  }
+
+  /** Stage the commit's `_change_data` files (one task per affected
+    * file, up to the data's own parallelism — a wide DML's change set
+    * is data-sized and must not serialize) and return one cdc action
+    * per staged part. */
+  private def writeCdc(spark: SparkSession, base: String, version: Long,
+                       changes: DataFrame, affected: Int): Seq[String] = {
+    Files.createDirectories(Paths.get(base, "_change_data"))
+    val cdcTmp = s"$base/.stage-cdc$version"
+    TxnLog.rmrf(cdcTmp)
+    changes.coalesce(math.max(1, affected)).write.parquet(cdcTmp)
+    val rels = Files.list(Paths.get(cdcTmp)).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .zipWithIndex.map { case (p, i) =>
+        val rel = s"_change_data/cdc-$version-$i.parquet"
+        Files.move(p, Paths.get(base, rel))
+        rel
+      }
+    TxnLog.rmrf(cdcTmp)
+    require(rels.nonEmpty, "no cdc file staged")
+    rels.map(rel =>
+      s"""{"cdc":{"path":"${esc(rel)}","partitionValues":{},""" +
+        s""""size":${Files.size(Paths.get(base, rel))},"dataChange":false}}""")
   }
 
   /** DELETE WHERE — copy-on-write: matching rows disappear from the
@@ -724,25 +739,15 @@ object DeltaLogWriter {
       .unionAll(updSrc.withColumn("_change_type", lit("update_postimage")))
       .unionAll(insSrc.withColumn("_change_type", lit("insert")))
     val next = version + 1
-    Files.createDirectories(Paths.get(base, "_change_data"))
-    val cdcTmp = s"$base/.stage-cdc$next"
-    TxnLog.rmrf(cdcTmp)
-    changes.coalesce(1).write.parquet(cdcTmp)
-    val cdcSrc = Files.list(Paths.get(cdcTmp)).iterator.asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("no cdc file staged"))
-    val cdcRel = s"_change_data/cdc-$next.parquet"
-    Files.move(cdcSrc, Paths.get(base, cdcRel))
-    TxnLog.rmrf(cdcTmp)
+    val cdcActions = writeCdc(spark, base, next, changes, affectedRel.size + 1)
     val newData = survivors.unionAll(updSrc).unionAll(insSrc)
-    val adds = addActions(spark, base, writeData(newData.coalesce(1), base, next, pcols))
+    val adds = addActions(spark, base,
+      writeData(shapeRewrite(newData, pcols, affectedRel.size + 1), base, next, pcols))
     val removes = affectedRel.map(rel =>
       s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":0,"dataChange":true}}""")
-    commit(base, next, Seq(
-      s"""{"commitInfo":{"operation":"MERGE","timestamp":0}}""",
-      s"""{"cdc":{"path":"${esc(cdcRel)}","partitionValues":{},""" +
-        s""""size":${Files.size(Paths.get(base, cdcRel))},"dataChange":false}}""") ++
-      removes ++ adds)
+    commit(base, next,
+      s"""{"commitInfo":{"operation":"MERGE","timestamp":0}}""" +:
+        (cdcActions ++ removes ++ adds))
     (nUpd, nIns)
   }
 
