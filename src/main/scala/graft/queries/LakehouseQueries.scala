@@ -348,6 +348,43 @@ object LakehouseQueries extends QueryGroup {
       versions.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // ---- Delta ROW TRACKING (the Iceberg row-lineage twin) -----------------
+    // The `rowTracking` + `domainMetadata` writer features: every row
+    // gets a stable `_row_id` at first commit (the add action's
+    // baseRowId + file position) and a `_row_commit_version`; the
+    // `delta.rowTracking` domain's high-water mark guarantees ids are
+    // NEVER reused. Fixture: create (v0, ids 0..N-1 — sorted
+    // single-file batches make the assignment oracle-reconstructable;
+    // the mechanism itself is per-file contiguous ranges at any file
+    // count), append (v1, ids N..2N-1), OPTIMIZE (v2 — MATERIALIZES
+    // both columns into the packed parquet so the rewrite preserves
+    // ids; the packed file still gets a fresh baseRowId range per the
+    // spec, which reads must IGNORE in favor of the materialized
+    // values), a DV DELETE of keys ≡ 0 mod 5 (v3 — the re-add must
+    // CARRY its add fields), then checkpoint + expireLog (the mark and
+    // the add's row-tracking fields must survive into the checkpoint:
+    // domainMetadata and baseRowId are folded). Final read proves
+    // survivors kept their birth ids and commit versions across
+    // rewrite + delete + expiry.
+    "q_delta_row_tracking" -> ((s, d) => {
+      import graft.sources.{DeltaLogReader, DeltaLogWriter}
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/nation_rt"
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))
+      DeltaLogWriter.createRowTracked(s,
+        n.repartition(1).sortWithinPartitions("n_nationkey"), base, "graft-nation-rt")
+      DeltaLogWriter.append(s,
+        n.select((col("n_nationkey") + 100).as("n_nationkey"), col("n_regionkey"))
+          .repartition(1).sortWithinPartitions("n_nationkey"), base)
+      DeltaLogWriter.optimize(s, base)
+      DeltaLogWriter.deleteWhereDv(s, base, pmod(col("n_nationkey"), lit(5)) === 0)
+      DeltaLogWriter.checkpoint(s, base)
+      DeltaLogWriter.expireLog(base)
+      DeltaLogReader.readRowIds(s, base, DeltaLogReader.latestVersion(base))
+        .select(col("n_nationkey"), col("_row_id").as("row_id"),
+          col("_row_commit_version").as("commit_ver"))
+        .orderBy("n_nationkey")
+    }),
+
     // ---- Delta REORG (APPLY PURGE): DV materialization ---------------------
     // The missing half of the DV lifecycle: once a table accumulates
     // deletion vectors, EVERY rewrite op refuses it (they would
@@ -1126,6 +1163,65 @@ object LakehouseQueries extends QueryGroup {
           .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
           .select(lit(snap).as("snapshot_id"), col("n_rows"), col("total_cents"))
       Seq(1L, 2L, 3L).map(census).reduce(_ unionAll _).orderBy("snapshot_id")
+    }),
+
+    // ---- Iceberg FORMAT-VERSION 3: deletion vectors in Puffin --------------
+    // v3 FORBIDS new position-delete files: a DELETE commits one
+    // roaring bitmap per touched data file, all blobs in ONE Puffin
+    // sidecar, located by the manifest's content_offset/size (the scan
+    // path never reads the puffin footer). A data file has AT MOST ONE
+    // DV — the second DELETE REPLACES each touched file's DV with the
+    // union (old entry dropped, spec's monotone-growth rule), and the
+    // bitmaps are built EXECUTOR-side (driver sees KB blobs only).
+    // Snap 4 is a plain append: the carried DVs must survive it (the
+    // silent-resurrection class). Census all four snapshots via time
+    // travel; the read applies DVs as one executor-decoded broadcast
+    // anti-join on native row positions.
+    "q_iceberg_v3_dv" -> ((s, d) => {
+      import graft.sources.{IcebergReader, IcebergWriter}
+      val base = iceBase(d, "orders_v3dv")
+      val o = iceOrders(s, d)
+      IcebergWriter.createV3(s, o.repartition(2), base)
+      IcebergWriter.deleteWhereV3(s, base, col("o_orderpriority") === "1-URGENT")
+      IcebergWriter.deleteWhereV3(s, base, col("o_orderpriority") === "2-HIGH")
+      IcebergWriter.append(s,
+        o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+          .withColumn("cents", col("cents") + 3), base)
+      def census(snap: Long) =
+        IcebergReader.read(s, base, snap)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(snap).as("snapshot_id"), col("n_rows"), col("total_cents"))
+      Seq(1L, 2L, 3L, 4L).map(census).reduce(_ unionAll _).orderBy("snapshot_id")
+    }),
+
+    // ---- Iceberg v3 ROW LINEAGE ---------------------------------------------
+    // The other v3 pillar: every row gets a stable `_row_id` at first
+    // commit (file's manifest first_row_id + position) and a
+    // `_last_updated_sequence_number`. Fixture: two single-file sorted
+    // appends (ids 0..N-1 then N..2N-1 — deterministic because the
+    // batches are sorted and written as one file each; at scale the
+    // SAME mechanism assigns per-file contiguous ranges in manifest
+    // order), a DV delete of every key ≡ 0 (mod 5), then COMPACTION —
+    // which must PRESERVE ids by materializing the two columns into
+    // the rewritten parquet (entries carry first_row_id = null). The
+    // final lineage read proves survivors kept their birth ids and
+    // sequences across delete + rewrite; the oracle reconstructs the
+    // id assignment with row_number over the sorted batches.
+    "q_iceberg_v3_lineage" -> ((s, d) => {
+      import graft.sources.{IcebergReader, IcebergWriter}
+      val base = iceBase(d, "nation_v3rl")
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))
+      IcebergWriter.createV3(s,
+        n.repartition(1).sortWithinPartitions("n_nationkey"), base)
+      IcebergWriter.append(s,
+        n.select((col("n_nationkey") + 100).as("n_nationkey"), col("n_regionkey"))
+          .repartition(1).sortWithinPartitions("n_nationkey"), base)
+      IcebergWriter.deleteWhereV3(s, base, pmod(col("n_nationkey"), lit(5)) === 0)
+      IcebergWriter.rewrite(s, base)
+      IcebergReader.readLineage(s, base, 4L)
+        .select(col("n_nationkey"), col("_row_id").as("row_id"),
+          col("_last_updated_sequence_number").as("last_seq"))
+        .orderBy("n_nationkey")
     }),
 
     // ---- Iceberg v2 DML: the EQUALITY-delete WRITER (streaming upsert) ----
@@ -2306,6 +2402,27 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri <> '1-URGENT' " +
         "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri NOT IN ('1-URGENT', '2-HIGH') " +
         "ORDER BY snapshot_id"),
+    "q_iceberg_v3_dv" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT CAST(1 AS BIGINT) AS snapshot_id, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri <> '1-URGENT' " +
+        "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri NOT IN ('1-URGENT', '2-HIGH') " +
+        "UNION ALL SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM (" +
+        "  SELECT cents FROM o WHERE pri NOT IN ('1-URGENT', '2-HIGH') " +
+        "  UNION ALL SELECT cents + 3 FROM o WHERE k % 5 = 0) " +
+        "ORDER BY snapshot_id"),
+    "q_delta_row_tracking" ->
+      ("WITH n1 AS (SELECT n_nationkey, row_number() OVER (ORDER BY n_nationkey) - 1 AS rid, 0 AS ver FROM nation), " +
+        "n2 AS (SELECT n_nationkey + 100 AS n_nationkey, (SELECT count(*) FROM nation) + row_number() OVER (ORDER BY n_nationkey) - 1 AS rid, 1 AS ver FROM nation), " +
+        "allr AS (SELECT * FROM n1 UNION ALL SELECT * FROM n2) " +
+        "SELECT n_nationkey, CAST(rid AS BIGINT) AS row_id, CAST(ver AS BIGINT) AS commit_ver " +
+        "FROM allr WHERE n_nationkey % 5 <> 0 ORDER BY n_nationkey"),
+    "q_iceberg_v3_lineage" ->
+      ("WITH n1 AS (SELECT n_nationkey, row_number() OVER (ORDER BY n_nationkey) - 1 AS rid, 1 AS seq FROM nation), " +
+        "n2 AS (SELECT n_nationkey + 100 AS n_nationkey, (SELECT count(*) FROM nation) + row_number() OVER (ORDER BY n_nationkey) - 1 AS rid, 2 AS seq FROM nation), " +
+        "allr AS (SELECT * FROM n1 UNION ALL SELECT * FROM n2) " +
+        "SELECT n_nationkey, CAST(rid AS BIGINT) AS row_id, CAST(seq AS BIGINT) AS last_seq " +
+        "FROM allr WHERE n_nationkey % 5 <> 0 ORDER BY n_nationkey"),
     "q_iceberg_ts_transform" ->
       ("WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_id FROM events) " +
         "SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS sum_ids FROM e " +

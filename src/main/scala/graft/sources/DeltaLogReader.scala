@@ -46,7 +46,9 @@ object DeltaLogReader {
                             minValues: Map[String, Long] = Map.empty,
                             maxValues: Map[String, Long] = Map.empty,
                             numRecords: Long = -1L,
-                            dv: Option[DvDescriptor] = None)
+                            dv: Option[DvDescriptor] = None,
+                            baseRowId: Option[Long] = None,
+                            defaultRowCommitVersion: Option[Long] = None)
 
   /** Parse the `deletionVector` sub-object out of an add action line.
     * The closing brace is found with a quote-aware scan: the z85
@@ -517,8 +519,13 @@ object DeltaLogReader {
         val dvCol = if (addFields.contains("deletionVector"))
           org.apache.spark.sql.functions.to_json(col("add.deletionVector"))
         else org.apache.spark.sql.functions.lit(null).cast("string")
+        // row-tracking fields must SURVIVE checkpointing: after
+        // expireLog a baseRowId dropped here would shift every row id
+        def optL(f: String) = if (addFields.contains(f)) col(s"add.$f")
+          else org.apache.spark.sql.functions.lit(null).cast("long")
         src.filter(col("add").isNotNull)
-          .select(col("add.path"), col("add.size"), statsCol, dvCol)
+          .select(col("add.path"), col("add.size"), statsCol, dvCol,
+            optL("baseRowId"), optL("defaultRowCommitVersion"))
           .collect()
           .foreach { r =>
             val stats = if (r.isNullAt(2)) "" else r.getString(2)
@@ -529,7 +536,9 @@ object DeltaLogReader {
               minValues = statBounds(stats, "minValues"),
               maxValues = statBounds(stats, "maxValues"),
               numRecords = DeltaStream.numRecords(stats),
-              dv = dv)
+              dv = dv,
+              baseRowId = if (r.isNullAt(4)) None else Some(r.getLong(4)),
+              defaultRowCommitVersion = if (r.isNullAt(5)) None else Some(r.getLong(5)))
           }
       }
     }
@@ -552,7 +561,9 @@ object DeltaLogReader {
             minValues = statBounds(line, "minValues"),
             maxValues = statBounds(line, "maxValues"),
             numRecords = DeltaStream.numRecords(line),
-            dv = dvOf(line))
+            dv = dvOf(line),
+            baseRowId = longField(line, "baseRowId"),
+            defaultRowCommitVersion = longField(line, "defaultRowCommitVersion"))
         } else if (line.contains("\"remove\"")) {
           strField(line, "path").foreach(live.remove)
         }
@@ -624,6 +635,107 @@ object DeltaLogReader {
       if (pcols.isEmpty) spark.read.parquet(files: _*)
       else spark.read.option("basePath", base).parquet(files: _*)
     applyDvs(spark, base, adds, data)
+  }
+
+  /** ROW TRACKING's id high-water mark: the LAST
+    * `domainMetadata(domain=delta.rowTracking)` action's
+    * `rowIdHighWaterMark` at or before `version` — the highest row id
+    * any commit has assigned (fresh ids start above it, and ids are
+    * NEVER reused even after the carrying files are removed, which is
+    * exactly why the mark lives in its own action rather than being
+    * derived from live adds). Seeds from a checkpoint's folded
+    * domainMetadata row when the early commits are expired. */
+  def rowIdHighWaterMark(spark: Option[SparkSession], base: String,
+                         version: Long): Option[Long] = {
+    val vs = versions(base).filter(_ <= version)
+    val hwmRe = """rowIdHighWaterMark\\?"\s*:\s*(-?\d+)""".r
+    var found: Option[Long] =
+      if (vs.headOption.contains(0L)) None
+      else spark.flatMap { s =>
+        checkpointAt(base, version).flatMap { cv =>
+          val cdf = s.read.parquet(checkpointFile(base, cv).toString)
+          if (!cdf.columns.contains("domainMetadata")) None
+          else {
+            import org.apache.spark.sql.functions.col
+            cdf.filter(col("domainMetadata").isNotNull &&
+                col("domainMetadata.domain") === "delta.rowTracking")
+              .select(col("domainMetadata.configuration"))
+              .collect().headOption
+              .flatMap(r => hwmRe.findFirstMatchIn(r.getString(0)).map(_.group(1).toLong))
+          }
+        }
+      }
+    vs.foreach { v =>
+      val f = logDir(base).resolve(f"$v%020d.json")
+      if (Files.exists(f))
+        Files.readAllLines(f, StandardCharsets.UTF_8).asScala.foreach { line =>
+          if (line.contains("\"domainMetadata\"") && line.contains("delta.rowTracking"))
+            found = hwmRe.findFirstMatchIn(line).map(_.group(1).toLong).orElse(found)
+        }
+    }
+    found
+  }
+
+  /** ROW-TRACKING read: the snapshot's live rows plus `_row_id` and
+    * `_row_commit_version` — each file's MATERIALIZED columns when
+    * present (what OPTIMIZE writes so rewrites preserve ids), else
+    * `baseRowId + position` / `defaultRowCommitVersion` from the add
+    * action. Deletion vectors apply FIRST, so surviving rows keep
+    * their ids. The per-file (baseRowId, commitVersion) pairs attach
+    * via ONE broadcast join over a files-sized frame. */
+  def readRowIds(spark: SparkSession, base: String, version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, regexp_replace}
+    import org.apache.spark.sql.Encoders
+    val conf = latestMetaConfig(Some(spark), base, version).map(_._2).getOrElse(Map.empty)
+    require(conf.get("delta.enableRowTracking").contains("true"),
+      s"$base does not enable row tracking")
+    val matId = conf.getOrElse("delta.rowTracking.materializedRowIdColumnName",
+      "_row_id_mat")
+    val matVer = conf.getOrElse("delta.rowTracking.materializedRowCommitVersionColumnName",
+      "_row_commit_mat")
+    val adds = snapshotFiles(Some(spark), base, version)
+    require(adds.nonEmpty, s"empty snapshot $version of $base")
+    val absBase = Paths.get(base).toAbsolutePath.normalize
+    def absOf(rel: String) = absBase.resolve(rel).normalize.toString
+    val pcols = partitionColumns(Some(spark), base, version)
+    val reader = spark.read.option("mergeSchema", "true")
+    val raw =
+      (if (pcols.isEmpty) reader else reader.option("basePath", base))
+        .parquet(adds.map(a => absOf(a.path)): _*)
+    val stamped = raw
+      .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    // DVs apply with positions KEPT (payloads decode executor-side)
+    val withDv = adds.filter(_.dv.isDefined)
+    val masked =
+      if (withDv.isEmpty) stamped
+      else {
+        val payloads: Seq[(String, Array[Byte])] = withDv.map { a =>
+          val d = a.dv.get
+          absOf(a.path) -> RoaringDv.loadPayload(base, d.storageType,
+            d.pathOrInlineDv, d.offset, d.sizeInBytes)
+        }
+        val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+        val dels = spark.createDataset(payloads)(Encoders.tuple(
+            Encoders.STRING, Encoders.BINARY))
+          .flatMap { case (p, b) => RoaringDv.deserialize(b).map(pos => (p, pos)) }(pairEnc)
+          .toDF("__del_path", "__del_pos")
+        stamped.join(broadcast(dels),
+          col("__path") === col("__del_path") && col("__pos") === col("__del_pos"),
+          "left_anti")
+      }
+    val meta = adds.map(a => (absOf(a.path),
+      a.baseRowId.map(java.lang.Long.valueOf).orNull,
+      a.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull))
+    val metaDf = spark.createDataFrame(meta).toDF("__rt_path", "__rt_base", "__rt_ver")
+    def matCol(c: String) = if (raw.columns.contains(c)) col(c) else lit(null)
+    val userCols = raw.columns.filterNot(c => c == matId || c == matVer).map(col).toSeq
+    masked.join(broadcast(metaDf), col("__path") === col("__rt_path"))
+      .select(userCols ++ Seq(
+        coalesce(matCol(matId), col("__rt_base") + col("__pos"))
+          .cast("long").as("_row_id"),
+        coalesce(matCol(matVer), col("__rt_ver"))
+          .cast("long").as("_row_commit_version")): _*)
   }
 
   /** Table CHECK constraints at `version` — the last metaData's

@@ -69,7 +69,17 @@ object DeltaLogWriter {
     * predicate. One read-back aggregation computes counts and bounds
     * for every new file together. */
   private def addActions(spark: SparkSession, base: String, relPaths: Seq[String],
-                         statsFor: Seq[String] = Nil): Seq[String] = {
+                         statsFor: Seq[String] = Nil): Seq[String] =
+    addActionsCounted(spark, base, relPaths, statsFor)._1
+
+  /** add actions + total row count. With `rowTracking = Some((start,
+    * commitVersion))` each file carries a fresh contiguous
+    * `baseRowId` range (assigned in file order from `start`) and
+    * `defaultRowCommitVersion` — the ROW TRACKING fields; the caller
+    * bumps the high-water mark by the returned total. */
+  private def addActionsCounted(spark: SparkSession, base: String, relPaths: Seq[String],
+                                statsFor: Seq[String] = Nil,
+                                rowTracking: Option[(Long, Long)] = None): (Seq[String], Long) = {
     import org.apache.spark.sql.functions.{max, min}
     // cast the bounds to long up front: an IntegerType stats column
     // would otherwise CCE on the Long read, and an all-NULL file would
@@ -81,7 +91,9 @@ object DeltaLogWriter {
       .groupBy(col("_metadata.file_name").as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map(r => r.getAs[String]("f") -> r).toMap
-    relPaths.map { rel =>
+    var nextId = rowTracking.map(_._1).getOrElse(0L)
+    var total = 0L
+    val actions = relPaths.map { rel =>
       val name = rel.split('/').last
       val row = byFile.get(name)
       val n = row.map(_.getAs[Long]("n")).getOrElse(0L)
@@ -94,11 +106,30 @@ object DeltaLogWriter {
           .mkString(s""",\\"$tag\\":{""", ",", "}")
         side("minValues", "mn") + side("maxValues", "mx")
       }
+      val rt = rowTracking.map { case (_, ver) =>
+        val s = s""""baseRowId":$nextId,"defaultRowCommitVersion":$ver,"""
+        nextId += n
+        s
+      }.getOrElse("")
+      total += n
       s"""{"add":{"path":"${esc(rel)}","partitionValues":${partitionValuesOf(rel)},""" +
-        s""""size":$sz,"modificationTime":0,""" +
+        s""""size":$sz,"modificationTime":0,$rt""" +
         s""""dataChange":true,"stats":"{\\"numRecords\\":$n$bounds}"}}"""
     }
+    (actions, total)
   }
+
+  /** The `delta.rowTracking` domain-metadata action carrying the id
+    * high-water mark — the reason ids are never reused even after
+    * their files are removed. */
+  private def rowTrackingDomain(hwm: Long): String =
+    s"""{"domainMetadata":{"domain":"delta.rowTracking",""" +
+      s""""configuration":"{\\"rowIdHighWaterMark\\":$hwm}","removed":false}}"""
+
+  private def rowTrackingConf(spark: SparkSession, base: String,
+                              version: Long): Option[Map[String, String]] =
+    DeltaLogReader.latestMetaConfig(Some(spark), base, version).map(_._2)
+      .filter(_.get("delta.enableRowTracking").contains("true"))
 
   /** Stage-write `df` as parquet and move the part files under the
     * table base with a version prefix; returns their relative paths.
@@ -155,6 +186,33 @@ object DeltaLogWriter {
         s""""configuration":{},"createdTime":0}}""") ++ addActions(spark, base, rels, statsFor))
   }
 
+  /** Create a ROW-TRACKED Delta table (the `rowTracking` +
+    * `domainMetadata` writer features): every add action carries
+    * `baseRowId` (a fresh contiguous id range per file) and
+    * `defaultRowCommitVersion`, the metadata names the MATERIALIZED
+    * column spellings rewrites must use, and the
+    * `delta.rowTracking` domain records the id high-water mark —
+    * [[DeltaLogReader.readRowIds]] surfaces `_row_id` /
+    * `_row_commit_version` per the spec's base+position rule. */
+  def createRowTracked(spark: SparkSession, df: DataFrame, base: String,
+                       tableId: String, statsFor: Seq[String] = Nil): Unit = {
+    TxnLog.rmrf(base)
+    val rels = writeData(df, base, 0L)
+    val (adds, total) = addActionsCounted(spark, base, rels, statsFor, Some((0L, 0L)))
+    val conf = Seq(
+      """"delta.enableRowTracking":"true"""",
+      """"delta.rowTracking.materializedRowIdColumnName":"_row_id_mat"""",
+      """"delta.rowTracking.materializedRowCommitVersionColumnName":"_row_commit_mat"""")
+      .mkString("{", ",", "}")
+    commit(base, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["domainMetadata","rowTracking"]}}""",
+      s"""{"metaData":{"id":"${esc(tableId)}","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${esc(df.schema.json)}","partitionColumns":[],""" +
+        s""""configuration":$conf,"createdTime":0}}""",
+      rowTrackingDomain(total - 1)) ++ adds)
+  }
+
   /** ALTER TABLE ADD CONSTRAINT (CHECK): a metaData-only commit whose
     * configuration carries `delta.constraints.<name>` and whose
     * protocol bumps minWriterVersion to 3 (the spec's constraint
@@ -199,9 +257,22 @@ object DeltaLogWriter {
     }
     val rels = writeData(df, base, version,
       DeltaLogReader.partitionColumns(Some(spark), base, version - 1))
-    commit(base, version,
-      s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""" +:
-        addActions(spark, base, rels, statsFor))
+    rowTrackingConf(spark, base, version - 1) match {
+      case Some(_) =>
+        // fresh ids start ABOVE the high-water mark; the same commit
+        // bumps the mark so ids are never reused
+        val hwm = DeltaLogReader.rowIdHighWaterMark(Some(spark), base, version - 1)
+          .getOrElse(-1L)
+        val (adds, total) =
+          addActionsCounted(spark, base, rels, statsFor, Some((hwm + 1, version)))
+        commit(base, version,
+          Seq(s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""",
+            rowTrackingDomain(hwm + total)) ++ adds)
+      case None =>
+        commit(base, version,
+          s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""" +:
+            addActions(spark, base, rels, statsFor))
+    }
   }
 
   /** Schema-evolving append (ADD COLUMN + write in one commit, the
@@ -214,6 +285,9 @@ object DeltaLogWriter {
   def appendEvolved(spark: SparkSession, df: DataFrame, base: String,
                     statsFor: Seq[String] = Nil): Unit = {
     val version = DeltaLogReader.latestVersion(base) + 1
+    require(rowTrackingConf(spark, base, version - 1).isEmpty,
+      "schema-evolving append on a row-tracked table is beyond this " +
+        "minimal writer — it would add id-less files; use append")
     val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version - 1)
     require(pcols.forall(df.columns.contains),
       s"evolved schema drops a partition column (${pcols.mkString(",")})")
@@ -322,6 +396,9 @@ object DeltaLogWriter {
         txn) ++ addActions(spark, base, rels))
     } else {
       val version = DeltaLogReader.latestVersion(base) + 1
+      require(rowTrackingConf(spark, base, version - 1).isEmpty,
+        "streaming append into a row-tracked table is beyond this minimal " +
+          "writer — it would add id-less files; use append")
       val rels = writeData(df, base, version,
         DeltaLogReader.partitionColumns(Some(spark), base, version - 1))
       commit(base, version,
@@ -359,6 +436,39 @@ object DeltaLogWriter {
       if (pcols.isEmpty) Seq(("", live))
       else live.groupBy(a => a.path.take(a.path.lastIndexOf('/') + 1)).toSeq.sortBy(_._1)
     val next = version + 1
+    // ROW TRACKING: a rewrite would reassign base+position ids, so the
+    // packed files must MATERIALIZE each row's id and commit version
+    // into the configured physical columns BEFORE the shuffle scrambles
+    // positions — reads then prefer the materialized values
+    val rtConf = rowTrackingConf(spark, base, version)
+    def domainRead(files: Seq[DeltaLogReader.DeltaAdd]): DataFrame = {
+      val paths = files.map(a => s"$base/${a.path}")
+      rtConf match {
+        case None => spark.read.parquet(paths: _*)
+        case Some(conf) =>
+          import org.apache.spark.sql.functions.{broadcast, coalesce, regexp_replace}
+          val matId = conf.getOrElse("delta.rowTracking.materializedRowIdColumnName",
+            "_row_id_mat")
+          val matVer = conf.getOrElse(
+            "delta.rowTracking.materializedRowCommitVersionColumnName", "_row_commit_mat")
+          val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+          val meta = files.map(a => (
+            Paths.get(base).toAbsolutePath.normalize.resolve(a.path).normalize.toString,
+            a.baseRowId.map(java.lang.Long.valueOf).orNull,
+            a.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull))
+          val metaDf = spark.createDataFrame(meta).toDF("__rt_path", "__rt_base", "__rt_ver")
+          def matCol(c: String) = if (raw.columns.contains(c)) col(c) else lit(null)
+          val userCols = raw.columns.filterNot(c => c == matId || c == matVer).map(col).toSeq
+          raw
+            .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+            .withColumn("__pos", col("_metadata.row_index"))
+            .join(broadcast(metaDf), col("__path") === col("__rt_path"))
+            .select(userCols ++ Seq(
+              coalesce(matCol(matId), col("__rt_base") + col("__pos"))
+                .cast("long").as(matId),
+              coalesce(matCol(matVer), col("__rt_ver")).cast("long").as(matVer)): _*)
+      }
+    }
     var counter = 0
     val packed = domains.flatMap { case (prefix, files) =>
       val bytes = files.map(_.size).sum
@@ -371,7 +481,7 @@ object DeltaLogWriter {
         val tmp = s"$base/.stage-opt$next-$counter"
         counter += 1
         TxnLog.rmrf(tmp)
-        spark.read.parquet(files.map(a => s"$base/${a.path}"): _*)
+        domainRead(files)
           .repartition(numOut).write.parquet(tmp)
         val rels = Files.list(Paths.get(tmp)).iterator.asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -386,12 +496,20 @@ object DeltaLogWriter {
       }
     }
     if (packed.isEmpty) return (live.size, live.size) // nothing to pack
-    val adds = addActions(spark, base, packed.flatMap(_._2))
-      .map(_.replace("\"dataChange\":true", "\"dataChange\":false"))
+    // on a row-tracked table the NEW files still get fresh baseRowIds
+    // (the spec: every add carries one) — reads prefer the materialized
+    // columns, and the high-water mark bumps past the fresh range
+    val hwm = rtConf.map(_ =>
+      DeltaLogReader.rowIdHighWaterMark(Some(spark), base, version).getOrElse(-1L))
+    val (adds0, total) = addActionsCounted(spark, base, packed.flatMap(_._2),
+      rowTracking = hwm.map(h => (h + 1, next)))
+    val adds = adds0.map(_.replace("\"dataChange\":true", "\"dataChange\":false"))
     val removes = packed.flatMap(_._1).map(a =>
       s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":false}}""")
+    val domainBump = hwm.map(h => rowTrackingDomain(h + total)).toSeq
     commit(base, next,
-      s"""{"commitInfo":{"operation":"OPTIMIZE","timestamp":0}}""" +: (removes ++ adds))
+      (s"""{"commitInfo":{"operation":"OPTIMIZE","timestamp":0}}""" +: domainBump) ++
+        (removes ++ adds))
     val rewrittenBefore = packed.map(_._1.size).sum
     val rewrittenAfter = packed.map(_._2.size).sum
     (live.size, live.size - rewrittenBefore + rewrittenAfter)
@@ -411,6 +529,10 @@ object DeltaLogWriter {
     val version = DeltaLogReader.latestVersion(base)
     require(DeltaLogReader.columnMappingSchema(Some(spark), base, version).isEmpty,
       "REORG PURGE on a column-mapped table is beyond this minimal writer")
+    require(rowTrackingConf(spark, base, version).isEmpty,
+      "REORG PURGE on a row-tracked table is beyond this minimal writer — " +
+        "the purge rewrite would reassign row ids (OPTIMIZE materializes " +
+        "them; the purge path does not yet)")
     val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
     val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
     val withDv = live.filter(_.dv.isDefined)
@@ -525,10 +647,17 @@ object DeltaLogWriter {
       val (uuidZ85, off, sz) = RoaringDv.writeDvPayload(base, payload)
       val dvJson = s""""deletionVector":{"storageType":"u","pathOrInlineDv":"$uuidZ85",""" +
         s""""offset":$off,"sizeInBytes":$sz,"cardinality":$card}"""
+      // a row-tracked file's re-add must CARRY its baseRowId — dropping
+      // it here would silently shift every surviving row's id
+      val rt = (a.baseRowId, a.defaultRowCommitVersion) match {
+        case (Some(b), Some(dv0)) =>
+          s""""baseRowId":$b,"defaultRowCommitVersion":$dv0,"""
+        case _ => ""
+      }
       Seq(
         s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":true}}""",
         s"""{"add":{"path":"${esc(a.path)}","partitionValues":${partitionValuesOf(a.path)},""" +
-          s""""size":${a.size},"modificationTime":0,"dataChange":true,""" +
+          s""""size":${a.size},"modificationTime":0,$rt"dataChange":true,""" +
           s""""stats":"${statsJsonOf(a)}",$dvJson}}""")
     }
     // upgrading to the table-features protocol (3, 7) must carry every
@@ -607,6 +736,10 @@ object DeltaLogWriter {
                         op: String, post: Option[DataFrame => DataFrame]): (Int, Long) = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     val version = DeltaLogReader.latestVersion(base)
+    require(rowTrackingConf(spark, base, version).isEmpty,
+      s"$op (copy-on-write) on a row-tracked table is beyond this minimal " +
+        "writer — the rewrite would reassign row ids; use the DV delete " +
+        "(deleteWhereDv), which preserves them")
     val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
     val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
     requireNoDv(live, op)
@@ -768,9 +901,17 @@ object DeltaLogWriter {
     val haveP = have.map(_.path).toSet
     val removes = have.filterNot(a => wantP.contains(a.path)).map(a =>
       s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":true}}""")
-    val adds = want.filterNot(a => haveP.contains(a.path)).map(a =>
+    val adds = want.filterNot(a => haveP.contains(a.path)).map { a =>
+      // row-tracked files restore WITH their original ids (the old
+      // log's add carried them; re-adding id-less would shift rows)
+      val rt = (a.baseRowId, a.defaultRowCommitVersion) match {
+        case (Some(b), Some(dv0)) =>
+          s""""baseRowId":$b,"defaultRowCommitVersion":$dv0,"""
+        case _ => ""
+      }
       s"""{"add":{"path":"${esc(a.path)}","partitionValues":${partitionValuesOf(a.path)},""" +
-        s""""size":${a.size},"modificationTime":0,"dataChange":true}}""")
+        s""""size":${a.size},"modificationTime":0,$rt"dataChange":true}}"""
+    }
     commit(base, current + 1,
       s"""{"commitInfo":{"operation":"RESTORE","readVersion":$toVersion,"timestamp":0}}""" +:
         (removes ++ adds))
@@ -811,7 +952,16 @@ object DeltaLogWriter {
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
       StructField("stats", StringType),
-      StructField("deletionVector", dvT)))
+      StructField("deletionVector", dvT),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))
+  }
+  private val domainT = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType)))
   }
   private val protoT = {
     import org.apache.spark.sql.types._
@@ -869,16 +1019,24 @@ object DeltaLogWriter {
           .mkString(s""","$tag":{""", ",", "}")
       s"""{"numRecords":${a.numRecords}${side("minValues", a.minValues)}${side("maxValues", a.maxValues)}}"""
     }
-    val actionRows = Seq(
+    // the rowTracking domain's high-water mark must survive into the
+    // checkpoint: after expireLog a mark lost here would make the next
+    // append REUSE row ids
+    val domain = DeltaLogReader.rowIdHighWaterMark(Some(spark), base, version)
+      .map(h => Row("delta.rowTracking", s"""{"rowIdHighWaterMark":$h}""", false))
+    val actionRows = (Seq(
       Row(Row(proto._1, proto._2,
         if (proto._3.isEmpty) null else proto._3,
-        if (proto._4.isEmpty) null else proto._4), null, null),
-      Row(null, Row(meta._1, Row("parquet"), meta._2, meta._3, meta._4, 0L), null)) ++
-      txns.toSeq.sortBy(_._1).map { case (app, v) => Row(null, null, Row(app, v, 0L)) }
+        if (proto._4.isEmpty) null else proto._4), null, null, null),
+      Row(null, Row(meta._1, Row("parquet"), meta._2, meta._3, meta._4, 0L), null, null)) ++
+      txns.toSeq.sortBy(_._1).map { case (app, v) => Row(null, null, Row(app, v, 0L), null) }) ++
+      domain.map(d => Row(null, null, null, d)).toSeq
     val addRows = live.map(a =>
       Row(Row(a.path, partitionValuePairs(a.path).toMap, a.size, 0L, true, statsJson(a),
         a.dv.map(d => Row(d.storageType, d.pathOrInlineDv, d.offset,
-          d.sizeInBytes, d.cardinality)).orNull)))
+          d.sizeInBytes, d.cardinality)).orNull,
+        a.baseRowId.map(java.lang.Long.valueOf).orNull,
+        a.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull)))
     (version, actionRows, addRows)
   }
 
@@ -905,9 +1063,10 @@ object DeltaLogWriter {
     val (version, actions, adds) = foldCheckpointState(spark, base)
     val schema = StructType(Seq(
       StructField("protocol", protoT), StructField("metaData", metaT),
-      StructField("txn", txnT), StructField("add", addT)))
-    val rows = actions.map(r => Row(r.get(0), r.get(1), r.get(2), null)) ++
-      adds.map(r => Row(null, null, null, r.get(0)))
+      StructField("txn", txnT), StructField("domainMetadata", domainT),
+      StructField("add", addT)))
+    val rows = actions.map(r => Row(r.get(0), r.get(1), r.get(2), r.get(3), null)) ++
+      adds.map(r => Row(null, null, null, null, r.get(0)))
     val dir = Paths.get(base, "_delta_log")
     writeOneParquet(spark, s"$base/_delta_log/.ckpt-stage", rows, schema,
       dir.resolve(f"$version%020d.checkpoint.parquet"))
@@ -952,11 +1111,11 @@ object DeltaLogWriter {
       StructField("checkpointMetadata", ckptMetaT),
       StructField("sidecar", sidecarT),
       StructField("protocol", protoT), StructField("metaData", metaT),
-      StructField("txn", txnT)))
+      StructField("txn", txnT), StructField("domainMetadata", domainT)))
     val topRows =
-      Row(Row(version), null, null, null, null) +:
-      (sidecars.map { case (n, sz) => Row(null, Row(n, sz, 0L), null, null, null) } ++
-        actions.map(r => Row(null, null, r.get(0), r.get(1), r.get(2))))
+      Row(Row(version), null, null, null, null, null) +:
+      (sidecars.map { case (n, sz) => Row(null, Row(n, sz, 0L), null, null, null, null) } ++
+        actions.map(r => Row(null, null, r.get(0), r.get(1), r.get(2), r.get(3))))
     val dir = Paths.get(base, "_delta_log")
     val unique = java.util.UUID.nameUUIDFromBytes(
       s"$base-$version-top".getBytes(StandardCharsets.UTF_8)).toString

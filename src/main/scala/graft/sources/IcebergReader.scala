@@ -49,7 +49,20 @@ import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
   *     sequence number — applied as one broadcast anti-join per
   *     delete file, null-safe per spec.
   *
-  * Out of scope, rejected fast rather than misread: format-version > 2.
+  * Format-version 3 features are real too:
+  *   - DELETION VECTORS (`content = 1` entries whose
+  *     `referenced_data_file` is set): roaring bitmaps in [[Puffin]]
+  *     sidecar files, located straight by the manifest's
+  *     `content_offset`/`content_size_in_bytes` (no footer read on the
+  *     scan path); payload BYTES ship to executors and decode in a
+  *     flatMap — positions never materialize on the driver.
+  *   - ROW LINEAGE (`_row_id`, `_last_updated_sequence_number`):
+  *     synthesized per the spec as `first_row_id + position` / the data
+  *     file's sequence number unless the file MATERIALIZES the columns
+  *     (what a lineage-preserving compaction writes) — see
+  *     [[readLineage]].
+  *
+  * Out of scope, rejected fast rather than misread: format-version > 3.
   */
 object IcebergReader {
 
@@ -75,7 +88,7 @@ object IcebergReader {
   def snapshots(base: String, v: Int): Seq[IcebergSnapshot] = {
     val json = metadataJson(base, v)
     DeltaLogReader.longField(json, "format-version").foreach { fv =>
-      require(fv <= 2L, s"Iceberg format-version=$fv beyond this minimal reader")
+      require(fv <= 3L, s"Iceberg format-version=$fv beyond this minimal reader")
     }
     val snap = ("\"snapshot-id\"\\s*:\\s*(\\d+)[^{}]*" +
       "\"manifest-list\"\\s*:\\s*\"([^\"]+)\"").r
@@ -132,7 +145,16 @@ object IcebergReader {
   final case class SnapshotScan(dataFiles: Seq[(String, Long)], posDeleteFiles: Seq[String],
                                 eqDeleteFiles: Seq[(String, Long)] = Nil,
                                 dataSeq: Map[String, Long] = Map.empty,
-                                delMeta: Map[String, (Long, Long)] = Map.empty)
+                                delMeta: Map[String, (Long, Long)] = Map.empty,
+                                dvs: Seq[DvRef] = Nil,
+                                firstRowIds: Map[String, Long] = Map.empty)
+
+  /** One v3 DELETION VECTOR reference from a manifest: where the blob
+    * lives ([[Puffin]] file + offset + size — the manifest fields that
+    * let the scan path skip the footer), which data file it masks, its
+    * cardinality, and its commit sequence. */
+  final case class DvRef(puffin: String, offset: Long, size: Long,
+                         referenced: String, cardinality: Long, seq: Long)
 
   private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
 
@@ -193,17 +215,28 @@ object IcebergReader {
       val seqCol =
         if (entries.columns.contains("sequence_number")) col("sequence_number")
         else lit(0L)
+      // v3 optional fields (absent in v2 manifests): the DV locator
+      // triple and the row-lineage first_row_id
+      def opt(f: String): Column =
+        if (dataFileFields.contains(f)) col(s"data_file.$f") else lit(null)
       val withSeq = entries.withColumn("__seq", seqCol)
-      val files = withSeq
-        .filter(col("data_file.content") === 0 && entryFilter)
-        .select(col("data_file.file_path"), col("data_file.record_count"), col("__seq"))
-        .collect().map(r => (resolve(base, r.getString(0)), r.getLong(1), r.getLong(2))).toSeq
-      val dels = withSeq.filter(col("data_file.content") === 1 && entryFilter)
-        .select(col("data_file.file_path"), col("data_file.record_count"), col("__seq"))
-        .collect().map(r => (resolve(base, r.getString(0)), r.getLong(1), r.getLong(2))).toSeq
-      val eqDels = withSeq.filter(col("data_file.content") === 2 && entryFilter)
-        .select(col("data_file.file_path"), col("data_file.record_count"), col("__seq"))
-        .collect().map(r => (resolve(base, r.getString(0)), r.getLong(1), r.getLong(2))).toSeq
+      def sel(content: Int) = withSeq
+        .filter(col("data_file.content") === content && entryFilter)
+        .select(col("data_file.file_path"), col("data_file.record_count"), col("__seq"),
+          opt("referenced_data_file"), opt("content_offset"),
+          opt("content_size_in_bytes"), opt("first_row_id"))
+        .collect()
+      val files = sel(0).map(r => (resolve(base, r.getString(0)), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))).toSeq
+      // content=1 with referenced_data_file set is a v3 DELETION VECTOR;
+      // without it, a v2 position-delete parquet
+      val (dvRows, delRows) = sel(1).toSeq.partition(r => !r.isNullAt(3))
+      val dels = delRows.map(r => (resolve(base, r.getString(0)), r.getLong(1), r.getLong(2)))
+      val dvs = dvRows.map(r => DvRef(resolve(base, r.getString(0)),
+        r.getLong(4), r.getLong(5), resolve(base, r.getString(3)),
+        r.getLong(1), r.getLong(2)))
+      val eqDels = sel(2).map(r =>
+        (resolve(base, r.getString(0)), r.getLong(1), r.getLong(2))).toSeq
       // the window NEEDS an ordering: EQUALITY deletes in a manifest
       // that tracks no sequence numbers cannot be applied soundly —
       // treating every file as sequence 0 would silently no-op them
@@ -213,7 +246,9 @@ object IcebergReader {
       SnapshotScan(files.map(f => (f._1, f._2)), dels.map(_._1),
         eqDels.map(e => (e._1, e._3)),
         files.map(f => f._1 -> f._3).toMap,
-        (dels ++ eqDels).map(d => d._1 -> (d._2, d._3)).toMap)
+        (dels ++ eqDels).map(d => d._1 -> (d._2, d._3)).toMap,
+        dvs,
+        files.collect { case (p, _, _, Some(fr)) => p -> fr }.toMap)
     }
   }
 
@@ -233,6 +268,25 @@ object IcebergReader {
   private[sources] def applyDeletes(spark: SparkSession, scan: SnapshotScan,
                                     stamped: DataFrame): DataFrame = {
     var data = stamped
+    if (scan.dvs.nonEmpty) {
+      // v3 DELETION VECTORS: the driver loads only the KB-scale roaring
+      // payloads (straight by manifest offset/size, no puffin footer
+      // read); the position explosion happens in an executor flatMap
+      // and the apply is the same broadcast anti-join as pos deletes
+      import org.apache.spark.sql.Encoders
+      val payloads: Seq[(String, Array[Byte])] = scan.dvs.map { dv =>
+        dv.referenced.replaceFirst("^file:/*", "/") ->
+          Puffin.readDvPayload(dv.puffin, dv.offset, dv.size)
+      }
+      val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+      val dels = spark.createDataset(payloads)(
+          Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+        .flatMap { case (p, b) => RoaringDv.deserialize(b).map(pos => (p, pos)) }(pairEnc)
+        .toDF("__dv_path", "__dv_pos")
+      data = data.join(broadcast(dels),
+        col("__path") === col("__dv_path") && col("__pos") === col("__dv_pos"),
+        "left_anti")
+    }
     if (scan.posDeleteFiles.nonEmpty) {
       // Spec position-delete application as a plain anti-join: the
       // delete side is metadata-scale next to the data (broadcast);
@@ -279,12 +333,19 @@ object IcebergReader {
     applyDeletes(spark, scan, stamped)
   }
 
+  /** The spec's reserved row-lineage identifiers: metadata columns on a
+    * v3 table, never user data — a plain read hides them even when a
+    * lineage-preserving compaction materialized them into parquet. */
+  private val LineageCols = Seq("_row_id", "_last_updated_sequence_number")
+
   private def readScan(spark: SparkSession, base: String, snapshotId: Long,
                        scan: SnapshotScan): DataFrame = {
     require(scan.dataFiles.nonEmpty, s"empty snapshot $snapshotId of $base")
     val raw = spark.read.parquet(scan.dataFiles.map(_._1): _*)
+      .drop(LineageCols: _*)
     val cols = raw.columns.map(col)
-    if (scan.posDeleteFiles.isEmpty && scan.eqDeleteFiles.isEmpty) return raw
+    if (scan.posDeleteFiles.isEmpty && scan.eqDeleteFiles.isEmpty && scan.dvs.isEmpty)
+      return raw
     scanWithPositions(spark, scan).select(cols.toIndexedSeq: _*)
   }
 
@@ -347,4 +408,59 @@ object IcebergReader {
                 partitionFilter: Column): DataFrame =
     readScan(spark, base, snapshotId,
       planSnapshot(spark, base, snapshotId, partitionFilter))
+
+  /** The v3 row-lineage high-water mark: the metadata's `next-row-id`
+    * (the first id the NEXT commit may assign). */
+  def nextRowId(base: String, v: Int): Option[Long] =
+    DeltaLogReader.longField(metadataJson(base, v), "next-row-id")
+
+  /** Each snapshot's `first-row-id` (v3 row lineage) — writers carry
+    * these through every metadata rewrite. */
+  def snapshotFirstRowIds(base: String, v: Int): Map[Long, Long] = {
+    val re = """"snapshot-id"\s*:\s*(\d+)\s*,\s*"first-row-id"\s*:\s*(\d+)""".r
+    re.findAllMatchIn(metadataJson(base, v))
+      .map(m => m.group(1).toLong -> m.group(2).toLong).toMap
+  }
+
+  /** v3 ROW-LINEAGE read: the snapshot's live rows plus the spec's two
+    * reserved metadata columns —
+    *
+    *   - `_row_id`: the file's materialized value when present (what a
+    *     lineage-preserving compaction writes), else
+    *     `first_row_id + position` inherited from the manifest entry;
+    *   - `_last_updated_sequence_number`: materialized value, else the
+    *     data file's own sequence number.
+    *
+    * Deletes (DVs included) apply first, so surviving rows keep their
+    * ids — the stability guarantee lineage exists for. The per-file
+    * (first_row_id, sequence) pairs attach via ONE broadcast join over
+    * a files-sized frame; `mergeSchema` makes mixed sets (some files
+    * materialize lineage, some inherit) read uniformly. */
+  def readLineage(spark: SparkSession, base: String, snapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.coalesce
+    val scan = planSnapshot(spark, base, snapshotId)
+    require(scan.dataFiles.nonEmpty, s"empty snapshot $snapshotId of $base")
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(scan.dataFiles.map(_._1): _*)
+    val stamped = raw
+      .withColumn("__path", normPath(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val masked = applyDeletes(spark, scan, stamped)
+    val meta = scan.dataFiles.map { case (p, _) =>
+      val norm = p.replaceFirst("^file:/*", "/")
+      (norm,
+        scan.firstRowIds.get(p).map(java.lang.Long.valueOf).orNull,
+        scan.dataSeq.getOrElse(p, 0L))
+    }
+    val metaDf = spark.createDataFrame(meta).toDF("__lm_path", "__lm_first", "__lm_seq")
+    val matCol = (c: String) => if (raw.columns.contains(c)) col(c) else lit(null)
+    val userCols = raw.columns.filterNot(c =>
+      LineageCols.contains(c) || c.startsWith("__")).map(col).toSeq
+    masked.join(broadcast(metaDf), col("__path") === col("__lm_path"))
+      .select(userCols ++ Seq(
+        coalesce(matCol("_row_id"), col("__lm_first") + col("__pos"))
+          .cast("long").as("_row_id"),
+        coalesce(matCol("_last_updated_sequence_number"), col("__lm_seq"))
+          .cast("long").as("_last_updated_sequence_number")): _*)
+  }
 }

@@ -243,12 +243,20 @@ object IcebergWriter {
   }
 
   /** metadata JSON + version hint; the hint write is the commit point.
-    * `formatVersion` 2 marks tables carrying row-level delete files. */
+    * `formatVersion` 2 marks tables carrying row-level delete files;
+    * 3 adds ROW LINEAGE: each snapshot's `first-row-id` and the table's
+    * `next-row-id` high-water mark must be THREADED through every
+    * metadata rewrite or id assignment would fork. */
   private def writeMeta(base: String, v: Int, current: Long, snaps: Seq[Long],
                         refs: Map[String, (Long, String)] = Map.empty,
-                        formatVersion: Int = 1): Unit = {
-    val ss = snaps.map(i =>
-      s"""{"snapshot-id":$i,"timestamp-ms":0,"manifest-list":"metadata/snap-$i.avro"}""")
+                        formatVersion: Int = 1,
+                        firstRowIds: Map[Long, Long] = Map.empty,
+                        nextRowId: Option[Long] = None): Unit = {
+    val ss = snaps.map { i =>
+      val fr = firstRowIds.get(i).map(f => s""""first-row-id":$f,""").getOrElse("")
+      s"""{"snapshot-id":$i,$fr"timestamp-ms":0,"manifest-list":"metadata/snap-$i.avro"}"""
+    }
+    val nri = nextRowId.map(n => s""","next-row-id":$n""").getOrElse("")
     val refsJson =
       if (refs.isEmpty) ""
       else refs.toSeq.sortBy(_._1).map { case (n, (id, t)) =>
@@ -256,7 +264,7 @@ object IcebergWriter {
       }.mkString(""","refs":{""", ",", "}")
     Files.writeString(Paths.get(base, "metadata", s"v$v.metadata.json"),
       s"""{"format-version":$formatVersion,"table-uuid":"graft-export","location":"$base",""" +
-        s""""current-snapshot-id":$current,"snapshots":[${ss.mkString(",")}]$refsJson}""")
+        s""""current-snapshot-id":$current,"snapshots":[${ss.mkString(",")}]$nri$refsJson}""")
     Files.writeString(Paths.get(base, "metadata", "version-hint.text"), v.toString)
   }
 
@@ -270,10 +278,13 @@ object IcebergWriter {
     val v = IcebergReader.currentMetadataVersion(base)
     val snaps = IcebergReader.snapshots(base, v).map(_.id).sorted
     require(snaps.contains(snapshotId), s"ref targets unknown snapshot $snapshotId")
+    val fv = IcebergReader.formatVersion(base, v)
     writeMeta(base, v + 1, current = IcebergReader.currentSnapshotId(base, v),
       snaps = snaps,
       refs = IcebergReader.refs(base, v) + (name -> (snapshotId, refType)),
-      formatVersion = IcebergReader.formatVersion(base, v))
+      formatVersion = fv,
+      firstRowIds = if (fv == 3) IcebergReader.snapshotFirstRowIds(base, v) else Map.empty,
+      nextRowId = if (fv == 3) IcebergReader.nextRowId(base, v) else None)
   }
 
   /** Create a new Iceberg table at `base` (snapshot 1). */
@@ -305,16 +316,42 @@ object IcebergWriter {
     val prev = IcebergReader.currentSnapshotId(base, v)
     val scan = IcebergReader.planSnapshot(spark, base, prev)
     val live = scan.dataFiles
-    val hasDels = scan.posDeleteFiles.nonEmpty || scan.eqDeleteFiles.nonEmpty
+    val hasDels = scan.posDeleteFiles.nonEmpty || scan.eqDeleteFiles.nonEmpty ||
+      scan.dvs.nonEmpty
     val liveBytes = live.map(f => Files.size(Paths.get(f._1))).sum
     val numOut = math.max(1, math.ceil(liveBytes.toDouble / targetBytes).toInt)
     if (!hasDels && numOut >= live.size) return (live.size, live.size)
     val snap = prev + 1
+    // v3 compaction must PRESERVE row lineage: read WITH `_row_id` /
+    // `_last_updated_sequence_number` and write them as real columns
+    // (the rewritten entries carry first_row_id = null — materialized)
     val rows =
-      if (hasDels) IcebergReader.read(spark, base, prev)
+      if (fv == 3) IcebergReader.readLineage(spark, base, prev)
+      else if (hasDels) IcebergReader.read(spark, base, prev)
       else spark.read.parquet(live.map(_._1): _*)
     val files = writeData(spark, rows.repartition(numOut), base, snap)
     def relOf(abs: String) = abs.stripPrefix(Paths.get(base).toString).stripPrefix("/")
+    if (fv == 3) {
+      val droppedData = live.map { case (abs, n) =>
+        V3Entry(2, relOf(abs), n, 0, scan.dataSeq.getOrElse(abs, 0L),
+          firstRowId = scan.firstRowIds.get(abs))
+      }
+      val droppedDvs = scan.dvs.map { dv =>
+        V3Entry(2, relOf(dv.puffin), dv.cardinality, 1, dv.seq,
+          Some(relOf(dv.referenced)), Some(dv.offset), Some(dv.size))
+      }
+      val added = files.map { case (p, n) => V3Entry(1, p, n, 0, snap.toLong) }
+      writeV3Manifest(spark, base, s"metadata/m$snap.avro",
+        droppedData ++ droppedDvs ++ added)
+      writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
+      val v0 = IcebergReader.nextRowId(base, v).getOrElse(0L)
+      writeMeta(base, v + 1, current = snap,
+        snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
+        refs = IcebergReader.refs(base, v), formatVersion = 3,
+        firstRowIds = IcebergReader.snapshotFirstRowIds(base, v) + (snap -> v0),
+        nextRowId = Some(v0)) // compaction assigns no NEW row ids
+      return (live.size, files.size)
+    }
     if (fv == 1 && !hasDels) {
       writeManifest(spark, base, s"metadata/m$snap.avro",
         live.map { case (abs, n) => (2, relOf(abs), n) } ++
@@ -365,12 +402,18 @@ object IcebergWriter {
     // snapshot's delete file must never be swept as an orphan
     def allFiles(id: Long): Seq[String] = {
       val sc = IcebergReader.planSnapshot(spark, base, id)
-      sc.dataFiles.map(_._1) ++ sc.posDeleteFiles ++ sc.eqDeleteFiles.map(_._1)
+      sc.dataFiles.map(_._1) ++ sc.posDeleteFiles ++ sc.eqDeleteFiles.map(_._1) ++
+        sc.dvs.map(_.puffin)
     }
     val keptFiles = kept.flatMap(allFiles).toSet
     val orphans = dropped.flatMap(allFiles).distinct.filterNot(keptFiles)
+    val fv = IcebergReader.formatVersion(base, v)
     writeMeta(base, v + 1, current = current, snaps = kept, refs = refs,
-      formatVersion = IcebergReader.formatVersion(base, v))
+      formatVersion = fv,
+      firstRowIds =
+        if (fv == 3) IcebergReader.snapshotFirstRowIds(base, v).filter(e => kept.contains(e._1))
+        else Map.empty,
+      nextRowId = if (fv == 3) IcebergReader.nextRowId(base, v) else None)
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     dropped.foreach(id =>
       Files.deleteIfExists(Paths.get(base, s"metadata/snap-$id.avro")))
@@ -389,7 +432,8 @@ object IcebergWriter {
     val v = IcebergReader.currentMetadataVersion(base)
     val referenced = IcebergReader.snapshots(base, v).flatMap { s =>
       val scan = IcebergReader.planSnapshot(spark, base, s.id)
-      scan.dataFiles.map(_._1) ++ scan.posDeleteFiles ++ scan.eqDeleteFiles.map(_._1)
+      scan.dataFiles.map(_._1) ++ scan.posDeleteFiles ++
+        scan.eqDeleteFiles.map(_._1) ++ scan.dvs.map(_.puffin)
     }.map(p => Paths.get(p).normalize.toString).toSet
     val dataDir = Paths.get(base, "data")
     if (!Files.isDirectory(dataDir)) return Nil
@@ -423,6 +467,155 @@ object IcebergWriter {
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
   }
 
+  // ---- format-version 3: deletion vectors + row lineage --------------------
+
+  /** One v3 manifest entry. Data files (`content=0`) may carry a
+    * row-lineage `firstRowId` (None ⇒ the file MATERIALIZES `_row_id`,
+    * what a lineage-preserving compaction writes); DELETION VECTORS
+    * (`content=1` + `refDataFile`) carry the [[Puffin]] blob locator
+    * the scan path jumps by. */
+  private final case class V3Entry(status: Int, path: String, records: Long,
+                                   content: Int, seq: Long,
+                                   refDataFile: Option[String] = None,
+                                   contentOffset: Option[Long] = None,
+                                   contentSize: Option[Long] = None,
+                                   firstRowId: Option[Long] = None)
+
+  private def writeV3Manifest(spark: SparkSession, base: String, rel: String,
+                              entries: Seq[V3Entry]): Unit = {
+    val schema = StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("data_file", StructType(Seq(
+        StructField("content", IntegerType, nullable = false),
+        StructField("file_path", StringType, nullable = false),
+        StructField("file_format", StringType, nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("file_size_in_bytes", LongType, nullable = false),
+        StructField("referenced_data_file", StringType, nullable = true),
+        StructField("content_offset", LongType, nullable = true),
+        StructField("content_size_in_bytes", LongType, nullable = true),
+        StructField("first_row_id", LongType, nullable = true))))))
+    val rows = entries.map { e =>
+      Row(e.status, e.seq, Row(e.content, e.path, if (e.content == 1 && e.refDataFile.isDefined) "PUFFIN" else "PARQUET",
+        e.records, Files.size(Paths.get(base, e.path)),
+        e.refDataFile.orNull,
+        e.contentOffset.map(java.lang.Long.valueOf).orNull,
+        e.contentSize.map(java.lang.Long.valueOf).orNull,
+        e.firstRowId.map(java.lang.Long.valueOf).orNull))
+    }
+    writeOneAvro(spark, base, rel,
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+  }
+
+  private def relOf(base: String, abs: String): String =
+    abs.stripPrefix(Paths.get(base).toString).stripPrefix("/")
+
+  /** Every live entry of a v3 scan as EXISTING rows — data files keep
+    * their `first_row_id` (or its absence: materialized lineage), DVs
+    * keep their blob locator and original sequence. */
+  private def carriedV3(scan: IcebergReader.SnapshotScan, base: String): Seq[V3Entry] = {
+    val data = scan.dataFiles.map { case (abs, n) =>
+      V3Entry(0, relOf(base, abs), n, 0, scan.dataSeq.getOrElse(abs, 0L),
+        firstRowId = scan.firstRowIds.get(abs))
+    }
+    val dvs = scan.dvs.map { dv =>
+      V3Entry(0, relOf(base, dv.puffin), dv.cardinality, 1, dv.seq,
+        Some(relOf(base, dv.referenced)), Some(dv.offset), Some(dv.size))
+    }
+    val dels = (scan.posDeleteFiles.map(p => (p, 1)) ++
+      scan.eqDeleteFiles.map(e => (e._1, 2))).map { case (abs, content) =>
+      val (n, seq) = scan.delMeta.getOrElse(abs, (0L, 0L))
+      V3Entry(0, relOf(base, abs), n, content, seq)
+    }
+    data ++ dvs ++ dels
+  }
+
+  /** Create a FORMAT-VERSION 3 table: same data layout as [[create]],
+    * plus row lineage from birth — file `i` gets
+    * `first_row_id = Σ record counts of files before it` and the
+    * metadata records `next-row-id` so every later commit assigns
+    * fresh, never-reused ids. */
+  def createV3(spark: SparkSession, df: DataFrame, base: String): Unit = {
+    TxnLog.rmrf(base)
+    Files.createDirectories(Paths.get(base, "metadata"))
+    val files = writeData(spark, df, base, 1L)
+    var next = 0L
+    val entries = files.map { case (p, n) =>
+      val e = V3Entry(1, p, n, 0, 1L, firstRowId = Some(next)); next += n; e
+    }
+    writeV3Manifest(spark, base, "metadata/m1.avro", entries)
+    writeManifestList(spark, base, 1L, Seq("metadata/m1.avro"))
+    writeMeta(base, 1, current = 1L, snaps = Seq(1L), formatVersion = 3,
+      firstRowIds = Map(1L -> 0L), nextRowId = Some(next))
+  }
+
+  /** v3 DELETE as a DELETION-VECTOR commit (the spec FORBIDS new
+    * position-delete files at v3): per touched data file, a roaring
+    * bitmap built EXECUTOR-side (one group per file; the driver sees
+    * only KB-scale serialized blobs, never position lists), all blobs
+    * in ONE [[Puffin]] file. A data file has AT MOST ONE DV — a re-
+    * delete REPLACES its DV with the union (old entry dropped at
+    * status=2), the spec's monotone-growth rule. Returns
+    * (affectedDataFiles, newlyDeletedRows). */
+  def deleteWhereV3(spark: SparkSession, base: String,
+                    predicate: org.apache.spark.sql.Column): (Int, Long) = {
+    import org.apache.spark.sql.Encoders
+    val v = IcebergReader.currentMetadataVersion(base)
+    require(IcebergReader.formatVersion(base, v) == 3,
+      s"deleteWhereV3 needs a format-version 3 table, $base is not one")
+    val prev = IcebergReader.currentSnapshotId(base, v)
+    val scan = IcebergReader.planSnapshot(spark, base, prev)
+    require(scan.dataFiles.nonEmpty, s"DELETE on empty table $base")
+    // live matching rows under the existing DVs (already-masked rows
+    // never re-match), keyed by native row positions
+    val matched = IcebergReader.scanWithPositions(spark, scan)
+      .filter(predicate.eqNullSafe(true))
+    val existingBytes: Map[String, Array[Byte]] = scan.dvs.map { dv =>
+      dv.referenced.replaceFirst("^file:/*", "/") ->
+        Puffin.readDvPayload(dv.puffin, dv.offset, dv.size)
+    }.toMap
+    val exBc = spark.sparkContext.broadcast(existingBytes)
+    val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    val fileEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.BINARY)
+    val perFile = matched.select(col("__path"), col("__pos")).as(pairEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroups { (p, it) =>
+        val fresh = it.map(_._2).toArray
+        val merged = (exBc.value.get(p).map(RoaringDv.deserialize).getOrElse(Seq.empty) ++
+          fresh).distinct.sorted
+        (p, fresh.length.toLong, merged.size.toLong, RoaringDv.serialize(merged))
+      }(fileEnc)
+      .collect().sortBy(_._1)
+    if (perFile.isEmpty) return (0, 0L)
+    val snap = prev + 1
+    Files.createDirectories(Paths.get(base, "data"))
+    val puffinRel = s"data/dv-s$snap.puffin"
+    val blobs = perFile.toSeq.map { case (p, _, card, payload) =>
+      Puffin.Blob(Puffin.dvBlobBytes(payload), "deletion-vector-v1", snap, snap,
+        Map("referenced-data-file" -> relOf(base, p), "cardinality" -> card.toString))
+    }
+    val metas = Puffin.writeFile(s"$base/$puffinRel", blobs)
+    // carried entries MINUS the replaced DVs of re-masked files
+    val touched = perFile.map(p => relOf(base, p._1)).toSet
+    val carried = carriedV3(scan, base).filterNot(e =>
+      e.content == 1 && e.refDataFile.exists(touched.contains))
+    val dvEntries = perFile.toSeq.zip(metas).map { case ((p, _, card, _), m) =>
+      V3Entry(1, puffinRel, card, 1, snap.toLong,
+        Some(relOf(base, p)), Some(m.offset), Some(m.length))
+    }
+    writeV3Manifest(spark, base, s"metadata/m$snap.avro", carried ++ dvEntries)
+    writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
+    val next0 = IcebergReader.nextRowId(base, v).getOrElse(0L)
+    writeMeta(base, v + 1, current = snap,
+      snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
+      refs = IcebergReader.refs(base, v), formatVersion = 3,
+      firstRowIds = IcebergReader.snapshotFirstRowIds(base, v) + (snap -> next0),
+      nextRowId = Some(next0)) // a DELETE assigns no row ids
+    (perFile.length, perFile.map(_._2).sum)
+  }
+
   /** Iceberg v2 DELETE as a POSITION-DELETE commit — the merge-on-read
     * write shape row-level deletes exist for (a CDC ingest cannot
     * afford the CoW rewrite): find the live (file_path, pos) pairs
@@ -439,6 +632,9 @@ object IcebergWriter {
   def deleteWhere(spark: SparkSession, base: String,
                   predicate: org.apache.spark.sql.Column): (Int, Long) = {
     val v = IcebergReader.currentMetadataVersion(base)
+    // v3 forbids NEW position-delete files — route to the DV writer
+    if (IcebergReader.formatVersion(base, v) == 3)
+      return deleteWhereV3(spark, base, predicate)
     val prev = IcebergReader.currentSnapshotId(base, v)
     val scan = IcebergReader.planSnapshot(spark, base, prev)
     require(scan.dataFiles.nonEmpty, s"DELETE on empty table $base")
@@ -557,10 +753,23 @@ object IcebergWriter {
     val prev = IcebergReader.currentSnapshotId(base, v)
     val fv = IcebergReader.formatVersion(base, v)
     val scan = IcebergReader.planSnapshot(spark, base, prev)
-    val hasDels = scan.posDeleteFiles.nonEmpty || scan.eqDeleteFiles.nonEmpty
+    val hasDels = scan.posDeleteFiles.nonEmpty || scan.eqDeleteFiles.nonEmpty ||
+      scan.dvs.nonEmpty
     val snap = prev + 1
     val files = writeData(spark, df, base, snap)
-    if (fv == 1 && !hasDels) {
+    // v3 row lineage: this commit's first-row-id is the table's
+    // next-row-id; new files take contiguous id ranges in file order
+    val next0 = if (fv == 3) IcebergReader.nextRowId(base, v).getOrElse(0L) else 0L
+    if (fv == 3) {
+      var next = next0
+      val added = files.map { case (p, n) =>
+        val e = V3Entry(1, p, n, 0, snap.toLong, firstRowId = Some(next)); next += n; e
+      }
+      // live DVs (and any delete files) carry forward — a v1-shaped
+      // carry here would RESURRECT soft-deleted rows silently
+      writeV3Manifest(spark, base, s"metadata/m$snap.avro",
+        carriedV3(scan, base) ++ added)
+    } else if (fv == 1 && !hasDels) {
       val carried = scan.dataFiles.map { case (abs, n) =>
         // reader resolves relative paths against base; store them relative
         (0, abs.stripPrefix(Paths.get(base).toString).stripPrefix("/"), n)
@@ -579,6 +788,10 @@ object IcebergWriter {
     writeMeta(base, v + 1, current = snap,
       snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
       refs = IcebergReader.refs(base, v),
-      formatVersion = if (hasDels) 2 else fv)
+      formatVersion = if (fv == 3) 3 else if (hasDels) 2 else fv,
+      firstRowIds =
+        if (fv == 3) IcebergReader.snapshotFirstRowIds(base, v) + (snap -> next0)
+        else Map.empty,
+      nextRowId = if (fv == 3) Some(next0 + files.map(_._2).sum) else None)
   }
 }

@@ -309,12 +309,12 @@ class IcebergSpec extends SparkSpec {
     intercept[IllegalArgumentException](W.expireSnapshots(spark, base, keepFrom = 99L))
   }
 
-  test("format-version beyond 2 and unknown snapshot ids are rejected") {
+  test("format-version beyond 3 and unknown snapshot ids are rejected") {
     val base = mkTable("guards")
     writeData(base, "data/a.parquet", Seq(1L))
     writeManifest(base, "metadata/m1.avro", Seq((1, "data/a.parquet", 1L)))
     writeManifestList(base, "metadata/snap-1.avro", Seq("metadata/m1.avro"))
-    writeMeta(base, 1, current = 1L, snaps = Seq(1L), formatVersion = 3)
+    writeMeta(base, 1, current = 1L, snaps = Seq(1L), formatVersion = 4)
     val e = intercept[IllegalArgumentException](IcebergReader.snapshots(base, 1))
     assert(e.getMessage.contains("format-version"))
     writeMeta(base, 1, current = 1L, snaps = Seq(1L))
