@@ -348,6 +348,57 @@ object LakehouseQueries extends QueryGroup {
       versions.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // ---- Delta LIQUID CLUSTERING (z-ordered OPTIMIZE + 2-D skipping) -------
+    // The modern Delta layout default: clustering columns are a LAYOUT
+    // HINT in the `delta.clustering` domain (not a path scheme), and
+    // OPTIMIZE applies it — an 8×8-cell Z-ORDER rewrite, one file per
+    // occupied Z-bucket, so per-file min/max stats become tight on
+    // BOTH columns and either dimension's predicate prunes files.
+    // Fixture: four value-sliced files by o_orderkey%4 (each spans ALL
+    // years and price buckets — pre-cluster stats prune NOTHING), then
+    // optimizeClustered. Phases census (planned files, rows, cents)
+    // for a year range BEFORE, the same range AFTER, a price-bucket
+    // range AFTER (the other dimension), and the full post-cluster
+    // content. The routing is a value-derived integer formula, so the
+    // oracle RECONSTRUCTS the exact per-bucket min/max and derives the
+    // same planned-file counts — the skipping benefit itself is
+    // hash-gated, not just asserted.
+    "q_delta_clustered" -> ((s, d) => {
+      import graft.sources.{DeltaLogReader, DeltaLogWriter}
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_clust"
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        cents("o_totalprice").as("cents"))
+        .withColumn("pb", expr("cents div 1000000"))
+      (0 to 3).foreach { g =>
+        val slice = o.filter(pmod(col("o_orderkey"), lit(4)) === g).coalesce(1)
+        if (g == 0) DeltaLogWriter.createClustered(s, slice, base,
+          "graft-orders-clust", Seq("o_year", "pb"))
+        else DeltaLogWriter.append(s, slice, base, statsFor = Seq("o_year", "pb"))
+      }
+      def phase(id: Long, c: String, lo: Long, hi: Long) = {
+        val v = DeltaLogReader.latestVersion(base)
+        val planned = DeltaLogReader.filesWhere(s, base, v, c, lo, hi).size.toLong
+        DeltaLogReader.readWhere(s, base, v, c, lo, hi)
+          .filter(col(c).between(lo, hi))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(id).as("phase"), lit(planned).as("n_files_planned"),
+            col("n_rows"), col("total_cents"))
+      }
+      val p1 = phase(1L, "o_year", 1996L, 1997L)
+      DeltaLogWriter.optimizeClustered(s, base)
+      val p2 = phase(2L, "o_year", 1996L, 1997L)
+      val p3 = phase(3L, "pb", 0L, 9L)
+      val vEnd = DeltaLogReader.latestVersion(base)
+      val nLive = DeltaLogReader.snapshotFiles(Some(s), base, vEnd).size.toLong
+      val p4 = DeltaLogReader.read(s, base, vEnd)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(4L).as("phase"), lit(nLive).as("n_files_planned"),
+          col("n_rows"), col("total_cents"))
+      Seq(p1, p2, p3, p4).reduce(_ unionAll _).orderBy("phase")
+    }),
+
     // ---- Delta ROW TRACKING (the Iceberg row-lineage twin) -----------------
     // The `rowTracking` + `domainMetadata` writer features: every row
     // gets a stable `_row_id` at first commit (the add action's
@@ -1192,6 +1243,47 @@ object LakehouseQueries extends QueryGroup {
           .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
           .select(lit(snap).as("snapshot_id"), col("n_rows"), col("total_cents"))
       Seq(1L, 2L, 3L, 4L).map(census).reduce(_ unionAll _).orderBy("snapshot_id")
+    }),
+
+    // ---- Iceberg TABLE STATISTICS (Puffin NDV sketches) --------------------
+    // The spec's `statistics` metadata list — what external CBOs
+    // (Trino, Spark's own estimator) read for cardinalities without
+    // touching data. ONE distributed pass computes a REAL
+    // apache-datasketches-theta-v1 sketch + the exact NDV per column;
+    // both land in a Puffin stats file registered for the snapshot,
+    // and the list is CARRIED through later commits (the append here —
+    // a commit that dropped it would silently sever table stats). The
+    // graded read is METADATA-ONLY: the puffin FOOTER serves ndv, and
+    // the sketch's own estimate must agree with the stored exact NDV
+    // within 5% (a corrupted/mis-serialized sketch flips the boolean
+    // and hash-fails). Oracle recomputes the exact NDVs from `orders`.
+    "q_iceberg_ndv_stats" -> ((s, d) => {
+      import graft.sources.{IcebergReader, IcebergWriter, Puffin}
+      val base = iceBase(d, "orders_stats")
+      val o = iceOrders(s, d)
+      IcebergWriter.create(s, o.repartition(2), base)
+      IcebergWriter.writeStats(s, base,
+        Seq(("o_orderkey", 1), ("o_orderpriority", 2), ("cents", 3)))
+      IcebergWriter.append(s,
+        o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("cents", col("cents") + 1), base)
+      val v = IcebergReader.currentMetadataVersion(base)
+      val ndv = IcebergReader.statsNdv(base, 1L)
+      val statsPath = IcebergReader.statisticsEntries(base, v)
+        .collectFirst { case (1L, p) => s"$base/$p" }
+        .getOrElse(throw new IllegalStateException("stats entry lost by append"))
+      val (blobs, _) = Puffin.readFooter(statsPath)
+      val names = Map(1 -> "o_orderkey", 2 -> "o_orderpriority", 3 -> "cents")
+      val rows = blobs.map { b =>
+        val fid = b.fields.head
+        val est = math.round(org.apache.datasketches.theta.Sketches.wrapCompactSketch(
+          org.apache.datasketches.memory.Memory.wrap(
+            Puffin.readBlob(statsPath, b.offset, b.length))).getEstimate)
+        val exact = ndv(fid)
+        (names(fid), exact, math.abs(est - exact) <= 0.05 * exact)
+      }
+      s.createDataFrame(rows).toDF("col_name", "ndv", "sketch_ok")
+        .orderBy("col_name")
     }),
 
     // ---- Iceberg v3 ROW LINEAGE ---------------------------------------------
@@ -2411,12 +2503,38 @@ object LakehouseQueries extends QueryGroup {
         "  SELECT cents FROM o WHERE pri NOT IN ('1-URGENT', '2-HIGH') " +
         "  UNION ALL SELECT cents + 3 FROM o WHERE k % 5 = 0) " +
         "ORDER BY snapshot_id"),
+    "q_delta_clustered" ->
+      ("WITH ob AS (SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) // 1000000 AS pb FROM orders), " +
+        "mm AS (SELECT min(o_year) lo1, max(o_year) hi1, min(pb) lo2, max(pb) hi2 FROM ob), " +
+        "zz AS (SELECT ob.*, " +
+        "  ((o_year - lo1) * 8) // (hi1 - lo1 + 1) AS bx, " +
+        "  ((pb - lo2) * 8) // (hi2 - lo2 + 1) AS byy FROM ob, mm), " +
+        "zv AS (SELECT zz.*, ((bx & 1) | ((byy & 1) << 1) | (((bx >> 1) & 1) << 2) | " +
+        "  (((byy >> 1) & 1) << 3) | (((bx >> 2) & 1) << 4) | (((byy >> 2) & 1) << 5)) // 4 AS zb FROM zz), " +
+        "bstats AS (SELECT zb, min(o_year) mny, max(o_year) mxy, min(pb) mnp, max(pb) mxp FROM zv GROUP BY 1), " +
+        "pre AS (SELECT o_orderkey % 4 AS g, min(o_year) a, max(o_year) b FROM ob GROUP BY 1) " +
+        "SELECT CAST(1 AS BIGINT) AS phase, (SELECT count(*) FROM pre WHERE b >= 1996 AND a <= 1997) AS n_files_planned, " +
+        "  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM ob WHERE o_year BETWEEN 1996 AND 1997 " +
+        "UNION ALL SELECT 2, (SELECT count(*) FROM bstats WHERE mxy >= 1996 AND mny <= 1997), " +
+        "  count(*), CAST(sum(cents) AS BIGINT) FROM ob WHERE o_year BETWEEN 1996 AND 1997 " +
+        "UNION ALL SELECT 3, (SELECT count(*) FROM bstats WHERE mxp >= 0 AND mnp <= 9), " +
+        "  count(*), CAST(sum(cents) AS BIGINT) FROM ob WHERE pb BETWEEN 0 AND 9 " +
+        "UNION ALL SELECT 4, (SELECT count(DISTINCT zb) FROM zv), count(*), CAST(sum(cents) AS BIGINT) FROM ob " +
+        "ORDER BY phase"),
     "q_delta_row_tracking" ->
       ("WITH n1 AS (SELECT n_nationkey, row_number() OVER (ORDER BY n_nationkey) - 1 AS rid, 0 AS ver FROM nation), " +
         "n2 AS (SELECT n_nationkey + 100 AS n_nationkey, (SELECT count(*) FROM nation) + row_number() OVER (ORDER BY n_nationkey) - 1 AS rid, 1 AS ver FROM nation), " +
         "allr AS (SELECT * FROM n1 UNION ALL SELECT * FROM n2) " +
         "SELECT n_nationkey, CAST(rid AS BIGINT) AS row_id, CAST(ver AS BIGINT) AS commit_ver " +
         "FROM allr WHERE n_nationkey % 5 <> 0 ORDER BY n_nationkey"),
+    "q_iceberg_ndv_stats" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT 'cents' AS col_name, count(DISTINCT cents) AS ndv, true AS sketch_ok FROM o " +
+        "UNION ALL SELECT 'o_orderkey', count(DISTINCT o_orderkey), true FROM o " +
+        "UNION ALL SELECT 'o_orderpriority', count(DISTINCT o_orderpriority), true FROM o " +
+        "ORDER BY col_name"),
     "q_iceberg_v3_lineage" ->
       ("WITH n1 AS (SELECT n_nationkey, row_number() OVER (ORDER BY n_nationkey) - 1 AS rid, 1 AS seq FROM nation), " +
         "n2 AS (SELECT n_nationkey + 100 AS n_nationkey, (SELECT count(*) FROM nation) + row_number() OVER (ORDER BY n_nationkey) - 1 AS rid, 2 AS seq FROM nation), " +

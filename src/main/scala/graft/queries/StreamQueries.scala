@@ -341,6 +341,34 @@ object StreamQueries extends QueryGroup {
       drain(s, agg, "complete").orderBy("version")
     }),
 
+    // ---- streaming a FOREIGN (public-spec Iceberg) snapshot tree (ORACLE) --
+    // The third leg of the lakehouse streaming triad: a DSv2
+    // MicroBatchStream whose offsets are SNAPSHOT IDS (gaps after an
+    // expiry are fine — batches plan over the declared ids in range),
+    // emitting one row per manifest entry each snapshot CHANGED
+    // (ADDED → add, DELETED → remove; carried EXISTING entries are not
+    // changes). Iceberg manifests carry record_count on the DELETED
+    // side too, so retraction pre-images need no live-set replay. The
+    // fixture's snapshot 2 is a delete+append overwrite; the oracle
+    // rebuilds the expected per-snapshot ledger from `orders`' residue
+    // groups — hash equality grades the offset→manifest-diff algebra
+    // through the streaming engine end to end.
+    "q_stream_iceberg" -> ((s, d) => {
+      val base = LakehouseQueries.mkIcebergFixture(s, d, "orders_ics")
+      val agg = s.readStream
+        .format("graft.sources.IcebergStreamProvider")
+        .option("path", base).load()
+        .groupBy("snapshot_id")
+        .agg(
+          sum(when(col("action") === "add", 1L).otherwise(0L)).as("n_adds"),
+          sum(when(col("action") === "remove", 1L).otherwise(0L)).as("n_removes"),
+          sum(when(col("action") === "add", col("record_count"))
+            .otherwise(0L)).as("rows_added"),
+          sum(when(col("action") === "remove", col("record_count"))
+            .otherwise(0L)).as("rows_removed"))
+      drain(s, agg, "complete").orderBy("snapshot_id")
+    }),
+
     "q_stream_txn_source" -> ((s, d) => {
       val base = s"/tmp/graft_txn_${Integer.toHexString(d.hashCode)}/orders_ss"
       graft.sources.TxnLog.rmrf(base)
@@ -520,6 +548,12 @@ object StreamQueries extends QueryGroup {
         "UNION ALL SELECT 1, 1, 0, CAST((SELECT n FROM c WHERE g = 2) AS BIGINT), 0 " +
         "UNION ALL SELECT 2, 0, 1, 0, CAST((SELECT n FROM c WHERE g = 0) AS BIGINT) " +
         "ORDER BY version"),
+    "q_stream_iceberg" ->
+      ("WITH c AS (SELECT o_orderkey % 4 AS g, count(*) AS n FROM orders GROUP BY g) " +
+        "SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(3 AS BIGINT) AS n_adds, CAST(0 AS BIGINT) AS n_removes, " +
+        "CAST((SELECT sum(n) FROM c WHERE g IN (0, 1, 2)) AS BIGINT) AS rows_added, CAST(0 AS BIGINT) AS rows_removed " +
+        "UNION ALL SELECT 2, 1, 1, CAST((SELECT n FROM c WHERE g = 3) AS BIGINT), CAST((SELECT n FROM c WHERE g = 0) AS BIGINT) " +
+        "ORDER BY snapshot_id"),
     "q_stream_tumbling" ->
       ("SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start, " +
         "event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +

@@ -676,6 +676,44 @@ object DeltaLogReader {
     found
   }
 
+  /** LIQUID CLUSTERING columns: the LAST `delta.clustering` domain's
+    * `clusteringColumns` at or before `version` (seeded from a
+    * checkpoint's folded domain rows when the early commits are
+    * expired). Empty when the table declares no clustering. */
+  def clusteringColumns(spark: Option[SparkSession], base: String,
+                        version: Long): Seq[String] = {
+    val colRe = """\[\\?"([^"\\]+)\\?"\]""".r
+    def parse(conf: String): Seq[String] =
+      colRe.findAllMatchIn(conf).map(_.group(1)).toSeq
+    val vs = versions(base).filter(_ <= version)
+    var found: Seq[String] =
+      if (vs.headOption.contains(0L)) Nil
+      else spark.flatMap { s =>
+        checkpointAt(base, version).flatMap { cv =>
+          val cdf = s.read.parquet(checkpointFile(base, cv).toString)
+          if (!cdf.columns.contains("domainMetadata")) None
+          else {
+            import org.apache.spark.sql.functions.col
+            cdf.filter(col("domainMetadata").isNotNull &&
+                col("domainMetadata.domain") === "delta.clustering")
+              .select(col("domainMetadata.configuration"))
+              .collect().headOption.map(r => parse(r.getString(0)))
+          }
+        }
+      }.getOrElse(Nil)
+    vs.foreach { v =>
+      val f = logDir(base).resolve(f"$v%020d.json")
+      if (Files.exists(f))
+        Files.readAllLines(f, StandardCharsets.UTF_8).asScala.foreach { line =>
+          if (line.contains("\"domainMetadata\"") && line.contains("delta.clustering")) {
+            val got = parse(line)
+            if (got.nonEmpty) found = got
+          }
+        }
+    }
+    found
+  }
+
   /** ROW-TRACKING read: the snapshot's live rows plus `_row_id` and
     * `_row_commit_version` — each file's MATERIALIZED columns when
     * present (what OPTIMIZE writes so rewrites preserve ids), else

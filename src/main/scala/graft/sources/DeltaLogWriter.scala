@@ -186,6 +186,106 @@ object DeltaLogWriter {
         s""""configuration":{},"createdTime":0}}""") ++ addActions(spark, base, rels, statsFor))
   }
 
+  /** Create a LIQUID-CLUSTERED Delta table (the `clustering` +
+    * `domainMetadata` writer features): the clustering columns are
+    * declared ONCE in the `delta.clustering` domain — unlike hive
+    * partitioning they are a LAYOUT HINT, not a path scheme, so they
+    * can be changed later and high-cardinality columns are fine.
+    * [[optimizeClustered]] applies the layout: a Z-ORDER rewrite whose
+    * per-file min/max stats become tight on BOTH columns, which is
+    * what makes [[DeltaLogReader.filesWhere]] skipping effective on
+    * either dimension. */
+  def createClustered(spark: SparkSession, df: DataFrame, base: String,
+                      tableId: String, clusterCols: Seq[String]): Unit = {
+    require(clusterCols.size == 2,
+      "this minimal writer z-orders exactly 2 clustering columns")
+    require(clusterCols.forall(df.columns.contains),
+      s"clustering columns ${clusterCols.mkString(",")} must exist in the data")
+    TxnLog.rmrf(base)
+    val rels = writeData(df, base, 0L)
+    val cc = clusterCols.map(c => s"""["${esc(c)}"]""").mkString("[", ",", "]")
+    commit(base, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["clustering","domainMetadata"]}}""",
+      s"""{"metaData":{"id":"${esc(tableId)}","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${esc(df.schema.json)}","partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""",
+      s"""{"domainMetadata":{"domain":"delta.clustering",""" +
+        s""""configuration":"{\\"clusteringColumns\\":${cc.replace("\"", "\\\"")}}","removed":false}}""") ++
+      addActions(spark, base, rels, statsFor = clusterCols))
+  }
+
+  /** OPTIMIZE on a clustered table — the Z-ORDER rewrite: bucket each
+    * clustering column into 8 equi-width cells over its observed
+    * [min,max] (two driver-side scalars), interleave the 3-bit cell
+    * ids into a 64-cell Z-value, and rewrite the live set as ONE FILE
+    * PER occupied Z-bucket (`zBuckets` buckets of 4 adjacent cells).
+    * Each output file then covers a NARROW range of BOTH columns, so
+    * its min/max stats prune under predicates on EITHER — the liquid
+    * clustering promise. The rewrite reshapes storage only
+    * (`dataChange=false`); the routing is one value-derived column, so
+    * the layout is DETERMINISTIC for a fixed corpus regardless of
+    * input partitioning. Returns (filesBefore, filesAfter). */
+  def optimizeClustered(spark: SparkSession, base: String,
+                        zBuckets: Int = 16): (Int, Int) = {
+    import org.apache.spark.sql.functions.{expr, shiftleft, shiftrightunsigned}
+    val version = DeltaLogReader.latestVersion(base)
+    val ccols = DeltaLogReader.clusteringColumns(Some(spark), base, version)
+    require(ccols.size == 2, s"$base declares no 2-column clustering domain")
+    require(rowTrackingConf(spark, base, version).isEmpty,
+      "clustered OPTIMIZE on a row-tracked table is beyond this minimal writer")
+    require(DeltaLogReader.partitionColumns(Some(spark), base, version).isEmpty,
+      "liquid clustering replaces hive partitioning — not combined here")
+    val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
+    requireNoDv(live, "OPTIMIZE (clustered)")
+    val df = spark.read.parquet(live.map(a => s"$base/${a.path}"): _*)
+    val Seq(c1, c2) = ccols
+    val mm = df.agg(
+      org.apache.spark.sql.functions.min(col(c1)).cast("long"),
+      org.apache.spark.sql.functions.max(col(c1)).cast("long"),
+      org.apache.spark.sql.functions.min(col(c2)).cast("long"),
+      org.apache.spark.sql.functions.max(col(c2)).cast("long")).head()
+    def cell(c: String, lo: Long, hi: Long) =
+      expr(s"(($c - $lo) * 8) div ${math.max(1L, hi - lo + 1)}")
+    val bx = cell(c1, mm.getLong(0), mm.getLong(1))
+    val by = cell(c2, mm.getLong(2), mm.getLong(3))
+    val z = (0 until 3).map { i =>
+      val xb = shiftleft(shiftrightunsigned(bx, i).bitwiseAND(lit(1L)), 2 * i)
+      val yb = shiftleft(shiftrightunsigned(by, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      xb.bitwiseOR(yb)
+    }.reduce(_ bitwiseOR _)
+    require(zBuckets > 0 && 64 % zBuckets == 0 && Integer.bitCount(64 / zBuckets) == 1,
+      s"zBuckets must be a power-of-two divisor of 64, got $zBuckets")
+    val shift = Integer.numberOfTrailingZeros(64 / zBuckets)
+    val next = version + 1
+    // one write task per occupied z-bucket (partitionBy staging), then
+    // flat deterministic names — no hive dirs on a clustered table
+    val tmp = s"$base/.stage-zopt$next"
+    TxnLog.rmrf(tmp)
+    df.withColumn("__zb", shiftrightunsigned(z, shift))
+      .repartition(col("__zb"))
+      .write.partitionBy("__zb").parquet(tmp)
+    val rels = Files.list(Paths.get(tmp)).iterator.asScala
+      .filter(_.getFileName.toString.startsWith("__zb="))
+      .flatMap { dir =>
+        val zb = dir.getFileName.toString.stripPrefix("__zb=")
+        val parts = Files.list(dir).iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        require(parts.size == 1, s"z-bucket $zb staged ${parts.size} files")
+        val rel = s"v$next-zb$zb.parquet"
+        Files.move(parts.head, Paths.get(base, rel))
+        Seq(rel)
+      }.toSeq.sorted
+    TxnLog.rmrf(tmp)
+    val adds = addActions(spark, base, rels, statsFor = ccols)
+      .map(_.replace("\"dataChange\":true", "\"dataChange\":false"))
+    val removes = live.map(a =>
+      s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":false}}""")
+    commit(base, next,
+      s"""{"commitInfo":{"operation":"OPTIMIZE","timestamp":0}}""" +: (removes ++ adds))
+    (live.size, rels.size)
+  }
+
   /** Create a ROW-TRACKED Delta table (the `rowTracking` +
     * `domainMetadata` writer features): every add action carries
     * `baseRowId` (a fresh contiguous id range per file) and
@@ -1019,18 +1119,25 @@ object DeltaLogWriter {
           .mkString(s""","$tag":{""", ",", "}")
       s"""{"numRecords":${a.numRecords}${side("minValues", a.minValues)}${side("maxValues", a.maxValues)}}"""
     }
-    // the rowTracking domain's high-water mark must survive into the
-    // checkpoint: after expireLog a mark lost here would make the next
-    // append REUSE row ids
+    // domain metadata must survive into the checkpoint: a rowTracking
+    // mark lost here would make the next append REUSE row ids after
+    // expireLog, and a lost clustering domain would sever the declared
+    // layout — fold every known domain, one action row each
     val domain = DeltaLogReader.rowIdHighWaterMark(Some(spark), base, version)
-      .map(h => Row("delta.rowTracking", s"""{"rowIdHighWaterMark":$h}""", false))
+      .map(h => Row("delta.rowTracking", s"""{"rowIdHighWaterMark":$h}""", false)).toSeq ++ {
+      val cc = DeltaLogReader.clusteringColumns(Some(spark), base, version)
+      if (cc.isEmpty) Nil
+      else Seq(Row("delta.clustering",
+        cc.map(c => s"""["$c"]""").mkString("""{"clusteringColumns":[""", ",", "]}"),
+        false))
+    }
     val actionRows = (Seq(
       Row(Row(proto._1, proto._2,
         if (proto._3.isEmpty) null else proto._3,
         if (proto._4.isEmpty) null else proto._4), null, null, null),
       Row(null, Row(meta._1, Row("parquet"), meta._2, meta._3, meta._4, 0L), null, null)) ++
       txns.toSeq.sortBy(_._1).map { case (app, v) => Row(null, null, Row(app, v, 0L), null) }) ++
-      domain.map(d => Row(null, null, null, d)).toSeq
+      domain.map(d => Row(null, null, null, d))
     val addRows = live.map(a =>
       Row(Row(a.path, partitionValuePairs(a.path).toMap, a.size, 0L, true, statsJson(a),
         a.dv.map(d => Row(d.storageType, d.pathOrInlineDv, d.offset,

@@ -121,6 +121,34 @@ object IcebergReader {
     }.getOrElse(Map.empty)
   }
 
+  /** TABLE STATISTICS entries declared by metadata version `v`: the
+    * spec's `statistics` list — (snapshot-id, statistics-path) of each
+    * registered Puffin stats file. Writers thread the list through
+    * every metadata rewrite (like refs); expiry drops entries whose
+    * snapshot is gone. */
+  def statisticsEntries(base: String, v: Int): Seq[(Long, String)] = {
+    val re = (""""snapshot-id"\s*:\s*(\d+)\s*,\s*""" +
+      """"statistics-path"\s*:\s*"([^"]+)"""").r
+    re.findAllMatchIn(metadataJson(base, v))
+      .map(m => m.group(1).toLong -> m.group(2)).toSeq
+  }
+
+  /** Column NDV estimates from the registered stats Puffin of
+    * `snapshotId` — the blob properties' `ndv` keyed by the blob's
+    * first source field id. READS ONLY the puffin FOOTER: table-stats
+    * consumers (CBO, dataset cards) get cardinalities without touching
+    * a single data file. */
+  def statsNdv(base: String, snapshotId: Long): Map[Int, Long] = {
+    val v = currentMetadataVersion(base)
+    val path = statisticsEntries(base, v).collectFirst {
+      case (id, p) if id == snapshotId => resolve(base, p)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no statistics registered for snapshot $snapshotId of $base"))
+    val (blobs, _) = Puffin.readFooter(path)
+    blobs.flatMap(b => b.fields.headOption.flatMap(f =>
+      b.properties.get("ndv").map(n => f -> n.toLong))).toMap
+  }
+
   /** Snapshot read by REF name (`SELECT ... VERSION AS OF 'tag'`). */
   def readRef(spark: SparkSession, base: String, ref: String): DataFrame = {
     val v = currentMetadataVersion(base)
@@ -165,10 +193,11 @@ object IcebergReader {
     * delete entries too, which is spec-consistent: a position delete
     * lives in its target's partition) or over `status` (incremental
     * scans). */
-  /** Live manifest entries of one snapshot (status != 2 DELETED), as
-    * the avro-backed DataFrame the planners and the `files` metadata
-    * relation share. */
-  private def liveEntries(spark: SparkSession, base: String, snapshotId: Long): DataFrame = {
+  /** ALL manifest entries of one snapshot (every status), as the
+    * avro-backed DataFrame — the change-stream source reads the raw
+    * statuses; planners filter to live below. */
+  private[sources] def manifestEntries(spark: SparkSession, base: String,
+                                       snapshotId: Long): DataFrame = {
     val snap = snapshots(base, currentMetadataVersion(base))
       .find(_.id == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
@@ -178,8 +207,13 @@ object IcebergReader {
       .select("manifest_path").collect().map(r => resolve(base, r.getString(0)))
     require(manifests.nonEmpty, s"snapshot $snapshotId has no manifests")
     spark.read.format(avroFmt).load(manifests.toIndexedSeq: _*)
-      .filter(col("status") =!= 2)
   }
+
+  /** Live manifest entries of one snapshot (status != 2 DELETED), as
+    * the avro-backed DataFrame the planners and the `files` metadata
+    * relation share. */
+  private def liveEntries(spark: SparkSession, base: String, snapshotId: Long): DataFrame =
+    manifestEntries(spark, base, snapshotId).filter(col("status") =!= 2)
 
   private def dataFileFieldsOf(entries: DataFrame): Array[String] =
     entries.schema("data_file").dataType

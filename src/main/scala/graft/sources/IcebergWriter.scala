@@ -251,12 +251,19 @@ object IcebergWriter {
                         refs: Map[String, (Long, String)] = Map.empty,
                         formatVersion: Int = 1,
                         firstRowIds: Map[Long, Long] = Map.empty,
-                        nextRowId: Option[Long] = None): Unit = {
+                        nextRowId: Option[Long] = None,
+                        statistics: Seq[(Long, String)] = Nil): Unit = {
     val ss = snaps.map { i =>
       val fr = firstRowIds.get(i).map(f => s""""first-row-id":$f,""").getOrElse("")
       s"""{"snapshot-id":$i,$fr"timestamp-ms":0,"manifest-list":"metadata/snap-$i.avro"}"""
     }
     val nri = nextRowId.map(n => s""","next-row-id":$n""").getOrElse("")
+    val statsJson =
+      if (statistics.isEmpty) ""
+      else statistics.sortBy(_._1).map { case (id, p) =>
+        s"""{"snapshot-id":$id,"statistics-path":"$p",""" +
+          s""""file-size-in-bytes":${Files.size(Paths.get(base, p))}}"""
+      }.mkString(""","statistics":[""", ",", "]")
     val refsJson =
       if (refs.isEmpty) ""
       else refs.toSeq.sortBy(_._1).map { case (n, (id, t)) =>
@@ -264,9 +271,14 @@ object IcebergWriter {
       }.mkString(""","refs":{""", ",", "}")
     Files.writeString(Paths.get(base, "metadata", s"v$v.metadata.json"),
       s"""{"format-version":$formatVersion,"table-uuid":"graft-export","location":"$base",""" +
-        s""""current-snapshot-id":$current,"snapshots":[${ss.mkString(",")}]$nri$refsJson}""")
+        s""""current-snapshot-id":$current,"snapshots":[${ss.mkString(",")}]$nri$statsJson$refsJson}""")
     Files.writeString(Paths.get(base, "metadata", "version-hint.text"), v.toString)
   }
+
+  /** The statistics list every metadata rewrite must CARRY (like refs):
+    * a commit that drops it silently severs registered table stats. */
+  private def carriedStats(base: String, v: Int): Seq[(Long, String)] =
+    IcebergReader.statisticsEntries(base, v)
 
   /** Create or move a named REF (tag = immutable audit pin, branch =
     * movable head) — a metadata-only commit: a new metadata version
@@ -284,7 +296,48 @@ object IcebergWriter {
       refs = IcebergReader.refs(base, v) + (name -> (snapshotId, refType)),
       formatVersion = fv,
       firstRowIds = if (fv == 3) IcebergReader.snapshotFirstRowIds(base, v) else Map.empty,
-      nextRowId = if (fv == 3) IcebergReader.nextRowId(base, v) else None)
+      nextRowId = if (fv == 3) IcebergReader.nextRowId(base, v) else None,
+      statistics = carriedStats(base, v))
+  }
+
+  /** TABLE STATISTICS (the spec's `statistics` metadata list): ONE
+    * distributed pass over the current snapshot computes, per column,
+    * a REAL `apache-datasketches-theta-v1` sketch (over `xxhash64` of
+    * the value — external engines can merge/estimate it) and the exact
+    * NDV; both land in a Puffin stats file — sketch bytes as the blob,
+    * NDV as the spec's `ndv` blob property — and a new metadata version
+    * registers it for the snapshot. Consumers ([[IcebergReader.statsNdv]],
+    * external CBOs) then read cardinalities from the puffin FOOTER
+    * alone — no data file opens. Returns the stats file's rel path. */
+  def writeStats(spark: SparkSession, base: String,
+                 cols: Seq[(String, Int)]): String = {
+    import org.apache.spark.sql.functions.{countDistinct, xxhash64}
+    require(cols.nonEmpty, "writeStats needs at least one (column, fieldId)")
+    val v = IcebergReader.currentMetadataVersion(base)
+    val snap = IcebergReader.currentSnapshotId(base, v)
+    val df = IcebergReader.read(spark, base, snap)
+    val aggs = cols.flatMap { case (c, _) =>
+      Seq(graft.functions.ThetaSketchAgg.thetaSketch(xxhash64(col(c))).as(s"sk_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val blobs = cols.map { case (c, fid) =>
+      Puffin.Blob(row.getAs[Array[Byte]](s"sk_$c"),
+        "apache-datasketches-theta-v1", snap, snap,
+        Map("ndv" -> row.getAs[Long](s"ndv_$c").toString), fields = Seq(fid))
+    }
+    val rel = s"metadata/stats-s$snap.puffin"
+    Puffin.writeFile(s"$base/$rel", blobs)
+    // a later stats write for the SAME snapshot replaces its entry
+    writeMeta(base, v + 1,
+      current = snap,
+      snaps = IcebergReader.snapshots(base, v).map(_.id).sorted,
+      refs = IcebergReader.refs(base, v),
+      formatVersion = IcebergReader.formatVersion(base, v),
+      firstRowIds = IcebergReader.snapshotFirstRowIds(base, v),
+      nextRowId = IcebergReader.nextRowId(base, v),
+      statistics = carriedStats(base, v).filterNot(_._1 == snap) :+ (snap -> rel))
+    rel
   }
 
   /** Create a new Iceberg table at `base` (snapshot 1). */
@@ -349,7 +402,8 @@ object IcebergWriter {
         snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
         refs = IcebergReader.refs(base, v), formatVersion = 3,
         firstRowIds = IcebergReader.snapshotFirstRowIds(base, v) + (snap -> v0),
-        nextRowId = Some(v0)) // compaction assigns no NEW row ids
+        nextRowId = Some(v0), // compaction assigns no NEW row ids
+        statistics = carriedStats(base, v))
       return (live.size, files.size)
     }
     if (fv == 1 && !hasDels) {
@@ -374,7 +428,8 @@ object IcebergWriter {
     // actual surviving list forward (and every declared ref)
     writeMeta(base, v + 1, current = snap,
       snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
-      refs = IcebergReader.refs(base, v), formatVersion = fv)
+      refs = IcebergReader.refs(base, v), formatVersion = fv,
+      statistics = carriedStats(base, v))
     (live.size, files.size)
   }
 
@@ -408,13 +463,21 @@ object IcebergWriter {
     val keptFiles = kept.flatMap(allFiles).toSet
     val orphans = dropped.flatMap(allFiles).distinct.filterNot(keptFiles)
     val fv = IcebergReader.formatVersion(base, v)
+    // stats entries of DROPPED snapshots expire with them (their puffin
+    // files are reclaimed below); kept snapshots keep their stats
+    val (keptStats, droppedStats) = carriedStats(base, v)
+      .partition(e => kept.contains(e._1))
     writeMeta(base, v + 1, current = current, snaps = kept, refs = refs,
       formatVersion = fv,
       firstRowIds =
         if (fv == 3) IcebergReader.snapshotFirstRowIds(base, v).filter(e => kept.contains(e._1))
         else Map.empty,
-      nextRowId = if (fv == 3) IcebergReader.nextRowId(base, v) else None)
+      nextRowId = if (fv == 3) IcebergReader.nextRowId(base, v) else None,
+      statistics = keptStats)
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    droppedStats.foreach { case (_, p) =>
+      Files.deleteIfExists(Paths.get(base, p))
+    }
     dropped.foreach(id =>
       Files.deleteIfExists(Paths.get(base, s"metadata/snap-$id.avro")))
     orphans
@@ -612,7 +675,8 @@ object IcebergWriter {
       snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
       refs = IcebergReader.refs(base, v), formatVersion = 3,
       firstRowIds = IcebergReader.snapshotFirstRowIds(base, v) + (snap -> next0),
-      nextRowId = Some(next0)) // a DELETE assigns no row ids
+      nextRowId = Some(next0), // a DELETE assigns no row ids
+      statistics = carriedStats(base, v))
     (perFile.length, perFile.map(_._2).sum)
   }
 
@@ -672,7 +736,8 @@ object IcebergWriter {
     writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
     writeMeta(base, v + 1, current = snap,
       snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
-      refs = IcebergReader.refs(base, v), formatVersion = 2)
+      refs = IcebergReader.refs(base, v), formatVersion = 2,
+      statistics = carriedStats(base, v))
     (nFiles.toInt, nDel)
   }
 
@@ -718,7 +783,8 @@ object IcebergWriter {
     writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
     writeMeta(base, v + 1, current = snap,
       snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
-      refs = IcebergReader.refs(base, v), formatVersion = 2)
+      refs = IcebergReader.refs(base, v), formatVersion = 2,
+      statistics = carriedStats(base, v))
     (nKeys, files.map(_._2).sum)
   }
 
@@ -792,6 +858,7 @@ object IcebergWriter {
       firstRowIds =
         if (fv == 3) IcebergReader.snapshotFirstRowIds(base, v) + (snap -> next0)
         else Map.empty,
-      nextRowId = if (fv == 3) Some(next0 + files.map(_._2).sum) else None)
+      nextRowId = if (fv == 3) Some(next0 + files.map(_._2).sum) else None,
+      statistics = carriedStats(base, v))
   }
 }

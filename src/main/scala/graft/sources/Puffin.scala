@@ -43,11 +43,15 @@ object Puffin {
   private val MAGIC: Array[Byte] = Array[Byte](0x50, 0x46, 0x41, 0x31) // "PFA1"
 
   final case class BlobMeta(blobType: String, snapshotId: Long, sequenceNumber: Long,
-                            offset: Long, length: Long, properties: Map[String, String])
+                            offset: Long, length: Long, properties: Map[String, String],
+                            fields: Seq[Int] = Nil)
 
-  /** One blob to write: payload bytes + footer metadata. */
+  /** One blob to write: payload bytes + footer metadata. `fields` are
+    * the source-schema field ids the blob describes (statistics blobs
+    * set them; DV blobs don't). */
   final case class Blob(bytes: Array[Byte], blobType: String, snapshotId: Long,
-                        sequenceNumber: Long, properties: Map[String, String])
+                        sequenceNumber: Long, properties: Map[String, String],
+                        fields: Seq[Int] = Nil)
 
   private def esc(s: String): String =
     s.flatMap {
@@ -64,14 +68,15 @@ object Puffin {
     var off = MAGIC.length.toLong
     val metas = blobs.map { b =>
       val m = BlobMeta(b.blobType, b.snapshotId, b.sequenceNumber,
-        off, b.bytes.length.toLong, b.properties)
+        off, b.bytes.length.toLong, b.properties, b.fields)
       off += b.bytes.length
       m
     }
     val blobsJson = metas.map { m =>
       val props = m.properties.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-      s"""{"type":"${esc(m.blobType)}","fields":[],"snapshot-id":${m.snapshotId},""" +
+      s"""{"type":"${esc(m.blobType)}","fields":${m.fields.mkString("[", ",", "]")},""" +
+        s""""snapshot-id":${m.snapshotId},""" +
         s""""sequence-number":${m.sequenceNumber},"offset":${m.offset},""" +
         s""""length":${m.length},"properties":$props}"""
     }.mkString("[", ",", "]")
@@ -106,13 +111,14 @@ object Puffin {
     require(footerStart >= 8 && magicAt(footerStart - 4),
       s"$path: footer-start magic missing (corrupt footer size $footerSize)")
     val json = new String(all, footerStart, footerSize, StandardCharsets.UTF_8)
-    val blobRe = ("""\{"type":"([^"]+)","fields":\[[^\]]*\],"snapshot-id":(-?\d+),""" +
+    val blobRe = ("""\{"type":"([^"]+)","fields":\[([^\]]*)\],"snapshot-id":(-?\d+),""" +
       """"sequence-number":(-?\d+),"offset":(\d+),"length":(\d+),"properties":\{([^}]*)\}\}""").r
     val propRe = """"([^"]+)":"([^"]*)"""".r
     val blobs = blobRe.findAllMatchIn(json).map { m =>
-      BlobMeta(m.group(1), m.group(2).toLong, m.group(3).toLong,
-        m.group(4).toLong, m.group(5).toLong,
-        propRe.findAllMatchIn(m.group(6)).map(p => p.group(1) -> p.group(2)).toMap)
+      BlobMeta(m.group(1), m.group(3).toLong, m.group(4).toLong,
+        m.group(5).toLong, m.group(6).toLong,
+        propRe.findAllMatchIn(m.group(7)).map(p => p.group(1) -> p.group(2)).toMap,
+        m.group(2).split(',').filter(_.nonEmpty).map(_.trim.toInt).toSeq)
     }.toSeq
     val fileProps = json.lastIndexOf(""","properties":{""") match {
       case -1 => Map.empty[String, String]
@@ -120,6 +126,26 @@ object Puffin {
         p.group(1) -> p.group(2)).toMap
     }
     (blobs, fileProps)
+  }
+
+  /** Positioned read of one blob's raw bytes (statistics sketches etc.
+    * — no DV framing). */
+  def readBlob(path: String, offset: Long, length: Long): Array[Byte] = {
+    val fileLen = Files.size(Paths.get(path))
+    require(offset >= 0 && length >= 0 && offset + length <= fileLen,
+      s"blob [$offset, +$length) out of range for $path ($fileLen bytes)")
+    val out = new Array[Byte](length.toInt)
+    val ch = java.nio.channels.FileChannel.open(Paths.get(path))
+    try {
+      val bb = ByteBuffer.wrap(out)
+      var pos = offset
+      while (bb.hasRemaining) {
+        val n = ch.read(bb, pos)
+        require(n > 0, s"short read at $path+$pos")
+        pos += n
+      }
+    } finally ch.close()
+    out
   }
 
   // ---- the deletion-vector-v1 blob ----------------------------------------
@@ -144,12 +170,27 @@ object Puffin {
   }
 
   /** Read a DV blob straight by (offset, size) — the scan path's jump;
-    * validates frame length and CRC, returns the roaring payload. */
+    * validates frame length and CRC, returns the roaring payload. The
+    * read is POSITIONED (only the blob's bytes leave the disk): a wide
+    * DELETE packs one blob per touched file into one puffin, so a
+    * whole-file read here would be O(blobs²) bytes across a commit's
+    * DV loads at 100 TB scale. */
   def readDvPayload(path: String, offset: Long, sizeInBytes: Long): Array[Byte] = {
-    val all = Files.readAllBytes(Paths.get(path))
-    require(offset >= 0 && offset + sizeInBytes <= all.length,
-      s"DV blob [$offset, +$sizeInBytes) out of range for $path (${all.length} bytes)")
-    val buf = ByteBuffer.wrap(all, offset.toInt, sizeInBytes.toInt)
+    val fileLen = Files.size(Paths.get(path))
+    require(offset >= 0 && sizeInBytes >= 8 && offset + sizeInBytes <= fileLen,
+      s"DV blob [$offset, +$sizeInBytes) out of range for $path ($fileLen bytes)")
+    val blob = new Array[Byte](sizeInBytes.toInt)
+    val ch = java.nio.channels.FileChannel.open(Paths.get(path))
+    try {
+      val bb = ByteBuffer.wrap(blob)
+      var pos = offset
+      while (bb.hasRemaining) {
+        val n = ch.read(bb, pos)
+        require(n > 0, s"short read at $path+$pos")
+        pos += n
+      }
+    } finally ch.close()
+    val buf = ByteBuffer.wrap(blob)
     val len = buf.getInt
     require(len == sizeInBytes - 8,
       s"DV blob at $path+$offset: frame length $len != blob size $sizeInBytes - 8")

@@ -82,6 +82,11 @@ object ClusterSmoke {
     "q_iceberg_eq_dml",   // eq-delete window anti-joins + distributed delete staging
     "q_hudi_cluster",     // key-range router when-chain + post-cluster upsert tasks
     "q_sql_lake_tvf",     // TVF-contributed analyzed plans executed across executors
+    "q_iceberg_v3_dv",    // puffin DV payload bytes decode in executor flatMaps
+    "q_iceberg_v3_lineage", // mergeSchema lineage scan + broadcast first-row-id join
+    "q_delta_row_tracking", // materialized-vs-inherited id coalesce across executor scans
+    "q_delta_clustered",  // z-bucket routed rewrite + stats-pruned reads
+    "q_stream_iceberg",   // Iceberg snapshot-diff InputPartition serde to executors
   )
 
   def main(args: Array[String]): Unit = {

@@ -80,6 +80,37 @@ class IcebergV3Spec extends SparkSpec {
     assert(e.getMessage.contains("CRC"))
   }
 
+  test("puffin table statistics: footer-only ndv, carry across commits, expiry reclaim") {
+    val base = mkBase("stats")
+    val df = spark.range(0, 100).select(col("id"), (col("id") % 7).as("g"))
+    IcebergWriter.create(spark, df.repartition(2), base)
+    val rel = IcebergWriter.writeStats(spark, base, Seq(("id", 1), ("g", 2)))
+    assert(Files.exists(Paths.get(base, rel)))
+    assert(IcebergReader.statsNdv(base, 1L) == Map(1 -> 100L, 2 -> 7L))
+    // the registered sketch is REAL datasketches theta: its estimate
+    // agrees with the exact count (n < k ⇒ exact mode)
+    val v0 = IcebergReader.currentMetadataVersion(base)
+    val path = IcebergReader.statisticsEntries(base, v0)
+      .collectFirst { case (1L, p) => s"$base/$p" }.get
+    val (blobs, _) = Puffin.readFooter(path)
+    assert(blobs.map(_.blobType).toSet == Set("apache-datasketches-theta-v1"))
+    val idBlob = blobs.find(_.fields == Seq(1)).get
+    val est = org.apache.datasketches.theta.Sketches.wrapCompactSketch(
+      org.apache.datasketches.memory.Memory.wrap(
+        Puffin.readBlob(path, idBlob.offset, idBlob.length))).getEstimate
+    assert(math.round(est) == 100L)
+    // the statistics list survives an APPEND (a dropped list severs stats)
+    IcebergWriter.append(spark, spark.range(200, 210)
+      .select(col("id"), lit(9L).as("g")), base)
+    val v1 = IcebergReader.currentMetadataVersion(base)
+    assert(IcebergReader.statisticsEntries(base, v1) == Seq(1L -> rel))
+    // expiring snapshot 1 reclaims its stats entry AND puffin file
+    IcebergWriter.expireSnapshots(spark, base, keepFrom = 2L)
+    val v2 = IcebergReader.currentMetadataVersion(base)
+    assert(IcebergReader.statisticsEntries(base, v2).isEmpty)
+    assert(!Files.exists(Paths.get(base, rel)))
+  }
+
   // ---- DV lifecycle ---------------------------------------------------------
 
   private def mkV3(name: String, nFiles: Int = 2): (String, org.apache.spark.sql.DataFrame) = {
