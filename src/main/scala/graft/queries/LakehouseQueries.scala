@@ -1109,6 +1109,55 @@ object LakehouseQueries extends QueryGroup {
       pre.unionAll(post).orderBy("phase")
     }),
 
+    // ---- Hudi TIMELINE LIFECYCLE: savepoint + rollback ----------------------
+    // The two timeline ops that close the crash/retention story: a
+    // CRASHED writer leaves an `.inflight` marker plus orphan data the
+    // timeline already hides (phase 2's census equals phase 1's — the
+    // debris is INVISIBLE, which is the timeline's whole point) but
+    // whose bytes cost storage until ROLLBACK reclaims them (phase 3's
+    // disk census drops, snapshot unchanged); a SAVEPOINT pins the
+    // table's state at an instant against the CLEANER — phase 4 cleans
+    // with the savepoint held and time travel to it still serves the
+    // ORIGINAL content; releasing it lets the next clean reclaim the
+    // shielded slices (phase 5's disk census drops to live-only,
+    // snapshot intact). Disk counts are value-derived (touched buckets
+    // = the upsert keys' distinct residues), so the oracle reconstructs
+    // every phase from `orders`.
+    "q_hudi_lifecycle" -> ((s, d) => {
+      import graft.sources.{HudiReader, HudiWriter}
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      val base = s"/tmp/graft_hudi_${Integer.toHexString(d.hashCode)}/orders_life"
+      val o = iceOrders(s, d)
+      val t1 = HudiWriter.create(s, o, base, "orders_life", "o_orderkey", 3)
+      HudiWriter.savepoint(s, base, t1)
+      HudiWriter.upsert(s,
+        o.filter(col("o_orderpriority") === "2-HIGH")
+          .withColumn("cents", col("cents") + 9), base)
+      def disk(): Long = HudiReader.baseFiles(base).size.toLong
+      def census(phase: Long, df: org.apache.spark.sql.DataFrame, files: Long) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(phase).as("phase"), lit(files).as("n_disk_files"),
+            col("n_rows"), col("total_cents"))
+      val p1 = census(1L, HudiReader.read(s, base), disk())
+      // a CRASHED write: data staged under a fresh instant whose
+      // inflight marker never completed
+      val committed = HudiReader.baseFiles(base).head.path
+      JFiles.copy(JPaths.get(committed), JPaths.get(base, "zcrash_0-0-0_099.parquet"))
+      JFiles.writeString(JPaths.get(base, ".hoodie", "099.inflight"), "")
+      val p2 = census(2L, HudiReader.read(s, base), disk())
+      HudiWriter.rollback(s, base)
+      val p3 = census(3L, HudiReader.read(s, base), disk())
+      HudiWriter.clean(s, base) // savepoint held: shielded slices survive
+      // EAGER: this census reads the savepoint-shielded slices the
+      // phase-5 clean deletes — a lazy plan would evaluate after them
+      val p4 = census(4L, HudiReader.readAsOf(s, base, t1), disk())
+        .localCheckpoint(true)
+      HudiWriter.releaseSavepoint(s, base, t1)
+      HudiWriter.clean(s, base)
+      val p5 = census(5L, HudiReader.read(s, base), disk())
+      Seq(p1, p2, p3, p4, p5).reduce(_ unionAll _).orderBy("phase")
+    }),
+
     // ---- Iceberg v2 EQUALITY deletes (the Flink-CDC shape) ---------------
     // CDC writers delete by VALUE, not position: the delete file's
     // columns are the equality tuple (here o_orderpriority =
@@ -2529,6 +2578,17 @@ object LakehouseQueries extends QueryGroup {
         "allr AS (SELECT * FROM n1 UNION ALL SELECT * FROM n2) " +
         "SELECT n_nationkey, CAST(rid AS BIGINT) AS row_id, CAST(ver AS BIGINT) AS commit_ver " +
         "FROM allr WHERE n_nationkey % 5 <> 0 ORDER BY n_nationkey"),
+    "q_hudi_lifecycle" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "t AS (SELECT count(DISTINCT k % 3) AS nt FROM o WHERE pri = '2-HIGH'), " +
+        "snap AS (SELECT count(*) AS n, CAST(sum(cents + CASE WHEN pri = '2-HIGH' THEN 9 ELSE 0 END) AS BIGINT) AS c FROM o), " +
+        "orig AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS c FROM o) " +
+        "SELECT CAST(1 AS BIGINT) AS phase, CAST(3 + (SELECT nt FROM t) AS BIGINT) AS n_disk_files, n AS n_rows, c AS total_cents FROM snap " +
+        "UNION ALL SELECT 2, 4 + (SELECT nt FROM t), n, c FROM snap " +
+        "UNION ALL SELECT 3, 3 + (SELECT nt FROM t), n, c FROM snap " +
+        "UNION ALL SELECT 4, 3 + (SELECT nt FROM t), n, c FROM orig " +
+        "UNION ALL SELECT 5, 3, n, c FROM snap " +
+        "ORDER BY phase"),
     "q_iceberg_ndv_stats" ->
       ("WITH o AS (SELECT o_orderkey, o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT 'cents' AS col_name, count(DISTINCT cents) AS ndv, true AS sketch_ok FROM o " +

@@ -69,7 +69,8 @@ object HudiReader {
     * can change which file slices are live, and silently ignoring it
     * mis-slices the table — the worst failure class (wrong answers,
     * no error). */
-  private val KnownInstantTypes = Set("commit", "deltacommit", "replacecommit", "inflight")
+  private val KnownInstantTypes = Set("commit", "deltacommit", "replacecommit", "inflight",
+    "rollback", "savepoint")
 
   /** The timeline as (instant, type) pairs, ascending by instant —
     * every numbered marker must be a known type. */
@@ -93,9 +94,25 @@ object HudiReader {
   /** Completed instants that write BASE files — ordinary commits
     * (create/upsert/compaction) and replacecommits (clustering /
     * insert_overwrite) — ascending. Inflight markers are not
-    * completions. */
+    * completions; rollback/savepoint instants change no slicing. */
   def completedCommits(base: String): Seq[String] =
     timeline(base).collect { case (t, "commit" | "replacecommit") => t }
+
+  /** SAVEPOINTED instants: each pins the table's state at that instant
+    * against the cleaner (time travel to it must keep working until
+    * the savepoint is released). */
+  def savepoints(base: String): Seq[String] =
+    timeline(base).collect { case (t, "savepoint") => t }
+
+  /** CRASHED instants: an `.inflight` marker whose instant never
+    * completed — the debris [[HudiWriter.rollback]] reclaims. (A
+    * successful write DELETES its inflight marker before committing,
+    * so any lingering one is a failure.) */
+  def failedInstants(base: String): Seq[String] = {
+    val tl = timeline(base)
+    val done = tl.collect { case (t, typ) if typ != "inflight" => t }.toSet
+    tl.collect { case (t, "inflight") if !done.contains(t) => t }
+  }
 
   /** File groups RETIRED by replacecommits at or before `asOf`: a
     * replacecommit's JSON lists the group ids its new files supersede

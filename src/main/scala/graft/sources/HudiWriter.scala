@@ -120,15 +120,71 @@ object HudiWriter {
     HudiReader.assertReadable(base)
     val committed = HudiReader.completedCommits(base).toSet
     val dead = HudiReader.replacedGroups(base, HudiReader.completedCommits(base).last)
+    // SAVEPOINTS shield slices: for each savepointed instant the live
+    // slice per group AS OF it must survive (time travel to a
+    // savepoint keeps working until it is released) — Hudi's
+    // savepoint-vs-cleaner contract
+    val saves = HudiReader.savepoints(base)
     val victims = HudiReader.baseFiles(base)
       .filter(f => committed.contains(f.instant))
       .groupBy(_.fileId).toSeq
       .flatMap { case (fid, fs) =>
-        if (dead.contains(fid)) fs
-        else fs.sortBy(_.instant).dropRight(keepVersions)
+        val sorted = fs.sortBy(_.instant)
+        val keepNewest = if (dead.contains(fid)) Nil else sorted.takeRight(keepVersions)
+        val keepSaved = saves.flatMap { s =>
+          if (HudiReader.replacedGroups(base, s).contains(fid)) None
+          else sorted.filter(_.instant <= s).lastOption
+        }
+        val kept = (keepNewest ++ keepSaved).map(_.path).toSet
+        fs.filterNot(f => kept.contains(f.path))
       }
     victims.foreach(f => Files.delete(Paths.get(f.path)))
     victims.size
+  }
+
+  /** SAVEPOINT: pin the table's state at a completed instant against
+    * the cleaner — a `<instant>.savepoint` timeline marker. Time
+    * travel to the savepoint keeps working until [[releaseSavepoint]];
+    * snapshot reads are untouched. */
+  def savepoint(spark: SparkSession, base: String, instant: String): Unit = {
+    require(HudiReader.completedCommits(base).contains(instant),
+      s"savepoint targets no completed commit: $instant")
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.savepoint"),
+      s"""{"savepointed":"$instant"}""")
+  }
+
+  def releaseSavepoint(spark: SparkSession, base: String, instant: String): Unit = {
+    val p = Paths.get(base, ".hoodie", s"$instant.savepoint")
+    require(Files.exists(p), s"no savepoint at $instant under $base")
+    Files.delete(p)
+  }
+
+  /** ROLLBACK of failed writes — the crash-recovery op: delete every
+    * base AND log file stamped with an instant whose `.inflight`
+    * marker never completed (a crashed writer leaves both; snapshot
+    * reads already ignore them — the timeline's whole point — but the
+    * bytes cost storage forever and the lingering marker blocks
+    * nothing from RETRYING under a fresh instant). Each failed instant
+    * is closed with a `.rollback` timeline record so the cleanup is
+    * itself auditable. Returns (rolledBackInstants, deletedFiles). */
+  def rollback(spark: SparkSession, base: String): (Int, Int) = {
+    val failed = HudiReader.failedInstants(base)
+    if (failed.isEmpty) return (0, 0)
+    val failedSet = failed.toSet
+    val baseVictims = HudiReader.baseFiles(base)
+      .filter(f => failedSet.contains(f.instant)).map(_.path)
+    val logVictims =
+      if (HudiReader.tableType(base) != "MERGE_ON_READ") Nil
+      else HudiReader.logFiles(base)
+        .filter(l => failedSet.contains(l.instant)).map(_.path)
+    val victims = baseVictims ++ logVictims
+    victims.foreach(p => Files.delete(Paths.get(p)))
+    failed.foreach { t =>
+      Files.delete(Paths.get(base, ".hoodie", s"$t.inflight"))
+      Files.writeString(Paths.get(base, ".hoodie", s"$t.rollback"),
+        s"""{"rolledBack":"$t","deletedFiles":${victims.size}}""")
+    }
+    (failed.size, victims.size)
   }
 
   // ---- MERGE_ON_READ ------------------------------------------------------

@@ -200,12 +200,13 @@ class HudiSpec extends SparkSpec {
     writeFile(base, "a_0-0-0_001.parquet", Seq(1L, 2L))
     commit(base, "001")
     assert(ids(HudiReader.read(spark, base)) == Seq(1L, 2L))
-    // a savepoint (or any instant this reader does not implement) must
-    // fail the read outright — ignoring it risks wrong live-slice math
-    Files.writeString(Paths.get(base, ".hoodie", "002.savepoint"), "{}")
+    // a restorepoint (or any instant this reader does not implement)
+    // must fail the read outright — ignoring it risks wrong live-slice
+    // math (savepoint/rollback graduated to KNOWN types in round 11)
+    Files.writeString(Paths.get(base, ".hoodie", "002.restore"), "{}")
     val e = intercept[IllegalArgumentException](HudiReader.read(spark, base))
-    assert(e.getMessage.contains("savepoint"), e.getMessage)
-    Files.delete(Paths.get(base, ".hoodie", "002.savepoint"))
+    assert(e.getMessage.contains("restore"), e.getMessage)
+    Files.delete(Paths.get(base, ".hoodie", "002.restore"))
     // real-Hudi compound suffixes are unknown too (two-phase markers
     // this minimal timeline does not model)
     Files.writeString(Paths.get(base, ".hoodie", "002.commit.requested"), "")
@@ -270,6 +271,56 @@ class HudiSpec extends SparkSpec {
     assert(nRep2 == 2 && instant2 == "005", s"($nRep2, $instant2)")
     assert(snap() == want, "re-clustering changed content")
     assert(HudiReader.sliceFiles(base, instant2).size == 3)
+  }
+
+  test("rollback reclaims crashed-instant debris; snapshot reads never saw it") {
+    import java.nio.file.{Files, Paths}
+    val base = "/tmp/graft_hudi_test/rollback"
+    val df = spark.createDataFrame((1L to 12L).map(i => (i, i * 10L))).toDF("k", "v")
+    graft.sources.HudiWriter.create(spark, df, base, "t-rb", "k", 3)
+    def ks(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("k").collect().map(_.getLong(0)).sorted.toSeq
+    val want = ks(HudiReader.read(spark, base))
+    // a crashed writer: staged base file + inflight marker, no completion
+    val victim = HudiReader.baseFiles(base).head.path
+    Files.copy(Paths.get(victim), Paths.get(base, "zzz_0-0-0_077.parquet"))
+    Files.writeString(Paths.get(base, ".hoodie", "077.inflight"), "")
+    assert(ks(HudiReader.read(spark, base)) == want, "debris leaked into a snapshot")
+    assert(HudiReader.failedInstants(base) == Seq("077"))
+    val (nInstants, nFiles) = graft.sources.HudiWriter.rollback(spark, base)
+    assert(nInstants == 1 && nFiles == 1)
+    assert(!Files.exists(Paths.get(base, "zzz_0-0-0_077.parquet")))
+    assert(!Files.exists(Paths.get(base, ".hoodie", "077.inflight")))
+    // the cleanup is auditable and the timeline stays readable
+    assert(Files.exists(Paths.get(base, ".hoodie", "077.rollback")))
+    assert(ks(HudiReader.read(spark, base)) == want)
+    // idempotent: nothing left to roll back
+    assert(graft.sources.HudiWriter.rollback(spark, base) == ((0, 0)))
+  }
+
+  test("savepoint shields slices from clean; release reclaims them") {
+    val base = "/tmp/graft_hudi_test/savepoint"
+    val df = spark.createDataFrame((1L to 12L).map(i => (i, i * 10L))).toDF("k", "v")
+    val t1 = graft.sources.HudiWriter.create(spark, df, base, "t-sp", "k", 3)
+    graft.sources.HudiWriter.savepoint(spark, base, t1)
+    val ups = spark.createDataFrame(Seq((1L, 111L), (2L, 222L), (3L, 333L))).toDF("k", "v")
+    graft.sources.HudiWriter.upsert(spark, ups, base)
+    def ks(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("k").collect().map(_.getLong(0)).sorted.toSeq
+    val origIds = ks(HudiReader.readAsOf(spark, base, t1))
+    // clean with the savepoint held: the t1 slices of rewritten groups
+    // are superseded but PINNED — nothing reclaimed
+    assert(graft.sources.HudiWriter.clean(spark, base) == 0)
+    assert(ks(HudiReader.readAsOf(spark, base, t1)) == origIds)
+    // release: the next clean reclaims exactly the shielded slices
+    graft.sources.HudiWriter.releaseSavepoint(spark, base, t1)
+    val reclaimed = graft.sources.HudiWriter.clean(spark, base)
+    assert(reclaimed == 3, s"expected the 3 superseded t1 slices, got $reclaimed")
+    // snapshot reads are untouched throughout
+    assert(HudiReader.read(spark, base).count() == 12)
+    // guard: savepoints target completed commits only
+    intercept[IllegalArgumentException](
+      graft.sources.HudiWriter.savepoint(spark, base, "042"))
   }
 
   test("logCommit rejects same-key collisions within one deltacommit") {
