@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions.{col, lit, pmod}
   *
   * Commit protocol per instant (the timeline two-phase):
   *   1. `.hoodie/<instant>.inflight` marker (readers ignore the data),
-  *   2. the group data files (one single-task partitionBy job),
+  *   2. the group data files (one write task per bucket),
   *   3. `.hoodie/<instant>.commit` LAST — the atomic visibility flip.
   */
 object HudiWriter {
@@ -59,9 +59,10 @@ object HudiWriter {
       .getOrElse(throw new IllegalStateException(s"$base declares no record key"))
   }
 
-  /** One data file per bucket in a SINGLE staged job (fixture-scale
-    * single-task partitionBy, the same discipline as the lakehouse
-    * fixtures); at cluster scale each bucket is its own write task. */
+  /** One data file per bucket: the staging repartitions BY the bucket
+    * value, so every bucket is its own write task (the ~|buckets|
+    * writes run in parallel) and each `__g=` dir still gets exactly
+    * one part — all rows of a bucket hash to one task. */
   private def writeBuckets(spark: SparkSession, df: DataFrame, base: String,
                            bucketOf: Column, instant: String,
                            fileIdPrefix: String = "g",
@@ -69,7 +70,7 @@ object HudiWriter {
     val tmp = s"$base/.stage"
     TxnLog.rmrf(tmp)
     df.withColumn("__g", bucketOf.cast("string")).drop(drop: _*)
-      .repartition(1).write.partitionBy("__g").parquet(tmp)
+      .repartition(col("__g")).write.partitionBy("__g").parquet(tmp)
     Files.list(Paths.get(tmp)).iterator.asScala
       .filter(_.getFileName.toString.startsWith("__g="))
       .foreach { dir =>
@@ -165,26 +166,47 @@ object HudiWriter {
     * reads already ignore them — the timeline's whole point — but the
     * bytes cost storage forever and the lingering marker blocks
     * nothing from RETRYING under a fresh instant). Each failed instant
-    * is closed with a `.rollback` timeline record so the cleanup is
-    * itself auditable. Returns (rolledBackInstants, deletedFiles). */
-  def rollback(spark: SparkSession, base: String): (Int, Int) = {
-    val failed = HudiReader.failedInstants(base)
+    * is closed with a `.rollback` timeline record carrying ITS OWN
+    * victim count so the cleanup is itself auditable per instant.
+    *
+    * SINGLE-WRITER ASSUMPTION: a lingering `.inflight` is read as a
+    * crash. Upstream Hudi gates this with writer heartbeats; this
+    * minimal timeline has none, so with a CONCURRENT writer still in
+    * flight a blanket rollback would destroy its staged files — pass
+    * `only` to limit the rollback to instants known to be dead (the
+    * multi-writer-safe call shape). Returns
+    * (rolledBackInstants, deletedFiles). */
+  def rollback(spark: SparkSession, base: String,
+               only: Option[Seq[String]] = None): (Int, Int) = {
+    val failed0 = HudiReader.failedInstants(base)
+    val failed = only match {
+      case None => failed0
+      case Some(req) =>
+        val unknown = req.filterNot(failed0.contains)
+        require(unknown.isEmpty,
+          s"rollback targets instants with no lingering .inflight: ${unknown.mkString(",")}")
+        failed0.filter(req.contains)
+    }
     if (failed.isEmpty) return (0, 0)
     val failedSet = failed.toSet
-    val baseVictims = HudiReader.baseFiles(base)
-      .filter(f => failedSet.contains(f.instant)).map(_.path)
-    val logVictims =
-      if (HudiReader.tableType(base) != "MERGE_ON_READ") Nil
-      else HudiReader.logFiles(base)
-        .filter(l => failedSet.contains(l.instant)).map(_.path)
-    val victims = baseVictims ++ logVictims
-    victims.foreach(p => Files.delete(Paths.get(p)))
+    val logsToo = HudiReader.tableType(base) == "MERGE_ON_READ"
+    // victims partitioned BY instant: each .rollback record must carry
+    // that instant's own count, not the total across all failed ones
+    val victimsByInstant: Map[String, Seq[String]] =
+      (HudiReader.baseFiles(base).filter(f => failedSet.contains(f.instant))
+        .map(f => f.instant -> f.path) ++
+       (if (!logsToo) Nil
+        else HudiReader.logFiles(base).filter(l => failedSet.contains(l.instant))
+          .map(l => l.instant -> l.path)))
+        .groupBy(_._1).map { case (t, ps) => t -> ps.map(_._2) }
+    victimsByInstant.values.flatten.foreach(p => Files.delete(Paths.get(p)))
     failed.foreach { t =>
       Files.delete(Paths.get(base, ".hoodie", s"$t.inflight"))
+      val n = victimsByInstant.get(t).map(_.size).getOrElse(0)
       Files.writeString(Paths.get(base, ".hoodie", s"$t.rollback"),
-        s"""{"rolledBack":"$t","deletedFiles":${victims.size}}""")
+        s"""{"rolledBack":"$t","deletedFiles":$n}""")
     }
-    (failed.size, victims.size)
+    (failed.size, victimsByInstant.values.map(_.size).sum)
   }
 
   // ---- MERGE_ON_READ ------------------------------------------------------
@@ -262,7 +284,7 @@ object HudiWriter {
     val tmp = s"$base/.stage-log"
     TxnLog.rmrf(tmp)
     records.withColumn("__g", bucket.cast("string"))
-      .repartition(1).write.partitionBy("__g")
+      .repartition(col("__g")).write.partitionBy("__g")
       .format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
     Files.list(Paths.get(tmp)).iterator.asScala
       .filter(_.getFileName.toString.startsWith("__g="))

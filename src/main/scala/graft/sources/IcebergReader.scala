@@ -100,6 +100,55 @@ object IcebergReader {
     DeltaLogReader.longField(metadataJson(base, v), "current-snapshot-id")
       .getOrElse(throw new IllegalStateException(s"no current-snapshot-id in v$v"))
 
+  /** One snapshot in COMMIT order: public-spec snapshot ids are random
+    * longs (only this writer's are sequential), so commit order comes
+    * from each snapshot's `sequence-number` (monotone per spec from
+    * format v2), falling back to declaration order in the `snapshots`
+    * array (spec writers append) for v1 tables that carry none. */
+  final case class OrderedSnapshot(id: Long, seq: Long, idx: Int)
+
+  /** Split the metadata's top-level `"snapshots":[...]` array into its
+    * balanced JSON objects (field order inside each is free — external
+    * writers put `sequence-number` wherever they like). */
+  private def snapshotObjects(json: String): Seq[String] = {
+    val i = json.indexOf("\"snapshots\"")
+    if (i < 0) return Nil
+    var j = json.indexOf('[', i)
+    require(j >= 0, "malformed snapshots array")
+    j += 1
+    var depth = 0
+    var inStr = false
+    var objStart = -1
+    val out = Seq.newBuilder[String]
+    var done = false
+    while (!done && j < json.length) {
+      val c = json.charAt(j)
+      if (inStr) {
+        if (c == '\\') j += 1 else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => if (depth == 0) objStart = j; depth += 1
+        case '}' => depth -= 1; if (depth == 0) { out += json.substring(objStart, j + 1) }
+        case ']' => if (depth == 0) done = true
+        case _ =>
+      }
+      j += 1
+    }
+    out.result()
+  }
+
+  /** All snapshots of metadata version `v` in COMMIT order — what a
+    * change stream must iterate (iterating by raw id would skip or
+    * reorder commits on externally-written tables). */
+  def snapshotHistory(base: String, v: Int): Seq[OrderedSnapshot] =
+    snapshotObjects(metadataJson(base, v)).zipWithIndex.map { case (o, i) =>
+      OrderedSnapshot(
+        DeltaLogReader.longField(o, "snapshot-id").getOrElse(
+          throw new IllegalStateException(s"snapshot object without snapshot-id: $o")),
+        DeltaLogReader.longField(o, "sequence-number").getOrElse(i + 1L),
+        i)
+    }.sortBy(s => (s.seq, s.idx))
+
   /** The table's declared format-version at metadata version `v`
     * (1 when absent). Writers must THREAD this through every metadata
     * rewrite: re-stamping a v2 table (live delete files) as v1 would

@@ -93,30 +93,42 @@ final class IcebergStreamTable(base: String) extends Table with SupportsRead {
     }
 }
 
-final case class SnapshotIdOffset(v: Long) extends Offset {
-  override def json(): String = v.toString
+/** Stream offset = position in the COMMIT-ordered snapshot history
+  * ((sequence-number, declaration-index), not the raw snapshot id —
+  * public-spec ids are random longs, so id order does not follow
+  * commit order on externally-written tables). Expiry only removes
+  * low-sequence (already-consumed) snapshots, so the watermark stays
+  * valid across it. */
+final case class SnapshotSeqOffset(seq: Long, idx: Long) extends Offset {
+  override def json(): String = s"$seq:$idx"
 }
 
 final class IcebergMicroBatchStream(base: String) extends MicroBatchStream {
-  override def initialOffset(): Offset = SnapshotIdOffset(0L)
-  override def latestOffset(): Offset = SnapshotIdOffset(
-    IcebergReader.currentSnapshotId(base, IcebergReader.currentMetadataVersion(base)))
-  override def deserializeOffset(json: String): Offset =
-    SnapshotIdOffset(json.trim.toLong)
+  private def history() =
+    IcebergReader.snapshotHistory(base, IcebergReader.currentMetadataVersion(base))
+  override def initialOffset(): Offset = SnapshotSeqOffset(0L, -1L)
+  override def latestOffset(): Offset = history().lastOption
+    .map(s => SnapshotSeqOffset(s.seq, s.idx)).getOrElse(SnapshotSeqOffset(0L, -1L))
+  override def deserializeOffset(json: String): Offset = json.trim.split(':') match {
+    case Array(seq, idx) => SnapshotSeqOffset(seq.toLong, idx.toLong)
+    case _ => throw new IllegalArgumentException(s"bad Iceberg stream offset: $json")
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[SnapshotIdOffset].v
-    val e = end.asInstanceOf[SnapshotIdOffset].v
-    if (e <= s) return Array.empty
+    val s = start.asInstanceOf[SnapshotSeqOffset]
+    val e = end.asInstanceOf[SnapshotSeqOffset]
     val spark = SparkSession.active
-    // snapshot ids can be non-contiguous after an expiry — plan over
-    // the metadata's DECLARED ids in (s, e]
-    val ids = IcebergReader.snapshots(base, IcebergReader.currentMetadataVersion(base))
-      .map(_.id).filter(id => id > s && id <= e).sorted
-    ids.map { id =>
-      IcebergActionsPartition(id, IcebergStream.actionRows(spark, base, id).toArray)
+    // plan over the commit-ordered history in (start, end] — ids play
+    // no ordering role, so random public-spec ids stream correctly
+    val snaps = history().filter { o =>
+      val afterStart = o.seq > s.seq || (o.seq == s.seq && o.idx > s.idx)
+      val atOrBeforeEnd = o.seq < e.seq || (o.seq == e.seq && o.idx <= e.idx)
+      afterStart && atOrBeforeEnd
+    }
+    snaps.map { o =>
+      IcebergActionsPartition(o.id, IcebergStream.actionRows(spark, base, o.id).toArray)
         : InputPartition
     }.toArray
   }

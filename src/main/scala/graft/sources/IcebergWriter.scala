@@ -125,8 +125,11 @@ object IcebergWriter {
     }
     val tmp = s"$base/.stage-s1"
     TxnLog.rmrf(tmp)
+    // repartition BY the partition index (the createTransformPartitioned
+    // shape): one write task per partition value, in parallel, and each
+    // __g= dir still gets exactly one part file
     df.withColumn("__g", idx.cast("string"))
-      .repartition(1).write.partitionBy("__g").parquet(tmp)
+      .repartition(col("__g")).write.partitionBy("__g").parquet(tmp)
     val rels = Files.list(Paths.get(tmp)).iterator.asScala
       .filter(_.getFileName.toString.startsWith("__g="))
       .map { dir =>
@@ -708,31 +711,49 @@ object IcebergWriter {
     // positions
     val data = IcebergReader.scanWithPositions(spark, scan)
     val snap = prev + 1
-    // the position-delete parquet (spec schema (file_path, pos), sorted
-    // by file then pos) is staged STRAIGHT from the distributed scan —
-    // matched positions never visit the driver; the commit census reads
-    // the KB-scale staged file back
+    // the position-delete parquet files (spec schema (file_path, pos),
+    // sorted by file then pos) are staged STRAIGHT from the distributed
+    // scan — matched positions never visit the driver AND never funnel
+    // through one task: the stage range-partitions by file_path, so a
+    // wide DELETE at 100 TB writes one spec-legal delete file per
+    // shuffle partition (the manifest lists them all); the commit
+    // census is one KB-scale read-back over the staged files
     Files.createDirectories(Paths.get(base, "data"))
     val tmp = s"$base/.stage-del$snap"
     TxnLog.rmrf(tmp)
     data.filter(predicate.eqNullSafe(true))
       .select(col("__path").as("file_path"), col("__pos").as("pos"))
-      .repartition(1).sortWithinPartitions("file_path", "pos")
+      .repartitionByRange(math.max(1, scan.dataFiles.size),
+        col("file_path"), col("pos"))
+      .sortWithinPartitions("file_path", "pos")
       .write.parquet(tmp)
-    val src = Files.list(Paths.get(tmp)).iterator.asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("no delete file staged"))
-    val census = spark.read.parquet(src.toString)
-      .agg(count(lit(1)).as("n"),
-        org.apache.spark.sql.functions.countDistinct(col("file_path")).as("nf"))
-      .head()
-    val (nDel, nFiles) = (census.getLong(0), census.getLong(1))
+    val staged = Files.list(Paths.get(tmp)).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+    require(staged.nonEmpty, "no delete file staged")
+    // per-part census (drops the empty parts Spark writes for empty
+    // range partitions) before the move assigns final names
+    val stagedDf = spark.read.parquet(staged.map(_.toString): _*)
+    val counts = stagedDf
+      .groupBy(col("_metadata.file_name").as("f"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nonEmpty = staged.filter(p => counts.get(p.getFileName.toString).exists(_ > 0))
+    val nDel = counts.values.sum
     if (nDel == 0L) { TxnLog.rmrf(tmp); return (0, 0L) }
-    val delRel = s"data/del-s$snap.parquet"
-    Files.move(src, Paths.get(base, delRel))
+    // global distinct: a data file whose positions straddle a range
+    // boundary appears in two delete files but counts once
+    val nFiles = stagedDf.select("file_path").distinct().count()
+    val delRels = nonEmpty.zipWithIndex.map { case (p, i) =>
+      val rel = s"data/del-s$snap-$i.parquet"
+      val n = counts(p.getFileName.toString)
+      Files.move(p, Paths.get(base, rel))
+      (rel, n)
+    }
     TxnLog.rmrf(tmp)
     writeV2Manifest(spark, base, s"metadata/m$snap.avro",
-      carriedEntries(scan, base) :+ ((1, delRel, nDel, 1, snap.toLong)))
+      carriedEntries(scan, base) ++
+        delRels.map { case (rel, n) => (1, rel, n, 1, snap.toLong) })
     writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
     writeMeta(base, v + 1, current = snap,
       snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,

@@ -120,6 +120,13 @@ object Puffin {
         propRe.findAllMatchIn(m.group(7)).map(p => p.group(1) -> p.group(2)).toMap,
         m.group(2).split(',').filter(_.nonEmpty).map(_.trim.toInt).toSeq)
     }.toSeq
+    // the blob regex is pinned to THIS writer's key order — a spec-valid
+    // footer from an external writer (different order, extra fields like
+    // compression-codec) must fail loudly, not silently yield no blobs
+    // (statsNdv returning an empty map would read as "no stats")
+    require(!"""\"blobs\"\s*:\s*\[\s*\{""".r.findFirstIn(json).isDefined || blobs.nonEmpty,
+      s"$path: puffin footer declares blobs this parser could not extract " +
+        "(unsupported key order or fields) — refusing to return an empty blob list")
     val fileProps = json.lastIndexOf(""","properties":{""") match {
       case -1 => Map.empty[String, String]
       case i  => propRe.findAllMatchIn(json.substring(i + 14)).map(p =>
