@@ -573,6 +573,18 @@ object DeltaLogReader {
     live.values.toSeq
   }
 
+  /** The spelling `_metadata.file_path` uses for an absolute path —
+    * URI-ENCODED (space → %20 etc.) with the `file:` scheme stripped to
+    * a leading `/`. Every driver-side path that equi-joins against the
+    * scan's `__path` column MUST go through this: a literal-space
+    * spelling silently mismatches on any partition value containing a
+    * space (`4-NOT SPECIFIED`), dropping rows from inner joins or
+    * no-op'ing anti-join masks. */
+  private[sources] def scanSpelling(abs: java.nio.file.Path): String = {
+    val raw = abs.toAbsolutePath.normalize.toUri.getRawPath
+    if (raw.length > 1 && raw.endsWith("/")) raw.dropRight(1) else raw
+  }
+
   /** Apply each file's deletion vector (if any) to the scan: decode the
     * KB-scale bitmaps into (file, row_index) pairs — payload bytes ship
     * to executors, positions never materialize on the driver — and
@@ -592,7 +604,7 @@ object DeltaLogReader {
     // while the scan side strips the scan's `file:` URI scheme
     val absBase = Paths.get(base).toAbsolutePath.normalize
     val payloads: Seq[(String, Array[Byte])] = withDv.map { a =>
-      val abs = absBase.resolve(a.path).normalize.toString
+      val abs = scanSpelling(absBase.resolve(a.path))
       val d = a.dv.get
       (abs, RoaringDv.loadPayload(base, d.storageType, d.pathOrInlineDv,
         d.offset, d.sizeInBytes))
@@ -601,12 +613,13 @@ object DeltaLogReader {
     // of the first DV-carrying file must yield exactly the driver-side
     // spelling, else the anti-join keys have drifted (path encoding,
     // scheme, symlinks) and masked rows would leak back silently
-    val probePath = absBase.resolve(withDv.head.path).normalize.toString
-    val probed = spark.read.parquet(probePath)
+    val probeKey = scanSpelling(absBase.resolve(withDv.head.path))
+    val probed = spark.read
+      .parquet(absBase.resolve(withDv.head.path).normalize.toString)
       .select(regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
       .head().getString(0)
-    require(probed == probePath,
-      s"DV path-match convention broke: scan spells '$probed', driver '$probePath'")
+    require(probed == probeKey,
+      s"DV path-match convention broke: scan spells '$probed', driver '$probeKey'")
     val enc = org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong)
     val dels = spark.createDataset(payloads)(org.apache.spark.sql.Encoders.tuple(
@@ -635,6 +648,33 @@ object DeltaLogReader {
       if (pcols.isEmpty) spark.read.parquet(files: _*)
       else spark.read.option("basePath", base).parquet(files: _*)
     applyDvs(spark, base, adds, data)
+  }
+
+  /** DV anti-join that KEEPS every column of `stamped` (which must
+    * already carry normalized `__path` + `__pos`) — the shared mask for
+    * writer paths that need positions or materialized row ids to
+    * survive the masking (DML scans, OPTIMIZE's rewrite read,
+    * readRowIds). No-op when no add carries a DV. */
+  private[sources] def dvMaskKeep(spark: SparkSession, base: String,
+                                  adds: Seq[DeltaAdd], stamped: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.Encoders
+    val withDv = adds.filter(_.dv.isDefined)
+    if (withDv.isEmpty) return stamped
+    val absBase = Paths.get(base).toAbsolutePath.normalize
+    val payloads: Seq[(String, Array[Byte])] = withDv.map { a =>
+      val d = a.dv.get
+      scanSpelling(absBase.resolve(a.path)) ->
+        RoaringDv.loadPayload(base, d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes)
+    }
+    val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    val dels = spark.createDataset(payloads)(Encoders.tuple(
+        Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (p, b) => RoaringDv.deserialize(b).map(pos => (p, pos)) }(pairEnc)
+      .toDF("__del_path", "__del_pos")
+    stamped.join(broadcast(dels),
+      col("__path") === col("__del_path") && col("__pos") === col("__del_pos"),
+      "left_anti")
   }
 
   /** ROW TRACKING's id high-water mark: the LAST
@@ -735,6 +775,7 @@ object DeltaLogReader {
     require(adds.nonEmpty, s"empty snapshot $version of $base")
     val absBase = Paths.get(base).toAbsolutePath.normalize
     def absOf(rel: String) = absBase.resolve(rel).normalize.toString
+    def keyOf(rel: String) = scanSpelling(absBase.resolve(rel))
     val pcols = partitionColumns(Some(spark), base, version)
     val reader = spark.read.option("mergeSchema", "true")
     val raw =
@@ -744,30 +785,23 @@ object DeltaLogReader {
       .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
       .withColumn("__pos", col("_metadata.row_index"))
     // DVs apply with positions KEPT (payloads decode executor-side)
-    val withDv = adds.filter(_.dv.isDefined)
-    val masked =
-      if (withDv.isEmpty) stamped
-      else {
-        val payloads: Seq[(String, Array[Byte])] = withDv.map { a =>
-          val d = a.dv.get
-          absOf(a.path) -> RoaringDv.loadPayload(base, d.storageType,
-            d.pathOrInlineDv, d.offset, d.sizeInBytes)
-        }
-        val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
-        val dels = spark.createDataset(payloads)(Encoders.tuple(
-            Encoders.STRING, Encoders.BINARY))
-          .flatMap { case (p, b) => RoaringDv.deserialize(b).map(pos => (p, pos)) }(pairEnc)
-          .toDF("__del_path", "__del_pos")
-        stamped.join(broadcast(dels),
-          col("__path") === col("__del_path") && col("__pos") === col("__del_pos"),
-          "left_anti")
-      }
-    val meta = adds.map(a => (absOf(a.path),
+    val masked = dvMaskKeep(spark, base, adds, stamped)
+    val meta = adds.map(a => (keyOf(a.path),
       a.baseRowId.map(java.lang.Long.valueOf).orNull,
       a.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull))
     val metaDf = spark.createDataFrame(meta).toDF("__rt_path", "__rt_base", "__rt_ver")
     def matCol(c: String) = if (raw.columns.contains(c)) col(c) else lit(null)
-    val userCols = raw.columns.filterNot(c => c == matId || c == matVer).map(col).toSeq
+    // on a column-mapped table the files carry PHYSICAL names — surface
+    // the logical spelling like read() does (mat columns stay physical;
+    // they are config-named, not schema fields)
+    val colMap = columnMappingSchema(Some(spark), base, version).map(_.fields.toSeq
+      .map(f => f.metadata.getString("delta.columnMapping.physicalName") -> f.name))
+    val userCols = raw.columns.filterNot(c => c == matId || c == matVer).map { c =>
+      colMap.flatMap(_.collectFirst { case (p, l) if p == c => l }) match {
+        case Some(l) => col(c).as(l)
+        case None    => col(c)
+      }
+    }.toSeq
     masked.join(broadcast(metaDf), col("__path") === col("__rt_path"))
       .select(userCols ++ Seq(
         coalesce(matCol(matId), col("__rt_base") + col("__pos"))
@@ -836,12 +870,24 @@ object DeltaLogReader {
       // to the version's logical schema (a metaData-only rename commit
       // changes what this returns with zero data movement — the whole
       // point of the feature). Pruning/pushdown still run against the
-      // physical scan; the projection is a free alias.
-      require(pcols.isEmpty,
-        "column mapping on a partitioned table is beyond this minimal reader")
-      val physical = applyDvs(spark, base, adds, spark.read.parquet(files: _*))
+      // physical scan; the projection is a free alias. On a PARTITIONED
+      // mapped table the hive dirs carry physical names too (the spec's
+      // partitionValues are keyed physical); basePath recovery surfaces
+      // them and the same rename applies.
+      val physByLogical = logical.fields.map(f =>
+        f.name -> f.metadata.getString("delta.columnMapping.physicalName")).toMap
+      val physPcols = pcols.map(c => physByLogical.getOrElse(c, c))
+      val physical =
+        if (pcols.isEmpty) applyDvs(spark, base, adds, spark.read.parquet(files: _*))
+        else {
+          require(adds.forall(a => physPcols.forall(c => a.path.contains(c + "="))),
+            s"partitioned column-mapped Delta table with non-hive data paths " +
+              s"(need ${physPcols.mkString(",")} dirs)")
+          applyDvs(spark, base, adds,
+            spark.read.option("basePath", base).parquet(files: _*))
+        }
       val renames = logical.fields.map { f =>
-        val p = f.metadata.getString("delta.columnMapping.physicalName")
+        val p = physByLogical(f.name)
         require(physical.columns.contains(p),
           s"physical column $p (logical ${f.name}) missing from the data files")
         org.apache.spark.sql.functions.col(p).as(f.name)
@@ -888,8 +934,14 @@ object DeltaLogReader {
   def filesWhere(spark: SparkSession, base: String, version: Long,
                  column: String, lo: Long, hi: Long): Seq[DeltaAdd] = {
     require(lo <= hi, s"empty range [$lo, $hi]")
+    // stats keys are PHYSICAL column names on a mapped table — accept
+    // the logical spelling and translate
+    val key = columnMappingSchema(Some(spark), base, version)
+      .flatMap(_.fields.collectFirst { case f if f.name == column =>
+        f.metadata.getString("delta.columnMapping.physicalName") })
+      .getOrElse(column)
     snapshotFiles(Some(spark), base, version).filter { a =>
-      (a.minValues.get(column), a.maxValues.get(column)) match {
+      (a.minValues.get(key), a.maxValues.get(key)) match {
         case (Some(mn), Some(mx)) => mn <= hi && mx >= lo
         case _                    => true
       }
@@ -903,8 +955,32 @@ object DeltaLogReader {
                 column: String, lo: Long, hi: Long): DataFrame = {
     val files = filesWhere(spark, base, version, column, lo, hi)
     require(files.nonEmpty, s"no file of $base@$version overlaps $column in [$lo, $hi]")
-    applyDvs(spark, base, files,
-      spark.read.parquet(files.map(a => Paths.get(base).resolve(a.path).toString): _*))
+    val paths = files.map(a => Paths.get(base).resolve(a.path).toString)
+    // enforce the LOG's schema like read() does: without it, a
+    // row-tracked table's materialized physical columns
+    // (_row_id_mat/_row_commit_mat) leak into results after OPTIMIZE
+    // and mixed-schema file sets read inconsistently
+    val pcols = partitionColumns(Some(spark), base, version)
+    val reader = if (pcols.isEmpty) spark.read else spark.read.option("basePath", base)
+    columnMappingSchema(Some(spark), base, version) match {
+      case Some(logical) =>
+        // mapped table: files carry PHYSICAL names — enforce the schema
+        // under its physical spelling, then alias back to logical
+        import org.apache.spark.sql.types.{StructField, StructType}
+        val phys = StructType(logical.fields.map(f => StructField(
+          f.metadata.getString("delta.columnMapping.physicalName"),
+          f.dataType, f.nullable)))
+        val data = applyDvs(spark, base, files, reader.schema(phys).parquet(paths: _*))
+        data.select(logical.fields.map(f => org.apache.spark.sql.functions
+          .col(f.metadata.getString("delta.columnMapping.physicalName"))
+          .as(f.name)).toIndexedSeq: _*)
+      case None =>
+        val data = tableSchema(Some(spark), base, version) match {
+          case Some(logical) => reader.schema(logical).parquet(paths: _*)
+          case None          => reader.parquet(paths: _*)
+        }
+        applyDvs(spark, base, files, data)
+    }
   }
 
   /** Highest `txn` (SetTransaction) version recorded for `appId` — the
@@ -1000,8 +1076,15 @@ object DeltaLogReader {
         if (cdc.nonEmpty) Seq((cdc, None)) // cdc files carry _change_type themselves
         else Seq((paths("add", skipNoChange = true), Some("insert")),
           (paths("remove", skipNoChange = true), Some("delete")))
+      // mapped tables: data and _change_data files carry PHYSICAL
+      // names — surface each commit's rows under ITS version's logical
+      // schema (a rename commit changes the spelling going forward)
+      val colMap = columnMappingSchema(Some(spark), base, v).map(_.fields.toSeq
+        .map(f => f.metadata.getString("delta.columnMapping.physicalName") -> f.name))
       reads.collect { case (files, tag) if files.nonEmpty =>
-        val df = spark.read.parquet(files.map(p => Paths.get(base).resolve(p).toString): _*)
+        val df0 = spark.read.parquet(files.map(p => Paths.get(base).resolve(p).toString): _*)
+        val df = colMap.fold(df0)(_.foldLeft(df0) { case (d, (p, l)) =>
+          if (p != l && d.columns.contains(p)) d.withColumnRenamed(p, l) else d })
         tag.fold(df)(t => df.withColumn("_change_type", lit(t)))
           .withColumn("_commit_version", lit(v))
       }

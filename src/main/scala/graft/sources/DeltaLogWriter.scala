@@ -131,6 +131,153 @@ object DeltaLogWriter {
     DeltaLogReader.latestMetaConfig(Some(spark), base, version).map(_._2)
       .filter(_.get("delta.enableRowTracking").contains("true"))
 
+  // ---- feature-composition plumbing ---------------------------------------
+  // The writer features are ORTHOGONAL on real tables (a modern table
+  // ships with DVs + column mapping + row tracking + clustering ON
+  // together), so every rewrite op runs through ONE shared scan/write
+  // pair instead of pairwise refusals: the scan surfaces LOGICAL names
+  // with DV masks applied and row ids materialized; the write renames
+  // back to physical, keeps the hive layout, and assigns fresh row-id
+  // ranges.
+
+  /** (logical, physical) column pairs when the table is mapped. */
+  private def colMapOf(spark: SparkSession, base: String,
+                       version: Long): Option[Seq[(String, String)]] =
+    DeltaLogReader.columnMappingSchema(Some(spark), base, version).map(_.fields.toSeq
+      .map(f => f.name -> f.metadata.getString("delta.columnMapping.physicalName")))
+
+  private def physOf(colMap: Option[Seq[(String, String)]], name: String): String =
+    colMap.flatMap(_.collectFirst { case (l, p) if l == name => p }).getOrElse(name)
+
+  /** Rename a LOGICAL-named frame to the table's PHYSICAL names.
+    * Columns outside the mapping (materialized row-id columns, staging
+    * helpers, `_change_type`) pass through unchanged. */
+  private def toPhysical(df: DataFrame, colMap: Option[Seq[(String, String)]]): DataFrame =
+    colMap.fold(df)(_.foldLeft(df) { case (d, (l, p)) =>
+      if (l != p && d.columns.contains(l)) d.withColumnRenamed(l, p) else d })
+
+  private def toLogical(df: DataFrame, colMap: Option[Seq[(String, String)]]): DataFrame =
+    colMap.fold(df)(_.foldLeft(df) { case (d, (l, p)) =>
+      if (l != p && d.columns.contains(p)) d.withColumnRenamed(p, l) else d })
+
+  /** Everything a DML op needs to know about the table at its latest
+    * version — resolved ONCE per statement. */
+  private final case class DmlCtx(
+      base: String, version: Long,
+      pcols: Seq[String], physPcols: Seq[String],
+      colMap: Option[Seq[(String, String)]],
+      rtConf: Option[Map[String, String]],
+      live: Seq[DeltaLogReader.DeltaAdd]) {
+    def matId: String = rtConf.map(_.getOrElse(
+      "delta.rowTracking.materializedRowIdColumnName", "_row_id_mat")).getOrElse("")
+    def matVer: String = rtConf.map(_.getOrElse(
+      "delta.rowTracking.materializedRowCommitVersionColumnName",
+      "_row_commit_mat")).getOrElse("")
+  }
+
+  private def dmlCtx(spark: SparkSession, base: String): DmlCtx = {
+    val version = DeltaLogReader.latestVersion(base)
+    val colMap = colMapOf(spark, base, version)
+    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
+    DmlCtx(base, version, pcols, pcols.map(physOf(colMap, _)), colMap,
+      rowTrackingConf(spark, base, version),
+      DeltaLogReader.snapshotFiles(Some(spark), base, version))
+  }
+
+  /** The UNIFIED DML scan — the composition point every rewrite op
+    * reads through: live files (hive partition values recovered via
+    * basePath), deletion vectors APPLIED (masked rows neither match
+    * nor survive a rewrite), row ids MATERIALIZED into the configured
+    * physical columns (so a rewrite preserves them), and LOGICAL
+    * column names (predicates bind the user's spelling on mapped
+    * tables). Always carries normalized `__path`; `__pos` too when
+    * `keepPos` (the DV-delete path needs positions). */
+  private def dmlScanAll(spark: SparkSession, ctx: DmlCtx,
+                         keepPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, regexp_replace}
+    val base = ctx.base
+    require(ctx.live.nonEmpty, s"DML over an empty snapshot of $base")
+    if (ctx.physPcols.nonEmpty)
+      require(ctx.live.forall(a => ctx.physPcols.forall(c => a.path.contains(c + "="))),
+        s"partitioned Delta table (${ctx.physPcols.mkString(",")}) with non-hive " +
+          "data paths — partition values live only in the log; this " +
+          "minimal writer supports hive-style layouts only")
+    val absBase = Paths.get(base).toAbsolutePath.normalize
+    val files = ctx.live.map(a => absBase.resolve(a.path).toString)
+    val reader0 = spark.read
+    val reader = if (ctx.physPcols.isEmpty) reader0 else reader0.option("basePath", base)
+    // row-tracked tables read with mergeSchema (materialized columns
+    // exist only on post-OPTIMIZE files); otherwise the LOG's schema
+    // governs (pre-ADD-COLUMN files surface evolved columns as NULL) —
+    // under column mapping the enforced schema uses the PHYSICAL names
+    // the footers carry
+    val raw = ctx.rtConf match {
+      case Some(_) => reader.option("mergeSchema", "true").parquet(files: _*)
+      case None =>
+        val declared = ctx.colMap match {
+          case Some(m) =>
+            import org.apache.spark.sql.types.{StructField, StructType}
+            DeltaLogReader.columnMappingSchema(Some(spark), base, ctx.version)
+              .map(l => StructType(l.fields.map(f => StructField(
+                physOf(Some(m), f.name), f.dataType, f.nullable))))
+          case None => DeltaLogReader.tableSchema(Some(spark), base, ctx.version)
+        }
+        declared match {
+          case Some(schema) => reader.schema(schema).parquet(files: _*)
+          case None         => reader.parquet(files: _*)
+        }
+    }
+    val stamped = raw
+      .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val masked = DeltaLogReader.dvMaskKeep(spark, base, ctx.live, stamped)
+    val materialized = ctx.rtConf match {
+      case None => masked
+      case Some(_) =>
+        // every surviving row gets its id/commit-version under the
+        // MATERIALIZED physical names: a rewrite that keeps these
+        // columns preserves ids by construction
+        val meta = ctx.live.map(a => (
+          DeltaLogReader.scanSpelling(absBase.resolve(a.path)),
+          a.baseRowId.map(java.lang.Long.valueOf).orNull,
+          a.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull))
+        val metaDf = spark.createDataFrame(meta).toDF("__rt_path", "__rt_base", "__rt_ver")
+        def matCol(c: String) = if (raw.columns.contains(c)) col(c) else lit(null)
+        val keep = masked.columns.filterNot(c =>
+          c == ctx.matId || c == ctx.matVer).map(col).toSeq
+        masked.join(broadcast(metaDf), col("__path") === col("__rt_path"))
+          .select(keep ++ Seq(
+            coalesce(matCol(ctx.matId), col("__rt_base") + col("__pos"))
+              .cast("long").as(ctx.matId),
+            coalesce(matCol(ctx.matVer), col("__rt_ver")).cast("long").as(ctx.matVer)): _*)
+    }
+    val logical = toLogical(materialized, ctx.colMap)
+    if (keepPos) logical else logical.drop("__pos")
+  }
+
+  /** The UNIFIED rewrite write — the other half of the composition
+    * point: rename logical→physical, shape the parallelism (one task
+    * per partition value / affected file), stage under the hive
+    * layout, and emit add actions that carry fresh row-id ranges when
+    * the table is row-tracked (reads prefer the materialized columns
+    * the frame already carries). Returns (adds, domain-bump actions). */
+  private def writeRewrite(spark: SparkSession, ctx: DmlCtx, df: DataFrame,
+                           version: Long, affected: Int,
+                           statsFor: Seq[String] = Nil,
+                           dataChange: Boolean = true): (Seq[String], Seq[String]) = {
+    val physDf = toPhysical(df.drop("__path", "__pos"), ctx.colMap)
+    val rels = writeData(shapeRewrite(physDf, ctx.physPcols, affected),
+      ctx.base, version, ctx.physPcols)
+    val physStats = statsFor.map(physOf(ctx.colMap, _))
+    val hwm = ctx.rtConf.map(_ =>
+      DeltaLogReader.rowIdHighWaterMark(Some(spark), ctx.base, ctx.version).getOrElse(-1L))
+    val (adds0, total) = addActionsCounted(spark, ctx.base, rels, physStats,
+      hwm.map(h => (h + 1, version)))
+    val adds = if (dataChange) adds0
+      else adds0.map(_.replace("\"dataChange\":true", "\"dataChange\":false"))
+    (adds, hwm.map(h => rowTrackingDomain(h + total)).toSeq)
+  }
+
   /** Stage-write `df` as parquet and move the part files under the
     * table base with a version prefix; returns their relative paths.
     * With `partitionBy`, the stage write uses the hive layout and the
@@ -229,60 +376,79 @@ object DeltaLogWriter {
   def optimizeClustered(spark: SparkSession, base: String,
                         zBuckets: Int = 16): (Int, Int) = {
     import org.apache.spark.sql.functions.{expr, shiftleft, shiftrightunsigned}
-    val version = DeltaLogReader.latestVersion(base)
-    val ccols = DeltaLogReader.clusteringColumns(Some(spark), base, version)
-    require(ccols.size == 2, s"$base declares no 2-column clustering domain")
-    require(rowTrackingConf(spark, base, version).isEmpty,
-      "clustered OPTIMIZE on a row-tracked table is beyond this minimal writer")
-    require(DeltaLogReader.partitionColumns(Some(spark), base, version).isEmpty,
-      "liquid clustering replaces hive partitioning — not combined here")
-    val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
-    requireNoDv(live, "OPTIMIZE (clustered)")
-    val df = spark.read.parquet(live.map(a => s"$base/${a.path}"): _*)
-    val Seq(c1, c2) = ccols
-    val mm = df.agg(
-      org.apache.spark.sql.functions.min(col(c1)).cast("long"),
-      org.apache.spark.sql.functions.max(col(c1)).cast("long"),
-      org.apache.spark.sql.functions.min(col(c2)).cast("long"),
-      org.apache.spark.sql.functions.max(col(c2)).cast("long")).head()
+    val ctx = dmlCtx(spark, base)
+    val ccols = DeltaLogReader.clusteringColumns(Some(spark), base, ctx.version)
+    require(ccols.nonEmpty && ccols.size <= 4,
+      s"$base declares ${ccols.size} clustering columns; this writer z-orders 1..4")
+    val live = ctx.live
+    // the unified scan composes the features: DVs applied (the packed
+    // files materialize the deletes), row ids materialized (the
+    // rewrite preserves them), logical names (clustering columns are
+    // declared logical), hive partition values recovered (clustering
+    // runs WITHIN partitions, the classic OPTIMIZE ZORDER BY shape)
+    val df0 = dmlScanAll(spark, ctx).drop("__path")
+    val n = ccols.size
+    val aggs = ccols.flatMap(c => Seq(
+      org.apache.spark.sql.functions.min(col(c)).cast("long"),
+      org.apache.spark.sql.functions.max(col(c)).cast("long")))
+    val mm = df0.agg(aggs.head, aggs.tail: _*).head()
     def cell(c: String, lo: Long, hi: Long) =
-      expr(s"(($c - $lo) * 8) div ${math.max(1L, hi - lo + 1)}")
-    val bx = cell(c1, mm.getLong(0), mm.getLong(1))
-    val by = cell(c2, mm.getLong(2), mm.getLong(3))
-    val z = (0 until 3).map { i =>
-      val xb = shiftleft(shiftrightunsigned(bx, i).bitwiseAND(lit(1L)), 2 * i)
-      val yb = shiftleft(shiftrightunsigned(by, i).bitwiseAND(lit(1L)), 2 * i + 1)
-      xb.bitwiseOR(yb)
+      expr(s"((`$c` - $lo) * 8) div ${math.max(1L, hi - lo + 1)}")
+    val cellsOf = ccols.zipWithIndex.map { case (c, j) =>
+      cell(c, mm.getLong(2 * j), mm.getLong(2 * j + 1))
+    }
+    // interleave the 3-bit cell ids: column j's bit i lands at i*n + j
+    // (for 2 columns this is exactly the historic 2i / 2i+1 layout)
+    val z = (0 until 3).flatMap { i =>
+      cellsOf.zipWithIndex.map { case (b, j) =>
+        shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), i * n + j)
+      }
     }.reduce(_ bitwiseOR _)
-    require(zBuckets > 0 && 64 % zBuckets == 0 && Integer.bitCount(64 / zBuckets) == 1,
-      s"zBuckets must be a power-of-two divisor of 64, got $zBuckets")
-    val shift = Integer.numberOfTrailingZeros(64 / zBuckets)
-    val next = version + 1
-    // one write task per occupied z-bucket (partitionBy staging), then
-    // flat deterministic names — no hive dirs on a clustered table
+    val totalBits = 3 * n
+    require(zBuckets > 0 && Integer.bitCount(zBuckets) == 1 &&
+      Integer.numberOfTrailingZeros(zBuckets) <= totalBits,
+      s"zBuckets must be a power of two <= 2^$totalBits, got $zBuckets")
+    val shift = totalBits - Integer.numberOfTrailingZeros(zBuckets)
+    val next = ctx.version + 1
+    // one write task per occupied (partition, z-bucket) cell; flat
+    // tables are the zero-partition case (flat deterministic names)
     val tmp = s"$base/.stage-zopt$next"
     TxnLog.rmrf(tmp)
-    df.withColumn("__zb", shiftrightunsigned(z, shift))
-      .repartition(col("__zb"))
-      .write.partitionBy("__zb").parquet(tmp)
-    val rels = Files.list(Paths.get(tmp)).iterator.asScala
-      .filter(_.getFileName.toString.startsWith("__zb="))
+    val staged = toPhysical(df0.withColumn("__zb", shiftrightunsigned(z, shift)),
+      ctx.colMap)
+    val stageCols = ctx.physPcols :+ "__zb"
+    staged.repartition(stageCols.map(col): _*)
+      .write.partitionBy(stageCols: _*).parquet(tmp)
+    val tmpP = Paths.get(tmp)
+    val rels = Files.walk(tmpP).iterator.asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("__zb="))
       .flatMap { dir =>
         val zb = dir.getFileName.toString.stripPrefix("__zb=")
+        val prefix = tmpP.relativize(dir.getParent).toString match {
+          case "" => ""
+          case d  => d + "/"
+        }
         val parts = Files.list(dir).iterator.asScala
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        require(parts.size == 1, s"z-bucket $zb staged ${parts.size} files")
-        val rel = s"v$next-zb$zb.parquet"
+        require(parts.size == 1, s"z-bucket $prefix$zb staged ${parts.size} files")
+        val rel = s"${prefix}v$next-zb$zb.parquet"
+        Files.createDirectories(Paths.get(base, rel).getParent)
         Files.move(parts.head, Paths.get(base, rel))
         Seq(rel)
       }.toSeq.sorted
     TxnLog.rmrf(tmp)
-    val adds = addActions(spark, base, rels, statsFor = ccols)
-      .map(_.replace("\"dataChange\":true", "\"dataChange\":false"))
+    val hwm = ctx.rtConf.map(_ =>
+      DeltaLogReader.rowIdHighWaterMark(Some(spark), base, ctx.version).getOrElse(-1L))
+    val (adds0, total) = addActionsCounted(spark, base, rels,
+      statsFor = ccols.map(physOf(ctx.colMap, _)),
+      rowTracking = hwm.map(h => (h + 1, next)))
+    val adds = adds0.map(_.replace("\"dataChange\":true", "\"dataChange\":false"))
+    val domainBump = hwm.map(h => rowTrackingDomain(h + total)).toSeq
     val removes = live.map(a =>
       s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":false}}""")
     commit(base, next,
-      s"""{"commitInfo":{"operation":"OPTIMIZE","timestamp":0}}""" +: (removes ++ adds))
+      (s"""{"commitInfo":{"operation":"OPTIMIZE","timestamp":0}}""" +: domainBump) ++
+        (removes ++ adds))
     (live.size, rels.size)
   }
 
@@ -322,24 +488,43 @@ object DeltaLogWriter {
                     name: String, expr: String): Unit = {
     import org.apache.spark.sql.functions.{expr => sqlExpr}
     val version = DeltaLogReader.latestVersion(base)
-    require(DeltaLogReader.columnMappingSchema(Some(spark), base, version).isEmpty,
-      "constraints on a column-mapped table are beyond this minimal writer")
+    // the validation reads through the LOGICAL view, so the CHECK
+    // expression binds the user's spelling on a column-mapped table too
     val bad = DeltaLogReader.read(spark, base)
       .filter(!sqlExpr(expr).eqNullSafe(true)).count()
     require(bad == 0L, s"$bad existing rows violate CHECK ($expr) — constraint not added")
-    val (id, schema, pcols, _) = latestMetaData(spark, base, version)
-    val all = DeltaLogReader.constraintsOf(Some(spark), base, version) + (name -> expr)
-    val conf = all.toSeq.sortBy(_._1)
-      .map { case (n, e) => s""""delta.constraints.${esc(n)}":"${esc(e)}"""" }
-      .mkString("{", ",", "}")
+    val (id, schema, pcols, conf0) = latestMetaData(spark, base, version)
+    // PRESERVE the whole configuration (column mapping, row tracking) —
+    // a metaData rewrite that kept only the constraints would sever
+    // every other feature: Delta metaData replaces wholesale
+    val conf = confJson(conf0 + (s"delta.constraints.$name" -> expr))
     val pc = pcols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
+    // never DOWNGRADE the protocol: legacy tables bump minWriter to 3
+    // (the constraints writer version); table-features tables add the
+    // checkConstraints writer feature instead
+    val (mr, mw, rf, wf) = DeltaLogReader.latestProtocol(Some(spark), base, version)
+    val protoAction =
+      if (mw >= 7) {
+        def featJson(fs: Seq[String]) = fs.map(f => s""""$f"""").mkString("[", ",", "]")
+        val rfJson = if (rf.isEmpty && mr < 3) ""
+          else s""""readerFeatures":${featJson(rf.distinct.sorted)},"""
+        s"""{"protocol":{"minReaderVersion":$mr,"minWriterVersion":7,$rfJson""" +
+          s""""writerFeatures":${featJson((wf :+ "checkConstraints").distinct.sorted)}}}"""
+      } else
+        s"""{"protocol":{"minReaderVersion":$mr,"minWriterVersion":${math.max(mw, 3)}}}"""
     commit(base, version + 1, Seq(
       s"""{"commitInfo":{"operation":"ADD CONSTRAINT","timestamp":0}}""",
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+      protoAction,
       s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":"${esc(schema)}","partitionColumns":$pc,""" +
         s""""configuration":$conf,"createdTime":0}}"""))
   }
+
+  /** A metaData `configuration` object from a full map. */
+  private def confJson(conf: Map[String, String]): String =
+    conf.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
 
   /** Append-only commit: the table's next version adds `df`'s rows.
     * Partitioning follows the table's declared partitionColumns.
@@ -347,7 +532,17 @@ object DeltaLogWriter {
     * staged — a violating batch aborts the whole transaction with
     * nothing on disk, the spec's writer obligation. */
   def append(spark: SparkSession, df: DataFrame, base: String,
-             statsFor: Seq[String] = Nil): Unit = {
+             statsFor: Seq[String] = Nil): Unit =
+    appendWith(spark, df, base, statsFor, Nil, "WRITE")
+
+  /** The shared append body ([[append]] + [[appendIfAbsent]]'s written
+    * branch): constraints validated first (the batch binds LOGICAL
+    * names), the data staged under PHYSICAL names and partition dirs on
+    * a mapped table, fresh row-id ranges + the domain bump on a
+    * row-tracked one. */
+  private def appendWith(spark: SparkSession, df: DataFrame, base: String,
+                         statsFor: Seq[String], extraActions: Seq[String],
+                         operation: String): Unit = {
     val version = DeltaLogReader.latestVersion(base) + 1
     DeltaLogReader.constraintsOf(Some(spark), base, version - 1).foreach { case (name, e) =>
       import org.apache.spark.sql.functions.{expr => sqlExpr}
@@ -355,8 +550,11 @@ object DeltaLogWriter {
       require(bad == 0L,
         s"append violates CHECK constraint $name ($e) on $bad rows — transaction aborted")
     }
-    val rels = writeData(df, base, version,
-      DeltaLogReader.partitionColumns(Some(spark), base, version - 1))
+    val colMap = colMapOf(spark, base, version - 1)
+    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version - 1)
+    val rels = writeData(toPhysical(df, colMap), base, version,
+      pcols.map(physOf(colMap, _)))
+    val physStats = statsFor.map(physOf(colMap, _))
     rowTrackingConf(spark, base, version - 1) match {
       case Some(_) =>
         // fresh ids start ABOVE the high-water mark; the same commit
@@ -364,14 +562,14 @@ object DeltaLogWriter {
         val hwm = DeltaLogReader.rowIdHighWaterMark(Some(spark), base, version - 1)
           .getOrElse(-1L)
         val (adds, total) =
-          addActionsCounted(spark, base, rels, statsFor, Some((hwm + 1, version)))
+          addActionsCounted(spark, base, rels, physStats, Some((hwm + 1, version)))
         commit(base, version,
-          Seq(s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""",
-            rowTrackingDomain(hwm + total)) ++ adds)
+          (Seq(s"""{"commitInfo":{"operation":"$operation","timestamp":0}}""",
+            rowTrackingDomain(hwm + total)) ++ extraActions) ++ adds)
       case None =>
         commit(base, version,
-          s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""" +:
-            addActions(spark, base, rels, statsFor))
+          (s"""{"commitInfo":{"operation":"$operation","timestamp":0}}""" +: extraActions) ++
+            addActions(spark, base, rels, physStats))
     }
   }
 
@@ -385,9 +583,9 @@ object DeltaLogWriter {
   def appendEvolved(spark: SparkSession, df: DataFrame, base: String,
                     statsFor: Seq[String] = Nil): Unit = {
     val version = DeltaLogReader.latestVersion(base) + 1
-    require(rowTrackingConf(spark, base, version - 1).isEmpty,
-      "schema-evolving append on a row-tracked table is beyond this " +
-        "minimal writer — it would add id-less files; use append")
+    require(colMapOf(spark, base, version - 1).isEmpty,
+      "schema-evolving append on a column-mapped table is beyond this " +
+        "minimal writer — new columns would need fresh physical ids")
     val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version - 1)
     require(pcols.forall(df.columns.contains),
       s"evolved schema drops a partition column (${pcols.mkString(",")})")
@@ -402,12 +600,31 @@ object DeltaLogWriter {
     }
     val rels = writeData(df, base, version, pcols)
     val pc = pcols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
-    commit(base, version,
-      Seq(s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""",
-        s"""{"metaData":{"id":"graft","format":{"provider":"parquet","options":{}},""" +
-          s""""schemaString":"${esc(df.schema.json)}","partitionColumns":$pc,""" +
-          s""""configuration":{},"createdTime":0}}""") ++
-        addActions(spark, base, rels, statsFor))
+    // the new metaData must CARRY the existing configuration — Delta
+    // replaces metadata wholesale, so an empty map here would sever row
+    // tracking and declared constraints
+    val conf0 = DeltaLogReader.latestMetaConfig(Some(spark), base, version - 1)
+      .map(_._2).getOrElse(Map.empty)
+    val metaAction =
+      s"""{"metaData":{"id":"graft","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${esc(df.schema.json)}","partitionColumns":$pc,""" +
+        s""""configuration":${confJson(conf0)},"createdTime":0}}"""
+    rowTrackingConf(spark, base, version - 1) match {
+      case Some(_) =>
+        // row tracking survives the evolution: new files take fresh id
+        // ranges and the same commit bumps the high-water mark
+        val hwm = DeltaLogReader.rowIdHighWaterMark(Some(spark), base, version - 1)
+          .getOrElse(-1L)
+        val (adds, total) =
+          addActionsCounted(spark, base, rels, statsFor, Some((hwm + 1, version)))
+        commit(base, version,
+          Seq(s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""", metaAction,
+            rowTrackingDomain(hwm + total)) ++ adds)
+      case None =>
+        commit(base, version,
+          Seq(s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""", metaAction) ++
+            addActions(spark, base, rels, statsFor))
+    }
   }
 
   /** Create a COLUMN-MAPPED table (mode=name): parquet files carry
@@ -439,6 +656,89 @@ object DeltaLogWriter {
       addActions(spark, base, rels))
   }
 
+  /** Create a table with ANY combination of the composable features —
+    * hive partitioning, liquid clustering (layout domain), column
+    * mapping (mode=name physical names), row tracking (stable ids) —
+    * the shape a MODERN production Delta table actually has, with all
+    * of them on together. Partition dirs use PHYSICAL names on a
+    * mapped table (the spec keys partitionValues physically);
+    * `partitionBy`/`clusterCols`/`statsFor` are given in LOGICAL
+    * names. Every DML/OPTIMIZE/RESTORE op composes over the result
+    * through the unified scan/write pair. */
+  def createComposed(spark: SparkSession, df: DataFrame, base: String, tableId: String,
+                     partitionBy: Seq[String] = Nil,
+                     clusterCols: Seq[String] = Nil,
+                     columnMapped: Boolean = false,
+                     rowTracked: Boolean = false,
+                     statsFor: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    require((partitionBy ++ clusterCols ++ statsFor).forall(df.columns.contains),
+      "partitionBy/clusterCols/statsFor must all exist in the data")
+    require(partitionBy.intersect(clusterCols).isEmpty,
+      "a column cannot be both a partition and a clustering column")
+    require(clusterCols.size <= 4, "this writer z-orders 1..4 clustering columns")
+    TxnLog.rmrf(base)
+    val phys: Option[Seq[(String, String)]] =
+      if (!columnMapped) None
+      else Some(df.schema.fields.zipWithIndex.toSeq
+        .map { case (f, i) => f.name -> s"col-${i + 1}" })
+    val physDf = toPhysical(df, phys)
+    val physPcols = partitionBy.map(physOf(phys, _))
+    val rels = writeData(physDf, base, 0L, physPcols)
+    val schemaJson = phys match {
+      case None => df.schema.json
+      case Some(m) =>
+        StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+          StructField(f.name, f.dataType, f.nullable, new MetadataBuilder()
+            .putLong("delta.columnMapping.id", i + 1L)
+            .putString("delta.columnMapping.physicalName", m(i)._2)
+            .build())
+        }).json
+    }
+    val conf = confJson(
+      (if (!columnMapped) Map.empty[String, String]
+       else Map("delta.columnMapping.mode" -> "name",
+         "delta.columnMapping.maxColumnId" -> df.schema.fields.length.toString)) ++
+      (if (!rowTracked) Map.empty[String, String]
+       else Map("delta.enableRowTracking" -> "true",
+         "delta.rowTracking.materializedRowIdColumnName" -> "_row_id_mat",
+         "delta.rowTracking.materializedRowCommitVersionColumnName" -> "_row_commit_mat")))
+    val writerFeats = (
+      (if (columnMapped) Seq("columnMapping") else Nil) ++
+      (if (rowTracked) Seq("rowTracking", "domainMetadata") else Nil) ++
+      (if (clusterCols.nonEmpty) Seq("clustering", "domainMetadata") else Nil)
+    ).distinct.sorted
+    val protoAction =
+      if (writerFeats.isEmpty)
+        s"""{"protocol":{"minReaderVersion":${if (columnMapped) 2 else 1},""" +
+          s""""minWriterVersion":${if (columnMapped) 5 else 2}}}"""
+      else
+        s"""{"protocol":{"minReaderVersion":${if (columnMapped) 2 else 1},""" +
+          s""""minWriterVersion":7,"writerFeatures":${
+            writerFeats.map(f => s""""$f"""").mkString("[", ",", "]")}}}"""
+    val clusterDomain =
+      if (clusterCols.isEmpty) Nil
+      else {
+        val cc = clusterCols.map(c => s"""["${esc(c)}"]""").mkString("[", ",", "]")
+        Seq(s"""{"domainMetadata":{"domain":"delta.clustering",""" +
+          s""""configuration":"{\\"clusteringColumns\\":${cc.replace("\"", "\\\"")}}","removed":false}}""")
+      }
+    val pc = partitionBy.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
+    val metaAction =
+      s"""{"metaData":{"id":"${esc(tableId)}","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${esc(schemaJson)}","partitionColumns":$pc,""" +
+        s""""configuration":$conf,"createdTime":0}}"""
+    val physStats = statsFor.map(physOf(phys, _))
+    if (rowTracked) {
+      val (adds, total) = addActionsCounted(spark, base, rels, physStats, Some((0L, 0L)))
+      commit(base, 0L,
+        (Seq(protoAction, metaAction) ++ clusterDomain :+ rowTrackingDomain(total - 1)) ++ adds)
+    } else
+      commit(base, 0L,
+        (Seq(protoAction, metaAction) ++ clusterDomain) ++
+          addActions(spark, base, rels, physStats))
+  }
+
   /** ALTER TABLE RENAME COLUMN on a column-mapped table: a
     * metaData-ONLY commit — the logical field name changes, the
     * physicalName stays, and NOT ONE data byte moves (the reason the
@@ -455,13 +755,20 @@ object DeltaLogWriter {
     require(!logical.fieldNames.contains(to), s"column $to already exists")
     val renamed = StructType(logical.fields.map(f =>
       if (f.name == from) StructField(to, f.dataType, f.nullable, f.metadata) else f))
-    val maxId = logical.fields.length
+    // carry the WHOLE configuration and the partitionColumns (renamed
+    // if the column IS one): Delta metaData replaces wholesale — the
+    // old spelling here would sever row tracking, constraints, or the
+    // table's partitioning
+    val conf0 = DeltaLogReader.latestMetaConfig(Some(spark), base, version)
+      .map(_._2).getOrElse(Map.empty)
+    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
+      .map(c => if (c == from) to else c)
+    val pc = pcols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
     commit(base, version + 1, Seq(
       s"""{"commitInfo":{"operation":"RENAME COLUMN","timestamp":0}}""",
       s"""{"metaData":{"id":"graft","format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":"${esc(renamed.json)}","partitionColumns":[],""" +
-        s""""configuration":{"delta.columnMapping.mode":"name",""" +
-        s""""delta.columnMapping.maxColumnId":"$maxId"},"createdTime":0}}"""))
+        s""""schemaString":"${esc(renamed.json)}","partitionColumns":$pc,""" +
+        s""""configuration":${confJson(conf0)},"createdTime":0}}"""))
   }
 
   /** Idempotent streaming append — the spec's `txn` (SetTransaction)
@@ -495,15 +802,10 @@ object DeltaLogWriter {
           s""""configuration":{},"createdTime":0}}""",
         txn) ++ addActions(spark, base, rels))
     } else {
-      val version = DeltaLogReader.latestVersion(base) + 1
-      require(rowTrackingConf(spark, base, version - 1).isEmpty,
-        "streaming append into a row-tracked table is beyond this minimal " +
-          "writer — it would add id-less files; use append")
-      val rels = writeData(df, base, version,
-        DeltaLogReader.partitionColumns(Some(spark), base, version - 1))
-      commit(base, version,
-        Seq(s"""{"commitInfo":{"operation":"STREAMING UPDATE","timestamp":0}}""", txn) ++
-          addActions(spark, base, rels))
+      // the shared append body composes the features (row tracking's
+      // fresh id ranges, column mapping's physical staging) — the txn
+      // marker rides the same commit, keeping exactly-once intact
+      appendWith(spark, df, base, Nil, Seq(txn), "STREAMING UPDATE")
     }
     true
   }
@@ -527,7 +829,6 @@ object DeltaLogWriter {
     val version = DeltaLogReader.latestVersion(base)
     val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
     val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
-    requireNoDv(live, "OPTIMIZE")
     // partition dirs are independent pack domains (a file can only
     // merge with files of its own partition values) — bin-pack each
     // partition's live set separately and commit every rewrite in ONE
@@ -539,29 +840,41 @@ object DeltaLogWriter {
     // ROW TRACKING: a rewrite would reassign base+position ids, so the
     // packed files must MATERIALIZE each row's id and commit version
     // into the configured physical columns BEFORE the shuffle scrambles
-    // positions — reads then prefer the materialized values
+    // positions — reads then prefer the materialized values.
+    // DELETION VECTORS: the pack read applies each file's mask (the
+    // packed files materialize the deletes and carry no DV — content
+    // identical, so dataChange=false still holds).
     val rtConf = rowTrackingConf(spark, base, version)
     def domainRead(files: Seq[DeltaLogReader.DeltaAdd]): DataFrame = {
+      import org.apache.spark.sql.functions.{broadcast, coalesce, regexp_replace}
       val paths = files.map(a => s"$base/${a.path}")
-      rtConf match {
-        case None => spark.read.parquet(paths: _*)
-        case Some(conf) =>
-          import org.apache.spark.sql.functions.{broadcast, coalesce, regexp_replace}
+      (rtConf, files.exists(_.dv.isDefined)) match {
+        case (None, false) => spark.read.parquet(paths: _*)
+        case (None, true) =>
+          val raw = spark.read.parquet(paths: _*)
+          val stamped = raw
+            .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+            .withColumn("__pos", col("_metadata.row_index"))
+          DeltaLogReader.dvMaskKeep(spark, base, files, stamped)
+            .select(raw.columns.map(col).toIndexedSeq: _*)
+        case (Some(conf), _) =>
           val matId = conf.getOrElse("delta.rowTracking.materializedRowIdColumnName",
             "_row_id_mat")
           val matVer = conf.getOrElse(
             "delta.rowTracking.materializedRowCommitVersionColumnName", "_row_commit_mat")
           val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
           val meta = files.map(a => (
-            Paths.get(base).toAbsolutePath.normalize.resolve(a.path).normalize.toString,
+            DeltaLogReader.scanSpelling(
+              Paths.get(base).toAbsolutePath.normalize.resolve(a.path)),
             a.baseRowId.map(java.lang.Long.valueOf).orNull,
             a.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull))
           val metaDf = spark.createDataFrame(meta).toDF("__rt_path", "__rt_base", "__rt_ver")
           def matCol(c: String) = if (raw.columns.contains(c)) col(c) else lit(null)
           val userCols = raw.columns.filterNot(c => c == matId || c == matVer).map(col).toSeq
-          raw
+          val stamped = raw
             .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
             .withColumn("__pos", col("_metadata.row_index"))
+          DeltaLogReader.dvMaskKeep(spark, base, files, stamped)
             .join(broadcast(metaDf), col("__path") === col("__rt_path"))
             .select(userCols ++ Seq(
               coalesce(matCol(matId), col("__rt_base") + col("__pos"))
@@ -626,37 +939,31 @@ object DeltaLogWriter {
     * soft-deleted surface, not the table. Returns
     * (purgedFiles, droppedPositions). */
   def reorgPurge(spark: SparkSession, base: String): (Int, Long) = {
-    val version = DeltaLogReader.latestVersion(base)
-    require(DeltaLogReader.columnMappingSchema(Some(spark), base, version).isEmpty,
-      "REORG PURGE on a column-mapped table is beyond this minimal writer")
-    require(rowTrackingConf(spark, base, version).isEmpty,
-      "REORG PURGE on a row-tracked table is beyond this minimal writer — " +
-        "the purge rewrite would reassign row ids (OPTIMIZE materializes " +
-        "them; the purge path does not yet)")
-    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
-    val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
-    val withDv = live.filter(_.dv.isDefined)
+    val ctx0 = dmlCtx(spark, base)
+    val withDv = ctx0.live.filter(_.dv.isDefined)
     if (withDv.isEmpty) return (0, 0L)
-    val masked = DeltaLogReader.readAddsWithDvs(spark, base, withDv, pcols)
-    val next = version + 1
-    // stats keys carried from the purged files keep data skipping alive
-    val statsFor = withDv.flatMap(a => a.minValues.keys).distinct
-    val rels = writeData(shapeRewrite(masked, pcols, withDv.size), base, next, pcols)
-    val adds = addActions(spark, base, rels, statsFor)
-      .map(_.replace("\"dataChange\":true", "\"dataChange\":false"))
+    // the purge rewrite reads ONLY the DV-carrying files through the
+    // unified scan (masks applied, row ids materialized, logical
+    // names) — composition with column mapping and row tracking falls
+    // out of the shared machinery
+    val ctx = ctx0.copy(live = withDv)
+    val masked = dmlScanAll(spark, ctx)
+    val next = ctx.version + 1
+    // stats keys carried from the purged files keep data skipping
+    // alive (they are PHYSICAL keys already — translate back to the
+    // logical spelling writeRewrite's physOf expects)
+    val statsPhysical = withDv.flatMap(a => a.minValues.keys).distinct
+    val statsFor = statsPhysical.map(p => ctx.colMap
+      .flatMap(_.collectFirst { case (l, pp) if pp == p => l }).getOrElse(p))
+    val (adds, domainBump) = writeRewrite(spark, ctx, masked, next,
+      withDv.size, statsFor, dataChange = false)
     val removes = withDv.map(a =>
       s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":false}}""")
     commit(base, next,
-      s"""{"commitInfo":{"operation":"REORG","timestamp":0}}""" +: (removes ++ adds))
+      (s"""{"commitInfo":{"operation":"REORG","timestamp":0}}""" +: domainBump) ++
+        (removes ++ adds))
     (withDv.size, withDv.map(_.dv.get.cardinality).sum)
   }
-
-  /** Rewrite-based ops read live parquet raw — on a DV-carrying table
-    * they would resurrect soft-deleted rows, so they refuse instead. */
-  private def requireNoDv(live: Seq[DeltaLogReader.DeltaAdd], op: String): Unit =
-    require(live.forall(_.dv.isEmpty),
-      s"$op over deletion vectors — materialize them first (rewrite the " +
-        "DV-masked files) before running this rewrite op")
 
   /** Canonical stats JSON for an add action (numRecords stays the
     * PHYSICAL row count per spec, even under a deletion vector). */
@@ -684,38 +991,27 @@ object DeltaLogWriter {
     * (affectedFiles, newlyDeletedRows). */
   def deleteWhereDv(spark: SparkSession, base: String,
                     predicate: org.apache.spark.sql.Column): (Int, Long) = {
-    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.Encoders
-    val version = DeltaLogReader.latestVersion(base)
-    require(DeltaLogReader.columnMappingSchema(Some(spark), base, version).isEmpty,
-      "DV DELETE on a column-mapped table is beyond this minimal writer " +
-        "(the predicate would bind logical names against physical columns)")
-    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
-    val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
+    val ctx = dmlCtx(spark, base)
+    val version = ctx.version
+    val live = ctx.live
     val byAbs = live.map(a =>
-      Paths.get(base).resolve(a.path).normalize.toString -> a).toMap
-    // existing DV payloads as BYTES keyed by absolute path: positions
-    // deserialize executor-side only (both for the already-masked
-    // anti-join and the per-file merge below) — the driver never holds
-    // a position list, just KB-scale bitmap blobs
+      DeltaLogReader.scanSpelling(Paths.get(base).resolve(a.path)) -> a).toMap
+    // existing DV payloads as BYTES keyed by the SCAN's path spelling:
+    // positions deserialize executor-side only (for the per-file merge
+    // below) — the driver never holds a position list, just KB-scale
+    // bitmap blobs
     val existingBytes: Map[String, Array[Byte]] = live.flatMap(a => a.dv.map { d =>
-      Paths.get(base).resolve(a.path).normalize.toString ->
+      DeltaLogReader.scanSpelling(Paths.get(base).resolve(a.path)) ->
         RoaringDv.loadPayload(base, d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes)
     }).toMap
     val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
-    val alreadyDf =
-      if (existingBytes.isEmpty) None
-      else Some(spark.createDataset(existingBytes.toSeq)(
-          Encoders.tuple(Encoders.STRING, Encoders.BINARY))
-        .flatMap { case (p, b) => RoaringDv.deserialize(b).map(pos => (p, pos)) }(pairEnc)
-        .toDF("__dp", "__dq"))
-    // matched = predicate-TRUE rows not already masked by a DV
-    val scan = dmlScan(spark, base, live, pcols)
-      .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
-      .withColumn("__pos", col("_metadata.row_index"))
-    val matchedAll = scan.filter(predicate.eqNullSafe(true))
-    val matched = alreadyDf.fold(matchedAll)(d => matchedAll.join(broadcast(d),
-      col("__path") === col("__dp") && col("__pos") === col("__dq"), "left_anti"))
+    // matched = predicate-TRUE rows not already masked by a DV — the
+    // unified scan applies existing DVs and binds LOGICAL names, so
+    // column-mapped tables delete under the user's spelling
+    val matched = dmlScanAll(spark, ctx, keepPos = true)
+      .filter(predicate.eqNullSafe(true))
     // per-file bitmap construction runs EXECUTOR-side (one group per
     // affected file): the driver receives only (path, counts, payload)
     // rows — KB-scale serialized bitmaps, never the position lists, so
@@ -738,9 +1034,11 @@ object DeltaLogWriter {
     // readChanges' cdc-priority rule represents this commit by THEM —
     // without it the same-path remove+add pair would derive a
     // whole-file delete AND a whole-file insert (double counting)
-    val newlyDeleted = matched.drop("__path", "__pos")
+    val matCols = if (ctx.rtConf.isEmpty) Seq.empty[String] else Seq(ctx.matId, ctx.matVer)
+    val newlyDeleted = matched.drop("__path", "__pos").drop(matCols: _*)
     val cdcActions = writeCdc(spark, base, next0,
-      newlyDeleted.withColumn("_change_type", lit("delete")), perFile.length)
+      toPhysical(newlyDeleted.withColumn("_change_type", lit("delete")), ctx.colMap),
+      perFile.length)
     val actions = perFile.toSeq.map { case (abs, _, card, payload) =>
       val a = byAbs.getOrElse(abs,
         throw new IllegalStateException(s"matched file $abs not in the live set"))
@@ -790,38 +1088,6 @@ object DeltaLogWriter {
     (perFile.length, perFile.map(_._2).sum)
   }
 
-  /** Partition-aware live-file scan for DML: partitioned tables read
-    * via `basePath` so hive-path partition values surface as columns
-    * (Delta keeps them OUT of the data files) and Catalyst's partition
-    * pruning still applies to the DML predicate — on a 100 TB table a
-    * `WHERE part = x` DELETE scans one partition, not the table. */
-  private def dmlScan(spark: SparkSession, base: String,
-                      live: Seq[DeltaLogReader.DeltaAdd], pcols: Seq[String]): DataFrame = {
-    val files = live.map(a => s"$base/${a.path}")
-    val version = DeltaLogReader.latestVersion(base)
-    // the LOG's schema governs the scan (like the read path): on an
-    // evolved table, pre-ADD-COLUMN files must surface the new column
-    // as NULL — a footer-sampled scan schema would silently DROP the
-    // column from every survivor the rewrite re-writes
-    val declared = DeltaLogReader.tableSchema(Some(spark), base, version)
-    if (pcols.isEmpty) {
-      declared match {
-        case Some(logical) => spark.read.schema(logical).parquet(files: _*)
-        case None          => spark.read.parquet(files: _*)
-      }
-    } else {
-      require(live.forall(a => pcols.forall(c => a.path.contains(c + "="))),
-        s"partitioned Delta table (${pcols.mkString(",")}) with non-hive " +
-          "data paths — partition values live only in the log; this " +
-          "minimal writer supports hive-style layouts only")
-      val reader = spark.read.option("basePath", base)
-      declared match {
-        case Some(logical) => reader.schema(logical).parquet(files: _*)
-        case None          => reader.parquet(files: _*)
-      }
-    }
-  }
-
   /** Copy-on-write core for DELETE/UPDATE: find the live files holding
     * predicate-matching rows (via the scan's own `_metadata.file_path`),
     * rewrite ONLY those files (survivors + post-images), and commit
@@ -834,19 +1100,15 @@ object DeltaLogWriter {
     * Returns (affectedFiles, matchedRows). */
   private def cowModify(spark: SparkSession, base: String, predicate: org.apache.spark.sql.Column,
                         op: String, post: Option[DataFrame => DataFrame]): (Int, Long) = {
-    import org.apache.spark.sql.functions.{col, regexp_replace}
-    val version = DeltaLogReader.latestVersion(base)
-    require(rowTrackingConf(spark, base, version).isEmpty,
-      s"$op (copy-on-write) on a row-tracked table is beyond this minimal " +
-        "writer — the rewrite would reassign row ids; use the DV delete " +
-        "(deleteWhereDv), which preserves them")
-    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
-    val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
-    requireNoDv(live, op)
-    val relByAbs = live.map(a =>
-      Paths.get(base).resolve(a.path).normalize.toString -> a.path).toMap
-    val scan = dmlScan(spark, base, live, pcols)
-      .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+    import org.apache.spark.sql.functions.col
+    val ctx = dmlCtx(spark, base)
+    val relByAbs = ctx.live.map(a =>
+      DeltaLogReader.scanSpelling(Paths.get(base).resolve(a.path)) -> a.path).toMap
+    // the unified scan composes every feature: DVs applied (masked rows
+    // neither match nor survive), row ids materialized (survivors and
+    // post-images carry them through the rewrite), logical names (the
+    // predicate binds the user's spelling on a mapped table)
+    val scan = dmlScanAll(spark, ctx)
     val matched = scan.filter(predicate)
     val affectedAbs = matched.select("__path").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
@@ -861,22 +1123,28 @@ object DeltaLogWriter {
     val survivors = inAffected.filter(!predicate.eqNullSafe(true)).drop("__path")
     val hit = matched.drop("__path")
     val nMatched = hit.count()
+    val next = ctx.version + 1
+    // post-images keep their row ids (the spec: _row_id is stable
+    // across UPDATE) but take this commit as their last-modified
+    // version; survivors keep both
+    def restamp(d: DataFrame) =
+      if (ctx.rtConf.isEmpty) d else d.withColumn(ctx.matVer, lit(next))
+    val matCols = if (ctx.rtConf.isEmpty) Seq.empty[String] else Seq(ctx.matId, ctx.matVer)
     val changes = post match {
       case None => hit.withColumn("_change_type", lit("delete"))
       case Some(f) => hit.withColumn("_change_type", lit("update_preimage"))
-        .unionAll(f(hit).withColumn("_change_type", lit("update_postimage")))
+        .unionAll(restamp(f(hit)).withColumn("_change_type", lit("update_postimage")))
     }
-    val newData = post.fold(survivors)(f => survivors.unionAll(f(hit)))
-    val next = version + 1
-    val cdcActions = writeCdc(spark, base, next, changes, affectedRel.size)
-    val adds =
-      if (newData.isEmpty) Nil
-      else addActions(spark, base,
-        writeData(shapeRewrite(newData, pcols, affectedRel.size), base, next, pcols))
+    val newData = post.fold(survivors)(f => survivors.unionAll(restamp(f(hit))))
+    val cdcActions = writeCdc(spark, base, next,
+      toPhysical(changes.drop(matCols: _*), ctx.colMap), affectedRel.size)
+    val (adds, domainBump) =
+      if (newData.isEmpty) (Nil, Nil)
+      else writeRewrite(spark, ctx, newData, next, affectedRel.size)
     val removes = affectedRel.map(rel =>
       s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":0,"dataChange":true}}""")
     commit(base, next,
-      s"""{"commitInfo":{"operation":"$op","timestamp":0}}""" +:
+      (s"""{"commitInfo":{"operation":"$op","timestamp":0}}""" +: domainBump) ++
         (cdcActions ++ removes ++ adds))
     (affectedRel.size, nMatched)
   }
@@ -941,45 +1209,54 @@ object DeltaLogWriter {
     * (updatedRows, insertedRows). */
   def merge(spark: SparkSession, base: String, source: DataFrame,
             keyCol: String): (Long, Long) = {
-    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
-    val version = DeltaLogReader.latestVersion(base)
-    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
-    val live = DeltaLogReader.snapshotFiles(Some(spark), base, version)
-    requireNoDv(live, "MERGE")
-    val relByAbs = live.map(a =>
-      Paths.get(base).resolve(a.path).normalize.toString -> a.path).toMap
-    val scan = dmlScan(spark, base, live, pcols)
-      .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val ctx = dmlCtx(spark, base)
+    val relByAbs = ctx.live.map(a =>
+      DeltaLogReader.scanSpelling(Paths.get(base).resolve(a.path)) -> a.path).toMap
+    val scan = dmlScanAll(spark, ctx)
     val srcKeys = broadcast(source.select(col(keyCol)).distinct())
     val matched = scan.join(srcKeys, keyCol)
     val affectedAbs = matched.select("__path").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     val affectedRel = affectedAbs.map(a => relByAbs.getOrElse(a,
       throw new IllegalStateException(s"matched file $a not in the live set")))
-    val cols = scan.drop("__path").columns.toIndexedSeq
+    val matCols = if (ctx.rtConf.isEmpty) Seq.empty[String] else Seq(ctx.matId, ctx.matVer)
+    val cols = scan.drop("__path").drop(matCols: _*).columns.toIndexedSeq
+    val next = ctx.version + 1
     val src = source.select(cols.map(col): _*)
-    val updSrc = src.join(broadcast(scan.select(col(keyCol)).distinct()), keyCol, "left_semi")
-      .select(cols.map(col): _*)
-    val insSrc = src.join(broadcast(scan.select(col(keyCol)).distinct()), keyCol, "left_anti")
-      .select(cols.map(col): _*)
+    val tableKeys = broadcast(scan.select(col(keyCol)).distinct())
+    val updSrc0 = src.join(tableKeys, keyCol, "left_semi").select(cols.map(col): _*)
+    val insSrc0 = src.join(tableKeys, keyCol, "left_anti").select(cols.map(col): _*)
+    // row tracking: a matched row's id is STABLE across the merge — the
+    // post-image (a source row) takes the target row's materialized id
+    // via the key; inserts carry NO id and fall back to the new file's
+    // fresh baseRowId range. Both take this commit as their version.
+    val (updSrc, insSrc) =
+      if (ctx.rtConf.isEmpty) (updSrc0, insSrc0)
+      else (
+        updSrc0.join(broadcast(matched.select(col(keyCol), col(ctx.matId)).distinct()), keyCol)
+          .withColumn(ctx.matVer, lit(next)),
+        insSrc0.withColumn(ctx.matId, lit(null).cast("long"))
+          .withColumn(ctx.matVer, lit(next)))
     val survivors = scan.filter(col("__path").isin(affectedAbs: _*))
-      .join(srcKeys, Seq(keyCol), "left_anti").select(cols.map(col): _*)
+      .join(srcKeys, Seq(keyCol), "left_anti").drop("__path")
     val pre = matched.select(cols.map(col): _*)
     val nUpd = pre.count()
-    val nIns = insSrc.count()
+    val nIns = insSrc0.count()
     require(nUpd + nIns > 0, "MERGE source matches nothing and inserts nothing")
     val changes = pre.withColumn("_change_type", lit("update_preimage"))
-      .unionAll(updSrc.withColumn("_change_type", lit("update_postimage")))
-      .unionAll(insSrc.withColumn("_change_type", lit("insert")))
-    val next = version + 1
-    val cdcActions = writeCdc(spark, base, next, changes, affectedRel.size + 1)
-    val newData = survivors.unionAll(updSrc).unionAll(insSrc)
-    val adds = addActions(spark, base,
-      writeData(shapeRewrite(newData, pcols, affectedRel.size + 1), base, next, pcols))
+      .unionAll(updSrc0.withColumn("_change_type", lit("update_postimage")))
+      .unionAll(insSrc0.withColumn("_change_type", lit("insert")))
+    val cdcActions = writeCdc(spark, base, next,
+      toPhysical(changes, ctx.colMap), affectedRel.size + 1)
+    val newData = survivors.unionByName(updSrc, allowMissingColumns = false)
+      .unionByName(insSrc, allowMissingColumns = false)
+    val (adds, domainBump) =
+      writeRewrite(spark, ctx, newData, next, affectedRel.size + 1)
     val removes = affectedRel.map(rel =>
       s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":0,"dataChange":true}}""")
     commit(base, next,
-      s"""{"commitInfo":{"operation":"MERGE","timestamp":0}}""" +:
+      (s"""{"commitInfo":{"operation":"MERGE","timestamp":0}}""" +: domainBump) ++
         (cdcActions ++ removes ++ adds))
     (nUpd, nIns)
   }
@@ -996,12 +1273,16 @@ object DeltaLogWriter {
     require(toVersion < current, s"restore target $toVersion is not before $current")
     val want = DeltaLogReader.snapshotFiles(Some(spark), base, toVersion)
     val have = DeltaLogReader.snapshotFiles(Some(spark), base, current)
-    requireNoDv(want ++ have, "RESTORE")
-    val wantP = want.map(_.path).toSet
-    val haveP = have.map(_.path).toSet
-    val removes = have.filterNot(a => wantP.contains(a.path)).map(a =>
+    // restore compares (path, DV identity), not just paths: the same
+    // file under a DIFFERENT deletion vector is a different live entry
+    // (a DV delete between the versions must be reverted by re-adding
+    // the file with its OLD descriptor — or none)
+    def key(a: DeltaLogReader.DeltaAdd) = (a.path, a.dv.map(_.pathOrInlineDv))
+    val wantK = want.map(key).toSet
+    val haveK = have.map(key).toSet
+    val removes = have.filterNot(a => wantK.contains(key(a))).map(a =>
       s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":true}}""")
-    val adds = want.filterNot(a => haveP.contains(a.path)).map { a =>
+    val adds = want.filterNot(a => haveK.contains(key(a))).map { a =>
       // row-tracked files restore WITH their original ids (the old
       // log's add carried them; re-adding id-less would shift rows)
       val rt = (a.baseRowId, a.defaultRowCommitVersion) match {
@@ -1009,8 +1290,18 @@ object DeltaLogWriter {
           s""""baseRowId":$b,"defaultRowCommitVersion":$dv0,"""
         case _ => ""
       }
+      // the target version's DV rides the re-add — DV sidecars stay on
+      // disk (vacuum never touches them), so the restore is metadata-only
+      val dv = a.dv.map(d =>
+        s""""deletionVector":{"storageType":"${esc(d.storageType)}",""" +
+          s""""pathOrInlineDv":"${esc(d.pathOrInlineDv)}","offset":${d.offset},""" +
+          s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}},""").getOrElse("")
+      // stats ride the re-add when the old entry carried them (data
+      // skipping survives the restore); checkpoint-seeded entries
+      // without counts re-add bare, as before
+      val stats = if (a.numRecords < 0) "" else s""","stats":"${statsJsonOf(a)}""""
       s"""{"add":{"path":"${esc(a.path)}","partitionValues":${partitionValuesOf(a.path)},""" +
-        s""""size":${a.size},"modificationTime":0,$rt"dataChange":true}}"""
+        s""""size":${a.size},"modificationTime":0,$rt$dv"dataChange":true$stats}}"""
     }
     commit(base, current + 1,
       s"""{"commitInfo":{"operation":"RESTORE","readVersion":$toVersion,"timestamp":0}}""" +:

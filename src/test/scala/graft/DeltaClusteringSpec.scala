@@ -64,15 +64,21 @@ class DeltaClusteringSpec extends SparkSpec {
     assert(got == df.filter(col("x").between(0, 7)).count())
   }
 
-  test("guards: 2 columns exactly, no partition mix, no DV tables") {
-    val base = mkBase("cl_guard")
-    val e = intercept[IllegalArgumentException](
-      DeltaLogWriter.createClustered(spark, plane(10), base, "cl", Seq("x")))
-    assert(e.getMessage.contains("2 clustering columns"))
+  test("clustered OPTIMIZE composes with deletion vectors (masks materialize)") {
+    val base = mkBase("cl_dv")
     DeltaLogWriter.createClustered(spark, plane(100), base, "cl", Seq("x", "y"))
+    val sumBefore = DeltaLogReader.read(spark, base)
+      .filter(!(col("x") === 1)).agg(sum(col("id"))).head().getLong(0)
     DeltaLogWriter.deleteWhereDv(spark, base, col("x") === 1)
-    val e2 = intercept[IllegalArgumentException](
-      DeltaLogWriter.optimizeClustered(spark, base))
-    assert(e2.getMessage.toLowerCase.contains("optimize"))
+    // the z-order rewrite APPLIES the live masks — masked rows must not
+    // resurrect — and the packed files carry no descriptors
+    val (before, after) = DeltaLogWriter.optimizeClustered(spark, base)
+    assert(before >= 1 && after >= 1)
+    val v = DeltaLogReader.latestVersion(base)
+    assert(DeltaLogReader.snapshotFiles(Some(spark), base, v).forall(_.dv.isEmpty),
+      "clustered OPTIMIZE carried DV descriptors into the packed files")
+    assert(DeltaLogReader.read(spark, base, v)
+      .agg(sum(col("id"))).head().getLong(0) == sumBefore,
+      "masked rows resurrected (or survivors lost) across the z-order rewrite")
   }
 }

@@ -712,10 +712,6 @@ class DeltaLogSpec extends SparkSpec {
     // a DV no-op predicate commits nothing
     assert(graft.sources.DeltaLogWriter.deleteWhereDv(spark, base, col("id") > 99) == ((0, 0L)))
     assert(DeltaLogReader.latestVersion(base) == 2L)
-    // rewrite ops refuse DV tables instead of resurrecting masked rows
-    intercept[IllegalArgumentException](graft.sources.DeltaLogWriter.optimize(spark, base))
-    intercept[IllegalArgumentException](
-      graft.sources.DeltaLogWriter.deleteWhere(spark, base, col("id") === 9))
     // CDF: each DV commit is represented by its _change_data deletes —
     // NOT by the same-path remove+add pair (which would double-count)
     val cdf = DeltaLogReader.readChanges(spark, base, 1L, 2L)
@@ -727,12 +723,24 @@ class DeltaLogSpec extends SparkSpec {
     val proto = java.nio.file.Files.readString(
       Paths.get(base, "_delta_log", f"${1L}%020d.json"))
     assert(proto.contains("\"readerFeatures\":[\"deletionVectors\"]"))
+    // rewrite ops now COMPOSE with DVs instead of refusing: a CoW
+    // DELETE applies the live masks during the rewrite (masked rows
+    // must NOT resurrect) and the rewritten files drop their descriptors
+    assert(graft.sources.DeltaLogWriter.deleteWhere(spark, base, col("id") === 9L)._2 == 1L)
+    assert(DeltaLogReader.read(spark, base, 3L).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(6L, 7L, 8L, 10L))
+    // OPTIMIZE packs the live set, materializing any remaining masks —
+    // no descriptor survives the rewrite, content identical
+    graft.sources.DeltaLogWriter.optimize(spark, base)
+    assert(DeltaLogReader.snapshotFiles(Some(spark), base,
+      DeltaLogReader.latestVersion(base)).forall(_.dv.isEmpty),
+      "OPTIMIZE carried DV descriptors into the packed files")
     // checkpoints FOLD the DV descriptors: a read seeded from the
     // checkpoint still applies the masks after the log is expired
     graft.sources.DeltaLogWriter.checkpoint(spark, base)
     graft.sources.DeltaLogWriter.expireLog(base)
     assert(DeltaLogReader.read(spark, base).select("id")
-      .collect().map(_.getLong(0)).sorted.toSeq == (6L to 10L))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(6L, 7L, 8L, 10L))
   }
 
   test("schema evolution composes with partitions and DML (survivors keep the new column)") {

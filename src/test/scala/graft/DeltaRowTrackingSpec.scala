@@ -109,15 +109,41 @@ class DeltaRowTrackingSpec extends SparkSpec {
     }
   }
 
-  test("CoW rewrites refuse row-tracked tables rather than reassign ids") {
-    val base = mkBase("rt_guard")
-    DeltaLogWriter.createRowTracked(spark, sorted(5), base, "rt")
-    val e = intercept[IllegalArgumentException](
-      DeltaLogWriter.deleteWhere(spark, base, col("id") === 1))
-    assert(e.getMessage.contains("row-tracked"))
-    val e2 = intercept[IllegalArgumentException](
-      DeltaLogWriter.update(spark, base, col("id") === 1,
-        df => df.withColumn("id", lit(9L))))
-    assert(e2.getMessage.contains("row-tracked"))
+  test("CoW DELETE/UPDATE/MERGE preserve row ids (materialized through the rewrite)") {
+    val base = mkBase("rt_cow")
+    DeltaLogWriter.createRowTracked(spark, sorted(10), base, "rt")
+    def idsAt(v: Long) = DeltaLogReader.readRowIds(spark, base, v)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("_row_id"), r.getAs[Long]("_row_commit_version"))).toMap
+    val birth = idsAt(0L) // id i → row id i (sorted single-file batch)
+    assert(birth(3L) == ((3L, 0L)))
+    // CoW DELETE (v1): survivors keep their BIRTH ids and versions —
+    // the rewrite materializes them before the shuffle scrambles
+    // positions; the matched row's id retires with it
+    assert(DeltaLogWriter.deleteWhere(spark, base, col("id") === 1L)._2 == 1L)
+    val afterDel = idsAt(1L)
+    assert(!afterDel.contains(1L))
+    assert(afterDel.forall { case (k, v) => birth(k) == v },
+      s"DELETE shifted survivor ids: $afterDel vs $birth")
+    // CoW UPDATE (v2): the post-image KEEPS its row id (the spec:
+    // _row_id is stable across UPDATE) and takes v2 as its commit
+    DeltaLogWriter.update(spark, base, col("id") === 3L,
+      df => df.withColumn("id", col("id") + 100L))
+    val afterUpd = idsAt(2L)
+    assert(afterUpd(103L) == ((3L, 2L)), s"UPDATE lost the row id: ${afterUpd.get(103L)}")
+    assert(afterUpd.removed(103L).forall { case (k, v) => birth(k) == v })
+    // MERGE (v3): matched rows keep their ids via the key; the insert
+    // falls into the new file's FRESH range (above the high-water mark)
+    val src = spark.createDataFrame(Seq(Tuple1(4L), Tuple1(200L))).toDF("id")
+    DeltaLogWriter.merge(spark, base, src, "id")
+    val afterMerge = idsAt(3L)
+    assert(afterMerge(4L) == ((4L, 3L)), s"MERGE lost the matched id: ${afterMerge.get(4L)}")
+    val hwmBefore = 9L // create assigned 0..9
+    assert(afterMerge(200L)._1 > hwmBefore,
+      s"insert did not take a fresh id: ${afterMerge(200L)}")
+    assert(afterMerge(200L)._2 == 3L)
+    // ids never collide across the whole history
+    val all = afterMerge.values.map(_._1).toSeq
+    assert(all.distinct.size == all.size, s"row-id collision: $afterMerge")
   }
 }
