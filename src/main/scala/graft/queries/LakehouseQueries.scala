@@ -617,6 +617,58 @@ object LakehouseQueries extends QueryGroup {
       (versions :+ byPart).reduce(_ unionAll _).orderBy("phase", "pri")
     }),
 
+    // ---- Delta FEATURE COMPOSITION: every modern feature ON together ------
+    // A real production Delta table ships with hive partitioning +
+    // liquid clustering + column mapping + row tracking + deletion
+    // vectors simultaneously — and the whole DML surface must work on
+    // it, not refuse pairwise. Fixture: createComposed (v0, all four
+    // creation features), DV DELETE (v1 — logical-name predicate over
+    // physical files), CoW UPDATE over the DV-carrying partition (v2 —
+    // masks merged into the rewrite, row ids materialized through it),
+    // MERGE with updates + a brand-new partition (v3), clustered
+    // OPTIMIZE (v4 — z-order WITHIN partitions, ids preserved,
+    // dataChange=false), RESTORE to v2 (v5 — re-adds carry their DV
+    // descriptors), RENAME COLUMN cents→pennies (v6 — metadata-only).
+    // Census: time travel across all six versions plus the final
+    // per-partition breakdown under the RENAMED column. The oracle
+    // replays every phase from `orders`; row-id stability is pinned in
+    // DeltaComposedSpec (not SQL-expressible).
+    "q_delta_composed" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_composed"
+      val W = graft.sources.DeltaLogWriter
+      val o = iceOrders(s, d)
+      W.createComposed(s, o.repartition(2), base, "graft-orders-composed",
+        partitionBy = Seq("o_orderpriority"),
+        clusterCols = Seq("o_orderkey", "cents"),
+        columnMapped = true, rowTracked = true,
+        statsFor = Seq("o_orderkey"))
+      W.deleteWhereDv(s, base, pmod(col("o_orderkey"), lit(10)) === 3)
+      W.update(s, base,
+        col("o_orderpriority") === "2-HIGH" && pmod(col("o_orderkey"), lit(10)) === 4,
+        df => df.withColumn("cents", col("cents") + 11))
+      val source = o.filter(pmod(col("o_orderkey"), lit(10)) === 5)
+        .withColumn("cents", col("cents") + 7)
+        .unionAll(o.filter(col("o_orderpriority") === "5-LOW" &&
+            pmod(col("o_orderkey"), lit(7)) === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("9-SYNTH").as("o_orderpriority"), lit(1234L).as("cents")))
+      W.merge(s, base, source, "o_orderkey")
+      W.optimizeClustered(s, base)
+      W.restore(s, base, 2L)
+      W.renameColumn(s, base, "cents", "pennies")
+      val versions = (0L to 5L).map { v =>
+        graft.sources.DeltaLogReader.read(s, base, v).agg(
+          count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(v).as("phase"), lit("*").as("pri"),
+            col("n_rows"), col("total_cents"))
+      }
+      val renamed = graft.sources.DeltaLogReader.read(s, base, 6L)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("pennies")).as("total_cents"))
+        .select(lit(6L).as("phase"), col("pri"), col("n_rows"), col("total_cents"))
+      (versions :+ renamed).reduce(_ unionAll _).orderBy("phase", "pri")
+    }),
+
     // ---- Delta checkpoint write + log expiry -----------------------------
     // The replay-bounding half of the spec: after v0+v1, `checkpoint`
     // emits <v1>.checkpoint.parquet + _last_checkpoint, `expireLog`
@@ -1378,6 +1430,50 @@ object LakehouseQueries extends QueryGroup {
     // plain append of a synthetic slice (snap 4 — the carried delete
     // files must survive an append, the silent-resurrection class
     // ADVICE r10 flagged). Census reads every snapshot via time travel.
+    // ---- Iceberg SCHEMA EVOLUTION (field-id projection) --------------------
+    // Columns are FIELD IDS; names are per-schema labels — so RENAME is
+    // a metadata-only commit (zero data bytes move; a name-bound reader
+    // would mis-read every old file), ADD COLUMN surfaces as typed NULL
+    // in files that predate it, and DROP retires the id without a
+    // rewrite. Fixture: create (schema-0 bootstrapped from footers,
+    // snapshot 1), RENAME cents→pennies, append batch A under the new
+    // name (snapshot 2), ADD COLUMN tier, append batch B carrying it
+    // (snapshot 3), census every era — time travel reads old snapshots
+    // through the CURRENT schema (Spark's own time-travel semantics) —
+    // then DROP tier and census again (the column vanishes, nothing
+    // rewritten). Phase plans are captured EAGERLY between ops, so each
+    // phase grades the schema in force when it was built.
+    "q_iceberg_schema_evolution" -> ((s, d) => {
+      val base = iceBase(d, "evolve")
+      val W = graft.sources.IcebergWriter
+      val R = graft.sources.IcebergReader
+      val o = iceOrders(s, d)
+      W.create(s, o.repartition(2), base)
+      W.evolveRenameColumn(s, base, "cents", "pennies")
+      W.append(s, o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+          col("o_orderpriority"), (col("cents") + 5).as("pennies")).coalesce(1), base)
+      W.evolveAddColumn(s, base, "tier", "string")
+      W.append(s, o.filter(pmod(col("o_orderkey"), lit(10)) === 1)
+        .select((col("o_orderkey") + 300000000L).as("o_orderkey"),
+          col("o_orderpriority"), (col("cents") + 9).as("pennies"),
+          lit("gold").as("tier")).coalesce(1), base)
+      def census(phase: Long, snap: Long, tierCol: Option[String]) =
+        R.read(s, base, snap).agg(
+          count(lit(1)).as("n_rows"), sum(col("pennies")).as("total_pennies"),
+          tierCol.map(t => count(col(t)).cast("long")).getOrElse(lit(-1L)).as("n_tier"))
+          .select(lit(phase).as("phase"), col("n_rows"),
+            col("total_pennies"), col("n_tier"))
+      // eras through the post-add schema (tier visible, NULL before B)
+      val p1 = census(1L, 1L, Some("tier"))
+      val p2 = census(2L, 2L, Some("tier"))
+      val p3 = census(3L, 3L, Some("tier"))
+      // DROP COLUMN: metadata-only; the final census no longer sees it
+      W.evolveDropColumn(s, base, "tier")
+      val p4 = census(4L, 3L, None)
+      Seq(p1, p2, p3, p4).reduce(_ unionAll _).orderBy("phase")
+    }),
+
     "q_iceberg_eq_dml" -> ((s, d) => {
       import graft.sources.{IcebergReader, IcebergWriter}
       val base = iceBase(d, "orders_eqdml")
@@ -2473,6 +2569,30 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 2, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v2 " +
         "UNION ALL SELECT 3, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v3 " +
         "UNION ALL SELECT 4, pri, count(*), CAST(sum(cents) AS BIGINT) FROM v3 GROUP BY pri " +
+        "ORDER BY phase, pri"),
+    "q_iceberg_schema_evolution" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "a AS (SELECT k + 200000000 AS k, cents + 5 AS cents FROM o WHERE k % 10 = 0), " +
+        "b AS (SELECT k + 300000000 AS k, cents + 9 AS cents FROM o WHERE k % 10 = 1) " +
+        "SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_pennies, CAST(0 AS BIGINT) AS n_tier FROM o " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT), 0 FROM (SELECT * FROM o UNION ALL SELECT * FROM a) " +
+        "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT), (SELECT count(*) FROM b) FROM (SELECT * FROM o UNION ALL SELECT * FROM a UNION ALL SELECT * FROM b) " +
+        "UNION ALL SELECT 4, count(*), CAST(sum(cents) AS BIGINT), -1 FROM (SELECT * FROM o UNION ALL SELECT * FROM a UNION ALL SELECT * FROM b) " +
+        "ORDER BY phase"),
+    "q_delta_composed" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "v1 AS (SELECT * FROM o WHERE k % 10 <> 3), " +
+        "v2 AS (SELECT k, pri, CASE WHEN pri = '2-HIGH' AND k % 10 = 4 THEN cents + 11 ELSE cents END AS cents FROM v1), " +
+        "src AS (SELECT k, pri, cents + 7 AS cents FROM o WHERE k % 10 = 5 " +
+        "UNION ALL SELECT k + 100000000, '9-SYNTH', 1234 FROM o WHERE pri = '5-LOW' AND k % 7 = 0), " +
+        "v3 AS (SELECT * FROM v2 WHERE k NOT IN (SELECT k FROM src) UNION ALL SELECT * FROM src) " +
+        "SELECT CAST(0 AS BIGINT) AS phase, '*' AS pri, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 1, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v1 " +
+        "UNION ALL SELECT 2, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v2 " +
+        "UNION ALL SELECT 3, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v3 " +
+        "UNION ALL SELECT 4, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v3 " +
+        "UNION ALL SELECT 5, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v2 " +
+        "UNION ALL SELECT 6, pri, count(*), CAST(sum(cents) AS BIGINT) FROM v2 GROUP BY pri " +
         "ORDER BY phase, pri"),
     "q_iceberg_eq_dml" ->
       ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +

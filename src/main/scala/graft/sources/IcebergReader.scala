@@ -110,8 +110,13 @@ object IcebergReader {
   /** Split the metadata's top-level `"snapshots":[...]` array into its
     * balanced JSON objects (field order inside each is free — external
     * writers put `sequence-number` wherever they like). */
-  private def snapshotObjects(json: String): Seq[String] = {
-    val i = json.indexOf("\"snapshots\"")
+  private def snapshotObjects(json: String): Seq[String] =
+    arrayObjects(json, "snapshots")
+
+  /** Split a named top-level `"key":[{...},{...}]` array into its
+    * balanced JSON objects. */
+  private[sources] def arrayObjects(json: String, key: String): Seq[String] = {
+    val i = json.indexOf("\"" + key + "\"")
     if (i < 0) return Nil
     var j = json.indexOf('[', i)
     require(j >= 0, "malformed snapshots array")
@@ -148,6 +153,80 @@ object IcebergReader {
         DeltaLogReader.longField(o, "sequence-number").getOrElse(i + 1L),
         i)
     }.sortBy(s => (s.seq, s.idx))
+
+  // ---- SCHEMA EVOLUTION (field-id-based projection) ------------------------
+  // The spec's `schemas` list + `current-schema-id`: every column is a
+  // FIELD ID; names are per-schema labels. Files written under an old
+  // schema read through the CURRENT one by id — renames are
+  // metadata-only, added columns surface as NULL in old files, dropped
+  // columns vanish without a rewrite.
+
+  final case class IceField(id: Int, name: String, tpe: String)
+  final case class IceSchema(schemaId: Int, fields: Seq[IceField])
+
+  /** (current-schema-id, declared schemas) of metadata version `v` —
+    * (None, Nil) for legacy tables that track no schema. */
+  def schemas(base: String, v: Int): (Option[Int], Seq[IceSchema]) = {
+    val json = metadataJson(base, v)
+    val cur = DeltaLogReader.longField(json, "current-schema-id").map(_.toInt)
+    val fieldRe = ("""\{"id":(\d+),"name":"([^"]+)","required":(?:true|false),""" +
+      """"type":"([^"]+)"\}""").r
+    val all = arrayObjects(json, "schemas").map { o =>
+      IceSchema(
+        DeltaLogReader.longField(o, "schema-id").map(_.toInt).getOrElse(0),
+        fieldRe.findAllMatchIn(o).map(m =>
+          IceField(m.group(1).toInt, m.group(2), m.group(3))).toSeq)
+    }
+    (cur, all)
+  }
+
+  private def sparkTypeOf(t: String): String = t match {
+    case "int"       => "int"
+    case "long"      => "long"
+    case "float"     => "float"
+    case "double"    => "double"
+    case "string"    => "string"
+    case "boolean"   => "boolean"
+    case "date"      => "date"
+    case "timestamp" => "timestamp"
+    case other => throw new IllegalArgumentException(
+      s"iceberg type $other beyond this minimal reader's evolution support")
+  }
+
+  /** The CURRENT schema's projection over a (merged) raw scan: each
+    * field resolves BY ID through its historical names (a renamed
+    * column's old files carry the old name; coalesce binds whichever
+    * spelling a file has), added fields missing everywhere surface as
+    * typed NULL, dropped fields are simply not selected. None when the
+    * table tracks no schemas (legacy — name-based read unchanged). */
+  private def schemaProjection(base: String, v: Int,
+                               rawCols: Seq[String]): Option[Seq[Column]] = {
+    val (curOpt, all) = schemas(base, v)
+    curOpt.map { cid =>
+      val cur = all.find(_.schemaId == cid).getOrElse(throw new IllegalStateException(
+        s"current-schema-id $cid not in ${base}'s schemas list"))
+      // ambiguity guard: a name that ever labeled TWO different field
+      // ids cannot be resolved from a merged scan (the writer refuses
+      // to create such reuse; externally-written reuse fails loudly)
+      val idsOfName = all.flatMap(_.fields).map(f => f.name -> f.id).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      cur.fields.map { f =>
+        val names = all.sortBy(-_.schemaId).flatMap(_.fields.collect {
+          case g if g.id == f.id => g.name
+        }).distinct
+        val usable = names.filter(n => idsOfName(n) == Seq(f.id))
+        require(usable.nonEmpty || names.nonEmpty,
+          s"field ${f.id} (${f.name}) has no resolvable historical name")
+        val present = usable.filter(rawCols.contains)
+        val c =
+          if (present.isEmpty) lit(null).cast(sparkTypeOf(f.tpe))
+          else if (present.size == 1) col(present.head).cast(sparkTypeOf(f.tpe))
+          else org.apache.spark.sql.functions
+            .coalesce(present.map(col): _*).cast(sparkTypeOf(f.tpe))
+        c.as(f.name)
+      }
+    }
+  }
 
   /** The table's declared format-version at metadata version `v`
     * (1 when absent). Writers must THREAD this through every metadata
@@ -424,12 +503,33 @@ object IcebergReader {
   private def readScan(spark: SparkSession, base: String, snapshotId: Long,
                        scan: SnapshotScan): DataFrame = {
     require(scan.dataFiles.nonEmpty, s"empty snapshot $snapshotId of $base")
-    val raw = spark.read.parquet(scan.dataFiles.map(_._1): _*)
-      .drop(LineageCols: _*)
-    val cols = raw.columns.map(col)
-    if (scan.posDeleteFiles.isEmpty && scan.eqDeleteFiles.isEmpty && scan.dvs.isEmpty)
-      return raw
-    scanWithPositions(spark, scan).select(cols.toIndexedSeq: _*)
+    val v = currentMetadataVersion(base)
+    val hasDels = scan.posDeleteFiles.nonEmpty || scan.eqDeleteFiles.nonEmpty ||
+      scan.dvs.nonEmpty
+    // evolution-tracking tables read MERGED (files written under
+    // different schemas carry different column sets) and project the
+    // CURRENT schema by field id; legacy tables keep the plain read —
+    // and skip the all-footers merge pass entirely
+    val tracksSchemas = schemas(base, v)._1.isDefined
+    val mergedCols =
+      if (!tracksSchemas) Seq.empty[String]
+      else spark.read.option("mergeSchema", "true")
+        .parquet(scan.dataFiles.map(_._1): _*).columns.toSeq
+    (if (tracksSchemas) schemaProjection(base, v, mergedCols) else None) match {
+      case Some(proj) =>
+        val stamped = spark.read.option("mergeSchema", "true")
+          .parquet(scan.dataFiles.map(_._1): _*)
+          .withColumn("__path", normPath(col("_metadata.file_path")))
+          .withColumn("__pos", col("_metadata.row_index"))
+        val masked = if (hasDels) applyDeletes(spark, scan, stamped) else stamped
+        masked.select(proj: _*)
+      case None =>
+        val raw = spark.read.parquet(scan.dataFiles.map(_._1): _*)
+          .drop(LineageCols: _*)
+        val cols = raw.columns.map(col)
+        if (!hasDels) raw
+        else scanWithPositions(spark, scan).select(cols.toIndexedSeq: _*)
+    }
   }
 
   /** Snapshot read (explicit id = time travel), position deletes applied. */

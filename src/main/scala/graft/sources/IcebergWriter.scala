@@ -255,7 +255,16 @@ object IcebergWriter {
                         formatVersion: Int = 1,
                         firstRowIds: Map[Long, Long] = Map.empty,
                         nextRowId: Option[Long] = None,
-                        statistics: Seq[(Long, String)] = Nil): Unit = {
+                        statistics: Seq[(Long, String)] = Nil,
+                        schemasJson: Option[String] = None): Unit = {
+    // SCHEMA TRACKING is carried like refs and statistics: unless the
+    // caller rewrites it (the evolve ops), the previous version's
+    // schemas + current-schema-id re-emit verbatim — a metadata rewrite
+    // that dropped them would sever every field-id binding
+    val schemasFrag = schemasJson.getOrElse(
+      if (v > 1 && Files.exists(Paths.get(base, "metadata", s"v${v - 1}.metadata.json")))
+        carriedSchemasFragment(base, v - 1)
+      else "")
     val ss = snaps.map { i =>
       val fr = firstRowIds.get(i).map(f => s""""first-row-id":$f,""").getOrElse("")
       s"""{"snapshot-id":$i,$fr"timestamp-ms":0,"manifest-list":"metadata/snap-$i.avro"}"""
@@ -273,10 +282,132 @@ object IcebergWriter {
         s""""$n":{"snapshot-id":$id,"type":"$t"}"""
       }.mkString(""","refs":{""", ",", "}")
     Files.writeString(Paths.get(base, "metadata", s"v$v.metadata.json"),
-      s"""{"format-version":$formatVersion,"table-uuid":"graft-export","location":"$base",""" +
+      s"""{"format-version":$formatVersion,"table-uuid":"graft-export","location":"$base"$schemasFrag,""" +
         s""""current-snapshot-id":$current,"snapshots":[${ss.mkString(",")}]$nri$statsJson$refsJson}""")
     Files.writeString(Paths.get(base, "metadata", "version-hint.text"), v.toString)
   }
+
+  // ---- SCHEMA EVOLUTION (metadata-only column ops) --------------------------
+
+  /** Re-emittable `,"schemas":[...],"current-schema-id":N` fragment. */
+  private def schemasFragment(cur: Int, all: Seq[IcebergReader.IceSchema]): String = {
+    val arr = all.sortBy(_.schemaId).map { s =>
+      val fs = s.fields.map(f =>
+        s"""{"id":${f.id},"name":"${f.name}","required":false,"type":"${f.tpe}"}""")
+        .mkString("[", ",", "]")
+      s"""{"type":"struct","schema-id":${s.schemaId},"fields":$fs}"""
+    }.mkString("[", ",", "]")
+    s""","schemas":$arr,"current-schema-id":$cur"""
+  }
+
+  private def carriedSchemasFragment(base: String, v: Int): String =
+    IcebergReader.schemas(base, v) match {
+      case (Some(cur), all) => schemasFragment(cur, all)
+      case _                => ""
+    }
+
+  private def iceTypeOf(t: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    t match {
+      case IntegerType   => "int"
+      case LongType      => "long"
+      case FloatType     => "float"
+      case DoubleType    => "double"
+      case StringType    => "string"
+      case BooleanType   => "boolean"
+      case DateType      => "date"
+      case _: TimestampType => "timestamp"
+      case other => throw new IllegalArgumentException(
+        s"column type $other beyond this minimal writer's evolution support")
+    }
+  }
+
+  /** The table's schema history, BOOTSTRAPPED from the current data
+    * footers when the metadata tracks none yet (schema-0: field ids by
+    * column order — the assignment this writer has always implied). */
+  private def currentSchemas(spark: SparkSession, base: String,
+                             v: Int): (Int, Seq[IcebergReader.IceSchema]) =
+    IcebergReader.schemas(base, v) match {
+      case (Some(cur), all) => (cur, all)
+      case _ =>
+        val scan = IcebergReader.planSnapshot(spark, base,
+          IcebergReader.currentSnapshotId(base, v))
+        require(scan.dataFiles.nonEmpty, s"cannot bootstrap a schema for empty $base")
+        val st = spark.read.option("mergeSchema", "true")
+          .parquet(scan.dataFiles.map(_._1): _*).schema
+        (0, Seq(IcebergReader.IceSchema(0, st.fields.toSeq.zipWithIndex.map {
+          case (f, i) => IcebergReader.IceField(i + 1, f.name, iceTypeOf(f.dataType))
+        })))
+    }
+
+  /** Commit a NEW schema (metadata-only — zero data bytes move): the
+    * edited field list joins the `schemas` history under a fresh
+    * schema-id and becomes current. Snapshots, refs, row lineage and
+    * statistics carry through untouched. */
+  private def commitSchema(spark: SparkSession, base: String,
+                           edit: Seq[IcebergReader.IceField] => Seq[IcebergReader.IceField])
+  : Unit = {
+    val v = IcebergReader.currentMetadataVersion(base)
+    val (cur, all) = currentSchemas(spark, base, v)
+    val curFields = all.find(_.schemaId == cur).get.fields
+    val newFields = edit(curFields)
+    // ambiguity guard: a name may only ever label ONE field id across
+    // the whole history — the merged-scan coalesce resolution (and any
+    // name-mapping external reader) depends on it
+    val history = all.flatMap(_.fields).map(f => f.name -> f.id).distinct
+    newFields.foreach { f =>
+      val clash = history.filter(h => h._1 == f.name && h._2 != f.id)
+      require(clash.isEmpty,
+        s"column name ${f.name} already labeled field id ${clash.head._2} — " +
+          "reusing a historical name for a different field would make old " +
+          "files unreadable by name resolution")
+    }
+    val newId = all.map(_.schemaId).max + 1
+    val fv = IcebergReader.formatVersion(base, v)
+    writeMeta(base, v + 1,
+      current = IcebergReader.currentSnapshotId(base, v),
+      snaps = IcebergReader.snapshots(base, v).map(_.id).sorted,
+      refs = IcebergReader.refs(base, v),
+      formatVersion = fv,
+      firstRowIds = if (fv == 3) IcebergReader.snapshotFirstRowIds(base, v) else Map.empty,
+      nextRowId = if (fv == 3) IcebergReader.nextRowId(base, v) else None,
+      statistics = carriedStats(base, v),
+      schemasJson = Some(schemasFragment(newId,
+        all :+ IcebergReader.IceSchema(newId, newFields))))
+  }
+
+  /** ALTER TABLE ADD COLUMN — metadata-only; old files surface the new
+    * column as typed NULL through the field-id projection. */
+  def evolveAddColumn(spark: SparkSession, base: String,
+                      name: String, icebergType: String): Unit =
+    commitSchema(spark, base, { fields =>
+      require(!fields.exists(_.name == name), s"column $name already exists")
+      val nextId = IcebergReader.schemas(base,
+        IcebergReader.currentMetadataVersion(base)) match {
+        case (Some(_), all) => all.flatMap(_.fields).map(_.id).max + 1
+        case _              => fields.map(_.id).max + 1
+      }
+      fields :+ IcebergReader.IceField(nextId, name, icebergType)
+    })
+
+  /** ALTER TABLE RENAME COLUMN — metadata-only; the field id stays, so
+    * files written under EITHER name read through the current one. */
+  def evolveRenameColumn(spark: SparkSession, base: String,
+                         from: String, to: String): Unit =
+    commitSchema(spark, base, { fields =>
+      require(fields.exists(_.name == from), s"no column $from to rename")
+      require(!fields.exists(_.name == to), s"column $to already exists")
+      fields.map(f => if (f.name == from) f.copy(name = to) else f)
+    })
+
+  /** ALTER TABLE DROP COLUMN — metadata-only; the field id retires (it
+    * is never reused), data files keep the bytes until a rewrite. */
+  def evolveDropColumn(spark: SparkSession, base: String, name: String): Unit =
+    commitSchema(spark, base, { fields =>
+      require(fields.exists(_.name == name), s"no column $name to drop")
+      require(fields.size > 1, "cannot drop the last column")
+      fields.filterNot(_.name == name)
+    })
 
   /** The statistics list every metadata rewrite must CARRY (like refs):
     * a commit that drops it silently severs registered table stats. */

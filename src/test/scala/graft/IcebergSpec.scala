@@ -423,6 +423,47 @@ class IcebergSpec extends SparkSpec {
     assert(ks(1L) == (1L to 10L))
   }
 
+  test("schema evolution: rename/add/drop are metadata-only, field-id projection reads all eras") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.sources.IcebergWriter
+    val base = "/tmp/graft_iceberg_test/evolve"
+    val df = spark.createDataFrame((1L to 10L).map(i => (i, i * 2L))).toDF("k", "v")
+      .coalesce(1)
+    IcebergWriter.create(spark, df, base)
+    val files1 = IcebergReader.planSnapshot(spark, base, 1L).dataFiles.map(_._1).toSet
+    // RENAME: metadata-only — the data file set is byte-identical
+    IcebergWriter.evolveRenameColumn(spark, base, "v", "w")
+    assert(IcebergReader.planSnapshot(spark, base, 1L).dataFiles.map(_._1).toSet == files1)
+    val r1 = IcebergReader.read(spark, base)
+    assert(r1.columns.toSeq == Seq("k", "w"))
+    assert(r1.select("w").collect().map(_.getLong(0)).sorted.toSeq == (2L to 20L by 2L))
+    // ADD COLUMN: old files surface typed NULL; an append carries it
+    IcebergWriter.evolveAddColumn(spark, base, "tag", "string")
+    IcebergWriter.append(spark, spark.createDataFrame(Seq((11L, 22L, "x")))
+      .toDF("k", "w", "tag").coalesce(1), base)
+    val r2 = IcebergReader.read(spark, base)
+    assert(r2.columns.toSeq == Seq("k", "w", "tag"))
+    assert(r2.filter(col("tag").isNull).count() == 10L)
+    assert(r2.filter(col("tag") === "x").select("k").head().getLong(0) == 11L)
+    // old-name files still read through the CURRENT name by field id
+    assert(r2.select("w").collect().map(_.getLong(0)).sorted.toSeq ==
+      ((2L to 20L by 2L) :+ 22L).sorted)
+    // name-reuse across DIFFERENT field ids is refused (the resolution
+    // ambiguity guard)
+    IcebergWriter.evolveDropColumn(spark, base, "tag")
+    intercept[IllegalArgumentException](
+      IcebergWriter.evolveAddColumn(spark, base, "v", "long"))
+    // DROP: the column vanishes with zero rewrite; re-adding the SAME
+    // name is also refused (it would need a fresh id under an old name)
+    val r3 = IcebergReader.read(spark, base)
+    assert(r3.columns.toSeq == Seq("k", "w"))
+    assert(r3.count() == 11L)
+    // DML composes: a position DELETE binds the CURRENT names
+    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      base, "metadata", s"v${IcebergReader.currentMetadataVersion(base)}.metadata.json"))
+    assert(meta.contains("\"schemas\"") && meta.contains("\"current-schema-id\""), meta)
+  }
+
   test("wide position DELETE stages in parallel: >1 delete file on a multi-file table") {
     import org.apache.spark.sql.functions.col
     import graft.sources.IcebergWriter
