@@ -498,6 +498,34 @@ object LakehouseQueries extends QueryGroup {
         .orderBy("version", "priority")
     }),
 
+    // ---- Delta COLUMN MAPPING (mode=id) ------------------------------------
+    // The OTHER common mapping variant: columns bind by the PARQUET
+    // FIELD ID each file embeds, not by name — physical names are
+    // immaterial, so the table survives engines that rewrite them.
+    // Fixture: create id-mode (v0, files embed parquet.field.id),
+    // RENAME o_orderpriority→priority (v1, metadata-only — with id
+    // binding the rename is just a requested-spelling change), DV
+    // DELETE (v2), CoW UPDATE (v3 — the rewrite STAMPS field ids into
+    // the new files or id-readers would refuse them). Census v0 under
+    // the original name, v3 under the renamed one; an id-blind,
+    // name-bound reader would group by pcol_N and answer neither.
+    "q_delta_colmap_id" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_cmid"
+      val W = graft.sources.DeltaLogWriter
+      W.createColumnMappedId(s, iceOrders(s, d), base, "graft-orders-cmid")
+      W.renameColumn(s, base, "o_orderpriority", "priority")
+      W.deleteWhereDv(s, base, pmod(col("o_orderkey"), lit(10)) === 6)
+      W.update(s, base, pmod(col("o_orderkey"), lit(10)) === 7,
+        df => df.withColumn("cents", col("cents") + 3))
+      def census(v: Long, logical: String) =
+        graft.sources.DeltaLogReader.read(s, base, v)
+          .groupBy(col(logical).as("priority"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(v).as("version"), col("priority"), col("n_rows"), col("total_cents"))
+      census(0L, "o_orderpriority").unionAll(census(3L, "priority"))
+        .orderBy("version", "priority")
+    }),
+
     // ---- Delta data skipping (min/max stats) ----------------------------
     // The Delta twin of q_iceberg_stats_prune: each add action carries
     // per-file minValues/maxValues for o_year (the spec's data-skipping
@@ -615,6 +643,83 @@ object LakehouseQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
         .select(lit(4L).as("phase"), col("pri"), col("n_rows"), col("total_cents"))
       (versions :+ byPart).reduce(_ unionAll _).orderBy("phase", "pri")
+    }),
+
+    // ---- Batch DSv2 front door (spark.read.format / SQL USING) ------------
+    // Catalogs and BI tools speak `format(...)`, not a Scala API: each
+    // provider plans the format's metadata ONCE at table resolution and
+    // hands the live file list to Spark's OWN DSv2 parquet table — so
+    // the scan keeps vectorized reads, pushdown, pruning, and codegen
+    // (LakeBatchSpec pins PushedFilters + the pruned ReadSchema). All
+    // three formats read through `spark.read.format(...)`; the fourth
+    // phase goes through pure SQL (`CREATE TEMPORARY VIEW ... USING`),
+    // the zero-Scala path. Row-masked (DV) and column-mapped tables are
+    // REFUSED at resolution, never silently mis-read.
+    "q_lake_dsv2" -> ((s, d) => {
+      val root = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/dsv2"
+      val o = iceOrders(s, d)
+      val dBase = s"$root/delta"
+      val iBase = s"$root/ice"
+      val hBase = s"$root/hudi"
+      graft.sources.DeltaLogWriter.create(s, o.repartition(2), dBase,
+        "graft-orders-dsv2", partitionBy = Seq("o_orderpriority"))
+      graft.sources.IcebergWriter.create(s, o.repartition(2), iBase)
+      graft.sources.HudiWriter.create(s, o, hBase, "orders_dsv2", "o_orderkey", 4)
+      def census(tag: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(tag).as("surface"), col("n_rows"), col("total_cents"))
+      val delta = census("delta", s.read.format("graft-delta")
+        .option("path", dBase).load()
+        .filter(col("o_orderpriority") === "2-HIGH"))
+      val ice = census("iceberg", s.read.format("graft-iceberg")
+        .option("path", iBase).load()
+        .filter(pmod(col("o_orderkey"), lit(3)) === 0))
+      val hudi = census("hudi", s.read.format("graft-hudi")
+        .option("path", hBase).load()
+        .filter(pmod(col("o_orderkey"), lit(3)) === 1))
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW dsv2_delta " +
+        s"USING `graft-delta` OPTIONS (path '$dBase')")
+      val sql = census("sql", s.sql(
+        "SELECT cents FROM dsv2_delta WHERE o_orderpriority = '5-LOW'"))
+      Seq(delta, ice, hudi, sql).reduce(_ unionAll _).orderBy("surface")
+    }),
+
+    // ---- Delta conditional MULTI-CLAUSE MERGE ------------------------------
+    // The CDC-reconciliation staple the key-upsert merge can't express:
+    // ONE statement with WHEN MATCHED AND p THEN DELETE, WHEN MATCHED
+    // THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT, and WHEN NOT
+    // MATCHED BY SOURCE AND q THEN DELETE — one commit, all four action
+    // kinds riding the same _change_data file. Census: content at both
+    // versions plus the CDF broken down BY change type (phases 10+),
+    // proving each clause fired on exactly its rows and nothing
+    // double-counted.
+    "q_delta_merge_multi" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_mmulti"
+      val W = graft.sources.DeltaLogWriter
+      val o = iceOrders(s, d)
+      W.create(s, o.repartition(3), base, "graft-orders-mmulti")
+      val source = o.filter(pmod(col("o_orderkey"), lit(10)) === 2)
+        .withColumn("cents", col("cents") + 13)
+        .unionAll(o.filter(pmod(col("o_orderkey"), lit(10)) === 8)
+          .select((col("o_orderkey") + 400000000L).as("o_orderkey"),
+            lit("8-INS").as("o_orderpriority"), lit(777L).as("cents")))
+      W.mergeMulti(s, base, source, "o_orderkey",
+        matchedDelete = Some(col("o_orderpriority") === "1-URGENT"),
+        matchedUpdate = None,
+        insertUnmatched = true,
+        bySourceDelete = Some(col("o_orderpriority") === "5-LOW" &&
+          pmod(col("o_orderkey"), lit(10)) === 9))
+      val versions = (0L to 1L).map { v =>
+        graft.sources.DeltaLogReader.read(s, base, v).agg(
+          count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(v).as("phase"), lit("*").as("tag"),
+            col("n_rows"), col("total_cents"))
+      }
+      val cdf = graft.sources.DeltaLogReader.readChanges(s, base, 1L, 1L)
+        .groupBy(col("_change_type").as("tag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(10L).as("phase"), col("tag"), col("n_rows"), col("total_cents"))
+      (versions :+ cdf).reduce(_ unionAll _).orderBy("phase", "tag")
     }),
 
     // ---- Delta FEATURE COMPOSITION: every modern feature ON together ------
@@ -1430,6 +1535,52 @@ object LakehouseQueries extends QueryGroup {
     // plain append of a synthetic slice (snap 4 — the carried delete
     // files must survive an append, the silent-resurrection class
     // ADVICE r10 flagged). Census reads every snapshot via time travel.
+    // ---- Iceberg PARTITION-SPEC EVOLUTION ----------------------------------
+    // Real tables change layout mid-life (identity → time transform as
+    // they grow); the spec's `partition-specs` list + per-manifest
+    // `partition_spec_id` make both eras scannable: era-1 manifests
+    // keep the identity struct, era-2 manifests carry the month
+    // ordinal, and the planner prunes EACH era under ITS spec (a
+    // filter that can't bind an era keeps that era's files — the
+    // residual row filter stays exact). Census: an identity-dimension
+    // probe (prunes era 1 to one priority file), a time-dimension
+    // probe (prunes era 2 to the overlapping months), and the full
+    // read; each phase hash-gates its PLANNED FILE COUNT, which the
+    // oracle reconstructs from the value distribution.
+    "q_iceberg_spec_evolution" -> ((s, d) => {
+      val base = iceBase(d, "specevo")
+      val W = graft.sources.IcebergWriter
+      val R = graft.sources.IcebergReader
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate"), cents("o_totalprice").as("cents"))
+      W.createPartitioned(s, o.filter(col("o_orderdate") < "1998-01-01"),
+        base, "o_orderpriority")
+      W.evolveSpec(s, base, "o_month", "month", 3)
+      W.appendSpec(s, o.filter(col("o_orderdate") >= "1998-01-01"),
+        base, "o_orderdate")
+      val snap = R.currentSnapshotId(base, R.currentMetadataVersion(base))
+      def census(phase: Long, scan: R.SnapshotScan,
+                 residual: org.apache.spark.sql.Column) = {
+        val planned = scan.dataFiles.size.toLong
+        s.read.parquet(scan.dataFiles.map(_._1): _*).filter(residual)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(phase).as("phase"), lit(planned).as("n_files_planned"),
+            col("n_rows"), col("total_cents"))
+      }
+      val p1 = census(1L, R.planSnapshotBySpec(s, base, snap, {
+        case 0 => col("data_file.partition.o_orderpriority") === "2-HIGH"
+        case _ => lit(true)
+      }), col("o_orderpriority") === "2-HIGH")
+      val mLo = graft.sources.IcebergTransforms.monthOf("1999-03-01")
+      val mHi = graft.sources.IcebergTransforms.monthOf("1999-06-30")
+      val p2 = census(2L, R.planSnapshotBySpec(s, base, snap, {
+        case 1 => col("data_file.partition.o_month").between(mLo, mHi)
+        case _ => lit(true)
+      }), col("o_orderdate").between("1999-03-01", "1999-06-30"))
+      val p3 = census(3L, R.planSnapshot(s, base, snap), lit(true))
+      Seq(p1, p2, p3).reduce(_ unionAll _).orderBy("phase")
+    }),
+
     // ---- Iceberg SCHEMA EVOLUTION (field-id projection) --------------------
     // Columns are FIELD IDS; names are per-schema labels — so RENAME is
     // a metadata-only commit (zero data bytes move; a name-bound reader
@@ -2551,6 +2702,12 @@ object LakehouseQueries extends QueryGroup {
         "SELECT CAST(0 AS BIGINT) AS version, pri AS priority, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o GROUP BY pri " +
         "UNION ALL SELECT 1, pri, count(*), CAST(sum(cents) AS BIGINT) FROM o GROUP BY pri " +
         "ORDER BY version, priority"),
+    "q_delta_colmap_id" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "v3 AS (SELECT pri, CASE WHEN k % 10 = 7 THEN cents + 3 ELSE cents END AS cents FROM o WHERE k % 10 <> 6) " +
+        "SELECT CAST(0 AS BIGINT) AS version, pri AS priority, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o GROUP BY pri " +
+        "UNION ALL SELECT 3, pri, count(*), CAST(sum(cents) AS BIGINT) FROM v3 GROUP BY pri " +
+        "ORDER BY version, priority"),
     "q_delta_dv" ->
       ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
@@ -2570,6 +2727,37 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 3, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v3 " +
         "UNION ALL SELECT 4, pri, count(*), CAST(sum(cents) AS BIGINT) FROM v3 GROUP BY pri " +
         "ORDER BY phase, pri"),
+    "q_lake_dsv2" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT 'delta' AS surface, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE pri = '2-HIGH' " +
+        "UNION ALL SELECT 'hudi', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 = 1 " +
+        "UNION ALL SELECT 'iceberg', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 = 0 " +
+        "UNION ALL SELECT 'sql', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri = '5-LOW' " +
+        "ORDER BY surface"),
+    "q_delta_merge_multi" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "mdel AS (SELECT * FROM o WHERE k % 10 = 2 AND pri = '1-URGENT'), " +
+        "mupd AS (SELECT * FROM o WHERE k % 10 = 2 AND pri <> '1-URGENT'), " +
+        "bdel AS (SELECT * FROM o WHERE pri = '5-LOW' AND k % 10 = 9), " +
+        "ins AS (SELECT k + 400000000 AS k, '8-INS' AS pri, CAST(777 AS BIGINT) AS cents FROM o WHERE k % 10 = 8), " +
+        "v1 AS (SELECT k, pri, CASE WHEN k % 10 = 2 THEN cents + 13 ELSE cents END AS cents FROM o " +
+        "WHERE NOT (k % 10 = 2 AND pri = '1-URGENT') AND NOT (pri = '5-LOW' AND k % 10 = 9) " +
+        "UNION ALL SELECT * FROM ins) " +
+        "SELECT CAST(0 AS BIGINT) AS phase, '*' AS tag, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 1, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v1 " +
+        "UNION ALL SELECT 10, 'delete', count(*), CAST(sum(cents) AS BIGINT) FROM (SELECT cents FROM mdel UNION ALL SELECT cents FROM bdel) " +
+        "UNION ALL SELECT 10, 'insert', count(*), CAST(sum(cents) AS BIGINT) FROM ins " +
+        "UNION ALL SELECT 10, 'update_preimage', count(*), CAST(sum(cents) AS BIGINT) FROM mupd " +
+        "UNION ALL SELECT 10, 'update_postimage', count(*), CAST(sum(cents + 13) AS BIGINT) FROM mupd " +
+        "ORDER BY phase, tag"),
+    "q_iceberg_spec_evolution" ->
+      ("WITH o AS (SELECT o_orderdate AS dt, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "era2m AS (SELECT count(DISTINCT date_trunc('month', dt)) AS n FROM o WHERE dt >= DATE '1998-01-01'), " +
+        "rng AS (SELECT count(DISTINCT date_trunc('month', dt)) AS n FROM o WHERE dt >= DATE '1999-03-01' AND dt <= DATE '1999-06-30') " +
+        "SELECT CAST(1 AS BIGINT) AS phase, CAST(1 + (SELECT n FROM era2m) AS BIGINT) AS n_files_planned, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE pri = '2-HIGH' " +
+        "UNION ALL SELECT 2, CAST(5 + (SELECT n FROM rng) AS BIGINT), count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE dt >= DATE '1999-03-01' AND dt <= DATE '1999-06-30' " +
+        "UNION ALL SELECT 3, CAST(5 + (SELECT n FROM era2m) AS BIGINT), count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "ORDER BY phase"),
     "q_iceberg_schema_evolution" ->
       ("WITH o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
         "a AS (SELECT k + 200000000 AS k, cents + 5 AS cents FROM o WHERE k % 10 = 0), " +

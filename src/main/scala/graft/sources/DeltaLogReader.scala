@@ -402,11 +402,16 @@ object DeltaLogReader {
       .filter(_._2.contains("delta.columnMapping.mode"))
       .map { case (schemaJson, conf) =>
         val mode = conf("delta.columnMapping.mode")
-        require(mode == "name",
-          s"delta.columnMapping.mode=$mode — only 'name' is supported")
+        require(mode == "name" || mode == "id",
+          s"delta.columnMapping.mode=$mode — only 'name' and 'id' are supported")
         org.apache.spark.sql.types.DataType.fromJson(schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
       }
+
+  /** The declared column-mapping mode ("name" | "id"), if any. */
+  private[sources] def columnMappingMode(spark: Option[SparkSession], base: String,
+                                         version: Long): Option[String] =
+    latestMetaConfig(spark, base, version).flatMap(_._2.get("delta.columnMapping.mode"))
 
   /** TIMESTAMP AS OF resolution: the latest version whose commit
     * timestamp is at or before `tsMillis` — the spec reads the
@@ -866,14 +871,34 @@ object DeltaLogReader {
     val files = adds.map(a => Paths.get(base).resolve(a.path).toString)
     val pcols = partitionColumns(Some(spark), base, version)
     columnMappingSchema(Some(spark), base, version).foreach { logical =>
-      // column mapping: the parquet files carry PHYSICAL names; rename
-      // to the version's logical schema (a metaData-only rename commit
-      // changes what this returns with zero data movement — the whole
-      // point of the feature). Pruning/pushdown still run against the
-      // physical scan; the projection is a free alias. On a PARTITIONED
-      // mapped table the hive dirs carry physical names too (the spec's
-      // partitionValues are keyed physical); basePath recovery surfaces
-      // them and the same rename applies.
+      // mode=id: columns bind by the PARQUET FIELD ID each file embeds
+      // — names are immaterial (the variant that survives engines that
+      // rewrite physical names). Spark's own field-id resolution does
+      // the matching: the requested schema carries parquet.field.id =
+      // delta.columnMapping.id under the LOGICAL name, so no rename
+      // pass is needed and a metaData-only RENAME just changes the
+      // requested spelling. Files without embedded ids fail loudly
+      // (ignoreMissing stays false) rather than mis-bind.
+      if (columnMappingMode(Some(spark), base, version).contains("id")) {
+        import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        val readSchema = StructType(logical.fields.map(f =>
+          StructField(f.name, f.dataType, f.nullable, new MetadataBuilder()
+            .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+            .build())))
+        require(pcols.isEmpty,
+          "mode=id column mapping on a partitioned table is beyond this minimal reader")
+        return applyDvs(spark, base, adds,
+          spark.read.schema(readSchema).parquet(files: _*))
+      }
+      // column mapping mode=name: the parquet files carry PHYSICAL
+      // names; rename to the version's logical schema (a metaData-only
+      // rename commit changes what this returns with zero data movement
+      // — the whole point of the feature). Pruning/pushdown still run
+      // against the physical scan; the projection is a free alias. On a
+      // PARTITIONED mapped table the hive dirs carry physical names too
+      // (the spec's partitionValues are keyed physical); basePath
+      // recovery surfaces them and the same rename applies.
       val physByLogical = logical.fields.map(f =>
         f.name -> f.metadata.getString("delta.columnMapping.physicalName")).toMap
       val physPcols = pcols.map(c => physByLogical.getOrElse(c, c))

@@ -160,6 +160,29 @@ object DeltaLogWriter {
     colMap.fold(df)(_.foldLeft(df) { case (d, (l, p)) =>
       if (l != p && d.columns.contains(p)) d.withColumnRenamed(p, l) else d })
 
+  /** On a `mode=id` table, every written file must EMBED the parquet
+    * field ids (id-based readers refuse files without them) — re-select
+    * the physical frame with `parquet.field.id` metadata per mapped
+    * column and make sure the writer conf is on. No-op otherwise. */
+  private def stampFieldIds(spark: SparkSession, df: DataFrame, base: String,
+                            version: Long): DataFrame =
+    if (!DeltaLogReader.columnMappingMode(Some(spark), base, version).contains("id")) df
+    else {
+      import org.apache.spark.sql.types.MetadataBuilder
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val logical = DeltaLogReader.columnMappingSchema(Some(spark), base, version).get
+      val idOfPhys = logical.fields.map(f =>
+        f.metadata.getString("delta.columnMapping.physicalName") ->
+          f.metadata.getLong("delta.columnMapping.id")).toMap
+      df.select(df.columns.map { c =>
+        idOfPhys.get(c) match {
+          case Some(id) => col(c).as(c,
+            new MetadataBuilder().putLong("parquet.field.id", id).build())
+          case None => col(c)
+        }
+      }.toIndexedSeq: _*)
+    }
+
   /** Everything a DML op needs to know about the table at its latest
     * version — resolved ONCE per statement. */
   private final case class DmlCtx(
@@ -265,7 +288,8 @@ object DeltaLogWriter {
                            version: Long, affected: Int,
                            statsFor: Seq[String] = Nil,
                            dataChange: Boolean = true): (Seq[String], Seq[String]) = {
-    val physDf = toPhysical(df.drop("__path", "__pos"), ctx.colMap)
+    val physDf = stampFieldIds(spark,
+      toPhysical(df.drop("__path", "__pos"), ctx.colMap), ctx.base, ctx.version)
     val rels = writeData(shapeRewrite(physDf, ctx.physPcols, affected),
       ctx.base, version, ctx.physPcols)
     val physStats = statsFor.map(physOf(ctx.colMap, _))
@@ -552,7 +576,8 @@ object DeltaLogWriter {
     }
     val colMap = colMapOf(spark, base, version - 1)
     val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version - 1)
-    val rels = writeData(toPhysical(df, colMap), base, version,
+    val rels = writeData(
+      stampFieldIds(spark, toPhysical(df, colMap), base, version - 1), base, version,
       pcols.map(physOf(colMap, _)))
     val physStats = statsFor.map(physOf(colMap, _))
     rowTrackingConf(spark, base, version - 1) match {
@@ -653,6 +678,41 @@ object DeltaLogWriter {
         s""""schemaString":"${esc(logical.json)}","partitionColumns":[],""" +
         s""""configuration":{"delta.columnMapping.mode":"name",""" +
         s""""delta.columnMapping.maxColumnId":"${phys.length}"},"createdTime":0}}""") ++
+      addActions(spark, base, rels))
+  }
+
+  /** Create a COLUMN-MAPPED table in `mode=id` (the OTHER common
+    * variant next to mode=name): parquet columns are matched by the
+    * PARQUET FIELD ID each file embeds (`parquet.field.id` metadata,
+    * which Spark writes from schema-field metadata), not by name — the
+    * physical column names are immaterial, so this survives renames AND
+    * engines that rewrite names. The log's logical schema carries
+    * `delta.columnMapping.id` per field; the reader binds by id via
+    * Spark's own field-id resolution. */
+  def createColumnMappedId(spark: SparkSession, df: DataFrame, base: String,
+                           tableId: String): Unit = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    TxnLog.rmrf(base)
+    // physical frame: arbitrary physical names, each column stamped
+    // with its parquet field id so the files embed them
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val physCols = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      col(f.name).as(s"pcol_${i + 1}", new MetadataBuilder()
+        .putLong("parquet.field.id", i + 1L).build())
+    }
+    val rels = writeData(df.select(physCols.toIndexedSeq: _*), base, 0L)
+    val logical = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      StructField(f.name, f.dataType, f.nullable, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", i + 1L)
+        .putString("delta.columnMapping.physicalName", s"pcol_${i + 1}")
+        .build())
+    })
+    commit(base, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"${esc(tableId)}","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${esc(logical.json)}","partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id",""" +
+        s""""delta.columnMapping.maxColumnId":"${df.schema.fields.length}"},"createdTime":0}}""") ++
       addActions(spark, base, rels))
   }
 
@@ -1259,6 +1319,98 @@ object DeltaLogWriter {
       (s"""{"commitInfo":{"operation":"MERGE","timestamp":0}}""" +: domainBump) ++
         (cdcActions ++ removes ++ adds))
     (nUpd, nIns)
+  }
+
+  /** Conditional MULTI-CLAUSE MERGE — the full statement shape CDC
+    * reconciliation needs (the key-upsert [[merge]] is the special
+    * case):
+    *
+    *   - `WHEN MATCHED AND matchedDelete THEN DELETE`
+    *   - `WHEN MATCHED [AND matchedUpdate] THEN UPDATE SET *` (the
+    *     source row replaces the target row; matched rows failing both
+    *     conditions carry unchanged)
+    *   - `WHEN NOT MATCHED THEN INSERT` (when `insertUnmatched`)
+    *   - `WHEN NOT MATCHED BY SOURCE AND bySourceDelete THEN DELETE`
+    *
+    * Conditions bind the TARGET row's (logical) columns and fire only
+    * when TRUE (SQL semantics — NULL carries). ONE commit; the
+    * `_change_data` file carries all four action kinds, so CDF
+    * consumers see the merge's exact effect. Composes with the feature
+    * matrix through the shared scan/write pair (DVs, column mapping,
+    * row tracking: updated rows keep their ids, inserts take fresh
+    * ones). Returns (deleted, updated, inserted, bySourceDeleted). */
+  def mergeMulti(spark: SparkSession, base: String, source: DataFrame, keyCol: String,
+                 matchedDelete: Option[org.apache.spark.sql.Column] = None,
+                 matchedUpdate: Option[org.apache.spark.sql.Column] = None,
+                 insertUnmatched: Boolean = true,
+                 bySourceDelete: Option[org.apache.spark.sql.Column] = None)
+  : (Long, Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val ctx = dmlCtx(spark, base)
+    val relByAbs = ctx.live.map(a =>
+      DeltaLogReader.scanSpelling(Paths.get(base).resolve(a.path)) -> a.path).toMap
+    val scan = dmlScanAll(spark, ctx)
+    val marker = broadcast(source.select(col(keyCol)).distinct()
+      .withColumn("__src", lit(1)))
+    val tagged = scan.join(marker, Seq(keyCol), "left")
+    def cond(c: Option[org.apache.spark.sql.Column]) =
+      c.map(_.eqNullSafe(true)).getOrElse(lit(true))
+    val isMatched = col("__src").isNotNull
+    val isDel = isMatched && cond(matchedDelete.orElse(Some(lit(false))))
+    val isUpd = isMatched && !isDel && cond(matchedUpdate)
+    val isBySrcDel = !isMatched && cond(bySourceDelete.orElse(Some(lit(false))))
+    val hit = tagged.filter(isDel || isUpd || isBySrcDel)
+    val affectedAbs = hit.select("__path").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val matCols = if (ctx.rtConf.isEmpty) Seq.empty[String] else Seq(ctx.matId, ctx.matVer)
+    val cols = scan.drop("__path").drop(matCols: _*).columns.toIndexedSeq
+    val next = ctx.version + 1
+    val src = source.select(cols.map(col): _*)
+    val tableKeys = broadcast(scan.select(col(keyCol)).distinct())
+    val insSrc0 =
+      if (!insertUnmatched) src.limit(0)
+      else src.join(tableKeys, keyCol, "left_anti").select(cols.map(col): _*)
+    // the update clause's replacement rows: source rows keyed to the
+    // rows isUpd selected (a matched-DELETE key must NOT also update)
+    val updKeys = broadcast(tagged.filter(isUpd).select(col(keyCol)).distinct())
+    val updSrc0 = src.join(updKeys, keyCol, "left_semi").select(cols.map(col): _*)
+    val (updSrc, insSrc) =
+      if (ctx.rtConf.isEmpty) (updSrc0, insSrc0)
+      else (
+        updSrc0.join(broadcast(tagged.filter(isUpd)
+            .select(col(keyCol), col(ctx.matId)).distinct()), keyCol)
+          .withColumn(ctx.matVer, lit(next)),
+        insSrc0.withColumn(ctx.matId, lit(null).cast("long"))
+          .withColumn(ctx.matVer, lit(next)))
+    val survivors = tagged.filter(col("__path").isin(affectedAbs: _*))
+      .filter(!(isDel || isUpd || isBySrcDel)).drop("__path", "__src")
+    val delRows = tagged.filter(isDel).select(cols.map(col): _*)
+    val bySrcRows = tagged.filter(isBySrcDel).select(cols.map(col): _*)
+    val updPre = tagged.filter(isUpd).select(cols.map(col): _*)
+    val nDel = delRows.count()
+    val nUpd = updPre.count()
+    val nIns = insSrc0.count()
+    val nBySrc = bySrcRows.count()
+    require(nDel + nUpd + nIns + nBySrc > 0, "MERGE matches nothing and inserts nothing")
+    val changes = delRows.withColumn("_change_type", lit("delete"))
+      .unionAll(bySrcRows.withColumn("_change_type", lit("delete")))
+      .unionAll(updPre.withColumn("_change_type", lit("update_preimage")))
+      .unionAll(updSrc0.withColumn("_change_type", lit("update_postimage")))
+      .unionAll(insSrc0.withColumn("_change_type", lit("insert")))
+    val cdcActions = writeCdc(spark, base, next,
+      toPhysical(changes, ctx.colMap), affectedAbs.size + 1)
+    val affectedRel = affectedAbs.map(a => relByAbs.getOrElse(a,
+      throw new IllegalStateException(s"matched file $a not in the live set")))
+    val newData = survivors.unionByName(updSrc).unionByName(insSrc)
+    val (adds, domainBump) =
+      if (newData.isEmpty) (Nil, Nil) // a pure-delete merge adds nothing
+      else writeRewrite(spark, ctx, newData, next, affectedRel.size + 1)
+    val removes = affectedRel.map(rel =>
+      s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":0,"dataChange":true}}""")
+    commit(base, next,
+      (s"""{"commitInfo":{"operation":"MERGE","timestamp":0}}""" +: domainBump) ++
+        (cdcActions ++ removes ++ adds))
+    (nDel, nUpd, nIns, nBySrc)
   }
 
   /** RESTORE: make the table's NEXT version content-identical to

@@ -228,6 +228,34 @@ object IcebergReader {
     }
   }
 
+  // ---- PARTITION-SPEC EVOLUTION --------------------------------------------
+  // The spec's `partition-specs` list + `default-spec-id`: a table can
+  // change its layout mid-life (identity → day, daily → hourly);
+  // manifests written under each era keep ITS partition struct, the
+  // manifest list tags each manifest with its spec-id, and scan
+  // planning prunes every era under its own spec.
+
+  final case class IceSpecField(name: String, transform: String, sourceId: Int)
+  final case class IceSpec(specId: Int, fields: Seq[IceSpecField])
+
+  /** (default-spec-id, declared partition specs) — (None, Nil) when the
+    * table tracks none. A specs list without a declared default (this
+    * writer's old transform tables) defaults to the lowest spec id. */
+  def partitionSpecs(base: String, v: Int): (Option[Int], Seq[IceSpec]) = {
+    val json = metadataJson(base, v)
+    val fieldRe = ("""\{"name":"([^"]+)","transform":"([^"]+)",""" +
+      """"source-id":(\d+),"field-id":\d+\}""").r
+    val all = arrayObjects(json, "partition-specs").map { o =>
+      IceSpec(
+        DeltaLogReader.longField(o, "spec-id").map(_.toInt).getOrElse(0),
+        fieldRe.findAllMatchIn(o).map(m =>
+          IceSpecField(m.group(1), m.group(2), m.group(3).toInt)).toSeq)
+    }
+    val default = DeltaLogReader.longField(json, "default-spec-id").map(_.toInt)
+      .orElse(if (all.isEmpty) None else Some(all.map(_.specId).min))
+    (default, all)
+  }
+
   /** The table's declared format-version at metadata version `v`
     * (1 when absent). Writers must THREAD this through every metadata
     * rewrite: re-stamping a v2 table (live delete files) as v1 would
@@ -326,15 +354,27 @@ object IcebergReader {
     * statuses; planners filter to live below. */
   private[sources] def manifestEntries(spark: SparkSession, base: String,
                                        snapshotId: Long): DataFrame = {
+    val manifests = manifestsWithSpecs(spark, base, snapshotId).map(_._1)
+    spark.read.format(avroFmt).load(manifests.toIndexedSeq: _*)
+  }
+
+  /** The snapshot's manifests WITH each one's partition-spec id (the
+    * manifest list's `partition_spec_id`; lists written before spec
+    * tracking carry none — every manifest is spec 0). */
+  private[sources] def manifestsWithSpecs(spark: SparkSession, base: String,
+                                          snapshotId: Long): Seq[(String, Int)] = {
     val snap = snapshots(base, currentMetadataVersion(base))
       .find(_.id == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $snapshotId not in ${base}'s metadata"))
-    val manifests = spark.read.format(avroFmt)
-      .load(resolve(base, snap.manifestList))
-      .select("manifest_path").collect().map(r => resolve(base, r.getString(0)))
-    require(manifests.nonEmpty, s"snapshot $snapshotId has no manifests")
-    spark.read.format(avroFmt).load(manifests.toIndexedSeq: _*)
+    val ml = spark.read.format(avroFmt).load(resolve(base, snap.manifestList))
+    val specCol =
+      if (ml.columns.contains("partition_spec_id")) col("partition_spec_id").cast("int")
+      else lit(0)
+    val out = ml.select(col("manifest_path"), specCol)
+      .collect().map(r => resolve(base, r.getString(0)) -> r.getInt(1)).toSeq
+    require(out.nonEmpty, s"snapshot $snapshotId has no manifests")
+    out
   }
 
   /** Live manifest entries of one snapshot (status != 2 DELETED), as
@@ -363,8 +403,33 @@ object IcebergReader {
   }
 
   def planSnapshot(spark: SparkSession, base: String, snapshotId: Long,
-                   entryFilter: Column = lit(true)): SnapshotScan = {
-    val entries = liveEntries(spark, base, snapshotId)
+                   entryFilter: Column = lit(true)): SnapshotScan =
+    planSnapshotBySpec(spark, base, snapshotId, _ => entryFilter)
+
+  /** Scan planning under PARTITION-SPEC EVOLUTION: manifests group by
+    * their spec-id (each era's `data_file.partition` struct follows its
+    * own spec), `filterFor` supplies a pruning filter PER SPEC (an
+    * identity-era filter can't bind a transform-era struct and vice
+    * versa — a spec with no useful filter keeps all entries, the
+    * residual row filter stays exact), and the per-era scans merge.
+    * Single-spec tables take exactly the old one-load path. */
+  def planSnapshotBySpec(spark: SparkSession, base: String, snapshotId: Long,
+                         filterFor: Int => Column): SnapshotScan = {
+    val groups = manifestsWithSpecs(spark, base, snapshotId)
+      .groupBy(_._2).toSeq.sortBy(_._1)
+    groups.map { case (specId, ms) =>
+      val entries = spark.read.format(avroFmt).load(ms.map(_._1): _*)
+        .filter(col("status") =!= 2)
+      scanOfEntries(base, entries, filterFor(specId))
+    }.reduce { (a, b) =>
+      SnapshotScan(a.dataFiles ++ b.dataFiles, a.posDeleteFiles ++ b.posDeleteFiles,
+        a.eqDeleteFiles ++ b.eqDeleteFiles, a.dataSeq ++ b.dataSeq,
+        a.delMeta ++ b.delMeta, a.dvs ++ b.dvs, a.firstRowIds ++ b.firstRowIds)
+    }
+  }
+
+  private def scanOfEntries(base: String, entries: DataFrame,
+                            entryFilter: Column): SnapshotScan = {
     val dataFileFields = dataFileFieldsOf(entries)
     if (!dataFileFields.contains("content")) {
       val files = entries.filter(entryFilter)

@@ -152,7 +152,11 @@ object IcebergWriter {
     }
     writePartManifest(spark, base, "metadata/m1.avro", partitionCol, entries)
     writeManifestList(spark, base, 1L, Seq("metadata/m1.avro"))
-    writeMeta(base, 1, current = 1L, snaps = Seq(1L))
+    // declare spec-0 (identity) so the table can EVOLVE its layout
+    // later; source-id 1000-family field ids are informational here
+    writeMeta(base, 1, current = 1L, snaps = Seq(1L),
+      specsJson = Some(specsFragment(0, Seq(IcebergReader.IceSpec(0,
+        Seq(IcebergReader.IceSpecField(partitionCol, "identity", 1)))))))
   }
 
   /** Transform-partitioned create (the prod layouts: `bucket[N]`,
@@ -236,14 +240,29 @@ object IcebergWriter {
   }
 
   private def writeManifestList(spark: SparkSession, base: String,
-                                snapshot: Long, manifests: Seq[String]): Unit = {
+                                snapshot: Long, manifests: Seq[String],
+                                specIds: Option[Seq[Int]] = None): Unit = {
+    // spec-tracking lists tag each manifest with its partition-spec id
+    // (the spec's partition_spec_id field) so planners prune each era
+    // under ITS spec; legacy lists keep the 2-column shape byte-stable
     val schema = StructType(Seq(
       StructField("manifest_path", StringType, nullable = false),
-      StructField("manifest_length", LongType, nullable = false)))
-    val rows = manifests.map(m => Row(m, Files.size(Paths.get(base, m))))
+      StructField("manifest_length", LongType, nullable = false)) ++
+      specIds.map(_ => StructField("partition_spec_id", IntegerType, nullable = false)))
+    val rows = specIds match {
+      case None => manifests.map(m => Row(m, sizeOrAbs(base, m)))
+      case Some(ids) =>
+        require(ids.size == manifests.size, "specIds must align with manifests")
+        manifests.zip(ids).map { case (m, id) => Row(m, sizeOrAbs(base, m), id) }
+    }
     writeOneAvro(spark, base, s"metadata/snap-$snapshot.avro",
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
   }
+
+  /** Manifest paths in a list may be table-relative (this writer's) or
+    * absolute (carried from a reader resolve) — size either. */
+  private def sizeOrAbs(base: String, m: String): Long =
+    if (m.startsWith("/")) Files.size(Paths.get(m)) else Files.size(Paths.get(base, m))
 
   /** metadata JSON + version hint; the hint write is the commit point.
     * `formatVersion` 2 marks tables carrying row-level delete files;
@@ -256,7 +275,8 @@ object IcebergWriter {
                         firstRowIds: Map[Long, Long] = Map.empty,
                         nextRowId: Option[Long] = None,
                         statistics: Seq[(Long, String)] = Nil,
-                        schemasJson: Option[String] = None): Unit = {
+                        schemasJson: Option[String] = None,
+                        specsJson: Option[String] = None): Unit = {
     // SCHEMA TRACKING is carried like refs and statistics: unless the
     // caller rewrites it (the evolve ops), the previous version's
     // schemas + current-schema-id re-emit verbatim — a metadata rewrite
@@ -264,6 +284,12 @@ object IcebergWriter {
     val schemasFrag = schemasJson.getOrElse(
       if (v > 1 && Files.exists(Paths.get(base, "metadata", s"v${v - 1}.metadata.json")))
         carriedSchemasFragment(base, v - 1)
+      else "")
+    // PARTITION SPECS carry the same way (a rewrite that dropped the
+    // list would orphan every manifest's spec-id tag)
+    val specsFrag = specsJson.getOrElse(
+      if (v > 1 && Files.exists(Paths.get(base, "metadata", s"v${v - 1}.metadata.json")))
+        carriedSpecsFragment(base, v - 1)
       else "")
     val ss = snaps.map { i =>
       val fr = firstRowIds.get(i).map(f => s""""first-row-id":$f,""").getOrElse("")
@@ -282,7 +308,7 @@ object IcebergWriter {
         s""""$n":{"snapshot-id":$id,"type":"$t"}"""
       }.mkString(""","refs":{""", ",", "}")
     Files.writeString(Paths.get(base, "metadata", s"v$v.metadata.json"),
-      s"""{"format-version":$formatVersion,"table-uuid":"graft-export","location":"$base"$schemasFrag,""" +
+      s"""{"format-version":$formatVersion,"table-uuid":"graft-export","location":"$base"$schemasFrag$specsFrag,""" +
         s""""current-snapshot-id":$current,"snapshots":[${ss.mkString(",")}]$nri$statsJson$refsJson}""")
     Files.writeString(Paths.get(base, "metadata", "version-hint.text"), v.toString)
   }
@@ -305,6 +331,134 @@ object IcebergWriter {
       case (Some(cur), all) => schemasFragment(cur, all)
       case _                => ""
     }
+
+  /** Re-emittable `,"partition-specs":[...],"default-spec-id":N`. */
+  private def specsFragment(default: Int,
+                            all: Seq[IcebergReader.IceSpec]): String = {
+    val arr = all.sortBy(_.specId).map { s =>
+      val fs = s.fields.zipWithIndex.map { case (f, i) =>
+        s"""{"name":"${f.name}","transform":"${f.transform}",""" +
+          s""""source-id":${f.sourceId},"field-id":${1000 + i}}"""
+      }.mkString("[", ",", "]")
+      s"""{"spec-id":${s.specId},"fields":$fs}"""
+    }.mkString("[", ",", "]")
+    s""","partition-specs":$arr,"default-spec-id":$default"""
+  }
+
+  private def carriedSpecsFragment(base: String, v: Int): String =
+    IcebergReader.partitionSpecs(base, v) match {
+      case (Some(default), all) if all.nonEmpty => specsFragment(default, all)
+      case _                                    => ""
+    }
+
+  /** EVOLVE THE PARTITION SPEC — metadata-only (the spec's layout
+    * change, e.g. identity → day as a table's scale grows): a NEW spec
+    * joins `partition-specs` under a fresh spec-id and becomes the
+    * default. Existing manifests keep their old struct and spec-id
+    * tag; only data committed AFTER this routes (and prunes) under the
+    * new layout. */
+  def evolveSpec(spark: SparkSession, base: String, fieldName: String,
+                 transform: String, sourceId: Int): Unit = {
+    val v = IcebergReader.currentMetadataVersion(base)
+    val (_, specs) = IcebergReader.partitionSpecs(base, v)
+    require(specs.nonEmpty,
+      s"$base declares no partition-specs — only spec-tracking tables evolve")
+    val newId = specs.map(_.specId).max + 1
+    val fv = IcebergReader.formatVersion(base, v)
+    writeMeta(base, v + 1,
+      current = IcebergReader.currentSnapshotId(base, v),
+      snaps = IcebergReader.snapshots(base, v).map(_.id).sorted,
+      refs = IcebergReader.refs(base, v),
+      formatVersion = fv,
+      firstRowIds = if (fv == 3) IcebergReader.snapshotFirstRowIds(base, v) else Map.empty,
+      nextRowId = if (fv == 3) IcebergReader.nextRowId(base, v) else None,
+      statistics = carriedStats(base, v),
+      specsJson = Some(specsFragment(newId, specs :+ IcebergReader.IceSpec(newId,
+        Seq(IcebergReader.IceSpecField(fieldName, transform, sourceId))))))
+  }
+
+  /** Append routed by the CURRENT DEFAULT SPEC — the write shape after
+    * an [[evolveSpec]]: data stages one file per transformed value of
+    * `sourceCol`, a NEW manifest carries ONLY the added entries under
+    * the new spec's partition struct, and the manifest list reuses the
+    * previous snapshot's manifests untouched (each keeping its own
+    * spec-id tag) — the spec's manifest-reuse discipline, which is also
+    * what makes mixed-spec planning necessary. */
+  def appendSpec(spark: SparkSession, df: DataFrame, base: String,
+                 sourceCol: String): Unit = {
+    import org.apache.spark.sql.Row
+    val v = IcebergReader.currentMetadataVersion(base)
+    val (defOpt, specs) = IcebergReader.partitionSpecs(base, v)
+    val spec = specs.find(s => defOpt.contains(s.specId)).getOrElse(
+      throw new IllegalArgumentException(s"$base declares no default partition spec"))
+    require(spec.fields.size == 1, "appendSpec supports single-field specs")
+    val f = spec.fields.head
+    val partExpr: org.apache.spark.sql.Column = f.transform match {
+      case "identity" => col(sourceCol).cast("long")
+      case "month"    => IcebergTransforms.monthCol(col(sourceCol))
+      case "day"      => org.apache.spark.sql.functions
+        .datediff(col(sourceCol), org.apache.spark.sql.functions.to_date(lit("1970-01-01")))
+        .cast("long")
+      case "year"     => (org.apache.spark.sql.functions.year(col(sourceCol)) - 1970).cast("long")
+      case t if t.startsWith("bucket[") =>
+        IcebergTransforms.bucketCol(t.stripPrefix("bucket[").stripSuffix("]").toInt,
+          col(sourceCol)).cast("long")
+      case t if t.startsWith("truncate[") =>
+        IcebergTransforms.truncateCol(t.stripPrefix("truncate[").stripSuffix("]").toLong,
+          col(sourceCol))
+      case other => throw new IllegalArgumentException(
+        s"transform $other beyond appendSpec (long-valued transforms only)")
+    }
+    val prev = IcebergReader.currentSnapshotId(base, v)
+    val prevManifests = IcebergReader.manifestsWithSpecs(spark, base, prev)
+    val snap = prev + 1
+    // stage one write task per transformed value (the parallel shape)
+    val tmp = s"$base/.stage-s$snap"
+    TxnLog.rmrf(tmp)
+    df.withColumn("__g", partExpr.cast("string"))
+      .repartition(col("__g")).write.partitionBy("__g").parquet(tmp)
+    val rels = Files.list(Paths.get(tmp)).iterator.asScala
+      .filter(_.getFileName.toString.startsWith("__g="))
+      .map { dir =>
+        val g = dir.getFileName.toString.stripPrefix("__g=").toLong
+        val parts = Files.list(dir).iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        require(parts.size == 1, s"partition $g staged ${parts.size} files")
+        val rel = s"data/part-${f.name}-s$snap-$g.parquet"
+        Files.move(parts.head, Paths.get(base, rel))
+        g -> rel
+      }.toMap
+    TxnLog.rmrf(tmp)
+    val counts = spark.read.parquet(rels.values.map(r => s"$base/$r").toSeq: _*)
+      .groupBy(col("_metadata.file_name").as("fn"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val schema = StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("data_file", StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("file_format", StringType, nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("file_size_in_bytes", LongType, nullable = false),
+        StructField("partition",
+          StructType(Seq(StructField(f.name, LongType, nullable = false)))))))))
+    val rows = rels.toSeq.sortBy(_._1).map { case (g, rel) =>
+      Row(1, Row(rel, "PARQUET", counts.getOrElse(rel.split('/').last, 0L),
+        Files.size(Paths.get(base, rel)), Row(g)))
+    }
+    writeOneAvro(spark, base, s"metadata/m$snap.avro",
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+    // manifest REUSE: the previous manifests ride with their own spec
+    // ids; the new manifest is tagged with the default spec
+    val allManifests = prevManifests :+ (s"metadata/m$snap.avro" -> spec.specId)
+    writeManifestList(spark, base, snap, allManifests.map(_._1),
+      specIds = Some(allManifests.map(_._2)))
+    writeMeta(base, v + 1, current = snap,
+      snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
+      refs = IcebergReader.refs(base, v),
+      formatVersion = IcebergReader.formatVersion(base, v),
+      statistics = carriedStats(base, v))
+  }
 
   private def iceTypeOf(t: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._

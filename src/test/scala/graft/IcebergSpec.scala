@@ -464,6 +464,44 @@ class IcebergSpec extends SparkSpec {
     assert(meta.contains("\"schemas\"") && meta.contains("\"current-schema-id\""), meta)
   }
 
+  test("partition-spec evolution: identity era + day era, each pruned under its own spec") {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    import graft.sources.IcebergWriter
+    val base = "/tmp/graft_iceberg_test/specevo"
+    val df = spark.createDataFrame((0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", f"2024-01-${i % 4 + 1}%02d")))
+      .toDF("k", "p", "ds").withColumn("dt", to_date(col("ds"))).drop("ds")
+    IcebergWriter.createPartitioned(spark, df.filter(col("k") < 20), base, "p")
+    IcebergWriter.evolveSpec(spark, base, "k_day", "day", 3)
+    IcebergWriter.appendSpec(spark, df.filter(col("k") >= 20), base, "dt")
+    val v = IcebergReader.currentMetadataVersion(base)
+    val (defId, specs) = IcebergReader.partitionSpecs(base, v)
+    assert(defId.contains(1) && specs.map(_.specId).sorted == Seq(0, 1), s"($defId, $specs)")
+    val snap = IcebergReader.currentSnapshotId(base, v)
+    // full read sees both eras
+    val all = IcebergReader.planSnapshot(spark, base, snap)
+    assert(all.dataFiles.size == 2 + 4, all.dataFiles.toString) // 2 identity + 4 day files
+    assert(spark.read.parquet(all.dataFiles.map(_._1): _*).count() == 40L)
+    // identity-era pruning: p='a' plans 1 identity file + all 4 day files
+    val s1 = IcebergReader.planSnapshotBySpec(spark, base, snap, {
+      case 0 => col("data_file.partition.p") === "a"
+      case _ => lit(true)
+    })
+    assert(s1.dataFiles.size == 1 + 4, s1.dataFiles.toString)
+    // day-era pruning: two of the four day ordinals + both identity files
+    val d1 = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val s2 = IcebergReader.planSnapshotBySpec(spark, base, snap, {
+      case 1 => col("data_file.partition.k_day").between(d1, d1 + 1)
+      case _ => lit(true)
+    })
+    assert(s2.dataFiles.size == 2 + 2, s2.dataFiles.toString)
+    // the spec list survives an unrelated metadata rewrite (a ref)
+    IcebergWriter.setRef(spark, base, "audit", snap)
+    val (defId2, specs2) = IcebergReader.partitionSpecs(base,
+      IcebergReader.currentMetadataVersion(base))
+    assert(defId2.contains(1) && specs2.size == 2, "specs dropped by a metadata rewrite")
+  }
+
   test("wide position DELETE stages in parallel: >1 delete file on a multi-file table") {
     import org.apache.spark.sql.functions.col
     import graft.sources.IcebergWriter
