@@ -1,0 +1,562 @@
+#!/usr/bin/env python3
+"""Cross-engine conformance check for the lakehouse WRITE paths.
+
+The graded queries only ever read the Delta/Iceberg tables this engine
+writes back through this engine's OWN readers — a self-consistent bug
+(writer and reader agreeing on a spec misreading) would pass every
+oracle. This script closes that loop with a SECOND, independent
+implementation: pure-Python interpretation of the table metadata
+(Delta JSON commit log; Iceberg version-hint/metadata.json/Avro
+manifest lists/manifests, decoded by a from-scratch Avro OCF reader
+with null/deflate/snappy codecs) and DuckDB scanning the raw parquet
+data files. No Spark, no engine code, no shared parsing library.
+
+Checked fixtures (written by graft.Verify's run of the graded queries):
+
+  q_delta_part_dml  /tmp/graft_deltaw_<hex(sfDir.hashCode)>/orders_pdml
+      partitioned Delta table after create + DELETE + UPDATE + MERGE.
+      Replays the JSON log at versions 0..3 (adds minus removes), scans
+      the live files with DuckDB, recovers the partition column from
+      each add's partitionValues (the files do NOT carry it), and
+      compares (n_rows, total_cents) per version plus the per-priority
+      census at v3 against the engine's Verify dump.
+
+  q_iceberg_dml     /tmp/graft_iceberg_<hex(sfDir.hashCode)>/orders_dml
+      Iceberg v2 table after create + two position-delete commits.
+      Walks version-hint → metadata.json → manifest-list Avro →
+      manifest Avro per snapshot, reads the position-delete parquet
+      with DuckDB, anti-joins on (file, row ordinal) under the spec's
+      sequence rule (pos delete applies to data seq <= delete seq),
+      and compares (n_rows, total_cents) per snapshot against the dump.
+
+  q_hudi_partitioned  /tmp/graft_hudi_<hex(sfDir.hashCode)>/orders_part
+      Hive-partitioned Hudi CoW table after create + an upsert that
+      updates one partition and births another. Reads the timeline
+      (.hoodie/<instant>.commit), resolves the live slice per
+      (partition dir, fileId) group — latest committed instant wins —
+      and re-derives all three graded phases: per-partition censuses
+      WITH live-file counts (partition values parsed from the hive
+      dirs), the full snapshot, and the incremental read of the upsert
+      instant (groups whose latest slice is that instant, rows
+      filtered on _hoodie_commit_time).
+
+Usage:  python3 scripts/lake_conformance.py <sfDir> <verifyOutDir>
+
+Exit 0 = every comparison matched; 1 = any mismatch (diffs printed).
+
+Path matching note: delete-file `file_path` values and DuckDB's
+`filename` both resolve to the same physical files but may differ in
+scheme/absoluteness; this checker joins on basename, which is unique
+within a table for the layouts under test (data/s<snap>-<i>.parquet).
+"""
+import json
+import os
+import re
+import struct
+import sys
+import zlib
+
+import duckdb
+
+# ---------------------------------------------------------------------------
+# Fixture location: Java String.hashCode of the sfDir string, hex-printed
+# exactly like Integer.toHexString (unsigned 32-bit).
+
+
+def java_hash_hex(s: str) -> str:
+    h = 0
+    for c in s:
+        h = (31 * h + ord(c)) & 0xFFFFFFFF
+    return format(h, "x")
+
+
+# ---------------------------------------------------------------------------
+# Raw snappy decompression (the Avro "snappy" codec's block payload).
+# Format: varint uncompressed length, then literal/copy elements.
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    pos = 0
+    # preamble varint = uncompressed length
+    ulen = 0
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        ulen |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    out = bytearray()
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            n = tag >> 2
+            if n >= 60:  # 60..63 → that many extra length bytes
+                extra = n - 59
+                n = int.from_bytes(data[pos:pos + extra], "little")
+                pos += extra
+            n += 1
+            out += data[pos:pos + n]
+            pos += n
+        else:
+            if kind == 1:  # copy, 1-byte offset
+                length = ((tag >> 2) & 0x7) + 4
+                offset = ((tag >> 5) << 8) | data[pos]
+                pos += 1
+            elif kind == 2:  # copy, 2-byte offset
+                length = (tag >> 2) + 1
+                offset = int.from_bytes(data[pos:pos + 2], "little")
+                pos += 2
+            else:  # copy, 4-byte offset
+                length = (tag >> 2) + 1
+                offset = int.from_bytes(data[pos:pos + 4], "little")
+                pos += 4
+            if offset == 0 or offset > len(out):
+                raise ValueError("snappy: bad copy offset")
+            start = len(out) - offset
+            for i in range(length):  # overlapping copies are byte-serial
+                out.append(out[start + i])
+    if len(out) != ulen:
+        raise ValueError(f"snappy: expected {ulen} bytes, got {len(out)}")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Avro Object Container File reader (spec 1.11.x). Decodes the embedded
+# writer schema generically — enough for Spark-written record files.
+
+
+class _Buf:
+    def __init__(self, data: bytes):
+        self.b = data
+        self.p = 0
+
+    def read(self, n: int) -> bytes:
+        d = self.b[self.p:self.p + n]
+        if len(d) != n:
+            raise EOFError("avro: short read")
+        self.p += n
+        return d
+
+    def eof(self) -> bool:
+        return self.p >= len(self.b)
+
+
+def _zigzag_long(buf: _Buf) -> int:
+    n = 0
+    shift = 0
+    while True:
+        b = buf.read(1)[0]
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (n >> 1) ^ -(n & 1)
+
+
+def _read_bytes(buf: _Buf) -> bytes:
+    return buf.read(_zigzag_long(buf))
+
+
+def _decode(schema, buf: _Buf):
+    if isinstance(schema, str):
+        t = schema
+        if t == "null":
+            return None
+        if t == "boolean":
+            return buf.read(1)[0] != 0
+        if t in ("int", "long"):
+            return _zigzag_long(buf)
+        if t == "float":
+            return struct.unpack("<f", buf.read(4))[0]
+        if t == "double":
+            return struct.unpack("<d", buf.read(8))[0]
+        if t == "bytes":
+            return _read_bytes(buf)
+        if t == "string":
+            return _read_bytes(buf).decode("utf-8")
+        raise ValueError(f"avro: unsupported primitive {t}")
+    if isinstance(schema, list):  # union: zigzag branch index, then value
+        return _decode(schema[_zigzag_long(buf)], buf)
+    t = schema["type"]
+    if t == "record":
+        return {f["name"]: _decode(f["type"], buf) for f in schema["fields"]}
+    if t == "enum":
+        return schema["symbols"][_zigzag_long(buf)]
+    if t == "fixed":
+        return buf.read(schema["size"])
+    if t == "array":
+        out = []
+        while True:
+            n = _zigzag_long(buf)
+            if n == 0:
+                return out
+            if n < 0:  # block with byte size prefix
+                n = -n
+                _zigzag_long(buf)
+            for _ in range(n):
+                out.append(_decode(schema["items"], buf))
+    if t == "map":
+        out = {}
+        while True:
+            n = _zigzag_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                _zigzag_long(buf)
+            for _ in range(n):
+                k = _read_bytes(buf).decode("utf-8")
+                out[k] = _decode(schema["values"], buf)
+    if isinstance(t, (dict, list)):  # nested/named wrapper
+        return _decode(t, buf)
+    raise ValueError(f"avro: unsupported type {t}")
+
+
+def read_avro(path: str):
+    """All records of an Avro OCF as a list of dicts."""
+    buf = _Buf(open(path, "rb").read())
+    if buf.read(4) != b"Obj\x01":
+        raise ValueError(f"{path}: not an Avro object container file")
+    meta = {}
+    while True:
+        n = _zigzag_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _zigzag_long(buf)
+        for _ in range(n):
+            k = _read_bytes(buf).decode("utf-8")
+            meta[k] = _read_bytes(buf)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    sync = buf.read(16)
+    records = []
+    while not buf.eof():
+        count = _zigzag_long(buf)
+        size = _zigzag_long(buf)
+        block = buf.read(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            block = snappy_decompress(block[:-4])  # trailing 4-byte CRC
+        elif codec != "null":
+            raise ValueError(f"{path}: unsupported avro codec {codec}")
+        bb = _Buf(block)
+        for _ in range(count):
+            records.append(_decode(schema, bb))
+        if buf.read(16) != sync:
+            raise ValueError(f"{path}: avro sync marker mismatch")
+    return records
+
+
+# ---------------------------------------------------------------------------
+# Delta: replay the JSON commit log independently.
+
+
+def delta_state(base: str, version: int):
+    """(adds: {path: action}, partition_columns) at `version`."""
+    logdir = os.path.join(base, "_delta_log")
+    adds, part_cols = {}, []
+    for v in range(version + 1):
+        p = os.path.join(logdir, f"{v:020d}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"missing Delta commit {p}")
+        for line in open(p):
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "metaData" in action:
+                part_cols = action["metaData"].get("partitionColumns", [])
+            elif "add" in action:
+                a = action["add"]
+                if a.get("deletionVector"):
+                    raise ValueError(
+                        f"{base}@{v}: add with deletionVector — this "
+                        "checker only covers CoW tables")
+                adds[a["path"]] = a
+            elif "remove" in action:
+                adds.pop(action["remove"]["path"], None)
+    return adds, part_cols
+
+
+def delta_census(con, base: str, version: int):
+    """[(partition_value_or_*, n_rows, total_cents)] from a raw scan."""
+    adds, part_cols = delta_state(base, version)
+    if not adds:
+        return [("*", 0, 0)]
+    per_file = {}
+    for path, a in adds.items():
+        full = os.path.join(base, path)
+        n, s = con.execute(
+            "SELECT count(*), coalesce(sum(cents), 0) FROM read_parquet(?)",
+            [full]).fetchone()
+        pv = a.get("partitionValues", {})
+        key = pv.get(part_cols[0], "*") if part_cols else "*"
+        agg = per_file.setdefault(key, [0, 0])
+        agg[0] += n
+        agg[1] += s
+    return sorted((k, n, s) for k, (n, s) in per_file.items())
+
+
+# ---------------------------------------------------------------------------
+# Iceberg: version-hint → metadata.json → manifest list → manifests.
+
+
+def ice_meta(base: str):
+    hint = os.path.join(base, "metadata", "version-hint.text")
+    v = int(open(hint).read().strip())
+    meta = json.load(open(os.path.join(base, "metadata", f"v{v}.metadata.json")))
+    return meta
+
+
+def ice_resolve(base: str, p: str) -> str:
+    return p if os.path.isabs(p) else os.path.join(base, p)
+
+
+def ice_plan(base: str, meta: dict, snapshot_id: int):
+    """(data_files, pos_delete_files) — each [(path, seq)], live entries."""
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id)
+    data, pos_del = [], []
+    for ml in read_avro(ice_resolve(base, snap["manifest-list"])):
+        for e in read_avro(ice_resolve(base, ml["manifest_path"])):
+            if e["status"] == 2:  # DELETED entry: not part of this snapshot
+                continue
+            df = e["data_file"]
+            seq = e.get("sequence_number", 0)
+            content = df.get("content", 0)
+            path = ice_resolve(base, df["file_path"])
+            if content == 0:
+                data.append((path, seq))
+            elif content == 1:
+                pos_del.append((path, seq))
+            else:
+                raise ValueError(
+                    f"{base}: content={content} (equality deletes) not "
+                    "covered by this checker")
+    return data, pos_del
+
+
+def ice_census(con, base: str, snapshot_id: int):
+    """(n_rows, total_cents) for a snapshot, deletes applied by DuckDB."""
+    meta = ice_meta(base)
+    data, pos_del = ice_plan(base, meta, snapshot_id)
+    if not data:
+        return (0, 0)
+    # one UNION branch per distinct data sequence number, so the spec's
+    # rule (a position delete applies to data files with seq <= its own)
+    # is an inequality join on constants
+    rows_sql = """
+        SELECT parse_filename(filename) AS f, file_row_number AS pos,
+               cents, ? AS dseq
+        FROM read_parquet(?, filename=true, file_row_number=true)
+    """
+    branches, params = [], []
+    by_seq = {}
+    for path, seq in data:
+        by_seq.setdefault(seq, []).append(path)
+    for seq, paths in by_seq.items():
+        branches.append(rows_sql)
+        params += [seq, paths]
+    live = " UNION ALL ".join(branches)
+    if pos_del:
+        del_sql = """
+            SELECT parse_filename(file_path) AS f, pos, ? AS dseq
+            FROM read_parquet(?)
+        """
+        dbranches, dparams = [], []
+        by_dseq = {}
+        for path, seq in pos_del:
+            by_dseq.setdefault(seq, []).append(path)
+        for seq, paths in by_dseq.items():
+            dbranches.append(del_sql)
+            dparams += [seq, paths]
+        dels = " UNION ALL ".join(dbranches)
+        q = f"""
+            WITH data AS ({live}), dels AS ({dels})
+            SELECT count(*), coalesce(sum(cents), 0) FROM data
+            WHERE NOT EXISTS (
+              SELECT 1 FROM dels
+              WHERE dels.f = data.f AND dels.pos = data.pos
+                AND dels.dseq >= data.dseq)
+        """
+        return con.execute(q, params + dparams).fetchone()
+    return con.execute(
+        f"SELECT count(*), coalesce(sum(cents), 0) FROM ({live})",
+        params).fetchone()
+
+
+# ---------------------------------------------------------------------------
+# Hudi: timeline + file-name grammar, live slice per (partition, group).
+
+HUDI_NAME = re.compile(r"^(.+?)_([0-9]+-[0-9]+-[0-9]+)_([0-9]+)\.parquet$")
+
+
+def hudi_unescape(s: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "%" and i + 3 <= len(s):
+            out.append(chr(int(s[i + 1:i + 3], 16)))
+            i += 3
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def hudi_slices(base: str):
+    """{(partition_value, fileId): (instant, path)} — live slices at the
+    latest completed commit; partition value decoded from the hive dir."""
+    hoodie = os.path.join(base, ".hoodie")
+    commits = sorted(f[:-7] for f in os.listdir(hoodie) if f.endswith(".commit"))
+    if not commits:
+        raise ValueError(f"{base}: no completed commits")
+    last = commits[-1]
+    groups = {}
+    for root, dirs, files in os.walk(base):
+        if root.startswith(hoodie):
+            continue
+        for f in files:
+            m = HUDI_NAME.match(f)
+            if not m:
+                continue
+            fid, _, instant = m.groups()
+            if instant not in commits or instant > last:
+                continue
+            rel = os.path.relpath(root, base)
+            seg = "" if rel == "." else rel
+            pval = hudi_unescape(seg.split("=", 1)[1]) if "=" in seg else ""
+            key = (pval, fid)
+            if key not in groups or groups[key][0] < instant:
+                groups[key] = (instant, os.path.join(root, f))
+    return groups
+
+
+def check_hudi(con, base: str, outdir: str):
+    failures = []
+    engine = dump_rows(con, outdir, "q_hudi_partitioned")
+    groups = hudi_slices(base)
+    # phase 1: per-partition census + live-file count
+    by_part = {}
+    for (pval, _), (_, path) in groups.items():
+        by_part.setdefault(pval, []).append(path)
+    ext1 = []
+    for pval in sorted(by_part):
+        n, s = con.execute(
+            "SELECT count(*), coalesce(sum(cents), 0) FROM read_parquet(?)",
+            [by_part[pval]]).fetchone()
+        ext1.append((1, pval, len(by_part[pval]), n, s))
+    eng1 = sorted(tuple(r) for r in engine if r[0] == 1)
+    if eng1 != ext1:
+        failures.append(f"hudi per-partition: external {ext1} vs engine {eng1}")
+    # phase 2: full snapshot
+    allp = [p for ps in by_part.values() for p in ps]
+    n, s = con.execute(
+        "SELECT count(*), coalesce(sum(cents), 0) FROM read_parquet(?)",
+        [allp]).fetchone()
+    eng2 = [tuple(r) for r in engine if r[0] == 2]
+    if eng2 != [(2, "*", len(allp), n, s)]:
+        failures.append(
+            f"hudi full: external {(2, '*', len(allp), n, s)} vs engine {eng2}")
+    # phase 3: incremental read of the LAST instant — groups whose live
+    # slice is that instant, rows it actually wrote
+    last = max(i for i, _ in groups.values())
+    inc = [p for i, p in groups.values() if i == last]
+    n, s = con.execute(
+        "SELECT count(*), coalesce(sum(cents), 0) FROM read_parquet(?) "
+        "WHERE _hoodie_commit_time = ?", [inc, last]).fetchone()
+    eng3 = [tuple(r) for r in engine if r[0] == 3]
+    if eng3 != [(3, "*", len(inc), n, s)]:
+        failures.append(
+            f"hudi incremental: external {(3, '*', len(inc), n, s)} vs engine {eng3}")
+    return failures
+
+
+# ---------------------------------------------------------------------------
+# Comparison against the engine's Verify dumps.
+
+
+def dump_rows(con, outdir: str, name: str):
+    # graft.Verify writes outDir/<name>/; ad-hoc dumps use <name>.parquet/
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d):
+        d = os.path.join(outdir, name + ".parquet")
+    glob_path = os.path.join(d, "*.parquet")
+    return con.execute(
+        f"SELECT * FROM read_parquet('{glob_path}')").fetchall()
+
+
+def check_delta(con, base: str, outdir: str):
+    failures = []
+    engine = dump_rows(con, outdir, "q_delta_part_dml")
+    # phases 0..3: (phase, '*', n_rows, total_cents) per log version
+    for phase in range(4):
+        ext = delta_census(con, base, phase)
+        n = sum(r[1] for r in ext)
+        s = sum(r[2] for r in ext)
+        eng = [r for r in engine if r[0] == phase and r[1] == "*"]
+        if len(eng) != 1 or (eng[0][2], eng[0][3]) != (n, s):
+            failures.append(
+                f"delta v{phase}: external (n={n}, cents={s}) "
+                f"vs engine {eng}")
+    # phase 4: per-priority census at v3 — partition values recovered
+    # from the log, never from the data files
+    ext4 = delta_census(con, base, 3)
+    eng4 = sorted((r[1], r[2], r[3]) for r in engine if r[0] == 4)
+    if eng4 != ext4:
+        failures.append(f"delta by-partition: external {ext4} vs engine {eng4}")
+    return failures
+
+
+def check_iceberg(con, base: str, outdir: str):
+    failures = []
+    engine = {r[0]: (r[1], r[2])
+              for r in dump_rows(con, outdir, "q_iceberg_dml")}
+    for snap in sorted(engine):
+        ext = ice_census(con, base, snap)
+        if tuple(ext) != tuple(engine[snap]):
+            failures.append(
+                f"iceberg snapshot {snap}: external {tuple(ext)} "
+                f"vs engine {tuple(engine[snap])}")
+    return failures
+
+
+def main():
+    if len(sys.argv) != 3:
+        print(__doc__)
+        sys.exit(2)
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    h = java_hash_hex(sfdir)
+    delta_base = f"/tmp/graft_deltaw_{h}/orders_pdml"
+    ice_base = f"/tmp/graft_iceberg_{h}/orders_dml"
+    hudi_base = f"/tmp/graft_hudi_{h}/orders_part"
+    con = duckdb.connect()
+    failures = []
+    for label, base, fn in (("delta", delta_base, check_delta),
+                            ("iceberg", ice_base, check_iceberg),
+                            ("hudi", hudi_base, check_hudi)):
+        if not os.path.isdir(base):
+            failures.append(f"{label}: fixture {base} missing — run "
+                            "graft.Verify on this sfDir first")
+            continue
+        try:
+            fs = fn(con, base, outdir)
+        except Exception as e:  # a parse failure IS a conformance failure
+            fs = [f"{label}: {type(e).__name__}: {e}"]
+        if fs:
+            failures += fs
+            print(f"FAIL {label} ({base})")
+            for f in fs:
+                print(f"  {f}")
+        else:
+            print(f"PASS {label} ({base}) — independent read matches engine")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,9 @@ object Bench {
       // the default 100-entry generated-class cache — every pass then
       // re-compiles Janino classes it just evicted (the r5 suite-wide
       // drift). Static conf, so it must be set before the session exists.
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // Env-overridable for drift bisection (the r11 watch item).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT/codegen/parquet-footer startup is process cost,
@@ -55,7 +57,26 @@ object Bench {
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
       Tables.events(spark, sfDir).count()
     } catch { case _: Throwable => }
-    val named = SparkEntry.queries.toSeq
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated names or prefixes —
+    // run a family in isolation to separate a query's own cost from
+    // suite-context pressure (codegen cache, heap, /tmp churn). Dev
+    // knob only; the driver never sets it.
+    val named0 = SparkEntry.queries.toSeq
+    val named1 = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(sel) =>
+        val pats = sel.split(',').map(_.trim).filter(_.nonEmpty)
+        named0.filter { case (n, _) => pats.exists(n.startsWith) }
+      case None => named0
+    }
+    // SPARK_GRAFT_BENCH_SKIP: exact names to exclude (e.g. replay last
+    // round's query set inside this round's build to separate suite
+    // composition from per-query cost)
+    val named = sys.env.get("SPARK_GRAFT_BENCH_SKIP") match {
+      case Some(sel) =>
+        val skip = sel.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        named1.filterNot { case (n, _) => skip.contains(n) }
+      case None => named1
+    }
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to passes) {
       graft.queries.DedupQueries.evict(spark)

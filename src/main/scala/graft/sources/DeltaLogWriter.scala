@@ -38,16 +38,7 @@ object DeltaLogWriter {
   /** Undo hive-style partition-dir escaping (`%XX`) — dir names are
     * escaped on disk, but `partitionValues` in the log carry the real
     * value (the spec's split between path spelling and metadata). */
-  private def unescapeHive(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == '%' && i + 3 <= s.length)
-        { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
-      else { sb.append(s.charAt(i)); i += 1 }
-    }
-    sb.toString
-  }
+  private def unescapeHive(s: String): String = HivePath.unescape(s)
 
   /** `col=value/...` path prefix → (column, real value) pairs. */
   private def partitionValuePairs(rel: String): Seq[(String, String)] =

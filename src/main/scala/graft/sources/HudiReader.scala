@@ -137,14 +137,52 @@ object HudiReader {
     // changes the token, and a greedy fileId would absorb part of it
     // and split one file group into two
     val name = "^(.+?)_([0-9]+-[0-9]+-[0-9]+)_([0-9]+)\\.parquet$".r
-    Files.walk(Paths.get(base)).iterator.asScala
+    val root = Paths.get(base)
+    Files.walk(root).iterator.asScala
       .filter(p => Files.isRegularFile(p) && !p.startsWith(hoodieDir(base)))
       .flatMap { p =>
         p.getFileName.toString match {
-          case name(fileId, _, instant) => Some(BaseFile(fileId, instant, p.toString))
-          case _                        => None
+          case name(fileId, _, instant) =>
+            // file-group identity is (partition path, fileId) per the
+            // spec — two partitions may reuse a name-level fileId, so
+            // the id is QUALIFIED with the dir it lives under; every
+            // downstream per-group fold (live slices, cleaner,
+            // rollback, incremental pruning) is then partition-correct
+            // with no signature change. Root files keep the bare id.
+            val rel = root.relativize(p.getParent).toString
+            val qualified = if (rel.isEmpty) fileId else s"$rel/$fileId"
+            Some(BaseFile(qualified, instant, p.toString))
+          case _ => None
         }
       }.toSeq
+  }
+
+  /** Declared partition columns (`hoodie.table.partition.fields`);
+    * empty for the bucket-only root layout. */
+  def partitionFields(base: String): Seq[String] =
+    props(base).get("hoodie.table.partition.fields").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** Live files of ONE hive partition (`partCol=value/`) as of `asOf` —
+    * partition pruning for the hive layout: the match is on the
+    * UNESCAPED dir value (dir spelling is `%XX`-escaped on disk), and
+    * nothing outside the partition is listed into the scan. */
+  def sliceFilesWhere(base: String, asOf: String,
+                      partCol: String, value: String): Seq[String] =
+    liveSlices(base, asOf).filter { f =>
+      f.fileId.split('/').dropRight(1)
+        .exists(seg => HivePath.segment(seg).contains(partCol -> value))
+    }.map(_.path).sorted
+
+  /** Partition-pruned snapshot read at the latest commit. */
+  def readWhere(spark: SparkSession, base: String,
+                partCol: String, value: String): DataFrame = {
+    require(partitionFields(base).contains(partCol),
+      s"$base is not partitioned by $partCol " +
+        s"(declared: ${partitionFields(base).mkString(",") match { case "" => "none"; case x => x }})")
+    val files = sliceFilesWhere(base, completedCommits(base).last, partCol, value)
+    require(files.nonEmpty, s"no live files in partition $partCol=$value under $base")
+    spark.read.parquet(files: _*)
   }
 
   /** The live file slice per file group as of `asOf`: max committed

@@ -105,6 +105,80 @@ object HudiWriter {
     instant
   }
 
+  /** One data file per (partition value, bucket) cell: the staging
+    * `partitionBy`s on BOTH dims, so every cell is its own parallel
+    * write task, and the move keeps Spark's OWN hive `%XX` escaping
+    * verbatim as the `partCol=value/` dir — the spec's
+    * hive_style_partitioning layout. The partition column stays IN the
+    * data files too (`__p` is a copy; Hudi's default
+    * drop.partition.columns=false), so any plain parquet reader still
+    * sees full rows. */
+  private def writePartitionedBuckets(spark: SparkSession, df: DataFrame,
+                                      base: String, partCol: String,
+                                      bucketOf: Column, instant: String): Unit = {
+    val tmp = s"$base/.stage"
+    TxnLog.rmrf(tmp)
+    df.withColumn("__p", col(partCol).cast("string"))
+      .withColumn("__g", bucketOf.cast("string"))
+      .repartition(col("__p"), col("__g"))
+      .write.partitionBy("__p", "__g").parquet(tmp)
+    Files.list(Paths.get(tmp)).iterator.asScala
+      .filter(_.getFileName.toString.startsWith("__p=")).foreach { pdir =>
+        val escVal = pdir.getFileName.toString.stripPrefix("__p=")
+        val outDir = Paths.get(base, s"$partCol=$escVal")
+        Files.createDirectories(outDir)
+        Files.list(pdir).iterator.asScala
+          .filter(_.getFileName.toString.startsWith("__g=")).foreach { gdir =>
+            val g = gdir.getFileName.toString.stripPrefix("__g=")
+            val parts = Files.list(gdir).iterator.asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+            require(parts.size == 1, s"cell ($escVal, $g) staged ${parts.size} files")
+            Files.move(parts.head, outDir.resolve(s"g${g}_0-0-0_$instant.parquet"))
+          }
+      }
+    TxnLog.rmrf(tmp)
+  }
+
+  /** Create a HIVE-PARTITIONED CoW table: one file group per
+    * (partition value, key bucket) cell, dirs spelled `partCol=value/`
+    * (hive_style_partitioning, the layout real Hudi tables almost
+    * always have — date/region dims prune at planning time). The
+    * bucket index is PARTITION-LOCAL, Hudi's non-global-index
+    * semantics: a record key identifies a row WITHIN its partition.
+    * Single partition column (nested dirs are a later dimension). */
+  def createPartitioned(spark: SparkSession, df: DataFrame, base: String,
+                        tableName: String, keyCol: String, buckets: Int,
+                        partCol: String): String = {
+    require(df.columns.contains(keyCol), s"no $keyCol column to key on")
+    require(df.columns.contains(partCol), s"no $partCol column to partition on")
+    TxnLog.rmrf(base)
+    Files.createDirectories(Paths.get(base, ".hoodie"))
+    Files.writeString(Paths.get(base, ".hoodie", "hoodie.properties"),
+      s"hoodie.table.name=$tableName\nhoodie.table.type=COPY_ON_WRITE\n" +
+        s"hoodie.table.recordkey.fields=$keyCol\n" +
+        s"hoodie.bucket.index.num.buckets=$buckets\n" +
+        s"hoodie.table.partition.fields=$partCol\n" +
+        "hoodie.datasource.write.hive_style_partitioning=true\n")
+    val instant = pad(1)
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.inflight"), "")
+    writePartitionedBuckets(spark, stampMeta(df, keyCol, partCol, instant),
+      base, partCol, pmod(col(keyCol), lit(buckets)), instant)
+    Files.delete(Paths.get(base, ".hoodie", s"$instant.inflight"))
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.commit"), "{}")
+    instant
+  }
+
+  /** Hudi meta columns incl. `_hoodie_partition_path` (the LOGICAL
+    * `col=value` spelling; the on-disk dir escapes it). */
+  private def stampMeta(df: DataFrame, keyCol: String, partCol: String,
+                        instant: String): DataFrame = {
+    import org.apache.spark.sql.functions.concat
+    df.withColumn("_hoodie_commit_time", lit(instant))
+      .withColumn("_hoodie_record_key", col(keyCol).cast("string"))
+      .withColumn("_hoodie_partition_path",
+        concat(lit(s"$partCol="), col(partCol).cast("string")))
+  }
+
   /** The Hudi CLEANER (KEEP_LATEST_FILE_VERSIONS): per LIVE file group,
     * keep the newest `keepVersions` committed base files and delete
     * the superseded slices — the storage-reclaim half of the CoW
@@ -345,6 +419,10 @@ object HudiWriter {
     import org.apache.spark.sql.functions.ntile
     require(targetGroups >= 1, s"need at least 1 target group, got $targetGroups")
     HudiReader.assertReadable(base)
+    require(HudiReader.partitionFields(base).isEmpty,
+      s"clustering a hive-partitioned table is not written yet — real Hudi " +
+        "clusters per partition (a replacecommit per partition's groups); " +
+        "partitioned tables here keep the (partition, bucket) layout")
     val asOf = HudiReader.completedCommits(base).last
     val live = HudiReader.liveSlices(base, asOf)
     require(live.nonEmpty, s"nothing to cluster under $base")
@@ -403,6 +481,12 @@ object HudiWriter {
     HudiReader.assertReadable(base)
     val key = keyField(base)
     require(df.columns.contains(key), s"upsert batch lacks the record key $key")
+    HudiReader.partitionFields(base) match {
+      case Seq()        => () // bucket-only root layout below
+      case Seq(partCol) => return upsertPartitioned(spark, df, base, key, partCol)
+      case many => throw new IllegalArgumentException(
+        s"multi-column partitioning (${many.mkString(",")}) is not written yet")
+    }
     val instant = nextInstant(base)
     val asOf = HudiReader.completedCommits(base).last
     val live = HudiReader.liveSlices(base, asOf)
@@ -440,6 +524,60 @@ object HudiWriter {
     Files.writeString(Paths.get(base, ".hoodie", s"$instant.inflight"), "")
     writeBuckets(spark, carried.unionByName(stamped), base, col("__fid"), instant,
       fileIdPrefix = "", drop = Seq("__fid"))
+    Files.delete(Paths.get(base, ".hoodie", s"$instant.inflight"))
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.commit"), "{}")
+    instant
+  }
+
+  /** Partition-aware CoW upsert: a row routes to (its OWN partition
+    * value, key mod buckets) — the bucket index is partition-local
+    * (non-global-index semantics: the same key in another partition is
+    * a DIFFERENT record), so replacement anti-joins on (key, partCol).
+    * Only touched cells rewrite; an unseen partition value is a
+    * PARTITION BIRTH (new dir, new groups — the everyday event on a
+    * date-partitioned ingest table). Carried rows re-derive their own
+    * cell deterministically (partition rides in the row, bucket is a
+    * pure key function; partitioned tables never re-route groups —
+    * clustering is refused), so no file-id plumbing is needed. */
+  private def upsertPartitioned(spark: SparkSession, df: DataFrame,
+                                base: String, key: String,
+                                partCol: String): String = {
+    require(df.columns.contains(partCol),
+      s"upsert batch lacks the partition column $partCol")
+    val n = numBuckets(base)
+    val instant = nextInstant(base)
+    val asOf = HudiReader.completedCommits(base).last
+    val live = HudiReader.liveSlices(base, asOf)
+    // cells the batch routes into — bounded by |partitions|·|buckets|,
+    // a metadata-plane collect
+    val cells = df.select(col(partCol).cast("string").as("p"),
+        pmod(col(key), lit(n)).cast("string").as("g"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val liveByCell = live.flatMap { f =>
+      f.fileId.split('/') match {
+        case Array(seg, gid) if gid.startsWith("g") =>
+          HivePath.segment(seg) match {
+            case Some((pc, v)) if pc == partCol =>
+              Some((v, gid.stripPrefix("g")) -> f)
+            case _ => None
+          }
+        case _ => None
+      }
+    }.toMap
+    val touched = cells.toSeq.flatMap(liveByCell.get)
+    val stamped = stampMeta(df, key, partCol, instant)
+    val toWrite =
+      if (touched.isEmpty) stamped // pure birth: nothing to carry
+      else {
+        val old = spark.read.parquet(touched.map(_.path): _*)
+        val carried = old.join(
+          df.select(col(key), col(partCol)).distinct(),
+          Seq(key, partCol), "left_anti")
+        carried.unionByName(stamped.select(carried.columns.map(col).toIndexedSeq: _*))
+      }
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.inflight"), "")
+    writePartitionedBuckets(spark, toWrite, base, partCol,
+      pmod(col(key), lit(n)), instant)
     Files.delete(Paths.get(base, ".hoodie", s"$instant.inflight"))
     Files.writeString(Paths.get(base, ".hoodie", s"$instant.commit"), "{}")
     instant

@@ -341,4 +341,69 @@ class HudiSpec extends SparkSpec {
     // nothing was committed by either attempt
     assert(HudiReader.completedDeltaCommits(base).isEmpty)
   }
+
+  // ---- hive-partitioned layout ------------------------------------------
+
+  private def mkPartitioned(name: String): String = {
+    val base = s"/tmp/graft_hudi_test/$name"
+    val df = spark.createDataFrame(Seq(
+      (0L, "A", 10L), (1L, "A", 11L), (2L, "A", 12L),
+      (1L, "B:2", 20L), (4L, "B:2", 21L))).toDF("k", "p", "v")
+    graft.sources.HudiWriter.createPartitioned(spark, df, base, name, "k", 2, "p")
+    base
+  }
+
+  test("partitioned upsert: pruned reads, partition birth, non-global keys") {
+    val base = mkPartitioned("part_upsert")
+    // the colon in 'B:2' must be hive-escaped on disk (%3A; spaces
+    // stay verbatim — Spark/Hive's escape set, probed empirically) …
+    assert(Files.isDirectory(Paths.get(base, "p=B%3A2")),
+      "partition dir spelling must be hive-escaped")
+    // … and invisible to the pruned read (matched on the REAL value)
+    assert(ids(HudiReader.readWhere(spark, base, "p", "B:2")
+      .selectExpr("k AS id")) == Seq(1L, 4L))
+    val ups = spark.createDataFrame(Seq(
+      (1L, "A", 111L),   // in-place update of A's bucket-1 group
+      (9L, "C", 90L)     // PARTITION BIRTH
+    )).toDF("k", "p", "v")
+    graft.sources.HudiWriter.upsert(spark, ups, base)
+    val all = HudiReader.read(spark, base)
+    assert(all.count() == 6L)
+    // non-global index: k=1 exists in A (updated) AND in B:2 (untouched)
+    val k1 = all.filter("k = 1").select("p", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(k1 == Map("A" -> 111L, "B:2" -> 20L))
+    assert(ids(HudiReader.readWhere(spark, base, "p", "C")
+      .selectExpr("v AS id")) == Seq(90L))
+    // untouched partition's files were NOT rewritten
+    val bFiles = HudiReader.baseFiles(base).filter(_.fileId.startsWith("p=B%3A2/"))
+    assert(bFiles.nonEmpty && bFiles.forall(_.instant == "001"))
+    // incremental read of the upsert = exactly the batch, from exactly
+    // the touched cells
+    assert(HudiReader.incrementalFiles(base, "001", "002").size == 2)
+    assert(ids(HudiReader.readIncremental(spark, base, "001", "002")
+      .selectExpr("v AS id")) == Seq(90L, 111L))
+    // pruned listing never leaves the partition dir
+    val aFiles = HudiReader.sliceFilesWhere(base,
+      HudiReader.completedCommits(base).last, "p", "A")
+    assert(aFiles.size == 2 && aFiles.forall(_.contains("/p=A/")))
+  }
+
+  test("cleaner reclaims superseded slices per (partition, group)") {
+    val base = mkPartitioned("part_clean")
+    val ups = spark.createDataFrame(Seq((0L, "A", 100L))).toDF("k", "p", "v")
+    graft.sources.HudiWriter.upsert(spark, ups, base) // rewrites A/g0 only
+    val deleted = graft.sources.HudiWriter.clean(spark, base)
+    assert(deleted == 1, s"exactly A/g0's superseded slice, got $deleted")
+    assert(HudiReader.read(spark, base).count() == 5L)
+    assert(ids(HudiReader.readWhere(spark, base, "p", "A")
+      .filter("k = 0").selectExpr("v AS id")) == Seq(100L))
+  }
+
+  test("clustering a partitioned table is refused loudly") {
+    val base = mkPartitioned("part_cluster")
+    val e = intercept[IllegalArgumentException](
+      graft.sources.HudiWriter.cluster(spark, base, 2))
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+  }
 }
