@@ -21,6 +21,13 @@ Checked fixtures (written by graft.Verify's run of the graded queries):
       compares (n_rows, total_cents) per version plus the per-priority
       census at v3 against the engine's Verify dump.
 
+  q_delta_dv        /tmp/graft_deltaw_<hex(sfDir.hashCode)>/orders_dv
+      Delta table whose two DELETEs committed DELETION VECTORS instead
+      of rewrites. The checker decodes the descriptors itself — Z85,
+      the DV file frame (BE size + payload + CRC32), and the 64-bit
+      RoaringBitmapArray (array/bitset containers) — and applies the
+      masks by (file, row-ordinal) anti-join in DuckDB.
+
   q_iceberg_dml     /tmp/graft_iceberg_<hex(sfDir.hashCode)>/orders_dml
       Iceberg v2 table after create + two position-delete commits.
       Walks version-hint → metadata.json → manifest-list Avro →
@@ -255,6 +262,99 @@ def read_avro(path: str):
 
 
 # ---------------------------------------------------------------------------
+# Delta deletion vectors: Z85 codec + DV file frame + 64-bit
+# RoaringBitmapArray decode (array/bitset containers; RUN containers —
+# which this engine's writer never emits — fail loudly, not silently).
+
+Z85 = ("0123456789abcdefghijklmnopqrstuvwxyz"
+       "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+Z85_INV = {c: i for i, c in enumerate(Z85)}
+
+
+def z85_decode(s: str) -> bytes:
+    if len(s) % 5:
+        raise ValueError(f"z85 length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for c in s[i:i + 5]:
+            v = v * 85 + Z85_INV[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def roaring_positions(payload: bytes):
+    """Sorted row indexes of a RoaringBitmapArray payload."""
+    if int.from_bytes(payload[0:4], "little") != 1681511377:
+        raise ValueError("bad RoaringBitmapArray magic")
+    n_maps = int.from_bytes(payload[4:12], "little")
+    pos, out = 12, []
+    for high in range(n_maps):
+        cookie = int.from_bytes(payload[pos:pos + 4], "little")
+        if cookie & 0xFFFF == 12347:
+            raise ValueError("RUN-container roaring bitmap — not covered "
+                             "by this checker (engine writer never emits it)")
+        if cookie != 12346:
+            raise ValueError(f"bad roaring cookie {cookie}")
+        n = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        hdr = pos + 8
+        keys, cards = [], []
+        for i in range(n):
+            keys.append(int.from_bytes(payload[hdr + 4 * i:hdr + 4 * i + 2], "little"))
+            cards.append(int.from_bytes(
+                payload[hdr + 4 * i + 2:hdr + 4 * i + 4], "little") + 1)
+        p = hdr + 4 * n + 4 * n  # skip the offset header
+        for key, card in zip(keys, cards):
+            if card <= 4096:
+                vals = [int.from_bytes(payload[p + 2 * j:p + 2 * j + 2], "little")
+                        for j in range(card)]
+                p += 2 * card
+            else:
+                vals = [b * 8 + bit for b in range(8192)
+                        if payload[p + b]
+                        for bit in range(8) if payload[p + b] >> bit & 1]
+                p += 8192
+            out += [(high << 32) | (key << 16) | v for v in vals]
+        pos = p
+    return out
+
+
+def dv_positions(base: str, dv: dict):
+    """Decode an add action's deletionVector descriptor to positions."""
+    st = dv["storageType"]
+    size = dv["sizeInBytes"]
+    if st == "i":
+        payload = z85_decode(dv["pathOrInlineDv"])[:size]
+    elif st in ("u", "p"):
+        if st == "p":
+            path = dv["pathOrInlineDv"]
+        else:
+            s = dv["pathOrInlineDv"]
+            prefix, z = s[:-20], s[-20:]
+            raw = z85_decode(z)
+            u = raw.hex()
+            uuid = f"{u[0:8]}-{u[8:12]}-{u[12:16]}-{u[16:20]}-{u[20:32]}"
+            d = os.path.join(base, prefix) if prefix else base
+            path = os.path.join(d, f"deletion_vector_{uuid}.bin")
+        blob = open(path, "rb").read()
+        off = dv.get("offset", 0)
+        n = int.from_bytes(blob[off:off + 4], "big")
+        if n != size:
+            raise ValueError(f"DV frame size {n} != descriptor {size}")
+        payload = blob[off + 4:off + 4 + n]
+        crc = zlib.crc32(payload) & 0xFFFFFFFF
+        if crc != int.from_bytes(blob[off + 4 + n:off + 8 + n], "big"):
+            raise ValueError("DV payload CRC mismatch")
+    else:
+        raise ValueError(f"unknown DV storageType {st}")
+    got = roaring_positions(payload)
+    if len(got) != dv.get("cardinality", len(got)):
+        raise ValueError(
+            f"DV cardinality {dv['cardinality']} != decoded {len(got)}")
+    return got
+
+
+# ---------------------------------------------------------------------------
 # Delta: replay the JSON commit log independently.
 
 
@@ -275,10 +375,6 @@ def delta_state(base: str, version: int):
                 part_cols = action["metaData"].get("partitionColumns", [])
             elif "add" in action:
                 a = action["add"]
-                if a.get("deletionVector"):
-                    raise ValueError(
-                        f"{base}@{v}: add with deletionVector — this "
-                        "checker only covers CoW tables")
                 adds[a["path"]] = a
             elif "remove" in action:
                 adds.pop(action["remove"]["path"], None)
@@ -286,16 +382,26 @@ def delta_state(base: str, version: int):
 
 
 def delta_census(con, base: str, version: int):
-    """[(partition_value_or_*, n_rows, total_cents)] from a raw scan."""
+    """[(partition_value_or_*, n_rows, total_cents)] from a raw scan,
+    deletion vectors applied by (file, row-ordinal) anti-join."""
     adds, part_cols = delta_state(base, version)
     if not adds:
         return [("*", 0, 0)]
     per_file = {}
     for path, a in adds.items():
         full = os.path.join(base, path)
-        n, s = con.execute(
-            "SELECT count(*), coalesce(sum(cents), 0) FROM read_parquet(?)",
-            [full]).fetchone()
+        dv = a.get("deletionVector")
+        if dv:
+            masked = dv_positions(base, dv)
+            n, s = con.execute(
+                "SELECT count(*), coalesce(sum(cents), 0) "
+                "FROM read_parquet(?, file_row_number=true) "
+                "WHERE file_row_number NOT IN (SELECT unnest(?::BIGINT[]))",
+                [full, masked]).fetchone()
+        else:
+            n, s = con.execute(
+                "SELECT count(*), coalesce(sum(cents), 0) FROM read_parquet(?)",
+                [full]).fetchone()
         pv = a.get("partitionValues", {})
         key = pv.get(part_cols[0], "*") if part_cols else "*"
         agg = per_file.setdefault(key, [0, 0])
@@ -513,6 +619,22 @@ def check_delta(con, base: str, outdir: str):
     return failures
 
 
+def check_delta_dv(con, base: str, outdir: str):
+    """q_delta_dv: DV-masked censuses at versions 0..2 — exercises the
+    z85/frame/roaring decode path against the engine's own masks."""
+    failures = []
+    engine = {r[0]: (r[1], r[2]) for r in dump_rows(con, outdir, "q_delta_dv")}
+    for version in sorted(engine):
+        ext = delta_census(con, base, version)
+        n = sum(r[1] for r in ext)
+        s = sum(r[2] for r in ext)
+        if (n, s) != tuple(engine[version]):
+            failures.append(
+                f"delta-dv v{version}: external ({n}, {s}) "
+                f"vs engine {tuple(engine[version])}")
+    return failures
+
+
 def check_iceberg(con, base: str, outdir: str):
     failures = []
     engine = {r[0]: (r[1], r[2])
@@ -537,7 +659,9 @@ def main():
     hudi_base = f"/tmp/graft_hudi_{h}/orders_part"
     con = duckdb.connect()
     failures = []
+    dv_base = f"/tmp/graft_deltaw_{h}/orders_dv"
     for label, base, fn in (("delta", delta_base, check_delta),
+                            ("delta-dv", dv_base, check_delta_dv),
                             ("iceberg", ice_base, check_iceberg),
                             ("hudi", hudi_base, check_hudi)):
         if not os.path.isdir(base):

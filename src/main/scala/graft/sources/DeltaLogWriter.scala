@@ -1166,13 +1166,18 @@ object DeltaLogWriter {
     if (affectedAbs.isEmpty) return (0, 0L)
     val affectedRel = affectedAbs.map(a => relByAbs.getOrElse(a,
       throw new IllegalStateException(s"matched file $a not in the live set")))
-    val inAffected = scan.filter(col("__path").isin(affectedAbs: _*))
+    // every re-read below binds to the TOUCHED files (a __path filter
+    // would not prune at the source — it binds _metadata per row);
+    // the full scan runs exactly once, for file discovery above
+    val affectedRelSet = affectedRel.toSet
+    val inAffected = dmlScanAll(spark,
+      ctx.copy(live = ctx.live.filter(a => affectedRelSet.contains(a.path))))
     // SQL DML semantics: a row is matched only when the predicate is
     // TRUE — rows where it evaluates to NULL (e.g. a NULL column under
     // ===) must survive the rewrite, so the survivor filter is
     // NOT-null-safe-true, not the plain negation (which is NULL too)
     val survivors = inAffected.filter(!predicate.eqNullSafe(true)).drop("__path")
-    val hit = matched.drop("__path")
+    val hit = inAffected.filter(predicate).drop("__path")
     val nMatched = hit.count()
     val next = ctx.version + 1
     // post-images keep their row ids (the spec: _row_id is stable
@@ -1271,6 +1276,21 @@ object DeltaLogWriter {
       .collect().map(_.getString(0)).toSeq.sorted
     val affectedRel = affectedAbs.map(a => relByAbs.getOrElse(a,
       throw new IllegalStateException(s"matched file $a not in the live set")))
+    // matched rows live ONLY in the affected files, so every re-read
+    // below (pre-images, survivors, id mapping) scans the TOUCHED
+    // subset, not the table — at 100 TB the full scan runs exactly
+    // twice: file discovery above and the column-pruned key census
+    // (tableKeys) that splits updates from inserts. A __path filter
+    // would not prune files (it binds _metadata per row); restricting
+    // ctx.live re-plans the scan over the subset's paths.
+    val affectedSet = affectedRel.toSet
+    // a pure-insert merge touches no file at all — the affected scan
+    // is the empty frame, never an empty-snapshot plan
+    val scanA =
+      if (affectedRel.isEmpty) scan.limit(0)
+      else dmlScanAll(spark,
+        ctx.copy(live = ctx.live.filter(a => affectedSet.contains(a.path))))
+    val matchedA = scanA.join(srcKeys, keyCol)
     val matCols = if (ctx.rtConf.isEmpty) Seq.empty[String] else Seq(ctx.matId, ctx.matVer)
     val cols = scan.drop("__path").drop(matCols: _*).columns.toIndexedSeq
     val next = ctx.version + 1
@@ -1285,13 +1305,12 @@ object DeltaLogWriter {
     val (updSrc, insSrc) =
       if (ctx.rtConf.isEmpty) (updSrc0, insSrc0)
       else (
-        updSrc0.join(broadcast(matched.select(col(keyCol), col(ctx.matId)).distinct()), keyCol)
+        updSrc0.join(broadcast(matchedA.select(col(keyCol), col(ctx.matId)).distinct()), keyCol)
           .withColumn(ctx.matVer, lit(next)),
         insSrc0.withColumn(ctx.matId, lit(null).cast("long"))
           .withColumn(ctx.matVer, lit(next)))
-    val survivors = scan.filter(col("__path").isin(affectedAbs: _*))
-      .join(srcKeys, Seq(keyCol), "left_anti").drop("__path")
-    val pre = matched.select(cols.map(col): _*)
+    val survivors = scanA.join(srcKeys, Seq(keyCol), "left_anti").drop("__path")
+    val pre = matchedA.select(cols.map(col): _*)
     val nUpd = pre.count()
     val nIns = insSrc0.count()
     require(nUpd + nIns > 0, "MERGE source matches nothing and inserts nothing")
@@ -1353,6 +1372,18 @@ object DeltaLogWriter {
     val hit = tagged.filter(isDel || isUpd || isBySrcDel)
     val affectedAbs = hit.select("__path").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
+    // every firing row lives in an affected file — re-reads below bind
+    // to the touched subset (same discipline as [[merge]]); the full
+    // scan runs once for discovery + once column-pruned for tableKeys
+    val affectedRelSet = affectedAbs
+      .map(a => relByAbs.getOrElse(a,
+        throw new IllegalStateException(s"matched file $a not in the live set")))
+      .toSet
+    val taggedA =
+      (if (affectedAbs.isEmpty) scan.limit(0)
+       else dmlScanAll(spark,
+         ctx.copy(live = ctx.live.filter(a => affectedRelSet.contains(a.path)))))
+        .join(marker, Seq(keyCol), "left")
     val matCols = if (ctx.rtConf.isEmpty) Seq.empty[String] else Seq(ctx.matId, ctx.matVer)
     val cols = scan.drop("__path").drop(matCols: _*).columns.toIndexedSeq
     val next = ctx.version + 1
@@ -1363,21 +1394,21 @@ object DeltaLogWriter {
       else src.join(tableKeys, keyCol, "left_anti").select(cols.map(col): _*)
     // the update clause's replacement rows: source rows keyed to the
     // rows isUpd selected (a matched-DELETE key must NOT also update)
-    val updKeys = broadcast(tagged.filter(isUpd).select(col(keyCol)).distinct())
+    val updKeys = broadcast(taggedA.filter(isUpd).select(col(keyCol)).distinct())
     val updSrc0 = src.join(updKeys, keyCol, "left_semi").select(cols.map(col): _*)
     val (updSrc, insSrc) =
       if (ctx.rtConf.isEmpty) (updSrc0, insSrc0)
       else (
-        updSrc0.join(broadcast(tagged.filter(isUpd)
+        updSrc0.join(broadcast(taggedA.filter(isUpd)
             .select(col(keyCol), col(ctx.matId)).distinct()), keyCol)
           .withColumn(ctx.matVer, lit(next)),
         insSrc0.withColumn(ctx.matId, lit(null).cast("long"))
           .withColumn(ctx.matVer, lit(next)))
-    val survivors = tagged.filter(col("__path").isin(affectedAbs: _*))
+    val survivors = taggedA
       .filter(!(isDel || isUpd || isBySrcDel)).drop("__path", "__src")
-    val delRows = tagged.filter(isDel).select(cols.map(col): _*)
-    val bySrcRows = tagged.filter(isBySrcDel).select(cols.map(col): _*)
-    val updPre = tagged.filter(isUpd).select(cols.map(col): _*)
+    val delRows = taggedA.filter(isDel).select(cols.map(col): _*)
+    val bySrcRows = taggedA.filter(isBySrcDel).select(cols.map(col): _*)
+    val updPre = taggedA.filter(isUpd).select(cols.map(col): _*)
     val nDel = delRows.count()
     val nUpd = updPre.count()
     val nIns = insSrc0.count()
