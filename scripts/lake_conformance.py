@@ -426,9 +426,12 @@ def ice_resolve(base: str, p: str) -> str:
 
 
 def ice_plan(base: str, meta: dict, snapshot_id: int):
-    """(data_files, pos_delete_files) — each [(path, seq)], live entries."""
+    """(data_files, pos_delete_files, dvs) — data/pos as [(path, seq)],
+    dvs as [(referenced_path, puffin_path, content_offset)] (the v3
+    shape: at most one DELETION VECTOR per data file, applied
+    regardless of sequence)."""
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id)
-    data, pos_del = [], []
+    data, pos_del, dvs = [], [], []
     for ml in read_avro(ice_resolve(base, snap["manifest-list"])):
         for e in read_avro(ice_resolve(base, ml["manifest_path"])):
             if e["status"] == 2:  # DELETED entry: not part of this snapshot
@@ -439,19 +442,35 @@ def ice_plan(base: str, meta: dict, snapshot_id: int):
             path = ice_resolve(base, df["file_path"])
             if content == 0:
                 data.append((path, seq))
+            elif content == 1 and df.get("referenced_data_file"):
+                dvs.append((ice_resolve(base, df["referenced_data_file"]),
+                            path, df["content_offset"]))
             elif content == 1:
                 pos_del.append((path, seq))
             else:
                 raise ValueError(
                     f"{base}: content={content} (equality deletes) not "
                     "covered by this checker")
-    return data, pos_del
+    return data, pos_del, dvs
+
+
+def puffin_frame_positions(path: str, offset: int):
+    """Decode the v3 deletion-vector blob at `offset` in a Puffin file:
+    <4B BE length><magic D1D33964 + 64-bit roaring><4B BE CRC32> — the
+    payload is byte-compatible with Delta's DV format."""
+    blob = open(path, "rb").read()
+    n = int.from_bytes(blob[offset:offset + 4], "big")
+    payload = blob[offset + 4:offset + 4 + n]
+    crc = zlib.crc32(payload) & 0xFFFFFFFF
+    if crc != int.from_bytes(blob[offset + 4 + n:offset + 8 + n], "big"):
+        raise ValueError(f"puffin DV blob CRC mismatch at {path}+{offset}")
+    return roaring_positions(payload)
 
 
 def ice_census(con, base: str, snapshot_id: int):
     """(n_rows, total_cents) for a snapshot, deletes applied by DuckDB."""
     meta = ice_meta(base)
-    data, pos_del = ice_plan(base, meta, snapshot_id)
+    data, pos_del, dvs = ice_plan(base, meta, snapshot_id)
     if not data:
         return (0, 0)
     # one UNION branch per distinct data sequence number, so the spec's
@@ -470,7 +489,7 @@ def ice_census(con, base: str, snapshot_id: int):
         branches.append(rows_sql)
         params += [seq, paths]
     live = " UNION ALL ".join(branches)
-    if pos_del:
+    if pos_del or dvs:
         del_sql = """
             SELECT parse_filename(file_path) AS f, pos, ? AS dseq
             FROM read_parquet(?)
@@ -482,6 +501,16 @@ def ice_census(con, base: str, snapshot_id: int):
         for seq, paths in by_dseq.items():
             dbranches.append(del_sql)
             dparams += [seq, paths]
+        if dvs:
+            # a v3 DV masks its referenced file unconditionally — model
+            # it as a delete row with an unreachable sequence number
+            con.execute("CREATE OR REPLACE TEMP TABLE dv_rows (f VARCHAR, pos BIGINT)")
+            for ref, puffin, off in dvs:
+                f = os.path.basename(ref)
+                con.executemany("INSERT INTO dv_rows VALUES (?, ?)",
+                                [(f, p) for p in puffin_frame_positions(puffin, off)])
+            dbranches.append(
+                "SELECT f, pos, 4611686018427387904 AS dseq FROM dv_rows")
         dels = " UNION ALL ".join(dbranches)
         q = f"""
             WITH data AS ({live}), dels AS ({dels})
@@ -635,10 +664,9 @@ def check_delta_dv(con, base: str, outdir: str):
     return failures
 
 
-def check_iceberg(con, base: str, outdir: str):
+def check_iceberg(con, base: str, outdir: str, dump: str = "q_iceberg_dml"):
     failures = []
-    engine = {r[0]: (r[1], r[2])
-              for r in dump_rows(con, outdir, "q_iceberg_dml")}
+    engine = {r[0]: (r[1], r[2]) for r in dump_rows(con, outdir, dump)}
     for snap in sorted(engine):
         ext = ice_census(con, base, snap)
         if tuple(ext) != tuple(engine[snap]):
@@ -646,6 +674,12 @@ def check_iceberg(con, base: str, outdir: str):
                 f"iceberg snapshot {snap}: external {tuple(ext)} "
                 f"vs engine {tuple(engine[snap])}")
     return failures
+
+
+def check_iceberg_v3(con, base: str, outdir: str):
+    """q_iceberg_v3_dv: format-v3 table whose deletes are Puffin
+    deletion-vector blobs located by the manifest's content_offset."""
+    return check_iceberg(con, base, outdir, dump="q_iceberg_v3_dv")
 
 
 def main():
@@ -660,9 +694,11 @@ def main():
     con = duckdb.connect()
     failures = []
     dv_base = f"/tmp/graft_deltaw_{h}/orders_dv"
+    v3_base = f"/tmp/graft_iceberg_{h}/orders_v3dv"
     for label, base, fn in (("delta", delta_base, check_delta),
                             ("delta-dv", dv_base, check_delta_dv),
                             ("iceberg", ice_base, check_iceberg),
+                            ("iceberg-v3-dv", v3_base, check_iceberg_v3),
                             ("hudi", hudi_base, check_hudi)):
         if not os.path.isdir(base):
             failures.append(f"{label}: fixture {base} missing — run "

@@ -1071,21 +1071,36 @@ object IcebergWriter {
     val tmp = s"$base/.stage-eqdel$snap"
     TxnLog.rmrf(tmp)
     source.select(eqCols.map(col): _*).distinct()
-      .repartition(1).sortWithinPartitions(eqCols.map(col): _*)
+      .repartitionByRange(math.max(1, spark.sparkContext.defaultParallelism / 4),
+        eqCols.map(col): _*)
+      .sortWithinPartitions(eqCols.map(col): _*)
       .write.parquet(tmp)
-    val src = Files.list(Paths.get(tmp)).iterator.asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("no eq-delete file staged"))
-    val nKeys = spark.read.parquet(src.toString).count()
+    // same staging discipline as deleteWhere: one spec-legal eq-delete
+    // file per non-empty range partition (the manifest lists them
+    // all) — a wide CDC batch never funnels through a single sort task
+    val staged = Files.list(Paths.get(tmp)).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+    require(staged.nonEmpty, "no eq-delete file staged")
+    val counts = spark.read.parquet(staged.map(_.toString): _*)
+      .groupBy(col("_metadata.file_name").as("f"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nonEmpty = staged.filter(p => counts.get(p.getFileName.toString).exists(_ > 0))
+    val nKeys = counts.values.sum
     require(nKeys > 0, "upsertEq with an empty source")
-    val delRel = s"data/eqdel-s$snap.parquet"
-    Files.move(src, Paths.get(base, delRel))
+    val delRels = nonEmpty.zipWithIndex.map { case (p, i) =>
+      val rel = s"data/eqdel-s$snap-$i.parquet"
+      val n = counts(p.getFileName.toString)
+      Files.move(p, Paths.get(base, rel))
+      (rel, n)
+    }
     TxnLog.rmrf(tmp)
     val files = writeData(spark, source, base, snap)
     writeV2Manifest(spark, base, s"metadata/m$snap.avro",
       carriedEntries(scan, base) ++
-        files.map { case (p, n) => (1, p, n, 0, snap.toLong) } :+
-        ((1, delRel, nKeys, 2, snap.toLong)))
+        files.map { case (p, n) => (1, p, n, 0, snap.toLong) } ++
+        delRels.map { case (rel, n) => (1, rel, n, 2, snap.toLong) })
     writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
     writeMeta(base, v + 1, current = snap,
       snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
