@@ -41,7 +41,19 @@ object ShardedRank {
     */
   def withRowNumber(df: DataFrame, rnCol: String, nCol: String, sortCols: Column*): DataFrame = {
     val shards = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.repartitionByRange(shards, sortCols: _*)
+    // The range exchange is MATERIALIZED (eager localCheckpoint) so the
+    // main and census branches read the SAME shard assignment.
+    // RangePartitioner's boundary sampling is seeded by the RDD id — a
+    // fresh id per evaluation — so two evaluations of the exchange pick
+    // DIFFERENT boundaries and the census offsets stop matching the
+    // main branch's partitions (observed: duplicate + gapped row
+    // numbers whenever the consumer is a WRITE, where exchange reuse
+    // does not kick in the way it does under one action). Exchange
+    // reuse is an optimization, not a guarantee; the checkpoint makes
+    // the consistency unconditional. Cost: one materialization of the
+    // ranged data to executor storage — the honest price of a
+    // deterministic two-pass numbering at any scale.
+    val ranged = df.repartitionByRange(shards, sortCols: _*).localCheckpoint(true)
     val local = ranged
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
