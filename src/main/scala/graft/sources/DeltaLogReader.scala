@@ -275,7 +275,11 @@ object DeltaLogReader {
   /** Reader features this engine honors (the table-features protocol:
     * minReaderVersion=3 lists the features a reader MUST implement). */
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "v2Checkpoint")
+    // typeWidening/timestampNtz are honored because every scan enforces
+    // the LOG schema (tableSchema → spark.read.schema) and Spark's
+    // parquet reader upcasts narrow physical types natively
+    Set("deletionVectors", "columnMapping", "v2Checkpoint",
+      "typeWidening", "timestampNtz")
 
   /** Fail fast on tables this minimal reader cannot honor. Version 1
     * needs nothing; version 2 is column mapping by protocol version

@@ -151,28 +151,37 @@ object DeltaLogWriter {
     colMap.fold(df)(_.foldLeft(df) { case (d, (l, p)) =>
       if (l != p && d.columns.contains(p)) d.withColumnRenamed(p, l) else d })
 
-  /** On a `mode=id` table, every written file must EMBED the parquet
-    * field ids (id-based readers refuse files without them) — re-select
-    * the physical frame with `parquet.field.id` metadata per mapped
-    * column and make sure the writer conf is on. No-op otherwise. */
+  /** On a COLUMN-MAPPED table (either mode), every written file must
+    * EMBED the parquet field ids — the spec's writer requirement in
+    * BOTH modes, and what id-based readers (including the DSv2 front
+    * door's field-id scan) bind by; files without ids fail loudly
+    * there rather than mis-bind. Re-select the physical frame with
+    * `parquet.field.id` metadata per mapped column and make sure the
+    * writer conf is on. No-op on unmapped tables. */
   private def stampFieldIds(spark: SparkSession, df: DataFrame, base: String,
                             version: Long): DataFrame =
-    if (!DeltaLogReader.columnMappingMode(Some(spark), base, version).contains("id")) df
-    else {
-      import org.apache.spark.sql.types.MetadataBuilder
-      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-      val logical = DeltaLogReader.columnMappingSchema(Some(spark), base, version).get
-      val idOfPhys = logical.fields.map(f =>
-        f.metadata.getString("delta.columnMapping.physicalName") ->
-          f.metadata.getLong("delta.columnMapping.id")).toMap
-      df.select(df.columns.map { c =>
-        idOfPhys.get(c) match {
-          case Some(id) => col(c).as(c,
-            new MetadataBuilder().putLong("parquet.field.id", id).build())
-          case None => col(c)
-        }
-      }.toIndexedSeq: _*)
+    DeltaLogReader.columnMappingSchema(Some(spark), base, version) match {
+      case None => df
+      case Some(logical) =>
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        val idOfPhys = logical.fields.map(f =>
+          f.metadata.getString("delta.columnMapping.physicalName") ->
+            f.metadata.getLong("delta.columnMapping.id")).toMap
+        stampIds(df, idOfPhys)
     }
+
+  /** Re-select `df` so each named column carries `parquet.field.id`
+    * metadata (the writer conf must already be on). */
+  private def stampIds(df: DataFrame, idOf: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.types.MetadataBuilder
+    df.select(df.columns.map { c =>
+      idOf.get(c) match {
+        case Some(id) => col(c).as(c,
+          new MetadataBuilder().putLong("parquet.field.id", id).build())
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
+  }
 
   /** Everything a DML op needs to know about the table at its latest
     * version — resolved ONCE per statement. */
@@ -346,6 +355,25 @@ object DeltaLogWriter {
       s"""{"metaData":{"id":"${esc(tableId)}","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":"${esc(df.schema.json)}","partitionColumns":$pcols,""" +
         s""""configuration":{},"createdTime":0}}""") ++ addActions(spark, base, rels, statsFor))
+  }
+
+  /** Create an EMPTY table — schema-only version 0, the catalog's
+    * `CREATE TABLE` shape: no data files; the first append populates
+    * it (CTAS is createEmpty + append in Spark's non-staging v2
+    * flow). */
+  def createEmpty(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+                  base: String, tableId: String,
+                  partitionBy: Seq[String] = Nil): Unit = {
+    require(partitionBy.forall(schema.fieldNames.contains),
+      s"partition columns ${partitionBy.mkString(",")} must exist in the schema")
+    TxnLog.rmrf(base)
+    Files.createDirectories(Paths.get(base))
+    val pc = partitionBy.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
+    commit(base, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"${esc(tableId)}","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${esc(schema.json)}","partitionColumns":$pc,""" +
+        s""""configuration":{},"createdTime":0}}"""))
   }
 
   /** Create a LIQUID-CLUSTERED Delta table (the `clustering` +
@@ -555,10 +583,18 @@ object DeltaLogWriter {
     * names), the data staged under PHYSICAL names and partition dirs on
     * a mapped table, fresh row-id ranges + the domain bump on a
     * row-tracked one. */
-  private def appendWith(spark: SparkSession, df: DataFrame, base: String,
+  private def appendWith(spark: SparkSession, df0: DataFrame, base: String,
                          statsFor: Seq[String], extraActions: Seq[String],
-                         operation: String): Unit = {
+                         operation: String, identityAssigned: Boolean = false): Unit = {
     val version = DeltaLogReader.latestVersion(base) + 1
+    // GENERATED columns first (a CHECK may reference one): absent →
+    // computed, provided → validated row-by-row before anything stages
+    val df = applyGenerated(spark, df0, base, version - 1)
+    identityColOf(spark, base, version - 1).foreach { idf =>
+      require(identityAssigned,
+        s"$base declares IDENTITY column ${idf.name} with allowExplicitInsert=false — " +
+          "use appendIdentity, which assigns ids above the high-water mark")
+    }
     DeltaLogReader.constraintsOf(Some(spark), base, version - 1).foreach { case (name, e) =>
       import org.apache.spark.sql.functions.{expr => sqlExpr}
       val bad = df.filter(!sqlExpr(e).eqNullSafe(true)).count()
@@ -656,7 +692,12 @@ object DeltaLogWriter {
     TxnLog.rmrf(base)
     val phys = df.schema.fields.zipWithIndex.map { case (f, i) => f.name -> s"col-${i + 1}" }
     val physDf = phys.foldLeft(df) { case (d, (l, p)) => d.withColumnRenamed(l, p) }
-    val rels = writeData(physDf, base, 0L)
+    // name-mode files embed field ids too (the spec requires them in
+    // BOTH modes) — what the DSv2 front door's field-id scan binds by
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val rels = writeData(
+      stampIds(physDf, phys.zipWithIndex.map { case ((_, p), i) => p -> (i + 1L) }.toMap),
+      base, 0L)
     val logical = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
       StructField(f.name, f.dataType, f.nullable, new MetadataBuilder()
         .putLong("delta.columnMapping.id", i + 1L)
@@ -707,6 +748,320 @@ object DeltaLogWriter {
       addActions(spark, base, rels))
   }
 
+  /** The declared GENERATED columns of `version`'s schema —
+    * (field, sql expression) pairs from `delta.generationExpression`
+    * field metadata. */
+  private def generatedOf(spark: SparkSession, base: String, version: Long) =
+    DeltaLogReader.tableSchema(Some(spark), base, version).toSeq
+      .flatMap(_.fields)
+      .filter(_.metadata.contains("delta.generationExpression"))
+
+  /** The IDENTITY column of `version`'s schema, if one is declared
+    * (`delta.identity.start` field metadata). */
+  private def identityColOf(spark: SparkSession, base: String, version: Long) =
+    DeltaLogReader.tableSchema(Some(spark), base, version).toSeq
+      .flatMap(_.fields)
+      .find(_.metadata.contains("delta.identity.start"))
+
+  /** Enforce the GENERATED-column contract on an incoming batch — the
+    * spec's writer obligation: a declared column ABSENT from the batch
+    * is computed from its expression; one PROVIDED must satisfy the
+    * expression on every row (NULL-safe — a divergent batch aborts
+    * with nothing staged). Expressions bind LOGICAL names, so this
+    * runs before any physical rename. */
+  private def applyGenerated(spark: SparkSession, df: DataFrame, base: String,
+                             version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{expr => sqlExpr}
+    generatedOf(spark, base, version).foldLeft(df) { (d, f) =>
+      val e = f.metadata.getString("delta.generationExpression")
+      if (!d.columns.contains(f.name)) d.withColumn(f.name, sqlExpr(e))
+      else {
+        val bad = d.filter(!col(f.name).eqNullSafe(sqlExpr(e))).count()
+        require(bad == 0L,
+          s"batch provides generated column ${f.name} but $bad rows violate " +
+            s"its expression ($e) — transaction aborted")
+        d
+      }
+    }
+  }
+
+  /** A replacement metaData action carrying `schema` wholesale (Delta
+    * metaData replaces, never patches — the caller must thread the
+    * live configuration and partitionColumns through). */
+  private def metaDataAction(schema: org.apache.spark.sql.types.StructType,
+                             pcols: Seq[String], conf: Map[String, String]): String = {
+    val pc = pcols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
+    s"""{"metaData":{"id":"graft","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${esc(schema.json)}","partitionColumns":$pc,""" +
+      s""""configuration":${confJson(conf)},"createdTime":0}}"""
+  }
+
+  /** Create a table with GENERATED columns (writer feature
+    * `generatedColumns`): each (name, sqlExpr) pair declares `name` as
+    * ALWAYS computed from the row, recorded as the spec's
+    * `delta.generationExpression` field metadata. The contract is a
+    * WRITER obligation — [[append]]/[[overwrite]] compute a missing
+    * generated column and validate a provided one — while readers stay
+    * oblivious: values are materialized in the files like any other
+    * column, so the expression never runs at 100 TB scan scale and the
+    * columns are usable for stats-based skipping like any other. `df`
+    * provides the SOURCE columns only; the generated ones are computed
+    * here. */
+  def createGenerated(spark: SparkSession, df: DataFrame, base: String, tableId: String,
+                      genExprs: Seq[(String, String)],
+                      partitionBy: Seq[String] = Nil,
+                      statsFor: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{expr => sqlExpr}
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    require(genExprs.nonEmpty, "createGenerated with no generated columns")
+    genExprs.foreach { case (n, _) =>
+      require(!df.columns.contains(n),
+        s"generated column $n is computed at create — do not provide it")
+    }
+    val full = genExprs.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, sqlExpr(e)) }
+    val exprOf = genExprs.toMap
+    val schema = StructType(full.schema.fields.map { f =>
+      exprOf.get(f.name) match {
+        case Some(e) => StructField(f.name, f.dataType, f.nullable,
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putString("delta.generationExpression", e).build())
+        case None => f
+      }
+    })
+    TxnLog.rmrf(base)
+    val rels = writeData(full, base, 0L, partitionBy)
+    val pc = partitionBy.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
+    commit(base, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["generatedColumns"]}}""",
+      s"""{"metaData":{"id":"${esc(tableId)}","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${esc(schema.json)}","partitionColumns":$pc,""" +
+        s""""configuration":{},"createdTime":0}}""") ++
+      addActions(spark, base, rels, statsFor))
+  }
+
+  /** Assign `idCol` = nextVal, nextVal+step, … over the TOTAL order
+    * given by `orderBy` — distributed via [[graft.plans.ShardedRank]]
+    * (one range shuffle + per-shard numbering; no corpus-scale window),
+    * so the assignment is deterministic for a fixed corpus regardless
+    * of input partitioning. */
+  private def assignIdentity(df: DataFrame, idCol: String, nextVal: Long, step: Long,
+                             orderBy: Seq[String]): DataFrame = {
+    require(orderBy.nonEmpty && orderBy.forall(df.columns.contains),
+      "identity assignment needs a total order over existing columns")
+    graft.plans.ShardedRank.withRowNumber(df, "__rn", "__n", orderBy.map(col): _*)
+      .withColumn(idCol, (lit(nextVal) + lit(step) * (col("__rn") - 1L)).cast("long"))
+      .drop("__rn", "__n")
+  }
+
+  /** Create a table with an IDENTITY column (writer feature
+    * `identityColumns`): `idCol` is writer-assigned from `start` by
+    * `step` with `allowExplicitInsert=false`, and the spec's
+    * high-water mark rides the field metadata in `schemaString` — each
+    * identity append replaces the metaData with the bumped mark, so
+    * ids are never reused even across failures. `orderBy` fixes the
+    * assignment order (a unique key makes it deterministic); real
+    * Delta assigns nondeterministically, which is spec-legal but
+    * unreproducible — determinism here is strictly stronger. */
+  def createIdentity(spark: SparkSession, df: DataFrame, base: String, tableId: String,
+                     idCol: String, start: Long, step: Long,
+                     orderBy: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    require(step != 0L, "identity step must be non-zero")
+    require(!df.columns.contains(idCol),
+      s"identity column $idCol is writer-assigned — do not provide it")
+    val n = df.count()
+    require(n > 0, "createIdentity with an empty frame")
+    val withIds = assignIdentity(df, idCol, start, step, orderBy)
+    val hwm = start + step * (n - 1)
+    val schema = StructType(withIds.schema.fields.map(f =>
+      if (f.name == idCol) StructField(f.name, f.dataType, nullable = false,
+        new MetadataBuilder()
+          .putLong("delta.identity.start", start)
+          .putLong("delta.identity.step", step)
+          .putLong("delta.identity.highWaterMark", hwm)
+          .putBoolean("delta.identity.allowExplicitInsert", false).build())
+      else f))
+    TxnLog.rmrf(base)
+    val rels = writeData(withIds, base, 0L)
+    commit(base, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["identityColumns"]}}""",
+      s"""{"metaData":{"id":"${esc(tableId)}","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${esc(schema.json)}","partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""") ++
+      addActions(spark, base, rels))
+  }
+
+  /** Append to an IDENTITY table: ids continue ABOVE the high-water
+    * mark (never reused, even after deletes), assigned over `orderBy`,
+    * and the SAME commit replaces the metaData with the bumped mark —
+    * crash between data and commit leaves the mark untouched, so a
+    * retry reassigns cleanly. `df` must NOT carry the identity column
+    * (`allowExplicitInsert=false`). */
+  def appendIdentity(spark: SparkSession, df: DataFrame, base: String,
+                     orderBy: Seq[String], statsFor: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    val version = DeltaLogReader.latestVersion(base)
+    val idf = identityColOf(spark, base, version).getOrElse(
+      throw new IllegalArgumentException(s"$base declares no identity column — use append"))
+    require(!df.columns.contains(idf.name),
+      s"identity column ${idf.name} is writer-assigned (allowExplicitInsert=false)")
+    val step = idf.metadata.getLong("delta.identity.step")
+    val hwm = idf.metadata.getLong("delta.identity.highWaterMark")
+    val n = df.count()
+    require(n > 0, "empty identity append")
+    val withIds = assignIdentity(df, idf.name, hwm + step, step, orderBy)
+    val schema0 = DeltaLogReader.tableSchema(Some(spark), base, version).get
+    val schema = StructType(schema0.fields.map(f =>
+      if (f.name == idf.name) StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.identity.highWaterMark", hwm + step * n).build())
+      else f))
+    val conf = DeltaLogReader.latestMetaConfig(Some(spark), base, version)
+      .map(_._2).getOrElse(Map.empty)
+    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
+    appendWith(spark, withIds, base, statsFor,
+      Seq(metaDataAction(schema, pcols, conf)), "WRITE", identityAssigned = true)
+  }
+
+  /** The spec's legal widening promotions — lossless by construction
+    * (every value of the narrow type is exactly representable in the
+    * wide one), which is what makes the metadata-only commit sound:
+    * old files keep their narrow physical type and the scan upcasts. */
+  private val Widenings: Set[(String, String)] = Set(
+    "byte" -> "short", "byte" -> "integer", "byte" -> "long",
+    "short" -> "integer", "short" -> "long",
+    "integer" -> "long",
+    "byte" -> "double", "short" -> "double", "integer" -> "double",
+    "float" -> "double",
+    "date" -> "timestamp_ntz")
+
+  /** ALTER COLUMN TYPE — Delta TYPE WIDENING (reader+writer feature
+    * `typeWidening`): a METADATA-ONLY commit changes the declared type
+    * to a strictly wider one and records the change in the field's
+    * `delta.typeChanges` metadata (the spec's audit trail). NOT ONE
+    * data byte moves — existing files keep their narrow parquet type
+    * and every log-schema-enforced scan upcasts them natively
+    * (int32→int64, int→double, date→ts_ntz are all in Spark's parquet
+    * reader); post-widening appends write the wide type directly. On a
+    * 100 TB table this is the difference between an instant and a full
+    * rewrite when a key outgrows INT. Narrowing and lossy changes
+    * refuse; column-mapped tables refuse (their physical-name scan
+    * path does not re-type). */
+  def widenColumnType(spark: SparkSession, base: String, column: String,
+                      toType: String): Unit = {
+    import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, StructType}
+    val version = DeltaLogReader.latestVersion(base)
+    require(colMapOf(spark, base, version).isEmpty,
+      "type widening on a column-mapped table is beyond this writer — " +
+        "the physical-name scan path does not re-type old files")
+    val schema0 = DeltaLogReader.tableSchema(Some(spark), base, version).getOrElse(
+      throw new IllegalStateException(s"$base declares no schema"))
+    val f = schema0.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"no column $column to widen"))
+    val to = DataType.fromDDL(toType)
+    val pair = (f.dataType.typeName, to.typeName)
+    require(Widenings.contains(pair),
+      s"$column: ${f.dataType.typeName} -> ${to.typeName} is not a lossless " +
+        s"widening (legal: ${Widenings.toSeq.sorted.mkString(", ")})")
+    // the spec's typeChanges audit entry, appended to any prior ones
+    val prior = if (f.metadata.contains("delta.typeChanges"))
+      f.metadata.getString("delta.typeChanges").stripSuffix("]") + "," else "["
+    val changes = prior +
+      s"""{"fromType":"${f.dataType.typeName}","toType":"${to.typeName}",""" +
+      s""""tableVersion":${version + 1}}]"""
+    val widened = StructType(schema0.fields.map(g =>
+      if (g.name == column)
+        StructField(g.name, to, g.nullable, new MetadataBuilder()
+          .withMetadata(g.metadata).putString("delta.typeChanges", changes).build())
+      else g))
+    // typeWidening is a READER feature too (a feature-blind reader
+    // would type old files from their footers); date→ts_ntz also needs
+    // the timestampNtz feature
+    val extra = Seq("typeWidening") ++
+      (if (to.typeName == "timestamp_ntz") Seq("timestampNtz") else Nil)
+    val (mr0, mw0, rf0, wf0) = DeltaLogReader.latestProtocol(Some(spark), base, version)
+    val legacyWriter = if (mw0 >= 7) Nil else (2 to mw0).flatMap {
+      case 2 => Seq("appendOnly", "invariants")
+      case 3 => Seq("checkConstraints")
+      case 4 => Seq("generatedColumns", "changeDataFeed")
+      case 5 => Seq("columnMapping")
+      case 6 => Seq("identityColumns")
+      case _ => Nil
+    }
+    val legacyReader = if (mr0 >= 3) Nil else (2 to mr0).flatMap {
+      case 2 => Seq("columnMapping")
+      case _ => Nil
+    }
+    def featJson(fs: Seq[String]) = fs.map(x => s""""$x"""").mkString("[", ",", "]")
+    val rf = (rf0 ++ legacyReader ++ extra).distinct.sorted
+    val wf = (wf0 ++ legacyWriter ++ extra).distinct.sorted
+    val conf0 = DeltaLogReader.latestMetaConfig(Some(spark), base, version)
+      .map(_._2).getOrElse(Map.empty)
+    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
+    commit(base, version + 1, Seq(
+      s"""{"commitInfo":{"operation":"CHANGE COLUMN","timestamp":0}}""",
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":${featJson(rf)},"writerFeatures":${featJson(wf)}}}""",
+      metaDataAction(widened, pcols, conf0)))
+  }
+
+  /** INSERT OVERWRITE — replace the table's entire live content with
+    * `df` in ONE commit: removes of every live file + adds of the new
+    * data. The log keeps every prior version (this is NOT a create —
+    * time travel still works), CHECK constraints and generated columns
+    * are enforced like [[append]], column mapping stages under
+    * physical names with field ids, and a row-tracked table hands the
+    * new rows fresh ids above the high-water mark. No `_change_data`
+    * is staged — at 100 TB an overwrite must not write its data twice;
+    * CDF derives full-delete + full-insert from the remove/add actions
+    * themselves. That derivation reads removed files WITHOUT their DV
+    * masks, so a CDF-enabled table with live DVs is refused (REORG
+    * PURGE first) rather than over-reporting deletes. */
+  def overwrite(spark: SparkSession, df0: DataFrame, base: String,
+                statsFor: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{expr => sqlExpr}
+    val ctx = dmlCtx(spark, base)
+    identityColOf(spark, base, ctx.version).foreach { idf =>
+      throw new IllegalArgumentException(
+        s"overwrite would reassign identity column ${idf.name} on $base — " +
+          "deleteWhere + appendIdentity keeps the id contract")
+    }
+    val cdfOn = DeltaLogReader.latestMetaConfig(Some(spark), base, ctx.version)
+      .exists(_._2.get("delta.enableChangeDataFeed").contains("true"))
+    require(!cdfOn || ctx.live.forall(_.dv.isEmpty),
+      "CDF over an overwrite of DV-carrying files would derive masked rows " +
+        "as deletes — REORG PURGE first")
+    val df = applyGenerated(spark, df0, base, ctx.version)
+    DeltaLogReader.constraintsOf(Some(spark), base, ctx.version).foreach { case (name, e) =>
+      val bad = df.filter(!sqlExpr(e).eqNullSafe(true)).count()
+      require(bad == 0L,
+        s"overwrite violates CHECK constraint $name ($e) on $bad rows — aborted")
+    }
+    val version = ctx.version + 1
+    val rels = writeData(
+      stampFieldIds(spark, toPhysical(df, ctx.colMap), base, ctx.version),
+      base, version, ctx.physPcols)
+    val removes = ctx.live.map(a =>
+      s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":true}}""")
+    val physStats = statsFor.map(physOf(ctx.colMap, _))
+    ctx.rtConf match {
+      case Some(_) =>
+        val hwm = DeltaLogReader.rowIdHighWaterMark(Some(spark), base, ctx.version)
+          .getOrElse(-1L)
+        val (adds, total) =
+          addActionsCounted(spark, base, rels, physStats, Some((hwm + 1, version)))
+        commit(base, version,
+          Seq(s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""",
+            rowTrackingDomain(hwm + total)) ++ removes ++ adds)
+      case None =>
+        commit(base, version,
+          (s"""{"commitInfo":{"operation":"WRITE","timestamp":0}}""" +: removes) ++
+            addActions(spark, base, rels, physStats))
+    }
+  }
+
   /** Create a table with ANY combination of the composable features —
     * hive partitioning, liquid clustering (layout domain), column
     * mapping (mode=name physical names), row tracking (stable ids) —
@@ -735,7 +1090,14 @@ object DeltaLogWriter {
         .map { case (f, i) => f.name -> s"col-${i + 1}" })
     val physDf = toPhysical(df, phys)
     val physPcols = partitionBy.map(physOf(phys, _))
-    val rels = writeData(physDf, base, 0L, physPcols)
+    val stamped = phys match {
+      case None => physDf
+      case Some(m) =>
+        // mapped files embed field ids (spec requirement in both modes)
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        stampIds(physDf, m.zipWithIndex.map { case ((_, p), i) => p -> (i + 1L) }.toMap)
+    }
+    val rels = writeData(stamped, base, 0L, physPcols)
     val schemaJson = phys match {
       case None => df.schema.json
       case Some(m) =>
@@ -1150,9 +1512,18 @@ object DeltaLogWriter {
     * partition), and untouched PARTITIONS never appear in the commit.
     * Returns (affectedFiles, matchedRows). */
   private def cowModify(spark: SparkSession, base: String, predicate: org.apache.spark.sql.Column,
-                        op: String, post: Option[DataFrame => DataFrame]): (Int, Long) = {
-    import org.apache.spark.sql.functions.col
+                        op: String, post0: Option[DataFrame => DataFrame]): (Int, Long) = {
+    import org.apache.spark.sql.functions.{col, expr => sqlExpr}
     val ctx = dmlCtx(spark, base)
+    // UPDATE semantics for GENERATED columns: when a source column
+    // changes, the generated value re-derives — the post-image
+    // recomputes every declared expression unconditionally (cheap: the
+    // expressions are scalar, and only matched rows pass through here)
+    val gens = generatedOf(spark, base, ctx.version)
+    val post = post0.map(set => (d: DataFrame) =>
+      gens.foldLeft(set(d)) { (acc, f) =>
+        acc.withColumn(f.name, sqlExpr(f.metadata.getString("delta.generationExpression")))
+      })
     val relByAbs = ctx.live.map(a =>
       DeltaLogReader.scanSpelling(Paths.get(base).resolve(a.path)) -> a.path).toMap
     // the unified scan composes every feature: DVs applied (masked rows
@@ -1263,10 +1634,18 @@ object DeltaLogWriter {
     * pairs AND the insert rows, so CDF consumers see the merge's exact
     * effect. `source` must have the table's data schema. Returns
     * (updatedRows, insertedRows). */
-  def merge(spark: SparkSession, base: String, source: DataFrame,
+  def merge(spark: SparkSession, base: String, source0: DataFrame,
             keyCol: String): (Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val ctx = dmlCtx(spark, base)
+    // the source carries the table's data schema — generated columns
+    // computed when missing / validated when provided, like an append
+    val source = applyGenerated(spark, source0, base, ctx.version)
+    identityColOf(spark, base, ctx.version).foreach { idf =>
+      throw new IllegalArgumentException(
+        s"MERGE on identity table $base would need writer-assigned ${idf.name} " +
+          "for inserts — deleteWhere + appendIdentity keeps the id contract")
+    }
     val relByAbs = ctx.live.map(a =>
       DeltaLogReader.scanSpelling(Paths.get(base).resolve(a.path)) -> a.path).toMap
     val scan = dmlScanAll(spark, ctx)
@@ -1349,7 +1728,7 @@ object DeltaLogWriter {
     * matrix through the shared scan/write pair (DVs, column mapping,
     * row tracking: updated rows keep their ids, inserts take fresh
     * ones). Returns (deleted, updated, inserted, bySourceDeleted). */
-  def mergeMulti(spark: SparkSession, base: String, source: DataFrame, keyCol: String,
+  def mergeMulti(spark: SparkSession, base: String, source0: DataFrame, keyCol: String,
                  matchedDelete: Option[org.apache.spark.sql.Column] = None,
                  matchedUpdate: Option[org.apache.spark.sql.Column] = None,
                  insertUnmatched: Boolean = true,
@@ -1357,6 +1736,12 @@ object DeltaLogWriter {
   : (Long, Long, Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val ctx = dmlCtx(spark, base)
+    val source = applyGenerated(spark, source0, base, ctx.version)
+    identityColOf(spark, base, ctx.version).foreach { idf =>
+      throw new IllegalArgumentException(
+        s"MERGE on identity table $base would need writer-assigned ${idf.name} " +
+          "for inserts — deleteWhere + appendIdentity keeps the id contract")
+    }
     val relByAbs = ctx.live.map(a =>
       DeltaLogReader.scanSpelling(Paths.get(base).resolve(a.path)) -> a.path).toMap
     val scan = dmlScanAll(spark, ctx)

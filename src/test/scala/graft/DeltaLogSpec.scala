@@ -807,10 +807,10 @@ class DeltaLogSpec extends SparkSpec {
     // a feature outside the supported set still fails fast
     val bad = mkTable("dvbad")
     commit(bad, 0,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","typeWidening"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","icebergCompatV9"]}}""",
       """{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
     val e = intercept[IllegalArgumentException](DeltaLogReader.snapshotFiles(bad, 0))
-    assert(e.getMessage.contains("typeWidening"), e.getMessage)
+    assert(e.getMessage.contains("icebergCompatV9"), e.getMessage)
   }
 
   test("column mapping: physical names in files, logical in the log, rename is metadata-only") {
@@ -937,5 +937,116 @@ class DeltaLogSpec extends SparkSpec {
     intercept[java.nio.file.FileAlreadyExistsException](
       graft.sources.DeltaLogWriter.commit(base, 0L,
         Seq("""{"commitInfo":{"operation":"RACER"}}""")))
+  }
+
+  test("generated columns: computed when absent, validated when provided, divergence aborts") {
+    val W = graft.sources.DeltaLogWriter
+    val base = mkTable("gen")
+    graft.sources.TxnLog.rmrf(base)
+    val src = spark.range(0, 20).select(col("id"), (col("id") * 10).as("v"))
+    W.createGenerated(spark, src, base, "t-gen", Seq("b" -> "id % 3"))
+    // the schemaString carries the spec's metadata key
+    val meta = DeltaLogReader.read(spark, base).schema  // values exist
+    assert(DeltaLogReader.read(spark, base)
+      .filter(col("b") =!= col("id") % 3).count() == 0L)
+    // absent → computed
+    W.append(spark, spark.range(20, 30).select(col("id"), (col("id") * 10).as("v")), base)
+    assert(DeltaLogReader.read(spark, base)
+      .filter(col("b") =!= col("id") % 3).count() == 0L)
+    // provided and CORRECT → accepted
+    W.append(spark, spark.range(30, 35).select(col("id"), (col("id") * 10).as("v"),
+      (col("id") % 3).as("b")), base)
+    // provided and WRONG → the whole batch aborts, nothing committed
+    val before = DeltaLogReader.latestVersion(base)
+    val e = intercept[IllegalArgumentException](
+      W.append(spark, spark.range(35, 40).select(col("id"), (col("id") * 10).as("v"),
+        lit(99L).as("b")), base))
+    assert(e.getMessage.contains("generated column"))
+    assert(DeltaLogReader.latestVersion(base) == before)
+    assert(DeltaLogReader.read(spark, base).count() == 35L)
+    assert(meta.fieldNames.contains("b"))
+  }
+
+  test("identity column: HWM rides the schema, explicit ids and plain append refuse") {
+    val W = graft.sources.DeltaLogWriter
+    val base = mkTable("ident")
+    graft.sources.TxnLog.rmrf(base)
+    val src = spark.range(0, 10).select(col("id"), (col("id") * 2).as("v"))
+    W.createIdentity(spark, src, base, "t-id", "sk", 5L, 10L, Seq("id"))
+    val v0 = DeltaLogReader.read(spark, base)
+    // ids are 5, 15, ..., 95 in id order
+    assert(v0.agg(min("sk"), max("sk")).head().toSeq == Seq(5L, 95L))
+    assert(v0.filter(col("sk") =!= col("id") * 10 + 5).count() == 0L)
+    // append continues ABOVE the high-water mark
+    W.appendIdentity(spark, spark.range(10, 15).select(col("id"), (col("id") * 2).as("v")),
+      base, Seq("id"))
+    val v1 = DeltaLogReader.read(spark, base)
+    assert(v1.agg(max("sk")).head().getLong(0) == 145L)
+    assert(v1.select("sk").distinct().count() == 15L)
+    // a batch bringing its own ids refuses (allowExplicitInsert=false)
+    val e1 = intercept[IllegalArgumentException](
+      W.appendIdentity(spark, spark.range(15, 16).select(col("id"),
+        (col("id") * 2).as("v"), lit(999L).as("sk")), base, Seq("id")))
+    assert(e1.getMessage.contains("writer-assigned"))
+    // plain append cannot silently skip assignment
+    val e2 = intercept[IllegalArgumentException](
+      W.append(spark, spark.range(16, 17).select(col("id"), (col("id") * 2).as("v")), base))
+    assert(e2.getMessage.contains("appendIdentity"))
+    // overwrite would reassign — refused
+    val e3 = intercept[IllegalArgumentException](
+      W.overwrite(spark, src, base))
+    assert(e3.getMessage.contains("identity"))
+  }
+
+  test("type widening: metadata-only, upcast reads, guards refuse lossy changes") {
+    val W = graft.sources.DeltaLogWriter
+    val base = mkTable("widen")
+    graft.sources.TxnLog.rmrf(base)
+    W.create(spark, spark.range(0, 10).select(col("id"),
+      col("id").cast("int").as("q"), col("id").cast("int").as("r")), base, "t-w")
+    import scala.jdk.CollectionConverters._
+    def partFiles() = Files.list(Paths.get(base)).iterator.asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val filesBefore = partFiles()
+    W.widenColumnType(spark, base, "q", "BIGINT")
+    // not one data byte moved
+    val filesAfter = partFiles()
+    assert(filesBefore == filesAfter)
+    // the declared type widened; old int32 files upcast through the scan
+    val df = DeltaLogReader.read(spark, base)
+    assert(df.schema("q").dataType.typeName == "long")
+    assert(df.agg(sum("q")).head().getLong(0) == 45L)
+    // post-widening appends can hold values only a LONG fits
+    W.append(spark, spark.range(10, 12).select(col("id"),
+      (col("id") + 3000000000L).as("q"), col("id").cast("int").as("r")), base)
+    assert(DeltaLogReader.read(spark, base).agg(max("q")).head().getLong(0) ==
+      3000000011L)
+    // time travel reads v0 under ITS schema (int)
+    assert(DeltaLogReader.read(spark, base, 0L).schema("q").dataType.typeName ==
+      "integer")
+    // narrowing and sideways changes refuse
+    intercept[IllegalArgumentException](W.widenColumnType(spark, base, "q", "INT"))
+    intercept[IllegalArgumentException](W.widenColumnType(spark, base, "r", "STRING"))
+    // a feature-blind reader would mis-type old files — the protocol says so
+    val proto = DeltaLogReader.latestProtocol(Some(spark), base,
+      DeltaLogReader.latestVersion(base))
+    assert(proto._3.contains("typeWidening") && proto._4.contains("typeWidening"))
+  }
+
+  test("overwrite: one remove-all+add commit, time travel intact, CDF derives delete+insert") {
+    val W = graft.sources.DeltaLogWriter
+    val base = mkTable("ow")
+    graft.sources.TxnLog.rmrf(base)
+    W.create(spark, spark.range(0, 10).select(col("id"), (col("id") % 3).as("x")),
+      base, "t-ow")
+    W.append(spark, spark.range(10, 15).select(col("id"), (col("id") % 3).as("x")), base)
+    W.overwrite(spark, spark.range(100, 104).select(col("id"), lit(7L).as("x")), base)
+    assert(DeltaLogReader.read(spark, base).count() == 4L)
+    assert(DeltaLogReader.read(spark, base, 1L).count() == 15L)
+    // CDF derivation: the overwrite commit reads as 15 deletes + 4 inserts
+    val cdf = DeltaLogReader.readChanges(spark, base, 2L, 2L)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cdf == Map("delete" -> 15L, "insert" -> 4L), cdf.toString)
   }
 }
