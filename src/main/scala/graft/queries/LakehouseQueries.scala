@@ -681,7 +681,19 @@ object LakehouseQueries extends QueryGroup {
         s"USING `graft-delta` OPTIONS (path '$dBase')")
       val sql = census("sql", s.sql(
         "SELECT cents FROM dsv2_delta WHERE o_orderpriority = '5-LOW'"))
-      Seq(delta, ice, hudi, sql).reduce(_ unionAll _).orderBy("surface")
+      // COLUMN-MAPPED tables ride the front door too: the requested
+      // schema carries parquet.field.id = delta.columnMapping.id under
+      // the LOGICAL names, so the physical `col-N` files bind by id —
+      // including through a metadata-only RENAME (the scan asks for
+      // the new spelling, same field id)
+      val mBase = s"$root/mapped"
+      graft.sources.DeltaLogWriter.createColumnMapped(s, o, mBase, "graft-orders-dsv2m")
+      graft.sources.DeltaLogWriter.renameColumn(s, mBase, "cents", "pennies")
+      val mapped = s.read.format("graft-delta").option("path", mBase).load()
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .agg(count(lit(1)).as("n_rows"), sum(col("pennies")).as("total_cents"))
+        .select(lit("mapped").as("surface"), col("n_rows"), col("total_cents"))
+      Seq(delta, ice, hudi, sql, mapped).reduce(_ unionAll _).orderBy("surface")
     }),
 
     // ---- Delta conditional MULTI-CLAUSE MERGE ------------------------------
@@ -772,6 +784,211 @@ object LakehouseQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_rows"), sum(col("pennies")).as("total_cents"))
         .select(lit(6L).as("phase"), col("pri"), col("n_rows"), col("total_cents"))
       (versions :+ renamed).reduce(_ unionAll _).orderBy("phase", "pri")
+    }),
+
+    // ---- CATALOG front door (DSv2 TableCatalog over the lake root) --------
+    // The last mile for a pure-SQL client: catalog NAMES instead of
+    // paths. GraftCatalog maps lakecat.<ns>.<table> to root/<ns>/<table>,
+    // sniffs each table's format marker (_delta_log/ | metadata/ |
+    // .hoodie/), and serves the matching front-door table — so one
+    // catalog reads all three formats, SHOW TABLES lists them, CTAS
+    // creates a schema-only Delta v0 then appends through the full log
+    // writer, and INSERT INTO is DeltaLogWriter.append with every
+    // writer obligation intact. Census: per-format SQL reads + the
+    // CTAS+INSERT table + the SHOW TABLES inventory.
+    "q_lake_catalog" -> ((s, d) => {
+      val root = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/lakecat"
+      graft.sources.TxnLog.rmrf(root)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "sales"))
+      val o = iceOrders(s, d)
+      def grp(r: Int) = o.filter(pmod(col("o_orderkey"), lit(3)) === r)
+      graft.sources.DeltaLogWriter.create(s, grp(0).repartition(2),
+        s"$root/sales/orders_delta", "cat-delta")
+      graft.sources.IcebergWriter.create(s, grp(1).repartition(2),
+        s"$root/sales/orders_ice")
+      graft.sources.HudiWriter.create(s, grp(2), s"$root/sales/orders_hudi",
+        "orders_cat", "o_orderkey", 4)
+      // per-sfDir catalog NAME: CatalogManager caches the instance by
+      // name at first resolution, so a shared name would pin the first
+      // sfDir's root for the whole session
+      val cat = s"lakecat_${Integer.toHexString(d.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"DROP TABLE IF EXISTS $cat.sales.high")
+      s.sql(s"CREATE TABLE $cat.sales.high USING `graft-delta` AS " +
+        s"SELECT * FROM $cat.sales.orders_delta WHERE o_orderpriority = '2-HIGH'")
+      s.sql(s"INSERT INTO $cat.sales.high " +
+        s"SELECT * FROM $cat.sales.orders_ice WHERE o_orderpriority = '2-HIGH'")
+      def census(tag: String, table: String) =
+        s.sql(s"SELECT count(*) AS n_rows, sum(cents) AS total_cents FROM $table")
+          .select(lit(tag).as("surface"), col("n_rows"), col("total_cents"))
+      val inventory = s.sql(s"SHOW TABLES IN $cat.sales")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("tables").as("surface"), col("n_rows"),
+          lit(0L).as("total_cents"))
+      Seq(census("delta", s"$cat.sales.orders_delta"),
+        census("iceberg", s"$cat.sales.orders_ice"),
+        census("hudi", s"$cat.sales.orders_hudi"),
+        census("ctas", s"$cat.sales.high"),
+        inventory).reduce(_ unionAll _).orderBy("surface")
+    }),
+
+    // ---- Delta TYPE WIDENING (reader+writer feature `typeWidening`) -------
+    // A key outgrowing INT is the classic year-three schema crisis; the
+    // feature makes it a METADATA-ONLY commit: the declared type widens
+    // (int→long here, int→double too), delta.typeChanges records the
+    // audit trail, old files keep their narrow parquet type and every
+    // log-schema-enforced scan upcasts them natively — zero rewrite at
+    // any size. Fixture: create with two INT columns, widen qty→BIGINT,
+    // append values only a LONG can hold (the mixed-file read is the
+    // graded point), widen septile→DOUBLE. Census: each version's
+    // totals; phase 0 grades the pre-widening ints, phase 2 the mixed
+    // int/long files, phase 3 the double re-read of unchanged values.
+    "q_delta_type_widening" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_widen"
+      val W = graft.sources.DeltaLogWriter
+      val o = iceOrders(s, d)
+      val narrow = o.select(col("o_orderkey"),
+        col("cents").cast("int").as("qty"),
+        pmod(col("cents"), lit(97)).cast("int").as("septile"))
+      W.create(s, narrow.repartition(2), base, "graft-orders-widen")
+      W.widenColumnType(s, base, "qty", "BIGINT")
+      val wide = o.filter(pmod(col("o_orderkey"), lit(10)) === 3).select(
+        (col("o_orderkey") + 700000000L).as("o_orderkey"),
+        (col("cents") + 3000000000L).as("qty"),
+        pmod(col("cents"), lit(97)).cast("int").as("septile"))
+      W.append(s, wide, base)
+      W.widenColumnType(s, base, "septile", "DOUBLE")
+      def census(phase: Long, v: Long) =
+        graft.sources.DeltaLogReader.read(s, base, v).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("qty")).cast("long").as("total_qty"),
+          sum(col("septile")).cast("long").as("total_septile"))
+          .select(lit(phase).as("phase"), col("n_rows"),
+            col("total_qty"), col("total_septile"))
+      Seq(census(0L, 0L), census(2L, 2L), census(3L, 3L))
+        .reduce(_ unionAll _).orderBy("phase")
+    }),
+
+    // ---- Delta GENERATED columns (writer feature `generatedColumns`) ------
+    // The spec's contract is on WRITERS: a generated column absent from
+    // a batch is computed from its delta.generationExpression, one
+    // provided must satisfy it row-by-row (a divergent batch aborts —
+    // DeltaLogSpec pins the refusal). Readers stay oblivious: values
+    // are materialized like any other column, so the expression never
+    // runs at 100 TB scan scale. Fixture: create computes both
+    // generated columns; append 1 provides neither (computed); append 2
+    // provides bucket7 explicitly (validated) and omits prio_class.
+    // Census: per-version totals + the final per-class breakdown — a
+    // writer that skipped computing, mis-computed, or bound the
+    // expression to the wrong row hash-fails.
+    "q_delta_generated" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_gen"
+      val W = graft.sources.DeltaLogWriter
+      val o = iceOrders(s, d)
+      W.createGenerated(s, o.repartition(2), base, "graft-orders-gen",
+        Seq("bucket7" -> "o_orderkey % 7",
+          "prio_class" -> "substring(o_orderpriority, 1, 1)"))
+      val ins1 = o.filter(pmod(col("o_orderkey"), lit(10)) === 4)
+        .select((col("o_orderkey") + 500000000L).as("o_orderkey"),
+          col("o_orderpriority"), (col("cents") + 3L).as("cents"))
+      W.append(s, ins1, base)
+      val ins2 = o.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+        .select((col("o_orderkey") + 600000000L).as("o_orderkey"),
+          col("o_orderpriority"), col("cents"))
+        .withColumn("bucket7", expr("o_orderkey % 7"))
+      W.append(s, ins2, base)
+      val versions = (0L to 2L).map { v =>
+        graft.sources.DeltaLogReader.read(s, base, v).agg(
+          count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"),
+          sum(col("bucket7")).as("sum_bucket"))
+          .select(lit(v).as("phase"), lit("*").as("tag"),
+            col("n_rows"), col("total_cents"), col("sum_bucket"))
+      }
+      val byClass = graft.sources.DeltaLogReader.read(s, base, 2L)
+        .groupBy(col("prio_class").as("tag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"),
+          sum(col("bucket7")).as("sum_bucket"))
+        .select(lit(10L).as("phase"), col("tag"),
+          col("n_rows"), col("total_cents"), col("sum_bucket"))
+      (versions :+ byClass).reduce(_ unionAll _).orderBy("phase", "tag")
+    }),
+
+    // ---- Delta IDENTITY column (writer feature `identityColumns`) ---------
+    // Writer-assigned surrogate keys: ids start at 100 by 3, the
+    // high-water mark rides the schemaString field metadata (where the
+    // spec keeps it) and each identity append REPLACES the metaData
+    // with the bumped mark in the same commit — ids are never reused.
+    // allowExplicitInsert=false makes a batch that brings its own ids
+    // refuse (DeltaLogSpec). Assignment is distributed via ShardedRank
+    // over o_orderkey (deterministic — strictly stronger than real
+    // Delta's nondeterministic assignment, and what lets DuckDB replay
+    // it with row_number). Census: per-version id range + a bind
+    // checksum tying each id to ITS row's key.
+    "q_delta_identity" -> ((s, d) => {
+      val base = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/orders_sk"
+      val W = graft.sources.DeltaLogWriter
+      val o = iceOrders(s, d)
+      W.createIdentity(s, o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0),
+        base, "graft-orders-sk", "row_sk", 100L, 3L, Seq("o_orderkey"))
+      W.appendIdentity(s, o.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+        base, Seq("o_orderkey"))
+      val versions = (0L to 1L).map { v =>
+        graft.sources.DeltaLogReader.read(s, base, v).agg(
+          count(lit(1)).as("n_rows"),
+          min(col("row_sk")).as("min_sk"), max(col("row_sk")).as("max_sk"),
+          sum(col("row_sk")).as("sum_sk"),
+          sum(col("row_sk") * pmod(col("o_orderkey"), lit(97))).as("bind_sum"))
+          .select(lit(v).as("phase"), col("n_rows"), col("min_sk"),
+            col("max_sk"), col("sum_sk"), col("bind_sum"))
+      }
+      versions.reduce(_ unionAll _).orderBy("phase")
+    }),
+
+    // ---- BATCH DSv2 WRITE front door --------------------------------------
+    // The other half of q_lake_dsv2: `df.write.format("graft-delta")
+    // .mode("append"/"overwrite").save()` and pure-SQL `INSERT INTO
+    // <view USING graft-delta>` ride the V1-fallback DSv2 write surface
+    // into the FULL log writers — so constraints, generated columns,
+    // column mapping and row tracking hold on this path too, and
+    // `overwrite` is one remove-all+add commit (time travel keeps every
+    // prior version; no _change_data staged — an overwrite must not
+    // write its data twice). graft-iceberg appends through the same
+    // door. Census: every delta version + the final front-door read +
+    // the iceberg state after its format() append.
+    "q_lake_dsv2_write" -> ((s, d) => {
+      val root = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/dsv2w"
+      val o = iceOrders(s, d)
+      val dBase = s"$root/delta"
+      val iBase = s"$root/ice"
+      def grp(r: Int) = o.filter(pmod(col("o_orderkey"), lit(3)) === r)
+      graft.sources.DeltaLogWriter.create(s, grp(0).repartition(2), dBase,
+        "graft-orders-dsv2w")
+      grp(1).write.format("graft-delta").option("path", dBase)
+        .mode("append").save()
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW dsv2w USING `graft-delta` " +
+        s"OPTIONS (path '$dBase')")
+      grp(2).createOrReplaceTempView("dsv2w_src")
+      s.sql("INSERT INTO dsv2w SELECT * FROM dsv2w_src")
+      o.filter(col("o_orderpriority") === "3-MEDIUM")
+        .withColumn("cents", col("cents") + 2L)
+        .write.format("graft-delta").option("path", dBase)
+        .mode("overwrite").save()
+      graft.sources.IcebergWriter.create(s, grp(0).repartition(2), iBase)
+      grp(1).write.format("graft-iceberg").option("path", iBase)
+        .mode("append").save()
+      val versions = (0L to 3L).map { v =>
+        graft.sources.DeltaLogReader.read(s, dBase, v).agg(
+          count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(v).as("phase"), col("n_rows"), col("total_cents"))
+      }
+      val door = s.read.format("graft-delta").option("path", dBase).load()
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(10L).as("phase"), col("n_rows"), col("total_cents"))
+      val ice = s.read.format("graft-iceberg").option("path", iBase).load()
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(20L).as("phase"), col("n_rows"), col("total_cents"))
+      (versions ++ Seq(door, ice)).reduce(_ unionAll _).orderBy("phase")
     }),
 
     // ---- Delta checkpoint write + log expiry -----------------------------
@@ -2779,8 +2996,58 @@ object LakehouseQueries extends QueryGroup {
         "SELECT 'delta' AS surface, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE pri = '2-HIGH' " +
         "UNION ALL SELECT 'hudi', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 = 1 " +
         "UNION ALL SELECT 'iceberg', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 = 0 " +
+        "UNION ALL SELECT 'mapped', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri = '1-URGENT' " +
         "UNION ALL SELECT 'sql', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri = '5-LOW' " +
         "ORDER BY surface"),
+    "q_lake_catalog" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT 'ctas' AS surface, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE pri = '2-HIGH' AND k % 3 IN (0, 1) " +
+        "UNION ALL SELECT 'delta', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 = 0 " +
+        "UNION ALL SELECT 'hudi', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 = 2 " +
+        "UNION ALL SELECT 'iceberg', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 = 1 " +
+        "UNION ALL SELECT 'tables', 4, 0 " +
+        "ORDER BY surface"),
+    "q_lake_dsv2_write" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "v3 AS (SELECT cents + 2 AS cents FROM o WHERE pri = '3-MEDIUM') " +
+        "SELECT CAST(0 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE k % 3 = 0 " +
+        "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 IN (0, 1) " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM v3 " +
+        "UNION ALL SELECT 10, count(*), CAST(sum(cents) AS BIGINT) FROM v3 " +
+        "UNION ALL SELECT 20, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 IN (0, 1) " +
+        "ORDER BY phase"),
+    "q_delta_type_widening" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "n AS (SELECT k, cents AS qty, cents % 97 AS sep FROM o), " +
+        "w AS (SELECT k + 700000000 AS k, cents + 3000000000 AS qty, cents % 97 AS sep FROM o WHERE k % 10 = 3), " +
+        "v2 AS (SELECT * FROM n UNION ALL SELECT * FROM w) " +
+        "SELECT CAST(0 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(qty) AS BIGINT) AS total_qty, CAST(sum(sep) AS BIGINT) AS total_septile FROM n " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(qty) AS BIGINT), CAST(sum(sep) AS BIGINT) FROM v2 " +
+        "UNION ALL SELECT 3, count(*), CAST(sum(qty) AS BIGINT), CAST(sum(sep) AS BIGINT) FROM v2 " +
+        "ORDER BY phase"),
+    "q_delta_generated" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "g0 AS (SELECT k, pri, cents FROM o), " +
+        "g1 AS (SELECT k + 500000000 AS k, pri, cents + 3 AS cents FROM o WHERE k % 10 = 4), " +
+        "g2 AS (SELECT k + 600000000 AS k, pri, cents FROM o WHERE k % 10 = 7), " +
+        "v0 AS (SELECT *, k % 7 AS bucket7, substring(pri, 1, 1) AS prio_class FROM g0), " +
+        "v1 AS (SELECT * FROM v0 UNION ALL SELECT *, k % 7, substring(pri, 1, 1) FROM g1), " +
+        "v2 AS (SELECT * FROM v1 UNION ALL SELECT *, k % 7, substring(pri, 1, 1) FROM g2) " +
+        "SELECT CAST(0 AS BIGINT) AS phase, '*' AS tag, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents, CAST(sum(bucket7) AS BIGINT) AS sum_bucket FROM v0 " +
+        "UNION ALL SELECT 1, '*', count(*), CAST(sum(cents) AS BIGINT), CAST(sum(bucket7) AS BIGINT) FROM v1 " +
+        "UNION ALL SELECT 2, '*', count(*), CAST(sum(cents) AS BIGINT), CAST(sum(bucket7) AS BIGINT) FROM v2 " +
+        "UNION ALL SELECT 10, prio_class, count(*), CAST(sum(cents) AS BIGINT), CAST(sum(bucket7) AS BIGINT) FROM v2 GROUP BY prio_class " +
+        "ORDER BY phase, tag"),
+    "q_delta_identity" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "a AS (SELECT k, 100 + 3 * (row_number() OVER (ORDER BY k) - 1) AS sk FROM o WHERE k % 3 <> 0), " +
+        "h AS (SELECT 100 + 3 * (count(*) - 1) AS hwm FROM a), " +
+        "b AS (SELECT k, (SELECT hwm FROM h) + 3 * row_number() OVER (ORDER BY k) AS sk FROM o WHERE k % 3 = 0), " +
+        "v1 AS (SELECT * FROM a UNION ALL SELECT * FROM b) " +
+        "SELECT CAST(0 AS BIGINT) AS phase, count(*) AS n_rows, CAST(min(sk) AS BIGINT) AS min_sk, CAST(max(sk) AS BIGINT) AS max_sk, CAST(sum(sk) AS BIGINT) AS sum_sk, CAST(sum(sk * (k % 97)) AS BIGINT) AS bind_sum FROM a " +
+        "UNION ALL SELECT 1, count(*), CAST(min(sk) AS BIGINT), CAST(max(sk) AS BIGINT), CAST(sum(sk) AS BIGINT), CAST(sum(sk * (k % 97)) AS BIGINT) FROM v1 " +
+        "ORDER BY phase"),
     "q_delta_merge_multi" ->
       ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
         "mdel AS (SELECT * FROM o WHERE k % 10 = 2 AND pri = '1-URGENT'), " +

@@ -1,0 +1,175 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 [[TableCatalog]] over a directory of lakehouse tables — the
+  * piece that turns the `format(...)` front doors into CATALOG NAMES,
+  * so a pure-SQL client (a BI tool, a notebook with zero Scala) can
+  * say
+  *
+  * {{{
+  *   SET spark.sql.catalog.lake = graft.sources.GraftCatalog
+  *   SET spark.sql.catalog.lake.root = /data/lake
+  *   SELECT * FROM lake.sales.orders;          -- any of the 3 formats
+  *   CREATE TABLE lake.tmp.t (id BIGINT) USING graft-delta;
+  *   CREATE TABLE lake.tmp.t2 USING graft-delta AS SELECT ...;
+  *   INSERT INTO lake.tmp.t VALUES (1);
+  * }}}
+  *
+  * Layout: `root/<namespace>/<table>` — one directory level per
+  * namespace element (usually one), each table directory self-describing
+  * by its format marker (`_delta_log/` → Delta, `metadata/` → Iceberg,
+  * `.hoodie/` → Hudi). `loadTable` sniffs the marker and returns the
+  * matching front-door table, so reads keep the delegated DSv2 parquet
+  * scan (pushdown/pruning/codegen) and Delta writes keep the full log
+  * writer — `INSERT INTO` is [[DeltaLogWriter.append]] with constraints
+  * and generated/identity enforcement intact.
+  *
+  * `CREATE TABLE` writes a schema-only Delta version 0
+  * ([[DeltaLogWriter.createEmpty]]); CTAS is Spark's non-staging v2
+  * flow (createTable, then append into the loaded table). Only
+  * identity partition transforms are accepted — bucket/days would need
+  * the format writers' own layout entry points. Everything here is
+  * KB-scale metadata work on the driver; no data moves through the
+  * catalog itself.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"catalog $name needs spark.sql.catalog.$name.root=<dir of tables>"))
+  }
+
+  override def name(): String = catName
+
+  private def dirOf(parts: Seq[String]): java.nio.file.Path =
+    Paths.get(root, parts: _*)
+
+  private def tableDir(ident: Identifier): java.nio.file.Path =
+    dirOf(ident.namespace.toIndexedSeq :+ ident.name)
+
+  /** The format marker, if the directory IS a table. */
+  private def formatOf(dir: java.nio.file.Path): Option[String] =
+    if (Files.isDirectory(dir.resolve("_delta_log"))) Some("delta")
+    else if (Files.isDirectory(dir.resolve("metadata"))) Some("iceberg")
+    else if (Files.isDirectory(dir.resolve(".hoodie"))) Some("hudi")
+    else None
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirOf(namespace.toIndexedSeq)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Files.list(dir).iterator.asScala
+      .filter(p => Files.isDirectory(p) && formatOf(p).isDefined)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray.sortBy(_.name)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    formatOf(tableDir(ident)).isDefined
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    val opts = new CaseInsensitiveStringMap(Map("path" -> dir.toString).asJava)
+    formatOf(dir) match {
+      case Some("delta")   => LakeBatchSources.deltaTable(opts)
+      case Some("iceberg") => LakeBatchSources.icebergTable(opts)
+      case Some("hudi")    => LakeBatchSources.hudiTable(opts)
+      case _               => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
+      .map(_.toLowerCase).getOrElse("graft-delta")
+    require(provider == "graft-delta",
+      s"this catalog creates Delta tables only (USING graft-delta), got $provider — " +
+        "Iceberg/Hudi tables need their writers' layout arguments; create them " +
+        "with IcebergWriter/HudiWriter and the catalog will serve them")
+    val pcols = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"only identity partitioning through the catalog, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    val dir = tableDir(ident)
+    Files.createDirectories(dir.getParent)
+    DeltaLogWriter.createEmpty(org.apache.spark.sql.SparkSession.active,
+      schema, dir.toString, s"$catName.${ident.toString}", pcols)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER through the catalog is not wired — use DeltaLogWriter's " +
+        "renameColumn/addConstraint/evolve entry points")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    val existed = formatOf(dir).isDefined
+    if (existed) TxnLog.rmrf(dir.toString)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(tableDir(newIdent).getParent)
+    Files.move(tableDir(oldIdent), tableDir(newIdent))
+  }
+
+  // ---- namespaces = directory levels under root ---------------------------
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (Files.isDirectory(dirOf(namespace.toIndexedSeq)) &&
+        formatOf(dirOf(namespace.toIndexedSeq)).isEmpty)
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!Files.isDirectory(Paths.get(root))) return Array.empty
+    Files.list(Paths.get(root)).iterator.asScala
+      .filter(p => Files.isDirectory(p) && formatOf(p).isEmpty)
+      .map(p => Array(p.getFileName.toString))
+      .toArray.sortBy(_.mkString)
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) new util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    Files.createDirectories(dirOf(namespace.toIndexedSeq))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace metadata is not stored")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = dirOf(namespace.toIndexedSeq)
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    val tables = listTables(namespace)
+    require(cascade || tables.isEmpty,
+      s"namespace ${namespace.mkString(".")} holds ${tables.length} tables — use CASCADE")
+    TxnLog.rmrf(dir.toString)
+    true
+  }
+}

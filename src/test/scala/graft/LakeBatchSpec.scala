@@ -41,18 +41,93 @@ class LakeBatchSpec extends SparkSpec {
     assert(plan.linesIterator.exists(_.trim.startsWith("*")), plan)
   }
 
-  test("graft-delta refuses DV and column-mapped tables instead of mis-reading") {
+  test("graft-delta refuses DV tables instead of mis-reading") {
     val dvBase = mkBase("delta_dv")
     DeltaLogWriter.create(spark, plane().coalesce(1), dvBase, "t")
     DeltaLogWriter.deleteWhereDv(spark, dvBase, col("id") < 5)
     val e = intercept[IllegalArgumentException](
       spark.read.format("graft-delta").option("path", dvBase).load())
     assert(e.getMessage.contains("deletion vectors"))
+  }
+
+  test("graft-delta serves COLUMN-MAPPED tables by parquet field id, through renames") {
     val cmBase = mkBase("delta_cm")
     DeltaLogWriter.createColumnMapped(spark, plane().coalesce(1), cmBase, "t")
-    val e2 = intercept[IllegalArgumentException](
-      spark.read.format("graft-delta").option("path", cmBase).load())
-    assert(e2.getMessage.contains("column-mapped"))
+    // logical names surface even though the files carry col-1/col-2/col-3
+    val before = spark.read.format("graft-delta").option("path", cmBase).load()
+    assert(before.columns.toSeq == Seq("id", "x", "p"))
+    assert(before.filter(col("x") === 3).count() ==
+      plane().filter(col("x") === 3).count())
+    // a metadata-only RENAME changes the requested spelling only — the
+    // field id still binds the same physical column
+    DeltaLogWriter.renameColumn(spark, cmBase, "x", "septile")
+    val after = spark.read.format("graft-delta").option("path", cmBase).load()
+    assert(after.columns.toSeq == Seq("id", "septile", "p"))
+    assert(after.agg(sum("septile")).head().getLong(0) ==
+      plane().agg(sum("x")).head().getLong(0))
+    // id-mode binds the same way (physical names immaterial)
+    val idBase = mkBase("delta_cmid")
+    DeltaLogWriter.createColumnMappedId(spark, plane().coalesce(1), idBase, "t")
+    assert(spark.read.format("graft-delta").option("path", idBase).load()
+      .filter(col("p") === "even").count() == 50L)
+    // mapped + partitioned stays refused (hive dirs carry physical names)
+    val pmBase = mkBase("delta_cmpart")
+    DeltaLogWriter.createComposed(spark, plane().coalesce(1), pmBase, "t",
+      partitionBy = Seq("p"), columnMapped = true)
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("graft-delta").option("path", pmBase).load())
+    assert(e.getMessage.contains("PARTITIONED"))
+  }
+
+  test("DSv2 write front door: append, SQL INSERT INTO, overwrite, guards") {
+    val base = mkBase("delta_w")
+    DeltaLogWriter.create(spark, plane().repartition(2), base, "t")
+    // DataFrame append
+    spark.range(100, 120).select(col("id"), (col("id") % 7).as("x"),
+      lit("odd").as("p")).write.format("graft-delta")
+      .option("path", base).mode("append").save()
+    assert(graft.sources.DeltaLogReader.read(spark, base).count() == 120L)
+    // pure-SQL INSERT INTO through the USING view
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lbw USING `graft-delta` " +
+      s"OPTIONS (path '$base')")
+    spark.range(120, 130).select(col("id"), (col("id") % 7).as("x"),
+      lit("odd").as("p")).createOrReplaceTempView("lbw_src")
+    spark.sql("INSERT INTO lbw SELECT * FROM lbw_src")
+    // the USING view pins its resolution-time snapshot (the Table holds
+    // the planned file list) — a fresh resolution sees the insert
+    assert(spark.read.format("graft-delta").option("path", base).load()
+      .count() == 130L)
+    // overwrite = ONE remove-all+add commit; prior versions survive
+    spark.range(0, 7).select(col("id"), col("id").as("x"), lit("ow").as("p"))
+      .write.format("graft-delta").option("path", base).mode("overwrite").save()
+    assert(graft.sources.DeltaLogReader.read(spark, base).count() == 7L)
+    assert(graft.sources.DeltaLogReader.read(spark, base, 2L).count() == 130L)
+    // the append path is the FULL writer: a CHECK constraint holds here too
+    DeltaLogWriter.addConstraint(spark, base, "id_bound", "id < 1000")
+    val e = intercept[IllegalArgumentException](
+      spark.range(5000, 5003).select(col("id"), col("id").as("x"),
+        lit("bad").as("p")).write.format("graft-delta")
+        .option("path", base).mode("append").save())
+    assert(e.getMessage.contains("CHECK"))
+    // a time-travel read is not a write target (no forked history)
+    val e2 = intercept[Exception](
+      spark.range(0, 1).select(col("id"), col("id").as("x"), lit("z").as("p"))
+        .write.format("graft-delta").option("path", base)
+        .option("versionAsOf", "0").mode("append").save())
+    assert(e2.getMessage.contains("read-only"))
+    // graft-iceberg appends; graft-hudi stays read-only
+    val iBase = mkBase("ice_w")
+    IcebergWriter.create(spark, plane().repartition(2), iBase)
+    spark.range(100, 110).select(col("id"), (col("id") % 7).as("x"),
+      lit("odd").as("p")).write.format("graft-iceberg")
+      .option("path", iBase).mode("append").save()
+    assert(graft.sources.IcebergReader.read(spark, iBase).count() == 110L)
+    val hBase = mkBase("hudi_w")
+    HudiWriter.create(spark, plane(), hBase, "t", "id", 4)
+    val e3 = intercept[Exception](
+      plane().write.format("graft-hudi").option("path", hBase)
+        .mode("append").save())
+    assert(e3.getMessage != null)
   }
 
   test("graft-iceberg + graft-hudi format reads and the SQL USING surface") {
