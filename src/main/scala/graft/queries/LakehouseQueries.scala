@@ -822,6 +822,19 @@ object LakehouseQueries extends QueryGroup {
       def census(tag: String, table: String) =
         s.sql(s"SELECT count(*) AS n_rows, sum(cents) AS total_cents FROM $table")
           .select(lit(tag).as("surface"), col("n_rows"), col("total_cents"))
+      val ctas = census("ctas", s"$cat.sales.high")
+      // pure-SQL ALTER: ADD COLUMN (NULL-backfilled, metadata-only),
+      // INSERT with the new column, then WIDEN it int→bigint — the
+      // whole schema-evolution loop without a line of Scala
+      s.sql(s"ALTER TABLE $cat.sales.high ADD COLUMN bonus INT")
+      s.sql(s"INSERT INTO $cat.sales.high " +
+        s"SELECT o_orderkey, o_orderpriority, cents, CAST(pmod(cents, 1000) AS INT) " +
+        s"FROM $cat.sales.orders_ice WHERE o_orderpriority = '1-URGENT'")
+      s.sql(s"ALTER TABLE $cat.sales.high ALTER COLUMN bonus TYPE BIGINT")
+      val altered = s.sql(
+        s"SELECT count(*) AS n_rows, " +
+          s"sum(cents + coalesce(bonus, 0)) AS total_cents FROM $cat.sales.high")
+        .select(lit("altered").as("surface"), col("n_rows"), col("total_cents"))
       val inventory = s.sql(s"SHOW TABLES IN $cat.sales")
         .agg(count(lit(1)).as("n_rows"))
         .select(lit("tables").as("surface"), col("n_rows"),
@@ -829,7 +842,7 @@ object LakehouseQueries extends QueryGroup {
       Seq(census("delta", s"$cat.sales.orders_delta"),
         census("iceberg", s"$cat.sales.orders_ice"),
         census("hudi", s"$cat.sales.orders_hudi"),
-        census("ctas", s"$cat.sales.high"),
+        ctas, altered,
         inventory).reduce(_ unionAll _).orderBy("surface")
     }),
 
@@ -3000,8 +3013,12 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 'sql', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri = '5-LOW' " +
         "ORDER BY surface"),
     "q_lake_catalog" ->
-      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
-        "SELECT 'ctas' AS surface, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE pri = '2-HIGH' AND k % 3 IN (0, 1) " +
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "hi AS (SELECT cents FROM o WHERE pri = '2-HIGH' AND k % 3 IN (0, 1)), " +
+        "ui AS (SELECT cents, cents % 1000 AS bonus FROM o WHERE pri = '1-URGENT' AND k % 3 = 1) " +
+        "SELECT 'altered' AS surface, (SELECT count(*) FROM hi) + (SELECT count(*) FROM ui) AS n_rows, " +
+        "CAST((SELECT sum(cents) FROM hi) + (SELECT sum(cents + bonus) FROM ui) AS BIGINT) AS total_cents " +
+        "UNION ALL SELECT 'ctas', count(*), CAST(sum(cents) AS BIGINT) FROM hi " +
         "UNION ALL SELECT 'delta', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 = 0 " +
         "UNION ALL SELECT 'hudi', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 = 2 " +
         "UNION ALL SELECT 'iceberg', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 = 1 " +

@@ -925,6 +925,33 @@ object DeltaLogWriter {
       Seq(metaDataAction(schema, pcols, conf)), "WRITE", identityAssigned = true)
   }
 
+  /** ALTER TABLE ADD COLUMN — metadata-only: the new nullable field
+    * joins the schema, NOT ONE file is touched, and every
+    * log-schema-enforced scan surfaces it as NULL in files that
+    * predate it (the same read path `appendEvolved` relies on — this
+    * is the add-column HALF of that op, for when there is no data to
+    * write yet). Column-mapped tables refuse (a new column would need
+    * a fresh physical id threaded through every writer). */
+  def addColumn(spark: SparkSession, base: String, column: String,
+                dataType: String): Unit = {
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    val version = DeltaLogReader.latestVersion(base)
+    require(colMapOf(spark, base, version).isEmpty,
+      "ADD COLUMN on a column-mapped table is beyond this writer — " +
+        "the new column would need a fresh physical id")
+    val schema0 = DeltaLogReader.tableSchema(Some(spark), base, version).getOrElse(
+      throw new IllegalStateException(s"$base declares no schema"))
+    require(!schema0.fieldNames.contains(column), s"column $column already exists")
+    val widened = StructType(schema0.fields :+
+      StructField(column, DataType.fromDDL(dataType), nullable = true))
+    val conf0 = DeltaLogReader.latestMetaConfig(Some(spark), base, version)
+      .map(_._2).getOrElse(Map.empty)
+    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
+    commit(base, version + 1, Seq(
+      s"""{"commitInfo":{"operation":"ADD COLUMNS","timestamp":0}}""",
+      metaDataAction(widened, pcols, conf0)))
+  }
+
   /** The spec's legal widening promotions — lossless by construction
     * (every value of the narrow type is exactly representable in the
     * wide one), which is what makes the metadata-only commit sound:

@@ -113,10 +113,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER through the catalog is not wired — use DeltaLogWriter's " +
-        "renameColumn/addConstraint/evolve entry points")
+  /** ALTER TABLE, for the metadata-only changes the Delta writer
+    * supports: ADD COLUMN (NULL-backfilled through the log-schema
+    * scan), RENAME COLUMN (column-mapped tables — the physical name
+    * stays), and ALTER COLUMN TYPE (the typeWidening feature; lossy
+    * changes refuse inside the writer). Everything else refuses
+    * loudly rather than pretending. Delta-only — the other formats'
+    * evolution goes through their own writers. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    require(formatOf(dir).contains("delta"),
+      s"ALTER through the catalog is Delta-only; $ident is ${formatOf(dir).getOrElse("absent")}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "nested ADD COLUMN is beyond this catalog")
+        DeltaLogWriter.addColumn(spark, dir.toString,
+          a.fieldNames.head, a.dataType.sql)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "nested RENAME COLUMN is beyond this catalog")
+        DeltaLogWriter.renameColumn(spark, dir.toString, r.fieldNames.head, r.newName)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "nested ALTER COLUMN is beyond this catalog")
+        DeltaLogWriter.widenColumnType(spark, dir.toString,
+          u.fieldNames.head, u.newDataType.sql)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER change $other is not wired — use DeltaLogWriter's entry points")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -130,6 +130,44 @@ class LakeBatchSpec extends SparkSpec {
     assert(e3.getMessage != null)
   }
 
+  test("GraftCatalog: names, DDL lifecycle, ALTER guards") {
+    val root = mkBase("catalog")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "db"))
+    DeltaLogWriter.create(spark, plane().coalesce(1), s"$root/db/t1", "t1")
+    HudiWriter.create(spark, plane(), s"$root/db/h1", "h1", "id", 2)
+    spark.conf.set("spark.sql.catalog.gcat_test", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat_test.root", root)
+    // reads resolve by name, both formats, one catalog
+    assert(spark.sql("SELECT count(*) FROM gcat_test.db.t1").head().getLong(0) == 100L)
+    assert(spark.sql("SELECT count(*) FROM gcat_test.db.h1").head().getLong(0) == 100L)
+    assert(spark.sql("SHOW TABLES IN gcat_test.db").count() == 2L)
+    // CREATE TABLE writes a schema-only v0; INSERT populates it
+    spark.sql("CREATE TABLE gcat_test.db.t2 (id BIGINT, x INT) USING `graft-delta`")
+    spark.sql("INSERT INTO gcat_test.db.t2 " +
+      "SELECT id, CAST(x AS INT) FROM gcat_test.db.t1 WHERE id < 10")
+    assert(spark.sql("SELECT count(*) FROM gcat_test.db.t2").head().getLong(0) == 10L)
+    // ALTER: add + widen ride the metadata-only writer ops
+    spark.sql("ALTER TABLE gcat_test.db.t2 ADD COLUMN note STRING")
+    assert(spark.sql("SELECT count(*) FROM gcat_test.db.t2 WHERE note IS NULL")
+      .head().getLong(0) == 10L)
+    spark.sql("ALTER TABLE gcat_test.db.t2 ALTER COLUMN x TYPE BIGINT")
+    assert(spark.sql("SELECT sum(x) FROM gcat_test.db.t2").head().getLong(0) ==
+      plane().filter(col("id") < 10).agg(sum("x")).head().getLong(0))
+    // narrowing dies in Spark's OWN analyzer before reaching the writer
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gcat_test.db.t2 ALTER COLUMN x TYPE INT"))
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e.getMessage)
+    // ALTER on a non-delta table refuses
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE gcat_test.db.h1 ADD COLUMN z INT"))
+    assert(e2.getMessage.contains("Delta-only"), e2.getMessage)
+    // RENAME + DROP are directory ops
+    spark.sql("ALTER TABLE gcat_test.db.t2 RENAME TO db.t3")
+    assert(spark.sql("SELECT count(*) FROM gcat_test.db.t3").head().getLong(0) == 10L)
+    spark.sql("DROP TABLE gcat_test.db.t3")
+    assert(spark.sql("SHOW TABLES IN gcat_test.db").count() == 2L)
+  }
+
   test("graft-iceberg + graft-hudi format reads and the SQL USING surface") {
     val iBase = mkBase("ice")
     IcebergWriter.create(spark, plane().repartition(2), iBase)
