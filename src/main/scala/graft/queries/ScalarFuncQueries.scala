@@ -148,9 +148,50 @@ object ScalarFuncQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_docs"), sum(col("chars_x")).as("sum_chars"))
         .orderBy("lang_x")
     }),
+
+    // VARIANT — Spark 4's semi-structured type (the modern replacement
+    // for string-JSON hot paths: a binary encoding with typed path
+    // extraction, no per-row re-parse in each expression). Build a
+    // nested JSON document per order, parse_json it ONCE into a
+    // variant, then extract typed paths: nested object field, array
+    // index, bigint id; try_variant_get on an absent path is NULL (not
+    // an error — the schema-on-read contract). The extracted values
+    // equal the source columns, so the oracle replays from `orders`
+    // directly — grading that the variant round-trip is lossless.
+    "q_variant_funcs" -> ((s, d) => {
+      val js = Tables.orders(s, d).select(
+        to_json(struct(
+          col("o_orderkey").as("id"),
+          struct(col("o_orderpriority").as("pri"),
+            col("o_orderstatus").as("st")).as("meta"),
+          array(pmod(col("o_orderkey"), lit(7)),
+            pmod(col("o_orderkey"), lit(11))).as("tags"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))).as("js"))
+      js.select(expr("parse_json(js)").as("v"))
+        .select(
+          expr("variant_get(v, '$.meta.pri', 'string')").as("pri"),
+          expr("variant_get(v, '$.id', 'bigint')").as("id"),
+          expr("variant_get(v, '$.tags[1]', 'bigint')").as("tag1"),
+          expr("variant_get(v, '$.cents', 'bigint')").as("cents"),
+          expr("try_variant_get(v, '$.nope.deep', 'bigint')").as("missing"))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n"),
+          sum(pmod(col("id"), lit(1000))).as("sum_id_mod"),
+          sum(col("tag1")).as("sum_tag1"),
+          sum(col("cents")).as("total_cents"),
+          count(col("missing")).as("n_missing"))
+        .orderBy("pri")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_variant_funcs" ->
+      ("SELECT o_orderpriority AS pri, count(*) AS n, " +
+        "CAST(sum(o_orderkey % 1000) AS BIGINT) AS sum_id_mod, " +
+        "CAST(sum(o_orderkey % 11) AS BIGINT) AS sum_tag1, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents, " +
+        "CAST(0 AS BIGINT) AS n_missing " +
+        "FROM orders GROUP BY pri ORDER BY pri"),
     "q_string_funcs" ->
       ("SELECT p_partkey, upper(p_name) AS name_upper, substr(p_name, 1, 5) AS name_pfx, " +
         "CAST(length(p_name) AS BIGINT) AS name_len, p_brand || ':' || p_type AS brand_type, " +

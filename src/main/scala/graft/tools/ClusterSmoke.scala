@@ -87,6 +87,12 @@ object ClusterSmoke {
     "q_delta_row_tracking", // materialized-vs-inherited id coalesce across executor scans
     "q_delta_clustered",  // z-bucket routed rewrite + stats-pruned reads
     "q_stream_iceberg",   // Iceberg snapshot-diff InputPartition serde to executors
+    // round-12 executor-boundary risks:
+    "q_delta_identity",   // ShardedRank checkpoint blocks feeding a WRITE job
+    "q_lake_dsv2_write",  // V1-fallback DSv2 write: InsertableRelation across the engine
+    "q_lake_catalog",     // TableCatalog resolution + CTAS/ALTER driven writes
+    "q_delta_composed",   // all-features-on DML through one scan/write pair
+    "q_variant_funcs",    // variant binary encoding + typed path extraction on executors
   )
 
   def main(args: Array[String]): Unit = {
