@@ -846,6 +846,39 @@ object LakehouseQueries extends QueryGroup {
         inventory).reduce(_ unionAll _).orderBy("surface")
     }),
 
+    // ---- Iceberg v3 DEFAULT VALUES (initial-default) -----------------------
+    // ADD COLUMN ... DEFAULT stays metadata-only: rows that PREDATE the
+    // column surface the spec's initial-default instead of NULL — zero
+    // rewrite at any size. This engine pairs the default with REQUIRED
+    // semantics (post-add appends must provide the column non-null —
+    // IcebergSpec pins the refusals), which is exactly what keeps the
+    // one-merged-scan resolution sound: NULL ⟺ the file predates the
+    // column. Fixture: v3 create + append (era 1), add tier DEFAULT
+    // 'bronze', append typed rows (era 2), add boost DEFAULT 5, append
+    // again (era 3). Census: per-tier totals (old rows are all bronze)
+    // + the boost sum (eras 1-2 contribute the default).
+    "q_iceberg_default" -> ((s, d) => {
+      val base = s"/tmp/graft_iceberg_${Integer.toHexString(d.hashCode)}/orders_default"
+      val IW = graft.sources.IcebergWriter
+      val o = iceOrders(s, d).select(col("o_orderkey"), col("cents"))
+      def grp(r: Int) = o.filter(pmod(col("o_orderkey"), lit(3)) === r)
+      IW.createV3(s, grp(0).repartition(2), base)
+      IW.append(s, grp(1), base)
+      IW.evolveAddColumnDefault(s, base, "tier", "string", "\"bronze\"")
+      IW.append(s, grp(2).withColumn("tier",
+        when(pmod(col("o_orderkey"), lit(2)) === 0, "gold").otherwise("silver")), base)
+      IW.evolveAddColumnDefault(s, base, "boost", "long", "5")
+      IW.append(s, o.filter(col("o_orderkey") % 10 === 4)
+        .select((col("o_orderkey") + 800000000L).as("o_orderkey"), col("cents"))
+        .withColumn("tier", lit("era3"))
+        .withColumn("boost", pmod(col("o_orderkey"), lit(9))), base)
+      graft.sources.IcebergReader.read(s, base)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"),
+          sum(col("boost")).as("total_boost"))
+        .orderBy("tier")
+    }),
+
     // ---- Delta TYPE WIDENING (reader+writer feature `typeWidening`) -------
     // A key outgrowing INT is the classic year-three schema crisis; the
     // feature makes it a METADATA-ONLY commit: the declared type widens
@@ -3034,6 +3067,13 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 10, count(*), CAST(sum(cents) AS BIGINT) FROM v3 " +
         "UNION ALL SELECT 20, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 IN (0, 1) " +
         "ORDER BY phase"),
+    "q_iceberg_default" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT 'bronze' AS tier, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents, CAST(5 * count(*) AS BIGINT) AS total_boost FROM o WHERE k % 3 IN (0, 1) " +
+        "UNION ALL SELECT 'era3', count(*), CAST(sum(cents) AS BIGINT), CAST(sum((k + 800000000) % 9) AS BIGINT) FROM o WHERE k % 10 = 4 " +
+        "UNION ALL SELECT 'gold', count(*), CAST(sum(cents) AS BIGINT), CAST(5 * count(*) AS BIGINT) FROM o WHERE k % 3 = 2 AND k % 2 = 0 " +
+        "UNION ALL SELECT 'silver', count(*), CAST(sum(cents) AS BIGINT), CAST(5 * count(*) AS BIGINT) FROM o WHERE k % 3 = 2 AND k % 2 = 1 " +
+        "ORDER BY tier"),
     "q_delta_type_widening" ->
       ("WITH o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
         "n AS (SELECT k, cents AS qty, cents % 97 AS sep FROM o), " +

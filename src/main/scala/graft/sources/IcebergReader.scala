@@ -161,7 +161,14 @@ object IcebergReader {
   // metadata-only, added columns surface as NULL in old files, dropped
   // columns vanish without a rewrite.
 
-  final case class IceField(id: Int, name: String, tpe: String)
+  /** `initialDefault` is the v3 DEFAULT VALUE (spec `initial-default`,
+    * raw JSON scalar): rows written BEFORE the column existed surface
+    * it instead of NULL. This engine pairs it with `required` — the
+    * writer fills an omitted column with the `write-default` and
+    * refuses provided NULLs, so the merged-scan resolution (NULL ⟺
+    * file predates the column) stays exact. */
+  final case class IceField(id: Int, name: String, tpe: String,
+                            initialDefault: Option[String] = None)
   final case class IceSchema(schemaId: Int, fields: Seq[IceField])
 
   /** (current-schema-id, declared schemas) of metadata version `v` —
@@ -170,14 +177,33 @@ object IcebergReader {
     val json = metadataJson(base, v)
     val cur = DeltaLogReader.longField(json, "current-schema-id").map(_.toInt)
     val fieldRe = ("""\{"id":(\d+),"name":"([^"]+)","required":(?:true|false),""" +
-      """"type":"([^"]+)"\}""").r
+      """"type":"([^"]+)"""" +
+      """(?:,"initial-default":("(?:[^"\\]|\\.)*"|-?[0-9.]+|true|false))?""" +
+      """(?:,"write-default":(?:"(?:[^"\\]|\\.)*"|-?[0-9.]+|true|false))?\}""").r
     val all = arrayObjects(json, "schemas").map { o =>
       IceSchema(
         DeltaLogReader.longField(o, "schema-id").map(_.toInt).getOrElse(0),
         fieldRe.findAllMatchIn(o).map(m =>
-          IceField(m.group(1).toInt, m.group(2), m.group(3))).toSeq)
+          IceField(m.group(1).toInt, m.group(2), m.group(3),
+            Option(m.group(4)))).toSeq)
     }
     (cur, all)
+  }
+
+  /** A field's default as a typed Column (JSON scalar → literal) — the
+    * writer's `write-default` fill and the reader's `initial-default`
+    * resolution share it. */
+  private[sources] def defaultColumn(f: IceField): Column = defaultLit(f)
+
+  private def defaultLit(f: IceField): Column = {
+    val raw = f.initialDefault.get
+    val v: Any =
+      if (raw.startsWith("\"")) raw.substring(1, raw.length - 1)
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+      else if (raw == "true" || raw == "false") raw.toBoolean
+      else if (raw.contains('.')) raw.toDouble
+      else raw.toLong
+    lit(v).cast(sparkTypeOf(f.tpe))
   }
 
   private def sparkTypeOf(t: String): String = t match {
@@ -223,7 +249,13 @@ object IcebergReader {
           else if (present.size == 1) col(present.head).cast(sparkTypeOf(f.tpe))
           else org.apache.spark.sql.functions
             .coalesce(present.map(col): _*).cast(sparkTypeOf(f.tpe))
-        c.as(f.name)
+        // v3 initial-default: pre-existing rows surface the default, not
+        // NULL. Sound on the merged scan because the WRITER enforces the
+        // pairing: a defaulted column is provided NON-NULL by every
+        // post-add append, so NULL here ⟺ the file predates the column.
+        val cd = f.initialDefault.fold(c)(_ =>
+          org.apache.spark.sql.functions.coalesce(c, defaultLit(f)))
+        cd.as(f.name)
       }
     }
   }

@@ -315,12 +315,18 @@ object IcebergWriter {
 
   // ---- SCHEMA EVOLUTION (metadata-only column ops) --------------------------
 
-  /** Re-emittable `,"schemas":[...],"current-schema-id":N` fragment. */
+  /** Re-emittable `,"schemas":[...],"current-schema-id":N` fragment.
+    * A field with a v3 `initial-default` serializes as REQUIRED with
+    * matching `write-default` (the spec's pairing; also the writer
+    * obligation the merged-scan default resolution rests on). */
   private def schemasFragment(cur: Int, all: Seq[IcebergReader.IceSchema]): String = {
     val arr = all.sortBy(_.schemaId).map { s =>
-      val fs = s.fields.map(f =>
-        s"""{"id":${f.id},"name":"${f.name}","required":false,"type":"${f.tpe}"}""")
-        .mkString("[", ",", "]")
+      val fs = s.fields.map { f =>
+        val d = f.initialDefault.fold("")(raw =>
+          s""","initial-default":$raw,"write-default":$raw""")
+        s"""{"id":${f.id},"name":"${f.name}","required":${f.initialDefault.isDefined},""" +
+          s""""type":"${f.tpe}"$d}"""
+      }.mkString("[", ",", "]")
       s"""{"type":"struct","schema-id":${s.schemaId},"fields":$fs}"""
     }.mkString("[", ",", "]")
     s""","schemas":$arr,"current-schema-id":$cur"""
@@ -543,6 +549,35 @@ object IcebergWriter {
       }
       fields :+ IcebergReader.IceField(nextId, name, icebergType)
     })
+
+  /** ALTER TABLE ADD COLUMN ... DEFAULT — the v3 DEFAULT VALUES
+    * feature: the new field carries the spec's `initial-default` (and
+    * matching `write-default`), so rows written BEFORE the column
+    * existed surface the default instead of NULL — still metadata-only,
+    * zero rewrite. [[append]] honors the pairing: a batch OMITTING the
+    * column takes the `write-default` (the spec's fill rule), one
+    * carrying NULLs in it refuses — which is exactly what keeps the
+    * merged-scan resolution sound (NULL ⟺ the file predates the
+    * column).
+    * `defaultJson` is the RAW JSON scalar (`"bronze"` quoted for
+    * strings, `5` bare for numbers). */
+  def evolveAddColumnDefault(spark: SparkSession, base: String,
+                             name: String, icebergType: String,
+                             defaultJson: String): Unit = {
+    require(IcebergReader.formatVersion(base,
+      IcebergReader.currentMetadataVersion(base)) == 3,
+      "default values are an Iceberg format-version 3 schema feature")
+    commitSchema(spark, base, { fields =>
+      require(!fields.exists(_.name == name), s"column $name already exists")
+      val nextId = IcebergReader.schemas(base,
+        IcebergReader.currentMetadataVersion(base)) match {
+        case (Some(_), all) => all.flatMap(_.fields).map(_.id).max + 1
+        case _              => fields.map(_.id).max + 1
+      }
+      fields :+ IcebergReader.IceField(nextId, name, icebergType,
+        initialDefault = Some(defaultJson))
+    })
+  }
 
   /** ALTER TABLE RENAME COLUMN — metadata-only; the field id stays, so
     * files written under EITHER name read through the current one. */
@@ -1135,10 +1170,31 @@ object IcebergWriter {
     * a v2 manifest with content + sequence columns — a v1 manifest here
     * would DROP the delete files and silently resurrect deleted rows on
     * the next read. */
-  def append(spark: SparkSession, df: DataFrame, base: String): Unit = {
+  def append(spark: SparkSession, df0: DataFrame, base: String): Unit = {
     val v = IcebergReader.currentMetadataVersion(base)
     val prev = IcebergReader.currentSnapshotId(base, v)
     val fv = IcebergReader.formatVersion(base, v)
+    // the v3 default-value writer obligations: a batch OMITTING a
+    // defaulted column takes its `write-default` (the spec's fill
+    // rule), and a PROVIDED column must be non-null — together they
+    // keep the reader's merged-scan resolution exact (NULL ⟺ the file
+    // predates the column)
+    val df = IcebergReader.schemas(base, v) match {
+      case (Some(cid), all) =>
+        all.find(_.schemaId == cid).toSeq.flatMap(_.fields)
+          .filter(_.initialDefault.isDefined).foldLeft(df0) { (d, f) =>
+            if (!d.columns.contains(f.name))
+              d.withColumn(f.name, IcebergReader.defaultColumn(f))
+            else {
+              val bad = d.filter(col(f.name).isNull).count()
+              require(bad == 0L,
+                s"append carries $bad NULLs in required defaulted column ${f.name} — " +
+                  "the default marks rows that PREDATE the column, not new nulls")
+              d
+            }
+          }
+      case _ => df0
+    }
     val scan = IcebergReader.planSnapshot(spark, base, prev)
     val hasDels = scan.posDeleteFiles.nonEmpty || scan.eqDeleteFiles.nonEmpty ||
       scan.dvs.nonEmpty

@@ -6,7 +6,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.IcebergReader
+import graft.sources.{IcebergReader, IcebergWriter}
 
 /** The public-spec Iceberg tree reader: snapshot selection, status
   * filtering, relative-path resolution, and the fail-fast guards. */
@@ -659,5 +659,46 @@ class IcebergSpec extends SparkSpec {
     val meta = java.nio.file.Files.readString(
       java.nio.file.Paths.get(base, "metadata", "v1.metadata.json"))
     assert(meta.contains("\"transform\":\"bucket[4]\""), meta)
+  }
+
+  test("v3 default values: old rows surface the default; writer obligations refuse") {
+    val base = mkTable("v3default")
+    val df = spark.createDataFrame((1L to 8L).map(i => (i, i * 3L))).toDF("k", "v")
+      .coalesce(1)
+    IcebergWriter.createV3(spark, df, base)
+    val files1 = IcebergReader.planSnapshot(spark, base, 1L).dataFiles.map(_._1).toSet
+    IcebergWriter.evolveAddColumnDefault(spark, base, "tier", "string", "\"bronze\"")
+    // metadata-only: the data file set is byte-identical
+    assert(IcebergReader.planSnapshot(spark, base, 1L).dataFiles.map(_._1).toSet == files1)
+    // pre-existing rows surface the default, NOT NULL
+    val r1 = IcebergReader.read(spark, base)
+    assert(r1.filter(col("tier") === "bronze").count() == 8L)
+    assert(r1.filter(col("tier").isNull).count() == 0L)
+    // a post-add append OMITTING the column takes the write-default
+    // (the spec's fill rule); providing NULLs refuses
+    IcebergWriter.append(spark,
+      spark.createDataFrame(Seq((0L, 0L))).toDF("k", "v").coalesce(1), base)
+    intercept[IllegalArgumentException](IcebergWriter.append(spark,
+      spark.createDataFrame(Seq((9L, 27L, null: String))).toDF("k", "v", "tier")
+        .coalesce(1), base))
+    IcebergWriter.append(spark,
+      spark.createDataFrame(Seq((9L, 27L, "gold"))).toDF("k", "v", "tier")
+        .coalesce(1), base)
+    val r2 = IcebergReader.read(spark, base)
+    assert(r2.filter(col("tier") === "bronze").count() == 9L)
+    assert(r2.filter(col("tier") === "gold").count() == 1L)
+    // numeric defaults parse back typed; the JSON carries the spec keys
+    IcebergWriter.evolveAddColumnDefault(spark, base, "boost", "long", "7")
+    assert(IcebergReader.read(spark, base)
+      .agg(org.apache.spark.sql.functions.sum("boost")).head().getLong(0) == 70L)
+    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(base,
+      "metadata", s"v${IcebergReader.currentMetadataVersion(base)}.metadata.json"))
+    assert(meta.contains("\"initial-default\":\"bronze\"") &&
+      meta.contains("\"write-default\":7"), meta)
+    // defaults are a FORMAT V3 schema feature
+    val v1base = mkTable("v3default_v1")
+    IcebergWriter.create(spark, df, v1base)
+    intercept[IllegalArgumentException](
+      IcebergWriter.evolveAddColumnDefault(spark, v1base, "t", "string", "\"x\""))
   }
 }
