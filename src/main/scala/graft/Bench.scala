@@ -85,6 +85,11 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         if (sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
+        // between-queries hygiene, OUTSIDE the timer: drop the query's
+        // fixture trees / drained memory sinks / pinned checkpoint and
+        // state blocks so pass-context pressure never compounds into
+        // later queries' times (the measured r11/r12 suite drift)
+        try Hygiene.sweep(spark) catch { case _: Throwable => () }
       }
     }
     val results = named.map { case (name, _) => name -> best(name) }

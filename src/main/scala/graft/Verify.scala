@@ -29,6 +29,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query hygiene: fixtures rebuild per invocation, so sweeping
+      // leftovers keeps a 386-query dump at steady-state /tmp and heap
+      try Hygiene.sweep(spark) catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -34,6 +34,25 @@ import org.apache.spark.sql.functions._
   */
 object ShardedRank {
 
+  // Checkpointed range exchanges awaiting release: the eager
+  // localCheckpoint pins the ranged data in executor storage, and
+  // nothing would ever drop it (driver GC holds the Dataset via the
+  // consumer's plan). Consumers that KNOW their action finished call
+  // [[flush]] — the identity writer after its commit, Verify/Bench
+  // after each query's action. Note localCheckpoint is non-reliable:
+  // an executor lost mid-consumption fails the consuming job rather
+  // than recomputing (documented cost of the pinned determinism).
+  private val live =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Unpersist every checkpointed range exchange registered since the
+    * last flush. Call ONLY after the consuming action completed — a
+    * plan still holding one of these cannot recompute it. */
+  def flush(): Unit = {
+    var r = live.poll()
+    while (r != null) { r.unpersist(blocking = false); r = live.poll() }
+  }
+
   /** Adds `rnCol` (1-based global row number, long) and `nCol` (total
     * row count, long) for the total order given by `sortCols`. The sort
     * order MUST be total (tie-break on a unique key) or numbering across
@@ -54,6 +73,10 @@ object ShardedRank {
     // ranged data to executor storage — the honest price of a
     // deterministic two-pass numbering at any scale.
     val ranged = df.repartitionByRange(shards, sortCols: _*).localCheckpoint(true)
+    ranged.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => live.add(lr.rdd)
+      case _ => // checkpoint plan shape changed — nothing to track
+    }
     val local = ranged
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__mid", monotonically_increasing_id())

@@ -387,6 +387,46 @@ object DeltaLogReader {
     found
   }
 
+  /** Sampled loudness check for id-bound reads: the given data file's
+    * footer must embed parquet field ids (the spec's writer
+    * requirement on column-mapped tables) — catches id-less foreign
+    * files BEFORE `fieldId.read.ignoreMissing` would turn them into a
+    * silent all-NULL read. One KB-scale footer open on the driver. */
+  private[sources] def assertEmbeddedIds(spark: SparkSession, file: String): Unit = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val fields = r.getFooter.getFileMetaData.getSchema.getFields
+      require(fields.asScala.exists(_.getId != null),
+        s"column-mapped table data file $file embeds NO parquet field ids — " +
+          "id-bound reads would silently surface NULLs; the writer that " +
+          "produced this file violates the spec")
+    } finally r.close()
+  }
+
+  /** The table's `metaData.id` at `version` — the spec treats it as a
+    * STABLE table GUID (external readers interpret an id change as
+    * table replacement), so every metadata-replacing commit must carry
+    * the original id forward. */
+  private[sources] def latestMetaId(spark: Option[SparkSession], base: String,
+                                    version: Long): Option[String] = {
+    val vs = versions(base).filter(_ <= version)
+    var found: Option[String] =
+      if (vs.headOption.contains(0L)) None
+      else spark.flatMap(s => checkpointAt(base, version)
+        .flatMap(cv => checkpointMeta(s, base, cv)).map(_._1))
+    vs.foreach { v =>
+      val f = logDir(base).resolve(f"$v%020d.json")
+      if (Files.exists(f))
+        Files.readAllLines(f, StandardCharsets.UTF_8).asScala.foreach { line =>
+          if (line.contains("\"metaData\""))
+            found = strField(line, "id").orElse(found)
+        }
+    }
+    found
+  }
+
   /** Column-mapping (mode=name) schema of the table at `version`, if
     * the latest metaData declares it: tables that ever RENAMED a
     * column write `delta.columnMapping.mode=name` and address parquet
@@ -885,13 +925,27 @@ object DeltaLogReader {
       // (ignoreMissing stays false) rather than mis-bind.
       if (columnMappingMode(Some(spark), base, version).contains("id")) {
         import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         val readSchema = StructType(logical.fields.map(f =>
           StructField(f.name, f.dataType, f.nullable, new MetadataBuilder()
             .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
             .build())))
         require(pcols.isEmpty,
           "mode=id column mapping on a partitioned table is beyond this minimal reader")
+        // this V1 scan consults the SESSION conf at execution time (the
+        // clip in ParquetReadSupport reads SQLConf, not the per-read
+        // options — verified empirically; the DSv2 front door's scan
+        // DOES honor the option form, see LakeBatchSources). The read
+        // is lazy, so save/restore is impossible here; the flip is
+        // one-way but only affects scans whose REQUESTED schema carries
+        // parquet.field.id metadata — which only id-binding readers
+        // deliberately attach. ignoreMissing makes post-ADD-COLUMN
+        // reads surface the new field as NULL in files that predate it
+        // (the spec's schema evolution); the loudness the default
+        // provided against id-LESS foreign files moves into a sampled
+        // footer check.
+        assertEmbeddedIds(spark, files.head)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
         return applyDvs(spark, base, adds,
           spark.read.schema(readSchema).parquet(files: _*))
       }
@@ -906,20 +960,28 @@ object DeltaLogReader {
       val physByLogical = logical.fields.map(f =>
         f.name -> f.metadata.getString("delta.columnMapping.physicalName")).toMap
       val physPcols = pcols.map(c => physByLogical.getOrElse(c, c))
+      // the scan REQUESTS the physical schema at the LOGICAL types:
+      // files that predate an ADD COLUMN surface the new physical
+      // column as NULL (instead of footer-sampling roulette), and
+      // files narrower than a WIDENED type upcast natively in the
+      // parquet reader (int32→int64 etc.) — both halves of schema
+      // evolution on a mapped table, with zero data movement
+      val physSchema = org.apache.spark.sql.types.StructType(
+        logical.fields.map(f => org.apache.spark.sql.types.StructField(
+          physByLogical(f.name), f.dataType, nullable = true)))
       val physical =
-        if (pcols.isEmpty) applyDvs(spark, base, adds, spark.read.parquet(files: _*))
+        if (pcols.isEmpty)
+          applyDvs(spark, base, adds, spark.read.schema(physSchema).parquet(files: _*))
         else {
           require(adds.forall(a => physPcols.forall(c => a.path.contains(c + "="))),
             s"partitioned column-mapped Delta table with non-hive data paths " +
               s"(need ${physPcols.mkString(",")} dirs)")
           applyDvs(spark, base, adds,
-            spark.read.option("basePath", base).parquet(files: _*))
+            spark.read.schema(physSchema)
+              .option("basePath", base).parquet(files: _*))
         }
       val renames = logical.fields.map { f =>
-        val p = physByLogical(f.name)
-        require(physical.columns.contains(p),
-          s"physical column $p (logical ${f.name}) missing from the data files")
-        org.apache.spark.sql.functions.col(p).as(f.name)
+        org.apache.spark.sql.functions.col(physByLogical(f.name)).as(f.name)
       }
       return physical.select(renames.toIndexedSeq: _*)
     }

@@ -163,7 +163,6 @@ object DeltaLogWriter {
     DeltaLogReader.columnMappingSchema(Some(spark), base, version) match {
       case None => df
       case Some(logical) =>
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         val idOfPhys = logical.fields.map(f =>
           f.metadata.getString("delta.columnMapping.physicalName") ->
             f.metadata.getLong("delta.columnMapping.id")).toMap
@@ -182,6 +181,12 @@ object DeltaLogWriter {
       }
     }.toIndexedSeq: _*)
   }
+
+  /** The table's stable metaData id, threaded into every
+    * metadata-replacing commit (never re-minted: external readers
+    * treat an id change as table replacement). */
+  private def metaIdOf(spark: SparkSession, base: String, version: Long): String =
+    DeltaLogReader.latestMetaId(Some(spark), base, version).getOrElse("graft")
 
   /** Everything a DML op needs to know about the table at its latest
     * version — resolved ONCE per statement. */
@@ -309,12 +314,34 @@ object DeltaLogWriter {
     * in BOTH the paths (for the scan's basePath recovery) and the add
     * actions' partitionValues (for log-only readers), as delta-spark
     * itself writes them. */
+  /** Run `body` with `spark.sql.parquet.fieldId.write.enabled` ON and
+    * the previous session value RESTORED after — the parquet write
+    * path reads this from the SESSION conf (ParquetUtils.prepareWrite
+    * clobbers per-write options with it), and leaving it flipped would
+    * change unrelated writes in the same session whose schemas happen
+    * to carry field-id metadata. */
+  private def withFieldIdWrites[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.fieldId.write.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   private def writeData(df: DataFrame, base: String, version: Long,
                         partitionBy: Seq[String] = Nil): Seq[String] = {
     val tmp = s"$base/.stage-v$version"
     TxnLog.rmrf(tmp)
     val w = df.write
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
+    // column-mapped frames carry parquet.field.id metadata — the spec
+    // requires the files to EMBED those ids (id-based readers bind by
+    // them), which needs the session flag on for this write only
+    val stampsIds = df.schema.fields.exists(_.metadata.contains("parquet.field.id"))
+    def run(): Unit =
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
+    if (stampsIds) withFieldIdWrites(df.sparkSession)(run()) else run()
     Files.createDirectories(Paths.get(base))
     val moved = Files.walk(Paths.get(tmp)).iterator.asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -346,15 +373,20 @@ object DeltaLogWriter {
     * `partitionBy`, data lands in the hive layout and partition values
     * ride both the paths and each add's `partitionValues`. */
   def create(spark: SparkSession, df: DataFrame, base: String, tableId: String,
-             partitionBy: Seq[String] = Nil, statsFor: Seq[String] = Nil): Unit = {
+             partitionBy: Seq[String] = Nil, statsFor: Seq[String] = Nil,
+             extraConf: Map[String, String] = Map.empty): Unit = {
     TxnLog.rmrf(base)
     val rels = writeData(df, base, 0L, partitionBy)
     val pcols = partitionBy.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
+    // declared table properties (e.g. delta.enableChangeDataFeed) need
+    // their protocol floor: CDF is a minWriterVersion-4 legacy feature
+    val mw = if (extraConf.get("delta.enableChangeDataFeed").contains("true")) 4 else 2
     commit(base, 0L, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$mw}}""",
       s"""{"metaData":{"id":"${esc(tableId)}","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":"${esc(df.schema.json)}","partitionColumns":$pcols,""" +
-        s""""configuration":{},"createdTime":0}}""") ++ addActions(spark, base, rels, statsFor))
+        s""""configuration":${confJson(extraConf)},"createdTime":0}}""") ++
+      addActions(spark, base, rels, statsFor))
   }
 
   /** Create an EMPTY table — schema-only version 0, the catalog's
@@ -366,8 +398,19 @@ object DeltaLogWriter {
                   partitionBy: Seq[String] = Nil): Unit = {
     require(partitionBy.forall(schema.fieldNames.contains),
       s"partition columns ${partitionBy.mkString(",")} must exist in the schema")
-    TxnLog.rmrf(base)
-    Files.createDirectories(Paths.get(base))
+    // NEVER clear the target: the catalog's tableExists guard only
+    // sniffs format markers, so a marker-less directory here could be
+    // a namespace holding tables (or a table whose log was lost) — an
+    // rmrf would silently destroy it. CREATE demands a fresh location.
+    val dir = Paths.get(base)
+    val vacant = !Files.exists(dir) || (Files.isDirectory(dir) && {
+      val s = Files.list(dir)
+      try !s.findFirst().isPresent finally s.close()
+    })
+    require(vacant,
+      s"CREATE TABLE target $base exists and is not empty — refusing to " +
+        "clear a directory this writer did not stage (drop it explicitly first)")
+    Files.createDirectories(dir)
     val pc = partitionBy.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
     commit(base, 0L, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
@@ -658,7 +701,7 @@ object DeltaLogWriter {
     val conf0 = DeltaLogReader.latestMetaConfig(Some(spark), base, version - 1)
       .map(_._2).getOrElse(Map.empty)
     val metaAction =
-      s"""{"metaData":{"id":"graft","format":{"provider":"parquet","options":{}},""" +
+      s"""{"metaData":{"id":"${esc(metaIdOf(spark, base, version - 1))}","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":"${esc(df.schema.json)}","partitionColumns":$pc,""" +
         s""""configuration":${confJson(conf0)},"createdTime":0}}"""
     rowTrackingConf(spark, base, version - 1) match {
@@ -693,8 +736,8 @@ object DeltaLogWriter {
     val phys = df.schema.fields.zipWithIndex.map { case (f, i) => f.name -> s"col-${i + 1}" }
     val physDf = phys.foldLeft(df) { case (d, (l, p)) => d.withColumnRenamed(l, p) }
     // name-mode files embed field ids too (the spec requires them in
-    // BOTH modes) — what the DSv2 front door's field-id scan binds by
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    // BOTH modes) — what the DSv2 front door's field-id scan binds by;
+    // writeData flips the writer conf scoped to the staging write
     val rels = writeData(
       stampIds(physDf, phys.zipWithIndex.map { case ((_, p), i) => p -> (i + 1L) }.toMap),
       base, 0L)
@@ -726,8 +769,8 @@ object DeltaLogWriter {
     import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
     TxnLog.rmrf(base)
     // physical frame: arbitrary physical names, each column stamped
-    // with its parquet field id so the files embed them
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    // with its parquet field id so the files embed them (writeData
+    // flips the writer conf scoped to the staging write)
     val physCols = df.schema.fields.zipWithIndex.map { case (f, i) =>
       col(f.name).as(s"pcol_${i + 1}", new MetadataBuilder()
         .putLong("parquet.field.id", i + 1L).build())
@@ -787,11 +830,12 @@ object DeltaLogWriter {
 
   /** A replacement metaData action carrying `schema` wholesale (Delta
     * metaData replaces, never patches — the caller must thread the
-    * live configuration and partitionColumns through). */
-  private def metaDataAction(schema: org.apache.spark.sql.types.StructType,
+    * live configuration, partitionColumns, AND the table's original
+    * id through: the id is a stable GUID external readers key on). */
+  private def metaDataAction(id: String, schema: org.apache.spark.sql.types.StructType,
                              pcols: Seq[String], conf: Map[String, String]): String = {
     val pc = pcols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
-    s"""{"metaData":{"id":"graft","format":{"provider":"parquet","options":{}},""" +
+    s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":"${esc(schema.json)}","partitionColumns":$pc,""" +
       s""""configuration":${confJson(conf)},"createdTime":0}}"""
   }
@@ -891,6 +935,7 @@ object DeltaLogWriter {
         s""""schemaString":"${esc(schema.json)}","partitionColumns":[],""" +
         s""""configuration":{},"createdTime":0}}""") ++
       addActions(spark, base, rels))
+    graft.plans.ShardedRank.flush()
   }
 
   /** Append to an IDENTITY table: ids continue ABOVE the high-water
@@ -922,7 +967,11 @@ object DeltaLogWriter {
       .map(_._2).getOrElse(Map.empty)
     val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
     appendWith(spark, withIds, base, statsFor,
-      Seq(metaDataAction(schema, pcols, conf)), "WRITE", identityAssigned = true)
+      Seq(metaDataAction(metaIdOf(spark, base, version), schema, pcols, conf)),
+      "WRITE", identityAssigned = true)
+    // the id-assignment write is done — release ShardedRank's pinned
+    // range exchange (executor storage) now rather than at driver GC
+    graft.plans.ShardedRank.flush()
   }
 
   /** ALTER TABLE ADD COLUMN — metadata-only: the new nullable field
@@ -930,26 +979,42 @@ object DeltaLogWriter {
     * log-schema-enforced scan surfaces it as NULL in files that
     * predate it (the same read path `appendEvolved` relies on — this
     * is the add-column HALF of that op, for when there is no data to
-    * write yet). Column-mapped tables refuse (a new column would need
-    * a fresh physical id threaded through every writer). */
+    * write yet). On a COLUMN-MAPPED table (either mode) the new field
+    * is minted a FRESH physical id above `delta.columnMapping.
+    * maxColumnId` (the spec's id-allocation contract — ids are never
+    * reused, so a dropped-and-re-added name can never resurrect old
+    * data) and the same commit bumps the mark; files that predate the
+    * column surface it as NULL through the physical-schema /
+    * ignoreMissing scan paths. */
   def addColumn(spark: SparkSession, base: String, column: String,
                 dataType: String): Unit = {
-    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, StructType}
     val version = DeltaLogReader.latestVersion(base)
-    require(colMapOf(spark, base, version).isEmpty,
-      "ADD COLUMN on a column-mapped table is beyond this writer — " +
-        "the new column would need a fresh physical id")
     val schema0 = DeltaLogReader.tableSchema(Some(spark), base, version).getOrElse(
       throw new IllegalStateException(s"$base declares no schema"))
     require(!schema0.fieldNames.contains(column), s"column $column already exists")
-    val widened = StructType(schema0.fields :+
-      StructField(column, DataType.fromDDL(dataType), nullable = true))
     val conf0 = DeltaLogReader.latestMetaConfig(Some(spark), base, version)
       .map(_._2).getOrElse(Map.empty)
+    val (newField, conf1) = colMapOf(spark, base, version) match {
+      case None =>
+        (StructField(column, DataType.fromDDL(dataType), nullable = true), conf0)
+      case Some(_) =>
+        val maxId = conf0.get("delta.columnMapping.maxColumnId").map(_.toLong)
+          .getOrElse(schema0.fields
+            .map(_.metadata.getLong("delta.columnMapping.id")).max)
+        val id = maxId + 1
+        (StructField(column, DataType.fromDDL(dataType), nullable = true,
+          new MetadataBuilder()
+            .putLong("delta.columnMapping.id", id)
+            .putString("delta.columnMapping.physicalName", s"col-$id")
+            .build()),
+          conf0 + ("delta.columnMapping.maxColumnId" -> id.toString))
+    }
+    val widened = StructType(schema0.fields :+ newField)
     val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
     commit(base, version + 1, Seq(
       s"""{"commitInfo":{"operation":"ADD COLUMNS","timestamp":0}}""",
-      metaDataAction(widened, pcols, conf0)))
+      metaDataAction(metaIdOf(spark, base, version), widened, pcols, conf1)))
   }
 
   /** The spec's legal widening promotions — lossless by construction
@@ -974,15 +1039,20 @@ object DeltaLogWriter {
     * reader); post-widening appends write the wide type directly. On a
     * 100 TB table this is the difference between an instant and a full
     * rewrite when a key outgrows INT. Narrowing and lossy changes
-    * refuse; column-mapped tables refuse (their physical-name scan
-    * path does not re-type). */
+    * refuse. Column-mapped tables widen too: both mapped scan paths
+    * request the LOGICAL type (mode=name via the physical-schema
+    * read, mode=id via the field-id requested schema), so old narrow
+    * files upcast natively and the field's mapping metadata rides the
+    * widened schema untouched. */
   def widenColumnType(spark: SparkSession, base: String, column: String,
                       toType: String): Unit = {
     import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, StructType}
     val version = DeltaLogReader.latestVersion(base)
-    require(colMapOf(spark, base, version).isEmpty,
-      "type widening on a column-mapped table is beyond this writer — " +
-        "the physical-name scan path does not re-type old files")
+    // COLUMN-MAPPED tables widen too: both scan paths request the
+    // LOGICAL type (mode=name via the physical-schema read, mode=id
+    // via the field-id requested schema), so old narrow files upcast
+    // natively — the field's mapping metadata rides the widened
+    // schema untouched.
     val schema0 = DeltaLogReader.tableSchema(Some(spark), base, version).getOrElse(
       throw new IllegalStateException(s"$base declares no schema"))
     val f = schema0.fields.find(_.name == column).getOrElse(
@@ -1031,7 +1101,7 @@ object DeltaLogWriter {
       s"""{"commitInfo":{"operation":"CHANGE COLUMN","timestamp":0}}""",
       s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         s""""readerFeatures":${featJson(rf)},"writerFeatures":${featJson(wf)}}}""",
-      metaDataAction(widened, pcols, conf0)))
+      metaDataAction(metaIdOf(spark, base, version), widened, pcols, conf0)))
   }
 
   /** INSERT OVERWRITE — replace the table's entire live content with
@@ -1120,8 +1190,8 @@ object DeltaLogWriter {
     val stamped = phys match {
       case None => physDf
       case Some(m) =>
-        // mapped files embed field ids (spec requirement in both modes)
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        // mapped files embed field ids (spec requirement in both
+        // modes); writeData flips the writer conf scoped to the write
         stampIds(physDf, m.zipWithIndex.map { case ((_, p), i) => p -> (i + 1L) }.toMap)
     }
     val rels = writeData(stamped, base, 0L, physPcols)
@@ -1206,7 +1276,7 @@ object DeltaLogWriter {
     val pc = pcols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
     commit(base, version + 1, Seq(
       s"""{"commitInfo":{"operation":"RENAME COLUMN","timestamp":0}}""",
-      s"""{"metaData":{"id":"graft","format":{"provider":"parquet","options":{}},""" +
+      s"""{"metaData":{"id":"${esc(metaIdOf(spark, base, version))}","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":"${esc(renamed.json)}","partitionColumns":$pc,""" +
         s""""configuration":${confJson(conf0)},"createdTime":0}}"""))
   }
@@ -1414,6 +1484,128 @@ object DeltaLogWriter {
         .map { case (k, v) => s"""\\"${esc(k)}\\":$v""" }
         .mkString(s""",\\"$tag\\":{""", ",", "}")
     s"""{\\"numRecords\\":${a.numRecords}${side("minValues", a.minValues)}${side("maxValues", a.maxValues)}}"""
+  }
+
+  // ---- SQL-text DML (DSv2 row-level operations) ---------------------------
+  // The catalog's Delta tables implement SupportsRowLevelOperations
+  // (delta-based), so pure SQL `UPDATE`/`MERGE INTO`/complex `DELETE`
+  // rewrite into WriteDelta: the scan below feeds Spark's rewrite, the
+  // executors write only CHANGED rows (graft.sources.LakeSqlDml), and
+  // commitRowDelta stitches DV masks + staged adds + CDF into one
+  // commit. Simple DELETEs skip all of this via SupportsDelete →
+  // deleteWhereDv (Spark's OptimizeMetadataOnlyDeleteFromTable).
+
+  /** What the SQL-DML path supports THIS round — the feature
+    * compositions (hive partitioning, column mapping, row tracking,
+    * identity) have their staging conventions in the Scala entry
+    * points; the SQL route refuses them loudly instead of staging
+    * files that violate them. */
+  private[sources] def sqlDmlGuards(spark: SparkSession, base: String): Unit = {
+    val ctx = dmlCtx(spark, base)
+    require(ctx.pcols.isEmpty,
+      s"SQL DML on hive-partitioned $base is not wired — use DeltaLogWriter.update/mergeMulti")
+    require(ctx.colMap.isEmpty,
+      s"SQL DML on column-mapped $base is not wired — use DeltaLogWriter.update/mergeMulti")
+    require(ctx.rtConf.isEmpty,
+      s"SQL DML on row-tracked $base is not wired — use DeltaLogWriter.update/mergeMulti")
+    identityColOf(spark, base, ctx.version).foreach(f => throw new IllegalArgumentException(
+      s"SQL DML would bypass identity column ${f.name} on $base"))
+  }
+
+  /** The WriteDelta scan: masked live rows + the row-identity metadata
+    * columns (`__path`, `__pos`) + `__pre` (a struct of the full old
+    * row — what CDF pre-images and delete change rows are built from).
+    * Empty tables surface an empty frame of the declared schema. */
+  private[sources] def sqlDmlScan(spark: SparkSession, base: String): DataFrame = {
+    import org.apache.spark.sql.functions.struct
+    val ctx = dmlCtx(spark, base)
+    if (ctx.live.isEmpty) {
+      val schema = DeltaLogReader.tableSchema(Some(spark), base, ctx.version).getOrElse(
+        throw new IllegalStateException(s"$base declares no schema"))
+      val withMeta = org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("__path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__pos", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__pre", schema)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withMeta)
+    }
+    val df = dmlScanAll(spark, ctx, keepPos = true)
+    val dataCols = df.columns.filterNot(c => c == "__path" || c == "__pos")
+    df.withColumn("__pre", struct(dataCols.toIndexedSeq.map(col): _*))
+  }
+
+  /** Data schema of the table (for the DML metadata-column types). */
+  private[sources] def sqlDmlSchema(spark: SparkSession, base: String)
+  : org.apache.spark.sql.types.StructType =
+    DeltaLogReader.tableSchema(Some(spark), base, DeltaLogReader.latestVersion(base))
+      .getOrElse(throw new IllegalStateException(s"$base declares no schema"))
+
+  private[sources] def cdfEnabled(spark: SparkSession, base: String): Boolean =
+    DeltaLogReader.latestMetaConfig(Some(spark), base, DeltaLogReader.latestVersion(base))
+      .exists(_._2.get("delta.enableChangeDataFeed").contains("true"))
+
+  /** Commit one WriteDelta batch: per-file DV masks for the deleted
+    * positions (merged with existing DVs), adds for the executor-staged
+    * new-row files, cdc actions for the executor-staged change files —
+    * all in ONE commit. Executors wrote the data; this is KB-scale
+    * metadata assembly plus one bounded per-touched-file position merge
+    * (positions per file ≤ file row count; never table-global). */
+  private[sources] def commitRowDelta(
+      spark: SparkSession, base: String, expectVersion: Long,
+      delPosByFile: Map[String, Seq[Long]],
+      dataRels: Seq[String], cdcRels: Seq[String],
+      operation: String): Unit = {
+    val version = DeltaLogReader.latestVersion(base)
+    require(version == expectVersion,
+      s"concurrent commit on $base: read at v$expectVersion, now v$version — aborted")
+    if (delPosByFile.isEmpty && dataRels.isEmpty) return // no-op DML
+    val ctx = dmlCtx(spark, base)
+    val byAbs = ctx.live.map(a =>
+      DeltaLogReader.scanSpelling(Paths.get(base).resolve(a.path)) -> a).toMap
+    val dvActions = delPosByFile.toSeq.sortBy(_._1).flatMap { case (abs, fresh) =>
+      val a = byAbs.getOrElse(abs,
+        throw new IllegalStateException(s"deleted-from file $abs not in the live set"))
+      val existing = a.dv.map(d => RoaringDv.deserialize(RoaringDv.loadPayload(
+        base, d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes))).getOrElse(Seq.empty)
+      val merged = (existing ++ fresh).distinct.sorted
+      val (uuidZ85, off, sz) = RoaringDv.writeDvFile(base, merged)
+      val dvJson = s""""deletionVector":{"storageType":"u","pathOrInlineDv":"$uuidZ85",""" +
+        s""""offset":$off,"sizeInBytes":$sz,"cardinality":${merged.size}}"""
+      Seq(
+        s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":true}}""",
+        s"""{"add":{"path":"${esc(a.path)}","partitionValues":${partitionValuesOf(a.path)},""" +
+          s""""size":${a.size},"modificationTime":0,"dataChange":true,""" +
+          s""""stats":"${statsJsonOf(a)}",$dvJson}}""")
+    }
+    val adds = if (dataRels.isEmpty) Nil else addActions(spark, base, dataRels.sorted)
+    val cdcActions = cdcRels.sorted.map(rel =>
+      s"""{"cdc":{"path":"${esc(rel)}","partitionValues":{},""" +
+        s""""size":${Files.size(Paths.get(base, rel))},"dataChange":false}}""")
+    // DV writes need the table-features protocol carrying every
+    // implied legacy feature (same discipline as deleteWhereDv)
+    val protocol = if (delPosByFile.isEmpty) Nil else {
+      val (mr0, mw0, rf0, wf0) = DeltaLogReader.latestProtocol(Some(spark), base, version)
+      val legacyReader = if (mr0 >= 3) Nil else (2 to mr0).flatMap {
+        case 2 => Seq("columnMapping")
+        case _ => Nil
+      }
+      val legacyWriter = if (mw0 >= 7) Nil else (2 to mw0).flatMap {
+        case 2 => Seq("appendOnly", "invariants")
+        case 3 => Seq("checkConstraints")
+        case 4 => Seq("generatedColumns", "changeDataFeed")
+        case 5 => Seq("columnMapping")
+        case 6 => Seq("identityColumns")
+        case _ => Nil
+      }
+      def featJson(fs: Seq[String]) = fs.map(f => s""""$f"""").mkString("[", ",", "]")
+      val rf = (rf0 ++ legacyReader :+ "deletionVectors").distinct.sorted
+      val wf = (wf0 ++ legacyWriter :+ "deletionVectors").distinct.sorted
+      Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":${featJson(rf)},"writerFeatures":${featJson(wf)}}}""")
+    }
+    commit(base, version + 1,
+      (s"""{"commitInfo":{"operation":"${esc(operation)}","timestamp":0}}""" +: protocol) ++
+        cdcActions ++ dvActions ++ adds)
   }
 
   /** DELETE WHERE via DELETION VECTORS — the modern Delta DML shape:

@@ -225,6 +225,28 @@ object IcebergReader {
     * spelling a file has), added fields missing everywhere surface as
     * typed NULL, dropped fields are simply not selected. None when the
     * table tracks no schemas (legacy — name-based read unchanged). */
+  /** The data sequence number at which `fieldId` first belonged to a
+    * COMMITTED snapshot's schema — the spec's per-file default cutoff
+    * (initial-default applies to files written under a schema that
+    * predates the field, i.e. data sequence < this). Evidence comes
+    * from snapshots that declare BOTH `schema-id` and
+    * `sequence-number` (spec v2+ writers); None when no snapshot does
+    * (this engine's own writer — whose append refuses NULLs in
+    * defaulted columns, making the per-VALUE fallback sound). */
+  private def fieldIntroSeq(base: String, v: Int, fieldId: Int): Option[Long] = {
+    val (_, all) = schemas(base, v)
+    val withField = all.filter(_.fields.exists(_.id == fieldId)).map(_.schemaId).toSet
+    if (withField.isEmpty) return None
+    val seqs = arrayObjects(metadataJson(base, v), "snapshots").flatMap { o =>
+      for {
+        sid <- DeltaLogReader.longField(o, "schema-id")
+        seq <- DeltaLogReader.longField(o, "sequence-number")
+        if withField(sid.toInt)
+      } yield seq
+    }
+    if (seqs.isEmpty) None else Some(seqs.min)
+  }
+
   private def schemaProjection(base: String, v: Int,
                                rawCols: Seq[String]): Option[Seq[Column]] = {
     val (curOpt, all) = schemas(base, v)
@@ -249,12 +271,26 @@ object IcebergReader {
           else if (present.size == 1) col(present.head).cast(sparkTypeOf(f.tpe))
           else org.apache.spark.sql.functions
             .coalesce(present.map(col): _*).cast(sparkTypeOf(f.tpe))
-        // v3 initial-default: pre-existing rows surface the default, not
-        // NULL. Sound on the merged scan because the WRITER enforces the
-        // pairing: a defaulted column is provided NON-NULL by every
-        // post-add append, so NULL here ⟺ the file predates the column.
-        val cd = f.initialDefault.fold(c)(_ =>
-          org.apache.spark.sql.functions.coalesce(c, defaultLit(f)))
+        // v3 initial-default: pre-existing rows surface the default,
+        // not NULL. The spec applies it PER FILE (files written under a
+        // schema that predates the field), so when the snapshots carry
+        // schema-id evidence the gate keys on each file's data sequence
+        // (`__fseq`, attached by readScan) — a foreign OPTIONAL
+        // defaulted column's genuine NULLs in post-add files then read
+        // back as NULL, not the default. Without that evidence (this
+        // writer's own tables), the per-VALUE coalesce stays sound:
+        // append refuses NULLs in defaulted columns, so NULL ⟺ the
+        // file predates the column.
+        val cd = f.initialDefault.fold(c) { _ =>
+          fieldIntroSeq(base, v, f.id) match {
+            case Some(intro) =>
+              org.apache.spark.sql.functions
+                .when(c.isNull && col("__fseq") < lit(intro), defaultLit(f))
+                .otherwise(c)
+            case None =>
+              org.apache.spark.sql.functions.coalesce(c, defaultLit(f))
+          }
+        }
         cd.as(f.name)
       }
     }
@@ -614,10 +650,25 @@ object IcebergReader {
         .parquet(scan.dataFiles.map(_._1): _*).columns.toSeq
     (if (tracksSchemas) schemaProjection(base, v, mergedCols) else None) match {
       case Some(proj) =>
-        val stamped = spark.read.option("mergeSchema", "true")
+        var stamped = spark.read.option("mergeSchema", "true")
           .parquet(scan.dataFiles.map(_._1): _*)
           .withColumn("__path", normPath(col("_metadata.file_path")))
           .withColumn("__pos", col("_metadata.row_index"))
+        // per-file default gating needs each row's file data sequence:
+        // a files-sized broadcast join (metadata-scale next to the data)
+        val needsSeq = schemas(base, v)._2
+          .find(s => schemas(base, v)._1.contains(s.schemaId))
+          .exists(_.fields.exists(f =>
+            f.initialDefault.isDefined && fieldIntroSeq(base, v, f.id).isDefined))
+        if (needsSeq) {
+          val seqRows = scan.dataSeq.toSeq.map { case (p, sq) =>
+            (p.replaceFirst("^file:/*", "/"), sq)
+          }
+          import spark.implicits._
+          val seqDf = seqRows.toDF("__fseq_path", "__fseq")
+          stamped = stamped.join(broadcast(seqDf),
+            col("__path") === col("__fseq_path"), "left").drop("__fseq_path")
+        }
         val masked = if (hasDels) applyDeletes(spark, scan, stamped) else stamped
         masked.select(proj: _*)
       case None =>

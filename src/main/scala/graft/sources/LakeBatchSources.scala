@@ -4,14 +4,16 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.connector.catalog.TableProvider
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -36,10 +38,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * rides an option (`versionAsOf` / `snapshotAsOf` / `asOfInstant`).
   *
   * Row-level masks CANNOT ride a raw file scan, so tables whose
-  * current snapshot carries deletion vectors / delete files are
-  * REFUSED with a pointer at the full readers
-  * ([[DeltaLogReader.read]], [[IcebergReader.read]]) — never silently
-  * mis-read. COLUMN-MAPPED Delta tables (either mode) DO ride the
+  * snapshot carries deletion vectors / delete files / MOR log files
+  * scan through the FULL readers' mask-applying plans instead
+  * ([[DeltaLogReader.read]], [[IcebergReader.read]],
+  * [[HudiReader.readMor]]) via the V1-read fallback (`V1Scan`, the
+  * JDBC pattern) — pushed filters are re-stated on the inner plan, so
+  * its parquet scans keep pushdown/pruning/codegen, and the masks are
+  * never silently skipped. COLUMN-MAPPED Delta tables (either mode) ride the
   * front door: the requested schema carries `parquet.field.id` =
   * `delta.columnMapping.id` under the LOGICAL names and Spark's own
   * field-id resolution binds the physical columns (this engine's
@@ -76,8 +81,9 @@ private[sources] object LakeBatchSources {
   /** A DSv2 table that SCANS through the delegate's ordinary parquet
     * scan (pushdown/pruning/codegen intact) and WRITES through the
     * format's full log writer via the V1-fallback write surface. */
-  private final class GraftLakeTable(delegate: ParquetTable, tname: String,
-                                     doInsert: Option[(DataFrame, Boolean) => Unit])
+  private class GraftLakeTable(delegate: ParquetTable, tname: String,
+                                     doInsert: Option[(DataFrame, Boolean) => Unit],
+                                     scanOpts: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite {
     override def name(): String = tname
     override def schema(): StructType = delegate.schema
@@ -90,7 +96,14 @@ private[sources] object LakeBatchSources {
           TableCapability.V1_BATCH_WRITE,
           TableCapability.TRUNCATE)).getOrElse(Set.empty)).asJava
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      delegate.newScanBuilder(options)
+      // scanOpts ride EVERY scan of this table (they merge into the
+      // scan's hadoopConf via newHadoopConfWithOptions) — e.g. the
+      // field-id binding flag, scoped here instead of a session-global
+      // conf flip that would change unrelated parquet scans
+      delegate.newScanBuilder(
+        if (scanOpts.isEmpty) options
+        else new CaseInsensitiveStringMap(
+          (options.asScala ++ scanOpts).asJava))
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       val fn = doInsert.getOrElse(throw new UnsupportedOperationException(
         s"$tname is read-only through the front door"))
@@ -98,6 +111,110 @@ private[sources] object LakeBatchSources {
       // mode("overwrite") — and the V1 fallback exec ALWAYS calls
       // insert(_, overwrite=false), so the truncate intent must be
       // captured here, not read from the insert flag
+      new WriteBuilder with SupportsTruncate {
+        private var truncated = false
+        override def truncate(): WriteBuilder = { truncated = true; this }
+        override def build(): Write = {
+          val ow = truncated
+          new V1Write {
+            override def toInsertableRelation: InsertableRelation =
+              new InsertableRelation {
+                override def insert(data: DataFrame, overwrite: Boolean): Unit =
+                  fn(data, ow || overwrite)
+              }
+          }
+        }
+      }
+    }
+  }
+
+  /** DSv2 `sources.Filter` → `Column`, for re-stating pushed filters
+    * against the full reader's DataFrame plan (Catalyst then pushes
+    * them through the mask anti-joins down to the parquet scans).
+    * None = not translatable; the filter still runs upstream (every
+    * filter stays residual on the DSv2 side), so a gap here costs
+    * pruning, never correctness. */
+  private[sources] def translateFilter(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v)           => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case sources.In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a)                => Some(col(a).isNull)
+    case sources.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v)     => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- translateFilter(l); rc <- translateFilter(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- translateFilter(l); rc <- translateFilter(r)) yield lc || rc
+    case sources.Not(c) => translateFilter(c).map(!_)
+    case _ => None
+  }
+
+  /** A DSv2 table whose snapshot carries ROW-LEVEL MASKS (Delta
+    * deletion vectors, Iceberg delete files/DVs, Hudi MOR log files) —
+    * a raw file-list scan would resurrect masked rows, so the scan
+    * rides the V1-READ FALLBACK (`V1Scan`, the surface Spark's own
+    * JDBC source uses): `buildScan` executes the FULL reader's
+    * mask-applying DataFrame plan with the pushed filters and pruned
+    * columns applied to it. The parquet scans INSIDE that plan keep
+    * predicate pushdown, column pruning and codegen — Catalyst pushes
+    * the re-stated predicates through the broadcast anti-join masks —
+    * while the DSv2 node reports the pushed set on its
+    * RowDataSourceScan. Every filter also stays residual upstream
+    * (pushFilters returns them all), so translation gaps can never
+    * change results. Writes reuse the same V1-fallback write surface
+    * as the unmasked table. */
+  private class GraftMaskedTable(tname: String, tschema: StructType,
+                                       planRead: () => DataFrame,
+                                       doInsert: Option[(DataFrame, Boolean) => Unit])
+    extends Table with SupportsRead with SupportsWrite {
+    override def name(): String = tname
+    override def schema(): StructType = tschema
+    override def capabilities(): util.Set[TableCapability] =
+      (Set(TableCapability.BATCH_READ) ++
+        doInsert.map(_ => Set(TableCapability.BATCH_WRITE,
+          TableCapability.V1_BATCH_WRITE,
+          TableCapability.TRUNCATE)).getOrElse(Set.empty)).asJava
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+        private var pushed: Array[Filter] = Array.empty
+        private var required: StructType = tschema
+        override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+          pushed = filters.filter(translateFilter(_).isDefined)
+          filters // ALL residual upstream — pushdown is a pruning hint here
+        }
+        override def pushedFilters(): Array[Filter] = pushed
+        override def pruneColumns(requiredSchema: StructType): Unit =
+          required = requiredSchema
+        override def build(): Scan = new V1Scan {
+          private val (pf, req) = (pushed, required)
+          override def readSchema(): StructType = req
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              ctx: SQLContext): T =
+            (new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = ctx
+              override def schema: StructType = req
+              // buildScan hands back the inner plan's InternalRow RDD
+              // directly — no Row materialization pass
+              override def needConversion: Boolean = false
+              override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+                var df = planRead()
+                pf.flatMap(translateFilter).foreach(c => df = df.filter(c))
+                df = df.select(req.fieldNames.toIndexedSeq.map(col): _*)
+                org.apache.spark.sql.GraftPlanBridge.internalRdd(df)
+                  .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+              }
+            }).asInstanceOf[T]
+        }
+      }
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      val fn = doInsert.getOrElse(throw new UnsupportedOperationException(
+        s"$tname is read-only through the front door"))
       new WriteBuilder with SupportsTruncate {
         private var truncated = false
         override def truncate(): WriteBuilder = { truncated = true; this }
@@ -127,9 +244,29 @@ private[sources] object LakeBatchSources {
     require(adds.nonEmpty ||
       DeltaLogReader.tableSchema(Some(spark), base, version).isDefined,
       s"empty snapshot $version of $base with no declared schema")
-    require(adds.forall(_.dv.isEmpty),
-      "graft-delta front door over deletion vectors would resurrect masked " +
-        "rows — use DeltaLogReader.read or the delta_scan TVF")
+    // writes always land on the LATEST version — a time-travel write
+    // would fork history, which the log cannot represent
+    val writable = !options.containsKey("versionAsOf")
+    val doInsert: Option[(DataFrame, Boolean) => Unit] = Some((data, ow) => {
+      require(writable,
+        s"graft-delta at versionAsOf is read-only — a write would fork $base's history")
+      if (ow) DeltaLogWriter.overwrite(SparkSession.active, data, base)
+      else DeltaLogWriter.append(SparkSession.active, data, base)
+    })
+    if (adds.exists(_.dv.nonEmpty)) {
+      // live DELETION VECTORS — the modern Delta default DML shape: a
+      // raw file-list scan would resurrect masked rows, so this table
+      // scans through the full reader's mask-applying plan (broadcast
+      // anti-join on _metadata.row_index) via the V1-read fallback
+      val tname = s"graft_delta($base@$version)"
+      val tschema = DeltaLogReader.read(spark, base, version).schema
+      val planRead = () => DeltaLogReader.read(SparkSession.active, base, version)
+      return if (writable)
+        new GraftMaskedTable(tname, tschema, planRead, doInsert) with DeltaSqlDml {
+          override val dmlBase: String = base
+        }
+      else new GraftMaskedTable(tname, tschema, planRead, doInsert)
+    }
     val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
     val paths = adds.map(a =>
       java.nio.file.Paths.get(base).resolve(a.path).toString)
@@ -138,34 +275,43 @@ private[sources] object LakeBatchSources {
     // under the LOGICAL names, so the delegate's scan surfaces logical
     // names with zero rename pass — and a foreign file without embedded
     // ids fails loudly (ignoreMissing stays false), never mis-binds
-    val schema = DeltaLogReader.columnMappingSchema(Some(spark), base, version) match {
+    val colMapped = DeltaLogReader.columnMappingSchema(Some(spark), base, version)
+    val schema = colMapped match {
       case Some(logical) =>
         require(pcols.isEmpty,
           "graft-delta front door over a column-mapped PARTITIONED table — " +
             "hive dirs carry physical names; use DeltaLogReader.read")
         import org.apache.spark.sql.types.{MetadataBuilder, StructField}
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         Some(StructType(logical.fields.map(f =>
           StructField(f.name, f.dataType, f.nullable, new MetadataBuilder()
             .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
             .build()))))
       case None => DeltaLogReader.tableSchema(Some(spark), base, version)
     }
+    // field-id binding is a SCAN option (merged into the scan's
+    // hadoopConf), never a session-global conf flip. ignoreMissing
+    // surfaces post-ADD-COLUMN fields as NULL in files that predate
+    // them; the loudness against id-LESS foreign files moves into the
+    // sampled footer check (fail at resolution, not silent NULLs).
+    val fieldIdOpt: Map[String, String] =
+      if (colMapped.isDefined) {
+        paths.headOption.foreach(DeltaLogReader.assertEmbeddedIds(spark, _))
+        Map("spark.sql.parquet.fieldId.read.enabled" -> "true",
+          "spark.sql.parquet.fieldId.read.ignoreMissing" -> "true")
+      } else Map.empty
     val delegate = parquetTable(s"graft_delta($base@$version)", paths, schema,
-      if (pcols.isEmpty) Map.empty else Map("basePath" -> base))
-    // writes always land on the LATEST version — a time-travel write
-    // would fork history, which the log cannot represent (the callback
-    // refuses rather than dropping the capability: a capability-less
-    // table would detour into Spark's V1 CTAS fallback and die with an
-    // unrelated message)
-    val writable = !options.containsKey("versionAsOf")
-    new GraftLakeTable(delegate, delegate.name,
-      Some((data, ow) => {
-        require(writable,
-          s"graft-delta at versionAsOf is read-only — a write would fork $base's history")
-        if (ow) DeltaLogWriter.overwrite(SparkSession.active, data, base)
-        else DeltaLogWriter.append(SparkSession.active, data, base)
-      }))
+      (if (pcols.isEmpty) Map.empty[String, String]
+       else Map("basePath" -> base)) ++ fieldIdOpt)
+    // doInsert always present rather than dropped when read-only: a
+    // capability-less table would detour into Spark's V1 CTAS fallback
+    // and die with an unrelated message — the callback refuses instead.
+    // Writable tables additionally carry the pure-SQL DML surface
+    // (DELETE/UPDATE/MERGE route into the log writer's DV machinery).
+    if (writable)
+      new GraftLakeTable(delegate, delegate.name, doInsert, fieldIdOpt) with DeltaSqlDml {
+        override val dmlBase: String = base
+      }
+    else new GraftLakeTable(delegate, delegate.name, doInsert, fieldIdOpt)
   }
 
   def icebergTable(options: CaseInsensitiveStringMap): Table = {
@@ -176,32 +322,49 @@ private[sources] object LakeBatchSources {
         IcebergReader.currentMetadataVersion(base)))
     val scan = IcebergReader.planSnapshot(spark, base, snap)
     require(scan.dataFiles.nonEmpty, s"empty snapshot $snap of $base")
-    require(scan.posDeleteFiles.isEmpty && scan.eqDeleteFiles.isEmpty && scan.dvs.isEmpty,
-      "graft-iceberg front door over live delete files would resurrect " +
-        "deleted rows — use IcebergReader.read or the iceberg_scan TVF")
+    val writable = !options.containsKey("snapshotAsOf")
+    val doInsert: Option[(DataFrame, Boolean) => Unit] = Some((data, ow) => {
+      require(writable,
+        s"graft-iceberg at snapshotAsOf is read-only — a write would fork $base's history")
+      require(!ow, "graft-iceberg front door supports append only — " +
+        "mode(\"overwrite\") would need a delete-all snapshot; use IcebergWriter")
+      IcebergWriter.append(SparkSession.active, data, base)
+    })
+    if (scan.posDeleteFiles.nonEmpty || scan.eqDeleteFiles.nonEmpty || scan.dvs.nonEmpty) {
+      // live delete files / v3 DVs (Iceberg's only DML shape): scan
+      // through the full reader's delete-applying plan (sequence-window
+      // eq-deletes + broadcast anti-join positions) via the V1 fallback
+      return new GraftMaskedTable(s"graft_iceberg($base@$snap)",
+        IcebergReader.read(spark, base, snap).schema,
+        () => IcebergReader.read(SparkSession.active, base, snap),
+        doInsert)
+    }
     // identity/transform-partitioned tables keep the source column IN
     // the data files (this writer's layout), so no dir recovery needed
     val delegate = parquetTable(
       s"graft_iceberg($base@$snap)", scan.dataFiles.map(_._1), None, Map.empty)
-    val writable = !options.containsKey("snapshotAsOf")
-    new GraftLakeTable(delegate, delegate.name,
-      Some((data, ow) => {
-        require(writable,
-          s"graft-iceberg at snapshotAsOf is read-only — a write would fork $base's history")
-        require(!ow, "graft-iceberg front door supports append only — " +
-          "mode(\"overwrite\") would need a delete-all snapshot; use IcebergWriter")
-        IcebergWriter.append(SparkSession.active, data, base)
-      }))
+    new GraftLakeTable(delegate, delegate.name, doInsert)
   }
 
   def hudiTable(options: CaseInsensitiveStringMap): Table = {
+    val spark = SparkSession.active
     val base = pathOf(options, "graft-hudi")
-    HudiReader.assertReadable(base)
-    require(HudiReader.tableType(base) != "MERGE_ON_READ",
-      "graft-hudi front door over a MOR table would skip its log files — " +
-        "use HudiReader.readMor or the hudi_scan TVF")
+    if (HudiReader.tableType(base) == "MERGE_ON_READ") {
+      // MOR: base files + avro log files per slice — a raw parquet scan
+      // would skip the log deltas, so ride the merge-applying reader.
+      // The MOR timeline includes DELTACOMMITS (the log appends CoW
+      // tables never have), so asOf resolves across both kinds.
+      val asOf = Option(options.get("asOfInstant")).getOrElse(
+        (HudiReader.completedCommits(base) ++
+          HudiReader.completedDeltaCommits(base)).sorted.last)
+      return new GraftMaskedTable(s"graft_hudi($base@$asOf)",
+        HudiReader.readMor(spark, base, asOf).schema,
+        () => HudiReader.readMor(SparkSession.active, base, asOf),
+        doInsert = None)
+    }
     val asOf = Option(options.get("asOfInstant"))
       .getOrElse(HudiReader.completedCommits(base).last)
+    HudiReader.assertReadable(base)
     val paths = HudiReader.liveSlices(base, asOf).map(_.path)
     require(paths.nonEmpty, s"no live slices at instant $asOf of $base")
     parquetTable(s"graft_hudi($base@$asOf)", paths, None, Map.empty)

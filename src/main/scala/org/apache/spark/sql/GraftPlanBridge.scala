@@ -47,6 +47,23 @@ object GraftPlanBridge {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** The executed plan's InternalRow RDD of a DataFrame — what a
+    * V1-fallback `TableScan.buildScan` with `needConversion=false`
+    * hands back to the DSv2 read path (the inner plan keeps its own
+    * parquet pushdown/codegen; `queryExecution` is private[sql] behind
+    * the api split). */
+  def internalRdd(df: Dataset[Row]): org.apache.spark.rdd.RDD[catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
+  /** Unload every state-store provider this executor holds for
+    * terminated streaming queries (each drain in this engine uses a
+    * fresh checkpoint, so nothing ever reloads them) — without this,
+    * a many-drain suite pins every query's state maps on the heap
+    * until application end. The maintenance task restarts itself on
+    * the next streaming query's first store access. */
+  def unloadStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
+
   /** Apply an extensions installer to a fresh SparkSessionExtensions and
     * return what it would contribute to a new session — the builder
     * methods are private[sql], so the config-path test
@@ -61,5 +78,68 @@ object GraftPlanBridge {
     val ext = new SparkSessionExtensions
     installer(ext)
     (ext.buildPlannerStrategies(cs), ext.buildOptimizerRules(cs))
+  }
+}
+
+/** Serializable opener for spec-conformant parquet part files on
+  * executors — the write half of the DSv2 row-level DML surface
+  * (WriteDelta's DeltaWriter must persist inserted/updated rows
+  * itself; this reuses Spark's OWN ParquetUtils.prepareWrite +
+  * OutputWriterFactory so the staged files are byte-identical to what
+  * a DataFrame write would produce: same compression, field ids,
+  * timestamp encoding). Hadoop Configuration is not Serializable, so
+  * the prepared conf ships as its entry list and is rebuilt lazily
+  * per executor. */
+final class GraftParquetSink private[sql] (
+    factory: execution.datasources.OutputWriterFactory,
+    confEntries: Array[(String, String)],
+    schema: types.StructType) extends Serializable {
+
+  @transient private lazy val conf = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    confEntries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** Open a writer at `path`; caller must close(). */
+  def open(path: String, partitionId: Int, taskId: Long): GraftParquetSink.Opened = {
+    val attempt = new org.apache.hadoop.mapreduce.TaskAttemptID(
+      new org.apache.hadoop.mapreduce.TaskID(
+        new org.apache.hadoop.mapreduce.JobID("graft-dml", 0),
+        org.apache.hadoop.mapreduce.TaskType.MAP, partitionId),
+      (taskId % Int.MaxValue).toInt)
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf, attempt)
+    val w = factory.newInstance(path, schema, ctx)
+    new GraftParquetSink.Opened {
+      override def write(row: catalyst.InternalRow): Unit = w.write(row)
+      override def close(): Unit = w.close()
+    }
+  }
+}
+
+object GraftParquetSink {
+  trait Opened {
+    def write(row: catalyst.InternalRow): Unit
+    def close(): Unit
+  }
+}
+
+object GraftWriteBridge {
+  /** Prepare (driver-side) a serializable parquet sink for `schema`. */
+  def parquetSink(spark: SparkSession, schema: types.StructType): GraftParquetSink = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(cs.sessionState.newHadoopConf())
+    val sqlConf = cs.sessionState.conf
+    val factory = execution.datasources.parquet.ParquetUtils.prepareWrite(
+      sqlConf, job, schema,
+      new execution.datasources.parquet.ParquetOptions(
+        Map.empty[String, String], sqlConf))
+    val entries = {
+      val it = job.getConfiguration.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    new GraftParquetSink(factory, entries, schema)
   }
 }

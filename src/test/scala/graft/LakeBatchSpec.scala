@@ -41,13 +41,32 @@ class LakeBatchSpec extends SparkSpec {
     assert(plan.linesIterator.exists(_.trim.startsWith("*")), plan)
   }
 
-  test("graft-delta refuses DV tables instead of mis-reading") {
+  test("graft-delta serves DV tables through the mask-applying V1-fallback scan") {
     val dvBase = mkBase("delta_dv")
     DeltaLogWriter.create(spark, plane().coalesce(1), dvBase, "t")
     DeltaLogWriter.deleteWhereDv(spark, dvBase, col("id") < 5)
-    val e = intercept[IllegalArgumentException](
-      spark.read.format("graft-delta").option("path", dvBase).load())
-    assert(e.getMessage.contains("deletion vectors"))
+    // masked rows are GONE through the front door (the r12 refusal is
+    // lifted: the scan rides the full reader's anti-join plan)
+    val df = spark.read.format("graft-delta").option("path", dvBase).load()
+    assert(df.count() == 95L)
+    assert(df.agg(min("id")).head().getLong(0) == 5L)
+    // pushdown is real on this path too: the pushed set shows on the
+    // DSv2 node, and the re-stated predicate reaches the inner parquet
+    // scan through the anti-join (filter works + prunes)
+    val q = df.filter(col("id") < 50).select("x")
+    assert(q.count() == 45L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), LessThan(id,50)]"), plan)
+    // pure-SQL works against the same masked table
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lb_dv USING `graft-delta` " +
+      s"OPTIONS (path '$dvBase')")
+    assert(spark.sql("SELECT count(*) FROM lb_dv WHERE id < 50").head().getLong(0) == 45L)
+    // the write surface stays live on a DV table (append composes)
+    spark.range(200, 205).select(col("id"), (col("id") % 7).as("x"),
+      lit("odd").as("p")).write.format("graft-delta")
+      .option("path", dvBase).mode("append").save()
+    assert(spark.read.format("graft-delta").option("path", dvBase).load()
+      .count() == 100L)
   }
 
   test("graft-delta serves COLUMN-MAPPED tables by parquet field id, through renames") {
@@ -186,10 +205,30 @@ class LakeBatchSpec extends SparkSpec {
       s"USING `graft-iceberg` OPTIONS (path '$iBase')")
     assert(spark.sql("SELECT count(*) FROM lb_ice WHERE x = 3").head().getLong(0) ==
       plane().filter(col("x") === 3).count())
-    // an Iceberg table with live delete files is refused
+    // an Iceberg table with live delete files serves through the
+    // delete-applying reader plan (position deletes masked)
     IcebergWriter.deleteWhere(spark, iBase, col("id") < 3)
-    val e = intercept[IllegalArgumentException](
-      spark.read.format("graft-iceberg").option("path", iBase).load())
-    assert(e.getMessage.contains("delete files"))
+    val masked = spark.read.format("graft-iceberg").option("path", iBase).load()
+    assert(masked.count() == 97L)
+    assert(masked.agg(min("id")).head().getLong(0) == 3L)
+    val mq = masked.filter(col("x") === 3)
+    assert(mq.count() == plane().filter(col("id") >= 3 && col("x") === 3).count())
+    assert(mq.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull(x), EqualTo(x,3)]"))
+  }
+
+  test("graft-hudi serves MOR tables through the log-merging reader") {
+    val mBase = mkBase("hudi_mor")
+    HudiWriter.createMor(spark, plane(), mBase, "t", "id", 4)
+    HudiWriter.logCommit(spark, mBase,
+      spark.range(0, 5).select(col("id"), lit(42L).as("x"), lit("even").as("p")),
+      deleteKeys = Some(spark.range(90, 100).select(col("id"))))
+    val df = spark.read.format("graft-hudi").option("path", mBase).load()
+    assert(df.count() == 90L)
+    assert(df.filter(col("x") === 42).count() == 5L)
+    // pure SQL over the MOR table
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lb_mor USING `graft-hudi` " +
+      s"OPTIONS (path '$mBase')")
+    assert(spark.sql("SELECT count(*) FROM lb_mor WHERE x = 42").head().getLong(0) == 5L)
   }
 }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DeltaLogReader, DeltaLogWriter}
+
+/** Pure-SQL row-level DML against catalog Delta tables — the
+  * SupportsRowLevelOperations (delta-based) + SupportsDelete surface:
+  * DELETE / UPDATE / MERGE as SQL TEXT, graded against the same state
+  * the Scala writers would produce, with CDF censused. */
+class LakeSqlDmlSpec extends SparkSpec {
+
+  private def freshRoot(name: String): String = {
+    val root = s"/tmp/graft_sqldml_test/$name"
+    graft.sources.TxnLog.rmrf(root)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "db"))
+    root
+  }
+
+  private def cat(name: String, root: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+  }
+
+  private def plane() = spark.range(0, 100).select(
+    col("id"), (col("id") % 7).as("x"),
+    when(col("id") % 2 === 0, "even").otherwise("odd").as("p"))
+
+  test("SQL DELETE: simple predicate goes metadata-only (DVs), table state + CDF right") {
+    val root = freshRoot("del")
+    val base = s"$root/db/t"
+    DeltaLogWriter.create(spark, plane().repartition(2), base, "t",
+      extraConf = Map("delta.enableChangeDataFeed" -> "true"))
+    cat("sqldml_del", root)
+    spark.sql("DELETE FROM sqldml_del.db.t WHERE id < 10")
+    val after = DeltaLogReader.read(spark, base)
+    assert(after.count() == 90L)
+    assert(after.agg(min("id")).head().getLong(0) == 10L)
+    // metadata-only: the delete staged NO new data files, only DV sidecars
+    val adds = DeltaLogReader.snapshotFiles(Some(spark), base,
+      DeltaLogReader.latestVersion(base))
+    assert(adds.forall(_.path.startsWith("v0-")), adds.map(_.path))
+    assert(adds.exists(_.dv.nonEmpty))
+    // CDF reports exactly the 10 deleted rows
+    val ch = DeltaLogReader.readChanges(spark, base, 1L, 1L)
+    assert(ch.filter(col("_change_type") === "delete").count() == 10L)
+    assert(ch.count() == 10L)
+  }
+
+  test("SQL UPDATE: DVs + changed-row files, CDF pre/post images") {
+    val root = freshRoot("upd")
+    val base = s"$root/db/t"
+    DeltaLogWriter.create(spark, plane().repartition(2), base, "t",
+      extraConf = Map("delta.enableChangeDataFeed" -> "true"))
+    cat("sqldml_upd", root)
+    spark.sql("UPDATE sqldml_upd.db.t SET x = x + 100 WHERE id >= 90")
+    val after = DeltaLogReader.read(spark, base)
+    assert(after.count() == 100L)
+    assert(after.filter(col("x") >= 100).count() == 10L)
+    assert(after.filter(col("id") >= 90 && col("x") < 100).count() == 0L)
+    // sum check: each of the 10 rows gained exactly +100
+    assert(after.agg(sum("x")).head().getLong(0) ==
+      plane().agg(sum("x")).head().getLong(0) + 1000L)
+    // CDF: 10 pre + 10 post images, pairable by id
+    val ch = DeltaLogReader.readChanges(spark, base, 1L, 1L)
+    assert(ch.filter(col("_change_type") === "update_preimage").count() == 10L)
+    assert(ch.filter(col("_change_type") === "update_postimage").count() == 10L)
+    val delta = ch.groupBy("id").agg(
+      (max(when(col("_change_type") === "update_postimage", col("x"))) -
+        max(when(col("_change_type") === "update_preimage", col("x")))).as("dx"))
+    assert(delta.filter(col("dx") =!= 100).count() == 0L)
+    // untouched rows were NOT rewritten: original files still live
+    val adds = DeltaLogReader.snapshotFiles(Some(spark), base,
+      DeltaLogReader.latestVersion(base))
+    assert(adds.count(_.path.startsWith("v0-")) == 2, adds.map(_.path))
+  }
+
+  test("SQL MERGE: all three clause kinds in one statement, CDF censused") {
+    val root = freshRoot("merge")
+    val base = s"$root/db/t"
+    DeltaLogWriter.create(spark, plane().coalesce(1), base, "t",
+      extraConf = Map("delta.enableChangeDataFeed" -> "true"))
+    cat("sqldml_mrg", root)
+    // source: ids 90..109 → 90..94 delete, 95..109 upsert (95..99
+    // update, 100..109 insert)
+    spark.range(90, 110).select(col("id"), lit(555L).as("x"),
+      lit("src").as("p")).createOrReplaceTempView("mrg_src")
+    spark.sql("""
+      MERGE INTO sqldml_mrg.db.t AS t USING mrg_src AS s ON t.id = s.id
+      WHEN MATCHED AND s.id < 95 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET x = s.x, p = s.p
+      WHEN NOT MATCHED THEN INSERT (id, x, p) VALUES (s.id, s.x, s.p)
+    """)
+    val after = DeltaLogReader.read(spark, base)
+    assert(after.count() == 105L) // 100 - 5 deleted + 10 inserted
+    assert(after.filter(col("id").between(90, 94)).count() == 0L)
+    assert(after.filter(col("p") === "src").count() == 15L)
+    assert(after.filter(col("x") === 555).count() == 15L)
+    val ch = DeltaLogReader.readChanges(spark, base, 1L, 1L)
+    assert(ch.filter(col("_change_type") === "delete").count() == 5L)
+    assert(ch.filter(col("_change_type") === "update_preimage").count() == 5L)
+    assert(ch.filter(col("_change_type") === "update_postimage").count() == 5L)
+    assert(ch.filter(col("_change_type") === "insert").count() == 10L)
+    // a second MERGE composes over the DVs the first one laid down
+    spark.range(10, 12).select(col("id"), lit(7L).as("x"), lit("z").as("p"))
+      .createOrReplaceTempView("mrg_src2")
+    spark.sql("""
+      MERGE INTO sqldml_mrg.db.t AS t USING mrg_src2 AS s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET p = s.p
+    """)
+    assert(DeltaLogReader.read(spark, base).filter(col("p") === "z").count() == 2L)
+  }
+
+  test("SQL DML refuses the unwired feature compositions loudly") {
+    val root = freshRoot("guard")
+    DeltaLogWriter.createComposed(spark, plane().coalesce(1), s"$root/db/pt", "pt",
+      partitionBy = Seq("p"))
+    cat("sqldml_g", root)
+    val e = intercept[Exception](
+      spark.sql("UPDATE sqldml_g.db.pt SET x = 0 WHERE id = 1"))
+    assert(e.getMessage.contains("not wired"), e.getMessage)
+    // but a SIMPLE DELETE on the partitioned table still works — it
+    // routes through SupportsDelete into deleteWhereDv, which handles
+    // every composition
+    spark.sql("DELETE FROM sqldml_g.db.pt WHERE id < 10")
+    assert(DeltaLogReader.read(spark, s"$root/db/pt").count() == 90L)
+  }
+}
