@@ -47,6 +47,19 @@ Checked fixtures (written by graft.Verify's run of the graded queries):
       instant (groups whose latest slice is that instant, rows
       filtered on _hoodie_commit_time).
 
+  q_delta_composed  /tmp/graft_deltaw_<hex>/orders_composed
+      the all-features-on Delta table (column mapping mode=name + hive
+      partitioning + row tracking + DVs + clustering) across its nine
+      versions — physical names and partition keys resolved from the
+      log's mapping metadata, DV masks decoded independently, the
+      metadata-only ADD COLUMN + widening phases proven content-stable.
+
+  q_iceberg_spec_evolution  /tmp/graft_iceberg_<hex>/specevo
+      partition-SPEC-evolved Iceberg table: per-era manifest pruning
+      (identity era by priority, month-transform era by ordinal window)
+      re-derived from the manifest-list's partition_spec_id tags; the
+      planned file counts and residual censuses must match the dump.
+
 Usage:  python3 scripts/lake_conformance.py <sfDir> <verifyOutDir>
 
 Exit 0 = every comparison matched; 1 = any mismatch (diffs printed).
@@ -358,10 +371,10 @@ def dv_positions(base: str, dv: dict):
 # Delta: replay the JSON commit log independently.
 
 
-def delta_state(base: str, version: int):
-    """(adds: {path: action}, partition_columns) at `version`."""
+def delta_state(base: str, version: int, with_schema: bool = False):
+    """(adds: {path: action}, partition_columns[, schemaString]) at `version`."""
     logdir = os.path.join(base, "_delta_log")
-    adds, part_cols = {}, []
+    adds, part_cols, schema = {}, [], None
     for v in range(version + 1):
         p = os.path.join(logdir, f"{v:020d}.json")
         if not os.path.exists(p):
@@ -373,11 +386,14 @@ def delta_state(base: str, version: int):
             action = json.loads(line)
             if "metaData" in action:
                 part_cols = action["metaData"].get("partitionColumns", [])
+                schema = action["metaData"].get("schemaString", schema)
             elif "add" in action:
                 a = action["add"]
                 adds[a["path"]] = a
             elif "remove" in action:
                 adds.pop(action["remove"]["path"], None)
+    if with_schema:
+        return adds, part_cols, schema
     return adds, part_cols
 
 
@@ -682,6 +698,121 @@ def check_iceberg_v3(con, base: str, outdir: str):
     return check_iceberg(con, base, outdir, dump="q_iceberg_v3_dv")
 
 
+def check_delta_composed(con, base: str, outdir: str):
+    """q_delta_composed: the all-features-on Delta table (column mapping
+    mode=name + hive partitioning + row tracking + DVs + clustering)
+    read by an INDEPENDENT interpretation: physical column names and
+    partition keys come from the log's schemaString mapping metadata,
+    DV masks decode through the same z85/frame/roaring path, and the
+    row-tracking materialized columns in the files are simply ignored.
+    Phases 0..5 totals, phase 6 per-partition under the RENAMED logical
+    name, phases 7..8 after metadata-only ADD COLUMN + widening (the
+    added column exists in NO file — content must be unchanged)."""
+    failures = []
+    engine = dump_rows(con, outdir, "q_delta_composed")
+
+    def census(version):
+        adds, pcols, schema = delta_state(base, version, with_schema=True)
+        fields = json.loads(schema)["fields"]
+
+        def phys(logical):
+            for f in fields:
+                if f["name"] == logical:
+                    return f.get("metadata", {}).get(
+                        "delta.columnMapping.physicalName", f["name"])
+            return None
+
+        cents_phys = phys("cents") or phys("pennies")
+        col_sql = '"' + cents_phys.replace('"', '""') + '"'
+        # partitionColumns declares LOGICAL names; partitionValues keys
+        # PHYSICAL ones on a mapped table — map through the schema
+        part_phys = phys(pcols[0]) if pcols else None
+        per_part = {}
+        for path, a in adds.items():
+            full = os.path.join(base, path)
+            dv = a.get("deletionVector")
+            if dv:
+                masked = dv_positions(base, dv)
+                n, c = con.execute(
+                    f"SELECT count(*), coalesce(sum({col_sql}), 0) "
+                    "FROM read_parquet(?, file_row_number=true) "
+                    "WHERE file_row_number NOT IN (SELECT unnest(?::BIGINT[]))",
+                    [full, masked]).fetchone()
+            else:
+                n, c = con.execute(
+                    f"SELECT count(*), coalesce(sum({col_sql}), 0) "
+                    "FROM read_parquet(?)", [full]).fetchone()
+            key = a.get("partitionValues", {}).get(part_phys, "*") if pcols else "*"
+            agg = per_part.setdefault(key, [0, 0])
+            agg[0] += n
+            agg[1] += c
+        return sorted((k, n, c) for k, (n, c) in per_part.items())
+
+    for phase in (0, 1, 2, 3, 4, 5, 7, 8):
+        version = phase
+        ext = census(version)
+        n = sum(r[1] for r in ext)
+        c = sum(r[2] for r in ext)
+        eng = [r for r in engine if r[0] == phase]
+        if len(eng) != 1 or (eng[0][2], eng[0][3]) != (n, c):
+            failures.append(
+                f"composed v{version}: external (n={n}, cents={c}) vs engine {eng}")
+    ext6 = census(6)
+    eng6 = sorted((r[1], r[2], r[3]) for r in engine if r[0] == 6)
+    if eng6 != ext6:
+        failures.append(f"composed by-partition: external {ext6} vs engine {eng6}")
+    return failures
+
+
+def check_iceberg_specevo(con, base: str, outdir: str):
+    """q_iceberg_spec_evolution: mixed partition-spec manifest planning
+    re-derived independently — era-1 manifests (spec-id 0, identity
+    o_orderpriority) prune on the priority probe, era-2 manifests
+    (spec-id 1, month transform) prune on the month-ordinal window,
+    and each phase's PLANNED FILE COUNT and residual-filtered census
+    must match the engine dump."""
+    failures = []
+    engine = {r[0]: (r[1], r[2], r[3]) for r in dump_rows(
+        con, outdir, "q_iceberg_spec_evolution")}
+    meta = ice_meta(base)
+    snap = meta["current-snapshot-id"]
+    s_obj = next(x for x in meta["snapshots"] if x["snapshot-id"] == snap)
+    month_lo = (1999 - 1970) * 12 + (3 - 1)
+    month_hi = (1999 - 1970) * 12 + (6 - 1)
+
+    def plan(era_keep):
+        files = []
+        for ml in read_avro(ice_resolve(base, s_obj["manifest-list"])):
+            spec_id = ml.get("partition_spec_id", 0)
+            for e in read_avro(ice_resolve(base, ml["manifest_path"])):
+                if e["status"] == 2:
+                    continue
+                part = e["data_file"].get("partition") or {}
+                if era_keep(spec_id, part):
+                    files.append(ice_resolve(base, e["data_file"]["file_path"]))
+        return sorted(files)
+
+    phases = {
+        1: (lambda sid, p: sid != 0 or p.get("o_orderpriority") == "2-HIGH",
+            "o_orderpriority = '2-HIGH'"),
+        2: (lambda sid, p: sid != 1 or (
+                p.get("o_month") is not None and
+                month_lo <= p["o_month"] <= month_hi),
+            "o_orderdate BETWEEN TIMESTAMP '1999-03-01' AND TIMESTAMP '1999-06-30'"),
+        3: (lambda sid, p: True, "TRUE"),
+    }
+    for phase, (keep, residual) in phases.items():
+        files = plan(keep)
+        n, c = con.execute(
+            "SELECT count(*), coalesce(sum(cents), 0) FROM read_parquet(?) "
+            f"WHERE {residual}", [files]).fetchone()
+        got = (len(files), n, c)
+        if engine.get(phase) != got:
+            failures.append(
+                f"specevo phase {phase}: external {got} vs engine {engine.get(phase)}")
+    return failures
+
+
 def main():
     if len(sys.argv) != 3:
         print(__doc__)
@@ -695,10 +826,14 @@ def main():
     failures = []
     dv_base = f"/tmp/graft_deltaw_{h}/orders_dv"
     v3_base = f"/tmp/graft_iceberg_{h}/orders_v3dv"
+    composed_base = f"/tmp/graft_deltaw_{h}/orders_composed"
+    specevo_base = f"/tmp/graft_iceberg_{h}/specevo"
     for label, base, fn in (("delta", delta_base, check_delta),
                             ("delta-dv", dv_base, check_delta_dv),
+                            ("delta-composed", composed_base, check_delta_composed),
                             ("iceberg", ice_base, check_iceberg),
                             ("iceberg-v3-dv", v3_base, check_iceberg_v3),
+                            ("iceberg-specevo", specevo_base, check_iceberg_specevo),
                             ("hudi", hudi_base, check_hudi)):
         if not os.path.isdir(base):
             failures.append(f"{label}: fixture {base} missing — run "

@@ -783,7 +783,25 @@ object LakehouseQueries extends QueryGroup {
         .groupBy(col("o_orderpriority").as("pri"))
         .agg(count(lit(1)).as("n_rows"), sum(col("pennies")).as("total_cents"))
         .select(lit(6L).as("phase"), col("pri"), col("n_rows"), col("total_cents"))
-      (versions :+ renamed).reduce(_ unionAll _).orderBy("phase", "pri")
+      // v7/v8: SCHEMA EVOLUTION on the column-mapped table — ADD COLUMN
+      // mints a fresh physical id above maxColumnId (metadata-only;
+      // every existing file surfaces it as NULL through the
+      // physical-schema scan), then TYPE WIDENING re-types it int →
+      // bigint with zero bytes moved (the r12 refusals, now served)
+      W.addColumn(s, base, "bonus", "INT")
+      val postAdd = graft.sources.DeltaLogReader.read(s, base, 7L)
+        .filter(col("bonus").isNull)
+        .agg(count(lit(1)).as("n_rows"), sum(col("pennies")).as("total_cents"))
+        .select(lit(7L).as("phase"), lit("*").as("pri"),
+          col("n_rows"), col("total_cents"))
+      W.widenColumnType(s, base, "bonus", "BIGINT")
+      val postWiden = graft.sources.DeltaLogReader.read(s, base, 8L)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("pennies") + coalesce(col("bonus"), lit(0L))).as("total_cents"))
+        .select(lit(8L).as("phase"), lit("*").as("pri"),
+          col("n_rows"), col("total_cents"))
+      (versions :+ renamed :+ postAdd :+ postWiden)
+        .reduce(_ unionAll _).orderBy("phase", "pri")
     }),
 
     // ---- CATALOG front door (DSv2 TableCatalog over the lake root) --------
@@ -835,6 +853,17 @@ object LakehouseQueries extends QueryGroup {
         s"SELECT count(*) AS n_rows, " +
           s"sum(cents + coalesce(bonus, 0)) AS total_cents FROM $cat.sales.high")
         .select(lit("altered").as("surface"), col("n_rows"), col("total_cents"))
+      // the catalog WRITE side serves Iceberg too: CTAS mints a
+      // schema-only snapshot-less table then appends snapshot 1, and a
+      // plain INSERT INTO commits snapshot 2 — pure SQL, no Scala
+      s.sql(s"DROP TABLE IF EXISTS $cat.sales.high_ice")
+      s.sql(s"CREATE TABLE $cat.sales.high_ice USING `graft-iceberg` AS " +
+        s"SELECT o_orderkey, o_orderpriority, cents FROM $cat.sales.orders_hudi " +
+        s"WHERE o_orderpriority = '2-HIGH'")
+      s.sql(s"INSERT INTO $cat.sales.high_ice " +
+        s"SELECT o_orderkey, o_orderpriority, cents FROM $cat.sales.orders_delta " +
+        s"WHERE o_orderpriority = '2-HIGH'")
+      val ctasIce = census("ctas_ice", s"$cat.sales.high_ice")
       val inventory = s.sql(s"SHOW TABLES IN $cat.sales")
         .agg(count(lit(1)).as("n_rows"))
         .select(lit("tables").as("surface"), col("n_rows"),
@@ -842,8 +871,107 @@ object LakehouseQueries extends QueryGroup {
       Seq(census("delta", s"$cat.sales.orders_delta"),
         census("iceberg", s"$cat.sales.orders_ice"),
         census("hudi", s"$cat.sales.orders_hudi"),
-        ctas, altered,
+        ctas, ctasIce, altered,
         inventory).reduce(_ unionAll _).orderBy("surface")
+    }),
+
+    // ---- Pure-SQL row-level DML through the catalog ------------------------
+    // The single most common warehouse verb set, as SQL TEXT against a
+    // catalog NAME — zero Scala: DELETE routes metadata-only into the
+    // DV writer (SupportsDelete + Spark's OptimizeMetadataOnlyDelete),
+    // UPDATE and MERGE rewrite through the delta-based row-level
+    // operation (SupportsRowLevelOperations): executors write ONLY the
+    // changed rows, deleted positions become per-file DV bitmaps, and
+    // each statement is ONE commit carrying DVs + adds + its CDF.
+    // Census: content at all four versions plus the CDF of commits 1-3
+    // broken down by change type — each clause fired on exactly its
+    // rows. The oracle replays every statement from `orders`.
+    "q_lake_sql_dml" -> ((s, d) => {
+      val hex = Integer.toHexString(d.hashCode)
+      val root = s"/tmp/graft_deltaw_$hex/sqldml"
+      graft.sources.TxnLog.rmrf(root)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "sales"))
+      val base = s"$root/sales/t"
+      val o = iceOrders(s, d)
+      graft.sources.DeltaLogWriter.create(s, o.repartition(2), base, "sqldml-t",
+        extraConf = Map("delta.enableChangeDataFeed" -> "true"))
+      val cat = s"sqldmlcat_$hex"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"DELETE FROM $cat.sales.t WHERE o_orderpriority = '1-URGENT'")
+      s.sql(s"UPDATE $cat.sales.t SET cents = cents + 13 WHERE o_orderkey % 10 = 4")
+      o.filter(pmod(col("o_orderkey"), lit(10)) === 7 &&
+          col("o_orderpriority") =!= "1-URGENT")
+        .withColumn("cents", col("cents") + 7)
+        .unionAll(o.filter(col("o_orderpriority") === "5-LOW" &&
+            pmod(col("o_orderkey"), lit(9)) === 0)
+          .select((col("o_orderkey") + 500000000L).as("o_orderkey"),
+            lit("9-INS").as("o_orderpriority"), lit(999L).as("cents")))
+        .createOrReplaceTempView(s"sqldml_src_$hex")
+      s.sql(
+        s"""MERGE INTO $cat.sales.t AS t USING sqldml_src_$hex AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET cents = s.cents
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority, cents)
+           |VALUES (s.o_orderkey, s.o_orderpriority, s.cents)""".stripMargin)
+      val versions = (0L to 3L).map { v =>
+        graft.sources.DeltaLogReader.read(s, base, v).agg(
+          count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(v).as("phase"), lit("*").as("tag"),
+            col("n_rows"), col("total_cents"))
+      }
+      val cdf = graft.sources.DeltaLogReader.readChanges(s, base, 1L, 3L)
+        .groupBy(col("_change_type").as("tag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(10L).as("phase"), col("tag"), col("n_rows"), col("total_cents"))
+      (versions :+ cdf).reduce(_ unionAll _).orderBy("phase", "tag")
+    }),
+
+    // ---- DSv2 front door over MASKED tables --------------------------------
+    // The r12 front door REFUSED tables whose snapshot carries row
+    // masks — but DVs are the modern Delta default and v3 Iceberg's
+    // only DML shape, so the first real 2024+ table a BI tool points
+    // format(...) at used to refuse. Now the masked cases scan through
+    // the FULL readers' mask-applying plans via the V1-read fallback
+    // (pushed filters re-stated on the inner plan, so its parquet
+    // scans keep pushdown): Delta + deletion vectors, Iceberg v3 +
+    // puffin DVs, Hudi MERGE-ON-READ with log upserts AND deletes, and
+    // the zero-Scala SQL view over the masked Delta table.
+    "q_lake_dsv2_dv" -> ((s, d) => {
+      val root = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/dsv2dv"
+      val o = iceOrders(s, d)
+      val dBase = s"$root/delta"
+      graft.sources.DeltaLogWriter.create(s, o.repartition(2), dBase, "dsv2dv-delta")
+      graft.sources.DeltaLogWriter.deleteWhereDv(s, dBase,
+        pmod(col("o_orderkey"), lit(10)) < 2)
+      val iBase = s"$root/ice"
+      graft.sources.IcebergWriter.createV3(s, o.repartition(2), iBase)
+      graft.sources.IcebergWriter.deleteWhereV3(s, iBase,
+        col("o_orderpriority") === "1-URGENT")
+      val hBase = s"$root/hudi"
+      graft.sources.HudiWriter.createMor(s, o, hBase, "dsv2dv-hudi", "o_orderkey", 4)
+      graft.sources.HudiWriter.logCommit(s, hBase,
+        o.filter(pmod(col("o_orderkey"), lit(10)) === 5)
+          .withColumn("cents", col("cents") + 3),
+        deleteKeys = Some(o.filter(pmod(col("o_orderkey"), lit(10)) === 6)
+          .select(col("o_orderkey"))))
+      def census(tag: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(tag).as("surface"), col("n_rows"), col("total_cents"))
+      val delta = census("delta", s.read.format("graft-delta")
+        .option("path", dBase).load()
+        .filter(col("o_orderpriority") === "2-HIGH"))
+      val ice = census("iceberg", s.read.format("graft-iceberg")
+        .option("path", iBase).load()
+        .filter(pmod(col("o_orderkey"), lit(3)) === 0))
+      val hudi = census("hudi", s.read.format("graft-hudi")
+        .option("path", hBase).load()
+        .filter(pmod(col("o_orderkey"), lit(3)) === 1))
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW dsv2dv_delta " +
+        s"USING `graft-delta` OPTIONS (path '$dBase')")
+      val sql = census("sql", s.sql(
+        "SELECT cents FROM dsv2dv_delta WHERE o_orderpriority = '5-LOW'"))
+      Seq(delta, ice, hudi, sql).reduce(_ unionAll _).orderBy("surface")
     }),
 
     // ---- Iceberg v3 DEFAULT VALUES (initial-default) -----------------------
@@ -2100,6 +2228,55 @@ object LakehouseQueries extends QueryGroup {
       (perPart :+ full :+ incr).reduce(_ unionAll _).orderBy("phase", "pri")
     }),
 
+    // ---- hive-partitioned MERGE-ON-READ: the streaming-ingest shape -------
+    // Real streaming-ingest Hudi tables are MOR (log-append write
+    // economics) AND partitioned (pruned dimension reads) — the r12
+    // gap where createMor had no partition dimension. File groups are
+    // (partition value, key bucket) cells; the bucket index is
+    // PARTITION-LOCAL (non-global), so logs route, tombstones
+    // identify, and the snapshot merge keys by (partition, record
+    // key). Census: snapshot after two delta commits (upserts +
+    // cross-partition tombstones), the read-optimized view (bases
+    // only — log changes invisible, the bounded-staleness contract), a
+    // PARTITION-PRUNED snapshot merge (only '2-HIGH' slices and their
+    // logs enter the scan), then compaction folds exactly the dirty
+    // cells into fresh bases — after which the read-optimized view
+    // converges to the snapshot. The oracle replays the log algebra
+    // from `orders`.
+    "q_hudi_part_mor" -> ((s, d) => {
+      import graft.sources.{HudiReader, HudiWriter}
+      val base = s"/tmp/graft_hudi_${Integer.toHexString(d.hashCode)}/orders_pmor"
+      val o = iceOrders(s, d)
+      HudiWriter.createMorPartitioned(s, o, base, "orders_pmor",
+        "o_orderkey", 4, "o_orderpriority")
+      HudiWriter.logCommit(s, base,
+        o.filter(pmod(col("o_orderkey"), lit(10)) === 2)
+          .withColumn("cents", col("cents") + 5),
+        deleteKeys = Some(o.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+          .select(col("o_orderkey"), col("o_orderpriority"))))
+      HudiWriter.logCommit(s, base,
+        o.filter(col("o_orderpriority") === "2-HIGH" &&
+            pmod(col("o_orderkey"), lit(10)) === 8)
+          .withColumn("cents", col("cents") + 11))
+      def census(df: org.apache.spark.sql.DataFrame, phase: Long) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(phase).as("phase"), col("n_rows"), col("total_cents"))
+      val snap = census(HudiReader.readMor(s, base), 0L)
+      val ro = census(HudiReader.readOptimized(s, base,
+        HudiReader.completedCommits(base).last), 1L)
+      val pruned = census(
+        HudiReader.readMorWhere(s, base, "o_orderpriority", "2-HIGH"), 2L)
+      // censuses above reference files compaction supersedes — they
+      // stay correct (old slices remain on disk), but materialize the
+      // pre-compaction state eagerly for determinism of the fixture
+      val early = Seq(snap, ro, pruned).map(_.localCheckpoint(true))
+      HudiWriter.compactMor(s, base)
+      val post = census(HudiReader.readMor(s, base), 3L)
+      val postRo = census(HudiReader.readOptimized(s, base,
+        HudiReader.completedCommits(base).last), 4L)
+      (early :+ post :+ postRo).reduce(_ unionAll _).orderBy("phase")
+    }),
+
     // ---- manifest-level file skipping ------------------------------------
     // One commit per order-year with min/max year stats riding the
     // manifest; a 1997-98 read plans ONLY the two overlapping file
@@ -3045,6 +3222,33 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 'mapped', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri = '1-URGENT' " +
         "UNION ALL SELECT 'sql', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri = '5-LOW' " +
         "ORDER BY surface"),
+    "q_lake_sql_dml" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "v1 AS (SELECT k, pri, cents FROM o WHERE pri <> '1-URGENT'), " +
+        "v2 AS (SELECT k, pri, cents + CASE WHEN k % 10 = 4 THEN 13 ELSE 0 END AS cents FROM v1), " +
+        "m AS (SELECT k, cents + 7 AS cents FROM o WHERE k % 10 = 7 AND pri <> '1-URGENT'), " +
+        "ins AS (SELECT k + 500000000 AS k, '9-INS' AS pri, 999 AS cents FROM o WHERE pri = '5-LOW' AND k % 9 = 0), " +
+        "v3 AS (SELECT v2.k, v2.pri, coalesce(m.cents, v2.cents) AS cents FROM v2 LEFT JOIN m ON v2.k = m.k " +
+        "UNION ALL SELECT k, pri, cents FROM ins) " +
+        "SELECT CAST(0 AS BIGINT) AS phase, '*' AS tag, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o " +
+        "UNION ALL SELECT 1, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v1 " +
+        "UNION ALL SELECT 2, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v2 " +
+        "UNION ALL SELECT 3, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v3 " +
+        "UNION ALL SELECT 10, 'delete', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri = '1-URGENT' " +
+        "UNION ALL SELECT 10, 'insert', count(*), CAST(sum(cents) AS BIGINT) FROM ins " +
+        "UNION ALL SELECT 10, 'update_preimage', count(*), CAST(sum(cents) AS BIGINT) FROM " +
+        "(SELECT cents FROM v1 WHERE k % 10 = 4 UNION ALL SELECT cents FROM v2 WHERE k % 10 = 7) " +
+        "UNION ALL SELECT 10, 'update_postimage', count(*), CAST(sum(cents) AS BIGINT) FROM " +
+        "(SELECT cents + 13 AS cents FROM v1 WHERE k % 10 = 4 UNION ALL SELECT cents FROM m) " +
+        "ORDER BY phase, tag"),
+    "q_lake_dsv2_dv" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "h AS (SELECT k, cents + CASE WHEN k % 10 = 5 THEN 3 ELSE 0 END AS cents FROM o WHERE k % 10 <> 6) " +
+        "SELECT 'delta' AS surface, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE k % 10 >= 2 AND pri = '2-HIGH' " +
+        "UNION ALL SELECT 'hudi', count(*), CAST(sum(cents) AS BIGINT) FROM h WHERE k % 3 = 1 " +
+        "UNION ALL SELECT 'iceberg', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri <> '1-URGENT' AND k % 3 = 0 " +
+        "UNION ALL SELECT 'sql', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 10 >= 2 AND pri = '5-LOW' " +
+        "ORDER BY surface"),
     "q_lake_catalog" ->
       ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
         "hi AS (SELECT cents FROM o WHERE pri = '2-HIGH' AND k % 3 IN (0, 1)), " +
@@ -3052,10 +3256,11 @@ object LakehouseQueries extends QueryGroup {
         "SELECT 'altered' AS surface, (SELECT count(*) FROM hi) + (SELECT count(*) FROM ui) AS n_rows, " +
         "CAST((SELECT sum(cents) FROM hi) + (SELECT sum(cents + bonus) FROM ui) AS BIGINT) AS total_cents " +
         "UNION ALL SELECT 'ctas', count(*), CAST(sum(cents) AS BIGINT) FROM hi " +
+        "UNION ALL SELECT 'ctas_ice', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri = '2-HIGH' AND k % 3 IN (0, 2) " +
         "UNION ALL SELECT 'delta', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 = 0 " +
         "UNION ALL SELECT 'hudi', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 = 2 " +
         "UNION ALL SELECT 'iceberg', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 = 1 " +
-        "UNION ALL SELECT 'tables', 4, 0 " +
+        "UNION ALL SELECT 'tables', 5, 0 " +
         "ORDER BY surface"),
     "q_lake_dsv2_write" ->
       ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
@@ -3152,6 +3357,8 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 4, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v3 " +
         "UNION ALL SELECT 5, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v2 " +
         "UNION ALL SELECT 6, pri, count(*), CAST(sum(cents) AS BIGINT) FROM v2 GROUP BY pri " +
+        "UNION ALL SELECT 7, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v2 " +
+        "UNION ALL SELECT 8, '*', count(*), CAST(sum(cents) AS BIGINT) FROM v2 " +
         "ORDER BY phase, pri"),
     "q_iceberg_eq_dml" ->
       ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
@@ -3188,6 +3395,16 @@ object LakehouseQueries extends QueryGroup {
         "WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders) OR o_orderkey = (SELECT max(o_orderkey) FROM orders) " +
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE y BETWEEN 1997 AND 1998 " +
         "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE o_orderdate >= DATE '1997-03-01' AND o_orderdate < DATE '1997-05-01' " +
+        "ORDER BY phase"),
+    "q_hudi_part_mor" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "live AS (SELECT k, pri, cents + CASE WHEN k % 10 = 2 THEN 5 WHEN pri = '2-HIGH' AND k % 10 = 8 THEN 11 ELSE 0 END AS cents " +
+        "FROM o WHERE k % 10 <> 3) " +
+        "SELECT CAST(0 AS BIGINT) AS phase, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM live " +
+        "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM live WHERE pri = '2-HIGH' " +
+        "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM live " +
+        "UNION ALL SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM live " +
         "ORDER BY phase"),
     "q_hudi_mor" ->
       ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +

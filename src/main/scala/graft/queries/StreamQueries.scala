@@ -328,7 +328,7 @@ object StreamQueries extends QueryGroup {
     "q_stream_delta" -> ((s, d) => {
       val base = LakehouseQueries.mkDeltaFixture(s, d, "orders_dls")
       val agg = s.readStream
-        .format("graft.sources.DeltaStreamProvider")
+        .format("graft-delta-stream")
         .option("path", base).load()
         .groupBy("version")
         .agg(
@@ -356,7 +356,7 @@ object StreamQueries extends QueryGroup {
     "q_stream_iceberg" -> ((s, d) => {
       val base = LakehouseQueries.mkIcebergFixture(s, d, "orders_ics")
       val agg = s.readStream
-        .format("graft.sources.IcebergStreamProvider")
+        .format("graft-iceberg-stream")
         .option("path", base).load()
         .groupBy("snapshot_id")
         .agg(
@@ -384,7 +384,7 @@ object StreamQueries extends QueryGroup {
       log.deleteWhere(col("o_orderstatus") === "F")              // v2
       log.append(o.filter(col("o_year") >= 1999))                // v3
       val agg = s.readStream
-        .format("graft.sources.TxnLogStreamProvider")
+        .format("graft-txnlog-stream")
         .option("path", base).load()
         .groupBy("version")
         .agg(sum(when(col("action") === "add", col("file_rows"))

@@ -1173,7 +1173,25 @@ object DeltaLogReader {
       val colMap = columnMappingSchema(Some(spark), base, v).map(_.fields.toSeq
         .map(f => f.metadata.getString("delta.columnMapping.physicalName") -> f.name))
       reads.collect { case (files, tag) if files.nonEmpty =>
-        val df0 = spark.read.parquet(files.map(p => Paths.get(base).resolve(p).toString): _*)
+        val abs = files.map(p => Paths.get(base).resolve(p).toString)
+        // derived DELETE pre-images from removed files must be read
+        // UNDER their deletion-vector masks as of the PRIOR version —
+        // an unmasked read would over-report already-soft-deleted rows
+        // as this commit's deletes (the overwrite × CDF × DV corner)
+        val df0 =
+          if (tag.contains("delete")) {
+            val fileSet = files.toSet
+            val removedAdds = snapshotFiles(Some(spark), base, v - 1)
+              .filter(a => fileSet.contains(a.path))
+            if (removedAdds.exists(_.dv.nonEmpty)) {
+              import org.apache.spark.sql.functions.regexp_replace
+              val stamped = spark.read.parquet(abs: _*)
+                .withColumn("__path",
+                  regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+                .withColumn("__pos", col("_metadata.row_index"))
+              dvMaskKeep(spark, base, removedAdds, stamped).drop("__path", "__pos")
+            } else spark.read.parquet(abs: _*)
+          } else spark.read.parquet(abs: _*)
         val df = colMap.fold(df0)(_.foldLeft(df0) { case (d, (p, l)) =>
           if (p != l && d.columns.contains(p)) d.withColumnRenamed(p, l) else d })
         tag.fold(df)(t => df.withColumn("_change_type", lit(t)))

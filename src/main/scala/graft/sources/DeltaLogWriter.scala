@@ -1125,11 +1125,10 @@ object DeltaLogWriter {
         s"overwrite would reassign identity column ${idf.name} on $base — " +
           "deleteWhere + appendIdentity keeps the id contract")
     }
-    val cdfOn = DeltaLogReader.latestMetaConfig(Some(spark), base, ctx.version)
-      .exists(_._2.get("delta.enableChangeDataFeed").contains("true"))
-    require(!cdfOn || ctx.live.forall(_.dv.isEmpty),
-      "CDF over an overwrite of DV-carrying files would derive masked rows " +
-        "as deletes — REORG PURGE first")
+    // CDF over DV-carrying files needs no refusal and no double-write:
+    // readChanges derives the overwrite's delete pre-images from the
+    // removed files UNDER their prior-version DV masks (dvMaskKeep),
+    // so masked rows never over-report as deletes
     val df = applyGenerated(spark, df0, base, ctx.version)
     DeltaLogReader.constraintsOf(Some(spark), base, ctx.version).foreach { case (name, e) =>
       val bad = df.filter(!sqlExpr(e).eqNullSafe(true)).count()

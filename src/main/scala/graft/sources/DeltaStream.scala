@@ -110,8 +110,12 @@ object DeltaStream {
   }
 }
 
-/** `format("graft.sources.DeltaStreamProvider")` entry point. */
-class DeltaStreamProvider extends TableProvider {
+/** `readStream.format("graft-delta-stream")` entry point (the short
+  * name rides the standard DataSourceRegister service file; the full
+  * class name keeps working). */
+class DeltaStreamProvider extends TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-delta-stream"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     DeltaStream.SCHEMA
   override def getTable(schema: StructType, partitioning: Array[Transform],

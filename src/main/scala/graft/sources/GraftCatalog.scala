@@ -34,9 +34,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * writer — `INSERT INTO` is [[DeltaLogWriter.append]] with constraints
   * and generated/identity enforcement intact.
   *
-  * `CREATE TABLE` writes a schema-only Delta version 0
-  * ([[DeltaLogWriter.createEmpty]]); CTAS is Spark's non-staging v2
-  * flow (createTable, then append into the loaded table). Only
+  * `CREATE TABLE ... USING graft-delta` writes a schema-only Delta
+  * version 0 ([[DeltaLogWriter.createEmpty]]); `USING graft-iceberg`
+  * writes snapshot-less v1 metadata ([[IcebergWriter.createEmpty]]) —
+  * CTAS is Spark's non-staging v2 flow either way (createTable, then
+  * append into the loaded table, committing Delta v1 / Iceberg
+  * snapshot 1). Only
   * identity partition transforms are accepted — bucket/days would need
   * the format writers' own layout entry points. Everything here is
   * KB-scale metadata work on the driver; no data moves through the
@@ -97,10 +100,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
       .map(_.toLowerCase).getOrElse("graft-delta")
-    require(provider == "graft-delta",
-      s"this catalog creates Delta tables only (USING graft-delta), got $provider — " +
-        "Iceberg/Hudi tables need their writers' layout arguments; create them " +
-        "with IcebergWriter/HudiWriter and the catalog will serve them")
+    require(provider == "graft-delta" || provider == "graft-iceberg",
+      s"this catalog creates Delta and Iceberg tables (USING graft-delta | " +
+        s"graft-iceberg), got $provider — Hudi tables need the writer's " +
+        "record-key/bucket layout; create them with HudiWriter and the " +
+        "catalog will serve them")
     val pcols = partitions.toSeq.map { t =>
       require(t.name == "identity" && t.references.length == 1,
         s"only identity partitioning through the catalog, got $t")
@@ -108,8 +112,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     val dir = tableDir(ident)
     Files.createDirectories(dir.getParent)
-    DeltaLogWriter.createEmpty(org.apache.spark.sql.SparkSession.active,
-      schema, dir.toString, s"$catName.${ident.toString}", pcols)
+    if (provider == "graft-iceberg") {
+      require(pcols.isEmpty,
+        "partitioned CREATE through the catalog is Delta-only — Iceberg " +
+          "partition specs go through IcebergWriter.createTransformPartitioned")
+      IcebergWriter.createEmpty(org.apache.spark.sql.SparkSession.active,
+        schema, dir.toString)
+    } else
+      DeltaLogWriter.createEmpty(org.apache.spark.sql.SparkSession.active,
+        schema, dir.toString, s"$catName.${ident.toString}", pcols)
     loadTable(ident)
   }
 

@@ -281,15 +281,23 @@ object HudiReader {
   def completedDeltaCommits(base: String): Seq[String] =
     timeline(base).collect { case (t, "deltacommit") => t }
 
-  /** All log files under the table (driver-side name walk). */
+  /** All log files under the table (driver-side name walk). A log in
+    * a hive partition dir gets the same DIR-QUALIFIED fileId spelling
+    * as [[baseFiles]] — file groups are partition-local (Hudi's
+    * non-global index), so the (partition, group) pair IS the group
+    * identity and the slice join below must key on it. */
   def logFiles(base: String): Seq[LogFile] = {
     val name = "^(.+?)_([0-9]+)\\.log\\.([0-9]+)_([0-9]+)\\.avro$".r
-    Files.walk(Paths.get(base)).iterator.asScala
+    val root = Paths.get(base)
+    Files.walk(root).iterator.asScala
       .filter(p => Files.isRegularFile(p) && !p.startsWith(hoodieDir(base)))
       .flatMap { p =>
         p.getFileName.toString match {
-          case name(fid, bi, v, instant) => Some(LogFile(fid, bi, v.toInt, instant, p.toString))
-          case _                         => None
+          case name(fid, bi, v, instant) =>
+            val rel = root.relativize(p.getParent).toString
+            val qualified = if (rel.isEmpty) fid else s"$rel/$fid"
+            Some(LogFile(qualified, bi, v.toInt, instant, p.toString))
+          case _ => None
         }
       }.toSeq
   }
@@ -334,9 +342,31 @@ object HudiReader {
     * file group by the bucket index, so the per-key window never
     * crosses groups) — the standard distributed compact-on-read, no
     * driver participation, pushdown intact on both scans. */
-  def readMor(spark: SparkSession, base: String, asOf: String): DataFrame = {
+  def readMor(spark: SparkSession, base: String, asOf: String): DataFrame =
+    mergeMorSlices(spark, base, morSlices(base, asOf), asOf)
+
+  /** Partition-pruned MOR snapshot read: only the named partition's
+    * slices (bases AND their logs) enter the scan — the MOR twin of
+    * [[readWhere]], what keeps a dimension query on a streaming-ingest
+    * table from merging the whole corpus. */
+  def readMorWhere(spark: SparkSession, base: String, partCol: String,
+                   value: String): DataFrame = {
+    require(partitionFields(base).contains(partCol),
+      s"$base is not partitioned by $partCol " +
+        s"(declared: ${partitionFields(base).mkString(",")})")
+    val asOf = (completedCommits(base) ++ completedDeltaCommits(base)).sorted.last
+    val slices = morSlices(base, asOf).filter { case (b, _) =>
+      b.fileId.split('/').dropRight(1)
+        .exists(seg => HivePath.segment(seg).contains(partCol -> value))
+    }
+    require(slices.nonEmpty, s"no live slices in partition $partCol=$value under $base")
+    mergeMorSlices(spark, base, slices, asOf)
+  }
+
+  private def mergeMorSlices(spark: SparkSession, base: String,
+                             slices: Seq[(BaseFile, Seq[LogFile])],
+                             asOf: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
-    val slices = morSlices(base, asOf)
     require(slices.nonEmpty, s"empty MOR snapshot at $asOf of $base")
     val bases = slices.map(_._1.path)
     val logs = slices.flatMap(_._2)
@@ -361,8 +391,15 @@ object HudiReader {
     val merged = baseDf.withColumn("__prec", lit(0L))
       .withColumn("_hoodie_is_deleted", lit(false))
       .unionByName(logDf)
+    // the bucket index is PARTITION-LOCAL (non-global): the same record
+    // key may legitimately live in two partitions, so a hive-partitioned
+    // table merges per (partition, key) — never across partitions
+    val mergeKeys =
+      if (baseDf.columns.contains("_hoodie_partition_path"))
+        Seq(col("_hoodie_partition_path"), col("_hoodie_record_key"))
+      else Seq(col("_hoodie_record_key"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_hoodie_record_key").orderBy(col("__prec").desc)
+      .partitionBy(mergeKeys: _*).orderBy(col("__prec").desc)
     merged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col("_hoodie_is_deleted"))
       .select(dataCols.map(col).toIndexedSeq: _*)

@@ -309,6 +309,36 @@ object HudiWriter {
     instant
   }
 
+  /** Create a HIVE-PARTITIONED MERGE-ON-READ table — the shape real
+    * streaming-ingest Hudi tables actually have (MOR for the write
+    * economics, date/region partitioning for pruned reads): one file
+    * group per (partition value, key bucket) cell in the hive layout,
+    * the bucket index PARTITION-LOCAL (a record key identifies a row
+    * within its partition — Hudi's non-global index). Log appends and
+    * compaction route per cell; [[HudiReader.readMorWhere]] merges one
+    * partition's slices only. */
+  def createMorPartitioned(spark: SparkSession, df: DataFrame, base: String,
+                           tableName: String, keyCol: String, buckets: Int,
+                           partCol: String): String = {
+    require(df.columns.contains(keyCol), s"no $keyCol column to key on")
+    require(df.columns.contains(partCol), s"no $partCol column to partition on")
+    TxnLog.rmrf(base)
+    Files.createDirectories(Paths.get(base, ".hoodie"))
+    Files.writeString(Paths.get(base, ".hoodie", "hoodie.properties"),
+      s"hoodie.table.name=$tableName\nhoodie.table.type=MERGE_ON_READ\n" +
+        s"hoodie.table.recordkey.fields=$keyCol\n" +
+        s"hoodie.bucket.index.num.buckets=$buckets\n" +
+        s"hoodie.table.partition.fields=$partCol\n" +
+        "hoodie.datasource.write.hive_style_partitioning=true\n")
+    val instant = pad(1)
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.inflight"), "")
+    writePartitionedBuckets(spark, stampMeta(df, keyCol, partCol, instant),
+      base, partCol, pmod(col(keyCol), lit(buckets)), instant)
+    Files.delete(Paths.get(base, ".hoodie", s"$instant.inflight"))
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.commit"), "{}")
+    instant
+  }
+
   /** MOR delta commit: upserts and key deletes land as ONE avro log
     * file per touched bucket — no base file is rewritten (the write
     * economics streaming ingest picks MOR for). Log rows carry the
@@ -317,63 +347,105 @@ object HudiWriter {
     * Returns the new instant. */
   def logCommit(spark: SparkSession, base: String, upserts: DataFrame,
                 deleteKeys: Option[DataFrame] = None): String = {
-    import org.apache.spark.sql.functions.{lit => flit}
+    import org.apache.spark.sql.functions.{concat, lit => flit}
     require(HudiReader.tableType(base) == "MERGE_ON_READ",
       s"logCommit on a ${HudiReader.tableType(base)} table — use upsert")
     val key = keyField(base)
     val n = numBuckets(base)
+    // hive-partitioned MOR: file groups are (partition, bucket) cells
+    // and the bucket index is PARTITION-LOCAL, so records route —
+    // and tombstones identify — by (partition value, key)
+    val partCol = HudiReader.partitionFields(base).headOption
     val instant = nextInstant(base)
     val asOf = HudiReader.completedCommits(base).last
     val slices = HudiReader.morSlices(base, asOf).map(_._1)
     val schemaCols = spark.read.parquet(slices.head.path).columns.toIndexedSeq
-    val ups = upserts
+    def stampPart(d: DataFrame): DataFrame = partCol.fold(d)(pc =>
+      d.withColumn("_hoodie_partition_path",
+        concat(flit(s"$pc="), col(pc).cast("string"))))
+    val ups = stampPart(upserts
       .withColumn("_hoodie_commit_time", flit(instant))
-      .withColumn("_hoodie_record_key", col(key).cast("string"))
+      .withColumn("_hoodie_record_key", col(key).cast("string")))
       .select(schemaCols.map(col): _*)
       .withColumn("_hoodie_is_deleted", flit(false))
     val records = deleteKeys.fold(ups) { keys =>
-      val tombs = schemaCols.foldLeft(keys.select(col(keys.columns.head).as(key))) { (d, c) =>
-        if (c == key) d
+      val keyed = partCol match {
+        case Some(pc) =>
+          require(keys.columns.contains(key) && keys.columns.contains(pc),
+            s"partitioned tombstones need ($key, $pc) columns — a bare key " +
+              s"cannot identify a row under the partition-local index " +
+              s"(got ${keys.columns.mkString(",")})")
+          keys.select(col(key), col(pc))
+        case None => keys.select(col(keys.columns.head).as(key))
+      }
+      val tombs = stampPart(schemaCols.foldLeft(keyed) { (d, c) =>
+        if (c == key || partCol.contains(c) || c == "_hoodie_partition_path") d
         else if (c == "_hoodie_commit_time") d.withColumn(c, flit(instant))
         else if (c == "_hoodie_record_key") d.withColumn(c, col(key).cast("string"))
         else d.withColumn(c, flit(null).cast(ups.schema(c).dataType))
-      }.select(schemaCols.map(col): _*).withColumn("_hoodie_is_deleted", flit(true))
+      }).select(schemaCols.map(col): _*).withColumn("_hoodie_is_deleted", flit(true))
       ups.unionByName(tombs)
     }
     require(!records.isEmpty, "logCommit with nothing to write")
     // within-commit determinism: one deltacommit may not carry two
-    // records for the same key (an upsert AND a tombstone, or a
-    // duplicate upsert) — they would land in the same log file with the
-    // same merge precedence and the snapshot survivor would be random
-    val clashes = records.groupBy(col("_hoodie_record_key"))
+    // records for the same (partition-local) key — they would land in
+    // the same log file with the same merge precedence and the
+    // snapshot survivor would be random
+    val clashKeys =
+      if (partCol.isDefined) Seq(col("_hoodie_partition_path"), col("_hoodie_record_key"))
+      else Seq(col("_hoodie_record_key"))
+    val clashes = records.groupBy(clashKeys: _*)
       .count().filter(col("count") > 1).count()
     require(clashes == 0L,
       s"logCommit carries $clashes keys more than once (upsert/delete overlap " +
         "or duplicate upserts) — the per-key survivor would be nondeterministic")
-    // one log file per touched bucket, attached to that bucket's
-    // CURRENT base instant (the file-slice the log belongs to)
+    // one log file per touched cell, attached to that cell's CURRENT
+    // base instant (the file-slice the log belongs to); partitioned
+    // logs live IN their partition dir, matching baseFiles' qualified
+    // fileId spelling
     val baseInstantOf = slices.map(b => b.fileId -> b.instant).toMap
+    val existingLogs = HudiReader.logFiles(base)
     val bucket = pmod(col(key), lit(n))
     Files.writeString(Paths.get(base, ".hoodie", s"$instant.inflight"), "")
     val tmp = s"$base/.stage-log"
     TxnLog.rmrf(tmp)
-    records.withColumn("__g", bucket.cast("string"))
-      .repartition(col("__g")).write.partitionBy("__g")
-      .format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
-    Files.list(Paths.get(tmp)).iterator.asScala
-      .filter(_.getFileName.toString.startsWith("__g="))
-      .foreach { dir =>
-        val g = dir.getFileName.toString.stripPrefix("__g=")
-        val fid = s"g$g"
-        val bi = baseInstantOf.getOrElse(fid,
-          throw new IllegalStateException(s"log write targets unknown file group $fid"))
-        val parts = Files.list(dir).iterator.asScala
-          .filter(_.getFileName.toString.endsWith(".avro")).toSeq
-        require(parts.size == 1, s"bucket $g staged ${parts.size} log files")
-        val v = HudiReader.logFiles(base)
-          .count(l => l.fileId == fid && l.baseInstant == bi) + 1
-        Files.move(parts.head, Paths.get(base, s"${fid}_$bi.log.${v}_$instant.avro"))
-      }
+    def moveLog(dir: java.nio.file.Path, qfid: String, outDir: java.nio.file.Path): Unit = {
+      val bi = baseInstantOf.getOrElse(qfid,
+        throw new IllegalStateException(s"log write targets unknown file group $qfid"))
+      val parts = Files.list(dir).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".avro")).toSeq
+      require(parts.size == 1, s"cell $qfid staged ${parts.size} log files")
+      val v = existingLogs.count(l => l.fileId == qfid && l.baseInstant == bi) + 1
+      val fname = s"${qfid.split('/').last}_$bi.log.${v}_$instant.avro"
+      Files.createDirectories(outDir)
+      Files.move(parts.head, outDir.resolve(fname))
+    }
+    partCol match {
+      case None =>
+        records.withColumn("__g", bucket.cast("string"))
+          .repartition(col("__g")).write.partitionBy("__g")
+          .format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
+        Files.list(Paths.get(tmp)).iterator.asScala
+          .filter(_.getFileName.toString.startsWith("__g="))
+          .foreach { dir =>
+            val g = dir.getFileName.toString.stripPrefix("__g=")
+            moveLog(dir, s"g$g", Paths.get(base))
+          }
+      case Some(pc) =>
+        records.withColumn("__p", col(pc).cast("string"))
+          .withColumn("__g", bucket.cast("string"))
+          .repartition(col("__p"), col("__g")).write.partitionBy("__p", "__g")
+          .format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
+        Files.list(Paths.get(tmp)).iterator.asScala
+          .filter(_.getFileName.toString.startsWith("__p=")).foreach { pdir =>
+            val escVal = pdir.getFileName.toString.stripPrefix("__p=")
+            Files.list(pdir).iterator.asScala
+              .filter(_.getFileName.toString.startsWith("__g=")).foreach { gdir =>
+                val g = gdir.getFileName.toString.stripPrefix("__g=")
+                moveLog(gdir, s"$pc=$escVal/g$g", Paths.get(base, s"$pc=$escVal"))
+              }
+          }
+    }
     TxnLog.rmrf(tmp)
     Files.delete(Paths.get(base, ".hoodie", s"$instant.inflight"))
     Files.writeString(Paths.get(base, ".hoodie", s"$instant.deltacommit"), "{}")
@@ -394,11 +466,51 @@ object HudiWriter {
     val instant = nextInstant(base)
     val merged = HudiReader.readMor(spark, base, all.last)
     val key = keyField(base)
-    val dirtyIds = dirty.map(_._1.fileId.stripPrefix("g").toInt).toSet
     val bucket = pmod(col(key), lit(numBuckets(base)))
     Files.writeString(Paths.get(base, ".hoodie", s"$instant.inflight"), "")
-    writeBuckets(spark, merged.filter(bucket.isin(dirtyIds.toSeq: _*)),
-      base, bucket, instant)
+    // a dirty cell whose merged content is EMPTY (every row tombstoned)
+    // still needs a fresh base: without one the old slice stays live
+    // with its logs forever and the READ-OPTIMIZED view can never
+    // converge — real compaction retires the logs with a 0-row base
+    def emptyBase(out: java.nio.file.Path): Unit = {
+      val tmp = s"$base/.stage-empty"
+      TxnLog.rmrf(tmp)
+      merged.limit(0).coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("no empty base staged"))
+      Files.createDirectories(out.getParent)
+      Files.move(part, out)
+      TxnLog.rmrf(tmp)
+    }
+    def fillEmptyCells(): Unit = dirty.foreach { case (b, _) =>
+      val out = Paths.get(base, s"${b.fileId}_0-0-0_$instant.parquet")
+      if (!Files.exists(out)) emptyBase(out)
+    }
+    HudiReader.partitionFields(base).headOption match {
+      case None =>
+        val dirtyIds = dirty.map(_._1.fileId.stripPrefix("g").toInt).toSet
+        writeBuckets(spark, merged.filter(bucket.isin(dirtyIds.toSeq: _*)),
+          base, bucket, instant)
+      case Some(pc) =>
+        // partitioned: compact exactly the dirty (partition, bucket)
+        // cells — dirty fileIds carry the ESCAPED dir spelling, rows
+        // carry the LOGICAL one, so match through HivePath
+        import org.apache.spark.sql.functions.concat
+        val dirtyCells = dirty.map { case (b, _) =>
+          val segs = b.fileId.split('/')
+          val (c, v) = HivePath.segment(segs.dropRight(1).last).getOrElse(
+            throw new IllegalStateException(s"unpartitioned fileId ${b.fileId} " +
+              "on a partitioned table"))
+          s"$c=$v#${segs.last.stripPrefix("g")}"
+        }.toSet
+        val cellCol = concat(col("_hoodie_partition_path"), lit("#"),
+          bucket.cast("string"))
+        writePartitionedBuckets(spark,
+          merged.filter(cellCol.isin(dirtyCells.toSeq: _*)),
+          base, pc, bucket, instant)
+    }
+    fillEmptyCells()
     Files.delete(Paths.get(base, ".hoodie", s"$instant.inflight"))
     Files.writeString(Paths.get(base, ".hoodie", s"$instant.commit"), "{}")
     (dirty.size, instant)

@@ -206,7 +206,7 @@ object IcebergReader {
     lit(v).cast(sparkTypeOf(f.tpe))
   }
 
-  private def sparkTypeOf(t: String): String = t match {
+  private[sources] def sparkTypeOf(t: String): String = t match {
     case "int"       => "int"
     case "long"      => "long"
     case "float"     => "float"

@@ -68,7 +68,9 @@ object IcebergStream {
 }
 
 /** `format("graft.sources.IcebergStreamProvider")` entry point. */
-class IcebergStreamProvider extends TableProvider {
+class IcebergStreamProvider extends TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-iceberg-stream"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     IcebergStream.SCHEMA
   override def getTable(schema: StructType, partitioning: Array[Transform],

@@ -673,6 +673,51 @@ object IcebergWriter {
     writeMeta(base, 1, current = 1L, snaps = Seq(1L))
   }
 
+  /** The Spark→Iceberg primitive type mapping this writer declares in
+    * schema-tracking metadata (inverse of IcebergReader.sparkTypeOf). */
+  private def icebergTypeOf(t: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    t match {
+      case IntegerType   => "int"
+      case LongType      => "long"
+      case FloatType     => "float"
+      case DoubleType    => "double"
+      case StringType    => "string"
+      case BooleanType   => "boolean"
+      case DateType      => "date"
+      case TimestampType => "timestamp"
+      case other => throw new IllegalArgumentException(
+        s"no Iceberg mapping for Spark type ${other.simpleString}")
+    }
+  }
+
+  /** Schema-only table — the catalog's CREATE TABLE shape: v1 metadata
+    * declaring the schema through the `schemas` tracking list (so
+    * [[append]] and the front door know the shape) and NO snapshot
+    * (`current-snapshot-id` -1 per spec). The first [[append]] commits
+    * snapshot 1. The target must be VACANT — same CREATE discipline as
+    * `DeltaLogWriter.createEmpty`: never clear a directory this writer
+    * did not stage. */
+  def createEmpty(spark: SparkSession,
+                  schema: org.apache.spark.sql.types.StructType,
+                  base: String): Unit = {
+    val dir = Paths.get(base)
+    val vacant = !Files.exists(dir) || (Files.isDirectory(dir) && {
+      val s0 = Files.list(dir)
+      try !s0.findFirst().isPresent finally s0.close()
+    })
+    require(vacant,
+      s"CREATE TABLE target $base exists and is not empty — refusing to " +
+        "clear a directory this writer did not stage (drop it explicitly first)")
+    Files.createDirectories(Paths.get(base, "metadata"))
+    val fields = schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      IcebergReader.IceField(i + 1, f.name, icebergTypeOf(f.dataType))
+    }
+    writeMeta(base, 1, current = -1L, snaps = Nil,
+      schemasJson = Some(schemasFragment(0,
+        Seq(IcebergReader.IceSchema(0, fields)))))
+  }
+
   /** Bin-pack compaction (the rewrite-data-files action): snapshot N+1
     * replaces ALL live data files with `ceil(liveBytes/target)` packed
     * files — old entries DELETED (status=2), new ADDED. On a table
@@ -1173,6 +1218,24 @@ object IcebergWriter {
   def append(spark: SparkSession, df0: DataFrame, base: String): Unit = {
     val v = IcebergReader.currentMetadataVersion(base)
     val prev = IcebergReader.currentSnapshotId(base, v)
+    // FIRST append into a schema-only table (createEmpty / catalog
+    // CTAS): no snapshot to plan — commit snapshot 1 directly, with
+    // the declared schema threading through writeMeta's carry
+    if (prev < 0) {
+      val declared = IcebergReader.schemas(base, v) match {
+        case (Some(cid), all) => all.find(_.schemaId == cid).map(_.fields.map(_.name))
+        case _                => None
+      }
+      declared.foreach(names => require(names == df0.columns.toSeq,
+        s"first append columns ${df0.columns.mkString(",")} do not match the " +
+          s"declared schema ${names.mkString(",")}"))
+      val files = writeData(spark, df0, base, 1L)
+      writeManifest(spark, base, "metadata/m1.avro",
+        files.map { case (p, n) => (1, p, n) })
+      writeManifestList(spark, base, 1L, Seq("metadata/m1.avro"))
+      writeMeta(base, v + 1, current = 1L, snaps = Seq(1L))
+      return
+    }
     val fv = IcebergReader.formatVersion(base, v)
     // the v3 default-value writer obligations: a batch OMITTING a
     // defaulted column takes its `write-default` (the spec's fill

@@ -320,8 +320,6 @@ private[sources] object LakeBatchSources {
     val snap = Option(options.get("snapshotAsOf")).map(_.toLong)
       .getOrElse(IcebergReader.currentSnapshotId(base,
         IcebergReader.currentMetadataVersion(base)))
-    val scan = IcebergReader.planSnapshot(spark, base, snap)
-    require(scan.dataFiles.nonEmpty, s"empty snapshot $snap of $base")
     val writable = !options.containsKey("snapshotAsOf")
     val doInsert: Option[(DataFrame, Boolean) => Unit] = Some((data, ow) => {
       require(writable,
@@ -330,6 +328,25 @@ private[sources] object LakeBatchSources {
         "mode(\"overwrite\") would need a delete-all snapshot; use IcebergWriter")
       IcebergWriter.append(SparkSession.active, data, base)
     })
+    if (snap < 0) {
+      // schema-only table (catalog CREATE TABLE / CTAS before its first
+      // append): no snapshot to plan — serve the declared schema empty;
+      // the write callback commits snapshot 1
+      val v = IcebergReader.currentMetadataVersion(base)
+      val declared = IcebergReader.schemas(base, v) match {
+        case (Some(cid), all) => all.find(_.schemaId == cid).getOrElse(
+          throw new IllegalStateException(s"current-schema-id $cid missing in $base"))
+        case _ => throw new IllegalArgumentException(
+          s"empty Iceberg table $base declares no schema")
+      }
+      val schema = StructType(declared.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name,
+          org.apache.spark.sql.types.DataType.fromDDL(IcebergReader.sparkTypeOf(f.tpe)))))
+      val delegate = parquetTable(s"graft_iceberg($base@empty)", Nil, Some(schema), Map.empty)
+      return new GraftLakeTable(delegate, delegate.name, doInsert)
+    }
+    val scan = IcebergReader.planSnapshot(spark, base, snap)
+    require(scan.dataFiles.nonEmpty, s"empty snapshot $snap of $base")
     if (scan.posDeleteFiles.nonEmpty || scan.eqDeleteFiles.nonEmpty || scan.dvs.nonEmpty) {
       // live delete files / v3 DVs (Iceberg's only DML shape): scan
       // through the full reader's delete-applying plan (sequence-window

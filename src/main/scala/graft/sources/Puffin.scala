@@ -96,6 +96,57 @@ object Puffin {
     metas
   }
 
+  /** Lenient `"key" : <int>` numeric-field lookup. */
+  private def jsonNum(json: String, key: String): Option[Long] =
+    ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*(-?[0-9]+)").r
+      .findFirstMatchIn(json).map(_.group(1).toLong)
+
+  /** Lenient `"key" : "value"` string-field lookup (whitespace and key
+    * order free; escaped quotes handled). */
+  private def jsonStr(json: String, key: String): Option[String] =
+    ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      .findFirstMatchIn(json).map(_.group(1)
+        .replace("\\\"", "\"").replace("\\\\", "\\"))
+
+  /** The balanced `{...}` object value of `"key"`, if present. */
+  private def objectOf(json: String, key: String): Option[String] = {
+    val i = json.indexOf("\"" + key + "\"")
+    if (i < 0) return None
+    var j = json.indexOf('{', i)
+    if (j < 0) return None
+    val start = j
+    var depth = 0
+    var inStr = false
+    while (j < json.length) {
+      val c = json.charAt(j)
+      if (inStr) { if (c == '\\') j += 1 else if (c == '"') inStr = false }
+      else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) return Some(json.substring(start, j + 1))
+        case _ =>
+      }
+      j += 1
+    }
+    None
+  }
+
+  private def stringPairs(obj: String): Map[String, String] =
+    """"((?:[^"\\]|\\.)+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(obj)
+      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") ->
+        m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")).toMap
+
+  private def intArray(json: String, key: String): Seq[Int] = {
+    val i = json.indexOf("\"" + key + "\"")
+    if (i < 0) return Nil
+    val a = json.indexOf('[', i)
+    if (a < 0) return Nil
+    val b = json.indexOf(']', a)
+    if (b < 0) return Nil
+    json.substring(a + 1, b).split(',').map(_.trim).filter(_.nonEmpty)
+      .map(_.toInt).toSeq
+  }
+
   /** Parse the footer back into blob metadata (+ file properties). */
   def readFooter(path: String): (Seq[BlobMeta], Map[String, String]) = {
     val all = Files.readAllBytes(Paths.get(path))
@@ -111,27 +162,34 @@ object Puffin {
     require(footerStart >= 8 && magicAt(footerStart - 4),
       s"$path: footer-start magic missing (corrupt footer size $footerSize)")
     val json = new String(all, footerStart, footerSize, StandardCharsets.UTF_8)
-    val blobRe = ("""\{"type":"([^"]+)","fields":\[([^\]]*)\],"snapshot-id":(-?\d+),""" +
-      """"sequence-number":(-?\d+),"offset":(\d+),"length":(\d+),"properties":\{([^}]*)\}\}""").r
-    val propRe = """"([^"]+)":"([^"]*)"""".r
-    val blobs = blobRe.findAllMatchIn(json).map { m =>
-      BlobMeta(m.group(1), m.group(3).toLong, m.group(4).toLong,
-        m.group(5).toLong, m.group(6).toLong,
-        propRe.findAllMatchIn(m.group(7)).map(p => p.group(1) -> p.group(2)).toMap,
-        m.group(2).split(',').filter(_.nonEmpty).map(_.trim.toInt).toSeq)
-    }.toSeq
-    // the blob regex is pinned to THIS writer's key order — a spec-valid
-    // footer from an external writer (different order, extra fields like
-    // compression-codec) must fail loudly, not silently yield no blobs
-    // (statsNdv returning an empty map would read as "no stats")
-    require(!"""\"blobs\"\s*:\s*\[\s*\{""".r.findFirstIn(json).isDefined || blobs.nonEmpty,
-      s"$path: puffin footer declares blobs this parser could not extract " +
-        "(unsupported key order or fields) — refusing to return an empty blob list")
-    val fileProps = json.lastIndexOf(""","properties":{""") match {
-      case -1 => Map.empty[String, String]
-      case i  => propRe.findAllMatchIn(json.substring(i + 14)).map(p =>
-        p.group(1) -> p.group(2)).toMap
+    // STRUCTURAL parse (not a key-order-pinned regex): split the
+    // `blobs` array into balanced objects, then pull each field BY KEY
+    // from its object — a spec-valid foreign footer with reordered
+    // keys, whitespace, or extra fields (`compression-codec`) parses
+    // instead of erroring; genuinely missing required keys fail loudly
+    val blobObjs = IcebergReader.arrayObjects(json, "blobs")
+    val blobs = blobObjs.map { o =>
+      def num(key: String): Long = jsonNum(o, key).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path: puffin blob entry missing required $key: $o"))
+      val tpe = jsonStr(o, "type").getOrElse(throw new IllegalArgumentException(
+        s"$path: puffin blob entry missing required type: $o"))
+      jsonStr(o, "compression-codec").foreach(c =>
+        throw new IllegalArgumentException(
+          s"$path: puffin blob compressed with '$c' — this reader handles " +
+            "uncompressed blobs only"))
+      BlobMeta(tpe, num("snapshot-id"), num("sequence-number"),
+        num("offset"), num("length"),
+        objectOf(o, "properties").map(stringPairs).getOrElse(Map.empty),
+        intArray(o, "fields"))
     }
+    // file-level properties = the top-level `properties` object OUTSIDE
+    // the blobs array span
+    val blobsEnd = blobObjs.lastOption.map(last =>
+      json.indexOf(last) + last.length).getOrElse(0)
+    val fileProps = objectOf(json.substring(blobsEnd), "properties")
+      .orElse(objectOf(json.substring(0, math.max(0, json.indexOf("\"blobs\""))), "properties"))
+      .map(stringPairs).getOrElse(Map.empty)
     (blobs, fileProps)
   }
 

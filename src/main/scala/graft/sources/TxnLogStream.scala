@@ -84,7 +84,9 @@ object TxnLogStream {
 }
 
 /** `format("graft.sources.TxnLogStreamProvider")` entry point. */
-class TxnLogStreamProvider extends TableProvider {
+class TxnLogStreamProvider extends TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-txnlog-stream"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TxnLogStream.SCHEMA
   override def getTable(schema: StructType, partitioning: Array[Transform],

@@ -1049,4 +1049,30 @@ class DeltaLogSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(cdf == Map("delete" -> 15L, "insert" -> 4L), cdf.toString)
   }
+
+  test("overwrite × CDF × DVs: derived deletes read under the prior DV masks") {
+    val W = graft.sources.DeltaLogWriter
+    val base = mkTable("owdv")
+    graft.sources.TxnLog.rmrf(base)
+    W.create(spark, spark.range(0, 20).select(col("id"), (col("id") % 3).as("x")),
+      base, "t-owdv", extraConf = Map("delta.enableChangeDataFeed" -> "true"))
+    // v1: DV-delete 5 rows — they are GONE, and must not resurrect as
+    // deletes when the overwrite removes their carrier file
+    W.deleteWhereDv(spark, base, col("id") < 5)
+    assert(DeltaLogReader.read(spark, base).count() == 15L)
+    // v2: overwrite on the CDF+DV table (the r12 refusal, now served)
+    W.overwrite(spark, spark.range(100, 104).select(col("id"), lit(7L).as("x")), base)
+    assert(DeltaLogReader.read(spark, base).count() == 4L)
+    // the overwrite's CDF reports exactly the 15 MASKED-LIVE rows as
+    // deletes (not the 20 raw rows of the removed file) + 4 inserts
+    val cdf = DeltaLogReader.readChanges(spark, base, 2L, 2L)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cdf == Map("delete" -> 15L, "insert" -> 4L), cdf.toString)
+    // and the deleted pre-images are the surviving ids, not the masked ones
+    val delIds = DeltaLogReader.readChanges(spark, base, 2L, 2L)
+      .filter(col("_change_type") === "delete")
+      .agg(min("id"), max("id")).head()
+    assert(delIds.getLong(0) == 5L && delIds.getLong(1) == 19L)
+  }
 }

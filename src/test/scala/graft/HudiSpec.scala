@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions.sum
 
 import graft.sources.HudiReader
@@ -275,6 +277,8 @@ class HudiSpec extends SparkSpec {
 
   test("rollback reclaims crashed-instant debris; snapshot reads never saw it") {
     import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
     val base = "/tmp/graft_hudi_test/rollback"
     val df = spark.createDataFrame((1L to 12L).map(i => (i, i * 10L))).toDF("k", "v")
     graft.sources.HudiWriter.create(spark, df, base, "t-rb", "k", 3)
@@ -405,5 +409,51 @@ class HudiSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       graft.sources.HudiWriter.cluster(spark, base, 2))
     assert(e.getMessage.contains("partitioned"), e.getMessage)
+  }
+
+  test("partitioned MOR: per-cell logs, (partition,key) merge, pruned read, compaction") {
+    val W = graft.sources.HudiWriter
+    val base = s"/tmp/graft_hudi_test/part_mor"
+    // the SAME key in two partitions — the non-global index must keep
+    // them independent through logs, merges, and tombstones
+    val df = spark.createDataFrame(Seq(
+      (0L, "A", 10L), (1L, "A", 11L), (2L, "A", 12L),
+      (1L, "B", 20L), (4L, "B", 21L))).toDF("k", "p", "v")
+    W.createMorPartitioned(spark, df, base, "part_mor", "k", 2, "p")
+    // delta commit: update (A,1), tombstone (B,4); (B,1) untouched
+    W.logCommit(spark, base,
+      spark.createDataFrame(Seq((1L, "A", 111L))).toDF("k", "p", "v"),
+      deleteKeys = Some(spark.createDataFrame(Seq((4L, "B"))).toDF("k", "p")))
+    // logs live IN their partition dirs, attached to the base instant
+    assert(Files.list(Paths.get(base, "p=A")).iterator().asScala
+      .exists(_.getFileName.toString.contains(".log.")), "A log in its dir")
+    val snap = HudiReader.readMor(spark, base)
+      .select("k", "p", "v").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(snap == Set((0L, "A", 10L), (1L, "A", 111L), (2L, "A", 12L), (1L, "B", 20L)), snap)
+    // pruned MOR read: only B's slices merge — (B,1) survives with its
+    // ORIGINAL value (A's update must not cross partitions)
+    val b = HudiReader.readMorWhere(spark, base, "p", "B")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b == Set((1L, 20L)), b)
+    // read-optimized view: bases only — log changes invisible
+    assert(HudiReader.readOptimized(spark, base,
+      HudiReader.completedCommits(base).last).count() == 5L)
+    // compaction folds exactly the dirty cells — INCLUDING the fully
+    // tombstoned (B, g0) cell, which takes a 0-row base that retires
+    // its logs; snapshot unchanged, read-optimized view converges
+    val (cells, _) = W.compactMor(spark, base)
+    assert(cells == 2, s"dirty cells: $cells") // (A, g1) and (B, g0)
+    val after = HudiReader.readMor(spark, base)
+      .select("k", "p", "v").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(after == snap)
+    assert(HudiReader.readOptimized(spark, base,
+      HudiReader.completedCommits(base).last)
+      .select("k", "p", "v").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == snap)
+    // partitioned tombstones without the partition column refuse
+    val e = intercept[IllegalArgumentException](
+      W.logCommit(spark, base,
+        spark.createDataFrame(Seq((0L, "A", 5L))).toDF("k", "p", "v"),
+        deleteKeys = Some(spark.createDataFrame(Seq(Tuple1(2L))).toDF("k"))))
+    assert(e.getMessage.contains("partitioned tombstones"), e.getMessage)
   }
 }

@@ -51,6 +51,46 @@ class IcebergV3Spec extends SparkSpec {
     assert(props("created-by") == "graft")
   }
 
+  test("puffin footer parse is STRUCTURAL: foreign key order, whitespace, extra fields") {
+    val dir = mkBase("puffin_foreign"); Files.createDirectories(Paths.get(dir))
+    val magic = Array[Byte](0x50, 0x46, 0x41, 0x31)
+    val blobBytes = Array.fill[Byte](16)(7)
+    // a spec-valid footer another writer could emit: keys reordered,
+    // whitespace, an extra field this reader does not know, properties
+    // BEFORE type — none of which may break the parse
+    val json =
+      """{ "properties" : {"created-by" : "someone-else"}, "blobs" : [ { """ +
+        """"offset" : 4, "length" : 16, "snapshot-id" : 9, """ +
+        """"sequence-number" : 3, "some-future-field" : 1, """ +
+        """"properties" : { "cardinality" : "5" }, "type" : "deletion-vector-v1", """ +
+        """"fields" : [ ] } ] }"""
+    val footer = json.getBytes("UTF-8")
+    val buf = java.nio.ByteBuffer.allocate(4 + blobBytes.length + 4 + footer.length + 12)
+    buf.put(magic).put(blobBytes).put(magic).put(footer)
+    buf.order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(footer.length).putInt(0)
+    buf.put(magic)
+    val path = s"$dir/foreign.puffin"
+    Files.write(Paths.get(path), buf.array)
+    val (blobs, props) = Puffin.readFooter(path)
+    assert(blobs.map(b => (b.blobType, b.snapshotId, b.sequenceNumber, b.offset, b.length)) ==
+      Seq(("deletion-vector-v1", 9L, 3L, 4L, 16L)))
+    assert(blobs.head.properties == Map("cardinality" -> "5"))
+    assert(props == Map("created-by" -> "someone-else"))
+    // a COMPRESSED foreign blob still refuses loudly rather than
+    // handing back bytes this reader would misinterpret
+    val cjson = json.replace(""""some-future-field" : 1""",
+      """"compression-codec" : "zstd"""")
+    val cfooter = cjson.getBytes("UTF-8")
+    val cbuf = java.nio.ByteBuffer.allocate(4 + blobBytes.length + 4 + cfooter.length + 12)
+    cbuf.put(magic).put(blobBytes).put(magic).put(cfooter)
+    cbuf.order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(cfooter.length).putInt(0)
+    cbuf.put(magic)
+    Files.write(Paths.get(s"$dir/compressed.puffin"), cbuf.array)
+    val e = intercept[IllegalArgumentException](
+      Puffin.readFooter(s"$dir/compressed.puffin"))
+    assert(e.getMessage.contains("compressed"))
+  }
+
   test("puffin DV blob: spec frame (len BE, Delta-compatible magic, CRC) and direct-jump read") {
     val dir = mkBase("puffin_dv"); Files.createDirectories(Paths.get(dir))
     val positions = Seq(0L, 5L, 4096L, (1L << 32) + 9L)
