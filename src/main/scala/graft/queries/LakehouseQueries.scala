@@ -924,7 +924,31 @@ object LakehouseQueries extends QueryGroup {
         .groupBy(col("_change_type").as("tag"))
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
         .select(lit(10L).as("phase"), col("tag"), col("n_rows"), col("total_cents"))
-      (versions :+ cdf).reduce(_ unionAll _).orderBy("phase", "tag")
+      // the HIVE-PARTITIONED leg: the executor writers stage one file
+      // per touched partition (`o_orderpriority=.../dml-*.parquet`,
+      // partition column dropped from the file bytes, partitionValues
+      // derived from the staged path) — UPDATE touches one partition's
+      // rows in place, MERGE births synthetic rows into another
+      val ptBase = s"$root/sales/pt"
+      graft.sources.DeltaLogWriter.createComposed(s, o.repartition(2), ptBase,
+        "sqldml-pt", partitionBy = Seq("o_orderpriority"))
+      s.sql(s"UPDATE sqldmlcat_$hex.sales.pt SET cents = cents + 21 " +
+        s"WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 5 = 0")
+      o.filter(col("o_orderpriority") === "4-NOT SPECIFIED" &&
+          pmod(col("o_orderkey"), lit(11)) === 0)
+        .select((col("o_orderkey") + 700000000L).as("o_orderkey"),
+          col("o_orderpriority"), lit(444L).as("cents"))
+        .createOrReplaceTempView(s"sqldml_ptsrc_$hex")
+      s.sql(
+        s"""MERGE INTO sqldmlcat_$hex.sales.pt AS t USING sqldml_ptsrc_$hex AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority, cents)
+           |VALUES (s.o_orderkey, s.o_orderpriority, s.cents)""".stripMargin)
+      val pt = graft.sources.DeltaLogReader.read(s, ptBase)
+        .groupBy(col("o_orderpriority").as("tag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(20L).as("phase"), col("tag"), col("n_rows"), col("total_cents"))
+      (versions :+ cdf :+ pt).reduce(_ unionAll _).orderBy("phase", "tag")
     }),
 
     // ---- DSv2 front door over MASKED tables --------------------------------
@@ -3240,6 +3264,9 @@ object LakehouseQueries extends QueryGroup {
         "(SELECT cents FROM v1 WHERE k % 10 = 4 UNION ALL SELECT cents FROM v2 WHERE k % 10 = 7) " +
         "UNION ALL SELECT 10, 'update_postimage', count(*), CAST(sum(cents) AS BIGINT) FROM " +
         "(SELECT cents + 13 AS cents FROM v1 WHERE k % 10 = 4 UNION ALL SELECT cents FROM m) " +
+        "UNION ALL SELECT 20, pri, count(*), CAST(sum(cents) AS BIGINT) FROM " +
+        "(SELECT pri, cents + CASE WHEN pri = '3-MEDIUM' AND k % 5 = 0 THEN 21 ELSE 0 END AS cents FROM o " +
+        "UNION ALL SELECT pri, 444 FROM o WHERE pri = '4-NOT SPECIFIED' AND k % 11 = 0) GROUP BY pri " +
         "ORDER BY phase, tag"),
     "q_lake_dsv2_dv" ->
       ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +

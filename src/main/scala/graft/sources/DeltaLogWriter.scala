@@ -1501,8 +1501,6 @@ object DeltaLogWriter {
     * files that violate them. */
   private[sources] def sqlDmlGuards(spark: SparkSession, base: String): Unit = {
     val ctx = dmlCtx(spark, base)
-    require(ctx.pcols.isEmpty,
-      s"SQL DML on hive-partitioned $base is not wired — use DeltaLogWriter.update/mergeMulti")
     require(ctx.colMap.isEmpty,
       s"SQL DML on column-mapped $base is not wired — use DeltaLogWriter.update/mergeMulti")
     require(ctx.rtConf.isEmpty,
@@ -1510,6 +1508,11 @@ object DeltaLogWriter {
     identityColOf(spark, base, ctx.version).foreach(f => throw new IllegalArgumentException(
       s"SQL DML would bypass identity column ${f.name} on $base"))
   }
+
+  /** Hive partition columns the SQL-DML executor writers must stage
+    * by (logical == physical here — mapped tables refuse above). */
+  private[sources] def sqlDmlPartCols(spark: SparkSession, base: String): Seq[String] =
+    DeltaLogReader.partitionColumns(Some(spark), base, DeltaLogReader.latestVersion(base))
 
   /** The WriteDelta scan: masked live rows + the row-identity metadata
     * columns (`__path`, `__pos`) + `__pre` (a struct of the full old

@@ -54,10 +54,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Spark's OptimizeMetadataOnlyDeleteFromTable route it straight into
   * [[DeltaLogWriter.deleteWhereDv]] with zero scan-rewrite.
   *
-  * Feature-composed tables (hive partitioning, column mapping, row
-  * tracking, identity) refuse loudly with a pointer at the Scala DML
-  * entry points ([[DeltaLogWriter.sqlDmlGuards]]) — their staging
-  * conventions are not wired through the executor writers yet.
+  * HIVE-PARTITIONED tables work end-to-end: the scan recovers
+  * partition values via basePath, the executor writers stage one file
+  * per touched partition in the `col=value/` layout (partition columns
+  * dropped from the file bytes; values derive into each add's
+  * partitionValues from the staged path), and DV masks key on the
+  * partition-qualified paths. Column-mapped / row-tracked / identity
+  * tables still refuse loudly with a pointer at the Scala DML entry
+  * points ([[DeltaLogWriter.sqlDmlGuards]]).
   */
 private[sources] object LakeSqlDml {
 
@@ -158,7 +162,12 @@ private[sources] object LakeSqlDml {
   }
 
   /** One WriteDelta batch: builds the executor sinks driver-side, then
-    * commits DVs + staged adds + CDF in one Delta commit. */
+    * commits DVs + staged adds + CDF in one Delta commit. On a
+    * hive-partitioned table the executors stage per-partition files in
+    * the `col=value/` layout (partition columns are DROPPED from the
+    * file bytes, like every other writer here — values live in the
+    * dirs and each add's partitionValues, which commitRowDelta's
+    * addActions derive from the staged path). */
   private final class GraftDeltaWrite(base: String, expectVersion: Long,
                                       opName: String, info: LogicalWriteInfo)
     extends DeltaWrite {
@@ -166,6 +175,21 @@ private[sources] object LakeSqlDml {
     override def toBatch: DeltaBatchWrite = {
       val spark = SparkSession.active
       val dataSchema = info.schema
+      val pcols = DeltaLogWriter.sqlDmlPartCols(spark, base)
+      val partSpec: Seq[(Int, DataType)] = pcols.map { c =>
+        val i = dataSchema.fieldIndex(c)
+        val dt = dataSchema.fields(i).dataType
+        require(dt == StringType || dt == LongType ||
+          dt == org.apache.spark.sql.types.IntegerType,
+          s"SQL DML partition routing handles string/int/long partition " +
+            s"columns; $c is ${dt.simpleString}")
+        (i, dt)
+      }
+      // the staged FILE schema omits partition columns (hive layout)
+      val fileSchema = StructType(
+        dataSchema.fields.filterNot(f => pcols.contains(f.name)))
+      val keepIdx = dataSchema.fields.zipWithIndex
+        .filterNot { case (f, _) => pcols.contains(f.name) }.map(_._2)
       val cdfOn = DeltaLogWriter.cdfEnabled(spark, base)
       val cdcSchema = StructType(dataSchema.fields :+
         StructField("_change_type", StringType, nullable = false))
@@ -174,10 +198,11 @@ private[sources] object LakeSqlDml {
           java.nio.file.Paths.get(base, "_change_data"))
       val writeId = java.util.UUID.randomUUID.toString.take(8)
       val factory = new GraftDmlWriterFactory(base, writeId,
-        org.apache.spark.sql.GraftWriteBridge.parquetSink(spark, dataSchema),
+        org.apache.spark.sql.GraftWriteBridge.parquetSink(spark, fileSchema),
         if (cdfOn) Some(org.apache.spark.sql.GraftWriteBridge.parquetSink(spark, cdcSchema))
         else None,
-        dataSchema.fields.map(_.dataType))
+        dataSchema.fields.map(_.dataType),
+        pcols.toIndexedSeq, partSpec.toIndexedSeq, keepIdx.toIndexedSeq)
 
       new DeltaBatchWrite {
         override def createBatchWriterFactory(i: PhysicalWriteInfo): DeltaWriterFactory =
@@ -187,11 +212,11 @@ private[sources] object LakeSqlDml {
           val delPos: Map[String, Seq[Long]] = ms.flatMap(_.delPos)
             .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSeq).toMap
           DeltaLogWriter.commitRowDelta(SparkSession.active, base, expectVersion,
-            delPos, ms.flatMap(_.dataRel), ms.flatMap(_.cdcRel), opName)
+            delPos, ms.flatMap(_.dataRels), ms.flatMap(_.cdcRel), opName)
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit =
           messages.toSeq.collect { case m: SqlDmlMessage => m }.foreach { m =>
-            (m.dataRel ++ m.cdcRel).foreach(rel =>
+            (m.dataRels ++ m.cdcRel).foreach(rel =>
               java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(base, rel)))
           }
       }
@@ -199,8 +224,10 @@ private[sources] object LakeSqlDml {
   }
 
   /** What one task hands back: its staged file(s) + per-file deleted
-    * positions. Rel paths are table-relative (Delta add convention). */
-  private final case class SqlDmlMessage(dataRel: Option[String], cdcRel: Option[String],
+    * positions. Rel paths are table-relative (Delta add convention);
+    * partitioned tables stage one file per touched partition in the
+    * hive `col=value/` layout. */
+  private final case class SqlDmlMessage(dataRels: Seq[String], cdcRel: Option[String],
                                          delPos: Seq[(String, Seq[Long])])
     extends WriterCommitMessage
 
@@ -208,22 +235,60 @@ private[sources] object LakeSqlDml {
       base: String, writeId: String,
       dataSink: org.apache.spark.sql.GraftParquetSink,
       cdcSink: Option[org.apache.spark.sql.GraftParquetSink],
-      dataTypes: Array[DataType]) extends DeltaWriterFactory {
+      dataTypes: Array[DataType],
+      pcols: IndexedSeq[String],
+      partSpec: IndexedSeq[(Int, DataType)],
+      keepIdx: IndexedSeq[Int]) extends DeltaWriterFactory {
 
     override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
       new DeltaWriter[InternalRow] {
         private val n = dataTypes.length
-        private val dataRel = s"dml-$writeId-p$partitionId-t$taskId.parquet"
         private val cdcRel = s"_change_data/cdc-$writeId-p$partitionId-t$taskId.parquet"
-        private var dataOut: org.apache.spark.sql.GraftParquetSink.Opened = _
+        // one sink per touched hive partition dir ("" = unpartitioned)
+        private val dataOut =
+          mutable.LinkedHashMap.empty[String, org.apache.spark.sql.GraftParquetSink.Opened]
+        private val dataRels = mutable.ArrayBuffer.empty[String]
         private var cdcOut: org.apache.spark.sql.GraftParquetSink.Opened = _
         private val delPos = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Long]]
 
-        private def dataWriter(): org.apache.spark.sql.GraftParquetSink.Opened = {
-          if (dataOut == null)
-            dataOut = dataSink.open(s"$base/$dataRel", partitionId, taskId)
-          dataOut
+        /** The hive dir prefix for `row`, "" when unpartitioned. */
+        private def hiveDir(row: InternalRow): String =
+          if (partSpec.isEmpty) ""
+          else pcols.indices.map { k =>
+            val (i, dt) = partSpec(k)
+            require(!row.isNullAt(i),
+              s"NULL partition value for ${pcols(k)} — not staged by this writer")
+            val v = dt match {
+              case StringType => row.getUTF8String(i).toString
+              case LongType   => row.getLong(i).toString
+              case _          => row.getInt(i).toString
+            }
+            pcols(k) + "=" + org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.escapePathName(v)
+          }.mkString("", "/", "/")
+
+        private def dataWriter(row: InternalRow): org.apache.spark.sql.GraftParquetSink.Opened = {
+          val dir = hiveDir(row)
+          dataOut.getOrElseUpdate(dir, {
+            val rel = s"${dir}dml-$writeId-p$partitionId-t$taskId.parquet"
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(base, rel).getParent)
+            dataRels += rel
+            dataSink.open(s"$base/$rel", partitionId, taskId)
+          })
         }
+        /** Partition columns are dropped from the file bytes. */
+        private def fileRow(row: InternalRow): InternalRow =
+          if (partSpec.isEmpty) row
+          else {
+            val vals = new Array[Any](keepIdx.length)
+            var k = 0
+            while (k < keepIdx.length) {
+              val i = keepIdx(k)
+              vals(k) = row.get(i, dataTypes(i)); k += 1
+            }
+            new GenericInternalRow(vals)
+          }
         private def cdc(src: InternalRow, change: String): Unit =
           cdcSink.foreach { sink =>
             if (cdcOut == null)
@@ -247,25 +312,26 @@ private[sources] object LakeSqlDml {
         override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
           recordDelete(id)
           cdc(meta.getStruct(0, n), "update_preimage")
-          dataWriter().write(row)
+          dataWriter(row).write(fileRow(row))
           cdc(row, "update_postimage")
         }
         override def insert(row: InternalRow): Unit = {
-          dataWriter().write(row)
+          dataWriter(row).write(fileRow(row))
           cdc(row, "insert")
         }
 
         override def commit(): WriterCommitMessage = {
-          if (dataOut != null) dataOut.close()
+          dataOut.values.foreach(_.close())
           if (cdcOut != null) cdcOut.close()
           SqlDmlMessage(
-            Option(dataOut).map(_ => dataRel),
+            dataRels.toSeq,
             Option(cdcOut).map(_ => cdcRel),
             delPos.toSeq.map { case (p, b) => (p, b.toSeq) })
         }
         override def abort(): Unit = {
-          if (dataOut != null) { dataOut.close()
-            java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(base, dataRel)) }
+          dataOut.values.foreach(_.close())
+          dataRels.foreach(rel =>
+            java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(base, rel)))
           if (cdcOut != null) { cdcOut.close()
             java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(base, cdcRel)) }
         }

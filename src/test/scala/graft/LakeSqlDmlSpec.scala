@@ -111,18 +111,50 @@ class LakeSqlDmlSpec extends SparkSpec {
     assert(DeltaLogReader.read(spark, base).filter(col("p") === "z").count() == 2L)
   }
 
+  test("SQL UPDATE + MERGE on a HIVE-PARTITIONED table: per-partition staging") {
+    val root = freshRoot("part")
+    val base = s"$root/db/pt"
+    DeltaLogWriter.createComposed(spark, plane().repartition(2), base, "pt",
+      partitionBy = Seq("p"))
+    cat("sqldml_pt", root)
+    spark.sql("UPDATE sqldml_pt.db.pt SET x = x + 50 WHERE id BETWEEN 40 AND 49")
+    val after = DeltaLogReader.read(spark, base)
+    assert(after.count() == 100L)
+    assert(after.agg(sum("x")).head().getLong(0) ==
+      plane().agg(sum("x")).head().getLong(0) + 500L)
+    // staged files live in their hive dirs and carry partitionValues —
+    // a partition-pruned read sees the updated rows
+    val adds = DeltaLogReader.snapshotFiles(Some(spark), base,
+      DeltaLogReader.latestVersion(base))
+    val staged = adds.filter(_.path.contains("dml-"))
+    assert(staged.nonEmpty && staged.forall(a =>
+      a.path.startsWith("p=even/") || a.path.startsWith("p=odd/")), staged.map(_.path))
+    assert(after.filter(col("p") === "even" && col("x") >= 50).count() == 5L)
+    // MERGE births rows into both partitions
+    spark.range(200, 204).select(col("id"), lit(7L).as("x"),
+      when(col("id") % 2 === 0, "even").otherwise("odd").as("p"))
+      .createOrReplaceTempView("pt_src")
+    spark.sql("""
+      MERGE INTO sqldml_pt.db.pt AS t USING pt_src AS s ON t.id = s.id
+      WHEN NOT MATCHED THEN INSERT (id, x, p) VALUES (s.id, s.x, s.p)
+    """)
+    val m = DeltaLogReader.read(spark, base)
+    assert(m.count() == 104L)
+    assert(m.filter(col("id") >= 200 && col("p") === "even").count() == 2L)
+  }
+
   test("SQL DML refuses the unwired feature compositions loudly") {
     val root = freshRoot("guard")
-    DeltaLogWriter.createComposed(spark, plane().coalesce(1), s"$root/db/pt", "pt",
-      partitionBy = Seq("p"))
+    DeltaLogWriter.createComposed(spark, plane().coalesce(1), s"$root/db/cm", "cm",
+      columnMapped = true)
     cat("sqldml_g", root)
     val e = intercept[Exception](
-      spark.sql("UPDATE sqldml_g.db.pt SET x = 0 WHERE id = 1"))
+      spark.sql("UPDATE sqldml_g.db.cm SET x = 0 WHERE id = 1"))
     assert(e.getMessage.contains("not wired"), e.getMessage)
-    // but a SIMPLE DELETE on the partitioned table still works — it
-    // routes through SupportsDelete into deleteWhereDv, which handles
-    // every composition
-    spark.sql("DELETE FROM sqldml_g.db.pt WHERE id < 10")
-    assert(DeltaLogReader.read(spark, s"$root/db/pt").count() == 90L)
+    // but a SIMPLE DELETE on the mapped table still works — it routes
+    // through SupportsDelete into deleteWhereDv, which handles every
+    // composition
+    spark.sql("DELETE FROM sqldml_g.db.cm WHERE id < 10")
+    assert(DeltaLogReader.read(spark, s"$root/db/cm").count() == 90L)
   }
 }
