@@ -948,7 +948,22 @@ object LakehouseQueries extends QueryGroup {
         .groupBy(col("o_orderpriority").as("tag"))
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
         .select(lit(20L).as("phase"), col("tag"), col("n_rows"), col("total_cents"))
-      (versions :+ cdf :+ pt).reduce(_ unionAll _).orderBy("phase", "tag")
+      // the COLUMN-MAPPED leg: the table was RENAMED (cents→pennies)
+      // before the DML, so the SQL binds the new logical spelling while
+      // the executor writers stage PHYSICAL col-N columns with embedded
+      // parquet field ids (the spec's writer rule; the id-bound and
+      // physical-name scan paths read the staged file like any other)
+      val cmBase = s"$root/sales/cm"
+      graft.sources.DeltaLogWriter.createComposed(s, o.repartition(2), cmBase,
+        "sqldml-cm", columnMapped = true)
+      graft.sources.DeltaLogWriter.renameColumn(s, cmBase, "cents", "pennies")
+      s.sql(s"UPDATE sqldmlcat_$hex.sales.cm SET pennies = pennies + 9 " +
+        s"WHERE o_orderkey % 13 = 0")
+      val cm = graft.sources.DeltaLogReader.read(s, cmBase)
+        .agg(count(lit(1)).as("n_rows"), sum(col("pennies")).as("total_cents"))
+        .select(lit(30L).as("phase"), lit("*").as("tag"),
+          col("n_rows"), col("total_cents"))
+      (versions :+ cdf :+ pt :+ cm).reduce(_ unionAll _).orderBy("phase", "tag")
     }),
 
     // ---- DSv2 front door over MASKED tables --------------------------------
@@ -3267,6 +3282,7 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 20, pri, count(*), CAST(sum(cents) AS BIGINT) FROM " +
         "(SELECT pri, cents + CASE WHEN pri = '3-MEDIUM' AND k % 5 = 0 THEN 21 ELSE 0 END AS cents FROM o " +
         "UNION ALL SELECT pri, 444 FROM o WHERE pri = '4-NOT SPECIFIED' AND k % 11 = 0) GROUP BY pri " +
+        "UNION ALL SELECT 30, '*', count(*), CAST(sum(cents + CASE WHEN k % 13 = 0 THEN 9 ELSE 0 END) AS BIGINT) FROM o " +
         "ORDER BY phase, tag"),
     "q_lake_dsv2_dv" ->
       ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +

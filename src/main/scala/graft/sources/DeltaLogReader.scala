@@ -392,7 +392,7 @@ object DeltaLogReader {
     * requirement on column-mapped tables) — catches id-less foreign
     * files BEFORE `fieldId.read.ignoreMissing` would turn them into a
     * silent all-NULL read. One KB-scale footer open on the driver. */
-  private[sources] def assertEmbeddedIds(spark: SparkSession, file: String): Unit = {
+  private[graft] def assertEmbeddedIds(spark: SparkSession, file: String): Unit = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file), spark.sparkContext.hadoopConfiguration)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)

@@ -175,8 +175,16 @@ private[sources] object LakeSqlDml {
     override def toBatch: DeltaBatchWrite = {
       val spark = SparkSession.active
       val dataSchema = info.schema
+      // (logical, physical dir spelling) partition columns; on a
+      // MAPPED table the staged file schema renames to PHYSICAL names
+      // and embeds the parquet field ids (the spec's writer rule in
+      // both modes — the id-bound and physical-name scan paths read
+      // these files like any other writer's)
       val pcols = DeltaLogWriter.sqlDmlPartCols(spark, base)
-      val partSpec: Seq[(Int, DataType)] = pcols.map { c =>
+      val colMap = DeltaLogWriter.sqlDmlColMap(spark, base)
+      val physOf: Map[String, String] = colMap.map(t => t._1 -> t._2).toMap
+      val idOf: Map[String, Long] = colMap.map(t => t._1 -> t._3).toMap
+      val partSpec: Seq[(Int, DataType)] = pcols.map { case (c, _) =>
         val i = dataSchema.fieldIndex(c)
         val dt = dataSchema.fields(i).dataType
         require(dt == StringType || dt == LongType ||
@@ -185,24 +193,39 @@ private[sources] object LakeSqlDml {
             s"columns; $c is ${dt.simpleString}")
         (i, dt)
       }
+      val partLogical = pcols.map(_._1).toSet
+      def toFileField(f: StructField): StructField = {
+        val meta = idOf.get(f.name).map(id => new org.apache.spark.sql.types
+          .MetadataBuilder().putLong("parquet.field.id", id).build())
+        StructField(physOf.getOrElse(f.name, f.name), f.dataType, f.nullable,
+          meta.getOrElse(org.apache.spark.sql.types.Metadata.empty))
+      }
       // the staged FILE schema omits partition columns (hive layout)
       val fileSchema = StructType(
-        dataSchema.fields.filterNot(f => pcols.contains(f.name)))
+        dataSchema.fields.filterNot(f => partLogical.contains(f.name)).map(toFileField))
       val keepIdx = dataSchema.fields.zipWithIndex
-        .filterNot { case (f, _) => pcols.contains(f.name) }.map(_._2)
+        .filterNot { case (f, _) => partLogical.contains(f.name) }.map(_._2)
       val cdfOn = DeltaLogWriter.cdfEnabled(spark, base)
-      val cdcSchema = StructType(dataSchema.fields :+
+      // cdc files carry PHYSICAL names on a mapped table (the same
+      // convention as the Scala DML's _change_data; readChanges renames
+      // back per version)
+      val cdcSchema = StructType(dataSchema.fields.map(toFileField) :+
         StructField("_change_type", StringType, nullable = false))
       if (cdfOn)
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(base, "_change_data"))
       val writeId = java.util.UUID.randomUUID.toString.take(8)
+      // field-id embedding needs the session flag ON while the sink's
+      // write support is PREPARED (driver side, scoped + restored)
+      def mkSink(schema: StructType) =
+        if (colMap.isEmpty) org.apache.spark.sql.GraftWriteBridge.parquetSink(spark, schema)
+        else DeltaLogWriter.withFieldIdWrites(spark)(
+          org.apache.spark.sql.GraftWriteBridge.parquetSink(spark, schema))
       val factory = new GraftDmlWriterFactory(base, writeId,
-        org.apache.spark.sql.GraftWriteBridge.parquetSink(spark, fileSchema),
-        if (cdfOn) Some(org.apache.spark.sql.GraftWriteBridge.parquetSink(spark, cdcSchema))
-        else None,
+        mkSink(fileSchema),
+        if (cdfOn) Some(mkSink(cdcSchema)) else None,
         dataSchema.fields.map(_.dataType),
-        pcols.toIndexedSeq, partSpec.toIndexedSeq, keepIdx.toIndexedSeq)
+        pcols.map(_._2).toIndexedSeq, partSpec.toIndexedSeq, keepIdx.toIndexedSeq)
 
       new DeltaBatchWrite {
         override def createBatchWriterFactory(i: PhysicalWriteInfo): DeltaWriterFactory =

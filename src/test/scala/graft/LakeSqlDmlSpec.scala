@@ -143,18 +143,46 @@ class LakeSqlDmlSpec extends SparkSpec {
     assert(m.filter(col("id") >= 200 && col("p") === "even").count() == 2L)
   }
 
+  test("SQL UPDATE on a COLUMN-MAPPED table: physical names + field ids staged") {
+    val root = freshRoot("cm")
+    val base = s"$root/db/cm"
+    DeltaLogWriter.createComposed(spark, plane().coalesce(1), base, "cm",
+      columnMapped = true)
+    // a RENAME first — the DML must bind the user's NEW spelling while
+    // staging under the stable physical name
+    DeltaLogWriter.renameColumn(spark, base, "x", "septile")
+    cat("sqldml_cm", root)
+    spark.sql("UPDATE sqldml_cm.db.cm SET septile = septile + 100 WHERE id >= 95")
+    val after = DeltaLogReader.read(spark, base)
+    assert(after.count() == 100L)
+    assert(after.filter(col("septile") >= 100).count() == 5L)
+    assert(after.agg(sum("septile")).head().getLong(0) ==
+      plane().agg(sum("x")).head().getLong(0) + 500L)
+    // the staged file carries PHYSICAL columns with embedded field ids
+    // (the id-bound reader can bind it), not the logical spellings
+    val staged = DeltaLogReader.snapshotFiles(Some(spark), base,
+      DeltaLogReader.latestVersion(base)).filter(_.path.contains("dml-"))
+    assert(staged.nonEmpty)
+    val cols = spark.read.parquet(s"$base/${staged.head.path}").columns.toSeq
+    assert(cols.forall(_.startsWith("col-")), cols)
+    DeltaLogReader.assertEmbeddedIds(spark, s"$base/${staged.head.path}")
+    // and a second DML composes over the staged file + DVs
+    spark.sql("DELETE FROM sqldml_cm.db.cm WHERE septile >= 100")
+    assert(DeltaLogReader.read(spark, base).count() == 95L)
+  }
+
   test("SQL DML refuses the unwired feature compositions loudly") {
     val root = freshRoot("guard")
-    DeltaLogWriter.createComposed(spark, plane().coalesce(1), s"$root/db/cm", "cm",
-      columnMapped = true)
+    DeltaLogWriter.createComposed(spark, plane().coalesce(1), s"$root/db/rt", "rt",
+      rowTracked = true)
     cat("sqldml_g", root)
     val e = intercept[Exception](
-      spark.sql("UPDATE sqldml_g.db.cm SET x = 0 WHERE id = 1"))
+      spark.sql("UPDATE sqldml_g.db.rt SET x = 0 WHERE id = 1"))
     assert(e.getMessage.contains("not wired"), e.getMessage)
-    // but a SIMPLE DELETE on the mapped table still works — it routes
-    // through SupportsDelete into deleteWhereDv, which handles every
-    // composition
-    spark.sql("DELETE FROM sqldml_g.db.cm WHERE id < 10")
-    assert(DeltaLogReader.read(spark, s"$root/db/cm").count() == 90L)
+    // but a SIMPLE DELETE on the row-tracked table still works — it
+    // routes through SupportsDelete into deleteWhereDv, which handles
+    // every composition
+    spark.sql("DELETE FROM sqldml_g.db.rt WHERE id < 10")
+    assert(DeltaLogReader.read(spark, s"$root/db/rt").count() == 90L)
   }
 }
