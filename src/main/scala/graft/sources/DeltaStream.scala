@@ -114,8 +114,31 @@ object DeltaStream {
   * name rides the standard DataSourceRegister service file; the full
   * class name keeps working). */
 class DeltaStreamProvider extends TableProvider
-  with org.apache.spark.sql.sources.DataSourceRegister {
+  with org.apache.spark.sql.sources.DataSourceRegister
+  with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft-delta-stream"
+
+  /** `writeStream.format("graft-delta-stream")` — the exactly-once
+    * Delta SINK (StreamSinkProvider wins over the TableProvider read
+    * path for streaming writes): each micro-batch commits via
+    * [[DeltaLogWriter.appendIfAbsent]]'s txn markers, so redelivered
+    * batches absorb instead of doubling. `appId` defaults to a
+    * table-scoped id; set it when several independent streams feed one
+    * table. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+  : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-delta-stream sink does not partition — use DeltaLogWriter for layouts")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-delta-stream sink is append-only, got $outputMode")
+    val base = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-delta-stream sink needs .option(\"path\", <table base>)"))
+    new org.apache.spark.sql.GraftDeltaStreamSink(base,
+      parameters.getOrElse("appId", "graft-delta-sink"))
+  }
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     DeltaStream.SCHEMA
   override def getTable(schema: StructType, partitioning: Array[Transform],

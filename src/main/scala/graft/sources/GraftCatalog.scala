@@ -124,35 +124,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  /** ALTER TABLE, for the metadata-only changes the Delta writer
-    * supports: ADD COLUMN (NULL-backfilled through the log-schema
-    * scan), RENAME COLUMN (column-mapped tables — the physical name
-    * stays), and ALTER COLUMN TYPE (the typeWidening feature; lossy
-    * changes refuse inside the writer). Everything else refuses
-    * loudly rather than pretending. Delta-only — the other formats'
-    * evolution goes through their own writers. */
+  /** ALTER TABLE, for the metadata-only schema evolution BOTH writable
+    * formats support. Delta: ADD COLUMN (fresh physical id on mapped
+    * tables), RENAME COLUMN, ALTER COLUMN TYPE (typeWidening). Iceberg:
+    * ADD/RENAME/DROP COLUMN and the spec's type promotions (int→long,
+    * float→double) through the `schemas`-tracking evolve ops — field
+    * ids stay stable, zero data bytes move either way. Everything else
+    * refuses loudly rather than pretending. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
-    require(formatOf(dir).contains("delta"),
-      s"ALTER through the catalog is Delta-only; $ident is ${formatOf(dir).getOrElse("absent")}")
+    val fmt = formatOf(dir)
+    require(fmt.contains("delta") || fmt.contains("iceberg"),
+      s"ALTER through the catalog serves Delta and Iceberg tables; " +
+        s"$ident is ${fmt.getOrElse("absent")}")
     val spark = org.apache.spark.sql.SparkSession.active
+    val delta = fmt.contains("delta")
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "nested ADD COLUMN is beyond this catalog")
-        DeltaLogWriter.addColumn(spark, dir.toString,
+        if (delta) DeltaLogWriter.addColumn(spark, dir.toString,
           a.fieldNames.head, a.dataType.sql)
+        else IcebergWriter.evolveAddColumn(spark, dir.toString,
+          a.fieldNames.head, IcebergWriter.icebergTypeOf(a.dataType))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "nested RENAME COLUMN is beyond this catalog")
-        DeltaLogWriter.renameColumn(spark, dir.toString, r.fieldNames.head, r.newName)
+        if (delta)
+          DeltaLogWriter.renameColumn(spark, dir.toString, r.fieldNames.head, r.newName)
+        else
+          IcebergWriter.evolveRenameColumn(spark, dir.toString, r.fieldNames.head, r.newName)
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames.length == 1,
           "nested ALTER COLUMN is beyond this catalog")
-        DeltaLogWriter.widenColumnType(spark, dir.toString,
+        if (delta) DeltaLogWriter.widenColumnType(spark, dir.toString,
           u.fieldNames.head, u.newDataType.sql)
+        else IcebergWriter.evolveWidenColumn(spark, dir.toString,
+          u.fieldNames.head, IcebergWriter.icebergTypeOf(u.newDataType))
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "nested DROP COLUMN is beyond this catalog")
+        require(!delta,
+          "DROP COLUMN is wired for Iceberg only (Delta would need " +
+            "column mapping to retire the physical column)")
+        IcebergWriter.evolveDropColumn(spark, dir.toString, d.fieldNames.head)
       case other => throw new UnsupportedOperationException(
-        s"ALTER change $other is not wired — use DeltaLogWriter's entry points")
+        s"ALTER change $other is not wired — use the writers' entry points")
     }
     loadTable(ident)
   }

@@ -589,6 +589,24 @@ object IcebergWriter {
       fields.map(f => if (f.name == from) f.copy(name = to) else f)
     })
 
+  /** ALTER COLUMN TYPE — the spec's legal TYPE PROMOTIONS (int→long,
+    * float→double): metadata-only; the field id keeps its bytes and
+    * the merged-scan projection casts every era to the CURRENT type
+    * (old narrow files upcast, exactly the Delta typeWidening shape).
+    * Anything outside the spec's promotion set refuses. */
+  def evolveWidenColumn(spark: SparkSession, base: String,
+                        name: String, toType: String): Unit = {
+    val legal = Set("int" -> "long", "float" -> "double")
+    commitSchema(spark, base, { fields =>
+      val f = fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name to widen"))
+      require(legal.contains(f.tpe -> toType),
+        s"$name: ${f.tpe} -> $toType is not a spec type promotion " +
+          s"(legal: ${legal.toSeq.sorted.mkString(", ")})")
+      fields.map(g => if (g.name == name) g.copy(tpe = toType) else g)
+    })
+  }
+
   /** ALTER TABLE DROP COLUMN — metadata-only; the field id retires (it
     * is never reused), data files keep the bytes until a rewrite. */
   def evolveDropColumn(spark: SparkSession, base: String, name: String): Unit =
@@ -675,7 +693,7 @@ object IcebergWriter {
 
   /** The Spark→Iceberg primitive type mapping this writer declares in
     * schema-tracking metadata (inverse of IcebergReader.sparkTypeOf). */
-  private def icebergTypeOf(t: org.apache.spark.sql.types.DataType): String = {
+  private[sources] def icebergTypeOf(t: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
     t match {
       case IntegerType   => "int"

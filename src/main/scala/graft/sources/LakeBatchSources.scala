@@ -347,10 +347,21 @@ private[sources] object LakeBatchSources {
     }
     val scan = IcebergReader.planSnapshot(spark, base, snap)
     require(scan.dataFiles.nonEmpty, s"empty snapshot $snap of $base")
-    if (scan.posDeleteFiles.nonEmpty || scan.eqDeleteFiles.nonEmpty || scan.dvs.nonEmpty) {
-      // live delete files / v3 DVs (Iceberg's only DML shape): scan
-      // through the full reader's delete-applying plan (sequence-window
-      // eq-deletes + broadcast anti-join positions) via the V1 fallback
+    // a table EVOLVED across schemas needs the field-id projection
+    // (renamed columns resolve by id across eras, added ones surface
+    // as typed NULL in old files) — a raw file scan would mis-name or
+    // drop them, so it rides the full reader like the masked cases
+    val evolved = IcebergReader.schemas(base,
+      IcebergReader.currentMetadataVersion(base)) match {
+      case (Some(_), all) => all.size > 1
+      case _              => false
+    }
+    if (scan.posDeleteFiles.nonEmpty || scan.eqDeleteFiles.nonEmpty ||
+        scan.dvs.nonEmpty || evolved) {
+      // live delete files / v3 DVs (Iceberg's only DML shape) or a
+      // schema-evolved table: scan through the full reader's plan
+      // (delete-applying anti-joins / per-era projection) via the V1
+      // fallback
       return new GraftMaskedTable(s"graft_iceberg($base@$snap)",
         IcebergReader.read(spark, base, snap).schema,
         () => IcebergReader.read(SparkSession.active, base, snap),

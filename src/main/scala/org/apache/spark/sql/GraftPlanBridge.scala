@@ -143,3 +143,25 @@ object GraftWriteBridge {
     new GraftParquetSink(factory, entries, schema)
   }
 }
+
+/** V1 streaming SINK over the Delta log writer — what
+  * `writeStream.format("graft-delta-stream")` starts. Exactly-once by
+  * construction: every micro-batch commits through
+  * [[graft.sources.DeltaLogWriter.appendIfAbsent]], whose `txn`
+  * (SetTransaction) marker makes the TABLE the source of truth — a
+  * redelivered batch after a crash/restart is absorbed, not doubled.
+  * The incoming DataFrame is re-materialized from its own executed
+  * rows (`internalCreateDataFrame`, the V1 sink discipline) so the
+  * writer's jobs never re-trigger the batch's source scan. */
+final class GraftDeltaStreamSink(base: String, appId: String)
+  extends execution.streaming.Sink {
+  override def name(): String = s"graft_delta_sink($base)"
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    val cd = data.asInstanceOf[classic.Dataset[Row]]
+    val spark = cd.sparkSession
+    val batch = spark.internalCreateDataFrame(
+      cd.queryExecution.toRdd.map(_.copy()), data.schema, isStreaming = false)
+    graft.sources.DeltaLogWriter.appendIfAbsent(spark, batch, base, appId, batchId)
+    ()
+  }
+}

@@ -176,15 +176,44 @@ class LakeBatchSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("ALTER TABLE gcat_test.db.t2 ALTER COLUMN x TYPE INT"))
     assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e.getMessage)
-    // ALTER on a non-delta table refuses
+    // ALTER on a Hudi table refuses (Delta and Iceberg are served)
     val e2 = intercept[Exception](
       spark.sql("ALTER TABLE gcat_test.db.h1 ADD COLUMN z INT"))
-    assert(e2.getMessage.contains("Delta-only"), e2.getMessage)
+    assert(e2.getMessage.contains("hudi"), e2.getMessage)
     // RENAME + DROP are directory ops
     spark.sql("ALTER TABLE gcat_test.db.t2 RENAME TO db.t3")
     assert(spark.sql("SELECT count(*) FROM gcat_test.db.t3").head().getLong(0) == 10L)
     spark.sql("DROP TABLE gcat_test.db.t3")
     assert(spark.sql("SHOW TABLES IN gcat_test.db").count() == 2L)
+  }
+
+  test("GraftCatalog ALTER on ICEBERG tables: add/rename/widen/drop, metadata-only") {
+    val root = mkBase("catalog_ice")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "db"))
+    IcebergWriter.create(spark, spark.range(0, 50).select(
+      col("id"), (col("id") % 7).cast("int").as("x")).coalesce(1), s"$root/db/i")
+    spark.conf.set("spark.sql.catalog.gcat_ice", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat_ice.root", root)
+    // ADD COLUMN: metadata-only, old rows surface NULL — the front
+    // door routes the evolved table through the projection read
+    spark.sql("ALTER TABLE gcat_ice.db.i ADD COLUMN note STRING")
+    assert(spark.sql("SELECT count(*) FROM gcat_ice.db.i WHERE note IS NULL")
+      .head().getLong(0) == 50L)
+    spark.sql("INSERT INTO gcat_ice.db.i VALUES (100, CAST(1 AS INT), 'n')")
+    assert(spark.sql("SELECT count(*) FROM gcat_ice.db.i WHERE note = 'n'")
+      .head().getLong(0) == 1L)
+    // RENAME binds by field id across eras
+    spark.sql("ALTER TABLE gcat_ice.db.i RENAME COLUMN note TO memo")
+    assert(spark.sql("SELECT count(*) FROM gcat_ice.db.i WHERE memo = 'n'")
+      .head().getLong(0) == 1L)
+    // the spec's int→long promotion; old narrow files upcast
+    spark.sql("ALTER TABLE gcat_ice.db.i ALTER COLUMN x TYPE BIGINT")
+    assert(spark.sql("SELECT sum(x) FROM gcat_ice.db.i").head().getLong(0) ==
+      (0L until 50L).map(_ % 7).sum + 1L)
+    // DROP retires the id without a rewrite
+    spark.sql("ALTER TABLE gcat_ice.db.i DROP COLUMN memo")
+    assert(!spark.sql("SELECT * FROM gcat_ice.db.i").columns.contains("memo"))
+    assert(spark.sql("SELECT count(*) FROM gcat_ice.db.i").head().getLong(0) == 51L)
   }
 
   test("graft-iceberg + graft-hudi format reads and the SQL USING surface") {

@@ -404,4 +404,41 @@ class StreamingSpec extends SparkSpec {
     val r2 = spark.read.parquet(out).select("event_id").collect().map(_.getLong(0)).sorted
     assert(r2.toSeq == (1L to 10L), s"restart re-emitted or missed rows: ${r2.toSeq}")
   }
+
+  test("writeStream.format(graft-delta-stream): exactly-once Delta sink") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "/tmp/graft_stream_sink_fmt/t"
+    graft.sources.TxnLog.rmrf("/tmp/graft_stream_sink_fmt")
+    val srcDir = "/tmp/graft_stream_sink_fmt/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    spark.range(0, 50).select(col("id"), (col("id") % 3).as("g"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    def drain(ck: String): Unit = {
+      val q = spark.readStream
+        .schema("id BIGINT, g BIGINT").parquet(srcDir)
+        .writeStream.format("graft-delta-stream")
+        .option("path", base).option("appId", "sink-fmt-test")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_sinkfmt_ck_").toString
+    drain(ck1)
+    assert(graft.sources.DeltaLogReader.read(spark, base).count() == 50L)
+    // same checkpoint: no new input, nothing commits
+    drain(ck1)
+    assert(graft.sources.DeltaLogReader.read(spark, base).count() == 50L)
+    // FRESH checkpoint = full redelivery of batch 0 — the TABLE's txn
+    // marker absorbs it (the engine checkpoint is not the source of
+    // truth; exactly-once survives checkpoint loss)
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_sinkfmt_ck_").toString
+    drain(ck2)
+    assert(graft.sources.DeltaLogReader.read(spark, base).count() == 50L)
+    // new data + a later batch id on the original checkpoint appends
+    spark.range(50, 70).select(col("id"), (col("id") % 3).as("g"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    drain(ck1)
+    assert(graft.sources.DeltaLogReader.read(spark, base).count() == 70L)
+  }
 }
