@@ -653,8 +653,9 @@ object LakehouseQueries extends QueryGroup {
     // (LakeBatchSpec pins PushedFilters + the pruned ReadSchema). All
     // three formats read through `spark.read.format(...)`; the fourth
     // phase goes through pure SQL (`CREATE TEMPORARY VIEW ... USING`),
-    // the zero-Scala path. Row-masked (DV) and column-mapped tables are
-    // REFUSED at resolution, never silently mis-read.
+    // the zero-Scala path. Column-mapped tables bind by field id; the
+    // row-masked (DV/delete-file/MOR) cases ride the V1-read fallback
+    // and are graded separately by q_lake_dsv2_dv.
     "q_lake_dsv2" -> ((s, d) => {
       val root = s"/tmp/graft_deltaw_${Integer.toHexString(d.hashCode)}/dsv2"
       val o = iceOrders(s, d)

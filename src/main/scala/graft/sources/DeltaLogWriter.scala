@@ -1017,6 +1017,43 @@ object DeltaLogWriter {
       metaDataAction(metaIdOf(spark, base, version), widened, pcols, conf1)))
   }
 
+  /** ALTER TABLE DROP COLUMN — metadata-only, and the reason Delta
+    * REQUIRES column mapping for it: the dropped field's physical
+    * column keeps its bytes in every file, but its logical name and
+    * physical id retire together — a later ADD COLUMN with the SAME
+    * name mints a FRESH physical id ([[addColumn]]'s maxColumnId
+    * allocation), so old values can never silently resurrect. On an
+    * UNMAPPED table the same drop would leave re-addition bound to the
+    * old bytes — refused. Partition columns cannot drop. */
+  def dropColumn(spark: SparkSession, base: String, column: String): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val version = DeltaLogReader.latestVersion(base)
+    require(colMapOf(spark, base, version).isDefined,
+      s"DROP COLUMN requires column mapping (re-adding '$column' on an " +
+        "unmapped table would resurrect the old bytes) — RENAME COLUMN " +
+        "first to enable mapping, or rewrite via overwrite")
+    val schema0 = DeltaLogReader.tableSchema(Some(spark), base, version).getOrElse(
+      throw new IllegalStateException(s"$base declares no schema"))
+    require(schema0.fieldNames.contains(column), s"no column $column to drop")
+    require(schema0.fields.length > 1, "cannot drop the last column")
+    val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
+    require(!pcols.contains(column), s"$column is a partition column")
+    val dropped = StructType(schema0.fields.filterNot(_.name == column))
+    val conf0 = DeltaLogReader.latestMetaConfig(Some(spark), base, version)
+      .map(_._2).getOrElse(Map.empty)
+    // pin maxColumnId at the EVER-USED max before the field leaves the
+    // schema: addColumn's fallback derives from the visible fields, and
+    // a post-drop fallback below the dropped id would re-mint it —
+    // exactly the resurrection the feature exists to prevent
+    val everMax = math.max(
+      conf0.get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L),
+      schema0.fields.map(_.metadata.getLong("delta.columnMapping.id")).max)
+    val conf1 = conf0 + ("delta.columnMapping.maxColumnId" -> everMax.toString)
+    commit(base, version + 1, Seq(
+      s"""{"commitInfo":{"operation":"DROP COLUMNS","timestamp":0}}""",
+      metaDataAction(metaIdOf(spark, base, version), dropped, pcols, conf1)))
+  }
+
   /** The spec's legal widening promotions — lossless by construction
     * (every value of the narrow type is exactly representable in the
     * wide one), which is what makes the metadata-only commit sound:
@@ -1113,9 +1150,11 @@ object DeltaLogWriter {
     * new rows fresh ids above the high-water mark. No `_change_data`
     * is staged — at 100 TB an overwrite must not write its data twice;
     * CDF derives full-delete + full-insert from the remove/add actions
-    * themselves. That derivation reads removed files WITHOUT their DV
-    * masks, so a CDF-enabled table with live DVs is refused (REORG
-    * PURGE first) rather than over-reporting deletes. */
+    * themselves. CDF derives
+    * full-delete + full-insert from the remove/add actions themselves,
+    * with removed files read UNDER their prior-version DV masks
+    * (readChanges' dvMaskKeep derivation), so live-DV + CDF overwrites
+    * never over-report. */
   def overwrite(spark: SparkSession, df0: DataFrame, base: String,
                 statsFor: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{expr => sqlExpr}

@@ -164,10 +164,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           "nested DROP COLUMN is beyond this catalog")
-        require(!delta,
-          "DROP COLUMN is wired for Iceberg only (Delta would need " +
-            "column mapping to retire the physical column)")
-        IcebergWriter.evolveDropColumn(spark, dir.toString, d.fieldNames.head)
+        if (delta) DeltaLogWriter.dropColumn(spark, dir.toString, d.fieldNames.head)
+        else IcebergWriter.evolveDropColumn(spark, dir.toString, d.fieldNames.head)
       case other => throw new UnsupportedOperationException(
         s"ALTER change $other is not wired — use the writers' entry points")
     }

@@ -1050,6 +1050,31 @@ class DeltaLogSpec extends SparkSpec {
     assert(cdf == Map("delete" -> 15L, "insert" -> 4L), cdf.toString)
   }
 
+  test("DROP COLUMN: mapped-only, re-ADD mints a fresh id — no resurrection") {
+    val W = graft.sources.DeltaLogWriter
+    val base = mkTable("dropcol")
+    graft.sources.TxnLog.rmrf(base)
+    W.createColumnMapped(spark,
+      spark.range(0, 10).select(col("id"), (col("id") * 7).as("x")), base, "t-drop")
+    W.dropColumn(spark, base, "x")
+    val after = DeltaLogReader.read(spark, base)
+    assert(after.columns.toSeq == Seq("id"))
+    // re-ADD the same NAME: fresh physical id — the old x bytes stay
+    // buried, the new column reads NULL everywhere
+    W.addColumn(spark, base, "x", "BIGINT")
+    val readd = DeltaLogReader.read(spark, base)
+    assert(readd.columns.toSeq == Seq("id", "x"))
+    assert(readd.filter(col("x").isNotNull).count() == 0L,
+      "re-added column resurrected dropped bytes")
+    // unmapped tables refuse (re-addition would resurrect)
+    val plain = mkTable("dropcol_plain")
+    graft.sources.TxnLog.rmrf(plain)
+    W.create(spark, spark.range(0, 5).select(col("id"), col("id").as("x")),
+      plain, "t-drop-plain")
+    val e = intercept[IllegalArgumentException](W.dropColumn(spark, plain, "x"))
+    assert(e.getMessage.contains("column mapping"), e.getMessage)
+  }
+
   test("overwrite × CDF × DVs: derived deletes read under the prior DV masks") {
     val W = graft.sources.DeltaLogWriter
     val base = mkTable("owdv")

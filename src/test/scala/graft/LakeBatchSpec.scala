@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.sources.{DeltaLogWriter, HudiWriter, IcebergWriter}
 
 /** Batch DSv2 front doors (`spark.read.format("graft-delta" | ...)`):
-  * the scan must stay Spark's OWN parquet scan — pushdown, pruning,
-  * vectorization — and the refusal guards must fire rather than
-  * mis-read DV/mapped tables. */
+  * the unmasked scan must stay Spark's OWN parquet scan — pushdown,
+  * pruning, vectorization — while masked tables (DVs, delete files,
+  * MOR logs) serve through the full readers' mask-applying plans via
+  * the V1-read fallback, never a silent mis-read. */
 class LakeBatchSpec extends SparkSpec {
 
   private def mkBase(name: String): String = {
