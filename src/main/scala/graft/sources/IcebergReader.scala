@@ -84,16 +84,22 @@ object IcebergReader {
     Files.readString(p, StandardCharsets.UTF_8)
   }
 
-  /** All snapshots declared by metadata version `v`. */
+  /** All snapshots declared by metadata version `v` — parsed from the
+    * BALANCED snapshot objects (a snapshot may carry nested objects
+    * like the `summary` string map between its fields). */
   def snapshots(base: String, v: Int): Seq[IcebergSnapshot] = {
     val json = metadataJson(base, v)
     DeltaLogReader.longField(json, "format-version").foreach { fv =>
       require(fv <= 3L, s"Iceberg format-version=$fv beyond this minimal reader")
     }
-    val snap = ("\"snapshot-id\"\\s*:\\s*(\\d+)[^{}]*" +
-      "\"manifest-list\"\\s*:\\s*\"([^\"]+)\"").r
-    snap.findAllMatchIn(json)
-      .map(m => IcebergSnapshot(m.group(1).toLong, m.group(2))).toSeq
+    val ml = "\"manifest-list\"\\s*:\\s*\"([^\"]+)\"".r
+    val sid = "\"snapshot-id\"\\s*:\\s*(-?\\d+)".r
+    snapshotObjects(json).flatMap { o =>
+      for {
+        i <- sid.findFirstMatchIn(o).map(_.group(1).toLong)
+        m <- ml.findFirstMatchIn(o).map(_.group(1))
+      } yield IcebergSnapshot(i, m)
+    }
   }
 
   def currentSnapshotId(base: String, v: Int): Long =
@@ -141,6 +147,40 @@ object IcebergReader {
     }
     out.result()
   }
+
+  /** Balanced `{...}` object value of `"key"` inside `json`. */
+  private def objectField(json: String, key: String): Option[String] = {
+    val i = json.indexOf("\"" + key + "\"")
+    if (i < 0) return None
+    var j = json.indexOf('{', i)
+    if (j < 0) return None
+    val start = j
+    var depth = 0
+    var inStr = false
+    while (j < json.length) {
+      val c = json.charAt(j)
+      if (inStr) { if (c == '\\') j += 1 else if (c == '"') inStr = false }
+      else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) return Some(json.substring(start, j + 1))
+        case _ =>
+      }
+      j += 1
+    }
+    None
+  }
+
+  /** Per-snapshot `summary` objects (raw JSON), keyed by snapshot id —
+    * the spec's string map; streaming commits stash their idempotence
+    * markers here, atomic with the metadata flip. */
+  def snapshotSummaries(base: String, v: Int): Map[Long, String] =
+    snapshotObjects(metadataJson(base, v)).flatMap { o =>
+      for {
+        id <- DeltaLogReader.longField(o, "snapshot-id")
+        sm <- objectField(o, "summary")
+      } yield id -> sm
+    }.toMap
 
   /** All snapshots of metadata version `v` in COMMIT order — what a
     * change stream must iterate (iterating by raw id would skip or

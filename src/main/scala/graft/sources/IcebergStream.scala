@@ -68,9 +68,68 @@ object IcebergStream {
 }
 
 /** `format("graft.sources.IcebergStreamProvider")` entry point. */
+/** The exactly-once Iceberg STREAMING SINK commit protocol: each
+  * micro-batch's (appId, batchId) marker rides the committed
+  * snapshot's `summary` string map — INSIDE the metadata JSON, so the
+  * marker is atomic with the version-hint flip (the commit point). A
+  * redelivered batch (restart, or full checkpoint loss) compares
+  * against the max committed batch id for its appId and absorbs. The
+  * same pattern Flink/Spark Iceberg connectors use (checkpoint id in
+  * the snapshot summary); the TABLE is the source of truth. */
+object IcebergStreamSink {
+
+  private def exists(base: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base, "metadata", "version-hint.text"))
+
+  /** Max committed batch id for `appId`; -1 when none. */
+  def lastBatch(base: String, appId: String): Long = {
+    if (!exists(base)) return -1L
+    val v = IcebergReader.currentMetadataVersion(base)
+    IcebergReader.snapshotSummaries(base, v).values.flatMap { j =>
+      DeltaLogReader.strField(j, "graft-app-id").filter(_ == appId)
+        .flatMap(_ => DeltaLogReader.strField(j, "graft-batch-id"))
+        .map(_.toLong)
+    }.foldLeft(-1L)(math.max)
+  }
+
+  /** Commit one micro-batch; false = absorbed redelivery. The first
+    * batch CREATES the table (schema-only metadata, then the summary-
+    * carrying snapshot 1). */
+  def commit(spark: org.apache.spark.sql.SparkSession,
+             df: org.apache.spark.sql.DataFrame,
+             base: String, appId: String, batchId: Long): Boolean = {
+    if (exists(base) && lastBatch(base, appId) >= batchId) return false
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    val summary =
+      s"""{"graft-app-id":"${esc(appId)}","graft-batch-id":"$batchId"}"""
+    if (!exists(base)) IcebergWriter.createEmpty(spark, df.schema, base)
+    IcebergWriter.append(spark, df, base, Some(summary))
+    true
+  }
+}
+
 class IcebergStreamProvider extends TableProvider
-  with org.apache.spark.sql.sources.DataSourceRegister {
+  with org.apache.spark.sql.sources.DataSourceRegister
+  with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft-iceberg-stream"
+
+  /** `writeStream.format("graft-iceberg-stream")` — the exactly-once
+    * Iceberg sink ([[IcebergStreamSink]]). */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+  : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-iceberg-stream sink does not partition — use IcebergWriter for layouts")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-iceberg-stream sink is append-only, got $outputMode")
+    val base = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-iceberg-stream sink needs .option(\"path\", <table base>)"))
+    new org.apache.spark.sql.GraftIcebergStreamSink(base,
+      parameters.getOrElse("appId", "graft-iceberg-sink"))
+  }
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     IcebergStream.SCHEMA
   override def getTable(schema: StructType, partitioning: Array[Transform],

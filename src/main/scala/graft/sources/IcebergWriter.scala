@@ -276,7 +276,17 @@ object IcebergWriter {
                         nextRowId: Option[Long] = None,
                         statistics: Seq[(Long, String)] = Nil,
                         schemasJson: Option[String] = None,
-                        specsJson: Option[String] = None): Unit = {
+                        specsJson: Option[String] = None,
+                        summaries: Map[Long, String] = Map.empty): Unit = {
+    // SNAPSHOT SUMMARIES (the spec's per-snapshot string map — what
+    // streaming commits stash their app/batch idempotence markers in)
+    // carry like schemas/specs: previous declarations re-emit unless
+    // this commit adds its own. Being INSIDE the metadata JSON makes
+    // them atomic with the version-hint flip — the whole point.
+    val allSummaries: Map[Long, String] =
+      (if (v > 1 && Files.exists(Paths.get(base, "metadata", s"v${v - 1}.metadata.json")))
+        IcebergReader.snapshotSummaries(base, v - 1)
+      else Map.empty[Long, String]) ++ summaries
     // SCHEMA TRACKING is carried like refs and statistics: unless the
     // caller rewrites it (the evolve ops), the previous version's
     // schemas + current-schema-id re-emit verbatim — a metadata rewrite
@@ -293,7 +303,8 @@ object IcebergWriter {
       else "")
     val ss = snaps.map { i =>
       val fr = firstRowIds.get(i).map(f => s""""first-row-id":$f,""").getOrElse("")
-      s"""{"snapshot-id":$i,$fr"timestamp-ms":0,"manifest-list":"metadata/snap-$i.avro"}"""
+      val sm = allSummaries.get(i).map(j => s""""summary":$j,""").getOrElse("")
+      s"""{"snapshot-id":$i,$fr$sm"timestamp-ms":0,"manifest-list":"metadata/snap-$i.avro"}"""
     }
     val nri = nextRowId.map(n => s""","next-row-id":$n""").getOrElse("")
     val statsJson =
@@ -1233,7 +1244,14 @@ object IcebergWriter {
     * a v2 manifest with content + sequence columns — a v1 manifest here
     * would DROP the delete files and silently resurrect deleted rows on
     * the next read. */
-  def append(spark: SparkSession, df0: DataFrame, base: String): Unit = {
+  def append(spark: SparkSession, df0: DataFrame, base: String): Unit =
+    append(spark, df0, base, summary = None)
+
+  /** Append with an optional SNAPSHOT SUMMARY (raw JSON object) — the
+    * streaming sink's idempotence marker rides here, atomic with the
+    * commit. */
+  def append(spark: SparkSession, df0: DataFrame, base: String,
+             summary: Option[String]): Unit = {
     val v = IcebergReader.currentMetadataVersion(base)
     val prev = IcebergReader.currentSnapshotId(base, v)
     // FIRST append into a schema-only table (createEmpty / catalog
@@ -1251,7 +1269,8 @@ object IcebergWriter {
       writeManifest(spark, base, "metadata/m1.avro",
         files.map { case (p, n) => (1, p, n) })
       writeManifestList(spark, base, 1L, Seq("metadata/m1.avro"))
-      writeMeta(base, v + 1, current = 1L, snaps = Seq(1L))
+      writeMeta(base, v + 1, current = 1L, snaps = Seq(1L),
+        summaries = summary.map(1L -> _).toMap)
       return
     }
     val fv = IcebergReader.formatVersion(base, v)
@@ -1317,6 +1336,7 @@ object IcebergWriter {
         if (fv == 3) IcebergReader.snapshotFirstRowIds(base, v) + (snap -> next0)
         else Map.empty,
       nextRowId = if (fv == 3) Some(next0 + files.map(_._2).sum) else None,
-      statistics = carriedStats(base, v))
+      statistics = carriedStats(base, v),
+      summaries = summary.map(snap -> _).toMap)
   }
 }

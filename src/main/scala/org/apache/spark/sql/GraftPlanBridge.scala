@@ -165,3 +165,22 @@ final class GraftDeltaStreamSink(base: String, appId: String)
     ()
   }
 }
+
+/** V1 streaming SINK over the Iceberg writer — what
+  * `writeStream.format("graft-iceberg-stream")` starts; idempotence
+  * markers ride each committed snapshot's `summary`
+  * ([[graft.sources.IcebergStreamSink]]). Empty batches are skipped
+  * (nothing to commit; the marker exists only with a snapshot). */
+final class GraftIcebergStreamSink(base: String, appId: String)
+  extends execution.streaming.Sink {
+  override def name(): String = s"graft_iceberg_sink($base)"
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    val cd = data.asInstanceOf[classic.Dataset[Row]]
+    val spark = cd.sparkSession
+    val batch = spark.internalCreateDataFrame(
+      cd.queryExecution.toRdd.map(_.copy()), data.schema, isStreaming = false)
+    if (!batch.isEmpty)
+      graft.sources.IcebergStreamSink.commit(spark, batch, base, appId, batchId)
+    ()
+  }
+}

@@ -441,4 +441,40 @@ class StreamingSpec extends SparkSpec {
     drain(ck1)
     assert(graft.sources.DeltaLogReader.read(spark, base).count() == 70L)
   }
+
+  test("writeStream.format(graft-iceberg-stream): exactly-once via snapshot summaries") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "/tmp/graft_stream_sink_ice/t"
+    graft.sources.TxnLog.rmrf("/tmp/graft_stream_sink_ice")
+    val srcDir = "/tmp/graft_stream_sink_ice/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    spark.range(0, 40).select(col("id"), (col("id") % 5).as("g"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    def drain(ck: String): Unit = {
+      val q = spark.readStream
+        .schema("id BIGINT, g BIGINT").parquet(srcDir)
+        .writeStream.format("graft-iceberg-stream")
+        .option("path", base).option("appId", "ice-sink-test")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_icesink_ck_").toString
+    drain(ck1)
+    assert(graft.sources.IcebergReader.read(spark, base).count() == 40L)
+    // the committed snapshot carries the (appId, batchId) summary marker
+    assert(graft.sources.IcebergStreamSink.lastBatch(base, "ice-sink-test") == 0L)
+    // FRESH checkpoint = full redelivery of batch 0 — the summary
+    // marker absorbs it (exactly-once survives checkpoint loss)
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_icesink_ck_").toString
+    drain(ck2)
+    assert(graft.sources.IcebergReader.read(spark, base).count() == 40L)
+    // later data commits snapshot 2 with its own marker
+    spark.range(40, 55).select(col("id"), (col("id") % 5).as("g"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    drain(ck1)
+    assert(graft.sources.IcebergReader.read(spark, base).count() == 55L)
+    assert(graft.sources.IcebergStreamSink.lastBatch(base, "ice-sink-test") == 1L)
+  }
 }
