@@ -85,8 +85,28 @@ object TxnLogStream {
 
 /** `format("graft.sources.TxnLogStreamProvider")` entry point. */
 class TxnLogStreamProvider extends TableProvider
-  with org.apache.spark.sql.sources.DataSourceRegister {
+  with org.apache.spark.sql.sources.DataSourceRegister
+  with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft-txnlog-stream"
+
+  /** `writeStream.format("graft-txnlog-stream")` — the exactly-once
+    * TxnLog sink: each micro-batch commits via
+    * [[TxnLog.commitIfAbsent]]'s manifest txn markers (the TABLE is
+    * the source of truth; redelivered batches absorb). */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+  : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-txnlog-stream sink does not partition")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-txnlog-stream sink is append-only, got $outputMode")
+    val base = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-txnlog-stream sink needs .option(\"path\", <table base>)"))
+    new org.apache.spark.sql.GraftTxnLogStreamSink(base,
+      parameters.getOrElse("appId", "graft-txnlog-sink"))
+  }
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TxnLogStream.SCHEMA
   override def getTable(schema: StructType, partitioning: Array[Transform],

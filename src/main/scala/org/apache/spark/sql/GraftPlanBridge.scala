@@ -184,3 +184,23 @@ final class GraftIcebergStreamSink(base: String, appId: String)
     ()
   }
 }
+
+/** V1 streaming SINK over [[graft.sources.TxnLog]] — what
+  * `writeStream.format("graft-txnlog-stream")` starts; exactly-once
+  * via the manifest txn markers. Empty batches are skipped. */
+final class GraftTxnLogStreamSink(base: String, appId: String)
+  extends execution.streaming.Sink {
+  override def name(): String = s"graft_txnlog_sink($base)"
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    val cd = data.asInstanceOf[classic.Dataset[Row]]
+    val spark = cd.sparkSession
+    val batch = spark.internalCreateDataFrame(
+      cd.queryExecution.toRdd.map(_.copy()), data.schema, isStreaming = false)
+    if (!batch.isEmpty) {
+      val log = new graft.sources.TxnLog(spark, base)
+      log.init()
+      log.commitIfAbsent(appId, batchId, batch)
+    }
+    ()
+  }
+}

@@ -92,4 +92,30 @@ class TxnLogStreamSpec extends SparkSpec {
       .count()
     assert(totalWins == direct, s"wins $totalWins != comparisons $direct")
   }
+
+  test("writeStream.format(graft-txnlog-stream): exactly-once sink via txn markers") {
+    import org.apache.spark.sql.functions._
+    val base = freshBase("sink_fmt")
+    val srcDir = "/tmp/graft_txnstream_sink_src"
+    TxnLog.rmrf(srcDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    spark.range(0, 30).select(col("id"), (col("id") % 4).as("g"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    def drain(ck: String): Unit = {
+      val q = spark.readStream.schema("id BIGINT, g BIGINT").parquet(srcDir)
+        .writeStream.format("graft-txnlog-stream")
+        .option("path", base).option("appId", "txn-sink-fmt")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_txnsink_ck_").toString
+    drain(ck1)
+    val log = new TxnLog(spark, base)
+    assert(log.read().count() == 30L)
+    // fresh checkpoint = full redelivery; the manifest txn marker absorbs
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_txnsink_ck_").toString
+    drain(ck2)
+    assert(log.read().count() == 30L)
+  }
 }
