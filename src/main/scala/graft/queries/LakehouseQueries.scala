@@ -964,7 +964,50 @@ object LakehouseQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_rows"), sum(col("pennies")).as("total_cents"))
         .select(lit(30L).as("phase"), lit("*").as("tag"),
           col("n_rows"), col("total_cents"))
-      (versions :+ cdf :+ pt :+ cm).reduce(_ unionAll _).orderBy("phase", "tag")
+      // the ROW-TRACKED leg: SQL UPDATE + MERGE preserve stable row
+      // ids — each target row's id rides the __rid metadata column
+      // into the staged files' materialized column, inserts take fresh
+      // ids from the add's baseRowId range above the old high-water
+      // mark. Phase 41 grades the id machinery itself: n_rows = rows
+      // whose id survived the two DMLs (all pre-existing rows),
+      // total_cents = inserted rows whose id collides with NO v0 id
+      val rtBase = s"$root/sales/rt"
+      graft.sources.DeltaLogWriter.createComposed(s, o.repartition(2), rtBase,
+        "sqldml-rt", rowTracked = true)
+      val rt0 = graft.sources.DeltaLogReader.readRowIds(s, rtBase, 0L)
+        .select(col("o_orderkey"), col("_row_id").as("rid0"))
+      s.sql(s"UPDATE sqldmlcat_$hex.sales.rt SET cents = cents + 11 " +
+        "WHERE o_orderkey % 6 = 2")
+      o.filter(pmod(col("o_orderkey"), lit(17)) === 0)
+        .select((col("o_orderkey") + 900000000L).as("o_orderkey"),
+          lit("8-RT").as("o_orderpriority"), lit(777L).as("cents"))
+        .unionAll(o.filter(col("o_orderpriority") === "2-HIGH" &&
+            pmod(col("o_orderkey"), lit(8)) === 1)
+          .select(col("o_orderkey"), col("o_orderpriority"), lit(123L).as("cents")))
+        .createOrReplaceTempView(s"sqldml_rtsrc_$hex")
+      s.sql(
+        s"""MERGE INTO sqldmlcat_$hex.sales.rt AS t USING sqldml_rtsrc_$hex AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET cents = s.cents
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority, cents)
+           |VALUES (s.o_orderkey, s.o_orderpriority, s.cents)""".stripMargin)
+      val rt = graft.sources.DeltaLogReader.read(s, rtBase)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(40L).as("phase"), lit("*").as("tag"),
+          col("n_rows"), col("total_cents"))
+      val rtAfter = graft.sources.DeltaLogReader.readRowIds(s, rtBase,
+        graft.sources.DeltaLogReader.latestVersion(rtBase))
+      val rtIds = rtAfter.join(rt0, Seq("o_orderkey"), "left")
+        .join(rt0.select(col("rid0").as("_row_id"), lit(1).as("__seen")),
+          Seq("_row_id"), "left")
+        .agg(
+          sum(when(col("_row_id") === col("rid0"), 1L).otherwise(0L)).as("n_rows"),
+          sum(when(col("rid0").isNull && col("__seen").isNull, 1L).otherwise(0L))
+            .as("total_cents"))
+        .select(lit(41L).as("phase"), lit("ids").as("tag"),
+          col("n_rows"), col("total_cents"))
+      (versions :+ cdf :+ pt :+ cm :+ rt :+ rtIds)
+        .reduce(_ unionAll _).orderBy("phase", "tag")
     }),
 
     // ---- DSv2 front door over MASKED tables --------------------------------
@@ -3284,6 +3327,11 @@ object LakehouseQueries extends QueryGroup {
         "(SELECT pri, cents + CASE WHEN pri = '3-MEDIUM' AND k % 5 = 0 THEN 21 ELSE 0 END AS cents FROM o " +
         "UNION ALL SELECT pri, 444 FROM o WHERE pri = '4-NOT SPECIFIED' AND k % 11 = 0) GROUP BY pri " +
         "UNION ALL SELECT 30, '*', count(*), CAST(sum(cents + CASE WHEN k % 13 = 0 THEN 9 ELSE 0 END) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 40, '*', count(*) + (SELECT count(*) FROM o WHERE k % 17 = 0), " +
+        "CAST(sum(CASE WHEN pri = '2-HIGH' AND k % 8 = 1 THEN 123 " +
+        "WHEN k % 6 = 2 THEN cents + 11 ELSE cents END) " +
+        "+ 777 * (SELECT count(*) FROM o WHERE k % 17 = 0) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 41, 'ids', (SELECT count(*) FROM o), (SELECT count(*) FROM o WHERE k % 17 = 0) " +
         "ORDER BY phase, tag"),
     "q_lake_dsv2_dv" ->
       ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +

@@ -1532,18 +1532,30 @@ object DeltaLogWriter {
   // commit. Simple DELETEs skip all of this via SupportsDelete →
   // deleteWhereDv (Spark's OptimizeMetadataOnlyDeleteFromTable).
 
-  /** What the SQL-DML path supports THIS round — the feature
-    * compositions (hive partitioning, column mapping, row tracking,
-    * identity) have their staging conventions in the Scala entry
-    * points; the SQL route refuses them loudly instead of staging
-    * files that violate them. */
+  /** The one feature the SQL-DML path still refuses: identity columns
+    * — a MERGE insert would need writer-assigned values (the
+    * appendIdentity contract), which the per-row DeltaWriter callbacks
+    * cannot coordinate. Everything else (hive partitioning, column
+    * mapping, row tracking, DVs, CDF) composes through the shared
+    * scan/write machinery. */
   private[sources] def sqlDmlGuards(spark: SparkSession, base: String): Unit = {
     val ctx = dmlCtx(spark, base)
-    require(ctx.rtConf.isEmpty,
-      s"SQL DML on row-tracked $base is not wired — use DeltaLogWriter.update/mergeMulti")
     identityColOf(spark, base, ctx.version).foreach(f => throw new IllegalArgumentException(
       s"SQL DML would bypass identity column ${f.name} on $base"))
   }
+
+  /** Materialized row-id / row-commit-version column names when `base`
+    * is row-tracked — what the SQL-DML staged files must carry so a
+    * rewrite preserves ids (updates keep the target row's id via the
+    * `__rid` metadata column; inserts stage NULL and fall back to the
+    * new file's fresh `baseRowId` range). */
+  private[sources] def sqlDmlRowTracking(spark: SparkSession, base: String)
+  : Option[(String, String)] =
+    rowTrackingConf(spark, base, DeltaLogReader.latestVersion(base)).map { c =>
+      (c.getOrElse("delta.rowTracking.materializedRowIdColumnName", "_row_id_mat"),
+       c.getOrElse("delta.rowTracking.materializedRowCommitVersionColumnName",
+         "_row_commit_mat"))
+    }
 
   /** Hive partition columns the SQL-DML executor writers must stage by
     * — (logical name, PHYSICAL dir spelling): the spec keys partition
@@ -1569,6 +1581,9 @@ object DeltaLogWriter {
   /** The WriteDelta scan: masked live rows + the row-identity metadata
     * columns (`__path`, `__pos`) + `__pre` (a struct of the full old
     * row — what CDF pre-images and delete change rows are built from).
+    * Row-tracked tables additionally carry `__rid` — the old row's
+    * stable id (dmlScanAll's materialized coalesce), which the update
+    * callback threads into the staged file so ids survive the DML.
     * Empty tables surface an empty frame of the declared schema. */
   private[sources] def sqlDmlScan(spark: SparkSession, base: String): DataFrame = {
     import org.apache.spark.sql.functions.struct
@@ -1579,12 +1594,23 @@ object DeltaLogWriter {
       val withMeta = org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
         org.apache.spark.sql.types.StructField("__path", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("__pos", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("__pre", schema)))
+        org.apache.spark.sql.types.StructField("__pre", schema)) ++
+        ctx.rtConf.map(_ => org.apache.spark.sql.types.StructField(
+          "__rid", org.apache.spark.sql.types.LongType)).toSeq)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withMeta)
     }
-    val df = dmlScanAll(spark, ctx, keepPos = true)
-    val dataCols = df.columns.filterNot(c => c == "__path" || c == "__pos")
+    val df0 = dmlScanAll(spark, ctx, keepPos = true)
+    // the materialized id/version columns are WRITER plumbing, not data
+    // columns: the id surfaces as the __rid metadata column, the
+    // version is re-derived at commit (updated rows take the DML's own
+    // commit version)
+    val df = ctx.rtConf match {
+      case None    => df0
+      case Some(_) => df0.withColumnRenamed(ctx.matId, "__rid").drop(ctx.matVer)
+    }
+    val dataCols = df.columns.filterNot(c =>
+      c == "__path" || c == "__pos" || c == "__rid")
     df.withColumn("__pre", struct(dataCols.toIndexedSeq.map(col): _*))
   }
 
@@ -1625,13 +1651,32 @@ object DeltaLogWriter {
       val (uuidZ85, off, sz) = RoaringDv.writeDvFile(base, merged)
       val dvJson = s""""deletionVector":{"storageType":"u","pathOrInlineDv":"$uuidZ85",""" +
         s""""offset":$off,"sizeInBytes":$sz,"cardinality":${merged.size}}"""
+      // a row-tracked file's re-add must CARRY its baseRowId — dropping
+      // it would silently shift every surviving row's id
+      val rt = (a.baseRowId, a.defaultRowCommitVersion) match {
+        case (Some(b), Some(dv0)) =>
+          s""""baseRowId":$b,"defaultRowCommitVersion":$dv0,"""
+        case _ => ""
+      }
       Seq(
         s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":true}}""",
         s"""{"add":{"path":"${esc(a.path)}","partitionValues":${partitionValuesOf(a.path)},""" +
-          s""""size":${a.size},"modificationTime":0,"dataChange":true,""" +
+          s""""size":${a.size},"modificationTime":0,$rt"dataChange":true,""" +
           s""""stats":"${statsJsonOf(a)}",$dvJson}}""")
     }
-    val adds = if (dataRels.isEmpty) Nil else addActions(spark, base, dataRels.sorted)
+    // row-tracked staged files carry fresh baseRowId ranges (updated
+    // rows override via their materialized __rid; inserted rows take
+    // the range) and the id high-water mark advances by the staged
+    // row count — the same contract as writeRewrite
+    val hwm = ctx.rtConf.map(_ =>
+      DeltaLogReader.rowIdHighWaterMark(Some(spark), base, version).getOrElse(-1L))
+    val (adds, domainBump) =
+      if (dataRels.isEmpty) (Nil: Seq[String], Nil: Seq[String])
+      else {
+        val (as, total) = addActionsCounted(spark, base, dataRels.sorted,
+          rowTracking = hwm.map(h => (h + 1, version + 1)))
+        (as, hwm.map(h => rowTrackingDomain(h + total)).toSeq)
+      }
     val cdcActions = cdcRels.sorted.map(rel =>
       s"""{"cdc":{"path":"${esc(rel)}","partitionValues":{},""" +
         s""""size":${Files.size(Paths.get(base, rel))},"dataChange":false}}""")
@@ -1658,7 +1703,8 @@ object DeltaLogWriter {
         s""""readerFeatures":${featJson(rf)},"writerFeatures":${featJson(wf)}}}""")
     }
     commit(base, version + 1,
-      (s"""{"commitInfo":{"operation":"${esc(operation)}","timestamp":0}}""" +: protocol) ++
+      (s"""{"commitInfo":{"operation":"${esc(operation)}","timestamp":0}}""" +:
+        (protocol ++ domainBump)) ++
         cdcActions ++ dvActions ++ adds)
   }
 

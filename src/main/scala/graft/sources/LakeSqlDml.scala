@@ -59,14 +59,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * per touched partition in the `col=value/` layout (partition columns
   * dropped from the file bytes; values derive into each add's
   * partitionValues from the staged path), and DV masks key on the
-  * partition-qualified paths. Column-mapped / row-tracked / identity
-  * tables still refuse loudly with a pointer at the Scala DML entry
-  * points ([[DeltaLogWriter.sqlDmlGuards]]).
+  * partition-qualified paths. COLUMN-MAPPED tables bind the logical
+  * spelling while staged files carry physical names + field ids.
+  * ROW-TRACKED tables preserve ids: the `__rid` metadata column
+  * carries each target row's stable id into the update callback,
+  * staged files materialize it (inserts fall back to the add's fresh
+  * `baseRowId` range), and the commit bumps the id high-water mark.
+  * Only IDENTITY tables still refuse, loudly, toward the Scala DML
+  * entry points ([[DeltaLogWriter.sqlDmlGuards]]).
   */
 private[sources] object LakeSqlDml {
 
-  /** Metadata columns every DML-capable Delta table exposes. */
-  def metadataColumnsFor(dataSchema: StructType): Array[MetadataColumn] = Array(
+  /** Metadata columns every DML-capable Delta table exposes; a
+    * row-tracked table additionally surfaces `__rid` — the row's
+    * stable id, which updates thread into the staged files. */
+  def metadataColumnsFor(dataSchema: StructType,
+                         rowTracked: Boolean = false): Array[MetadataColumn] = (Array(
     new MetadataColumn {
       override def name: String = "__path"
       override def dataType: DataType = StringType
@@ -84,7 +92,13 @@ private[sources] object LakeSqlDml {
       override def dataType: DataType = dataSchema
       override def isNullable: Boolean = false
       override def comment: String = "the full old row (CDF pre-images)"
-    })
+    }) ++ (if (!rowTracked) Array.empty[MetadataColumn] else Array[MetadataColumn](
+    new MetadataColumn {
+      override def name: String = "__rid"
+      override def dataType: DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment: String = "stable row id (row tracking)"
+    })))
 
   /** The delta-based row-level operation over one Delta table, pinned
     * to the version observed at rewrite time. */
@@ -107,8 +121,13 @@ private[sources] object LakeSqlDml {
     override def rowId(): Array[NamedReference] =
       Array(Expressions.column("__path"), Expressions.column("__pos"))
 
+    // the old row (CDF pre-images) — plus, on a row-tracked table, the
+    // old row's stable id so the update callback can thread it into
+    // the staged file's materialized column
     override def requiredMetadataAttributes(): Array[NamedReference] =
-      Array(Expressions.column("__pre"))
+      Array[NamedReference](Expressions.column("__pre")) ++
+        DeltaLogWriter.sqlDmlRowTracking(SparkSession.active, base)
+          .map(_ => Expressions.column("__rid")).toArray[NamedReference]
 
     // the scan: V1-read fallback over the DV-masked live scan with the
     // row-identity and pre-image columns attached; pushed filters are
@@ -200,9 +219,21 @@ private[sources] object LakeSqlDml {
         StructField(physOf.getOrElse(f.name, f.name), f.dataType, f.nullable,
           meta.getOrElse(org.apache.spark.sql.types.Metadata.empty))
       }
+      // row tracking: staged files carry the materialized id/version
+      // columns (no field ids — they are not in the logical schema);
+      // updates thread the target row's id through __rid, inserts
+      // stage NULL and fall back to the add's fresh baseRowId range.
+      // Every staged row takes THIS commit as its version.
+      val rtCols: Seq[StructField] =
+        DeltaLogWriter.sqlDmlRowTracking(spark, base).toSeq.flatMap {
+          case (matId, matVer) => Seq(
+            StructField(matId, LongType, nullable = true),
+            StructField(matVer, LongType, nullable = true))
+        }
       // the staged FILE schema omits partition columns (hive layout)
       val fileSchema = StructType(
-        dataSchema.fields.filterNot(f => partLogical.contains(f.name)).map(toFileField))
+        dataSchema.fields.filterNot(f => partLogical.contains(f.name))
+          .map(toFileField) ++ rtCols)
       val keepIdx = dataSchema.fields.zipWithIndex
         .filterNot { case (f, _) => partLogical.contains(f.name) }.map(_._2)
       val cdfOn = DeltaLogWriter.cdfEnabled(spark, base)
@@ -225,7 +256,8 @@ private[sources] object LakeSqlDml {
         mkSink(fileSchema),
         if (cdfOn) Some(mkSink(cdcSchema)) else None,
         dataSchema.fields.map(_.dataType),
-        pcols.map(_._2).toIndexedSeq, partSpec.toIndexedSeq, keepIdx.toIndexedSeq)
+        pcols.map(_._2).toIndexedSeq, partSpec.toIndexedSeq, keepIdx.toIndexedSeq,
+        rowTracked = rtCols.nonEmpty, commitVersion = expectVersion + 1)
 
       new DeltaBatchWrite {
         override def createBatchWriterFactory(i: PhysicalWriteInfo): DeltaWriterFactory =
@@ -261,7 +293,9 @@ private[sources] object LakeSqlDml {
       dataTypes: Array[DataType],
       pcols: IndexedSeq[String],
       partSpec: IndexedSeq[(Int, DataType)],
-      keepIdx: IndexedSeq[Int]) extends DeltaWriterFactory {
+      keepIdx: IndexedSeq[Int],
+      rowTracked: Boolean,
+      commitVersion: Long) extends DeltaWriterFactory {
 
     override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
       new DeltaWriter[InternalRow] {
@@ -300,15 +334,22 @@ private[sources] object LakeSqlDml {
             dataSink.open(s"$base/$rel", partitionId, taskId)
           })
         }
-        /** Partition columns are dropped from the file bytes. */
-        private def fileRow(row: InternalRow): InternalRow =
-          if (partSpec.isEmpty) row
+        /** Partition columns are dropped from the file bytes; a
+          * row-tracked file appends (materialized id, commit version)
+          * — `rid` is the OLD row's id on update, null on insert. */
+        private def fileRow(row: InternalRow, rid: java.lang.Long): InternalRow =
+          if (partSpec.isEmpty && !rowTracked) row
           else {
-            val vals = new Array[Any](keepIdx.length)
+            val extra = if (rowTracked) 2 else 0
+            val vals = new Array[Any](keepIdx.length + extra)
             var k = 0
             while (k < keepIdx.length) {
               val i = keepIdx(k)
               vals(k) = row.get(i, dataTypes(i)); k += 1
+            }
+            if (rowTracked) {
+              vals(k) = rid
+              vals(k + 1) = java.lang.Long.valueOf(commitVersion)
             }
             new GenericInternalRow(vals)
           }
@@ -327,7 +368,8 @@ private[sources] object LakeSqlDml {
           delPos.getOrElseUpdate(path, mutable.ArrayBuffer.empty) += id.getLong(1)
         }
 
-        // meta = (__pre struct); id = (__path, __pos); row = new values
+        // meta = (__pre struct [, __rid]); id = (__path, __pos);
+        // row = new values
         override def delete(meta: InternalRow, id: InternalRow): Unit = {
           recordDelete(id)
           cdc(meta.getStruct(0, n), "delete")
@@ -335,11 +377,12 @@ private[sources] object LakeSqlDml {
         override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
           recordDelete(id)
           cdc(meta.getStruct(0, n), "update_preimage")
-          dataWriter(row).write(fileRow(row))
+          val rid = if (rowTracked) java.lang.Long.valueOf(meta.getLong(1)) else null
+          dataWriter(row).write(fileRow(row, rid))
           cdc(row, "update_postimage")
         }
         override def insert(row: InternalRow): Unit = {
-          dataWriter(row).write(fileRow(row))
+          dataWriter(row).write(fileRow(row, null))
           cdc(row, "insert")
         }
 
@@ -375,7 +418,9 @@ private[sources] trait DeltaSqlDml extends SupportsRowLevelOperations
 
   override def metadataColumns(): Array[MetadataColumn] =
     LakeSqlDml.metadataColumnsFor(
-      DeltaLogWriter.sqlDmlSchema(SparkSession.active, dmlBase))
+      DeltaLogWriter.sqlDmlSchema(SparkSession.active, dmlBase),
+      rowTracked = DeltaLogWriter
+        .sqlDmlRowTracking(SparkSession.active, dmlBase).isDefined)
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(LakeBatchSources.translateFilter(_).isDefined)

@@ -171,18 +171,64 @@ class LakeSqlDmlSpec extends SparkSpec {
     assert(DeltaLogReader.read(spark, base).count() == 95L)
   }
 
-  test("SQL DML refuses the unwired feature compositions loudly") {
-    val root = freshRoot("guard")
-    DeltaLogWriter.createComposed(spark, plane().coalesce(1), s"$root/db/rt", "rt",
+  test("SQL UPDATE + MERGE on a ROW-TRACKED table: stable ids, fresh inserts") {
+    val root = freshRoot("rt")
+    val base = s"$root/db/rt"
+    DeltaLogWriter.createComposed(spark, plane().coalesce(2), base, "rt",
       rowTracked = true)
+    cat("sqldml_rt", root)
+    val ids0 = DeltaLogReader.readRowIds(spark, base, 0L)
+      .select(col("id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hwm0 = ids0.values.max
+    spark.sql("UPDATE sqldml_rt.db.rt SET x = x + 100 WHERE id % 10 = 3")
+    spark.range(0, 4)
+      .select((col("id") * 2 + 96).as("id"), lit(55L).as("x"), lit("new").as("p"))
+      .createOrReplaceTempView("sqldml_rt_src")
+    // keys 96, 98 match (update); 100, 102 are new (insert)
+    spark.sql("""MERGE INTO sqldml_rt.db.rt AS t USING sqldml_rt_src AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET x = s.x
+      WHEN NOT MATCHED THEN INSERT (id, x, p) VALUES (s.id, s.x, s.p)""")
+    val after = DeltaLogReader.readRowIds(spark, base,
+      DeltaLogReader.latestVersion(base))
+      .select(col("id"), col("x"), col("_row_id"), col("_row_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(after.length == 102)
+    assert(after.map(_._3).distinct.length == 102, "row ids must be unique")
+    // every pre-existing row — updated or untouched — keeps its id
+    after.filter(_._1 < 100).foreach { case (id, _, rid, _) =>
+      assert(rid == ids0(id), s"row $id id drifted: ${ids0(id)} -> $rid")
+    }
+    // inserted rows take fresh ids above the old high-water mark
+    after.filter(_._1 >= 100).foreach { case (id, x, rid, ver) =>
+      assert(rid > hwm0, s"insert $id got a recycled id $rid")
+      assert(x == 55L && ver == 2L)
+    }
+    // updated rows carry the DML's own commit version
+    after.filter(t => t._1 % 10 == 3).foreach { case (id, x, _, ver) =>
+      assert(x == id % 7 + 100 && ver == 1L, s"row $id: x=$x ver=$ver")
+    }
+    assert(after.filter(t => t._1 == 96 || t._1 == 98).forall(t => t._2 == 55L && t._4 == 2L))
+    // untouched rows keep their CREATE commit version
+    after.filter(t => t._1 < 100 && t._1 % 10 != 3 && t._1 != 96 && t._1 != 98)
+      .foreach { case (id, x, _, ver) => assert(x == id % 7 && ver == 0L) }
+  }
+
+  test("SQL DML refuses identity tables loudly; simple DELETE still works") {
+    val root = freshRoot("guard")
+    val base = s"$root/db/it"
+    DeltaLogWriter.createIdentity(spark,
+      spark.range(0, 100).select(col("id"), (col("id") % 7).as("x")),
+      base, "it", "sk", 1L, 1L, Seq("id"))
     cat("sqldml_g", root)
     val e = intercept[Exception](
-      spark.sql("UPDATE sqldml_g.db.rt SET x = 0 WHERE id = 1"))
-    assert(e.getMessage.contains("not wired"), e.getMessage)
-    // but a SIMPLE DELETE on the row-tracked table still works — it
+      spark.sql("UPDATE sqldml_g.db.it SET x = 0 WHERE id = 1"))
+    assert(e.getMessage.contains("identity"), e.getMessage)
+    // but a SIMPLE DELETE on the identity table still works — it
     // routes through SupportsDelete into deleteWhereDv, which handles
     // every composition
-    spark.sql("DELETE FROM sqldml_g.db.rt WHERE id < 10")
-    assert(DeltaLogReader.read(spark, s"$root/db/rt").count() == 90L)
+    spark.sql("DELETE FROM sqldml_g.db.it WHERE id < 10")
+    assert(DeltaLogReader.read(spark, base).count() == 90L)
   }
 }
