@@ -1057,6 +1057,93 @@ object LakehouseQueries extends QueryGroup {
       Seq(delta, ice, hudi, sql).reduce(_ unionAll _).orderBy("surface")
     }),
 
+    // ---- SQL TIME TRAVEL through the catalog -------------------------------
+    // `SELECT ... FROM cat.ns.t VERSION AS OF v` / `TIMESTAMP AS OF ts`
+    // as pure SQL text, all three formats: the catalog's loadTable
+    // overloads map the coordinate to each format's own axis (Delta log
+    // version, Iceberg snapshot id via snapshot timestamp-ms for the
+    // wall-clock form, Hudi instant). Time-traveled tables are
+    // read-only (a write would fork history). Metadata-only resolution
+    // — at 100 TB the historical read plans exactly the old snapshot's
+    // file set, no log replay over data.
+    "q_lake_travel" -> ((s, d) => {
+      val hex = Integer.toHexString(d.hashCode)
+      val root = s"/tmp/graft_deltaw_$hex/travel"
+      graft.sources.TxnLog.rmrf(root)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "db"))
+      val o = iceOrders(s, d)
+      val dBase = s"$root/db/d"
+      graft.sources.DeltaLogWriter.create(s,
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0).repartition(2), dBase, "trav-d")
+      graft.sources.DeltaLogWriter.append(s,
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1 &&
+          col("o_orderpriority") === "5-LOW"), dBase)
+      val iBase = s"$root/db/i"
+      graft.sources.IcebergWriter.create(s, o.repartition(2), iBase)
+      graft.sources.IcebergWriter.append(s,
+        o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .select((col("o_orderkey") + 600000000L).as("o_orderkey"),
+            col("o_orderpriority"), lit(321L).as("cents")), iBase)
+      val hBase = s"$root/db/h"
+      graft.sources.HudiWriter.create(s, o, hBase, "trav-h", "o_orderkey", 4)
+      graft.sources.HudiWriter.upsert(s,
+        o.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+          .withColumn("cents", col("cents") + 5), hBase)
+      val cat = s"travcat_$hex"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def census(tag: String, from: String) = s.sql(
+        s"SELECT '$tag' AS surface, count(*) AS n_rows, " +
+          s"CAST(sum(cents) AS BIGINT) AS total_cents FROM $from")
+      Seq(
+        census("delta_v0", s"$cat.db.d VERSION AS OF 0"),
+        census("delta_now", s"$cat.db.d"),
+        census("ice_s1", s"$cat.db.i VERSION AS OF 1"),
+        // this writer stamps snapshot timestamp-ms = snapshot id, so
+        // the wall-clock form resolves real snapshot boundaries
+        census("ice_t1",
+          s"$cat.db.i TIMESTAMP AS OF timestamp'1970-01-01 00:00:00.001+00:00'"),
+        census("ice_now", s"$cat.db.i"),
+        census("hudi_i1", s"$cat.db.h VERSION AS OF '001'"),
+        census("hudi_now", s"$cat.db.h")
+      ).reduce(_ unionAll _).orderBy("surface")
+    }),
+
+    // ---- pure-SQL DELETE on Iceberg catalog tables -------------------------
+    // `DELETE FROM cat.ns.t WHERE p` on an ICEBERG table routes
+    // metadata-only into the writer's delete machinery (SupportsDelete):
+    // POSITION-DELETE files on v2, puffin DVs on v3 — no data file is
+    // rewritten, deletes stack, and already-masked rows never re-match.
+    // The historical censuses ride the new VERSION AS OF surface, so
+    // this also proves old snapshots do NOT see later delete files.
+    "q_lake_sql_dml_ice" -> ((s, d) => {
+      val hex = Integer.toHexString(d.hashCode)
+      val root = s"/tmp/graft_iceberg_$hex/sqldelice"
+      graft.sources.TxnLog.rmrf(root)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "db"))
+      val o = iceOrders(s, d)
+      graft.sources.IcebergWriter.create(s, o.repartition(2), s"$root/db/i2")
+      graft.sources.IcebergWriter.createV3(s, o.repartition(2), s"$root/db/i3")
+      val cat = s"icedelcat_$hex"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      // predicates stay FILTER-TRANSLATABLE (SupportsDelete's contract
+      // — Iceberg has no row-level-operation fallback here; an
+      // untranslatable predicate refuses loudly in the analyzer)
+      s.sql(s"DELETE FROM $cat.db.i2 WHERE o_orderpriority = '1-URGENT'")
+      s.sql(s"DELETE FROM $cat.db.i2 WHERE cents < 10000 AND o_orderpriority = '3-MEDIUM'")
+      s.sql(s"DELETE FROM $cat.db.i3 WHERE o_orderpriority IN ('2-HIGH', '5-LOW')")
+      def census(tag: String, from: String) = s.sql(
+        s"SELECT '$tag' AS surface, count(*) AS n_rows, " +
+          s"CAST(sum(cents) AS BIGINT) AS total_cents FROM $from")
+      Seq(
+        census("i2_s1", s"$cat.db.i2 VERSION AS OF 1"),
+        census("i2_s2", s"$cat.db.i2 VERSION AS OF 2"),
+        census("i2_now", s"$cat.db.i2"),
+        census("i3_now", s"$cat.db.i3")
+      ).reduce(_ unionAll _).orderBy("surface")
+    }),
+
     // ---- Iceberg v3 DEFAULT VALUES (initial-default) -----------------------
     // ADD COLUMN ... DEFAULT stays metadata-only: rows that PREDATE the
     // column surface the spec's initial-default instead of NULL — zero
@@ -3340,6 +3427,25 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 'hudi', count(*), CAST(sum(cents) AS BIGINT) FROM h WHERE k % 3 = 1 " +
         "UNION ALL SELECT 'iceberg', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri <> '1-URGENT' AND k % 3 = 0 " +
         "UNION ALL SELECT 'sql', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 10 >= 2 AND pri = '5-LOW' " +
+        "ORDER BY surface"),
+    "q_lake_travel" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "ins AS (SELECT 321 AS cents FROM o WHERE k % 10 = 0), " +
+        "hup AS (SELECT cents + CASE WHEN k % 10 = 3 THEN 5 ELSE 0 END AS cents FROM o) " +
+        "SELECT 'delta_now' AS surface, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE k % 2 = 0 OR pri = '5-LOW' " +
+        "UNION ALL SELECT 'delta_v0', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE k % 2 = 0 " +
+        "UNION ALL SELECT 'hudi_i1', count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 'hudi_now', count(*), CAST(sum(cents) AS BIGINT) FROM hup " +
+        "UNION ALL SELECT 'ice_now', (SELECT count(*) FROM o) + (SELECT count(*) FROM ins), CAST((SELECT sum(cents) FROM o) + (SELECT sum(cents) FROM ins) AS BIGINT) " +
+        "UNION ALL SELECT 'ice_s1', count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 'ice_t1', count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "ORDER BY surface"),
+    "q_lake_sql_dml_ice" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT 'i2_now' AS surface, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE pri <> '1-URGENT' AND NOT (cents < 10000 AND pri = '3-MEDIUM') " +
+        "UNION ALL SELECT 'i2_s1', count(*), CAST(sum(cents) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 'i2_s2', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri <> '1-URGENT' " +
+        "UNION ALL SELECT 'i3_now', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri NOT IN ('2-HIGH', '5-LOW') " +
         "ORDER BY surface"),
     "q_lake_catalog" ->
       ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +

@@ -1479,9 +1479,10 @@ object DeltaLogWriter {
     * rewrite ONLY the DV-carrying files with their masks applied and
     * drop the descriptors. Content is IDENTICAL, so the commit is
     * `dataChange=false` (CDF/streaming consumers skip it, like
-    * OPTIMIZE), and the purge unblocks every rewrite-based op
-    * (OPTIMIZE / CoW DML / MERGE / RESTORE refuse DV tables rather
-    * than resurrect masked rows). Files without a DV are NOT touched —
+    * OPTIMIZE), and the purge downgrades the table's storage shape for
+    * DV-blind external readers (the rewrite ops here — OPTIMIZE, CoW
+    * DML, MERGE, RESTORE — all compose with DVs through the masked
+    * scans and never resurrect rows). Files without a DV are NOT touched —
     * on a 100 TB table the rewrite cost is proportional to the
     * soft-deleted surface, not the table. Returns
     * (purgedFiles, droppedPositions). */

@@ -94,6 +94,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** SQL time travel, `SELECT ... FROM cat.ns.t VERSION AS OF v`:
+    * `v` is the format's own version coordinate — Delta log version,
+    * Iceberg snapshot id, Hudi instant. The loaded table is read-only
+    * (the front doors refuse time-travel writes — a write would fork
+    * history). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    val vOpt = formatOf(dir) match {
+      case Some("delta")   => "versionAsOf"
+      case Some("iceberg") => "snapshotAsOf"
+      case Some("hudi")    => "asOfInstant"
+      case _               => throw new NoSuchTableException(ident)
+    }
+    val opts = new CaseInsensitiveStringMap(
+      Map("path" -> dir.toString, vOpt -> version).asJava)
+    formatOf(dir) match {
+      case Some("delta")   => LakeBatchSources.deltaTable(opts)
+      case Some("iceberg") => LakeBatchSources.icebergTable(opts)
+      case _               => LakeBatchSources.hudiTable(opts)
+    }
+  }
+
+  /** SQL time travel, `... TIMESTAMP AS OF ts` (`ts` arrives in
+    * MICROseconds): Delta resolves through commitInfo timestamps
+    * ([[DeltaLogReader.versionAtTimestamp]]), Iceberg through snapshot
+    * `timestamp-ms` ([[IcebergReader.snapshotAtTimestamp]]). Hudi
+    * refuses — this writer's instants are synthetic ordinals, not
+    * clock values, so a wall-clock bound has nothing sound to bind to
+    * (VERSION AS OF an instant works). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    val tsMillis = timestamp / 1000L
+    val version = formatOf(dir) match {
+      case Some("delta") =>
+        DeltaLogReader.versionAtTimestamp(dir.toString, tsMillis).toString
+      case Some("iceberg") =>
+        IcebergReader.snapshotAtTimestamp(dir.toString,
+          IcebergReader.currentMetadataVersion(dir.toString), tsMillis).toString
+      case Some("hudi") => throw new UnsupportedOperationException(
+        s"TIMESTAMP AS OF on Hudi table $ident: this writer's instants are " +
+          "ordinals, not timestamps — use VERSION AS OF <instant>")
+      case _ => throw new NoSuchTableException(ident)
+    }
+    loadTable(ident, version)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

@@ -106,6 +106,28 @@ object IcebergReader {
     DeltaLogReader.longField(metadataJson(base, v), "current-snapshot-id")
       .getOrElse(throw new IllegalStateException(s"no current-snapshot-id in v$v"))
 
+  /** TIMESTAMP AS OF resolution: the snapshot whose `timestamp-ms` is
+    * the latest at or before `tsMillis` (the spec stamps every
+    * snapshot; travel to a time before the first snapshot fails). */
+  def snapshotAtTimestamp(base: String, v: Int, tsMillis: Long): Long = {
+    val sid = "\"snapshot-id\"\\s*:\\s*(-?\\d+)".r
+    val tms = "\"timestamp-ms\"\\s*:\\s*(-?\\d+)".r
+    val stamped = arrayObjects(metadataJson(base, v), "snapshots").flatMap { o =>
+      for {
+        i <- sid.findFirstMatchIn(o).map(_.group(1).toLong)
+        t <- tms.findFirstMatchIn(o).map(_.group(1).toLong)
+      } yield (i, t)
+    }
+    require(stamped.nonEmpty, s"no timestamped snapshots in $base v$v")
+    val at = stamped.zipWithIndex.filter(_._1._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no snapshot of $base at or before timestamp $tsMillis " +
+        s"(first is ${stamped.map(_._2).min})")
+    // max by timestamp, commit (declaration) order breaking ties —
+    // spec writers append to the snapshots array
+    at.maxBy { case ((_, t), i) => (t, i) }._1._1
+  }
+
   /** One snapshot in COMMIT order: public-spec snapshot ids are random
     * longs (only this writer's are sequential), so commit order comes
     * from each snapshot's `sequence-number` (monotone per spec from

@@ -220,7 +220,7 @@ object IcebergWriter {
     writeManifestList(spark, base, 1L, Seq("metadata/m1.avro"))
     val spec = s""""partition-specs":[{"spec-id":0,"fields":[{"name":"${fieldName}",""" +
       s""""transform":"$transform","source-id":$sourceId,"field-id":1000}]}],"""
-    val ss = s"""{"snapshot-id":1,"timestamp-ms":0,"manifest-list":"metadata/snap-1.avro"}"""
+    val ss = s"""{"snapshot-id":1,"timestamp-ms":1,"manifest-list":"metadata/snap-1.avro"}"""
     Files.writeString(Paths.get(base, "metadata", "v1.metadata.json"),
       s"""{"format-version":1,"table-uuid":"graft-export","location":"$base",$spec""" +
         s""""current-snapshot-id":1,"snapshots":[$ss]}""")
@@ -304,7 +304,11 @@ object IcebergWriter {
     val ss = snaps.map { i =>
       val fr = firstRowIds.get(i).map(f => s""""first-row-id":$f,""").getOrElse("")
       val sm = allSummaries.get(i).map(j => s""""summary":$j,""").getOrElse("")
-      s"""{"snapshot-id":$i,$fr$sm"timestamp-ms":0,"manifest-list":"metadata/snap-$i.avro"}"""
+      // timestamp-ms = the (sequential) snapshot id: DETERMINISTIC yet
+      // monotone in commit order, so TIMESTAMP AS OF resolves real
+      // boundaries on this writer's own tables (a wall clock would
+      // break fixture reproducibility)
+      s"""{"snapshot-id":$i,$fr$sm"timestamp-ms":$i,"manifest-list":"metadata/snap-$i.avro"}"""
     }
     val nri = nextRowId.map(n => s""","next-row-id":$n""").getOrElse("")
     val statsJson =

@@ -362,16 +362,24 @@ private[sources] object LakeBatchSources {
       // schema-evolved table: scan through the full reader's plan
       // (delete-applying anti-joins / per-era projection) via the V1
       // fallback
-      return new GraftMaskedTable(s"graft_iceberg($base@$snap)",
-        IcebergReader.read(spark, base, snap).schema,
-        () => IcebergReader.read(SparkSession.active, base, snap),
-        doInsert)
+      val tname = s"graft_iceberg($base@$snap)"
+      val tschema = IcebergReader.read(spark, base, snap).schema
+      val planRead = () => IcebergReader.read(SparkSession.active, base, snap)
+      return if (writable)
+        new GraftMaskedTable(tname, tschema, planRead, doInsert) with IcebergSqlDelete {
+          override val delBase: String = base
+        }
+      else new GraftMaskedTable(tname, tschema, planRead, doInsert)
     }
     // identity/transform-partitioned tables keep the source column IN
     // the data files (this writer's layout), so no dir recovery needed
     val delegate = parquetTable(
       s"graft_iceberg($base@$snap)", scan.dataFiles.map(_._1), None, Map.empty)
-    new GraftLakeTable(delegate, delegate.name, doInsert)
+    if (writable)
+      new GraftLakeTable(delegate, delegate.name, doInsert) with IcebergSqlDelete {
+        override val delBase: String = base
+      }
+    else new GraftLakeTable(delegate, delegate.name, doInsert)
   }
 
   def hudiTable(options: CaseInsensitiveStringMap): Table = {

@@ -441,3 +441,29 @@ private[sources] trait DeltaSqlDml extends SupportsRowLevelOperations
         new LakeSqlDml.DeltaRowLevelOperation(dmlBase, info.command)
     }
 }
+
+/** Mixed into the front-door Iceberg tables: pure-SQL
+  * `DELETE FROM cat.ns.t WHERE <translatable>` routes METADATA-ONLY
+  * into [[IcebergWriter.deleteWhere]] — position-delete files on a
+  * v2 table, puffin DVs on v3 (the writer picks per format-version);
+  * no data file is rewritten either way. Non-translatable predicates
+  * refuse (Spark reports the unsupported delete) rather than
+  * silently rewriting — UPDATE/MERGE stay with the Scala entry
+  * points (`upsertEq` is the CDC shape). */
+private[sources] trait IcebergSqlDelete extends SupportsDelete {
+
+  /** The Iceberg table base path. */
+  def delBase: String
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(LakeBatchSources.translateFilter(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val cond = filters.toSeq.flatMap(LakeBatchSources.translateFilter)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    if (IcebergReader.currentSnapshotId(delBase,
+        IcebergReader.currentMetadataVersion(delBase)) >= 0)
+      IcebergWriter.deleteWhere(spark, delBase, cond)
+  }
+}

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sources.{DeltaLogWriter, HudiWriter, IcebergWriter}
@@ -260,5 +262,95 @@ class LakeBatchSpec extends SparkSpec {
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lb_mor USING `graft-hudi` " +
       s"OPTIONS (path '$mBase')")
     assert(spark.sql("SELECT count(*) FROM lb_mor WHERE x = 42").head().getLong(0) == 5L)
+  }
+
+  test("SQL time travel through the catalog: VERSION AS OF + TIMESTAMP AS OF") {
+    val root = mkBase("catalog_tt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "db"))
+    // Delta: version coordinates are log versions
+    DeltaLogWriter.create(spark, plane().coalesce(1), s"$root/db/d", "d")
+    DeltaLogWriter.append(spark, spark.range(100, 120).select(
+      col("id"), (col("id") % 7).as("x"), lit("odd").as("p")).coalesce(1),
+      s"$root/db/d")
+    // Iceberg: snapshot ids (sequential for this writer), stamped
+    // timestamp-ms = id
+    IcebergWriter.create(spark, plane().coalesce(1), s"$root/db/i")
+    IcebergWriter.append(spark, spark.range(100, 130).select(
+      col("id"), (col("id") % 7).as("x"), lit("odd").as("p")).coalesce(1),
+      s"$root/db/i")
+    // Hudi: instants
+    HudiWriter.create(spark, plane(), s"$root/db/h", "h", "id", 2)
+    HudiWriter.upsert(spark,
+      spark.range(200, 210).select(col("id"), lit(0L).as("x"), lit("even").as("p")),
+      s"$root/db/h")
+    spark.conf.set("spark.sql.catalog.gcat_tt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat_tt.root", root)
+    def n(sql: String): Long = spark.sql(sql).head().getLong(0)
+    assert(n("SELECT count(*) FROM gcat_tt.db.d") == 120L)
+    assert(n("SELECT count(*) FROM gcat_tt.db.d VERSION AS OF 0") == 100L)
+    assert(n("SELECT count(*) FROM gcat_tt.db.i VERSION AS OF 1") == 100L)
+    assert(n("SELECT count(*) FROM gcat_tt.db.i VERSION AS OF 2") == 130L)
+    assert(n("SELECT count(*) FROM gcat_tt.db.h VERSION AS OF '001'") == 100L)
+    assert(n("SELECT count(*) FROM gcat_tt.db.h") == 110L)
+    // Iceberg TIMESTAMP AS OF: snapshot timestamps are 1ms and 2ms
+    assert(n("SELECT count(*) FROM gcat_tt.db.i " +
+      "TIMESTAMP AS OF timestamp'1970-01-01 00:00:00.001+00:00'") == 100L)
+    assert(n("SELECT count(*) FROM gcat_tt.db.i " +
+      "TIMESTAMP AS OF timestamp'1970-01-01 00:00:05+00:00'") == 130L)
+    // travel to before the first snapshot fails loudly
+    val e0 = intercept[Exception](spark.sql("SELECT count(*) FROM gcat_tt.db.i " +
+      "TIMESTAMP AS OF timestamp'1969-12-31 00:00:00+00:00'").collect())
+    assert(e0.getMessage.contains("at or before"), e0.getMessage)
+    // Delta TIMESTAMP AS OF binds commitInfo timestamps — simulate a
+    // FOREIGN writer's clock by restamping the self-written log (and
+    // adding the commitInfo a real writer puts on its CREATE, which
+    // this writer's version-0 commit omits)
+    val logDir = java.nio.file.Paths.get(s"$root/db/d/_delta_log")
+    Seq(0L -> 1000L, 1L -> 2000L).foreach { case (v, ts) =>
+      val p = logDir.resolve(f"$v%020d.json")
+      val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val stamped =
+        if (txt.contains("\"commitInfo\""))
+          txt.replace("\"timestamp\":0", s""""timestamp":$ts""")
+        else s"""{"commitInfo":{"operation":"CREATE","timestamp":$ts}}""" + "\n" + txt
+      java.nio.file.Files.write(p, stamped.getBytes("UTF-8"))
+    }
+    assert(n("SELECT count(*) FROM gcat_tt.db.d " +
+      "TIMESTAMP AS OF timestamp'1970-01-01 00:00:01.5+00:00'") == 100L)
+    assert(n("SELECT count(*) FROM gcat_tt.db.d " +
+      "TIMESTAMP AS OF timestamp'1970-01-01 00:00:02+00:00'") == 120L)
+    // Hudi wall-clock travel refuses (ordinal instants)
+    val e1 = intercept[Exception](spark.sql("SELECT count(*) FROM gcat_tt.db.h " +
+      "TIMESTAMP AS OF timestamp'1970-01-01 00:00:01+00:00'").collect())
+    assert(e1.getMessage.contains("ordinals"), e1.getMessage)
+    // a time-travel INSERT refuses — it would fork history
+    val e2 = intercept[Exception](spark.sql(
+      "INSERT INTO gcat_tt.db.d VERSION AS OF 0 VALUES (1, 1, 'x')"))
+    assert(e2 != null)
+  }
+
+  test("SQL DELETE on Iceberg catalog tables: v2 position deletes, v3 DVs") {
+    val root = mkBase("catalog_icedel")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "db"))
+    IcebergWriter.create(spark, plane().repartition(2), s"$root/db/i2")
+    IcebergWriter.createV3(spark, plane().repartition(2), s"$root/db/i3")
+    spark.conf.set("spark.sql.catalog.gcat_idel", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat_idel.root", root)
+    spark.sql("DELETE FROM gcat_idel.db.i2 WHERE id < 10")
+    def n(sql: String): Long = spark.sql(sql).head().getLong(0)
+    assert(n("SELECT count(*) FROM gcat_idel.db.i2") == 90L)
+    // the delete landed as POSITION-DELETE files (format stays v2,
+    // no data file rewritten)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/db/i2/data"))
+      .iterator.asScala.exists(_.getFileName.toString.startsWith("del-s")))
+    // deletes stack; already-masked rows never re-match
+    spark.sql("DELETE FROM gcat_idel.db.i2 WHERE id < 20 AND p = 'even'")
+    assert(n("SELECT count(*) FROM gcat_idel.db.i2") == 85L)
+    assert(n("SELECT min(id) FROM gcat_idel.db.i2") == 11L)
+    // v3: the same statement lands puffin DVs
+    spark.sql("DELETE FROM gcat_idel.db.i3 WHERE p = 'odd'")
+    assert(n("SELECT count(*) FROM gcat_idel.db.i3") == 50L)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/db/i3/data"))
+      .iterator.asScala.exists(_.getFileName.toString.endsWith(".puffin")))
   }
 }
