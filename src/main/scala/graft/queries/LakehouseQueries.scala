@@ -2415,7 +2415,8 @@ object LakehouseQueries extends QueryGroup {
     // from `orders`.
     "q_hudi_part_mor" -> ((s, d) => {
       import graft.sources.{HudiReader, HudiWriter}
-      val base = s"/tmp/graft_hudi_${Integer.toHexString(d.hashCode)}/orders_pmor"
+      val hex = Integer.toHexString(d.hashCode)
+      val base = s"/tmp/graft_hudi_$hex/orders_pmor"
       val o = iceOrders(s, d)
       HudiWriter.createMorPartitioned(s, o, base, "orders_pmor",
         "o_orderkey", 4, "o_orderpriority")
@@ -2444,7 +2445,14 @@ object LakehouseQueries extends QueryGroup {
       val post = census(HudiReader.readMor(s, base), 3L)
       val postRo = census(HudiReader.readOptimized(s, base,
         HudiReader.completedCommits(base).last), 4L)
-      (early :+ post :+ postRo).reduce(_ unionAll _).orderBy("phase")
+      // pure-SQL DELETE through the catalog: tombstones by (key,
+      // partition) in one delta commit, no base file rewritten
+      val cat = s"hpmorcat_$hex"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_hudi_$hex")
+      s.sql(s"DELETE FROM $cat.orders_pmor WHERE o_orderpriority = '5-LOW'")
+      val sqlDel = census(HudiReader.readMor(s, base), 5L)
+      (early :+ post :+ postRo :+ sqlDel).reduce(_ unionAll _).orderBy("phase")
     }),
 
     // ---- manifest-level file skipping ------------------------------------
@@ -3603,6 +3611,7 @@ object LakehouseQueries extends QueryGroup {
         "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM live WHERE pri = '2-HIGH' " +
         "UNION ALL SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM live " +
         "UNION ALL SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM live " +
+        "UNION ALL SELECT 5, count(*), CAST(sum(cents) AS BIGINT) FROM live WHERE pri <> '5-LOW' " +
         "ORDER BY phase"),
     "q_hudi_mor" ->
       ("WITH o AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +

@@ -339,6 +339,31 @@ object HudiWriter {
     instant
   }
 
+  /** SQL `DELETE FROM ... WHERE p` on a MERGE-ON-READ table: the
+    * matched keys tombstone in ONE delta commit ([[logCommit]]) — no
+    * base file rewritten, the MOR delete economics. The match runs
+    * over the merged snapshot (already-tombstoned rows never
+    * re-match); partitioned tables tombstone by (key, partition value)
+    * since the bucket index is partition-local. CoW tables refuse —
+    * their delete shape is a file-group rewrite this writer only does
+    * through [[upsert]]-style replacement. Returns deleted-key count. */
+  def deleteWhere(spark: SparkSession, base: String,
+                  predicate: org.apache.spark.sql.Column): Long = {
+    require(HudiReader.tableType(base) == "MERGE_ON_READ",
+      s"SQL DELETE serves MERGE_ON_READ Hudi tables (tombstones); " +
+        s"$base is ${HudiReader.tableType(base)} — rewrite via HudiWriter.upsert")
+    val snap = HudiReader.readMor(spark, base)
+    val key = keyField(base)
+    val pc = HudiReader.partitionFields(base).headOption
+    val keys = snap.filter(predicate.eqNullSafe(true))
+      .select((key +: pc.toSeq).map(col): _*)
+    // the tombstone count is DML-sized; the probe is one column-pruned
+    // aggregate over the merged snapshot
+    val n = keys.count()
+    if (n > 0) logCommit(spark, base, snap.limit(0), deleteKeys = Some(keys))
+    n
+  }
+
   /** MOR delta commit: upserts and key deletes land as ONE avro log
     * file per touched bucket — no base file is rewritten (the write
     * economics streaming ingest picks MOR for). Log rows carry the

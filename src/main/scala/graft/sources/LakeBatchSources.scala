@@ -390,13 +390,20 @@ private[sources] object LakeBatchSources {
       // would skip the log deltas, so ride the merge-applying reader.
       // The MOR timeline includes DELTACOMMITS (the log appends CoW
       // tables never have), so asOf resolves across both kinds.
+      val traveled = options.containsKey("asOfInstant")
       val asOf = Option(options.get("asOfInstant")).getOrElse(
         (HudiReader.completedCommits(base) ++
           HudiReader.completedDeltaCommits(base)).sorted.last)
-      return new GraftMaskedTable(s"graft_hudi($base@$asOf)",
-        HudiReader.readMor(spark, base, asOf).schema,
-        () => HudiReader.readMor(SparkSession.active, base, asOf),
-        doInsert = None)
+      val tname = s"graft_hudi($base@$asOf)"
+      val tschema = HudiReader.readMor(spark, base, asOf).schema
+      val planRead = () => HudiReader.readMor(SparkSession.active, base, asOf)
+      // current-snapshot MOR tables carry the SQL DELETE surface
+      // (tombstone delta commits); time-traveled ones are read-only
+      return if (traveled) new GraftMaskedTable(tname, tschema, planRead, doInsert = None)
+      else new GraftMaskedTable(tname, tschema, planRead, doInsert = None)
+        with HudiSqlDelete {
+          override val delBase: String = base
+        }
     }
     val asOf = Option(options.get("asOfInstant"))
       .getOrElse(HudiReader.completedCommits(base).last)

@@ -450,6 +450,27 @@ private[sources] trait DeltaSqlDml extends SupportsRowLevelOperations
   * refuse (Spark reports the unsupported delete) rather than
   * silently rewriting — UPDATE/MERGE stay with the Scala entry
   * points (`upsertEq` is the CDC shape). */
+/** Mixed into the front-door MERGE-ON-READ Hudi tables: pure-SQL
+  * `DELETE FROM cat.ns.t WHERE <translatable>` tombstones the matched
+  * keys in one delta commit ([[HudiWriter.deleteWhere]]) — the MOR
+  * delete economics, no base file rewritten. */
+private[sources] trait HudiSqlDelete extends SupportsDelete {
+
+  /** The Hudi table base path. */
+  def delBase: String
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(LakeBatchSources.translateFilter(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val cond = filters.toSeq.flatMap(LakeBatchSources.translateFilter)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    HudiWriter.deleteWhere(spark, delBase, cond)
+    ()
+  }
+}
+
 private[sources] trait IcebergSqlDelete extends SupportsDelete {
 
   /** The Iceberg table base path. */

@@ -264,6 +264,25 @@ class LakeBatchSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM lb_mor WHERE x = 42").head().getLong(0) == 5L)
   }
 
+  test("SQL DELETE on a Hudi MOR catalog table: tombstone delta commit") {
+    val root = mkBase("catalog_hudidel")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "db"))
+    HudiWriter.createMor(spark, plane(), s"$root/db/m", "m", "id", 4)
+    spark.conf.set("spark.sql.catalog.gcat_hdel", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat_hdel.root", root)
+    spark.sql("DELETE FROM gcat_hdel.db.m WHERE id >= 80")
+    def n(sql: String): Long = spark.sql(sql).head().getLong(0)
+    assert(n("SELECT count(*) FROM gcat_hdel.db.m") == 80L)
+    // no base file rewritten — the delete landed as log tombstones
+    val logs = graft.sources.HudiReader.logFiles(s"$root/db/m")
+    assert(logs.nonEmpty, "expected tombstone log files")
+    // deletes stack; already-tombstoned rows never re-match
+    spark.sql("DELETE FROM gcat_hdel.db.m WHERE id >= 70 OR id < 5")
+    assert(n("SELECT count(*) FROM gcat_hdel.db.m") == 65L)
+    assert(n("SELECT min(id) FROM gcat_hdel.db.m") == 5L)
+    assert(n("SELECT max(id) FROM gcat_hdel.db.m") == 69L)
+  }
+
   test("SQL time travel through the catalog: VERSION AS OF + TIMESTAMP AS OF") {
     val root = mkBase("catalog_tt")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "db"))
