@@ -1127,12 +1127,29 @@ object LakehouseQueries extends QueryGroup {
       val cat = s"icedelcat_$hex"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
-      // predicates stay FILTER-TRANSLATABLE (SupportsDelete's contract
-      // — Iceberg has no row-level-operation fallback here; an
-      // untranslatable predicate refuses loudly in the analyzer)
+      // simple DELETEs stay FILTER-TRANSLATABLE (SupportsDelete's
+      // metadata-only route); UPDATE / MERGE / complex predicates
+      // rewrite through the delta-based row-level operation — executors
+      // stage only the CHANGED rows, deleted positions land as
+      // position-delete files (v2) / puffin-DV unions (v3)
       s.sql(s"DELETE FROM $cat.db.i2 WHERE o_orderpriority = '1-URGENT'")
       s.sql(s"DELETE FROM $cat.db.i2 WHERE cents < 10000 AND o_orderpriority = '3-MEDIUM'")
+      s.sql(s"UPDATE $cat.db.i2 SET cents = cents + 9 WHERE o_orderkey % 10 = 4")
+      o.filter(col("o_orderpriority") === "2-HIGH" &&
+          pmod(col("o_orderkey"), lit(6)) === 1)
+        .select(col("o_orderkey"), col("o_orderpriority"), lit(555L).as("cents"))
+        .unionAll(o.filter(pmod(col("o_orderkey"), lit(23)) === 0)
+          .select((col("o_orderkey") + 650000000L).as("o_orderkey"),
+            lit("7-ICE").as("o_orderpriority"), lit(222L).as("cents")))
+        .createOrReplaceTempView(s"sqldml_icesrc_$hex")
+      s.sql(
+        s"""MERGE INTO $cat.db.i2 AS t USING sqldml_icesrc_$hex AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET cents = s.cents
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority, cents)
+           |VALUES (s.o_orderkey, s.o_orderpriority, s.cents)""".stripMargin)
       s.sql(s"DELETE FROM $cat.db.i3 WHERE o_orderpriority IN ('2-HIGH', '5-LOW')")
+      s.sql(s"UPDATE $cat.db.i3 SET cents = 1 WHERE o_orderkey % 9 = 2")
       def census(tag: String, from: String) = s.sql(
         s"SELECT '$tag' AS surface, count(*) AS n_rows, " +
           s"CAST(sum(cents) AS BIGINT) AS total_cents FROM $from")
@@ -3450,10 +3467,14 @@ object LakehouseQueries extends QueryGroup {
         "ORDER BY surface"),
     "q_lake_sql_dml_ice" ->
       ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
-        "SELECT 'i2_now' AS surface, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE pri <> '1-URGENT' AND NOT (cents < 10000 AND pri = '3-MEDIUM') " +
+        "SELECT 'i2_now' AS surface, " +
+        "count(*) + (SELECT count(*) FROM o WHERE k % 23 = 0) AS n_rows, " +
+        "CAST(sum(CASE WHEN pri = '2-HIGH' AND k % 6 = 1 THEN 555 WHEN k % 10 = 4 THEN cents + 9 ELSE cents END) " +
+        "+ 222 * (SELECT count(*) FROM o WHERE k % 23 = 0) AS BIGINT) AS total_cents " +
+        "FROM o WHERE pri <> '1-URGENT' AND NOT (cents < 10000 AND pri = '3-MEDIUM') " +
         "UNION ALL SELECT 'i2_s1', count(*), CAST(sum(cents) AS BIGINT) FROM o " +
         "UNION ALL SELECT 'i2_s2', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri <> '1-URGENT' " +
-        "UNION ALL SELECT 'i3_now', count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE pri NOT IN ('2-HIGH', '5-LOW') " +
+        "UNION ALL SELECT 'i3_now', count(*), CAST(sum(CASE WHEN k % 9 = 2 THEN 1 ELSE cents END) AS BIGINT) FROM o WHERE pri NOT IN ('2-HIGH', '5-LOW') " +
         "ORDER BY surface"),
     "q_lake_catalog" ->
       ("WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +

@@ -1081,6 +1081,170 @@ object IcebergWriter {
     (perFile.length, perFile.map(_._2).sum)
   }
 
+  /** What the Iceberg SQL UPDATE/MERGE path refuses toward the Scala
+    * entry points: PARTITIONED tables (staged files would need the
+    * spec's per-era partition structs in their manifest entries) and
+    * SCHEMA-EVOLVED tables (the position-stamped raw scan binds file
+    * columns by name, not field id). DELETEs are exempt — they ride
+    * `SupportsDelete` → [[deleteWhere]], which handles both. */
+  private[sources] def sqlDmlGuards(spark: SparkSession, base: String): Unit = {
+    val v = IcebergReader.currentMetadataVersion(base)
+    val (_, specs) = IcebergReader.partitionSpecs(base, v)
+    require(!specs.exists(_.fields.nonEmpty),
+      s"SQL UPDATE/MERGE on partitioned Iceberg table $base — partition-aware " +
+        "staging goes through IcebergWriter.appendSpec/upsertEq")
+    val (cur, all) = IcebergReader.schemas(base, v)
+    require(cur.isEmpty || all.size <= 1,
+      s"SQL UPDATE/MERGE on schema-evolved Iceberg table $base — the " +
+        "field-id projection DML goes through the Scala entry points")
+  }
+
+  /** The Iceberg WriteDelta scan (graft.sources.LakeSqlDml): DV/
+    * delete-masked live rows + (`__path`, `__pos`) row identity +
+    * `__pre` (the full old row). Lineage columns a compaction may have
+    * materialized are writer plumbing, not data — hidden. */
+  private[sources] def sqlDmlScan(spark: SparkSession, base: String): DataFrame = {
+    import org.apache.spark.sql.functions.struct
+    val v = IcebergReader.currentMetadataVersion(base)
+    val snap = IcebergReader.currentSnapshotId(base, v)
+    require(snap >= 0, s"SQL DML on empty Iceberg table $base")
+    val scan = IcebergReader.planSnapshot(spark, base, snap)
+    val df = IcebergReader.scanWithPositions(spark, scan)
+      .drop("_row_id", "_last_updated_sequence_number")
+    val dataCols = df.columns.filterNot(c => c == "__path" || c == "__pos")
+    df.withColumn("__pre", struct(dataCols.toIndexedSeq.map(col): _*))
+  }
+
+  /** Data schema the SQL DML binds (current-table columns). */
+  private[sources] def sqlDmlSchema(spark: SparkSession, base: String)
+  : StructType =
+    StructType(sqlDmlScan(spark, base).schema.fields
+      .filterNot(f => f.name.startsWith("__")))
+
+  /** Commit one SQL WriteDelta batch (catalog `UPDATE` / `MERGE` —
+    * graft.sources.LakeSqlDml's Iceberg row-level operation): per-file
+    * deleted positions + executor-staged new-row files, ONE snapshot.
+    * v2 stages the positions as a position-delete parquet (stacking —
+    * the scan applies existing deletes first, so re-deletes cannot
+    * occur); v3 unions them into puffin DVs, REPLACING each touched
+    * file's DV (the spec's one-DV-per-file rule), and new data files
+    * take contiguous row-lineage ranges. Deleted positions are
+    * DML-sized driver metadata (the commit messages carried them);
+    * the staged files were written by executors. */
+  private[sources] def commitRowDelta(
+      spark: SparkSession, base: String, expectSnap: Long,
+      delPosByFile: Map[String, Seq[Long]],
+      dataRels: Seq[String], operation: String): Unit = {
+    val v = IcebergReader.currentMetadataVersion(base)
+    require(IcebergReader.currentSnapshotId(base, v) == expectSnap,
+      s"concurrent commit on $base: read at snapshot $expectSnap — aborted")
+    if (delPosByFile.isEmpty && dataRels.isEmpty) return // no-op DML
+    val fv = IcebergReader.formatVersion(base, v)
+    val scan = IcebergReader.planSnapshot(spark, base, expectSnap)
+    val snap = expectSnap + 1
+    // staged-add censuses (counts per file) from one KB-scale read-back
+    val addCounts: Map[String, Long] =
+      if (dataRels.isEmpty) Map.empty
+      else spark.read.parquet(dataRels.map(r => s"$base/$r"): _*)
+        .groupBy(col("_metadata.file_name").as("f"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getAs[String]("f") -> r.getAs[Long]("n")).toMap
+    val added = dataRels.sorted.map(rel =>
+      rel -> addCounts.getOrElse(rel.split('/').last, 0L))
+    if (fv == 3) {
+      // v3 write-default obligation, same as append: staged rows must
+      // not carry NULLs in defaulted columns (NULL ⟺ predates-column)
+      if (dataRels.nonEmpty) IcebergReader.schemas(base, v) match {
+        case (Some(cid), all) =>
+          val staged = spark.read.parquet(dataRels.map(r => s"$base/$r"): _*)
+          all.find(_.schemaId == cid).toSeq.flatMap(_.fields)
+            .filter(f => f.initialDefault.isDefined &&
+              staged.columns.contains(f.name)).foreach { f =>
+              require(staged.filter(col(f.name).isNull).count() == 0L,
+                s"SQL DML writes NULLs into required defaulted column ${f.name}")
+            }
+        case _ => ()
+      }
+      val existingBytes: Map[String, Array[Byte]] = scan.dvs.map { dv =>
+        dv.referenced.replaceFirst("^file:/*", "/") ->
+          Puffin.readDvPayload(dv.puffin, dv.offset, dv.size)
+      }.toMap
+      val perFile = delPosByFile.toSeq.sortBy(_._1).map { case (p, fresh) =>
+        val merged = (existingBytes.get(p).map(RoaringDv.deserialize)
+          .getOrElse(Seq.empty) ++ fresh).distinct.sorted
+        (p, merged.size.toLong, RoaringDv.serialize(merged))
+      }
+      val dvEntries =
+        if (perFile.isEmpty) Nil
+        else {
+          Files.createDirectories(Paths.get(base, "data"))
+          val puffinRel = s"data/dv-s$snap.puffin"
+          val blobs = perFile.map { case (p, card, payload) =>
+            Puffin.Blob(Puffin.dvBlobBytes(payload), "deletion-vector-v1", snap, snap,
+              Map("referenced-data-file" -> relOf(base, p),
+                "cardinality" -> card.toString))
+          }
+          val metas = Puffin.writeFile(s"$base/$puffinRel", blobs)
+          perFile.zip(metas).map { case ((p, card, _), m) =>
+            V3Entry(1, puffinRel, card, 1, snap.toLong,
+              Some(relOf(base, p)), Some(m.offset), Some(m.length))
+          }
+        }
+      val touched = perFile.map(p => relOf(base, p._1)).toSet
+      val carried = carriedV3(scan, base).filterNot(e =>
+        e.content == 1 && e.refDataFile.exists(touched.contains))
+      val next0 = IcebergReader.nextRowId(base, v).getOrElse(0L)
+      var next = next0
+      val addEntries = added.map { case (rel, n) =>
+        val e = V3Entry(1, rel, n, 0, snap.toLong, firstRowId = Some(next)); next += n; e
+      }
+      writeV3Manifest(spark, base, s"metadata/m$snap.avro",
+        carried ++ dvEntries ++ addEntries)
+      writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
+      writeMeta(base, v + 1, current = snap,
+        snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
+        refs = IcebergReader.refs(base, v), formatVersion = 3,
+        firstRowIds = IcebergReader.snapshotFirstRowIds(base, v) + (snap -> next0),
+        nextRowId = Some(next), statistics = carriedStats(base, v),
+        summaries = Map(snap -> s"""{"operation":"${operation.toLowerCase}"}"""))
+    } else {
+      // v2: position-delete parquet(s), spec schema (file_path, pos)
+      // sorted by file then pos — built from the commit's DML-sized
+      // position metadata
+      val delEntries =
+        if (delPosByFile.isEmpty) Nil
+        else {
+          Files.createDirectories(Paths.get(base, "data"))
+          val rows = delPosByFile.toSeq.sortBy(_._1).flatMap { case (p, ps) =>
+            ps.distinct.sorted.map(pos => Row(p, pos))
+          }
+          val schema = StructType(Seq(
+            StructField("file_path", StringType, nullable = false),
+            StructField("pos", LongType, nullable = false)))
+          val rel = s"data/del-s$snap-0.parquet"
+          spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+            .coalesce(1).write.parquet(s"$base/.stage-rd$snap")
+          val part = Files.list(Paths.get(base, s".stage-rd$snap")).iterator.asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          require(part.size == 1, s"expected one staged delete file, got ${part.size}")
+          Files.move(part.head, Paths.get(base, rel))
+          TxnLog.rmrf(s"$base/.stage-rd$snap")
+          Seq((1, rel, rows.size.toLong, 1, snap.toLong))
+        }
+      writeV2Manifest(spark, base, s"metadata/m$snap.avro",
+        carriedEntries(scan, base) ++ delEntries ++
+          added.map { case (rel, n) => (1, rel, n, 0, snap.toLong) })
+      writeManifestList(spark, base, snap, Seq(s"metadata/m$snap.avro"))
+      writeMeta(base, v + 1, current = snap,
+        snaps = IcebergReader.snapshots(base, v).map(_.id).sorted :+ snap,
+        refs = IcebergReader.refs(base, v),
+        formatVersion = if (delEntries.nonEmpty || scan.posDeleteFiles.nonEmpty ||
+          scan.eqDeleteFiles.nonEmpty) 2 else fv,
+        statistics = carriedStats(base, v),
+        summaries = Map(snap -> s"""{"operation":"${operation.toLowerCase}"}"""))
+    }
+  }
+
   /** Iceberg v2 DELETE as a POSITION-DELETE commit — the merge-on-read
     * write shape row-level deletes exist for (a CDC ingest cannot
     * afford the CoW rewrite): find the live (file_path, pos) pairs

@@ -366,7 +366,7 @@ private[sources] object LakeBatchSources {
       val tschema = IcebergReader.read(spark, base, snap).schema
       val planRead = () => IcebergReader.read(SparkSession.active, base, snap)
       return if (writable)
-        new GraftMaskedTable(tname, tschema, planRead, doInsert) with IcebergSqlDelete {
+        new GraftMaskedTable(tname, tschema, planRead, doInsert) with IcebergSqlDml {
           override val delBase: String = base
         }
       else new GraftMaskedTable(tname, tschema, planRead, doInsert)
@@ -376,7 +376,7 @@ private[sources] object LakeBatchSources {
     val delegate = parquetTable(
       s"graft_iceberg($base@$snap)", scan.dataFiles.map(_._1), None, Map.empty)
     if (writable)
-      new GraftLakeTable(delegate, delegate.name, doInsert) with IcebergSqlDelete {
+      new GraftLakeTable(delegate, delegate.name, doInsert) with IcebergSqlDml {
         override val delBase: String = base
       }
     else new GraftLakeTable(delegate, delegate.name, doInsert)

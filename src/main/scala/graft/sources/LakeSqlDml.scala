@@ -278,6 +278,119 @@ private[sources] object LakeSqlDml {
     }
   }
 
+  /** The delta-based row-level operation over one ICEBERG table — the
+    * same WriteDelta shape as [[DeltaRowLevelOperation]] (row identity
+    * = (`__path`, `__pos`) off the delete-masked scan, executors write
+    * only CHANGED rows), committing ONE snapshot: position-delete
+    * files on v2, puffin-DV unions on v3, staged new-row files either
+    * way ([[IcebergWriter.commitRowDelta]]). Partitioned and
+    * schema-evolved tables refuse toward the Scala entry points
+    * ([[IcebergWriter.sqlDmlGuards]]); simple DELETEs never get here
+    * (`SupportsDelete` serves them on every composition). */
+  final class IcebergRowLevelOperation(base: String, cmd: Command)
+    extends RowLevelOperation with org.apache.spark.sql.connector.write.SupportsDelta {
+
+    private lazy val guarded: Unit =
+      IcebergWriter.sqlDmlGuards(SparkSession.active, base)
+    private val expectSnap = IcebergReader.currentSnapshotId(base,
+      IcebergReader.currentMetadataVersion(base))
+
+    override def command: Command = cmd
+    override def description: String = s"graft-iceberg row-level $cmd on $base"
+
+    override def rowId(): Array[NamedReference] =
+      Array(Expressions.column("__path"), Expressions.column("__pos"))
+
+    override def requiredMetadataAttributes(): Array[NamedReference] =
+      Array(Expressions.column("__pre"))
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+        guarded
+        private val fullSchema =
+          IcebergWriter.sqlDmlScan(SparkSession.active, base).schema
+        private var pushed: Array[Filter] = Array.empty
+        private var required: StructType = fullSchema
+        override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+          pushed = filters.filter(LakeBatchSources.translateFilter(_).isDefined)
+          filters
+        }
+        override def pushedFilters(): Array[Filter] = pushed
+        override def pruneColumns(requiredSchema: StructType): Unit =
+          required = requiredSchema
+        override def build(): Scan = new V1Scan {
+          private val (pf, req) = (pushed, required)
+          override def readSchema(): StructType = req
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              ctx: SQLContext): T =
+            (new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = ctx
+              override def schema: StructType = req
+              override def needConversion: Boolean = false
+              override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+                val s = SparkSession.active
+                require(IcebergReader.currentSnapshotId(base,
+                  IcebergReader.currentMetadataVersion(base)) == expectSnap,
+                  s"$base changed under the DML — re-run the statement")
+                var df = IcebergWriter.sqlDmlScan(s, base)
+                pf.flatMap(LakeBatchSources.translateFilter).foreach(c => df = df.filter(c))
+                df = df.select(req.fieldNames.toIndexedSeq.map(col): _*)
+                org.apache.spark.sql.GraftPlanBridge.internalRdd(df)
+                  .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+              }
+            }).asInstanceOf[T]
+        }
+      }
+
+    override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+      new DeltaWriteBuilder {
+        override def build(): DeltaWrite = {
+          guarded
+          new GraftIcebergDeltaWrite(base, expectSnap, cmd.toString, info)
+        }
+      }
+  }
+
+  /** One Iceberg WriteDelta batch: executor-staged `data/` files +
+    * DML-sized position metadata → one [[IcebergWriter.commitRowDelta]]
+    * snapshot. No partition routing (partitioned tables refused), no
+    * CDC (Iceberg has no change feed). */
+  private final class GraftIcebergDeltaWrite(base: String, expectSnap: Long,
+                                             opName: String, info: LogicalWriteInfo)
+    extends DeltaWrite {
+    override def description: String = s"graft-iceberg $opName -> $base"
+    override def toBatch: DeltaBatchWrite = {
+      val spark = SparkSession.active
+      val dataSchema = info.schema
+      val writeId = java.util.UUID.randomUUID.toString.take(8)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base, "data"))
+      val factory = new GraftDmlWriterFactory(base, writeId,
+        org.apache.spark.sql.GraftWriteBridge.parquetSink(spark, dataSchema),
+        cdcSink = None,
+        dataSchema.fields.map(_.dataType),
+        pcols = IndexedSeq.empty, partSpec = IndexedSeq.empty,
+        keepIdx = dataSchema.fields.indices.toIndexedSeq,
+        rowTracked = false, commitVersion = expectSnap + 1,
+        relPrefix = "data/")
+      new DeltaBatchWrite {
+        override def createBatchWriterFactory(i: PhysicalWriteInfo): DeltaWriterFactory =
+          factory
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+          val ms = messages.toSeq.collect { case m: SqlDmlMessage => m }
+          val delPos: Map[String, Seq[Long]] = ms.flatMap(_.delPos)
+            .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSeq).toMap
+          IcebergWriter.commitRowDelta(SparkSession.active, base, expectSnap,
+            delPos, ms.flatMap(_.dataRels), opName)
+        }
+        override def abort(messages: Array[WriterCommitMessage]): Unit =
+          messages.toSeq.collect { case m: SqlDmlMessage => m }.foreach { m =>
+            m.dataRels.foreach(rel =>
+              java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(base, rel)))
+          }
+      }
+    }
+  }
+
   /** What one task hands back: its staged file(s) + per-file deleted
     * positions. Rel paths are table-relative (Delta add convention);
     * partitioned tables stage one file per touched partition in the
@@ -295,7 +408,8 @@ private[sources] object LakeSqlDml {
       partSpec: IndexedSeq[(Int, DataType)],
       keepIdx: IndexedSeq[Int],
       rowTracked: Boolean,
-      commitVersion: Long) extends DeltaWriterFactory {
+      commitVersion: Long,
+      relPrefix: String = "") extends DeltaWriterFactory {
 
     override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
       new DeltaWriter[InternalRow] {
@@ -327,7 +441,7 @@ private[sources] object LakeSqlDml {
         private def dataWriter(row: InternalRow): org.apache.spark.sql.GraftParquetSink.Opened = {
           val dir = hiveDir(row)
           dataOut.getOrElseUpdate(dir, {
-            val rel = s"${dir}dml-$writeId-p$partitionId-t$taskId.parquet"
+            val rel = s"$relPrefix${dir}dml-$writeId-p$partitionId-t$taskId.parquet"
             java.nio.file.Files.createDirectories(
               java.nio.file.Paths.get(base, rel).getParent)
             dataRels += rel
@@ -487,4 +601,26 @@ private[sources] trait IcebergSqlDelete extends SupportsDelete {
         IcebergReader.currentMetadataVersion(delBase)) >= 0)
       IcebergWriter.deleteWhere(spark, delBase, cond)
   }
+}
+
+/** Mixed into the front-door Iceberg tables: the full pure-SQL DML
+  * surface — simple DELETEs metadata-only via [[IcebergSqlDelete]];
+  * `UPDATE` / `MERGE INTO` / complex DELETEs through the delta-based
+  * row-level operation ([[LakeSqlDml.IcebergRowLevelOperation]]):
+  * executors write only changed rows, deleted positions land as
+  * position-delete files (v2) or puffin-DV unions (v3), one snapshot
+  * per statement. */
+private[sources] trait IcebergSqlDml extends SupportsRowLevelOperations
+  with IcebergSqlDelete with SupportsMetadataColumns {
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    LakeSqlDml.metadataColumnsFor(
+      IcebergWriter.sqlDmlSchema(SparkSession.active, delBase))
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new LakeSqlDml.IcebergRowLevelOperation(delBase, info.command)
+    }
 }

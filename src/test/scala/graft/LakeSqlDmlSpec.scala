@@ -215,6 +215,50 @@ class LakeSqlDmlSpec extends SparkSpec {
       .foreach { case (id, x, _, ver) => assert(x == id % 7 && ver == 0L) }
   }
 
+  test("SQL UPDATE + MERGE on ICEBERG catalog tables: WriteDelta snapshots") {
+    import graft.sources.IcebergWriter
+    val root = freshRoot("ice")
+    IcebergWriter.create(spark, plane().repartition(2), s"$root/db/i2")
+    IcebergWriter.createV3(spark, plane().repartition(2), s"$root/db/i3")
+    cat("sqldml_ice", root)
+    def n(sql: String): Long = spark.sql(sql).head().getLong(0)
+    // v2 UPDATE: changed rows re-stage, old positions land as a
+    // position-delete file — no data file rewritten
+    spark.sql("UPDATE sqldml_ice.db.i2 SET x = x + 100 WHERE id % 10 = 3")
+    assert(n("SELECT count(*) FROM sqldml_ice.db.i2") == 100L)
+    assert(n("SELECT count(*) FROM sqldml_ice.db.i2 WHERE x >= 100") == 10L)
+    assert(n("SELECT sum(x) FROM sqldml_ice.db.i2") ==
+      plane().agg(org.apache.spark.sql.functions.sum(col("x") +
+        when(col("id") % 10 === 3, 100L).otherwise(0L))).head().getLong(0))
+    // the original snapshot is untouched (time travel sees v1)
+    assert(n("SELECT count(*) FROM sqldml_ice.db.i2 VERSION AS OF 1 WHERE x >= 100") == 0L)
+    // v2 MERGE: matched keys update, unmatched insert
+    spark.range(0, 4)
+      .select((col("id") * 2 + 96).as("id"), lit(7L).as("x"), lit("new").as("p"))
+      .createOrReplaceTempView("sqldml_ice_src")
+    spark.sql("""MERGE INTO sqldml_ice.db.i2 AS t USING sqldml_ice_src AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET x = s.x
+      WHEN NOT MATCHED THEN INSERT (id, x, p) VALUES (s.id, s.x, s.p)""")
+    assert(n("SELECT count(*) FROM sqldml_ice.db.i2") == 102L)
+    assert(n("SELECT count(*) FROM sqldml_ice.db.i2 WHERE x = 7") == 4L)
+    assert(n("SELECT count(*) FROM sqldml_ice.db.i2 WHERE p = 'new'") == 2L)
+    // v3: a DELETE lays puffin DVs, then UPDATE unions more positions
+    // into them (one DV per data file, the spec's replacement rule)
+    spark.sql("DELETE FROM sqldml_ice.db.i3 WHERE id < 10")
+    spark.sql("UPDATE sqldml_ice.db.i3 SET x = 0 WHERE p = 'odd'")
+    assert(n("SELECT count(*) FROM sqldml_ice.db.i3") == 90L)
+    // 45 odd rows zeroed + 7 surviving evens with x = id % 7 == 0
+    assert(n("SELECT count(*) FROM sqldml_ice.db.i3 WHERE x = 0") == 52L)
+    assert(n("SELECT min(id) FROM sqldml_ice.db.i3") == 10L)
+    // partitioned tables refuse toward the Scala entry points
+    IcebergWriter.createPartitioned(spark, plane().coalesce(1),
+      s"$root/db/ip", "p")
+    val e = intercept[Exception](
+      spark.sql("UPDATE sqldml_ice.db.ip SET x = 0 WHERE id = 1"))
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+  }
+
   test("SQL DML refuses identity tables loudly; simple DELETE still works") {
     val root = freshRoot("guard")
     val base = s"$root/db/it"
