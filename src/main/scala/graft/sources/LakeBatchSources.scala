@@ -171,7 +171,8 @@ private[sources] object LakeBatchSources {
     * as the unmasked table. */
   private class GraftMaskedTable(tname: String, tschema: StructType,
                                        planRead: () => DataFrame,
-                                       doInsert: Option[(DataFrame, Boolean) => Unit])
+                                       doInsert: Option[(DataFrame, Boolean) => Unit],
+                                       sizeHint: Option[BigInt] = None)
     extends Table with SupportsRead with SupportsWrite {
     override def name(): String = tname
     override def schema(): StructType = tschema
@@ -199,6 +200,13 @@ private[sources] object LakeBatchSources {
             (new BaseRelation with TableScan {
               override def sqlContext: SQLContext = ctx
               override def schema: StructType = req
+              // the format metadata KNOWS the live size — without this
+              // override the V1 relation reports defaultSizeInBytes
+              // (effectively infinite) and a masked DIMENSION table
+              // could never broadcast-join, a silent 100 TB plan
+              // regression the unmasked delegate path doesn't have
+              override def sizeInBytes: Long =
+                sizeHint.map(_.toLong).getOrElse(super.sizeInBytes)
               // buildScan hands back the inner plan's InternalRow RDD
               // directly — no Row materialization pass
               override def needConversion: Boolean = false
@@ -261,11 +269,19 @@ private[sources] object LakeBatchSources {
       val tname = s"graft_delta($base@$version)"
       val tschema = DeltaLogReader.read(spark, base, version).schema
       val planRead = () => DeltaLogReader.read(SparkSession.active, base, version)
+      // live-size estimate from the log: file bytes scaled by the
+      // surviving-row fraction (numRecords stays physical under a DV)
+      val physRows = adds.map(_.numRecords).sum
+      val masked0 = adds.flatMap(_.dv).map(_.cardinality).sum
+      val bytes = adds.map(_.size).sum
+      val hint = Some(BigInt(math.max(1L,
+        if (physRows <= 0) bytes
+        else (bytes.toDouble * (physRows - masked0) / physRows).toLong)))
       return if (writable)
-        new GraftMaskedTable(tname, tschema, planRead, doInsert) with DeltaSqlDml {
+        new GraftMaskedTable(tname, tschema, planRead, doInsert, hint) with DeltaSqlDml {
           override val dmlBase: String = base
         }
-      else new GraftMaskedTable(tname, tschema, planRead, doInsert)
+      else new GraftMaskedTable(tname, tschema, planRead, doInsert, hint)
     }
     val pcols = DeltaLogReader.partitionColumns(Some(spark), base, version)
     val paths = adds.map(a =>
@@ -365,11 +381,26 @@ private[sources] object LakeBatchSources {
       val tname = s"graft_iceberg($base@$snap)"
       val tschema = IcebergReader.read(spark, base, snap).schema
       val planRead = () => IcebergReader.read(SparkSession.active, base, snap)
+      // live-size estimate: data-file bytes scaled by the surviving
+      // fraction (record counts ride the manifests; DV cardinalities
+      // and position-delete row counts are exact, equality deletes
+      // under-count — an over-estimate only, never a bad broadcast)
+      val physRows = scan.dataFiles.map(_._2).sum
+      val masked0 = scan.dvs.map(_.cardinality).sum +
+        scan.posDeleteFiles.flatMap(p => scan.delMeta.get(p).map(_._1)).sum
+      val bytes = scan.dataFiles.map { case (p, _) =>
+        try java.nio.file.Files.size(java.nio.file.Paths.get(p)) catch {
+          case _: Exception => 0L
+        }
+      }.sum
+      val hint = Some(BigInt(math.max(1L,
+        if (physRows <= 0) bytes
+        else (bytes.toDouble * math.max(0L, physRows - masked0) / physRows).toLong)))
       return if (writable)
-        new GraftMaskedTable(tname, tschema, planRead, doInsert) with IcebergSqlDml {
+        new GraftMaskedTable(tname, tschema, planRead, doInsert, hint) with IcebergSqlDml {
           override val delBase: String = base
         }
-      else new GraftMaskedTable(tname, tschema, planRead, doInsert)
+      else new GraftMaskedTable(tname, tschema, planRead, doInsert, hint)
     }
     // identity/transform-partitioned tables keep the source column IN
     // the data files (this writer's layout), so no dir recovery needed
@@ -397,10 +428,20 @@ private[sources] object LakeBatchSources {
       val tname = s"graft_hudi($base@$asOf)"
       val tschema = HudiReader.readMor(spark, base, asOf).schema
       val planRead = () => HudiReader.readMor(SparkSession.active, base, asOf)
+      // live-size estimate: base + log bytes (no row counts in this
+      // timeline — bytes alone already fix the never-broadcast default)
+      val slices = HudiReader.morSlices(base, asOf)
+      val hint = Some(BigInt(math.max(1L,
+        (slices.map(_._1.path) ++ slices.flatMap(_._2).map(_.path)).map { p =>
+          try java.nio.file.Files.size(java.nio.file.Paths.get(p)) catch {
+            case _: Exception => 0L
+          }
+        }.sum)))
       // current-snapshot MOR tables carry the SQL DELETE surface
       // (tombstone delta commits); time-traveled ones are read-only
-      return if (traveled) new GraftMaskedTable(tname, tschema, planRead, doInsert = None)
-      else new GraftMaskedTable(tname, tschema, planRead, doInsert = None)
+      return if (traveled)
+        new GraftMaskedTable(tname, tschema, planRead, doInsert = None, hint)
+      else new GraftMaskedTable(tname, tschema, planRead, doInsert = None, hint)
         with HudiSqlDelete {
           override val delBase: String = base
         }

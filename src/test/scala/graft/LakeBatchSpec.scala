@@ -283,6 +283,21 @@ class LakeBatchSpec extends SparkSpec {
     assert(n("SELECT max(id) FROM gcat_hdel.db.m") == 69L)
   }
 
+  test("masked tables report live size: a small DV dimension broadcast-joins") {
+    val base = mkBase("delta_stats")
+    DeltaLogWriter.create(spark, plane().coalesce(1), base, "dim")
+    DeltaLogWriter.deleteWhereDv(spark, base, col("id") < 10)
+    val dim = spark.read.format("graft-delta").option("path", base).load()
+    // without the sizeInBytes override the V1 relation reports
+    // defaultSizeInBytes (effectively infinite) and this join could
+    // never auto-broadcast
+    val fact = spark.range(0, 100000).select(col("id"), (col("id") % 90 + 10).as("k"))
+    val joined = fact.join(dim, fact("k") === dim("id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(joined.count() == 100000L)
+  }
+
   test("SQL time travel through the catalog: VERSION AS OF + TIMESTAMP AS OF") {
     val root = mkBase("catalog_tt")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "db"))
