@@ -1709,6 +1709,23 @@ object DeltaLogWriter {
         cdcActions ++ dvActions ++ adds)
   }
 
+  /** SQL `TRUNCATE TABLE`: ONE metadata commit removing every live
+    * file — schema, protocol, and configuration survive, history stays
+    * time-travelable, and not one data byte moves (the spec's
+    * remove-only commit; VACUUM reclaims the bytes later). CDF
+    * consumers derive the whole-file deletes from the removes (the
+    * same pre-image rule as overwrite, DV masks applied). Returns the
+    * number of logically removed rows. */
+  def truncate(spark: SparkSession, base: String): Long = {
+    val ctx = dmlCtx(spark, base)
+    if (ctx.live.isEmpty) return 0L
+    val removes = ctx.live.map(a =>
+      s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":0,"dataChange":true}}""")
+    commit(base, ctx.version + 1,
+      s"""{"commitInfo":{"operation":"TRUNCATE","timestamp":0}}""" +: removes)
+    ctx.live.map(a => a.numRecords - a.dv.map(_.cardinality).getOrElse(0L)).sum
+  }
+
   /** DELETE WHERE via DELETION VECTORS — the modern Delta DML shape:
     * no data file is rewritten; instead each affected file gets a
     * roaring-bitmap sidecar marking its deleted row positions, and the

@@ -525,10 +525,18 @@ private[sources] object LakeSqlDml {
   * MERGE, and non-translatable DELETEs go through the delta-based
   * row-level operation ([[LakeSqlDml.DeltaRowLevelOperation]]). */
 private[sources] trait DeltaSqlDml extends SupportsRowLevelOperations
-  with SupportsDelete with SupportsMetadataColumns {
+  with SupportsDelete with SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   /** The Delta table base path. */
   def dmlBase: String
+
+  /** SQL `TRUNCATE TABLE cat.ns.t` — one remove-only metadata commit
+    * ([[DeltaLogWriter.truncate]]); schema and history survive. */
+  override def truncateTable(): Boolean = {
+    DeltaLogWriter.truncate(SparkSession.active, dmlBase)
+    true
+  }
 
   override def metadataColumns(): Array[MetadataColumn] =
     LakeSqlDml.metadataColumnsFor(

@@ -259,6 +259,24 @@ class LakeSqlDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("partitioned"), e.getMessage)
   }
 
+  test("SQL TRUNCATE TABLE: remove-only commit, schema + history survive") {
+    val root = freshRoot("trunc")
+    val base = s"$root/db/t"
+    DeltaLogWriter.create(spark, plane().repartition(2), base, "t",
+      extraConf = Map("delta.enableChangeDataFeed" -> "true"))
+    cat("sqldml_tr", root)
+    spark.sql("TRUNCATE TABLE sqldml_tr.db.t")
+    // empty but alive: schema intact, INSERT repopulates
+    assert(spark.sql("SELECT count(*) FROM sqldml_tr.db.t").head().getLong(0) == 0L)
+    spark.sql("INSERT INTO sqldml_tr.db.t SELECT id, id % 3, 'z' FROM range(7)")
+    assert(spark.sql("SELECT count(*) FROM sqldml_tr.db.t").head().getLong(0) == 7L)
+    // history stayed time-travelable; CDF reports the truncate as
+    // whole-file deletes
+    assert(DeltaLogReader.read(spark, base, 0L).count() == 100L)
+    val cdf = DeltaLogReader.readChanges(spark, base, 1L, 1L)
+    assert(cdf.filter(col("_change_type") === "delete").count() == 100L)
+  }
+
   test("SQL DML refuses identity tables loudly; simple DELETE still works") {
     val root = freshRoot("guard")
     val base = s"$root/db/it"
