@@ -36,6 +36,13 @@ Checked fixtures (written by graft.Verify's run of the graded queries):
       sequence rule (pos delete applies to data seq <= delete seq),
       and compares (n_rows, total_cents) per snapshot against the dump.
 
+  q_lake_sql_dml_ice  /tmp/graft_iceberg_<hex(sfDir.hashCode)>/sqldelice
+      Catalog-SQL DML on Iceberg: i2 (v2) after two SupportsDelete
+      position-delete commits, a WriteDelta UPDATE (staged changed-row
+      files + a delete file), and a MERGE; i3 (v3) after a DV delete
+      and a DV-union UPDATE. Censused at historical snapshots too —
+      old snapshots must not see later delete files.
+
   q_hudi_partitioned  /tmp/graft_hudi_<hex(sfDir.hashCode)>/orders_part
       Hive-partitioned Hudi CoW table after create + an upsert that
       updates one partition and births another. Reads the timeline
@@ -698,6 +705,30 @@ def check_iceberg_v3(con, base: str, outdir: str):
     return check_iceberg(con, base, outdir, dump="q_iceberg_v3_dv")
 
 
+def check_iceberg_sql_dml(con, root: str, outdir: str):
+    """q_lake_sql_dml_ice: the pure-SQL DML fixtures — i2 (v2: stacked
+    SupportsDelete position deletes + WriteDelta-staged changed-row
+    files and their delete file, all under the spec's sequence rule)
+    and i3 (v3: puffin deletion-vector UNIONS — a re-delete replaces
+    the touched file's DV). The historical surfaces prove old
+    snapshots do not see later delete files."""
+    failures = []
+    engine = {r[0]: (r[1], r[2])
+              for r in dump_rows(con, outdir, "q_lake_sql_dml_ice")}
+    i2 = os.path.join(root, "db", "i2")
+    i3 = os.path.join(root, "db", "i3")
+    cur2 = ice_meta(i2)["current-snapshot-id"]
+    cur3 = ice_meta(i3)["current-snapshot-id"]
+    for tag, base, snap in (("i2_s1", i2, 1), ("i2_s2", i2, 2),
+                            ("i2_now", i2, cur2), ("i3_now", i3, cur3)):
+        ext = ice_census(con, base, snap)
+        if tuple(ext) != tuple(engine[tag]):
+            failures.append(
+                f"{tag} (snapshot {snap}): external {tuple(ext)} "
+                f"vs engine {tuple(engine[tag])}")
+    return failures
+
+
 def check_delta_composed(con, base: str, outdir: str):
     """q_delta_composed: the all-features-on Delta table (column mapping
     mode=name + hive partitioning + row tracking + DVs + clustering)
@@ -828,12 +859,14 @@ def main():
     v3_base = f"/tmp/graft_iceberg_{h}/orders_v3dv"
     composed_base = f"/tmp/graft_deltaw_{h}/orders_composed"
     specevo_base = f"/tmp/graft_iceberg_{h}/specevo"
+    sqldml_ice_root = f"/tmp/graft_iceberg_{h}/sqldelice"
     for label, base, fn in (("delta", delta_base, check_delta),
                             ("delta-dv", dv_base, check_delta_dv),
                             ("delta-composed", composed_base, check_delta_composed),
                             ("iceberg", ice_base, check_iceberg),
                             ("iceberg-v3-dv", v3_base, check_iceberg_v3),
                             ("iceberg-specevo", specevo_base, check_iceberg_specevo),
+                            ("iceberg-sql-dml", sqldml_ice_root, check_iceberg_sql_dml),
                             ("hudi", hudi_base, check_hudi)):
         if not os.path.isdir(base):
             failures.append(f"{label}: fixture {base} missing — run "

@@ -50,7 +50,7 @@ object Hygiene {
     * everything else in their parent trees still sweeps. */
   private val keepSubdirs = Set(
     "orders_pdml", "orders_dv", "orders_dml", "orders_v3dv", "orders_part",
-    "orders_composed", "specevo")
+    "orders_composed", "specevo", "sqldelice")
 
   private def rmrf(p: Path): Unit = {
     if (Files.exists(p)) {
