@@ -1533,16 +1533,21 @@ object DeltaLogWriter {
   // commit. Simple DELETEs skip all of this via SupportsDelete →
   // deleteWhereDv (Spark's OptimizeMetadataOnlyDeleteFromTable).
 
-  /** The one feature the SQL-DML path still refuses: identity columns
-    * — a MERGE insert would need writer-assigned values (the
-    * appendIdentity contract), which the per-row DeltaWriter callbacks
-    * cannot coordinate. Everything else (hive partitioning, column
-    * mapping, row tracking, DVs, CDF) composes through the shared
-    * scan/write machinery. */
-  private[sources] def sqlDmlGuards(spark: SparkSession, base: String): Unit = {
-    val ctx = dmlCtx(spark, base)
-    identityColOf(spark, base, ctx.version).foreach(f => throw new IllegalArgumentException(
-      s"SQL DML would bypass identity column ${f.name} on $base"))
+  /** The identity column (name, index in the data schema), if the
+    * table declares one — the SQL-DML writer enforces the identity
+    * contract per row: an UPDATE may not change the value (ids are
+    * writer-assigned, `delta.identity.allowExplicit` is not a thing
+    * this writer does) and an INSERT cannot mint one (the
+    * high-water-mark coordination lives in [[appendIdentity]]), so
+    * MERGE insert clauses refuse at the first inserted row while
+    * UPDATE / DELETE / non-inserting MERGE compose. */
+  private[sources] def sqlDmlIdentity(spark: SparkSession, base: String)
+  : Option[(String, Int)] = {
+    val version = DeltaLogReader.latestVersion(base)
+    identityColOf(spark, base, version).map { f =>
+      val schema = DeltaLogReader.tableSchema(Some(spark), base, version).get
+      (f.name, schema.fieldIndex(f.name))
+    }
   }
 
   /** Materialized row-id / row-commit-version column names when `base`

@@ -65,8 +65,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * carries each target row's stable id into the update callback,
   * staged files materialize it (inserts fall back to the add's fresh
   * `baseRowId` range), and the commit bumps the id high-water mark.
-  * Only IDENTITY tables still refuse, loudly, toward the Scala DML
-  * entry points ([[DeltaLogWriter.sqlDmlGuards]]).
+  * IDENTITY tables enforce their contract per row in the writer:
+  * UPDATE may not reassign the identity value and an INSERT clause
+  * refuses (minting ids is [[DeltaLogWriter.appendIdentity]]'s
+  * high-water-mark job) — DELETE and non-inserting MERGE compose.
   */
 private[sources] object LakeSqlDml {
 
@@ -105,14 +107,6 @@ private[sources] object LakeSqlDml {
   final class DeltaRowLevelOperation(base: String, cmd: Command)
     extends RowLevelOperation with org.apache.spark.sql.connector.write.SupportsDelta {
 
-    // guards run LAZILY (first scan/write build), not at construction:
-    // RewriteDeleteFromTable builds the operation table eagerly even
-    // for simple DELETEs that OptimizeMetadataOnlyDeleteFromTable will
-    // replace with the filter-based path — a constructor-time refusal
-    // would block exactly the deletes deleteWhereDv CAN serve on
-    // composed tables
-    private lazy val guarded: Unit =
-      DeltaLogWriter.sqlDmlGuards(SparkSession.active, base)
     private val expectVersion = DeltaLogReader.latestVersion(base)
 
     override def command: Command = cmd
@@ -136,7 +130,6 @@ private[sources] object LakeSqlDml {
     // can never change which rows the DML matches
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
-        guarded
         private val fullSchema =
           DeltaLogWriter.sqlDmlScan(SparkSession.active, base).schema
         private var pushed: Array[Filter] = Array.empty
@@ -173,10 +166,8 @@ private[sources] object LakeSqlDml {
 
     override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
       new DeltaWriteBuilder {
-        override def build(): DeltaWrite = {
-          guarded
+        override def build(): DeltaWrite =
           new GraftDeltaWrite(base, expectVersion, cmd.toString, info)
-        }
       }
   }
 
@@ -252,12 +243,16 @@ private[sources] object LakeSqlDml {
         if (colMap.isEmpty) org.apache.spark.sql.GraftWriteBridge.parquetSink(spark, schema)
         else DeltaLogWriter.withFieldIdWrites(spark)(
           org.apache.spark.sql.GraftWriteBridge.parquetSink(spark, schema))
+      // identity contract: the writer validates per row — updates may
+      // not change the value, inserts cannot mint one
+      val identity = DeltaLogWriter.sqlDmlIdentity(spark, base)
       val factory = new GraftDmlWriterFactory(base, writeId,
         mkSink(fileSchema),
         if (cdfOn) Some(mkSink(cdcSchema)) else None,
         dataSchema.fields.map(_.dataType),
         pcols.map(_._2).toIndexedSeq, partSpec.toIndexedSeq, keepIdx.toIndexedSeq,
-        rowTracked = rtCols.nonEmpty, commitVersion = expectVersion + 1)
+        rowTracked = rtCols.nonEmpty, commitVersion = expectVersion + 1,
+        identity = identity.map { case (nm, _) => (nm, dataSchema.fieldIndex(nm)) })
 
       new DeltaBatchWrite {
         override def createBatchWriterFactory(i: PhysicalWriteInfo): DeltaWriterFactory =
@@ -409,7 +404,8 @@ private[sources] object LakeSqlDml {
       keepIdx: IndexedSeq[Int],
       rowTracked: Boolean,
       commitVersion: Long,
-      relPrefix: String = "") extends DeltaWriterFactory {
+      relPrefix: String = "",
+      identity: Option[(String, Int)] = None) extends DeltaWriterFactory {
 
     override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
       new DeltaWriter[InternalRow] {
@@ -489,13 +485,24 @@ private[sources] object LakeSqlDml {
           cdc(meta.getStruct(0, n), "delete")
         }
         override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+          val pre = meta.getStruct(0, n)
+          identity.foreach { case (nm, i) =>
+            require(!row.isNullAt(i) && row.getLong(i) == pre.getLong(i),
+              s"UPDATE would reassign identity column $nm — ids are " +
+                "writer-assigned (appendIdentity)")
+          }
           recordDelete(id)
-          cdc(meta.getStruct(0, n), "update_preimage")
+          cdc(pre, "update_preimage")
           val rid = if (rowTracked) java.lang.Long.valueOf(meta.getLong(1)) else null
           dataWriter(row).write(fileRow(row, rid))
           cdc(row, "update_postimage")
         }
         override def insert(row: InternalRow): Unit = {
+          identity.foreach { case (nm, _) =>
+            throw new IllegalArgumentException(
+              s"SQL INSERT clause cannot mint identity column $nm — " +
+                "the high-water-mark contract lives in appendIdentity")
+          }
           dataWriter(row).write(fileRow(row, null))
           cdc(row, "insert")
         }

@@ -277,19 +277,34 @@ class LakeSqlDmlSpec extends SparkSpec {
     assert(cdf.filter(col("_change_type") === "delete").count() == 100L)
   }
 
-  test("SQL DML refuses identity tables loudly; simple DELETE still works") {
+  test("SQL DML on IDENTITY tables: contract enforced per row") {
     val root = freshRoot("guard")
     val base = s"$root/db/it"
     DeltaLogWriter.createIdentity(spark,
       spark.range(0, 100).select(col("id"), (col("id") % 7).as("x")),
       base, "it", "sk", 1L, 1L, Seq("id"))
     cat("sqldml_g", root)
+    def n(sql: String): Long = spark.sql(sql).head().getLong(0)
+    // an UPDATE that leaves the identity value alone composes
+    spark.sql("UPDATE sqldml_g.db.it SET x = x + 50 WHERE id % 10 = 1")
+    assert(n("SELECT count(*) FROM sqldml_g.db.it WHERE x >= 50") == 10L)
+    assert(n("SELECT count(DISTINCT sk) FROM sqldml_g.db.it") == 100L)
+    // one that REASSIGNS it refuses at the first row
     val e = intercept[Exception](
-      spark.sql("UPDATE sqldml_g.db.it SET x = 0 WHERE id = 1"))
-    assert(e.getMessage.contains("identity"), e.getMessage)
-    // but a SIMPLE DELETE on the identity table still works — it
-    // routes through SupportsDelete into deleteWhereDv, which handles
-    // every composition
+      spark.sql("UPDATE sqldml_g.db.it SET sk = 0 WHERE id = 1"))
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(c => Option(c.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs(e).contains("identity"), msgs(e))
+    // a MERGE insert clause cannot mint ids
+    spark.range(500, 503).select(col("id"), lit(1L).as("x"))
+      .createOrReplaceTempView("sqldml_it_src")
+    val e2 = intercept[Exception](
+      spark.sql("""MERGE INTO sqldml_g.db.it AS t USING sqldml_it_src AS s
+        ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT (id, x) VALUES (s.id, s.x)"""))
+    assert(e2 != null)
+    // and a SIMPLE DELETE routes through SupportsDelete as ever
     spark.sql("DELETE FROM sqldml_g.db.it WHERE id < 10")
     assert(DeltaLogReader.read(spark, base).count() == 90L)
   }
