@@ -93,6 +93,13 @@ object ClusterSmoke {
     "q_lake_catalog",     // TableCatalog resolution + CTAS/ALTER driven writes
     "q_delta_composed",   // all-features-on DML through one scan/write pair
     "q_variant_funcs",    // variant binary encoding + typed path extraction on executors
+    // round-13 executor-boundary risks:
+    "q_lake_sql_dml",     // WriteDelta: DeltaWriter callbacks + GraftParquetSink
+                          // staging in executor tasks, commit-message position serde
+    "q_lake_sql_dml_ice", // the Iceberg WriteDelta twin + SupportsDelete staging
+    "q_lake_dsv2_dv",     // V1-fallback masked scans (3 formats) on real executors
+    "q_lake_travel",      // catalog time-travel resolution + historical scans
+    "q_hudi_part_mor",    // partition-local log routing + SQL tombstone commit
   )
 
   def main(args: Array[String]): Unit = {
