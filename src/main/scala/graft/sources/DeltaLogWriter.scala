@@ -73,30 +73,59 @@ object DeltaLogWriter {
                                 rowTracking: Option[(Long, Long)] = None,
                                 dataChange: Boolean = true): (Seq[String], Long) = {
     import org.apache.spark.sql.functions.{max, min}
-    // cast the bounds to long up front: an IntegerType stats column
-    // would otherwise CCE on the Long read, and an all-NULL file would
-    // NPE on unboxing — null bounds are skipped below instead
-    val aggs = count(lit(1)).as("n") +:
-      statsFor.flatMap(c => Seq(min(col(c)).cast("long").as(s"mn_$c"),
-        max(col(c)).cast("long").as(s"mx_$c")))
-    val byFile = spark.read.parquet(relPaths.map(r => s"$base/$r"): _*)
-      .groupBy(col("_metadata.file_name").as("f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect().map(r => r.getAs[String]("f") -> r).toMap
+    // per-file counts and integral bounds come from the parquet FOOTERS
+    // of the just-staged files — metadata-plane reads instead of the
+    // old read-back Spark job that re-scanned every byte just written
+    // (one full extra data pass per commit at 100 TB). Any file whose
+    // footer can't answer exactly (non-INT32/64 stats column) falls
+    // back to the original aggregation for the whole batch; bounds are
+    // NULL-skipping on both paths (see ParquetFooters equivalence note).
+    // KEYED BY FULL RELATIVE PATH, not basename: a dynamic-partition
+    // stage write reuses one task's part-file NAME across several
+    // `col=value/` dirs, so basenames collide across partitions (the
+    // old read-back keyed on `_metadata.file_name` and silently SUMMED
+    // colliding files' counts into both adds' stats).
+    val viaFooters: Option[Map[String, (Long, Map[String, (Long, Long)])]] = {
+      val per = relPaths.map { rel =>
+        rel -> ParquetFooters.statsOf(Paths.get(base, rel), statsFor)
+      }
+      if (per.forall(_._2.isDefined)) Some(per.map { case (k, v) => k -> v.get }.toMap)
+      else None
+    }
+    val byFile: Map[String, (Long, Map[String, (Long, Long)])] = viaFooters.getOrElse {
+      // fallback read-back job — `_metadata.file_path` ends with the
+      // relative path, binding each group to its add unambiguously.
+      // Cast the bounds to long up front: an IntegerType stats column
+      // would otherwise CCE on the Long read, and an all-NULL file would
+      // NPE on unboxing — null bounds are skipped below instead
+      val aggs = count(lit(1)).as("n") +:
+        statsFor.flatMap(c => Seq(min(col(c)).cast("long").as(s"mn_$c"),
+          max(col(c)).cast("long").as(s"mx_$c")))
+      val rows = spark.read.parquet(relPaths.map(r => s"$base/$r"): _*)
+        .groupBy(col("_metadata.file_path").as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      relPaths.flatMap { rel =>
+        rows.find(_.getAs[String]("f").endsWith("/" + rel)).map { r =>
+          val bounds = statsFor.flatMap { c =>
+            if (r.isNullAt(r.fieldIndex(s"mn_$c")) || r.isNullAt(r.fieldIndex(s"mx_$c"))) None
+            else Some(c -> (r.getAs[Long](s"mn_$c"), r.getAs[Long](s"mx_$c")))
+          }.toMap
+          rel -> (r.getAs[Long]("n"), bounds)
+        }
+      }.toMap
+    }
     var nextId = rowTracking.map(_._1).getOrElse(0L)
     var total = 0L
     val actions = relPaths.map { rel =>
-      val name = rel.split('/').last
-      val row = byFile.get(name)
-      val n = row.map(_.getAs[Long]("n")).getOrElse(0L)
+      val (n, boundsMap) = byFile.getOrElse(rel, (0L, Map.empty[String, (Long, Long)]))
       val sz = Files.size(Paths.get(base, rel))
-      val tracked = row.toSeq.flatMap(r => statsFor.filter(c =>
-        !r.isNullAt(r.fieldIndex(s"mn_$c")) && !r.isNullAt(r.fieldIndex(s"mx_$c"))))
+      val tracked = statsFor.filter(boundsMap.contains)
       val bounds = if (tracked.isEmpty) "" else {
-        def side(tag: String, pre: String) = tracked
-          .map(c => s"""\\"${esc(c)}\\":${row.get.getAs[Long](s"${pre}_$c")}""")
+        def side(tag: String, pick: ((Long, Long)) => Long) = tracked
+          .map(c => s"""\\"${esc(c)}\\":${pick(boundsMap(c))}""")
           .mkString(s""",\\"$tag\\":{""", ",", "}")
-        side("minValues", "mn") + side("maxValues", "mx")
+        side("minValues", _._1) + side("maxValues", _._2)
       }
       val rt = rowTracking.map { case (_, ver) =>
         val s = s""""baseRowId":$nextId,"defaultRowCommitVersion":$ver,"""

@@ -593,11 +593,25 @@ object HudiWriter {
     if (!clustered)
       return concat(flit("g"), pmod(col(key), lit(numBuckets(base))).cast("string"))
     val fidByName = live.map(f => Paths.get(f.path).getFileName.toString -> f.fileId).toMap
-    val mins = spark.read.parquet(live.map(_.path): _*)
-      .groupBy(col("_metadata.file_name").as("f"))
-      .agg(min(col(key)).as("mn"))
-      .orderBy("mn").collect()
-      .map(r => (fidByName(r.getString(0)), r.get(1)))
+    // per-file MIN key straight from the parquet footers (the scaladoc's
+    // promised shape) — falls back to the column-pruned scan only when a
+    // footer can't answer exactly (non-integral key type)
+    val viaFooters: Option[Seq[(String, Any)]] = {
+      val per = live.map { f =>
+        ParquetFooters.statsOf(Paths.get(f.path), Seq(key)).flatMap(_._2.get(key))
+          .map(b => f.fileId -> b._1)
+      }
+      if (per.forall(_.isDefined))
+        Some(per.flatten.sortBy(_._2).map { case (fid, mn) => (fid, mn: Any) })
+      else None
+    }
+    val mins = viaFooters.getOrElse {
+      spark.read.parquet(live.map(_.path): _*)
+        .groupBy(col("_metadata.file_name").as("f"))
+        .agg(min(col(key)).as("mn"))
+        .orderBy("mn").collect()
+        .map(r => (fidByName(r.getString(0)), r.get(1))).toSeq
+    }
     mins.tail.foldLeft(flit(mins.head._1): Column) { case (acc, (fid, mn)) =>
       when(col(key) >= flit(mn), fid).otherwise(acc)
     }

@@ -36,8 +36,6 @@ import org.apache.spark.sql.types._
   */
 object IcebergWriter {
 
-  private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
-
   private val entrySchema = StructType(Seq(
     StructField("status", IntegerType, nullable = false),
     StructField("data_file", StructType(Seq(
@@ -64,11 +62,9 @@ object IcebergWriter {
       }
     TxnLog.rmrf(tmp)
     require(moved.nonEmpty, s"writeData produced no part files under $tmp")
-    val counts = spark.read.parquet(moved.map(r => s"$base/$r"): _*)
-      .groupBy(col("_metadata.file_name").as("f"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    moved.map(rel => rel -> counts.getOrElse(rel.split('/').last, 0L))
+    // record_count per staged file from the parquet FOOTERS (metadata
+    // plane) — the old read-back job re-scanned every byte just written
+    moved.map(rel => rel -> ParquetFooters.rowCount(Paths.get(base, rel)))
   }
 
   /** One avro file of manifest entries at `rel`. */
@@ -77,8 +73,7 @@ object IcebergWriter {
     val rows = entries.map { case (status, path, n) =>
       Row(status, Row(path, "PARQUET", n, Files.size(Paths.get(base, path))))
     }
-    writeOneAvro(spark, base, rel,
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), entrySchema))
+    writeOneAvro(base, rel, entrySchema, rows)
   }
 
   /** Manifest variant whose entries carry the typed identity
@@ -99,8 +94,7 @@ object IcebergWriter {
     val rows = entries.map { case (status, path, n, pv) =>
       Row(status, Row(path, "PARQUET", n, Files.size(Paths.get(base, path)), Row(pv)))
     }
-    writeOneAvro(spark, base, rel,
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+    writeOneAvro(base, rel, schema, rows)
   }
 
   /** Identity-partitioned create: ONE data file per distinct value of
@@ -142,13 +136,10 @@ object IcebergWriter {
         i -> rel
       }.toMap
     TxnLog.rmrf(tmp)
-    val counts = spark.read.parquet(rels.values.map(r => s"$base/$r").toSeq: _*)
-      .groupBy(col("_metadata.file_name").as("f"))
-      .agg(org.apache.spark.sql.functions.count(flit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val entries = vals.zipWithIndex.map { case (v, i) =>
       val rel = rels(i)
-      (1, rel, counts.getOrElse(rel.split('/').last, 0L), v)
+      // record_count from the footer — no read-back data pass
+      (1, rel, ParquetFooters.rowCount(Paths.get(base, rel)), v)
     }
     writePartManifest(spark, base, "metadata/m1.avro", partitionCol, entries)
     writeManifestList(spark, base, 1L, Seq("metadata/m1.avro"))
@@ -198,10 +189,6 @@ object IcebergWriter {
         v -> rel
       }.toMap
     TxnLog.rmrf(tmp)
-    val counts = spark.read.parquet(rels.values.map(r => s"$base/$r").toSeq: _*)
-      .groupBy(col("_metadata.file_name").as("f"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val schema = StructType(Seq(
       StructField("status", IntegerType, nullable = false),
       StructField("data_file", StructType(Seq(
@@ -212,11 +199,11 @@ object IcebergWriter {
         StructField("partition",
           StructType(Seq(StructField(fieldName, LongType, nullable = false)))))))))
     val rows = rels.toSeq.sortBy(_._1).map { case (v, rel) =>
-      Row(1, Row(rel, "PARQUET", counts.getOrElse(rel.split('/').last, 0L),
+      // record_count from the footer — no read-back data pass
+      Row(1, Row(rel, "PARQUET", ParquetFooters.rowCount(Paths.get(base, rel)),
         Files.size(Paths.get(base, rel)), Row(v)))
     }
-    writeOneAvro(spark, base, "metadata/m1.avro",
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+    writeOneAvro(base, "metadata/m1.avro", schema, rows)
     writeManifestList(spark, base, 1L, Seq("metadata/m1.avro"))
     val spec = s""""partition-specs":[{"spec-id":0,"fields":[{"name":"${fieldName}",""" +
       s""""transform":"$transform","source-id":$sourceId,"field-id":1000}]}],"""
@@ -227,16 +214,46 @@ object IcebergWriter {
     Files.writeString(Paths.get(base, "metadata", "version-hint.text"), "1")
   }
 
-  private def writeOneAvro(spark: SparkSession, base: String, rel: String,
-                           df: DataFrame): Unit = {
-    val tmp = s"$base/.stage-avro"
-    TxnLog.rmrf(tmp)
-    df.coalesce(1).write.format(avroFmt).save(tmp)
-    val src = Files.list(Paths.get(tmp)).iterator.asScala
-      .find(_.getFileName.toString.endsWith(".avro"))
-      .getOrElse(throw new IllegalStateException(s"no avro staged under $tmp"))
-    Files.move(src, Paths.get(base, rel))
-    TxnLog.rmrf(tmp)
+  /** One avro file at `rel` from driver-local rows. Manifests are
+    * KB-scale METADATA (the spec's own split) and their rows are
+    * composed on the driver anyway — encoding them with the avro
+    * library directly replaces the old one-task Spark job per manifest
+    * (stage dir + coalesce(1) write + move) with a microsecond-scale
+    * local write. The schema is derived by the SAME converter
+    * spark-avro's writer uses ([[SchemaConverters.toAvroType]]), so the
+    * OCF header schema is identical to what the old path produced and
+    * every reader (spark-avro load, lake_conformance.py's from-scratch
+    * OCF parser) sees the same shape. */
+  private def writeOneAvro(base: String, rel: String,
+                           schema: StructType, rows: Seq[Row]): Unit = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val avroSchema =
+      org.apache.spark.sql.avro.SchemaConverters.toAvroType(schema, nullable = false)
+    def nonNullOf(s: Schema): Schema =
+      if (s.getType == Schema.Type.UNION)
+        s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+      else s
+    def toRecord(s: Schema, st: StructType, r: Row): GenericRecord = {
+      val rec = new GenericData.Record(s)
+      st.fields.zipWithIndex.foreach { case (f, i) =>
+        val v = if (r.isNullAt(i)) null else (f.dataType, r.get(i)) match {
+          case (nested: StructType, row: Row) =>
+            toRecord(nonNullOf(s.getField(f.name).schema()), nested, row)
+          case (_, other) => other.asInstanceOf[AnyRef]
+        }
+        rec.put(f.name, v)
+      }
+      rec
+    }
+    val out = Paths.get(base, rel)
+    Files.createDirectories(out.getParent)
+    val w = new org.apache.avro.file.DataFileWriter(
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    try {
+      w.create(avroSchema, out.toFile)
+      rows.foreach(r => w.append(toRecord(avroSchema, schema, r)))
+    } finally w.close()
   }
 
   private def writeManifestList(spark: SparkSession, base: String,
@@ -255,8 +272,7 @@ object IcebergWriter {
         require(ids.size == manifests.size, "specIds must align with manifests")
         manifests.zip(ids).map { case (m, id) => Row(m, sizeOrAbs(base, m), id) }
     }
-    writeOneAvro(spark, base, s"metadata/snap-$snapshot.avro",
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+    writeOneAvro(base, s"metadata/snap-$snapshot.avro", schema, rows)
   }
 
   /** Manifest paths in a list may be table-relative (this writer's) or
@@ -450,10 +466,6 @@ object IcebergWriter {
         g -> rel
       }.toMap
     TxnLog.rmrf(tmp)
-    val counts = spark.read.parquet(rels.values.map(r => s"$base/$r").toSeq: _*)
-      .groupBy(col("_metadata.file_name").as("fn"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val schema = StructType(Seq(
       StructField("status", IntegerType, nullable = false),
       StructField("data_file", StructType(Seq(
@@ -464,11 +476,11 @@ object IcebergWriter {
         StructField("partition",
           StructType(Seq(StructField(f.name, LongType, nullable = false)))))))))
     val rows = rels.toSeq.sortBy(_._1).map { case (g, rel) =>
-      Row(1, Row(rel, "PARQUET", counts.getOrElse(rel.split('/').last, 0L),
+      // record_count from the footer — no read-back data pass
+      Row(1, Row(rel, "PARQUET", ParquetFooters.rowCount(Paths.get(base, rel)),
         Files.size(Paths.get(base, rel)), Row(g)))
     }
-    writeOneAvro(spark, base, s"metadata/m$snap.avro",
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+    writeOneAvro(base, s"metadata/m$snap.avro", schema, rows)
     // manifest REUSE: the previous manifests ride with their own spec
     // ids; the new manifest is tagged with the default spec
     val allManifests = prevManifests :+ (s"metadata/m$snap.avro" -> spec.specId)
@@ -927,8 +939,7 @@ object IcebergWriter {
     val rows = entries.map { case (status, path, n, content, seq) =>
       Row(status, seq, Row(content, path, "PARQUET", n, Files.size(Paths.get(base, path))))
     }
-    writeOneAvro(spark, base, rel,
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+    writeOneAvro(base, rel, schema, rows)
   }
 
   // ---- format-version 3: deletion vectors + row lineage --------------------
@@ -968,8 +979,7 @@ object IcebergWriter {
         e.contentSize.map(java.lang.Long.valueOf).orNull,
         e.firstRowId.map(java.lang.Long.valueOf).orNull))
     }
-    writeOneAvro(spark, base, rel,
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+    writeOneAvro(base, rel, schema, rows)
   }
 
   private def relOf(base: String, abs: String): String =
@@ -1142,15 +1152,10 @@ object IcebergWriter {
     val fv = IcebergReader.formatVersion(base, v)
     val scan = IcebergReader.planSnapshot(spark, base, expectSnap)
     val snap = expectSnap + 1
-    // staged-add censuses (counts per file) from one KB-scale read-back
-    val addCounts: Map[String, Long] =
-      if (dataRels.isEmpty) Map.empty
-      else spark.read.parquet(dataRels.map(r => s"$base/$r"): _*)
-        .groupBy(col("_metadata.file_name").as("f"))
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getAs[String]("f") -> r.getAs[Long]("n")).toMap
+    // staged-add censuses (counts per file) from the parquet footers —
+    // metadata-plane, no read-back data pass over the staged files
     val added = dataRels.sorted.map(rel =>
-      rel -> addCounts.getOrElse(rel.split('/').last, 0L))
+      rel -> ParquetFooters.rowCount(Paths.get(base, rel)))
     if (fv == 3) {
       // v3 write-default obligation, same as append: staged rows must
       // not carry NULLs in defaulted columns (NULL ⟺ predates-column)
@@ -1294,18 +1299,17 @@ object IcebergWriter {
       .toSeq.sortBy(_.getFileName.toString)
     require(staged.nonEmpty, "no delete file staged")
     // per-part census (drops the empty parts Spark writes for empty
-    // range partitions) before the move assigns final names
-    val stagedDf = spark.read.parquet(staged.map(_.toString): _*)
-    val counts = stagedDf
-      .groupBy(col("_metadata.file_name").as("f"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // range partitions) before the move assigns final names — counts
+    // come from the staged files' footers, no read-back data pass
+    val counts = staged.map(p =>
+      p.getFileName.toString -> ParquetFooters.rowCount(p)).toMap
     val nonEmpty = staged.filter(p => counts.get(p.getFileName.toString).exists(_ > 0))
     val nDel = counts.values.sum
     if (nDel == 0L) { TxnLog.rmrf(tmp); return (0, 0L) }
     // global distinct: a data file whose positions straddle a range
     // boundary appears in two delete files but counts once
-    val nFiles = stagedDf.select("file_path").distinct().count()
+    val nFiles = spark.read.parquet(staged.map(_.toString): _*)
+      .select("file_path").distinct().count()
     val delRels = nonEmpty.zipWithIndex.map { case (p, i) =>
       val rel = s"data/del-s$snap-$i.parquet"
       val n = counts(p.getFileName.toString)
@@ -1359,10 +1363,9 @@ object IcebergWriter {
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
     require(staged.nonEmpty, "no eq-delete file staged")
-    val counts = spark.read.parquet(staged.map(_.toString): _*)
-      .groupBy(col("_metadata.file_name").as("f"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-file counts from the staged footers — no read-back data pass
+    val counts = staged.map(p =>
+      p.getFileName.toString -> ParquetFooters.rowCount(p)).toMap
     val nonEmpty = staged.filter(p => counts.get(p.getFileName.toString).exists(_ > 0))
     val nKeys = counts.values.sum
     require(nKeys > 0, "upsertEq with an empty source")
