@@ -472,6 +472,53 @@ object IcebergReader {
 
   private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
 
+  /** Load KB-scale metadata avro (manifest lists, manifests) as a
+    * DataFrame WITHOUT a distributed read: decode the OCF files on the
+    * driver (same plane as the metadata JSON parses) and wrap the rows
+    * in a local relation. Planning a snapshot used to cost one Spark
+    * job per avro load — a scheduling round-trip to read a few KB —
+    * and every census/time-travel re-plans, so lakehouse queries paid
+    * it dozens of times. Falls back to the spark-avro source when the
+    * files don't share one writer schema (never this writer's output;
+    * foreign multi-schema mixes keep spark-avro's resolution rules). */
+  private def readMetaAvro(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import org.apache.avro.file.DataFileReader
+    def decode(p: String): (org.apache.avro.Schema, Seq[GenericRecord]) = {
+      val r = new DataFileReader[GenericRecord](
+        new java.io.File(p), new GenericDatumReader[GenericRecord]())
+      try (r.getSchema, r.iterator.asScala.toVector) finally r.close()
+    }
+    val decoded = paths.map(decode)
+    val schemas = decoded.map(_._1.toString).distinct
+    if (schemas.size != 1)
+      return spark.read.format(avroFmt).load(paths.toIndexedSeq: _*)
+    val avroSchema = decoded.head._1
+    val sqlType = org.apache.spark.sql.avro.SchemaConverters
+      .toSqlType(avroSchema).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    def convert(dt: org.apache.spark.sql.types.DataType, v: Any): Any = (dt, v) match {
+      case (_, null) => null
+      case (nested: org.apache.spark.sql.types.StructType, r: GenericRecord) =>
+        toRow(nested, r)
+      case (at: org.apache.spark.sql.types.ArrayType, c: java.util.Collection[_]) =>
+        c.asScala.toSeq.map(convert(at.elementType, _))
+      case (mt: org.apache.spark.sql.types.MapType, m: java.util.Map[_, _]) =>
+        m.asScala.toMap.map { case (k, x) =>
+          convert(mt.keyType, k) -> convert(mt.valueType, x) }
+      case (_, u: org.apache.avro.util.Utf8) => u.toString
+      case (_, b: java.nio.ByteBuffer) =>
+        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+      case (_, f: org.apache.avro.generic.GenericFixed) => f.bytes()
+      case (_, other) => other
+    }
+    def toRow(s: org.apache.spark.sql.types.StructType, rec: GenericRecord): org.apache.spark.sql.Row =
+      org.apache.spark.sql.Row(
+        s.fields.map(f => convert(f.dataType, rec.get(f.name))).toIndexedSeq: _*)
+    val rows = decoded.flatMap(_._2).map(toRow(sqlType, _))
+    spark.createDataFrame(rows.asJava, sqlType)
+  }
+
   /** Walk manifest-list → manifests → live entries (status != 2
     * DELETED), split by `data_file.content` (absent ⇒ v1, all data).
     * `entryFilter` prunes manifest ENTRIES driver-side — a predicate
@@ -485,7 +532,7 @@ object IcebergReader {
   private[sources] def manifestEntries(spark: SparkSession, base: String,
                                        snapshotId: Long): DataFrame = {
     val manifests = manifestsWithSpecs(spark, base, snapshotId).map(_._1)
-    spark.read.format(avroFmt).load(manifests.toIndexedSeq: _*)
+    readMetaAvro(spark, manifests)
   }
 
   /** The snapshot's manifests WITH each one's partition-spec id (the
@@ -497,7 +544,7 @@ object IcebergReader {
       .find(_.id == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $snapshotId not in ${base}'s metadata"))
-    val ml = spark.read.format(avroFmt).load(resolve(base, snap.manifestList))
+    val ml = readMetaAvro(spark, Seq(resolve(base, snap.manifestList)))
     val specCol =
       if (ml.columns.contains("partition_spec_id")) col("partition_spec_id").cast("int")
       else lit(0)
@@ -548,7 +595,7 @@ object IcebergReader {
     val groups = manifestsWithSpecs(spark, base, snapshotId)
       .groupBy(_._2).toSeq.sortBy(_._1)
     groups.map { case (specId, ms) =>
-      val entries = spark.read.format(avroFmt).load(ms.map(_._1): _*)
+      val entries = readMetaAvro(spark, ms.map(_._1))
         .filter(col("status") =!= 2)
       scanOfEntries(base, entries, filterFor(specId))
     }.reduce { (a, b) =>
