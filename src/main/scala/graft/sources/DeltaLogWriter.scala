@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 
 /** Write-side twin of [[DeltaLogReader]]: emit a PUBLIC-spec Delta
   * Lake table (the open delta-io protocol) so existing Delta consumers
@@ -1920,7 +1920,6 @@ object DeltaLogWriter {
     // NOT-null-safe-true, not the plain negation (which is NULL too)
     val survivors = inAffected.filter(!predicate.eqNullSafe(true)).drop("__path")
     val hit = inAffected.filter(predicate).drop("__path")
-    val nMatched = hit.count()
     val next = ctx.version + 1
     // post-images keep their row ids (the spec: _row_id is stable
     // across UPDATE) but take this commit as their last-modified
@@ -1934,8 +1933,16 @@ object DeltaLogWriter {
         .unionAll(restamp(f(hit)).withColumn("_change_type", lit("update_postimage")))
     }
     val newData = post.fold(survivors)(f => survivors.unionAll(restamp(f(hit))))
+    // the matched-row count rides the CDC write as an observed metric
+    // (one 'delete' / 'update_preimage' row per matched row) — the old
+    // standalone hit.count() was a full extra pass over the affected
+    // files just for the return value
+    val obs = org.apache.spark.sql.Observation()
+    val observed = changes.observe(obs, count(when(
+      col("_change_type").isin("delete", "update_preimage"), 1)).as("n_matched"))
     val cdcActions = writeCdc(spark, base, next,
-      toPhysical(changes.drop(matCols: _*), ctx.colMap), affectedRel.size)
+      toPhysical(observed.drop(matCols: _*), ctx.colMap), affectedRel.size)
+    val nMatched = obs.get("n_matched").asInstanceOf[Long]
     val (adds, domainBump) =
       if (newData.isEmpty) (Nil, Nil)
       else writeRewrite(spark, ctx, newData, next, affectedRel.size)
@@ -2061,14 +2068,22 @@ object DeltaLogWriter {
           .withColumn(ctx.matVer, lit(next)))
     val survivors = scanA.join(srcKeys, Seq(keyCol), "left_anti").drop("__path")
     val pre = matchedA.select(cols.map(col): _*)
-    val nUpd = pre.count()
-    val nIns = insSrc0.count()
-    require(nUpd + nIns > 0, "MERGE source matches nothing and inserts nothing")
     val changes = pre.withColumn("_change_type", lit("update_preimage"))
       .unionAll(updSrc0.withColumn("_change_type", lit("update_postimage")))
       .unionAll(insSrc0.withColumn("_change_type", lit("insert")))
+    // update/insert counts ride the CDC write as observed metrics (one
+    // 'update_preimage' row per matched key, one 'insert' per new key)
+    // — the old standalone counts were two extra passes over the
+    // affected files and the source join
+    val obs = org.apache.spark.sql.Observation()
+    val observed = changes.observe(obs,
+      count(when(col("_change_type") === "update_preimage", 1)).as("n_upd"),
+      count(when(col("_change_type") === "insert", 1)).as("n_ins"))
     val cdcActions = writeCdc(spark, base, next,
-      toPhysical(changes, ctx.colMap), affectedRel.size + 1)
+      toPhysical(observed, ctx.colMap), affectedRel.size + 1)
+    val nUpd = obs.get("n_upd").asInstanceOf[Long]
+    val nIns = obs.get("n_ins").asInstanceOf[Long]
+    require(nUpd + nIns > 0, "MERGE source matches nothing and inserts nothing")
     val newData = survivors.unionByName(updSrc, allowMissingColumns = false)
       .unionByName(insSrc, allowMissingColumns = false)
     val (adds, domainBump) =
@@ -2165,18 +2180,34 @@ object DeltaLogWriter {
     val delRows = taggedA.filter(isDel).select(cols.map(col): _*)
     val bySrcRows = taggedA.filter(isBySrcDel).select(cols.map(col): _*)
     val updPre = taggedA.filter(isUpd).select(cols.map(col): _*)
-    val nDel = delRows.count()
-    val nUpd = updPre.count()
-    val nIns = insSrc0.count()
-    val nBySrc = bySrcRows.count()
-    require(nDel + nUpd + nIns + nBySrc > 0, "MERGE matches nothing and inserts nothing")
-    val changes = delRows.withColumn("_change_type", lit("delete"))
-      .unionAll(bySrcRows.withColumn("_change_type", lit("delete")))
-      .unionAll(updPre.withColumn("_change_type", lit("update_preimage")))
-      .unionAll(updSrc0.withColumn("_change_type", lit("update_postimage")))
-      .unionAll(insSrc0.withColumn("_change_type", lit("insert")))
+    // per-clause counts ride the CDC write as observed metrics on a
+    // staging-only __kind tag (dropped before the file bytes) — the old
+    // four standalone counts were four extra passes over the affected
+    // files / source joins. Matched and by-source deletes both land as
+    // CDF 'delete', so _change_type alone can't split them; __kind can.
+    val tagged4 = delRows.withColumn("__kind", lit("del"))
+      .unionAll(bySrcRows.withColumn("__kind", lit("bysrc")))
+      .unionAll(updPre.withColumn("__kind", lit("updpre")))
+      .unionAll(updSrc0.withColumn("__kind", lit("updpost")))
+      .unionAll(insSrc0.withColumn("__kind", lit("ins")))
+    val obs = org.apache.spark.sql.Observation()
+    val observed = tagged4.observe(obs,
+      count(when(col("__kind") === "del", 1)).as("n_del"),
+      count(when(col("__kind") === "updpre", 1)).as("n_upd"),
+      count(when(col("__kind") === "ins", 1)).as("n_ins"),
+      count(when(col("__kind") === "bysrc", 1)).as("n_bysrc"))
+    val changes = observed.withColumn("_change_type",
+      when(col("__kind").isin("del", "bysrc"), "delete")
+        .when(col("__kind") === "updpre", "update_preimage")
+        .when(col("__kind") === "updpost", "update_postimage")
+        .otherwise("insert")).drop("__kind")
     val cdcActions = writeCdc(spark, base, next,
       toPhysical(changes, ctx.colMap), affectedAbs.size + 1)
+    val nDel = obs.get("n_del").asInstanceOf[Long]
+    val nUpd = obs.get("n_upd").asInstanceOf[Long]
+    val nIns = obs.get("n_ins").asInstanceOf[Long]
+    val nBySrc = obs.get("n_bysrc").asInstanceOf[Long]
+    require(nDel + nUpd + nIns + nBySrc > 0, "MERGE matches nothing and inserts nothing")
     val affectedRel = affectedAbs.map(a => relByAbs.getOrElse(a,
       throw new IllegalStateException(s"matched file $a not in the live set")))
     val newData = survivors.unionByName(updSrc).unionByName(insSrc)
