@@ -115,7 +115,17 @@ object Bench {
     val all = fmt(results.sortBy(-_._2))
     val qs = if (all.length <= 1500) all
              else fmt(results.filter(p => headline.contains(p._1)))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
+    // belt and braces: every BENCH_r* file so far shows parsed:null — the
+    // driver has never consumed the stdout line (sbt [info] prefix /
+    // trailing [success] line). ALSO write the metric JSON — with the FULL
+    // per-query map, no tail-buffer cap — to a well-known file.
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":$all,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_OUT.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

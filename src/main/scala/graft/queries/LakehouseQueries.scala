@@ -1771,7 +1771,7 @@ object LakehouseQueries extends QueryGroup {
       graft.sources.DeltaLogWriter.expireLog(base)
       def diskFiles(): Long = {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(base)).iterator.asScala
+        graft.sources.Fs.walk(java.nio.file.Paths.get(base)).iterator
           .count(p => java.nio.file.Files.isRegularFile(p) &&
             p.getFileName.toString.endsWith(".parquet") &&
             !p.toString.contains("_delta_log")).toLong
@@ -1800,8 +1800,8 @@ object LakehouseQueries extends QueryGroup {
       val base = LakehouseQueries.mkIcebergOrphanFixture(s, d, "orders_orph")
       def diskFiles(): Long = {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(java.nio.file.Paths.get(base, "data"))
-          .iterator.asScala.size.toLong
+        graft.sources.Fs.list(java.nio.file.Paths.get(base, "data"))
+          .size.toLong
       }
       def census(phase: Long, nFiles: Long) =
         graft.sources.IcebergReader.read(s, base).agg(
@@ -2842,11 +2842,11 @@ object LakehouseQueries extends QueryGroup {
     TxnLog.rmrf(tmp)
     df.withColumn("__g", groupCol.cast("string"))
       .repartition(1).write.partitionBy("__g").parquet(tmp)
-    val moved = Files.list(Paths.get(tmp)).iterator.asScala
+    val moved = graft.sources.Fs.list(Paths.get(tmp)).iterator
       .filter(_.getFileName.toString.startsWith("__g="))
       .map { dir =>
         val v = dir.getFileName.toString.stripPrefix("__g=")
-        val parts = Files.list(dir).iterator.asScala
+        val parts = graft.sources.Fs.list(dir).iterator
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
         require(parts.size == 1,
           s"single-task partitionBy wrote ${parts.size} files for group $v")
@@ -2947,7 +2947,7 @@ object LakehouseQueries extends QueryGroup {
       val tmp = s"$base/.stage"
       TxnLog.rmrf(tmp)
       df.coalesce(1).write.parquet(tmp)
-      val it = Files.list(Paths.get(tmp)).iterator()
+      val it = graft.sources.Fs.list(Paths.get(tmp)).iterator
       var src: java.nio.file.Path = null
       while (it.hasNext) {
         val p = it.next()
@@ -3022,7 +3022,7 @@ object LakehouseQueries extends QueryGroup {
       val staged = df.coalesce(1).write
       if (avro) staged.format(avroFmt).save(tmp) else staged.parquet(tmp)
       val ext = if (avro) ".avro" else ".parquet"
-      val it = Files.list(Paths.get(tmp)).iterator()
+      val it = graft.sources.Fs.list(Paths.get(tmp)).iterator
       var src: java.nio.file.Path = null
       while (it.hasNext) {
         val p = it.next()
@@ -3280,7 +3280,7 @@ object LakehouseQueries extends QueryGroup {
     val tmp = s"$base/.stage"
     TxnLog.rmrf(tmp)
     df.coalesce(1).write.parquet(tmp)
-    val it = Files.list(Paths.get(tmp)).iterator()
+    val it = graft.sources.Fs.list(Paths.get(tmp)).iterator
     var src: java.nio.file.Path = null
     while (it.hasNext) {
       val p = it.next()

@@ -105,7 +105,7 @@ object DeltaLogReader {
   def versions(base: String): Seq[Long] = {
     val d = logDir(base)
     if (!Files.isDirectory(d)) return Seq.empty
-    val vs = Files.list(d).iterator.asScala
+    val vs = Fs.list(d).iterator
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".json") && n.length == 25)
       .map(n => n.stripSuffix(".json").toLong)
@@ -504,7 +504,7 @@ object DeltaLogReader {
     if (Files.exists(classic)) return Some(classic)
     if (!Files.isDirectory(d)) return None
     val prefix = f"$cv%020d.checkpoint."
-    val matches = Files.list(d).iterator.asScala.filter { p =>
+    val matches = Fs.list(d).iterator.filter { p =>
       val n = p.getFileName.toString
       n.startsWith(prefix) && n.endsWith(".parquet")
     }.toSeq

@@ -373,7 +373,7 @@ object DeltaLogWriter {
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
     if (stampsIds) withFieldIdWrites(df.sparkSession)(run()) else run()
     Files.createDirectories(Paths.get(base))
-    val moved = Files.walk(Paths.get(tmp)).iterator.asScala
+    val moved = Fs.walk(Paths.get(tmp)).iterator
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map { p =>
         val relDir = Paths.get(tmp).relativize(p.getParent).toString
@@ -536,7 +536,7 @@ object DeltaLogWriter {
     staged.repartition(stageCols.map(col): _*)
       .write.partitionBy(stageCols: _*).parquet(tmp)
     val tmpP = Paths.get(tmp)
-    val rels = Files.walk(tmpP).iterator.asScala
+    val rels = Fs.walk(tmpP).iterator
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("__zb="))
       .flatMap { dir =>
         val zb = dir.getFileName.toString.stripPrefix("__zb=")
@@ -544,7 +544,7 @@ object DeltaLogWriter {
           case "" => ""
           case d  => d + "/"
         }
-        val parts = Files.list(dir).iterator.asScala
+        val parts = Fs.list(dir).iterator
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
         require(parts.size == 1, s"z-bucket $prefix$zb staged ${parts.size} files")
         val rel = s"${prefix}v$next-zb$zb.parquet"
@@ -1473,7 +1473,7 @@ object DeltaLogWriter {
         TxnLog.rmrf(tmp)
         domainRead(files)
           .repartition(numOut).write.parquet(tmp)
-        val rels = Files.list(Paths.get(tmp)).iterator.asScala
+        val rels = Fs.list(Paths.get(tmp)).iterator
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map { p =>
             val rel = s"$prefix" + s"v$next-${p.getFileName}"
@@ -1822,7 +1822,7 @@ object DeltaLogWriter {
     val newlyDeleted = matched.drop("__path", "__pos").drop(matCols: _*)
     val cdcActions = writeCdc(spark, base, next0,
       toPhysical(newlyDeleted.withColumn("_change_type", lit("delete")), ctx.colMap),
-      perFile.length)
+      perFile.length).map(_._2)
     val actions = perFile.toSeq.map { case (abs, _, card, payload) =>
       val a = byAbs.getOrElse(abs,
         throw new IllegalStateException(s"matched file $abs not in the live set"))
@@ -1941,7 +1941,7 @@ object DeltaLogWriter {
     val observed = changes.observe(obs, count(when(
       col("_change_type").isin("delete", "update_preimage"), 1)).as("n_matched"))
     val cdcActions = writeCdc(spark, base, next,
-      toPhysical(observed.drop(matCols: _*), ctx.colMap), affectedRel.size)
+      toPhysical(observed.drop(matCols: _*), ctx.colMap), affectedRel.size).map(_._2)
     val nMatched = obs.get("n_matched").asInstanceOf[Long]
     val (adds, domainBump) =
       if (newData.isEmpty) (Nil, Nil)
@@ -1968,15 +1968,17 @@ object DeltaLogWriter {
 
   /** Stage the commit's `_change_data` files (one task per affected
     * file, up to the data's own parallelism — a wide DML's change set
-    * is data-sized and must not serialize) and return one cdc action
-    * per staged part. */
+    * is data-sized and must not serialize) and return one (rel path,
+    * cdc action) per staged part — callers that detect a no-op AFTER
+    * the stage (observed-count guards) must delete the rels before
+    * throwing, or the orphans collide with the next DML's move. */
   private def writeCdc(spark: SparkSession, base: String, version: Long,
-                       changes: DataFrame, affected: Int): Seq[String] = {
+                       changes: DataFrame, affected: Int): Seq[(String, String)] = {
     Files.createDirectories(Paths.get(base, "_change_data"))
     val cdcTmp = s"$base/.stage-cdc$version"
     TxnLog.rmrf(cdcTmp)
     changes.coalesce(math.max(1, affected)).write.parquet(cdcTmp)
-    val rels = Files.list(Paths.get(cdcTmp)).iterator.asScala
+    val rels = Fs.list(Paths.get(cdcTmp)).iterator
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
       .zipWithIndex.map { case (p, i) =>
@@ -1986,9 +1988,17 @@ object DeltaLogWriter {
       }
     TxnLog.rmrf(cdcTmp)
     require(rels.nonEmpty, "no cdc file staged")
-    rels.map(rel =>
-      s"""{"cdc":{"path":"${esc(rel)}","partitionValues":{},""" +
-        s""""size":${Files.size(Paths.get(base, rel))},"dataChange":false}}""")
+    rels.map(rel => rel ->
+      (s"""{"cdc":{"path":"${esc(rel)}","partitionValues":{},""" +
+        s""""size":${Files.size(Paths.get(base, rel))},"dataChange":false}}"""))
+  }
+
+  /** Fail a DML detected as a no-op AFTER its CDC files were staged:
+    * remove the staged files first so the version's namespace is clean
+    * for the next statement. */
+  private def noopAfterCdc(base: String, rels: Seq[String], msg: String): Nothing = {
+    rels.foreach(rel => Files.deleteIfExists(Paths.get(base, rel)))
+    throw new IllegalArgumentException(msg)
   }
 
   /** DELETE WHERE — copy-on-write: matching rows disappear from the
@@ -2079,11 +2089,13 @@ object DeltaLogWriter {
     val observed = changes.observe(obs,
       count(when(col("_change_type") === "update_preimage", 1)).as("n_upd"),
       count(when(col("_change_type") === "insert", 1)).as("n_ins"))
-    val cdcActions = writeCdc(spark, base, next,
+    val cdcStaged = writeCdc(spark, base, next,
       toPhysical(observed, ctx.colMap), affectedRel.size + 1)
+    val cdcActions = cdcStaged.map(_._2)
     val nUpd = obs.get("n_upd").asInstanceOf[Long]
     val nIns = obs.get("n_ins").asInstanceOf[Long]
-    require(nUpd + nIns > 0, "MERGE source matches nothing and inserts nothing")
+    if (nUpd + nIns == 0) noopAfterCdc(base, cdcStaged.map(_._1),
+      "MERGE source matches nothing and inserts nothing")
     val newData = survivors.unionByName(updSrc, allowMissingColumns = false)
       .unionByName(insSrc, allowMissingColumns = false)
     val (adds, domainBump) =
@@ -2201,13 +2213,15 @@ object DeltaLogWriter {
         .when(col("__kind") === "updpre", "update_preimage")
         .when(col("__kind") === "updpost", "update_postimage")
         .otherwise("insert")).drop("__kind")
-    val cdcActions = writeCdc(spark, base, next,
+    val cdcStaged = writeCdc(spark, base, next,
       toPhysical(changes, ctx.colMap), affectedAbs.size + 1)
+    val cdcActions = cdcStaged.map(_._2)
     val nDel = obs.get("n_del").asInstanceOf[Long]
     val nUpd = obs.get("n_upd").asInstanceOf[Long]
     val nIns = obs.get("n_ins").asInstanceOf[Long]
     val nBySrc = obs.get("n_bysrc").asInstanceOf[Long]
-    require(nDel + nUpd + nIns + nBySrc > 0, "MERGE matches nothing and inserts nothing")
+    if (nDel + nUpd + nIns + nBySrc == 0) noopAfterCdc(base, cdcStaged.map(_._1),
+      "MERGE matches nothing and inserts nothing")
     val affectedRel = affectedAbs.map(a => relByAbs.getOrElse(a,
       throw new IllegalStateException(s"matched file $a not in the live set")))
     val newData = survivors.unionByName(updSrc).unionByName(insSrc)
@@ -2408,7 +2422,7 @@ object DeltaLogWriter {
     TxnLog.rmrf(stage)
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
       .coalesce(1).write.parquet(stage)
-    val part = Files.list(Paths.get(stage)).iterator.asScala
+    val part = Fs.list(Paths.get(stage)).iterator
       .find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(s"stage $stage wrote no parquet"))
     Files.createDirectories(dest.getParent)
@@ -2552,7 +2566,7 @@ object DeltaLogWriter {
       .map(_.path).toSet
     require(referenced.nonEmpty, s"vacuum would empty $base entirely")
     val root = Paths.get(base)
-    val victims = Files.walk(root).iterator.asScala
+    val victims = Fs.walk(root).iterator
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .map(p => root.relativize(p).toString)
       .filterNot(rel => rel.startsWith("_") || referenced.contains(rel))
@@ -2574,7 +2588,7 @@ object DeltaLogWriter {
     val ckpt = DeltaLogReader.longField(
       Files.readString(lc, StandardCharsets.UTF_8), "version")
       .getOrElse(throw new IllegalStateException("_last_checkpoint has no version"))
-    val victims = Files.list(dir).iterator.asScala
+    val victims = Fs.list(dir).iterator
       .filter { p =>
         val n = p.getFileName.toString
         n.endsWith(".json") && n.length == 25 && n.stripSuffix(".json").toLong < ckpt

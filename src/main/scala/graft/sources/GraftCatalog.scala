@@ -74,7 +74,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = dirOf(namespace.toIndexedSeq)
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    Files.list(dir).iterator.asScala
+    Fs.list(dir).iterator
       .filter(p => Files.isDirectory(p) && formatOf(p).isDefined)
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray.sortBy(_.name)
@@ -241,7 +241,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listNamespaces(): Array[Array[String]] = {
     if (!Files.isDirectory(Paths.get(root))) return Array.empty
-    Files.list(Paths.get(root)).iterator.asScala
+    Fs.list(Paths.get(root)).iterator
       .filter(p => Files.isDirectory(p) && formatOf(p).isEmpty)
       .map(p => Array(p.getFileName.toString))
       .toArray.sortBy(_.mkString)

@@ -78,7 +78,7 @@ object HudiReader {
     val d = hoodieDir(base)
     require(Files.isDirectory(d), s"no .hoodie timeline under $base")
     val numbered = "^([0-9]+)\\.(.+)$".r
-    Files.list(d).iterator.asScala
+    Fs.list(d).iterator
       .map(_.getFileName.toString)
       .flatMap {
         case numbered(t, typ) =>
@@ -138,7 +138,7 @@ object HudiReader {
     // and split one file group into two
     val name = "^(.+?)_([0-9]+-[0-9]+-[0-9]+)_([0-9]+)\\.parquet$".r
     val root = Paths.get(base)
-    Files.walk(root).iterator.asScala
+    Fs.walk(root).iterator
       .filter(p => Files.isRegularFile(p) && !p.startsWith(hoodieDir(base)))
       .flatMap { p =>
         p.getFileName.toString match {
@@ -289,7 +289,7 @@ object HudiReader {
   def logFiles(base: String): Seq[LogFile] = {
     val name = "^(.+?)_([0-9]+)\\.log\\.([0-9]+)_([0-9]+)\\.avro$".r
     val root = Paths.get(base)
-    Files.walk(root).iterator.asScala
+    Fs.walk(root).iterator
       .filter(p => Files.isRegularFile(p) && !p.startsWith(hoodieDir(base)))
       .flatMap { p =>
         p.getFileName.toString match {

@@ -71,11 +71,11 @@ object HudiWriter {
     TxnLog.rmrf(tmp)
     df.withColumn("__g", bucketOf.cast("string")).drop(drop: _*)
       .repartition(col("__g")).write.partitionBy("__g").parquet(tmp)
-    Files.list(Paths.get(tmp)).iterator.asScala
+    Fs.list(Paths.get(tmp)).iterator
       .filter(_.getFileName.toString.startsWith("__g="))
       .foreach { dir =>
         val g = dir.getFileName.toString.stripPrefix("__g=")
-        val parts = Files.list(dir).iterator.asScala
+        val parts = Fs.list(dir).iterator
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
         require(parts.size == 1, s"bucket $g staged ${parts.size} files")
         Files.move(parts.head, Paths.get(base, s"$fileIdPrefix${g}_0-0-0_$instant.parquet"))
@@ -122,15 +122,15 @@ object HudiWriter {
       .withColumn("__g", bucketOf.cast("string"))
       .repartition(col("__p"), col("__g"))
       .write.partitionBy("__p", "__g").parquet(tmp)
-    Files.list(Paths.get(tmp)).iterator.asScala
+    Fs.list(Paths.get(tmp)).iterator
       .filter(_.getFileName.toString.startsWith("__p=")).foreach { pdir =>
         val escVal = pdir.getFileName.toString.stripPrefix("__p=")
         val outDir = Paths.get(base, s"$partCol=$escVal")
         Files.createDirectories(outDir)
-        Files.list(pdir).iterator.asScala
+        Fs.list(pdir).iterator
           .filter(_.getFileName.toString.startsWith("__g=")).foreach { gdir =>
             val g = gdir.getFileName.toString.stripPrefix("__g=")
-            val parts = Files.list(gdir).iterator.asScala
+            val parts = Fs.list(gdir).iterator
               .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
             require(parts.size == 1, s"cell ($escVal, $g) staged ${parts.size} files")
             Files.move(parts.head, outDir.resolve(s"g${g}_0-0-0_$instant.parquet"))
@@ -437,7 +437,7 @@ object HudiWriter {
     def moveLog(dir: java.nio.file.Path, qfid: String, outDir: java.nio.file.Path): Unit = {
       val bi = baseInstantOf.getOrElse(qfid,
         throw new IllegalStateException(s"log write targets unknown file group $qfid"))
-      val parts = Files.list(dir).iterator.asScala
+      val parts = Fs.list(dir).iterator
         .filter(_.getFileName.toString.endsWith(".avro")).toSeq
       require(parts.size == 1, s"cell $qfid staged ${parts.size} log files")
       val v = existingLogs.count(l => l.fileId == qfid && l.baseInstant == bi) + 1
@@ -450,7 +450,7 @@ object HudiWriter {
         records.withColumn("__g", bucket.cast("string"))
           .repartition(col("__g")).write.partitionBy("__g")
           .format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
-        Files.list(Paths.get(tmp)).iterator.asScala
+        Fs.list(Paths.get(tmp)).iterator
           .filter(_.getFileName.toString.startsWith("__g="))
           .foreach { dir =>
             val g = dir.getFileName.toString.stripPrefix("__g=")
@@ -461,10 +461,10 @@ object HudiWriter {
           .withColumn("__g", bucket.cast("string"))
           .repartition(col("__p"), col("__g")).write.partitionBy("__p", "__g")
           .format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
-        Files.list(Paths.get(tmp)).iterator.asScala
+        Fs.list(Paths.get(tmp)).iterator
           .filter(_.getFileName.toString.startsWith("__p=")).foreach { pdir =>
             val escVal = pdir.getFileName.toString.stripPrefix("__p=")
-            Files.list(pdir).iterator.asScala
+            Fs.list(pdir).iterator
               .filter(_.getFileName.toString.startsWith("__g=")).foreach { gdir =>
                 val g = gdir.getFileName.toString.stripPrefix("__g=")
                 moveLog(gdir, s"$pc=$escVal/g$g", Paths.get(base, s"$pc=$escVal"))
@@ -501,7 +501,7 @@ object HudiWriter {
       val tmp = s"$base/.stage-empty"
       TxnLog.rmrf(tmp)
       merged.limit(0).coalesce(1).write.parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).iterator.asScala
+      val part = Fs.list(Paths.get(tmp)).iterator
         .find(_.getFileName.toString.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException("no empty base staged"))
       Files.createDirectories(out.getParent)

@@ -485,38 +485,54 @@ object IcebergReader {
     import scala.jdk.CollectionConverters._
     import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
     import org.apache.avro.file.DataFileReader
+    // resolve() passes absolute URIs through unchanged (the reader's
+    // documented contract) — map file: URIs back to local files here;
+    // any other scheme throws and takes the spark-avro fallback below
+    def localFile(p: String): java.io.File =
+      if (p.startsWith("file:")) new java.io.File(java.net.URI.create(p))
+      else new java.io.File(p)
     def decode(p: String): (org.apache.avro.Schema, Seq[GenericRecord]) = {
       val r = new DataFileReader[GenericRecord](
-        new java.io.File(p), new GenericDatumReader[GenericRecord]())
+        localFile(p), new GenericDatumReader[GenericRecord]())
       try (r.getSchema, r.iterator.asScala.toVector) finally r.close()
     }
-    val decoded = paths.map(decode)
-    val schemas = decoded.map(_._1.toString).distinct
-    if (schemas.size != 1)
-      return spark.read.format(avroFmt).load(paths.toIndexedSeq: _*)
-    val avroSchema = decoded.head._1
-    val sqlType = org.apache.spark.sql.avro.SchemaConverters
-      .toSqlType(avroSchema).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
-    def convert(dt: org.apache.spark.sql.types.DataType, v: Any): Any = (dt, v) match {
-      case (_, null) => null
-      case (nested: org.apache.spark.sql.types.StructType, r: GenericRecord) =>
-        toRow(nested, r)
-      case (at: org.apache.spark.sql.types.ArrayType, c: java.util.Collection[_]) =>
-        c.asScala.toSeq.map(convert(at.elementType, _))
-      case (mt: org.apache.spark.sql.types.MapType, m: java.util.Map[_, _]) =>
-        m.asScala.toMap.map { case (k, x) =>
-          convert(mt.keyType, k) -> convert(mt.valueType, x) }
-      case (_, u: org.apache.avro.util.Utf8) => u.toString
-      case (_, b: java.nio.ByteBuffer) =>
-        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
-      case (_, f: org.apache.avro.generic.GenericFixed) => f.bytes()
-      case (_, other) => other
+    try {
+      val decoded = paths.map(decode)
+      val schemas = decoded.map(_._1.toString).distinct
+      if (schemas.size != 1)
+        return spark.read.format(avroFmt).load(paths.toIndexedSeq: _*)
+      val avroSchema = decoded.head._1
+      val sqlType = org.apache.spark.sql.avro.SchemaConverters
+        .toSqlType(avroSchema).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      def convert(dt: org.apache.spark.sql.types.DataType, v: Any): Any = (dt, v) match {
+        case (_, null) => null
+        case (nested: org.apache.spark.sql.types.StructType, r: GenericRecord) =>
+          toRow(nested, r)
+        case (at: org.apache.spark.sql.types.ArrayType, c: java.util.Collection[_]) =>
+          c.asScala.toSeq.map(convert(at.elementType, _))
+        case (mt: org.apache.spark.sql.types.MapType, m: java.util.Map[_, _]) =>
+          m.asScala.toMap.map { case (k, x) =>
+            convert(mt.keyType, k) -> convert(mt.valueType, x) }
+        case (_, u: org.apache.avro.util.Utf8) => u.toString
+        case (_, e: org.apache.avro.generic.GenericEnumSymbol[_]) => e.toString
+        case (_, b: java.nio.ByteBuffer) =>
+          val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+        case (_, f: org.apache.avro.generic.GenericFixed) => f.bytes()
+        case (_, other) => other
+      }
+      def toRow(s: org.apache.spark.sql.types.StructType, rec: GenericRecord): org.apache.spark.sql.Row =
+        org.apache.spark.sql.Row(
+          s.fields.map(f => convert(f.dataType, rec.get(f.name))).toIndexedSeq: _*)
+      val rows = decoded.flatMap(_._2).map(toRow(sqlType, _))
+      // createDataFrame(list, schema) converts to internal rows EAGERLY,
+      // so an avro logical type this converter does not cover (date /
+      // decimal on a foreign-written manifest) fails here, inside the try
+      spark.createDataFrame(rows.asJava, sqlType)
+    } catch { case scala.util.control.NonFatal(_) =>
+      // non-local URIs, unreadable OCF, logical-type conversion gaps:
+      // the distributed source keeps spark-avro's resolution rules
+      spark.read.format(avroFmt).load(paths.toIndexedSeq: _*)
     }
-    def toRow(s: org.apache.spark.sql.types.StructType, rec: GenericRecord): org.apache.spark.sql.Row =
-      org.apache.spark.sql.Row(
-        s.fields.map(f => convert(f.dataType, rec.get(f.name))).toIndexedSeq: _*)
-    val rows = decoded.flatMap(_._2).map(toRow(sqlType, _))
-    spark.createDataFrame(rows.asJava, sqlType)
   }
 
   /** Walk manifest-list → manifests → live entries (status != 2

@@ -52,7 +52,7 @@ object IcebergWriter {
     TxnLog.rmrf(tmp)
     df.write.parquet(tmp)
     Files.createDirectories(Paths.get(base, "data"))
-    val moved = Files.list(Paths.get(tmp)).iterator.asScala
+    val moved = Fs.list(Paths.get(tmp)).iterator
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
       .zipWithIndex.map { case (p, i) =>
@@ -124,11 +124,11 @@ object IcebergWriter {
     // __g= dir still gets exactly one part file
     df.withColumn("__g", idx.cast("string"))
       .repartition(col("__g")).write.partitionBy("__g").parquet(tmp)
-    val rels = Files.list(Paths.get(tmp)).iterator.asScala
+    val rels = Fs.list(Paths.get(tmp)).iterator
       .filter(_.getFileName.toString.startsWith("__g="))
       .map { dir =>
         val i = dir.getFileName.toString.stripPrefix("__g=").toInt
-        val parts = Files.list(dir).iterator.asScala
+        val parts = Fs.list(dir).iterator
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
         require(parts.size == 1, s"partition $i staged ${parts.size} files")
         val rel = s"data/part-p$i.parquet"
@@ -177,11 +177,11 @@ object IcebergWriter {
     // sequential loop
     df.withColumn("__g", partExpr.cast("long").cast("string"))
       .repartition(col("__g")).write.partitionBy("__g").parquet(tmp)
-    val rels = Files.list(Paths.get(tmp)).iterator.asScala
+    val rels = Fs.list(Paths.get(tmp)).iterator
       .filter(_.getFileName.toString.startsWith("__g="))
       .map { dir =>
         val v = dir.getFileName.toString.stripPrefix("__g=").toLong
-        val parts = Files.list(dir).iterator.asScala
+        val parts = Fs.list(dir).iterator
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
         require(parts.size == 1, s"partition $v staged ${parts.size} files")
         val rel = s"data/part-$fieldName-$v.parquet"
@@ -454,11 +454,11 @@ object IcebergWriter {
     TxnLog.rmrf(tmp)
     df.withColumn("__g", partExpr.cast("string"))
       .repartition(col("__g")).write.partitionBy("__g").parquet(tmp)
-    val rels = Files.list(Paths.get(tmp)).iterator.asScala
+    val rels = Fs.list(Paths.get(tmp)).iterator
       .filter(_.getFileName.toString.startsWith("__g="))
       .map { dir =>
         val g = dir.getFileName.toString.stripPrefix("__g=").toLong
-        val parts = Files.list(dir).iterator.asScala
+        val parts = Fs.list(dir).iterator
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
         require(parts.size == 1, s"partition $g staged ${parts.size} files")
         val rel = s"data/part-${f.name}-s$snap-$g.parquet"
@@ -913,7 +913,7 @@ object IcebergWriter {
     }.map(p => Paths.get(p).normalize.toString).toSet
     val dataDir = Paths.get(base, "data")
     if (!Files.isDirectory(dataDir)) return Nil
-    val victims = Files.list(dataDir).iterator.asScala
+    val victims = Fs.list(dataDir).iterator
       .filter(p => Files.isRegularFile(p) &&
         !referenced.contains(p.normalize.toString))
       .toSeq
@@ -1229,7 +1229,7 @@ object IcebergWriter {
           val rel = s"data/del-s$snap-0.parquet"
           spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
             .coalesce(1).write.parquet(s"$base/.stage-rd$snap")
-          val part = Files.list(Paths.get(base, s".stage-rd$snap")).iterator.asScala
+          val part = Fs.list(Paths.get(base, s".stage-rd$snap")).iterator
             .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
           require(part.size == 1, s"expected one staged delete file, got ${part.size}")
           Files.move(part.head, Paths.get(base, rel))
@@ -1294,7 +1294,7 @@ object IcebergWriter {
         col("file_path"), col("pos"))
       .sortWithinPartitions("file_path", "pos")
       .write.parquet(tmp)
-    val staged = Files.list(Paths.get(tmp)).iterator.asScala
+    val staged = Fs.list(Paths.get(tmp)).iterator
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
     require(staged.nonEmpty, "no delete file staged")
@@ -1359,7 +1359,7 @@ object IcebergWriter {
     // same staging discipline as deleteWhere: one spec-legal eq-delete
     // file per non-empty range partition (the manifest lists them
     // all) — a wide CDC batch never funnels through a single sort task
-    val staged = Files.list(Paths.get(tmp)).iterator.asScala
+    val staged = Fs.list(Paths.get(tmp)).iterator
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
     require(staged.nonEmpty, "no eq-delete file staged")

@@ -57,10 +57,16 @@ object ParquetFooters {
       val wanted = statsCols.toSet
       // per column: (min, max, sawNonNull) merged across row groups
       val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      // a wanted column absent from the file schema entirely (misnamed
+      // statsFor entry, logical vs physical spelling) must return None —
+      // the read-back fallback then fails LOUDLY with an unresolved
+      // column instead of silently dropping data-skipping stats
+      val seen = scala.collection.mutable.Set.empty[String]
       var usable = true
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
         if (wanted.contains(name)) {
+          seen += name
           val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
           if (st == null || st.isEmpty) usable = false
           else if (st.hasNonNullValue) {
@@ -81,6 +87,7 @@ object ParquetFooters {
           } // all-NULL chunk: contributes nothing, like the aggregate
         }
       }
+      if (blocks.nonEmpty && !wanted.subsetOf(seen)) usable = false
       if (usable) Some((rows, acc.toMap)) else None
     } finally reader.close()
   }

@@ -536,11 +536,11 @@ class DeltaLogSpec extends SparkSpec {
     // the top-level file is UUID-named and carries no adds; sidecars do
     val dir = Paths.get(base, "_delta_log")
     import scala.jdk.CollectionConverters._
-    val top = Files.list(dir).iterator.asScala.map(_.getFileName.toString)
+    val top = graft.sources.Fs.list(dir).iterator.map(_.getFileName.toString)
       .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet")).toSeq
     assert(top.size == 1 && top.head.length > "00000000000000000002.checkpoint.parquet".length, top.toString)
     assert(!spark.read.parquet(s"$base/_delta_log/${top.head}").columns.contains("add"))
-    assert(Files.list(dir.resolve("_sidecars")).iterator.asScala.size == 2)
+    assert(graft.sources.Fs.list(dir.resolve("_sidecars")).iterator.size == 2)
     assert(W.expireLog(base) == 2) // v0, v1 JSON gone
     // snapshot reconstructable ONLY through the sidecars: partition
     // column intact, DV applied, txn watermark still closed
@@ -1005,7 +1005,7 @@ class DeltaLogSpec extends SparkSpec {
     W.create(spark, spark.range(0, 10).select(col("id"),
       col("id").cast("int").as("q"), col("id").cast("int").as("r")), base, "t-w")
     import scala.jdk.CollectionConverters._
-    def partFiles() = Files.list(Paths.get(base)).iterator.asScala
+    def partFiles() = graft.sources.Fs.list(Paths.get(base)).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
     val filesBefore = partFiles()
     W.widenColumnType(spark, base, "q", "BIGINT")

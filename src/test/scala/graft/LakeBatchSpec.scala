@@ -387,4 +387,24 @@ class LakeBatchSpec extends SparkSpec {
     assert(java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/db/i3/data"))
       .iterator.asScala.exists(_.getFileName.toString.endsWith(".puffin")))
   }
+
+  test("CREATE TABLE refuses a non-empty marker-less target directory") {
+    val root = mkBase("catalog_create_guard")
+    // a directory with unrelated content where the table would live —
+    // tableExists sniffs only format markers, so CREATE must refuse to
+    // clear it rather than destroy whatever is there
+    val dir = java.nio.file.Paths.get(root, "db", "occupied")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("precious.txt"), "not a table")
+    spark.conf.set("spark.sql.catalog.gcat_guard", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat_guard.root", root)
+    val eDelta = intercept[Exception](spark.sql(
+      "CREATE TABLE gcat_guard.db.occupied (id BIGINT) USING `graft-delta`"))
+    assert(eDelta.getMessage.contains("not empty"), eDelta.getMessage)
+    val eIce = intercept[Exception](spark.sql(
+      "CREATE TABLE gcat_guard.db.occupied (id BIGINT) USING `graft-iceberg`"))
+    assert(eIce.getMessage.contains("not empty"), eIce.getMessage)
+    // the occupant survived both refusals
+    assert(java.nio.file.Files.exists(dir.resolve("precious.txt")))
+  }
 }

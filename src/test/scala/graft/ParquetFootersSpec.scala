@@ -29,7 +29,7 @@ class ParquetFootersSpec extends SparkSpec {
       (1L, 7, Some(100L)), (2L, -3, None), (3L, 42, Some(-5L)), (4L, 0, Some(99L))
     ).toDF("k", "i32", "optl")
     df.coalesce(1).write.parquet(s"$base/t")
-    val file = Files.list(Paths.get(base, "t")).iterator.asScala
+    val file = graft.sources.Fs.list(Paths.get(base, "t")).iterator
       .find(_.getFileName.toString.endsWith(".parquet")).get
     val Some((rows, bounds)) = ParquetFooters.statsOf(file, Seq("k", "i32", "optl"))
     assert(rows == 4L)
@@ -44,7 +44,7 @@ class ParquetFootersSpec extends SparkSpec {
     Seq((1L, Option.empty[Long], "a"), (2L, Option.empty[Long], "b"))
       .toDF("k", "allnull", "s")
       .coalesce(1).write.parquet(s"$base/t")
-    val file = Files.list(Paths.get(base, "t")).iterator.asScala
+    val file = graft.sources.Fs.list(Paths.get(base, "t")).iterator
       .find(_.getFileName.toString.endsWith(".parquet")).get
     val Some((rows, bounds)) = ParquetFooters.statsOf(file, Seq("k", "allnull"))
     assert(rows == 2L)

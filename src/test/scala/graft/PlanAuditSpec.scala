@@ -507,7 +507,10 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_iceberg_files")
     assert(!p.contains("FileScan parquet"),
       s"files metadata relation opened a data file:\n$p")
-    assert(p.toLowerCase.contains("avro"), s"manifest avro scan missing:\n$p")
+    // manifests decode on the driver (IcebergReader.readMetaAvro) and fold
+    // into a local relation — no distributed avro scan should remain
+    assert(p.toLowerCase.contains("localtablescan"),
+      s"manifest metadata not a driver-side local relation:\n$p")
   }
 
   test("q_iceberg_scan plans as plain pruned parquet scans of the live files") {
