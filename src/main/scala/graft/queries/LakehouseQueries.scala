@@ -2456,8 +2456,11 @@ object LakehouseQueries extends QueryGroup {
         HudiReader.readMorWhere(s, base, "o_orderpriority", "2-HIGH"), 2L)
       // censuses above reference files compaction supersedes — they
       // stay correct (old slices remain on disk), but materialize the
-      // pre-compaction state eagerly for determinism of the fixture
-      val early = Seq(snap, ro, pruned).map(_.localCheckpoint(true))
+      // pre-compaction state eagerly for determinism of the fixture.
+      // ONE action materializes all three (their subtrees run as one
+      // job's parallel stages) — three serial eager checkpoints paid
+      // three driver-blocking materializations (§1.2)
+      val early = snap.unionAll(ro).unionAll(pruned).localCheckpoint(true)
       HudiWriter.compactMor(s, base)
       val post = census(HudiReader.readMor(s, base), 3L)
       val postRo = census(HudiReader.readOptimized(s, base,
@@ -2469,7 +2472,7 @@ object LakehouseQueries extends QueryGroup {
       s.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_hudi_$hex")
       s.sql(s"DELETE FROM $cat.orders_pmor WHERE o_orderpriority = '5-LOW'")
       val sqlDel = census(HudiReader.readMor(s, base), 5L)
-      (early :+ post :+ postRo :+ sqlDel).reduce(_ unionAll _).orderBy("phase")
+      Seq(early, post, postRo, sqlDel).reduce(_ unionAll _).orderBy("phase")
     }),
 
     // ---- manifest-level file skipping ------------------------------------

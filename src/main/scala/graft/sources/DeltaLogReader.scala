@@ -36,6 +36,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DeltaLogReader {
 
+  /** Sessions whose DV path-spelling probe already passed (weak: a
+    * stopped session must not pin its entry). */
+  private val probedSessions = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Spec deletion-vector descriptor riding an add action: which rows
     * of the file are soft-deleted, as a serialized roaring bitmap in a
     * sidecar (`u`/`p`) or inline (`i`). */
@@ -661,14 +666,21 @@ object DeltaLogReader {
     // sanity-pin the convention with one O(1-row) probe: a direct scan
     // of the first DV-carrying file must yield exactly the driver-side
     // spelling, else the anti-join keys have drifted (path encoding,
-    // scheme, symlinks) and masked rows would leak back silently
-    val probeKey = scanSpelling(absBase.resolve(withDv.head.path))
-    val probed = spark.read
-      .parquet(absBase.resolve(withDv.head.path).normalize.toString)
-      .select(regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
-      .head().getString(0)
-    require(probed == probeKey,
-      s"DV path-match convention broke: scan spells '$probed', driver '$probeKey'")
+    // scheme, symlinks) and masked rows would leak back silently.
+    // The convention is a (session, filesystem) property, not a table
+    // property — probe ONCE per session: re-probing on every DV-masked
+    // read scheduled two jobs per read (17 of each in one measured
+    // query), all confirming the same invariant
+    if (!probedSessions.contains(spark)) {
+      val probeKey = scanSpelling(absBase.resolve(withDv.head.path))
+      val probed = spark.read
+        .parquet(absBase.resolve(withDv.head.path).normalize.toString)
+        .select(regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+        .head().getString(0)
+      require(probed == probeKey,
+        s"DV path-match convention broke: scan spells '$probed', driver '$probeKey'")
+      probedSessions.add(spark)
+    }
     val enc = org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong)
     val dels = spark.createDataset(payloads)(org.apache.spark.sql.Encoders.tuple(

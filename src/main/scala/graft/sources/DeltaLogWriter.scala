@@ -264,26 +264,35 @@ object DeltaLogWriter {
     val files = ctx.live.map(a => absBase.resolve(a.path).toString)
     val reader0 = spark.read
     val reader = if (ctx.physPcols.isEmpty) reader0 else reader0.option("basePath", base)
-    // row-tracked tables read with mergeSchema (materialized columns
-    // exist only on post-OPTIMIZE files); otherwise the LOG's schema
-    // governs (pre-ADD-COLUMN files surface evolved columns as NULL) —
-    // under column mapping the enforced schema uses the PHYSICAL names
-    // the footers carry
-    val raw = ctx.rtConf match {
-      case Some(_) => reader.option("mergeSchema", "true").parquet(files: _*)
-      case None =>
-        val declared = ctx.colMap match {
-          case Some(m) =>
-            import org.apache.spark.sql.types.{StructField, StructType}
-            DeltaLogReader.columnMappingSchema(Some(spark), base, ctx.version)
-              .map(l => StructType(l.fields.map(f => StructField(
-                physOf(Some(m), f.name), f.dataType, f.nullable))))
-          case None => DeltaLogReader.tableSchema(Some(spark), base, ctx.version)
-        }
-        declared match {
-          case Some(schema) => reader.schema(schema).parquet(files: _*)
-          case None         => reader.parquet(files: _*)
-        }
+    // the LOG's schema governs (pre-ADD-COLUMN files surface evolved
+    // columns as NULL); under column mapping the enforced schema uses
+    // the PHYSICAL names the footers carry. Row-tracked tables append
+    // the materialized id/version columns to that schema DRIVER-SIDE —
+    // they exist only on post-OPTIMIZE files, and the parquet reader
+    // null-fills a requested column a file lacks, which is exactly the
+    // union the old mergeSchema=true read computed with a distributed
+    // all-footers job per DML statement
+    val declared = {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val logSchema = ctx.colMap match {
+        case Some(m) =>
+          DeltaLogReader.columnMappingSchema(Some(spark), base, ctx.version)
+            .map(l => StructType(l.fields.map(f => StructField(
+              physOf(Some(m), f.name), f.dataType, f.nullable))))
+        case None => DeltaLogReader.tableSchema(Some(spark), base, ctx.version)
+      }
+      ctx.rtConf match {
+        case None => logSchema
+        case Some(_) => logSchema.map(s => StructType(s.fields ++ Seq(
+          StructField(ctx.matId, LongType, nullable = true),
+          StructField(ctx.matVer, LongType, nullable = true))))
+      }
+    }
+    val raw = declared match {
+      case Some(schema) => reader.schema(schema).parquet(files: _*)
+      case None if ctx.rtConf.isDefined =>
+        reader.option("mergeSchema", "true").parquet(files: _*)
+      case None => reader.parquet(files: _*)
     }
     val stamped = raw
       .withColumn("__path", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))

@@ -328,11 +328,14 @@ object HudiReader {
   }
 
   /** MOR read-optimized view: base files only — the bounded-staleness
-    * query Hudi serves from `_ro` tables. Plain parquet scan. */
+    * query Hudi serves from `_ro` tables. Plain parquet scan (schema
+    * from one footer driver-side — no per-call schema-inference job). */
   def readOptimized(spark: SparkSession, base: String, asOf: String): DataFrame = {
     val bases = morSlices(base, asOf).map(_._1.path)
     require(bases.nonEmpty, s"empty read-optimized snapshot at $asOf of $base")
-    spark.read.parquet(bases: _*)
+    spark.read.schema(org.apache.spark.sql.GraftPlanBridge
+        .parquetFooterSchema(spark, bases.head))
+      .parquet(bases: _*)
   }
 
   /** MOR snapshot view: per record key, the LAST writer wins — log
@@ -366,11 +369,13 @@ object HudiReader {
   private def mergeMorSlices(spark: SparkSession, base: String,
                              slices: Seq[(BaseFile, Seq[LogFile])],
                              asOf: String): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
+    import org.apache.spark.sql.functions.{broadcast, col, lit, max_by, struct}
     require(slices.nonEmpty, s"empty MOR snapshot at $asOf of $base")
     val bases = slices.map(_._1.path)
     val logs = slices.flatMap(_._2)
-    val baseDf = spark.read.parquet(bases: _*)
+    val baseDf = spark.read.schema(org.apache.spark.sql.GraftPlanBridge
+        .parquetFooterSchema(spark, bases.head))
+      .parquet(bases: _*)
     val dataCols = baseDf.columns.filterNot(_ == "_hoodie_is_deleted")
     if (logs.isEmpty) return baseDf.select(dataCols.map(col).toIndexedSeq: _*)
     // precedence: any log beats base; later log versions beat earlier.
@@ -393,16 +398,21 @@ object HudiReader {
       .unionByName(logDf)
     // the bucket index is PARTITION-LOCAL (non-global): the same record
     // key may legitimately live in two partitions, so a hive-partitioned
-    // table merges per (partition, key) — never across partitions
+    // table merges per (partition, key) — never across partitions.
+    // Last-writer-wins as a HASH AGGREGATE (max_by on the precedence,
+    // unique per key by the within-commit clash rule), not a window:
+    // the aggregate partial-combines map-side and never sorts, where
+    // the row_number window paid a full sort of every merged row after
+    // the same shuffle (§2.3 aggregate-before-shuffle).
     val mergeKeys =
       if (baseDf.columns.contains("_hoodie_partition_path"))
         Seq(col("_hoodie_partition_path"), col("_hoodie_record_key"))
       else Seq(col("_hoodie_record_key"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(mergeKeys: _*).orderBy(col("__prec").desc)
-    merged.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && !col("_hoodie_is_deleted"))
-      .select(dataCols.map(col).toIndexedSeq: _*)
+    val payload = struct((dataCols :+ "_hoodie_is_deleted").map(col).toIndexedSeq: _*)
+    merged.groupBy(mergeKeys: _*)
+      .agg(max_by(payload, col("__prec")).as("__winner"))
+      .filter(!col("__winner._hoodie_is_deleted"))
+      .select(dataCols.map(c => col(s"__winner.$c").as(c)).toIndexedSeq: _*)
   }
 
   /** Latest MOR snapshot (across commits AND deltacommits). */

@@ -355,13 +355,18 @@ object HudiWriter {
     val snap = HudiReader.readMor(spark, base)
     val key = keyField(base)
     val pc = HudiReader.partitionFields(base).headOption
+    // ONE MOR merge: the DML-sized key set materializes eagerly
+    // (localCheckpoint) so the count probe AND logCommit's stage write
+    // read the checkpointed rows instead of each re-running the merge;
+    // unpersisted once the commit is durable (§5)
     val keys = snap.filter(predicate.eqNullSafe(true))
       .select((key +: pc.toSeq).map(col): _*)
-    // the tombstone count is DML-sized; the probe is one column-pruned
-    // aggregate over the merged snapshot
-    val n = keys.count()
-    if (n > 0) logCommit(spark, base, snap.limit(0), deleteKeys = Some(keys))
-    n
+      .localCheckpoint(true)
+    try {
+      val n = keys.count()
+      if (n > 0) logCommit(spark, base, snap.limit(0), deleteKeys = Some(keys))
+      n
+    } finally keys.unpersist(false)
   }
 
   /** MOR delta commit: upserts and key deletes land as ONE avro log
@@ -384,7 +389,11 @@ object HudiWriter {
     val instant = nextInstant(base)
     val asOf = HudiReader.completedCommits(base).last
     val slices = HudiReader.morSlices(base, asOf).map(_._1)
-    val schemaCols = spark.read.parquet(slices.head.path).columns.toIndexedSeq
+    // table schema from one base-file footer, driver-side — the old
+    // spark.read.parquet(...).columns scheduled a one-task schema job
+    // per delta commit
+    val schemaCols = org.apache.spark.sql.GraftPlanBridge
+      .parquetFooterSchema(spark, slices.head.path).fieldNames.toIndexedSeq
     def stampPart(d: DataFrame): DataFrame = partCol.fold(d)(pc =>
       d.withColumn("_hoodie_partition_path",
         concat(flit(s"$pc="), col(pc).cast("string"))))
@@ -411,19 +420,6 @@ object HudiWriter {
       }).select(schemaCols.map(col): _*).withColumn("_hoodie_is_deleted", flit(true))
       ups.unionByName(tombs)
     }
-    require(!records.isEmpty, "logCommit with nothing to write")
-    // within-commit determinism: one deltacommit may not carry two
-    // records for the same (partition-local) key — they would land in
-    // the same log file with the same merge precedence and the
-    // snapshot survivor would be random
-    val clashKeys =
-      if (partCol.isDefined) Seq(col("_hoodie_partition_path"), col("_hoodie_record_key"))
-      else Seq(col("_hoodie_record_key"))
-    val clashes = records.groupBy(clashKeys: _*)
-      .count().filter(col("count") > 1).count()
-    require(clashes == 0L,
-      s"logCommit carries $clashes keys more than once (upsert/delete overlap " +
-        "or duplicate upserts) — the per-key survivor would be nondeterministic")
     // one log file per touched cell, attached to that cell's CURRENT
     // base instant (the file-slice the log belongs to); partitioned
     // logs live IN their partition dir, matching baseFiles' qualified
@@ -431,7 +427,6 @@ object HudiWriter {
     val baseInstantOf = slices.map(b => b.fileId -> b.instant).toMap
     val existingLogs = HudiReader.logFiles(base)
     val bucket = pmod(col(key), lit(n))
-    Files.writeString(Paths.get(base, ".hoodie", s"$instant.inflight"), "")
     val tmp = s"$base/.stage-log"
     TxnLog.rmrf(tmp)
     def moveLog(dir: java.nio.file.Path, qfid: String, outDir: java.nio.file.Path): Unit = {
@@ -445,11 +440,51 @@ object HudiWriter {
       Files.createDirectories(outDir)
       Files.move(parts.head, outDir.resolve(fname))
     }
+    // STAGE FIRST — the one full computation of `records` — then
+    // validate emptiness and the within-commit clash rule from the
+    // staged KB-scale files in ONE aggregate job. The old shape ran
+    // three actions over `records` (isEmpty, clash groupBy, write),
+    // each recomputing the source — for deleteWhere that was a full
+    // MOR merge per action (§1.2: remove repeated passes).
     partCol match {
       case None =>
         records.withColumn("__g", bucket.cast("string"))
           .repartition(col("__g")).write.partitionBy("__g")
           .format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
+      case Some(pc) =>
+        records.withColumn("__p", col(pc).cast("string"))
+          .withColumn("__g", bucket.cast("string"))
+          .repartition(col("__p"), col("__g")).write.partitionBy("__p", "__g")
+          .format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
+    }
+    val stagedLeaves = Fs.walk(Paths.get(tmp))
+      .filter(_.getFileName.toString.endsWith(".avro")).map(_.toString).sorted
+    if (stagedLeaves.isEmpty) {
+      TxnLog.rmrf(tmp)
+      throw new IllegalArgumentException("logCommit with nothing to write")
+    }
+    // within-commit determinism: one deltacommit may not carry two
+    // records for the same (partition-local) key — they would land in
+    // the same log file with the same merge precedence and the
+    // snapshot survivor would be random
+    val clashCols =
+      if (partCol.isDefined) Seq("_hoodie_partition_path", "_hoodie_record_key")
+      else Seq("_hoodie_record_key")
+    val clashes = spark.read.format("org.apache.spark.sql.avro.AvroFileFormat")
+      .load(stagedLeaves: _*)
+      .groupBy(clashCols.map(col): _*)
+      .count().filter(col("count") > 1).count()
+    if (clashes > 0L) {
+      TxnLog.rmrf(tmp)
+      throw new IllegalArgumentException(
+        s"logCommit carries $clashes keys more than once (upsert/delete overlap " +
+          "or duplicate upserts) — the per-key survivor would be nondeterministic")
+    }
+    // inflight marker before any file becomes VISIBLE (the staged tree
+    // is outside the readers' name grammar) — the two-phase protocol
+    Files.writeString(Paths.get(base, ".hoodie", s"$instant.inflight"), "")
+    partCol match {
+      case None =>
         Fs.list(Paths.get(tmp)).iterator
           .filter(_.getFileName.toString.startsWith("__g="))
           .foreach { dir =>
@@ -457,10 +492,6 @@ object HudiWriter {
             moveLog(dir, s"g$g", Paths.get(base))
           }
       case Some(pc) =>
-        records.withColumn("__p", col(pc).cast("string"))
-          .withColumn("__g", bucket.cast("string"))
-          .repartition(col("__p"), col("__g")).write.partitionBy("__p", "__g")
-          .format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
         Fs.list(Paths.get(tmp)).iterator
           .filter(_.getFileName.toString.startsWith("__p=")).foreach { pdir =>
             val escVal = pdir.getFileName.toString.stripPrefix("__p=")

@@ -712,7 +712,10 @@ object IcebergReader {
       // delete side is metadata-scale next to the data (broadcast);
       // the data side keys on Spark's native parquet row positions, so
       // the scan itself stays the ordinary pushdown-friendly one.
-      val dels = spark.read.parquet(scan.posDeleteFiles: _*)
+      val dels = spark.read
+        .schema(org.apache.spark.sql.GraftPlanBridge
+          .parquetFooterSchema(spark, scan.posDeleteFiles.head))
+        .parquet(scan.posDeleteFiles: _*)
         .select(normPath(col("file_path")).as("__del_path"), col("pos").as("__del_pos"))
       data = data.join(broadcast(dels),
         col("__path") === col("__del_path") && col("__pos") === col("__del_pos"),
@@ -723,13 +726,23 @@ object IcebergReader {
     // to exactly the columns the file carries); it erases matching
     // rows from data files with a STRICTLY smaller sequence number —
     // rows (re)inserted at or after the delete's sequence survive.
-    // One broadcast anti-join per delete file, null-safe per spec.
-    scan.eqDeleteFiles.sortBy(_._2).foreach { case (delPath, delSeq) =>
+    // Files sharing one sequence (one commit's staged parts) share the
+    // same window, so they apply as ONE broadcast anti-join over one
+    // combined read — per-FILE joins scheduled a read (and a one-task
+    // schema job) per part and grew the plan linearly in part count.
+    // Null-safe match per spec; schema comes from the first part's
+    // footer (driver-side), exactly what inference would read.
+    val eqWithSchema = scan.eqDeleteFiles.map { case (p, seq) =>
+      (p, seq, org.apache.spark.sql.GraftPlanBridge.parquetFooterSchema(spark, p))
+    }
+    eqWithSchema.groupBy(e => (e._2, e._3)).toSeq.sortBy(_._1._1).foreach {
+      case ((delSeq, delSchema), group) =>
       val older = scan.dataFiles.map(_._1)
         .filter(p => scan.dataSeq.getOrElse(p, 0L) < delSeq)
         .map(p => p.replaceFirst("^file:/*", "/"))
       if (older.nonEmpty) {
-        val dels = spark.read.parquet(delPath)
+        val paths = group.map(_._1).sorted
+        val dels = spark.read.schema(delSchema).parquet(paths: _*)
         val eqCols = dels.columns.toSeq
         val renamed = eqCols.foldLeft(dels)((d, c) => d.withColumnRenamed(c, s"__del_$c"))
         val cond = eqCols.map(c => col(c) <=> col(s"__del_$c")).reduce(_ && _) &&
@@ -746,8 +759,13 @@ object IcebergReader {
   private[sources] def scanWithPositions(spark: SparkSession, scan: SnapshotScan): DataFrame = {
     require(scan.dataFiles.nonEmpty, "empty snapshot scan")
     // stamp the file identity ONCE while the plan is still a plain
-    // file-source relation (_metadata dies at the first join)
-    val stamped = spark.read.parquet(scan.dataFiles.map(_._1): _*)
+    // file-source relation (_metadata dies at the first join); the
+    // schema comes from the first file's footer driver-side — the same
+    // single representative footer inference reads, minus its one-task
+    // Spark job per call
+    val dataSchema = org.apache.spark.sql.GraftPlanBridge
+      .parquetFooterSchema(spark, scan.dataFiles.head._1)
+    val stamped = spark.read.schema(dataSchema).parquet(scan.dataFiles.map(_._1): _*)
       .withColumn("__path", normPath(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
     applyDeletes(spark, scan, stamped)
@@ -797,7 +815,9 @@ object IcebergReader {
         val masked = if (hasDels) applyDeletes(spark, scan, stamped) else stamped
         masked.select(proj: _*)
       case None =>
-        val raw = spark.read.parquet(scan.dataFiles.map(_._1): _*)
+        val raw = spark.read.schema(org.apache.spark.sql.GraftPlanBridge
+            .parquetFooterSchema(spark, scan.dataFiles.head._1))
+          .parquet(scan.dataFiles.map(_._1): _*)
           .drop(LineageCols: _*)
         val cols = raw.columns.map(col)
         if (!hasDels) raw

@@ -1351,9 +1351,19 @@ object IcebergWriter {
     Files.createDirectories(Paths.get(base, "data"))
     val tmp = s"$base/.stage-eqdel$snap"
     TxnLog.rmrf(tmp)
-    source.select(eqCols.map(col): _*).distinct()
-      .repartitionByRange(math.max(1, spark.sparkContext.defaultParallelism / 4),
-        eqCols.map(col): _*)
+    // stage parallelism sized by the SOURCE'S BYTES (optimizer estimate,
+    // free driver-side), not by core count: the old cores/4 pin split a
+    // KB-scale key set into one file per 4 cores (8 eq-delete files at
+    // 32 cpus — manifest bloat AND one read+join per file downstream)
+    // and would under-split a TB CDC batch on a small driver. ~64 MB of
+    // key tuples per range partition, capped at 4× the parallelism.
+    val keyTuples = source.select(eqCols.map(col): _*).distinct()
+    val estBytes = org.apache.spark.sql.GraftPlanBridge.planStats(keyTuples)._2
+    val parts = math.max(1L, math.min(
+      (estBytes / (64L << 20)).toLong + 1L,
+      spark.sparkContext.defaultParallelism * 4L)).toInt
+    keyTuples
+      .repartitionByRange(parts, eqCols.map(col): _*)
       .sortWithinPartitions(eqCols.map(col): _*)
       .write.parquet(tmp)
     // same staging discipline as deleteWhere: one spec-legal eq-delete

@@ -40,10 +40,14 @@ object JobCensus {
     val stages = new AtomicInteger(0)
     val tasks = new AtomicLong(0L)
     val perJobTasks = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val perJobName = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
         perJobTasks.add(j.stageInfos.map(_.numTasks).sum)
+        // the final stage's callsite names the action that scheduled it
+        val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+        perJobName.add(s"${j.stageInfos.map(_.numTasks).sum}t:$site")
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
@@ -55,8 +59,9 @@ object JobCensus {
     try graft.SparkEntry.queries(names.head)(spark, sfDir).count()
     catch { case _: Throwable => }
     try graft.Hygiene.sweep(spark) catch { case _: Throwable => () }
+    val verbose = sys.env.get("GRAFT_JOBCENSUS_VERBOSE").contains("1")
     names.foreach { name =>
-      jobs.set(0); stages.set(0); tasks.set(0L); perJobTasks.clear()
+      jobs.set(0); stages.set(0); tasks.set(0L); perJobTasks.clear(); perJobName.clear()
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
       Thread.sleep(300) // let the listener bus drain
@@ -68,6 +73,12 @@ object JobCensus {
       println(f"[jobcensus] $name%-28s rows=$n%-6d jobs=${jobs.get}%-4d " +
         f"stages=${stages.get}%-4d tasks=${tasks.get}%-6d $sec%.2f s")
       println(s"[jobcensus]   tasks/job: ${perJob.mkString(",")}")
+      if (verbose) {
+        import scala.jdk.CollectionConverters._
+        perJobName.iterator.asScala.zipWithIndex.foreach { case (n, i) =>
+          println(f"[jobcensus]   job$i%-3d $n")
+        }
+      }
       try graft.Hygiene.sweep(spark) catch { case _: Throwable => () }
     }
     spark.stop()

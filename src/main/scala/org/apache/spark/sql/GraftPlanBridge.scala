@@ -55,6 +55,24 @@ object GraftPlanBridge {
   def internalRdd(df: Dataset[Row]): org.apache.spark.rdd.RDD[catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
 
+  /** Spark schema of one parquet file, read from its FOOTER on the
+    * driver. `spark.read.parquet(...)` schedules a one-task Spark job
+    * per call just to infer the schema — the fixture-commit-bound
+    * lakehouse queries scheduled dozens of those per invocation (a
+    * measured 47 single-task jobs in one query). Semantics match
+    * inference exactly: mergeSchema=false inference also reads a single
+    * representative footer with this same converter, and
+    * HadoopFsRelation forces every field nullable (`asNullable`). */
+  def parquetFooterSchema(spark: SparkSession, path: String): types.StructType = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), cs.sessionState.newHadoopConf())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val msg = try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+    new execution.datasources.parquet.ParquetToSparkSchemaConverter(cs.sessionState.conf)
+      .convert(msg).asNullable
+  }
+
   /** Unload every state-store provider this executor holds for
     * terminated streaming queries (each drain in this engine uses a
     * fresh checkpoint, so nothing ever reloads them) — without this,
